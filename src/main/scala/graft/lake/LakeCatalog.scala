@@ -1,0 +1,82 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Filesystem-backed `catalog → namespace → table` hierarchy, the offline
+  * equivalent of the reference's S3Tables catalog surface (reference:
+  * scripts/raw-bronze.py:102-116 session configs; D1-D4 in SURVEY.md §2.12):
+  * `CREATE NAMESPACE IF NOT EXISTS`, `SHOW NAMESPACES`, `USE`,
+  * `SHOW TABLES`, `tableExists`, drop.
+  *
+  * Layout: `<warehouse>/<namespace>/<table>/{metadata,data}`. A directory
+  * is a table iff it has a committed `metadata/HEAD`.
+  */
+final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private val whPath = new Path(warehouse)
+  private def fs: FileSystem = whPath.getFileSystem(hconf)
+
+  @volatile private var current: Option[String] = None
+
+  def createNamespace(ns: String): Unit = {
+    require(ns.nonEmpty && !ns.contains("/"), s"bad namespace: $ns")
+    fs.mkdirs(new Path(whPath, ns)) // idempotent ≡ IF NOT EXISTS
+  }
+
+  def namespaces: Seq[String] =
+    if (!fs.exists(whPath)) Nil
+    else fs.listStatus(whPath).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+
+  /** ≡ `SHOW NAMESPACES IN catalog` (reference: scripts/raw-bronze.py:115). */
+  def showNamespaces(): DataFrame = {
+    import spark.implicits._
+    namespaces.toDF("namespace")
+  }
+
+  def useNamespace(ns: String): Unit = {
+    require(namespaces.contains(ns), s"namespace $ns does not exist")
+    current = Some(ns)
+  }
+
+  def currentNamespace: Option[String] = current
+
+  def listTables(ns: String): Seq[String] = {
+    val nsPath = new Path(whPath, ns)
+    if (!fs.exists(nsPath)) Nil
+    else fs.listStatus(nsPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => LakeTable.exists(spark, tablePath(ns, t)))
+      .sorted.toSeq
+  }
+
+  /** ≡ `SHOW TABLES` in the current/default namespace. */
+  def showTables(ns: String): DataFrame = {
+    import spark.implicits._
+    listTables(ns).map(t => (ns, t)).toDF("namespace", "tableName")
+  }
+
+  def tablePath(ns: String, table: String): String =
+    new Path(new Path(whPath, ns), table).toString
+
+  /** ≡ `spark.catalog.tableExists` (reference: scripts/raw-bronze.py:180). */
+  def tableExists(ns: String, table: String): Boolean =
+    LakeTable.exists(spark, tablePath(ns, table))
+
+  def createTable(ns: String, table: String, schema: StructType,
+      partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): LakeTable = {
+    createNamespace(ns)
+    LakeTable.create(spark, tablePath(ns, table), schema, partitionBy,
+      properties)
+  }
+
+  def loadTable(ns: String, table: String): LakeTable =
+    LakeTable.load(spark, tablePath(ns, table))
+
+  def dropTable(ns: String, table: String): Unit =
+    if (tableExists(ns, table)) loadTable(ns, table).drop()
+}

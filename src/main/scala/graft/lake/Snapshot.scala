@@ -1,0 +1,77 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import scala.jdk.CollectionConverters._
+
+/** One committed version of a [[LakeTable]].
+  *
+  * Mirrors the information Iceberg keeps per snapshot that the reference
+  * actually consumes (reference: scripts/bronze-silver.py:119,137,149-152 —
+  * `.history`'s `snapshot_id`/`made_current_at` and the
+  * start/end-snapshot-id incremental read): id, parent, wall-clock commit
+  * time, the operation, and the file-level delta.
+  *
+  * `liveFiles` is the full manifest of data files visible at this version
+  * (paths relative to the table root). At 100 TB a flat JSON list would be
+  * replaced by an Iceberg-style manifest tree; the *protocol* (immutable
+  * versioned metadata + atomic HEAD swap + file-delta per snapshot) is the
+  * part that scales, and is what the rest of the engine programs against.
+  */
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // create | append | overwrite | merge
+    addedFiles: Seq[String],
+    removedFiles: Seq[String],
+    liveFiles: Seq[String],
+    schemaJson: String,
+    partitionColumns: Seq[String],
+    properties: Map[String, String]) {
+
+  def toJson: String = {
+    val m = Snapshot.mapper
+    val n: ObjectNode = m.createObjectNode()
+    n.put("snapshot_id", snapshotId)
+    parentId.foreach(p => n.put("parent_id", p))
+    n.put("timestamp_ms", timestampMs)
+    n.put("operation", operation)
+    def arr(name: String, xs: Seq[String]): Unit = {
+      val a = n.putArray(name); xs.foreach(a.add)
+    }
+    arr("added_files", addedFiles)
+    arr("removed_files", removedFiles)
+    arr("live_files", liveFiles)
+    n.put("schema", schemaJson)
+    arr("partition_columns", partitionColumns)
+    val p = n.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+}
+
+object Snapshot {
+  private[lake] val mapper = new ObjectMapper()
+
+  def fromJson(json: String): Snapshot = {
+    val n = mapper.readTree(json)
+    def arr(name: String): Seq[String] =
+      n.path(name).elements().asScala.map(_.asText()).toSeq
+    Snapshot(
+      snapshotId = n.path("snapshot_id").asLong(),
+      parentId =
+        if (n.has("parent_id")) Some(n.path("parent_id").asLong()) else None,
+      timestampMs = n.path("timestamp_ms").asLong(),
+      operation = n.path("operation").asText(),
+      addedFiles = arr("added_files"),
+      removedFiles = arr("removed_files"),
+      liveFiles = arr("live_files"),
+      schemaJson = n.path("schema").asText(),
+      partitionColumns = arr("partition_columns"),
+      properties = n.path("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    )
+  }
+}

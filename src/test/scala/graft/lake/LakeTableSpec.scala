@@ -1,0 +1,144 @@
+package graft.lake
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LakeTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot = TestSpark.tmpDir("laketable") + "/t"
+
+  test("create + append + scan roundtrip, partitioned") {
+    val root = freshRoot
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+      .toDF("id", "v", "p")
+    val t = LakeTable.create(spark, root, df.schema, Seq("p"))
+    t.append(df)
+    val got = t.scan()
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "p"))
+    assert(got.orderBy("id").collect().map(r => (r.getLong(0),
+      r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+  }
+
+  test("append accumulates; incremental scan returns only the delta") {
+    val root = freshRoot
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, b1.schema)
+    val s1 = t.append(b1)
+    val s2 = t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.scan().count() == 3)
+    val inc = t.incrementalScan(s1, s2)
+    assert(inc.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // full scan ≡ union of incremental scans from the start
+    val all = t.incrementalScan(0L, s2)
+    assert(all.count() == 3)
+  }
+
+  test("history reflects commits in order") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df); t.append(df)
+    val h = t.history.orderBy("snapshot_id").collect()
+    assert(h.map(_.getAs[Long]("snapshot_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "append", "append"))
+  }
+
+  test("merge: update wins, unmatched target carried, insert added") {
+    val root = freshRoot
+    val tgt = Seq((1L, "old1", "x"), (2L, "old2", "y"), (3L, "old3", "x"))
+      .toDF("id", "v", "p")
+    val t = LakeTable.create(spark, root, tgt.schema, Seq("p"))
+    t.append(tgt)
+    val src = Seq((2L, "NEW2", "y"), (4L, "NEW4", "z")).toDF("id", "v", "p")
+    t.merge(src, Seq("id"))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "old1"), (2L, "NEW2"), (3L, "old3"), (4L, "NEW4")))
+  }
+
+  test("merge sets explicit nulls from source (UPDATE SET *, not coalesce)") {
+    val root = freshRoot
+    val tgt = Seq((1L, Some("old"))).toDF("id", "v")
+    val t = LakeTable.create(spark, root, tgt.schema)
+    t.append(tgt)
+    t.merge(Seq((1L, Option.empty[String])).toDF("id", "v"), Seq("id"))
+    assert(t.scan().collect().head.isNullAt(1))
+  }
+
+  test("merge rewrites only affected files") {
+    val root = freshRoot
+    val tgt = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+    val t = LakeTable.create(spark, root, tgt.schema, Seq("p"))
+    t.append(tgt) // two files: p=x, p=y
+    val before = t.currentSnapshot.get.liveFiles.toSet
+    t.merge(Seq((2L, "B2", "y")).toDF("id", "v", "p"), Seq("id"))
+    val after = t.currentSnapshot.get
+    // the p=x file must be carried forward untouched
+    val untouched = before.filter(_.contains("p=x"))
+    assert(untouched.subsetOf(after.liveFiles.toSet))
+    assert(after.removedFiles.forall(_.contains("p=y")))
+  }
+
+  test("merge is idempotent") {
+    val root = freshRoot
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    val src = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
+    t.merge(src, Seq("id"))
+    val once = t.scan().orderBy("id").collect().toSeq
+    t.merge(src, Seq("id"))
+    assert(t.scan().orderBy("id").collect().toSeq == once)
+  }
+
+  test("incremental scan over a merge snapshot is rejected") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    val s1 = t.append(df)
+    val s2 = t.merge(Seq((1L, "b")).toDF("id", "v"), Seq("id"))
+    intercept[UnsupportedOperationException](t.incrementalScan(s1, s2))
+  }
+
+  test("overwrite replaces data") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("merge-on-read property raises on merge") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+    t.append(df)
+    intercept[UnsupportedOperationException](
+      t.merge(Seq((1L, "b")).toDF("id", "v"), Seq("id")))
+  }
+
+  test("catalog namespaces and tables") {
+    val wh = TestSpark.tmpDir("warehouse")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ns1")
+    assert(cat.namespaces == Seq("ns1"))
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ns1", "t1", df.schema)
+    assert(cat.tableExists("ns1", "t1"))
+    assert(cat.listTables("ns1") == Seq("t1"))
+    assert(cat.showNamespaces().collect().map(_.getString(0)).toSeq ==
+      Seq("ns1"))
+    cat.dropTable("ns1", "t1")
+    assert(!cat.tableExists("ns1", "t1"))
+  }
+}

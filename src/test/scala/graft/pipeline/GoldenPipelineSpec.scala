@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.lake.LakeCatalog
+
+/** Golden end-to-end: replay the reference's own two-drop fixture
+  * (reference: README.md:147-229 demo protocol; data at
+  * raw/datafiles/initialsinserts + updates CSVs) and assert the exact
+  * end-state from SURVEY.md §3.3: bronze 7 rows append-only; silver 5
+  * rows with invoices 40994/83597 carrying the `####`-suffixed categories
+  * after the update drop.
+  */
+class GoldenPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val refInserts =
+    "/root/reference/raw/datafiles/initialsinserts"
+  private val refUpdates =
+    "/root/reference/raw/datafiles/updates"
+
+  private def copyCsvs(fromDir: String, toDir: String): Unit = {
+    val to = Paths.get(toDir)
+    Files.createDirectories(to)
+    Files.list(Paths.get(fromDir)).filter(_.toString.endsWith(".csv"))
+      .forEach { f =>
+        val dest = to.resolve(f.getFileName)
+        Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
+        // ensure drop-2 files sort after drop-1 by mtime
+        dest.toFile.setLastModified(System.currentTimeMillis())
+      }
+  }
+
+  test("reference fixture: two drops → bronze 7 rows, silver 5, updates win") {
+    assume(Files.exists(Paths.get(refInserts)), "reference data not present")
+    val base = TestSpark.tmpDir("golden")
+    val rawDir = s"$base/raw"
+    val wh = s"$base/warehouse"
+    val ckpt = s"$base/checkpoints"
+    val cat = new LakeCatalog(spark, wh)
+    val runner = new PipelineRunner(spark, cat, rawDir, ckpt)
+
+    // drop 1: initial inserts
+    copyCsvs(refInserts, rawDir)
+    val (b1, s1) = runner.runOnce()
+    assert(b1 == 5 && s1 == 5)
+    assert(cat.loadTable("example_namespace", "bronze_orders").scan().count() == 5)
+    assert(cat.loadTable("example_namespace", "silver_orders").scan().count() == 5)
+
+    // idempotent no-op re-run (no new files, no new snapshots)
+    assert(runner.runOnce() == ((0L, 0L)))
+
+    // drop 2: updates
+    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    copyCsvs(refUpdates, rawDir)
+    val (b2, s2) = runner.runOnce()
+    assert(b2 == 2 && s2 == 2)
+
+    val bronze = cat.loadTable("example_namespace", "bronze_orders").scan()
+    assert(bronze.count() == 7) // append-only
+
+    val silver = cat.loadTable("example_namespace", "silver_orders").scan()
+    assert(silver.count() == 5) // deduped upsert
+    val cats = silver.select("invoiceid", "category").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cats(40994L).endsWith("####"), s"got ${cats(40994L)}")
+    assert(cats(83597L).endsWith("####"), s"got ${cats(83597L)}")
+    assert(cats.values.count(_.endsWith("####")) == 2)
+
+    // silver schema = the 10 Avro fields, no Op/audit columns
+    assert(silver.columns.toSeq == Seq("replicadmstimestamp", "invoiceid",
+      "itemid", "category", "price", "quantity", "orderdate",
+      "destinationstate", "shippingtype", "referral"))
+  }
+}
