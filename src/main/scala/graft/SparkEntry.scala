@@ -1,13 +1,541 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.lake.{LakeCatalog, LakeTable}
+import graft.multimodal.MediaPipeline
+import graft.operators.{Dedup, Sessionize, SimilaritySearch, TextDedup}
+import graft.pipeline.PipelineRunner
+import graft.plans.expressions.{cosine, fingerprint}
+import graft.streaming.{StreamingIngest, StreamingSessionize}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the beyond-reference training-data ops),
+  * with a DuckDB-equivalent `oracleSql` for every SQL-expressible one.
+  *
+  * Conventions shared by query and oracle (the driver hash-compares
+  * sorted columns): identical column names/aliases on both sides; sums of
+  * integers CAST to BIGINT in DuckDB (it widens to HUGEINT); doubles
+  * rounded (2dp money, 4dp ratios, 6dp cosines); event-time compared in
+  * epoch MICROseconds (events.parquet carries ns — Spark reads them as
+  * long via nanosAsLong, DuckDB truncates to its µs timestamps; `ts div
+  * 1000` ≡ `epoch_us(ts)`); timestamp literals built with `to_timestamp`
+  * so the session timezone (UTC), not the JVM default, interprets them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events carries ns-precision timestamps → read as long nanos and
+    * derive µs (integer division, matching DuckDB's ns→µs truncation). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Filter to docs with ≥3 tokens — shared by the n-gram query and its
+    * oracle (short docs generate no trigrams in SQL; mirroring the filter
+    * keeps both sides identical). */
+  private def docsWithTrigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(size(TextFunctions.tokens(col("text"))) >= 3)
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship: revenue-per-nation star join (broadcast dims, single
+    * shuffle-agg) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenueByNation(spark, "/root/testdata/sf0.001")
+
+  private def revenueByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: scans / projections / filters / aggregates
+    "q_count_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    "q_project_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")),
+
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <
+          to_timestamp(lit("1994-01-01"), "yyyy-MM-dd"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))),
+
+    "q_agg_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q_join_revenue_by_nation" -> ((s, dir) => revenueByNation(s, dir)),
+
+    "q_broadcast_dim_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // ---- reference parity: window dedup / top-1 (the silver semantics)
+    "q_window_dedup_latest" -> ((s, dir) =>
+      Dedup.latestPerKey(events(s, dir), Seq("user_id"),
+        Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), col("ts_us"))),
+
+    "q_top1_latest_event" -> ((s, dir) =>
+      events(s, dir)
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(1)
+        .select("event_id", "user_id", "event_type")),
+
+    // ---- reference parity: lake table (append/incremental/merge/history)
+    "q_incremental_scan" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val root = tmp("graft-inc") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema)
+      val s1 = lt.append(orders.where(col("o_orderdate") < cut))
+      val s2 = lt.append(orders.where(col("o_orderdate") >= cut))
+      lt.incrementalScan(s1, s2)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-merge") + "/orders"
+      val target = orders.where(col("o_orderkey") % 3 =!= 0)
+      val source = orders.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(target)
+      lt.merge(source, Seq("o_orderkey"))
+      lt.scan().select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_table_history" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val root = tmp("graft-hist") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema)
+      lt.append(nation.where(col("n_nationkey") < 10))
+      lt.append(nation.where(col("n_nationkey") >= 10))
+      lt.merge(nation.where(col("n_nationkey") === 3)
+        .withColumn("n_name", lit("RENAMED")), Seq("n_nationkey"))
+      lt.history.select("snapshot_id", "parent_id", "operation",
+        "is_current_ancestor")
+    }),
+
+    // ---- reference parity: the full medallion pipeline (golden fixture)
+    "q_medallion_pipeline" -> ((s, _) => {
+      val base = tmp("graft-medallion")
+      val rawDir = s"$base/raw"
+      def drop(src: String): Unit = {
+        Files.createDirectories(Paths.get(rawDir))
+        Files.list(Paths.get(src)).filter(_.toString.endsWith(".csv"))
+          .forEach { f =>
+            val d = Paths.get(rawDir).resolve(f.getFileName)
+            Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+            d.toFile.setLastModified(System.currentTimeMillis())
+          }
+      }
+      val cat = new LakeCatalog(s, s"$base/warehouse")
+      val runner = new PipelineRunner(s, cat, rawDir, s"$base/ckpt")
+      drop("/root/reference/raw/datafiles/initialsinserts")
+      runner.runOnce()
+      Thread.sleep(1100) // mtime granularity
+      drop("/root/reference/raw/datafiles/updates")
+      runner.runOnce()
+      cat.loadTable("example_namespace", "silver_orders").scan()
+        .select(col("invoiceid"), col("itemid"), col("category"),
+          round(col("price"), 2).as("price"), col("quantity"),
+          col("orderdate").cast("string").as("orderdate"),
+          col("destinationstate"), col("shippingtype"), col("referral"))
+    }),
+
+    // ---- streaming
+    "q_stream_agg" -> ((s, dir) =>
+      StreamingIngest.availableNowAggregate(s, dir)),
+
+    "q_stream_sessions" -> ((s, dir) =>
+      StreamingSessionize.run(s, dir, 1800)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))),
+
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.byGap(events(s, dir), "user_id", col("ts_us"),
+        "value", 1800)
+        .select("user_id", "session_no", "n_events", "session_start_us",
+          "session_end_us", "total_value", "duration_s")),
+
+    // ---- dedup family
+    "q_dedup_exact" -> ((s, dir) =>
+      TextDedup.exact(docs(s, dir))),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(docsWithTrigrams(s, dir),
+        n = 3, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      TextDedup.minHashPairs(docs(s, dir),
+        k = 128, bands = 32, shingleSize = 3, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      TextDedup.simHashPairs(docs(s, dir), maxHamming = 3)),
+
+    "q_dedup_representatives" -> ((s, dir) => {
+      val d = docsWithTrigrams(s, dir)
+      TextDedup.keepRepresentatives(d,
+        TextDedup.ngramJaccardPairs(d, n = 3, threshold = 0.5))
+        .select("doc_id", "lang", "source")
+    }),
+
+    // ---- text analysis
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * 10000)
+          .cast("long").as("quality_q4"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        fingerprint(col("text"), 16).as("fp"))),
+
+    // ---- similarity / ANN over embeddings
+    "q_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") + 1 === col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 4).as("cos"))
+    }),
+
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.bruteForceTopK(e, queries, k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 10)
+    }),
+
+    "q_neardup_embedding" -> ((s, dir) =>
+      SimilaritySearch.cosineNearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.25, nPlanes = 6)),
+
+    // ---- multimodal plumbing (stubbed decode, real schema/batching)
+    "q_multimodal_features" -> ((s, dir) =>
+      MediaPipeline.extractFeatures(
+        MediaPipeline.attachFakeMedia(docs(s, dir)), dim = 8)
+        .select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4)
+            .as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 4)
+            .as("f7")))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB equivalents (driver runs these on the same parquet tables;
+    * hash-compare after sorting columns by name). Queries without an
+    * entry (hash-seeded LSH/fingerprint families, streaming-state
+    * internals) get the driver's rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_count_lineitem" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_project_orders" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders",
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1994-01-01 00:00:00'""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_broadcast_dim_join" ->
+      """SELECT r_name, n_name,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_window_dedup_latest" ->
+      """SELECT user_id, event_id, event_type,
+        | round(value, 2) AS value, epoch_us(ts) AS ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_top1_latest_event" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "q_incremental_scan" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(src.o_orderkey, tgt.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL
+        |       THEN src.o_orderstatus ELSE tgt.o_orderstatus
+        |  END AS o_orderstatus,
+        |  round(CASE WHEN src.o_orderkey IS NOT NULL
+        |       THEN src.o_totalprice ELSE tgt.o_totalprice END, 2)
+        |    AS o_totalprice
+        |FROM tgt FULL OUTER JOIN src
+        |  ON tgt.o_orderkey = src.o_orderkey""".stripMargin,
+
+    "q_table_history" ->
+      """SELECT CAST(s AS BIGINT) AS snapshot_id,
+        |       CAST(p AS BIGINT) AS parent_id, op AS operation,
+        |       anc AS is_current_ancestor
+        |FROM (VALUES (1, NULL, 'create', true), (2, 1, 'append', true),
+        |             (3, 2, 'append', true), (4, 3, 'merge', true))
+        |  t(s, p, op, anc)""".stripMargin,
+
+    "q_medallion_pipeline" ->
+      """SELECT CAST(inv AS BIGINT) AS invoiceid,
+        |  CAST(item AS BIGINT) AS itemid, cat AS category,
+        |  CAST(pr AS DOUBLE) AS price, CAST(qty AS INTEGER) AS quantity,
+        |  od AS orderdate, st AS destinationstate, sh AS shippingtype,
+        |  ref AS referral
+        |FROM (VALUES
+        | (24137, 34, 'degree', 53.51, 1, '2023-03-29', 'SC', '3-Day', 'book'),
+        | (15587, 59, 'bit', 40.94, 5, '2022-07-16', 'PW', '3-Day', 'management'),
+        | (42918, 69, 'school', 27.23, 3, '2024-04-29', 'CT', '2-Day', 'trouble'),
+        | (40994, 67, 'market####', 92.02, 1, '2021-05-21', 'VI', '2-Day', 'others'),
+        | (83597, 37, 'language####', 97.07, 3, '2021-09-10', 'SC', 'Standard', 'play')
+        |) t(inv, item, cat, pr, qty, od, st, sh, ref)""".stripMargin,
+
+    "q_stream_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM b)
+        |SELECT user_id, session_no,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us,
+        |  round(sum(value), 2) AS total_value,
+        |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |d3 AS (SELECT * FROM toks WHERE len(ts) >= 3),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM d3),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |sh AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4)
+        |    AS jaccard
+        |FROM sh
+        |JOIN cnt ca ON sh.id_a = ca.doc_id
+        |JOIN cnt cb ON sh.id_b = cb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |   AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |   len(list_filter(ts, x -> list_contains(
+        |     ['the','a','and','of','is'], x))) AS en,
+        |   len(list_filter(ts, x -> list_contains(
+        |     ['der','die','das','und','ist'], x))) AS de,
+        |   len(list_filter(ts, x -> list_contains(
+        |     ['le','la','les','et','est'], x))) AS fr,
+        |   len(list_filter(ts, x -> list_contains(
+        |     ['el','los','las','y','es'], x))) AS es
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM c""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |   CAST(len(ts) AS DOUBLE) AS n_tok,
+        |   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]',
+        |     '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)
+        |     AS punct,
+        |   len(list_filter(ts, x -> list_contains(
+        |     ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |     / CAST(greatest(len(ts), 1) AS DOUBLE) AS stop
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CAST(floor((least(1.0, n_tok / 50.0) * 0.4 +
+        |        (1.0 - least(1.0, punct * 5.0)) * 0.3 +
+        |        least(1.0, stop * 4.0) * 0.3) * 10000) AS BIGINT)
+        |    AS quality_q4
+        |FROM m""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(sum(a.v * b.v) /
+        |    (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cos
+        |FROM x a JOIN x b ON a.i = b.i AND b.vec_id = a.vec_id + 1
+        |GROUP BY a.vec_id, b.vec_id""".stripMargin
+  )
 }

@@ -49,9 +49,6 @@ final class LakeTable private (
   private val metaDir = new Path(rootPath, METADATA_DIR)
   private val dataDir = new Path(rootPath, DATA_DIR)
   private val headPath = new Path(metaDir, HEAD)
-  /** Fully-qualified data dir URI, used to relativize input_file_name(). */
-  private lazy val qualifiedDataDir: String =
-    fs.makeQualified(dataDir).toUri.toString
 
   // ---------------------------------------------------------------- metadata
 
@@ -251,13 +248,20 @@ final class LakeTable private (
     } finally fs.delete(staging, true)
   }
 
-  /** `input_file_name()` URI → table-root-relative path. */
+  /** `input_file_name()` URI → table-root-relative path. Works on the
+    * DECODED filesystem path (partition values may contain spaces etc.;
+    * the URI form would leave literal %XX in the stored manifest and
+    * break the re-read). */
   private def relativize(inputFileName: String): String = {
-    val p = fs.makeQualified(new Path(new java.net.URI(inputFileName)))
-    val base = qualifiedDataDir.stripSuffix("/")
-    val s = p.toUri.toString
-    require(s.startsWith(base), s"file $s not under table data dir $base")
-    DATA_DIR + s.substring(base.length)
+    val decoded =
+      try {
+        val uri = new java.net.URI(inputFileName)
+        if (uri.getScheme != null) uri.getPath else inputFileName
+      } catch { case _: java.net.URISyntaxException => inputFileName }
+    val base = fs.makeQualified(dataDir).toUri.getPath.stripSuffix("/")
+    require(decoded.startsWith(base + "/"),
+      s"file $decoded not under table data dir $base")
+    DATA_DIR + decoded.substring(base.length)
   }
 
   private def commit(base: Snapshot, op: String, added: Seq[String],

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.expressions.{cosine, hyperplaneSignature}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, matching a large-scale training-data pipeline:
+  *   - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
+  *     Queries are broadcast (they're the small side by construction);
+  *     each executor streams its corpus partition once through the
+  *     codegen'd [[graft.plans.expressions.CosineSimilarity]] loop and a
+  *     per-query top-k window. Cost: O(|corpus|·|queries|·dim), embarrassingly
+  *     parallel, zero corpus shuffle.
+  *   - [[lshTopK]] — the scale path: random-hyperplane LSH buckets both
+  *     sides, candidates = same-bucket pairs, exact cosine re-rank within
+  *     the bucket. Sub-linear candidate count; recall tunable via
+  *     `nPlanes` (fewer planes = bigger buckets = higher recall, more
+  *     compute). An IVF variant would swap the signature for a learned
+  *     coarse quantizer — same join shape.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k: for each query vector, the k most-cosine-similar corpus
+    * vectors. Deterministic tie-break on corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score", cosine(col("corpus_vec"), col("query_vec")))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("corpus_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH bucketing: join on the
+    * exact signature match, re-rank within buckets. Queries landing in a
+    * sparse bucket return < k rows — the standard single-probe trade-off
+    * (multi-probe = also join on signatures at hamming distance 1). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("corpus_vec"))
+      .withColumn("bucket", hyperplaneSignature(col("corpus_vec"), nPlanes, seed))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
+      .withColumn("bucket", hyperplaneSignature(col("query_vec"), nPlanes, seed))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("score", cosine(col("corpus_vec"), col("query_vec")))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("corpus_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
+    * itself, exact cosine within buckets, keep pairs ≥ `threshold`. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,
+      nPlanes: Int = 12, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", hyperplaneSignature(col("vec"), nPlanes, seed))
+    val a = sigs.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = sigs.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.expressions.{minhashSignature, simhash64}
+
+/** Document-deduplication family for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard. All are pure
+  * DataFrame pipelines — shuffles only on hash keys (never raw text),
+  * candidate generation always via bucket joins (never an O(n²) cross
+  * join), so each scales to billions of documents by partition count
+  * alone.
+  */
+object TextDedup {
+
+  // --------------------------------------------------------------- exact
+
+  /** Exact dedup: group on the 128-bit MD5 of the text (shuffling a
+    * 32-char digest, not the document bodies), keep the lowest id per
+    * group. `n_copies` > 1 marks duplicate clusters. */
+  def exact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word `n`-gram shingles of the tokenized text; a document
+    * shorter than `n` tokens contributes its whole token string as one
+    * shingle, so no document silently disappears. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // --------------------------------------------------------- MinHash + LSH
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → xxhash64 per shingle → k-permutation MinHash
+    * signature (one fused native loop, see
+    * [[graft.plans.expressions.MinHashSignature]]) → band the signature
+    * into `bands` groups of k/bands values → exact-match join on
+    * (band, bandHash) buckets → verify candidates with the true shingle
+    * Jaccard → keep pairs ≥ `threshold`.
+    *
+    * Scale: the only wide operations are (1) one shuffle of
+    * docs×bands (id, bandHash) pairs — tiny rows — for the bucket
+    * self-join, and (2) id-keyed joins back to the shingle sets for
+    * verification. Identical-heavy corpora produce hot buckets; cap
+    * pathological ones upstream with [[exact]] dedup first (standard
+    * practice: exact-dedup, then near-dedup).
+    */
+  def minHashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig",
+        minhashSignature(transform(col("sh"), s => xxhash64(s)), k, seed))
+
+    val bandedSig = withSig
+      .select(col("id"), col("sig"), col("sh"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        xxhash64(col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r)))))
+      .select("id", "band", "band_hash", "sh")
+
+    val a = bandedSig.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bandedSig.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("__j",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1))
+            .cast("double"))
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** Connected-component "keep lowest id" reduction over near-dup pairs:
+    * each doc maps to the minimum id it pairs with (1-hop — adequate for
+    * dedup where clusters are cliques of mutually-similar docs; full
+    * transitive closure would iterate this join to a fixpoint). */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val mapped = pairs.select(col("id_b").as(idCol), col("id_a"))
+      .groupBy(idCol).agg(min("id_a").as("rep"))
+    docs.join(mapped, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+      .where(col("rep") === col(idCol))
+      .drop("rep")
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** SimHash near-duplicate pairs: 64-bit signature per doc (one native
+    * loop), candidates via exact match on any of four 16-bit bands
+    * (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical band), verified with
+    * `bit_count(a ^ b) ≤ maxHamming` — all codegen'd built-ins. */
+  def simHashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash64(transform(TextFunctions.tokens(col(textCol)),
+        t => xxhash64(t))).as("sig"))
+
+    // band extraction needs a per-band literal shift: build by union of 4
+    // literal-shift selects (shiftright requires a foldable shift amount)
+    val byBand = (0 until 4).map { p =>
+      sigs.select(col("id"), col("sig"), lit(p).as("band"),
+        shiftright(col("sig"), p * 16).bitwiseAND(lit(0xFFFFL))
+          .as("band_val"))
+    }.reduce(_ unionAll _)
+
+    val a = byBand.select(col("band"), col("band_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = byBand.select(col("band"), col("band_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- exact n-gram sets
+
+  /** Exact n-gram Jaccard pairs via an inverted-index join — no LSH
+    * approximation: explode distinct n-grams, join docs sharing a gram,
+    * count shared grams per pair, Jaccard = |∩| / (|A| + |B| - |∩|).
+    *
+    * `maxDocFreq` prunes grams appearing in more than that many docs
+    * (stop-gram pruning — the standard skew guard: a gram shared by
+    * 10^5 docs would create a 10^10-row join group; dropping it loses no
+    * *near-duplicate* signal since such grams carry no discriminative
+    * information). Pass None for exact semantics (the DuckDB oracle
+    * mirrors the pruned form when set).
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+    val pruned = maxDocFreq match {
+      case Some(m) =>
+        val df = grams.groupBy("gram")
+          .agg(count(lit(1)).as("df")).where(col("df") <= m)
+        grams.join(df.select("gram"), Seq("gram"))
+      case None => grams
+    }
+    val counts = pruned.groupBy("id").agg(count(lit(1)).as("n_grams"))
+
+    val shared = pruned.select(col("gram"), col("id").as("id_a"))
+      .join(pruned.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n_grams").as("na")),
+        Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n_grams").as("nb")),
+        Seq("id_b"))
+      .withColumn("__j", col("shared") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+}

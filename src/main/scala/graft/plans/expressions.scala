@@ -1,0 +1,327 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths Spark's built-in
+  * functions can't express efficiently (SURVEY.md §7.4 stretch goals —
+  * preference order per the build brief: built-ins, then a custom
+  * `Expression` with codegen, before any UDF).
+  *
+  * These stay inside whole-stage codegen (`doGenCode` emits tight Java
+  * loops over the unsafe array/string data — no boxing, no Scala closure
+  * dispatch per row), which is what makes brute-force cosine over ~10^5+
+  * vectors per partition and per-document hashing viable at scale.
+  */
+object expressions {
+
+  /** Cosine similarity of two float vectors, one fused loop.
+    * vs `aggregate(zip_with(...))` HOFs: no intermediate arrays, no
+    * per-element lambda dispatch — the 64-dim dot product is ~200 fused
+    * scalar ops inside whole-stage codegen. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> args, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |}
+           |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 :
+           |  $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Document fingerprint: the minimum 64-bit polynomial rolling hash over
+    * all `window`-char windows of the lowercased text (winnowing-style —
+    * robust to small edits anywhere but a prefix/suffix change of the
+    * minimal window). One pass, O(1) per char via the rolling update. */
+  case class TextFingerprint(child: Expression, window: Int)
+      extends UnaryExpression {
+
+    require(window > 0, "window must be positive")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string arg, got ${child.dataType.sql}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fingerprint"
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+      TextFingerprint.minRollingHash(s, window)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val cls = TextFingerprint.getClass.getName.stripSuffix("$") + "$"
+      nullSafeCodeGen(ctx, ev, s =>
+        s"""${ev.value} = $cls.MODULE$$.minRollingHash(
+           |  $s.toString().toLowerCase(), $window);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  object TextFingerprint {
+    private val B = 1000003L // polynomial base
+
+    /** min over all windows of the rolling polynomial hash; whole-string
+      * hash when the text is shorter than the window. */
+    def minRollingHash(s: String, window: Int): Long = {
+      val n = s.length
+      if (n == 0) return 0L
+      if (n <= window) {
+        var h = 0L; var i = 0
+        while (i < n) { h = h * B + s.charAt(i); i += 1 }
+        return h
+      }
+      // B^(window-1) for removing the outgoing char
+      var pow = 1L
+      var k = 1
+      while (k < window) { pow *= B; k += 1 }
+      var h = 0L
+      var i = 0
+      while (i < window) { h = h * B + s.charAt(i); i += 1 }
+      var min = h
+      while (i < n) {
+        h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
+  /** MinHash signature: for k seeded universal-hash permutations
+    * `h_i(x) = (a_i * x + b_i) mod p`, the minimum over the input
+    * shingle-hash array — one fused O(T·k) loop per document instead of k
+    * `transform`+`array_min` passes (and no k intermediate arrays).
+    * Interpreted eval only (CodegenFallback): the loop dominates, and the
+    * signature is computed once per document, off the per-row hot path. */
+  case class MinHashSignature(child: Expression, k: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+
+    require(k > 0, "k must be positive")
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.sql}")
+      }
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    private lazy val (as, bs): (Array[Long], Array[Long]) = {
+      val rnd = new java.util.Random(seed)
+      val a = Array.fill(k)(math.abs(rnd.nextLong()) % (MinHashSignature.P - 1) + 1)
+      val b = Array.fill(k)(math.abs(rnd.nextLong()) % MinHashSignature.P)
+      (a, b)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val xs = v.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var t = 0
+      while (t < n) {
+        // map to non-negative residue once per shingle
+        val x = java.lang.Math.floorMod(xs.getLong(t), MinHashSignature.P)
+        var i = 0
+        while (i < k) {
+          val h = java.lang.Math.floorMod(as(i) * x + bs(i), MinHashSignature.P)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        t += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  object MinHashSignature {
+    /** Mersenne prime 2^61 - 1: `a*x+b` for residues < p stays within
+      * signed-128 … here within unsigned 122 bits — but Long math with
+      * floorMod on 2^61-1 residues can overflow; keep operands < 2^31 to
+      * stay exact in 64-bit. We instead use a 31-bit prime so a*x fits in
+      * 62 bits. */
+    val P: Long = 2147483647L // 2^31 - 1
+  }
+
+  /** 64-bit SimHash over an array of token hashes: per bit position, sum
+    * +1/-1 across tokens by that bit's value; the sign vector packs into
+    * one long. Near-duplicate docs differ in a few bits → hamming distance
+    * via `bit_count(a ^ b)` (built-in, codegen'd), candidate generation
+    * via exact-match on 16-bit bands (pigeonhole: ≤3 differing bits ⇒ at
+    * least one of 4 bands identical). One O(T·64) loop per document. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.sql}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(v: Any): Any = {
+      val xs = v.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val acc = new Array[Int](64)
+      var t = 0
+      while (t < n) {
+        val h = xs.getLong(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        if (acc(j) > 0) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  /** Random-hyperplane LSH signature of a float vector: `nPlanes` seeded
+    * gaussian hyperplanes; bit p = sign(vec · plane_p). Vectors with high
+    * cosine similarity agree on most bits, so an exact-match join on the
+    * signature buckets near neighbors together — the scale path for ANN
+    * (no O(n²) cross join). Planes are derived deterministically from
+    * (seed, plane, dim) so every executor materializes identical planes
+    * without a broadcast. */
+  case class HyperplaneSignature(child: Expression, nPlanes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+
+    require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.sql}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane_sig"
+
+    // planes materialized lazily per executor, keyed only by constructor
+    // args — identical everywhere, no broadcast needed
+    @transient private lazy val planeCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+    private def plane(p: Int, dim: Int): Array[Double] = {
+      val key = Integer.valueOf(p * 100003 + dim)
+      var v = planeCache.get(key)
+      if (v == null) {
+        val rnd = new java.util.Random(seed * 1000003L + p)
+        v = Array.fill(dim)(rnd.nextGaussian())
+        planeCache.put(key, v)
+      }
+      v
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val dim = x.numElements()
+      var sig = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val pl = plane(p, dim)
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += x.getFloat(j) * pl(j); j += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  import org.apache.spark.sql.graft.{shim => S}
+
+  def cosine(a: Column, b: Column): Column =
+    S.column(CosineSimilarity(S.expression(a), S.expression(b)))
+
+  def fingerprint(text: Column, window: Int = 16): Column =
+    S.column(TextFingerprint(S.expression(text), window))
+
+  def minhashSignature(shingleHashes: Column, k: Int, seed: Long): Column =
+    S.column(MinHashSignature(S.expression(shingleHashes), k, seed))
+
+  def simhash64(tokenHashes: Column): Column =
+    S.column(SimHash64(S.expression(tokenHashes)))
+
+  def hyperplaneSignature(vec: Column, nPlanes: Int, seed: Long): Column =
+    S.column(HyperplaneSignature(S.expression(vec), nPlanes, seed))
+}

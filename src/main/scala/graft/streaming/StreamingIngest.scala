@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of the batch ingest path (SURVEY.md §2.10:
+  * the reference is micro-batch via external checkpoints; the idiomatic
+  * Spark expression of the same "process whatever has arrived, then stop"
+  * contract is `readStream` + `Trigger.AvailableNow`, with Spark's own
+  * seen-files tracking replacing the mtime checkpoint).
+  */
+object StreamingIngest {
+
+  private val counter = new AtomicInteger(0)
+
+  /** The events table's file schema (ns timestamps surface as long nanos;
+    * sessions must set spark.sql.legacy.parquet.nanosAsLong=true). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run a complete-mode streaming aggregation over the parquet files in
+    * `dir` matching `glob` with Trigger.AvailableNow, blocking until
+    * drained; returns the result as a batch DataFrame. (The file stream
+    * source wants a directory — `pathGlobFilter` narrows to one table.)
+    * Group/agg shape mirrors the batch oracle: per-event-type count +
+    * value sum. */
+  def availableNowAggregate(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_agg_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
+
+/** Arbitrary stateful processing: gap-based sessionization with
+  * `flatMapGroupsWithState` — the streaming twin of
+  * [[graft.operators.Sessionize]]. State per user = the open session;
+  * an event farther than `gapSeconds` from the previous one closes and
+  * emits the session. Sessions still open when the available data is
+  * drained remain in state (they'd emit on the next trigger or via event-
+  * time timeout in a continuous deployment — single-shot callers compare
+  * against the batch sessionizer minus each user's last session).
+  */
+object StreamingSessionize {
+
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value: Double)
+
+  def sessionize(events: Dataset[Event], gapSeconds: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def fn(user: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val tsUs = e.ts / 1000L
+        cur match {
+          case Some(s) if tsUs - s.end > gapUs =>
+            out += Session(user, s.start, s.end, s.n, s.total)
+            cur = Some(SessionState(tsUs, tsUs, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, math.max(s.end, tsUs),
+              s.n + 1, s.total + e.value))
+          case None =>
+            cur = Some(SessionState(tsUs, tsUs, 1, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** End-to-end streaming run over parquet with AvailableNow; returns the
+    * emitted (closed) sessions as a batch DataFrame. */
+  def run(spark: SparkSession, dir: String,
+      gapSeconds: Long, glob: String = "events.parquet"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val events = spark.readStream
+      .schema(StreamingIngest.eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val q = sessionize(events, gapSeconds).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
