@@ -1,0 +1,77 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+
+import graft.TestSpark
+import graft.operators.Dedup
+
+/** Randomized invariants from SURVEY.md §5: merge idempotency, the
+  * incremental-scan partition property, and dedup's max-per-key law. */
+class LakePropertiesSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minTests: Int): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(minTests)
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Int)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0, 1000)))
+
+  test("property: merging the same batch twice ≡ once") {
+    check(Prop.forAllNoShrink(rowsGen, rowsGen) { (tgt, srcRaw) =>
+      val root = TestSpark.tmpDir("prop-merge") + "/t"
+      val tdf = tgt.toDF("id", "v")
+      val t = LakeTable.create(spark, root, tdf.schema)
+      t.append(tdf)
+      // source must be ≤1 row per key (the merge contract)
+      val src = srcRaw.groupBy(_._1).map(_._2.maxBy(_._2)).toList
+        .toDF("id", "v")
+      t.merge(src, Seq("id"))
+      val once = t.scan().orderBy("id", "v").collect().toSeq
+      t.merge(src, Seq("id"))
+      val twice = t.scan().orderBy("id", "v").collect().toSeq
+      t.drop()
+      once == twice
+    }, 5)
+  }
+
+  test("property: full scan ≡ union of incremental scans") {
+    check(Prop.forAllNoShrink(rowsGen, rowsGen, rowsGen) { (b1, b2, b3) =>
+      val root = TestSpark.tmpDir("prop-inc") + "/t"
+      val df1 = b1.toDF("id", "v")
+      val t = LakeTable.create(spark, root, df1.schema)
+      val s0 = t.currentSnapshotId.get
+      val s1 = t.append(df1)
+      val s2 = t.append(b2.toDF("id", "v"))
+      val s3 = t.append(b3.toDF("id", "v"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      val full = rows(t.scan())
+      val pieces = rows(t.incrementalScan(s0, s1)) ++
+        rows(t.incrementalScan(s1, s2)) ++ rows(t.incrementalScan(s2, s3))
+      t.drop()
+      full == pieces.sorted
+    }, 5)
+  }
+
+  test("property: dedup keeps the max-ordered row per key") {
+    check(Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "seq")
+      val got = Dedup.latestPerKey(df, Seq("k"), Seq(col("v"), col("seq")))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+        .toMap
+      val want = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, (v, i.toLong)) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+      got == want
+    }, 10)
+  }
+}

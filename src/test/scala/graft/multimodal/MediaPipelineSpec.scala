@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MediaPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("attach + extract roundtrip: schema, determinism, byte counts") {
+    val docs = Seq((1L, "hello world"), (2L, "some other document text"))
+      .toDF("doc_id", "text")
+    val media = MediaPipeline.attachFakeMedia(docs)
+    assert(media.columns.toSeq == Seq("doc_id", "media", "media_meta"))
+    assert(media.schema("media").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    val feats = MediaPipeline.extractFeatures(media, dim = 8)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(11L, 24L)) // n_bytes = len
+    val f1 = rows(0).getSeq[Float](1)
+    assert(f1.length == 8)
+    // determinism: re-extract gives identical features
+    val again = MediaPipeline.extractFeatures(media, dim = 8)
+      .orderBy("doc_id").collect()(0).getSeq[Float](1)
+    assert(f1 == again)
+  }
+
+  test("decode stub is pure byte arithmetic") {
+    val a = MediaPipeline.decodeStub("abc".getBytes("UTF-8"), 4)
+    val b = MediaPipeline.decodeStub("abc".getBytes("UTF-8"), 4)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 4)
+    assert(MediaPipeline.decodeStub(Array.emptyByteArray, 4).toSeq ==
+      Seq(0f, 0f, 0f, 0f))
+  }
+}

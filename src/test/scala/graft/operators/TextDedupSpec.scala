@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two exact dups (1,2), one near-dup of them (3: one word changed),
+  // one unrelated (4)
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the sleepy dog again and again"),
+    (4L, "completely unrelated text about spark query engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = TextDedup.exact(corpus).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got.length == 3) // 3 distinct texts
+    assert(got.contains((1L, 2L))) // docs 1+2 collapsed, min id kept
+  }
+
+  test("minhash finds the exact pair and the near pair, not the unrelated") {
+    val pairs = TextDedup.minHashPairs(corpus, k = 128, bands = 32,
+      shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: exact pair at hamming 0; unrelated doc excluded") {
+    val pairs = TextDedup.simHashPairs(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard computes the hand-checked value") {
+    // doc1/doc2 identical → jaccard 1.0; doc3 differs in one word:
+    // 12 tokens → 10 trigrams each, changed word hits 3 trigrams →
+    // shared 7, union 13 → 0.5385
+    val pairs = TextDedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(math.abs(pairs(((1L, 3L))) - 0.5385) < 1e-4)
+    assert(math.abs(pairs(((2L, 3L))) - 0.5385) < 1e-4)
+    assert(pairs.size == 3)
+  }
+
+  test("ngram jaccard maxDocFreq prunes ubiquitous grams") {
+    val all = TextDedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.01)
+    val pruned = TextDedup.ngramJaccardPairs(corpus, n = 3,
+      threshold = 0.01, maxDocFreq = Some(2))
+    assert(pruned.count() <= all.count())
+  }
+
+  test("keepRepresentatives keeps one doc per duplicate cluster") {
+    val pairs = TextDedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+    val kept = TextDedup.keepRepresentatives(corpus, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 2 and 3 fold into 1; 4 survives alone
+  }
+}
