@@ -178,6 +178,63 @@ object SparkEntry {
         "is_current_ancestor")
     }),
 
+    "q_time_travel" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val root = tmp("graft-tt") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema)
+      val s1 = lt.append(orders.where(col("o_orderdate") < cut))
+      lt.append(orders.where(col("o_orderdate") >= cut))
+      lt.scanAt(s1) // VERSION AS OF the first append
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_cow_delete" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-del") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders)
+      lt.delete(col("o_orderstatus") === "F")
+      lt.scan().select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_cow_update" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-upd") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders)
+      lt.update(col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> col("o_totalprice") * 2))
+      lt.scan().select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_compact" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val root = tmp("graft-compact") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema)
+      (0 until 3).foreach(i =>
+        lt.append(nation.where(col("n_nationkey") % 3 === i)))
+      lt.compact()
+      lt.scan().select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    "q_sql_surface" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val wh = tmp("graft-sql")
+      val cat = new LakeCatalog(s, wh)
+      cat.createNamespace("ns")
+      LakeTable.createOrReplace(s, cat.tablePath("ns", "nation_t"),
+        nation)
+      cat.sql("ns",
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+          |FROM nation_t GROUP BY n_regionkey""".stripMargin)
+    }),
+
     // ---- reference parity: the full medallion pipeline (golden fixture)
     "q_medallion_pipeline" -> ((s, _) => {
       val base = tmp("graft-medallion")
@@ -288,6 +345,14 @@ object SparkEntry {
       SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 10)
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.ivfTopK(e, queries, k = 5, nCentroids = 16,
+        nProbe = 4)
+    }),
+
     "q_neardup_embedding" -> ((s, dir) =>
       SimilaritySearch.cosineNearDupPairs(t(s, dir, "embeddings"),
         threshold = 0.25, nPlanes = 6)),
@@ -379,6 +444,30 @@ object SparkEntry {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+
+    "q_time_travel" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+
+    "q_cow_delete" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    "q_cow_update" ->
+      """SELECT o_orderkey,
+        | round(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |   AS o_totalprice
+        |FROM orders""".stripMargin,
+
+    "q_compact" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_sql_surface" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH tgt AS (

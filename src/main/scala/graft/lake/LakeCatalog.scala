@@ -79,4 +79,21 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   def dropTable(ns: String, table: String): Unit =
     if (tableExists(ns, table)) loadTable(ns, table).drop()
+
+  /** Register every table of `ns` as a temp view so the interactive SQL
+    * surface works exactly like the reference's notebook (entry point C,
+    * SURVEY.md §3.3: `spark.sql("SELECT count(*) FROM bronze_orders")`,
+    * projections, `.show()`). Views are bound to the CURRENT snapshot;
+    * re-register after new commits to see them. */
+  def registerViews(ns: String): Unit =
+    listTables(ns).foreach { t =>
+      loadTable(ns, t).scan().createOrReplaceTempView(t)
+    }
+
+  /** Convenience: `USE ns` + register + run one SQL statement. */
+  def sql(ns: String, query: String): DataFrame = {
+    useNamespace(ns)
+    registerViews(ns)
+    spark.sql(query)
+  }
 }

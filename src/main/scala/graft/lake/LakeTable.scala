@@ -57,8 +57,12 @@ final class LakeTable private (
     else Some(readString(fs, headPath).trim.toLong)
   }
 
-  def snapshot(id: Long): Snapshot =
-    Snapshot.fromJson(readString(fs, new Path(metaDir, s"v$id.json")))
+  def snapshot(id: Long): Snapshot = {
+    val p = new Path(metaDir, s"v$id.json")
+    require(fs.exists(p),
+      s"snapshot $id not found in $root (expired or never committed)")
+    Snapshot.fromJson(readString(fs, p))
+  }
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
@@ -72,10 +76,17 @@ final class LakeTable private (
 
   def properties: Map[String, String] = current.properties
 
-  /** All snapshots, oldest → newest (linear history). */
-  def snapshots: Seq[Snapshot] = currentSnapshotId match {
-    case None => Nil
-    case Some(h) => (1L to h).map(snapshot)
+  /** All retained snapshots, oldest → newest (linear history; early
+    * snapshots may have been removed by [[expireSnapshots]]). */
+  def snapshots: Seq[Snapshot] = {
+    if (!fs.exists(metaDir)) return Nil
+    val re = "^v(\\d+)\\.json$".r
+    fs.listStatus(metaDir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case re(id) => Some(id.toLong)
+        case _ => None
+      })
+      .sorted.map(snapshot)
   }
 
   /** Metadata view ≡ Iceberg's `<table>.history`
@@ -119,6 +130,13 @@ final class LakeTable private (
       }
     readFiles(snaps.flatMap(_.addedFiles))
   }
+
+  /** Time travel: full scan of the table as of `snapshotId`
+    * (≡ Iceberg `VERSION AS OF` / `snapshot-id` read option). Snapshot
+    * metadata is immutable, so this is just a manifest lookup — no data
+    * movement until an action runs. */
+  def scanAt(snapshotId: Long): DataFrame =
+    readFiles(snapshot(snapshotId).liveFiles)
 
   private def readFiles(relFiles: Seq[String]): DataFrame = {
     val sch = schema
@@ -206,6 +224,94 @@ final class LakeTable private (
     val added = writeDataFiles(merged)
     commit(base, "merge", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added)
+  }
+
+  /** Copy-on-write DELETE: rewrite only the files containing rows that
+    * match `predicate`, keeping their non-matching rows; untouched files
+    * carry forward by manifest reference (same pruning shape as MERGE —
+    * the scan that locates affected files reads only the predicate's
+    * columns). ≡ the `write.delete.mode=copy-on-write` capability the
+    * reference configures (scripts/raw-bronze.py:161-165). */
+  def delete(predicate: org.apache.spark.sql.Column): Long = {
+    val base = current
+    if (base.liveFiles.isEmpty) return base.snapshotId
+    val affected = readFiles(base.liveFiles)
+      .withColumn(FILE_COL, input_file_name())
+      .where(predicate)
+      .select(FILE_COL).distinct()
+      .collect().map(r => relativize(r.getString(0))).toSeq
+    if (affected.isEmpty) return base.snapshotId
+    // keep rows where the predicate is NOT TRUE (false or null) — SQL
+    // DELETE only removes rows where it evaluates to true
+    val kept = readFiles(affected)
+      .where(!coalesce(predicate, lit(false)))
+    val added = writeDataFiles(kept)
+    commit(base, "delete", added = added, removed = affected,
+      live = base.liveFiles.diff(affected) ++ added)
+  }
+
+  /** Copy-on-write UPDATE: `SET col = expr` for rows matching
+    * `predicate`, file-pruned exactly like [[delete]]. ≡ the
+    * `write.update.mode=copy-on-write` capability the reference
+    * configures (scripts/raw-bronze.py:161-165). */
+  def update(predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val bad = assignments.keySet.diff(schema.fieldNames.toSet)
+    require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+    val base = current
+    if (base.liveFiles.isEmpty) return base.snapshotId
+    val affected = readFiles(base.liveFiles)
+      .withColumn(FILE_COL, input_file_name())
+      .where(predicate)
+      .select(FILE_COL).distinct()
+      .collect().map(r => relativize(r.getString(0))).toSeq
+    if (affected.isEmpty) return base.snapshotId
+    val sch = schema
+    val rewritten = readFiles(affected).select(sch.fields.map { f =>
+      assignments.get(f.name) match {
+        case Some(e) =>
+          when(predicate, e.cast(f.dataType)).otherwise(col(f.name))
+            .as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val added = writeDataFiles(rewritten)
+    commit(base, "update", added = added, removed = affected,
+      live = base.liveFiles.diff(affected) ++ added)
+  }
+
+  /** Bin-pack compaction: rewrite the current data into `targetFiles`
+    * files per partition (small-file compaction — the maintenance
+    * operation an ingest-heavy lakehouse schedules; content-identical,
+    * new snapshot). */
+  def compact(targetFilesPerPartition: Int = 1): Long = {
+    val base = current
+    if (base.liveFiles.isEmpty) return base.snapshotId
+    val data = readFiles(base.liveFiles)
+      .repartition(math.max(1, targetFilesPerPartition),
+        (if (partitionColumns.nonEmpty) partitionColumns.map(col)
+         else Seq(lit(1))): _*)
+    val added = writeDataFiles(data)
+    commit(base, "compact", added = added, removed = base.liveFiles,
+      live = added)
+  }
+
+  /** Expire snapshots older than the latest `keepLast`, deleting their
+    * metadata and any data file no longer referenced by a retained
+    * snapshot (≡ Iceberg `expire_snapshots` maintenance). Incremental
+    * scans can no longer start before the oldest retained snapshot. */
+  def expireSnapshots(keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val head = currentSnapshotId.getOrElse(return)
+    val cutoff = head - keepLast // expire ids <= cutoff
+    if (cutoff < 1) return
+    val keptFiles = ((cutoff + 1) to head)
+      .flatMap(id => snapshot(id).liveFiles).toSet
+    (1L to cutoff).foreach { id =>
+      snapshot(id).liveFiles.filterNot(keptFiles)
+        .foreach(f => fs.delete(new Path(rootPath, f), false))
+      fs.delete(new Path(metaDir, s"v$id.json"), false)
+    }
   }
 
   def drop(): Unit = fs.delete(rootPath, true)

@@ -65,6 +65,65 @@ object SimilaritySearch {
         round(col("score"), 6).as("score"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every corpus vector to its nearest of `nCentroids` centroid vectors
+    * (deterministically sampled from the corpus by id hash — a k-means
+    * refinement would slot in here without changing the join shape);
+    * queries probe their `nProbe` nearest centroids and re-rank exactly
+    * within those inverted lists.
+    *
+    * Scale shape: centroids are tiny and broadcast twice (corpus
+    * assignment, query probe); the only corpus-wide operations are one
+    * broadcast join + the final per-query top-k window over the probed
+    * lists (|corpus| · nProbe / nCentroids candidates per query instead
+    * of |corpus|).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("corpus_vec"))
+    // deterministic coarse centroids: rank corpus ids by hash, take N
+    val centroids = c
+      .withColumn("__h", xxhash64(col("corpus_id")))
+      .orderBy("__h").limit(nCentroids)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy("__h")))
+      .select(col("centroid_id"), col("corpus_vec").as("centroid_vec"))
+
+    // assign each corpus vector to its nearest centroid (broadcast join,
+    // one pass, argmax via top-1 window)
+    val wAssign = Window.partitionBy("corpus_id")
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("corpus_vec"), col("centroid_vec")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .where(col("__rn") === 1)
+      .select(col("centroid_id"), col("corpus_id"), col("corpus_vec"))
+
+    // queries probe their nProbe nearest centroids
+    val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
+    val wProbe = Window.partitionBy(queryIdCol)
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("query_vec"), col("centroid_vec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nProbe)
+      .select(col("centroid_id"), col(queryIdCol), col("query_vec"))
+
+    // exact re-rank within the probed inverted lists
+    val wRank = Window.partitionBy(queryIdCol)
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("score", cosine(col("corpus_vec"), col("query_vec")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("corpus_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
     * itself, exact cosine within buckets, keep pairs ≥ `threshold`. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,

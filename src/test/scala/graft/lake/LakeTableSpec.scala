@@ -127,6 +127,90 @@ class LakeTableSpec extends AnyFunSuite {
       t.merge(Seq((1L, "b")).toDF("id", "v"), Seq("id")))
   }
 
+  test("time travel: scanAt sees the historical snapshot") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    val s1 = t.append(df)
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.scanAt(s1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.scan().count() == 2)
+  }
+
+  test("COW delete removes matching rows, keeps null-predicate rows") {
+    val root = freshRoot
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None))
+      .toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.delete($"v" === "x") // id=3 has v=null → predicate null → kept
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
+  test("COW delete rewrites only affected partitions") {
+    val root = freshRoot
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+    val t = LakeTable.create(spark, root, df.schema, Seq("p"))
+    t.append(df)
+    val before = t.currentSnapshot.get.liveFiles.filter(_.contains("p=x"))
+    t.delete($"id" === 2) // only p=y touched
+    val after = t.currentSnapshot.get
+    assert(before.toSet.subsetOf(after.liveFiles.toSet))
+    assert(after.removedFiles.forall(_.contains("p=y")))
+  }
+
+  test("COW update applies assignments to matching rows only") {
+    val root = freshRoot
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.update($"id" === 2, Map("v" -> ($"v" * 3)))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 60.0)))
+  }
+
+  test("compact preserves content, reduces file count") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    (2L to 5L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.append(df)
+    val filesBefore = t.currentSnapshot.get.liveFiles.size
+    val rowsBefore = t.scan().orderBy("id").collect().toSeq
+    t.compact()
+    assert(t.currentSnapshot.get.liveFiles.size < filesBefore)
+    assert(t.scan().orderBy("id").collect().toSeq == rowsBefore)
+  }
+
+  test("expireSnapshots drops old metadata + orphaned files; current scan intact") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.overwrite(Seq((2L, "b")).toDF("id", "v")) // v2's file now orphaned
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val head = t.currentSnapshotId.get
+    t.expireSnapshots(keepLast = 2)
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(t.snapshots.map(_.snapshotId) == Seq(head - 1, head))
+    intercept[IllegalArgumentException](t.snapshot(1L))
+    assert(t.history.count() == 2)
+  }
+
+  test("catalog SQL surface: registered views answer spark.sql") {
+    val wh = TestSpark.tmpDir("sqlwh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nsq")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    LakeTable.createOrReplace(spark, cat.tablePath("nsq", "tv"), df)
+    val n = cat.sql("nsq", "SELECT count(*) AS n FROM tv")
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
   test("catalog namespaces and tables") {
     val wh = TestSpark.tmpDir("warehouse")
     val cat = new LakeCatalog(spark, wh)
