@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{Dedup, Sessionize, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Dedup, SaltedJoin, Sessionize, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -272,6 +272,35 @@ object SparkEntry {
           col("session_end_us"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))),
 
+    "q_stream_window" -> ((s, dir) =>
+      StreamingIngest.windowedCounts(s, dir,
+        windowDuration = "1 hour", watermarkDelay = "1 hour")),
+
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"), round(col("value"), 2).as("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .drop("event_type")
+      val purchases = e.where(col("event_type") === "purchase")
+        .drop("event_type")
+      AsOfJoin.join(clicks, purchases, Seq("user_id"),
+        "ts_us", "ts_us", Seq("value", "ts_us"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_value"), col("asof_ts_us"))
+    }),
+
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SaltedJoin.join(li, o, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     "q_sessionize" -> ((s, dir) =>
       Sessionize.byGap(events(s, dir), "user_id", col("ts_us"),
         "value", 1800)
@@ -513,6 +542,38 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_stream_window" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |m AS (SELECT max(ts_us) AS mx FROM e)
+        |SELECT ts_us - ts_us % 3600000000 AS window_start_us,
+        |  ts_us - ts_us % 3600000000 + 3600000000 AS window_end_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM e, m
+        |WHERE ts_us - ts_us % 3600000000 + 3600000000 <= mx - 3600000000
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         round(value, 2) AS value
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, ts_us, value FROM e
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, l.ts_us,
+        |       r.value AS asof_value, r.ts_us AS asof_ts_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

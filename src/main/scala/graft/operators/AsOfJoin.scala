@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for every left row, attach the latest right row
+  * of the same key with `right.ts <= left.ts` — the standard way to join
+  * events to the dimension/state that was current when they happened.
+  *
+  * Implemented with the union-sort trick rather than a custom join
+  * operator (the brief's preference order — compose built-ins first):
+  * tag and union both sides, one shuffle on the key, sort by (ts, side)
+  * within each key partition, and carry the last non-null right payload
+  * forward with `last_value(ignoreNulls)` over an unbounded-preceding
+  * frame. A right row at the same timestamp sorts before the left row,
+  * so the match is inclusive.
+  *
+  * Cost at scale: ONE hash shuffle of |L|+|R| rows + an in-partition
+  * sort — strictly cheaper than the range-join expansion (|L|·|R| per
+  * key) a naive `l.ts >= r.ts` join condition would produce, and the
+  * same shape Spark's own SQL `ASOF`-less engines use. Key skew behaves
+  * like any window: one hot key = one hot partition → pre-salt hot keys
+  * with [[SaltedJoin]] if a key carries a double-digit percentage of
+  * rows.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (keeps all rows; left-outer semantics)
+    * @param right      reference side whose latest-at-or-before row wins
+    * @param keys       equality keys present on both sides
+    * @param leftTs     left event-time column (same unit as rightTs)
+    * @param rightTs    right event-time column
+    * @param rightCols  right payload columns to attach, each emitted as
+    *                   `asof_<name>` (null when no right row precedes)
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    val ts = "__asof_ts"
+    val side = "__asof_side" // 0 = right, 1 = left: right sorts first on ties
+    val payload = "__asof_payload"
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+      .withColumn(payload,
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).as(ts)) :+
+        struct(rightCols.map(col): _*).as(payload): _*)
+      .withColumn(side, lit(0))
+    // align columns for the union: right side lacks the left payload
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (keys.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col).toIndexedSeq: _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rAligned)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .where(col(side) === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"$payload.$c").as(s"asof_$c")): _*)
+  }
+}
+
+/** Manual skew mitigation for joins AQE can't rebalance (e.g. a broadcast
+  * isn't possible and one key dominates): salt the skewed (large) side
+  * into `saltFactor` sub-keys and explode the other side across all
+  * salts. Standard salting — trades `saltFactor`× duplication of the
+  * small side for even partition sizes on the large side.
+  */
+object SaltedJoin {
+
+  def join(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val salt = "__salt"
+    val s = skewed.withColumn(salt,
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val o = other.withColumn(salt,
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    s.join(o, keys :+ salt, joinType).drop(salt)
+  }
+}

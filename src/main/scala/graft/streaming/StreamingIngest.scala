@@ -50,6 +50,41 @@ object StreamingIngest {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Watermarked event-time tumbling-window aggregation in APPEND mode:
+    * only windows whose end is at or below the final watermark
+    * (max event time − `watermarkDelay`) are emitted — the standard
+    * late-data policy. Returns the emitted windows as a batch DataFrame
+    * with epoch-µs window bounds (engine-portable for the oracle). */
+  def windowedCounts(spark: SparkSession, dir: String,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "1 hour",
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_window_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("event_time",
+        timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDuration),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2)
+        .as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
 
 /** Arbitrary stateful processing: gap-based sessionization with
