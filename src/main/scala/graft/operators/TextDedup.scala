@@ -64,9 +64,12 @@ object TextDedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
 
+    // persisted: consumed by the signature pipeline and twice more by
+    // the verification joins (see ngramJaccardPairs for the rationale)
     val withShingles = docs
       .select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withShingles
       .withColumn("sig",
         minhashSignature(transform(col("sh"), s => xxhash64(s)), k, seed))
@@ -172,9 +175,14 @@ object TextDedup {
     // ~2e-11 collision odds at a 30k-gram vocabulary, ~3% only past
     // 10^9 distinct grams — and a collision merely adds one candidate
     // pair that the per-pair Jaccard then scores honestly.
+    // Persisted: three consumers (both self-join sides + per-doc counts)
+    // would otherwise re-run tokenize→shingle→explode each; spillable
+    // MEMORY_AND_DISK keeps this safe at any scale (eviction merely
+    // recomputes).
     val grams = docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = maxDocFreq match {
       case Some(m) =>
         val df = grams.groupBy("gram")
