@@ -235,6 +235,32 @@ object SparkEntry {
           |FROM nation_t GROUP BY n_regionkey""".stripMargin)
     }),
 
+    "q_cdc_replay" -> ((s, dir) => {
+      // the silver-layer semantics at volume: replay events as a keyed
+      // CDC stream in three chronological batches — dedup each batch to
+      // the latest row per user, MERGE into the table; the end state
+      // must equal one global latest-per-user query (idempotent upsert
+      // law the reference's bronze->silver step relies on)
+      val e = events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts_us"))
+      val cuts = e.agg(
+        expr("percentile_approx(ts_us, 0.33, 10000)"),
+        expr("percentile_approx(ts_us, 0.66, 10000)")).collect()(0)
+      val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+      val root = tmp("graft-cdc") + "/state"
+      val lt = LakeTable.create(s, root, e.schema)
+      Seq(
+        e.where(col("ts_us") <= c1),
+        e.where(col("ts_us") > c1 && col("ts_us") <= c2),
+        e.where(col("ts_us") > c2)
+      ).foreach { batch =>
+        lt.merge(Dedup.latestPerKey(batch, Seq("user_id"),
+          Seq(col("ts_us"), col("event_id"))), Seq("user_id"))
+      }
+      lt.scan()
+    }),
+
     // ---- reference parity: the full medallion pipeline (golden fixture)
     "q_medallion_pipeline" -> ((s, _) => {
       val base = tmp("graft-medallion")
@@ -515,6 +541,16 @@ object SparkEntry {
         |    AS o_totalprice
         |FROM tgt FULL OUTER JOIN src
         |  ON tgt.o_orderkey = src.o_orderkey""".stripMargin,
+
+    "q_cdc_replay" ->
+      """SELECT user_id, event_id, event_type,
+        | round(value, 2) AS value, epoch_us(ts) AS ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "q_table_history" ->
       """SELECT CAST(s AS BIGINT) AS snapshot_id,

@@ -211,6 +211,51 @@ class LakeTableSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("merge with an empty source is a no-op on content") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.merge(df.where($"id" === 999), Seq("id"))
+    assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("racing committers: second writer on a stale base fails, table intact") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    LakeTable.create(spark, root, df.schema)
+    // two handles on the same table — simulate a racing commit by
+    // letting both append from the same HEAD
+    val t1 = LakeTable.load(spark, root)
+    val t2 = LakeTable.load(spark, root)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    def run(t: LakeTable, v: String): Thread = {
+      val th = new Thread(() => {
+        try results.add(Right(t.append(Seq((2L, v)).toDF("id", "v"))))
+        catch { case e: Throwable => results.add(Left(e)) }
+        finally latch.countDown()
+      })
+      th.start(); th
+    }
+    run(t1, "x"); run(t2, "y")
+    latch.await()
+    val rs = results.toArray(Array.empty[Either[Throwable, Long]])
+    val committed = rs.collect { case Right(id) => id }
+    val failed = rs.collect { case Left(e) => e }
+    // valid outcomes: both serialized (2 commits) or one lost the race
+    // with a ConcurrentModificationException / duplicate-version error
+    assert(committed.nonEmpty)
+    failed.foreach(e => assert(
+      e.isInstanceOf[java.util.ConcurrentModificationException] ||
+        e.isInstanceOf[java.io.IOException] ||
+        e.getCause != null, s"unexpected failure: $e"))
+    // the table is intact: HEAD resolves, scan returns the winners' rows
+    // (the table starts empty — v1 is the create snapshot)
+    val t3 = LakeTable.load(spark, root)
+    assert(t3.scan().count() == committed.size)
+  }
+
   test("catalog namespaces and tables") {
     val wh = TestSpark.tmpDir("warehouse")
     val cat = new LakeCatalog(spark, wh)
