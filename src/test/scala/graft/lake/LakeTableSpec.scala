@@ -256,6 +256,17 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t3.scan().count() == committed.size)
   }
 
+  test("compression codec property is honored (zstd)") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_COMPRESSION -> "zstd"))
+    t.append(df)
+    val f = t.currentSnapshot.get.liveFiles.head
+    assert(f.endsWith(".zstd.parquet") || f.contains("zstd"), f)
+    assert(t.scan().count() == 1)
+  }
+
   test("catalog namespaces and tables") {
     val wh = TestSpark.tmpDir("warehouse")
     val cat = new LakeCatalog(spark, wh)
