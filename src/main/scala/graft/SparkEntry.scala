@@ -359,6 +359,13 @@ object SparkEntry {
     }),
 
     // ---- text analysis
+    "q_vocab_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)), // TakeOrdered — no global sort materialization
+
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))),
@@ -664,6 +671,14 @@ object SparkEntry {
         |JOIN cnt ca ON sh.id_a = ca.doc_id
         |JOIN cnt cb ON sh.id_b = cb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5""".stripMargin,
+
+    "q_vocab_stats" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |        AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

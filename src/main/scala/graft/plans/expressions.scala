@@ -150,10 +150,10 @@ object expressions {
     * `h_i(x) = (a_i * x + b_i) mod p`, the minimum over the input
     * shingle-hash array — one fused O(T·k) loop per document instead of k
     * `transform`+`array_min` passes (and no k intermediate arrays).
-    * Interpreted eval only (CodegenFallback): the loop dominates, and the
-    * signature is computed once per document, off the per-row hot path. */
+    * Codegen binds `this` as a reference object and calls [[compute]] —
+    * the surrounding whole-stage pipeline stays fused. */
   case class MinHashSignature(child: Expression, k: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     require(k > 0, "k must be positive")
     override def checkInputDataTypes(): TypeCheckResult =
@@ -173,8 +173,13 @@ object expressions {
       (a, b)
     }
 
-    override def nullSafeEval(v: Any): Any = {
-      val xs = v.asInstanceOf[ArrayData]
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    /** Public for codegen: the generated code calls this on a bound
+      * reference object, keeping the surrounding whole-stage pipeline
+      * fused (vs CodegenFallback, which would split it). */
+    def compute(xs: ArrayData): ArrayData = {
       val n = xs.numElements()
       val sig = Array.fill(k)(Long.MaxValue)
       var t = 0
@@ -190,6 +195,12 @@ object expressions {
         t += 1
       }
       new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
 
     override protected def withNewChildInternal(c: Expression) =
@@ -212,7 +223,7 @@ object expressions {
     * via exact-match on 16-bit bands (pigeonhole: ≤3 differing bits ⇒ at
     * least one of 4 bands identical). One O(T·64) loop per document. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult =
       child.dataType match {
@@ -223,8 +234,11 @@ object expressions {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash"
 
-    override def nullSafeEval(v: Any): Any = {
-      val xs = v.asInstanceOf[ArrayData]
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    /** Public for codegen — see [[MinHashSignature.compute]]. */
+    def compute(xs: ArrayData): Long = {
       val n = xs.numElements()
       val acc = new Array[Int](64)
       var t = 0
@@ -246,6 +260,12 @@ object expressions {
       out
     }
 
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
     override protected def withNewChildInternal(c: Expression) =
       copy(child = c)
   }
@@ -258,7 +278,7 @@ object expressions {
     * (seed, plane, dim) so every executor materializes identical planes
     * without a broadcast. */
   case class HyperplaneSignature(child: Expression, nPlanes: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
     override def checkInputDataTypes(): TypeCheckResult =
@@ -286,8 +306,11 @@ object expressions {
       v
     }
 
-    override def nullSafeEval(a: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
+    override def nullSafeEval(a: Any): Any =
+      compute(a.asInstanceOf[ArrayData])
+
+    /** Public for codegen — see [[MinHashSignature.compute]]. */
+    def compute(x: ArrayData): Long = {
       val dim = x.numElements()
       var sig = 0L
       var p = 0
@@ -300,6 +323,12 @@ object expressions {
         p += 1
       }
       sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplane", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
 
     override protected def withNewChildInternal(c: Expression) =
