@@ -125,6 +125,54 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_anti_semi_join" -> ((s, dir) => {
+      // customers with ≥1 order (semi) minus a flag for none (anti
+      // exercised as count of excluded) — emitted as one aggregate row
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi").agg(count(lit(1)).as("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti").agg(count(lit(1)).as("without_orders"))
+      semi.crossJoin(anti)
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val highValue = o.where(col("o_totalprice") > 200000)
+        .select("o_orderkey")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      highValue.except(urgent)
+    }),
+
+    "q_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", pmod(col("user_id"), lit(10)))
+        .groupBy("bucket")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_regionkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))),
+
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    "q_percentiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 2).as("mn"),
+        round(max(col("value")), 2).as("mx"))),
+
     // ---- reference parity: window dedup / top-1 (the silver semantics)
     "q_window_dedup_latest" -> ((s, dir) =>
       Dedup.latestPerKey(events(s, dir), Seq("user_id"),
@@ -487,6 +535,49 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3""".stripMargin,
+
+    "q_anti_semi_join" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |   AS with_orders,
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |   AS without_orders""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+        |EXCEPT
+        |SELECT o_orderkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT n_regionkey, n_name,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_regionkey, n_name)""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(min(value), 2) AS mn, round(max(value), 2) AS mx
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_window_dedup_latest" ->
       """SELECT user_id, event_id, event_type,
