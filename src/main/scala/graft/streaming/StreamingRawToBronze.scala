@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.lake.LakeCatalog
+import graft.sources.CsvIngest
+
+/** The idiomatic Structured-Streaming expression of the raw→bronze step
+  * (SURVEY.md §2.1 S1 alternative): `readStream.csv` + `Trigger
+  * .AvailableNow`, with Spark's transactional seen-files log replacing
+  * the hand-rolled mtime checkpoint, and `foreachBatch` appending each
+  * micro-batch to the bronze [[graft.lake.LakeTable]].
+  *
+  * Exactly-once file pickup comes from the streaming checkpoint (source
+  * offsets commit after the batch function returns); the table append
+  * itself is the same atomic snapshot commit as the batch path, so a
+  * crash mid-batch replays that batch into an idempotent-downstream
+  * bronze — the same at-least-once contract as the reference
+  * (scripts/raw-bronze.py:250-255), with the bookkeeping delegated to
+  * Spark.
+  */
+final class StreamingRawToBronze(
+    spark: SparkSession,
+    catalog: LakeCatalog,
+    rawDir: String,
+    checkpointDir: String,
+    namespace: String,
+    table: String,
+    partitionBy: Seq[String] = Seq("processed_date"),
+    fixedTime: Option[java.sql.Timestamp] = None) {
+
+  /** Drain everything currently in rawDir into bronze; returns rows
+    * appended across this run's micro-batches. */
+  def run(): Long = {
+    // the file stream source needs a declared schema: infer once from
+    // whatever is in the directory right now (one batch pass)
+    val schema = spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(s"$rawDir/*.csv").schema
+
+    val appended = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = spark.readStream
+      .option("sep", "\t").option("header", "true")
+      .schema(schema)
+      .csv(rawDir)
+
+    val q = CsvIngest.enrich(stream, fixedTime).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.count()
+          if (catalog.tableExists(namespace, table)) {
+            catalog.loadTable(namespace, table).append(batch)
+          } else {
+            catalog.createNamespace(namespace)
+            catalog.createTable(namespace, table, batch.schema,
+              partitionBy, graft.pipeline.PipelineDefaults.tableProperties)
+              .append(batch)
+          }
+          appended.addAndGet(rows)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    appended.get()
+  }
+}
