@@ -214,7 +214,11 @@ final class LakeTable private (
     val cols = schema.fieldNames.toSeq
     val tgt = readFiles(affected).alias("t")
     val s = src.withColumn(SRC_MARK, lit(1)).alias("s")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // plain equality (NOT null-safe): a null key never matches, so
+    // null-key source rows are inserts and null-key target rows carry
+    // through — consistent with the semi-join pruning above and the
+    // documented contract
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val merged = tgt.join(s, cond, "full_outer")
       .select(cols.map { c =>
         when(col(SRC_MARK).isNotNull, col(s"s.$c"))
@@ -280,17 +284,31 @@ final class LakeTable private (
       live = base.liveFiles.diff(affected) ++ added)
   }
 
-  /** Bin-pack compaction: rewrite the current data into `targetFiles`
-    * files per partition (small-file compaction — the maintenance
-    * operation an ingest-heavy lakehouse schedules; content-identical,
-    * new snapshot). */
+  /** Bin-pack compaction: rewrite the current data into at most
+    * `targetFilesPerPartition` files per hive partition (small-file
+    * compaction — the maintenance operation an ingest-heavy lakehouse
+    * schedules; content-identical, new snapshot). A salt column spreads
+    * each partition's rows across up to `target` shuffle buckets, so no
+    * single task ever funnels the whole table. */
   def compact(targetFilesPerPartition: Int = 1): Long = {
+    require(targetFilesPerPartition >= 1, "target must be >= 1")
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
-    val data = readFiles(base.liveFiles)
-      .repartition(math.max(1, targetFilesPerPartition),
-        (if (partitionColumns.nonEmpty) partitionColumns.map(col)
-         else Seq(lit(1))): _*)
+    val salt = "__graft_compact_salt"
+    val all = readFiles(base.liveFiles)
+    // explicit numPartitions: an expression-only repartition would be
+    // AQE-coalesced back into few partitions, defeating the file target
+    val nHivePartitions =
+      if (partitionColumns.isEmpty) 1L
+      else all.select(partitionColumns.map(col): _*).distinct().count()
+    val numParts = math.max(1L,
+      nHivePartitions * targetFilesPerPartition).min(100000L).toInt
+    val salted = all
+      .withColumn(salt, pmod(xxhash64(monotonically_increasing_id()),
+        lit(targetFilesPerPartition)))
+    val data = salted
+      .repartition(numParts, (partitionColumns.map(col) :+ col(salt)): _*)
+      .drop(salt)
     val added = writeDataFiles(data)
     commit(base, "compact", added = added, removed = base.liveFiles,
       live = added)
@@ -305,12 +323,14 @@ final class LakeTable private (
     val head = currentSnapshotId.getOrElse(return)
     val cutoff = head - keepLast // expire ids <= cutoff
     if (cutoff < 1) return
-    val keptFiles = ((cutoff + 1) to head)
-      .flatMap(id => snapshot(id).liveFiles).toSet
-    (1L to cutoff).foreach { id =>
-      snapshot(id).liveFiles.filterNot(keptFiles)
+    // iterate only RETAINED metadata — earlier expiries already removed
+    // their files, so (1 to cutoff) would trip snapshot()'s existence check
+    val (expired, kept) = snapshots.partition(_.snapshotId <= cutoff)
+    val keptFiles = kept.flatMap(_.liveFiles).toSet
+    expired.foreach { s =>
+      s.liveFiles.filterNot(keptFiles)
         .foreach(f => fs.delete(new Path(rootPath, f), false))
-      fs.delete(new Path(metaDir, s"v$id.json"), false)
+      fs.delete(new Path(metaDir, s"v${s.snapshotId}.json"), false)
     }
   }
 

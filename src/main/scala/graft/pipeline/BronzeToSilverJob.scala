@@ -32,7 +32,7 @@ final class BronzeToSilverJob(
     checkpointPath: String,
     avroSchemaJson: String = BronzeToSilverJob.ordersAvroSchema,
     mergeKey: String = "invoiceid",
-    versionColumn: String = "processed_time",
+    versionColumns: Seq[String] = BronzeToSilverJob.defaultVersionColumns,
     partitionBy: Seq[String] = Seq("destinationstate"),
     tableProperties: Map[String, String] = PipelineDefaults.tableProperties) {
 
@@ -57,9 +57,13 @@ final class BronzeToSilverJob(
 
     val silverSchema = AvroSchemaConverter.toStructType(avroSchemaJson)
 
-    // last-writer-wins per business key, then drop Op/audit columns
+    // last-writer-wins per business key, then drop Op/audit columns.
+    // Tie-break order matters when an insert AND its update land in the
+    // SAME ingest run (identical processed_time): Op desc makes 'U' beat
+    // 'I' — the CDC-correct resolution; input_file is the final
+    // deterministic tie-break.
     val deduped = Dedup.latestPerKey(incoming, Seq(mergeKey),
-      Seq(col(versionColumn), col("input_file")))
+      versionColumns.map(col))
     val aligned = deduped.select(
       silverSchema.fieldNames.map(col).toIndexedSeq: _*)
 
@@ -79,6 +83,11 @@ final class BronzeToSilverJob(
 
 object BronzeToSilverJob {
   val CKPT_KEY = "last_processed_snapshot"
+
+  /** processed_time (ingest order) → Op ('U' > 'I' when tied within one
+    * run) → input_file (determinism). */
+  val defaultVersionColumns: Seq[String] =
+    Seq("processed_time", "Op", "input_file")
 
   /** The silver `orders` contract — the 10 Avro-declared fields
     * (≡ scripts/bronze-silver.py:236-253; audit columns are consumed for

@@ -41,21 +41,9 @@ object expressions {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_cosine"
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      while (i < n) {
-        val xv = x.getFloat(i).toDouble
-        val yv = y.getFloat(i).toDouble
-        dot += xv * yv; nx += xv * xv; ny += yv * yv
-        i += 1
-      }
-      if (nx == 0.0 || ny == 0.0) 0.0
-      else dot / (math.sqrt(nx) * math.sqrt(ny))
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      CosineSimilarity.compute(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
@@ -67,8 +55,12 @@ object expressions {
         val ny = ctx.freshName("ny")
         val xv = ctx.freshName("xv")
         val yv = ctx.freshName("yv")
+        val cls = CosineSimilarity.getClass.getName.stripSuffix("$") + "$"
         s"""
-           |int $n = Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  $cls.MODULE$$.dimMismatch($n, $b.numElements());
+           |}
            |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $xv = (double) $a.getFloat($i);
@@ -82,6 +74,30 @@ object expressions {
 
     override protected def withNewChildrenInternal(l: Expression,
         r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  object CosineSimilarity {
+    /** Mismatched dimensions are a data bug — fail loudly rather than
+      * silently scoring the common prefix (which would corrupt top-k
+      * rankings undetectably). */
+    def dimMismatch(a: Int, b: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"graft_cosine: vector dimensions differ ($a vs $b)")
+
+    def compute(x: ArrayData, y: ArrayData): Double = {
+      val n = x.numElements()
+      if (n != y.numElements()) dimMismatch(n, y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
   }
 
   /** Document fingerprint: the minimum 64-bit polynomial rolling hash over

@@ -32,30 +32,51 @@ final class IncrementalFileSource(
   def lastProcessedTime: Option[Long] =
     Checkpoint.loadKey(checkpointPath, KEY).map(_.toLong)
 
-  /** Files with mtime strictly greater than the checkpoint, with their
-    * mtimes; empty when nothing new (≡ scripts/raw-bronze.py:59-67). */
+  private def boundaryFiles: Set[String] =
+    Checkpoint.loadKey(checkpointPath, BOUNDARY_KEY)
+      .map(_.split('\n').toSet).getOrElse(Set.empty)
+
+  /** Files newer than the checkpoint, with their mtimes; empty when
+    * nothing new (≡ scripts/raw-bronze.py:59-67). Files AT the boundary
+    * mtime are re-listed and filtered against the names processed at
+    * that tick — a producer writing a second file in the same mtime
+    * granule just after our listing can therefore never be skipped
+    * (a strict `mtime > checkpoint` filter silently would). */
   def newFiles(): Seq[(String, Long)] = {
     if (!fs.exists(dirPath)) return Nil
     val since = lastProcessedTime.getOrElse(Long.MinValue)
+    val seenAtBoundary = boundaryFiles
     val it = fs.listFiles(dirPath, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
+      val m = f.getModificationTime
       if (f.isFile && f.getPath.getName.endsWith(suffix)
-          && f.getModificationTime > since)
-        buf += ((f.getPath.toString, f.getModificationTime))
+          && (m > since ||
+            (m == since && !seenAtBoundary(f.getPath.toString))))
+        buf += ((f.getPath.toString, m))
     }
     buf.sortBy(_._1).toSeq
   }
 
   /** Commit the checkpoint — called ONLY after the downstream table write
-    * succeeded (the reference's commit gate, scripts/raw-bronze.py:250-255). */
+    * succeeded (the reference's commit gate, scripts/raw-bronze.py:250-255).
+    * Stores the max processed mtime plus the file names at that exact
+    * mtime, so the next listing can detect same-tick late arrivals. */
   def commit(processed: Seq[(String, Long)]): Unit =
-    if (processed.nonEmpty)
-      Checkpoint.save(checkpointPath,
-        Map(KEY -> processed.map(_._2).max.toString))
+    if (processed.nonEmpty) {
+      val maxM = processed.map(_._2).max
+      val prevBoundary =
+        if (lastProcessedTime.contains(maxM)) boundaryFiles else Set.empty
+      val atBoundary = processed.collect { case (p, m) if m == maxM => p }
+        .toSet ++ prevBoundary
+      Checkpoint.save(checkpointPath, Map(
+        KEY -> maxM.toString,
+        BOUNDARY_KEY -> atBoundary.mkString("\n")))
+    }
 }
 
 object IncrementalFileSource {
   val KEY = "last_processed_time"
+  val BOUNDARY_KEY = "files_at_boundary"
 }

@@ -33,8 +33,16 @@ final class StreamingRawToBronze(
   /** Drain everything currently in rawDir into bronze; returns rows
     * appended across this run's micro-batches. */
   def run(): Long = {
+    // no-op on an empty raw dir (the normal "nothing new yet" case the
+    // batch job handles by returning 0)
+    val dirPath = new org.apache.hadoop.fs.Path(rawDir)
+    val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(dirPath) ||
+        !hfs.globStatus(new org.apache.hadoop.fs.Path(rawDir, "*.csv"))
+          .exists(_.isFile)) return 0L
+
     // the file stream source needs a declared schema: infer once from
-    // whatever is in the directory right now (one batch pass)
+    // the CSVs present right now (one batch pass)
     val schema = spark.read
       .option("sep", "\t").option("header", "true")
       .option("inferSchema", "true").csv(s"$rawDir/*.csv").schema
@@ -42,6 +50,7 @@ final class StreamingRawToBronze(
     val appended = new java.util.concurrent.atomic.AtomicLong(0)
     val stream = spark.readStream
       .option("sep", "\t").option("header", "true")
+      .option("pathGlobFilter", "*.csv") // stray _SUCCESS/.tmp files skip
       .schema(schema)
       .csv(rawDir)
 
@@ -49,18 +58,23 @@ final class StreamingRawToBronze(
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // one evaluation of the batch: cache, count once, append, release
+        batch.persist()
+        try {
           val rows = batch.count()
-          if (catalog.tableExists(namespace, table)) {
-            catalog.loadTable(namespace, table).append(batch)
-          } else {
-            catalog.createNamespace(namespace)
-            catalog.createTable(namespace, table, batch.schema,
-              partitionBy, graft.pipeline.PipelineDefaults.tableProperties)
-              .append(batch)
+          if (rows > 0) {
+            if (catalog.tableExists(namespace, table)) {
+              catalog.loadTable(namespace, table).append(batch)
+            } else {
+              catalog.createNamespace(namespace)
+              catalog.createTable(namespace, table, batch.schema,
+                partitionBy,
+                graft.pipeline.PipelineDefaults.tableProperties)
+                .append(batch)
+            }
+            appended.addAndGet(rows)
           }
-          appended.addAndGet(rows)
-        }
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -211,6 +211,46 @@ class LakeTableSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("merge: null-key source rows insert; null-key target rows survive") {
+    val root = freshRoot
+    val tgt = Seq((Some(1L), "t1"), (None, "tnull")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, tgt.schema)
+    t.append(tgt)
+    val src = Seq((Some(1L), "S1"), (None, "snull")).toDF("id", "v")
+    t.merge(src, Seq("id"))
+    val got = t.scan().collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1))).toSet
+    // key 1 updated; both null-key rows present (never matched)
+    assert(got == Set((Some(1L), "S1"), (None, "tnull"), (None, "snull")))
+  }
+
+  test("expireSnapshots is safe to run repeatedly") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    (2L to 6L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.expireSnapshots(keepLast = 2)
+    (7L to 9L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.expireSnapshots(keepLast = 2) // must not trip on already-expired ids
+    assert(t.snapshots.size == 2)
+    assert(t.scan().count() == 8) // all appended rows still live
+  }
+
+  test("compact honors targetFilesPerPartition > 1") {
+    val root = freshRoot
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", $"id".cast("string"))
+    val t = LakeTable.create(spark, root, df.schema)
+    (0 until 6).foreach(i =>
+      t.append(df.where($"id" % 6 === i)))
+    assert(t.currentSnapshot.get.liveFiles.size >= 6)
+    t.compact(targetFilesPerPartition = 3)
+    val nFiles = t.currentSnapshot.get.liveFiles.size
+    assert(nFiles >= 2 && nFiles <= 3, s"got $nFiles files")
+    assert(t.scan().count() == 1000)
+  }
+
   test("merge with an empty source is a no-op on content") {
     val root = freshRoot
     val df = Seq((1L, "a")).toDF("id", "v")

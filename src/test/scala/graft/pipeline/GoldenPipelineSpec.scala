@@ -34,6 +34,26 @@ class GoldenPipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("cold start: BOTH drops in one run → updates still win (Op tie-break)") {
+    assume(Files.exists(Paths.get(refInserts)), "reference data not present")
+    val base = TestSpark.tmpDir("golden-cold")
+    val rawDir = s"$base/raw"
+    val cat = new LakeCatalog(spark, s"$base/warehouse")
+    val runner = new PipelineRunner(spark, cat, rawDir, s"$base/checkpoints")
+
+    // both drops land before the first pipeline run: every row shares one
+    // processed_time, so last-writer-wins must fall through to Op desc
+    copyCsvs(refInserts, rawDir)
+    copyCsvs(refUpdates, rawDir)
+    val (b, s) = runner.runOnce()
+    assert(b == 7 && s == 5)
+    val cats = cat.loadTable("example_namespace", "silver_orders").scan()
+      .select("invoiceid", "category").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cats(40994L) == "market####")
+    assert(cats(83597L) == "language####")
+  }
+
   test("reference fixture: two drops → bronze 7 rows, silver 5, updates win") {
     assume(Files.exists(Paths.get(refInserts)), "reference data not present")
     val base = TestSpark.tmpDir("golden")

@@ -12,6 +12,14 @@ class ExpressionsSpec extends AnyFunSuite {
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
 
+  test("cosine rejects mismatched dimensions loudly") {
+    val df = Seq((vec(1, 2, 3), vec(1, 2))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.select(cosine($"a", $"b")).collect())
+    assert(e.getMessage.contains("dimensions differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimensions differ")))
+  }
+
   test("cosine matches hand-computed values (codegen path)") {
     val df = Seq(
       (vec(1, 0, 0), vec(1, 0, 0)),   // identical → 1
