@@ -468,6 +468,15 @@ object SparkEntry {
         threshold = 0.25, nPlanes = 6)),
 
     // ---- multimodal plumbing (stubbed decode, real schema/batching)
+    "q_multimodal_frames" -> ((s, dir) =>
+      MediaPipeline.sampleFrames(
+        MediaPipeline.resize(
+          MediaPipeline.attachFakeMedia(docs(s, dir)), 64, 64),
+        maxFrames = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("total_bytes"))),
+
     "q_multimodal_features" -> ((s, dir) =>
       MediaPipeline.extractFeatures(
         MediaPipeline.attachFakeMedia(docs(s, dir)), dim = 8)

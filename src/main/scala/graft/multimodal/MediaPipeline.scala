@@ -62,6 +62,69 @@ object MediaPipeline {
       if (counts(j) == 0) 0f else (sums(j).toDouble / counts(j) / 255.0).toFloat)
   }
 
+  /** STUB resize: deterministic byte decimation standing in for an image
+    * resample (a real codec would decode → resample to w×h → re-encode;
+    * same signature, same per-row shape). Keeps every `step`-th byte. */
+  private[multimodal] def resizeStub(bytes: Array[Byte], targetW: Int,
+      targetH: Int): Array[Byte] = {
+    val targetLen = math.max(1, targetW * targetH / 64)
+    if (bytes.length <= targetLen) bytes
+    else {
+      val step = bytes.length.toDouble / targetLen
+      Array.tabulate(targetLen)(i => bytes((i * step).toInt))
+    }
+  }
+
+  /** Batched media resize: binary → smaller binary, metadata updated to
+    * the target dimensions. Partition-local, no shuffle. */
+  def resize(df: DataFrame, targetW: Int, targetH: Int,
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col("doc_id"), col("media"),
+        col("media_meta.format").as("fmt"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val resized = resizeStub(r.getAs[Array[Byte]](1), targetW, targetH)
+          Row(r.getLong(0), resized,
+            Row(r.getString(2), targetW, targetH, resized.length.toLong))
+        })
+      }(encoder)
+  }
+
+  /** Batched frame sampling: one media blob → up to `maxFrames` frame
+    * rows (video → frames shape; STUB chunks the bytes evenly — a real
+    * impl would seek keyframes). Output explodes rows partition-locally;
+    * downstream per-frame ops (feature extract, dedup) then fan out with
+    * full parallelism. */
+  def sampleFrames(df: DataFrame, maxFrames: Int = 4,
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(maxFrames >= 1)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = math.min(maxFrames, math.max(1, bytes.length))
+          val size = math.max(1, bytes.length / n)
+          (0 until n).iterator.map { i =>
+            val from = i * size
+            val until = if (i == n - 1) bytes.length
+              else math.min(bytes.length, from + size)
+            Row(r.getLong(0), i, java.util.Arrays.copyOfRange(
+              bytes, from, until))
+          }
+        })
+      }(encoder)
+  }
+
   /** Batched partition-parallel feature extraction: each partition is
     * consumed in `batchSize` groups (decode-friendly memory shape), one
     * feature vector per media row. No shuffle — runs where the data

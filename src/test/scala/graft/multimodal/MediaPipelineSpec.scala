@@ -27,6 +27,33 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(f1 == again)
   }
 
+  test("resize shrinks media and rewrites metadata") {
+    val docs = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
+    val resized = MediaPipeline.resize(
+      MediaPipeline.attachFakeMedia(docs), targetW = 32, targetH = 32)
+    val r = resized.collect().head
+    val bytes = r.getAs[Array[Byte]]("media")
+    assert(bytes.length == 32 * 32 / 64)
+    val meta = r.getStruct(2)
+    assert(meta.getInt(1) == 32 && meta.getInt(2) == 32)
+    assert(meta.getLong(3) == bytes.length.toLong)
+  }
+
+  test("frame sampling chunks media into per-frame rows covering all bytes") {
+    val docs = Seq((1L, "0123456789")).toDF("doc_id", "text")
+    val frames = MediaPipeline.sampleFrames(
+      MediaPipeline.attachFakeMedia(docs), maxFrames = 4)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 4)
+    val joined = frames.flatMap(_.getAs[Array[Byte]]("frame"))
+    assert(new String(joined, "UTF-8") == "0123456789")
+    // tiny blob: frames capped at byte count
+    val tiny = MediaPipeline.sampleFrames(
+      MediaPipeline.attachFakeMedia(Seq((2L, "ab")).toDF("doc_id", "text")),
+      maxFrames = 4).count()
+    assert(tiny == 2)
+  }
+
   test("decode stub is pure byte arithmetic") {
     val a = MediaPipeline.decodeStub("abc".getBytes("UTF-8"), 4)
     val b = MediaPipeline.decodeStub("abc".getBytes("UTF-8"), 4)
