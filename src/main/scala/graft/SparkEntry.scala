@@ -326,7 +326,8 @@ object SparkEntry {
       val runner = new PipelineRunner(s, cat, rawDir, s"$base/ckpt")
       drop("/root/reference/raw/datafiles/initialsinserts")
       runner.runOnce()
-      Thread.sleep(1100) // mtime granularity
+      // no sleep needed: same-mtime-tick drops are disambiguated by the
+      // checkpoint's boundary file names
       drop("/root/reference/raw/datafiles/updates")
       runner.runOnce()
       cat.loadTable("example_namespace", "silver_orders").scan()
@@ -334,6 +335,25 @@ object SparkEntry {
           round(col("price"), 2).as("price"), col("quantity"),
           col("orderdate").cast("string").as("orderdate"),
           col("destinationstate"), col("shippingtype"), col("referral"))
+    }),
+
+    "q_gold_mart" -> ((s, _) => {
+      // full medallion incl. the gold aggregate layer on the fixture
+      val base = tmp("graft-gold")
+      val rawDir = s"$base/raw"
+      Files.createDirectories(Paths.get(rawDir))
+      Seq("/root/reference/raw/datafiles/initialsinserts",
+        "/root/reference/raw/datafiles/updates").foreach { src =>
+        Files.list(Paths.get(src)).filter(_.toString.endsWith(".csv"))
+          .forEach { f =>
+            Files.copy(f, Paths.get(rawDir).resolve(f.getFileName),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+      val cat = new LakeCatalog(s, s"$base/warehouse")
+      new PipelineRunner(s, cat, rawDir, s"$base/ckpt").runOnce()
+      new graft.pipeline.SilverToGoldJob(s, cat, "example_namespace").run()
+      cat.loadTable("example_namespace", "gold_orders_by_state").scan()
     }),
 
     // ---- streaming
@@ -680,6 +700,17 @@ object SparkEntry {
         | (40994, 67, 'market####', 92.02, 1, '2021-05-21', 'VI', '2-Day', 'others'),
         | (83597, 37, 'language####', 97.07, 3, '2021-09-10', 'SC', 'Standard', 'play')
         |) t(inv, item, cat, pr, qty, od, st, sh, ref)""".stripMargin,
+
+    "q_gold_mart" ->
+      """SELECT st AS destinationstate, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue, CAST(ap AS DOUBLE) AS avg_price,
+        |  CAST(nc AS BIGINT) AS n_categories
+        |FROM (VALUES
+        |  ('SC', 2, 344.72, 75.29, 2),
+        |  ('PW', 1, 204.70, 40.94, 1),
+        |  ('CT', 1, 81.69, 27.23, 1),
+        |  ('VI', 1, 92.02, 92.02, 1)
+        |) t(st, n, rev, ap, nc)""".stripMargin,
 
     "q_stream_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

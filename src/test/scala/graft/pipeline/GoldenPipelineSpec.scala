@@ -73,8 +73,8 @@ class GoldenPipelineSpec extends AnyFunSuite {
     // idempotent no-op re-run (no new files, no new snapshots)
     assert(runner.runOnce() == ((0L, 0L)))
 
-    // drop 2: updates
-    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    // drop 2: updates — no sleep: the checkpoint's boundary-file names
+    // disambiguate drops landing in the same mtime tick
     copyCsvs(refUpdates, rawDir)
     val (b2, s2) = runner.runOnce()
     assert(b2 == 2 && s2 == 2)
@@ -94,5 +94,14 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(silver.columns.toSeq == Seq("replicadmstimestamp", "invoiceid",
       "itemid", "category", "price", "quantity", "orderdate",
       "destinationstate", "shippingtype", "referral"))
+
+    // gold mart over the final silver state
+    val goldRows = new SilverToGoldJob(spark, cat, "example_namespace").run()
+    val gold = cat.loadTable("example_namespace", "gold_orders_by_state")
+      .scan().collect()
+      .map(r => r.getAs[String]("destinationstate") ->
+        r.getAs[Long]("n_orders")).toMap
+    assert(goldRows == 4) // states SC, PW, CT, VI
+    assert(gold == Map("SC" -> 2L, "PW" -> 1L, "CT" -> 1L, "VI" -> 1L))
   }
 }
