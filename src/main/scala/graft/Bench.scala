@@ -24,8 +24,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache() // release operator-internal persists
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,13 +34,13 @@ object MedallionDemo {
       val from = java.nio.file.Paths.get(src)
       val to = java.nio.file.Paths.get(rawDir)
       java.nio.file.Files.createDirectories(to)
-      java.nio.file.Files.list(from)
-        .filter(_.toString.endsWith(".csv")).forEach { f =>
-          val d = to.resolve(f.getFileName)
-          java.nio.file.Files.copy(f, d,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          d.toFile.setLastModified(System.currentTimeMillis())
-        }
+      val st = java.nio.file.Files.list(from)
+      try st.filter(_.toString.endsWith(".csv")).forEach { f =>
+        val d = to.resolve(f.getFileName)
+        java.nio.file.Files.copy(f, d,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        d.toFile.setLastModified(System.currentTimeMillis())
+      } finally st.close()
     }
 
     val catalog = new LakeCatalog(spark, s"$workDir/warehouse")

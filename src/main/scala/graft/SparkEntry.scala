@@ -47,6 +47,18 @@ object SparkEntry {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Copy the .csv files of `src` into `rawDir`, refreshing mtimes.
+    * (Files.list streams hold a directory fd — close them.) */
+  private def copyCsvsInto(src: String, rawDir: String): Unit = {
+    Files.createDirectories(Paths.get(rawDir))
+    val st = Files.list(Paths.get(src))
+    try st.filter(_.toString.endsWith(".csv")).forEach { f =>
+      val d = Paths.get(rawDir).resolve(f.getFileName)
+      Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+      d.toFile.setLastModified(System.currentTimeMillis())
+    } finally st.close()
+  }
+
   /** Filter to docs with ≥3 tokens — shared by the n-gram query and its
     * oracle (short docs generate no trigrams in SQL; mirroring the filter
     * keeps both sides identical). */
@@ -313,22 +325,13 @@ object SparkEntry {
     "q_medallion_pipeline" -> ((s, _) => {
       val base = tmp("graft-medallion")
       val rawDir = s"$base/raw"
-      def drop(src: String): Unit = {
-        Files.createDirectories(Paths.get(rawDir))
-        Files.list(Paths.get(src)).filter(_.toString.endsWith(".csv"))
-          .forEach { f =>
-            val d = Paths.get(rawDir).resolve(f.getFileName)
-            Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
-            d.toFile.setLastModified(System.currentTimeMillis())
-          }
-      }
       val cat = new LakeCatalog(s, s"$base/warehouse")
       val runner = new PipelineRunner(s, cat, rawDir, s"$base/ckpt")
-      drop("/root/reference/raw/datafiles/initialsinserts")
+      copyCsvsInto("/root/reference/raw/datafiles/initialsinserts", rawDir)
       runner.runOnce()
       // no sleep needed: same-mtime-tick drops are disambiguated by the
       // checkpoint's boundary file names
-      drop("/root/reference/raw/datafiles/updates")
+      copyCsvsInto("/root/reference/raw/datafiles/updates", rawDir)
       runner.runOnce()
       cat.loadTable("example_namespace", "silver_orders").scan()
         .select(col("invoiceid"), col("itemid"), col("category"),
@@ -341,15 +344,9 @@ object SparkEntry {
       // full medallion incl. the gold aggregate layer on the fixture
       val base = tmp("graft-gold")
       val rawDir = s"$base/raw"
-      Files.createDirectories(Paths.get(rawDir))
       Seq("/root/reference/raw/datafiles/initialsinserts",
-        "/root/reference/raw/datafiles/updates").foreach { src =>
-        Files.list(Paths.get(src)).filter(_.toString.endsWith(".csv"))
-          .forEach { f =>
-            Files.copy(f, Paths.get(rawDir).resolve(f.getFileName),
-              StandardCopyOption.REPLACE_EXISTING)
-          }
-      }
+        "/root/reference/raw/datafiles/updates")
+        .foreach(copyCsvsInto(_, rawDir))
       val cat = new LakeCatalog(s, s"$base/warehouse")
       new PipelineRunner(s, cat, rawDir, s"$base/ckpt").runOnce()
       new graft.pipeline.SilverToGoldJob(s, cat, "example_namespace").run()

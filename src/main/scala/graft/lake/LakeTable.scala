@@ -230,6 +230,27 @@ final class LakeTable private (
       live = base.liveFiles.diff(affected) ++ added)
   }
 
+  /** Key-based copy-on-write DELETE: remove every row whose key appears
+    * in `keys` (a DataFrame carrying the key columns) — the CDC-delete
+    * primitive. Same affected-file pruning as [[merge]]: a key-column-
+    * only scan semi-joined with the distinct keys locates the files to
+    * rewrite; the rewrite anti-joins them away. Null keys never match. */
+  def deleteByKeys(keys: DataFrame, keyCols: Seq[String]): Long = {
+    val base = current
+    if (base.liveFiles.isEmpty) return base.snapshotId
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    val affected = readFiles(base.liveFiles)
+      .select((keyCols.map(col) :+ input_file_name().as(FILE_COL)): _*)
+      .join(k, keyCols, "left_semi")
+      .select(FILE_COL).distinct()
+      .collect().map(r => relativize(r.getString(0))).toSeq
+    if (affected.isEmpty) return base.snapshotId
+    val kept = readFiles(affected).join(k, keyCols, "left_anti")
+    val added = writeDataFiles(kept)
+    commit(base, "delete", added = added, removed = affected,
+      live = base.liveFiles.diff(affected) ++ added)
+  }
+
   /** Copy-on-write DELETE: rewrite only the files containing rows that
     * match `predicate`, keeping their non-matching rows; untouched files
     * carry forward by manifest reference (same pruning shape as MERGE —
@@ -303,8 +324,12 @@ final class LakeTable private (
       else all.select(partitionColumns.map(col): _*).distinct().count()
     val numParts = math.max(1L,
       nHivePartitions * targetFilesPerPartition).min(100000L).toInt
+    // salt must be DETERMINISTIC per row (content hash, not
+    // monotonically_increasing_id): a retried map task re-salting rows
+    // differently than its first attempt would duplicate/lose rows
+    // across reducers — and compact retires the only correct copy
     val salted = all
-      .withColumn(salt, pmod(xxhash64(monotonically_increasing_id()),
+      .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
         lit(targetFilesPerPartition)))
     val data = salted
       .repartition(numParts, (partitionColumns.map(col) :+ col(salt)): _*)

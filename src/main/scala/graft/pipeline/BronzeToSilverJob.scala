@@ -32,7 +32,8 @@ final class BronzeToSilverJob(
     checkpointPath: String,
     avroSchemaJson: String = BronzeToSilverJob.ordersAvroSchema,
     mergeKey: String = "invoiceid",
-    versionColumns: Seq[String] = BronzeToSilverJob.defaultVersionColumns,
+    versionColumns: Seq[org.apache.spark.sql.Column] =
+      BronzeToSilverJob.defaultVersionColumns,
     partitionBy: Seq[String] = Seq("destinationstate"),
     tableProperties: Map[String, String] = PipelineDefaults.tableProperties) {
 
@@ -58,23 +59,37 @@ final class BronzeToSilverJob(
     val silverSchema = AvroSchemaConverter.toStructType(avroSchemaJson)
 
     // last-writer-wins per business key, then drop Op/audit columns.
-    // Tie-break order matters when an insert AND its update land in the
-    // SAME ingest run (identical processed_time): Op desc makes 'U' beat
-    // 'I' — the CDC-correct resolution; input_file is the final
+    // Tie-break order matters when several CDC ops for one key land in
+    // the SAME ingest run (identical processed_time): Op priority
+    // D > U > I resolves them in CDC order (a delete chronologically
+    // follows the image it deletes); input_file is the final
     // deterministic tie-break.
     val deduped = Dedup.latestPerKey(incoming, Seq(mergeKey),
-      versionColumns.map(col))
-    val aligned = deduped.select(
-      silverSchema.fieldNames.map(col).toIndexedSeq: _*)
+      versionColumns)
 
-    val n = aligned.count()
     val silver =
       if (catalog.tableExists(namespace, silverTable))
         catalog.loadTable(namespace, silverTable)
       else
         catalog.createTable(namespace, silverTable, silverSchema,
           partitionBy, tableProperties)
+
+    // full CDC semantics: a key whose latest op is D is removed from
+    // silver (the reference's MERGE would upsert the delete image —
+    // row resurrection; we have a key-delete primitive, so use it)
+    val hasOp = incoming.columns.contains("Op")
+    val (deletes, upserts) =
+      if (hasOp)
+        (deduped.where(col("Op") === "D"),
+          deduped.where(col("Op") =!= "D" || col("Op").isNull))
+      else (null: DataFrame, deduped)
+
+    val aligned = upserts.select(
+      silverSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val n = aligned.count()
     silver.merge(aligned, Seq(mergeKey))
+    if (hasOp && !deletes.isEmpty)
+      silver.deleteByKeys(deletes.select(mergeKey), Seq(mergeKey))
 
     Checkpoint.save(checkpointPath, Map(CKPT_KEY -> latest.toString))
     n
@@ -84,10 +99,12 @@ final class BronzeToSilverJob(
 object BronzeToSilverJob {
   val CKPT_KEY = "last_processed_snapshot"
 
-  /** processed_time (ingest order) → Op ('U' > 'I' when tied within one
-    * run) → input_file (determinism). */
-  val defaultVersionColumns: Seq[String] =
-    Seq("processed_time", "Op", "input_file")
+  /** processed_time (ingest order) → Op priority D > U > I (CDC order
+    * when tied within one run) → input_file (determinism). */
+  def defaultVersionColumns: Seq[org.apache.spark.sql.Column] = Seq(
+    col("processed_time"),
+    when(col("Op") === "D", 2).when(col("Op") === "U", 1).otherwise(0),
+    col("input_file"))
 
   /** The silver `orders` contract — the 10 Avro-declared fields
     * (≡ scripts/bronze-silver.py:236-253; audit columns are consumed for

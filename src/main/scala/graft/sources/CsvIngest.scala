@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object CsvIngest {
 
+  /** The one option set both the batch and streaming ingest paths use —
+    * a format change here applies to both. */
+  def csvOptions(sep: String = "\t"): Map[String, String] = Map(
+    "sep" -> sep,
+    "header" -> "true",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+
   def read(spark: SparkSession, paths: Seq[String], sep: String = "\t",
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     require(paths.nonEmpty, "no input files")
-    val r = spark.read
-      .option("sep", sep)
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+    val r = spark.read.options(csvOptions(sep))
     schema match {
       case Some(s) => r.schema(s).csv(paths: _*)
       case None    => r.option("inferSchema", "true").csv(paths: _*)

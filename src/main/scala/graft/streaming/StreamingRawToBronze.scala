@@ -41,15 +41,24 @@ final class StreamingRawToBronze(
         !hfs.globStatus(new org.apache.hadoop.fs.Path(rawDir, "*.csv"))
           .exists(_.isFile)) return 0L
 
-    // the file stream source needs a declared schema: infer once from
-    // the CSVs present right now (one batch pass)
-    val schema = spark.read
-      .option("sep", "\t").option("header", "true")
-      .option("inferSchema", "true").csv(s"$rawDir/*.csv").schema
+    // the file stream source needs a declared schema. It must be STABLE
+    // across runs of the same checkpoint (a re-inference could flip a
+    // column's type and silently null-corrupt casts on append), and
+    // re-inferring over already-ingested files costs a full data pass —
+    // so: bronze exists → its schema (minus audit columns) is the
+    // contract; else infer once from the current files.
+    val schema =
+      if (catalog.tableExists(namespace, table)) {
+        val audit = Set("input_file", "processed_time", "processed_date")
+        org.apache.spark.sql.types.StructType(
+          catalog.loadTable(namespace, table).schema.fields
+            .filterNot(f => audit(f.name)))
+      } else
+        CsvIngest.read(spark, Seq(s"$rawDir/*.csv")).schema
 
     val appended = new java.util.concurrent.atomic.AtomicLong(0)
     val stream = spark.readStream
-      .option("sep", "\t").option("header", "true")
+      .options(CsvIngest.csvOptions())
       .option("pathGlobFilter", "*.csv") // stray _SUCCESS/.tmp files skip
       .schema(schema)
       .csv(rawDir)

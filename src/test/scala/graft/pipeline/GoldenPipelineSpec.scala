@@ -25,13 +25,14 @@ class GoldenPipelineSpec extends AnyFunSuite {
   private def copyCsvs(fromDir: String, toDir: String): Unit = {
     val to = Paths.get(toDir)
     Files.createDirectories(to)
-    Files.list(Paths.get(fromDir)).filter(_.toString.endsWith(".csv"))
+    val st = Files.list(Paths.get(fromDir))
+    try st.filter(_.toString.endsWith(".csv"))
       .forEach { f =>
         val dest = to.resolve(f.getFileName)
         Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
-        // ensure drop-2 files sort after drop-1 by mtime
         dest.toFile.setLastModified(System.currentTimeMillis())
       }
+    finally st.close()
   }
 
   test("cold start: BOTH drops in one run → updates still win (Op tie-break)") {
@@ -52,6 +53,33 @@ class GoldenPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cats(40994L) == "market####")
     assert(cats(83597L) == "language####")
+  }
+
+  test("CDC delete: a D row removes its key from silver") {
+    assume(Files.exists(Paths.get(refInserts)), "reference data not present")
+    val base = TestSpark.tmpDir("golden-del")
+    val rawDir = s"$base/raw"
+    val cat = new LakeCatalog(spark, s"$base/warehouse")
+    val runner = new PipelineRunner(spark, cat, rawDir, s"$base/checkpoints")
+
+    copyCsvs(refInserts, rawDir)
+    runner.runOnce()
+
+    // drop 2: delete invoice 24137 (a D row mirroring its insert image)
+    val insertCsv = Files.readString(Files.list(Paths.get(refInserts))
+      .filter(_.toString.endsWith(".csv")).findFirst().get())
+    val lines = insertCsv.linesIterator.toSeq
+    val deleteRow = lines.find(_.contains("\t24137\t")).get
+      .replaceFirst("^I\t", "D\t")
+    val drop2 = Paths.get(rawDir).resolve("zz_delete.csv")
+    Files.writeString(drop2, lines.head + "\n" + deleteRow + "\n")
+    drop2.toFile.setLastModified(System.currentTimeMillis())
+    runner.runOnce()
+
+    val silver = cat.loadTable("example_namespace", "silver_orders").scan()
+    assert(silver.count() == 4)
+    assert(silver.where(org.apache.spark.sql.functions
+      .col("invoiceid") === 24137L).count() == 0)
   }
 
   test("reference fixture: two drops → bronze 7 rows, silver 5, updates win") {

@@ -12,9 +12,11 @@ class StreamingRawToBronzeSpec extends AnyFunSuite {
 
   private def copyCsvs(from: String, to: String): Unit = {
     Files.createDirectories(Paths.get(to))
-    Files.list(Paths.get(from)).filter(_.toString.endsWith(".csv"))
+    val st = Files.list(Paths.get(from))
+    try st.filter(_.toString.endsWith(".csv"))
       .forEach(f => Files.copy(f, Paths.get(to).resolve(f.getFileName),
         StandardCopyOption.REPLACE_EXISTING))
+    finally st.close()
   }
 
   test("streaming ingest: Spark's file tracking picks up only new drops") {
