@@ -61,13 +61,15 @@ object ScaleSmoke {
       // move into the raw dir as the pipeline expects flat CSV drops
       val raw = Paths.get(s"$workDir/raw")
       Files.createDirectories(raw)
-      Files.list(Paths.get(dir)).filter(_.toString.endsWith(".csv"))
+      val st = Files.list(Paths.get(dir))
+      try st.filter(_.toString.endsWith(".csv"))
         .forEach { f =>
           Files.move(f, raw.resolve(f.getFileName),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           raw.resolve(f.getFileName).toFile
             .setLastModified(System.currentTimeMillis())
         }
+      finally st.close()
     }
 
     val cat = new LakeCatalog(spark, s"$workDir/warehouse")
@@ -85,7 +87,7 @@ object ScaleSmoke {
       .withColumn("o_orderstatus", lit("UPDATED"))
     val nUpd = updates.count()
     println(s"[scale] drop 2: $nUpd updates")
-    Thread.sleep(1100)
+    // no sleep: same-tick drops are handled by the boundary-file names
     t0 = System.nanoTime()
     writeDrop(asCdc(updates, "U"), s"$workDir/stage2")
     val (b2, s2) = runner.runOnce()

@@ -44,8 +44,26 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+
+  /** Temp dir for a query's scratch lake table, removed at JVM exit —
+    * repeated Verify/Bench runs must not accumulate table copies. */
+  private def tmp(prefix: String): String = {
+    cleanupHook
+    val d = Files.createTempDirectory(prefix)
+    tmpDirs.add(d)
+    d.toString
+  }
 
   /** Copy the .csv files of `src` into `rawDir`, refreshing mtimes.
     * (Files.list streams hold a directory fd — close them.) */

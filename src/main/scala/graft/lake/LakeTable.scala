@@ -77,15 +77,19 @@ final class LakeTable private (
   def properties: Map[String, String] = current.properties
 
   /** All retained snapshots, oldest → newest (linear history; early
-    * snapshots may have been removed by [[expireSnapshots]]). */
+    * snapshots may have been removed by [[expireSnapshots]]). Metadata
+    * files beyond HEAD are orphans of a crashed commit (written but
+    * never made current) and are excluded. */
   def snapshots: Seq[Snapshot] = {
     if (!fs.exists(metaDir)) return Nil
+    val head = currentSnapshotId.getOrElse(return Nil)
     val re = "^v(\\d+)\\.json$".r
     fs.listStatus(metaDir).toSeq
       .flatMap(s => s.getPath.getName match {
         case re(id) => Some(id.toLong)
         case _ => None
       })
+      .filter(_ <= head)
       .sorted.map(snapshot)
   }
 
@@ -421,12 +425,25 @@ final class LakeTable private (
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, base.schemaJson, base.partitionColumns,
       base.properties)
+    // crash recovery: a v<id>.json left by a commit that died before its
+    // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
+    // table could never commit again. Age-gated so a LIVE racing writer's
+    // freshly-written file is never mistaken for one (racers collide
+    // within ms and lose via the exclusive create; a crashed commit is
+    // retried much later).
+    val metaPath = new Path(metaDir, s"v$id.json")
+    if (fs.exists(metaPath) && currentSnapshotId.contains(base.snapshotId)
+        && System.currentTimeMillis() -
+          fs.getFileStatus(metaPath).getModificationTime > ORPHAN_GRACE_MS)
+      fs.delete(metaPath, false)
     // optimistic concurrency: exclusive create of v<id>.json fails if a
     // racing writer committed the same version first
-    writeStringExclusive(fs, new Path(metaDir, s"v$id.json"), snap.toJson)
+    writeStringExclusive(fs, metaPath, snap.toJson)
     val now = currentSnapshotId
     if (!now.contains(base.snapshotId)) {
-      fs.delete(new Path(metaDir, s"v$id.json"), false)
+      // clean our metadata only while it is still beyond HEAD — if HEAD
+      // reached id, the file may be the winner's current snapshot
+      if (now.exists(_ < id)) fs.delete(metaPath, false)
       throw new java.util.ConcurrentModificationException(
         s"table $root HEAD moved to $now during commit of $id")
     }
@@ -451,6 +468,9 @@ object LakeTable {
   val PROP_DELETE_MODE = "write.delete.mode"
   val PROP_UPDATE_MODE = "write.update.mode"
   val PROP_FORMAT_VERSION = "format-version"
+  /** Min age before a beyond-HEAD metadata file counts as a crashed
+    * commit's orphan (see commit()). */
+  val ORPHAN_GRACE_MS: Long = 5000L
   private val FILE_COL = "__graft_file"
   private val SRC_MARK = "__graft_is_src"
 

@@ -13,6 +13,15 @@ import graft.plans.expressions.{minhashSignature, simhash64}
   * candidate generation always via bucket joins (never an O(n²) cross
   * join), so each scales to billions of documents by partition count
   * alone.
+  *
+  * Note: minHashPairs/ngramJaccardPairs `persist()` their shared
+  * shingle/gram subtree (three consumers would otherwise recompute the
+  * tokenize→shingle→explode pass). The returned DataFrame is lazy, so
+  * the operator cannot unpersist before the caller's action — callers
+  * running many such queries in one session should
+  * `spark.catalog.clearCache()` between them (Verify/Bench do), or cache
+  * eviction will reclaim the spillable MEMORY_AND_DISK blocks under
+  * pressure.
   */
 object TextDedup {
 

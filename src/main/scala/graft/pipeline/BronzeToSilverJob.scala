@@ -32,8 +32,7 @@ final class BronzeToSilverJob(
     checkpointPath: String,
     avroSchemaJson: String = BronzeToSilverJob.ordersAvroSchema,
     mergeKey: String = "invoiceid",
-    versionColumns: Seq[org.apache.spark.sql.Column] =
-      BronzeToSilverJob.defaultVersionColumns,
+    versionColumns: Option[Seq[org.apache.spark.sql.Column]] = None,
     partitionBy: Seq[String] = Seq("destinationstate"),
     tableProperties: Map[String, String] = PipelineDefaults.tableProperties) {
 
@@ -64,8 +63,14 @@ final class BronzeToSilverJob(
     // D > U > I resolves them in CDC order (a delete chronologically
     // follows the image it deletes); input_file is the final
     // deterministic tie-break.
-    val deduped = Dedup.latestPerKey(incoming, Seq(mergeKey),
-      versionColumns)
+    // version order adapts to the columns actually present, so an
+    // Op-less (non-CDC) bronze feed works out of the box
+    val cols = incoming.columns.toSet
+    val versionCols = versionColumns.getOrElse(
+      Seq(col("processed_time")) ++
+        (if (cols("Op")) Seq(BronzeToSilverJob.opPriority) else Nil) ++
+        (if (cols("input_file")) Seq(col("input_file")) else Nil))
+    val deduped = Dedup.latestPerKey(incoming, Seq(mergeKey), versionCols)
 
     val silver =
       if (catalog.tableExists(namespace, silverTable))
@@ -77,7 +82,7 @@ final class BronzeToSilverJob(
     // full CDC semantics: a key whose latest op is D is removed from
     // silver (the reference's MERGE would upsert the delete image —
     // row resurrection; we have a key-delete primitive, so use it)
-    val hasOp = incoming.columns.contains("Op")
+    val hasOp = cols("Op")
     val (deletes, upserts) =
       if (hasOp)
         (deduped.where(col("Op") === "D"),
@@ -99,12 +104,10 @@ final class BronzeToSilverJob(
 object BronzeToSilverJob {
   val CKPT_KEY = "last_processed_snapshot"
 
-  /** processed_time (ingest order) → Op priority D > U > I (CDC order
-    * when tied within one run) → input_file (determinism). */
-  def defaultVersionColumns: Seq[org.apache.spark.sql.Column] = Seq(
-    col("processed_time"),
-    when(col("Op") === "D", 2).when(col("Op") === "U", 1).otherwise(0),
-    col("input_file"))
+  /** Op priority D > U > I — CDC order when several ops for one key tie
+    * on processed_time within one ingest run. */
+  def opPriority: org.apache.spark.sql.Column =
+    when(col("Op") === "D", 2).when(col("Op") === "U", 1).otherwise(0)
 
   /** The silver `orders` contract — the 10 Avro-declared fields
     * (≡ scripts/bronze-silver.py:236-253; audit columns are consumed for

@@ -14,8 +14,16 @@ import graft.checkpoint.Checkpoint
   * HDFS, or an object store — the driver touches only file *metadata*
   * (names + mtimes), never data; listing 100k raw files is a single
   * recursive LIST. The checkpoint stores the max mtime of the files
-  * actually processed (not wall-clock), so a slow producer can never race
-  * the committer.
+  * actually processed (not wall-clock) plus the file NAMES at that exact
+  * mtime, so a producer writing a second file in the same mtime granule
+  * after our listing is still picked up next run.
+  *
+  * Contract (inherent to mtime checkpointing, same as the reference's):
+  * delivery must be mtime-monotonic. A file landing with an mtime BELOW
+  * the committed boundary (mtime-preserving copies like `rsync -a`,
+  * producer clock skew) is not detected — feeds like that should use
+  * [[graft.streaming.StreamingRawToBronze]], whose seen-files log tracks
+  * names, not times.
   */
 final class IncrementalFileSource(
     spark: SparkSession,

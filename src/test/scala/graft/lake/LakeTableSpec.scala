@@ -251,6 +251,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.scan().count() == 1000)
   }
 
+  test("crashed commit (metadata written, HEAD not swapped) does not wedge the table") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df) // HEAD = 2
+    // simulate a crash: v3.json exists but HEAD never moved
+    val orphan = new org.apache.hadoop.fs.Path(root, "metadata/v3.json")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(orphan, false)
+    out.write("{\"snapshot_id\": 3}".getBytes("UTF-8")); out.close()
+    // crashed long ago (recovery is age-gated against live racers)
+    fs.setTimes(orphan,
+      System.currentTimeMillis() - LakeTable.ORPHAN_GRACE_MS - 1000, -1)
+    // orphans beyond HEAD are invisible to history/snapshots
+    assert(t.snapshots.map(_.snapshotId) == Seq(1L, 2L))
+    // and the next commit recovers by replacing the orphan
+    val id = t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(id == 3L)
+    assert(t.scan().count() == 2)
+  }
+
   test("merge with an empty source is a no-op on content") {
     val root = freshRoot
     val df = Seq((1L, "a")).toDF("id", "v")
