@@ -1,0 +1,264 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** Per-data-file column min/max statistics — the manifest information that
+  * lets MERGE/DELETE prune candidate files BEFORE any data scan (≡ Iceberg's
+  * per-file `lower_bounds`/`upper_bounds`, which is what makes the
+  * reference's incremental MERGE cheap on a large table:
+  * scripts/bronze-silver.py:149-152,209-217).
+  *
+  * Collection is free of data movement: bounds come from the Parquet footers
+  * of the files just written (cost ∝ commit size, never table size) plus the
+  * hive partition-directory values. Values are stored as strings in a
+  * type-normalized domain so range intersection at prune time is a plain
+  * comparison:
+  *
+  *   - integral / boolean / date / timestamp  →  decimal Long
+  *     (days for DATE, microseconds for TIMESTAMP)
+  *   - float / double                         →  Double
+  *   - string                                 →  raw UTF-8 (unsigned byte
+  *     order — what both Parquet's UTF8 comparator and Spark's UTF8String
+  *     ordering use), omitted when > 96 bytes so manifests stay small
+  *
+  * A column with unknown bounds is simply absent for that file → the file
+  * is conservatively kept by every prune. Correctness never depends on a
+  * stat being present.
+  */
+object FileStats {
+
+  /** Strings longer than this (bytes) are not recorded — keeps manifests
+    * small when a table carries document bodies. */
+  private val MaxStringStatBytes = 96
+
+  /** Types whose bounds we can both collect and compare. A key of any
+    * other type disables pruning (full candidate set), never correctness. */
+  def supportsPruning(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+        DateType | TimestampType | FloatType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  /** Expression projecting `c` into the stat domain above, for computing
+    * source-side key bounds with a plain min/max aggregate. */
+  def boundExpr(c: String, dt: DataType): Column = dt match {
+    case StringType => col(c)
+    case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast(LongType)
+    case TimestampType => unix_micros(col(c))
+    case BooleanType => col(c).cast(IntegerType).cast(LongType)
+    case ByteType | ShortType | IntegerType | LongType => col(c).cast(LongType)
+    case FloatType | DoubleType => col(c).cast(DoubleType)
+    case other =>
+      throw new IllegalArgumentException(s"no stat domain for $other")
+  }
+
+  /** Domain comparison of two encoded stat values of type `dt`. */
+  def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case StringType =>
+      unsignedCompare(a.getBytes(StandardCharsets.UTF_8),
+        b.getBytes(StandardCharsets.UTF_8))
+    case _ => java.lang.Long.compare(a.toLong, b.toLong)
+  }
+
+  /** Does file range [fMin, fMax] intersect source range [sMin, sMax]? */
+  def rangesOverlap(dt: DataType, fMin: String, fMax: String,
+      sMin: String, sMax: String): Boolean =
+    !(cmp(dt, fMax, sMin) < 0 || cmp(dt, fMin, sMax) > 0)
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  // -------------------------------------------------------------- collection
+
+  /** Bounds for one freshly written data file: partition values parsed from
+    * the hive path (exact — the partition column is not stored in the file)
+    * plus footer min/max for the data columns. Never throws: a file whose
+    * footer can't be decoded just gets no stats. */
+  def collect(conf: Configuration, file: Path, schema: StructType,
+      partitionColumns: Seq[String], relPath: String): Map[String, ColStat] = {
+    val fromPath = partitionStats(schema, partitionColumns, relPath)
+    val dataCols = schema.fields
+      .filterNot(f => partitionColumns.contains(f.name))
+      .filter(f => supportsPruning(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+    if (dataCols.isEmpty) return fromPath
+    val footer = Try(footerStats(conf, file, dataCols)).getOrElse(Map.empty)
+    fromPath ++ footer
+  }
+
+  private def footerStats(conf: Configuration, file: Path,
+      dataCols: Map[String, DataType]): Map[String, ColStat] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      // Combine bounds across row groups; a column is dropped for the whole
+      // file the moment any group's stats are missing or undecodable.
+      val acc = mutable.Map.empty[String, (String, String)]
+      val dropped = mutable.Set.empty[String]
+      for (block <- reader.getFooter.getBlocks.asScala;
+          cc <- block.getColumns.asScala) {
+        val path = cc.getPath.toArray
+        if (path.length == 1 && dataCols.contains(path(0)) &&
+            !dropped(path(0))) {
+          val name = path(0)
+          val dt = dataCols(name)
+          decodeChunk(cc, dt) match {
+            case None => dropped += name; acc.remove(name)
+            case Some(None) => // all-null chunk: contributes no values
+            case Some(Some((mn, mx))) =>
+              acc.get(name) match {
+                case Some((m0, x0)) =>
+                  acc(name) = (if (cmp(dt, mn, m0) < 0) mn else m0,
+                    if (cmp(dt, mx, x0) > 0) mx else x0)
+                case None => acc(name) = (mn, mx)
+              }
+          }
+        }
+      }
+      acc.map { case (k, (mn, mx)) => k -> ColStat(mn, mx) }.toMap
+    } finally reader.close()
+  }
+
+  /** None = unknown (drop column for the file); Some(None) = chunk has no
+    * non-null values (skip); Some(Some(bounds)) = encoded chunk bounds. */
+  private def decodeChunk(cc: ColumnChunkMetaData,
+      dt: DataType): Option[Option[(String, String)]] = {
+    val st = cc.getStatistics
+    if (st == null || st.isEmpty) return None
+    if (!st.hasNonNullValue) return Some(None)
+    val pt = cc.getPrimitiveType
+    val ann = pt.getLogicalTypeAnnotation
+
+    def longs(mn: Long, mx: Long) = Some(Some((mn.toString, mx.toString)))
+
+    (pt.getPrimitiveTypeName, dt) match {
+      case (PrimitiveTypeName.BOOLEAN, BooleanType) =>
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Boolean]
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Boolean]
+        longs(if (mn) 1L else 0L, if (mx) 1L else 0L)
+      case (PrimitiveTypeName.INT32,
+          ByteType | ShortType | IntegerType | DateType) =>
+        ann match {
+          case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if !a.isSigned => None
+          case _ =>
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Integer]
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Integer]
+            longs(mn.longValue(), mx.longValue())
+        }
+      case (PrimitiveTypeName.INT64, LongType) =>
+        ann match {
+          case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if !a.isSigned => None
+          case _ =>
+            longs(st.genericGetMin.asInstanceOf[java.lang.Long],
+              st.genericGetMax.asInstanceOf[java.lang.Long])
+        }
+      case (PrimitiveTypeName.INT64, TimestampType) =>
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => longs(mn, mx)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                longs(mn * 1000L, mx * 1000L)
+              case _ => None // NANOS etc.: not a domain we normalize
+            }
+          case _ => None
+        }
+      case (PrimitiveTypeName.FLOAT, FloatType | DoubleType) =>
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Float]
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Float]
+        Some(Some((mn.doubleValue().toString, mx.doubleValue().toString)))
+      case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Double]
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Double]
+        Some(Some((mn.toString, mx.toString)))
+      case (PrimitiveTypeName.BINARY, StringType) =>
+        ann match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            val mn = st.genericGetMin.asInstanceOf[Binary]
+            val mx = st.genericGetMax.asInstanceOf[Binary]
+            if (mn.length > MaxStringStatBytes ||
+              mx.length > MaxStringStatBytes) None
+            else Some(Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  // --------------------------------------------------- hive-path partitions
+
+  private def partitionStats(schema: StructType, partitionColumns: Seq[String],
+      relPath: String): Map[String, ColStat] = {
+    if (partitionColumns.isEmpty) return Map.empty
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    relPath.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val name = seg.substring(0, i)
+        val raw = unescapePathSegment(seg.substring(i + 1))
+        if (!partitionColumns.contains(name) ||
+          raw == "__HIVE_DEFAULT_PARTITION__") None
+        else byName.get(name)
+          .flatMap(dt => encodePartitionValue(dt, raw))
+          .map(v => name -> ColStat(v, v))
+      }
+    }.toMap
+  }
+
+  private def encodePartitionValue(dt: DataType, raw: String): Option[String] =
+    Try(dt match {
+      case StringType => raw
+      case ByteType | ShortType | IntegerType | LongType => raw.toLong.toString
+      case BooleanType => (if (raw.toBoolean) 1L else 0L).toString
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toString
+      case FloatType | DoubleType => raw.toDouble.toString
+      case _ => throw new IllegalArgumentException(raw)
+    }).toOption
+
+  /** Inverse of Spark's hive-path escaping (`%XX` per special char). */
+  private def unescapePathSegment(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)).toOption
+        hex match {
+          case Some(v) => sb.append(v.toChar); i += 3
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

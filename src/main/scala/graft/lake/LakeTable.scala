@@ -161,17 +161,17 @@ final class LakeTable private (
   /** Append-only write (≡ reference K1, scripts/raw-bronze.py:180-182). */
   def append(df: DataFrame): Long = {
     val base = current
-    val added = writeDataFiles(alignToSchema(df))
+    val (added, stats) = writeDataFiles(alignToSchema(df))
     commit(base, "append", added = added, removed = Nil,
-      live = base.liveFiles ++ added)
+      live = base.liveFiles ++ added, addedStats = stats)
   }
 
   /** Replace all data (≡ reference K2, scripts/raw-bronze.py:183-185). */
   def overwrite(df: DataFrame): Long = {
     val base = current
-    val added = writeDataFiles(alignToSchema(df))
+    val (added, stats) = writeDataFiles(alignToSchema(df))
     commit(base, "overwrite", added = added, removed = base.liveFiles,
-      live = added)
+      live = added, addedStats = stats)
   }
 
   /** Copy-on-write MERGE: upsert `source` into this table keyed on `keys`
@@ -194,21 +194,28 @@ final class LakeTable private (
     val src = alignToSchema(source)
     if (base.liveFiles.isEmpty) return append(src)
 
-    // 1) Affected-file pruning: key-columns-only scan of the target,
-    //    semi-joined with the distinct source keys. Reads just the key
-    //    columns from Parquet; AQE broadcasts the key set when small.
+    // 1) Affected-file pruning, two stages:
+    //    (a) manifest-stats range intersection — driver-only, touches ZERO
+    //        data; at 100 TB this is what keeps a merge's cost proportional
+    //        to the key range it touches, not to table size;
+    //    (b) key-columns-only scan of the surviving files, semi-joined with
+    //        the distinct source keys (column-pruned Parquet scan; AQE
+    //        broadcasts the key set when small).
+    val candidates = pruneByStats(base, src, keys)
     val srcKeys = src.select(keys.map(col): _*).distinct()
-    val affected = readFiles(base.liveFiles)
-      .select((keys.map(col) :+ input_file_name().as(FILE_COL)): _*)
-      .join(srcKeys, keys, "left_semi")
-      .select(FILE_COL).distinct()
-      .collect().map(r => relativize(r.getString(0))).toSeq
+    val affected =
+      if (candidates.isEmpty) Nil
+      else readFiles(candidates)
+        .select((keys.map(col) :+ input_file_name().as(FILE_COL)): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select(FILE_COL).distinct()
+        .collect().map(r => relativize(r.getString(0))).toSeq
 
     if (affected.isEmpty) {
       // pure-insert batch: nothing to rewrite
-      val added = writeDataFiles(src)
+      val (added, stats) = writeDataFiles(src)
       return commit(base, "merge", added = added, removed = Nil,
-        live = base.liveFiles ++ added)
+        live = base.liveFiles ++ added, addedStats = stats)
     }
 
     // 2) Rewrite ONLY the affected files: full-outer join with the source;
@@ -229,9 +236,46 @@ final class LakeTable private (
           .otherwise(col(s"t.$c")).as(c)
       }: _*)
 
-    val added = writeDataFiles(merged)
+    val (added, stats) = writeDataFiles(merged)
     commit(base, "merge", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+  }
+
+  /** Stats-based candidate pruning for key-equality operations: a file
+    * whose recorded [min, max] for ANY key column is disjoint from the
+    * source's key range cannot contain a matching row. Files or columns
+    * without recorded bounds are conservatively kept; an unsupported key
+    * type disables pruning entirely. Costs one tiny agg over the source's
+    * key columns and a driver-side manifest walk — no table data is read. */
+  private def pruneByStats(base: Snapshot, src: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!keys.forall(k => FileStats.supportsPruning(types(k))))
+      return base.liveFiles
+    if (base.fileStats.isEmpty) return base.liveFiles
+    val aggs = keys.flatMap { k =>
+      val e = FileStats.boundExpr(k, types(k))
+      Seq(min(e).as(s"__min_$k"), max(e).as(s"__max_$k"))
+    }
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = keys.zipWithIndex.map { case (k, i) =>
+      val mn = row.get(2 * i)
+      val mx = row.get(2 * i + 1)
+      // a key column with zero non-null source values matches nothing
+      // (plain-equality contract): no file can be affected
+      if (mn == null || mx == null) return Nil
+      k -> ((mn.toString, mx.toString))
+    }.toMap
+    base.liveFiles.filter { f =>
+      base.fileStats.get(f).forall { st =>
+        keys.forall { k =>
+          st.get(k).forall { cs =>
+            val (sMin, sMax) = bounds(k)
+            FileStats.rangesOverlap(types(k), cs.min, cs.max, sMin, sMax)
+          }
+        }
+      }
+    }
   }
 
   /** Key-based copy-on-write DELETE: remove every row whose key appears
@@ -243,16 +287,18 @@ final class LakeTable private (
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
     val k = keys.select(keyCols.map(col): _*).distinct()
-    val affected = readFiles(base.liveFiles)
+    val candidates = pruneByStats(base, k, keyCols)
+    if (candidates.isEmpty) return base.snapshotId
+    val affected = readFiles(candidates)
       .select((keyCols.map(col) :+ input_file_name().as(FILE_COL)): _*)
       .join(k, keyCols, "left_semi")
       .select(FILE_COL).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
     if (affected.isEmpty) return base.snapshotId
     val kept = readFiles(affected).join(k, keyCols, "left_anti")
-    val added = writeDataFiles(kept)
+    val (added, stats) = writeDataFiles(kept)
     commit(base, "delete", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
   }
 
   /** Copy-on-write DELETE: rewrite only the files containing rows that
@@ -274,9 +320,9 @@ final class LakeTable private (
     // DELETE only removes rows where it evaluates to true
     val kept = readFiles(affected)
       .where(!coalesce(predicate, lit(false)))
-    val added = writeDataFiles(kept)
+    val (added, stats) = writeDataFiles(kept)
     commit(base, "delete", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching
@@ -304,9 +350,9 @@ final class LakeTable private (
         case None => col(f.name)
       }
     }.toIndexedSeq: _*)
-    val added = writeDataFiles(rewritten)
+    val (added, stats) = writeDataFiles(rewritten)
     commit(base, "update", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
   }
 
   /** Bin-pack compaction: rewrite the current data into at most
@@ -338,9 +384,9 @@ final class LakeTable private (
     val data = salted
       .repartition(numParts, (partitionColumns.map(col) :+ col(salt)): _*)
       .drop(salt)
-    val added = writeDataFiles(data)
+    val (added, stats) = writeDataFiles(data)
     commit(base, "compact", added = added, removed = base.liveFiles,
-      live = added)
+      live = added, addedStats = stats)
   }
 
   /** Expire snapshots older than the latest `keepLast`, deleting their
@@ -379,27 +425,39 @@ final class LakeTable private (
 
   /** Write df's rows as new Parquet data files (hive-partitioned when the
     * table has a partition spec) via a staging dir, then move each file
-    * under data/. Returns the table-root-relative paths of the new files.
-    * File names carry Spark's task UUIDs — unique across commits. */
-  private def writeDataFiles(df: DataFrame): Seq[String] = {
+    * under data/. Returns the table-root-relative paths of the new files
+    * plus their per-column bounds (read from the fresh Parquet footers —
+    * cost ∝ commit size, see [[FileStats]]). File names carry Spark's task
+    * UUIDs — unique across commits. */
+  private def writeDataFiles(
+      df: DataFrame): (Seq[String], Map[String, Map[String, ColStat]]) = {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     try {
+      // INT96 timestamps carry no usable Parquet stats; micros do, and are
+      // the modern representation every reader (incl. DuckDB) understands
+      df.sparkSession.conf
+        .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val codec = properties.getOrElse(PROP_COMPRESSION, "snappy")
       var w = df.write.mode("overwrite").option("compression", codec)
       if (partitionColumns.nonEmpty)
         w = w.partitionBy(partitionColumns: _*)
       w.parquet(staging.toString)
 
+      val sch = schema
       val files = listParquet(fs, staging)
+      val statsB = Map.newBuilder[String, Map[String, ColStat]]
       val rels = files.map { f =>
         val rel = relativePath(staging, f)
         val dest = new Path(dataDir, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
           throw new java.io.IOException(s"rename $f -> $dest failed")
-        s"$DATA_DIR/$rel"
+        val key = s"$DATA_DIR/$rel"
+        val st = FileStats.collect(hconf, dest, sch, partitionColumns, key)
+        if (st.nonEmpty) statsB += key -> st
+        key
       }
-      rels
+      (rels, statsB.result())
     } finally fs.delete(staging, true)
   }
 
@@ -420,11 +478,15 @@ final class LakeTable private (
   }
 
   private def commit(base: Snapshot, op: String, added: Seq[String],
-      removed: Seq[String], live: Seq[String]): Long = {
+      removed: Seq[String], live: Seq[String],
+      addedStats: Map[String, Map[String, ColStat]] = Map.empty): Long = {
     val id = base.snapshotId + 1
+    val liveSet = live.toSet
+    val stats =
+      base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, base.schemaJson, base.partitionColumns,
-      base.properties)
+      base.properties, stats)
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
     // table could never commit again. Age-gated so a LIVE racing writer's

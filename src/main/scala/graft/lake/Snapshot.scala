@@ -29,7 +29,12 @@ final case class Snapshot(
     liveFiles: Seq[String],
     schemaJson: String,
     partitionColumns: Seq[String],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    /** Per-live-file column bounds (see [[FileStats]]) — what MERGE/DELETE
+      * range-prune against before touching any data. Keyed by the same
+      * root-relative path as `liveFiles`; absent file or column = unknown
+      * bounds (conservatively scanned). */
+    fileStats: Map[String, Map[String, ColStat]] = Map.empty) {
 
   def toJson: String = {
     val m = Snapshot.mapper
@@ -48,6 +53,20 @@ final case class Snapshot(
     arr("partition_columns", partitionColumns)
     val p = n.putObject("properties")
     properties.foreach { case (k, v) => p.put(k, v) }
+    if (fileStats.nonEmpty) {
+      val so = n.putObject("stats")
+      // manifest order follows liveFiles for stable, diffable metadata
+      liveFiles.foreach { f =>
+        fileStats.get(f).filter(_.nonEmpty).foreach { cols =>
+          val fo = so.putObject(f)
+          cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+            val co = fo.putObject(c)
+            co.put("min", cs.min)
+            co.put("max", cs.max)
+          }
+        }
+      }
+    }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 }
@@ -71,7 +90,19 @@ object Snapshot {
       schemaJson = n.path("schema").asText(),
       partitionColumns = arr("partition_columns"),
       properties = n.path("properties").properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap
+        .map(e => e.getKey -> e.getValue.asText()).toMap,
+      fileStats =
+        if (!n.has("stats")) Map.empty
+        else n.path("stats").properties().asScala.map { fe =>
+          fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+            ce.getKey -> ColStat(ce.getValue.path("min").asText(),
+              ce.getValue.path("max").asText())
+          }.toMap
+        }.toMap
     )
   }
 }
+
+/** Min/max of one column in one data file, encoded in the type-normalized
+  * string domain defined by [[FileStats]]. */
+final case class ColStat(min: String, max: String)
