@@ -1,13 +1,19 @@
 package graft.checkpoint
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 
 import scala.jdk.CollectionConverters._
 
-/** Tiny JSON checkpoint document with atomic commit (tmp + rename).
+/** Tiny JSON checkpoint document with atomic commit (tmp + rename),
+  * scheme-dispatched through the Hadoop `FileSystem` API — a `file://`
+  * path hits the local FS, an `hdfs://`/`s3a://` path hits the cluster
+  * store, with no code change (the same dispatch every other component —
+  * LakeTable, IncrementalFileSource — already uses).
   *
   * Capability parity with the reference's S3/local checkpoint helpers
   * (reference: scripts/raw-bronze.py:36-53,87-99 and
@@ -24,13 +30,25 @@ object Checkpoint {
 
   private val mapper = new ObjectMapper()
 
+  private def conf = new Configuration()
+
   /** Load the checkpoint as a string->string map; None if absent/corrupt. */
   def load(path: String): Option[Map[String, String]] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) None
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
     else
       try {
-        val root = mapper.readTree(Files.readAllBytes(p))
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        val root = mapper.readTree(bytes)
         val m = root.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
         Some(m)
@@ -40,19 +58,29 @@ object Checkpoint {
   def loadKey(path: String, key: String): Option[String] =
     load(path).flatMap(_.get(key))
 
-  /** Atomically write the checkpoint: tmp file + ATOMIC_MOVE rename. */
+  /** Atomically write the checkpoint: tmp file + overwriting rename
+    * (`FileContext.rename(OVERWRITE)` — atomic on HDFS and POSIX; on an
+    * object store it degrades to copy+delete, which is still safe here
+    * because the reader treats a torn/absent file as "no checkpoint"). */
   def save(path: String, doc: Map[String, String]): Unit = {
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (p.getParent != null) fs.mkdirs(p.getParent)
     val node = mapper.createObjectNode()
     doc.foreach { case (k, v) => node.put(k, v) }
     val json = mapper.writeValueAsString(node)
-    val tmp: Path = Files.createTempFile(
-      if (p.getParent != null) p.getParent else Paths.get("."), ".ckpt", ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val tmp = new Path(
+      if (p.getParent != null) p.getParent else new Path("."),
+      s".ckpt-${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
-  def delete(path: String): Unit = Files.deleteIfExists(Paths.get(path))
+  def delete(path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(conf).delete(p, false)
+  }
 }

@@ -156,6 +156,21 @@ object FileStats {
 
     def longs(mn: Long, mx: Long) = Some(Some((mn.toString, mx.toString)))
 
+    // FP bounds are only safe when well-ordered: parquet-mr's min/max are
+    // NaN-poisoned (Math.min/max propagate NaN), and Double.compare puts
+    // NaN above every value — a [1.0, NaN] file would record min=max=NaN
+    // and be pruned against source key 1.0, silently missing rows. Drop
+    // NaN-bearing bounds; widen ±0.0 (min 0.0 → -0.0, max -0.0 → +0.0)
+    // so a file holding -0.0 is never pruned against source 0.0 (Spark
+    // join equality treats 0.0 == -0.0).
+    def fpBounds(mn: Double, mx: Double): Option[Option[(String, String)]] =
+      if (mn.isNaN || mx.isNaN) None
+      else {
+        val lo = if (mn == 0.0) -0.0 else mn
+        val hi = if (mx == 0.0) 0.0 else mx
+        Some(Some((lo.toString, hi.toString)))
+      }
+
     (pt.getPrimitiveTypeName, dt) match {
       case (PrimitiveTypeName.BOOLEAN, BooleanType) =>
         val mn = st.genericGetMin.asInstanceOf[java.lang.Boolean]
@@ -195,11 +210,11 @@ object FileStats {
       case (PrimitiveTypeName.FLOAT, FloatType | DoubleType) =>
         val mn = st.genericGetMin.asInstanceOf[java.lang.Float]
         val mx = st.genericGetMax.asInstanceOf[java.lang.Float]
-        Some(Some((mn.doubleValue().toString, mx.doubleValue().toString)))
+        fpBounds(mn.doubleValue(), mx.doubleValue())
       case (PrimitiveTypeName.DOUBLE, DoubleType) =>
         val mn = st.genericGetMin.asInstanceOf[java.lang.Double]
         val mx = st.genericGetMax.asInstanceOf[java.lang.Double]
-        Some(Some((mn.toString, mx.toString)))
+        fpBounds(mn.doubleValue(), mx.doubleValue())
       case (PrimitiveTypeName.BINARY, StringType) =>
         ann match {
           case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>

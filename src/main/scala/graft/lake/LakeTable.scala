@@ -8,6 +8,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** A snapshot-versioned, partitioned, Parquet-backed table — the engine's
   * native reimplementation of the Iceberg capabilities the reference uses
   * (reference: scripts/raw-bronze.py:158-185, scripts/bronze-silver.py:115-217):
@@ -247,7 +249,7 @@ final class LakeTable private (
     * without recorded bounds are conservatively kept; an unsupported key
     * type disables pruning entirely. Costs one tiny agg over the source's
     * key columns and a driver-side manifest walk — no table data is read. */
-  private def pruneByStats(base: Snapshot, src: DataFrame,
+  private[lake] def pruneByStats(base: Snapshot, src: DataFrame,
       keys: Seq[String]): Seq[String] = {
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     if (!keys.forall(k => FileStats.supportsPruning(types(k))))
@@ -264,7 +266,16 @@ final class LakeTable private (
       // a key column with zero non-null source values matches nothing
       // (plain-equality contract): no file can be affected
       if (mn == null || mx == null) return Nil
-      k -> ((mn.toString, mx.toString))
+      // widen ±0.0 on FP keys (Spark join equality: 0.0 == -0.0), same
+      // as the file-side encoding in FileStats.fpBounds
+      types(k) match {
+        case FloatType | DoubleType =>
+          val lo = mn.asInstanceOf[Double]
+          val hi = mx.asInstanceOf[Double]
+          k -> (((if (lo == 0.0) -0.0 else lo).toString,
+            (if (hi == 0.0) 0.0 else hi).toString))
+        case _ => k -> ((mn.toString, mx.toString))
+      }
     }.toMap
     base.liveFiles.filter { f =>
       base.fileStats.get(f).forall { st =>
@@ -310,7 +321,14 @@ final class LakeTable private (
   def delete(predicate: org.apache.spark.sql.Column): Long = {
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
-    val affected = readFiles(base.liveFiles)
+    // manifest-stats pruning first (driver-only, zero data read): a
+    // partition-equality or range predicate narrows the locating scan to
+    // the files whose recorded bounds can satisfy it — at 100 TB the
+    // difference between a full-table predicate-column scan per DELETE
+    // and one proportional to the touched key range
+    val candidates = pruneByPredicate(base, predicate)
+    if (candidates.isEmpty) return base.snapshotId
+    val affected = readFiles(candidates)
       .withColumn(FILE_COL, input_file_name())
       .where(predicate)
       .select(FILE_COL).distinct()
@@ -335,7 +353,10 @@ final class LakeTable private (
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
-    val affected = readFiles(base.liveFiles)
+    // same manifest-stats pruning as [[delete]]
+    val candidates = pruneByPredicate(base, predicate)
+    if (candidates.isEmpty) return base.snapshotId
+    val affected = readFiles(candidates)
       .withColumn(FILE_COL, input_file_name())
       .where(predicate)
       .select(FILE_COL).distinct()
@@ -353,6 +374,30 @@ final class LakeTable private (
     val (added, stats) = writeDataFiles(rewritten)
     commit(base, "update", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+  }
+
+  /** Manifest-stats pruning for a `Column` predicate: analyze it against
+    * an empty relation with the table schema (resolving attributes,
+    * inserting coercion casts, and making literal-only subtrees — e.g.
+    * `to_timestamp('…')` — foldable), then intersect the resolved
+    * condition with the per-file bounds. Any failure → no pruning. */
+  private[lake] def pruneByPredicate(base: Snapshot,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    if (base.fileStats.isEmpty) return base.liveFiles
+    val cond = scala.util.Try {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .where(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten
+    cond match {
+      case Some(c) =>
+        PredicatePruning.candidateFiles(c, schema, base.liveFiles,
+          base.fileStats)
+      case None => base.liveFiles
+    }
   }
 
   /** Bin-pack compaction: rewrite the current data into at most
@@ -432,11 +477,15 @@ final class LakeTable private (
   private def writeDataFiles(
       df: DataFrame): (Seq[String], Map[String, Map[String, ColStat]]) = {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
+    val conf = df.sparkSession.conf
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val priorTsType = conf.getOption(tsTypeKey)
     try {
       // INT96 timestamps carry no usable Parquet stats; micros do, and are
-      // the modern representation every reader (incl. DuckDB) understands
-      df.sparkSession.conf
-        .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // the modern representation every reader (incl. DuckDB) understands.
+      // Restored below — the shared session's unrelated Parquet writes
+      // must not silently change encoding.
+      conf.set(tsTypeKey, "TIMESTAMP_MICROS")
       val codec = properties.getOrElse(PROP_COMPRESSION, "snappy")
       var w = df.write.mode("overwrite").option("compression", codec)
       if (partitionColumns.nonEmpty)
@@ -445,20 +494,31 @@ final class LakeTable private (
 
       val sch = schema
       val files = listParquet(fs, staging)
-      val statsB = Map.newBuilder[String, Map[String, ColStat]]
-      val rels = files.map { f =>
+      // rename serially (cheap metadata ops), then read the footers in
+      // parallel — each open is independent driver-side I/O, and a large
+      // compact/overwrite commit would otherwise pay O(files) serial reads
+      val moved = files.map { f =>
         val rel = relativePath(staging, f)
         val dest = new Path(dataDir, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
           throw new java.io.IOException(s"rename $f -> $dest failed")
-        val key = s"$DATA_DIR/$rel"
-        val st = FileStats.collect(hconf, dest, sch, partitionColumns, key)
-        if (st.nonEmpty) statsB += key -> st
-        key
+        (s"$DATA_DIR/$rel", dest)
       }
-      (rels, statsB.result())
-    } finally fs.delete(staging, true)
+      val statsMap =
+        new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+      moved.toList.asJava.parallelStream().forEach { case (key, dest) =>
+        val st = FileStats.collect(hconf, dest, sch, partitionColumns, key)
+        if (st.nonEmpty) statsMap.put(key, st)
+      }
+      (moved.map(_._1), statsMap.asScala.toMap)
+    } finally {
+      fs.delete(staging, true)
+      priorTsType match {
+        case Some(v) => conf.set(tsTypeKey, v)
+        case None => conf.unset(tsTypeKey)
+      }
+    }
   }
 
   /** `input_file_name()` URI → table-root-relative path. Works on the

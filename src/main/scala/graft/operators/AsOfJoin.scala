@@ -81,9 +81,15 @@ object SaltedJoin {
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
     val salt = "__salt"
+    // salt must be DETERMINISTIC per row (content hash of the full row,
+    // never monotonically_increasing_id): a retried map task re-salting
+    // rows differently than its first attempt would route them to
+    // different reducers and duplicate/lose join rows. Hashing ALL
+    // columns (not just the keys) still splits a hot key across
+    // reducers — distinct rows of the key hash to distinct salts.
     val s = skewed.withColumn(salt,
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
-        .cast("int"))
+      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*),
+        lit(saltFactor)).cast("int"))
     val o = other.withColumn(salt,
       explode(sequence(lit(0), lit(saltFactor - 1))))
     s.join(o, keys :+ salt, joinType).drop(salt)

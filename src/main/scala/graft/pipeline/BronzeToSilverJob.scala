@@ -89,15 +89,23 @@ final class BronzeToSilverJob(
           deduped.where(col("Op") =!= "D" || col("Op").isNull))
       else (null: DataFrame, deduped)
 
-    val aligned = upserts.select(
-      silverSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val n = aligned.count()
-    silver.merge(aligned, Seq(mergeKey))
-    if (hasOp && !deletes.isEmpty)
-      silver.deleteByKeys(deletes.select(mergeKey), Seq(mergeKey))
+    // persist the deduped batch: count + merge's prune scan + the rewrite
+    // join + deleteByKeys each re-evaluate the incremental-scan→dedup
+    // subtree otherwise (4 evaluations); spillable MEMORY_AND_DISK caps
+    // the memory risk at any batch size
+    val dedupedP =
+      deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aligned = upserts.select(
+        silverSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val n = aligned.count()
+      silver.merge(aligned, Seq(mergeKey))
+      if (hasOp && !deletes.isEmpty)
+        silver.deleteByKeys(deletes.select(mergeKey), Seq(mergeKey))
 
-    Checkpoint.save(checkpointPath, Map(CKPT_KEY -> latest.toString))
-    n
+      Checkpoint.save(checkpointPath, Map(CKPT_KEY -> latest.toString))
+      n
+    } finally dedupedP.unpersist(blocking = false)
   }
 }
 
