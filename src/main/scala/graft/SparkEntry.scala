@@ -420,12 +420,13 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exact(docs(s, dir))),
 
-    // exact mode: this corpus's max gram doc-freq is ~25, so the
-    // maxDocFreq stop-gram guard would only add a join (it exists for
-    // genuinely skewed corpora)
+    // stop-gram guard ARMED (maxDocFreq=100): a single gram shared by
+    // 10^5 docs would otherwise create a 10^10-row join group at scale.
+    // This corpus's max gram doc-freq is ~25, so the guard prunes
+    // nothing here — the oracle mirrors the pruned form exactly
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(docsWithTrigrams(s, dir),
-        n = 3, threshold = 0.5)),
+        n = 3, threshold = 0.5, maxDocFreq = Some(100))),
 
     "q_dedup_minhash" -> ((s, dir) =>
       TextDedup.minHashPairs(docs(s, dir),
@@ -434,10 +435,14 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       TextDedup.simHashPairs(docs(s, dir), maxHamming = 3)),
 
+    // representatives over the EXACT ngram-jaccard pairs (not the
+    // hash-seeded simhash pairs) so the transitive-closure output is
+    // DuckDB-derivable; simhash pairing stays covered by q_dedup_simhash
     "q_dedup_representatives" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsWithTrigrams(s, dir)
       TextDedup.keepRepresentatives(d,
-        TextDedup.simHashPairs(d, maxHamming = 3))
+        TextDedup.ngramJaccardPairs(d, n = 3, threshold = 0.5,
+          maxDocFreq = Some(100)))
         .select("doc_id", "lang", "source")
     }),
 
@@ -799,12 +804,15 @@ object SparkEntry {
         |  SELECT doc_id, unnest(ts) AS word,
         |         generate_subscripts(ts, 1) AS pos
         |  FROM d3),
-        |g AS (
+        |g0 AS (
         |  SELECT DISTINCT a.doc_id,
         |    a.word || ' ' || b.word || ' ' || c.word AS gram
         |  FROM w a
         |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |keep AS (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100),
+        |g AS (SELECT g0.* FROM g0 JOIN keep USING (gram)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |sh AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
@@ -886,6 +894,199 @@ object SparkEntry {
         |  round(sum(a.v * b.v) /
         |    (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cos
         |FROM x a JOIN x b ON a.i = b.i AND b.vec_id = a.vec_id + 1
-        |GROUP BY a.vec_id, b.vec_id""".stripMargin
+        |GROUP BY a.vec_id, b.vec_id""".stripMargin,
+
+    // exact top-k: DOUBLE[] casts make DuckDB's cosine run the same
+    // float→double widened arithmetic as graft_cosine
+    "q_ann_bruteforce" ->
+      """SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |        q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+        |  FROM embeddings c CROSS JOIN embeddings q
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // mirrors ivfTopK exactly: centroids = 16 lowest vec_ids, assignment
+    // = argmax cosine (ties to lowest centroid), probes = top-4
+    // centroids per query, exact re-rank within probed lists
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+        |         embedding AS cvec
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT corpus_id, corpus_vec, cid FROM (
+        |    SELECT e.vec_id AS corpus_id, e.embedding AS corpus_vec, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, query_vec, cid FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+        |  WHERE rn <= 4)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT p.query_id, a.corpus_id,
+        |    list_cosine_similarity(a.corpus_vec::DOUBLE[],
+        |      p.query_vec::DOUBLE[]) AS score,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(a.corpus_vec::DOUBLE[],
+        |        p.query_vec::DOUBLE[]) DESC, a.corpus_id ASC) AS rnk
+        |  FROM assign a JOIN probe p ON a.cid = p.cid)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // streaming sessionize emits every CLOSED session = the batch
+    // sessionizer's output minus each user's last (still-open) session
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM b),
+        |agg AS (
+        |  SELECT user_id, session_no,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ts_us) AS session_start_us,
+        |    max(ts_us) AS session_end_us,
+        |    round(sum(value), 2) AS total_value
+        |  FROM s GROUP BY user_id, session_no)
+        |SELECT user_id, session_start_us, session_end_us, n_events,
+        |       total_value
+        |FROM agg
+        |QUALIFY session_no < max(session_no) OVER (PARTITION BY user_id)"""
+        .stripMargin,
+
+    // MinHash+LSH verifies candidates with the TRUE shingle Jaccard, so
+    // its output equals the exact pair set whenever banding recall is
+    // total — which 128 hashes / 32 bands gives for >=0.5-similar docs.
+    // Oracle = exact pairs over the same shingle semantics (short docs
+    // contribute their whole token string as one shingle).
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM toks WHERE len(ts) >= 3),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(ts, ' ') AS gram
+        |  FROM toks WHERE len(ts) < 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |sh AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4)
+        |    AS jaccard
+        |FROM sh
+        |JOIN cnt ca ON sh.id_a = ca.doc_id
+        |JOIN cnt cb ON sh.id_b = cb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5"""
+        .stripMargin,
+
+    // transitive closure via recursive CTE: rep(x) = min id reachable
+    // over the >=0.5 ngram-jaccard pair graph; keep docs that are their
+    // own representative plus all unpaired docs
+    "q_dedup_representatives" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |d3 AS (SELECT * FROM toks WHERE len(ts) >= 3),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM d3),
+        |g0 AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |keep AS (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100),
+        |g AS (SELECT g0.* FROM g0 JOIN keep USING (gram)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |sh AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM sh
+        |  JOIN cnt ca ON sh.id_a = ca.doc_id
+        |  JOIN cnt cb ON sh.id_b = cb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT x, x AS r FROM edges
+        |  UNION
+        |  SELECT e.x, reach.r FROM edges e JOIN reach ON reach.x = e.y),
+        |comp AS (SELECT x, min(r) AS rep FROM reach GROUP BY x)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM d3 d LEFT JOIN comp ON d.doc_id = comp.x
+        |WHERE comp.x IS NULL OR comp.rep = d.doc_id""".stripMargin,
+
+    // the media stub is deterministic byte math over the (ASCII) text:
+    // resize keeps min(len, 64) bytes, frames tile them into <=4 chunks
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strlen(text) <= 64 THEN strlen(text) ELSE 64 END
+        |      AS rlen
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN rlen >= 4 THEN 4
+        |            WHEN rlen >= 1 THEN rlen ELSE 1 END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(rlen AS BIGINT) AS total_bytes
+        |FROM m""".stripMargin,
+
+    // feature j = mean of bytes at positions ≡ j (mod 8) / 255, rounded
+    // through FLOAT to match the stub's Float output exactly
+    "q_multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, i, ascii(text[i:i]) AS b, (i - 1) % 8 AS bucket
+        |  FROM documents,
+        |       unnest(generate_series(1, strlen(text)::INT)) AS t(i)),
+        |f AS (
+        |  SELECT doc_id, bucket,
+        |    round(((CAST(sum(b) AS DOUBLE) / count(*)) / 255.0)
+        |      ::FLOAT::DOUBLE, 4) AS fv
+        |  FROM pos GROUP BY doc_id, bucket)
+        |SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+        |  f0.fv AS f0, f7.fv AS f7
+        |FROM documents d
+        |JOIN f f0 ON f0.doc_id = d.doc_id AND f0.bucket = 0
+        |JOIN f f7 ON f7.doc_id = d.doc_id AND f7.bucket = 7""".stripMargin
   )
 }

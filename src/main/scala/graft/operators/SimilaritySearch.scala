@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,17 +66,23 @@ object SimilaritySearch {
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
-    * every corpus vector to its nearest of `nCentroids` centroid vectors
-    * (deterministically sampled from the corpus by id hash — a k-means
-    * refinement would slot in here without changing the join shape);
+    * every corpus vector to its nearest of `nCentroids` centroid vectors;
     * queries probe their `nProbe` nearest centroids and re-rank exactly
     * within those inverted lists.
     *
-    * Scale shape: centroids are tiny and broadcast twice (corpus
-    * assignment, query probe); the only corpus-wide operations are one
-    * broadcast join + the final per-query top-k window over the probed
-    * lists (|corpus| · nProbe / nCentroids candidates per query instead
-    * of |corpus|).
+    * Centroids are the `nCentroids` lowest-id corpus vectors — id order
+    * is uncorrelated with embedding position, so this samples as well as
+    * an id-hash draw, it is exactly reproducible in plain SQL (the
+    * correctness oracle), and a k-means refinement would slot in without
+    * changing the shape.
+    *
+    * Scale shape: centroids are collected once (tiny — a driver-side
+    * manifest-scale list) and inlined as a LITERAL array, so both the
+    * corpus assignment and the query probe are pure map-side
+    * `transform`/`array_max` over broadcast-free projections — the corpus
+    * is NEVER shuffled or duplicated for assignment. The only wide
+    * operations are the broadcast candidate join and the final per-query
+    * top-k window over |corpus| · nProbe / nCentroids candidate rows.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2,
@@ -85,32 +91,35 @@ object SimilaritySearch {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("corpus_vec"))
-    // deterministic coarse centroids: rank corpus ids by hash, take N
-    val centroids = c
-      .withColumn("__h", xxhash64(col("corpus_id")))
-      .orderBy("__h").limit(nCentroids)
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy("__h")))
-      .select(col("centroid_id"), col("corpus_vec").as("centroid_vec"))
+    // TakeOrdered (no global sort), then a 16-row driver collect
+    val centroidRows = c.orderBy("corpus_id").limit(nCentroids).collect()
+    val centLit = array(centroidRows.zipWithIndex.map { case (r, i) =>
+      struct(lit(i + 1).as("id"),
+        typedLit(r.getSeq[Float](1)).as("vec"))
+    }.toIndexedSeq: _*)
 
-    // assign each corpus vector to its nearest centroid (broadcast join,
-    // one pass, argmax via top-1 window)
-    val wAssign = Window.partitionBy("corpus_id")
-      .orderBy(col("__sim").desc, col("centroid_id").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col("corpus_vec"), col("centroid_vec")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .where(col("__rn") === 1)
-      .select(col("centroid_id"), col("corpus_id"), col("corpus_vec"))
+    // nearest centroid, map-side: argmax cosine via array_max over a
+    // struct whose lexicographic order is (sim asc, -id asc) → max =
+    // highest sim, ties to the lowest centroid id
+    def nearestCentroid(vec: Column): Column =
+      -array_max(transform(centLit, cs =>
+        struct(cosine(vec, cs.getField("vec")).as("sim"),
+          (-cs.getField("id")).as("negid")))).getField("negid")
 
-    // queries probe their nProbe nearest centroids
+    val assigned = c.withColumn("centroid_id",
+      nearestCentroid(col("corpus_vec")))
+
+    // nProbe nearest centroids per query, map-side: sort by (negsim, id)
+    // ascending → nearest first, ties to the lowest id; slice, explode
     val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
-    val wProbe = Window.partitionBy(queryIdCol)
-      .orderBy(col("__sim").desc, col("centroid_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col("query_vec"), col("centroid_vec")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .where(col("__rn") <= nProbe)
+    val probes = q.withColumn("centroid_id",
+        explode(slice(
+          transform(
+            array_sort(transform(centLit, cs =>
+              struct((-cosine(col("query_vec"), cs.getField("vec")))
+                .as("negsim"), cs.getField("id").as("id")))),
+            s => s.getField("id")),
+          1, nProbe)))
       .select(col("centroid_id"), col(queryIdCol), col("query_vec"))
 
     // exact re-rank within the probed inverted lists

@@ -117,18 +117,47 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
-  /** Connected-component "keep lowest id" reduction over near-dup pairs:
-    * each doc maps to the minimum id it pairs with (1-hop — adequate for
-    * dedup where clusters are cliques of mutually-similar docs; full
-    * transitive closure would iterate this join to a fixpoint). */
+  /** Connected-component "keep lowest id" reduction over near-dup pairs,
+    * via min-label propagation iterated to a FIXPOINT (full transitive
+    * closure: a chain A~B~C keeps only A even though A≁C directly — the
+    * 1-hop shortcut would wrongly keep both A and B for edge sets like
+    * {A~C, B~C}).
+    *
+    * Scale shape: labels live only on the nodes that appear in a pair
+    * (≪ corpus for a deduped-ish corpus); each iteration is one
+    * edges⋈labels shuffle + a groupBy-min, and `localCheckpoint`
+    * truncates the lineage so the plan stays flat. Iterations =
+    * component diameter — near-dup clusters are near-cliques, so 2–3 in
+    * practice (pointer-jumping would halve rounds if ever needed). */
   def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val mapped = pairs.select(col("id_b").as(idCol), col("id_a"))
-      .groupBy(idCol).agg(min("id_a").as("rep"))
-    docs.join(mapped, Seq(idCol), "left")
-      .withColumn("rep", coalesce(col("rep"), col(idCol)))
-      .where(col("rep") === col(idCol))
-      .drop("rep")
+    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x")).distinct()
+      .withColumn("rep", col("x"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels.select(col("x").as("y"), col("rep")), Seq("y"))
+        .groupBy("x").agg(min("rep").as("nrep"))
+      val updated = labels.join(viaNbr, Seq("x"), "left")
+        .select(col("x"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("rep", "old"), Seq("x"))
+        .where(col("rep") < col("old")).count()
+      labels = updated
+    }
+    val reps = labels.where(col("rep") === col("x"))
+      .select(col("x").as(idCol))
+    val inPairs = edges.select(col("x").as(idCol)).distinct()
+    // unpaired docs represent themselves; paired docs survive only as
+    // their component's minimum id
+    docs.join(inPairs, Seq(idCol), "left_anti")
+      .unionByName(docs.join(reps, Seq(idCol), "left_semi"))
   }
 
   // --------------------------------------------------------------- SimHash

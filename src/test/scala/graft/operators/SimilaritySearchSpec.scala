@@ -52,6 +52,54 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf with nProbe == nCentroids is exhaustive (equals brute force)") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = SimilaritySearch.bruteForceTopK(e, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("score"))).toSet
+    val ivf = SimilaritySearch.ivfTopK(e, queries, k = 5,
+      nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("score"))).toSet
+    assert(ivf == bf)
+  }
+
+  test("ivf partial probe scores agree with brute force; corpus unshuffled") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = SimilaritySearch.bruteForceTopK(e, queries, k = 50)
+      .select("query_id", "corpus_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val ivf = SimilaritySearch.ivfTopK(e, queries, k = 5,
+      nCentroids = 16, nProbe = 4)
+    ivf.collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))
+      bf.get(key).foreach(s => assert(s == r.getAs[Double]("score")))
+    }
+    // the plan must not shuffle or window the corpus for assignment:
+    // the only hash exchange is the final per-query top-k window, and
+    // every Window operator carries a partition spec
+    // AQE plan strings append an "== Initial Plan ==" section that
+    // duplicates nodes — inspect only the final plan
+    val plan = ivf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 1, s"unexpected shuffles in IVF plan:\n$plan")
+    assert(!plan.contains("hashpartitioning(corpus_id"),
+      s"corpus shuffled for assignment:\n$plan")
+    ivf.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "window without partition spec in IVF plan"))
+  }
+
   test("near-dup pairs finds planted duplicates") {
     val planted = Seq(
       (100L, vec(0.5, 0.5, 0.5, 0.5)),

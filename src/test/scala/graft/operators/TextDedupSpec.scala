@@ -68,4 +68,27 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L)) // 2 and 3 fold into 1; 4 survives alone
   }
+
+  test("keepRepresentatives closes transitively (A~C, B~C, A≁B)") {
+    import spark.implicits._
+    val docs = Seq((1L, "da"), (2L, "db"), (3L, "dc"), (9L, "alone"))
+      .toDF("doc_id", "text")
+    // 1 and 2 are only connected THROUGH 3: a 1-hop min-map would keep
+    // both 1 and 2; the fixpoint must keep exactly {1} plus unpaired 9
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = TextDedup.keepRepresentatives(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+
+  test("keepRepresentatives handles long chains to a single representative") {
+    import spark.implicits._
+    val n = 12L
+    val docs = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // chain 1~2~3~…~12 (diameter 11): exactly doc 1 survives
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val kept = TextDedup.keepRepresentatives(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
 }
