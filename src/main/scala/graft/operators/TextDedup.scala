@@ -131,8 +131,15 @@ object TextDedup {
     * practice (pointer-jumping would halve rounds if ever needed). */
   def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
-      .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+    // persist the pair source FIRST: the undirected-edge union below
+    // evaluates it twice, and for an expensive source (the ngram
+    // inverted-index join) that doubles the dominant cost
+    val p = pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count() // materialize now — the union's branches would otherwise
+    // race and each compute the source before the cache fills
+    val edges = p.select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(p.select(col("id_b").as("x"), col("id_a").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("x")).distinct()
       .withColumn("rep", col("x"))
@@ -225,7 +232,11 @@ object TextDedup {
       case Some(m) =>
         val df = grams.groupBy("gram")
           .agg(count(lit(1)).as("df")).where(col("df") <= m)
+        // persisted for the same reason as grams: three consumers
+        // (per-doc counts + both self-join sides) would re-run the
+        // df-filter join each
         grams.join(df.select("gram"), Seq("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => grams
     }
     val counts = pruned.groupBy("id").agg(count(lit(1)).as("n_grams"))
