@@ -291,6 +291,54 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_time_travel_ts" -> ((s, dir) => {
+      // TIMESTAMP AS OF: capture the wall-clock of the first append,
+      // append more, then travel back by timestamp
+      val orders = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val root = tmp("graft-ttts") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema)
+      val s1 = lt.append(orders.where(col("o_orderdate") < cut))
+      val ts1 = lt.snapshot(s1).timestampMs
+      Thread.sleep(5) // distinct wall-clock for the second commit
+      lt.append(orders.where(col("o_orderdate") >= cut))
+      lt.scanAtTimestamp(ts1)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_schema_evolution" -> ((s, dir) => {
+      // metadata-only rename + add across two write eras; the scan must
+      // read old files through the manifest name mapping, new files
+      // natively, and NULL-fill the added column for the old era
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val root = tmp("graft-evolve") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema)
+      lt.append(nation.where(col("n_nationkey") < 10))
+      lt.renameColumn("n_name", "nation_name")
+      lt.addColumn("flag", org.apache.spark.sql.types.StringType)
+      lt.append(nation.where(col("n_nationkey") >= 10)
+        .withColumnRenamed("n_name", "nation_name")
+        .withColumn("flag", lit("late")))
+      lt.scan()
+    }),
+
+    "q_cdc_delete" -> ((s, dir) => {
+      // keyed CDC delete: remove every order whose key is in the delete
+      // set (stats-pruned COW rewrite of only the touched files)
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-cdcdel") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders)
+      lt.deleteByKeys(
+        orders.where(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      lt.scan().select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_compact" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val root = tmp("graft-compact") + "/nation"
@@ -666,6 +714,21 @@ object SparkEntry {
 
     "q_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_time_travel_ts" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+        | CASE WHEN n_nationkey >= 10 THEN 'late' END AS flag
+        |FROM nation""".stripMargin,
+
+    "q_cdc_delete" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     "q_sql_surface" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n

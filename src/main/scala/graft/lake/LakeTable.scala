@@ -127,34 +127,71 @@ final class LakeTable private (
     require(endInclusive >= startExclusive,
       s"bad snapshot range ($startExclusive, $endInclusive]")
     val snaps = ((startExclusive + 1) to endInclusive).map(snapshot)
-    snaps.find(s => s.operation != "append" && s.operation != "create")
+    // evolve-schema commits add no data rows — they are transparent to an
+    // incremental range (added files still read under the current schema)
+    snaps.find(s => s.operation != "append" && s.operation != "create" &&
+        s.operation != "evolve-schema")
       .foreach { s =>
         throw new UnsupportedOperationException(
           s"incremental scan over non-append snapshot ${s.snapshotId} " +
             s"(${s.operation}) — append-only ranges are supported, " +
             "matching Iceberg's incremental-read contract")
       }
-    readFiles(snaps.flatMap(_.addedFiles))
+    // end-of-range context: the added files are all live there, so its
+    // schema and rename mappings are exactly the ones they carry
+    if (snaps.isEmpty) readFilesAs(current, Nil)
+    else readFilesAs(snaps.last, snaps.flatMap(_.addedFiles))
   }
 
   /** Time travel: full scan of the table as of `snapshotId`
     * (≡ Iceberg `VERSION AS OF` / `snapshot-id` read option). Snapshot
     * metadata is immutable, so this is just a manifest lookup — no data
-    * movement until an action runs. */
-  def scanAt(snapshotId: Long): DataFrame =
-    readFiles(snapshot(snapshotId).liveFiles)
+    * movement until an action runs. Reads with THAT snapshot's schema
+    * (pre-evolution travel sees pre-evolution columns). */
+  def scanAt(snapshotId: Long): DataFrame = {
+    val s = snapshot(snapshotId)
+    readFilesAs(s, s.liveFiles)
+  }
 
-  private def readFiles(relFiles: Seq[String]): DataFrame = {
-    val sch = schema
+  /** Time travel by wall-clock: the snapshot current AS OF `tsMillis`
+    * (≡ Iceberg `TIMESTAMP AS OF` — a `.history`/`made_current_at`
+    * manifest lookup, reference: scripts/bronze-silver.py:119,137). */
+  def scanAtTimestamp(tsMillis: Long): DataFrame = {
+    val s = snapshots.filter(_.timestampMs <= tsMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $root made current at or before $tsMillis"))
+    readFilesAs(s, s.liveFiles)
+  }
+
+  private def readFiles(relFiles: Seq[String]): DataFrame =
+    readFilesAs(current, relFiles)
+
+  /** Read `relFiles` under snapshot `ctx`'s schema. Files written before
+    * a column rename are read with their PHYSICAL (as-written) names via
+    * `ctx.fileRenames` and aliased back — one scan per distinct mapping,
+    * unioned; the common no-rename case stays a single scan. */
+  private def readFilesAs(ctx: Snapshot, relFiles: Seq[String]): DataFrame = {
+    val sch = DataType.fromJson(ctx.schemaJson).asInstanceOf[StructType]
     if (relFiles.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
     } else {
-      val abs = relFiles.map(f => new Path(rootPath, f).toString)
-      spark.read
-        .option("basePath", dataDir.toString)
-        .schema(sch)
-        .parquet(abs: _*)
-        .select(sch.fieldNames.map(col): _*) // stable column order
+      val groups = relFiles
+        .groupBy(f => ctx.fileRenames.getOrElse(f, Map.empty[String, String]))
+      val parts = groups.toSeq.map { case (mapping, files) =>
+        val abs = files.map(f => new Path(rootPath, f).toString)
+        val physSchema =
+          if (mapping.isEmpty) sch
+          else StructType(sch.fields.map(f =>
+            f.copy(name = mapping.getOrElse(f.name, f.name))))
+        spark.read
+          .option("basePath", dataDir.toString)
+          .schema(physSchema)
+          .parquet(abs: _*)
+          .select(sch.fields.map(f =>
+            col(mapping.getOrElse(f.name, f.name)).as(f.name))
+            .toIndexedSeq: _*) // stable column order + current names
+      }
+      parts.reduce(_ unionByName _)
     }
   }
 
@@ -376,6 +413,79 @@ final class LakeTable private (
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
   }
 
+  // -------------------------------------------------------- schema evolution
+
+  /** Add a nullable column (metadata-only commit, ≡ Iceberg
+    * `ALTER TABLE … ADD COLUMN`): existing files simply read NULL for it
+    * (name-based Parquet resolution), new writes carry it. */
+  def addColumn(name: String, dataType: DataType,
+      nullable: Boolean = true): Long = {
+    val base = current
+    val sch = schema
+    require(!sch.fieldNames.contains(name), s"column $name already exists")
+    require(nullable,
+      "new columns must be nullable: existing files carry no values")
+    val newSchema = StructType(sch.fields :+
+      StructField(name, dataType, nullable))
+    commit(base, "evolve-schema", added = Nil, removed = Nil,
+      live = base.liveFiles, schemaJson = Some(newSchema.json))
+  }
+
+  /** Rename a column (metadata-only commit, ≡ Iceberg
+    * `ALTER TABLE … RENAME COLUMN`): no data rewrite — files written
+    * under the old name are tracked in the manifest's name mapping and
+    * read back aliased (the name-mapped equivalent of Iceberg's
+    * field-id indirection). Partition columns can't be renamed (their
+    * name is baked into the hive directory layout). */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val base = current
+    val sch = schema
+    require(sch.fieldNames.contains(oldName), s"no column $oldName")
+    require(!sch.fieldNames.contains(newName),
+      s"column $newName already exists")
+    require(!partitionColumns.contains(oldName),
+      s"cannot rename partition column $oldName (hive directory layout)")
+    val newSchema = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // every pre-rename live file now maps newName -> its physical name
+    val renames = base.liveFiles.map { f =>
+      val em = base.fileRenames.getOrElse(f, Map.empty)
+      val phys = em.getOrElse(oldName, oldName)
+      f -> ((em - oldName) + (newName -> phys))
+    }.toMap
+    // stats follow the logical column
+    val stats = base.fileStats.map { case (f, cols) =>
+      f -> cols.map { case (c, cs) =>
+        (if (c == oldName) newName else c) -> cs
+      }
+    }
+    commit(base, "evolve-schema", added = Nil, removed = Nil,
+      live = base.liveFiles, schemaJson = Some(newSchema.json),
+      statsOverride = Some(stats), renamesOverride = Some(renames))
+  }
+
+  /** Drop a column (metadata-only commit, ≡ Iceberg
+    * `ALTER TABLE … DROP COLUMN`): data files keep the bytes; reads just
+    * stop projecting them. Stats and name mappings for the column are
+    * stripped so a later re-add (same Parquet type) starts clean. */
+  def dropColumn(name: String): Long = {
+    val base = current
+    val sch = schema
+    require(sch.fieldNames.contains(name), s"no column $name")
+    require(!partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    require(sch.fields.length > 1, "cannot drop the last column")
+    val newSchema = StructType(sch.fields.filterNot(_.name == name))
+    val stats = base.fileStats
+      .map { case (f, cols) => f -> (cols - name) }
+      .filter(_._2.nonEmpty)
+    val renames = base.fileRenames
+      .map { case (f, m) => f -> (m - name) }
+    commit(base, "evolve-schema", added = Nil, removed = Nil,
+      live = base.liveFiles, schemaJson = Some(newSchema.json),
+      statsOverride = Some(stats), renamesOverride = Some(renames))
+  }
+
   /** Manifest-stats pruning for a `Column` predicate: analyze it against
     * an empty relation with the table schema (resolving attributes,
     * inserting coercion casts, and making literal-only subtrees — e.g.
@@ -461,11 +571,18 @@ final class LakeTable private (
   private def alignToSchema(df: DataFrame): DataFrame = {
     val want = schema
     val have = df.columns.toSet
-    val missing = want.fieldNames.filterNot(have)
-    require(missing.isEmpty,
-      s"source is missing table columns: ${missing.mkString(", ")}")
-    df.select(want.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
-      .toIndexedSeq: _*)
+    // nullable columns the source lacks (e.g. added by addColumn after
+    // the writer was built) fill with NULL — Iceberg's write behavior;
+    // missing non-nullable columns are still an error
+    val missing = want.fields.filterNot(f => have(f.name))
+    val missingRequired = missing.filterNot(_.nullable)
+    require(missingRequired.isEmpty,
+      "source is missing non-nullable table columns: " +
+        missingRequired.map(_.name).mkString(", "))
+    df.select(want.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Write df's rows as new Parquet data files (hive-partitioned when the
@@ -539,14 +656,20 @@ final class LakeTable private (
 
   private def commit(base: Snapshot, op: String, added: Seq[String],
       removed: Seq[String], live: Seq[String],
-      addedStats: Map[String, Map[String, ColStat]] = Map.empty): Long = {
+      addedStats: Map[String, Map[String, ColStat]] = Map.empty,
+      schemaJson: Option[String] = None,
+      statsOverride: Option[Map[String, Map[String, ColStat]]] = None,
+      renamesOverride: Option[Map[String, Map[String, String]]] = None)
+      : Long = {
     val id = base.snapshotId + 1
     val liveSet = live.toSet
-    val stats =
-      base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats
+    val stats = statsOverride.getOrElse(
+      base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats)
+    val renames = renamesOverride.getOrElse(base.fileRenames)
+      .filter { case (f, m) => liveSet(f) && m.nonEmpty }
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
-      op, added, removed, live, base.schemaJson, base.partitionColumns,
-      base.properties, stats)
+      op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
+      base.partitionColumns, base.properties, stats, renames)
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
     // table could never commit again. Age-gated so a LIVE racing writer's

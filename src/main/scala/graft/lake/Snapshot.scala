@@ -34,7 +34,14 @@ final case class Snapshot(
       * range-prune against before touching any data. Keyed by the same
       * root-relative path as `liveFiles`; absent file or column = unknown
       * bounds (conservatively scanned). */
-    fileStats: Map[String, Map[String, ColStat]] = Map.empty) {
+    fileStats: Map[String, Map[String, ColStat]] = Map.empty,
+    /** Schema-evolution name mapping: file → (current column name →
+      * PHYSICAL column name as written in that file). Only files written
+      * before a `renameColumn` carry entries, and only for the renamed
+      * columns — absent file or column means the physical name equals the
+      * current name. This is the name-mapped equivalent of Iceberg's
+      * field-id indirection: renames stay metadata-only, no rewrite. */
+    fileRenames: Map[String, Map[String, String]] = Map.empty) {
 
   def toJson: String = {
     val m = Snapshot.mapper
@@ -63,6 +70,17 @@ final case class Snapshot(
             val co = fo.putObject(c)
             co.put("min", cs.min)
             co.put("max", cs.max)
+          }
+        }
+      }
+    }
+    if (fileRenames.nonEmpty) {
+      val ro = n.putObject("renames")
+      liveFiles.foreach { f =>
+        fileRenames.get(f).filter(_.nonEmpty).foreach { cols =>
+          val fo = ro.putObject(f)
+          cols.toSeq.sortBy(_._1).foreach { case (cur, phys) =>
+            fo.put(cur, phys)
           }
         }
       }
@@ -97,6 +115,13 @@ object Snapshot {
           fe.getKey -> fe.getValue.properties().asScala.map { ce =>
             ce.getKey -> ColStat(ce.getValue.path("min").asText(),
               ce.getValue.path("max").asText())
+          }.toMap
+        }.toMap,
+      fileRenames =
+        if (!n.has("renames")) Map.empty
+        else n.path("renames").properties().asScala.map { fe =>
+          fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+            ce.getKey -> ce.getValue.asText()
           }.toMap
         }.toMap
     )

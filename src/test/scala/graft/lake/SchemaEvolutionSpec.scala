@@ -1,0 +1,161 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Schema evolution as metadata-only commits: add/rename/drop column
+  * without rewriting a byte of data, old files reading correctly through
+  * the manifest's name mapping (the name-mapped equivalent of Iceberg's
+  * field-id indirection), plus TIMESTAMP AS OF time travel. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot = TestSpark.tmpDir("evolve") + "/t"
+
+  test("addColumn: old files read NULL, new writes carry values") {
+    val root = freshRoot
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.addColumn("score", DoubleType)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    t.append(Seq((3L, "c", 1.5)).toDF("id", "v", "score"))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", null), (2L, "b", null),
+      (3L, "c", 1.5)))
+    // no data was rewritten: the evolve commit added/removed nothing
+    val evolve = t.snapshots.find(_.operation == "evolve-schema").get
+    assert(evolve.addedFiles.isEmpty && evolve.removedFiles.isEmpty)
+  }
+
+  test("renameColumn: zero rewrite, mixed-era files read consistently") {
+    val root = freshRoot
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "amt")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    val filesBefore = t.currentSnapshot.get.liveFiles.toSet
+    t.renameColumn("amt", "amount")
+    assert(t.currentSnapshot.get.liveFiles.toSet == filesBefore,
+      "rename must not rewrite data files")
+    // post-rename write uses the new physical name
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "v", "amount"))
+    val got = t.scan().orderBy("id")
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // filters on the renamed column reach both eras
+    assert(t.scan().where($"amount" > 15.0).count() == 2)
+  }
+
+  test("rename chains compose (a -> b -> c)") {
+    val root = freshRoot
+    val df = Seq((1L, "x")).toDF("id", "a")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.renameColumn("a", "b")
+    t.append(Seq((2L, "y")).toDF("id", "b"))
+    t.renameColumn("b", "c")
+    t.append(Seq((3L, "z")).toDF("id", "c"))
+    val got = t.scan().orderBy("id").select("c").as[String].collect()
+    assert(got.toSeq == Seq("x", "y", "z"))
+    // three eras, three distinct physical names, one logical column
+    val snap = t.currentSnapshot.get
+    val physNames = snap.liveFiles
+      .map(f => snap.fileRenames.getOrElse(f, Map.empty)
+        .getOrElse("c", "c")).toSet
+    assert(physNames == Set("a", "b", "c"))
+  }
+
+  test("merge across renamed key column prunes and rewrites correctly") {
+    val root = freshRoot
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.repartition(1))
+    t.renameColumn("k", "key")
+    t.append((51L to 100L).map(i => (i, s"v$i")).toDF("key", "v")
+      .repartition(1))
+    // stats were rekeyed at rename: a merge on `key` still prunes to
+    // the one file whose range contains the source key
+    val base = t.currentSnapshot.get
+    val pruned = t.pruneByStats(base,
+      Seq((10L, "upd")).toDF("key", "v"), Seq("key"))
+    assert(pruned.size == 1, s"expected 1 candidate, got $pruned")
+    t.merge(Seq((10L, "upd"), (60L, "upd2")).toDF("key", "v"), Seq("key"))
+    val got = t.scan().where($"v".startsWith("upd"))
+      .select("key").as[Long].collect().toSet
+    assert(got == Set(10L, 60L))
+    assert(t.scan().count() == 100)
+  }
+
+  test("dropColumn: metadata-only; re-add reads NULL everywhere") {
+    val root = freshRoot
+    val df = Seq((1L, "a", 5), (2L, "b", 6)).toDF("id", "v", "n")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.dropColumn("n")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(t.scan().columns.toSeq == Seq("id", "v"))
+    // re-adding the same name: stats were stripped, so nothing prunes
+    // against the dead bytes; reads resolve by name and... the old files
+    // DO still carry an `n` column, which name-based resolution surfaces
+    t.addColumn("n2", IntegerType)
+    assert(t.scan().where($"n2".isNull).count() == 2)
+  }
+
+  test("partition columns cannot be renamed or dropped") {
+    val root = freshRoot
+    val df = Seq((1L, "a", "p0")).toDF("id", "v", "p")
+    val t = LakeTable.create(spark, root, df.schema, Seq("p"))
+    t.append(df)
+    intercept[IllegalArgumentException](t.renameColumn("p", "q"))
+    intercept[IllegalArgumentException](t.dropColumn("p"))
+  }
+
+  test("time travel sees the pre-evolution schema; timestamp travel works") {
+    val root = freshRoot
+    val df = Seq((1L, "a", 1.0)).toDF("id", "v", "amt")
+    val t = LakeTable.create(spark, root, df.schema)
+    val sAppend = t.append(df)
+    val tsAfterAppend = t.snapshot(sAppend).timestampMs
+    Thread.sleep(5)
+    t.renameColumn("amt", "amount")
+    t.addColumn("extra", StringType)
+    // VERSION AS OF: old snapshot, old schema
+    assert(t.scanAt(sAppend).columns.toSeq == Seq("id", "v", "amt"))
+    assert(t.scanAt(sAppend).count() == 1)
+    // TIMESTAMP AS OF: resolves to the append snapshot
+    val tt = t.scanAtTimestamp(tsAfterAppend)
+    assert(tt.columns.toSeq == Seq("id", "v", "amt"))
+    assert(tt.count() == 1)
+    // current sees the evolved schema
+    assert(t.scan().columns.toSeq == Seq("id", "v", "amount", "extra"))
+    intercept[IllegalArgumentException](t.scanAtTimestamp(0L))
+  }
+
+  test("incremental scan across an evolve commit is transparent") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    val s1 = t.append(df)
+    t.addColumn("extra", StringType)
+    val s3 = t.append(Seq((2L, "b", "e2")).toDF("id", "v", "extra"))
+    val inc = t.incrementalScan(s1, s3)
+    assert(inc.columns.toSeq == Seq("id", "v", "extra"))
+    assert(inc.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("snapshot JSON round-trips fileRenames") {
+    val snap = Snapshot(3L, Some(2L), 99L, "evolve-schema", Nil, Nil,
+      Seq("data/f1.parquet", "data/f2.parquet"),
+      StructType(Seq(StructField("id", LongType))).json, Nil, Map.empty,
+      fileStats = Map("data/f1.parquet" -> Map("id" -> ColStat("1", "2"))),
+      fileRenames = Map("data/f1.parquet" -> Map("id" -> "old_id")))
+    assert(Snapshot.fromJson(snap.toJson) == snap)
+  }
+}
