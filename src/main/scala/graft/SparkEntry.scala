@@ -324,6 +324,27 @@ object SparkEntry {
       lt.scan()
     }),
 
+    "q_mor_merge" -> ((s, dir) => {
+      // merge-on-read: same upsert semantics as q_merge_upsert but the
+      // merge commits an equality-delete file + the after-image instead
+      // of rewriting matched files; a follow-up compact folds deletes in
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-mor") + "/orders"
+      val target = orders.where(col("o_orderkey") % 3 =!= 0)
+      val source = orders.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val lt = LakeTable.create(s, root, orders.schema,
+        properties = Map(
+          LakeTable.PROP_MERGE_MODE -> "merge-on-read",
+          LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      lt.append(target)
+      lt.merge(source, Seq("o_orderkey"))
+      lt.compact()
+      lt.scan().select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_cdc_delete" -> ((s, dir) => {
       // keyed CDC delete: remove every order whose key is in the delete
       // set (stats-pruned COW rewrite of only the touched files)
@@ -729,6 +750,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    "q_mor_merge" ->
+      """WITH tgt AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(src.o_orderkey, tgt.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL
+        |       THEN src.o_orderstatus ELSE tgt.o_orderstatus
+        |  END AS o_orderstatus,
+        |  round(CASE WHEN src.o_orderkey IS NOT NULL
+        |       THEN src.o_totalprice ELSE tgt.o_totalprice END, 2)
+        |    AS o_totalprice
+        |FROM tgt FULL OUTER JOIN src
+        |  ON tgt.o_orderkey = src.o_orderkey""".stripMargin,
 
     "q_sql_surface" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n

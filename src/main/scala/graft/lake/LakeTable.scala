@@ -19,9 +19,13 @@ import scala.jdk.CollectionConverters._
   *   - full scan of the current snapshot,
   *   - incremental scan of the rows appended in a snapshot-id range,
   *   - a `.history` metadata view,
-  *   - copy-on-write MERGE (upsert) keyed on business columns,
-  *   - table properties (COW/MOR modes stored; COW executed — the
-  *     reference only ever runs COW: raw-bronze.py:207, bronze-silver.py:235).
+  *   - MERGE (upsert) keyed on business columns — copy-on-write (rewrite
+  *     matched files) or merge-on-read (equality-delete files + the
+  *     after-image, zero rewrite) per the table's write.merge.mode /
+  *     write.delete.mode properties (reference configures both:
+  *     raw-bronze.py:161-172; runs COW: raw-bronze.py:207),
+  *   - schema evolution (add/rename/drop column) as metadata-only
+  *     commits, and VERSION/TIMESTAMP AS OF time travel.
   *
   * Scale design (targets a 1000-executor cluster / 100 TB, tested local):
   *   - All data movement is executor-side `DataFrame` reads/writes; the
@@ -166,32 +170,74 @@ final class LakeTable private (
   private def readFiles(relFiles: Seq[String]): DataFrame =
     readFilesAs(current, relFiles)
 
-  /** Read `relFiles` under snapshot `ctx`'s schema. Files written before
-    * a column rename are read with their PHYSICAL (as-written) names via
-    * `ctx.fileRenames` and aliased back — one scan per distinct mapping,
-    * unioned; the common no-rename case stays a single scan. */
-  private def readFilesAs(ctx: Snapshot, relFiles: Seq[String]): DataFrame = {
+  /** Like [[readFiles]] but with each row's source file attached as
+    * FILE_COL — the column must be added INSIDE each single-source scan
+    * (input_file_name() is undefined above the MOR anti-join). */
+  private def readFilesWithName(relFiles: Seq[String]): DataFrame =
+    readFilesAs(current, relFiles, withName = true)
+
+  /** Read `relFiles` under snapshot `ctx`'s schema, applying its
+    * equality-delete files (merge-on-read). Files written before a
+    * column rename are read with their PHYSICAL (as-written) names via
+    * `ctx.fileRenames` and aliased back — one scan per distinct
+    * (mapping, delete-era) group, unioned; the common
+    * no-rename/no-delete case stays a single scan.
+    *
+    * Delete semantics (≡ Iceberg equality deletes + data sequence
+    * numbers): delete file i (1-based in seq order) suppresses matching
+    * key rows from every data file whose sequence precedes it — i.e.
+    * whose era (count of deletes at-or-before its sequence) is < i. A
+    * merge's own after-image shares the delete's sequence, so it is
+    * never self-suppressed. */
+  private def readFilesAs(ctx: Snapshot, relFiles: Seq[String],
+      withName: Boolean = false): DataFrame = {
     val sch = DataType.fromJson(ctx.schemaJson).asInstanceOf[StructType]
     if (relFiles.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
-    } else {
-      val groups = relFiles
-        .groupBy(f => ctx.fileRenames.getOrElse(f, Map.empty[String, String]))
-      val parts = groups.toSeq.map { case (mapping, files) =>
-        val abs = files.map(f => new Path(rootPath, f).toString)
-        val physSchema =
-          if (mapping.isEmpty) sch
-          else StructType(sch.fields.map(f =>
-            f.copy(name = mapping.getOrElse(f.name, f.name))))
-        spark.read
-          .option("basePath", dataDir.toString)
-          .schema(physSchema)
-          .parquet(abs: _*)
-          .select(sch.fields.map(f =>
-            col(mapping.getOrElse(f.name, f.name)).as(f.name))
-            .toIndexedSeq: _*) // stable column order + current names
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    }
+    val dels = ctx.deleteFiles.sortBy(_.seq)
+    def era(f: String): Int = {
+      val s = ctx.fileSeq.getOrElse(f, 0L)
+      dels.count(_.seq <= s)
+    }
+    val groups = relFiles.groupBy(f =>
+      (ctx.fileRenames.getOrElse(f, Map.empty[String, String]),
+        if (dels.isEmpty) 0 else era(f)))
+    val parts = groups.toSeq.map { case ((mapping, e), files) =>
+      val abs = files.map(f => new Path(rootPath, f).toString)
+      val physSchema =
+        if (mapping.isEmpty) sch
+        else StructType(sch.fields.map(f =>
+          f.copy(name = mapping.getOrElse(f.name, f.name))))
+      val cols = sch.fields.map(f =>
+        col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
+        (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil)
+      val part = spark.read
+        .option("basePath", dataDir.toString)
+        .schema(physSchema)
+        .parquet(abs: _*)
+        .select(cols: _*) // stable column order + current names
+      if (dels.isEmpty) part else part.withColumn(ERA_COL, lit(e))
+    }
+    val data = parts.reduce(_ unionByName _)
+    if (dels.isEmpty) data
+    else {
+      // one anti-join per distinct key set (the delete-key DataFrames are
+      // tiny relative to data and broadcast under AQE)
+      var df = data
+      dels.zipWithIndex.groupBy(_._1.keys).foreach { case (keys, group) =>
+        val delDF = group.map { case (d, i) =>
+          spark.read.parquet(new Path(rootPath, d.path).toString)
+            .select(d.physicalKeys.zip(keys).map { case (p, k) =>
+              col(p).as(s"__graft_del_$k")
+            }.toIndexedSeq: _*)
+            .withColumn(DERA_COL, lit(i + 1))
+        }.reduce(_ unionByName _)
+        val cond = keys.map(k => col(k) === col(s"__graft_del_$k"))
+          .reduce(_ && _) && col(ERA_COL) < col(DERA_COL)
+        df = df.join(delDF, cond, "left_anti")
       }
-      parts.reduce(_ unionByName _)
+      df.drop(ERA_COL)
     }
   }
 
@@ -224,14 +270,11 @@ final class LakeTable private (
     * and are treated as inserts (SQL join semantics).
     */
   def merge(source: DataFrame, keys: Seq[String]): Long = {
-    properties.get(PROP_MERGE_MODE).filter(_ == "merge-on-read").foreach { _ =>
-      throw new UnsupportedOperationException(
-        "merge-on-read is stored as a property but not executed; the " +
-          "reference only ever runs copy-on-write (bronze-silver.py:235)")
-    }
     val base = current
     val src = alignToSchema(source)
     if (base.liveFiles.isEmpty) return append(src)
+    if (properties.get(PROP_MERGE_MODE).contains("merge-on-read"))
+      return mergeMor(base, src, keys)
 
     // 1) Affected-file pruning, two stages:
     //    (a) manifest-stats range intersection — driver-only, touches ZERO
@@ -244,8 +287,8 @@ final class LakeTable private (
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val affected =
       if (candidates.isEmpty) Nil
-      else readFiles(candidates)
-        .select((keys.map(col) :+ input_file_name().as(FILE_COL)): _*)
+      else readFilesWithName(candidates)
+        .select((keys.map(col) :+ col(FILE_COL)): _*)
         .join(srcKeys, keys, "left_semi")
         .select(FILE_COL).distinct()
         .collect().map(r => relativize(r.getString(0))).toSeq
@@ -278,6 +321,27 @@ final class LakeTable private (
     val (added, stats) = writeDataFiles(merged)
     commit(base, "merge", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+  }
+
+  /** Merge-on-read MERGE (≡ the `write.merge.mode=merge-on-read`
+    * capability the reference configures, scripts/raw-bronze.py:166-172):
+    * write the after-image as new data files plus ONE equality-delete
+    * file of the source keys — ZERO reads or rewrites of existing data.
+    * Cost is O(source) regardless of table size; readers pay the
+    * anti-join until [[compact]] folds the deletes in. The after-image
+    * shares the delete's sequence number, so it is never
+    * self-suppressed; null-key source rows are pure inserts (their keys
+    * are excluded from the delete file), matching the COW contract. */
+  private def mergeMor(base: Snapshot, src: DataFrame,
+      keys: Seq[String]): Long = {
+    val (added, stats) = writeDataFiles(src)
+    val delKeys = src.select(keys.map(col): _*).distinct().na.drop()
+    val delPaths = writeDeleteFiles(delKeys)
+    val seq = base.snapshotId + 1
+    commit(base, "merge", added = added, removed = Nil,
+      live = base.liveFiles ++ added, addedStats = stats,
+      deletesOverride = Some(base.deleteFiles ++
+        delPaths.map(p => DeleteFile(p, seq, keys, keys))))
   }
 
   /** Stats-based candidate pruning for key-equality operations: a file
@@ -334,11 +398,25 @@ final class LakeTable private (
   def deleteByKeys(keys: DataFrame, keyCols: Seq[String]): Long = {
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
+    if (properties.get(PROP_DELETE_MODE).contains("merge-on-read")) {
+      // MOR: commit just the equality-delete file — no scan, no rewrite
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      val k = keys
+        .select(keyCols.map(c => col(c).cast(types(c)).as(c)): _*)
+        .distinct().na.drop()
+      if (k.isEmpty) return base.snapshotId
+      val delPaths = writeDeleteFiles(k)
+      val seq = base.snapshotId + 1
+      return commit(base, "delete", added = Nil, removed = Nil,
+        live = base.liveFiles,
+        deletesOverride = Some(base.deleteFiles ++
+          delPaths.map(p => DeleteFile(p, seq, keyCols, keyCols))))
+    }
     val k = keys.select(keyCols.map(col): _*).distinct()
     val candidates = pruneByStats(base, k, keyCols)
     if (candidates.isEmpty) return base.snapshotId
-    val affected = readFiles(candidates)
-      .select((keyCols.map(col) :+ input_file_name().as(FILE_COL)): _*)
+    val affected = readFilesWithName(candidates)
+      .select((keyCols.map(col) :+ col(FILE_COL)): _*)
       .join(k, keyCols, "left_semi")
       .select(FILE_COL).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
@@ -365,8 +443,7 @@ final class LakeTable private (
     // and one proportional to the touched key range
     val candidates = pruneByPredicate(base, predicate)
     if (candidates.isEmpty) return base.snapshotId
-    val affected = readFiles(candidates)
-      .withColumn(FILE_COL, input_file_name())
+    val affected = readFilesWithName(candidates)
       .where(predicate)
       .select(FILE_COL).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
@@ -393,8 +470,7 @@ final class LakeTable private (
     // same manifest-stats pruning as [[delete]]
     val candidates = pruneByPredicate(base, predicate)
     if (candidates.isEmpty) return base.snapshotId
-    val affected = readFiles(candidates)
-      .withColumn(FILE_COL, input_file_name())
+    val affected = readFilesWithName(candidates)
       .where(predicate)
       .select(FILE_COL).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
@@ -453,15 +529,18 @@ final class LakeTable private (
       val phys = em.getOrElse(oldName, oldName)
       f -> ((em - oldName) + (newName -> phys))
     }.toMap
-    // stats follow the logical column
+    // stats and delete-file logical keys follow the column
     val stats = base.fileStats.map { case (f, cols) =>
       f -> cols.map { case (c, cs) =>
         (if (c == oldName) newName else c) -> cs
       }
     }
+    val dels = base.deleteFiles.map(d => d.copy(
+      keys = d.keys.map(k => if (k == oldName) newName else k)))
     commit(base, "evolve-schema", added = Nil, removed = Nil,
       live = base.liveFiles, schemaJson = Some(newSchema.json),
-      statsOverride = Some(stats), renamesOverride = Some(renames))
+      statsOverride = Some(stats), renamesOverride = Some(renames),
+      deletesOverride = Some(dels))
   }
 
   /** Drop a column (metadata-only commit, ≡ Iceberg
@@ -540,8 +619,10 @@ final class LakeTable private (
       .repartition(numParts, (partitionColumns.map(col) :+ col(salt)): _*)
       .drop(salt)
     val (added, stats) = writeDataFiles(data)
+    // compaction folds outstanding equality deletes into the rewrite
+    // (readFiles applied them) — the new snapshot starts delete-free
     commit(base, "compact", added = added, removed = base.liveFiles,
-      live = added, addedStats = stats)
+      live = added, addedStats = stats, deletesOverride = Some(Nil))
   }
 
   /** Expire snapshots older than the latest `keepLast`, deleting their
@@ -557,8 +638,11 @@ final class LakeTable private (
     // their files, so (1 to cutoff) would trip snapshot()'s existence check
     val (expired, kept) = snapshots.partition(_.snapshotId <= cutoff)
     val keptFiles = kept.flatMap(_.liveFiles).toSet
+    val keptDeletes = kept.flatMap(_.deleteFiles.map(_.path)).toSet
     expired.foreach { s =>
       s.liveFiles.filterNot(keptFiles)
+        .foreach(f => fs.delete(new Path(rootPath, f), false))
+      s.deleteFiles.map(_.path).filterNot(keptDeletes)
         .foreach(f => fs.delete(new Path(rootPath, f), false))
       fs.delete(new Path(metaDir, s"v${s.snapshotId}.json"), false)
     }
@@ -638,6 +722,24 @@ final class LakeTable private (
     }
   }
 
+  /** Write an equality-delete key file (tiny: distinct keys only) under
+    * `deletes/`; returns root-relative paths. */
+  private def writeDeleteFiles(keysDf: DataFrame): Seq[String] = {
+    val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
+    try {
+      keysDf.write.mode("overwrite").parquet(staging.toString)
+      val files = listParquet(fs, staging)
+      val delDir = new Path(rootPath, DELETES_DIR)
+      fs.mkdirs(delDir)
+      files.map { f =>
+        val dest = new Path(delDir, f.getName)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"rename $f -> $dest failed")
+        s"$DELETES_DIR/${f.getName}"
+      }
+    } finally fs.delete(staging, true)
+  }
+
   /** `input_file_name()` URI → table-root-relative path. Works on the
     * DECODED filesystem path (partition values may contain spaces etc.;
     * the URI form would leave literal %XX in the stored manifest and
@@ -659,17 +761,20 @@ final class LakeTable private (
       addedStats: Map[String, Map[String, ColStat]] = Map.empty,
       schemaJson: Option[String] = None,
       statsOverride: Option[Map[String, Map[String, ColStat]]] = None,
-      renamesOverride: Option[Map[String, Map[String, String]]] = None)
-      : Long = {
+      renamesOverride: Option[Map[String, Map[String, String]]] = None,
+      deletesOverride: Option[Seq[DeleteFile]] = None): Long = {
     val id = base.snapshotId + 1
     val liveSet = live.toSet
     val stats = statsOverride.getOrElse(
       base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats)
     val renames = renamesOverride.getOrElse(base.fileRenames)
       .filter { case (f, m) => liveSet(f) && m.nonEmpty }
+    val seqs = base.fileSeq.filter { case (f, _) => liveSet(f) } ++
+      added.map(_ -> id)
+    val dels = deletesOverride.getOrElse(base.deleteFiles)
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
-      base.partitionColumns, base.properties, stats, renames)
+      base.partitionColumns, base.properties, stats, renames, seqs, dels)
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
     // table could never commit again. Age-gated so a LIVE racing writer's
@@ -707,6 +812,7 @@ final class LakeTable private (
 object LakeTable {
   val METADATA_DIR = "metadata"
   val DATA_DIR = "data"
+  val DELETES_DIR = "deletes"
   val HEAD = "HEAD"
   val PROP_COMPRESSION = "write.parquet.compression-codec"
   val PROP_MERGE_MODE = "write.merge.mode"
@@ -718,6 +824,8 @@ object LakeTable {
   val ORPHAN_GRACE_MS: Long = 5000L
   private val FILE_COL = "__graft_file"
   private val SRC_MARK = "__graft_is_src"
+  private val ERA_COL = "__graft_era"
+  private val DERA_COL = "__graft_del_era"
 
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, s"$METADATA_DIR/$HEAD")

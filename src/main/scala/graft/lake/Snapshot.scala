@@ -41,7 +41,17 @@ final case class Snapshot(
       * columns — absent file or column means the physical name equals the
       * current name. This is the name-mapped equivalent of Iceberg's
       * field-id indirection: renames stay metadata-only, no rewrite. */
-    fileRenames: Map[String, Map[String, String]] = Map.empty) {
+    fileRenames: Map[String, Map[String, String]] = Map.empty,
+    /** Data sequence number per live file = the snapshot id that added it
+      * (≡ Iceberg's data sequence numbers). Equality deletes apply only
+      * to files with a STRICTLY lower sequence, so a merge's own
+      * after-image is never suppressed by its own delete file. Absent
+      * file = 0 (pre-MOR legacy; every delete applies). */
+    fileSeq: Map[String, Long] = Map.empty,
+    /** Live equality-delete files (merge-on-read): each suppresses, from
+      * every older data file, the rows whose key columns match any row in
+      * the delete file. Cleared by compaction. */
+    deleteFiles: Seq[DeleteFile] = Nil) {
 
   def toJson: String = {
     val m = Snapshot.mapper
@@ -85,6 +95,20 @@ final case class Snapshot(
         }
       }
     }
+    if (fileSeq.nonEmpty) {
+      val qo = n.putObject("seq")
+      liveFiles.foreach(f => fileSeq.get(f).foreach(s => qo.put(f, s)))
+    }
+    if (deleteFiles.nonEmpty) {
+      val da = n.putArray("delete_files")
+      deleteFiles.foreach { d =>
+        val o = da.addObject()
+        o.put("path", d.path)
+        o.put("seq", d.seq)
+        val ka = o.putArray("keys"); d.keys.foreach(ka.add)
+        val pa = o.putArray("physical_keys"); d.physicalKeys.foreach(pa.add)
+      }
+    }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 }
@@ -123,7 +147,20 @@ object Snapshot {
           fe.getKey -> fe.getValue.properties().asScala.map { ce =>
             ce.getKey -> ce.getValue.asText()
           }.toMap
-        }.toMap
+        }.toMap,
+      fileSeq =
+        if (!n.has("seq")) Map.empty
+        else n.path("seq").properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      deleteFiles =
+        if (!n.has("delete_files")) Nil
+        else n.path("delete_files").elements().asScala.map { o =>
+          DeleteFile(
+            o.path("path").asText(),
+            o.path("seq").asLong(),
+            o.path("keys").elements().asScala.map(_.asText()).toSeq,
+            o.path("physical_keys").elements().asScala.map(_.asText()).toSeq)
+        }.toSeq
     )
   }
 }
@@ -131,3 +168,11 @@ object Snapshot {
 /** Min/max of one column in one data file, encoded in the type-normalized
   * string domain defined by [[FileStats]]. */
 final case class ColStat(min: String, max: String)
+
+/** One equality-delete file (merge-on-read): a Parquet file of key rows
+  * that suppresses matching rows in every data file with
+  * `fileSeq < seq`. `keys` are the CURRENT logical column names (renamed
+  * along with the table); `physicalKeys` are the names as written in the
+  * file, fixed forever (same indirection as Snapshot.fileRenames). */
+final case class DeleteFile(path: String, seq: Long, keys: Seq[String],
+    physicalKeys: Seq[String])

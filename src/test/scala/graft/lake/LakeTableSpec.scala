@@ -117,14 +117,19 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
-  test("merge-on-read property raises on merge") {
+  test("merge-on-read property routes merge to the MOR path") {
     val root = freshRoot
-    val df = Seq((1L, "a")).toDF("id", "v")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val t = LakeTable.create(spark, root, df.schema,
       properties = Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
     t.append(df)
-    intercept[UnsupportedOperationException](
-      t.merge(Seq((1L, "b")).toDF("id", "v"), Seq("id")))
+    t.merge(Seq((1L, "A"), (3L, "C")).toDF("id", "v"), Seq("id"))
+    val snap = t.currentSnapshot.get
+    assert(snap.removedFiles.isEmpty, "MOR merge must not rewrite files")
+    assert(snap.deleteFiles.nonEmpty, "MOR merge must add a delete file")
+    assert(t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (2L, "b"), (3L, "C")))
   }
 
   test("time travel: scanAt sees the historical snapshot") {
