@@ -598,6 +598,111 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
+  /** The hyperplane constants of
+    * [[graft.plans.expressions.HyperplaneSignature]] as a DuckDB VALUES
+    * list — generated with the SAME JVM RNG derivation the expression
+    * uses, so the oracle buckets vectors with bit-identical planes
+    * (Double.toString round-trips exactly through DuckDB's parser). */
+  private def planesSqlValues(nPlanes: Int, dim: Int, seed: Long): String =
+    (0 until nPlanes).map { p =>
+      val rnd = new java.util.Random(seed * 1000003L + p)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      s"(${p + 1}, [${v.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+
+  /** The q_dedup_simhash oracle, generated: TokenHash64 (polynomial
+    * mod-2^64 + xxh64-finalizer avalanche) is pure ring arithmetic, so
+    * DuckDB reproduces it exactly with HUGEINT math — `mulmod` splits
+    * each 64×64-bit wraparound multiply into 32-bit halves to stay
+    * inside HUGEINT. Signature, banding, and hamming verify then mirror
+    * simHashPairs. */
+  private def simhashOracleSql: String = {
+    val M = BigInt(1) << 64
+    val bPows = (0 until 32).map(e => BigInt(1000003).modPow(BigInt(e), M))
+    val pow2 = (0 until 64).map(b => BigInt(1) << b)
+    def mulmod(h: String, c: BigInt): String = {
+      val c0 = c % (BigInt(1) << 32)
+      val c1 = c >> 32
+      s"((($h) % 4294967296::HUGEINT) * $c0::HUGEINT" +
+        s" + (((($h) % 4294967296::HUGEINT) * $c1::HUGEINT" +
+        s" + (($h) // 4294967296::HUGEINT) * $c0::HUGEINT)" +
+        " % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
+        " % 18446744073709551616::HUGEINT"
+    }
+    val p2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val p3 = BigInt("165667B19E3779F9", 16)
+    s"""WITH consts AS (
+       |  SELECT [${bPows.mkString(",")}]::HUGEINT[] AS bp,
+       |         [${pow2.mkString(",")}]::HUGEINT[] AS p2),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(ts, 1) AS ti, unnest(ts) AS t
+       |  FROM toks),
+       |chars AS (
+       |  SELECT doc_id, ti, i, ascii(t[i:i])::HUGEINT AS c, len(t) AS n
+       |  FROM tok, unnest(generate_series(1, len(t)::INT)) AS u(i)),
+       |h0 AS (
+       |  SELECT doc_id, ti,
+       |    sum(c * (SELECT bp FROM consts)[(n - i + 1)::INT])
+       |      % 18446744073709551616::HUGEINT AS h
+       |  FROM chars GROUP BY doc_id, ti),
+       |h1 AS (SELECT doc_id, ti, xor(h, h // 8589934592::HUGEINT) AS h
+       |       FROM h0),
+       |h2 AS (SELECT doc_id, ti, ${mulmod("h", p2)} AS h FROM h1),
+       |h3 AS (SELECT doc_id, ti, xor(h, h // 536870912::HUGEINT) AS h
+       |       FROM h2),
+       |h4 AS (SELECT doc_id, ti, ${mulmod("h", p3)} AS h FROM h3),
+       |h5 AS (
+       |  SELECT doc_id, ti,
+       |    CASE WHEN xor(h, h // 4294967296::HUGEINT)
+       |              >= 9223372036854775808::HUGEINT
+       |      THEN (xor(h, h // 4294967296::HUGEINT)
+       |            - 18446744073709551616::HUGEINT)::BIGINT
+       |      ELSE xor(h, h // 4294967296::HUGEINT)::BIGINT END AS hs
+       |  FROM h4),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (hs >> b) & 1 = 1 THEN 1 ELSE -1 END)
+       |           > 0
+       |      THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+       |  FROM h5, unnest(generate_series(0, 63)) AS u(b)
+       |  GROUP BY doc_id, b),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s >= 9223372036854775808::HUGEINT
+       |      THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+       |      ELSE s::BIGINT END AS sig
+       |  FROM (
+       |    SELECT doc_id,
+       |      sum(bit * (SELECT p2 FROM consts)[(b + 1)::INT]) AS s
+       |    FROM bits GROUP BY doc_id)),
+       |byband AS (
+       |  SELECT doc_id, sig, b4 AS band,
+       |         (sig >> (b4 * 16)) & 65535 AS band_val
+       |  FROM sigs, unnest(generate_series(0, 3)) AS u(b4))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM byband a JOIN byband b
+       |  ON a.band = b.band AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
+  /** Shared CTE: per-vector hyperplane bucket (bit p set iff
+    * vec · plane_p > 0), mirroring hyperplaneSignature. */
+  private def sigsSql(nPlanes: Int): String =
+    s"""planes(pi, pl) AS (VALUES
+       |  ${planesSqlValues(nPlanes, 64, 42L)}),
+       |sigs AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    CAST(sum(CASE WHEN
+       |        list_dot_product(e.embedding::DOUBLE[], p.pl) > 0
+       |      THEN 1 << (p.pi - 1) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, e.embedding)""".stripMargin
+
   /** DuckDB equivalents (driver runs these on the same parquet tables;
     * hash-compare after sorting columns by name). Queries without an
     * entry (hash-seeded LSH/fingerprint families, streaming-state
@@ -1157,6 +1262,72 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source
         |FROM d3 d LEFT JOIN comp ON d.doc_id = comp.x
         |WHERE comp.x IS NULL OR comp.rep = d.doc_id""".stripMargin,
+
+    "q_dedup_simhash" -> simhashOracleSql,
+
+    // winnowing fingerprint = min over 16-char windows of the polynomial
+    // rolling hash, whose 64-bit wraparound is plain mod-2^64 arithmetic:
+    // window hash = sum(char * B^(15-j)) mod 2^64, reinterpreted signed
+    "q_fingerprint" ->
+      """WITH pows AS (
+        |  SELECT [6397295411589846571, 5600660903763878393,
+        |    14911146631531166995, 15642640937032856817,
+        |    2455841760392682171, 5231796974404119081,
+        |    3634980586811902243, 1460077494926286753,
+        |    12924618581234127435, 10923514805226455897,
+        |    14453212906556403763, 14003818205314896721,
+        |    1000009000027000027, 1000006000009, 1000003, 1]::HUGEINT[]
+        |    AS p),
+        |ch AS (
+        |  SELECT doc_id, i, ascii(lower(text)[i:i])::HUGEINT AS c,
+        |         strlen(text) AS n
+        |  FROM documents,
+        |       unnest(generate_series(1, strlen(text)::INT)) AS t(i)),
+        |win AS (
+        |  SELECT a.doc_id, a.i AS s,
+        |    sum(b.c * (SELECT p FROM pows)[(b.i - a.i + 1)::INT]) AS hsum
+        |  FROM ch a JOIN ch b
+        |    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 15
+        |  WHERE a.i <= a.n - 15
+        |  GROUP BY a.doc_id, a.i),
+        |winh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hsum % 18446744073709551616::HUGEINT
+        |              >= 9223372036854775808::HUGEINT
+        |      THEN (hsum % 18446744073709551616::HUGEINT
+        |            - 18446744073709551616::HUGEINT)::BIGINT
+        |      ELSE (hsum % 18446744073709551616::HUGEINT)::BIGINT
+        |    END AS h
+        |  FROM win)
+        |SELECT doc_id, min(h) AS fp FROM winh GROUP BY doc_id"""
+        .stripMargin,
+
+    // hyperplane-LSH top-k: bucket join on the exact signature, re-rank
+    // within buckets (single-probe; sparse buckets return < k rows)
+    "q_ann_lsh" ->
+      s"""WITH ${sigsSql(10)}
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+         |       round(score, 6) AS score
+         |FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_cosine_similarity(c.embedding::DOUBLE[],
+         |      q.embedding::DOUBLE[]) AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |        q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+         |  FROM sigs c JOIN sigs q ON c.bucket = q.bucket
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "q_neardup_embedding" ->
+      s"""WITH ${sigsSql(6)}
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |    b.embedding::DOUBLE[]), 6) AS score
+         |FROM sigs a JOIN sigs b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |    b.embedding::DOUBLE[]), 6) >= 0.25""".stripMargin,
 
     // the media stub is deterministic byte math over the (ASCII) text:
     // resize keeps min(len, 64) bytes, frames tile them into <=4 chunks

@@ -172,12 +172,15 @@ object TextDedup {
   /** SimHash near-duplicate pairs: 64-bit signature per doc (one native
     * loop), candidates via exact match on any of four 16-bit bands
     * (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical band), verified with
-    * `bit_count(a ^ b) ≤ maxHamming` — all codegen'd built-ins. */
+    * `bit_count(a ^ b) ≤ maxHamming` — all codegen'd built-ins. Token
+    * hashing uses [[graft.plans.expressions.TokenHash64]] (poly +
+    * avalanche): same mixing quality as xxhash64 for this purpose, and
+    * exactly reproducible by the SQL correctness oracle. */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(transform(TextFunctions.tokens(col(textCol)),
-        t => xxhash64(t))).as("sig"))
+        t => graft.plans.expressions.tokenHash64(t))).as("sig"))
 
     // one pass: all four 16-bit band values as an array, posexplode into
     // (id, sig, band, band_val) rows — the signature is computed once per

@@ -232,6 +232,53 @@ object expressions {
     val P: Long = 2147483647L // 2^31 - 1
   }
 
+  /** 64-bit token hash: polynomial accumulate (base 1000003, natural
+    * mod-2^64 wraparound) followed by the xxHash64 finalizer avalanche.
+    * Every step is a plain mod-2^64 ring operation, so the hash is
+    * reproducible in ANSI SQL (the DuckDB correctness oracle mirrors it
+    * with HUGEINT arithmetic) while the avalanche gives the uniform bit
+    * statistics SimHash needs — a raw polynomial hash of short tokens
+    * would leave the high bits near-constant and collapse the signature.
+    */
+  case class TokenHash64(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string arg, got ${child.dataType.sql}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_token_hash"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenHash64.hash(v.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val cls = TokenHash64.getClass.getName.stripSuffix("$") + "$"
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = $cls.MODULE$$.hash($s.toString());")
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  object TokenHash64 {
+    private val B = 1000003L
+    private val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+    private val P3 = 1609587929392839161L // 0x165667B19E3779F9
+
+    def hash(s: String): Long = {
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = h * B + s.charAt(i); i += 1 }
+      h ^= (h >>> 33); h *= P2
+      h ^= (h >>> 29); h *= P3
+      h ^= (h >>> 32)
+      h
+    }
+  }
+
   /** 64-bit SimHash over an array of token hashes: per bit position, sum
     * +1/-1 across tokens by that bit's value; the sign vector packs into
     * one long. Near-duplicate docs differ in a few bits → hamming distance
@@ -366,6 +413,9 @@ object expressions {
 
   def simhash64(tokenHashes: Column): Column =
     S.column(SimHash64(S.expression(tokenHashes)))
+
+  def tokenHash64(token: Column): Column =
+    S.column(TokenHash64(S.expression(token)))
 
   def hyperplaneSignature(vec: Column, nPlanes: Int, seed: Long): Column =
     S.column(HyperplaneSignature(S.expression(vec), nPlanes, seed))
