@@ -51,14 +51,24 @@ final class RawToBronzeJob(
 }
 
 object PipelineDefaults {
-  /** ≡ the reference's table properties (scripts/raw-bronze.py:160-175,
-    * scripts/bronze-silver.py:179-200): COW for delete/update/merge,
-    * parquet v2, snappy at the bronze call site. MOR is stored but never
-    * executed, exactly like the reference. */
+  /** ≡ the reference's `table_type='COW'` properties
+    * (scripts/raw-bronze.py:160-175, scripts/bronze-silver.py:179-200):
+    * COW for delete/update/merge, parquet v2, snappy at the bronze call
+    * site — the mode both reference jobs actually run with. */
   val tableProperties: Map[String, String] = Map(
     LakeTable.PROP_FORMAT_VERSION -> "2",
     LakeTable.PROP_DELETE_MODE -> "copy-on-write",
     LakeTable.PROP_UPDATE_MODE -> "copy-on-write",
     LakeTable.PROP_MERGE_MODE -> "copy-on-write",
+    LakeTable.PROP_COMPRESSION -> "snappy")
+
+  /** ≡ the reference's `table_type='MOR'` branch
+    * (scripts/raw-bronze.py:166-172, scripts/bronze-silver.py:186-194):
+    * merges/deletes commit equality-delete files instead of rewriting. */
+  val tablePropertiesMor: Map[String, String] = Map(
+    LakeTable.PROP_FORMAT_VERSION -> "2",
+    LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+    LakeTable.PROP_UPDATE_MODE -> "merge-on-read",
+    LakeTable.PROP_MERGE_MODE -> "merge-on-read",
     LakeTable.PROP_COMPRESSION -> "snappy")
 }

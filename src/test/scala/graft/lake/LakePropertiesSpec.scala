@@ -41,6 +41,24 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 5)
   }
 
+  test("property: MOR merging the same batch twice ≡ once") {
+    check(Prop.forAllNoShrink(rowsGen, rowsGen) { (tgt, srcRaw) =>
+      val root = TestSpark.tmpDir("prop-mor") + "/t"
+      val tdf = tgt.toDF("id", "v")
+      val t = LakeTable.create(spark, root, tdf.schema,
+        properties = Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+      t.append(tdf)
+      val src = srcRaw.groupBy(_._1).map(_._2.maxBy(_._2)).toList
+        .toDF("id", "v")
+      t.merge(src, Seq("id"))
+      val once = t.scan().orderBy("id", "v").collect().toSeq
+      t.merge(src, Seq("id"))
+      val twice = t.scan().orderBy("id", "v").collect().toSeq
+      t.drop()
+      once == twice
+    }, 5)
+  }
+
   test("property: full scan ≡ union of incremental scans") {
     check(Prop.forAllNoShrink(rowsGen, rowsGen, rowsGen) { (b1, b2, b3) =>
       val root = TestSpark.tmpDir("prop-inc") + "/t"

@@ -132,4 +132,37 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(goldRows == 4) // states SC, PW, CT, VI
     assert(gold == Map("SC" -> 2L, "PW" -> 1L, "CT" -> 1L, "VI" -> 1L))
   }
+
+  test("MOR silver (reference table_type='MOR'): same golden end state, zero rewrites") {
+    assume(Files.exists(Paths.get(refInserts)), "reference data not present")
+    val base = TestSpark.tmpDir("golden-mor")
+    val rawDir = s"$base/raw"
+    val cat = new LakeCatalog(spark, s"$base/warehouse")
+    def run(): (Long, Long) = {
+      val b = new RawToBronzeJob(spark, cat, rawDir,
+        s"$base/ckpt/raw_to_bronze.json", "example_namespace",
+        "bronze_orders").run()
+      val s = new BronzeToSilverJob(spark, cat, "example_namespace",
+        "bronze_orders", "silver_orders", s"$base/ckpt/bronze_to_silver.json",
+        tableProperties = PipelineDefaults.tablePropertiesMor).run()
+      (b, s)
+    }
+    copyCsvs(refInserts, rawDir)
+    assert(run() == ((5L, 5L)))
+    copyCsvs(refUpdates, rawDir)
+    assert(run() == ((2L, 2L)))
+
+    val silverT = cat.loadTable("example_namespace", "silver_orders")
+    val silver = silverT.scan()
+    assert(silver.count() == 5)
+    val cats = silver.select("invoiceid", "category").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cats(40994L).endsWith("####") && cats(83597L).endsWith("####"))
+    // MOR really executed: no data file was ever rewritten by a merge
+    val merges = silverT.snapshots.filter(_.operation == "merge")
+    assert(merges.nonEmpty)
+    assert(merges.forall(_.removedFiles.isEmpty),
+      s"MOR merge rewrote files: ${merges.map(_.removedFiles)}")
+    assert(silverT.currentSnapshot.get.deleteFiles.nonEmpty)
+  }
 }
