@@ -300,7 +300,9 @@ object SparkEntry {
       val lt = LakeTable.create(s, root, orders.schema)
       val s1 = lt.append(orders.where(col("o_orderdate") < cut))
       val ts1 = lt.snapshot(s1).timestampMs
-      Thread.sleep(5) // distinct wall-clock for the second commit
+      // the second commit must carry a strictly later made_current_at —
+      // wait out the clock tick instead of trusting a fixed sleep
+      while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
       lt.append(orders.where(col("o_orderdate") >= cut))
       lt.scanAtTimestamp(ts1)
         .select(col("o_orderkey"),
@@ -497,9 +499,15 @@ object SparkEntry {
       TextDedup.ngramJaccardPairs(docsWithTrigrams(s, dir),
         n = 3, threshold = 0.5, maxDocFreq = Some(100))),
 
+    // 64 bands of 2 rows: candidate probability at the 0.5 threshold is
+    // 1-(1-0.5^2)^64 ≈ 1-1e-8, so banding recall is total by
+    // construction (32 bands of 4 would leave ~13% misses for pairs at
+    // exactly 0.5) — which is what makes the exact-pairs oracle a
+    // guarantee rather than data luck; precision is exact either way
+    // (candidates are verified with the true Jaccard)
     "q_dedup_minhash" -> ((s, dir) =>
       TextDedup.minHashPairs(docs(s, dir),
-        k = 128, bands = 32, shingleSize = 3, threshold = 0.5)),
+        k = 128, bands = 64, shingleSize = 3, threshold = 0.5)),
 
     "q_dedup_simhash" -> ((s, dir) =>
       TextDedup.simHashPairs(docs(s, dir), maxHamming = 3)),
@@ -618,7 +626,10 @@ object SparkEntry {
     * simHashPairs. */
   private def simhashOracleSql: String = {
     val M = BigInt(1) << 64
-    val bPows = (0 until 32).map(e => BigInt(1000003).modPow(BigInt(e), M))
+    // powers up to 128 chars — far beyond any [a-z0-9]+ run in the
+    // corpora (max observed 8); a longer token would index past the
+    // array and make the term NULL, so guard with headroom
+    val bPows = (0 until 128).map(e => BigInt(1000003).modPow(BigInt(e), M))
     val pow2 = (0 until 64).map(b => BigInt(1) << b)
     def mulmod(h: String, c: BigInt): String = {
       val c0 = c % (BigInt(1) << 32)
@@ -677,7 +688,10 @@ object SparkEntry {
        |  FROM (
        |    SELECT doc_id,
        |      sum(bit * (SELECT p2 FROM consts)[(b + 1)::INT]) AS s
-       |    FROM bits GROUP BY doc_id)),
+       |    FROM bits GROUP BY doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, 0::BIGINT AS sig
+       |  FROM toks WHERE len(ts) = 0),
        |byband AS (
        |  SELECT doc_id, sig, b4 AS band,
        |         (sig >> (b4 * 16)) & 65535 AS band_val

@@ -30,7 +30,7 @@ object Checkpoint {
 
   private val mapper = new ObjectMapper()
 
-  private def conf = new Configuration()
+  private val conf = new Configuration()
 
   /** Load the checkpoint as a string->string map; None if absent/corrupt. */
   def load(path: String): Option[Map[String, String]] = {
@@ -39,16 +39,8 @@ object Checkpoint {
     if (!fs.exists(p)) None
     else
       try {
-        val in = fs.open(p)
-        val bytes =
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            out.toByteArray
-          } finally in.close()
-        val root = mapper.readTree(bytes)
+        val root = mapper.readTree(
+          graft.lake.LakeTable.readString(fs, p))
         val m = root.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
         Some(m)

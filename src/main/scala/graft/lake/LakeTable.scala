@@ -432,7 +432,13 @@ final class LakeTable private (
     * carry forward by manifest reference (same pruning shape as MERGE —
     * the scan that locates affected files reads only the predicate's
     * columns). ≡ the `write.delete.mode=copy-on-write` capability the
-    * reference configures (scripts/raw-bronze.py:161-165). */
+    * reference configures (scripts/raw-bronze.py:161-165).
+    *
+    * NOTE: predicate deletes ALWAYS execute copy-on-write, even when
+    * `write.delete.mode=merge-on-read` — MOR needs a key set, and a
+    * predicate has none; expressing it as MOR would require position
+    * deletes, which this engine does not implement. Key-based MOR
+    * deletes go through [[deleteByKeys]]. Cost, not correctness. */
   def delete(predicate: org.apache.spark.sql.Column): Long = {
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
@@ -460,7 +466,9 @@ final class LakeTable private (
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching
     * `predicate`, file-pruned exactly like [[delete]]. ≡ the
     * `write.update.mode=copy-on-write` capability the reference
-    * configures (scripts/raw-bronze.py:161-165). */
+    * configures (scripts/raw-bronze.py:161-165). Like [[delete]],
+    * updates always execute copy-on-write regardless of
+    * `write.update.mode` (no position deletes — see [[delete]]). */
   def update(predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     val bad = assignments.keySet.diff(schema.fieldNames.toSet)
@@ -492,8 +500,16 @@ final class LakeTable private (
   // -------------------------------------------------------- schema evolution
 
   /** Add a nullable column (metadata-only commit, ≡ Iceberg
-    * `ALTER TABLE … ADD COLUMN`): existing files simply read NULL for it
-    * (name-based Parquet resolution), new writes carry it. */
+    * `ALTER TABLE … ADD COLUMN`): existing files read NULL for it, new
+    * writes carry it.
+    *
+    * Every pre-existing live file gets a name mapping to a reserved
+    * never-written physical name. This guarantees Iceberg's field-id
+    * semantics with two birds: (a) a file that happens to carry dead
+    * bytes under `name` (dropColumn + re-add) reads NULL instead of
+    * silently resurrecting the old data; (b) re-adding a name that is
+    * still some file's PHYSICAL name after a rename (rename v→w, add v)
+    * cannot collide in the per-file physical schema. */
   def addColumn(name: String, dataType: DataType,
       nullable: Boolean = true): Long = {
     val base = current
@@ -503,8 +519,13 @@ final class LakeTable private (
       "new columns must be nullable: existing files carry no values")
     val newSchema = StructType(sch.fields :+
       StructField(name, dataType, nullable))
+    val absent = ABSENT_PREFIX + name
+    val renames = base.liveFiles.map { f =>
+      f -> (base.fileRenames.getOrElse(f, Map.empty) + (name -> absent))
+    }.toMap
     commit(base, "evolve-schema", added = Nil, removed = Nil,
-      live = base.liveFiles, schemaJson = Some(newSchema.json))
+      live = base.liveFiles, schemaJson = Some(newSchema.json),
+      renamesOverride = Some(renames))
   }
 
   /** Rename a column (metadata-only commit, ≡ Iceberg
@@ -826,6 +847,10 @@ object LakeTable {
   private val SRC_MARK = "__graft_is_src"
   private val ERA_COL = "__graft_era"
   private val DERA_COL = "__graft_del_era"
+  /** Physical-name prefix guaranteed never to be written by this engine:
+    * addColumn maps the new column here for pre-existing files, so they
+    * read NULL even if they carry dead bytes under the same name. */
+  private val ABSENT_PREFIX = "__graft_absent_"
 
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, s"$METADATA_DIR/$HEAD")
@@ -872,7 +897,7 @@ object LakeTable {
 
   // ------------------------------------------------------------- fs helpers
 
-  private[lake] def readString(fs: FileSystem, p: Path): String = {
+  private[graft] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()

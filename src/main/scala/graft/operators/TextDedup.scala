@@ -158,9 +158,14 @@ object TextDedup {
         .where(col("rep") < col("old")).count()
       labels = updated
     }
+    // labels is localCheckpointed (materialized, lineage-free), so it
+    // covers exactly the paired nodes — derive both the membership and
+    // representative sets from it and release the big caches now
     val reps = labels.where(col("rep") === col("x"))
       .select(col("x").as(idCol))
-    val inPairs = edges.select(col("x").as(idCol)).distinct()
+    val inPairs = labels.select(col("x").as(idCol))
+    p.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     // unpaired docs represent themselves; paired docs survive only as
     // their component's minimum id
     docs.join(inPairs, Seq(idCol), "left_anti")

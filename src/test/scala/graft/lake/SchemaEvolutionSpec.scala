@@ -93,7 +93,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(t.scan().count() == 100)
   }
 
-  test("dropColumn: metadata-only; re-add reads NULL everywhere") {
+  test("dropColumn then re-adding the SAME name reads NULL, not dead bytes") {
     val root = freshRoot
     val df = Seq((1L, "a", 5), (2L, "b", 6)).toDF("id", "v", "n")
     val t = LakeTable.create(spark, root, df.schema)
@@ -101,11 +101,32 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     t.dropColumn("n")
     assert(t.schema.fieldNames.toSeq == Seq("id", "v"))
     assert(t.scan().columns.toSeq == Seq("id", "v"))
-    // re-adding the same name: stats were stripped, so nothing prunes
-    // against the dead bytes; reads resolve by name and... the old files
-    // DO still carry an `n` column, which name-based resolution surfaces
-    t.addColumn("n2", IntegerType)
-    assert(t.scan().where($"n2".isNull).count() == 2)
+    // the old files still carry dead bytes under `n`; Iceberg field-id
+    // semantics say a re-added column reads NULL — the absent-name
+    // mapping must mask the resurrection
+    t.addColumn("n", IntegerType)
+    assert(t.scan().where($"n".isNull).count() == 2,
+      "dropColumn + addColumn resurrected dead bytes")
+    t.append(Seq((3L, "c", 9)).toDF("id", "v", "n"))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(got.toSeq == Seq((1L, -1), (2L, -1), (3L, 9)))
+  }
+
+  test("rename then re-adding the OLD name: reads stay consistent") {
+    val root = freshRoot
+    val df = Seq((1L, "x1")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.renameColumn("v", "w") // old file's physical name for w is "v"
+    t.addColumn("v", StringType) // legal: "v" is free in the CURRENT schema
+    t.append(Seq((2L, "x2", "new2")).toDF("id", "w", "v"))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    // w carries the original v data; the re-added v is NULL for the old
+    // file (no physical-name collision, no resurrection)
+    assert(got.toSeq == Seq((1L, "x1", null), (2L, "x2", "new2")))
   }
 
   test("partition columns cannot be renamed or dropped") {
