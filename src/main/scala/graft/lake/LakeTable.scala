@@ -243,13 +243,32 @@ final class LakeTable private (
 
   // ------------------------------------------------------------------ writes
 
-  /** Append-only write (≡ reference K1, scripts/raw-bronze.py:180-182). */
+  /** Append-only write (≡ reference K1, scripts/raw-bronze.py:180-182).
+    *
+    * With a `write.sort.order` table property (≡ Iceberg's sort orders),
+    * the batch is range-repartitioned on the sort columns first, so each
+    * data file covers a DISJOINT range and the per-file min/max stats
+    * make key-range pruning surgical — one extra shuffle per append, the
+    * documented cost of a sorted table. */
   def append(df: DataFrame): Long = {
     val base = current
-    val (added, stats) = writeDataFiles(alignToSchema(df))
+    val aligned = alignToSchema(df)
+    val clustered = sortOrderColumns match {
+      case Nil => aligned
+      case cols => aligned.repartitionByRange(cols.map(col): _*)
+    }
+    val (added, stats) = writeDataFiles(clustered)
     commit(base, "append", added = added, removed = Nil,
       live = base.liveFiles ++ added, addedStats = stats)
   }
+
+  /** Columns of the `write.sort.order` property that exist in the
+    * current schema (comma-separated; unknown names are ignored so a
+    * schema evolution can't wedge writes). */
+  private def sortOrderColumns: Seq[String] =
+    properties.get(PROP_SORT_ORDER).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .filter(schema.fieldNames.contains)
 
   /** Replace all data (≡ reference K2, scripts/raw-bronze.py:183-185). */
   def overwrite(df: DataFrame): Long = {
@@ -708,8 +727,16 @@ final class LakeTable private (
       // Restored below — the shared session's unrelated Parquet writes
       // must not silently change encoding.
       conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      // local (in-partition) sort keeps every write path's file ranges
+      // as tight as its partitioning allows — appends add the global
+      // range-repartition, rewrites/compaction keep their own
+      // partitioning and still benefit
+      val sorted = sortOrderColumns match {
+        case Nil => df
+        case cols => df.sortWithinPartitions(cols.map(col): _*)
+      }
       val codec = properties.getOrElse(PROP_COMPRESSION, "snappy")
-      var w = df.write.mode("overwrite").option("compression", codec)
+      var w = sorted.write.mode("overwrite").option("compression", codec)
       if (partitionColumns.nonEmpty)
         w = w.partitionBy(partitionColumns: _*)
       w.parquet(staging.toString)
@@ -836,6 +863,9 @@ object LakeTable {
   val DELETES_DIR = "deletes"
   val HEAD = "HEAD"
   val PROP_COMPRESSION = "write.parquet.compression-codec"
+  /** Comma-separated sort columns (≡ Iceberg sort orders): appends
+    * range-cluster on them so per-file stats ranges are disjoint. */
+  val PROP_SORT_ORDER = "write.sort.order"
   val PROP_MERGE_MODE = "write.merge.mode"
   val PROP_DELETE_MODE = "write.delete.mode"
   val PROP_UPDATE_MODE = "write.update.mode"
