@@ -456,6 +456,9 @@ object SparkEntry {
       StreamingIngest.windowedCounts(s, dir,
         windowDuration = "1 hour", watermarkDelay = "1 hour")),
 
+    "q_stream_interval_join" -> ((s, dir) =>
+      StreamingIngest.intervalJoin(s, dir, windowSeconds = 900)),
+
     "q_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -969,6 +972,23 @@ object SparkEntry {
         |FROM e, m
         |WHERE ts_us - ts_us % 3600000000 + 3600000000 <= mx - 3600000000
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // AvailableNow emits every in-batch match, so the stream-stream
+    // interval join equals the plain batch interval join
+    "q_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id,
+        |  c.ts_us AS click_ts_us, p.ts_us AS purchase_ts_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts_us >= c.ts_us
+        |  AND p.ts_us <= c.ts_us + 900000000""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (

@@ -85,6 +85,47 @@ object StreamingIngest {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Stream-stream INTERVAL join (the attribution shape): each click
+    * joins every purchase by the same user within
+    * `[click, click + windowSeconds]`. Both sides carry event-time
+    * watermarks — what bounds the join state in a continuous deployment
+    * (Spark evicts buffered rows once the other side's watermark passes
+    * the interval). With AvailableNow every in-batch match emits, so the
+    * result is deterministic and equals the batch interval join. */
+  def intervalJoin(spark: SparkSession, dir: String,
+      windowSeconds: Long, glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_ijoin_${counter.incrementAndGet()}"
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", glob).parquet(dir)
+        .where(col("event_type") === eventType)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_time"))
+        .withWatermark(s"${prefix}_time", "1 hour")
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr(
+          s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("c_user").as("user_id"),
+        col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+        unix_micros(col("c_time")).as("click_ts_us"),
+        unix_micros(col("p_time")).as("purchase_ts_us"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
 
 /** Arbitrary stateful processing: gap-based sessionization with

@@ -24,6 +24,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join = batch interval join") {
+    val win = 900L
+    val streamed = StreamingIngest.intervalJoin(spark, dir, win)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("pts"))
+    val batch = c.join(p, Seq("user_id"))
+      .where(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + win * 1000000L)
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming sessions = batch sessions minus each user's open tail") {
     val gap = 1800L
     val streamed = StreamingSessionize.run(spark, dir, gap)
