@@ -30,7 +30,17 @@ object Checkpoint {
 
   private val mapper = new ObjectMapper()
 
-  private val conf = new Configuration()
+  /** Hadoop configuration resolved from the active Spark session, so
+    * `spark.hadoop.*` settings (s3a credentials, endpoints, fs.defaultFS)
+    * reach the checkpoint FileSystem exactly as they reach every other
+    * component (LakeTable, IncrementalFileSource thread
+    * `sparkContext.hadoopConfiguration`). Falls back to a bare
+    * `Configuration` only when no session exists (pure-JVM tests). */
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   /** Load the checkpoint as a string->string map; None if absent/corrupt. */
   def load(path: String): Option[Map[String, String]] = {

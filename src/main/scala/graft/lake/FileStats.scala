@@ -245,18 +245,33 @@ object FileStats {
           raw == "__HIVE_DEFAULT_PARTITION__") None
         else byName.get(name)
           .flatMap(dt => encodePartitionValue(dt, raw))
-          .map(v => name -> ColStat(v, v))
+          .map(cs => name -> cs)
       }
     }.toMap
   }
 
-  private def encodePartitionValue(dt: DataType, raw: String): Option[String] =
+  /** Partition values get the SAME FP normalization as footer stats
+    * (fpBounds): a file in partition `x=-0.0` stores bounds [-0.0, 0.0],
+    * so pruning against source key 0.0 keeps it (Spark equality:
+    * 0.0 == -0.0); a NaN partition value records no stat (conservatively
+    * kept — NaN ordering is not part of the prune domain). */
+  private[lake] def encodePartitionValue(dt: DataType,
+      raw: String): Option[ColStat] =
     Try(dt match {
-      case StringType => raw
-      case ByteType | ShortType | IntegerType | LongType => raw.toLong.toString
-      case BooleanType => (if (raw.toBoolean) 1L else 0L).toString
-      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toString
-      case FloatType | DoubleType => raw.toDouble.toString
+      case StringType => ColStat(raw, raw)
+      case ByteType | ShortType | IntegerType | LongType =>
+        val v = raw.toLong.toString; ColStat(v, v)
+      case BooleanType =>
+        val v = (if (raw.toBoolean) 1L else 0L).toString; ColStat(v, v)
+      case DateType =>
+        val v = java.time.LocalDate.parse(raw).toEpochDay.toString
+        ColStat(v, v)
+      case FloatType | DoubleType =>
+        val d = raw.toDouble
+        if (d.isNaN) throw new IllegalArgumentException(raw)
+        val lo = if (d == 0.0) -0.0 else d
+        val hi = if (d == 0.0) 0.0 else d
+        ColStat(lo.toString, hi.toString)
       case _ => throw new IllegalArgumentException(raw)
     }).toOption
 
