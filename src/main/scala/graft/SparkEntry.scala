@@ -362,6 +362,40 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_mor_predicate_delete" -> ((s, dir) => {
+      // Iceberg-v2-style position deletes: a predicate DELETE and a
+      // predicate UPDATE on a merge-on-read table commit (file, ordinal)
+      // delete files + (for update) the after-image — zero rewrite of
+      // existing data; the scan applies the position anti-join
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-morpdel") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        properties = Map(
+          LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+          LakeTable.PROP_UPDATE_MODE -> "merge-on-read"))
+      lt.append(orders)
+      lt.delete(col("o_orderstatus") === "F")
+      lt.update(col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> col("o_totalprice") * 2))
+      lt.scan().select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_table_files" -> ((s, dir) => {
+      // `.files` metadata table: per-file partition, sequence, and the
+      // recorded bounds the MERGE/DELETE pruning runs against
+      val nation = t(s, dir, "nation")
+      val root = tmp("graft-files") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema,
+        partitionBy = Seq("n_regionkey"))
+      lt.append(nation.repartition(1)) // one file per region partition
+      lt.files.select(col("partition"), col("seq"),
+        element_at(col("bounds"), "n_nationkey").getField("min")
+          .cast("long").as("min_nationkey"),
+        element_at(col("bounds"), "n_nationkey").getField("max")
+          .cast("long").as("max_nationkey"))
+    }),
+
     "q_compact" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val root = tmp("graft-compact") + "/nation"
@@ -872,6 +906,26 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // position-delete semantics: DELETE removes status-F rows, the MOR
+    // UPDATE then doubles urgent orders among the survivors
+    "q_mor_predicate_delete" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |   AS o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // one file per n_regionkey partition (single-task append), seq = 2
+    // (create=1, append=2); bounds = exact min/max of n_nationkey within
+    // the partition
+    "q_table_files" ->
+      """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR)
+        |   AS "partition",
+        | CAST(2 AS BIGINT) AS "seq",
+        | CAST(min(n_nationkey) AS BIGINT) AS min_nationkey,
+        | CAST(max(n_nationkey) AS BIGINT) AS max_nationkey
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     "q_mor_merge" ->
       """WITH tgt AS (

@@ -33,13 +33,15 @@ object Checkpoint {
   /** Hadoop configuration resolved from the active Spark session, so
     * `spark.hadoop.*` settings (s3a credentials, endpoints, fs.defaultFS)
     * reach the checkpoint FileSystem exactly as they reach every other
-    * component (LakeTable, IncrementalFileSource thread
-    * `sparkContext.hadoopConfiguration`). Falls back to a bare
-    * `Configuration` only when no session exists (pure-JVM tests). */
+    * component. `sessionState.newHadoopConf()` (not the bare
+    * `sparkContext.hadoopConfiguration`) folds SQLConf entries set at
+    * runtime via `spark.conf.set("fs...")` on top — the same resolution
+    * Spark's own data sources use. Falls back to a bare `Configuration`
+    * only when no session exists (pure-JVM tests). */
   private def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
+      .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
   /** Load the checkpoint as a string->string map; None if absent/corrupt. */

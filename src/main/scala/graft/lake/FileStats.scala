@@ -267,7 +267,14 @@ object FileStats {
         val v = java.time.LocalDate.parse(raw).toEpochDay.toString
         ColStat(v, v)
       case FloatType | DoubleType =>
-        val d = raw.toDouble
+        // FloatType must round-trip through Float: boundExpr encodes
+        // source floats via cast(DoubleType) (exact float→double
+        // widening), so decoding the path value as a raw Double (e.g.
+        // "0.1" → 0.1d instead of 0.1f's 0.10000000149d) would place the
+        // file's bounds off the source's encoding and prune a matching
+        // file. DoubleType path values ARE the double, so decode direct.
+        val d =
+          if (dt == FloatType) raw.toFloat.toDouble else raw.toDouble
         if (d.isNaN) throw new IllegalArgumentException(raw)
         val lo = if (d == 0.0) -0.0 else d
         val hi = if (d == 0.0) 0.0 else d

@@ -49,7 +49,9 @@ final class LakeTable private (
 
   import LakeTable._
 
-  private val hconf = spark.sparkContext.hadoopConfiguration
+  // sessionState.newHadoopConf() folds runtime `spark.conf.set("fs...")`
+  // entries on top of the core conf (same resolution as Spark's sources)
+  private val hconf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(hconf)
   private val metaDir = new Path(rootPath, METADATA_DIR)
@@ -116,6 +118,33 @@ final class LakeTable private (
       spark.sparkContext.parallelize(rows, 1), sch)
   }
 
+  /** Metadata view ≡ Iceberg's `<table>.files`: one row per live data
+    * file of the current snapshot — path, hive partition spec, data
+    * sequence number, and the recorded per-column bounds (the manifest
+    * information MERGE/DELETE prune against). Pure driver-side manifest
+    * synthesis, zero data read — what an operator of a 100 TB table
+    * inspects to see file layout, clustering, and prune-ability. */
+  def files: DataFrame = {
+    val snap = current
+    val boundsType = MapType(StringType,
+      StructType(Seq(StructField("min", StringType),
+        StructField("max", StringType))))
+    val sch = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("bounds", boundsType, nullable = false)))
+    val rows = snap.liveFiles.sorted.map { f =>
+      // partition dirs = the hive `col=value` segments between data/ and
+      // the file name
+      val partition = f.split('/').drop(1).dropRight(1).mkString("/")
+      val bounds = snap.fileStats.getOrElse(f, Map.empty)
+        .map { case (c, cs) => c -> Row(cs.min, cs.max) }
+      Row(f, partition, snap.fileSeq.getOrElse(f, 0L), bounds)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+  }
+
   // ------------------------------------------------------------------- reads
 
   /** Full scan of the current snapshot (≡ reading the Iceberg table,
@@ -177,25 +206,36 @@ final class LakeTable private (
     readFilesAs(current, relFiles, withName = true)
 
   /** Read `relFiles` under snapshot `ctx`'s schema, applying its
-    * equality-delete files (merge-on-read). Files written before a
-    * column rename are read with their PHYSICAL (as-written) names via
-    * `ctx.fileRenames` and aliased back — one scan per distinct
-    * (mapping, delete-era) group, unioned; the common
+    * equality-delete and position-delete files (merge-on-read). Files
+    * written before a column rename are read with their PHYSICAL
+    * (as-written) names via `ctx.fileRenames` and aliased back — one
+    * scan per distinct (mapping, delete-era) group, unioned; the common
     * no-rename/no-delete case stays a single scan.
     *
-    * Delete semantics (≡ Iceberg equality deletes + data sequence
-    * numbers): delete file i (1-based in seq order) suppresses matching
-    * key rows from every data file whose sequence precedes it — i.e.
-    * whose era (count of deletes at-or-before its sequence) is < i. A
-    * merge's own after-image shares the delete's sequence, so it is
-    * never self-suppressed. */
+    * Equality-delete semantics (≡ Iceberg equality deletes + data
+    * sequence numbers): delete file i (1-based in seq order) suppresses
+    * matching key rows from every data file whose sequence precedes it —
+    * i.e. whose era (count of deletes at-or-before its sequence) is < i.
+    * A merge's own after-image shares the delete's sequence, so it is
+    * never self-suppressed.
+    *
+    * Position-delete semantics (≡ Iceberg v2): a (file_uri, pos) row
+    * suppresses exactly row ordinal `pos` of the named file — applied
+    * via `_metadata.file_path` / `_metadata.row_index` (stable against
+    * file splits) with one anti-join over the unioned delete set, which
+    * AQE broadcasts when small.
+    *
+    * With `withPos` the result additionally carries PFILE_COL /
+    * PIDX_COL — each surviving row's scan URI and row ordinal (what the
+    * MOR predicate DELETE/UPDATE capture as new position deletes). */
   private def readFilesAs(ctx: Snapshot, relFiles: Seq[String],
-      withName: Boolean = false): DataFrame = {
+      withName: Boolean = false, withPos: Boolean = false): DataFrame = {
     val sch = DataType.fromJson(ctx.schemaJson).asInstanceOf[StructType]
     if (relFiles.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
     }
     val dels = ctx.deleteFiles.sortBy(_.seq)
+    val needPos = withPos || ctx.posDeleteFiles.nonEmpty
     def era(f: String): Int = {
       val s = ctx.fileSeq.getOrElse(f, 0L)
       dels.count(_.seq <= s)
@@ -211,7 +251,9 @@ final class LakeTable private (
           f.copy(name = mapping.getOrElse(f.name, f.name))))
       val cols = sch.fields.map(f =>
         col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
-        (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil)
+        (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil) ++
+        (if (needPos) Seq(col("_metadata.file_path").as(PFILE_COL),
+          col("_metadata.row_index").as(PIDX_COL)) else Nil)
       val part = spark.read
         .option("basePath", dataDir.toString)
         .schema(physSchema)
@@ -220,25 +262,41 @@ final class LakeTable private (
       if (dels.isEmpty) part else part.withColumn(ERA_COL, lit(e))
     }
     val data = parts.reduce(_ unionByName _)
-    if (dels.isEmpty) data
-    else {
-      // one anti-join per distinct key set (the delete-key DataFrames are
-      // tiny relative to data and broadcast under AQE)
-      var df = data
-      dels.zipWithIndex.groupBy(_._1.keys).foreach { case (keys, group) =>
-        val delDF = group.map { case (d, i) =>
-          spark.read.parquet(new Path(rootPath, d.path).toString)
-            .select(d.physicalKeys.zip(keys).map { case (p, k) =>
-              col(p).as(s"__graft_del_$k")
-            }.toIndexedSeq: _*)
-            .withColumn(DERA_COL, lit(i + 1))
-        }.reduce(_ unionByName _)
-        val cond = keys.map(k => col(k) === col(s"__graft_del_$k"))
-          .reduce(_ && _) && col(ERA_COL) < col(DERA_COL)
-        df = df.join(delDF, cond, "left_anti")
+    val eqApplied =
+      if (dels.isEmpty) data
+      else {
+        // one anti-join per distinct key set (the delete-key DataFrames
+        // are tiny relative to data and broadcast under AQE)
+        var df = data
+        dels.zipWithIndex.groupBy(_._1.keys).foreach { case (keys, group) =>
+          val delDF = group.map { case (d, i) =>
+            spark.read.parquet(new Path(rootPath, d.path).toString)
+              .select(d.physicalKeys.zip(keys).map { case (p, k) =>
+                col(p).as(s"__graft_del_$k")
+              }.toIndexedSeq: _*)
+              .withColumn(DERA_COL, lit(i + 1))
+          }.reduce(_ unionByName _)
+          val cond = keys.map(k => col(k) === col(s"__graft_del_$k"))
+            .reduce(_ && _) && col(ERA_COL) < col(DERA_COL)
+          df = df.join(delDF, cond, "left_anti")
+        }
+        df.drop(ERA_COL)
       }
-      df.drop(ERA_COL)
-    }
+    val posApplied =
+      if (ctx.posDeleteFiles.isEmpty) eqApplied
+      else {
+        val pd = ctx.posDeleteFiles
+          .map(p => spark.read.parquet(new Path(rootPath, p.path).toString))
+          .reduce(_ unionByName _)
+          .select(col(POS_FILE_FIELD).as(s"__graft_pd_file"),
+            col(POS_POS_FIELD).as(s"__graft_pd_pos"))
+        eqApplied.join(pd,
+          col(PFILE_COL) === col("__graft_pd_file") &&
+            col(PIDX_COL) === col("__graft_pd_pos"),
+          "left_anti")
+      }
+    if (needPos && !withPos) posApplied.drop(PFILE_COL, PIDX_COL)
+    else posApplied
   }
 
   // ------------------------------------------------------------------ writes
@@ -258,9 +316,40 @@ final class LakeTable private (
       case cols => aligned.repartitionByRange(cols.map(col): _*)
     }
     val (added, stats) = writeDataFiles(clustered)
-    commit(base, "append", added = added, removed = Nil,
-      live = base.liveFiles ++ added, addedStats = stats)
+    beforeCommitHook()
+    // Optimistic-retry loop (≡ Iceberg's commit retries): adding fresh
+    // files commutes with ANY interleaved commit that kept the schema
+    // and partition spec our files were written under — append, merge,
+    // delete, compact all operate on *other* files, and our files' new
+    // (higher) sequence outranks every outstanding equality delete. So
+    // on a lost race, re-read HEAD and re-commit the already-written
+    // files against it instead of re-running the whole write. Rewriting
+    // ops (merge/delete/...) do NOT retry: their outputs were derived
+    // from the old base's data and must be recomputed.
+    var b = base
+    var attempt = 0
+    while (true) {
+      try {
+        return commit(b, "append", added = added, removed = Nil,
+          live = b.liveFiles ++ added, addedStats = stats)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val nb = current
+          val headMoved = nb.snapshotId != b.snapshotId
+          if (attempt >= MAX_COMMIT_ATTEMPTS || !headMoved ||
+              nb.schemaJson != base.schemaJson ||
+              nb.partitionColumns != base.partitionColumns) throw e
+          b = nb
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Test seam: invoked between an append's data-file write and its
+    * commit attempt — lets a spec deterministically interleave a racing
+    * commit. No-op in production. */
+  private[lake] var beforeCommitHook: () => Unit = () => ()
 
   /** Columns of the `write.sort.order` property that exist in the
     * current schema (comma-separated; unknown names are ignored so a
@@ -270,12 +359,17 @@ final class LakeTable private (
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
       .filter(schema.fieldNames.contains)
 
-  /** Replace all data (≡ reference K2, scripts/raw-bronze.py:183-185). */
+  /** Replace all data (≡ reference K2, scripts/raw-bronze.py:183-185).
+    * Outstanding MOR delete files are dropped with the data they applied
+    * to (same as [[compact]]): the new snapshot starts delete-free, so
+    * readers never pay a can't-match anti-join against a retired era and
+    * expireSnapshots can reclaim the delete files. */
   def overwrite(df: DataFrame): Long = {
     val base = current
     val (added, stats) = writeDataFiles(alignToSchema(df))
     commit(base, "overwrite", added = added, removed = base.liveFiles,
-      live = added, addedStats = stats)
+      live = added, addedStats = stats, deletesOverride = Some(Nil),
+      posDeletesOverride = Some(Nil))
   }
 
   /** Copy-on-write MERGE: upsert `source` into this table keyed on `keys`
@@ -453,14 +547,15 @@ final class LakeTable private (
     * columns). ≡ the `write.delete.mode=copy-on-write` capability the
     * reference configures (scripts/raw-bronze.py:161-165).
     *
-    * NOTE: predicate deletes ALWAYS execute copy-on-write, even when
-    * `write.delete.mode=merge-on-read` — MOR needs a key set, and a
-    * predicate has none; expressing it as MOR would require position
-    * deletes, which this engine does not implement. Key-based MOR
-    * deletes go through [[deleteByKeys]]. Cost, not correctness. */
+    * With `write.delete.mode=merge-on-read` the delete instead commits
+    * POSITION-delete files (≡ Iceberg v2): the locating scan captures
+    * each matching row's (file, row-ordinal) — ZERO data rewrite; readers
+    * anti-join the positions until [[compact]] folds them in. */
   def delete(predicate: org.apache.spark.sql.Column): Long = {
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
+    if (properties.get(PROP_DELETE_MODE).contains("merge-on-read"))
+      return morDeleteByPredicate(base, predicate)
     // manifest-stats pruning first (driver-only, zero data read): a
     // partition-equality or range predicate narrows the locating scan to
     // the files whose recorded bounds can satisfy it — at 100 TB the
@@ -482,18 +577,46 @@ final class LakeTable private (
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
   }
 
+  /** Merge-on-read predicate DELETE via position-delete files: the
+    * stats-pruned locating scan (predicate columns only) captures each
+    * matching live row's (scan URI, row ordinal); the commit adds ONE
+    * tiny delete artifact and rewrites nothing. Cost ∝ matched rows —
+    * at 100 TB a predicate delete touches no data files at all. Rows
+    * already suppressed (equality or position) are not re-captured. */
+  private def morDeleteByPredicate(base: Snapshot,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val candidates = pruneByPredicate(base, predicate)
+    if (candidates.isEmpty) return base.snapshotId
+    val positions = readFilesAs(base, candidates, withPos = true)
+      .where(predicate)
+      .select(col(PFILE_COL).as(POS_FILE_FIELD),
+        col(PIDX_COL).as(POS_POS_FIELD))
+    if (positions.isEmpty) return base.snapshotId
+    val delPaths = writeDeleteFiles(positions)
+    val seq = base.snapshotId + 1
+    commit(base, "delete", added = Nil, removed = Nil,
+      live = base.liveFiles,
+      posDeletesOverride = Some(base.posDeleteFiles ++
+        delPaths.map(p => PosDeleteFile(p, seq))))
+  }
+
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching
     * `predicate`, file-pruned exactly like [[delete]]. ≡ the
     * `write.update.mode=copy-on-write` capability the reference
-    * configures (scripts/raw-bronze.py:161-165). Like [[delete]],
-    * updates always execute copy-on-write regardless of
-    * `write.update.mode` (no position deletes — see [[delete]]). */
+    * configures (scripts/raw-bronze.py:161-165).
+    *
+    * With `write.update.mode=merge-on-read` the update instead commits
+    * position-delete files for the matched rows plus their updated
+    * after-image as new data files (≡ Iceberg v2 MOR UPDATE = position
+    * delete + insert) — zero rewrite of existing files. */
   def update(predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     val bad = assignments.keySet.diff(schema.fieldNames.toSet)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
+    if (properties.get(PROP_UPDATE_MODE).contains("merge-on-read"))
+      return morUpdateByPredicate(base, predicate, assignments)
     // same manifest-stats pruning as [[delete]]
     val candidates = pruneByPredicate(base, predicate)
     if (candidates.isEmpty) return base.snapshotId
@@ -514,6 +637,40 @@ final class LakeTable private (
     val (added, stats) = writeDataFiles(rewritten)
     commit(base, "update", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+  }
+
+  /** Merge-on-read predicate UPDATE: position-delete the matched rows
+    * and append their updated after-image — no rewrite of existing
+    * files. The after-image lands in NEW files the position deletes
+    * cannot name, so it is never self-suppressed; its fresh sequence
+    * also outranks every outstanding equality delete. Both passes scan
+    * the same immutable pruned files with the same plan, so the captured
+    * ordinals and the after-image rows agree deterministically. */
+  private def morUpdateByPredicate(base: Snapshot,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val candidates = pruneByPredicate(base, predicate)
+    if (candidates.isEmpty) return base.snapshotId
+    val matched = readFilesAs(base, candidates, withPos = true)
+      .where(predicate)
+    if (matched.isEmpty) return base.snapshotId
+    val positions = matched
+      .select(col(PFILE_COL).as(POS_FILE_FIELD),
+        col(PIDX_COL).as(POS_POS_FIELD))
+    val sch = schema
+    val after = matched.select(sch.fields.map { f =>
+      assignments.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val delPaths = writeDeleteFiles(positions)
+    val (added, stats) = writeDataFiles(after)
+    val seq = base.snapshotId + 1
+    commit(base, "update", added = added, removed = Nil,
+      live = base.liveFiles ++ added, addedStats = stats,
+      posDeletesOverride = Some(base.posDeleteFiles ++
+        delPaths.map(p => PosDeleteFile(p, seq))))
   }
 
   // -------------------------------------------------------- schema evolution
@@ -659,10 +816,12 @@ final class LakeTable private (
       .repartition(numParts, (partitionColumns.map(col) :+ col(salt)): _*)
       .drop(salt)
     val (added, stats) = writeDataFiles(data)
-    // compaction folds outstanding equality deletes into the rewrite
-    // (readFiles applied them) — the new snapshot starts delete-free
+    // compaction folds outstanding equality AND position deletes into
+    // the rewrite (readFiles applied both) — the new snapshot starts
+    // delete-free
     commit(base, "compact", added = added, removed = base.liveFiles,
-      live = added, addedStats = stats, deletesOverride = Some(Nil))
+      live = added, addedStats = stats, deletesOverride = Some(Nil),
+      posDeletesOverride = Some(Nil))
   }
 
   /** Expire snapshots older than the latest `keepLast`, deleting their
@@ -678,11 +837,13 @@ final class LakeTable private (
     // their files, so (1 to cutoff) would trip snapshot()'s existence check
     val (expired, kept) = snapshots.partition(_.snapshotId <= cutoff)
     val keptFiles = kept.flatMap(_.liveFiles).toSet
-    val keptDeletes = kept.flatMap(_.deleteFiles.map(_.path)).toSet
+    val keptDeletes = kept.flatMap(s =>
+      s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
     expired.foreach { s =>
       s.liveFiles.filterNot(keptFiles)
         .foreach(f => fs.delete(new Path(rootPath, f), false))
-      s.deleteFiles.map(_.path).filterNot(keptDeletes)
+      (s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path))
+        .filterNot(keptDeletes)
         .foreach(f => fs.delete(new Path(rootPath, f), false))
       fs.delete(new Path(metaDir, s"v${s.snapshotId}.json"), false)
     }
@@ -810,7 +971,8 @@ final class LakeTable private (
       schemaJson: Option[String] = None,
       statsOverride: Option[Map[String, Map[String, ColStat]]] = None,
       renamesOverride: Option[Map[String, Map[String, String]]] = None,
-      deletesOverride: Option[Seq[DeleteFile]] = None): Long = {
+      deletesOverride: Option[Seq[DeleteFile]] = None,
+      posDeletesOverride: Option[Seq[PosDeleteFile]] = None): Long = {
     val id = base.snapshotId + 1
     val liveSet = live.toSet
     val stats = statsOverride.getOrElse(
@@ -820,9 +982,11 @@ final class LakeTable private (
     val seqs = base.fileSeq.filter { case (f, _) => liveSet(f) } ++
       added.map(_ -> id)
     val dels = deletesOverride.getOrElse(base.deleteFiles)
+    val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
-      base.partitionColumns, base.properties, stats, renames, seqs, dels)
+      base.partitionColumns, base.properties, stats, renames, seqs, dels,
+      pdels)
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
     // table could never commit again. Age-gated so a LIVE racing writer's
@@ -835,8 +999,18 @@ final class LakeTable private (
           fs.getFileStatus(metaPath).getModificationTime > ORPHAN_GRACE_MS)
       fs.delete(metaPath, false)
     // optimistic concurrency: exclusive create of v<id>.json fails if a
-    // racing writer committed the same version first
-    writeStringExclusive(fs, metaPath, snap.toJson)
+    // racing writer committed the same version first. Normalize the
+    // already-exists failure to ConcurrentModificationException when
+    // HEAD has in fact moved, so every losing racer sees ONE exception
+    // type (and [[append]] can retry on it).
+    try writeStringExclusive(fs, metaPath, snap.toJson)
+    catch {
+      case e: java.io.IOException
+          if !currentSnapshotId.contains(base.snapshotId) =>
+        throw new java.util.ConcurrentModificationException(
+          s"table $root HEAD moved past ${base.snapshotId} before " +
+            s"commit of $id (${e.getMessage})")
+    }
     val now = currentSnapshotId
     if (!now.contains(base.snapshotId)) {
       // clean our metadata only while it is still beyond HEAD — if HEAD
@@ -873,10 +1047,20 @@ object LakeTable {
   /** Min age before a beyond-HEAD metadata file counts as a crashed
     * commit's orphan (see commit()). */
   val ORPHAN_GRACE_MS: Long = 5000L
+  /** Max optimistic commit attempts for retry-safe ops (append). */
+  val MAX_COMMIT_ATTEMPTS: Int = 5
   private val FILE_COL = "__graft_file"
   private val SRC_MARK = "__graft_is_src"
   private val ERA_COL = "__graft_era"
   private val DERA_COL = "__graft_del_era"
+  /** Row-provenance columns a position-aware scan carries (from
+    * `_metadata.file_path` / `_metadata.row_index`). */
+  private val PFILE_COL = "__graft_pos_file"
+  private val PIDX_COL = "__graft_pos_idx"
+  /** Column names INSIDE a position-delete Parquet file (≡ Iceberg's
+    * position-delete schema `file_path`, `pos`). */
+  private val POS_FILE_FIELD = "file_uri"
+  private val POS_POS_FIELD = "pos"
   /** Physical-name prefix guaranteed never to be written by this engine:
     * addColumn maps the new column here for pre-existing files, so they
     * read NULL even if they carry dead bytes under the same name. */
@@ -884,7 +1068,7 @@ object LakeTable {
 
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, s"$METADATA_DIR/$HEAD")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** DDL create with an explicit schema (≡ reference K5,
@@ -897,7 +1081,7 @@ object LakeTable {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
     val t = new LakeTable(spark, root)
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(root, METADATA_DIR))
     fs.mkdirs(new Path(root, DATA_DIR))
     val snap = Snapshot(1L, None, System.currentTimeMillis(), "create",

@@ -51,7 +51,14 @@ final case class Snapshot(
     /** Live equality-delete files (merge-on-read): each suppresses, from
       * every older data file, the rows whose key columns match any row in
       * the delete file. Cleared by compaction. */
-    deleteFiles: Seq[DeleteFile] = Nil) {
+    deleteFiles: Seq[DeleteFile] = Nil,
+    /** Live position-delete files (merge-on-read, ≡ Iceberg v2 position
+      * deletes): each is a Parquet file of (file_uri, pos) rows
+      * suppressing row ordinal `pos` of the NAMED data file. No sequence
+      * ordering is needed at read time — a position can only ever target
+      * the immutable file it was captured from. Cleared by compaction
+      * and overwrite (their rewrites drop the targeted files). */
+    posDeleteFiles: Seq[PosDeleteFile] = Nil) {
 
   def toJson: String = {
     val m = Snapshot.mapper
@@ -109,6 +116,14 @@ final case class Snapshot(
         val pa = o.putArray("physical_keys"); d.physicalKeys.foreach(pa.add)
       }
     }
+    if (posDeleteFiles.nonEmpty) {
+      val pa = n.putArray("pos_delete_files")
+      posDeleteFiles.foreach { d =>
+        val o = pa.addObject()
+        o.put("path", d.path)
+        o.put("seq", d.seq)
+      }
+    }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 }
@@ -160,6 +175,11 @@ object Snapshot {
             o.path("seq").asLong(),
             o.path("keys").elements().asScala.map(_.asText()).toSeq,
             o.path("physical_keys").elements().asScala.map(_.asText()).toSeq)
+        }.toSeq,
+      posDeleteFiles =
+        if (!n.has("pos_delete_files")) Nil
+        else n.path("pos_delete_files").elements().asScala.map { o =>
+          PosDeleteFile(o.path("path").asText(), o.path("seq").asLong())
         }.toSeq
     )
   }
@@ -176,3 +196,11 @@ final case class ColStat(min: String, max: String)
   * file, fixed forever (same indirection as Snapshot.fileRenames). */
 final case class DeleteFile(path: String, seq: Long, keys: Seq[String],
     physicalKeys: Seq[String])
+
+/** One position-delete file (merge-on-read, ≡ Iceberg v2): a Parquet
+  * file of (file_uri STRING, pos BIGINT) rows — `file_uri` is the target
+  * data file's scan URI (as Spark's `_metadata.file_path` reports it),
+  * `pos` the row ordinal within that physical file. `seq` records the
+  * committing snapshot (bookkeeping only — positions bind to immutable
+  * files, so application needs no sequence ordering). */
+final case class PosDeleteFile(path: String, seq: Long)

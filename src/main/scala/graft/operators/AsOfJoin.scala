@@ -74,22 +74,45 @@ object AsOfJoin {
   * into `saltFactor` sub-keys and explode the other side across all
   * salts. Standard salting — trades `saltFactor`× duplication of the
   * small side for even partition sizes on the large side.
+  *
+  * KNOWN LIMITATION of the default (content-hash) salt: BYTE-IDENTICAL
+  * duplicate rows all hash to the same salt, so a hot key made of exact
+  * duplicates — the common skew shape in raw event/log feeds — still
+  * lands on one reducer. Pass `spreadDuplicates = true` to mix the
+  * source split (`input_file_name`, `spark_partition_id`) into the salt:
+  * duplicates from different files/input partitions then spread across
+  * reducers. The mixed salt is stable under a plain task RETRY (a
+  * re-executed task re-reads the same file split, so every row gets the
+  * same salt again) but NOT under an upstream repartition whose
+  * row-to-partition routing is itself nondeterministic — keep the
+  * default for such inputs.
   */
 object SaltedJoin {
 
+  /** The skewed-side salt column. Default: deterministic content hash of
+    * the full row (never monotonically_increasing_id — a retried map
+    * task re-salting rows differently than its first attempt would route
+    * them to different reducers and duplicate/lose join rows). Hashing
+    * ALL columns (not just the keys) splits a hot key across reducers
+    * whenever its rows differ anywhere; `spreadDuplicates` additionally
+    * mixes in the row's source split for the all-duplicates case. */
+  private[operators] def saltExpr(skewed: DataFrame, saltFactor: Int,
+      spreadDuplicates: Boolean): org.apache.spark.sql.Column = {
+    val content = xxhash64(skewed.columns.map(col).toIndexedSeq: _*)
+    val h =
+      if (spreadDuplicates)
+        xxhash64(content, input_file_name(), spark_partition_id())
+      else content
+    pmod(h, lit(saltFactor)).cast("int")
+  }
+
   def join(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+      saltFactor: Int, joinType: String = "inner",
+      spreadDuplicates: Boolean = false): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
     val salt = "__salt"
-    // salt must be DETERMINISTIC per row (content hash of the full row,
-    // never monotonically_increasing_id): a retried map task re-salting
-    // rows differently than its first attempt would route them to
-    // different reducers and duplicate/lose join rows. Hashing ALL
-    // columns (not just the keys) still splits a hot key across
-    // reducers — distinct rows of the key hash to distinct salts.
     val s = skewed.withColumn(salt,
-      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*),
-        lit(saltFactor)).cast("int"))
+      saltExpr(skewed, saltFactor, spreadDuplicates))
     val o = other.withColumn(salt,
       explode(sequence(lit(0), lit(saltFactor - 1))))
     s.join(o, keys :+ salt, joinType).drop(salt)

@@ -24,6 +24,31 @@ import graft.plans.expressions.{cosine, hyperplaneSignature}
   */
 object SimilaritySearch {
 
+  /** Effective hyperplane count for an LSH bucketing over `corpusSize`
+    * vectors: at least `minPlanes`, grown so the EXPECTED bucket size
+    * stays ≤ `targetBucketSize` —
+    * `max(minPlanes, ceil(log2(corpusSize / targetBucketSize)))`, capped
+    * at 62 (the signature is a long bitset).
+    *
+    * This is the embedding analogue of the n-gram stop-gram guard
+    * (TextDedup maxDocFreq): with a STATIC plane count, per-bucket
+    * self-join candidates grow as n²/2^planes — fine at 5k vectors, a
+    * scale-killer at 10⁹ (a hot bucket ≈ 10¹⁵ pairs). Deriving planes
+    * from the corpus size bounds expected candidates per bucket at
+    * ~targetBucketSize²/2 no matter how the corpus grows; recall is
+    * traded explicitly (more planes = finer buckets), exactly like every
+    * production single-probe LSH. */
+  def adaptivePlanes(corpusSize: Long, minPlanes: Int,
+      targetBucketSize: Long): Int = {
+    require(minPlanes >= 1 && targetBucketSize >= 1)
+    val buckets = // ceil(corpusSize / targetBucketSize)
+      (math.max(corpusSize, 1L) + targetBucketSize - 1) / targetBucketSize
+    val needed = // ceil(log2(buckets)); 0 when one bucket suffices
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.min(62, math.max(minPlanes, needed))
+  }
+
   /** Exact top-k: for each query vector, the k most-cosine-similar corpus
     * vectors. Deterministic tie-break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -45,16 +70,23 @@ object SimilaritySearch {
   /** Approximate top-k via random-hyperplane LSH bucketing: join on the
     * exact signature match, re-rank within buckets. Queries landing in a
     * sparse bucket return < k rows — the standard single-probe trade-off
-    * (multi-probe = also join on signatures at hamming distance 1). */
+    * (multi-probe = also join on signatures at hamming distance 1).
+    *
+    * `nPlanes` is a MINIMUM: the effective plane count grows with the
+    * corpus via [[adaptivePlanes]] so per-bucket candidate counts stay
+    * bounded at any scale (one cheap count-star over the corpus, paid
+    * once per call). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      targetBucketSize: Long = 4096L): DataFrame = {
+    val planes = adaptivePlanes(corpus.count(), nPlanes, targetBucketSize)
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).as("corpus_vec"))
-      .withColumn("bucket", hyperplaneSignature(col("corpus_vec"), nPlanes, seed))
+      .withColumn("bucket", hyperplaneSignature(col("corpus_vec"), planes, seed))
     val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
-      .withColumn("bucket", hyperplaneSignature(col("query_vec"), nPlanes, seed))
+      .withColumn("bucket", hyperplaneSignature(col("query_vec"), planes, seed))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("score", cosine(col("corpus_vec"), col("query_vec")))
     val w = Window.partitionBy(queryIdCol)
@@ -134,12 +166,17 @@ object SimilaritySearch {
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
-    * itself, exact cosine within buckets, keep pairs ≥ `threshold`. */
+    * itself, exact cosine within buckets, keep pairs ≥ `threshold`.
+    * `nPlanes` is a MINIMUM — the effective count grows with the corpus
+    * via [[adaptivePlanes]], bounding the per-bucket self-join candidate
+    * count (≈ targetBucketSize²/2) at any corpus size. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,
       nPlanes: Int = 12, seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      targetBucketSize: Long = 4096L): DataFrame = {
+    val planes = adaptivePlanes(corpus.count(), nPlanes, targetBucketSize)
     val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", hyperplaneSignature(col("vec"), nPlanes, seed))
+      .withColumn("bucket", hyperplaneSignature(col("vec"), planes, seed))
     val a = sigs.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val b = sigs.select(col("bucket"), col("id").as("id_b"),

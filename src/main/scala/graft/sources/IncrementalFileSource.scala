@@ -33,7 +33,9 @@ final class IncrementalFileSource(
 
   import IncrementalFileSource._
 
-  private val hconf = spark.sparkContext.hadoopConfiguration
+  // sessionState.newHadoopConf() folds runtime `spark.conf.set("fs...")`
+  // entries on top of the core conf (same resolution as Spark's sources)
+  private val hconf = spark.sessionState.newHadoopConf()
   private val dirPath = new Path(dir)
   private def fs: FileSystem = dirPath.getFileSystem(hconf)
 

@@ -46,4 +46,31 @@ class CheckpointSpec extends AnyFunSuite {
       .filterNot(_.startsWith(".")).toSeq
     assert(left.sorted == Seq("ckpt.json"), s"leftovers: $left")
   }
+
+  test("runtime session fs.* conf reaches the checkpoint FileSystem") {
+    // a filesystem scheme registered ONLY via spark.conf.set at runtime
+    // (a SQLConf entry, invisible to sparkContext.hadoopConfiguration) —
+    // resolvable iff Checkpoint builds its conf with
+    // sessionState.newHadoopConf(), the fix under test
+    val spark = TestSpark.spark
+    val key = "fs.graftckpt.impl"
+    assert(spark.sparkContext.hadoopConfiguration.get(key) == null,
+      "precondition: scheme must not leak into the core hadoop conf")
+    spark.conf.set(key, classOf[GraftCkptTestFileSystem].getName)
+    try {
+      val dir = TestSpark.tmpDir("ckpt-scheme")
+      val plain = dir + "/ckpt.json"
+      Checkpoint.save(plain, Map("k" -> "via-session-conf"))
+      // read the SAME file back through the session-registered scheme
+      assert(Checkpoint.loadKey(s"graftckpt://$plain", "k")
+        .contains("via-session-conf"))
+    } finally spark.conf.unset(key)
+  }
+}
+
+/** Local-FS clone under a scheme that exists only in the test session's
+  * runtime SQLConf (see the session-conf test above). */
+class GraftCkptTestFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftckpt:///")
 }

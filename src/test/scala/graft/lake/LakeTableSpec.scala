@@ -322,6 +322,82 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t3.scan().count() == committed.size)
   }
 
+  test("append retries past a non-conflicting concurrent commit") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    LakeTable.create(spark, root, df.schema)
+    val t1 = LakeTable.load(spark, root)
+    val t2 = LakeTable.load(spark, root)
+    t1.append(df) // v2
+    // deterministic interleave: after t1's next append wrote its files
+    // (base = v2), t2 commits v3 — t1's first commit attempt loses the
+    // race and must land on retry as v4 without rewriting anything
+    var fired = false
+    t1.beforeCommitHook = () => if (!fired) {
+      fired = true
+      t2.append(Seq((2L, "interleaved")).toDF("id", "v"))
+    }
+    try {
+      val id = t1.append(Seq((3L, "retried")).toDF("id", "v"))
+      assert(fired)
+      assert(id == 4L, s"loser must re-commit against the new HEAD, got $id")
+    } finally t1.beforeCommitHook = () => ()
+    val t3 = LakeTable.load(spark, root)
+    assert(t3.scan().orderBy("id").select("v").as[String].collect()
+      .toSeq == Seq("a", "interleaved", "retried"))
+    assert(t3.history.count() == 4) // create + 3 appends
+  }
+
+  test("append retry refuses a concurrent schema evolution") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    LakeTable.create(spark, root, df.schema)
+    val t1 = LakeTable.load(spark, root)
+    val t2 = LakeTable.load(spark, root)
+    t1.append(df)
+    // the interleaved commit RENAMES a column: t1's already-written files
+    // carry the old physical name with no mapping — blind retry would
+    // corrupt reads, so it must surface the conflict instead
+    var fired = false
+    t1.beforeCommitHook = () => if (!fired) {
+      fired = true
+      t2.renameColumn("v", "w")
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t1.append(Seq((2L, "b")).toDF("id", "v"))
+      }
+    } finally t1.beforeCommitHook = () => ()
+    // table is intact under the winner's schema
+    val t3 = LakeTable.load(spark, root)
+    assert(t3.schema.fieldNames.toSeq == Seq("id", "w"))
+    assert(t3.scan().count() == 1)
+  }
+
+  test(".files metadata table lists per-file partition, seq, and bounds") {
+    val root = freshRoot
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (7L, "c", "x"))
+      .toDF("id", "v", "p")
+    val t = LakeTable.create(spark, root, df.schema, Seq("p"))
+    t.append(df.repartition(1)) // one file per partition
+    t.append(Seq((9L, "d", "y")).toDF("id", "v", "p")) // second y-file
+    val files = t.files.collect()
+    val snap = t.currentSnapshot.get
+    assert(files.map(_.getAs[String]("file_path")).toSeq ==
+      snap.liveFiles.sorted)
+    assert(files.forall(r =>
+      r.getAs[String]("file_path").contains(r.getAs[String]("partition"))))
+    // seq = the committing snapshot id per file
+    val bySeq = files.groupBy(_.getAs[Long]("seq")).view.mapValues(_.length)
+    assert(bySeq.toMap == Map(2L -> 2, 3L -> 1))
+    // bounds mirror the manifest stats (id bounds of the x-partition file)
+    val xFile = files.find(r =>
+      r.getAs[String]("partition") == "p=x").get
+    val bounds = xFile.getAs[Map[String, Row]]("bounds")
+    assert(bounds("id") == Row("1", "7"))
+    assert(bounds("p") == Row("x", "x"))
+  }
+
   test("compression codec property is honored (zstd)") {
     val root = freshRoot
     val df = Seq((1L, "a")).toDF("id", "v")

@@ -138,4 +138,127 @@ class MergeOnReadSpec extends AnyFunSuite {
     val s2 = t.merge(Seq((1L, "x")).toDF("id", "v"), Seq("id"))
     intercept[UnsupportedOperationException](t.incrementalScan(s1, s2))
   }
+
+  test("overwrite drops outstanding delete files with the data they applied to") {
+    val t = morTable(TestSpark.tmpDir("mor-ow") + "/t")
+    t.merge(Seq((10L, "UPD")).toDF("id", "v"), Seq("id"))
+    t.deleteByKeys(Seq(20L).toDF("id"), Seq("id"))
+    assert(t.currentSnapshot.get.deleteFiles.nonEmpty)
+    t.overwrite(Seq((1L, "fresh"), (2L, "start")).toDF("id", "v"))
+    val snap = t.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty,
+      "overwrite must not carry stale equality-delete files forward")
+    assert(snap.posDeleteFiles.isEmpty)
+    // and the scan is exactly the overwrite batch — nothing suppressed,
+    // nothing resurrected
+    assert(t.scan().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "fresh"), (2L, "start")))
+  }
+
+  // ---- position deletes (MOR predicate DELETE / UPDATE)
+
+  private val posProps = Map(
+    LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+    LakeTable.PROP_UPDATE_MODE -> "merge-on-read")
+
+  private def posTable(root: String) = {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema, properties = posProps)
+    t.append(df.repartition(4))
+    t
+  }
+
+  test("MOR predicate delete: position-delete files, zero rewrite") {
+    val t = posTable(TestSpark.tmpDir("pos-del") + "/t")
+    val before = t.currentSnapshot.get.liveFiles.toSet
+    t.delete($"id" % 10L === 0L)
+    val snap = t.currentSnapshot.get
+    assert(snap.liveFiles.toSet == before, "no data file may be rewritten")
+    assert(snap.removedFiles.isEmpty)
+    assert(snap.posDeleteFiles.nonEmpty)
+    assert(snap.operation == "delete")
+    assert(t.scan().count() == 90)
+    assert(t.scan().where($"id" % 10L === 0L).count() == 0)
+  }
+
+  test("MOR predicate delete equals COW predicate delete row-for-row") {
+    val mor = posTable(TestSpark.tmpDir("pos-eq-mor") + "/t")
+    mor.delete($"id" > 42L && $"id" <= 77L)
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val cow = LakeTable.create(spark,
+      TestSpark.tmpDir("pos-eq-cow") + "/t", df.schema)
+    cow.append(df.repartition(4))
+    cow.delete($"id" > 42L && $"id" <= 77L)
+    assert(mor.scan().orderBy("id").collect().toSeq ==
+      cow.scan().orderBy("id").collect().toSeq)
+  }
+
+  test("MOR predicate update: position delete + after-image, no rewrite") {
+    val t = posTable(TestSpark.tmpDir("pos-upd") + "/t")
+    val before = t.currentSnapshot.get.liveFiles.toSet
+    t.update($"id" <= 3L, Map("v" -> concat(lit("U"), $"id")))
+    val snap = t.currentSnapshot.get
+    assert(before.subsetOf(snap.liveFiles.toSet),
+      "existing files must carry forward")
+    assert(snap.addedFiles.nonEmpty, "after-image files must be added")
+    assert(snap.posDeleteFiles.nonEmpty)
+    assert(t.scan().count() == 100)
+    assert(t.scan().where($"id" <= 3L).orderBy("id")
+      .select("v").as[String].collect().toSeq == Seq("U1", "U2", "U3"))
+    assert(t.scan().where($"v" === "v4").count() == 1)
+  }
+
+  test("chained position deletes and repeated updates compose") {
+    val t = posTable(TestSpark.tmpDir("pos-chain") + "/t")
+    t.delete($"id" === 50L)
+    t.update($"id" === 60L, Map("v" -> lit("first")))
+    // second update hits the AFTER-IMAGE row (in a new file) — its
+    // position delete must target the new file, not the original
+    t.update($"id" === 60L, Map("v" -> lit("second")))
+    t.delete($"id" === 60L)
+    assert(t.scan().count() == 98)
+    assert(t.scan().where($"id".isin(50L, 60L)).count() == 0)
+    assert(t.currentSnapshot.get.posDeleteFiles.size >= 3)
+  }
+
+  test("compact folds position deletes in and clears them") {
+    val t = posTable(TestSpark.tmpDir("pos-compact") + "/t")
+    t.delete($"id" % 7L === 0L)
+    t.update($"id" === 1L, Map("v" -> lit("ONE")))
+    val expected = t.scan().orderBy("id").collect().toSeq
+    t.compact()
+    val snap = t.currentSnapshot.get
+    assert(snap.posDeleteFiles.isEmpty, "compact must clear position deletes")
+    assert(snap.deleteFiles.isEmpty)
+    assert(t.scan().orderBy("id").collect().toSeq == expected)
+  }
+
+  test("position deletes compose with equality deletes on one table") {
+    val t = posTable(TestSpark.tmpDir("pos-mixed") + "/t")
+    t.deleteByKeys(Seq(5L, 6L).toDF("id"), Seq("id")) // equality (keyed)
+    t.delete($"id" >= 95L) // position (predicate)
+    assert(t.scan().count() == 92)
+    assert(t.scan().where($"id".isin(5L, 6L, 95L, 99L)).count() == 0)
+    val snap = t.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty && snap.posDeleteFiles.nonEmpty)
+  }
+
+  test("time travel sees the position-delete state of the target snapshot") {
+    val t = posTable(TestSpark.tmpDir("pos-tt") + "/t")
+    val sAppend = t.currentSnapshotId.get
+    val sDel = t.delete($"id" <= 10L)
+    t.delete($"id" > 90L)
+    assert(t.scanAt(sAppend).count() == 100)
+    assert(t.scanAt(sDel).count() == 90)
+    assert(t.scan().count() == 80)
+  }
+
+  test("predicate matching nothing is a no-op commit-wise") {
+    val t = posTable(TestSpark.tmpDir("pos-noop") + "/t")
+    val head = t.currentSnapshotId.get
+    assert(t.delete($"id" > 1000L) == head)
+    assert(t.update($"id" > 1000L, Map("v" -> lit("x"))) == head)
+    assert(t.scan().count() == 100)
+  }
 }

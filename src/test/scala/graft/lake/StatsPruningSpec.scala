@@ -133,6 +133,76 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(t.scan().where($"v" === "negzero").count() == 0)
   }
 
+  test("encodePartitionValue: FP widening, NaN, and Float round-trip") {
+    import org.apache.spark.sql.types._
+    // ±0.0 widening: a -0.0 (or +0.0) partition stores bounds [-0.0, 0.0]
+    assert(FileStats.encodePartitionValue(DoubleType, "-0.0")
+      .contains(ColStat("-0.0", "0.0")))
+    assert(FileStats.encodePartitionValue(DoubleType, "0.0")
+      .contains(ColStat("-0.0", "0.0")))
+    // NaN partition records NO stat (conservatively kept by every prune)
+    assert(FileStats.encodePartitionValue(DoubleType, "NaN").isEmpty)
+    assert(FileStats.encodePartitionValue(FloatType, "NaN").isEmpty)
+    // FloatType must decode through Float: boundExpr widens source
+    // floats exactly (0.1f -> 0.10000000149...), so the path value must
+    // land on the same double — NOT raw.toDouble's 0.1
+    val enc = FileStats.encodePartitionValue(FloatType, "0.1").get
+    assert(enc == ColStat(0.1f.toDouble.toString, 0.1f.toDouble.toString))
+    assert(enc.min.toDouble != 0.1d)
+    // DoubleType decodes direct
+    assert(FileStats.encodePartitionValue(DoubleType, "0.1")
+      .contains(ColStat("0.1", "0.1")))
+  }
+
+  test("double-partitioned table: -0.0 partition matched by 0.0 key, NaN kept") {
+    val root = freshRoot
+    val df = Seq((-0.0d, 1L, "negzero"), (Double.NaN, 2L, "nan"),
+      (5.0d, 3L, "five")).toDF("x", "id", "v")
+    val t = LakeTable.create(spark, root, df.schema, partitionBy = Seq("x"))
+    t.append(df.repartition(1))
+    val base = t.currentSnapshot.get
+    // the NaN partition carries no x-stat (never pruned); -0.0 carries
+    // the widened [-0.0, 0.0] partition bounds
+    val negzeroFile = base.liveFiles.find(_.contains("x=-0.0")).get
+    assert(base.fileStats(negzeroFile)("x") == ColStat("-0.0", "0.0"))
+    val nanFile = base.liveFiles.find(_.contains("x=NaN")).get
+    assert(!base.fileStats.get(nanFile).exists(_.contains("x")),
+      "NaN partition must record no bounds")
+    // a source key +0.0 must keep the -0.0 partition as a candidate and
+    // the merge must land the update there
+    val pruned = t.pruneByStats(base,
+      Seq((0.0d, 1L, "upd")).toDF("x", "id", "v"), Seq("x"))
+    assert(pruned.contains(negzeroFile),
+      s"-0.0 partition pruned against source 0.0: $pruned")
+    t.merge(Seq((0.0d, 1L, "ZERO")).toDF("x", "id", "v"), Seq("x"))
+    assert(t.scan().where($"v" === "ZERO").count() == 1)
+    assert(t.scan().where($"v" === "negzero").count() == 0)
+    // and a COW predicate delete on x = 0.0 removes the -0.0-partition row
+    t.delete($"x" === 0.0d)
+    assert(t.scan().where($"id" === 1L).count() == 0,
+      "delete(x === 0.0) missed the -0.0 partition")
+    assert(t.scan().where($"v" === "nan").count() == 1,
+      "NaN partition must survive unrelated deletes")
+  }
+
+  test("float-partitioned table: non-dyadic partition value still matched") {
+    val root = freshRoot
+    // 0.1f is not exactly representable: raw.toDouble("0.1") != 0.1f as
+    // double — the regression the FloatType decode split fixes
+    val df = Seq((0.1f, 1L, "a"), (2.5f, 2L, "b")).toDF("x", "id", "v")
+    val t = LakeTable.create(spark, root, df.schema, partitionBy = Seq("x"))
+    t.append(df.repartition(1))
+    val base = t.currentSnapshot.get
+    val src = Seq((0.1f, 1L, "upd")).toDF("x", "id", "v")
+    val pruned = t.pruneByStats(base, src, Seq("x"))
+    assert(pruned.exists(_.contains("x=0.1")),
+      s"float partition x=0.1 wrongly pruned: $pruned")
+    t.merge(src, Seq("x"))
+    assert(t.scan().where($"v" === "upd").count() == 1,
+      "merge on float key 0.1 missed its partition")
+    assert(t.scan().where($"v" === "b").count() == 1)
+  }
+
   test("snapshot JSON round-trips fileStats exactly") {
     val snap = Snapshot(
       snapshotId = 7L, parentId = Some(6L), timestampMs = 123456789L,
@@ -150,7 +220,8 @@ class StatsPruningSpec extends AnyFunSuite {
           "id" -> ColStat("-5", "10"),
           "s" -> ColStat("aa", "zzé"),
           "d" -> ColStat("-0.0", "3.14")),
-        "data/p=b/f2.parquet" -> Map("id" -> ColStat("11", "20"))))
+        "data/p=b/f2.parquet" -> Map("id" -> ColStat("11", "20"))),
+      posDeleteFiles = Seq(PosDeleteFile("deletes/pd1.parquet", 7L)))
     assert(Snapshot.fromJson(snap.toJson) == snap)
   }
 

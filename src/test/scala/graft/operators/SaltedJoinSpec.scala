@@ -49,4 +49,30 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(got.toSeq ==
       Seq((1L, "a", "x"), (2L, "b", "y"), (9L, "zz", null)))
   }
+
+  test("spreadDuplicates splits a hot key of byte-identical rows") {
+    // the documented limitation of the content-hash salt: identical rows
+    // all hash to ONE salt. With spreadDuplicates the source split is
+    // mixed in, so duplicates arriving from different input partitions
+    // fan out across salts.
+    val spark = TestSpark.spark
+    val dup = spark.range(0, 2000, 1, 8) // 8 input partitions
+      .select(lit(1L).as("k"), lit("same-bytes").as("v"))
+    val contentSalts = dup
+      .withColumn("s", SaltedJoin.saltExpr(dup, 16, spreadDuplicates = false))
+      .select("s").distinct().count()
+    assert(contentSalts == 1L,
+      "content-hash salt must (by design) collapse identical rows")
+    val spreadSalts = dup
+      .withColumn("s", SaltedJoin.saltExpr(dup, 16, spreadDuplicates = true))
+      .select("s").distinct().count()
+    assert(spreadSalts > 1L,
+      s"spreadDuplicates must fan identical rows out, got $spreadSalts salt(s)")
+    // and the join stays correct
+    val small = Seq((1L, "x")).toDF("k", "name")
+    val got = SaltedJoin.join(dup, small, Seq("k"), 16,
+      spreadDuplicates = true)
+      .agg(count(lit(1)).as("n")).head().getLong(0)
+    assert(got == 2000L)
+  }
 }

@@ -100,6 +100,56 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "window without partition spec in IVF plan"))
   }
 
+  test("adaptivePlanes grows with the corpus and floors at the minimum") {
+    // below the target bucket size: the minimum wins
+    assert(SimilaritySearch.adaptivePlanes(500L, 6, 4096L) == 6)
+    assert(SimilaritySearch.adaptivePlanes(5000L, 10, 4096L) == 10)
+    // above it: ceil(log2(n / target)) planes
+    assert(SimilaritySearch.adaptivePlanes(8 * 4096L, 2, 4096L) == 3)
+    assert(SimilaritySearch.adaptivePlanes(1_000_000_000L, 6, 4096L) == 18)
+    // 10× corpus → +4 planes (≈ 16× more buckets): expected bucket size
+    // stays ≈ target instead of growing 10×
+    val p1 = SimilaritySearch.adaptivePlanes(100_000L, 6, 1024L)
+    val p10 = SimilaritySearch.adaptivePlanes(1_000_000L, 6, 1024L)
+    assert(p1 == 7 && p10 == 10)
+    // long-bitset cap
+    assert(SimilaritySearch.adaptivePlanes(Long.MaxValue, 6, 1L) == 62)
+  }
+
+  test("a 10x corpus keeps per-bucket candidate counts bounded") {
+    import graft.plans.expressions.hyperplaneSignature
+    // deterministic pseudo-random vectors (hash-derived, no RNG state)
+    def vectors(n: Int) = spark.range(n)
+      .select($"id".as("vec_id"),
+        array((0 until 8).map(d =>
+          ((pmod(xxhash64($"id", lit(d)), lit(1000)).cast("float") -
+            lit(500.0f)) / lit(500.0f)).cast("float")): _*).as("embedding"))
+    val target = 64L
+    val n = 10000
+    // plane count a 1000-vector corpus would use vs what the 10× corpus
+    // derives — plane p depends only on (seed, p), so more planes
+    // strictly REFINE the bucketing
+    val pStatic = SimilaritySearch.adaptivePlanes(1000L, 2, target)
+    val pAdaptive = SimilaritySearch.adaptivePlanes(n.toLong, 2, target)
+    assert(pAdaptive > pStatic, "10× corpus must derive more planes")
+    // (max bucket, Σ per-bucket self-join candidate pairs — the actual
+    // join cost an all-pairs stage pays)
+    def bucketCost(planes: Int): (Long, Long) = {
+      val sizes = vectors(n)
+        .withColumn("b", hyperplaneSignature($"embedding", planes, 42L))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .agg(max($"n"), sum($"n" * ($"n" - 1)).cast("long")).head()
+      (sizes.getLong(0), sizes.getLong(1) / 2)
+    }
+    val (mStatic, pairsStatic) = bucketCost(pStatic)
+    val (mAdaptive, pairsAdaptive) = bucketCost(pAdaptive)
+    // refinement can only shrink the hot bucket, and the candidate-pair
+    // total (the scale-killer) must drop by a real factor
+    assert(mAdaptive <= mStatic)
+    assert(pairsAdaptive * 4 <= pairsStatic,
+      s"adaptive planes must cut candidates: $pairsAdaptive vs $pairsStatic")
+  }
+
   test("near-dup pairs finds planted duplicates") {
     val planted = Seq(
       (100L, vec(0.5, 0.5, 0.5, 0.5)),
