@@ -381,6 +381,47 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_bucket_partition" -> ((s, dir) => {
+      // hidden partitioning (Iceberg transforms): bucket(8, custkey) ×
+      // year(orderdate) — the derived values live only in the directory
+      // layout; the keyed delete prunes to the touched buckets, and the
+      // scan output is transform-invisible
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-bucket") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("bucket(8, o_custkey)", "year(o_orderdate)"))
+      lt.append(orders)
+      lt.deleteByKeys(
+        orders.where(col("o_custkey") % 97 === 0).select("o_custkey"),
+        Seq("o_custkey"))
+      lt.scan().select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_table_snapshots" -> ((s, dir) => {
+      // `.snapshots` metadata table: commit-delta sizes per snapshot
+      val nation = t(s, dir, "nation")
+      val root = tmp("graft-snaps") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema)
+      lt.append(nation.where(col("n_nationkey") < 10).repartition(1))
+      lt.append(nation.where(col("n_nationkey") >= 10).repartition(1))
+      lt.overwrite(nation.repartition(1))
+      lt.snapshotsTable.select("snapshot_id", "parent_id", "operation",
+        "n_added_files", "n_removed_files", "n_live_files")
+    }),
+
+    "q_table_partitions" -> ((s, dir) => {
+      // `.partitions` metadata table: per-partition file count and
+      // sequence range (compaction-debt view)
+      val nation = t(s, dir, "nation")
+      val root = tmp("graft-parts") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema,
+        partitionBy = Seq("n_regionkey"))
+      lt.append(nation.repartition(1))
+      lt.append(nation.where(col("n_regionkey") < 2).repartition(1))
+      lt.partitions
+    }),
+
     "q_table_files" -> ((s, dir) => {
       // `.files` metadata table: per-file partition, sequence, and the
       // recorded bounds the MERGE/DELETE pruning runs against
@@ -915,6 +956,39 @@ object SparkEntry {
         |   THEN o_totalprice * 2 ELSE o_totalprice END, 2)
         |   AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // the scan output is transform-invisible: identical to plain orders
+    // minus the deleted custkeys
+    "q_bucket_partition" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_custkey % 97 <> 0""".stripMargin,
+
+    // single-file appends (repartition(1)) make the commit deltas exact:
+    // create, two 1-file appends, then an overwrite retiring both
+    "q_table_snapshots" ->
+      """SELECT CAST(s AS BIGINT) AS snapshot_id,
+        | CAST(p AS BIGINT) AS parent_id, op AS operation,
+        | CAST(a AS BIGINT) AS n_added_files,
+        | CAST(r AS BIGINT) AS n_removed_files,
+        | CAST(l AS BIGINT) AS n_live_files
+        |FROM (VALUES (1, NULL, 'create', 0, 0, 0),
+        |             (2, 1, 'append', 1, 0, 1),
+        |             (3, 2, 'append', 1, 0, 2),
+        |             (4, 3, 'overwrite', 1, 2, 1))
+        |  t(s, p, op, a, r, l)""".stripMargin,
+
+    // append1 = one file in EVERY region partition (seq 2); append2 = a
+    // second file only where n_regionkey < 2 (seq 3)
+    "q_table_partitions" ->
+      """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR)
+        |   AS "partition",
+        | CAST(CASE WHEN n_regionkey < 2 THEN 2 ELSE 1 END AS BIGINT)
+        |   AS file_count,
+        | CAST(2 AS BIGINT) AS min_seq,
+        | CAST(CASE WHEN n_regionkey < 2 THEN 3 ELSE 2 END AS BIGINT)
+        |   AS max_seq
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     // one file per n_regionkey partition (single-task append), seq = 2
     // (create=1, append=2); bounds = exact min/max of n_nationkey within

@@ -96,15 +96,21 @@ object FileStats {
 
   // -------------------------------------------------------------- collection
 
-  /** Bounds for one freshly written data file: partition values parsed from
-    * the hive path (exact — the partition column is not stored in the file)
-    * plus footer min/max for the data columns. Never throws: a file whose
-    * footer can't be decoded just gets no stats. */
+  /** Bounds for one freshly written data file: partition values parsed
+    * from the hive path (exact — identity partition columns are not
+    * stored in the file; transformed fields record their derived value
+    * as a point-stat under the derived dir name) plus footer min/max for
+    * the data columns (including transformed-partition SOURCE columns,
+    * which live in the file). Never throws: a file whose footer can't be
+    * decoded just gets no stats. */
   def collect(conf: Configuration, file: Path, schema: StructType,
-      partitionColumns: Seq[String], relPath: String): Map[String, ColStat] = {
-    val fromPath = partitionStats(schema, partitionColumns, relPath)
+      partitionFields: Seq[PartitionSpec.Field],
+      relPath: String): Map[String, ColStat] = {
+    val fromPath = partitionStats(schema, partitionFields, relPath)
+    val identitySources =
+      partitionFields.filter(_.isIdentity).map(_.source).toSet
     val dataCols = schema.fields
-      .filterNot(f => partitionColumns.contains(f.name))
+      .filterNot(f => identitySources(f.name))
       .filter(f => supportsPruning(f.dataType))
       .map(f => f.name -> f.dataType).toMap
     if (dataCols.isEmpty) return fromPath
@@ -231,9 +237,11 @@ object FileStats {
 
   // --------------------------------------------------- hive-path partitions
 
-  private def partitionStats(schema: StructType, partitionColumns: Seq[String],
+  private def partitionStats(schema: StructType,
+      partitionFields: Seq[PartitionSpec.Field],
       relPath: String): Map[String, ColStat] = {
-    if (partitionColumns.isEmpty) return Map.empty
+    if (partitionFields.isEmpty) return Map.empty
+    val byDirName = partitionFields.map(f => f.dirName -> f).toMap
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     relPath.split('/').dropRight(1).flatMap { seg =>
       val i = seg.indexOf('=')
@@ -241,11 +249,13 @@ object FileStats {
       else {
         val name = seg.substring(0, i)
         val raw = unescapePathSegment(seg.substring(i + 1))
-        if (!partitionColumns.contains(name) ||
-          raw == "__HIVE_DEFAULT_PARTITION__") None
-        else byName.get(name)
-          .flatMap(dt => encodePartitionValue(dt, raw))
-          .map(cs => name -> cs)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else byDirName.get(name).flatMap { f =>
+          val dt =
+            if (f.isIdentity) byName.getOrElse(f.source, NullType)
+            else f.statType(byName.getOrElse(f.source, NullType))
+          encodePartitionValue(dt, raw).map(cs => name -> cs)
+        }
       }
     }.toMap
   }

@@ -80,7 +80,12 @@ final class LakeTable private (
   def schema: StructType =
     DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
 
+  /** Partition SPEC strings as committed (identity column names and/or
+    * transform specs like `bucket(8, key)` — see [[PartitionSpec]]). */
   def partitionColumns: Seq[String] = current.partitionColumns
+
+  private def partitionFields: Seq[PartitionSpec.Field] =
+    PartitionSpec.parseAll(current.partitionColumns)
 
   def properties: Map[String, String] = current.properties
 
@@ -142,6 +147,47 @@ final class LakeTable private (
         .map { case (c, cs) => c -> Row(cs.min, cs.max) }
       Row(f, partition, snap.fileSeq.getOrElse(f, 0L), bounds)
     }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+  }
+
+  /** Metadata view ≡ Iceberg's `<table>.snapshots`: one row per retained
+    * snapshot with its commit delta sizes. Driver-side, zero data read. */
+  def snapshotsTable: DataFrame = {
+    val sch = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("committed_at", TimestampType),
+      StructField("operation", StringType),
+      StructField("n_added_files", LongType, nullable = false),
+      StructField("n_removed_files", LongType, nullable = false),
+      StructField("n_live_files", LongType, nullable = false)))
+    val rows = snapshots.map { s =>
+      Row(s.snapshotId, s.parentId.map(Long.box).orNull,
+        new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.addedFiles.size.toLong, s.removedFiles.size.toLong,
+        s.liveFiles.size.toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+  }
+
+  /** Metadata view ≡ Iceberg's `<table>.partitions`: one row per live
+    * hive partition with its file count and data-sequence range — the
+    * operator's view of partition balance and compaction debt.
+    * Driver-side manifest aggregation, zero data read. */
+  def partitions: DataFrame = {
+    val snap = current
+    val sch = StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("min_seq", LongType, nullable = false),
+      StructField("max_seq", LongType, nullable = false)))
+    val rows = snap.liveFiles
+      .groupBy(f => f.split('/').drop(1).dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (part, fs) =>
+        val seqs = fs.map(f => snap.fileSeq.getOrElse(f, 0L))
+        Row(part, fs.size.toLong, seqs.min, seqs.max)
+      }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
   }
 
@@ -465,6 +511,13 @@ final class LakeTable private (
     * key columns and a driver-side manifest walk — no table data is read. */
   private[lake] def pruneByStats(base: Snapshot, src: DataFrame,
       keys: Seq[String]): Seq[String] = {
+    val ranged = pruneByKeyBounds(base, src, keys)
+    if (ranged.isEmpty) ranged
+    else pruneByPartitionTransforms(base, src, keys, ranged)
+  }
+
+  private def pruneByKeyBounds(base: Snapshot, src: DataFrame,
+      keys: Seq[String]): Seq[String] = {
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     if (!keys.forall(k => FileStats.supportsPruning(types(k))))
       return base.liveFiles
@@ -501,6 +554,57 @@ final class LakeTable private (
         }
       }
     }
+  }
+
+  /** Hidden-partition pruning for key-equality ops: when a key column is
+    * the SOURCE of a partition transform, intersect each candidate
+    * file's recorded derived point-stat with the source's derived
+    * values — set-membership for bucket (≤ N distinct values, one tiny
+    * distinct over the source keys), range intersection for the
+    * monotone time/truncate transforms. This is what keeps a MERGE on a
+    * `bucket(N, key)` table reading N-th of the table with NO sort
+    * order. Files without the stat are conservatively kept. */
+  private def pruneByPartitionTransforms(base: Snapshot, src: DataFrame,
+      keys: Seq[String], candidates: Seq[String]): Seq[String] = {
+    if (base.fileStats.isEmpty) return candidates
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val fields = partitionFields
+      .filter(f => !f.isIdentity && keys.contains(f.source))
+    if (fields.isEmpty) return candidates
+    var files = candidates
+    fields.foreach { f =>
+      val dt = f.statType(types(f.source))
+      val expr = f.expr(types(f.source))
+      f.transform match {
+        case PartitionSpec.Bucket(_) =>
+          // null source keys never match (plain-equality contract) —
+          // exclude them BEFORE deriving (bucket(null) is a real bucket)
+          val vals = src.where(col(f.source).isNotNull)
+            .select(expr.as("__graft_bval")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          files = files.filter { file =>
+            base.fileStats.get(file).flatMap(_.get(f.dirName)) match {
+              case Some(cs) => vals.contains(cs.min.toLong)
+              case None => true
+            }
+          }
+        case _ => // monotone transform: derived range intersection
+          val row = src.agg(min(expr), max(expr)).head()
+          if (!row.isNullAt(0)) {
+            val (mn, mx) =
+              if (dt == StringType) (row.getString(0), row.getString(1))
+              else (row.getLong(0).toString, row.getLong(1).toString)
+            files = files.filter { file =>
+              base.fileStats.get(file).flatMap(_.get(f.dirName)) match {
+                case Some(cs) =>
+                  FileStats.rangesOverlap(dt, cs.min, cs.max, mn, mx)
+                case None => true
+              }
+            }
+          }
+      }
+    }
+    files
   }
 
   /** Key-based copy-on-write DELETE: remove every row whose key appears
@@ -716,8 +820,9 @@ final class LakeTable private (
     require(sch.fieldNames.contains(oldName), s"no column $oldName")
     require(!sch.fieldNames.contains(newName),
       s"column $newName already exists")
-    require(!partitionColumns.contains(oldName),
-      s"cannot rename partition column $oldName (hive directory layout)")
+    require(!partitionFields.exists(_.source == oldName),
+      s"cannot rename partition source column $oldName " +
+        "(baked into the hive directory layout / partition spec)")
     val newSchema = StructType(sch.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     // every pre-rename live file now maps newName -> its physical name
@@ -748,8 +853,8 @@ final class LakeTable private (
     val base = current
     val sch = schema
     require(sch.fieldNames.contains(name), s"no column $name")
-    require(!partitionColumns.contains(name),
-      s"cannot drop partition column $name")
+    require(!partitionFields.exists(_.source == name),
+      s"cannot drop partition source column $name")
     require(sch.fields.length > 1, "cannot drop the last column")
     val newSchema = StructType(sch.fields.filterNot(_.name == name))
     val stats = base.fileStats
@@ -780,10 +885,58 @@ final class LakeTable private (
     }.toOption.flatten
     cond match {
       case Some(c) =>
-        PredicatePruning.candidateFiles(c, schema, base.liveFiles,
-          base.fileStats)
+        pruneBucketsByPredicate(base, c,
+          PredicatePruning.candidateFiles(c, schema, base.liveFiles,
+            base.fileStats))
       case None => base.liveFiles
     }
+  }
+
+  /** Bucket-partition pruning for predicates: a top-level
+    * `source = literal` / `source IN (literals)` conjunct on a
+    * `bucket(N, source)` table keeps only the files of the literals'
+    * buckets — the hash is evaluated driver-side with the SAME
+    * XxHash64 expression the write derived the directory from. (The
+    * monotone transforms need nothing here: their source columns are
+    * stored in the data files, so footer stats already range-prune.) */
+  private def pruneBucketsByPredicate(base: Snapshot,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      candidates: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
+    if (base.fileStats.isEmpty) return candidates
+    val bucketFields = partitionFields.filter(f =>
+      f.transform.isInstanceOf[PartitionSpec.Bucket])
+    if (bucketFields.isEmpty) return candidates
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    var files = candidates
+    def prune(name: String, lits: Seq[Literal]): Unit =
+      bucketFields.find(_.source == name).foreach { f =>
+        val n = f.transform.asInstanceOf[PartitionSpec.Bucket].n
+        val vals = lits.filter(_.value != null).map { l =>
+          val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+          java.lang.Math.floorMod(h, n.toLong)
+        }.toSet
+        if (lits.forall(_.value != null)) // null literals match nothing anyway
+          files = files.filter { file =>
+            base.fileStats.get(file).flatMap(_.get(f.dirName)) match {
+              case Some(cs) => vals.contains(cs.min.toLong)
+              case None => true
+            }
+          }
+      }
+    conjuncts(cond).foreach {
+      case EqualTo(a: AttributeReference, l: Literal) => prune(a.name, Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) => prune(a.name, Seq(l))
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        prune(a.name, vs.map(_.asInstanceOf[Literal]))
+      case _ => ()
+    }
+    files
   }
 
   /** Bin-pack compaction: rewrite the current data into at most
@@ -798,11 +951,16 @@ final class LakeTable private (
     if (base.liveFiles.isEmpty) return base.snapshotId
     val salt = "__graft_compact_salt"
     val all = readFiles(base.liveFiles)
+    // partition expressions: identity columns directly, transformed
+    // fields via their derived expression (same value the write derives)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val partExprs = partitionFields.map(f =>
+      f.expr(types(f.source)).as(f.dirName))
     // explicit numPartitions: an expression-only repartition would be
     // AQE-coalesced back into few partitions, defeating the file target
     val nHivePartitions =
-      if (partitionColumns.isEmpty) 1L
-      else all.select(partitionColumns.map(col): _*).distinct().count()
+      if (partExprs.isEmpty) 1L
+      else all.select(partExprs: _*).distinct().count()
     val numParts = math.max(1L,
       nHivePartitions * targetFilesPerPartition).min(100000L).toInt
     // salt must be DETERMINISTIC per row (content hash, not
@@ -813,7 +971,9 @@ final class LakeTable private (
       .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
         lit(targetFilesPerPartition)))
     val data = salted
-      .repartition(numParts, (partitionColumns.map(col) :+ col(salt)): _*)
+      .repartition(numParts,
+        (partitionFields.map(f => f.expr(types(f.source))) :+
+          col(salt)): _*)
       .drop(salt)
     val (added, stats) = writeDataFiles(data)
     // compaction folds outstanding equality AND position deletes into
@@ -897,12 +1057,20 @@ final class LakeTable private (
         case cols => df.sortWithinPartitions(cols.map(col): _*)
       }
       val codec = properties.getOrElse(PROP_COMPRESSION, "snappy")
-      var w = sorted.write.mode("overwrite").option("compression", codec)
-      if (partitionColumns.nonEmpty)
-        w = w.partitionBy(partitionColumns: _*)
-      w.parquet(staging.toString)
-
       val sch = schema
+      val fields = partitionFields
+      // hidden partitioning: derive the transform columns map-side; the
+      // hive write moves them into the directory layout (partitionBy
+      // strips them from file content), so data files keep the SOURCE
+      // column and readers never see the derived one
+      val types = sch.fields.map(f => f.name -> f.dataType).toMap
+      val derived = fields.filterNot(_.isIdentity).foldLeft(sorted) {
+        (df, f) => df.withColumn(f.dirName, f.expr(types(f.source)))
+      }
+      var w = derived.write.mode("overwrite").option("compression", codec)
+      if (fields.nonEmpty)
+        w = w.partitionBy(fields.map(_.dirName): _*)
+      w.parquet(staging.toString)
       val files = listParquet(fs, staging)
       // rename serially (cheap metadata ops), then read the footers in
       // parallel — each open is independent driver-side I/O, and a large
@@ -918,7 +1086,7 @@ final class LakeTable private (
       val statsMap =
         new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
       moved.toList.asJava.parallelStream().forEach { case (key, dest) =>
-        val st = FileStats.collect(hconf, dest, sch, partitionColumns, key)
+        val st = FileStats.collect(hconf, dest, sch, fields, key)
         if (st.nonEmpty) statsMap.put(key, st)
       }
       (moved.map(_._1), statsMap.asScala.toMap)
@@ -1078,8 +1246,17 @@ object LakeTable {
       partitionBy: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): LakeTable = {
     require(!exists(spark, root), s"table $root already exists")
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    // partitionBy entries are identity column names or transform specs
+    // ("bucket(8, key)", "day(ts)", … — see PartitionSpec)
+    PartitionSpec.parseAll(partitionBy).foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source column ${f.source} not in schema")
+      require(f.validFor(schema(f.source).dataType),
+        s"partition transform '${f.spec}' not applicable to " +
+          s"${schema(f.source).dataType.simpleString} ${f.source}")
+      require(f.isIdentity || !schema.fieldNames.contains(f.dirName),
+        s"derived partition name ${f.dirName} collides with a column")
+    }
     val t = new LakeTable(spark, root)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(root, METADATA_DIR))

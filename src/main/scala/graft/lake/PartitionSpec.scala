@@ -1,0 +1,143 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partition-spec transforms (≡ Iceberg's hidden partitioning): a table
+  * is partitioned by a TRANSFORM of a source column, the transform value
+  * appears only in the directory layout, and readers/writers never see
+  * or supply it — `bucket(8, key)` keeps a 100 TB keyed table
+  * merge-prunable without a sort order, `day(ts)`/`month(ts)`/`year(ts)`
+  * give time-partition pruning without materializing a date column, and
+  * `truncate(w, col)` coarsens high-cardinality dimensions.
+  *
+  * Spec strings (stored verbatim in the snapshot's `partition_columns`,
+  * so pre-transform manifests parse unchanged as identity):
+  *
+  *   - `col`                — identity (hive behavior, value in the dir)
+  *   - `bucket(N, col)`     — `pmod(xxhash64(col), N)`; any prunable type
+  *   - `day(col)` / `month(col)` / `year(col)`
+  *                          — days/months/years since epoch (date/ts)
+  *   - `truncate(W, col)`   — floor-to-width for integrals, prefix for
+  *                            strings
+  *
+  * Scale shape: the derived value is computed map-side at write
+  * (codegen'd `xxhash64`/`datediff` — no shuffle beyond the hive write's
+  * own), recorded per-file from the directory name as an exact
+  * point-stat, and pruned against driver-side: set-membership for bucket
+  * (≤ N values per source key set), range intersection for the monotone
+  * time/truncate transforms.
+  */
+object PartitionSpec {
+
+  sealed trait Transform
+  case object Identity extends Transform
+  final case class Bucket(n: Int) extends Transform
+  case object Day extends Transform
+  case object Month extends Transform
+  case object Year extends Transform
+  final case class Truncate(w: Long) extends Transform
+
+  /** One field of a partition spec. `dirName` is the hive directory /
+    * derived-column name; for identity it is the source column itself
+    * (legacy layout, value not stored in the data file). Transformed
+    * sources ARE stored in the data file — only the derived value moves
+    * into the directory. */
+  final case class Field(source: String, transform: Transform,
+      spec: String) {
+
+    def isIdentity: Boolean = transform == Identity
+
+    val dirName: String = transform match {
+      case Identity => source
+      case Bucket(n) => s"${source}_bucket_$n"
+      case Day => s"${source}_day"
+      case Month => s"${source}_month"
+      case Year => s"${source}_year"
+      case Truncate(w) => s"${source}_trunc_$w"
+    }
+
+    /** Derived-value expression over the source column. Numeric-domain
+      * transforms emit LongType so the dir value round-trips as a plain
+      * decimal; truncate-on-string emits the prefix string. */
+    def expr(sourceType: DataType): Column = transform match {
+      case Identity => col(source)
+      case Bucket(n) => pmod(xxhash64(col(source)), lit(n)).cast(LongType)
+      case Day =>
+        datediff(col(source).cast(DateType), to_date(lit("1970-01-01")))
+          .cast(LongType)
+      case Month =>
+        ((year(col(source).cast(DateType)) - lit(1970)) * lit(12) +
+          month(col(source).cast(DateType)) - lit(1)).cast(LongType)
+      case Year => (year(col(source).cast(DateType)) - lit(1970))
+        .cast(LongType)
+      case Truncate(w) => sourceType match {
+        case StringType => substring(col(source), 1, w.toInt)
+        case _ =>
+          (col(source).cast(LongType) -
+            pmod(col(source).cast(LongType), lit(w))).cast(LongType)
+      }
+    }
+
+    /** Stat-domain type of the derived value (see [[FileStats]]). */
+    def statType(sourceType: DataType): DataType = transform match {
+      case Identity => sourceType
+      case Truncate(_) if sourceType == StringType => StringType
+      case _ => LongType
+    }
+
+    /** Is the derived value a MONOTONE function of the source? (Range
+      * pruning is sound only then; bucket prunes by set-membership.) */
+    def monotone: Boolean = transform match {
+      case Bucket(_) => false
+      case _ => true
+    }
+
+    /** Source types the transform accepts. Bucket excludes FP sources
+      * (as Iceberg does): ±0.0/NaN equality-vs-hash mismatches would
+      * make bucket assignment ambiguous. */
+    def validFor(dt: DataType): Boolean = transform match {
+      case Identity => true
+      case Bucket(_) => dt match {
+        case FloatType | DoubleType => false
+        case other => FileStats.supportsPruning(other)
+      }
+      case Day | Month | Year =>
+        dt == DateType || dt == TimestampType || dt == TimestampNTZType
+      case Truncate(_) => dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType =>
+          true
+        case _ => false
+      }
+    }
+  }
+
+  private val FnRe = """^\s*(\w+)\s*\(\s*([^)]*)\s*\)\s*$""".r
+
+  /** Parse one spec string; a bare column name is identity. */
+  def parse(spec: String): Field = spec match {
+    case FnRe(fn, args) =>
+      val parts = args.split(',').map(_.trim).filter(_.nonEmpty)
+      (fn.toLowerCase, parts) match {
+        case ("bucket", Array(n, src)) => Field(src, Bucket(n.toInt), spec)
+        case ("truncate", Array(w, src)) =>
+          Field(src, Truncate(w.toLong), spec)
+        case ("day", Array(src)) => Field(src, Day, spec)
+        case ("month", Array(src)) => Field(src, Month, spec)
+        case ("year", Array(src)) => Field(src, Year, spec)
+        case _ => throw new IllegalArgumentException(
+          s"unsupported partition transform: $spec")
+      }
+    case name => Field(name.trim, Identity, name.trim)
+  }
+
+  def parseAll(specs: Seq[String]): Seq[Field] = {
+    val fields = specs.map(parse)
+    val dup = fields.groupBy(_.dirName).collectFirst {
+      case (n, fs) if fs.size > 1 => n
+    }
+    require(dup.isEmpty, s"duplicate partition field: ${dup.get}")
+    fields
+  }
+}
