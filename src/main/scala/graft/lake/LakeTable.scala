@@ -362,38 +362,51 @@ final class LakeTable private (
       case cols => aligned.repartitionByRange(cols.map(col): _*)
     }
     val (added, stats) = writeDataFiles(clustered)
+    // adding fresh files commutes with ANY interleaved commit that kept
+    // the schema and partition spec our files were written under —
+    // append, merge, delete, compact all operate on *other* files, and
+    // our files' new (higher) sequence outranks every outstanding
+    // equality delete
+    commitWithRetry(base)() { b =>
+      commit(b, "append", added = added, removed = Nil,
+        live = b.liveFiles ++ added, addedStats = stats)
+    }
+  }
+
+  /** Optimistic-retry loop (≡ Iceberg's commit retries): run
+    * `attempt(base)`; on a lost race re-read HEAD and re-attempt against
+    * it — committing the ALREADY-written artifacts, never re-running the
+    * job that produced them. Retry is refused (conflict surfaced) when
+    * the interleaved commits evolved the schema or partition spec our
+    * artifacts were written under, or when the op-specific `canRetry`
+    * says the new base invalidates them. Rewriting ops (COW
+    * merge/delete/update, compact) do NOT use this: their outputs are
+    * derived from the old base's data and must be recomputed. */
+  private def commitWithRetry(base: Snapshot)(
+      canRetry: (Snapshot, Snapshot) => Boolean = (_, _) => true)(
+      attempt: Snapshot => Long): Long = {
     beforeCommitHook()
-    // Optimistic-retry loop (≡ Iceberg's commit retries): adding fresh
-    // files commutes with ANY interleaved commit that kept the schema
-    // and partition spec our files were written under — append, merge,
-    // delete, compact all operate on *other* files, and our files' new
-    // (higher) sequence outranks every outstanding equality delete. So
-    // on a lost race, re-read HEAD and re-commit the already-written
-    // files against it instead of re-running the whole write. Rewriting
-    // ops (merge/delete/...) do NOT retry: their outputs were derived
-    // from the old base's data and must be recomputed.
     var b = base
-    var attempt = 0
+    var n = 0
     while (true) {
-      try {
-        return commit(b, "append", added = added, removed = Nil,
-          live = b.liveFiles ++ added, addedStats = stats)
-      } catch {
+      try return attempt(b)
+      catch {
         case e: java.util.ConcurrentModificationException =>
-          attempt += 1
+          n += 1
           val nb = current
           val headMoved = nb.snapshotId != b.snapshotId
-          if (attempt >= MAX_COMMIT_ATTEMPTS || !headMoved ||
+          if (n >= MAX_COMMIT_ATTEMPTS || !headMoved ||
               nb.schemaJson != base.schemaJson ||
-              nb.partitionColumns != base.partitionColumns) throw e
+              nb.partitionColumns != base.partitionColumns ||
+              !canRetry(base, nb)) throw e
           b = nb
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Test seam: invoked between an append's data-file write and its
-    * commit attempt — lets a spec deterministically interleave a racing
+  /** Test seam: invoked between an op's artifact write and its commit
+    * attempt — lets a spec deterministically interleave a racing
     * commit. No-op in production. */
   private[lake] var beforeCommitHook: () => Unit = () => ()
 
@@ -496,11 +509,17 @@ final class LakeTable private (
     val (added, stats) = writeDataFiles(src)
     val delKeys = src.select(keys.map(col): _*).distinct().na.drop()
     val delPaths = writeDeleteFiles(delKeys)
-    val seq = base.snapshotId + 1
-    commit(base, "merge", added = added, removed = Nil,
-      live = base.liveFiles ++ added, addedStats = stats,
-      deletesOverride = Some(base.deleteFiles ++
-        delPaths.map(p => DeleteFile(p, seq, keys, keys))))
+    // retry-safe against any same-schema interleaving: the re-based
+    // delete file's new sequence suppresses matching keys in EVERY
+    // current data file (including a racer's fresh appends — exactly
+    // the declarative upsert contract), and the after-image outranks it
+    commitWithRetry(base)() { b =>
+      val seq = b.snapshotId + 1
+      commit(b, "merge", added = added, removed = Nil,
+        live = b.liveFiles ++ added, addedStats = stats,
+        deletesOverride = Some(b.deleteFiles ++
+          delPaths.map(p => DeleteFile(p, seq, keys, keys))))
+    }
   }
 
   /** Stats-based candidate pruning for key-equality operations: a file
@@ -623,11 +642,15 @@ final class LakeTable private (
         .distinct().na.drop()
       if (k.isEmpty) return base.snapshotId
       val delPaths = writeDeleteFiles(k)
-      val seq = base.snapshotId + 1
-      return commit(base, "delete", added = Nil, removed = Nil,
-        live = base.liveFiles,
-        deletesOverride = Some(base.deleteFiles ++
-          delPaths.map(p => DeleteFile(p, seq, keyCols, keyCols))))
+      // retry-safe like mergeMor: "delete these keys" is declarative —
+      // the re-based sequence applies it to a racer's fresh rows too
+      return commitWithRetry(base)() { b =>
+        val seq = b.snapshotId + 1
+        commit(b, "delete", added = Nil, removed = Nil,
+          live = b.liveFiles,
+          deletesOverride = Some(b.deleteFiles ++
+            delPaths.map(p => DeleteFile(p, seq, keyCols, keyCols))))
+      }
     }
     val k = keys.select(keyCols.map(col): _*).distinct()
     val candidates = pruneByStats(base, k, keyCols)
@@ -697,12 +720,24 @@ final class LakeTable private (
         col(PIDX_COL).as(POS_POS_FIELD))
     if (positions.isEmpty) return base.snapshotId
     val delPaths = writeDeleteFiles(positions)
-    val seq = base.snapshotId + 1
-    commit(base, "delete", added = Nil, removed = Nil,
-      live = base.liveFiles,
-      posDeletesOverride = Some(base.posDeleteFiles ++
-        delPaths.map(p => PosDeleteFile(p, seq))))
+    // retry-safe iff every file we captured positions from is STILL live
+    // (a racing compact/rewrite would have re-homed the matching rows);
+    // a racer's pure appends serialize AFTER this delete, untouched
+    commitWithRetry(base)(posRetrySafe) { b =>
+      val seq = b.snapshotId + 1
+      commit(b, "delete", added = Nil, removed = Nil,
+        live = b.liveFiles,
+        posDeletesOverride = Some(b.posDeleteFiles ++
+          delPaths.map(p => PosDeleteFile(p, seq))))
+    }
   }
+
+  /** Position-delete commits may retry only while every data file of the
+    * ORIGINAL base is still live — a racer that removed files (compact,
+    * COW rewrite) may have re-homed the very rows our captured ordinals
+    * target. */
+  private val posRetrySafe: (Snapshot, Snapshot) => Boolean =
+    (old, nb) => old.liveFiles.toSet.subsetOf(nb.liveFiles.toSet)
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching
     * `predicate`, file-pruned exactly like [[delete]]. ≡ the
@@ -770,11 +805,15 @@ final class LakeTable private (
     }.toIndexedSeq: _*)
     val delPaths = writeDeleteFiles(positions)
     val (added, stats) = writeDataFiles(after)
-    val seq = base.snapshotId + 1
-    commit(base, "update", added = added, removed = Nil,
-      live = base.liveFiles ++ added, addedStats = stats,
-      posDeletesOverride = Some(base.posDeleteFiles ++
-        delPaths.map(p => PosDeleteFile(p, seq))))
+    // same retry window as morDeleteByPredicate (captured ordinals must
+    // still be live); the after-image is new files, racer-independent
+    commitWithRetry(base)(posRetrySafe) { b =>
+      val seq = b.snapshotId + 1
+      commit(b, "update", added = added, removed = Nil,
+        live = b.liveFiles ++ added, addedStats = stats,
+        posDeletesOverride = Some(b.posDeleteFiles ++
+          delPaths.map(p => PosDeleteFile(p, seq))))
+    }
   }
 
   // -------------------------------------------------------- schema evolution

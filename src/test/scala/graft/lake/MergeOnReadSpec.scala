@@ -254,6 +254,78 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.scan().count() == 80)
   }
 
+  test("MOR merge retries past a racing append; delete applies to its rows") {
+    val root = TestSpark.tmpDir("mor-race") + "/t"
+    val t1 = morTable(root)
+    val t2 = LakeTable.load(spark, root)
+    // t2 appends a SECOND row for key 10 between t1's merge write and
+    // its commit; the retried merge's delete file must suppress both the
+    // original row and the racer's — the declarative upsert contract
+    var fired = false
+    t1.beforeCommitHook = () => if (!fired) {
+      fired = true
+      t2.append(Seq((10L, "racer"), (500L, "racer-new")).toDF("id", "v"))
+    }
+    try t1.merge(Seq((10L, "UPD")).toDF("id", "v"), Seq("id"))
+    finally t1.beforeCommitHook = () => ()
+    assert(fired)
+    val t3 = LakeTable.load(spark, root)
+    assert(t3.scan().where($"id" === 10L).select("v").as[String]
+      .collect().toSeq == Seq("UPD"))
+    assert(t3.scan().where($"id" === 500L).count() == 1)
+    assert(t3.scan().count() == 101) // 100 + 500L insert, key 10 deduped
+  }
+
+  test("MOR deleteByKeys retries past a racing append") {
+    val root = TestSpark.tmpDir("mor-race-del") + "/t"
+    val t1 = morTable(root)
+    val t2 = LakeTable.load(spark, root)
+    var fired = false
+    t1.beforeCommitHook = () => if (!fired) {
+      fired = true
+      t2.append(Seq((7L, "late-dup")).toDF("id", "v"))
+    }
+    try t1.deleteByKeys(Seq(7L).toDF("id"), Seq("id"))
+    finally t1.beforeCommitHook = () => ()
+    assert(fired)
+    val t3 = LakeTable.load(spark, root)
+    // the retried delete's sequence outranks the racer's append too
+    assert(t3.scan().where($"id" === 7L).count() == 0)
+    assert(t3.scan().count() == 99)
+  }
+
+  test("position delete retries past append but refuses a racing compact") {
+    val rootA = TestSpark.tmpDir("pos-race-ok") + "/t"
+    val tA = posTable(rootA)
+    val tA2 = LakeTable.load(spark, rootA)
+    var firedA = false
+    tA.beforeCommitHook = () => if (!firedA) {
+      firedA = true
+      tA2.append(Seq((200L, "late")).toDF("id", "v"))
+    }
+    try tA.delete($"id" <= 5L)
+    finally tA.beforeCommitHook = () => ()
+    assert(firedA)
+    assert(LakeTable.load(spark, rootA).scan().count() == 96) // 100-5+1
+    // a racing COMPACT re-homes rows — captured ordinals are invalid,
+    // the retry must be refused
+    val rootB = TestSpark.tmpDir("pos-race-bad") + "/t"
+    val tB = posTable(rootB)
+    val tB2 = LakeTable.load(spark, rootB)
+    var firedB = false
+    tB.beforeCommitHook = () => if (!firedB) {
+      firedB = true
+      tB2.compact()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        tB.delete($"id" <= 5L)
+      }
+    } finally tB.beforeCommitHook = () => ()
+    // table intact under the compacted snapshot
+    assert(LakeTable.load(spark, rootB).scan().count() == 100)
+  }
+
   test("predicate matching nothing is a no-op commit-wise") {
     val t = posTable(TestSpark.tmpDir("pos-noop") + "/t")
     val head = t.currentSnapshotId.get
