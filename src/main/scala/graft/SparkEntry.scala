@@ -381,6 +381,20 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_rollback" -> ((s, dir) => {
+      // rollback_to_snapshot: a new commit restoring the target state —
+      // manifest-only, nothing deleted, history preserved
+      val orders = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val root = tmp("graft-rb") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema)
+      val s1 = lt.append(orders.where(col("o_orderdate") < cut))
+      lt.append(orders.where(col("o_orderdate") >= cut))
+      lt.rollbackTo(s1)
+      lt.scan().select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_bucket_partition" -> ((s, dir) => {
       // hidden partitioning (Iceberg transforms): bucket(8, custkey) ×
       // year(orderdate) — the derived values live only in the directory
@@ -956,6 +970,12 @@ object SparkEntry {
         |   THEN o_totalprice * 2 ELSE o_totalprice END, 2)
         |   AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // rollback restores the first append's state exactly
+    "q_rollback" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
 
     // the scan output is transform-invisible: identical to plain orders
     // minus the deleted custkeys

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.StructType
   */
 final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
-  private val hconf = spark.sparkContext.hadoopConfiguration
+  // sessionState.newHadoopConf() folds runtime `spark.conf.set("fs...")`
+  // entries on top of the core conf (same resolution as Spark's sources)
+  private val hconf = spark.sessionState.newHadoopConf()
   private val whPath = new Path(warehouse)
   private def fs: FileSystem = whPath.getFileSystem(hconf)
 
@@ -83,11 +85,19 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   /** Register every table of `ns` as a temp view so the interactive SQL
     * surface works exactly like the reference's notebook (entry point C,
     * SURVEY.md §3.3: `spark.sql("SELECT count(*) FROM bronze_orders")`,
-    * projections, `.show()`). Views are bound to the CURRENT snapshot;
-    * re-register after new commits to see them. */
+    * projections, `.show()`). Each table also gets its metadata views
+    * under `<table>_history` / `_files` / `_snapshots` / `_partitions`
+    * (the temp-view spelling of Iceberg's `table.history` dotted tables —
+    * reference: scripts/bronze-silver.py:119). Views are bound to the
+    * CURRENT snapshot; re-register after new commits to see them. */
   def registerViews(ns: String): Unit =
     listTables(ns).foreach { t =>
-      loadTable(ns, t).scan().createOrReplaceTempView(t)
+      val lt = loadTable(ns, t)
+      lt.scan().createOrReplaceTempView(t)
+      lt.history.createOrReplaceTempView(s"${t}_history")
+      lt.files.createOrReplaceTempView(s"${t}_files")
+      lt.snapshotsTable.createOrReplaceTempView(s"${t}_snapshots")
+      lt.partitions.createOrReplaceTempView(s"${t}_partitions")
     }
 
   /** Convenience: `USE ns` + register + run one SQL statement. */

@@ -1048,6 +1048,60 @@ final class LakeTable private (
     }
   }
 
+  /** Roll the table back to `snapshotId` (≡ Iceberg
+    * `rollback_to_snapshot`): commits a NEW snapshot restoring the
+    * target's full state — data files, schema, renames, sequences, and
+    * delete files. History is preserved (nothing is deleted), so the
+    * rollback itself can be rolled back; a later [[expireSnapshots]]
+    * reclaims the rolled-past data as usual. Driver-side manifest copy,
+    * zero data movement. */
+  def rollbackTo(snapshotId: Long): Long = {
+    val base = current
+    require(snapshotId <= base.snapshotId,
+      s"cannot roll forward to $snapshotId (HEAD ${base.snapshotId})")
+    if (snapshotId == base.snapshotId) return base.snapshotId
+    val target = snapshot(snapshotId) // throws if expired
+    commit(base, "rollback",
+      added = target.liveFiles.diff(base.liveFiles),
+      removed = base.liveFiles.diff(target.liveFiles),
+      live = target.liveFiles,
+      schemaJson = Some(target.schemaJson),
+      statsOverride = Some(target.fileStats),
+      renamesOverride = Some(target.fileRenames),
+      deletesOverride = Some(target.deleteFiles),
+      posDeletesOverride = Some(target.posDeleteFiles),
+      seqOverride = Some(target.fileSeq))
+  }
+
+  /** Delete files under `data/` and `deletes/` referenced by NO retained
+    * snapshot and older than `olderThanMs` (≡ Iceberg
+    * `remove_orphan_files`): debris of writers that died between the
+    * staging move and their commit. The age gate keeps a LIVE writer's
+    * freshly-moved files safe — never run with a small threshold while
+    * writes are in flight. Returns the root-relative paths removed. */
+  def removeOrphanFiles(olderThanMs: Long = 3600000L): Seq[String] = {
+    val referenced = snapshots.flatMap(s =>
+      s.liveFiles ++ s.addedFiles ++ s.removedFiles ++
+        s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(dataDir, new Path(rootPath, DELETES_DIR)).foreach { dir =>
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = relativePath(rootPath, f.getPath)
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              !referenced(rel) && f.getModificationTime < cutoff) {
+            fs.delete(f.getPath, false)
+            removed += rel
+          }
+        }
+      }
+    }
+    removed.toSeq
+  }
+
   def drop(): Unit = fs.delete(rootPath, true)
 
   // ---------------------------------------------------------------- internal
@@ -1179,15 +1233,17 @@ final class LakeTable private (
       statsOverride: Option[Map[String, Map[String, ColStat]]] = None,
       renamesOverride: Option[Map[String, Map[String, String]]] = None,
       deletesOverride: Option[Seq[DeleteFile]] = None,
-      posDeletesOverride: Option[Seq[PosDeleteFile]] = None): Long = {
+      posDeletesOverride: Option[Seq[PosDeleteFile]] = None,
+      seqOverride: Option[Map[String, Long]] = None): Long = {
     val id = base.snapshotId + 1
     val liveSet = live.toSet
     val stats = statsOverride.getOrElse(
       base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats)
     val renames = renamesOverride.getOrElse(base.fileRenames)
       .filter { case (f, m) => liveSet(f) && m.nonEmpty }
-    val seqs = base.fileSeq.filter { case (f, _) => liveSet(f) } ++
-      added.map(_ -> id)
+    val seqs = seqOverride.getOrElse(
+      base.fileSeq.filter { case (f, _) => liveSet(f) } ++
+        added.map(_ -> id))
     val dels = deletesOverride.getOrElse(base.deleteFiles)
     val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),

@@ -398,6 +398,88 @@ class LakeTableSpec extends AnyFunSuite {
     assert(bounds("p") == Row("x", "x"))
   }
 
+  test("rollback restores data, schema, and delete state; history kept") {
+    val root = freshRoot
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    val s1 = t.append(df.repartition(2))
+    t.deleteByKeys(Seq(5L).toDF("id"), Seq("id")) // MOR equality delete
+    t.addColumn("flag", StringType)
+    t.append(Seq((100L, "x", "late")).toDF("id", "v", "flag"))
+    assert(t.scan().count() == 20) // 19 + 1 insert
+    val rb = t.rollbackTo(s1)
+    // data and schema are the target's; the MOR delete no longer applies
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(t.scan().count() == 20)
+    assert(t.scan().where($"id" === 5L).count() == 1, "delete must be undone")
+    assert(t.currentSnapshot.get.operation == "rollback")
+    // nothing deleted: the rolled-past snapshots are still readable and
+    // the rollback itself can be rolled back
+    assert(t.scanAt(rb - 1).count() == 20)
+    t.rollbackTo(rb - 1)
+    assert(t.scan().count() == 20)
+    assert(t.scan().where($"id" === 5L).count() == 0)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "flag"))
+    // sequences were restored: a NEW MOR delete still applies correctly
+    t.deleteByKeys(Seq(6L).toDF("id"), Seq("id"))
+    assert(t.scan().where($"id" === 6L).count() == 0)
+  }
+
+  test("rollback rejects unknown and forward targets") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    val head = t.append(df)
+    intercept[IllegalArgumentException](t.rollbackTo(head + 5))
+    assert(t.rollbackTo(head) == head) // no-op
+  }
+
+  test("removeOrphanFiles deletes unreferenced debris, keeps everything referenced") {
+    val root = freshRoot
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.repartition(1))
+    t.overwrite(df.repartition(1)) // makes append's file removed-but-retained
+    val expected = t.scan().orderBy("id").collect().toSeq
+    // plant crash debris in data/
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "data/part-orphan-deadbeef.parquet")
+    val fs = orphan.getFileSystem(spark.sessionState.newHadoopConf())
+    df.limit(1).repartition(1).write.mode("overwrite")
+      .parquet(root + "/.orphan-staging")
+    val staged = LakeTable.listParquet(fs,
+      new org.apache.hadoop.fs.Path(root + "/.orphan-staging")).head
+    fs.rename(staged, orphan)
+    val removed = t.removeOrphanFiles(olderThanMs = 0L)
+    assert(removed == Seq("data/part-orphan-deadbeef.parquet"),
+      s"unexpected orphan set: $removed")
+    // committed state intact, including the retained-but-removed file
+    assert(t.scan().orderBy("id").collect().toSeq == expected)
+    assert(t.snapshots.flatMap(_.liveFiles).forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, f))))
+    // second pass finds nothing
+    assert(t.removeOrphanFiles(olderThanMs = 0L).isEmpty)
+  }
+
+  test("catalog registers metadata views alongside table views") {
+    val wh = TestSpark.tmpDir("cat-meta")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+    val t = cat.createTable("ns", "tbl", df.schema, Seq("p"))
+    t.append(df.repartition(1))
+    val n = cat.sql("ns",
+      """SELECT (SELECT count(*) FROM tbl) AS rows,
+        |       (SELECT count(*) FROM tbl_history) AS hist,
+        |       (SELECT count(*) FROM tbl_files) AS files,
+        |       (SELECT count(*) FROM tbl_snapshots) AS snaps,
+        |       (SELECT count(*) FROM tbl_partitions) AS parts""".stripMargin)
+      .head()
+    assert((n.getLong(0), n.getLong(1), n.getLong(2), n.getLong(3),
+      n.getLong(4)) == ((2L, 2L, 2L, 2L, 2L)))
+  }
+
   test("compression codec property is honored (zstd)") {
     val root = freshRoot
     val df = Seq((1L, "a")).toDF("id", "v")
