@@ -117,7 +117,7 @@ object SparkEntry {
     "q_filter_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .where(col("l_shipdate") <
-          to_timestamp(lit("1994-01-01"), "yyyy-MM-dd"))
+          to_timestamp(lit("1997-01-01"), "yyyy-MM-dd"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("l_extendedprice"))),
 
@@ -219,7 +219,7 @@ object SparkEntry {
     // ---- reference parity: lake table (append/incremental/merge/history)
     "q_incremental_scan" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
-      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val cut = to_timestamp(lit("1998-01-01"), "yyyy-MM-dd")
       val root = tmp("graft-inc") + "/orders"
       val lt = LakeTable.create(s, root, orders.schema)
       val s1 = lt.append(orders.where(col("o_orderdate") < cut))
@@ -258,7 +258,7 @@ object SparkEntry {
 
     "q_time_travel" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
-      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val cut = to_timestamp(lit("1998-01-01"), "yyyy-MM-dd")
       val root = tmp("graft-tt") + "/orders"
       val lt = LakeTable.create(s, root, orders.schema)
       val s1 = lt.append(orders.where(col("o_orderdate") < cut))
@@ -295,7 +295,7 @@ object SparkEntry {
       // TIMESTAMP AS OF: capture the wall-clock of the first append,
       // append more, then travel back by timestamp
       val orders = t(s, dir, "orders")
-      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val cut = to_timestamp(lit("1998-01-01"), "yyyy-MM-dd")
       val root = tmp("graft-ttts") + "/orders"
       val lt = LakeTable.create(s, root, orders.schema)
       val s1 = lt.append(orders.where(col("o_orderdate") < cut))
@@ -385,7 +385,7 @@ object SparkEntry {
       // rollback_to_snapshot: a new commit restoring the target state —
       // manifest-only, nothing deleted, history preserved
       val orders = t(s, dir, "orders")
-      val cut = to_timestamp(lit("1995-01-01"), "yyyy-MM-dd")
+      val cut = to_timestamp(lit("1998-01-01"), "yyyy-MM-dd")
       val root = tmp("graft-rb") + "/orders"
       val lt = LakeTable.create(s, root, orders.schema)
       val s1 = lt.append(orders.where(col("o_orderdate") < cut))
@@ -562,6 +562,24 @@ object SparkEntry {
           col("asof_value"), col("asof_ts_us"))
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      // as-of with a max-lookback window (≡ pandas merge_asof
+      // tolerance): a purchase older than 10 min before the click
+      // attaches as NULL
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"), round(col("value"), 2).as("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .drop("event_type")
+      val purchases = e.where(col("event_type") === "purchase")
+        .drop("event_type")
+      AsOfJoin.join(clicks, purchases, Seq("user_id"),
+        "ts_us", "ts_us", Seq("value", "ts_us"),
+        tolerance = Some(600000000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_value"), col("asof_ts_us"))
+    }),
+
     "q_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity")
@@ -670,6 +688,16 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.ivfTopK(e, queries, k = 5, nCentroids = 16,
         nProbe = 4)
+    }),
+
+    "q_ann_lsh_multiprobe" -> ((s, dir) => {
+      // multi-probe LSH: each query also probes the `planes` buckets at
+      // hamming distance 1 — recall recovery for near-boundary vectors
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 10,
+        probeHamming = 1)
     }),
 
     "q_neardup_embedding" -> ((s, dir) =>
@@ -824,7 +852,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice, 2) AS l_extendedprice
         |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1994-01-01 00:00:00'""".stripMargin,
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
 
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -925,12 +953,12 @@ object SparkEntry {
     "q_incremental_scan" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "q_time_travel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
-        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "q_cow_delete" ->
       """SELECT o_orderkey, o_orderstatus,
@@ -950,7 +978,7 @@ object SparkEntry {
     "q_time_travel_ts" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
-        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "q_schema_evolution" ->
       """SELECT n_nationkey, n_name AS nation_name, n_regionkey,
@@ -975,7 +1003,7 @@ object SparkEntry {
     "q_rollback" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
-        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     // the scan output is transform-invisible: identical to plain orders
     // minus the deleted custkeys
@@ -1149,6 +1177,23 @@ object SparkEntry {
         |      WHERE event_type = 'purchase')
         |SELECT l.user_id, l.event_id, l.ts_us,
         |       r.value AS asof_value, r.ts_us AS asof_ts_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         round(value, 2) AS value
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, ts_us, value FROM e
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, l.ts_us,
+        |  CASE WHEN l.ts_us - r.ts_us <= 600000000 THEN r.value END
+        |    AS asof_value,
+        |  CASE WHEN l.ts_us - r.ts_us <= 600000000 THEN r.ts_us END
+        |    AS asof_ts_us
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
 
@@ -1499,6 +1544,29 @@ object SparkEntry {
          |        q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
          |  FROM sigs c JOIN sigs q ON c.bucket = q.bucket
          |  WHERE q.vec_id % 50 = 0)
+         |WHERE rnk <= 5""".stripMargin,
+
+    // multi-probe: each query joins its own bucket plus the 10 buckets
+    // at hamming distance 1 (single-bit xor flips); probe buckets are
+    // distinct per query, so each (query, corpus) pair appears once
+    "q_ann_lsh_multiprobe" ->
+      s"""WITH ${sigsSql(10)},
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec,
+         |    CASE WHEN b = 0 THEN bucket
+         |         ELSE xor(bucket, (1::BIGINT << (b - 1))) END AS bucket
+         |  FROM sigs, unnest(generate_series(0, 10)) AS u(b)
+         |  WHERE vec_id % 50 = 0)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+         |       round(score, 6) AS score
+         |FROM (
+         |  SELECT q.query_id, c.vec_id AS corpus_id,
+         |    list_cosine_similarity(c.embedding::DOUBLE[],
+         |      q.qvec::DOUBLE[]) AS score,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |        q.qvec::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+         |  FROM sigs c JOIN probes q ON c.bucket = q.bucket)
          |WHERE rnk <= 5""".stripMargin,
 
     "q_neardup_embedding" ->

@@ -33,13 +33,21 @@ object AsOfJoin {
     * @param rightTs    right event-time column
     * @param rightCols  right payload columns to attach, each emitted as
     *                   `asof_<name>` (null when no right row precedes)
+    * @param tolerance  max lookback `leftTs - rightTs` (same unit as the
+    *                   ts columns, ≡ pandas merge_asof tolerance): a
+    *                   match older than this yields nulls. None = any
+    *                   age. Applied AFTER the carry-forward, so it adds
+    *                   zero shuffles — just a codegen'd filter on the
+    *                   attached payload's timestamp.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right, 1 = left: right sorts first on ties
     val payload = "__asof_payload"
+    val tolTs = "__asof_tol_ts" // right ts carried for the tolerance check
 
     val leftCols = left.columns.toSeq
     val l = left
@@ -47,10 +55,12 @@ object AsOfJoin {
       .withColumn(side, lit(1))
       .withColumn(payload,
         lit(null).cast(org.apache.spark.sql.types.StructType(
-          right.select(rightCols.map(col): _*).schema.fields)))
+          right.select(rightCols.map(col) :+ col(rightTs).as(tolTs): _*)
+            .schema.fields)))
     val r = right
       .select((keys.map(col) :+ col(rightTs).as(ts)) :+
-        struct(rightCols.map(col): _*).as(payload): _*)
+        struct(rightCols.map(col) :+ col(rightTs).as(tolTs): _*)
+          .as(payload): _*)
       .withColumn(side, lit(0))
     // align columns for the union: right side lacks the left payload
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
@@ -61,11 +71,16 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, 0)
-    l.unionByName(rAligned)
+    val matched = l.unionByName(rAligned)
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .where(col(side) === 1)
-      .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"$payload.$c").as(s"asof_$c")): _*)
+    def attached(c: String): Column = tolerance match {
+      case Some(tol) =>
+        when(col(ts) - col(s"$payload.$tolTs") <= tol, col(s"$payload.$c"))
+      case None => col(s"$payload.$c")
+    }
+    matched.select(leftCols.map(col) ++
+      rightCols.map(c => attached(c).as(s"asof_$c")): _*)
   }
 }
 

@@ -69,8 +69,15 @@ object SimilaritySearch {
 
   /** Approximate top-k via random-hyperplane LSH bucketing: join on the
     * exact signature match, re-rank within buckets. Queries landing in a
-    * sparse bucket return < k rows — the standard single-probe trade-off
-    * (multi-probe = also join on signatures at hamming distance 1).
+    * sparse bucket return < k rows — the standard single-probe trade-off.
+    *
+    * `probeHamming = 1` enables MULTI-PROBE: each query additionally
+    * probes every bucket at hamming distance 1 from its own signature
+    * (the `planes` single-bit flips) — the standard recall recovery for
+    * near-boundary vectors, at (planes+1)× the candidate join keys. Only
+    * the QUERY side fans out (it is the broadcast side by construction);
+    * the corpus still carries exactly one signature per vector, so each
+    * (query, corpus) candidate pair appears at most once.
     *
     * `nPlanes` is a MINIMUM: the effective plane count grows with the
     * corpus via [[adaptivePlanes]] so per-bucket candidate counts stay
@@ -80,13 +87,22 @@ object SimilaritySearch {
       nPlanes: Int = 12, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-      targetBucketSize: Long = 4096L): DataFrame = {
+      targetBucketSize: Long = 4096L,
+      probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probeHamming 0 (single-probe) or 1 (flip each plane) supported")
     val planes = adaptivePlanes(corpus.count(), nPlanes, targetBucketSize)
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).as("corpus_vec"))
       .withColumn("bucket", hyperplaneSignature(col("corpus_vec"), planes, seed))
-    val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
-      .withColumn("bucket", hyperplaneSignature(col("query_vec"), planes, seed))
+    val q0 = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
+      .withColumn("sig", hyperplaneSignature(col("query_vec"), planes, seed))
+    val q =
+      if (probeHamming == 0) q0.withColumn("bucket", col("sig")).drop("sig")
+      else q0.withColumn("bucket",
+          explode(array((col("sig") +: (0 until planes).map(b =>
+            col("sig").bitwiseXOR(lit(1L << b)))): _*)))
+        .drop("sig")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("score", cosine(col("corpus_vec"), col("query_vec")))
     val w = Window.partitionBy(queryIdCol)

@@ -150,6 +150,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"adaptive planes must cut candidates: $pairsAdaptive vs $pairsStatic")
   }
 
+  test("multi-probe lsh recall dominates single-probe, scores stay exact") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = SimilaritySearch.bruteForceTopK(e, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id")) -> r.getAs[Double]("score")).toMap
+    def hits(probeHamming: Int): Map[(Long, Long), Double] =
+      SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 8,
+        probeHamming = probeHamming)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("corpus_id")) -> r.getAs[Double]("score")).toMap
+    val single = hits(0)
+    val multi = hits(1)
+    // recall vs the exact top-5 can only improve with extra probes
+    val singleRecall = single.keySet.count(bf.contains)
+    val multiRecall = multi.keySet.count(bf.contains)
+    assert(multiRecall >= singleRecall,
+      s"multi-probe recall $multiRecall < single-probe $singleRecall")
+    assert(multi.size >= single.size)
+    // and every returned score is the exact cosine (no approximation in
+    // the re-rank)
+    multi.foreach { case (key, score) =>
+      bf.get(key).foreach(s => assert(s == score))
+    }
+  }
+
   test("near-dup pairs finds planted duplicates") {
     val planted = Seq(
       (100L, vec(0.5, 0.5, 0.5, 0.5)),
