@@ -381,6 +381,28 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_table_changes" -> ((s, dir) => {
+      // row-level CDC changelog (≡ Iceberg create_changelog_view):
+      // append → inserts; MOR keyed delete → pre-image deletes via the
+      // carried-file visibility diff; COW update → delete+insert pairs
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-changes") + "/orders"
+      val target = orders.where(col("o_orderkey") % 3 =!= 0)
+      val lt = LakeTable.create(s, root, orders.schema,
+        properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      val s0 = lt.currentSnapshotId.get
+      lt.append(target)
+      lt.deleteByKeys(
+        orders.where(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      lt.update(col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> col("o_totalprice") * 2))
+      lt.changes(s0, lt.currentSnapshotId.get)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("_change_type"), col("_commit_snapshot_id"))
+    }),
+
     "q_rollback" -> ((s, dir) => {
       // rollback_to_snapshot: a new commit restoring the target state —
       // manifest-only, nothing deleted, history preserved
@@ -998,6 +1020,28 @@ object SparkEntry {
         |   THEN o_totalprice * 2 ELSE o_totalprice END, 2)
         |   AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // snapshot 2 inserts the target rows; snapshot 3's MOR keyed delete
+    // suppresses %7 keys (pre-image deletes); snapshot 4's COW update
+    // emits delete+insert pairs for the surviving urgent rows
+    "q_table_changes" ->
+      """WITH tgt AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |after_del AS (
+        |  SELECT * FROM tgt WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  'insert' AS _change_type,
+        |  CAST(2 AS BIGINT) AS _commit_snapshot_id
+        |FROM tgt
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2), 'delete', 3
+        |FROM tgt WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2), 'delete', 4
+        |FROM after_del WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice * 2, 2), 'insert', 4
+        |FROM after_del WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     // rollback restores the first append's state exactly
     "q_rollback" ->

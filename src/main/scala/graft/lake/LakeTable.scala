@@ -222,6 +222,66 @@ final class LakeTable private (
     else readFilesAs(snaps.last, snaps.flatMap(_.addedFiles))
   }
 
+  /** Row-level changelog of snapshot range `(startExclusive,
+    * endInclusive]` (≡ Iceberg's `create_changelog_view` CDC read):
+    * emits every row the range inserted or deleted, tagged with
+    * `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`.
+    *
+    * Per commit, cost ∝ its FILE DELTA, never table size: inserts =
+    * rows of its added files EXCEPT ALL rows of its removed files
+    * (byte-identical carried rows cancel — a COW rewrite's untouched
+    * rows produce nothing), deletes = the reverse. A commit that adds
+    * equality/position delete files additionally diffs the carried
+    * files' visibility (the MOR pre-image rows it suppressed) — the one
+    * case whose cost is the suppressed files' size, same as Iceberg.
+    * `compact` is content-neutral by construction and emits nothing;
+    * `rollback` in range is rejected (it can change visibility with no
+    * file delta); schema-evolution commits in range are rejected (a
+    * changelog needs one row shape).
+    */
+  def changes(startExclusive: Long, endInclusive: Long): DataFrame = {
+    require(endInclusive >= startExclusive,
+      s"bad snapshot range ($startExclusive, $endInclusive]")
+    val snaps = ((startExclusive + 1) to endInclusive).map(snapshot)
+    snaps.filter(s => s.operation == "rollback" ||
+        s.operation == "evolve-schema")
+      .foreach(s => throw new UnsupportedOperationException(
+        s"changelog over ${s.operation} snapshot ${s.snapshotId} is not " +
+          "supported (no per-file delta captures its visibility change)"))
+    val sch = schema
+    val outSchema = StructType(sch.fields ++ Seq(
+      StructField(CHANGE_TYPE_COL, StringType, nullable = false),
+      StructField(CHANGE_SNAP_COL, LongType, nullable = false)))
+    def tag(df: DataFrame, tpe: String, id: Long): DataFrame =
+      df.withColumn(CHANGE_TYPE_COL, lit(tpe))
+        .withColumn(CHANGE_SNAP_COL, lit(id))
+    val parts = snaps.filter(s =>
+      s.operation != "compact" && s.operation != "create").flatMap { s =>
+      val prev = snapshot(s.parentId.get)
+      val post = readFilesAs(s, s.addedFiles)
+      val pre = readFilesAs(prev, s.removedFiles)
+      val base = Seq(
+        tag(post.exceptAll(pre), "insert", s.snapshotId),
+        tag(pre.exceptAll(post), "delete", s.snapshotId))
+      // new delete artifacts suppress rows in CARRIED files: diff their
+      // visibility before/after (after-image files are s.addedFiles —
+      // excluded here, so an upsert's own inserts are not re-counted)
+      val newDeleteArtifacts =
+        s.deleteFiles.diff(prev.deleteFiles).nonEmpty ||
+          s.posDeleteFiles.diff(prev.posDeleteFiles).nonEmpty
+      if (!newDeleteArtifacts) base
+      else {
+        val carried = s.liveFiles.intersect(prev.liveFiles)
+        val before = readFilesAs(prev, carried)
+        val after = readFilesAs(s, carried)
+        base :+ tag(before.exceptAll(after), "delete", s.snapshotId)
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Time travel: full scan of the table as of `snapshotId`
     * (≡ Iceberg `VERSION AS OF` / `snapshot-id` read option). Snapshot
     * metadata is immutable, so this is just a manifest lookup — no data
@@ -1324,6 +1384,9 @@ object LakeTable {
     * position-delete schema `file_path`, `pos`). */
   private val POS_FILE_FIELD = "file_uri"
   private val POS_POS_FIELD = "pos"
+  /** Changelog output columns (≡ Iceberg's `_change_type` etc.). */
+  val CHANGE_TYPE_COL = "_change_type"
+  val CHANGE_SNAP_COL = "_commit_snapshot_id"
   /** Physical-name prefix guaranteed never to be written by this engine:
     * addColumn maps the new column here for pre-existing files, so they
     * read NULL even if they carry dead bytes under the same name. */
