@@ -455,7 +455,9 @@ object SparkEntry {
         partitionBy = Seq("n_regionkey"))
       lt.append(nation.repartition(1))
       lt.append(nation.where(col("n_regionkey") < 2).repartition(1))
-      lt.partitions
+      // size_bytes is encoding-dependent — project the exact columns
+      lt.partitions.select("partition", "file_count", "min_seq",
+        "max_seq", "total_rows")
     }),
 
     "q_table_files" -> ((s, dir) => {
@@ -466,7 +468,7 @@ object SparkEntry {
       val lt = LakeTable.create(s, root, nation.schema,
         partitionBy = Seq("n_regionkey"))
       lt.append(nation.repartition(1)) // one file per region partition
-      lt.files.select(col("partition"), col("seq"),
+      lt.files.select(col("partition"), col("seq"), col("record_count"),
         element_at(col("bounds"), "n_nationkey").getField("min")
           .cast("long").as("min_nationkey"),
         element_at(col("bounds"), "n_nationkey").getField("max")
@@ -1079,7 +1081,9 @@ object SparkEntry {
         |   AS file_count,
         | CAST(2 AS BIGINT) AS min_seq,
         | CAST(CASE WHEN n_regionkey < 2 THEN 3 ELSE 2 END AS BIGINT)
-        |   AS max_seq
+        |   AS max_seq,
+        | CAST(CASE WHEN n_regionkey < 2 THEN 2 * count(*) ELSE count(*)
+        |   END AS BIGINT) AS total_rows
         |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     // one file per n_regionkey partition (single-task append), seq = 2
@@ -1089,6 +1093,7 @@ object SparkEntry {
       """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR)
         |   AS "partition",
         | CAST(2 AS BIGINT) AS "seq",
+        | CAST(count(*) AS BIGINT) AS record_count,
         | CAST(min(n_nationkey) AS BIGINT) AS min_nationkey,
         | CAST(max(n_nationkey) AS BIGINT) AS max_nationkey
         |FROM nation GROUP BY n_regionkey""".stripMargin,

@@ -105,7 +105,7 @@ object FileStats {
     * decoded just gets no stats. */
   def collect(conf: Configuration, file: Path, schema: StructType,
       partitionFields: Seq[PartitionSpec.Field],
-      relPath: String): Map[String, ColStat] = {
+      relPath: String): (Map[String, ColStat], Long) = {
     val fromPath = partitionStats(schema, partitionFields, relPath)
     val identitySources =
       partitionFields.filter(_.isIdentity).map(_.source).toSet
@@ -113,13 +113,16 @@ object FileStats {
       .filterNot(f => identitySources(f.name))
       .filter(f => supportsPruning(f.dataType))
       .map(f => f.name -> f.dataType).toMap
-    if (dataCols.isEmpty) return fromPath
-    val footer = Try(footerStats(conf, file, dataCols)).getOrElse(Map.empty)
-    fromPath ++ footer
+    val (footer, rows) = Try(footerStats(conf, file, dataCols))
+      .getOrElse((Map.empty[String, ColStat], -1L))
+    (fromPath ++ footer, rows)
   }
 
+  /** Footer column bounds plus the file's total row count (-1 never —
+    * the count is in every footer; the Try in [[collect]] maps an
+    * unreadable footer to -1 = unknown). */
   private def footerStats(conf: Configuration, file: Path,
-      dataCols: Map[String, DataType]): Map[String, ColStat] = {
+      dataCols: Map[String, DataType]): (Map[String, ColStat], Long) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       // Combine bounds across row groups; a column is dropped for the whole
@@ -146,7 +149,8 @@ object FileStats {
           }
         }
       }
-      acc.map { case (k, (mn, mx)) => k -> ColStat(mn, mx) }.toMap
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      (acc.map { case (k, (mn, mx)) => k -> ColStat(mn, mx) }.toMap, rows)
     } finally reader.close()
   }
 

@@ -138,6 +138,8 @@ final class LakeTable private (
       StructField("file_path", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
       StructField("seq", LongType, nullable = false),
+      StructField("size_bytes", LongType), // null = legacy manifest
+      StructField("record_count", LongType),
       StructField("bounds", boundsType, nullable = false)))
     val rows = snap.liveFiles.sorted.map { f =>
       // partition dirs = the hive `col=value` segments between data/ and
@@ -145,7 +147,11 @@ final class LakeTable private (
       val partition = f.split('/').drop(1).dropRight(1).mkString("/")
       val bounds = snap.fileStats.getOrElse(f, Map.empty)
         .map { case (c, cs) => c -> Row(cs.min, cs.max) }
-      Row(f, partition, snap.fileSeq.getOrElse(f, 0L), bounds)
+      val fi = snap.fileInfo.get(f)
+      Row(f, partition, snap.fileSeq.getOrElse(f, 0L),
+        fi.map(i => Long.box(i.bytes)).orNull,
+        fi.filter(_.rows >= 0).map(i => Long.box(i.rows)).orNull,
+        bounds)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
   }
@@ -180,13 +186,23 @@ final class LakeTable private (
       StructField("partition", StringType, nullable = false),
       StructField("file_count", LongType, nullable = false),
       StructField("min_seq", LongType, nullable = false),
-      StructField("max_seq", LongType, nullable = false)))
+      StructField("max_seq", LongType, nullable = false),
+      StructField("total_bytes", LongType), // null = legacy manifest
+      StructField("total_rows", LongType)))
     val rows = snap.liveFiles
       .groupBy(f => f.split('/').drop(1).dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (part, fs) =>
         val seqs = fs.map(f => snap.fileSeq.getOrElse(f, 0L))
-        Row(part, fs.size.toLong, seqs.min, seqs.max)
+        val infos = fs.flatMap(snap.fileInfo.get)
+        val bytes =
+          if (infos.size == fs.size) Long.box(infos.map(_.bytes).sum)
+          else null
+        val nrows =
+          if (infos.size == fs.size && infos.forall(_.rows >= 0))
+            Long.box(infos.map(_.rows).sum)
+          else null
+        Row(part, fs.size.toLong, seqs.min, seqs.max, bytes, nrows)
       }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
   }
@@ -421,7 +437,7 @@ final class LakeTable private (
       case Nil => aligned
       case cols => aligned.repartitionByRange(cols.map(col): _*)
     }
-    val (added, stats) = writeDataFiles(clustered)
+    val WriteResult(added, stats, info) = writeDataFiles(clustered)
     // adding fresh files commutes with ANY interleaved commit that kept
     // the schema and partition spec our files were written under —
     // append, merge, delete, compact all operate on *other* files, and
@@ -429,7 +445,7 @@ final class LakeTable private (
     // equality delete
     commitWithRetry(base)() { b =>
       commit(b, "append", added = added, removed = Nil,
-        live = b.liveFiles ++ added, addedStats = stats)
+        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info)
     }
   }
 
@@ -485,9 +501,9 @@ final class LakeTable private (
     * expireSnapshots can reclaim the delete files. */
   def overwrite(df: DataFrame): Long = {
     val base = current
-    val (added, stats) = writeDataFiles(alignToSchema(df))
+    val WriteResult(added, stats, info) = writeDataFiles(alignToSchema(df))
     commit(base, "overwrite", added = added, removed = base.liveFiles,
-      live = added, addedStats = stats, deletesOverride = Some(Nil),
+      live = added, addedStats = stats, addedInfo = info, deletesOverride = Some(Nil),
       posDeletesOverride = Some(Nil))
   }
 
@@ -527,9 +543,9 @@ final class LakeTable private (
 
     if (affected.isEmpty) {
       // pure-insert batch: nothing to rewrite
-      val (added, stats) = writeDataFiles(src)
+      val WriteResult(added, stats, info) = writeDataFiles(src)
       return commit(base, "merge", added = added, removed = Nil,
-        live = base.liveFiles ++ added, addedStats = stats)
+        live = base.liveFiles ++ added, addedStats = stats, addedInfo = info)
     }
 
     // 2) Rewrite ONLY the affected files: full-outer join with the source;
@@ -550,9 +566,9 @@ final class LakeTable private (
           .otherwise(col(s"t.$c")).as(c)
       }: _*)
 
-    val (added, stats) = writeDataFiles(merged)
+    val WriteResult(added, stats, info) = writeDataFiles(merged)
     commit(base, "merge", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
   }
 
   /** Merge-on-read MERGE (≡ the `write.merge.mode=merge-on-read`
@@ -566,7 +582,7 @@ final class LakeTable private (
     * are excluded from the delete file), matching the COW contract. */
   private def mergeMor(base: Snapshot, src: DataFrame,
       keys: Seq[String]): Long = {
-    val (added, stats) = writeDataFiles(src)
+    val WriteResult(added, stats, info) = writeDataFiles(src)
     val delKeys = src.select(keys.map(col): _*).distinct().na.drop()
     val delPaths = writeDeleteFiles(delKeys)
     // retry-safe against any same-schema interleaving: the re-based
@@ -576,7 +592,7 @@ final class LakeTable private (
     commitWithRetry(base)() { b =>
       val seq = b.snapshotId + 1
       commit(b, "merge", added = added, removed = Nil,
-        live = b.liveFiles ++ added, addedStats = stats,
+        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info,
         deletesOverride = Some(b.deleteFiles ++
           delPaths.map(p => DeleteFile(p, seq, keys, keys))))
     }
@@ -722,9 +738,9 @@ final class LakeTable private (
       .collect().map(r => relativize(r.getString(0))).toSeq
     if (affected.isEmpty) return base.snapshotId
     val kept = readFiles(affected).join(k, keyCols, "left_anti")
-    val (added, stats) = writeDataFiles(kept)
+    val WriteResult(added, stats, info) = writeDataFiles(kept)
     commit(base, "delete", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
   }
 
   /** Copy-on-write DELETE: rewrite only the files containing rows that
@@ -759,9 +775,9 @@ final class LakeTable private (
     // DELETE only removes rows where it evaluates to true
     val kept = readFiles(affected)
       .where(!coalesce(predicate, lit(false)))
-    val (added, stats) = writeDataFiles(kept)
+    val WriteResult(added, stats, info) = writeDataFiles(kept)
     commit(base, "delete", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
   }
 
   /** Merge-on-read predicate DELETE via position-delete files: the
@@ -833,9 +849,9 @@ final class LakeTable private (
         case None => col(f.name)
       }
     }.toIndexedSeq: _*)
-    val (added, stats) = writeDataFiles(rewritten)
+    val WriteResult(added, stats, info) = writeDataFiles(rewritten)
     commit(base, "update", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added, addedStats = stats)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
   }
 
   /** Merge-on-read predicate UPDATE: position-delete the matched rows
@@ -864,13 +880,13 @@ final class LakeTable private (
       }
     }.toIndexedSeq: _*)
     val delPaths = writeDeleteFiles(positions)
-    val (added, stats) = writeDataFiles(after)
+    val WriteResult(added, stats, info) = writeDataFiles(after)
     // same retry window as morDeleteByPredicate (captured ordinals must
     // still be live); the after-image is new files, racer-independent
     commitWithRetry(base)(posRetrySafe) { b =>
       val seq = b.snapshotId + 1
       commit(b, "update", added = added, removed = Nil,
-        live = b.liveFiles ++ added, addedStats = stats,
+        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info,
         posDeletesOverride = Some(b.posDeleteFiles ++
           delPaths.map(p => PosDeleteFile(p, seq))))
     }
@@ -1074,12 +1090,12 @@ final class LakeTable private (
         (partitionFields.map(f => f.expr(types(f.source))) :+
           col(salt)): _*)
       .drop(salt)
-    val (added, stats) = writeDataFiles(data)
+    val WriteResult(added, stats, info) = writeDataFiles(data)
     // compaction folds outstanding equality AND position deletes into
     // the rewrite (readFiles applied both) — the new snapshot starts
     // delete-free
     commit(base, "compact", added = added, removed = base.liveFiles,
-      live = added, addedStats = stats, deletesOverride = Some(Nil),
+      live = added, addedStats = stats, addedInfo = info, deletesOverride = Some(Nil),
       posDeletesOverride = Some(Nil))
   }
 
@@ -1130,7 +1146,8 @@ final class LakeTable private (
       renamesOverride = Some(target.fileRenames),
       deletesOverride = Some(target.deleteFiles),
       posDeletesOverride = Some(target.posDeleteFiles),
-      seqOverride = Some(target.fileSeq))
+      seqOverride = Some(target.fileSeq),
+      infoOverride = Some(target.fileInfo))
   }
 
   /** Delete files under `data/` and `deletes/` referenced by NO retained
@@ -1189,8 +1206,7 @@ final class LakeTable private (
     * plus their per-column bounds (read from the fresh Parquet footers —
     * cost ∝ commit size, see [[FileStats]]). File names carry Spark's task
     * UUIDs — unique across commits. */
-  private def writeDataFiles(
-      df: DataFrame): (Seq[String], Map[String, Map[String, ColStat]]) = {
+  private def writeDataFiles(df: DataFrame): WriteResult = {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     val conf = df.sparkSession.conf
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
@@ -1225,8 +1241,9 @@ final class LakeTable private (
         w = w.partitionBy(fields.map(_.dirName): _*)
       w.parquet(staging.toString)
       val files = listParquet(fs, staging)
-      // rename serially (cheap metadata ops), then read the footers in
-      // parallel — each open is independent driver-side I/O, and a large
+      // rename serially (cheap metadata ops; size captured from the
+      // same status call), then read the footers in parallel — each
+      // open is independent driver-side I/O, and a large
       // compact/overwrite commit would otherwise pay O(files) serial reads
       val moved = files.map { f =>
         val rel = relativePath(staging, f)
@@ -1234,15 +1251,19 @@ final class LakeTable private (
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
           throw new java.io.IOException(s"rename $f -> $dest failed")
-        (s"$DATA_DIR/$rel", dest)
+        (s"$DATA_DIR/$rel", dest, fs.getFileStatus(dest).getLen)
       }
       val statsMap =
         new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
-      moved.toList.asJava.parallelStream().forEach { case (key, dest) =>
-        val st = FileStats.collect(hconf, dest, sch, fields, key)
+      val infoMap =
+        new java.util.concurrent.ConcurrentHashMap[String, FileInfo]()
+      moved.toList.asJava.parallelStream().forEach { case (key, dest, len) =>
+        val (st, rows) = FileStats.collect(hconf, dest, sch, fields, key)
         if (st.nonEmpty) statsMap.put(key, st)
+        infoMap.put(key, FileInfo(len, rows))
       }
-      (moved.map(_._1), statsMap.asScala.toMap)
+      WriteResult(moved.map(_._1), statsMap.asScala.toMap,
+        infoMap.asScala.toMap)
     } finally {
       fs.delete(staging, true)
       priorTsType match {
@@ -1294,7 +1315,9 @@ final class LakeTable private (
       renamesOverride: Option[Map[String, Map[String, String]]] = None,
       deletesOverride: Option[Seq[DeleteFile]] = None,
       posDeletesOverride: Option[Seq[PosDeleteFile]] = None,
-      seqOverride: Option[Map[String, Long]] = None): Long = {
+      seqOverride: Option[Map[String, Long]] = None,
+      addedInfo: Map[String, FileInfo] = Map.empty,
+      infoOverride: Option[Map[String, FileInfo]] = None): Long = {
     val id = base.snapshotId + 1
     val liveSet = live.toSet
     val stats = statsOverride.getOrElse(
@@ -1306,10 +1329,12 @@ final class LakeTable private (
         added.map(_ -> id))
     val dels = deletesOverride.getOrElse(base.deleteFiles)
     val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
+    val finfo = infoOverride.getOrElse(
+      base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
     val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
       base.partitionColumns, base.properties, stats, renames, seqs, dels,
-      pdels)
+      pdels, finfo)
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
     // table could never commit again. Age-gated so a LIVE racing writer's
@@ -1387,6 +1412,13 @@ object LakeTable {
   /** Changelog output columns (≡ Iceberg's `_change_type` etc.). */
   val CHANGE_TYPE_COL = "_change_type"
   val CHANGE_SNAP_COL = "_commit_snapshot_id"
+
+  /** Result of one data-file write: root-relative paths, per-file column
+    * bounds, and per-file size/row-count manifest info. */
+  private[lake] final case class WriteResult(
+      files: Seq[String],
+      stats: Map[String, Map[String, ColStat]],
+      info: Map[String, FileInfo])
   /** Physical-name prefix guaranteed never to be written by this engine:
     * addColumn maps the new column here for pre-existing files, so they
     * read NULL even if they carry dead bytes under the same name. */

@@ -58,7 +58,12 @@ final case class Snapshot(
       * ordering is needed at read time — a position can only ever target
       * the immutable file it was captured from. Cleared by compaction
       * and overwrite (their rewrites drop the targeted files). */
-    posDeleteFiles: Seq[PosDeleteFile] = Nil) {
+    posDeleteFiles: Seq[PosDeleteFile] = Nil,
+    /** Per-live-file size and row count (≡ Iceberg's `file_size_in_bytes`
+      * / `record_count` manifest fields) — what `.files`/`.partitions`
+      * report and size-aware maintenance plans against. Absent file
+      * (legacy manifest) = unknown. */
+    fileInfo: Map[String, FileInfo] = Map.empty) {
 
   def toJson: String = {
     val m = Snapshot.mapper
@@ -124,6 +129,16 @@ final case class Snapshot(
         o.put("seq", d.seq)
       }
     }
+    if (fileInfo.nonEmpty) {
+      val io = n.putObject("file_info")
+      liveFiles.foreach { f =>
+        fileInfo.get(f).foreach { fi =>
+          val o = io.putObject(f)
+          o.put("bytes", fi.bytes)
+          o.put("rows", fi.rows)
+        }
+      }
+    }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 }
@@ -180,10 +195,19 @@ object Snapshot {
         if (!n.has("pos_delete_files")) Nil
         else n.path("pos_delete_files").elements().asScala.map { o =>
           PosDeleteFile(o.path("path").asText(), o.path("seq").asLong())
-        }.toSeq
+        }.toSeq,
+      fileInfo =
+        if (!n.has("file_info")) Map.empty
+        else n.path("file_info").properties().asScala.map { e =>
+          e.getKey -> FileInfo(e.getValue.path("bytes").asLong(),
+            e.getValue.path("rows").asLong())
+        }.toMap
     )
   }
 }
+
+/** Size and row count of one data file (manifest bookkeeping). */
+final case class FileInfo(bytes: Long, rows: Long)
 
 /** Min/max of one column in one data file, encoded in the type-normalized
   * string domain defined by [[FileStats]]. */

@@ -396,6 +396,14 @@ class LakeTableSpec extends AnyFunSuite {
     val bounds = xFile.getAs[Map[String, Row]]("bounds")
     assert(bounds("id") == Row("1", "7"))
     assert(bounds("p") == Row("x", "x"))
+    // size/row manifest info is recorded per file
+    assert(files.forall(_.getAs[Long]("size_bytes") > 0L))
+    assert(xFile.getAs[Long]("record_count") == 2L)
+    // and .partitions aggregates it
+    val parts = t.partitions.collect()
+      .map(r => r.getAs[String]("partition") ->
+        (r.getAs[Long]("file_count"), r.getAs[Long]("total_rows"))).toMap
+    assert(parts == Map("p=x" -> ((1L, 2L)), "p=y" -> ((2L, 2L))))
   }
 
   test("rollback restores data, schema, and delete state; history kept") {

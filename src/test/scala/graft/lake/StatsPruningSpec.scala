@@ -221,7 +221,10 @@ class StatsPruningSpec extends AnyFunSuite {
           "s" -> ColStat("aa", "zzé"),
           "d" -> ColStat("-0.0", "3.14")),
         "data/p=b/f2.parquet" -> Map("id" -> ColStat("11", "20"))),
-      posDeleteFiles = Seq(PosDeleteFile("deletes/pd1.parquet", 7L)))
+      posDeleteFiles = Seq(PosDeleteFile("deletes/pd1.parquet", 7L)),
+      fileInfo = Map(
+        "data/p=a/f1.parquet" -> FileInfo(4096L, 120L),
+        "data/p=b/f2.parquet" -> FileInfo(1024L, -1L)))
     assert(Snapshot.fromJson(snap.toJson) == snap)
   }
 
