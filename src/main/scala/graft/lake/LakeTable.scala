@@ -214,6 +214,19 @@ final class LakeTable private (
     * by Catalyst reach the Parquet scan as usual. */
   def scan(): DataFrame = readFiles(current.liveFiles)
 
+  /** Pruned scan: `predicate` both filters rows AND prunes the FILE LIST
+    * driver-side against the manifest before Spark ever lists a file —
+    * per-file column bounds, identity partition values, and bucket-hash
+    * equality (hidden partitioning) all apply. This is the read-side
+    * analogue of the MERGE/DELETE pruning: on a `bucket(N, key)` table,
+    * `scan(col("key") === k)` opens 1/N of the files, which Catalyst
+    * alone cannot do (the derived partition value is hidden from it).
+    * Semantics are identical to `scan().where(predicate)`. */
+  def scan(predicate: org.apache.spark.sql.Column): DataFrame = {
+    val base = current
+    readFilesAs(base, pruneByPredicate(base, predicate)).where(predicate)
+  }
+
   /** Rows appended in snapshot range `(startExclusive, endInclusive]`
     * (≡ Iceberg incremental read, reference: scripts/bronze-silver.py:149-152).
     * Append-only ranges only, matching Iceberg's contract — a snapshot

@@ -182,6 +182,37 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(t.scan().schema.fieldNames.toSeq == Seq("id", "w"))
   }
 
+  test("pruned scan(predicate) opens only the predicate's bucket files") {
+    val root = freshRoot("pt-scanprune")
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      partitionBy = Seq("bucket(4, id)"))
+    t.append(df.repartition(1))
+    val pruned = t.scan($"id" === 42L)
+    // identical semantics to the unpruned filter…
+    assert(pruned.collect().toSeq ==
+      t.scan().where($"id" === 42L).collect().toSeq)
+    // …but only the key's bucket file is opened
+    assert(pruned.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles
+      case _ => Nil
+    }.length == 1)
+    // a range-pruned scan on a sorted table works the same way
+    val sroot = freshRoot("pt-scanprune2")
+    val st = LakeTable.create(spark, sroot, df.schema,
+      properties = Map(LakeTable.PROP_SORT_ORDER -> "id"))
+    (0 until 4).foreach(i => st.append(
+      df.where($"id" > i * 25L && $"id" <= (i + 1) * 25L).repartition(1)))
+    val spruned = st.scan($"id" === 60L)
+    assert(spruned.collect().map(_.getLong(0)).toSeq == Seq(60L))
+    assert(spruned.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles
+      case _ => Nil
+    }.length == 1)
+  }
+
   test("mixed identity + transform spec") {
     val root = freshRoot("pt-mixed")
     val df = Seq(
