@@ -260,23 +260,26 @@ final class LakeTable private (
     * rows of its added files EXCEPT ALL rows of its removed files
     * (byte-identical carried rows cancel — a COW rewrite's untouched
     * rows produce nothing), deletes = the reverse. A commit that adds
-    * equality/position delete files additionally diffs the carried
-    * files' visibility (the MOR pre-image rows it suppressed) — the one
-    * case whose cost is the suppressed files' size, same as Iceberg.
-    * `compact` is content-neutral by construction and emits nothing;
-    * `rollback` in range is rejected (it can change visibility with no
-    * file delta); schema-evolution commits in range are rejected (a
-    * changelog needs one row shape).
+    * equality/position delete files — or removes them, as a rollback
+    * can — additionally diffs the carried files' visibility in both
+    * directions (suppressed pre-image rows as deletes, resurrected rows
+    * as inserts) — the one case whose cost is the carried files' size,
+    * same as Iceberg. `compact` is content-neutral by construction and
+    * emits nothing; a schema-changing commit in range (evolve-schema, or
+    * a rollback across an evolution) is rejected — a changelog needs one
+    * row shape.
     */
   def changes(startExclusive: Long, endInclusive: Long): DataFrame = {
     require(endInclusive >= startExclusive,
       s"bad snapshot range ($startExclusive, $endInclusive]")
     val snaps = ((startExclusive + 1) to endInclusive).map(snapshot)
-    snaps.filter(s => s.operation == "rollback" ||
-        s.operation == "evolve-schema")
-      .foreach(s => throw new UnsupportedOperationException(
-        s"changelog over ${s.operation} snapshot ${s.snapshotId} is not " +
-          "supported (no per-file delta captures its visibility change)"))
+    snaps.foreach { s =>
+      val parentSchema = s.parentId.map(p => snapshot(p).schemaJson)
+      if (parentSchema.exists(_ != s.schemaJson))
+        throw new UnsupportedOperationException(
+          s"changelog over schema-changing ${s.operation} snapshot " +
+            s"${s.snapshotId} is not supported (one row shape per range)")
+    }
     val sch = schema
     val outSchema = StructType(sch.fields ++ Seq(
       StructField(CHANGE_TYPE_COL, StringType, nullable = false),
@@ -292,18 +295,22 @@ final class LakeTable private (
       val base = Seq(
         tag(post.exceptAll(pre), "insert", s.snapshotId),
         tag(pre.exceptAll(post), "delete", s.snapshotId))
-      // new delete artifacts suppress rows in CARRIED files: diff their
-      // visibility before/after (after-image files are s.addedFiles —
-      // excluded here, so an upsert's own inserts are not re-counted)
-      val newDeleteArtifacts =
-        s.deleteFiles.diff(prev.deleteFiles).nonEmpty ||
-          s.posDeleteFiles.diff(prev.posDeleteFiles).nonEmpty
-      if (!newDeleteArtifacts) base
+      // a changed delete STATE alters carried files' visibility with no
+      // file delta: diff it in both directions — added delete artifacts
+      // suppress pre-image rows (deletes), removed ones (rollback)
+      // resurrect rows (inserts). After-image files are s.addedFiles —
+      // excluded here, so an upsert's own inserts are not re-counted.
+      val deleteStateChanged =
+        s.deleteFiles != prev.deleteFiles ||
+          s.posDeleteFiles != prev.posDeleteFiles
+      if (!deleteStateChanged) base
       else {
         val carried = s.liveFiles.intersect(prev.liveFiles)
         val before = readFilesAs(prev, carried)
         val after = readFilesAs(s, carried)
-        base :+ tag(before.exceptAll(after), "delete", s.snapshotId)
+        base ++ Seq(
+          tag(before.exceptAll(after), "delete", s.snapshotId),
+          tag(after.exceptAll(before), "insert", s.snapshotId))
       }
     }
     if (parts.isEmpty)

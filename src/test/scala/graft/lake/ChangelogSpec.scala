@@ -89,18 +89,37 @@ class ChangelogSpec extends AnyFunSuite {
       (5L, "v5", "delete", 3L), (10L, "v10", "delete", 3L)))
   }
 
-  test("compact is content-neutral; rollback and evolve are rejected") {
+  test("compact is content-neutral; schema-changing commits are rejected") {
     val root = freshRoot
     val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = LakeTable.create(spark, root, df.schema)
     val s1 = t.append(df.repartition(2))
     val s2 = t.compact()
     assert(t.changes(s1, s2).count() == 0)
+    // a content-neutral rollback (compact undone) also emits nothing —
+    // the file-delta diffs cancel row for row
     val s3 = t.rollbackTo(s1)
-    intercept[UnsupportedOperationException](t.changes(s2, s3))
+    assert(t.changes(s2, s3).count() == 0)
     t.addColumn("flag", org.apache.spark.sql.types.StringType)
     intercept[UnsupportedOperationException](
       t.changes(s3, t.currentSnapshotId.get))
+  }
+
+  test("rollback emits resurrect-inserts and un-append deletes") {
+    val root = freshRoot
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    val s1 = t.append(df.repartition(2))
+    t.deleteByKeys(Seq(3L).toDF("id"), Seq("id")) // MOR: delete file only
+    val s3 = t.append(Seq((100L, "late")).toDF("id", "v"))
+    val s4 = t.rollbackTo(s1)
+    // the rollback undoes BOTH: the appended row leaves (delete, via the
+    // removed-file diff) and the MOR-deleted row returns (insert, via
+    // the carried-file visibility diff)
+    assert(rows(t.changes(s3, s4)) == Seq(
+      (3L, "v3", "insert", 5L), (100L, "late", "delete", 5L)))
+    assert(t.scan().count() == 10)
   }
 
   test("changelog replays to the final table state (multiset algebra)") {

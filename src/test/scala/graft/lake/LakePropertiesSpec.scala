@@ -78,6 +78,61 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 5)
   }
 
+  test("property: changelog replays to the final state") {
+    check(Prop.forAllNoShrink(rowsGen, rowsGen,
+      Gen.listOf(Gen.chooseNum(0L, 12L))) { (b1, b2, delKeys) =>
+      val root = TestSpark.tmpDir("prop-changes") + "/t"
+      val tdf = b1.toDF("id", "v")
+      val t = LakeTable.create(spark, root, tdf.schema,
+        properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      t.append(tdf)
+      val src = b2.groupBy(_._1).map(_._2.maxBy(_._2)).toList.toDF("id", "v")
+      t.merge(src, Seq("id")) // COW merge
+      if (delKeys.nonEmpty)
+        t.deleteByKeys(delKeys.toDF("id"), Seq("id")) // MOR delete file
+      val ch = t.changes(1L, t.currentSnapshotId.get)
+      val replayed = ch
+        .where(col(LakeTable.CHANGE_TYPE_COL) === "insert")
+        .select("id", "v")
+        .exceptAll(ch.where(col(LakeTable.CHANGE_TYPE_COL) === "delete")
+          .select("id", "v"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      val fin = t.scan().collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      t.drop()
+      replayed == fin
+    }, 3)
+  }
+
+  test("property: FloatType partition values decode to the exact widened double") {
+    // the ADVICE regression: raw.toDouble ("0.1" -> 0.1d) diverges from
+    // the boundExpr encoding (0.1f -> 0.10000000149d); the decode must
+    // round-trip through Float for every finite float
+    check(Prop.forAll(org.scalacheck.Arbitrary.arbitrary[Float]) { f =>
+      (f.isNaN || f.isInfinite) || {
+        val enc = FileStats.encodePartitionValue(
+          org.apache.spark.sql.types.FloatType, f.toString).get
+        val expected = f.toDouble
+        (enc.min.toDouble == expected || (expected == 0.0 &&
+          enc.min.toDouble == -0.0 && enc.max.toDouble == 0.0)) &&
+        (enc.max.toDouble == expected || expected == 0.0)
+      }
+    }, 200)
+  }
+
+  test("property: partition spec strings parse stably") {
+    val name = Gen.identifier.suchThat(_.nonEmpty).map(_.take(12))
+    check(Prop.forAll(name) { c =>
+      PartitionSpec.parse(c) ==
+        PartitionSpec.Field(c, PartitionSpec.Identity, c)
+    }, 50)
+    check(Prop.forAll(name, Gen.chooseNum(1, 1024)) { (c, n) =>
+      val f = PartitionSpec.parse(s"bucket($n, $c)")
+      f.source == c && f.transform == PartitionSpec.Bucket(n) &&
+        f.dirName == s"${c}_bucket_$n" && !f.isIdentity
+    }, 50)
+  }
+
   test("property: dedup keeps the max-ordered row per key") {
     check(Prop.forAllNoShrink(rowsGen) { rows =>
       val df = rows.zipWithIndex

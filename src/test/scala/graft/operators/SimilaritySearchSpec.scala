@@ -116,6 +116,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(SimilaritySearch.adaptivePlanes(Long.MaxValue, 6, 1L) == 62)
   }
 
+  test("adaptivePlanes properties: monotone in corpus size, bounded buckets") {
+    import org.scalacheck.{Gen, Prop}
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200)
+    val gen = for {
+      n1 <- Gen.chooseNum(1L, 1L << 40)
+      n2 <- Gen.chooseNum(n1, 1L << 40)
+      minP <- Gen.chooseNum(1, 24)
+      target <- Gen.chooseNum(1L, 1L << 20)
+    } yield (n1, n2, minP, target)
+    val prop = Prop.forAll(gen) { case (n1, n2, minP, target) =>
+      val p1 = SimilaritySearch.adaptivePlanes(n1, minP, target)
+      val p2 = SimilaritySearch.adaptivePlanes(n2, minP, target)
+      // monotone in corpus size, floored at the minimum, capped at 62,
+      // and (when the derivation governs) expected bucket size ≤ target
+      p2 >= p1 && p1 >= minP && p2 <= 62 &&
+        (p1 >= 62 || p1 == minP ||
+          (BigInt(1) << p1) * target >= BigInt(n1))
+    }
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a 10x corpus keeps per-bucket candidate counts bounded") {
     import graft.plans.expressions.hyperplaneSignature
     // deterministic pseudo-random vectors (hash-derived, no RNG state)
