@@ -69,8 +69,17 @@ final class LakeTable private (
     val p = new Path(metaDir, s"v$id.json")
     require(fs.exists(p),
       s"snapshot $id not found in $root (expired or never committed)")
-    Snapshot.fromJson(readString(fs, p))
+    ManifestIO.snapshotFromJson(readString(fs, p), loadChunk)
   }
+
+  /** Manifest chunks are immutable once written (uuid-named, never
+    * rewritten in place), so they cache safely across snapshot loads —
+    * re-loading a snapshot re-reads only its small list JSON. */
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+  private def loadChunk(name: String): Seq[ManifestEntry] =
+    chunkCache.computeIfAbsent(name,
+      n => ManifestIO.chunkFromJson(readString(fs, new Path(metaDir, n))))
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
@@ -1134,14 +1143,37 @@ final class LakeTable private (
     val keptFiles = kept.flatMap(_.liveFiles).toSet
     val keptDeletes = kept.flatMap(s =>
       s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
-    expired.foreach { s =>
-      s.liveFiles.filterNot(keptFiles)
-        .foreach(f => fs.delete(new Path(rootPath, f), false))
-      (s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path))
-        .filterNot(keptDeletes)
-        .foreach(f => fs.delete(new Path(rootPath, f), false))
-      fs.delete(new Path(metaDir, s"v${s.snapshotId}.json"), false)
-    }
+    // manifest chunks are shared across snapshots by name — reclaim only
+    // those no retained snapshot references
+    val keptChunks = kept.flatMap(_.manifests).toSet
+    val doomedChunks = expired.flatMap(_.manifests).distinct
+      .filterNot(keptChunks)
+    doomedChunks.foreach(chunkCache.remove)
+    val doomed: Seq[Path] =
+      expired.flatMap(s => s.liveFiles.filterNot(keptFiles)).distinct
+        .map(f => new Path(rootPath, f)) ++
+      expired.flatMap(s =>
+          s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path))
+        .distinct.filterNot(keptDeletes).map(f => new Path(rootPath, f)) ++
+      doomedChunks.map(n => new Path(metaDir, n)) ++
+      expired.map(s => new Path(metaDir, s"v${s.snapshotId}.json"))
+    deleteAll(doomed)
+  }
+
+  /** Bounded-parallel fs deletes: maintenance against an object store is
+    * latency-bound per call, so a serial driver loop over a 10⁵-file
+    * expiry is hours at ~50 ms/RTT; 32 concurrent deletes make it
+    * minutes. FileSystem implementations are thread-safe for delete. */
+  private def deleteAll(paths: Seq[Path]): Unit = {
+    if (paths.isEmpty) return
+    if (paths.size == 1) { fs.delete(paths.head, false); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, paths.size))
+    try {
+      paths.map(p => pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = fs.delete(p, false)
+      })).foreach(_.get())
+    } finally pool.shutdown()
   }
 
   /** Roll the table back to `snapshotId` (≡ Iceberg
@@ -1167,7 +1199,10 @@ final class LakeTable private (
       deletesOverride = Some(target.deleteFiles),
       posDeletesOverride = Some(target.posDeleteFiles),
       seqOverride = Some(target.fileSeq),
-      infoOverride = Some(target.fileInfo))
+      infoOverride = Some(target.fileInfo),
+      // the restored state is exactly the target's → its chunks are
+      // reused verbatim and the rollback writes ~zero chunk bytes
+      reuseChunksFrom = Seq(target))
   }
 
   /** Delete files under `data/` and `deletes/` referenced by NO retained
@@ -1177,9 +1212,11 @@ final class LakeTable private (
     * freshly-moved files safe — never run with a small threshold while
     * writes are in flight. Returns the root-relative paths removed. */
   def removeOrphanFiles(olderThanMs: Long = 3600000L): Seq[String] = {
-    val referenced = snapshots.flatMap(s =>
+    val retained = snapshots
+    val referenced = retained.flatMap(s =>
       s.liveFiles ++ s.addedFiles ++ s.removedFiles ++
         s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
+    val referencedChunks = retained.flatMap(_.manifests).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     Seq(dataDir, new Path(rootPath, DELETES_DIR)).foreach { dir =>
@@ -1189,13 +1226,26 @@ final class LakeTable private (
           val f = it.next()
           val rel = relativePath(rootPath, f.getPath)
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !referenced(rel) && f.getModificationTime < cutoff) {
-            fs.delete(f.getPath, false)
+              !referenced(rel) && f.getModificationTime < cutoff)
             removed += rel
-          }
         }
       }
     }
+    // manifest chunks stranded by a lost race or crashed commit: named
+    // m-<uuid>.json, referenced by no RETAINED snapshot (a beyond-HEAD
+    // crashed commit's JSON is itself dead — commit() reclaims it on the
+    // next attempt of that version, never reusing its chunks)
+    if (fs.exists(metaDir)) {
+      fs.listStatus(metaDir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile && name.startsWith("m-") && name.endsWith(".json") &&
+            !referencedChunks(name) && st.getModificationTime < cutoff) {
+          chunkCache.remove(name)
+          removed += s"$METADATA_DIR/$name"
+        }
+      }
+    }
+    deleteAll(removed.toSeq.map(r => new Path(rootPath, r)))
     removed.toSeq
   }
 
@@ -1337,7 +1387,8 @@ final class LakeTable private (
       posDeletesOverride: Option[Seq[PosDeleteFile]] = None,
       seqOverride: Option[Map[String, Long]] = None,
       addedInfo: Map[String, FileInfo] = Map.empty,
-      infoOverride: Option[Map[String, FileInfo]] = None): Long = {
+      infoOverride: Option[Map[String, FileInfo]] = None,
+      reuseChunksFrom: Seq[Snapshot] = Nil): Long = {
     val id = base.snapshotId + 1
     val liveSet = live.toSet
     val stats = statsOverride.getOrElse(
@@ -1351,10 +1402,31 @@ final class LakeTable private (
     val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
     val finfo = infoOverride.getOrElse(
       base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
-    val snap = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
+    val snap0 = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
       base.partitionColumns, base.properties, stats, renames, seqs, dels,
       pdels, finfo)
+    // Chunk the per-file state (see ManifestIO): reuse every parent
+    // chunk whose entries are unchanged (rollback additionally offers
+    // its target's chunks), write only the delta. Chunks are written
+    // BEFORE the snapshot JSON's exclusive create — a lost race or
+    // crash strands only uuid-named orphans that maintenance reclaims.
+    val candidateNames =
+      (base.manifests ++ reuseChunksFrom.flatMap(_.manifests)).distinct
+    val planned = ManifestIO.plan(snap0,
+      candidateNames.map(n => n -> loadChunk(n)))
+    val newChunks = planned.toWrite.map { entries =>
+      val name = s"m-${UUID.randomUUID()}.json"
+      writeStringExclusive(fs, new Path(metaDir, name),
+        ManifestIO.chunkToJson(entries))
+      chunkCache.put(name, entries)
+      name
+    }
+    val snap = snap0.copy(manifests = planned.reused ++ newChunks)
+    def dropNewChunks(): Unit = newChunks.foreach { n =>
+      chunkCache.remove(n)
+      fs.delete(new Path(metaDir, n), false)
+    }
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
     // table could never commit again. Age-gated so a LIVE racing writer's
@@ -1371,19 +1443,22 @@ final class LakeTable private (
     // already-exists failure to ConcurrentModificationException when
     // HEAD has in fact moved, so every losing racer sees ONE exception
     // type (and [[append]] can retry on it).
-    try writeStringExclusive(fs, metaPath, snap.toJson)
+    try writeStringExclusive(fs, metaPath, ManifestIO.listToJson(snap))
     catch {
       case e: java.io.IOException
           if !currentSnapshotId.contains(base.snapshotId) =>
+        dropNewChunks()
         throw new java.util.ConcurrentModificationException(
           s"table $root HEAD moved past ${base.snapshotId} before " +
             s"commit of $id (${e.getMessage})")
+      case e: Throwable =>
+        dropNewChunks(); throw e
     }
     val now = currentSnapshotId
     if (!now.contains(base.snapshotId)) {
       // clean our metadata only while it is still beyond HEAD — if HEAD
       // reached id, the file may be the winner's current snapshot
-      if (now.exists(_ < id)) fs.delete(metaPath, false)
+      if (now.exists(_ < id)) { fs.delete(metaPath, false); dropNewChunks() }
       throw new java.util.ConcurrentModificationException(
         s"table $root HEAD moved to $now during commit of $id")
     }
@@ -1474,7 +1549,7 @@ object LakeTable {
     val snap = Snapshot(1L, None, System.currentTimeMillis(), "create",
       Nil, Nil, Nil, schema.json, partitionBy, properties)
     writeStringExclusive(fs, new Path(root, s"$METADATA_DIR/v1.json"),
-      snap.toJson)
+      ManifestIO.listToJson(snap))
     t.writeHead(1L)
     t
   }

@@ -14,10 +14,12 @@ import scala.jdk.CollectionConverters._
   * time, the operation, and the file-level delta.
   *
   * `liveFiles` is the full manifest of data files visible at this version
-  * (paths relative to the table root). At 100 TB a flat JSON list would be
-  * replaced by an Iceberg-style manifest tree; the *protocol* (immutable
-  * versioned metadata + atomic HEAD swap + file-delta per snapshot) is the
-  * part that scales, and is what the rest of the engine programs against.
+  * (paths relative to the table root). In-memory the per-file state is
+  * materialized; ON DISK it lives in immutable manifest chunk files
+  * referenced by name from the snapshot JSON (see [[ManifestIO]] — the
+  * Iceberg manifest-list shape), so a commit writes O(delta) metadata,
+  * never O(table). `toJson`/`fromJson` here are the LEGACY inline format,
+  * kept for reading tables written before the chunked layer.
   */
 final case class Snapshot(
     snapshotId: Long,
@@ -63,7 +65,13 @@ final case class Snapshot(
       * / `record_count` manifest fields) — what `.files`/`.partitions`
       * report and size-aware maintenance plans against. Absent file
       * (legacy manifest) = unknown. */
-    fileInfo: Map[String, FileInfo] = Map.empty) {
+    fileInfo: Map[String, FileInfo] = Map.empty,
+    /** Names of the immutable manifest CHUNK files (`metadata/m-*.json`)
+      * whose entries back this snapshot's per-file state — the manifest
+      * list (see [[ManifestIO]]). Empty for a snapshot parsed from the
+      * legacy inline format (or not yet planned at commit time); the
+      * per-file maps above are always fully materialized either way. */
+    manifests: Seq[String] = Nil) {
 
   def toJson: String = {
     val m = Snapshot.mapper

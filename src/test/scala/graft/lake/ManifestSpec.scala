@@ -1,0 +1,210 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The chunked-manifest commit-metadata layer (see [[ManifestIO]]): the
+  * round's scale criterion is that a commit writes metadata bounded by
+  * its DELTA (plus a constant fold tax), never by table size — the
+  * manifest-list property the reference's stack gets from Iceberg's
+  * format-version 2. */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot = TestSpark.tmpDir("manifest") + "/t"
+
+  private def metaFiles(root: String): Map[String, Long] = {
+    val p = new Path(root, LakeTable.METADATA_DIR)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.isFile)
+      .map(s => s.getPath.getName -> s.getLen).toMap
+  }
+
+  test("N appends write O(delta) metadata per commit, reusing parent chunks") {
+    val root = freshRoot
+    val df0 = Seq((0L, "seed")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df0.schema)
+    val n = 40
+    var perCommitNewBytes = Vector.empty[Long]
+    var vJsonSizes = Vector.empty[Long]
+    var reusedAtLeastOne = 0
+    (1 to n).foreach { i =>
+      val before = metaFiles(root)
+      val prevManifests = t.currentSnapshot.get.manifests.toSet
+      val id = t.append(Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .repartition(1))
+      val after = metaFiles(root)
+      val newFiles = after.view.filterKeys(!before.contains(_)).toMap
+      perCommitNewBytes :+= newFiles.values.sum
+      vJsonSizes :+= after(s"v$id.json")
+      if (t.currentSnapshot.get.manifests.exists(prevManifests))
+        reusedAtLeastOne += 1
+    }
+    // the snapshot JSON itself never inlines per-file state: its size
+    // stays flat while the table grows 40×
+    assert(vJsonSizes.max < 3000,
+      s"snapshot JSON grew with table size: ${vJsonSizes.max} bytes")
+    assert(vJsonSizes.last < vJsonSizes.head * 3,
+      s"snapshot JSON scales with table: ${vJsonSizes.head} -> " +
+        s"${vJsonSizes.last}")
+    // per-commit metadata is delta + bounded fold tax — never the table.
+    // A full inline manifest at n=40 would be ~40 entries every commit;
+    // the fold bound is MergeFanout entries. Entries here are ~200 B.
+    val entryBytes = 400L // generous per-entry JSON bound for this schema
+    val bound = 3000L + ManifestIO.MergeFanout.toLong *
+      ManifestIO.MergeFanout * entryBytes
+    assert(perCommitNewBytes.max <= bound,
+      s"a commit wrote ${perCommitNewBytes.max} B of metadata " +
+        s"(> bound $bound) — O(table) rewrite is back")
+    // most commits (the non-fold ones) reuse a parent chunk verbatim
+    assert(reusedAtLeastOne >= n / 2,
+      s"only $reusedAtLeastOne/$n commits reused a parent chunk")
+    // the fold keeps chunk count logarithmic-ish, not one per commit
+    val chunks = t.currentSnapshot.get.manifests
+    assert(chunks.size < n / 2,
+      s"${chunks.size} chunks after $n appends — fold not engaging")
+    // and the materialized state is intact
+    assert(t.scan().count() == n)
+  }
+
+  test("chunk plan reuses unchanged chunks and rewrites only affected ones") {
+    val root = freshRoot
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_SORT_ORDER -> "id"))
+    t.append(df.repartition(4))
+    val base = t.currentSnapshot.get
+    assert(base.manifests.nonEmpty)
+    // a COW delete touching ONE file's key range must keep every chunk
+    // whose entries are untouched... with 4 files in 1 chunk the chunk
+    // is rewritten; so first grow to multiple chunks via more appends
+    (1 to 10).foreach(i =>
+      t.append(Seq((1000L + i, "x")).toDF("id", "v").repartition(1)))
+    val before = t.currentSnapshot.get
+    assert(before.manifests.size >= 2,
+      s"need ≥2 chunks to show selective rewrite: ${before.manifests}")
+    t.delete($"id" === 5L) // rewrites one original data file
+    val after = t.currentSnapshot.get
+    val kept = after.manifests.toSet.intersect(before.manifests.toSet)
+    assert(kept.nonEmpty,
+      s"delete rewrote every chunk: ${before.manifests} -> " +
+        s"${after.manifests}")
+    assert(t.scan().where($"id" === 5L).count() == 0)
+    assert(t.scan().count() == 209)
+  }
+
+  test("rollback reuses the target's chunks wholesale") {
+    val root = freshRoot
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    val keep = t.append(df.repartition(2))
+    val target = t.snapshot(keep)
+    t.append((51 to 60).map(i => (i.toLong, "x")).toDF("id", "v"))
+    val before = metaFiles(root)
+    t.rollbackTo(keep)
+    val after = metaFiles(root)
+    val newChunks = after.keySet.diff(before.keySet).filter(_.startsWith("m-"))
+    assert(newChunks.isEmpty,
+      s"rollback wrote fresh chunks instead of reusing: $newChunks")
+    assert(t.currentSnapshot.get.manifests.toSet == target.manifests.toSet)
+    assert(t.scan().count() == 50)
+  }
+
+  test("legacy inline snapshot JSON still loads (and upgrades on next commit)") {
+    val root = freshRoot
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.repartition(1))
+    val snap = t.currentSnapshot.get
+    // rewrite the current snapshot in the LEGACY inline format
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val vPath = new Path(root,
+      s"${LakeTable.METADATA_DIR}/v${snap.snapshotId}.json")
+    fs.delete(vPath, false)
+    snap.manifests.foreach(m =>
+      fs.delete(new Path(root, s"${LakeTable.METADATA_DIR}/$m"), false))
+    LakeTable.writeStringExclusive(fs, vPath,
+      snap.copy(manifests = Nil).toJson)
+    // a fresh handle parses the legacy format: full read path works
+    val t2 = LakeTable.load(spark, root)
+    val loaded = t2.currentSnapshot.get
+    assert(loaded.manifests.isEmpty)
+    assert(loaded.liveFiles == snap.liveFiles)
+    assert(loaded.fileStats == snap.fileStats)
+    assert(loaded.fileSeq == snap.fileSeq)
+    assert(t2.scan().count() == 2)
+    // the next commit on top re-chunks the carried state
+    t2.append(Seq((3L, "c")).toDF("id", "v"))
+    val upgraded = t2.currentSnapshot.get
+    assert(upgraded.manifests.nonEmpty)
+    assert(t2.scan().count() == 3)
+    assert(t2.currentSnapshot.get.fileStats.nonEmpty)
+  }
+
+  test("expireSnapshots reclaims chunks referenced only by expired snapshots") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    (1 to 6).foreach(i =>
+      t.append(Seq((i.toLong, "x")).toDF("id", "v").repartition(1)))
+    t.compact() // retires all prior files → prior chunks become dead
+    val expiredChunks = t.snapshots.dropRight(1).flatMap(_.manifests).toSet
+      .diff(t.currentSnapshot.get.manifests.toSet)
+    assert(expiredChunks.nonEmpty)
+    t.expireSnapshots(keepLast = 1)
+    val left = metaFiles(root).keySet
+    assert(expiredChunks.forall(!left(_)),
+      s"dead chunks survived expiry: ${expiredChunks.intersect(left)}")
+    // every retained chunk still present and the table reads fine
+    assert(t.currentSnapshot.get.manifests.forall(left))
+    assert(t.scan().count() == 6)
+  }
+
+  test("lost-race commit leaves no stranded chunks; orphan sweep covers a crash") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.repartition(1))
+    // plant a fake orphan chunk (as a crashed commit would strand)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = s"m-deadbeef-0000.json"
+    LakeTable.writeStringExclusive(fs,
+      new Path(root, s"${LakeTable.METADATA_DIR}/$orphan"),
+      ManifestIO.chunkToJson(Seq(ManifestEntry("data/x.parquet", 9L,
+        Map.empty, Map.empty, None))))
+    val removed = t.removeOrphanFiles(olderThanMs = 0L)
+    assert(removed.contains(s"${LakeTable.METADATA_DIR}/$orphan"),
+      s"orphan chunk not swept: $removed")
+    assert(t.scan().count() == 1)
+  }
+
+  test("chunk codec round-trips every entry field") {
+    val entries = Seq(
+      ManifestEntry("data/p=1/f1.parquet", 3L,
+        Map("id" -> ColStat("1", "9"), "v" -> ColStat("a", "z")),
+        Map("v" -> "v_old"), Some(FileInfo(1234L, 56L))),
+      ManifestEntry("data/f2.parquet", 0L, Map.empty, Map.empty, None),
+      ManifestEntry("data/f3.parquet", 7L, Map.empty, Map.empty,
+        Some(FileInfo(10L, -1L))))
+    assert(ManifestIO.chunkFromJson(ManifestIO.chunkToJson(entries))
+      == entries)
+  }
+
+  test("entriesOf/materialize invert each other") {
+    val snap = Snapshot(5L, Some(4L), 1000L, "append",
+      Seq("data/b.parquet"), Nil,
+      liveFiles = Seq("data/a.parquet", "data/b.parquet"),
+      schemaJson = "{}", partitionColumns = Nil, properties = Map.empty,
+      fileStats = Map("data/a.parquet" -> Map("id" -> ColStat("1", "2"))),
+      fileRenames = Map("data/a.parquet" -> Map("v" -> "v0")),
+      fileSeq = Map("data/a.parquet" -> 4L, "data/b.parquet" -> 5L),
+      fileInfo = Map("data/b.parquet" -> FileInfo(99L, 7L)))
+    val rt = ManifestIO.materialize(snap.copy(liveFiles = Nil,
+      fileStats = Map.empty, fileRenames = Map.empty, fileSeq = Map.empty,
+      fileInfo = Map.empty), ManifestIO.entriesOf(snap))
+    assert(rt == snap)
+  }
+}
