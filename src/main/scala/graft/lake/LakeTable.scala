@@ -140,19 +140,38 @@ final class LakeTable private (
     * inspects to see file layout, clustering, and prune-ability. */
   def files: DataFrame = {
     val snap = current
-    val boundsType = MapType(StringType,
-      StructType(Seq(StructField("min", StringType),
-        StructField("max", StringType))))
+    // Executor-side manifest read: the chunk files ARE the table's file
+    // inventory, so `.files` is a distributed JSON scan + explode — no
+    // driver-side row materialization. At 10⁶ files that is a few
+    // thousand chunk files read in parallel, not a 300 MB driver list.
+    if (snap.manifests.isEmpty) return filesLegacy(snap)
+    val paths = snap.manifests.map(n => new Path(metaDir, n).toString)
+    val parts = split(col("e.path"), "/")
+    spark.read.option("multiLine", "true").schema(CHUNK_READ_SCHEMA)
+      .json(paths: _*)
+      .select(explode(col("entries")).as("e"))
+      .select(
+        col("e.path").as("file_path"),
+        // hive `col=value` segments between data/ and the file name
+        array_join(slice(parts, lit(2), size(parts) - 2), "/")
+          .as("partition"),
+        coalesce(col("e.seq"), lit(0L)).as("seq"),
+        col("e.bytes").as("size_bytes"),
+        when(col("e.rows") >= 0, col("e.rows")).as("record_count"),
+        coalesce(col("e.stats"), map().cast(BOUNDS_TYPE)).as("bounds"))
+  }
+
+  /** Driver-side `.files` for tables still on the legacy inline
+    * manifest (or empty tables — zero chunks to scan). */
+  private def filesLegacy(snap: Snapshot): DataFrame = {
     val sch = StructType(Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
       StructField("seq", LongType, nullable = false),
       StructField("size_bytes", LongType), // null = legacy manifest
       StructField("record_count", LongType),
-      StructField("bounds", boundsType, nullable = false)))
+      StructField("bounds", BOUNDS_TYPE, nullable = false)))
     val rows = snap.liveFiles.sorted.map { f =>
-      // partition dirs = the hive `col=value` segments between data/ and
-      // the file name
       val partition = f.split('/').drop(1).dropRight(1).mkString("/")
       val bounds = snap.fileStats.getOrElse(f, Map.empty)
         .map { case (c, cs) => c -> Row(cs.min, cs.max) }
@@ -190,30 +209,18 @@ final class LakeTable private (
     * operator's view of partition balance and compaction debt.
     * Driver-side manifest aggregation, zero data read. */
   def partitions: DataFrame = {
-    val snap = current
-    val sch = StructType(Seq(
-      StructField("partition", StringType, nullable = false),
-      StructField("file_count", LongType, nullable = false),
-      StructField("min_seq", LongType, nullable = false),
-      StructField("max_seq", LongType, nullable = false),
-      StructField("total_bytes", LongType), // null = legacy manifest
-      StructField("total_rows", LongType)))
-    val rows = snap.liveFiles
-      .groupBy(f => f.split('/').drop(1).dropRight(1).mkString("/"))
-      .toSeq.sortBy(_._1)
-      .map { case (part, fs) =>
-        val seqs = fs.map(f => snap.fileSeq.getOrElse(f, 0L))
-        val infos = fs.flatMap(snap.fileInfo.get)
-        val bytes =
-          if (infos.size == fs.size) Long.box(infos.map(_.bytes).sum)
-          else null
-        val nrows =
-          if (infos.size == fs.size && infos.forall(_.rows >= 0))
-            Long.box(infos.map(_.rows).sum)
-          else null
-        Row(part, fs.size.toLong, seqs.min, seqs.max, bytes, nrows)
-      }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+    // executor-side aggregation over the chunk-backed `.files` view —
+    // a sum over null is kept null-propagating (a partition with ANY
+    // file of unknown size/rows reports unknown totals, same contract
+    // as the legacy driver synthesis)
+    files.groupBy(col("partition")).agg(
+      count(lit(1)).as("file_count"),
+      min(col("seq")).as("min_seq"),
+      max(col("seq")).as("max_seq"),
+      when(count(col("size_bytes")) === count(lit(1)),
+        sum(col("size_bytes"))).as("total_bytes"),
+      when(count(col("record_count")) === count(lit(1)),
+        sum(col("record_count"))).as("total_rows"))
   }
 
   // ------------------------------------------------------------------- reads
@@ -1479,6 +1486,20 @@ object LakeTable {
   val DATA_DIR = "data"
   val DELETES_DIR = "deletes"
   val HEAD = "HEAD"
+  /** Bounds-map type of the `.files` metadata view. */
+  private val BOUNDS_TYPE = MapType(StringType,
+    StructType(Seq(StructField("min", StringType),
+      StructField("max", StringType))))
+  /** Read schema for manifest chunk JSONs (executor-side `.files` scan;
+    * mirrors [[ManifestIO.chunkToJson]] minus `renames`, which no
+    * metadata view reports). */
+  private val CHUNK_READ_SCHEMA = StructType(Seq(
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("path", StringType),
+      StructField("seq", LongType),
+      StructField("stats", BOUNDS_TYPE),
+      StructField("bytes", LongType),
+      StructField("rows", LongType)))))))
   val PROP_COMPRESSION = "write.parquet.compression-codec"
   /** Comma-separated sort columns (≡ Iceberg sort orders): appends
     * range-cluster on them so per-file stats ranges are disjoint. */
