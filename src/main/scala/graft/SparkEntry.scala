@@ -56,6 +56,30 @@ object SparkEntry {
         } catch { case _: Exception => () }
       }))
 
+  /** The reference's merge_query shape verbatim (dedup-window subquery
+    * over `__temp_table`, star actions) — reference:
+    * scripts/bronze-silver.py:254-269, with the ON clause completed to
+    * its documented key (the text truncates at `ON target...`; the key
+    * is invoiceid per the dedup partition key at :261). */
+  private val referenceMergeQuery = """
+MERGE INTO silver_orders AS target
+USING (
+    SELECT *
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY invoiceid
+                   ORDER BY processed_time DESC
+               ) AS row_num
+        FROM __temp_table
+    ) AS deduped_source
+    WHERE row_num = 1
+) AS source
+ON target.invoiceid = source.invoiceid
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+"""
+
   /** Temp dir for a query's scratch lake table, removed at JVM exit —
     * repeated Verify/Bench runs must not accumulate table copies. */
   private def tmp(prefix: String): String = {
@@ -495,6 +519,71 @@ object SparkEntry {
       cat.sql("ns",
         """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
           |FROM nation_t GROUP BY n_regionkey""".stripMargin)
+    }),
+
+    "q_sql_merge" -> ((s, dir) => {
+      // the reference's literal merge_query text (key invoiceid, dedup
+      // window over __temp_table) executed as SQL through the catalog —
+      // reference: scripts/bronze-silver.py:213 runs the string,
+      // text :254-269. Same end state as q_merge_upsert, via SQL text.
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqlmerge"))
+      cat.createNamespace("ns")
+      val target = orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("invoiceid"), col("o_orderstatus"),
+          col("o_totalprice"), lit(0L).as("processed_time"))
+      cat.createTable("ns", "silver_orders", target.schema)
+      cat.loadTable("ns", "silver_orders").append(target)
+      // per-key duplicates: the decoy (processed_time=1, status X,
+      // price*3) must LOSE the ROW_NUMBER dedup to the later row
+      val upd = orders.where(col("o_orderkey") % 2 === 0)
+      upd.select(col("o_orderkey").as("invoiceid"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 3).as("o_totalprice"),
+          lit(1L).as("processed_time"))
+        .unionByName(upd.select(col("o_orderkey").as("invoiceid"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit(2L).as("processed_time")))
+        .createOrReplaceTempView("__temp_table")
+      cat.sql("ns", referenceMergeQuery)
+      val out = cat.sql("ns",
+        """SELECT invoiceid, o_orderstatus,
+          | round(o_totalprice, 2) AS o_totalprice
+          |FROM silver_orders""".stripMargin)
+      s.catalog.dropTempView("__temp_table")
+      out
+    }),
+
+    "q_sql_delete" -> ((s, dir) => {
+      // DELETE FROM text against a catalog table (same end state as
+      // q_cow_delete, reached through the SQL surface)
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqldel"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      cat.loadTable("ns", "orders_t").append(orders)
+      cat.sql("ns", "DELETE FROM orders_t WHERE o_orderstatus = 'F'")
+      cat.sql("ns",
+        """SELECT o_orderkey, o_orderstatus,
+          | round(o_totalprice, 2) AS o_totalprice
+          |FROM orders_t""".stripMargin)
+    }),
+
+    "q_sql_time_travel" -> ((s, dir) => {
+      // VERSION AS OF spelled in SQL text (same result as q_time_travel)
+      val orders = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1998-01-01"), "yyyy-MM-dd")
+      val cat = new LakeCatalog(s, tmp("graft-sqltt"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema)
+      val lt = cat.loadTable("ns", "orders_t")
+      val s1 = lt.append(orders.where(col("o_orderdate") < cut))
+      lt.append(orders.where(col("o_orderdate") >= cut))
+      cat.sql("ns",
+        s"""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM orders_t VERSION AS OF $s1""".stripMargin)
     }),
 
     "q_cdc_replay" -> ((s, dir) => {
@@ -1137,6 +1226,37 @@ object SparkEntry {
         |    AS o_totalprice
         |FROM tgt FULL OUTER JOIN src
         |  ON tgt.o_orderkey = src.o_orderkey""".stripMargin,
+
+    // same full-outer upsert law as q_merge_upsert — the SQL-text MERGE
+    // (dedup window picks the processed_time=2 row, discarding the
+    // decoy) must land the identical end state, keyed as invoiceid
+    "q_sql_merge" ->
+      """WITH tgt AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(src.o_orderkey, tgt.o_orderkey) AS invoiceid,
+        |  CASE WHEN src.o_orderkey IS NOT NULL
+        |       THEN src.o_orderstatus ELSE tgt.o_orderstatus
+        |  END AS o_orderstatus,
+        |  round(CASE WHEN src.o_orderkey IS NOT NULL
+        |       THEN src.o_totalprice ELSE tgt.o_totalprice END, 2)
+        |    AS o_totalprice
+        |FROM tgt FULL OUTER JOIN src
+        |  ON tgt.o_orderkey = src.o_orderkey""".stripMargin,
+
+    "q_sql_delete" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    "q_sql_time_travel" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "q_cdc_replay" ->
       """SELECT user_id, event_id, event_type,

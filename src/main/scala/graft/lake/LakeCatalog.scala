@@ -100,10 +100,18 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       lt.partitions.createOrReplaceTempView(s"${t}_partitions")
     }
 
-  /** Convenience: `USE ns` + register + run one SQL statement. */
+  /** Convenience: `USE ns` + register + run one SQL statement.
+    *
+    * Beyond plain SELECTs over the registered views, the statement may
+    * be lake DML or time travel (see [[LakeSql]]): `MERGE INTO` /
+    * `DELETE FROM` / `UPDATE` route to the corresponding [[LakeTable]]
+    * operation — the reference's literal `merge_query` string runs
+    * as-is — and `VERSION AS OF` / `TIMESTAMP AS OF` read historical
+    * snapshots. After a DML statement the views are re-registered so a
+    * following statement sees the new table state. */
   def sql(ns: String, query: String): DataFrame = {
     useNamespace(ns)
     registerViews(ns)
-    spark.sql(query)
+    LakeSql.run(this, ns, query)
   }
 }

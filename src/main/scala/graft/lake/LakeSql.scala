@@ -1,0 +1,164 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+
+/** SQL text front-end for the lake layer's DML and time travel — the
+  * entry point that lets the reference's literal query strings run
+  * unchanged (reference: scripts/bronze-silver.py:213 executes a
+  * `MERGE INTO … USING (dedup-window subquery) … WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` string, text at
+  * :254-269; the ON clause is literally truncated there — the key is
+  * `invoiceid` per the dedup partition key at :261).
+  *
+  * Parsing is Spark's OWN SQL parser (`sessionState.sqlParser`), not a
+  * regex: the statement arrives as a Catalyst plan node
+  * ([[MergeIntoTable]] / [[DeleteFromTable]] / [[UpdateTable]] /
+  * [[RelationTimeTravel]]) and is routed to the corresponding
+  * [[LakeTable]] operation. The MERGE source subquery is executed
+  * as-is against the session's temp views (the reference registers its
+  * batch as `__temp_table`, scripts/bronze-silver.py:210); everything
+  * non-DML falls through to plain `spark.sql`.
+  */
+object LakeSql {
+
+  def run(cat: LakeCatalog, ns: String, query: String): DataFrame = {
+    val spark = cat.spark
+    val parsed =
+      // on a parse error fall through to spark.sql so the user sees
+      // Spark's own ParseException, not a second-hand one
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case _: Exception => return spark.sql(query) }
+    parsed match {
+      case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable) =>
+        val out = dml match {
+          case m: MergeIntoTable => merge(cat, ns, m)
+          case d: DeleteFromTable => delete(cat, ns, d)
+          case u: UpdateTable => update(cat, ns, u)
+        }
+        // re-register so the caller's NEXT statement sees the new state
+        cat.registerViews(ns)
+        out
+      case p if p.collectFirst { case t: RelationTimeTravel => t }.isDefined =>
+        timeTravel(cat, ns, p)
+      case _ => spark.sql(query)
+    }
+  }
+
+  /** `MERGE INTO t USING src ON t.k = src.k WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *` → [[LakeTable.merge]]. The
+    * star-shape is the reference's (and the engine's) upsert contract;
+    * other action lists are rejected loudly rather than half-applied. */
+  private def merge(cat: LakeCatalog, ns: String,
+      m: MergeIntoTable): DataFrame = {
+    val starShape =
+      m.matchedActions == Seq(UpdateStarAction(None)) &&
+        m.notMatchedActions == Seq(InsertStarAction(None)) &&
+        m.notMatchedBySourceActions.isEmpty
+    if (!starShape) throw new UnsupportedOperationException(
+      "MERGE supports exactly WHEN MATCHED THEN UPDATE SET * / " +
+        "WHEN NOT MATCHED THEN INSERT * (the reference's shape)")
+    val keys = equiKeys(m.mergeCondition).getOrElse(
+      throw new UnsupportedOperationException(
+        "MERGE ON must be a conjunction of target.k = source.k " +
+          s"equalities, got: ${m.mergeCondition.sql}"))
+    val lt = cat.loadTable(ns, tableNameOf(m.targetTable))
+    val fields = lt.schema.fieldNames
+    val norm = keys.map(k => fields.find(_.equalsIgnoreCase(k)).getOrElse(k))
+    // the source subquery resolves against the session's temp views
+    // (the reference's __temp_table pattern); extra projected columns
+    // like the dedup row_num are dropped by merge's schema alignment
+    val src = GraftSqlBridge.ofRows(cat.spark, m.sourceTable)
+    lt.merge(src, norm)
+    cat.spark.emptyDataFrame
+  }
+
+  /** `DELETE FROM t WHERE p` → [[LakeTable.delete]] (COW or MOR per
+    * table properties). No WHERE parses as a true predicate. */
+  private def delete(cat: LakeCatalog, ns: String,
+      d: DeleteFromTable): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(d.table))
+    lt.delete(columnOf(d.condition))
+    cat.spark.emptyDataFrame
+  }
+
+  /** `UPDATE t SET c = e, … [WHERE p]` → [[LakeTable.update]]. */
+  private def update(cat: LakeCatalog, ns: String,
+      u: UpdateTable): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(u.table))
+    val fields = lt.schema.fieldNames
+    val assigns = u.assignments.map { a =>
+      val name = a.key match {
+        case k: UnresolvedAttribute => k.nameParts.last
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE SET target must be a column, got: ${other.sql}")
+      }
+      fields.find(_.equalsIgnoreCase(name)).getOrElse(name) ->
+        columnOf(a.value)
+    }.toMap
+    lt.update(u.condition.map(columnOf).getOrElse(lit(true)), assigns)
+    cat.spark.emptyDataFrame
+  }
+
+  /** `SELECT … FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts`:
+    * substitute each time-travel relation with the corresponding
+    * [[LakeTable.scanAt]]/[[LakeTable.scanAtTimestamp]] plan and run
+    * the rest of the statement unchanged — the spelling Iceberg gives
+    * the reference's stack, which plain temp views cannot answer. */
+  private def timeTravel(cat: LakeCatalog, ns: String,
+      plan: LogicalPlan): DataFrame = {
+    val spark = cat.spark
+    val rewritten = plan.transformUp {
+      case RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt) =>
+        val lt = cat.loadTable(ns, u.multipartIdentifier.last)
+        val df = (verOpt, tsOpt) match {
+          case (Some(v), _) => lt.scanAt(v.toLong)
+          case (None, Some(ts)) => lt.scanAtTimestamp(evalMillis(spark, ts))
+          case _ => lt.scan()
+        }
+        df.queryExecution.logical
+    }
+    GraftSqlBridge.ofRows(spark, rewritten)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def tableNameOf(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(_, child) => tableNameOf(child)
+    case u: UnresolvedRelation => u.multipartIdentifier.last
+    case other => throw new UnsupportedOperationException(
+      s"cannot resolve DML target: ${other.getClass.getSimpleName}")
+  }
+
+  /** `t.k = s.k [AND …]` → the key column names; None for anything
+    * that is not a pure equi-key conjunction. */
+  private def equiKeys(e: Expression): Option[Seq[String]] = e match {
+    case And(l, r) =>
+      for { a <- equiKeys(l); b <- equiKeys(r) } yield a ++ b
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+      Some(Seq(a.nameParts.last))
+    case _ => None
+  }
+
+  /** Parsed predicate/value expression → Column, with table/alias
+    * qualifiers stripped (the lake ops run single-table plans where
+    * qualified names would not resolve). */
+  private def columnOf(e: Expression): Column = {
+    val bare = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    expr(bare.sql)
+  }
+
+  /** Evaluate a TIMESTAMP AS OF expression to epoch millis under the
+    * session timezone (a 1-row local plan, no job). */
+  private def evalMillis(spark: SparkSession, ts: Expression): Long =
+    spark.range(1).select(
+      (expr(ts.sql).cast("timestamp").cast("double") * 1000)
+        .cast("long").as("ms")).head().getLong(0)
+}
