@@ -118,11 +118,14 @@ object SimilaritySearch {
     * queries probe their `nProbe` nearest centroids and re-rank exactly
     * within those inverted lists.
     *
-    * Centroids are the `nCentroids` lowest-id corpus vectors — id order
-    * is uncorrelated with embedding position, so this samples as well as
-    * an id-hash draw, it is exactly reproducible in plain SQL (the
-    * correctness oracle), and a k-means refinement would slot in without
-    * changing the shape.
+    * Centroids start as the `nCentroids` lowest-id corpus vectors — id
+    * order is uncorrelated with embedding position, so this samples as
+    * well as an id-hash draw and is exactly reproducible in plain SQL
+    * (the correctness oracle). `trainIterations > 0` refines them with
+    * that many deterministic spherical-k-means passes
+    * ([[trainCentroids]]) — better-fitting cells for clustered corpora
+    * at the cost of one aggregation job per pass; the default 0 keeps
+    * the oracle-reproducible quantizer.
     *
     * Scale shape: centroids are collected once (tiny — a driver-side
     * manifest-scale list) and inlined as a LITERAL array, so both the
@@ -135,27 +138,22 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id", trainIterations: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
+    require(trainIterations >= 0)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("corpus_vec"))
     // TakeOrdered (no global sort), then a 16-row driver collect
     val centroidRows = c.orderBy("corpus_id").limit(nCentroids).collect()
-    val centLit = array(centroidRows.zipWithIndex.map { case (r, i) =>
-      struct(lit(i + 1).as("id"),
-        typedLit(r.getSeq[Float](1)).as("vec"))
-    }.toIndexedSeq: _*)
-
-    // nearest centroid, map-side: argmax cosine via array_max over a
-    // struct whose lexicographic order is (sim asc, -id asc) → max =
-    // highest sim, ties to the lowest centroid id
-    def nearestCentroid(vec: Column): Column =
-      -array_max(transform(centLit, cs =>
-        struct(cosine(vec, cs.getField("vec")).as("sim"),
-          (-cs.getField("id")).as("negid")))).getField("negid")
+    val seeds = centroidRows.zipWithIndex.map { case (r, i) =>
+      (i + 1) -> r.getSeq[Float](1)
+    }.toSeq
+    val centLit = centroidLiteral(
+      if (trainIterations == 0) seeds
+      else trainCentroids(c, seeds, trainIterations))
 
     val assigned = c.withColumn("centroid_id",
-      nearestCentroid(col("corpus_vec")))
+      nearestCentroid(centLit, col("corpus_vec")))
 
     // nProbe nearest centroids per query, map-side: sort by (negsim, id)
     // ascending → nearest first, ties to the lowest id; slice, explode
@@ -179,6 +177,62 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col("corpus_id"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** (id, vector) centroids → the inlined literal array both the
+    * assignment and the probe `transform` over (zero shuffle). */
+  private def centroidLiteral(cents: Seq[(Int, Seq[Float])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(lit(id).as("id"), typedLit(v).as("vec"))
+    }: _*)
+
+  /** Nearest centroid, map-side: argmax cosine via array_max over a
+    * struct whose lexicographic order is (sim asc, -id asc) → max =
+    * highest sim, ties to the lowest centroid id. */
+  private def nearestCentroid(centLit: Column, vec: Column): Column =
+    -array_max(transform(centLit, cs =>
+      struct(cosine(vec, cs.getField("vec")).as("sim"),
+        (-cs.getField("id")).as("negid")))).getField("negid")
+
+  /** Spherical Lloyd refinement of the id-sampled seed centroids —
+    * the k-means training a production IVF runs over the same pipeline
+    * (k-means|| initialization collapses to the fixed seed draw here so
+    * runs are reproducible; the iteration count is fixed, not
+    * convergence-tested, for the same reason).
+    *
+    * Scale shape: each iteration is ONE distributed aggregation — the
+    * map side assigns every vector to its nearest centroid (the same
+    * inlined-literal argmax as the query path, zero shuffle) and
+    * partially aggregates per-dimension sums, so the shuffle carries
+    * only tasks × centroids × dim partial rows, never vectors. The
+    * refined means are re-normalized (spherical k-means: cosine cares
+    * about direction only); a cluster that loses all members keeps its
+    * previous centroid, the standard empty-cluster fallback. */
+  private def trainCentroids(c: DataFrame, seeds: Seq[(Int, Seq[Float])],
+      iters: Int): Seq[(Int, Seq[Float])] = {
+    var cents = seeds
+    (1 to iters).foreach { _ =>
+      val centLit = centroidLiteral(cents)
+      val means = c
+        .withColumn("centroid_id",
+          nearestCentroid(centLit, col("corpus_vec")))
+        .select(col("centroid_id"),
+          posexplode(col("corpus_vec")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (id, old) =>
+        means.get(id) match {
+          case Some(rows) =>
+            val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+            val norm = math.sqrt(vec.map(x => x * x).sum)
+            if (norm == 0.0) id -> old
+            else id -> vec.map(x => (x / norm).toFloat).toSeq
+          case None => id -> old // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against

@@ -136,7 +136,19 @@ object StreamingIngest {
   * drained remain in state (they'd emit on the next trigger or via event-
   * time timeout in a continuous deployment — single-shot callers compare
   * against the batch sessionizer minus each user's last session).
-  */
+  *
+  * Memory bound: `flatMapGroupsWithState` hands each user's IN-BATCH
+  * events as an unsorted iterator, and gap sessionization needs them in
+  * time order, so the function materializes ONE user's ONE trigger's
+  * events (`it.toSeq.sortBy`) in task memory — the standard pattern for
+  * this API (Spark exposes no sorted-group iterator). The bound is
+  * max-events-per-user-per-trigger, NOT per-user history (state carries
+  * only the open session struct, O(1) per user) and not the trigger's
+  * whole partition. A pathological hot user is therefore a
+  * rate-limiting concern for trigger sizing: cap
+  * `maxFilesPerTrigger`/`maxOffsetsPerTrigger` so the hottest key's
+  * per-trigger volume fits a task — the same discipline any keyed
+  * stateful streaming job at 100 TB/day needs. */
 object StreamingSessionize {
 
   case class Event(event_id: Long, ts: Long, user_id: Long,

@@ -201,6 +201,39 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("trained ivf recall >= untrained at equal probe budget") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = SimilaritySearch.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int): Double = {
+      val got = SimilaritySearch.ivfTopK(e, queries, k = 5,
+        nCentroids = 16, nProbe = 2, trainIterations = iters)
+        .select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val untrained = recallOf(0)
+    val trained = recallOf(3)
+    // Lloyd refinement tightens cells around the data, so probing the
+    // same number of cells must find at least as much of the true top-k
+    assert(trained >= untrained,
+      s"trained recall $trained < untrained $untrained")
+    // scores remain exact cosines for whatever the trained index returns
+    val bfScores = SimilaritySearch.bruteForceTopK(e, queries, k = 50)
+      .select("query_id", "corpus_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    SimilaritySearch.ivfTopK(e, queries, k = 5, nCentroids = 16,
+      nProbe = 2, trainIterations = 2).collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))
+      bfScores.get(key).foreach(s => assert(s == r.getAs[Double]("score")))
+    }
+  }
+
   test("near-dup pairs finds planted duplicates") {
     val planted = Seq(
       (100L, vec(0.5, 0.5, 0.5, 0.5)),

@@ -66,4 +66,39 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == closed)
   }
+
+  test("sessionize survives a pathological hot user in one trigger") {
+    // one user carries 50k of 50.2k events in a single AvailableNow
+    // trigger — the documented per-user in-batch materialization bound.
+    // Correctness must hold and sessions must split exactly at the gaps.
+    import spark.implicits._
+    val gap = 60L // seconds
+    val hot = (0 until 50000).map { i =>
+      // 3 bursts separated by > gap: events every 1s within a burst
+      val burst = i / 20000
+      val tsUs = (burst * 1000000L + (i % 20000)) * 1000000L
+      (i.toLong, tsUs * 1000L, 1L, "click", 1.0, "{}")
+    }
+    val cold = (0 until 200).map { i =>
+      (100000L + i, (i * 500L + 7L) * 1000000000L, 2L + (i % 3), "view",
+        0.5, "{}")
+    }
+    val dir = graft.TestSpark.tmpDir("hotuser")
+    (hot ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // ONE file → one trigger: cross-trigger arrival order is a
+      // watermark concern, not this test's (in-trigger order is
+      // arbitrary and the sessionizer must sort it)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamingSessionize.run(spark, s"$dir/events.parquet", gap,
+        glob = "part-*.parquet")
+      .where(col("user_id") === 1L)
+      .orderBy("session_start_us")
+      .collect().map(r => (r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n_events"))).toSeq
+    // bursts 0 and 1 close (burst 2 stays open in state); each burst =
+    // 20000 events starting at burst*1e12 us
+    assert(got == Seq((0L, 20000L), (1000000000000L, 20000L)))
+  }
 }
