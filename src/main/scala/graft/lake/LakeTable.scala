@@ -69,8 +69,28 @@ final class LakeTable private (
     val p = new Path(metaDir, s"v$id.json")
     require(fs.exists(p),
       s"snapshot $id not found in $root (expired or never committed)")
-    ManifestIO.snapshotFromJson(readString(fs, p), loadChunk)
+    // Materialized-snapshot cache: a v<id>.json at-or-below HEAD is
+    // immutable (commits only ever create NEW versions; the one file
+    // that can be rewritten is a crashed commit's beyond-HEAD debris,
+    // which is never cached). The existence check above still runs
+    // first so an expired snapshot keeps failing after expiry. This
+    // keeps the repeated `current` loads of a multi-step op from
+    // re-materializing the per-file maps each time.
+    val cached = snapCache.get(id)
+    if (cached != null) return cached
+    val s = ManifestIO.snapshotFromJson(readString(fs, p), loadChunk)
+    if (currentSnapshotId.exists(id <= _)) {
+      // coarse bound: the access pattern is HEAD plus a few historical
+      // reads; wholesale clear keeps the cache O(1)-ish without LRU
+      // bookkeeping on a long-lived writer's 10⁴ commits
+      if (snapCache.size >= 64) snapCache.clear()
+      snapCache.put(id, s)
+    }
+    s
   }
+
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
 
   /** Manifest chunks are immutable once written (uuid-named, never
     * rewritten in place), so they cache safely across snapshot loads —
@@ -1397,18 +1417,35 @@ final class LakeTable private (
       infoOverride: Option[Map[String, FileInfo]] = None,
       reuseChunksFrom: Seq[Snapshot] = Nil): Long = {
     val id = base.snapshotId + 1
-    val liveSet = live.toSet
+    // Append-shaped commits (nothing removed, no per-file overrides —
+    // append, MOR merge/delete/update) keep every base entry live, so
+    // the carried maps concatenate in O(delta) instead of re-filtering
+    // O(table); the chunk plan below skips the equality scan for the
+    // same reason.
+    val appendShaped = removed.isEmpty && statsOverride.isEmpty &&
+      renamesOverride.isEmpty && seqOverride.isEmpty &&
+      infoOverride.isEmpty && reuseChunksFrom.isEmpty &&
+      live.length == base.liveFiles.length + added.length &&
+      // a legacy inline base has files but no chunks — the slow path
+      // chunks its whole carried state (the upgrade commit)
+      (base.manifests.nonEmpty || base.liveFiles.isEmpty)
+    lazy val liveSet = live.toSet
     val stats = statsOverride.getOrElse(
-      base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats)
-    val renames = renamesOverride.getOrElse(base.fileRenames)
-      .filter { case (f, m) => liveSet(f) && m.nonEmpty }
+      if (appendShaped) base.fileStats ++ addedStats
+      else base.fileStats.filter { case (f, _) => liveSet(f) } ++ addedStats)
+    val renames =
+      if (appendShaped) base.fileRenames
+      else renamesOverride.getOrElse(base.fileRenames)
+        .filter { case (f, m) => liveSet(f) && m.nonEmpty }
     val seqs = seqOverride.getOrElse(
-      base.fileSeq.filter { case (f, _) => liveSet(f) } ++
+      (if (appendShaped) base.fileSeq
+       else base.fileSeq.filter { case (f, _) => liveSet(f) }) ++
         added.map(_ -> id))
     val dels = deletesOverride.getOrElse(base.deleteFiles)
     val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
     val finfo = infoOverride.getOrElse(
-      base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
+      if (appendShaped) base.fileInfo ++ addedInfo
+      else base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
     val snap0 = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
       base.partitionColumns, base.properties, stats, renames, seqs, dels,
@@ -1418,10 +1455,20 @@ final class LakeTable private (
     // its target's chunks), write only the delta. Chunks are written
     // BEFORE the snapshot JSON's exclusive create — a lost race or
     // crash strands only uuid-named orphans that maintenance reclaims.
-    val candidateNames =
-      (base.manifests ++ reuseChunksFrom.flatMap(_.manifests)).distinct
-    val planned = ManifestIO.plan(snap0,
-      candidateNames.map(n => n -> loadChunk(n)))
+    //
+    val planned =
+      if (appendShaped)
+        ManifestIO.planAppend(base.manifests,
+          added.map(f => ManifestEntry(f, seqs.getOrElse(f, 0L),
+            stats.getOrElse(f, Map.empty),
+            renames.getOrElse(f, Map.empty).filter(_._2.nonEmpty),
+            finfo.get(f))),
+          loadChunk)
+      else {
+        val candidateNames =
+          (base.manifests ++ reuseChunksFrom.flatMap(_.manifests)).distinct
+        ManifestIO.plan(snap0, candidateNames.map(n => n -> loadChunk(n)))
+      }
     val newChunks = planned.toWrite.map { entries =>
       val name = s"m-${UUID.randomUUID()}.json"
       writeStringExclusive(fs, new Path(metaDir, name),

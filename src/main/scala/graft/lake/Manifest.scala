@@ -86,6 +86,18 @@ object ManifestIO {
     * `toWrite` entry groups needing fresh chunk files. */
   final case class Plan(reused: Seq[String], toWrite: Seq[Seq[ManifestEntry]])
 
+  /** Append-shaped plan: the parent's chunks carry over by name (no
+    * entry can have changed when nothing was removed or overridden) and
+    * only the `added` entries are grouped into fresh chunks — O(delta)
+    * planning, no per-entry equality scan. `load` resolves sizes and
+    * entries for the fold only (cache-backed; at larger scale the entry
+    * counts could ride in the snapshot list JSON instead). */
+  def planAppend(parentManifests: Seq[String], added: Seq[ManifestEntry],
+      load: String => Seq[ManifestEntry]): Plan =
+    fold(Plan(parentManifests,
+        added.grouped(ChunkTargetEntries).toVector),
+      parentManifests.map(n => n -> load(n)).toMap)
+
   /** Plan the chunk set for `snap` given the reusable `candidates`
     * (parent's chunks, plus e.g. a rollback target's): a candidate is
     * reused verbatim iff every entry it holds is still exactly live in

@@ -181,6 +181,27 @@ class ManifestSpec extends AnyFunSuite {
     assert(t.scan().count() == 1)
   }
 
+  test("expiry of a ~1k-file snapshot completes and reclaims everything dead") {
+    val root = freshRoot
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.repartition(500)) // ~500 small files in one commit
+    t.append(df.repartition(500))
+    val before = t.currentSnapshot.get.liveFiles.size
+    assert(before >= 900, s"expected ~1k live files, got $before")
+    t.compact() // retires all prior files
+    t.expireSnapshots(keepLast = 1) // parallel delete pool reclaims ~1k
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val liveSet = t.currentSnapshot.get.liveFiles.toSet
+    val onDisk = LakeTable.listParquet(fs,
+      new Path(root, LakeTable.DATA_DIR))
+      .map(p => LakeTable.relativePath(new Path(root), p)).toSet
+    assert(onDisk == liveSet,
+      s"expiry left ${onDisk.diff(liveSet).size} dead files / " +
+        s"lost ${liveSet.diff(onDisk).size} live ones")
+    assert(t.scan().count() == 4000)
+  }
+
   test("chunk codec round-trips every entry field") {
     val entries = Seq(
       ManifestEntry("data/p=1/f1.parquet", 3L,
