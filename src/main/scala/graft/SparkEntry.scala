@@ -571,6 +571,25 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM orders_t""".stripMargin)
     }),
 
+    "q_sql_insert" -> ((s, dir) => {
+      // INSERT INTO text: two appends through the SQL surface rebuild
+      // the full orders table
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqlins"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema)
+      orders.createOrReplaceTempView("__orders_src")
+      cat.sql("ns",
+        "INSERT INTO orders_t SELECT * FROM __orders_src WHERE o_orderkey % 2 = 0")
+      cat.sql("ns",
+        "INSERT INTO orders_t SELECT * FROM __orders_src WHERE o_orderkey % 2 = 1")
+      val out = cat.sql("ns",
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM orders_t""".stripMargin)
+      s.catalog.dropTempView("__orders_src")
+      out
+    }),
+
     "q_sql_time_travel" -> ((s, dir) => {
       // VERSION AS OF spelled in SQL text (same result as q_time_travel)
       val orders = t(s, dir, "orders")
@@ -1252,6 +1271,10 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    "q_sql_insert" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     "q_sql_time_travel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -33,11 +33,13 @@ object LakeSql {
       try spark.sessionState.sqlParser.parsePlan(query)
       catch { case _: Exception => return spark.sql(query) }
     parsed match {
-      case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable) =>
+      case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable |
+          _: InsertIntoStatement) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
           case u: UpdateTable => update(cat, ns, u)
+          case i: InsertIntoStatement => insert(cat, ns, i)
         }
         // re-register so the caller's NEXT statement sees the new state
         cat.registerViews(ns)
@@ -73,6 +75,33 @@ object LakeSql {
     // like the dedup row_num are dropped by merge's schema alignment
     val src = GraftSqlBridge.ofRows(cat.spark, m.sourceTable)
     lt.merge(src, norm)
+    cat.spark.emptyDataFrame
+  }
+
+  /** `INSERT INTO t [(cols)] SELECT …|VALUES …` → [[LakeTable.append]]
+    * (or [[LakeTable.overwrite]] for `INSERT OVERWRITE`). Query columns
+    * map POSITIONALLY onto the target list (SQL semantics — a VALUES
+    * source has no meaningful names); target columns omitted from an
+    * explicit list are null-filled by the write's schema alignment. */
+  private def insert(cat: LakeCatalog, ns: String,
+      i: InsertIntoStatement): DataFrame = {
+    if (i.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
+      "static PARTITION specs are not supported — the table's own " +
+        "partition spec derives partition values from the rows")
+    val lt = cat.loadTable(ns, tableNameOf(i.table))
+    val df = GraftSqlBridge.ofRows(cat.spark, i.query)
+    val fields = lt.schema.fieldNames
+    val targetCols: Seq[String] =
+      if (i.userSpecifiedCols.isEmpty) fields.toSeq
+      else i.userSpecifiedCols.map(c =>
+        fields.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"INSERT column $c not in table schema")))
+    require(df.columns.length == targetCols.length,
+      s"INSERT provides ${df.columns.length} columns for " +
+        s"${targetCols.length} targets")
+    val positioned = df.toDF(targetCols: _*)
+    if (i.overwrite) lt.overwrite(positioned) else lt.append(positioned)
     cat.spark.emptyDataFrame
   }
 

@@ -119,6 +119,34 @@ WHEN NOT MATCHED THEN INSERT *
     assert(joined == Seq(3L))
   }
 
+  test("INSERT INTO text: VALUES, SELECT, column list, and OVERWRITE") {
+    import org.apache.spark.sql.types._
+    val cat = freshCat
+    cat.createNamespace("ns")
+    // score nullable so an explicit-column INSERT may omit it
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType),
+      StructField("score", DoubleType, nullable = true)))
+    cat.createTable("ns", "t", schema)
+    cat.sql("ns", "INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM t").head.getLong(0) == 2)
+    // explicit column list: omitted nullable column null-fills
+    cat.sql("ns", "INSERT INTO t (id, v) VALUES (3, 'c')")
+    assert(cat.sql("ns",
+      "SELECT count(*) AS n FROM t WHERE score IS NULL").head.getLong(0) == 1)
+    // INSERT ... SELECT
+    cat.sql("ns",
+      "INSERT INTO t SELECT id + 10, concat(v, '!'), score FROM t WHERE id = 1")
+    assert(cat.sql("ns",
+      "SELECT v FROM t WHERE id = 11").head.getString(0) == "a!")
+    // INSERT OVERWRITE replaces all content
+    cat.sql("ns", "INSERT OVERWRITE t VALUES (9, 'z', 0.0)")
+    val left = cat.sql("ns", "SELECT id, v FROM t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(left == Seq((9L, "z")))
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
