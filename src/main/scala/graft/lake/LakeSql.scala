@@ -144,7 +144,10 @@ object LakeSql {
       case RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt) =>
         val lt = cat.loadTable(ns, u.multipartIdentifier.last)
         val df = (verOpt, tsOpt) match {
-          case (Some(v), _) => lt.scanAt(v.toLong)
+          // numeric version = snapshot id; otherwise a named ref
+          // (tag/branch — Iceberg's VERSION AS OF accepts both)
+          case (Some(v), _) if v.forall(_.isDigit) => lt.scanAt(v.toLong)
+          case (Some(v), _) => lt.scanRef(v)
           case (None, Some(ts)) => lt.scanAtTimestamp(evalMillis(spark, ts))
           case _ => lt.scan()
         }

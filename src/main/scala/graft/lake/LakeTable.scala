@@ -374,6 +374,74 @@ final class LakeTable private (
     readFilesAs(s, s.liveFiles)
   }
 
+  // ---------------------------------------------------------- named refs
+
+  /** Named snapshot refs (≡ Iceberg branches/tags, the retention
+    * feature of the reference's format-version-2 stack): a TAG is an
+    * immutable pointer, a BRANCH a movable one ([[updateRef]]).
+    * Ref'd snapshots — and transitively their files and manifest
+    * chunks — are PROTECTED from [[expireSnapshots]] until the ref is
+    * dropped, and readable by name via `scanRef` / SQL
+    * `VERSION AS OF 'name'`. Stored in `metadata/refs.json`, swapped
+    * atomically (tmp + rename); ref edits are last-writer-wins —
+    * they never race data commits, which touch only HEAD. */
+  def refs: Map[String, (String, Long)] = {
+    if (!fs.exists(refsPath)) return Map.empty
+    val n = Snapshot.mapper.readTree(readString(fs, refsPath))
+    n.properties().asScala.map { e =>
+      e.getKey -> (e.getValue.path("type").asText(),
+        e.getValue.path("snapshot_id").asLong())
+    }.toMap
+  }
+
+  def createTag(name: String, snapshotId: Long): Unit =
+    putRef(name, "tag", snapshotId, replace = false)
+
+  def createBranch(name: String, snapshotId: Long): Unit =
+    putRef(name, "branch", snapshotId, replace = false)
+
+  /** Move a BRANCH to a new snapshot (tags are immutable). */
+  def updateRef(name: String, snapshotId: Long): Unit = {
+    val cur = refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref $name on $root"))
+    require(cur._1 == "branch", s"ref $name is a tag (immutable)")
+    putRef(name, "branch", snapshotId, replace = true)
+  }
+
+  def dropRef(name: String): Unit = writeRefs(refs - name)
+
+  /** Scan the snapshot a named ref points at. */
+  def scanRef(name: String): DataFrame =
+    scanAt(refs.getOrElse(name, throw new IllegalArgumentException(
+      s"no ref $name on $root"))._2)
+
+  private def putRef(name: String, tpe: String, snapshotId: Long,
+      replace: Boolean): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"bad ref name '$name' (all-digit names collide with version ids)")
+    val cur = refs
+    require(replace || !cur.contains(name),
+      s"ref $name already exists on $root")
+    snapshot(snapshotId) // throws if the target is expired/unknown
+    writeRefs(cur + (name -> (tpe, snapshotId)))
+  }
+
+  private def writeRefs(rs: Map[String, (String, Long)]): Unit = {
+    val m = Snapshot.mapper
+    val n = m.createObjectNode()
+    rs.toSeq.sortBy(_._1).foreach { case (name, (tpe, id)) =>
+      val o = n.putObject(name)
+      o.put("type", tpe); o.put("snapshot_id", id)
+    }
+    val tmp = new Path(metaDir, s".refs-${UUID.randomUUID()}.tmp")
+    writeStringExclusive(fs, tmp,
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+    val fc = FileContext.getFileContext(rootPath.toUri, hconf)
+    fc.rename(tmp, refsPath, Options.Rename.OVERWRITE)
+  }
+
+  private def refsPath = new Path(metaDir, REFS)
+
   private def readFiles(relFiles: Seq[String]): DataFrame =
     readFilesAs(current, relFiles)
 
@@ -1165,8 +1233,12 @@ final class LakeTable private (
     val cutoff = head - keepLast // expire ids <= cutoff
     if (cutoff < 1) return
     // iterate only RETAINED metadata — earlier expiries already removed
-    // their files, so (1 to cutoff) would trip snapshot()'s existence check
-    val (expired, kept) = snapshots.partition(_.snapshotId <= cutoff)
+    // their files, so (1 to cutoff) would trip snapshot()'s existence
+    // check. Snapshots pinned by a named ref (tag/branch) are protected
+    // regardless of age, transitively keeping their files and chunks.
+    val refIds = refs.values.map(_._2).toSet
+    val (expired, kept) = snapshots.partition(s =>
+      s.snapshotId <= cutoff && !refIds(s.snapshotId))
     val keptFiles = kept.flatMap(_.liveFiles).toSet
     val keptDeletes = kept.flatMap(s =>
       s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
@@ -1533,6 +1605,7 @@ object LakeTable {
   val DATA_DIR = "data"
   val DELETES_DIR = "deletes"
   val HEAD = "HEAD"
+  val REFS = "refs.json"
   /** Bounds-map type of the `.files` metadata view. */
   private val BOUNDS_TYPE = MapType(StringType,
     StructType(Seq(StructField("min", StringType),

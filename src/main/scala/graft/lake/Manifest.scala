@@ -314,6 +314,25 @@ object ManifestIO {
           PosDeleteFile(o.path("path").asText(), o.path("seq").asLong())
         }.toSeq,
       manifests = manifests)
-    materialize(skeleton, manifests.flatMap(loadChunk))
+    materialize(skeleton, loadChunks(manifests, loadChunk))
+  }
+
+  /** Fetch chunks with bounded parallelism, preserving order. Object
+    * stores are latency-bound per GET: a 10⁶-file table is ~2k chunks,
+    * which serial loading turns into minutes of driver wait; 16
+    * concurrent fetches make it seconds. Single-chunk (and cache-warm)
+    * loads skip the pool. */
+  private def loadChunks(names: Seq[String],
+      loadChunk: String => Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    if (names.sizeIs <= 1) return names.flatMap(loadChunk)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, names.size))
+    try {
+      names.map(n => pool.submit(
+          new java.util.concurrent.Callable[Seq[ManifestEntry]] {
+            def call(): Seq[ManifestEntry] = loadChunk(n)
+          }))
+        .flatMap(_.get())
+    } finally pool.shutdown()
   }
 }

@@ -147,6 +147,36 @@ WHEN NOT MATCHED THEN INSERT *
     assert(left == Seq((9L, "z")))
   }
 
+  test("named refs: tags pin snapshots past expiry; VERSION AS OF name reads them") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("ns", "t", df1.schema)
+    val lt = cat.loadTable("ns", "t")
+    val s1 = lt.append(df1)
+    lt.createTag("v1-release", s1)
+    // tags are immutable; branches move
+    lt.createBranch("audit", s1)
+    intercept[IllegalArgumentException](lt.updateRef("v1-release", s1))
+    (1 to 4).foreach(i => lt.append(Seq((10L + i, "x")).toDF("id", "v")))
+    lt.updateRef("audit", lt.currentSnapshotId.get)
+    // expiry would normally reclaim s1 (keepLast=1) — the tag pins it
+    lt.expireSnapshots(keepLast = 1)
+    assert(cat.sql("ns",
+      "SELECT count(*) AS n FROM t VERSION AS OF 'v1-release'")
+      .head.getLong(0) == 2)
+    assert(lt.scanRef("v1-release").count() == 2)
+    // dropping the tag releases it: the next expiry reclaims
+    lt.dropRef("v1-release")
+    lt.expireSnapshots(keepLast = 1)
+    intercept[Exception](lt.scanAt(s1))
+    // duplicate and all-digit names are rejected
+    intercept[IllegalArgumentException](
+      lt.createTag("audit", lt.currentSnapshotId.get))
+    intercept[IllegalArgumentException](
+      lt.createTag("123", lt.currentSnapshotId.get))
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
