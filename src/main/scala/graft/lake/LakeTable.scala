@@ -558,7 +558,7 @@ final class LakeTable private (
     val base = current
     val aligned = alignToSchema(df)
     val clustered = sortOrderColumns match {
-      case Nil => aligned
+      case Nil => distributeForWrite(aligned)
       case cols => aligned.repartitionByRange(cols.map(col): _*)
     }
     val WriteResult(added, stats, info) = writeDataFiles(clustered)
@@ -610,6 +610,26 @@ final class LakeTable private (
     * commit. No-op in production. */
   private[lake] var beforeCommitHook: () => Unit = () => ()
 
+  /** Ingest-path write distribution (≡ Iceberg's
+    * `write.distribution-mode=hash`): cluster rows by the table's
+    * partition expressions before a partitioned append/overwrite, so
+    * each hive partition is written by ~one task instead of EVERY task
+    * — without it, a 1000-task ingest into 500 partitions strands up
+    * to 500k tiny files per commit (the small-files problem compaction
+    * then has to clean up). Opt-in (`none` default): the shuffle is a
+    * real cost, and un-partitioned tables or pre-clustered ingests
+    * don't need it. Sort-ordered tables already range-cluster, and
+    * rewriting ops (merge/compact) keep their own partitioning. */
+  private def distributeForWrite(df: DataFrame): DataFrame = {
+    val fields = partitionFields
+    if (fields.isEmpty ||
+        !properties.get(PROP_DISTRIBUTION_MODE).contains("hash")) df
+    else {
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      df.repartition(fields.map(f => f.expr(types(f.source))): _*)
+    }
+  }
+
   /** Columns of the `write.sort.order` property that exist in the
     * current schema (comma-separated; unknown names are ignored so a
     * schema evolution can't wedge writes). */
@@ -625,7 +645,8 @@ final class LakeTable private (
     * expireSnapshots can reclaim the delete files. */
   def overwrite(df: DataFrame): Long = {
     val base = current
-    val WriteResult(added, stats, info) = writeDataFiles(alignToSchema(df))
+    val WriteResult(added, stats, info) =
+      writeDataFiles(distributeForWrite(alignToSchema(df)))
     commit(base, "overwrite", added = added, removed = base.liveFiles,
       live = added, addedStats = stats, addedInfo = info, deletesOverride = Some(Nil),
       posDeletesOverride = Some(Nil))
@@ -1625,6 +1646,8 @@ object LakeTable {
     * range-cluster on them so per-file stats ranges are disjoint. */
   val PROP_SORT_ORDER = "write.sort.order"
   val PROP_MERGE_MODE = "write.merge.mode"
+  /** `none` (default) | `hash` — see distributeForWrite. */
+  val PROP_DISTRIBUTION_MODE = "write.distribution-mode"
   val PROP_DELETE_MODE = "write.delete.mode"
   val PROP_UPDATE_MODE = "write.update.mode"
   val PROP_FORMAT_VERSION = "format-version"

@@ -202,6 +202,33 @@ class ManifestSpec extends AnyFunSuite {
     assert(t.scan().count() == 4000)
   }
 
+  test("write.distribution-mode=hash collapses per-task partition fanout") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i", i % 5)).toDF("id", "v", "p")
+    val spread = df.repartition(8) // every task sees every partition
+    // default: fanout — each of the 8 tasks writes each of 5 partitions
+    val r1 = TestSpark.tmpDir("dist-none") + "/t"
+    val t1 = LakeTable.create(spark, r1, df.schema, Seq("p"))
+    t1.append(spread)
+    assert(t1.currentSnapshot.get.liveFiles.size > 5,
+      s"expected task-fanout file count, got ${t1.currentSnapshot.get.liveFiles.size}")
+    // hash mode: rows cluster by partition value first — ~1 file each
+    val r2 = TestSpark.tmpDir("dist-hash") + "/t"
+    val t2 = LakeTable.create(spark, r2, df.schema, Seq("p"),
+      properties = Map(LakeTable.PROP_DISTRIBUTION_MODE -> "hash"))
+    t2.append(spread)
+    assert(t2.currentSnapshot.get.liveFiles.size == 5,
+      s"hash distribution should write one file per partition, got " +
+        s"${t2.currentSnapshot.get.liveFiles}")
+    // same content either way
+    assert(t2.scan().orderBy("id").collect().toSeq ==
+      t1.scan().orderBy("id").collect().toSeq)
+    // overwrite takes the same path
+    t2.overwrite(spread)
+    assert(t2.currentSnapshot.get.liveFiles.size == 5)
+    assert(t2.scan().where(col("p") === 3).count() == 800)
+  }
+
   test("chunk codec round-trips every entry field") {
     val entries = Seq(
       ManifestEntry("data/p=1/f1.parquet", 3L,
