@@ -1,9 +1,10 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.connector.expressions.{Literal => ConnectorLiteral, Transform => ConnectorTransform}
 import org.apache.spark.sql.functions._
 
 /** SQL text front-end for the lake layer's DML and time travel — the
@@ -34,12 +35,16 @@ object LakeSql {
       catch { case _: Exception => return spark.sql(query) }
     parsed match {
       case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable |
-          _: InsertIntoStatement) =>
+          _: InsertIntoStatement | _: CreateTable | _: CreateTableAsSelect |
+          _: DropTable) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
           case u: UpdateTable => update(cat, ns, u)
           case i: InsertIntoStatement => insert(cat, ns, i)
+          case c: CreateTable => create(cat, ns, c)
+          case c: CreateTableAsSelect => createAsSelect(cat, ns, c)
+          case d: DropTable => drop(cat, ns, d)
         }
         // re-register so the caller's NEXT statement sees the new state
         cat.registerViews(ns)
@@ -105,6 +110,80 @@ object LakeSql {
     cat.spark.emptyDataFrame
   }
 
+  /** `CREATE TABLE t (cols) [PARTITIONED BY (…)] [TBLPROPERTIES (…)]`
+    * → [[LakeCatalog.createTable]]. Partition transforms map onto the
+    * engine's hidden-partitioning specs (identity, bucket(N, col),
+    * days/months/years → day/month/year, truncate(W, col)). */
+  private def create(cat: LakeCatalog, ns: String,
+      c: CreateTable): DataFrame = {
+    val name = tableNameOf(c.name)
+    if (cat.tableExists(ns, name)) {
+      if (c.ignoreIfExists) return cat.spark.emptyDataFrame
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
+    }
+    cat.createTable(ns, name, c.tableSchema,
+      partitionBy = c.partitioning.map(specOf),
+      properties = propertiesOf(c.tableSpec))
+    cat.spark.emptyDataFrame
+  }
+
+  /** `CREATE TABLE t [PARTITIONED BY (…)] AS SELECT …` → create from
+    * the query's schema, then append its rows. */
+  private def createAsSelect(cat: LakeCatalog, ns: String,
+      c: CreateTableAsSelect): DataFrame = {
+    val name = tableNameOf(c.name)
+    if (cat.tableExists(ns, name)) {
+      if (c.ignoreIfExists) return cat.spark.emptyDataFrame
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
+    }
+    val df = GraftSqlBridge.ofRows(cat.spark, c.query)
+    val lt = cat.createTable(ns, name, df.schema,
+      partitionBy = c.partitioning.map(specOf),
+      properties = propertiesOf(c.tableSpec))
+    lt.append(df)
+    cat.spark.emptyDataFrame
+  }
+
+  /** `DROP TABLE [IF EXISTS] t` → [[LakeCatalog.dropTable]]. */
+  private def drop(cat: LakeCatalog, ns: String, d: DropTable): DataFrame = {
+    val name = tableNameOf(d.child)
+    if (!cat.tableExists(ns, name) && !d.ifExists)
+      throw new IllegalArgumentException(s"no table $ns.$name")
+    cat.dropTable(ns, name)
+    // a dropped table's stale temp views would shadow future state
+    Seq("", "_history", "_files", "_snapshots", "_partitions").foreach(
+      sfx => cat.spark.catalog.dropTempView(s"$name$sfx"))
+    cat.spark.emptyDataFrame
+  }
+
+  /** Connector partition transform → the engine's spec string. The
+    * literal/reference split is positional-order-agnostic. */
+  private def specOf(t: ConnectorTransform): String = {
+    val ref = t.references().flatMap(_.fieldNames()).mkString(".")
+    lazy val lits = t.arguments().collect {
+      case l: ConnectorLiteral[_] => l.value.toString
+    }
+    // SQL text may spell either form (`day(ts)` parses as an apply
+    // transform named "day"; the DataFrame API canonicalizes to "days")
+    t.name() match {
+      case "identity" => ref
+      case "bucket" => s"bucket(${lits.head}, $ref)"
+      case "days" | "day" => s"day($ref)"
+      case "months" | "month" => s"month($ref)"
+      case "years" | "year" => s"year($ref)"
+      case "truncate" => s"truncate(${lits.head}, $ref)"
+      case other => throw new UnsupportedOperationException(
+        s"partition transform $other not supported")
+    }
+  }
+
+  private def propertiesOf(spec: TableSpecBase): Map[String, String] =
+    spec match {
+      case u: UnresolvedTableSpec => u.properties
+      case t: TableSpec => t.properties
+      case _ => Map.empty
+    }
+
   /** `DELETE FROM t WHERE p` → [[LakeTable.delete]] (COW or MOR per
     * table properties). No WHERE parses as a true predicate. */
   private def delete(cat: LakeCatalog, ns: String,
@@ -161,6 +240,7 @@ object LakeSql {
   private def tableNameOf(plan: LogicalPlan): String = plan match {
     case SubqueryAlias(_, child) => tableNameOf(child)
     case u: UnresolvedRelation => u.multipartIdentifier.last
+    case u: UnresolvedIdentifier => u.nameParts.last
     case other => throw new UnsupportedOperationException(
       s"cannot resolve DML target: ${other.getClass.getSimpleName}")
   }

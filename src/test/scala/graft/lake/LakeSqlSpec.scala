@@ -177,6 +177,41 @@ WHEN NOT MATCHED THEN INSERT *
       lt.createTag("123", lt.currentSnapshotId.get))
   }
 
+  test("CREATE TABLE / CTAS / DROP TABLE text with transforms and properties") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    cat.sql("ns",
+      """CREATE TABLE t (id BIGINT NOT NULL, v STRING, ts TIMESTAMP,
+        |                score DOUBLE)
+        |PARTITIONED BY (bucket(4, id), day(ts))
+        |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""".stripMargin)
+    val lt = cat.loadTable("ns", "t")
+    assert(lt.partitionColumns == Seq("bucket(4, id)", "day(ts)"))
+    assert(lt.properties == Map("write.merge.mode" -> "merge-on-read"))
+    assert(lt.schema.fieldNames.toSeq == Seq("id", "v", "ts", "score"))
+    assert(!lt.schema("id").nullable)
+    // IF NOT EXISTS no-ops; plain re-create errors
+    cat.sql("ns", "CREATE TABLE IF NOT EXISTS t (x INT)")
+    assert(cat.loadTable("ns", "t").schema.fieldNames.length == 4)
+    intercept[IllegalArgumentException](
+      cat.sql("ns", "CREATE TABLE t (x INT)"))
+    // data flows through the created table via SQL alone
+    cat.sql("ns",
+      "INSERT INTO t VALUES (1, 'a', TIMESTAMP '2026-01-02 03:04:05', 1.0)")
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM t").head.getLong(0) == 1)
+    // the bucket/day transforms actually landed in the layout
+    val file = cat.loadTable("ns", "t").currentSnapshot.get.liveFiles.head
+    assert(file.contains("id_bucket_4=") && file.contains("ts_day="), file)
+    // CTAS
+    cat.sql("ns", "CREATE TABLE t2 AS SELECT id, v FROM t")
+    assert(cat.sql("ns", "SELECT v FROM t2").head.getString(0) == "a")
+    // DROP
+    cat.sql("ns", "DROP TABLE t2")
+    assert(!cat.tableExists("ns", "t2"))
+    intercept[IllegalArgumentException](cat.sql("ns", "DROP TABLE t2"))
+    cat.sql("ns", "DROP TABLE IF EXISTS t2") // no-op
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
