@@ -571,6 +571,37 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM orders_t""".stripMargin)
     }),
 
+    "q_sql_merge_cdc" -> ((s, dir) => {
+      // CDC-shaped MERGE text: Op='D' rows delete, the rest upsert —
+      // the single-statement form of the reference's I/U/D handling.
+      // Unmatched delete rows are no-ops (never inserts), per the
+      // engine's documented CDC contract.
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqlcdc"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema)
+      cat.loadTable("ns", "orders_t")
+        .append(orders.where(col("o_orderkey") % 3 =!= 0))
+      orders.where(col("o_orderkey") % 2 === 0)
+        .withColumn("Op",
+          when(col("o_orderkey") % 10 === 0, "D").otherwise("U"))
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("__cdc_batch")
+      cat.sql("ns",
+        """MERGE INTO orders_t AS target USING __cdc_batch AS source
+          |ON target.o_orderkey = source.o_orderkey
+          |WHEN MATCHED AND source.Op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = cat.sql("ns",
+        """SELECT o_orderkey, o_orderstatus,
+          | round(o_totalprice, 2) AS o_totalprice
+          |FROM orders_t""".stripMargin)
+      s.catalog.dropTempView("__cdc_batch")
+      out
+    }),
+
     "q_sql_insert" -> ((s, dir) => {
       // INSERT INTO text: two appends through the SQL surface rebuild
       // the full orders table
@@ -1271,6 +1302,31 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // tgt = %3<>0 keys; CDC batch over %2=0 keys: %10=0 delete, rest
+    // update (status U, price*2); unmatched updates insert, unmatched
+    // deletes no-op
+    "q_sql_merge_cdc" ->
+      """WITH tgt AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(u.o_orderkey, tgt.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL
+        |       THEN u.o_orderstatus ELSE tgt.o_orderstatus
+        |  END AS o_orderstatus,
+        |  round(CASE WHEN u.o_orderkey IS NOT NULL
+        |       THEN u.o_totalprice ELSE tgt.o_totalprice END, 2)
+        |    AS o_totalprice
+        |FROM tgt
+        |FULL OUTER JOIN (SELECT * FROM src WHERE op = 'U') u
+        |  ON tgt.o_orderkey = u.o_orderkey
+        |WHERE coalesce(u.o_orderkey, tgt.o_orderkey) NOT IN
+        |  (SELECT o_orderkey FROM src WHERE op = 'D')""".stripMargin,
 
     "q_sql_insert" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -61,13 +61,9 @@ object LakeSql {
     * other action lists are rejected loudly rather than half-applied. */
   private def merge(cat: LakeCatalog, ns: String,
       m: MergeIntoTable): DataFrame = {
-    val starShape =
-      m.matchedActions == Seq(UpdateStarAction(None)) &&
-        m.notMatchedActions == Seq(InsertStarAction(None)) &&
-        m.notMatchedBySourceActions.isEmpty
-    if (!starShape) throw new UnsupportedOperationException(
-      "MERGE supports exactly WHEN MATCHED THEN UPDATE SET * / " +
-        "WHEN NOT MATCHED THEN INSERT * (the reference's shape)")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "WHEN NOT MATCHED BY SOURCE is not supported")
     val keys = equiKeys(m.mergeCondition).getOrElse(
       throw new UnsupportedOperationException(
         "MERGE ON must be a conjunction of target.k = source.k " +
@@ -79,7 +75,23 @@ object LakeSql {
     // (the reference's __temp_table pattern); extra projected columns
     // like the dedup row_num are dropped by merge's schema alignment
     val src = GraftSqlBridge.ofRows(cat.spark, m.sourceTable)
-    lt.merge(src, norm)
+    (m.matchedActions, m.notMatchedActions) match {
+      // the reference's upsert shape (scripts/bronze-silver.py:254-269)
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        lt.merge(src, norm)
+      // CDC shape: delete-flagged rows drop, the rest upsert
+      case (Seq(DeleteAction(cond), UpdateStarAction(None)),
+          Seq(InsertStarAction(None))) =>
+        lt.merge(src, norm,
+          deleteWhen = Some(cond.map(columnOf).getOrElse(lit(true))))
+      // pure keyed delete: every matched key drops, nothing inserts
+      case (Seq(DeleteAction(None)), Seq()) =>
+        lt.deleteByKeys(src.select(norm.map(col): _*).distinct(), norm)
+      case _ => throw new UnsupportedOperationException(
+        "MERGE supports UPDATE SET * / INSERT * (upsert), " +
+          "DELETE [AND cond] + UPDATE SET * / INSERT * (CDC), or " +
+          "a bare WHEN MATCHED THEN DELETE (keyed delete)")
+    }
     cat.spark.emptyDataFrame
   }
 

@@ -662,12 +662,31 @@ final class LakeTable private (
     * scripts/bronze-silver.py:258-266); rows with a null key never match
     * and are treated as inserts (SQL join semantics).
     */
-  def merge(source: DataFrame, keys: Seq[String]): Long = {
+  def merge(source: DataFrame, keys: Seq[String]): Long =
+    merge(source, keys, None)
+
+  /** CDC-shaped MERGE: `deleteWhen` marks source rows as deletions —
+    * `WHEN MATCHED AND <cond> THEN DELETE` (the single-statement form
+    * of the reference's Op = 'D' CDC handling, which its pipeline
+    * spells as a separate keyed delete — SURVEY.md §2.2 K6 note). The
+    * condition is evaluated against the RAW source (it may reference
+    * source-only columns like a CDC Op column, which schema alignment
+    * would drop); a null condition counts as not-deleted. Delete rows
+    * whose key matches nothing are no-ops; a deduped batch has each
+    * key either deleting or upserting, never both (same caller
+    * contract as the upsert form). */
+  def merge(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column]): Long = {
     val base = current
-    val src = alignToSchema(source)
+    // split on the delete condition BEFORE alignment drops CDC columns
+    val delCond = deleteWhen.map(c => coalesce(c, lit(false)))
+    val deleteKeys = delCond.map(c =>
+      source.where(c).select(keys.map(col): _*).na.drop().distinct())
+    val src = alignToSchema(
+      delCond.map(c => source.where(not(c))).getOrElse(source))
     if (base.liveFiles.isEmpty) return append(src)
     if (properties.get(PROP_MERGE_MODE).contains("merge-on-read"))
-      return mergeMor(base, src, keys)
+      return mergeMor(base, src, keys, deleteKeys)
 
     // 1) Affected-file pruning, two stages:
     //    (a) manifest-stats range intersection — driver-only, touches ZERO
@@ -676,18 +695,23 @@ final class LakeTable private (
     //    (b) key-columns-only scan of the surviving files, semi-joined with
     //        the distinct source keys (column-pruned Parquet scan; AQE
     //        broadcasts the key set when small).
-    val candidates = pruneByStats(base, src, keys)
+    //    Both stages run over upsert AND delete keys.
     val srcKeys = src.select(keys.map(col): _*).distinct()
+    val allKeys = deleteKeys match {
+      case Some(d) => srcKeys.unionByName(d).distinct()
+      case None => srcKeys
+    }
+    val candidates = pruneByStats(base, allKeys, keys)
     val affected =
       if (candidates.isEmpty) Nil
       else readFilesWithName(candidates)
         .select((keys.map(col) :+ col(FILE_COL)): _*)
-        .join(srcKeys, keys, "left_semi")
+        .join(allKeys, keys, "left_semi")
         .select(FILE_COL).distinct()
         .collect().map(r => relativize(r.getString(0))).toSeq
 
     if (affected.isEmpty) {
-      // pure-insert batch: nothing to rewrite
+      // pure-insert batch: nothing to rewrite (deletes matched nothing)
       val WriteResult(added, stats, info) = writeDataFiles(src)
       return commit(base, "merge", added = added, removed = Nil,
         live = base.liveFiles ++ added, addedStats = stats, addedInfo = info)
@@ -696,7 +720,7 @@ final class LakeTable private (
     // 2) Rewrite ONLY the affected files: full-outer join with the source;
     //    a matched row takes every source column (UPDATE SET *), an
     //    unmatched target row is carried through, an unmatched source row
-    //    is an insert.
+    //    is an insert; rows keyed by a delete row are dropped last.
     val cols = schema.fieldNames.toSeq
     val tgt = readFiles(affected).alias("t")
     val s = src.withColumn(SRC_MARK, lit(1)).alias("s")
@@ -710,8 +734,12 @@ final class LakeTable private (
         when(col(SRC_MARK).isNotNull, col(s"s.$c"))
           .otherwise(col(s"t.$c")).as(c)
       }: _*)
+    val result = deleteKeys match {
+      case Some(d) => merged.join(d, keys, "left_anti")
+      case None => merged
+    }
 
-    val WriteResult(added, stats, info) = writeDataFiles(merged)
+    val WriteResult(added, stats, info) = writeDataFiles(result)
     commit(base, "merge", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
   }
@@ -726,9 +754,15 @@ final class LakeTable private (
     * self-suppressed; null-key source rows are pure inserts (their keys
     * are excluded from the delete file), matching the COW contract. */
   private def mergeMor(base: Snapshot, src: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], extraDeleteKeys: Option[DataFrame] = None): Long = {
     val WriteResult(added, stats, info) = writeDataFiles(src)
-    val delKeys = src.select(keys.map(col): _*).distinct().na.drop()
+    // one equality-delete file covers upserts (replaced by the
+    // after-image) AND CDC delete rows (no after-image at all)
+    val srcDelKeys = src.select(keys.map(col): _*).distinct().na.drop()
+    val delKeys = extraDeleteKeys match {
+      case Some(d) => srcDelKeys.unionByName(d).distinct()
+      case None => srcDelKeys
+    }
     val delPaths = writeDeleteFiles(delKeys)
     // retry-safe against any same-schema interleaving: the re-based
     // delete file's new sequence suppresses matching keys in EVERY

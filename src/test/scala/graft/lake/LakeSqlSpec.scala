@@ -83,9 +83,10 @@ WHEN NOT MATCHED THEN INSERT *
     cat.loadTable("ns", "t").append(df)
     df.createOrReplaceTempView("__src")
     intercept[UnsupportedOperationException] {
+      // explicit SET assignments (not SET *) are outside the contract
       cat.sql("ns",
         """MERGE INTO t USING __src AS s ON t.id = s.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+          |WHEN MATCHED THEN UPDATE SET v = 'x'""".stripMargin)
     }
     assert(cat.sql("ns", "SELECT count(*) AS n FROM t").head.getLong(0) == 1)
     spark.catalog.dropTempView("__src")
@@ -175,6 +176,60 @@ WHEN NOT MATCHED THEN INSERT *
       lt.createTag("audit", lt.currentSnapshotId.get))
     intercept[IllegalArgumentException](
       lt.createTag("123", lt.currentSnapshotId.get))
+  }
+
+  test("CDC MERGE: WHEN MATCHED AND Op='D' THEN DELETE, else upsert") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val tgt = Seq((1L, "keep"), (2L, "update-me"), (3L, "delete-me"))
+      .toDF("id", "v")
+    cat.createTable("ns", "t", tgt.schema)
+    cat.loadTable("ns", "t").append(tgt)
+    // CDC batch: U on 2, D on 3, D on missing 9 (no-op), I on 4
+    Seq((2L, "updated", "U"), (3L, "x", "D"), (9L, "x", "D"),
+      (4L, "inserted", "I"))
+      .toDF("id", "v", "Op").createOrReplaceTempView("__cdc")
+    cat.sql("ns",
+      """MERGE INTO t AS target USING __cdc AS source
+        |ON target.id = source.id
+        |WHEN MATCHED AND source.Op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = cat.sql("ns", "SELECT id, v FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // NB: the unmatched D row (9) must NOT insert; 4's Op column is
+    // dropped by schema alignment
+    assert(got == Seq((1L, "keep"), (2L, "updated"), (4L, "inserted")))
+    // bare WHEN MATCHED THEN DELETE = keyed delete
+    Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("__dels")
+    cat.sql("ns",
+      """MERGE INTO t USING __dels AS s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(cat.sql("ns", "SELECT id FROM t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    spark.catalog.dropTempView("__cdc")
+    spark.catalog.dropTempView("__dels")
+  }
+
+  test("CDC MERGE on a merge-on-read table applies deletes via delete files") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val tgt = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.createTable("ns", "t", tgt.schema,
+      properties = Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+    val lt = cat.loadTable("ns", "t")
+    lt.append(tgt)
+    val nFilesBefore = lt.currentSnapshot.get.liveFiles.size
+    lt.merge(Seq((2L, "B", "U"), (3L, "x", "D")).toDF("id", "v", "Op"),
+      Seq("id"), deleteWhen = Some(col("Op") === "D"))
+    val got = lt.scan().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B")))
+    // MOR: no base data file was rewritten (delete file + after-image)
+    val snap = lt.currentSnapshot.get
+    assert(snap.liveFiles.size > nFilesBefore)
+    assert(snap.removedFiles.isEmpty)
+    assert(snap.deleteFiles.nonEmpty)
   }
 
   test("CREATE TABLE / CTAS / DROP TABLE text with transforms and properties") {
