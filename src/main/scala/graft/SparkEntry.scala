@@ -350,6 +350,23 @@ WHEN NOT MATCHED THEN INSERT *
       lt.scan()
     }),
 
+    "q_partition_evolution" -> ((s, dir) => {
+      // partition evolution: era 0 unpartitioned, era 1 partitioned by
+      // o_orderpriority; a merge then updates keys in BOTH layout eras
+      // and the scan unions them
+      val orders = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1997-01-01"), "yyyy-MM-dd")
+      val root = tmp("graft-evospec") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema)
+      lt.append(orders.where(col("o_orderdate") < cut))
+      lt.evolvePartitionSpec(Seq("o_orderpriority"))
+      lt.append(orders.where(col("o_orderdate") >= cut))
+      lt.merge(orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("E")), Seq("o_orderkey"))
+      lt.scan().select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_mor_merge" -> ((s, dir) => {
       // merge-on-read: same upsert semantics as q_merge_upsert but the
       // merge commits an equality-delete file + the after-image instead
@@ -1236,6 +1253,15 @@ WHEN NOT MATCHED THEN INSERT *
         | CAST(min(n_nationkey) AS BIGINT) AS min_nationkey,
         | CAST(max(n_nationkey) AS BIGINT) AS max_nationkey
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // every order is present (the two appends partition on orderdate);
+    // the merge flips %100 keys to status E across both layout eras
+    "q_partition_evolution" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 100 = 0 THEN 'E' ELSE o_orderstatus
+        | END AS o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     "q_mor_merge" ->
       """WITH tgt AS (

@@ -116,6 +116,13 @@ final class LakeTable private (
   private def partitionFields: Seq[PartitionSpec.Field] =
     PartitionSpec.parseAll(current.partitionColumns)
 
+  /** Source columns of the current AND every historical partition spec
+    * — rename/drop must refuse all of them (old-era files recover the
+    * column from their directory layout by name). */
+  private def specSources: Set[String] =
+    current.specsOrDefault.values.flatten.toSeq
+      .flatMap(s => PartitionSpec.parseAll(Seq(s))).map(_.source).toSet
+
   def properties: Map[String, String] = current.properties
 
   /** All retained snapshots, oldest → newest (linear history; early
@@ -271,10 +278,11 @@ final class LakeTable private (
     require(endInclusive >= startExclusive,
       s"bad snapshot range ($startExclusive, $endInclusive]")
     val snaps = ((startExclusive + 1) to endInclusive).map(snapshot)
-    // evolve-schema commits add no data rows — they are transparent to an
-    // incremental range (added files still read under the current schema)
+    // evolve-schema/evolve-spec commits add no data rows — they are
+    // transparent to an incremental range (added files still read under
+    // the current schema; spec eras are grouped per file)
     snaps.find(s => s.operation != "append" && s.operation != "create" &&
-        s.operation != "evolve-schema")
+        s.operation != "evolve-schema" && s.operation != "evolve-spec")
       .foreach { s =>
         throw new UnsupportedOperationException(
           s"incremental scan over non-append snapshot ${s.snapshotId} " +
@@ -486,10 +494,15 @@ final class LakeTable private (
       val s = ctx.fileSeq.getOrElse(f, 0L)
       dels.count(_.seq <= s)
     }
+    // group additionally by partition-spec era: files of different
+    // layouts (hive dirs present/absent/differently shaped) cannot
+    // share one scan — Spark's partition discovery would see
+    // conflicting directory structures
     val groups = relFiles.groupBy(f =>
       (ctx.fileRenames.getOrElse(f, Map.empty[String, String]),
-        if (dels.isEmpty) 0 else era(f)))
-    val parts = groups.toSeq.map { case ((mapping, e), files) =>
+        if (dels.isEmpty) 0 else era(f),
+        ctx.fileSpec.getOrElse(f, 0L)))
+    val parts = groups.toSeq.map { case ((mapping, e, _), files) =>
       val abs = files.map(f => new Path(rootPath, f).toString)
       val physSchema =
         if (mapping.isEmpty) sch
@@ -1071,6 +1084,32 @@ final class LakeTable private (
     }
   }
 
+  /** Partition evolution (≡ Iceberg `ALTER TABLE … [ADD|DROP|REPLACE]
+    * PARTITION FIELD`): switch FUTURE writes to `partitionBy` without
+    * rewriting a byte of history. A metadata-only commit registers the
+    * new spec and makes it current; every existing file keeps the spec
+    * id it was written under, and scans read each layout era with its
+    * own per-era sub-scan (same union shape as rename eras). MERGE /
+    * DELETE pruning degrades gracefully across eras: a file's recorded
+    * partition point-stats are keyed by ITS spec's derived names, so
+    * old-era files simply aren't partition-pruned by the new spec's
+    * transforms (bounds pruning still applies). [[compact]] rewrites
+    * under the current spec — the lazy migration path. */
+  def evolvePartitionSpec(partitionBy: Seq[String]): Long = {
+    val base = current
+    if (partitionBy == base.partitionColumns) return base.snapshotId
+    validateSpec(schema, partitionBy)
+    val registry = base.specsOrDefault
+    // reuse an already-registered identical spec's id (evolve A→B→A
+    // keeps era grouping minimal); otherwise mint the next id
+    val newId = registry.find(_._2 == partitionBy).map(_._1)
+      .getOrElse(registry.keys.max + 1L)
+    commit(base, "evolve-spec", added = Nil, removed = Nil,
+      live = base.liveFiles,
+      specChange = Some((partitionBy, newId,
+        registry + (newId -> partitionBy))))
+  }
+
   // -------------------------------------------------------- schema evolution
 
   /** Add a nullable column (metadata-only commit, ≡ Iceberg
@@ -1114,9 +1153,9 @@ final class LakeTable private (
     require(sch.fieldNames.contains(oldName), s"no column $oldName")
     require(!sch.fieldNames.contains(newName),
       s"column $newName already exists")
-    require(!partitionFields.exists(_.source == oldName),
+    require(!specSources.contains(oldName),
       s"cannot rename partition source column $oldName " +
-        "(baked into the hive directory layout / partition spec)")
+        "(baked into the hive directory layout of some spec era)")
     val newSchema = StructType(sch.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     // every pre-rename live file now maps newName -> its physical name
@@ -1147,8 +1186,9 @@ final class LakeTable private (
     val base = current
     val sch = schema
     require(sch.fieldNames.contains(name), s"no column $name")
-    require(!partitionFields.exists(_.source == name),
-      s"cannot drop partition source column $name")
+    require(!specSources.contains(name),
+      s"cannot drop partition source column $name " +
+        "(of the current or a historical spec era)")
     require(sch.fields.length > 1, "cannot drop the last column")
     val newSchema = StructType(sch.fields.filterNot(_.name == name))
     val stats = base.fileStats
@@ -1356,7 +1396,12 @@ final class LakeTable private (
       infoOverride = Some(target.fileInfo),
       // the restored state is exactly the target's → its chunks are
       // reused verbatim and the rollback writes ~zero chunk bytes
-      reuseChunksFrom = Seq(target))
+      reuseChunksFrom = Seq(target),
+      // restore the target's partition spec too (keep every spec both
+      // eras know — expired-spec files may still exist elsewhere)
+      specChange = Some((target.partitionColumns, target.currentSpecId,
+        base.specsOrDefault ++ target.specsOrDefault)),
+      fileSpecOverride = Some(target.fileSpec))
   }
 
   /** Delete files under `data/` and `deletes/` referenced by NO retained
@@ -1542,7 +1587,9 @@ final class LakeTable private (
       seqOverride: Option[Map[String, Long]] = None,
       addedInfo: Map[String, FileInfo] = Map.empty,
       infoOverride: Option[Map[String, FileInfo]] = None,
-      reuseChunksFrom: Seq[Snapshot] = Nil): Long = {
+      reuseChunksFrom: Seq[Snapshot] = Nil,
+      specChange: Option[(Seq[String], Long, Map[Long, Seq[String]])] = None,
+      fileSpecOverride: Option[Map[String, Long]] = None): Long = {
     val id = base.snapshotId + 1
     // Append-shaped commits (nothing removed, no per-file overrides —
     // append, MOR merge/delete/update) keep every base entry live, so
@@ -1552,6 +1599,7 @@ final class LakeTable private (
     val appendShaped = removed.isEmpty && statsOverride.isEmpty &&
       renamesOverride.isEmpty && seqOverride.isEmpty &&
       infoOverride.isEmpty && reuseChunksFrom.isEmpty &&
+      fileSpecOverride.isEmpty &&
       live.length == base.liveFiles.length + added.length &&
       // a legacy inline base has files but no chunks — the slow path
       // chunks its whole carried state (the upgrade commit)
@@ -1573,10 +1621,21 @@ final class LakeTable private (
     val finfo = infoOverride.getOrElse(
       if (appendShaped) base.fileInfo ++ addedInfo
       else base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
+    // partition-spec bookkeeping: new files carry the committing spec
+    // id; an evolve-spec commit swaps the current spec + registry
+    val (pcols, curSpec, specs) = specChange.getOrElse(
+      (base.partitionColumns, base.currentSpecId, base.partitionSpecs))
+    val addedSpec =
+      if (base.currentSpecId == 0L) Nil
+      else added.map(_ -> base.currentSpecId)
+    val fspec = fileSpecOverride.getOrElse(
+      (if (appendShaped) base.fileSpec
+       else base.fileSpec.filter { case (f, _) => liveSet(f) }) ++ addedSpec)
     val snap0 = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
-      base.partitionColumns, base.properties, stats, renames, seqs, dels,
-      pdels, finfo)
+      pcols, base.properties, stats, renames, seqs, dels,
+      pdels, finfo, fileSpec = fspec, partitionSpecs = specs,
+      currentSpecId = curSpec)
     // Chunk the per-file state (see ManifestIO): reuse every parent
     // chunk whose entries are unchanged (rollback additionally offers
     // its target's chunks), write only the delta. Chunks are written
@@ -1589,7 +1648,7 @@ final class LakeTable private (
           added.map(f => ManifestEntry(f, seqs.getOrElse(f, 0L),
             stats.getOrElse(f, Map.empty),
             renames.getOrElse(f, Map.empty).filter(_._2.nonEmpty),
-            finfo.get(f))),
+            finfo.get(f), fspec.getOrElse(f, 0L))),
           loadChunk)
       else {
         val candidateNames =
@@ -1717,6 +1776,21 @@ object LakeTable {
     * read NULL even if they carry dead bytes under the same name. */
   private val ABSENT_PREFIX = "__graft_absent_"
 
+  /** Partition-spec validation shared by create and evolve:
+    * entries are identity column names or transform specs
+    * ("bucket(8, key)", "day(ts)", … — see [[PartitionSpec]]). */
+  private[lake] def validateSpec(schema: StructType,
+      partitionBy: Seq[String]): Unit =
+    PartitionSpec.parseAll(partitionBy).foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source column ${f.source} not in schema")
+      require(f.validFor(schema(f.source).dataType),
+        s"partition transform '${f.spec}' not applicable to " +
+          s"${schema(f.source).dataType.simpleString} ${f.source}")
+      require(f.isIdentity || !schema.fieldNames.contains(f.dirName),
+        s"derived partition name ${f.dirName} collides with a column")
+    }
+
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, s"$METADATA_DIR/$HEAD")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
@@ -1729,17 +1803,7 @@ object LakeTable {
       partitionBy: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): LakeTable = {
     require(!exists(spark, root), s"table $root already exists")
-    // partitionBy entries are identity column names or transform specs
-    // ("bucket(8, key)", "day(ts)", … — see PartitionSpec)
-    PartitionSpec.parseAll(partitionBy).foreach { f =>
-      require(schema.fieldNames.contains(f.source),
-        s"partition source column ${f.source} not in schema")
-      require(f.validFor(schema(f.source).dataType),
-        s"partition transform '${f.spec}' not applicable to " +
-          s"${schema(f.source).dataType.simpleString} ${f.source}")
-      require(f.isIdentity || !schema.fieldNames.contains(f.dirName),
-        s"derived partition name ${f.dirName} collides with a column")
-    }
+    validateSpec(schema, partitionBy)
     val t = new LakeTable(spark, root)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(root, METADATA_DIR))

@@ -22,7 +22,10 @@ final case class ManifestEntry(
     /** current column name → physical as-written name (renames only). */
     renames: Map[String, String],
     /** Size/row-count; None = unknown (legacy manifest). */
-    info: Option[FileInfo])
+    info: Option[FileInfo],
+    /** Partition-spec id the file was written under (0 = creation
+      * spec) — see [[Snapshot.fileSpec]]. */
+    specId: Long = 0L)
 
 /** Chunked manifest IO — the scalable commit-metadata layer.
   *
@@ -65,7 +68,8 @@ object ManifestIO {
       ManifestEntry(f, s.fileSeq.getOrElse(f, 0L),
         s.fileStats.getOrElse(f, Map.empty),
         s.fileRenames.getOrElse(f, Map.empty).filter(_._2.nonEmpty),
-        s.fileInfo.get(f))
+        s.fileInfo.get(f),
+        s.fileSpec.getOrElse(f, 0L))
     }
 
   /** Rebuild the snapshot's per-file maps from loaded chunk entries
@@ -80,7 +84,9 @@ object ManifestIO {
       fileSeq = entries.iterator
         .filter(_.seq != 0L).map(e => e.path -> e.seq).toMap,
       fileInfo = entries.iterator
-        .flatMap(e => e.info.map(e.path -> _)).toMap)
+        .flatMap(e => e.info.map(e.path -> _)).toMap,
+      fileSpec = entries.iterator
+        .filter(_.specId != 0L).map(e => e.path -> e.specId).toMap)
 
   /** Chunk-level commit plan: `reused` parent chunks carried by name,
     * `toWrite` entry groups needing fresh chunk files. */
@@ -208,6 +214,7 @@ object ManifestIO {
       e.info.foreach { fi =>
         o.put("bytes", fi.bytes); o.put("rows", fi.rows)
       }
+      if (e.specId != 0L) o.put("spec", e.specId)
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
@@ -231,7 +238,8 @@ object ManifestIO {
         info =
           if (o.has("bytes"))
             Some(FileInfo(o.path("bytes").asLong(), o.path("rows").asLong()))
-          else None)
+          else None,
+        specId = if (o.has("spec")) o.path("spec").asLong() else 0L)
     }.toSeq
   }
 
@@ -254,6 +262,13 @@ object ManifestIO {
     arr("manifests", s.manifests)
     n.put("schema", s.schemaJson)
     arr("partition_columns", s.partitionColumns)
+    if (s.partitionSpecs.nonEmpty) {
+      val so = n.putObject("partition_specs")
+      s.partitionSpecs.toSeq.sortBy(_._1).foreach { case (id, cols) =>
+        val a = so.putArray(id.toString); cols.foreach(a.add)
+      }
+    }
+    if (s.currentSpecId != 0L) n.put("current_spec_id", s.currentSpecId)
     val p = n.putObject("properties")
     s.properties.foreach { case (k, v) => p.put(k, v) }
     if (s.deleteFiles.nonEmpty) {
@@ -313,7 +328,16 @@ object ManifestIO {
         else n.path("pos_delete_files").elements().asScala.map { o =>
           PosDeleteFile(o.path("path").asText(), o.path("seq").asLong())
         }.toSeq,
-      manifests = manifests)
+      manifests = manifests,
+      partitionSpecs =
+        if (!n.has("partition_specs")) Map.empty
+        else n.path("partition_specs").properties().asScala.map { e =>
+          e.getKey.toLong ->
+            e.getValue.elements().asScala.map(_.asText()).toSeq
+        }.toMap,
+      currentSpecId =
+        if (n.has("current_spec_id")) n.path("current_spec_id").asLong()
+        else 0L)
     materialize(skeleton, loadChunks(manifests, loadChunk))
   }
 

@@ -71,7 +71,24 @@ final case class Snapshot(
       * list (see [[ManifestIO]]). Empty for a snapshot parsed from the
       * legacy inline format (or not yet planned at commit time); the
       * per-file maps above are always fully materialized either way. */
-    manifests: Seq[String] = Nil) {
+    manifests: Seq[String] = Nil,
+    /** Partition-spec id each live file was WRITTEN under (absent = 0,
+      * the creation spec) — what lets a scan read files of different
+      * layout eras with separate per-era scans (≡ Iceberg's per-file
+      * spec-id after partition evolution). */
+    fileSpec: Map[String, Long] = Map.empty,
+    /** Registry of every partition spec this table has carried, id →
+      * spec strings (≡ Iceberg's `partition-specs` list). Empty means
+      * the table never evolved: the registry is {0 → partitionColumns}.
+      * `partitionColumns` above always names the CURRENT spec
+      * ([[currentSpecId]]) — the one new writes use. */
+    partitionSpecs: Map[Long, Seq[String]] = Map.empty,
+    currentSpecId: Long = 0L) {
+
+  /** The spec registry with the never-evolved default folded in. */
+  def specsOrDefault: Map[Long, Seq[String]] =
+    if (partitionSpecs.isEmpty) Map(0L -> partitionColumns)
+    else partitionSpecs
 
   def toJson: String = {
     val m = Snapshot.mapper
