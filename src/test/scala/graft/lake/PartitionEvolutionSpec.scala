@@ -121,6 +121,32 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(t.schema.fieldNames.contains("w"))
   }
 
+  test("append retry refuses a concurrent partition-spec evolution") {
+    val root = freshRoot
+    val df = Seq((1L, "a", 1)).toDF("id", "v", "p")
+    LakeTable.create(spark, root, df.schema)
+    val t1 = LakeTable.load(spark, root)
+    val t2 = LakeTable.load(spark, root)
+    t1.append(df)
+    // the interleaved commit changes the partition spec: t1's staged
+    // files were written under the OLD layout — a blind retry would
+    // commit wrong-era files tagged with the new spec, so it must
+    // surface the conflict for recomputation instead
+    var fired = false
+    t1.beforeCommitHook = () => if (!fired) {
+      fired = true
+      t2.evolvePartitionSpec(Seq("p"))
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t1.append(Seq((2L, "b", 2)).toDF("id", "v", "p"))
+      }
+    } finally t1.beforeCommitHook = () => ()
+    val t3 = LakeTable.load(spark, root)
+    assert(t3.partitionColumns == Seq("p"))
+    assert(t3.scan().count() == 1)
+  }
+
   test("evolution survives the chunked-manifest round trip") {
     val root = freshRoot
     val df = (1 to 10).map(i => (i.toLong, i % 2)).toDF("id", "p")
