@@ -567,8 +567,28 @@ final class LakeTable private (
     * data file covers a DISJOINT range and the per-file min/max stats
     * make key-range pruning surgical — one extra shuffle per append, the
     * documented cost of a sorted table. */
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame): Long = appendInternal(df, None)
+
+  /** Idempotent append (≡ Delta's `txnAppId`/`txnVersion` writer
+    * option, the standard `foreachBatch` exactly-once pattern): the
+    * highest committed `version` per `appId` rides the snapshot
+    * properties, and an append whose version is at or below the
+    * recorded watermark is a NO-OP. A streaming sink passing its
+    * (checkpoint-stable) query id and micro-batch id gets exactly-once
+    * table content out of the source's at-least-once replay: a batch
+    * replayed after a crash between table commit and streaming-offset
+    * commit finds its own watermark and skips. Versions must be
+    * monotone per appId (micro-batch ids are). */
+  def appendOnce(df: DataFrame, appId: String, version: Long): Long =
+    appendInternal(df, Some((appId, version)))
+
+  private def appendInternal(df: DataFrame,
+      txn: Option[(String, Long)]): Long = {
     val base = current
+    def watermarked(s: Snapshot): Boolean = txn.exists { case (app, v) =>
+      s.properties.get(s"txn.$app").exists(_.toLong >= v)
+    }
+    if (watermarked(base)) return base.snapshotId
     val aligned = alignToSchema(df)
     val clustered = sortOrderColumns match {
       case Nil => distributeForWrite(aligned)
@@ -581,8 +601,15 @@ final class LakeTable private (
     // our files' new (higher) sequence outranks every outstanding
     // equality delete
     commitWithRetry(base)() { b =>
-      commit(b, "append", added = added, removed = Nil,
-        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info)
+      // re-check the watermark against the REBASED head: if the racer
+      // was this very batch's replay, skip rather than double-append
+      // (the just-written files become orphans for maintenance)
+      if (watermarked(b)) b.snapshotId
+      else commit(b, "append", added = added, removed = Nil,
+        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info,
+        propertiesOverride = txn.map { case (app, v) =>
+          b.properties + (s"txn.$app" -> v.toString)
+        })
     }
   }
 
@@ -1589,7 +1616,8 @@ final class LakeTable private (
       infoOverride: Option[Map[String, FileInfo]] = None,
       reuseChunksFrom: Seq[Snapshot] = Nil,
       specChange: Option[(Seq[String], Long, Map[Long, Seq[String]])] = None,
-      fileSpecOverride: Option[Map[String, Long]] = None): Long = {
+      fileSpecOverride: Option[Map[String, Long]] = None,
+      propertiesOverride: Option[Map[String, String]] = None): Long = {
     val id = base.snapshotId + 1
     // Append-shaped commits (nothing removed, no per-file overrides —
     // append, MOR merge/delete/update) keep every base entry live, so
@@ -1633,8 +1661,8 @@ final class LakeTable private (
        else base.fileSpec.filter { case (f, _) => liveSet(f) }) ++ addedSpec)
     val snap0 = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
-      pcols, base.properties, stats, renames, seqs, dels,
-      pdels, finfo, fileSpec = fspec, partitionSpecs = specs,
+      pcols, propertiesOverride.getOrElse(base.properties), stats, renames,
+      seqs, dels, pdels, finfo, fileSpec = fspec, partitionSpecs = specs,
       currentSpecId = curSpec)
     // Chunk the per-file state (see ManifestIO): reuse every parent
     // chunk whose entries are unchanged (rollback additionally offers

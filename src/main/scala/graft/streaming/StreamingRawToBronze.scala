@@ -12,13 +12,14 @@ import graft.sources.CsvIngest
   * the hand-rolled mtime checkpoint, and `foreachBatch` appending each
   * micro-batch to the bronze [[graft.lake.LakeTable]].
   *
-  * Exactly-once file pickup comes from the streaming checkpoint (source
-  * offsets commit after the batch function returns); the table append
-  * itself is the same atomic snapshot commit as the batch path, so a
-  * crash mid-batch replays that batch into an idempotent-downstream
-  * bronze — the same at-least-once contract as the reference
-  * (scripts/raw-bronze.py:250-255), with the bookkeeping delegated to
-  * Spark.
+  * Exactly-once: file pickup comes from the streaming checkpoint
+  * (source offsets commit after the batch function returns), and the
+  * table append is [[graft.lake.LakeTable.appendOnce]] keyed on
+  * (checkpoint dir, micro-batch id) — a batch replayed after a crash
+  * between the table commit and the streaming-offset commit finds its
+  * own transaction watermark in the snapshot properties and skips, so
+  * bronze content is exactly-once (vs the reference's at-least-once
+  * replay contract, scripts/raw-bronze.py:250-255).
   */
 final class StreamingRawToBronze(
     spark: SparkSession,
@@ -66,22 +67,26 @@ final class StreamingRawToBronze(
     val q = CsvIngest.enrich(stream, fixedTime).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one evaluation of the batch: cache, count once, append, release
         batch.persist()
         try {
           val rows = batch.count()
           if (rows > 0) {
-            if (catalog.tableExists(namespace, table)) {
-              catalog.loadTable(namespace, table).append(batch)
-            } else {
-              catalog.createNamespace(namespace)
-              catalog.createTable(namespace, table, batch.schema,
-                partitionBy,
-                graft.pipeline.PipelineDefaults.tableProperties)
-                .append(batch)
-            }
-            appended.addAndGet(rows)
+            // txn app id = the checkpoint dir: stable across restarts
+            // of this query, distinct across queries/sinks
+            val lt =
+              if (catalog.tableExists(namespace, table))
+                catalog.loadTable(namespace, table)
+              else {
+                catalog.createNamespace(namespace)
+                catalog.createTable(namespace, table, batch.schema,
+                  partitionBy,
+                  graft.pipeline.PipelineDefaults.tableProperties)
+              }
+            val before = lt.currentSnapshotId
+            val after = lt.appendOnce(batch, checkpointDir, batchId)
+            if (!before.contains(after)) appended.addAndGet(rows)
           }
         } finally batch.unpersist()
         ()

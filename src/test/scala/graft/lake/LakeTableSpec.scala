@@ -189,6 +189,50 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.scan().orderBy("id").collect().toSeq == rowsBefore)
   }
 
+  test("appendOnce: a replayed (appId, version) is a no-op; versions advance") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    val s1 = t.appendOnce(df, "sink-A", 0L)
+    // the crash-replay case: same app, same version → skipped entirely
+    assert(t.appendOnce(df, "sink-A", 0L) == s1)
+    assert(t.scan().count() == 1)
+    // next batch commits; an OLD version replayed after it also skips
+    t.appendOnce(Seq((2L, "b")).toDF("id", "v"), "sink-A", 1L)
+    assert(t.scan().count() == 2)
+    val head = t.currentSnapshotId.get
+    assert(t.appendOnce(df, "sink-A", 0L) == head)
+    assert(t.scan().count() == 2)
+    // a DIFFERENT sink's version space is independent
+    t.appendOnce(Seq((3L, "c")).toDF("id", "v"), "sink-B", 0L)
+    assert(t.scan().count() == 3)
+    // plain appends never consult watermarks
+    t.append(df)
+    assert(t.scan().count() == 4)
+    // the watermarks ride the snapshot properties
+    assert(t.properties.get("txn.sink-A").contains("1"))
+    assert(t.properties.get("txn.sink-B").contains("0"))
+  }
+
+  test("appendOnce racing its own replay: rebased retry skips, no double rows") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    LakeTable.create(spark, root, df.schema)
+    val t1 = LakeTable.load(spark, root)
+    val t2 = LakeTable.load(spark, root)
+    // t2 (the replayed twin) commits the same batch between t1's write
+    // and its commit attempt — t1's retry must find the watermark and
+    // skip instead of double-appending
+    var fired = false
+    t1.beforeCommitHook = () => if (!fired) {
+      fired = true
+      t2.appendOnce(df, "sink", 7L)
+    }
+    try t1.appendOnce(df, "sink", 7L)
+    finally t1.beforeCommitHook = () => ()
+    assert(t1.scan().count() == 1, "replay race double-appended")
+  }
+
   test("expireSnapshots drops old metadata + orphaned files; current scan intact") {
     val root = freshRoot
     val df = Seq((1L, "a")).toDF("id", "v")
