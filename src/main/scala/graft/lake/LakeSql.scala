@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.expressions.{Literal => ConnectorLiteral, Transform => ConnectorTransform}
@@ -36,7 +36,8 @@ object LakeSql {
     parsed match {
       case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable |
           _: InsertIntoStatement | _: CreateTable | _: CreateTableAsSelect |
-          _: DropTable) =>
+          _: DropTable | _: AddColumns | _: RenameColumn | _: DropColumns |
+          _: SetTableProperties | _: UnsetTableProperties) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
@@ -45,6 +46,17 @@ object LakeSql {
           case c: CreateTable => create(cat, ns, c)
           case c: CreateTableAsSelect => createAsSelect(cat, ns, c)
           case d: DropTable => drop(cat, ns, d)
+          case a: AddColumns => alterAddColumns(cat, ns, a)
+          case r: RenameColumn => alterRenameColumn(cat, ns, r)
+          case d: DropColumns => alterDropColumns(cat, ns, d)
+          case s: SetTableProperties =>
+            cat.loadTable(ns, tableNameOf(s.table))
+              .setProperties(s.properties)
+            cat.spark.emptyDataFrame
+          case u: UnsetTableProperties =>
+            cat.loadTable(ns, tableNameOf(u.table))
+              .unsetProperties(u.propertyKeys)
+            cat.spark.emptyDataFrame
         }
         // re-register so the caller's NEXT statement sees the new state
         cat.registerViews(ns)
@@ -168,6 +180,39 @@ object LakeSql {
     cat.spark.emptyDataFrame
   }
 
+  /** `ALTER TABLE t ADD COLUMN(S) …` → [[LakeTable.addColumn]]
+    * (metadata-only; nested fields and positioning unsupported). */
+  private def alterAddColumns(cat: LakeCatalog, ns: String,
+      a: AddColumns): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(a.table))
+    a.columnsToAdd.foreach { c =>
+      if (c.path.nonEmpty) throw new UnsupportedOperationException(
+        "nested ADD COLUMN is not supported")
+      lt.addColumn(c.colName, c.dataType, nullable = c.nullable)
+    }
+    cat.spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` → [[LakeTable.renameColumn]]. */
+  private def alterRenameColumn(cat: LakeCatalog, ns: String,
+      r: RenameColumn): DataFrame = {
+    cat.loadTable(ns, tableNameOf(r.table))
+      .renameColumn(r.column.name.last, r.newName)
+    cat.spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t DROP COLUMN(S) …` → [[LakeTable.dropColumn]]. */
+  private def alterDropColumns(cat: LakeCatalog, ns: String,
+      d: DropColumns): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(d.table))
+    d.columnsToDrop.foreach { c =>
+      val name = c.name.last
+      if (!d.ifExists || lt.schema.fieldNames.contains(name))
+        lt.dropColumn(name)
+    }
+    cat.spark.emptyDataFrame
+  }
+
   /** Connector partition transform → the engine's spec string. The
     * literal/reference split is positional-order-agnostic. */
   private def specOf(t: ConnectorTransform): String = {
@@ -253,6 +298,7 @@ object LakeSql {
     case SubqueryAlias(_, child) => tableNameOf(child)
     case u: UnresolvedRelation => u.multipartIdentifier.last
     case u: UnresolvedIdentifier => u.nameParts.last
+    case u: UnresolvedTable => u.multipartIdentifier.last
     case other => throw new UnsupportedOperationException(
       s"cannot resolve DML target: ${other.getClass.getSimpleName}")
   }

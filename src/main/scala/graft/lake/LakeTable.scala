@@ -282,7 +282,8 @@ final class LakeTable private (
     // transparent to an incremental range (added files still read under
     // the current schema; spec eras are grouped per file)
     snaps.find(s => s.operation != "append" && s.operation != "create" &&
-        s.operation != "evolve-schema" && s.operation != "evolve-spec")
+        s.operation != "evolve-schema" && s.operation != "evolve-spec" &&
+        s.operation != "set-properties" && s.operation != "unset-properties")
       .foreach { s =>
         throw new UnsupportedOperationException(
           s"incremental scan over non-append snapshot ${s.snapshotId} " +
@@ -1109,6 +1110,25 @@ final class LakeTable private (
         posDeletesOverride = Some(b.posDeleteFiles ++
           delPaths.map(p => PosDeleteFile(p, seq))))
     }
+  }
+
+  /** Metadata-only table-property update (≡ `ALTER TABLE … SET
+    * TBLPROPERTIES`): properties steer FUTURE operations (merge/delete
+    * modes, codec, sort order, distribution) — no data is touched, and
+    * time travel sees each era's own properties. */
+  def setProperties(props: Map[String, String]): Long = {
+    val base = current
+    commit(base, "set-properties", added = Nil, removed = Nil,
+      live = base.liveFiles,
+      propertiesOverride = Some(base.properties ++ props))
+  }
+
+  /** ≡ `ALTER TABLE … UNSET TBLPROPERTIES`. */
+  def unsetProperties(keys: Seq[String]): Long = {
+    val base = current
+    commit(base, "unset-properties", added = Nil, removed = Nil,
+      live = base.liveFiles,
+      propertiesOverride = Some(base.properties -- keys))
   }
 
   /** Partition evolution (≡ Iceberg `ALTER TABLE … [ADD|DROP|REPLACE]

@@ -267,6 +267,33 @@ WHEN NOT MATCHED THEN INSERT *
     cat.sql("ns", "DROP TABLE IF EXISTS t2") // no-op
   }
 
+  test("ALTER TABLE text: add/rename/drop columns and set/unset properties") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df)
+    cat.sql("ns", "ALTER TABLE t ADD COLUMN score DOUBLE")
+    cat.sql("ns", "ALTER TABLE t RENAME COLUMN v TO label")
+    assert(cat.sql("ns", "SELECT id, label, score FROM t")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)))).toSeq == Seq((1L, "a", None)))
+    cat.sql("ns", "ALTER TABLE t DROP COLUMN score")
+    assert(cat.loadTable("ns", "t").schema.fieldNames.toSeq ==
+      Seq("id", "label"))
+    cat.sql("ns", "ALTER TABLE t DROP COLUMN IF EXISTS ghost") // no-op
+    // properties steer future ops: flip the table to merge-on-read
+    cat.sql("ns",
+      "ALTER TABLE t SET TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')")
+    val lt = cat.loadTable("ns", "t")
+    assert(lt.properties("write.merge.mode") == "merge-on-read")
+    lt.merge(Seq((1L, "A")).toDF("id", "label"), Seq("id"))
+    assert(lt.currentSnapshot.get.deleteFiles.nonEmpty) // MOR path taken
+    cat.sql("ns", "ALTER TABLE t UNSET TBLPROPERTIES ('write.merge.mode')")
+    assert(!cat.loadTable("ns", "t").properties.contains("write.merge.mode"))
+    assert(cat.sql("ns", "SELECT label FROM t").head.getString(0) == "A")
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
