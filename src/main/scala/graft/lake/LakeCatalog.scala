@@ -98,6 +98,8 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       lt.files.createOrReplaceTempView(s"${t}_files")
       lt.snapshotsTable.createOrReplaceTempView(s"${t}_snapshots")
       lt.partitions.createOrReplaceTempView(s"${t}_partitions")
+      lt.refsTable.createOrReplaceTempView(s"${t}_refs")
+      lt.manifestsTable.createOrReplaceTempView(s"${t}_manifests")
     }
 
   /** Convenience: `USE ns` + register + run one SQL statement.

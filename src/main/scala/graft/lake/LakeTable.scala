@@ -250,6 +250,34 @@ final class LakeTable private (
         sum(col("record_count"))).as("total_rows"))
   }
 
+  /** Metadata view ≡ Iceberg's `<table>.refs`: the named snapshot
+    * pointers (tags/branches). Driver-side, O(refs). */
+  def refsTable: DataFrame = {
+    val sch = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))
+    val rows = refs.toSeq.sortBy(_._1).map { case (n, (tpe, id)) =>
+      Row(n, tpe, id)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+  }
+
+  /** Metadata view ≡ Iceberg's `<table>.manifests`: one row per
+    * manifest chunk of the current snapshot with its entry count —
+    * the operator's view of metadata-layer health (chunk count should
+    * track table size / fold policy, not commit count). Entry counts
+    * come from the immutable-chunk cache; O(chunks) driver rows. */
+  def manifestsTable: DataFrame = {
+    val snap = current
+    val sch = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("entry_count", LongType, nullable = false)))
+    val rows = snap.manifests.map(n =>
+      Row(s"$METADATA_DIR/$n", loadChunk(n).size.toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+  }
+
   // ------------------------------------------------------------------- reads
 
   /** Full scan of the current snapshot (≡ reading the Iceberg table,

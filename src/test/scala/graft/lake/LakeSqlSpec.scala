@@ -267,6 +267,25 @@ WHEN NOT MATCHED THEN INSERT *
     cat.sql("ns", "DROP TABLE IF EXISTS t2") // no-op
   }
 
+  test(".refs and .manifests metadata views answer through SQL") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema)
+    val lt = cat.loadTable("ns", "t")
+    val s1 = lt.append(df)
+    lt.createTag("rc1", s1)
+    val refs = cat.sql("ns", "SELECT name, type, snapshot_id FROM t_refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("rc1", "tag", s1)))
+    val manifests = cat.sql("ns",
+      "SELECT path, entry_count FROM t_manifests").collect()
+    assert(manifests.nonEmpty)
+    assert(manifests.map(_.getLong(1)).sum ==
+      lt.currentSnapshot.get.liveFiles.size)
+    assert(manifests.forall(_.getString(0).startsWith("metadata/m-")))
+  }
+
   test("ALTER TABLE text: add/rename/drop columns and set/unset properties") {
     val cat = freshCat
     cat.createNamespace("ns")
