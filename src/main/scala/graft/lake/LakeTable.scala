@@ -1402,13 +1402,25 @@ final class LakeTable private (
     val head = currentSnapshotId.getOrElse(return)
     val cutoff = head - keepLast // expire ids <= cutoff
     if (cutoff < 1) return
+    expireWhere(_.snapshotId <= cutoff)
+  }
+
+  /** Expire every non-HEAD snapshot whose commit time is before
+    * `cutoffTsMs` (≡ Iceberg `expire_snapshots(older_than => ts)`) —
+    * the retention-window spelling maintenance jobs schedule. */
+  def expireSnapshotsOlderThan(cutoffTsMs: Long): Unit = {
+    val head = currentSnapshotId.getOrElse(return)
+    expireWhere(s => s.timestampMs < cutoffTsMs && s.snapshotId != head)
+  }
+
+  private def expireWhere(shouldExpire: Snapshot => Boolean): Unit = {
     // iterate only RETAINED metadata — earlier expiries already removed
-    // their files, so (1 to cutoff) would trip snapshot()'s existence
+    // their files, so a plain id range would trip snapshot()'s existence
     // check. Snapshots pinned by a named ref (tag/branch) are protected
     // regardless of age, transitively keeping their files and chunks.
     val refIds = refs.values.map(_._2).toSet
     val (expired, kept) = snapshots.partition(s =>
-      s.snapshotId <= cutoff && !refIds(s.snapshotId))
+      shouldExpire(s) && !refIds(s.snapshotId))
     val keptFiles = kept.flatMap(_.liveFiles).toSet
     val keptDeletes = kept.flatMap(s =>
       s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet

@@ -489,6 +489,23 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.rollbackTo(head) == head) // no-op
   }
 
+  test("expireSnapshotsOlderThan: age window expires history, HEAD survives") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.repartition(1))
+    val midTs = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= midTs) Thread.sleep(1)
+    t.append(Seq((2L, "b")).toDF("id", "v").repartition(1))
+    t.expireSnapshotsOlderThan(midTs)
+    // snapshots 1..2 (create + first append) are gone, HEAD intact
+    assert(t.snapshots.map(_.snapshotId) == Seq(t.currentSnapshotId.get))
+    assert(t.scan().count() == 2)
+    // even a cutoff beyond now never expires HEAD
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 100000L)
+    assert(t.scan().count() == 2)
+  }
+
   test("removeOrphanFiles deletes unreferenced debris, keeps everything referenced") {
     val root = freshRoot
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
