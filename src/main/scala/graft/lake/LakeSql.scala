@@ -175,7 +175,8 @@ object LakeSql {
       throw new IllegalArgumentException(s"no table $ns.$name")
     cat.dropTable(ns, name)
     // a dropped table's stale temp views would shadow future state
-    Seq("", "_history", "_files", "_snapshots", "_partitions").foreach(
+    Seq("", "_history", "_files", "_snapshots", "_partitions", "_refs",
+      "_manifests").foreach(
       sfx => cat.spark.catalog.dropTempView(s"$name$sfx"))
     cat.spark.emptyDataFrame
   }
