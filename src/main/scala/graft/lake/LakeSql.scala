@@ -119,17 +119,21 @@ object LakeSql {
         "partition spec derives partition values from the rows")
     val lt = cat.loadTable(ns, tableNameOf(i.table))
     val df = GraftSqlBridge.ofRows(cat.spark, i.query)
-    val fields = lt.schema.fieldNames
-    val targetCols: Seq[String] =
-      if (i.userSpecifiedCols.isEmpty) fields.toSeq
-      else i.userSpecifiedCols.map(c =>
-        fields.find(_.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
-            s"INSERT column $c not in table schema")))
-    require(df.columns.length == targetCols.length,
-      s"INSERT provides ${df.columns.length} columns for " +
-        s"${targetCols.length} targets")
-    val positioned = df.toDF(targetCols: _*)
+    val positioned =
+      if (i.byName) df // BY NAME: the write's schema alignment matches
+      else {
+        val fields = lt.schema.fieldNames
+        val targetCols: Seq[String] =
+          if (i.userSpecifiedCols.isEmpty) fields.toSeq
+          else i.userSpecifiedCols.map(c =>
+            fields.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"INSERT column $c not in table schema")))
+        require(df.columns.length == targetCols.length,
+          s"INSERT provides ${df.columns.length} columns for " +
+            s"${targetCols.length} targets")
+        df.toDF(targetCols: _*)
+      }
     if (i.overwrite) lt.overwrite(positioned) else lt.append(positioned)
     cat.spark.emptyDataFrame
   }

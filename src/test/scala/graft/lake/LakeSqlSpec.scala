@@ -141,6 +141,11 @@ WHEN NOT MATCHED THEN INSERT *
       "INSERT INTO t SELECT id + 10, concat(v, '!'), score FROM t WHERE id = 1")
     assert(cat.sql("ns",
       "SELECT v FROM t WHERE id = 11").head.getString(0) == "a!")
+    // BY NAME: shuffled column order maps by name, not position
+    cat.sql("ns",
+      "INSERT INTO t BY NAME SELECT 3.5 AS score, 'byname' AS v, 20L AS id")
+    assert(cat.sql("ns", "SELECT v FROM t WHERE id = 20")
+      .head.getString(0) == "byname")
     // INSERT OVERWRITE replaces all content
     cat.sql("ns", "INSERT OVERWRITE t VALUES (9, 'z', 0.0)")
     val left = cat.sql("ns", "SELECT id, v FROM t")
