@@ -526,6 +526,54 @@ WHEN NOT MATCHED THEN INSERT *
       lt.scan().select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    "q_zorder_compact" -> ((s, dir) => {
+      // OPTIMIZE ... ZORDER BY: compaction range-distributes and sorts
+      // by the interleaved (l_partkey, l_suppkey) rank, so the pruned
+      // scan on BOTH columns opens a fraction of the files (asserted in
+      // ZOrderSpec); content — and this aggregate — is unchanged.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice")
+      val root = tmp("graft-zorder") + "/t"
+      val lt = LakeTable.create(s, root, li.schema)
+      lt.append(li.repartition(8))
+      lt.compact(8, Seq("l_partkey", "l_suppkey"))
+      lt.scan(col("l_partkey") <= 200 && col("l_suppkey") <= 10)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q_wap_publish" -> ((s, dir) => {
+      // write-audit-publish: stage the second half of orders invisibly,
+      // audit the parked rows, then publish file-level (zero rewrite —
+      // WapSpec asserts the file-set algebra); end state = full orders
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-wap") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema)
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      lt.stageAppend(orders.where(col("o_orderkey") % 2 === 1), "nightly")
+      // the audit gate: staged rows are checkable before anyone sees them
+      require(lt.scanStaged("nightly").where(col("o_orderkey").isNull)
+        .count() == 0, "audit failed")
+      lt.publishStaged("nightly")
+      lt.scan().select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_metadata_count" -> ((s, dir) => {
+      // COUNT(*) answered from manifest record counts alone — zero data
+      // I/O, zero Spark jobs (scan-count fallback covered in
+      // LakeTableSpec): the health probe every pipeline runs, at
+      // 100 TB a metadata lookup instead of a table scan
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-metacount") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema)
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      lt.append(orders.where(col("o_orderkey") % 2 === 1))
+      import s.implicits._
+      Seq(lt.countRows()).toDF("n")
+    }),
+
     "q_sql_surface" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val wh = tmp("graft-sql")
@@ -616,6 +664,37 @@ WHEN NOT MATCHED THEN INSERT *
           | round(o_totalprice, 2) AS o_totalprice
           |FROM orders_t""".stripMargin)
       s.catalog.dropTempView("__cdc_batch")
+      out
+    }),
+
+    "q_sql_merge_source" -> ((s, dir) => {
+      // full-sync MERGE: WHEN NOT MATCHED BY SOURCE AND <scope> THEN
+      // DELETE — a dimension refresh from a nation-7 snapshot in which
+      // custkey%3=0 customers no longer exist: they drop, the rest of
+      // nation 7 upserts (acctbal*2), other nations are untouched. The
+      // scope condition keeps the COW rewrite partition-local.
+      val customer = t(s, dir, "customer")
+      val cat = new LakeCatalog(s, tmp("graft-sqlsync"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "customer_t", customer.schema,
+        partitionBy = Seq("c_nationkey"))
+      cat.loadTable("ns", "customer_t").append(customer)
+      customer.where(col("c_nationkey") === 7 &&
+          col("c_custkey") % 3 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .createOrReplaceTempView("__sync_src")
+      cat.sql("ns",
+        """MERGE INTO customer_t AS t USING __sync_src AS s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.c_nationkey = 7
+          |  THEN DELETE""".stripMargin)
+      val out = cat.sql("ns",
+        """SELECT c_custkey, c_nationkey,
+          | round(c_acctbal, 2) AS c_acctbal
+          |FROM customer_t""".stripMargin)
+      s.catalog.dropTempView("__sync_src")
       out
     }),
 
@@ -1155,6 +1234,21 @@ WHEN NOT MATCHED THEN INSERT *
     "q_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
+    "q_zorder_compact" ->
+      """SELECT l_partkey, l_suppkey,
+        | round(sum(l_quantity), 2) AS qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_partkey <= 200 AND l_suppkey <= 10
+        |GROUP BY l_partkey, l_suppkey""".stripMargin,
+
+    "q_metadata_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM orders",
+
+    "q_wap_publish" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
+
     "q_time_travel_ts" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
@@ -1353,6 +1447,23 @@ WHEN NOT MATCHED THEN INSERT *
         |  ON tgt.o_orderkey = u.o_orderkey
         |WHERE coalesce(u.o_orderkey, tgt.o_orderkey) NOT IN
         |  (SELECT o_orderkey FROM src WHERE op = 'D')""".stripMargin,
+
+    // src = nation-7 snapshot missing %3=0 custkeys (acctbal*2): matched
+    // rows take the source image, source-only rows insert (none here),
+    // and nation-7 rows absent from the source DROP; other nations carry
+    "q_sql_merge_source" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal * 2 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_nationkey = 7 AND c_custkey % 3 <> 0)
+        |SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+        |FROM (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT t.* FROM customer t
+        |  WHERE NOT EXISTS
+        |      (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+        |    AND NOT (t.c_nationkey = 7))""".stripMargin,
 
     "q_sql_insert" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

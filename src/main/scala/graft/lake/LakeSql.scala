@@ -73,9 +73,16 @@ object LakeSql {
     * other action lists are rejected loudly rather than half-applied. */
   private def merge(cat: LakeCatalog, ns: String,
       m: MergeIntoTable): DataFrame = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "WHEN NOT MATCHED BY SOURCE is not supported")
+    // `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — full-sync
+    // deletes; the cond is a target-side predicate (qualifiers stripped)
+    val dropUnmatched: Option[org.apache.spark.sql.Column] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(DeleteAction(c)) =>
+          Some(c.map(columnOf).getOrElse(lit(true)))
+        case _ => throw new UnsupportedOperationException(
+          "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE [AND cond]")
+      }
     val keys = equiKeys(m.mergeCondition).getOrElse(
       throw new UnsupportedOperationException(
         "MERGE ON must be a conjunction of target.k = source.k " +
@@ -90,19 +97,22 @@ object LakeSql {
     (m.matchedActions, m.notMatchedActions) match {
       // the reference's upsert shape (scripts/bronze-silver.py:254-269)
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        lt.merge(src, norm)
+        lt.merge(src, norm, None, dropUnmatched)
       // CDC shape: delete-flagged rows drop, the rest upsert
       case (Seq(DeleteAction(cond), UpdateStarAction(None)),
           Seq(InsertStarAction(None))) =>
         lt.merge(src, norm,
-          deleteWhen = Some(cond.map(columnOf).getOrElse(lit(true))))
+          deleteWhen = Some(cond.map(columnOf).getOrElse(lit(true))),
+          dropUnmatchedWhen = dropUnmatched)
       // pure keyed delete: every matched key drops, nothing inserts
-      case (Seq(DeleteAction(None)), Seq()) =>
+      case (Seq(DeleteAction(None)), Seq()) if dropUnmatched.isEmpty =>
         lt.deleteByKeys(src.select(norm.map(col): _*).distinct(), norm)
       case _ => throw new UnsupportedOperationException(
         "MERGE supports UPDATE SET * / INSERT * (upsert), " +
           "DELETE [AND cond] + UPDATE SET * / INSERT * (CDC), or " +
-          "a bare WHEN MATCHED THEN DELETE (keyed delete)")
+          "a bare WHEN MATCHED THEN DELETE (keyed delete); " +
+          "NOT MATCHED BY SOURCE (THEN DELETE) composes with the " +
+          "upsert and CDC shapes")
     }
     cat.spark.emptyDataFrame
   }

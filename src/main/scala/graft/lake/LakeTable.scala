@@ -298,6 +298,23 @@ final class LakeTable private (
     readFilesAs(base, pruneByPredicate(base, predicate)).where(predicate)
   }
 
+  /** Exact row count. When every live file carries a manifest row count
+    * and no equality/position deletes are outstanding, the answer comes
+    * from the MANIFEST alone — O(live files) driver arithmetic, zero
+    * data-file I/O, zero Spark jobs (≡ Iceberg answering `COUNT(*)`
+    * from manifest `record_count`s). At 100 TB that is the difference
+    * between a metadata lookup and a full-table scan for the most
+    * common health probe a pipeline runs. Outstanding deletes (their
+    * suppressed-row count is unknowable without reading them) or a
+    * legacy manifest without row counts fall back to `scan().count()`. */
+  def countRows(): Long = {
+    val s = current
+    val metadataExact = s.deleteFiles.isEmpty && s.posDeleteFiles.isEmpty &&
+      s.liveFiles.forall(s.fileInfo.contains)
+    if (metadataExact) s.liveFiles.map(s.fileInfo(_).rows).sum
+    else scan().count()
+  }
+
   /** Rows appended in snapshot range `(startExclusive, endInclusive]`
     * (≡ Iceberg incremental read, reference: scripts/bronze-silver.py:149-152).
     * Append-only ranges only, matching Iceberg's contract — a snapshot
@@ -478,6 +495,94 @@ final class LakeTable private (
   }
 
   private def refsPath = new Path(metaDir, REFS)
+
+  // ------------------------------------------ write-audit-publish (WAP)
+
+  private def stagedDir = new Path(metaDir, "staged")
+  private def stagedPath(wapId: String) = new Path(stagedDir, s"$wapId.json")
+
+  /** Stage an append WITHOUT committing it (≡ Iceberg's write-audit-
+    * publish: `wap.id` staging + cherry-pick): data files are written
+    * and their manifest entries parked under `metadata/staged/<wapId>
+    * .json`, invisible to every reader until [[publishStaged]] commits
+    * them — a file-level cherry-pick, zero data rewrite — or
+    * [[discardStaged]] drops them. Audit the parked rows with
+    * [[scanStaged]]. Staged files are protected from
+    * [[removeOrphanFiles]]; publish refuses if the schema or partition
+    * spec evolved since staging (the parked files were written under
+    * the old layout — re-stage instead). */
+  def stageAppend(df: DataFrame, wapId: String): Unit = {
+    require(wapId.nonEmpty && wapId.matches("[A-Za-z0-9._-]+"),
+      s"bad wap id '$wapId'")
+    require(!fs.exists(stagedPath(wapId)),
+      s"staged changeset $wapId already exists on $root")
+    val base = current
+    val WriteResult(added, stats, info) =
+      writeDataFiles(distributeForWrite(alignToSchema(df)))
+    val entries = added.map(f => ManifestEntry(f, 0L,
+      stats.getOrElse(f, Map.empty), Map.empty, info.get(f),
+      base.currentSpecId))
+    val m = Snapshot.mapper
+    val n = m.createObjectNode()
+    n.put("schema_json", base.schemaJson)
+    n.put("spec_id", base.currentSpecId)
+    n.set[com.fasterxml.jackson.databind.JsonNode]("chunk",
+      m.readTree(ManifestIO.chunkToJson(entries)))
+    fs.mkdirs(stagedDir)
+    writeStringExclusive(fs, stagedPath(wapId), m.writeValueAsString(n))
+  }
+
+  /** Ids of every staged-but-unpublished changeset. */
+  def stagedIds: Seq[String] = {
+    if (!fs.exists(stagedDir)) return Nil
+    fs.listStatus(stagedDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  private def readStaged(wapId: String): (String, Long, Seq[ManifestEntry]) = {
+    require(fs.exists(stagedPath(wapId)),
+      s"no staged changeset $wapId on $root")
+    val m = Snapshot.mapper
+    val n = m.readTree(readString(fs, stagedPath(wapId)))
+    (n.path("schema_json").asText(), n.path("spec_id").asLong(),
+      ManifestIO.chunkFromJson(m.writeValueAsString(n.get("chunk"))))
+  }
+
+  /** The parked rows of a staged changeset (for auditing). */
+  def scanStaged(wapId: String): DataFrame = {
+    val (schemaJson, _, entries) = readStaged(wapId)
+    require(schemaJson == current.schemaJson,
+      s"staged changeset $wapId predates a schema evolution — " +
+        "discard and re-stage")
+    readFilesAs(current, entries.map(_.path))
+  }
+
+  /** Commit a staged changeset: its already-written files join the table
+    * as a normal append (declaratively retry-safe like [[append]] — the
+    * files are fresh, every interleaved same-layout commit commutes). */
+  def publishStaged(wapId: String): Long = {
+    val (schemaJson, specId, entries) = readStaged(wapId)
+    val added = entries.map(_.path)
+    val stats = entries.filter(_.stats.nonEmpty)
+      .map(e => e.path -> e.stats).toMap
+    val info = entries.flatMap(e => e.info.map(e.path -> _)).toMap
+    val id = commitWithRetry(current)() { b =>
+      require(b.schemaJson == schemaJson && b.currentSpecId == specId,
+        s"staged changeset $wapId predates a schema or partition-spec " +
+          "evolution — discard and re-stage")
+      commit(b, "append", added = added, removed = Nil,
+        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info)
+    }
+    fs.delete(stagedPath(wapId), false)
+    id
+  }
+
+  /** Drop a staged changeset and its parked data files. */
+  def discardStaged(wapId: String): Unit = {
+    val (_, _, entries) = readStaged(wapId)
+    deleteAll(entries.map(e => new Path(rootPath, e.path)))
+    fs.delete(stagedPath(wapId), false)
+  }
 
   private def readFiles(relFiles: Seq[String]): DataFrame =
     readFilesAs(current, relFiles)
@@ -745,7 +850,27 @@ final class LakeTable private (
     * key either deleting or upserting, never both (same caller
     * contract as the upsert form). */
   def merge(source: DataFrame, keys: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column]): Long = {
+      deleteWhen: Option[org.apache.spark.sql.Column]): Long =
+    merge(source, keys, deleteWhen, None)
+
+  /** Full-sync MERGE: the upsert (plus optional CDC `deleteWhen`)
+    * extended with `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`
+    * — target rows whose key matches NO source row (and that satisfy
+    * `dropUnmatchedWhen`, `lit(true)` for unconditional) are dropped.
+    * The canonical use is a dimension refresh from a full snapshot:
+    * rows absent from today's extract disappear from the table in the
+    * same commit that upserts the rest.
+    *
+    * Cost note (inherent to the semantics, same as Iceberg/Delta): the
+    * drop scope is every file that may hold a cond-satisfying row — an
+    * UNCONDITIONAL sync rewrites cond-matched files table-wide under
+    * COW. Scope it with a condition (e.g. the partition being synced)
+    * so stats pruning can narrow the rewrite; under merge-on-read the
+    * sync costs one key+cond column scan and zero rewrites. The cond is
+    * evaluated against TARGET rows (bare column names). */
+  def merge(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      dropUnmatchedWhen: Option[org.apache.spark.sql.Column]): Long = {
     val base = current
     // split on the delete condition BEFORE alignment drops CDC columns
     val delCond = deleteWhen.map(c => coalesce(c, lit(false)))
@@ -755,7 +880,7 @@ final class LakeTable private (
       delCond.map(c => source.where(not(c))).getOrElse(source))
     if (base.liveFiles.isEmpty) return append(src)
     if (properties.get(PROP_MERGE_MODE).contains("merge-on-read"))
-      return mergeMor(base, src, keys, deleteKeys)
+      return mergeMor(base, src, keys, deleteKeys, dropUnmatchedWhen)
 
     // 1) Affected-file pruning, two stages:
     //    (a) manifest-stats range intersection — driver-only, touches ZERO
@@ -771,13 +896,30 @@ final class LakeTable private (
       case None => srcKeys
     }
     val candidates = pruneByStats(base, allKeys, keys)
-    val affected =
+    val keyAffected =
       if (candidates.isEmpty) Nil
       else readFilesWithName(candidates)
         .select((keys.map(col) :+ col(FILE_COL)): _*)
         .join(allKeys, keys, "left_semi")
         .select(FILE_COL).distinct()
         .collect().map(r => relativize(r.getString(0))).toSeq
+    // NOT MATCHED BY SOURCE widens the rewrite to files that may hold a
+    // cond-satisfying row with a key absent from the source: stats-prune
+    // by the condition first, then a locating scan (cond columns + keys
+    // only — Catalyst prunes the read schema) anti-joined on the keys
+    val dropCond = dropUnmatchedWhen.map(c => coalesce(c, lit(false)))
+    val dropAffected = dropCond match {
+      case None => Nil
+      case Some(c) =>
+        val scope = pruneByPredicate(base, c)
+        if (scope.isEmpty) Nil
+        else readFilesWithName(scope)
+          .where(c)
+          .join(allKeys, keys, "left_anti")
+          .select(FILE_COL).distinct()
+          .collect().map(r => relativize(r.getString(0))).toSeq
+    }
+    val affected = (keyAffected ++ dropAffected).distinct
 
     if (affected.isEmpty) {
       // pure-insert batch: nothing to rewrite (deletes matched nothing)
@@ -791,7 +933,12 @@ final class LakeTable private (
     //    unmatched target row is carried through, an unmatched source row
     //    is an insert; rows keyed by a delete row are dropped last.
     val cols = schema.fieldNames.toSeq
-    val tgt = readFiles(affected).alias("t")
+    // the drop flag is computed on the TARGET plan before the join so
+    // the condition's bare column names can never be join-ambiguous
+    val dropMark = "__graft_drop_mark"
+    val tgt = readFiles(affected)
+      .withColumn(dropMark, dropCond.getOrElse(lit(false)))
+      .alias("t")
     val s = src.withColumn(SRC_MARK, lit(1)).alias("s")
     // plain equality (NOT null-safe): a null key never matches, so
     // null-key source rows are inserts and null-key target rows carry
@@ -799,6 +946,11 @@ final class LakeTable private (
     // documented contract
     val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val merged = tgt.join(s, cond, "full_outer")
+      // NOT MATCHED BY SOURCE: an unmatched target row flagged by the
+      // cond drops; matched and source-only rows always pass (the mark
+      // is null on source-only rows — coalesce keeps them)
+      .where(col(SRC_MARK).isNotNull ||
+        !coalesce(col(dropMark), lit(false)))
       .select(cols.map { c =>
         when(col(SRC_MARK).isNotNull, col(s"s.$c"))
           .otherwise(col(s"t.$c")).as(c)
@@ -823,14 +975,28 @@ final class LakeTable private (
     * self-suppressed; null-key source rows are pure inserts (their keys
     * are excluded from the delete file), matching the COW contract. */
   private def mergeMor(base: Snapshot, src: DataFrame,
-      keys: Seq[String], extraDeleteKeys: Option[DataFrame] = None): Long = {
+      keys: Seq[String], extraDeleteKeys: Option[DataFrame] = None,
+      dropUnmatchedWhen: Option[org.apache.spark.sql.Column] = None): Long = {
     val WriteResult(added, stats, info) = writeDataFiles(src)
     // one equality-delete file covers upserts (replaced by the
     // after-image) AND CDC delete rows (no after-image at all)
     val srcDelKeys = src.select(keys.map(col): _*).distinct().na.drop()
-    val delKeys = extraDeleteKeys match {
+    val cdcKeys = extraDeleteKeys match {
       case Some(d) => srcDelKeys.unionByName(d).distinct()
       case None => srcDelKeys
+    }
+    // NOT MATCHED BY SOURCE under MOR: ONE key+cond column scan of the
+    // live table (Catalyst prunes the read schema) finds target keys
+    // absent from the source; they join the same equality-delete file —
+    // a full-table sync still rewrites ZERO data files
+    val delKeys = dropUnmatchedWhen match {
+      case None => cdcKeys
+      case Some(c) =>
+        val unmatched = readFilesAs(base, base.liveFiles)
+          .where(coalesce(c, lit(false)))
+          .select(keys.map(col): _*).na.drop().distinct()
+          .join(cdcKeys, keys, "left_anti")
+        cdcKeys.unionByName(unmatched).distinct()
     }
     val delPaths = writeDeleteFiles(delKeys)
     // retry-safe against any same-schema interleaving: the re-based
@@ -1354,15 +1520,35 @@ final class LakeTable private (
     * schedules; content-identical, new snapshot). A salt column spreads
     * each partition's rows across up to `target` shuffle buckets, so no
     * single task ever funnels the whole table. */
-  def compact(targetFilesPerPartition: Int = 1): Long = {
+  def compact(targetFilesPerPartition: Int = 1): Long =
+    compact(targetFilesPerPartition, Nil)
+
+  /** Compaction with multi-dimensional clustering (≡ Iceberg/Delta
+    * `OPTIMIZE ... ZORDER BY`): rows are range-distributed and sorted by
+    * the Z-VALUE (bit-interleaved rank) of the `clusterBy` columns, so
+    * each rewritten file covers a narrow range of EVERY cluster column
+    * at once and the manifest min/max stats prune multi-column
+    * predicates that a single-column sort order cannot serve. The
+    * per-column 16-bit rank is normalized against the global bounds
+    * (one tiny agg over data the rewrite reads anyway); columns must be
+    * numeric/date/timestamp/boolean (stat-domain orderable). Content is
+    * identical; only layout changes. */
+  def compact(targetFilesPerPartition: Int,
+      clusterBy: Seq[String]): Long = {
     require(targetFilesPerPartition >= 1, "target must be >= 1")
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    clusterBy.foreach { c =>
+      require(types.contains(c), s"no column $c to cluster by")
+      require(types(c) != StringType && FileStats.supportsPruning(types(c)),
+        s"cannot Z-order on ${types(c)} column $c (needs a numeric-" +
+          "orderable stat domain)")
+    }
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
     val salt = "__graft_compact_salt"
     val all = readFiles(base.liveFiles)
     // partition expressions: identity columns directly, transformed
     // fields via their derived expression (same value the write derives)
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val partExprs = partitionFields.map(f =>
       f.expr(types(f.source)).as(f.dirName))
     // explicit numPartitions: an expression-only repartition would be
@@ -1372,18 +1558,50 @@ final class LakeTable private (
       else all.select(partExprs: _*).distinct().count()
     val numParts = math.max(1L,
       nHivePartitions * targetFilesPerPartition).min(100000L).toInt
-    // salt must be DETERMINISTIC per row (content hash, not
-    // monotonically_increasing_id): a retried map task re-salting rows
-    // differently than its first attempt would duplicate/lose rows
-    // across reducers — and compact retires the only correct copy
-    val salted = all
-      .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
-        lit(targetFilesPerPartition)))
-    val data = salted
-      .repartition(numParts,
-        (partitionFields.map(f => f.expr(types(f.source))) :+
-          col(salt)): _*)
-      .drop(salt)
+    val data =
+      if (clusterBy.nonEmpty) {
+        // Z-order: one agg for the global bounds, then range-distribute
+        // + sort by the interleaved rank. Range boundaries are sampled
+        // ONCE on the driver and broadcast, so task retries place every
+        // row identically (same retry-safety bar as the hash salt).
+        val zcol = "__graft_zvalue"
+        val encs = clusterBy.map(c => FileStats.boundExpr(c, types(c))
+          .cast(DoubleType))
+        val aggs = encs.flatMap(e => Seq(min(e), max(e)))
+        val row = all.agg(aggs.head, aggs.tail: _*).head()
+        val ranks = encs.zipWithIndex.map { case (e, i) =>
+          val mn = Option(row.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+          val mx = Option(row.get(2 * i + 1))
+            .fold(0.0)(_.asInstanceOf[Double])
+          val norm =
+            if (mx > mn) (e - lit(mn)) / lit(mx - mn) * lit(65535.0)
+            else lit(0.0)
+          // nulls sort first (rank 0), like a NULLS FIRST sort order
+          coalesce(norm, lit(0.0)).cast(LongType)
+        }
+        val k = ranks.size
+        val z = (0 until 16).flatMap { bit =>
+          ranks.zipWithIndex.map { case (r, j) =>
+            shiftleft(shiftright(r, bit).bitwiseAND(lit(1L)), bit * k + j)
+          }
+        }.reduce(_ + _) // disjoint bit positions: + == bitwise OR
+        all.withColumn(zcol, z)
+          .repartitionByRange(numParts, (partExprs :+ col(zcol)): _*)
+          .sortWithinPartitions((partExprs :+ col(zcol)): _*)
+          .drop(zcol)
+      } else {
+        // salt must be DETERMINISTIC per row (content hash, not
+        // monotonically_increasing_id): a retried map task re-salting
+        // rows differently than its first attempt would duplicate/lose
+        // rows across reducers — and compact retires the only correct copy
+        all
+          .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
+            lit(targetFilesPerPartition)))
+          .repartition(numParts,
+            (partitionFields.map(f => f.expr(types(f.source))) :+
+              col(salt)): _*)
+          .drop(salt)
+      }
     val WriteResult(added, stats, info) = writeDataFiles(data)
     // compaction folds outstanding equality AND position deletes into
     // the rewrite (readFiles applied both) — the new snapshot starts
@@ -1499,9 +1717,13 @@ final class LakeTable private (
     * writes are in flight. Returns the root-relative paths removed. */
   def removeOrphanFiles(olderThanMs: Long = 3600000L): Seq[String] = {
     val retained = snapshots
-    val referenced = retained.flatMap(s =>
+    // staged-but-unpublished WAP changesets reference real data files
+    // that no snapshot knows about yet — they are parked, not orphaned
+    val staged = stagedIds.flatMap(id => readStaged(id)._3.map(_.path))
+    val referenced = (retained.flatMap(s =>
       s.liveFiles ++ s.addedFiles ++ s.removedFiles ++
-        s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
+        s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)) ++
+      staged).toSet
     val referencedChunks = retained.flatMap(_.manifests).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -37,7 +37,9 @@ final class StreamingRawToBronze(
     // no-op on an empty raw dir (the normal "nothing new yet" case the
     // batch job handles by returning 0)
     val dirPath = new org.apache.hadoop.fs.Path(rawDir)
-    val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sessionState.newHadoopConf() folds runtime `spark.conf.set("fs...")`
+    // entries on top of the sparkContext conf (parity with LakeTable)
+    val hfs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!hfs.exists(dirPath) ||
         !hfs.globStatus(new org.apache.hadoop.fs.Path(rawDir, "*.csv"))
           .exists(_.isFile)) return 0L
