@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Dedup, SaltedJoin, Sessionize, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Contamination, Dedup, SaltedJoin, Sampling, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -916,6 +916,35 @@ WHEN NOT MATCHED THEN INSERT *
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         fingerprint(col("text"), 16).as("fp"))),
+
+    // benchmark decontamination: docs %20==0 play the eval set; every
+    // remaining doc scored by its distinct-trigram overlap with it —
+    // 8-byte gram hashes only, benchmark side broadcast
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.score(
+        d.where(col("doc_id") % 20 =!= 0),
+        d.where(col("doc_id") % 20 === 0))
+    }),
+
+    // deterministic stratified sampling: downsample dominant languages
+    // (en 1/2, zh 1/4), keep the rest — md5-threshold per-row predicate,
+    // zero shuffles, identical keep-set on any engine with md5()
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir), "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), Seq("doc_id"), salt = "s7")
+        .select("doc_id", "lang")),
+
+    // token-budget shard packing: distributed prefix-sum (partition-
+    // local running totals + broadcast offsets), never a global
+    // single-task window
+    "q_shard_packing" -> ((s, dir) => {
+      val weighted = docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      ShardPacking.assign(weighted, "n_tokens", "doc_id",
+        budget = 5000L, numRangePartitions = 8)
+        .select("doc_id", "n_tokens", "shard")
+    }),
 
     // ---- similarity / ANN over embeddings
     "q_cosine_pairs" -> ((s, dir) => {
@@ -1913,6 +1942,56 @@ WHEN NOT MATCHED THEN INSERT *
         |  FROM win)
         |SELECT doc_id, min(h) AS fp FROM winh GROUP BY doc_id"""
         .stripMargin,
+
+    // trigram shingles mirrored from q_dedup_ngram_jaccard (incl. the
+    // short-document whole-text fallback); bench = docs %20==0
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM toks WHERE len(ts) >= 3),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(ts, ' ') AS gram
+        |  FROM toks WHERE len(ts) < 3),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+        |SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(bench.gram) AS BIGINT) AS n_hits,
+        |  round(count(bench.gram) / CAST(count(*) AS DOUBLE), 4) AS score
+        |FROM corp LEFT JOIN bench ON corp.gram = bench.gram
+        |GROUP BY corp.doc_id""".stripMargin,
+
+    // md5-threshold sampling is engine-portable by construction: the
+    // very predicate is the oracle (0.5 -> hex 8000…, 0.25 -> 4000…)
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's7')) <
+        |  CASE WHEN lang = 'en'
+        |         THEN '80000000000000000000000000000000'
+        |       WHEN lang = 'zh'
+        |         THEN '40000000000000000000000000000000'
+        |       ELSE 'g' END""".stripMargin,
+
+    "q_shard_packing" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0) AS BIGINT)
+        |    AS shard
+        |FROM tc""".stripMargin,
 
     // hyperplane-LSH top-k: bucket join on the exact signature, re-rank
     // within buckets (single-probe; sparse buckets return < k rows)
