@@ -61,10 +61,78 @@ object LakeSql {
         // re-register so the caller's NEXT statement sees the new state
         cat.registerViews(ns)
         out
+      // metadata statements (read-only, no view re-registration needed)
+      case s: ShowPartitions => showPartitions(cat, ns, s)
+      case d: DescribeRelation => describeTable(cat, ns, d)
+      case s: ShowCreateTable => showCreateTable(cat, ns, s)
+      case s: ShowTableProperties => showTableProperties(cat, ns, s)
       case p if p.collectFirst { case t: RelationTimeTravel => t }.isDefined =>
         timeTravel(cat, ns, p)
       case _ => spark.sql(query)
     }
+  }
+
+  /** `SHOW PARTITIONS t` → the hive-style partition directory values of
+    * the current snapshot (from the manifest-chunk-backed `.partitions`
+    * view — no data is read). */
+  private def showPartitions(cat: LakeCatalog, ns: String,
+      s: ShowPartitions): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(s.table))
+    require(lt.partitionColumns.nonEmpty,
+      s"table ${tableNameOf(s.table)} is not partitioned")
+    lt.partitions.select(col("partition")).orderBy("partition")
+  }
+
+  /** `DESCRIBE [EXTENDED] t` → (col_name, data_type, comment) rows in
+    * Spark's layout, with the partition-information section (spec
+    * strings, so hidden transforms like `bucket(4, id)` show as such). */
+  private def describeTable(cat: LakeCatalog, ns: String,
+      d: DescribeRelation): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    val lt = cat.loadTable(ns, tableNameOf(d.relation))
+    val cols = lt.schema.fields.toSeq.map(f =>
+      (f.name, f.dataType.sql.toLowerCase, null: String))
+    val parts =
+      if (lt.partitionColumns.isEmpty) Nil
+      else ("# Partition Information", null: String, null: String) +:
+        lt.partitionColumns.map(p => (p, null: String, null: String))
+    (cols ++ parts).toDF("col_name", "data_type", "comment")
+  }
+
+  /** `SHOW CREATE TABLE t` → one `createtab_stmt` row reconstructing
+    * the DDL this surface itself accepts (columns, PARTITIONED BY
+    * transforms, TBLPROPERTIES, LOCATION). */
+  private def showCreateTable(cat: LakeCatalog, ns: String,
+      s: ShowCreateTable): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    val name = tableNameOf(s.child)
+    val lt = cat.loadTable(ns, name)
+    val colsDdl = lt.schema.fields
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val partDdl =
+      if (lt.partitionColumns.isEmpty) ""
+      else s"\nPARTITIONED BY (${lt.partitionColumns.mkString(", ")})"
+    val props = lt.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k' = '$v'" }
+    val propsDdl =
+      if (props.isEmpty) ""
+      else s"\nTBLPROPERTIES (${props.mkString(", ")})"
+    val stmt = s"CREATE TABLE $ns.$name (\n$colsDdl)\nUSING graft" +
+      partDdl + propsDdl + s"\nLOCATION '${lt.root}'"
+    Seq(stmt).toDF("createtab_stmt")
+  }
+
+  /** `SHOW TBLPROPERTIES t [('key')]` → (key, value) rows. */
+  private def showTableProperties(cat: LakeCatalog, ns: String,
+      s: ShowTableProperties): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    val lt = cat.loadTable(ns, tableNameOf(s.table))
+    val all = lt.properties.toSeq.sortBy(_._1)
+    s.propertyKey.fold(all)(k => all.filter(_._1 == k))
+      .toDF("key", "value")
   }
 
   /** `MERGE INTO t USING src ON t.k = src.k WHEN MATCHED THEN UPDATE
@@ -314,6 +382,8 @@ object LakeSql {
     case u: UnresolvedRelation => u.multipartIdentifier.last
     case u: UnresolvedIdentifier => u.nameParts.last
     case u: UnresolvedTable => u.multipartIdentifier.last
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      u.multipartIdentifier.last
     case other => throw new UnsupportedOperationException(
       s"cannot resolve DML target: ${other.getClass.getSimpleName}")
   }

@@ -318,6 +318,47 @@ WHEN NOT MATCHED THEN INSERT *
     assert(cat.sql("ns", "SELECT label FROM t").head.getString(0) == "A")
   }
 
+  test("SHOW PARTITIONS / DESCRIBE / SHOW CREATE TABLE / SHOW TBLPROPERTIES") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    cat.sql("ns",
+      """CREATE TABLE meta_t (id BIGINT, grp STRING, v DOUBLE)
+        |PARTITIONED BY (grp)
+        |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""".stripMargin)
+    cat.sql("ns",
+      "INSERT INTO meta_t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    // SHOW PARTITIONS: hive dir values off the manifest, no data read
+    val parts = cat.sql("ns", "SHOW PARTITIONS meta_t")
+      .collect().map(_.getString(0))
+    assert(parts.toSeq == Seq("grp=a", "grp=b"))
+    // DESCRIBE: columns then the partition-information section
+    val desc = cat.sql("ns", "DESCRIBE meta_t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.take(3).toSeq == Seq(("id", "bigint"),
+      ("grp", "string"), ("v", "double")))
+    assert(desc.map(_._1).contains("# Partition Information"))
+    assert(desc.last._1 == "grp")
+    // SHOW CREATE TABLE: round-trips through this surface's own DDL
+    val stmt = cat.sql("ns", "SHOW CREATE TABLE meta_t")
+      .head().getString(0)
+    assert(stmt.contains("CREATE TABLE ns.meta_t"))
+    assert(stmt.contains("id BIGINT"))
+    assert(stmt.contains("PARTITIONED BY (grp)"))
+    assert(stmt.contains("'write.merge.mode' = 'merge-on-read'"))
+    // SHOW TBLPROPERTIES, with and without a key filter
+    val props = cat.sql("ns", "SHOW TBLPROPERTIES meta_t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("write.merge.mode") == "merge-on-read")
+    val one = cat.sql("ns",
+      "SHOW TBLPROPERTIES meta_t ('write.merge.mode')").collect()
+    assert(one.length == 1 && one.head.getString(1) == "merge-on-read")
+    // SHOW PARTITIONS on an unpartitioned table refuses loudly
+    cat.sql("ns", "CREATE TABLE flat_t (id BIGINT)")
+    intercept[IllegalArgumentException] {
+      cat.sql("ns", "SHOW PARTITIONS flat_t")
+    }
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
