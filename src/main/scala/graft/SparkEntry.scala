@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Contamination, Dedup, SaltedJoin, Sampling, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Contamination, Dedup, RepetitionMetrics, SaltedJoin, Sampling, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -526,6 +526,26 @@ WHEN NOT MATCHED THEN INSERT *
       lt.scan().select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    "q_bloom_merge" -> ((s, dir) => {
+      // keyed MERGE on a bloom-filtered table: the ingest's files all
+      // span the whole custkey range (hash-split halves), so min/max
+      // bounds prune nothing — the per-file blooms do
+      // (BloomPruningSpec asserts the file algebra); end state is the
+      // plain upsert result
+      val customer = t(s, dir, "customer")
+      val root = tmp("graft-bloom") + "/t"
+      val lt = LakeTable.create(s, root, customer.schema, properties =
+        Map(LakeTable.PROP_BLOOM_COLUMNS -> "c_custkey"))
+      lt.append(customer.where(xxhash64(col("c_custkey")) % 2 === 0)
+        .coalesce(1))
+      lt.append(customer.where(xxhash64(col("c_custkey")) % 2 =!= 0)
+        .coalesce(1))
+      lt.merge(customer.where(col("c_custkey") % 100 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2), Seq("c_custkey"))
+      lt.scan().select(col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+    }),
+
     "q_zorder_compact" -> ((s, dir) => {
       // OPTIMIZE ... ZORDER BY: compaction range-distributes and sorts
       // by the interleaved (l_partkey, l_suppkey) rank, so the pruned
@@ -917,6 +937,11 @@ WHEN NOT MATCHED THEN INSERT *
       docs(s, dir).select(col("doc_id"),
         fingerprint(col("text"), 16).as("fp"))),
 
+    // Gopher-style repetition/quality signals: per-row array math plus
+    // one bounded (doc, token) aggregation
+    "q_repetition_metrics" -> ((s, dir) =>
+      RepetitionMetrics.compute(docs(s, dir))),
+
     // benchmark decontamination: docs %20==0 play the eval set; every
     // remaining doc scored by its distinct-trigram overlap with it —
     // 8-byte gram hashes only, benchmark side broadcast
@@ -1262,6 +1287,13 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_bloom_merge" ->
+      """SELECT c_custkey,
+        | round(CASE WHEN c_custkey % 100 = 0
+        |            THEN c_acctbal * 2 ELSE c_acctbal END, 2)
+        |   AS c_acctbal
+        |FROM customer""".stripMargin,
 
     "q_zorder_compact" ->
       """SELECT l_partkey, l_suppkey,
@@ -1942,6 +1974,39 @@ WHEN NOT MATCHED THEN INSERT *
         |  FROM win)
         |SELECT doc_id, min(h) AS fp FROM winh GROUP BY doc_id"""
         .stripMargin,
+
+    "q_repetition_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM toks),
+        |bi AS (
+        |  SELECT a.doc_id, count(*) AS nb, count(DISTINCT
+        |    a.word || ' ' || b.word) AS db
+        |  FROM w a JOIN w b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY a.doc_id),
+        |top AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+        |  FROM (SELECT doc_id, word, count(*) AS c FROM w
+        |        GROUP BY doc_id, word)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(t.ts) > 0
+        |    THEN round(len(list_distinct(t.ts))
+        |           / CAST(len(t.ts) AS DOUBLE), 4)
+        |    ELSE 0.0 END AS type_token_ratio,
+        |  coalesce(round(top.mx / CAST(top.tot AS DOUBLE), 4), 0.0)
+        |    AS top_word_frac,
+        |  CASE WHEN coalesce(bi.nb, 0) > 0
+        |    THEN round((bi.nb - bi.db) / CAST(bi.nb AS DOUBLE), 4)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |FROM toks t
+        |LEFT JOIN bi ON t.doc_id = bi.doc_id
+        |LEFT JOIN top ON t.doc_id = top.doc_id""".stripMargin,
 
     // trigram shingles mirrored from q_dedup_ngram_jaccard (incl. the
     // short-document whole-text fallback); bench = docs %20==0

@@ -185,7 +185,9 @@ final class LakeTable private (
         coalesce(col("e.seq"), lit(0L)).as("seq"),
         col("e.bytes").as("size_bytes"),
         when(col("e.rows") >= 0, col("e.rows")).as("record_count"),
-        coalesce(col("e.stats"), map().cast(BOUNDS_TYPE)).as("bounds"))
+        // bloom pseudo-columns are pruning internals, not bounds
+        map_filter(coalesce(col("e.stats"), map().cast(BOUNDS_TYPE)),
+          (k, _) => !k.startsWith(BloomStats.Prefix)).as("bounds"))
   }
 
   /** Driver-side `.files` for tables still on the legacy inline
@@ -201,6 +203,7 @@ final class LakeTable private (
     val rows = snap.liveFiles.sorted.map { f =>
       val partition = f.split('/').drop(1).dropRight(1).mkString("/")
       val bounds = snap.fileStats.getOrElse(f, Map.empty)
+        .filterNot { case (c, _) => BloomStats.isBloomKey(c) }
         .map { case (c, cs) => c -> Row(cs.min, cs.max) }
       val fi = snap.fileInfo.get(f)
       Row(f, partition, snap.fileSeq.getOrElse(f, 0L),
@@ -1021,8 +1024,40 @@ final class LakeTable private (
   private[lake] def pruneByStats(base: Snapshot, src: DataFrame,
       keys: Seq[String]): Seq[String] = {
     val ranged = pruneByKeyBounds(base, src, keys)
-    if (ranged.isEmpty) ranged
-    else pruneByPartitionTransforms(base, src, keys, ranged)
+    val parted =
+      if (ranged.isEmpty) ranged
+      else pruneByPartitionTransforms(base, src, keys, ranged)
+    if (parted.isEmpty) parted
+    else pruneByBloom(base, src, keys, parted)
+  }
+
+  /** Bloom pruning for key-equality ops (see [[BloomStats]]): when
+    * candidate files carry `__bloom__<key>` filters and the DISTINCT
+    * source key set is small enough to collect (its hashes — two longs
+    * per key column via one tiny agg, never the values), drop every
+    * candidate whose filters exclude ALL source keys. This is what
+    * range bounds cannot do on an unsorted ingest where every file
+    * spans the whole key domain. Files without filters (or any
+    * filterless tested column) are conservatively kept; a too-large
+    * source skips the phase entirely. */
+  private def pruneByBloom(base: Snapshot, src: DataFrame,
+      keys: Seq[String], candidates: Seq[String]): Seq[String] = {
+    val withBloom = candidates.filter(f =>
+      base.fileStats.get(f).exists(st =>
+        keys.exists(k => st.contains(BloomStats.statKey(k)))))
+    if (withBloom.isEmpty) return candidates
+    BloomStats.sourceKeyHashes(src, keys) match {
+      case None => candidates // unbounded source: bounds pruning stands
+      case Some(hashes) =>
+        val excluded = withBloom.filter { f =>
+          val st = base.fileStats(f)
+          val filters = keys.map(k =>
+            st.get(BloomStats.statKey(k)).map(cs =>
+              BloomStats.decode(cs.min)))
+          !hashes.exists(row => BloomStats.mightContain(filters, row))
+        }.toSet
+        candidates.filterNot(excluded)
+    }
   }
 
   private def pruneByKeyBounds(base: Snapshot, src: DataFrame,
@@ -1840,6 +1875,23 @@ final class LakeTable private (
         if (st.nonEmpty) statsMap.put(key, st)
         infoMap.put(key, FileInfo(len, rows))
       }
+      // per-file Bloom filters (opt-in, one distributed pass over the
+      // fresh files per column) ride the stats map as __bloom__ pseudo-
+      // columns — see BloomStats
+      val bloomCols = properties.get(PROP_BLOOM_COLUMNS).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .filter(sch.fieldNames.contains)
+      if (bloomCols.nonEmpty && moved.nonEmpty) {
+        val mBits = properties.get(PROP_BLOOM_BITS).map(_.toInt)
+          .getOrElse(BloomStats.DefaultBits)
+        BloomStats.build(spark, moved.map(_._2.toString),
+            dataDir.toString, sch, bloomCols, mBits)
+          .foreach { case (abs, blooms) =>
+            val key = relativize(abs)
+            statsMap.put(key,
+              statsMap.getOrDefault(key, Map.empty) ++ blooms)
+          }
+      }
       WriteResult(moved.map(_._1), statsMap.asScala.toMap,
         infoMap.asScala.toMap)
     } finally {
@@ -2053,6 +2105,11 @@ object LakeTable {
   val PROP_DISTRIBUTION_MODE = "write.distribution-mode"
   val PROP_DELETE_MODE = "write.delete.mode"
   val PROP_UPDATE_MODE = "write.update.mode"
+  /** Comma-separated columns to build per-file Bloom filters for (see
+    * [[BloomStats]]); empty/absent = none. */
+  val PROP_BLOOM_COLUMNS = "write.bloom.columns"
+  /** Filter size in bits (default [[BloomStats.DefaultBits]]). */
+  val PROP_BLOOM_BITS = "write.bloom.bits"
   val PROP_FORMAT_VERSION = "format-version"
   /** Min age before a beyond-HEAD metadata file counts as a crashed
     * commit's orphan (see commit()). */

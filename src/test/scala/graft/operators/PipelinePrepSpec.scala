@@ -70,6 +70,26 @@ class PipelinePrepSpec extends AnyFunSuite {
     assert(math.abs(en - 500L) < 150, s"en kept $en of 2000")
   }
 
+  test("repetition metrics: exact fractions on known docs") {
+    val docs = Seq(
+      (1L, "a a a b"),     // degenerate
+      (2L, "x y z"),       // diverse
+      (3L, "")).toDF("doc_id", "text")
+    val got = RepetitionMetrics.compute(docs).orderBy("doc_id").collect()
+    // doc 1: 4 tokens, 2 distinct; top 'a' 3/4; bigrams (a a, a a, a b)
+    assert(got(0).getLong(1) == 4L)
+    assert(got(0).getDouble(2) == 0.5)
+    assert(got(0).getDouble(3) == 0.75)
+    assert(got(0).getDouble(4) == 0.3333)
+    // doc 2: no repetition anywhere
+    assert(got(1).getDouble(2) == 1.0)
+    assert(got(1).getDouble(3) == 0.3333)
+    assert(got(1).getDouble(4) == 0.0)
+    // doc 3: empty -> all-zero metrics, row still present
+    assert(got(2).getLong(1) == 0L)
+    assert(got(2).getDouble(2) == 0.0 && got(2).getDouble(4) == 0.0)
+  }
+
   test("shard packing: budget respected, order preserved, distributed") {
     val df = (1L to 1000L).map(i => (i, 10L + i % 7)).toDF("id", "w")
     val got = ShardPacking.assign(df, "w", "id", budget = 500L,
