@@ -1,8 +1,8 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.expressions.{Literal => ConnectorLiteral, Transform => ConnectorTransform}
 import org.apache.spark.sql.functions._
@@ -66,6 +66,13 @@ object LakeSql {
       case d: DescribeRelation => describeTable(cat, ns, d)
       case s: ShowCreateTable => showCreateTable(cat, ns, s)
       case s: ShowTableProperties => showTableProperties(cat, ns, s)
+      // maintenance procedures (≡ Iceberg's CALL system.* procedures)
+      case c: Call => call(cat, ns, c)
+      // CDC changelog TVF (≡ Delta's table_changes spelling)
+      case p if p.collectFirst {
+          case t: UnresolvedTableValuedFunction
+              if t.name.last.equalsIgnoreCase("table_changes") => t
+        }.isDefined => tableChanges(cat, ns, p)
       case p if p.collectFirst { case t: RelationTimeTravel => t }.isDefined =>
         timeTravel(cat, ns, p)
       case _ => spark.sql(query)
@@ -373,6 +380,106 @@ object LakeSql {
         df.queryExecution.logical
     }
     GraftSqlBridge.ofRows(spark, rewritten)
+  }
+
+  /** `CALL system.<proc>('table', …)` → the lake maintenance surface
+    * (≡ Iceberg's stored procedures: expire_snapshots,
+    * rewrite_data_files, remove_orphan_files, rollback_to_snapshot,
+    * tags/branches, WAP publish). Arguments are positional literals;
+    * the first is always the table name. */
+  private def call(cat: LakeCatalog, ns: String, c: Call): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    def arg(i: Int): Any = c.args(i) match {
+      case l: Literal => l.value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
+      case other => throw new UnsupportedOperationException(
+        s"CALL arguments must be literals, got ${other.sql}")
+    }
+    def str(i: Int): String = arg(i).toString
+    def lng(i: Int): Long = arg(i) match {
+      case n: java.lang.Number => n.longValue
+      case s => s.toString.toLong
+    }
+    val procName = c.procedure match {
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedProcedure(nameParts) => nameParts.last
+      case other => throw new UnsupportedOperationException(
+        s"cannot resolve procedure: ${other.getClass.getSimpleName}")
+    }
+    val lt = cat.loadTable(ns, str(0))
+    val out: DataFrame = procName.toLowerCase match {
+      case "expire_snapshots" =>
+        lt.expireSnapshots(lng(1).toInt)
+        Seq(lt.currentSnapshotId.getOrElse(0L)).toDF("current_snapshot_id")
+      case "expire_snapshots_older_than" =>
+        val cutoffMs = c.args(1) match {
+          // a TIMESTAMP literal carries epoch MICROS
+          case l: Literal if l.dataType ==
+              org.apache.spark.sql.types.TimestampType =>
+            l.value.asInstanceOf[Long] / 1000L
+          case _ => lng(1)
+        }
+        lt.expireSnapshotsOlderThan(cutoffMs)
+        Seq(lt.currentSnapshotId.getOrElse(0L)).toDF("current_snapshot_id")
+      case "rewrite_data_files" => // (tbl[, files_per_partition[, zorder]])
+        val target = if (c.args.size > 1) lng(1).toInt else 1
+        val cols = if (c.args.size > 2)
+          str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq else Nil
+        Seq(lt.compact(target, cols)).toDF("snapshot_id")
+      case "remove_orphan_files" =>
+        val removed = if (c.args.size > 1) lt.removeOrphanFiles(lng(1))
+          else lt.removeOrphanFiles()
+        removed.toDF("removed_path")
+      case "rollback_to_snapshot" =>
+        Seq(lt.rollbackTo(lng(1))).toDF("snapshot_id")
+      case "create_tag" =>
+        lt.createTag(str(1), lng(2))
+        Seq((str(1), lng(2))).toDF("name", "snapshot_id")
+      case "create_branch" =>
+        lt.createBranch(str(1), lng(2))
+        Seq((str(1), lng(2))).toDF("name", "snapshot_id")
+      case "drop_ref" =>
+        lt.dropRef(str(1)); spark.emptyDataFrame
+      case "publish_staged" =>
+        Seq(lt.publishStaged(str(1))).toDF("snapshot_id")
+      case "discard_staged" =>
+        lt.discardStaged(str(1)); spark.emptyDataFrame
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $other — supported: expire_snapshots[_older_" +
+          "than], rewrite_data_files, remove_orphan_files, " +
+          "rollback_to_snapshot, create_tag, create_branch, drop_ref, " +
+          "publish_staged, discard_staged")
+    }
+    cat.registerViews(ns)
+    out
+  }
+
+  /** `SELECT … FROM table_changes('t', start_exclusive, end_inclusive)`
+    * → [[LakeTable.changes]] substituted into the surrounding plan. */
+  private def tableChanges(cat: LakeCatalog, ns: String,
+      p: LogicalPlan): DataFrame = {
+    val replaced = p.transform {
+      case t: UnresolvedTableValuedFunction
+          if t.name.last.equalsIgnoreCase("table_changes") =>
+        val args = t.functionArgs.map {
+          case l: Literal => l.value match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case v => v
+          }
+          case other => throw new UnsupportedOperationException(
+            s"table_changes arguments must be literals, got ${other.sql}")
+        }
+        require(args.size == 3,
+          "table_changes(table, start_exclusive, end_inclusive)")
+        val lt = cat.loadTable(ns, args(0).toString)
+        val asLong = (a: Any) => a.asInstanceOf[java.lang.Number].longValue
+        lt.changes(asLong(args(1)), asLong(args(2)))
+          .queryExecution.analyzed
+    }
+    GraftSqlBridge.ofRows(cat.spark, replaced)
   }
 
   // ---------------------------------------------------------------- helpers

@@ -359,6 +359,66 @@ WHEN NOT MATCHED THEN INSERT *
     }
   }
 
+  test("CALL system procedures drive the maintenance surface") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = (1L to 60L).map(i => (i, i % 3, s"v$i")).toDF("id", "grp", "v")
+    cat.createTable("ns", "mt", df.schema)
+    val lt = cat.loadTable("ns", "mt")
+    (0L to 2L).foreach(g => lt.append(df.where($"grp" === g)))
+    // rewrite_data_files with a z-order column list
+    val sid = cat.sql("ns",
+      "CALL system.rewrite_data_files('mt', 2, 'id')")
+      .head().getLong(0)
+    assert(sid == lt.currentSnapshotId.get)
+    assert(lt.scan().count() == 60)
+    // tag the compacted snapshot, expire history, tag still readable
+    cat.sql("ns", s"CALL system.create_tag('mt', 'gold', $sid)")
+    assert(lt.refs.contains("gold"))
+    cat.sql("ns", "CALL system.expire_snapshots('mt', 1)")
+    assert(cat.sql("ns",
+      "SELECT count(*) AS n FROM mt VERSION AS OF 'gold'")
+      .head().getLong(0) == 60L)
+    cat.sql("ns", "CALL system.drop_ref('mt', 'gold')")
+    assert(!lt.refs.contains("gold"))
+    // rollback via CALL
+    lt.append(Seq((100L, 0L, "x")).toDF("id", "grp", "v"))
+    cat.sql("ns", s"CALL system.rollback_to_snapshot('mt', $sid)")
+    assert(lt.scan().count() == 60)
+    // WAP via CALL
+    lt.stageAppend(Seq((200L, 0L, "s")).toDF("id", "grp", "v"), "w1")
+    cat.sql("ns", "CALL system.publish_staged('mt', 'w1')")
+    assert(lt.scan().count() == 61)
+    // orphan cleanup returns removed paths (none here at default age)
+    assert(cat.sql("ns",
+      "CALL system.remove_orphan_files('mt')").count() == 0)
+    intercept[UnsupportedOperationException] {
+      cat.sql("ns", "CALL system.no_such_proc('mt')")
+    }
+  }
+
+  test("table_changes TVF reads the CDC changelog through SQL") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("ns", "ct", df.schema)
+    val lt = cat.loadTable("ns", "ct")
+    val s1 = lt.append(df)
+    lt.delete(col("id") === 1L)
+    val s2 = lt.currentSnapshotId.get
+    val rows = cat.sql("ns",
+      s"""SELECT id, v, _change_type
+         |FROM table_changes('ct', $s1, $s2)
+         |ORDER BY _change_type""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L &&
+      rows.head.getString(2) == "delete")
+    // aggregation over the TVF composes like any relation
+    assert(cat.sql("ns",
+      s"SELECT count(*) AS n FROM table_changes('ct', 0, $s2)")
+      .head().getLong(0) == 3L) // 2 inserts + 1 delete
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
