@@ -814,6 +814,9 @@ WHEN NOT MATCHED THEN INSERT *
     "q_stream_agg" -> ((s, dir) =>
       StreamingIngest.availableNowAggregate(s, dir)),
 
+    "q_stream_lake_tail" -> ((s, dir) =>
+      StreamingIngest.lakeTailAggregate(s, dir)),
+
     "q_stream_sessions" -> ((s, dir) =>
       StreamingSessionize.run(s, dir, 1800)
         .select(col("user_id"), col("session_start_us"),
@@ -1579,6 +1582,13 @@ WHEN NOT MATCHED THEN INSERT *
         |) t(st, n, rev, ap, nc)""".stripMargin,
 
     "q_stream_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the lake-tail stream delivers every commit exactly once, so the
+    // sink aggregate IS the batch aggregate over the source
+    "q_stream_lake_tail" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,

@@ -3,9 +3,10 @@ package graft.lake
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftlake.GraftManifestFileIndex
 import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
@@ -60,9 +61,32 @@ final class LakeTable private (
 
   // ---------------------------------------------------------------- metadata
 
-  def currentSnapshotId: Option[Long] = {
-    if (!fs.exists(headPath)) None
-    else Some(readString(fs, headPath).trim.toLong)
+  def currentSnapshotId: Option[Long] =
+    readPointer(headPath).map(_.trim.toLong)
+
+  /** Read a swap-replaced pointer file (HEAD, refs.json), riding out
+    * the transient window of `FileContext.rename(OVERWRITE)`:
+    * `AbstractFileSystem.renameInternal`'s default overwrite path
+    * DELETES the target before the rename on filesystems without a
+    * native atomic overwrite, so a concurrent reader can briefly see
+    * the pointer absent (or, on a checksummed local fs, a stale crc)
+    * mid-swap. Retries apply only while the table has metadata at all —
+    * a genuinely absent pointer (never-created table) returns None on
+    * the first probe. Pointer writes are complete-at-rename (exclusive
+    * tmp create), so any successful read is a consistent value. */
+  private def readPointer(p: Path): Option[String] = {
+    var attempt = 0
+    while (attempt < PointerReadRetries) {
+      if (fs.exists(p)) {
+        try return Some(readString(fs, p))
+        catch { case _: java.io.IOException => /* mid-swap; retry */ }
+      } else if (!fs.exists(metaDir)) {
+        return None // no table here — nothing can be mid-swap
+      }
+      attempt += 1
+      if (attempt < PointerReadRetries) Thread.sleep(5L << attempt)
+    }
+    if (fs.exists(p)) Some(readString(fs, p)) else None
   }
 
   def snapshot(id: Long): Snapshot = {
@@ -322,26 +346,48 @@ final class LakeTable private (
     * (≡ Iceberg incremental read, reference: scripts/bronze-silver.py:149-152).
     * Append-only ranges only, matching Iceberg's contract — a snapshot
     * produced by overwrite/merge in the range is an error. */
-  def incrementalScan(startExclusive: Long, endInclusive: Long): DataFrame = {
+  def incrementalScan(startExclusive: Long, endInclusive: Long,
+      skipNonAppends: Boolean = false): DataFrame = {
     require(endInclusive >= startExclusive,
       s"bad snapshot range ($startExclusive, $endInclusive]")
-    val snaps = ((startExclusive + 1) to endInclusive).map(snapshot)
+    val all = ((startExclusive + 1) to endInclusive).map(snapshot)
     // evolve-schema/evolve-spec commits add no data rows — they are
     // transparent to an incremental range (added files still read under
     // the current schema; spec eras are grouped per file)
-    snaps.find(s => s.operation != "append" && s.operation != "create" &&
-        s.operation != "evolve-schema" && s.operation != "evolve-spec" &&
-        s.operation != "set-properties" && s.operation != "unset-properties")
-      .foreach { s =>
-        throw new UnsupportedOperationException(
-          s"incremental scan over non-append snapshot ${s.snapshotId} " +
-            s"(${s.operation}) — append-only ranges are supported, " +
-            "matching Iceberg's incremental-read contract")
+    def appendShaped(s: Snapshot): Boolean =
+      s.operation == "append" || s.operation == "create" ||
+        s.operation == "evolve-schema" || s.operation == "evolve-spec" ||
+        s.operation == "set-properties" || s.operation == "unset-properties"
+    val snaps =
+      if (skipNonAppends) all // non-append snapshots contribute no files
+      else {
+        all.find(!appendShaped(_)).foreach { s =>
+          throw new UnsupportedOperationException(
+            s"incremental scan over non-append snapshot ${s.snapshotId} " +
+              s"(${s.operation}) — append-only ranges are supported, " +
+              "matching Iceberg's incremental-read contract " +
+              "(pass skipNonAppends=true to tail appends only)")
+        }
+        all
       }
     // end-of-range context: the added files are all live there, so its
-    // schema and rename mappings are exactly the ones they carry
+    // schema and rename mappings are exactly the ones they carry.
+    // With skipNonAppends, only files still live at range end are read
+    // (a merge inside the range may have rewritten an earlier append's
+    // file — its rows arrive via that file's replacement, or not at
+    // all if deleted; tailing semantics, same as Iceberg's
+    // streaming-skip-overwrite-snapshots).
     if (snaps.isEmpty) readFilesAs(current, Nil)
-    else readFilesAs(snaps.last, snaps.flatMap(_.addedFiles))
+    else {
+      val ctx = snaps.last
+      val added =
+        if (!skipNonAppends) snaps.flatMap(_.addedFiles)
+        else {
+          val live = ctx.liveFiles.toSet
+          snaps.filter(appendShaped).flatMap(_.addedFiles).filter(live)
+        }
+      readFilesAs(ctx, added)
+    }
   }
 
   /** Row-level changelog of snapshot range `(startExclusive,
@@ -443,8 +489,8 @@ final class LakeTable private (
     * atomically (tmp + rename); ref edits are last-writer-wins —
     * they never race data commits, which touch only HEAD. */
   def refs: Map[String, (String, Long)] = {
-    if (!fs.exists(refsPath)) return Map.empty
-    val n = Snapshot.mapper.readTree(readString(fs, refsPath))
+    val body = readPointer(refsPath).getOrElse(return Map.empty)
+    val n = Snapshot.mapper.readTree(body)
     n.properties().asScala.map { e =>
       e.getKey -> (e.getValue.path("type").asText(),
         e.getValue.path("snapshot_id").asLong())
@@ -640,7 +686,6 @@ final class LakeTable private (
         if (dels.isEmpty) 0 else era(f),
         ctx.fileSpec.getOrElse(f, 0L)))
     val parts = groups.toSeq.map { case ((mapping, e, _), files) =>
-      val abs = files.map(f => new Path(rootPath, f).toString)
       val physSchema =
         if (mapping.isEmpty) sch
         else StructType(sch.fields.map(f =>
@@ -650,10 +695,7 @@ final class LakeTable private (
         (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil) ++
         (if (needPos) Seq(col("_metadata.file_path").as(PFILE_COL),
           col("_metadata.row_index").as(PIDX_COL)) else Nil)
-      val part = spark.read
-        .option("basePath", dataDir.toString)
-        .schema(physSchema)
-        .parquet(abs: _*)
+      val part = prunedParquetScan(ctx, files, physSchema)
         .select(cols: _*) // stable column order + current names
       if (dels.isEmpty) part else part.withColumn(ERA_COL, lit(e))
     }
@@ -1482,6 +1524,88 @@ final class LakeTable private (
     * inserting coercion casts, and making literal-only subtrees — e.g.
     * `to_timestamp('…')` — foldable), then intersect the resolved
     * condition with the per-file bounds. Any failure → no pruning. */
+  /** Parquet scan over `relFiles` planned from the MANIFEST (see
+    * [[GraftManifestFileIndex]]): file statuses come from per-file
+    * manifest sizes — ZERO filesystem listing at plan time — and
+    * Catalyst's pushed-down data filters prune files against per-file
+    * column bounds, hidden bucket-partition hashes, and per-file Bloom
+    * filters before a single task is planned. Every read path (SQL
+    * text over registered views, DataFrame ops, MERGE source scans,
+    * time travel) inherits manifest pruning with no graft-specific
+    * API. Legacy manifest entries without a recorded size (and staged
+    * WAP files, not yet committed) fall back to one `getFileStatus`. */
+  private def prunedParquetScan(ctx: Snapshot, relFiles: Seq[String],
+      physSchema: StructType): DataFrame = {
+    val statuses = relFiles.map { f =>
+      val p = fs.makeQualified(new Path(rootPath, f))
+      ctx.fileInfo.get(f) match {
+        case Some(fi) =>
+          new FileStatus(fi.bytes, false, 1, DefaultBlockSize, 0L, p)
+        case None => fs.getFileStatus(p)
+      }
+    }
+    val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => (Path => Boolean) = { filters =>
+      if (ctx.fileStats.isEmpty) _ => true
+      else {
+        val cond = filters
+          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        val kept = pruneByLiteralBloom(ctx, cond,
+          pruneBucketsByPredicate(ctx, cond,
+            PredicatePruning.candidateFiles(cond, physSchema, relFiles,
+              ctx.fileStats))).toSet
+        p => kept(relativePath(rootPath, p))
+      }
+    }
+    GraftManifestFileIndex.dataFrame(spark,
+      Map("basePath" -> dataDir.toString), physSchema, statuses, pruner)
+  }
+
+  /** Bloom pruning for pushed literal equalities (the read-side twin of
+    * [[pruneByBloom]]'s keyed-source form): a top-level `col = literal`
+    * conjunct evaluates the literal's xxhash64 pair driver-side with
+    * the SAME expressions the write path used ([[BloomStats.hashCols]])
+    * and drops candidate files whose stored `__bloom__col` filter
+    * provably lacks the value. Type-mismatched literals (an implicit
+    * cast survived between the filter and the column) are skipped —
+    * their hash would be of the wrong domain. */
+  private def pruneByLiteralBloom(base: Snapshot,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      candidates: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Literal, XxHash64}
+    if (base.fileStats.isEmpty) return candidates
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+    var files = candidates
+    def prune(a: AttributeReference, l: Literal): Unit = {
+      if (l.value == null || l.dataType != a.dataType) return
+      if (!files.exists(f => base.fileStats.get(f)
+          .exists(_.contains(BloomStats.statKey(a.name))))) return
+      val h1 = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+      val h2 = new XxHash64(Seq(Literal("graft-bloom"), l))
+        .eval(null).asInstanceOf[Long]
+      files = files.filter { f =>
+        base.fileStats.get(f).flatMap(_.get(BloomStats.statKey(a.name)))
+          match {
+            case Some(cs) => BloomStats.mightContain(
+              Seq(Some(BloomStats.decode(cs.min))), Array(h1, h2))
+            case None => true
+          }
+      }
+    }
+    conjuncts(cond).foreach {
+      case EqualTo(a: AttributeReference, l: Literal) => prune(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => prune(a, l)
+      case _ =>
+    }
+    files
+  }
+
   private[lake] def pruneByPredicate(base: Snapshot,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     if (base.fileStats.isEmpty) return base.liveFiles
@@ -2078,6 +2202,12 @@ final class LakeTable private (
 
 object LakeTable {
   val METADATA_DIR = "metadata"
+  /** Nominal block size for manifest-built [[FileStatus]]es (local
+    * split planning uses maxPartitionBytes, not this). */
+  private val DefaultBlockSize: Long = 128L * 1024 * 1024
+  /** Attempts for [[readPointer]] before trusting an absent pointer
+    * (covers the µs-scale delete+rename window of an OVERWRITE swap). */
+  private val PointerReadRetries = 3
   val DATA_DIR = "data"
   val DELETES_DIR = "deletes"
   val HEAD = "HEAD"

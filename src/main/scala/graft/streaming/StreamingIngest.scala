@@ -27,6 +27,33 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Tail a lake table's COMMIT LOG as a stream
+    * (`format("graft-lake")`, offsets = snapshot ids — see
+    * GraftLakeStreamSource) and aggregate what was delivered: builds a
+    * two-append table from the events fixture, drains it AvailableNow
+    * through a restartable parquet sink, and aggregates the sink. The
+    * result must equal the batch aggregate over the source — both
+    * commits delivered exactly once. This is the medallion shape where
+    * silver SUBSCRIBES to bronze instead of re-scanning it per run. */
+  def lakeTailAggregate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lake_tail").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val t = graft.lake.LakeTable.create(spark, s"$base/t", ev.schema)
+    t.append(ev.where(col("event_id") % 2 === 0))
+    t.append(ev.where(col("event_id") % 2 =!= 0))
+    val q = spark.readStream.format("graft-lake").load(s"$base/t")
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
   /** Run a complete-mode streaming aggregation over the parquet files in
     * `dir` matching `glob` with Trigger.AvailableNow, blocking until
     * drained; returns the result as a batch DataFrame. (The file stream

@@ -1,0 +1,102 @@
+package org.apache.spark.sql.graftlake
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeTable
+
+/** Structured Streaming source that TAILS a graft lake table —
+  * `spark.readStream.format("graft-lake").load(root)` — the capability
+  * Iceberg/Delta expose as streaming reads: a silver job can subscribe
+  * to bronze's commits instead of re-scanning it per trigger
+  * (reference shape: the incremental snapshot-range read the
+  * bronze→silver job does per run, scripts/bronze-silver.py:149-152,
+  * promoted to a continuous stream).
+  *
+  * Offsets are SNAPSHOT IDS — exactly-once delivery falls out of the
+  * table's own commit log (each micro-batch is the half-open snapshot
+  * range `(start, end]`; replays re-read the same immutable files).
+  * Batches are served by [[LakeTable.incrementalScan]], so they ride
+  * the manifest-backed FileIndex (per-file statuses and pruning from
+  * the manifest, zero fs listing).
+  *
+  * Options:
+  *  - `startingSnapshotId`: first batch starts AFTER this snapshot
+  *    (default 0 = the full table history as the first batch).
+  *  - `skipNonAppends`: `true` to silently skip snapshots that are not
+  *    append-shaped (merge/delete/compact rewrite history — a tailing
+  *    reader cannot replay them as inserts); default errors, matching
+  *    Iceberg's streaming-read contract.
+  */
+class GraftLakeStreamSource(
+    sqlContext: SQLContext,
+    root: String,
+    options: Map[String, String]) extends Source {
+
+  private val table = LakeTable.load(sqlContext.sparkSession, root)
+  private val startAfter =
+    options.getOrElse("startingSnapshotId", "0").toLong
+  private val skipNonAppends =
+    options.getOrElse("skipNonAppends", "false").toBoolean
+
+  override val schema: StructType = table.schema
+
+  override def getOffset: Option[Offset] =
+    table.currentSnapshotId.map(LongOffset(_))
+
+  // offsets arrive live (LongOffset) or replayed from the checkpoint
+  // log (SerializedOffset); both json-print the bare snapshot id
+  private def snapshotId(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(snapshotId).getOrElse(startAfter)
+    val hi = snapshotId(end)
+    val batch = table.incrementalScan(lo, hi,
+      skipNonAppends = skipNonAppends)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*) // stream schema is fixed at source creation
+    // V1 contract: the returned frame must be marked streaming. The
+    // standard source pattern — plan the batch read (manifest pruning
+    // and all), hand its lazy RDD to a streaming-tagged frame.
+    val cs = sqlContext.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      batch.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd,
+      batch.schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftLakeStreamSource[$root]"
+}
+
+/** `format("graft-lake")` registration (META-INF/services). The same
+  * name intentionally does NOT provide a batch relation: batch reads
+  * go through [[LakeTable.scan]]/LakeCatalog views, which already
+  * carry the manifest-pruned read path. */
+class GraftLakeSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake source requires .load(<table root>) or option(\"path\")"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(
+        LakeTable.load(sqlContext.sparkSession, rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftLakeStreamSource(sqlContext, rootOf(parameters), parameters)
+}
