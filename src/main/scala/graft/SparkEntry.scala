@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Contamination, Dedup, RepetitionMetrics, SaltedJoin, Sampling, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Contamination, Dedup, LexicalQuality, Mixture, PiiScrub, RepetitionMetrics, SaltedJoin, Sampling, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -962,6 +962,32 @@ WHEN NOT MATCHED THEN INSERT *
       Sampling.stratified(docs(s, dir), "lang",
         Map("en" -> 0.5, "zh" -> 0.25), Seq("doc_id"), salt = "s7")
         .select("doc_id", "lang")),
+
+    // domain-mixture rebalancing: cap src0 at 8% and src1 at 4% of the
+    // corpus, keep other domains whole — exact integer threshold math
+    // (the oracle derives the SAME data-dependent thresholds in SQL)
+    "q_mixture_rebalance" -> ((s, dir) =>
+      Mixture.rebalance(docs(s, dir), "source", Seq("doc_id"),
+        Map("src0" -> 8, "src1" -> 4))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))),
+
+    "q_oov_rate" -> ((s, dir) =>
+      LexicalQuality.oovRate(docs(s, dir), "doc_id", "text",
+        vocabSize = 30)),
+
+    // self-trained unigram LM score (the KenLM-perplexity stand-in):
+    // docs of globally rare tokens score low
+    "q_unigram_logprob" -> ((s, dir) =>
+      LexicalQuality.unigramLogProb(docs(s, dir), "doc_id", "text")),
+
+    // corpus is PII-free by construction, so the scrub must be the
+    // identity — md5(scrubbed) == md5(text) is the per-row proof; the
+    // regex semantics themselves are spec-tested on crafted strings
+    "q_pii_scrub" -> ((s, dir) =>
+      PiiScrub.scrub(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), md5(col("scrubbed")).as("scrubbed_md5"))),
 
     // token-budget shard packing: distributed prefix-sum (partition-
     // local running totals + broadcast offsets), never a global
@@ -2055,6 +2081,71 @@ WHEN NOT MATCHED THEN INSERT *
         |       WHEN lang = 'zh'
         |         THEN '40000000000000000000000000000000'
         |       ELSE 'g' END""".stripMargin,
+
+    // the oracle derives the data-dependent thresholds itself — every
+    // operand integer (HUGEINT there, Decimal(38,0) in Spark), so the
+    // keep decision is bit-identical: u60·100·n_s < 2^60·pct·N
+    "q_mixture_rebalance" ->
+      """WITH n AS (SELECT count(*) AS total FROM documents),
+        |s AS (SELECT source, count(*) AS ns FROM documents
+        |      GROUP BY source),
+        |t(source, pct) AS (VALUES ('src0', 8), ('src1', 4)),
+        |kept AS (
+        |  SELECT d.source FROM documents d
+        |  JOIN s ON d.source = s.source CROSS JOIN n
+        |  LEFT JOIN t ON d.source = t.source
+        |  WHERE t.pct IS NULL
+        |     OR CAST('0x' || substr(md5(concat_ws('|',
+        |            CAST(d.doc_id AS VARCHAR), '')), 1, 15)
+        |          AS BIGINT)::HUGEINT * (100 * s.ns)::HUGEINT
+        |        < 1152921504606846976::HUGEINT * t.pct * n.total)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY source""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS tk
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''),
+        |vocab AS (SELECT tk FROM tok2 GROUP BY tk
+        |          ORDER BY count(*) DESC, tk ASC LIMIT 30)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)
+        |          AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM tok2 t LEFT JOIN vocab v ON t.tk = v.tk
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS tk
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''),
+        |freq AS (SELECT tk, count(*) AS c FROM tok2 GROUP BY tk),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM freq)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(f.c AS DOUBLE) / n.total)), 4) AS logprob
+        |FROM tok2 t JOIN freq f ON t.tk = f.tk CROSS JOIN n
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q_pii_scrub" -> {
+      import graft.operators.PiiScrub.{EmailRe, IpRe, PhoneRe}
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT)
+         |    AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$IpRe', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM documents""".stripMargin
+    },
 
     "q_shard_packing" ->
       """WITH tc AS (
