@@ -695,7 +695,7 @@ final class LakeTable private (
         (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil) ++
         (if (needPos) Seq(col("_metadata.file_path").as(PFILE_COL),
           col("_metadata.row_index").as(PIDX_COL)) else Nil)
-      val part = prunedParquetScan(ctx, files, physSchema)
+      val part = prunedParquetScan(ctx, files, physSchema, sch, mapping)
         .select(cols: _*) // stable column order + current names
       if (dels.isEmpty) part else part.withColumn(ERA_COL, lit(e))
     }
@@ -763,6 +763,7 @@ final class LakeTable private (
 
   private def appendInternal(df: DataFrame,
       txn: Option[(String, Long)]): Long = {
+    autoEvolveFor(df)
     val base = current
     def watermarked(s: Snapshot): Boolean = txn.exists { case (app, v) =>
       s.properties.get(s"txn.$app").exists(_.toLong >= v)
@@ -863,6 +864,7 @@ final class LakeTable private (
     * readers never pay a can't-match anti-join against a retired era and
     * expireSnapshots can reclaim the delete files. */
   def overwrite(df: DataFrame): Long = {
+    autoEvolveFor(df)
     val base = current
     val WriteResult(added, stats, info) =
       writeDataFiles(distributeForWrite(alignToSchema(df)))
@@ -916,6 +918,7 @@ final class LakeTable private (
   def merge(source: DataFrame, keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
       dropUnmatchedWhen: Option[org.apache.spark.sql.Column]): Long = {
+    autoEvolveFor(source)
     val base = current
     // split on the delete condition BEFORE alignment drops CDC columns
     val delCond = deleteWhen.map(c => coalesce(c, lit(false)))
@@ -1535,7 +1538,8 @@ final class LakeTable private (
     * API. Legacy manifest entries without a recorded size (and staged
     * WAP files, not yet committed) fall back to one `getFileStatus`. */
   private def prunedParquetScan(ctx: Snapshot, relFiles: Seq[String],
-      physSchema: StructType): DataFrame = {
+      physSchema: StructType, logicalSchema: StructType,
+      mapping: Map[String, String]): DataFrame = {
     val statuses = relFiles.map { f =>
       val p = fs.makeQualified(new Path(rootPath, f))
       ctx.fileInfo.get(f) match {
@@ -1544,15 +1548,24 @@ final class LakeTable private (
         case None => fs.getFileStatus(p)
       }
     }
+    // pushed filters arrive in this era's PHYSICAL names; the manifest
+    // keys stats (and bucket sources) by CURRENT LOGICAL names —
+    // rename commits rekey them. Translate attributes back before the
+    // stats lookup so pre-rename files still prune.
+    val inv = mapping.map(_.swap)
     val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
         => (Path => Boolean) = { filters =>
       if (ctx.fileStats.isEmpty) _ => true
       else {
-        val cond = filters
-          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        import org.apache.spark.sql.catalyst.expressions.{
+          And, AttributeReference}
+        val cond = filters.reduce(And(_, _)).transform {
+          case a: AttributeReference if inv.contains(a.name) =>
+            a.withName(inv(a.name))
+        }
         val kept = pruneByLiteralBloom(ctx, cond,
           pruneBucketsByPredicate(ctx, cond,
-            PredicatePruning.candidateFiles(cond, physSchema, relFiles,
+            PredicatePruning.candidateFiles(cond, logicalSchema, relFiles,
               ctx.fileStats))).toSet
         p => kept(relativePath(rootPath, p))
       }
@@ -1920,6 +1933,23 @@ final class LakeTable private (
 
   // ---------------------------------------------------------------- internal
 
+  /** With `write.schema.auto-evolve=true`, source columns the table
+    * lacks are ADDED (nullable, one metadata-only evolve-schema commit
+    * each) before the write — ≡ Delta's `mergeSchema`/`autoMerge`
+    * write option. Runs BEFORE the write captures its base snapshot,
+    * so the data commit lands on the evolved schema instead of
+    * tripping the retry loop's evolution refusal. Off by default: with
+    * it on, a producer's typo'd column silently becomes table schema —
+    * and a CDC pipeline's bookkeeping columns (Op, etc.) would too, so
+    * CDC callers should pre-drop them or leave this off. */
+  private def autoEvolveFor(df: DataFrame): Unit = {
+    if (!properties.get(PROP_AUTO_EVOLVE).contains("true")) return
+    val have = schema.fieldNames.toSet
+    df.schema.fields.filterNot(f => have(f.name)).foreach { f =>
+      addColumn(f.name, f.dataType, nullable = true)
+    }
+  }
+
   private def alignToSchema(df: DataFrame): DataFrame = {
     val want = schema
     val have = df.columns.toSet
@@ -2235,6 +2265,7 @@ object LakeTable {
   val PROP_DISTRIBUTION_MODE = "write.distribution-mode"
   val PROP_DELETE_MODE = "write.delete.mode"
   val PROP_UPDATE_MODE = "write.update.mode"
+  val PROP_AUTO_EVOLVE = "write.schema.auto-evolve"
   /** Comma-separated columns to build per-file Bloom filters for (see
     * [[BloomStats]]); empty/absent = none. */
   val PROP_BLOOM_COLUMNS = "write.bloom.columns"

@@ -2,9 +2,10 @@ package org.apache.spark.sql.graftlake
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.lake.LakeTable
@@ -74,12 +75,46 @@ class GraftLakeStreamSource(
   override def toString: String = s"GraftLakeStreamSource[$root]"
 }
 
-/** `format("graft-lake")` registration (META-INF/services). The same
-  * name intentionally does NOT provide a batch relation: batch reads
-  * go through [[LakeTable.scan]]/LakeCatalog views, which already
-  * carry the manifest-pruned read path. */
+/** Streaming SINK into a lake table —
+  * `df.writeStream.format("graft-lake").option("path", root)` — the
+  * write-side twin of [[GraftLakeStreamSource]]. Each micro-batch is
+  * one atomic append commit. With `txnAppId` set (any checkpoint-
+  * stable id), appends ride [[LakeTable.appendOnce]]'s transaction
+  * watermarks: a batch replayed after a crash between table commit and
+  * streaming-offset commit finds its own (appId, batchId) watermark
+  * and skips — EXACTLY-ONCE table content from the engine's
+  * at-least-once replay. Without `txnAppId`: plain appends
+  * (at-least-once on crash replay). Append output mode only — a lake
+  * table is not a complete-mode materialized view. */
+class GraftLakeSink(sqlContext: SQLContext, root: String,
+    txnAppId: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val cs = sqlContext.sparkSession.asInstanceOf[classic.SparkSession]
+    // V1 sink contract: `data` is the streaming micro-batch frame —
+    // re-wrap its planned RDD as a batch frame before handing it to
+    // the batch write path (the ForeachBatchSink technique)
+    val batch = cs.internalCreateDataFrame(
+      data.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd,
+      data.schema, isStreaming = false)
+    val table = LakeTable.load(cs, root)
+    txnAppId match {
+      case Some(app) => table.appendOnce(batch, app, batchId)
+      case None => table.append(batch)
+    }
+  }
+
+  override def toString: String = s"GraftLakeSink[$root]"
+}
+
+/** `format("graft-lake")` registration (META-INF/services): streaming
+  * source AND sink. The same name intentionally does NOT provide a
+  * batch relation: batch reads go through
+  * [[LakeTable.scan]]/LakeCatalog views, which already carry the
+  * manifest-pruned read path. */
 class GraftLakeSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -99,4 +134,17 @@ class GraftLakeSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source =
     new GraftLakeStreamSource(sqlContext, rootOf(parameters), parameters)
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-lake sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "partitioning comes from the TABLE's spec — create the table " +
+        "partitioned instead of passing partitionBy to the writer")
+    new GraftLakeSink(sqlContext, rootOf(parameters),
+      parameters.get("txnAppId"))
+  }
 }

@@ -108,6 +108,27 @@ class ManifestIndexSpec extends AnyFunSuite {
     assert(t.scan().where($"k" === 1L).count() == 1)
   }
 
+  test("renamed column: filters prune via as-written stats, correctly") {
+    val root = TestSpark.tmpDir("mfidx-rename") + "/t"
+    val t = LakeTable.create(spark, root,
+      Seq((1L, "v")).toDF("id", "v").schema)
+    t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(1)) // written under physical name "id"
+    t.renameColumn("id", "key")
+    t.append((101L to 200L).map(i => (i, s"b$i")).toDF("key", "v")
+      .coalesce(1)) // written under physical name "key"
+    // filter on the CURRENT name: the pre-rename file's group rewrites
+    // the pushed filter to its physical name, matching its stats keys —
+    // only the covering file is planned in each era
+    val q = t.scan().where($"key" === 150L)
+    assert(plannedFiles(q).size == 1,
+      s"expected 1 planned file, got ${plannedFiles(q)}")
+    assert(q.select("v").as[String].collect().toSeq == Seq("b150"))
+    val q2 = t.scan().where($"key" === 50L)
+    assert(plannedFiles(q2).size == 1)
+    assert(q2.select("v").as[String].collect().toSeq == Seq("a50"))
+  }
+
   test("planned statuses carry manifest sizes (no fs listing needed)") {
     val root = TestSpark.tmpDir("mfidx-size") + "/t"
     val t = LakeTable.create(spark, root,

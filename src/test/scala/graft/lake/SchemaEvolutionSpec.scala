@@ -171,6 +171,37 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(inc.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("auto-evolve: append/merge with new source columns grows schema") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_AUTO_EVOLVE -> "true"))
+    t.append(df)
+    // append with an extra column: schema evolves, old rows read NULL
+    t.append(Seq((2L, "b", "fr")).toDF("id", "v", "lang"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    assert(t.scan().where($"lang".isNull).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    // merge with yet another column evolves too
+    t.merge(Seq((1L, "A", "en", 5L)).toDF("id", "v", "lang", "score"),
+      Seq("id"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "lang", "score"))
+    assert(t.scan().where($"id" === 1L)
+      .select("v", "lang", "score").collect().head.toSeq ==
+      Seq("A", "en", 5L))
+    assert(t.scan().where($"id" === 2L).select("score")
+      .collect().head.isNullAt(0))
+  }
+
+  test("auto-evolve off: extra source columns are dropped, not added") {
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(Seq((2L, "b", "dropped")).toDF("id", "v", "extra"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(t.scan().count() == 1)
+  }
+
   test("snapshot JSON round-trips fileRenames") {
     val snap = Snapshot(3L, Some(2L), 99L, "evolve-schema", Nil, Nil,
       Seq("data/f1.parquet", "data/f2.parquet"),

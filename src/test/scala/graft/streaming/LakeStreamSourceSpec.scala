@@ -46,6 +46,56 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(sunk().size == 4)
   }
 
+  test("sink: file stream lands in a lake table; replay doesn't dup") {
+    val base = TestSpark.tmpDir("lakesink")
+    val root = s"$base/t"
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    LakeTable.create(spark, root, df.schema)
+    df.coalesce(1).write.mode("append").parquet(in)
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(df.schema).parquet(in)
+        .writeStream.format("graft-lake").option("path", root)
+        .option("txnAppId", "sink-spec")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val t = LakeTable.load(spark, root)
+    assert(t.scan().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // second input file → only the delta lands
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    drain()
+    assert(t.scan().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // replaying batch 0 against the table directly (simulating a crash
+    // between table commit and offset commit) is a watermarked NO-OP
+    t.appendOnce(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "sink-spec", 0L)
+    assert(t.scan().count() == 3)
+
+    // source → sink roundtrip: tail this table into another one
+    val root2 = s"$base/t2"
+    LakeTable.create(spark, root2, df.schema)
+    val q2 = spark.readStream.format("graft-lake").load(root)
+      .writeStream.format("graft-lake").option("path", root2)
+      .option("txnAppId", "sink-spec-2")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(LakeTable.load(spark, root2).scan()
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("startingSnapshotId skips history; non-appends error by default") {
     val base = TestSpark.tmpDir("lakestream2")
     val root = s"$base/t"
