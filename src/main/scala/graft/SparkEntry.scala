@@ -303,6 +303,35 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // retention delete on a date-sorted table: write.sort.order makes
+    // per-file o_orderdate ranges disjoint, so the cutoff predicate
+    // FULLY covers the old files — they drop from the manifest with
+    // zero data I/O (assert: the delete commit writes no files); only
+    // the boundary file rewrites
+    "q_metadata_delete" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-metadel") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema)
+      // the production retention shape: periodic ingests, each batch's
+      // file covering its own time range (orders span 1995..2001)
+      def ntz(x: String) = lit(x).cast("timestamp_ntz")
+      Seq(("1990-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"),
+        ("1999-01-01", "2002-01-01")).foreach { case (lo, hi) =>
+        lt.append(orders.where(col("o_orderdate") >= ntz(lo) &&
+          col("o_orderdate") < ntz(hi)).coalesce(1))
+      }
+      // NTZ literal: o_orderdate reads as TIMESTAMP_NTZ — a tz literal
+      // would wrap the COLUMN in a cast and defeat the whole-file proof
+      lt.delete(col("o_orderdate") < ntz("1998-01-01"))
+      val snap = lt.currentSnapshot.get
+      assert(snap.addedFiles.size <= 1,
+        s"retention delete should drop old files whole and rewrite at " +
+          s"most the boundary file, wrote ${snap.addedFiles.size}")
+      assert(snap.removedFiles.size > snap.addedFiles.size,
+        "no file was dropped metadata-only")
+      lt.scan().select(col("o_orderkey"), col("o_orderdate"))
+    }),
+
     "q_cow_update" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val root = tmp("graft-upd") + "/orders"
@@ -1306,6 +1335,10 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    "q_metadata_delete" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "q_cow_update" ->
       """SELECT o_orderkey,

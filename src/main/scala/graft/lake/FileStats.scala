@@ -47,6 +47,22 @@ object FileStats {
     * small when a table carries document bodies. */
   private val MaxStringStatBytes = 96
 
+  /** Per-file NULL COUNTS ride the stats map as `__nulls__<col>`
+    * point-stats (the [[BloomStats]] pseudo-column technique — zero
+    * manifest format changes). What they buy: proofs that EVERY row of
+    * a file matches a predicate ([[PredicatePruning.allRowsMatch]] —
+    * bounds alone can never prove it, a NULL row fails any comparison),
+    * which turns a retention `DELETE WHERE ts < cutoff` into a
+    * metadata-only commit; and `IS NULL` pruning (a zero-null file
+    * can't match). Absent for legacy files → both degrade safely. */
+  val NullsPrefix = "__nulls__"
+  def nullsKey(c: String): String = NullsPrefix + c
+  def isNullsKey(k: String): Boolean = k.startsWith(NullsPrefix)
+  /** Internal pseudo-columns (blooms, null counts) — excluded from
+    * user-facing bounds views. */
+  def isInternalKey(k: String): Boolean =
+    isNullsKey(k) || BloomStats.isBloomKey(k)
+
   /** Types whose bounds we can both collect and compare. A key of any
     * other type disables pruning (full candidate set), never correctness. */
   def supportsPruning(dt: DataType): Boolean = dt match {
@@ -54,6 +70,16 @@ object FileStats {
         DateType | TimestampType | FloatType | DoubleType | StringType => true
     case _ => false
   }
+
+  /** Types prunable against LITERAL predicates (footer decode + literal
+    * encode agree on a domain). Strictly wider than [[supportsPruning]]:
+    * TIMESTAMP_NTZ footers store raw wall-clock micros and an NTZ
+    * literal's internal value IS those micros, so literal pruning is
+    * exact — but [[boundExpr]] has no session-zone-free way to project
+    * an NTZ COLUMN to that domain, so keyed source-bounds pruning
+    * (which needs boundExpr) keeps the narrower set. */
+  def supportsLiteralPruning(dt: DataType): Boolean =
+    supportsPruning(dt) || dt == TimestampNTZType
 
   /** Expression projecting `c` into the stat domain above, for computing
     * source-side key bounds with a plain min/max aggregate. */
@@ -111,12 +137,31 @@ object FileStats {
       partitionFields.filter(_.isIdentity).map(_.source).toSet
     val dataCols = schema.fields
       .filterNot(f => identitySources(f.name))
-      .filter(f => supportsPruning(f.dataType))
+      .filter(f => supportsLiteralPruning(f.dataType))
       .map(f => f.name -> f.dataType).toMap
     val (footer, rows) = Try(footerStats(conf, file, dataCols))
       .getOrElse((Map.empty[String, ColStat], -1L))
-    (fromPath ++ footer, rows)
+    // identity partition columns live in the DIRECTORY, not the file:
+    // a concrete dir value means zero nulls in this file; the
+    // __HIVE_DEFAULT_PARTITION__ dir means every row is null
+    val partNulls = partitionFields.filter(_.isIdentity).flatMap { f =>
+      if (fromPath.contains(f.dirName)) Some(nullsKey(f.source) ->
+        ColStat("0", "0"))
+      else if (rows >= 0 && nullPartitionDirs(relPath).contains(f.dirName))
+        Some(nullsKey(f.source) -> ColStat(rows.toString, rows.toString))
+      else None
+    }.toMap
+    (fromPath ++ footer ++ partNulls, rows)
   }
+
+  /** Dir names of this path's `__HIVE_DEFAULT_PARTITION__` segments. */
+  private def nullPartitionDirs(relPath: String): Set[String] =
+    relPath.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0 && seg.substring(i + 1) == "__HIVE_DEFAULT_PARTITION__")
+        Some(seg.substring(0, i))
+      else None
+    }.toSet
 
   /** Footer column bounds plus the file's total row count (-1 never —
     * the count is in every footer; the Try in [[collect]] maps an
@@ -127,16 +172,20 @@ object FileStats {
     try {
       // Combine bounds across row groups; a column is dropped for the whole
       // file the moment any group's stats are missing or undecodable.
+      // Null counts accumulate independently of bounds (a chunk whose
+      // bounds can't decode may still report its null count) and are
+      // dropped for the file the moment any chunk doesn't report one.
       val acc = mutable.Map.empty[String, (String, String)]
       val dropped = mutable.Set.empty[String]
+      val nullAcc = mutable.Map.empty[String, Long]
+      val nullDropped = mutable.Set.empty[String]
       for (block <- reader.getFooter.getBlocks.asScala;
           cc <- block.getColumns.asScala) {
         val path = cc.getPath.toArray
-        if (path.length == 1 && dataCols.contains(path(0)) &&
-            !dropped(path(0))) {
+        if (path.length == 1 && dataCols.contains(path(0))) {
           val name = path(0)
           val dt = dataCols(name)
-          decodeChunk(cc, dt) match {
+          if (!dropped(name)) decodeChunk(cc, dt) match {
             case None => dropped += name; acc.remove(name)
             case Some(None) => // all-null chunk: contributes no values
             case Some(Some((mn, mx))) =>
@@ -147,10 +196,20 @@ object FileStats {
                 case None => acc(name) = (mn, mx)
               }
           }
+          if (!nullDropped(name)) {
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.isNumNullsSet) {
+              nullDropped += name; nullAcc.remove(name)
+            } else nullAcc(name) = nullAcc.getOrElse(name, 0L) +
+              st.getNumNulls
+          }
         }
       }
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      (acc.map { case (k, (mn, mx)) => k -> ColStat(mn, mx) }.toMap, rows)
+      (acc.map { case (k, (mn, mx)) => k -> ColStat(mn, mx) }.toMap ++
+        nullAcc.map { case (k, n) =>
+          nullsKey(k) -> ColStat(n.toString, n.toString)
+        }, rows)
     } finally reader.close()
   }
 
@@ -203,6 +262,20 @@ object FileStats {
           case _ =>
             longs(st.genericGetMin.asInstanceOf[java.lang.Long],
               st.genericGetMax.asInstanceOf[java.lang.Long])
+        }
+      case (PrimitiveTypeName.INT64, TimestampNTZType) =>
+        // NTZ: raw wall-clock micros, no zone adjustment on either side
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => longs(mn, mx)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                longs(mn * 1000L, mx * 1000L)
+              case _ => None
+            }
+          case _ => None
         }
       case (PrimitiveTypeName.INT64, TimestampType) =>
         ann match {

@@ -209,9 +209,10 @@ final class LakeTable private (
         coalesce(col("e.seq"), lit(0L)).as("seq"),
         col("e.bytes").as("size_bytes"),
         when(col("e.rows") >= 0, col("e.rows")).as("record_count"),
-        // bloom pseudo-columns are pruning internals, not bounds
+        // bloom/null-count pseudo-columns are pruning internals
         map_filter(coalesce(col("e.stats"), map().cast(BOUNDS_TYPE)),
-          (k, _) => !k.startsWith(BloomStats.Prefix)).as("bounds"))
+          (k, _) => !k.startsWith(BloomStats.Prefix) &&
+            !k.startsWith(FileStats.NullsPrefix)).as("bounds"))
   }
 
   /** Driver-side `.files` for tables still on the legacy inline
@@ -227,7 +228,7 @@ final class LakeTable private (
     val rows = snap.liveFiles.sorted.map { f =>
       val partition = f.split('/').drop(1).dropRight(1).mkString("/")
       val bounds = snap.fileStats.getOrElse(f, Map.empty)
-        .filterNot { case (c, _) => BloomStats.isBloomKey(c) }
+        .filterNot { case (c, _) => FileStats.isInternalKey(c) }
         .map { case (c, cs) => c -> Row(cs.min, cs.max) }
       val fi = snap.fileInfo.get(f)
       Row(f, partition, snap.fileSeq.getOrElse(f, 0L),
@@ -1260,18 +1261,31 @@ final class LakeTable private (
     // and one proportional to the touched key range
     val candidates = pruneByPredicate(base, predicate)
     if (candidates.isEmpty) return base.snapshotId
-    val affected = readFilesWithName(candidates)
-      .where(predicate)
-      .select(FILE_COL).distinct()
-      .collect().map(r => relativize(r.getString(0))).toSeq
-    if (affected.isEmpty) return base.snapshotId
+    // metadata delete (≡ Iceberg): files whose stats PROVE every row
+    // matches drop from the manifest with zero data I/O — a retention
+    // `DELETE WHERE ts < cutoff` on a time-sorted table is a pure
+    // metadata commit. Only files the proof can't cover are scanned
+    // and rewritten.
+    val covered = analyzedCond(predicate)
+      .map(c => fullyCovered(base, c, candidates)).getOrElse(Nil)
+    val rest = candidates.diff(covered)
+    val affected =
+      if (rest.isEmpty) Nil
+      else readFilesWithName(rest)
+        .where(predicate)
+        .select(FILE_COL).distinct()
+        .collect().map(r => relativize(r.getString(0))).toSeq
+    if (covered.isEmpty && affected.isEmpty) return base.snapshotId
     // keep rows where the predicate is NOT TRUE (false or null) — SQL
     // DELETE only removes rows where it evaluates to true
-    val kept = readFiles(affected)
-      .where(!coalesce(predicate, lit(false)))
-    val WriteResult(added, stats, info) = writeDataFiles(kept)
-    commit(base, "delete", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
+    val WriteResult(added, stats, info) =
+      if (affected.isEmpty) WriteResult(Nil, Map.empty, Map.empty)
+      else writeDataFiles(readFiles(affected)
+        .where(!coalesce(predicate, lit(false))))
+    val removed = covered ++ affected
+    commit(base, "delete", added = added, removed = removed,
+      live = base.liveFiles.diff(removed) ++ added, addedStats = stats,
+      addedInfo = info)
   }
 
   /** Merge-on-read predicate DELETE via position-delete files: the
@@ -1284,19 +1298,33 @@ final class LakeTable private (
       predicate: org.apache.spark.sql.Column): Long = {
     val candidates = pruneByPredicate(base, predicate)
     if (candidates.isEmpty) return base.snapshotId
-    val positions = readFilesAs(base, candidates, withPos = true)
-      .where(predicate)
-      .select(col(PFILE_COL).as(POS_FILE_FIELD),
-        col(PIDX_COL).as(POS_POS_FIELD))
-    if (positions.isEmpty) return base.snapshotId
-    val delPaths = writeDeleteFiles(positions)
+    // metadata delete applies under MOR too — and is even better than a
+    // position-delete artifact: a fully-covered file leaves the
+    // manifest outright (no per-row capture, no anti-join for readers).
+    // Suppressed-row caveat: rows of a covered file already hidden by
+    // outstanding deletes match the predicate like every other row
+    // (allRowsMatch is a per-FILE proof), so dropping the file changes
+    // nothing they'd produce.
+    val covered = analyzedCond(predicate)
+      .map(c => fullyCovered(base, c, candidates)).getOrElse(Nil)
+    val rest = candidates.diff(covered)
+    val delPaths =
+      if (rest.isEmpty) Nil
+      else {
+        val positions = readFilesAs(base, rest, withPos = true)
+          .where(predicate)
+          .select(col(PFILE_COL).as(POS_FILE_FIELD),
+            col(PIDX_COL).as(POS_POS_FIELD))
+        if (positions.isEmpty) Nil else writeDeleteFiles(positions)
+      }
+    if (covered.isEmpty && delPaths.isEmpty) return base.snapshotId
     // retry-safe iff every file we captured positions from is STILL live
     // (a racing compact/rewrite would have re-homed the matching rows);
     // a racer's pure appends serialize AFTER this delete, untouched
     commitWithRetry(base)(posRetrySafe) { b =>
       val seq = b.snapshotId + 1
-      commit(b, "delete", added = Nil, removed = Nil,
-        live = b.liveFiles,
+      commit(b, "delete", added = Nil, removed = covered,
+        live = b.liveFiles.diff(covered),
         posDeletesOverride = Some(b.posDeleteFiles ++
           delPaths.map(p => PosDeleteFile(p, seq))))
     }
@@ -1485,11 +1513,15 @@ final class LakeTable private (
       val phys = em.getOrElse(oldName, oldName)
       f -> ((em - oldName) + (newName -> phys))
     }.toMap
-    // stats and delete-file logical keys follow the column
+    // stats and delete-file logical keys follow the column — including
+    // the per-column pseudo-stats (null counts, bloom filters)
+    def rekey(c: String): String =
+      if (c == oldName) newName
+      else if (c == FileStats.nullsKey(oldName)) FileStats.nullsKey(newName)
+      else if (c == BloomStats.statKey(oldName)) BloomStats.statKey(newName)
+      else c
     val stats = base.fileStats.map { case (f, cols) =>
-      f -> cols.map { case (c, cs) =>
-        (if (c == oldName) newName else c) -> cs
-      }
+      f -> cols.map { case (c, cs) => rekey(c) -> cs }
     }
     val dels = base.deleteFiles.map(d => d.copy(
       keys = d.keys.map(k => if (k == oldName) newName else k)))
@@ -1513,7 +1545,8 @@ final class LakeTable private (
     require(sch.fields.length > 1, "cannot drop the last column")
     val newSchema = StructType(sch.fields.filterNot(_.name == name))
     val stats = base.fileStats
-      .map { case (f, cols) => f -> (cols - name) }
+      .map { case (f, cols) => f -> (cols - name -
+        FileStats.nullsKey(name) - BloomStats.statKey(name)) }
       .filter(_._2.nonEmpty)
     val renames = base.fileRenames
       .map { case (f, m) => f -> (m - name) }
@@ -1586,7 +1619,7 @@ final class LakeTable private (
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       candidates: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      And, AttributeReference, EqualTo, Literal, XxHash64}
+      And, AttributeReference, EqualTo, In, Literal, XxHash64}
     if (base.fileStats.isEmpty) return candidates
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
         : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
@@ -1595,34 +1628,46 @@ final class LakeTable private (
         case x => Seq(x)
       }
     var files = candidates
-    def prune(a: AttributeReference, l: Literal): Unit = {
-      if (l.value == null || l.dataType != a.dataType) return
+    // IN semantics: keep the file iff ANY listed value might be present
+    def prune(a: AttributeReference, ls: Seq[Literal]): Unit = {
+      if (ls.isEmpty ||
+        ls.exists(l => l.value == null || l.dataType != a.dataType)) return
       if (!files.exists(f => base.fileStats.get(f)
           .exists(_.contains(BloomStats.statKey(a.name))))) return
-      val h1 = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
-      val h2 = new XxHash64(Seq(Literal("graft-bloom"), l))
-        .eval(null).asInstanceOf[Long]
+      val hashes = ls.map { l =>
+        (new XxHash64(Seq(l)).eval(null).asInstanceOf[Long],
+          new XxHash64(Seq(Literal("graft-bloom"), l))
+            .eval(null).asInstanceOf[Long])
+      }
       files = files.filter { f =>
         base.fileStats.get(f).flatMap(_.get(BloomStats.statKey(a.name)))
           match {
-            case Some(cs) => BloomStats.mightContain(
-              Seq(Some(BloomStats.decode(cs.min))), Array(h1, h2))
+            case Some(cs) =>
+              val filter = Seq(Some(BloomStats.decode(cs.min)))
+              hashes.exists { case (h1, h2) =>
+                BloomStats.mightContain(filter, Array(h1, h2))
+              }
             case None => true
           }
       }
     }
     conjuncts(cond).foreach {
-      case EqualTo(a: AttributeReference, l: Literal) => prune(a, l)
-      case EqualTo(l: Literal, a: AttributeReference) => prune(a, l)
+      case EqualTo(a: AttributeReference, l: Literal) => prune(a, Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) => prune(a, Seq(l))
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        prune(a, vs.map(_.asInstanceOf[Literal]))
       case _ =>
     }
     files
   }
 
-  private[lake] def pruneByPredicate(base: Snapshot,
-      predicate: org.apache.spark.sql.Column): Seq[String] = {
-    if (base.fileStats.isEmpty) return base.liveFiles
-    val cond = scala.util.Try {
+  /** `predicate` ANALYZED against the table schema (attributes
+    * resolved, coercion casts inserted, literal-only subtrees
+    * foldable); None when analysis fails. */
+  private def analyzedCond(predicate: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    scala.util.Try {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .where(predicate).queryExecution.analyzed
         .collectFirst {
@@ -1630,6 +1675,25 @@ final class LakeTable private (
             f.condition
         }
     }.toOption.flatten
+
+  /** Files of `candidates` whose manifest stats PROVE every row matches
+    * the analyzed condition — droppable from the manifest with zero
+    * data I/O (see [[PredicatePruning.allRowsMatch]]). */
+  private def fullyCovered(base: Snapshot,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      candidates: Seq[String]): Seq[String] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    candidates.filter { f =>
+      base.fileStats.get(f).exists(fs =>
+        PredicatePruning.allRowsMatch(cond, fs, types,
+          base.fileInfo.get(f).map(_.rows)))
+    }
+  }
+
+  private[lake] def pruneByPredicate(base: Snapshot,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    if (base.fileStats.isEmpty) return base.liveFiles
+    val cond = analyzedCond(predicate)
     cond match {
       case Some(c) =>
         pruneBucketsByPredicate(base, c,

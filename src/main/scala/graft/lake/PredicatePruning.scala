@@ -72,8 +72,91 @@ object PredicatePruning {
     case InSet(a, vs) if vs.nonEmpty && attrName(a).isDefined =>
       vs.exists(v => sided(a, Literal.create(v, a.dataType),
         fileStats, types)(eqCheck, eqCheck))
+    case IsNull(a) =>
+      // a file with a recorded null count of ZERO can't match IS NULL
+      attrName(a).flatMap(n => nullsOf(fileStats, n)) match {
+        case Some(0L) => false
+        case _ => true
+      }
     case _ => true
   }
+
+  /** Recorded null count for column `c` in this file's stats (the
+    * `__nulls__` pseudo-stat, see [[FileStats.nullsKey]]); None =
+    * unknown (legacy file, unreported chunk). */
+  private def nullsOf(fileStats: Map[String, ColStat],
+      c: String): Option[Long] =
+    fileStats.get(FileStats.nullsKey(c))
+      .flatMap(cs => scala.util.Try(cs.min.toLong).toOption)
+
+  /** Does EVERY row of a file with stats `fileStats` (and `rows` total
+    * rows, when known) provably satisfy `e`? The metadata-delete
+    * prover: a fully-covered file can be dropped from the manifest with
+    * zero data I/O (≡ Iceberg's metadata delete). Strictly
+    * conservative — false unless proven. Comparisons additionally need
+    * the column's null count recorded as ZERO: bounds only speak for
+    * non-null values, and a NULL row fails every comparison. The ±0.0
+    * stat widening only ever widens, so proofs against widened bounds
+    * remain sound (widened max < x ⇒ true max < x); NaN-bearing FP
+    * columns record no bounds at all and so prove nothing. */
+  def allRowsMatch(e: Expression, fileStats: Map[String, ColStat],
+      types: Map[String, DataType], rows: Option[Long]): Boolean = {
+    val allEq: Check = (dt, st, x) =>
+      FileStats.cmp(dt, st.min, x) == 0 && FileStats.cmp(dt, st.max, x) == 0
+    val allLt: Check = (dt, st, x) => FileStats.cmp(dt, st.max, x) < 0
+    val allLe: Check = (dt, st, x) => FileStats.cmp(dt, st.max, x) <= 0
+    val allGt: Check = (dt, st, x) => FileStats.cmp(dt, st.min, x) > 0
+    val allGe: Check = (dt, st, x) => FileStats.cmp(dt, st.min, x) >= 0
+    def noNulls(a: Expression): Boolean =
+      attrName(a).flatMap(n => nullsOf(fileStats, n)).contains(0L)
+    def cmpAll(a: Expression, b: Expression, fwd: Check,
+        flip: Check): Boolean =
+      (attrName(a), asLiteral(b), asLiteral(a), attrName(b)) match {
+        case (Some(name), Some(l), _, _) =>
+          noNulls(a) && provenCheck(name, l, fileStats, types, fwd)
+        case (_, _, Some(l), Some(name)) =>
+          noNulls(b) && provenCheck(name, l, fileStats, types, flip)
+        case _ => false
+      }
+    e match {
+      case And(l, r) =>
+        allRowsMatch(l, fileStats, types, rows) &&
+          allRowsMatch(r, fileStats, types, rows)
+      case Or(l, r) =>
+        allRowsMatch(l, fileStats, types, rows) ||
+          allRowsMatch(r, fileStats, types, rows)
+      case EqualTo(a, b) => cmpAll(a, b, allEq, allEq)
+      case EqualNullSafe(a, b) => cmpAll(a, b, allEq, allEq)
+      case LessThan(a, b) => cmpAll(a, b, allLt, allGt)
+      case LessThanOrEqual(a, b) => cmpAll(a, b, allLe, allGe)
+      case GreaterThan(a, b) => cmpAll(a, b, allGt, allLt)
+      case GreaterThanOrEqual(a, b) => cmpAll(a, b, allGe, allLe)
+      case In(a, vs) if vs.nonEmpty =>
+        // all rows match iff the file is constant at one listed value
+        vs.exists(v => cmpAll(a, v, allEq, allEq))
+      case IsNotNull(a) => noNulls(a)
+      case IsNull(a) =>
+        attrName(a).flatMap(n => nullsOf(fileStats, n))
+          .exists(n => rows.contains(n))
+      case _ => false
+    }
+  }
+
+  /** Like [[boundsCheck]] but PROOF-directed: absent stats, unsupported
+    * types, or unencodable literals prove nothing (false), where the
+    * prune direction treats them as "maybe" (true). */
+  private def provenCheck(name: String, l: Literal,
+      fileStats: Map[String, ColStat], types: Map[String, DataType],
+      check: Check): Boolean =
+    types.get(name) match {
+      case Some(dt) if FileStats.supportsLiteralPruning(dt) =>
+        encodeLiteral(dt, l) match {
+          case Some(encoded) =>
+            fileStats.get(name).exists(st => check(dt, st, encoded))
+          case None => false
+        }
+      case _ => false
+    }
 
   /** `a <op> b` where one side is an attribute and the other a literal
     * (or a foldable literal-only subtree, e.g. `to_timestamp('…')` after
@@ -103,7 +186,7 @@ object PredicatePruning {
       fileStats: Map[String, ColStat], types: Map[String, DataType],
       check: Check): Boolean =
     types.get(name) match {
-      case Some(dt) if FileStats.supportsPruning(dt) =>
+      case Some(dt) if FileStats.supportsLiteralPruning(dt) =>
         encodeLiteral(dt, l) match {
           case Some(encoded) =>
             fileStats.get(name) match {
@@ -140,6 +223,8 @@ object PredicatePruning {
         Some(l.value.toString) // internal = days since epoch (Int)
       case (TimestampType, TimestampType) =>
         Some(l.value.toString) // internal = micros since epoch (Long)
+      case (TimestampNTZType, TimestampNTZType) =>
+        Some(l.value.toString) // internal = raw wall-clock micros
       case (FloatType | DoubleType, _) =>
         val d = l.value match {
           case f: java.lang.Float => f.doubleValue()

@@ -133,6 +133,61 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 50)
   }
 
+  test("property: manifest-pruned scans never lose rows (FileIndex)") {
+    // The FileIndex prunes on EVERY read now — a wrong prune is a
+    // silently missing row anywhere in the engine. Random multi-file
+    // tables (FP edge values included) × a predicate grammar: the
+    // pruned scan must equal brute-force filtering of all rows.
+    val valGen = Gen.frequency(
+      (8, Gen.chooseNum(-100.0, 100.0)),
+      (1, Gen.const(0.0)), (1, Gen.const(-0.0)),
+      (1, Gen.const(Double.NaN)))
+    val rowG = Gen.zip(Gen.chooseNum(-50L, 50L), valGen,
+      Gen.oneOf("a", "b", "c", "dd"))
+    val batchG = Gen.nonEmptyListOf(rowG).map(_.take(40))
+    val batchesG = Gen.nonEmptyListOf(batchG).map(_.take(4))
+    sealed trait P { def toCol: org.apache.spark.sql.Column }
+    case class Cmp(c: String, op: Int, k: Long, d: Double, s: String)
+        extends P {
+      def toCol = {
+        val lhs = col(c)
+        val lit0: org.apache.spark.sql.Column = c match {
+          case "k" => lit(k); case "x" => lit(d); case _ => lit(s)
+        }
+        op match {
+          case 0 => lhs === lit0
+          case 1 => lhs < lit0
+          case 2 => lhs >= lit0
+        }
+      }
+    }
+    case class Both(a: P, b: P, and: Boolean) extends P {
+      def toCol = if (and) a.toCol && b.toCol else a.toCol || b.toCol
+    }
+    val cmpG: Gen[P] = for {
+      c <- Gen.oneOf("k", "x", "s"); op <- Gen.chooseNum(0, 2)
+      k <- Gen.chooseNum(-50L, 50L); d <- Gen.chooseNum(-100.0, 100.0)
+      s <- Gen.oneOf("a", "b", "c", "dd")
+    } yield Cmp(c, op, k, d, s)
+    val predG: Gen[P] = Gen.frequency(
+      (3, cmpG),
+      (1, Gen.zip(cmpG, cmpG, Gen.oneOf(true, false))
+        .map { case (a, b, j) => Both(a, b, j) }))
+    check(Prop.forAllNoShrink(batchesG, predG) { (batches, p) =>
+      val root = TestSpark.tmpDir("prop-prune") + "/t"
+      val first = batches.head.toDF("k", "x", "s")
+      val t = LakeTable.create(spark, root, first.schema)
+      batches.foreach(b => t.append(b.toDF("k", "x", "s").coalesce(1)))
+      val pruned = t.scan().where(p.toCol)
+        .collect().map(_.toSeq).toList
+      val brute = batches.flatten.toDF("k", "x", "s").where(p.toCol)
+        .collect().map(_.toSeq).toList
+      t.drop()
+      // NaN-containing tuples sort pain: compare as multisets of strings
+      pruned.map(_.toString).sorted == brute.map(_.toString).sorted
+    }, 15)
+  }
+
   test("property: dedup keeps the max-ordered row per key") {
     check(Prop.forAllNoShrink(rowsGen) { rows =>
       val df = rows.zipWithIndex

@@ -93,6 +93,14 @@ class ManifestIndexSpec extends AnyFunSuite {
     assert(q.select("v").as[String].collect().toSeq == Seq("e500"))
     // present keys are never false-negatived end-to-end
     assert(t.scan().where($"id" === 501L).count() == 1)
+    // IN over same-parity keys keeps one file; mixed parity keeps both
+    val qin = t.scan().where($"id".isin(10L, 20L, 30L))
+    assert(plannedFiles(qin).size == 1,
+      "all-even IN list should keep only the even file")
+    assert(qin.count() == 3)
+    val qmix = t.scan().where($"id".isin(10L, 21L))
+    assert(plannedFiles(qmix).size == 2)
+    assert(qmix.count() == 2)
   }
 
   test("nullable reads: nulls in a non-nullable-declared column survive") {

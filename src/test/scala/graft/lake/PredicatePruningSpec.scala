@@ -75,7 +75,15 @@ class PredicatePruningSpec extends AnyFunSuite {
       t.pruneByPredicate(base, c)
     assert(cand(length($"v") > 2).size == base.liveFiles.size)
     assert(cand(!($"p" === "p1")).size == base.liveFiles.size) // NOT
-    assert(cand($"p".isNull).size == base.liveFiles.size)
+    // IS NULL prunes NOW: `__nulls__` stats prove zero nulls per file
+    // (identity-partition dirs included) — no file can match
+    assert(cand($"p".isNull).isEmpty)
+    // …and stays conservative when null counts are absent (legacy files)
+    val noNulls = base.copy(fileStats = base.fileStats.map {
+      case (f, m) => f -> m.filterNot(kv => FileStats.isNullsKey(kv._1))
+    })
+    assert(t.pruneByPredicate(noNulls, $"p".isNull).size ==
+      base.liveFiles.size)
     assert(cand($"id".cast("string") === "5").size == base.liveFiles.size)
     // string literal against a long column: the analyzer's coercion
     // folds it to a typed constant, so this PRUNES (and stays correct —
