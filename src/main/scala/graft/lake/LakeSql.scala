@@ -37,10 +37,18 @@ object LakeSql {
       case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable |
           _: InsertIntoStatement | _: CreateTable | _: CreateTableAsSelect |
           _: DropTable | _: AddColumns | _: RenameColumn | _: DropColumns |
-          _: SetTableProperties | _: UnsetTableProperties) =>
+          _: SetTableProperties | _: UnsetTableProperties |
+          _: TruncateTable) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
+          // TRUNCATE TABLE ≡ unconditional DELETE: with per-file stats
+          // present this is a pure metadata commit (allRowsMatch accepts
+          // the TRUE literal), history/time-travel preserved
+          case tr: TruncateTable =>
+            cat.loadTable(ns, tableNameOf(tr.table))
+              .delete(org.apache.spark.sql.functions.lit(true))
+            cat.spark.emptyDataFrame
           case u: UpdateTable => update(cat, ns, u)
           case i: InsertIntoStatement => insert(cat, ns, i)
           case c: CreateTable => create(cat, ns, c)

@@ -119,6 +119,7 @@ object PredicatePruning {
         case _ => false
       }
     e match {
+      case Literal(true, BooleanType) => true // unconditional DELETE
       case And(l, r) =>
         allRowsMatch(l, fileStats, types, rows) &&
           allRowsMatch(r, fileStats, types, rows)

@@ -101,6 +101,23 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(t.scan().count() == 50) // rows 151..200 survive
   }
 
+  test("TRUNCATE TABLE: pure metadata commit, time travel preserved") {
+    val base = TestSpark.tmpDir("metadel-trunc")
+    val cat = new LakeCatalog(spark, base)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = cat.createTable("ns", "tt", df.schema)
+    t.append(df.coalesce(1))
+    val preTruncate = t.currentSnapshotId.get
+    cat.sql("ns", "TRUNCATE TABLE tt")
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "delete")
+    assert(snap.addedFiles.isEmpty, "truncate must write nothing")
+    assert(snap.removedFiles.size == 1)
+    assert(t.scan().count() == 0)
+    // nothing was deleted from disk — history replays
+    assert(t.scanAt(preTruncate).count() == 2)
+  }
+
   test("identity-partitioned: dropping a whole partition is metadata-only") {
     val root = TestSpark.tmpDir("metadel-part") + "/t"
     val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
