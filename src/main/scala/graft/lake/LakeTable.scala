@@ -53,6 +53,10 @@ final class LakeTable private (
   // sessionState.newHadoopConf() folds runtime `spark.conf.set("fs...")`
   // entries on top of the core conf (same resolution as Spark's sources)
   private val hconf = spark.sessionState.newHadoopConf()
+  // session-wide, once: fixes the parquet-pushdown -0.0 equality hole
+  // (see NormalizeZeroComparisonLiterals) for every scan in the session
+  NormalizeZeroComparisonLiterals.ensure(spark)
+
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(hconf)
   private val metaDir = new Path(rootPath, METADATA_DIR)

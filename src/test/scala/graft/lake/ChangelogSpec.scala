@@ -122,6 +122,21 @@ class ChangelogSpec extends AnyFunSuite {
     assert(t.scan().count() == 10)
   }
 
+  test("metadata delete emits its dropped rows as changelog deletes") {
+    val root = freshRoot
+    val t = LakeTable.create(spark, root,
+      Seq((1L, "v")).toDF("id", "v").schema)
+    t.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((11L to 15L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val pre = t.currentSnapshotId.get
+    t.delete($"id" <= 5L) // file 1 fully covered → zero-write commit
+    assert(t.currentSnapshot.get.addedFiles.isEmpty)
+    val ch = t.changes(pre, t.currentSnapshotId.get)
+    assert(ch.where($"_change_type" === "delete").select("id")
+      .as[Long].collect().sorted.toSeq == (1L to 5L))
+    assert(ch.where($"_change_type" === "insert").count() == 0)
+  }
+
   test("changelog replays to the final table state (multiset algebra)") {
     val root = freshRoot
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")

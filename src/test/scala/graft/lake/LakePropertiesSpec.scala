@@ -188,6 +188,39 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 15)
   }
 
+  test("property: predicate DELETE ≡ brute-force anti-filter (both modes)") {
+    // The metadata-delete prover must never over-drop: random batches
+    // (nulls included) × random range/equality predicates, in COW and
+    // MOR — surviving rows must equal NOT-TRUE filtering of all rows.
+    val rowG = Gen.zip(Gen.chooseNum(-40L, 40L),
+      Gen.option(Gen.chooseNum(-40L, 40L)), Gen.oneOf("a", "b", "c"))
+    val batchesG = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(rowG).map(_.take(25))).map(_.take(3))
+    val predG: Gen[org.apache.spark.sql.Column] = for {
+      k <- Gen.chooseNum(-40L, 40L)
+      c <- Gen.oneOf[org.apache.spark.sql.Column](
+        col("k") < k, col("k") >= k, col("x") === k, col("x").isNull,
+        col("k") < k && col("s") === "a", lit(true))
+    } yield c
+    val morG = Gen.oneOf(true, false)
+    check(Prop.forAllNoShrink(batchesG, predG, morG) { (batches, p, mor) =>
+      val root = TestSpark.tmpDir("prop-del") + "/t"
+      val first = batches.head.toDF("k", "x", "s")
+      val t = LakeTable.create(spark, root, first.schema,
+        properties =
+          if (mor) Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read")
+          else Map.empty)
+      batches.foreach(b => t.append(b.toDF("k", "x", "s").coalesce(1)))
+      t.delete(p)
+      val got = t.scan().collect().map(_.toSeq.toString).sorted.toList
+      val want = batches.flatten.toDF("k", "x", "s")
+        .where(!coalesce(p, lit(false)))
+        .collect().map(_.toSeq.toString).sorted.toList
+      t.drop()
+      got == want
+    }, 15)
+  }
+
   test("property: dedup keeps the max-ordered row per key") {
     check(Prop.forAllNoShrink(rowsGen) { rows =>
       val df = rows.zipWithIndex
