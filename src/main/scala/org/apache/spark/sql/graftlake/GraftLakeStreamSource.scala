@@ -32,6 +32,11 @@ import graft.lake.LakeTable
   *    append-shaped (merge/delete/compact rewrite history — a tailing
   *    reader cannot replay them as inserts); default errors, matching
   *    Iceberg's streaming-read contract.
+  *  - `readChangeFeed`: `true` to stream the ROW-LEVEL CHANGELOG
+  *    instead of appended rows (≡ Delta's CDF streaming): each batch
+  *    is `LakeTable.changes(start, end]` — every insert AND delete the
+  *    range produced, tagged `_change_type` / `_commit_snapshot_id`,
+  *    so merges/deletes/updates stream correctly instead of erroring.
   */
 class GraftLakeStreamSource(
     sqlContext: SQLContext,
@@ -43,8 +48,12 @@ class GraftLakeStreamSource(
     options.getOrElse("startingSnapshotId", "0").toLong
   private val skipNonAppends =
     options.getOrElse("skipNonAppends", "false").toBoolean
+  private val changeFeed =
+    options.getOrElse("readChangeFeed", "false").toBoolean
 
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (changeFeed) GraftLakeStreamSource.changeFeedSchema(table.schema)
+    else table.schema
 
   override def getOffset: Option[Offset] =
     table.currentSnapshotId.map(LongOffset(_))
@@ -56,8 +65,8 @@ class GraftLakeStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(snapshotId).getOrElse(startAfter)
     val hi = snapshotId(end)
-    val batch = table.incrementalScan(lo, hi,
-      skipNonAppends = skipNonAppends)
+    val batch = (if (changeFeed) table.changes(lo, hi)
+      else table.incrementalScan(lo, hi, skipNonAppends = skipNonAppends))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*) // stream schema is fixed at source creation
     // V1 contract: the returned frame must be marked streaming. The
@@ -73,6 +82,16 @@ class GraftLakeStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftLakeStreamSource[$root]"
+}
+
+object GraftLakeStreamSource {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  /** Table schema + the changelog tags [[LakeTable.changes]] emits. */
+  def changeFeedSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields ++ Seq(
+      StructField(LakeTable.CHANGE_TYPE_COL, StringType, nullable = false),
+      StructField(LakeTable.CHANGE_SNAP_COL, LongType, nullable = false)))
 }
 
 /** Streaming SINK into a lake table —
@@ -125,9 +144,12 @@ class GraftLakeSourceProvider extends StreamSourceProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      schema.getOrElse(
-        LakeTable.load(sqlContext.sparkSession, rootOf(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val t = LakeTable.load(sqlContext.sparkSession, rootOf(parameters))
+      if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
+        GraftLakeStreamSource.changeFeedSchema(t.schema)
+      else t.schema
+    })
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],

@@ -96,6 +96,43 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("readChangeFeed streams the row-level changelog incl. merges") {
+    val base = TestSpark.tmpDir("lakecdf")
+    val root = s"$base/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.coalesce(1)) // v2
+    t.merge(Seq((1L, "A"), (3L, "c")).toDF("id", "v"), Seq("id")) // v3
+    t.delete($"id" === 2L) // v4
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def sunk(): Set[(Long, String, String)] =
+      spark.read.parquet(s"$base/out")
+        .select($"id", $"v", $"_change_type")
+        .as[(Long, String, String)].collect().toSet
+    // the streamed feed equals the batch changelog over the same range
+    val batchFeed = t.changes(0L, t.currentSnapshotId.get)
+      .select($"id", $"v", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(sunk() == batchFeed)
+    assert(sunk().contains((1L, "a", "delete"))) // merge pre-image
+    assert(sunk().contains((1L, "A", "insert"))) // merge after-image
+    assert(sunk().contains((2L, "b", "delete"))) // predicate delete
+
+    // a later commit streams only its own delta
+    t.append(Seq((9L, "z")).toDF("id", "v")) // v5
+    drain()
+    assert(sunk().diff(batchFeed) == Set((9L, "z", "insert")))
+  }
+
   test("startingSnapshotId skips history; non-appends error by default") {
     val base = TestSpark.tmpDir("lakestream2")
     val root = s"$base/t"
