@@ -747,6 +747,39 @@ WHEN NOT MATCHED THEN INSERT *
       out
     }),
 
+    "q_sql_merge_assignments" -> ((s, dir) => {
+      // general MERGE actions — per-clause conditions, explicit SET
+      // col = expr and INSERT (cols) VALUES lists, multiple MATCHED
+      // clauses first-match-wins: the full Iceberg-Spark MERGE surface
+      // beyond the reference's star-only text (bronze-silver.py:265-266)
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqlmassign"))
+      cat.createNamespace("ns")
+      val target = orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      cat.createTable("ns", "inv", target.schema)
+      cat.loadTable("ns", "inv").append(target)
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("__assign_src")
+      cat.sql("ns",
+        """MERGE INTO inv AS t USING __assign_src AS s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_totalprice > 150000
+          |  THEN UPDATE SET o_orderstatus = 'H',
+          |    o_totalprice = s.o_totalprice / 2
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'L'
+          |WHEN NOT MATCHED AND s.o_totalprice > 100000
+          |  THEN INSERT (o_orderkey, o_orderstatus)
+          |    VALUES (s.o_orderkey, 'N')""".stripMargin)
+      val out = cat.sql("ns",
+        """SELECT o_orderkey, o_orderstatus,
+          | round(o_totalprice, 2) AS o_totalprice
+          |FROM inv""".stripMargin)
+      s.catalog.dropTempView("__assign_src")
+      out
+    }),
+
     "q_sql_insert" -> ((s, dir) => {
       // INSERT INTO text: two appends through the SQL surface rebuild
       // the full orders table
@@ -1545,6 +1578,34 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // general MERGE law: matched rows take the FIRST applying clause
+    // (price>150k → 'H' + halved price, else 'L' keeping the price),
+    // unmatched source rows insert only under the price>100k guard and
+    // only their listed columns (o_totalprice → NULL)
+    "q_sql_merge_assignments" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(tgt.o_orderkey, src.o_orderkey) AS o_orderkey,
+        |  CASE
+        |    WHEN tgt.o_orderkey IS NULL THEN 'N'
+        |    WHEN src.o_orderkey IS NULL THEN tgt.o_orderstatus
+        |    WHEN src.o_totalprice > 150000 THEN 'H'
+        |    ELSE 'L' END AS o_orderstatus,
+        |  round(CASE
+        |    WHEN tgt.o_orderkey IS NULL THEN NULL
+        |    WHEN src.o_orderkey IS NULL THEN tgt.o_totalprice
+        |    WHEN src.o_totalprice > 150000 THEN src.o_totalprice / 2
+        |    ELSE tgt.o_totalprice END, 2) AS o_totalprice
+        |FROM tgt FULL OUTER JOIN src
+        |  ON tgt.o_orderkey = src.o_orderkey
+        |WHERE tgt.o_orderkey IS NOT NULL
+        |   OR src.o_totalprice > 100000""".stripMargin,
 
     // tgt = %3<>0 keys; CDC batch over %2=0 keys: %10=0 delete, rest
     // update (status U, price*2); unmatched updates insert, unmatched

@@ -157,14 +157,14 @@ object LakeSql {
   private def merge(cat: LakeCatalog, ns: String,
       m: MergeIntoTable): DataFrame = {
     // `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — full-sync
-    // deletes; the cond is a target-side predicate (qualifiers stripped)
-    val dropUnmatched: Option[org.apache.spark.sql.Column] =
+    // deletes; the cond is a target-side predicate (qualifiers
+    // stripped). A non-star NMBS list routes to the general path.
+    val starNmbs: Option[Option[org.apache.spark.sql.Column]] =
       m.notMatchedBySourceActions match {
-        case Seq() => None
+        case Seq() => Some(None)
         case Seq(DeleteAction(c)) =>
-          Some(c.map(columnOf).getOrElse(lit(true)))
-        case _ => throw new UnsupportedOperationException(
-          "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE [AND cond]")
+          Some(Some(c.map(columnOf).getOrElse(lit(true))))
+        case _ => None
       }
     val keys = equiKeys(m.mergeCondition).getOrElse(
       throw new UnsupportedOperationException(
@@ -177,27 +177,117 @@ object LakeSql {
     // (the reference's __temp_table pattern); extra projected columns
     // like the dedup row_num are dropped by merge's schema alignment
     val src = GraftSqlBridge.ofRows(cat.spark, m.sourceTable)
-    (m.matchedActions, m.notMatchedActions) match {
+    (m.matchedActions, m.notMatchedActions, starNmbs) match {
       // the reference's upsert shape (scripts/bronze-silver.py:254-269)
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        lt.merge(src, norm, None, dropUnmatched)
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+          Some(du)) =>
+        lt.merge(src, norm, None, du)
       // CDC shape: delete-flagged rows drop, the rest upsert
       case (Seq(DeleteAction(cond), UpdateStarAction(None)),
-          Seq(InsertStarAction(None))) =>
+          Seq(InsertStarAction(None)), Some(du)) =>
         lt.merge(src, norm,
           deleteWhen = Some(cond.map(columnOf).getOrElse(lit(true))),
-          dropUnmatchedWhen = dropUnmatched)
+          dropUnmatchedWhen = du)
       // pure keyed delete: every matched key drops, nothing inserts
-      case (Seq(DeleteAction(None)), Seq()) if dropUnmatched.isEmpty =>
+      case (Seq(DeleteAction(None)), Seq(), Some(None)) =>
         lt.deleteByKeys(src.select(norm.map(col): _*).distinct(), norm)
-      case _ => throw new UnsupportedOperationException(
-        "MERGE supports UPDATE SET * / INSERT * (upsert), " +
-          "DELETE [AND cond] + UPDATE SET * / INSERT * (CDC), or " +
-          "a bare WHEN MATCHED THEN DELETE (keyed delete); " +
-          "NOT MATCHED BY SOURCE (THEN DELETE) composes with the " +
-          "upsert and CDC shapes")
+      // everything else — per-clause conditions, explicit SET / INSERT
+      // column lists, multiple MATCHED clauses — is the general
+      // Iceberg-Spark MERGE surface
+      case _ => generalMerge(cat, m, lt, norm, src)
     }
     cat.spark.emptyDataFrame
+  }
+
+  /** General MERGE: resolve every clause's names onto the `t.`/`s.`
+    * sides of the joined plan [[LakeTable.mergeClauses]] evaluates
+    * (NOT MATCHED BY SOURCE clauses resolve bare, target-only), expand
+    * `*` actions to per-column assignments, and keep Spark's
+    * first-match-wins clause order. */
+  private def generalMerge(cat: LakeCatalog, m: MergeIntoTable,
+      lt: LakeTable, keys: Seq[String], src: DataFrame): Long = {
+    val fields = lt.schema.fieldNames.toSeq
+    val tgtNames = aliasNamesOf(m.targetTable)
+    val srcNames = aliasNamesOf(m.sourceTable)
+    val tgtFields = fields.map(_.toLowerCase).toSet
+    val srcCols = src.columns.map(_.toLowerCase).toSet
+
+    // bareToTarget: matched-clause expressions prefer the target for
+    // bare names (both sides exist); NOT MATCHED sees only the source
+    def qualify(e: Expression, bareToTarget: Boolean):
+        org.apache.spark.sql.Column = {
+      val q = e.transform {
+        case a: UnresolvedAttribute =>
+          val colName = a.nameParts.last
+          if (a.nameParts.size > 1) {
+            val qual = a.nameParts(a.nameParts.size - 2).toLowerCase
+            if (tgtNames(qual)) UnresolvedAttribute(Seq("t", colName))
+            else if (srcNames(qual)) UnresolvedAttribute(Seq("s", colName))
+            else throw new IllegalArgumentException(
+              s"MERGE expression has unknown qualifier: ${a.sql}")
+          } else {
+            val lc = colName.toLowerCase
+            val side =
+              if (bareToTarget && tgtFields(lc)) "t"
+              else if (srcCols(lc)) "s"
+              else if (tgtFields(lc)) "t"
+              else throw new IllegalArgumentException(
+                s"MERGE expression references unknown column: ${a.sql}")
+            UnresolvedAttribute(Seq(side, colName))
+          }
+      }
+      expr(q.sql)
+    }
+    def assignTarget(k: Expression): String = k match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => throw new UnsupportedOperationException(
+        s"MERGE SET/INSERT target must be a column, got: ${other.sql}")
+    }
+    def assignsOf(as: Seq[Assignment], bareToTarget: Boolean):
+        Map[String, org.apache.spark.sql.Column] =
+      as.map(a => assignTarget(a.key) -> qualify(a.value, bareToTarget))
+        .toMap
+    // `SET *` / `INSERT *`: every target column from the source's
+    // same-named column (resolution fails loudly if the source lacks one)
+    val starAssigns: Map[String, org.apache.spark.sql.Column] =
+      fields.map(f => f -> expr(s"s.$f")).toMap
+
+    val matched = m.matchedActions.map {
+      case UpdateAction(c, as, _) =>
+        MergeWhen(c.map(qualify(_, true)), Some(assignsOf(as, true)))
+      case UpdateStarAction(c) =>
+        MergeWhen(c.map(qualify(_, true)), Some(starAssigns))
+      case DeleteAction(c) => MergeWhen(c.map(qualify(_, true)), None)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertAction(c, as) =>
+        MergeWhen(c.map(qualify(_, false)), Some(assignsOf(as, false)))
+      case InsertStarAction(c) =>
+        MergeWhen(c.map(qualify(_, false)), Some(starAssigns))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    // NMBS clauses run on the target plan pre-join: bare names only
+    val nmbs = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => MergeWhen(c.map(columnOf), None)
+      case UpdateAction(c, as, _) =>
+        MergeWhen(c.map(columnOf),
+          Some(as.map(a => assignTarget(a.key) -> columnOf(a.value)).toMap))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    lt.mergeClauses(src, keys, matched, notMatched, nmbs)
+  }
+
+  /** The lowercase names a MERGE side answers to as a qualifier: its
+    * alias if given, else the relation name. */
+  private def aliasNamesOf(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+    case u: UnresolvedRelation =>
+      Set(u.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
   }
 
   /** `INSERT INTO t [(cols)] SELECT …|VALUES …` → [[LakeTable.append]]

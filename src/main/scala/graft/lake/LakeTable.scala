@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftlake.GraftManifestFileIndex
 import org.apache.spark.sql.types._
@@ -1063,6 +1063,179 @@ final class LakeTable private (
         deletesOverride = Some(b.deleteFiles ++
           delPaths.map(p => DeleteFile(p, seq, keys, keys))))
     }
+  }
+
+  /** General MERGE with per-clause conditions and assignments — the
+    * full Iceberg-Spark surface beyond the reference's star-only text:
+    * `WHEN MATCHED [AND c] THEN UPDATE SET col = expr, … | DELETE`,
+    * `WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs)`,
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE … | DELETE`,
+    * each list evaluated FIRST-MATCH-WINS (Spark semantics).
+    *
+    * Name resolution contract (the SQL front-end pre-resolves to it):
+    * `matched` / `notMatched` conditions and values reference the
+    * joined plan — target columns as `t.<col>`, source columns as
+    * `s.<col>`. `notMatchedBySource` clauses are evaluated on the
+    * TARGET plan BEFORE the join (no source row exists) and use BARE
+    * target column names. Assignment keys are bare target column
+    * names; columns a matched/NMBS update leaves unassigned keep their
+    * target value, columns an insert leaves unassigned become null.
+    *
+    * Scale shape (identical to the star merge): affected files =
+    * stats-pruned ∩ key-semi-join for the matched side, plus a
+    * cond-pruned anti-join scan for the NMBS side; only those files
+    * rewrite. A matched row no clause applies to carries through.
+    * Same caller contract as [[merge]]: the source is deduped to ≤1
+    * row per key. COW only — a merge-on-read table takes the star
+    * paths; general assignments must read matched rows to compute the
+    * after-image, so MOR would save nothing here. */
+  def mergeClauses(source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
+      notMatchedBySource: Seq[MergeWhen] = Nil): Long = {
+    val fields = schema.fieldNames.toSeq
+    def normName(n: String): String =
+      fields.find(_.equalsIgnoreCase(n)).getOrElse(throw
+        new IllegalArgumentException(s"MERGE assigns unknown column $n"))
+    def normAssigns(w: MergeWhen): MergeWhen =
+      w.copy(assignments = w.assignments.map(_.map { case (k, v) =>
+        normName(k) -> v }))
+    val m = matched.map(normAssigns)
+    val nm = notMatched.map(normAssigns)
+    val nmbs = notMatchedBySource.map(normAssigns)
+    require(nm.forall(_.assignments.nonEmpty),
+      "WHEN NOT MATCHED supports only INSERT")
+    val base = current
+    // index-of-first-applying-clause cascade; when() treats a null
+    // condition as not-applying, matching SQL's WHEN … AND semantics
+    def firstIdx(clauses: Seq[MergeWhen]): Column =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((w, i), rest) =>
+        when(w.condition.getOrElse(lit(true)), lit(i)).otherwise(rest)
+      }
+    // keep the row unless the first applying clause is a DELETE
+    def keepFor(clauses: Seq[MergeWhen], idx: Column): Column =
+      clauses.zipWithIndex.filter(_._1.assignments.isEmpty) match {
+        case Nil => lit(true)
+        case dels => !dels.map { case (_, i) => idx === lit(i) }
+          .reduce(_ || _)
+      }
+    // per-column value under a clause cascade: CASE idx WHEN i THEN
+    // assigned-or-default … ELSE default
+    def valueFor(clauses: Seq[MergeWhen], idx: Column, c: String,
+        default: Column): Column =
+      clauses.zipWithIndex.foldRight(default) { case ((w, i), rest) =>
+        val v = w.assignments.flatMap(_.get(c)).getOrElse(default)
+        when(idx === lit(i), v).otherwise(rest)
+      }
+
+    if (base.liveFiles.isEmpty) {
+      // every source row is NOT MATCHED: run the insert cascade alone
+      val s = source.alias("s")
+      val idx = firstIdx(nm)
+      val inserted = s.where(idx =!= -1).select(fields.map { c =>
+        valueFor(nm, idx, c, lit(null))
+          .cast(schema(c).dataType).as(c)
+      }: _*)
+      return append(inserted)
+    }
+
+    // affected files: (a) any file that may hold a source key —
+    // manifest-stats pruning then a key-columns-only locating scan;
+    // (b) for NMBS clauses, files that may hold a cond-satisfying row
+    // whose key is absent from the source
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val candidates = pruneByStats(base, srcKeys, keys)
+    val keyAffected =
+      if (candidates.isEmpty) Nil
+      else readFilesWithName(candidates)
+        .select((keys.map(col) :+ col(FILE_COL)): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select(FILE_COL).distinct()
+        .collect().map(r => relativize(r.getString(0))).toSeq
+    val nmbsCond = nmbs match {
+      case Nil => None
+      case ws => Some(ws.map(w =>
+        coalesce(w.condition.getOrElse(lit(true)), lit(false)))
+        .reduce(_ || _))
+    }
+    val nmbsAffected = nmbsCond match {
+      case None => Nil
+      case Some(c) =>
+        val scope = pruneByPredicate(base, c)
+        if (scope.isEmpty) Nil
+        else readFilesWithName(scope)
+          .where(c)
+          .join(srcKeys, keys, "left_anti")
+          .select(FILE_COL).distinct()
+          .collect().map(r => relativize(r.getString(0))).toSeq
+    }
+    val affected = (keyAffected ++ nmbsAffected).distinct
+
+    if (affected.isEmpty) {
+      val s = source.alias("s")
+      val idx = firstIdx(nm)
+      val inserted = s.where(idx =!= -1).select(fields.map { c =>
+        valueFor(nm, idx, c, lit(null))
+          .cast(schema(c).dataType).as(c)
+      }: _*)
+      val WriteResult(added, stats, info) = writeDataFiles(inserted)
+      return commit(base, "merge", added = added, removed = Nil,
+        live = base.liveFiles ++ added, addedStats = stats,
+        addedInfo = info)
+    }
+
+    // NMBS clauses see only the target: compute their clause index and
+    // assigned values on the pre-join plan, where bare names resolve
+    val nmbsIdxCol = "__graft_nmbs_idx"
+    val nmbsVal = (i: Int, c: String) => s"__graft_nmbs_${i}_$c"
+    val nmbsAssignedCols: Seq[(Int, String)] = nmbs.zipWithIndex.flatMap {
+      case (w, i) => w.assignments.toSeq.flatMap(_.keys).map(c => (i, c))
+    }
+    val tgtBase = readFiles(affected)
+      .withColumn(TGT_MARK, lit(1))
+      .withColumn(nmbsIdxCol,
+        if (nmbs.isEmpty) lit(-1) else firstIdx(nmbs))
+    val tgtPre = nmbsAssignedCols.foldLeft(tgtBase) { case (df, (i, c)) =>
+      df.withColumn(nmbsVal(i, c),
+        nmbs(i).assignments.flatMap(_.get(c)).get)
+    }
+    val tgt = tgtPre.alias("t")
+    val s = source.withColumn(SRC_MARK, lit(1)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val joined = tgt.join(s, cond, "full_outer")
+
+    val isMatched = col(s"t.$TGT_MARK").isNotNull &&
+      col(SRC_MARK).isNotNull
+    val isSrcOnly = col(s"t.$TGT_MARK").isNull
+    val mIdx = firstIdx(m)
+    val iIdx = firstIdx(nm)
+    val nIdx = col(s"t.$nmbsIdxCol")
+    val nmbsKeep = nmbs.zipWithIndex.filter(_._1.assignments.isEmpty) match {
+      case Nil => lit(true)
+      case dels => !dels.map { case (_, i) => nIdx === lit(i) }
+        .reduce(_ || _)
+    }
+    def nmbsValueFor(c: String): Column =
+      nmbs.zipWithIndex.foldRight(col(s"t.$c")) { case ((w, i), rest) =>
+        if (w.assignments.exists(_.contains(c)))
+          when(nIdx === lit(i), col(s"t.${nmbsVal(i, c)}")).otherwise(rest)
+        else rest
+      }
+
+    val keep =
+      (isMatched && keepFor(m, mIdx)) ||
+      (isSrcOnly && iIdx =!= -1) ||
+      (!isMatched && !isSrcOnly && nmbsKeep)
+    val result = joined.where(keep).select(fields.map { c =>
+      when(isMatched, valueFor(m, mIdx, c, col(s"t.$c")))
+        .when(isSrcOnly, valueFor(nm, iIdx, c, lit(null)))
+        .otherwise(nmbsValueFor(c))
+        .cast(schema(c).dataType).as(c)
+    }: _*)
+
+    val WriteResult(added, stats, info) = writeDataFiles(result)
+    commit(base, "merge", added = added, removed = affected,
+      live = base.liveFiles.diff(affected) ++ added,
+      addedStats = stats, addedInfo = info)
   }
 
   /** Stats-based candidate pruning for key-equality operations: a file
@@ -2298,6 +2471,13 @@ final class LakeTable private (
   }
 }
 
+/** One `WHEN` clause of a general MERGE ([[LakeTable.mergeClauses]]):
+  * `condition` is the optional `AND <cond>` guard (absent = always
+  * applies), `assignments` maps bare target column names to value
+  * expressions for UPDATE/INSERT, or is None for DELETE. */
+case class MergeWhen(condition: Option[org.apache.spark.sql.Column],
+    assignments: Option[Map[String, org.apache.spark.sql.Column]])
+
 object LakeTable {
   val METADATA_DIR = "metadata"
   /** Nominal block size for manifest-built [[FileStatus]]es (local
@@ -2347,6 +2527,7 @@ object LakeTable {
   val MAX_COMMIT_ATTEMPTS: Int = 5
   private val FILE_COL = "__graft_file"
   private val SRC_MARK = "__graft_is_src"
+  private val TGT_MARK = "__graft_is_tgt"
   private val ERA_COL = "__graft_era"
   private val DERA_COL = "__graft_del_era"
   /** Row-provenance columns a position-aware scan carries (from

@@ -75,20 +75,20 @@ WHEN NOT MATCHED THEN INSERT *
       (7L, "v7"), (9L, "v9")))
   }
 
-  test("MERGE with a non-star action list is rejected, not half-applied") {
+  test("MERGE with an explicit SET assignment routes to the general path") {
     val cat = freshCat
     cat.createNamespace("ns")
-    val df = Seq((1L, "a")).toDF("id", "v")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     cat.createTable("ns", "t", df.schema)
     cat.loadTable("ns", "t").append(df)
-    df.createOrReplaceTempView("__src")
-    intercept[UnsupportedOperationException] {
-      // explicit SET assignments (not SET *) are outside the contract
-      cat.sql("ns",
-        """MERGE INTO t USING __src AS s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET v = 'x'""".stripMargin)
-    }
-    assert(cat.sql("ns", "SELECT count(*) AS n FROM t").head.getLong(0) == 1)
+    Seq((1L, "zzz")).toDF("id", "v").createOrReplaceTempView("__src")
+    // explicit SET assignments (not SET *) take the general clause path
+    cat.sql("ns",
+      """MERGE INTO t USING __src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'x'""".stripMargin)
+    val got = cat.sql("ns", "SELECT id, v FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x"), (2L, "b")))
     spark.catalog.dropTempView("__src")
   }
 

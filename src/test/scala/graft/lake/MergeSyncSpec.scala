@@ -101,20 +101,23 @@ class MergeSyncSpec extends AnyFunSuite {
     spark.catalog.dropTempView("__sync_spec_src")
   }
 
-  test("SQL text: an UPDATE action under NOT MATCHED BY SOURCE rejects") {
+  test("SQL text: an UPDATE action under NOT MATCHED BY SOURCE applies") {
     val cat = new LakeCatalog(spark, TestSpark.tmpDir("sync-rej"))
     cat.createNamespace("ns")
-    val df = Seq((1L, "a")).toDF("id", "v")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     cat.createTable("ns", "tt", df.schema)
     cat.loadTable("ns", "tt").append(df)
-    df.createOrReplaceTempView("__sync_rej_src")
-    intercept[UnsupportedOperationException] {
-      cat.sql("ns",
-        """MERGE INTO tt AS t USING __sync_rej_src AS s
-          |ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'""".stripMargin)
-    }
+    Seq((1L, "upd")).toDF("id", "v").createOrReplaceTempView("__sync_rej_src")
+    // NMBS UPDATE routes through the general clause path: target rows
+    // with no source match take the assignment, matched rows upsert
+    cat.sql("ns",
+      """MERGE INTO tt AS t USING __sync_rej_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'""".stripMargin)
+    val got = cat.sql("ns", "SELECT id, v FROM tt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "upd"), (2L, "x")))
     spark.catalog.dropTempView("__sync_rej_src")
   }
 }
