@@ -1119,9 +1119,13 @@ WHEN NOT MATCHED THEN INSERT *
           sum(length(col("frame")).cast("long")).as("total_bytes"))),
 
     "q_multimodal_features" -> ((s, dir) =>
+      // REAL image path: a synthetic 16×8 grayscale PNG per document
+      // (row y = (doc_id + y) mod 256) goes through genuine ImageIO
+      // encode → decode → banded pixel features, so the oracle's
+      // closed-form per-band values certify the decode is exact
       MediaPipeline.extractFeatures(
-        MediaPipeline.attachFakeMedia(docs(s, dir)), dim = 8)
-        .select(col("doc_id"), col("n_bytes"),
+        MediaPipeline.attachSyntheticPng(docs(s, dir)), dim = 8)
+        .select(col("doc_id"), col("width"), col("height"),
           round(element_at(col("features"), 1).cast("double"), 4)
             .as("f0"),
           round(element_at(col("features"), 8).cast("double"), 4)
@@ -2320,20 +2324,13 @@ WHEN NOT MATCHED THEN INSERT *
 
     // feature j = mean of bytes at positions ≡ j (mod 8) / 255, rounded
     // through FLOAT to match the stub's Float output exactly
+    // the decoded band-b feature of the synthetic PNG is exactly
+    // ((doc_id + b) mod 256) / 255 — if ImageIO decode were lossy or
+    // color-managed the float would drift and the hash would break
     "q_multimodal_features" ->
-      """WITH pos AS (
-        |  SELECT doc_id, i, ascii(text[i:i]) AS b, (i - 1) % 8 AS bucket
-        |  FROM documents,
-        |       unnest(generate_series(1, strlen(text)::INT)) AS t(i)),
-        |f AS (
-        |  SELECT doc_id, bucket,
-        |    round(((CAST(sum(b) AS DOUBLE) / count(*)) / 255.0)
-        |      ::FLOAT::DOUBLE, 4) AS fv
-        |  FROM pos GROUP BY doc_id, bucket)
-        |SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
-        |  f0.fv AS f0, f7.fv AS f7
-        |FROM documents d
-        |JOIN f f0 ON f0.doc_id = d.doc_id AND f0.bucket = 0
-        |JOIN f f7 ON f7.doc_id = d.doc_id AND f7.bucket = 7""".stripMargin
+      """SELECT doc_id, 16 AS width, 8 AS height,
+        |  round(((doc_id % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f0,
+        |  round((((doc_id + 7) % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f7
+        |FROM documents""".stripMargin
   )
 }

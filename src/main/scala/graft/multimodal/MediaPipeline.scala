@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,14 +13,20 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, batched feature extraction over
   * partitions.
   *
-  * The decode step is a clearly-marked STUB (this container ships no
-  * image/audio codecs): it derives deterministic pseudo-features from the
-  * raw bytes. Everything around it — the schema contract
+  * Image decode, resize, and feature extraction are REAL — JDK
+  * `javax.imageio` handles PNG/JPEG/BMP/GIF with no external codecs.
+  * Pixel access goes through the `Raster` (raw samples), NOT `getRGB`,
+  * so grayscale images are read without color-management remapping and
+  * the features are exact, reproducible functions of the stored
+  * samples. Bytes that do not decode as a supported image (audio,
+  * video, arbitrary blobs) fall back to a clearly-marked deterministic
+  * byte-level STUB — this container ships no audio/video codecs — and
+  * [[sampleFrames]] likewise chunks bytes rather than seeking real
+  * keyframes. The plumbing around both paths — the schema contract
   * (`media binary, media_meta struct`), partition-parallel batched
-  * execution (`mapPartitions` over fixed-size batches, the JVM shape of
-  * `mapInPandas`), and the downstream feature consumers (ANN search over
-  * the extracted vectors) — is real and tested. Swapping in a real codec
-  * changes only the body of [[decodeStub]].
+  * execution (`mapPartitions` over fixed-size batches, the JVM shape
+  * of `mapInPandas`), and the downstream feature consumers (ANN search
+  * over the extracted vectors) — is identical and tested.
   */
 object MediaPipeline {
 
@@ -43,10 +54,81 @@ object MediaPipeline {
         lit(64).as("height"),
         length(col(textCol)).cast(LongType).as("n_bytes")).as("media_meta"))
 
-  /** STUB decode: deterministic `dim`-point pseudo-features from raw
-    * bytes (per-bucket byte means, normalized). A real implementation
-    * would decode the codec here and produce e.g. pooled pixel stats —
-    * same signature, same batching. */
+  /** Synthetic-but-REAL image fixture: a `width`×`height` grayscale PNG
+    * per document whose row `y` holds the constant sample
+    * `(doc_id + y) mod 256` — a closed-form pixel function, so decoded
+    * feature values are exactly predictable (and SQL-expressible by an
+    * oracle) while still exercising the full encode → decode path. */
+  def attachSyntheticPng(docs: DataFrame, width: Int = 16,
+      height: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = new BufferedImage(width, height,
+            BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < height) {
+            val v = ((id + y) % 256 + 256) % 256
+            var x = 0
+            while (x < width) { raster.setSample(x, y, 0, v.toInt); x += 1 }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          val bytes = out.toByteArray
+          Row(id, bytes,
+            Row("image/png", width, height, bytes.length.toLong))
+        }
+      }(encoder)
+  }
+
+  /** JDK ImageIO decode: Some(image) for PNG/JPEG/BMP/GIF bytes, None
+    * for anything the JDK cannot read (triggers the stub fallback). */
+  private[multimodal] def decodeImage(bytes: Array[Byte])
+      : Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** REAL image features: `dim` horizontal bands; band value = mean raw
+    * sample over the band's pixels and bands, normalized to [0, 1].
+    * Raster samples (not getRGB) keep grayscale exact; multi-band
+    * images average their bands per pixel. Bands past the image height
+    * (height < dim) stay 0. */
+  private[multimodal] def imageFeatures(img: BufferedImage,
+      dim: Int): Array[Float] = {
+    val raster = img.getRaster
+    val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      val band = math.min(dim - 1, y * dim / h)
+      var x = 0
+      while (x < w) {
+        var b = 0
+        var px = 0.0
+        while (b < nb) { px += raster.getSampleDouble(x, y, b); b += 1 }
+        sums(band) += px / nb
+        counts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(j =>
+      if (counts(j) == 0) 0f else (sums(j) / counts(j) / 255.0).toFloat)
+  }
+
+  /** STUB decode for non-image bytes: deterministic `dim`-point
+    * pseudo-features from the raw bytes (per-bucket byte means,
+    * normalized) — audio/video codecs are not in this container, so
+    * their feature path keeps this byte-level stand-in. */
   private[multimodal] def decodeStub(bytes: Array[Byte],
       dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
@@ -62,9 +144,29 @@ object MediaPipeline {
       if (counts(j) == 0) 0f else (sums(j).toDouble / counts(j) / 255.0).toFloat)
   }
 
-  /** STUB resize: deterministic byte decimation standing in for an image
-    * resample (a real codec would decode → resample to w×h → re-encode;
-    * same signature, same per-row shape). Keeps every `step`-th byte. */
+  /** REAL image resize: decode → `Graphics2D` bilinear resample to
+    * `targetW`×`targetH` → PNG re-encode. Preserves the gray color
+    * model for grayscale inputs (no channel inflation). */
+  private[multimodal] def resizeImage(img: BufferedImage, targetW: Int,
+      targetH: Int): Array[Byte] = {
+    val imgType =
+      if (img.getType == BufferedImage.TYPE_BYTE_GRAY)
+        BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_INT_RGB
+    val scaled = new BufferedImage(targetW, targetH, imgType)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(scaled, "png", out)
+    out.toByteArray
+  }
+
+  /** STUB resize for non-image bytes: deterministic byte decimation
+    * standing in for a media resample. Keeps every `step`-th byte. */
   private[multimodal] def resizeStub(bytes: Array[Byte], targetW: Int,
       targetH: Int): Array[Byte] = {
     val targetLen = math.max(1, targetW * targetH / 64)
@@ -75,8 +177,10 @@ object MediaPipeline {
     }
   }
 
-  /** Batched media resize: binary → smaller binary, metadata updated to
-    * the target dimensions. Partition-local, no shuffle. */
+  /** Batched media resize: image bytes resample for real (ImageIO →
+    * PNG), non-image bytes decimate via the stub; metadata records the
+    * target dimensions and the actual output format. Partition-local,
+    * no shuffle. */
   def resize(df: DataFrame, targetW: Int, targetH: Int,
       batchSize: Int = DefaultBatchSize): DataFrame = {
     val outSchema = StructType(Seq(
@@ -88,18 +192,24 @@ object MediaPipeline {
         col("media_meta.format").as("fmt"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap(_.map { r =>
-          val resized = resizeStub(r.getAs[Array[Byte]](1), targetW, targetH)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (resized, fmt) = decodeImage(bytes) match {
+            case Some(img) =>
+              (resizeImage(img, targetW, targetH), "image/png")
+            case None => (resizeStub(bytes, targetW, targetH),
+              r.getString(2))
+          }
           Row(r.getLong(0), resized,
-            Row(r.getString(2), targetW, targetH, resized.length.toLong))
+            Row(fmt, targetW, targetH, resized.length.toLong))
         })
       }(encoder)
   }
 
   /** Batched frame sampling: one media blob → up to `maxFrames` frame
-    * rows (video → frames shape; STUB chunks the bytes evenly — a real
-    * impl would seek keyframes). Output explodes rows partition-locally;
-    * downstream per-frame ops (feature extract, dedup) then fan out with
-    * full parallelism. */
+    * rows (video → frames shape; STUB chunks the bytes evenly — the
+    * JDK has no video codec, a real impl would seek keyframes). Output
+    * explodes rows partition-locally; downstream per-frame ops (feature
+    * extract, dedup) then fan out with full parallelism. */
   def sampleFrames(df: DataFrame, maxFrames: Int = 4,
       batchSize: Int = DefaultBatchSize): DataFrame = {
     require(maxFrames >= 1)
@@ -127,15 +237,17 @@ object MediaPipeline {
 
   /** Batched partition-parallel feature extraction: each partition is
     * consumed in `batchSize` groups (decode-friendly memory shape), one
-    * feature vector per media row. No shuffle — runs where the data
-    * lives. */
+    * feature vector per media row. Image bytes decode for real (width/
+    * height filled from the decoded image); other bytes take the stub
+    * (width/height null). No shuffle — runs where the data lives. */
   def extractFeatures(df: DataFrame, dim: Int = 8,
       batchSize: Int = DefaultBatchSize): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("n_bytes", LongType)))
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(col("doc_id"), col("media"))
       .mapPartitions { rows =>
@@ -143,7 +255,14 @@ object MediaPipeline {
           batch.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            Row(id, decodeStub(bytes, dim).toSeq, bytes.length.toLong)
+            decodeImage(bytes) match {
+              case Some(img) =>
+                Row(id, imageFeatures(img, dim).toSeq, bytes.length.toLong,
+                  img.getWidth, img.getHeight)
+              case None =>
+                Row(id, decodeStub(bytes, dim).toSeq, bytes.length.toLong,
+                  null, null)
+            }
           }
         }
       }(encoder)

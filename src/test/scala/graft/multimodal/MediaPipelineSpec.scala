@@ -62,4 +62,56 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(MediaPipeline.decodeStub(Array.emptyByteArray, 4).toSeq ==
       Seq(0f, 0f, 0f, 0f))
   }
+
+  test("real PNG round-trip: encode → decode → banded features, exact") {
+    val docs = Seq((10L, "-"), (300L, "-")).toDF("doc_id", "text")
+    val media = MediaPipeline.attachSyntheticPng(docs, width = 16, height = 8)
+    val rows = media.orderBy("doc_id").collect()
+    // the media column holds genuine PNG bytes (magic header)
+    val png = rows(0).getAs[Array[Byte]]("media")
+    assert(png.take(8).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte, 0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+
+    val feats = MediaPipeline.extractFeatures(media, dim = 8)
+      .orderBy("doc_id").collect()
+    // real decode fills width/height from the image itself
+    assert(feats.map(r => (r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((16, 8), (16, 8)))
+    // band b of doc d = ((d + b) mod 256) / 255 exactly — the decoded
+    // samples must match the encoded closed form bit-for-bit
+    def expected(id: Long): Seq[Float] =
+      (0 until 8).map(b => (((id + b) % 256) / 255.0).toFloat)
+    assert(feats(0).getSeq[Float](1) == expected(10L))
+    assert(feats(1).getSeq[Float](1) == expected(300L)) // wraps past 255
+  }
+
+  test("real image resize: decoded dimensions and uniform-gray preservation") {
+    val docs = Seq((42L, "-")).toDF("doc_id", "text")
+    val media = MediaPipeline.attachSyntheticPng(docs, width = 16,
+      height = 16)
+    val resized = MediaPipeline.resize(media, targetW = 4, targetH = 4)
+    val r = resized.collect().head
+    val meta = r.getStruct(2)
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == 4 && meta.getInt(2) == 4)
+    // decode the resized PNG for real: it must BE a 4×4 image
+    val img = MediaPipeline.decodeImage(r.getAs[Array[Byte]]("media")).get
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    // a uniform-gray source resamples to the same uniform gray
+    val uniform = MediaPipeline.attachSyntheticPng(
+      Seq((0L, "-")).toDF("doc_id", "text"), width = 8, height = 1)
+    val ru = MediaPipeline.resize(uniform, 2, 1).collect().head
+    val iu = MediaPipeline.decodeImage(ru.getAs[Array[Byte]]("media")).get
+    assert(iu.getRaster.getSample(0, 0, 0) == 0 &&
+      iu.getRaster.getSample(1, 0, 0) == 0)
+  }
+
+  test("non-image bytes keep the stub fallback with null dimensions") {
+    val docs = Seq((1L, "plainly not a png")).toDF("doc_id", "text")
+    val feats = MediaPipeline.extractFeatures(
+      MediaPipeline.attachFakeMedia(docs), dim = 4).collect().head
+    assert(feats.isNullAt(3) && feats.isNullAt(4))
+    assert(feats.getSeq[Float](1) == MediaPipeline.decodeStub(
+      "plainly not a png".getBytes("UTF-8"), 4).toSeq)
+  }
 }
