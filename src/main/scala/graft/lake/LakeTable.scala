@@ -125,9 +125,14 @@ final class LakeTable private (
     * re-loading a snapshot re-reads only its small list JSON. */
   private val chunkCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+  /** Cold chunk reads (cache misses) — observable by specs asserting
+    * that summary-pruned scans load strictly fewer chunks. */
+  private[lake] val chunkLoads = new java.util.concurrent.atomic.AtomicLong
   private def loadChunk(name: String): Seq[ManifestEntry] =
-    chunkCache.computeIfAbsent(name,
-      n => ManifestIO.chunkFromJson(readString(fs, new Path(metaDir, n))))
+    chunkCache.computeIfAbsent(name, { n =>
+      chunkLoads.incrementAndGet()
+      ManifestIO.chunkFromJson(readString(fs, new Path(metaDir, n)))
+    })
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
@@ -326,8 +331,42 @@ final class LakeTable private (
     * alone cannot do (the derived partition value is hidden from it).
     * Semantics are identical to `scan().where(predicate)`. */
   def scan(predicate: org.apache.spark.sql.Column): DataFrame = {
-    val base = current
+    val base = currentPrunedFor(predicate)
     readFilesAs(base, pruneByPredicate(base, predicate)).where(predicate)
+  }
+
+  /** HEAD snapshot for a predicate-pruned read, materializing only the
+    * manifest chunks whose list-level summaries ([[Snapshot
+    * .manifestSummaries]]) could hold a matching file. On a cold table
+    * handle this caps the driver cost of a selective scan at
+    * O(surviving chunks) instead of O(live files) — the 10⁸-file
+    * analogue of Iceberg planning from manifest-list partition
+    * summaries. Falls back to the fully-materialized snapshot when it
+    * is already cached (free), the format predates summaries, or the
+    * predicate does not analyze; a partial snapshot is never cached. */
+  private def currentPrunedFor(
+      predicate: org.apache.spark.sql.Column): Snapshot = {
+    val id = currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        s"table $root has no committed snapshot"))
+    if (snapCache.get(id) != null) return snapshot(id)
+    val p = new Path(metaDir, s"v$id.json")
+    require(fs.exists(p),
+      s"snapshot $id not found in $root (expired or never committed)")
+    val json = readString(fs, p)
+    ManifestIO.listSkeleton(json) match {
+      case Some(skel) if skel.manifestSummaries.nonEmpty =>
+        val sch = DataType.fromJson(skel.schemaJson).asInstanceOf[StructType]
+        analyzedCond(predicate, sch) match {
+          case Some(cond) =>
+            val kept = PredicatePruning.candidateFiles(cond, sch,
+              skel.manifests, skel.manifestSummaries)
+            if (kept.sizeIs >= skel.manifests.size) snapshot(id)
+            else ManifestIO.materializePartial(skel, kept, loadChunk)
+          case None => snapshot(id)
+        }
+      case _ => snapshot(id)
+    }
   }
 
   /** Exact row count. When every live file carries a manifest row count
@@ -1844,8 +1883,16 @@ final class LakeTable private (
     * foldable); None when analysis fails. */
   private def analyzedCond(predicate: org.apache.spark.sql.Column)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    analyzedCond(predicate, schema)
+
+  /** Variant taking the schema explicitly — the pruned-scan path works
+    * from a snapshot SKELETON and must not trigger the full `current`
+    * materialization that the `schema` accessor implies. */
+  private def analyzedCond(predicate: org.apache.spark.sql.Column,
+      sch: StructType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
     scala.util.Try {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
         .where(predicate).queryExecution.analyzed
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -1870,11 +1917,15 @@ final class LakeTable private (
   private[lake] def pruneByPredicate(base: Snapshot,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     if (base.fileStats.isEmpty) return base.liveFiles
-    val cond = analyzedCond(predicate)
+    // schema from the SNAPSHOT, not the `schema` accessor: the pruned
+    // scan path hands in a partially-materialized snapshot and must not
+    // force a full `current` load (it would defeat the chunk skipping)
+    val sch = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val cond = analyzedCond(predicate, sch)
     cond match {
       case Some(c) =>
         pruneBucketsByPredicate(base, c,
-          PredicatePruning.candidateFiles(c, schema, base.liveFiles,
+          PredicatePruning.candidateFiles(c, sch, base.liveFiles,
             base.fileStats))
       case None => base.liveFiles
     }
@@ -1893,8 +1944,10 @@ final class LakeTable private (
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
     if (base.fileStats.isEmpty) return candidates
-    val bucketFields = partitionFields.filter(f =>
-      f.transform.isInstanceOf[PartitionSpec.Bucket])
+    // base's own spec, not `partitionFields` — see pruneByPredicate's
+    // schema note (the partial-snapshot path must stay current-free)
+    val bucketFields = PartitionSpec.parseAll(base.partitionColumns)
+      .filter(f => f.transform.isInstanceOf[PartitionSpec.Bucket])
     if (bucketFields.isEmpty) return candidates
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -2419,7 +2472,19 @@ final class LakeTable private (
       chunkCache.put(name, entries)
       name
     }
-    val snap = snap0.copy(manifests = planned.reused ++ newChunks)
+    // chunk-level summaries for the manifest list: reused chunks carry
+    // the parent's summary forward (O(1), no chunk read on the warm
+    // path), fresh chunks summarize their own entries (O(delta))
+    val listSchema = DataType.fromJson(snap0.schemaJson)
+      .asInstanceOf[StructType]
+    val parentSums = base.manifestSummaries
+    val summaries: Map[String, Map[String, ColStat]] =
+      (planned.reused.map(n => n -> parentSums.getOrElse(n,
+          ManifestIO.summarize(loadChunk(n), listSchema))) ++
+        newChunks.zip(planned.toWrite).map { case (n, es) =>
+          n -> ManifestIO.summarize(es, listSchema) }).toMap
+    val snap = snap0.copy(manifests = planned.reused ++ newChunks,
+      manifestSummaries = summaries)
     def dropNewChunks(): Unit = newChunks.foreach { n =>
       chunkCache.remove(n)
       fs.delete(new Path(metaDir, n), false)

@@ -188,6 +188,44 @@ object ManifestIO {
       work.collect { case Right(es) => es })
   }
 
+  /** Chunk-level stat summary: the union of the chunk's entry bounds,
+    * per column — the manifest-list-level index a pruned scan consults
+    * BEFORE loading any chunk. A column appears only when EVERY entry
+    * records bounds for it (a chunk hiding an unknown-bounds file must
+    * stay conservatively loadable); `__nulls__` pseudo-stats sum
+    * (IS NULL can skip a chunk only when its total null count is 0);
+    * bloom and partition-dir pseudo-columns are omitted (chunk-level
+    * union would be meaningless or unsound). */
+  def summarize(entries: Seq[ManifestEntry],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[String, ColStat] = {
+    if (entries.isEmpty || entries.exists(_.stats.isEmpty)) return Map.empty
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val common = entries.map(_.stats.keySet).reduce(_ intersect _)
+    common.iterator.flatMap { k =>
+      if (FileStats.isNullsKey(k)) {
+        val base = k.substring(FileStats.NullsPrefix.length)
+        val counts = entries.map(e =>
+          scala.util.Try(e.stats(k).min.toLong).toOption)
+        if (!types.contains(base) || counts.exists(_.isEmpty)) None
+        else {
+          val s = counts.flatten.sum
+          Some(k -> ColStat(s.toString, s.toString))
+        }
+      } else types.get(k) match {
+        case Some(dt) if FileStats.supportsLiteralPruning(dt) =>
+          try {
+            val mn = entries.map(_.stats(k).min)
+              .reduce((a, b) => if (FileStats.cmp(dt, a, b) <= 0) a else b)
+            val mx = entries.map(_.stats(k).max)
+              .reduce((a, b) => if (FileStats.cmp(dt, a, b) >= 0) a else b)
+            Some(k -> ColStat(mn, mx))
+          } catch { case _: Exception => None }
+        case _ => None
+      }
+    }.toMap
+  }
+
   // ------------------------------------------------------------------ codec
 
   /** Chunk file JSON: `{"entries": [{path, seq, stats, renames, bytes,
@@ -287,6 +325,16 @@ object ManifestIO {
         o.put("path", d.path); o.put("seq", d.seq)
       }
     }
+    if (s.manifestSummaries.nonEmpty) {
+      val ms = n.putObject("manifest_summaries")
+      s.manifestSummaries.toSeq.sortBy(_._1).foreach { case (name, cols) =>
+        val co = ms.putObject(name)
+        cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val o = co.putObject(c)
+          o.put("min", cs.min); o.put("max", cs.max)
+        }
+      }
+    }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -295,9 +343,29 @@ object ManifestIO {
     * through an immutable-chunk cache); legacy inline JSONs parse
     * without touching it. */
   def snapshotFromJson(json: String,
-      loadChunk: String => Seq[ManifestEntry]): Snapshot = {
+      loadChunk: String => Seq[ManifestEntry]): Snapshot =
+    listSkeleton(json) match {
+      case None => Snapshot.fromJson(json)
+      case Some(skel) =>
+        materialize(skel, loadChunks(skel.manifests, loadChunk))
+    }
+
+  /** Materialize only the named chunks of a skeleton — the pruned-scan
+    * path: callers pass the chunk subset whose [[Snapshot
+    * .manifestSummaries]] survive a predicate, and the partial snapshot
+    * covers exactly the files those chunks hold. Correct ONLY for reads
+    * whose predicate implied the skipped chunks are irrelevant; never
+    * cached as the full snapshot. */
+  def materializePartial(skel: Snapshot, names: Seq[String],
+      loadChunk: String => Seq[ManifestEntry]): Snapshot =
+    materialize(skel, loadChunks(names, loadChunk))
+
+  /** Parse a manifest-list snapshot JSON WITHOUT loading any chunk:
+    * every scalar field plus chunk names and summaries, with the
+    * per-file maps left empty. None for a legacy inline JSON. */
+  def listSkeleton(json: String): Option[Snapshot] = {
     val n = Snapshot.mapper.readTree(json)
-    if (!n.has("manifests")) return Snapshot.fromJson(json)
+    if (!n.has("manifests")) return None
     def arr(name: String): Seq[String] =
       n.path(name).elements().asScala.map(_.asText()).toSeq
     val manifests = arr("manifests")
@@ -337,8 +405,16 @@ object ManifestIO {
         }.toMap,
       currentSpecId =
         if (n.has("current_spec_id")) n.path("current_spec_id").asLong()
-        else 0L)
-    materialize(skeleton, loadChunks(manifests, loadChunk))
+        else 0L,
+      manifestSummaries =
+        if (!n.has("manifest_summaries")) Map.empty
+        else n.path("manifest_summaries").properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { ce =>
+            ce.getKey -> ColStat(ce.getValue.path("min").asText(),
+              ce.getValue.path("max").asText())
+          }.toMap
+        }.toMap)
+    Some(skeleton)
   }
 
   /** Fetch chunks with bounded parallelism, preserving order. Object

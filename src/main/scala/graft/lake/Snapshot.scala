@@ -83,7 +83,16 @@ final case class Snapshot(
       * `partitionColumns` above always names the CURRENT spec
       * ([[currentSpecId]]) — the one new writes use. */
     partitionSpecs: Map[Long, Seq[String]] = Map.empty,
-    currentSpecId: Long = 0L) {
+    currentSpecId: Long = 0L,
+    /** Per-manifest-CHUNK column-bound summaries (chunk name → union of
+      * its entries' bounds, a column present only when EVERY entry
+      * records it; `__nulls__` pseudo-stats sum). What they buy: a
+      * pruned scan can decide from the snapshot LIST alone which chunks
+      * could hold matching files and materialize only those — capping
+      * the O(live-files) driver cost of first materialization at 10⁸
+      * files (≡ Iceberg's manifest-list partition summaries). Absent
+      * chunk = unknown (conservatively loaded). */
+    manifestSummaries: Map[String, Map[String, ColStat]] = Map.empty) {
 
   /** The spec registry with the never-evolved default folded in. */
   def specsOrDefault: Map[Long, Seq[String]] =

@@ -30,6 +30,7 @@ class ManifestSpec extends AnyFunSuite {
     val n = 40
     var perCommitNewBytes = Vector.empty[Long]
     var vJsonSizes = Vector.empty[Long]
+    var chunkCounts = Vector.empty[Int]
     var reusedAtLeastOne = 0
     (1 to n).foreach { i =>
       val before = metaFiles(root)
@@ -40,16 +41,18 @@ class ManifestSpec extends AnyFunSuite {
       val newFiles = after.view.filterKeys(!before.contains(_)).toMap
       perCommitNewBytes :+= newFiles.values.sum
       vJsonSizes :+= after(s"v$id.json")
+      chunkCounts :+= t.currentSnapshot.get.manifests.size
       if (t.currentSnapshot.get.manifests.exists(prevManifests))
         reusedAtLeastOne += 1
     }
-    // the snapshot JSON itself never inlines per-file state: its size
-    // stays flat while the table grows 40×
-    assert(vJsonSizes.max < 3000,
-      s"snapshot JSON grew with table size: ${vJsonSizes.max} bytes")
-    assert(vJsonSizes.last < vJsonSizes.head * 3,
-      s"snapshot JSON scales with table: ${vJsonSizes.head} -> " +
-        s"${vJsonSizes.last}")
+    // the snapshot JSON never inlines per-file state: it carries the
+    // delta, chunk names, and per-CHUNK summaries, so its size is
+    // O(chunks) — and the fold keeps chunks ~log(table), not O(table).
+    // ~450 B covers one chunk's name + 2-column summary (pretty JSON).
+    vJsonSizes.zip(chunkCounts).foreach { case (bytes, chunks) =>
+      assert(bytes < 1500L + 450L * chunks,
+        s"snapshot JSON not O(chunks): $bytes bytes at $chunks chunks")
+    }
     // per-commit metadata is delta + bounded fold tax — never the table.
     // A full inline manifest at n=40 would be ~40 entries every commit;
     // the fold bound is MergeFanout entries. Entries here are ~200 B.
@@ -239,6 +242,40 @@ class ManifestSpec extends AnyFunSuite {
         Some(FileInfo(10L, -1L))))
     assert(ManifestIO.chunkFromJson(ManifestIO.chunkToJson(entries))
       == entries)
+  }
+
+  test("summary-pruned scan loads strictly fewer chunks than exist") {
+    val root = freshRoot
+    val df0 = Seq((0L, "seed")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df0.schema)
+    // four range-disjoint appends → four single-entry chunks (below the
+    // fold fanout), each covering a distinct id range
+    Seq(0L, 100L, 200L, 300L).foreach { lo =>
+      t.append((lo until lo + 10).map(i => (i, s"r$i")).toDF("id", "v")
+        .coalesce(1))
+    }
+    val head = t.currentSnapshot.get
+    assert(head.manifests.size == 4, s"expected 4 chunks: ${head.manifests}")
+    // every chunk carries an id summary in the list JSON
+    assert(head.manifestSummaries.size == 4 &&
+      head.manifestSummaries.values.forall(_.contains("id")))
+
+    // a COLD handle (empty chunk cache) planning a selective scan must
+    // materialize only the chunk whose summary covers the key
+    val t2 = LakeTable.load(spark, root)
+    import org.apache.spark.sql.functions.col
+    val hit = t2.scan(col("id") === 105L)
+    assert(hit.count() == 1)
+    assert(t2.chunkLoads.get() == 1L,
+      s"selective scan loaded ${t2.chunkLoads.get()} of 4 chunks")
+    // ...and an unselective scan still sees everything (fresh handle,
+    // correctness of the fallback-to-all path)
+    val t3 = LakeTable.load(spark, root)
+    assert(t3.scan(col("id") >= 0L).count() == 40)
+    assert(t3.chunkLoads.get() == 4L)
+    // partial and full plans agree on the selective result
+    assert(t3.scan(col("id") === 105L).collect().toSeq ==
+      hit.collect().toSeq)
   }
 
   test("entriesOf/materialize invert each other") {
