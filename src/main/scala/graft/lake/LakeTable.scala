@@ -68,30 +68,13 @@ final class LakeTable private (
   def currentSnapshotId: Option[Long] =
     readPointer(headPath).map(_.trim.toLong)
 
-  /** Read a swap-replaced pointer file (HEAD, refs.json), riding out
-    * the transient window of `FileContext.rename(OVERWRITE)`:
-    * `AbstractFileSystem.renameInternal`'s default overwrite path
-    * DELETES the target before the rename on filesystems without a
-    * native atomic overwrite, so a concurrent reader can briefly see
-    * the pointer absent (or, on a checksummed local fs, a stale crc)
-    * mid-swap. Retries apply only while the table has metadata at all —
-    * a genuinely absent pointer (never-created table) returns None on
-    * the first probe. Pointer writes are complete-at-rename (exclusive
-    * tmp create), so any successful read is a consistent value. */
-  private def readPointer(p: Path): Option[String] = {
-    var attempt = 0
-    while (attempt < PointerReadRetries) {
-      if (fs.exists(p)) {
-        try return Some(readString(fs, p))
-        catch { case _: java.io.IOException => /* mid-swap; retry */ }
-      } else if (!fs.exists(metaDir)) {
-        return None // no table here — nothing can be mid-swap
-      }
-      attempt += 1
-      if (attempt < PointerReadRetries) Thread.sleep(5L << attempt)
-    }
-    if (fs.exists(p)) Some(readString(fs, p)) else None
-  }
+  /** Pointer swap/read protocol, selected per session (see
+    * [[PointerStore]]): rename-based by default, generation files for
+    * object stores without atomic rename. */
+  private val pointerStore: PointerStore =
+    PointerStore.forTable(spark, fs, rootPath.toUri, hconf)
+
+  private def readPointer(p: Path): Option[String] = pointerStore.read(p)
 
   def snapshot(id: Long): Snapshot = {
     val p = new Path(metaDir, s"v$id.json")
@@ -580,11 +563,8 @@ final class LakeTable private (
       val o = n.putObject(name)
       o.put("type", tpe); o.put("snapshot_id", id)
     }
-    val tmp = new Path(metaDir, s".refs-${UUID.randomUUID()}.tmp")
-    writeStringExclusive(fs, tmp,
+    pointerStore.write(refsPath,
       m.writerWithDefaultPrettyPrinter().writeValueAsString(n))
-    val fc = FileContext.getFileContext(rootPath.toUri, hconf)
-    fc.rename(tmp, refsPath, Options.Rename.OVERWRITE)
   }
 
   private def refsPath = new Path(metaDir, REFS)
@@ -2528,12 +2508,8 @@ final class LakeTable private (
     id
   }
 
-  private def writeHead(id: Long): Unit = {
-    val tmp = new Path(metaDir, s".HEAD-${UUID.randomUUID()}.tmp")
-    writeStringExclusive(fs, tmp, id.toString)
-    val fc = FileContext.getFileContext(rootPath.toUri, hconf)
-    fc.rename(tmp, headPath, Options.Rename.OVERWRITE)
-  }
+  private def writeHead(id: Long): Unit =
+    pointerStore.write(headPath, id.toString)
 }
 
 /** One `WHEN` clause of a general MERGE ([[LakeTable.mergeClauses]]):
@@ -2548,9 +2524,6 @@ object LakeTable {
   /** Nominal block size for manifest-built [[FileStatus]]es (local
     * split planning uses maxPartitionBytes, not this). */
   private val DefaultBlockSize: Long = 128L * 1024 * 1024
-  /** Attempts for [[readPointer]] before trusting an absent pointer
-    * (covers the µs-scale delete+rename window of an OVERWRITE swap). */
-  private val PointerReadRetries = 3
   val DATA_DIR = "data"
   val DELETES_DIR = "deletes"
   val HEAD = "HEAD"
@@ -2633,10 +2606,10 @@ object LakeTable {
         s"derived partition name ${f.dirName} collides with a column")
     }
 
-  def exists(spark: SparkSession, root: String): Boolean = {
-    val p = new Path(root, s"$METADATA_DIR/$HEAD")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  def exists(spark: SparkSession, root: String): Boolean =
+    // resolved through the session's pointer store: a generation-store
+    // table has no literal HEAD file, only HEAD.gen-<n> entries
+    new LakeTable(spark, root).currentSnapshotId.isDefined
 
   /** DDL create with an explicit schema (≡ reference K5,
     * scripts/bronze-silver.py:171-207): commits an empty `create`

@@ -1,0 +1,209 @@
+package graft.lake
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** Storage strategy for the table's swap-replaced POINTER files (HEAD,
+  * refs.json) — the one commit-protocol piece whose correct shape
+  * depends on the filesystem's atomicity guarantees, extracted so each
+  * backend can pick a protocol it can actually honor:
+  *
+  *   - [[RenamePointerStore]] (default): exclusive tmp create +
+  *     `FileContext.rename(OVERWRITE)`. Correct on HDFS (native atomic
+  *     overwrite) and on local filesystems (delete-then-rename with a
+  *     µs-scale visibility window the reader rides out).
+  *   - [[GenerationPointerStore]]: no rename at all — each swap
+  *     exclusively creates `<name>.gen-<n+1>` and readers take the
+  *     highest generation. This is the OBJECT-STORE shape: S3 has no
+  *     atomic rename, but exclusive create maps directly onto a
+  *     conditional `PUT If-None-Match:*`, and readers never observe
+  *     absence mid-swap because the previous generation outlives the
+  *     swap. (The remaining alternative, pointer-in-catalog — e.g. a
+  *     DynamoDB/Glue conditional update, which is how Iceberg's S3
+  *     catalogs commit — swaps the same logical pointer outside the
+  *     filesystem entirely; same `read`/`write` contract, not needed
+  *     in this environment.)
+  *
+  * Contract both implementations honor, which the commit protocol
+  * relies on ([[LakeTable]]): `write` is complete-at-swap (a reader
+  * sees the OLD value or the NEW value, never a torn prefix), and
+  * `read` returning None means the pointer was never created — not
+  * that a swap was in flight. Race DETECTION lives one level up
+  * (exclusive create of `v<id>.json`); the pointer swap only ever
+  * publishes an already-won commit. */
+sealed trait PointerStore {
+  /** Current pointer value; None = never created. Rides out any
+    * transient mid-swap state rather than surfacing it. */
+  def read(p: Path): Option[String]
+
+  /** Replace the pointer value, complete-at-swap. */
+  def write(p: Path, value: String): Unit
+}
+
+/** Exclusive-tmp-create + atomic-overwrite-rename pointer store (the
+  * HDFS/local protocol). `AbstractFileSystem.renameInternal`'s default
+  * OVERWRITE path deletes the target before renaming on filesystems
+  * without a native atomic overwrite, so a concurrent reader can
+  * briefly see the pointer absent (or, on a checksummed local fs, a
+  * stale crc) mid-swap. The reader distinguishes that window from a
+  * never-created pointer by EVIDENCE: retries happen only while a
+  * sibling `.{name}-*.tmp` swap file exists (a swap is in flight) or
+  * after an open/read failure — a genuinely absent pointer with no
+  * in-flight tmp returns None on the first probe with zero sleeps. */
+final class RenamePointerStore(fs: FileSystem, rootUri: java.net.URI,
+    conf: Configuration) extends PointerStore {
+
+  /** Attempts before trusting an absent-mid-evidence pointer (covers
+    * the µs-scale delete+rename window of an OVERWRITE swap). */
+  private val Retries = 3
+
+  private def swapInFlight(p: Path): Boolean = {
+    val prefix = s".${p.getName}-"
+    try fs.listStatus(p.getParent).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith(prefix) && n.endsWith(".tmp")
+    } catch { case _: java.io.IOException => false }
+  }
+
+  override def read(p: Path): Option[String] = {
+    var attempt = 0
+    var noEvidenceRuns = 0
+    while (attempt < Retries) {
+      var sawEvidence = true
+      if (fs.exists(p)) {
+        try return Some(LakeTable.readString(fs, p))
+        catch { case _: java.io.IOException => /* mid-swap; retry */ }
+      } else if (!swapInFlight(p) && !fs.exists(p)) {
+        // absent with no tmp in flight and still absent on re-probe.
+        // One confirmation round guards the sampling race where an
+        // entire swap completes between the two probes (the tmp is
+        // gone AND the target was re-deleted by the next swap); a
+        // never-created pointer answers in ~1 ms, not the old ~30.
+        sawEvidence = false
+        noEvidenceRuns += 1
+        if (noEvidenceRuns >= 2) return None
+        Thread.sleep(1L)
+      }
+      if (sawEvidence) {
+        noEvidenceRuns = 0
+        attempt += 1
+        if (attempt < Retries) Thread.sleep(5L << attempt)
+      }
+    }
+    if (fs.exists(p)) Some(LakeTable.readString(fs, p)) else None
+  }
+
+  override def write(p: Path, value: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}-${UUID.randomUUID()}.tmp")
+    LakeTable.writeStringExclusive(fs, tmp, value)
+    val fc = FileContext.getFileContext(rootUri, conf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+}
+
+/** Rename-free generation pointer store — the object-store-safe
+  * protocol. The pointer `<dir>/<name>` is represented by files
+  * `<dir>/<name>.gen-<n>`: a swap exclusively creates generation n+1
+  * (on S3: conditional `PUT If-None-Match:*` of the whole object) and
+  * then best-effort deletes generations older than the previous one,
+  * so a reader listing for the highest generation ALWAYS finds a
+  * complete value — the old generation outlives the swap, closing the
+  * absent-mid-swap window renames have. Generation numbers are
+  * zero-padded so lexicographic listing order is numeric order.
+  *
+  * Completeness framing: an S3 PUT is all-or-nothing, but the local
+  * emulation (exclusive create, then write, then close) exposes a
+  * window where the file exists with partial content. Values are
+  * therefore length-prefixed (`<byte-count>\n<payload>`); a reader
+  * that sees a short or unparseable frame treats the generation as
+  * in-flight and falls back to the previous one. */
+final class GenerationPointerStore(fs: FileSystem) extends PointerStore {
+
+  private def gens(p: Path): Seq[(Long, Path)] = {
+    val prefix = s"${p.getName}.gen-"
+    try fs.listStatus(p.getParent).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith(prefix)) None
+      else scala.util.Try(n.substring(prefix.length).toLong).toOption
+        .map(_ -> s.getPath)
+    } catch { case _: java.io.IOException => Nil }
+  }
+
+  /** None = file absent/unreadable OR frame incomplete (in-flight). */
+  private def readComplete(path: Path): Option[String] =
+    try {
+      val framed = LakeTable.readString(fs, path)
+      val nl = framed.indexOf('\n')
+      if (nl <= 0) None
+      else scala.util.Try(framed.substring(0, nl).toInt).toOption
+        .flatMap { len =>
+          val payload = framed.substring(nl + 1)
+          if (payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .length == len) Some(payload)
+          else None
+        }
+    } catch { case _: java.io.IOException => None }
+
+  override def read(p: Path): Option[String] = {
+    // newest complete generation wins; a generation can be in-flight
+    // (short frame) or vanish between list and open (writer cleanup) —
+    // fall back to the next-highest, re-listing a few times
+    var attempt = 0
+    while (attempt < 5) {
+      val current = gens(p).sortBy(-_._1)
+      if (current.isEmpty) return None
+      current.foreach { case (_, path) =>
+        readComplete(path) match {
+          case Some(v) => return Some(v)
+          case None => () // in-flight or swept; try older
+        }
+      }
+      attempt += 1
+      Thread.sleep(1L << attempt)
+    }
+    None
+  }
+
+  override def write(p: Path, value: String): Unit = {
+    val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val framed = s"${bytes.length}\n$value"
+    var attempt = 0
+    while (true) {
+      val known = gens(p).map(_._1)
+      val next = known.maxOption.getOrElse(0L) + 1
+      val target = new Path(p.getParent, f"${p.getName}.gen-$next%019d")
+      try {
+        LakeTable.writeStringExclusive(fs, target, framed)
+        // keep the immediately-previous generation alive for in-flight
+        // readers; everything older is unreachable and sweeps away
+        gens(p).filter(_._1 < next - 1)
+          .foreach { case (_, old) =>
+            try fs.delete(old, false)
+            catch { case _: java.io.IOException => () }
+          }
+        return
+      } catch {
+        case _: java.io.IOException =>
+          // lost the exclusive create to a racing swap: re-list, retry
+          attempt += 1
+          if (attempt > 50)
+            throw new java.util.ConcurrentModificationException(
+              s"pointer swap of $p contended beyond $attempt attempts")
+      }
+    }
+  }
+}
+
+object PointerStore {
+  /** Session-selected strategy: `spark.graft.lake.pointer-store` =
+    * `rename` (default) | `generation`. */
+  def forTable(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      rootUri: java.net.URI, conf: Configuration): PointerStore =
+    spark.conf.getOption("spark.graft.lake.pointer-store")
+        .getOrElse("rename") match {
+      case "generation" => new GenerationPointerStore(fs)
+      case _ => new RenamePointerStore(fs, rootUri, conf)
+    }
+}

@@ -1,0 +1,111 @@
+package graft.lake
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Commit-pointer protocol ([[PointerStore]]): readers must ride
+  * through a swap (old value or new value, never torn, never a
+  * spurious "no table"), a never-created pointer must answer None
+  * without retry sleeps, and the generation store must uphold the same
+  * contract with no rename at all (the object-store shape). */
+class PointerStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture(name: String) = {
+    val dir = new Path(TestSpark.tmpDir(name))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    (fs, dir, conf)
+  }
+
+  private def stores(name: String): Seq[(String, PointerStore, Path)] = {
+    val (fs, dir, conf) = fixture(name)
+    Seq(
+      ("rename", new RenamePointerStore(fs, dir.toUri, conf),
+        new Path(dir, "HEAD")),
+      ("generation", new GenerationPointerStore(fs),
+        new Path(dir, "HEAD")))
+  }
+
+  test("never-created pointer answers None immediately, no retry sleeps") {
+    stores("ptr-absent").foreach { case (label, store, p) =>
+      assert(store.read(p).isEmpty, label) // cold call warms fs metadata
+      val t0 = System.nanoTime()
+      assert(store.read(p).isEmpty, label)
+      val ms = (System.nanoTime() - t0) / 1e6
+      // the old behavior slept ~30ms probing for a swap that never was
+      assert(ms < 8.0, s"$label: absent read took ${ms}ms (retry sleeps?)")
+    }
+  }
+
+  test("write is complete-at-swap: concurrent readers never see a torn value") {
+    stores("ptr-race").foreach { case (label, store, p) =>
+      store.write(p, "0" * 64) // long values make torn reads detectable
+      val stop = new AtomicBoolean(false)
+      val anomalies = new AtomicInteger(0)
+      val seen = new AtomicInteger(0)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          store.read(p) match {
+            case Some(v) if v.length == 64 && v.distinct.length == 1 =>
+              seen.incrementAndGet()
+            case other =>
+              // torn value, mixed generations, or spurious None
+              anomalies.incrementAndGet()
+              System.err.println(s"$label anomaly: $other")
+          }
+        }
+      })
+      reader.start()
+      (1 to 200).foreach(i => store.write(p, (i % 10).toString * 64))
+      stop.set(true)
+      reader.join(10000)
+      assert(anomalies.get() == 0,
+        s"$label: ${anomalies.get()} torn/absent reads during swaps")
+      assert(seen.get() > 0, s"$label: reader starved")
+      assert(store.read(p).contains((200 % 10).toString * 64), label)
+    }
+  }
+
+  test("racing generation writers all land, last value wins, no torn state") {
+    val (fs, dir, _) = fixture("ptr-genrace")
+    val store = new GenerationPointerStore(fs)
+    val p = new Path(dir, "HEAD")
+    val threads = (1 to 4).map { t =>
+      new Thread(() => (1 to 25).foreach(i => store.write(p, s"t$t-$i")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(20000))
+    // all 100 swaps landed distinct generations; the survivor parses
+    val v = store.read(p)
+    assert(v.nonEmpty && v.get.matches("t\\d-\\d+"), s"final: $v")
+    // cleanup keeps the directory bounded: at most a handful of gens
+    val left = fs.listStatus(dir).count(_.getPath.getName.startsWith("HEAD.gen-"))
+    assert(left <= 8, s"$left generation files left behind")
+  }
+
+  test("a LakeTable commits and reads through the generation store") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.lake.pointer-store", "generation")
+    try {
+      val root = TestSpark.tmpDir("ptr-gen-table") + "/t"
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      val t = LakeTable.create(spark, root, df.schema)
+      t.append(df)
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      assert(t.scan().count() == 3)
+      assert(t.history.count() == 3) // create + 2 appends
+      // a fresh handle (new store instance) resolves the same HEAD
+      val t2 = LakeTable.load(spark, root)
+      assert(t2.scan().count() == 3)
+      // no HEAD rename artifact exists — the pointer is generations only
+      val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new Path(root, s"${LakeTable.METADATA_DIR}/HEAD")))
+    } finally spark.conf.set("spark.graft.lake.pointer-store", "rename")
+  }
+}
