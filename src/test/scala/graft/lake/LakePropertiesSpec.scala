@@ -188,6 +188,64 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 15)
   }
 
+  test("property: pruned scans never lose rows — ntz/decimal/string columns") {
+    // Round 7's two pruning bugs both lived in type-encoding corners
+    // (fp ±0.0 equality, NTZ literal casts), so the FileIndex soundness
+    // sweep must cover every stat-domain family: timestamp_ntz (exact
+    // literal pruning via raw wall-clock micros), decimal (NO stats
+    // support — the conservative keep-everything fallback must still be
+    // lossless), and strings (unsigned-UTF8 bounds), alongside longs.
+    import java.time.LocalDateTime
+    val baseTs = LocalDateTime.of(2020, 1, 1, 0, 0, 0)
+    val tsGen = Gen.chooseNum(0L, 200000L).map(baseTs.plusSeconds)
+    val decGen = Gen.chooseNum(-10000L, 10000L).map(c => BigDecimal(c) / 100)
+    val rowG = Gen.zip(Gen.chooseNum(-50L, 50L), tsGen, decGen,
+      Gen.oneOf("a", "b", "c", "dd"))
+    val batchG = Gen.nonEmptyListOf(rowG).map(_.take(30))
+    val batchesG = Gen.nonEmptyListOf(batchG).map(_.take(4))
+    val predG: Gen[org.apache.spark.sql.Column] = for {
+      c <- Gen.oneOf("k", "ts", "dec", "s")
+      op <- Gen.chooseNum(0, 2)
+      k <- Gen.chooseNum(-50L, 50L)
+      tsSecs <- Gen.chooseNum(0L, 200000L)
+      // the round-7 trap: a TZ timestamp literal against the NTZ column
+      // wraps the COLUMN in a cast — pruning must go conservative, not
+      // wrong. Mix both literal spellings.
+      tzTrap <- Gen.oneOf(true, false)
+      cents <- Gen.chooseNum(-10000L, 10000L)
+      str <- Gen.oneOf("a", "b", "c", "dd")
+    } yield {
+      val lhs = col(c)
+      val rhs: org.apache.spark.sql.Column = c match {
+        case "k" => lit(k)
+        case "ts" =>
+          if (tzTrap)
+            lit(baseTs.plusSeconds(tsSecs).toString).cast("timestamp")
+          else lit(baseTs.plusSeconds(tsSecs))
+        case "dec" => lit(BigDecimal(cents) / 100)
+        case _ => lit(str)
+      }
+      op match {
+        case 0 => lhs === rhs
+        case 1 => lhs < rhs
+        case 2 => lhs >= rhs
+      }
+    }
+    check(Prop.forAllNoShrink(batchesG, predG) { (batches, p) =>
+      val root = TestSpark.tmpDir("prop-prune-t") + "/t"
+      val first = batches.head.toDF("k", "ts", "dec", "s")
+      val t = LakeTable.create(spark, root, first.schema)
+      batches.foreach(b =>
+        t.append(b.toDF("k", "ts", "dec", "s").coalesce(1)))
+      val pruned = t.scan().where(p)
+        .collect().map(_.toSeq.toString).sorted.toList
+      val brute = batches.flatten.toDF("k", "ts", "dec", "s").where(p)
+        .collect().map(_.toSeq.toString).sorted.toList
+      t.drop()
+      pruned == brute
+    }, 12)
+  }
+
   test("property: predicate DELETE ≡ brute-force anti-filter (both modes)") {
     // The metadata-delete prover must never over-drop: random batches
     // (nulls included) × random range/equality predicates, in COW and
