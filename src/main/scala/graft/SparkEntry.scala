@@ -767,7 +767,7 @@ WHEN NOT MATCHED THEN INSERT *
           |ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED AND s.o_totalprice > 150000
           |  THEN UPDATE SET o_orderstatus = 'H',
-          |    o_totalprice = s.o_totalprice / 2
+          |    o_totalprice = s.o_totalprice + 1000
           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'L'
           |WHEN NOT MATCHED AND s.o_totalprice > 100000
           |  THEN INSERT (o_orderkey, o_orderstatus)
@@ -1584,9 +1584,12 @@ WHEN NOT MATCHED THEN INSERT *
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
 
     // general MERGE law: matched rows take the FIRST applying clause
-    // (price>150k → 'H' + halved price, else 'L' keeping the price),
+    // (price>150k → 'H' + price+1000, else 'L' keeping the price),
     // unmatched source rows insert only under the price>100k guard and
-    // only their listed columns (o_totalprice → NULL)
+    // only their listed columns (o_totalprice → NULL). The bumped price
+    // is an ADDITION on purpose: /2 manufactures exact half-cents,
+    // where Spark's round (shortest-decimal-string HALF_UP) and
+    // DuckDB's (exact binary value) legitimately disagree.
     "q_sql_merge_assignments" ->
       """WITH tgt AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -1604,7 +1607,7 @@ WHEN NOT MATCHED THEN INSERT *
         |  round(CASE
         |    WHEN tgt.o_orderkey IS NULL THEN NULL
         |    WHEN src.o_orderkey IS NULL THEN tgt.o_totalprice
-        |    WHEN src.o_totalprice > 150000 THEN src.o_totalprice / 2
+        |    WHEN src.o_totalprice > 150000 THEN src.o_totalprice + 1000
         |    ELSE tgt.o_totalprice END, 2) AS o_totalprice
         |FROM tgt FULL OUTER JOIN src
         |  ON tgt.o_orderkey = src.o_orderkey

@@ -46,10 +46,14 @@ object Mixture {
       s"target percentages must be 0..100: $targetPct")
     // one small action: per-stratum counts (strata are few — domains,
     // languages — never rows)
-    val counts = df.groupBy(col(strataCol).cast("string").as("__s"))
+    val grouped = df.groupBy(col(strataCol).cast("string").as("__s"))
       .count().collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
-    val total = counts.values.sum
+    val counts =
+      grouped.flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    // N is the ORIGINAL corpus size — the NULL stratum (kept whole)
+    // still counts toward it, so its group row is summed even though
+    // it can never be a threshold target
+    val total = grouped.map(_.getLong(1)).sum
     val hash = u60(keyCols, salt)
     val keep = targetPct.foldLeft(when(lit(false), lit(false))) {
       case (acc, (stratum, pct)) =>

@@ -65,6 +65,19 @@ class GraftLakeStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(snapshotId).getOrElse(startAfter)
     val hi = snapshotId(end)
+    // the stream's schema is fixed at source creation; a mid-stream
+    // rename/drop would otherwise surface as a bare AnalysisException
+    // from the select below, so name the actual failure first
+    val now =
+      if (changeFeed) GraftLakeStreamSource.changeFeedSchema(table.schema)
+      else table.schema
+    val gone = schema.fieldNames.filterNot(now.fieldNames.toSet)
+    if (gone.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-lake stream source at $root: the table's schema changed " +
+          s"under a running stream — columns no longer present: " +
+          s"${gone.mkString(", ")}. Restart the stream (new checkpoint " +
+          "or drop these columns from downstream) to adopt the new schema.")
     val batch = (if (changeFeed) table.changes(lo, hi)
       else table.incrementalScan(lo, hi, skipNonAppends = skipNonAppends))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)

@@ -34,6 +34,21 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(under.count() == 4000)
   }
 
+  test("mixture: NULL-stratum rows kept AND counted in the corpus size N") {
+    // 1000 web + 1000 null-source rows; web capped at 25% of N.
+    // N is the ORIGINAL corpus size (2000, nulls included) → ~500 web
+    // kept; were N wrongly the non-null total (1000), only ~250 would
+    // survive. The band (380, 620) separates the two hypotheses.
+    val df = (1L to 2000L).map(i =>
+      (i, if (i <= 1000) "web" else null)).toDF("id", "source")
+    val out = Mixture.rebalance(df, "source", Seq("id"), Map("web" -> 25))
+    val nulls = out.where($"source".isNull).count()
+    assert(nulls == 1000L, "NULL-stratum rows must be kept whole")
+    val web = out.where($"source" === "web").count()
+    assert(web > 380 && web < 620,
+      s"expected ~500 web rows (25% of N=2000, nulls counted), got $web")
+  }
+
   test("oov rate: tokens outside the top-K vocabulary are counted") {
     val df = Seq(
       (1L, "a a a b"), // corpus counts: a=4, z=3, b=2 → vocab(K=2)={a,z}

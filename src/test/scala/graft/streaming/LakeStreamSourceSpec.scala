@@ -177,4 +177,32 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     // rewrite it; either way no duplicated and no phantom rows
     assert(got.toSet.subsetOf(Set((2L, "b"))))
   }
+
+  test("mid-stream column rename fails with a schema-changed error") {
+    // Drive the Source directly: a RUNNING stream keeps the source
+    // object (and its creation-time schema) alive across triggers, so
+    // a rename between getOffset and getBatch must surface as the
+    // descriptive error, not a bare unresolved-column AnalysisException.
+    val base = TestSpark.tmpDir("lakestream3")
+    val root = s"$base/t"
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+
+    val src = new org.apache.spark.sql.graftlake.GraftLakeStreamSource(
+      spark.sqlContext, root, Map.empty)
+    assert(src.schema.fieldNames.toSeq == Seq("id", "v"))
+
+    // the column the running stream selects disappears mid-stream
+    t.renameColumn("v", "val")
+    t.append(Seq((2L, "b")).toDF("id", "val"))
+    val end = org.apache.spark.sql.execution.streaming.runtime
+      .LongOffset(t.currentSnapshotId.get)
+    val err = intercept[UnsupportedOperationException] {
+      src.getBatch(None, end)
+    }
+    assert(err.getMessage.contains("schema changed under a running stream")
+      && err.getMessage.contains("v"),
+      s"expected a descriptive schema-changed error, got: $err")
+  }
 }
