@@ -780,6 +780,35 @@ WHEN NOT MATCHED THEN INSERT *
       out
     }),
 
+    "q_sql_alter_widen" -> ((s, dir) => {
+      // type-widening schema evolution: create narrow (INT, FLOAT),
+      // fill, ALTER COLUMN TYPE to (BIGINT, DOUBLE) — metadata-only,
+      // zero rewrite — then insert values only the wide types can hold
+      // and read every era back through one wide-typed scan
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqlwiden"))
+      cat.createNamespace("ns")
+      cat.sql("ns", "CREATE TABLE w (o_orderkey INT, o_totalprice FLOAT)")
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_totalprice").cast("float").as("o_totalprice"))
+        .createOrReplaceTempView("__widen_src_a")
+      cat.sql("ns", "INSERT INTO w SELECT * FROM __widen_src_a")
+      cat.sql("ns", "ALTER TABLE w ALTER COLUMN o_orderkey TYPE BIGINT")
+      cat.sql("ns", "ALTER TABLE w ALTER COLUMN o_totalprice TYPE DOUBLE")
+      orders.where(col("o_orderkey") % 2 === 1)
+        .select((col("o_orderkey") + lit(10000000000L)).as("o_orderkey"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("__widen_src_b")
+      cat.sql("ns", "INSERT INTO w SELECT * FROM __widen_src_b")
+      // raw values on purpose: the narrow era reads back as the EXACT
+      // double widening of the float it stored (no rounding fudge)
+      val out = cat.sql("ns", "SELECT o_orderkey, o_totalprice FROM w")
+      s.catalog.dropTempView("__widen_src_a")
+      s.catalog.dropTempView("__widen_src_b")
+      out
+    }),
+
     "q_sql_insert" -> ((s, dir) => {
       // INSERT INTO text: two appends through the SQL surface rebuild
       // the full orders table
@@ -1613,6 +1642,17 @@ WHEN NOT MATCHED THEN INSERT *
         |  ON tgt.o_orderkey = src.o_orderkey
         |WHERE tgt.o_orderkey IS NOT NULL
         |   OR src.o_totalprice > 100000""".stripMargin,
+
+    // narrow era: even keys as (INT, FLOAT) — reads back as the exact
+    // double widening of the stored float (REAL round-trip). wide era:
+    // odd keys shifted past int range, original doubles
+    "q_sql_alter_widen" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000000 AS o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
 
     // tgt = %3<>0 keys; CDC batch over %2=0 keys: %10=0 delete, rest
     // update (status U, price*2); unmatched updates insert, unmatched

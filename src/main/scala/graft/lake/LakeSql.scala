@@ -37,7 +37,7 @@ object LakeSql {
       case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable |
           _: InsertIntoStatement | _: CreateTable | _: CreateTableAsSelect |
           _: DropTable | _: AddColumns | _: RenameColumn | _: DropColumns |
-          _: SetTableProperties | _: UnsetTableProperties |
+          _: AlterColumns | _: SetTableProperties | _: UnsetTableProperties |
           _: TruncateTable) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
@@ -57,6 +57,7 @@ object LakeSql {
           case a: AddColumns => alterAddColumns(cat, ns, a)
           case r: RenameColumn => alterRenameColumn(cat, ns, r)
           case d: DropColumns => alterDropColumns(cat, ns, d)
+          case a: AlterColumns => alterColumns(cat, ns, a)
           case s: SetTableProperties =>
             cat.loadTable(ns, tableNameOf(s.table))
               .setProperties(s.properties)
@@ -386,6 +387,27 @@ object LakeSql {
       r: RenameColumn): DataFrame = {
     cat.loadTable(ns, tableNameOf(r.table))
       .renameColumn(r.column.name.last, r.newName)
+    cat.spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE …` →
+    * [[LakeTable.widenColumnType]] (lossless promotions only — the
+    * table API enforces the matrix). Other ALTER COLUMN clauses
+    * (comment, position, default, nullability) aren't table state this
+    * engine tracks, so they are refused loudly rather than ignored. */
+  private def alterColumns(cat: LakeCatalog, ns: String,
+      a: AlterColumns): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(a.table))
+    a.specs.foreach { s =>
+      if (s.newComment.isDefined || s.newPosition.isDefined ||
+        s.newDefaultExpression.isDefined || s.newNullability.isDefined ||
+        s.dropDefault)
+        throw new UnsupportedOperationException(
+          "only ALTER COLUMN … TYPE <widening> is supported")
+      val dt = s.newDataType.getOrElse(throw new UnsupportedOperationException(
+        "ALTER COLUMN without TYPE has nothing to change"))
+      lt.widenColumnType(s.column.name.last, dt)
+    }
     cat.spark.emptyDataFrame
   }
 

@@ -1727,6 +1727,55 @@ final class LakeTable private (
       deletesOverride = Some(dels))
   }
 
+  /** Widen a column's type in place (metadata-only commit, ≡ Iceberg
+    * `ALTER TABLE … ALTER COLUMN … TYPE …` type promotion): no data
+    * rewrite — Spark 4's vectorized parquet reader upcasts the narrow
+    * as-written values to the requested wide type at scan time
+    * (verified on this runtime: int32→long/double, float→double,
+    * decimal precision/scale growth, date→timestamp_ntz), so files of
+    * every era share one scan under the wide schema. Only lossless
+    * promotions are accepted ([[LakeTable.canWiden]]); anything else
+    * would need a full rewrite and is refused.
+    *
+    * Stats bookkeeping across the widen:
+    *  - min/max bounds KEEP: integral stats are stored as decimal
+    *    strings (re-parse exactly under the wide type) and float
+    *    bounds are stored as their EXACT double widenings
+    *    (FileStats.fpBounds) — except date→timestamp_ntz, whose stat
+    *    domain changes (epoch days → wall-clock micros), so those
+    *    bounds are dropped.
+    *  - per-column Bloom pseudo-stats DROP: Spark's XxHash64 hashes
+    *    int and long domains differently, so probing a wide-typed
+    *    literal against a narrow-domain filter would false-negative
+    *    and wrongly prune live files. New files rebuild Bloom filters
+    *    in the wide domain.
+    * Partition source columns can't change type — their value encoding
+    * is baked into the hive directory names of some spec era. */
+  def widenColumnType(name: String, to: DataType): Long = {
+    val base = current
+    val sch = schema
+    val f = sch.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    if (f.dataType == to) return base.snapshotId
+    require(LakeTable.canWiden(f.dataType, to),
+      s"cannot alter column $name: ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a lossless widening (a narrowing " +
+        "or cross-domain change needs a rewrite)")
+    require(!specSources.contains(name),
+      s"cannot change the type of partition source column $name " +
+        "(its value encoding is baked into the hive directory layout)")
+    val newSchema = StructType(sch.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    val dropBounds = f.dataType == DateType // stat domain changes
+    val stats = base.fileStats.map { case (fl, cols) =>
+      fl -> (cols - BloomStats.statKey(name) --
+        (if (dropBounds) Seq(name) else Nil))
+    }.filter(_._2.nonEmpty)
+    commit(base, "evolve-schema", added = Nil, removed = Nil,
+      live = base.liveFiles, schemaJson = Some(newSchema.json),
+      statsOverride = Some(stats))
+  }
+
   /** Drop a column (metadata-only commit, ≡ Iceberg
     * `ALTER TABLE … DROP COLUMN`): data files keep the bytes; reads just
     * stop projecting them. Stats and name mappings for the column are
@@ -2216,28 +2265,51 @@ final class LakeTable private (
     * it on, a producer's typo'd column silently becomes table schema —
     * and a CDC pipeline's bookkeeping columns (Op, etc.) would too, so
     * CDC callers should pre-drop them or leave this off. */
+  /** Column-name key under the session's resolution rules —
+    * `spark.sql.caseSensitive` is false by default, so `ID` and `id`
+    * are the SAME column and schema matching must agree with the
+    * analyzer, or auto-evolve would add a case-duplicate column and
+    * make every later read ambiguous. */
+  private def resolveKey(name: String): String =
+    if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) name
+    else name.toLowerCase(java.util.Locale.ROOT)
+
   private def autoEvolveFor(df: DataFrame): Unit = {
     if (!properties.get(PROP_AUTO_EVOLVE).contains("true")) return
-    val have = schema.fieldNames.toSet
-    df.schema.fields.filterNot(f => have(f.name)).foreach { f =>
-      addColumn(f.name, f.dataType, nullable = true)
+    val byKey = schema.fields.map(f => resolveKey(f.name) -> f).toMap
+    df.schema.fields.foreach { f =>
+      byKey.get(resolveKey(f.name)) match {
+        case None => addColumn(f.name, f.dataType, nullable = true)
+        case Some(g) if g.dataType != f.dataType &&
+            LakeTable.canWiden(g.dataType, f.dataType) =>
+          // source arrived WIDER than the table column (e.g. long into
+          // an int column): widen the table rather than letting
+          // alignToSchema's narrowing cast corrupt out-of-range values
+          widenColumnType(g.name, f.dataType)
+        case _ => // same type, or a narrower/unrelated source type:
+          // alignToSchema's cast to the table type handles it
+      }
     }
   }
 
   private def alignToSchema(df: DataFrame): DataFrame = {
     val want = schema
-    val have = df.columns.toSet
+    val have: Map[String, String] =
+      df.columns.map(n => resolveKey(n) -> n).toMap
     // nullable columns the source lacks (e.g. added by addColumn after
     // the writer was built) fill with NULL — Iceberg's write behavior;
     // missing non-nullable columns are still an error
-    val missing = want.fields.filterNot(f => have(f.name))
+    val missing = want.fields.filterNot(f => have.contains(resolveKey(f.name)))
     val missingRequired = missing.filterNot(_.nullable)
     require(missingRequired.isEmpty,
       "source is missing non-nullable table columns: " +
         missingRequired.map(_.name).mkString(", "))
     df.select(want.fields.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(resolveKey(f.name)) match {
+        // select by the SOURCE spelling, emit under the TABLE spelling
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None      => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
   }
 
@@ -2520,6 +2592,27 @@ case class MergeWhen(condition: Option[org.apache.spark.sql.Column],
     assignments: Option[Map[String, org.apache.spark.sql.Column]])
 
 object LakeTable {
+  /** Lossless type promotions the parquet vectorized reader upcasts
+    * natively at scan time (Spark 4.x type widening; each pair probed
+    * on this runtime). long→double is NOT here: longs above 2^53 lose
+    * precision. The matrix mirrors Iceberg's allowed schema
+    * promotions, plus the int→double / date→timestamp_ntz pairs the
+    * Spark 4 reader additionally supports. */
+  def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType)            => true
+    case (IntegerType, LongType)                        => true
+    // every int32 value is exact in a double (2^31 < 2^53)
+    case (ByteType | ShortType | IntegerType, DoubleType) => true
+    case (FloatType, DoubleType)                        => true
+    case (a: DecimalType, b: DecimalType) =>
+      // value-preserving iff integral digits don't shrink and the
+      // scale doesn't shrink (reader pads added scale with zeros)
+      b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale)
+    case (DateType, TimestampNTZType)                   => true
+    case _                                              => false
+  }
+
   val METADATA_DIR = "metadata"
   /** Nominal block size for manifest-built [[FileStatus]]es (local
     * split planning uses maxPartitionBytes, not this). */

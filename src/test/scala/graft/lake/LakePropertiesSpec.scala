@@ -188,6 +188,58 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 15)
   }
 
+  test("property: pruned scans never lose rows across a type widen") {
+    // widenColumnType leaves narrow-era files in place and retypes the
+    // scan schema: random int/float batches, a widen (int->long,
+    // float->double) at a random point in the append sequence, more
+    // batches in the wide domain, then wide-typed predicates — the
+    // pruned scan must equal brute-force filtering (stats written in
+    // the narrow era must re-parse soundly under the wide type, and
+    // parquet pushdown must upcast rather than drop rows)
+    val rowG = Gen.zip(Gen.chooseNum(-50, 50), Gen.oneOf(
+      Gen.chooseNum(-100.0f, 100.0f), Gen.const(0.0f), Gen.const(-0.0f)))
+    val batchG = Gen.nonEmptyListOf(rowG).map(_.take(30))
+    val batchesG = Gen.nonEmptyListOf(batchG).map(_.take(3))
+    val wideRowG = Gen.zip(
+      Gen.oneOf(Gen.chooseNum(-50L, 50L), Gen.chooseNum(3000000000L, 3000000050L)),
+      Gen.chooseNum(-100.0, 100.0))
+    val wideBatchesG = Gen.listOf(Gen.nonEmptyListOf(wideRowG).map(_.take(30)))
+      .map(_.take(2))
+    val predG = for {
+      c <- Gen.oneOf("k", "x")
+      op <- Gen.chooseNum(0, 2)
+      k <- Gen.oneOf(Gen.chooseNum(-50L, 50L),
+        Gen.chooseNum(3000000000L, 3000000050L))
+      d <- Gen.chooseNum(-100.0, 100.0)
+    } yield {
+      val lhs = col(c)
+      val rhs = if (c == "k") lit(k) else lit(d)
+      op match {
+        case 0 => lhs === rhs
+        case 1 => lhs < rhs
+        case 2 => lhs >= rhs
+      }
+    }
+    check(Prop.forAllNoShrink(batchesG, wideBatchesG, predG) {
+      (narrow, wide, p) =>
+        val root = TestSpark.tmpDir("prop-widen") + "/t"
+        val first = narrow.head.toDF("k", "x")
+        val t = LakeTable.create(spark, root, first.schema)
+        narrow.foreach(b => t.append(b.toDF("k", "x").coalesce(1)))
+        t.widenColumnType("k", org.apache.spark.sql.types.LongType)
+        t.widenColumnType("x", org.apache.spark.sql.types.DoubleType)
+        wide.foreach(b => t.append(b.toDF("k", "x").coalesce(1)))
+        val all = narrow.flatten.map { case (k, x) => (k.toLong, x.toDouble) } ++
+          wide.flatten
+        val pruned = t.scan().where(p)
+          .collect().map(_.toSeq.toString).sorted.toList
+        val brute = all.toDF("k", "x").where(p)
+          .collect().map(_.toSeq.toString).sorted.toList
+        t.drop()
+        pruned == brute
+    }, 10)
+  }
+
   test("property: pruned scans never lose rows — ntz/decimal/string columns") {
     // Round 7's two pruning bugs both lived in type-encoding corners
     // (fp ±0.0 equality, NTZ literal casts), so the FileIndex soundness

@@ -318,6 +318,26 @@ WHEN NOT MATCHED THEN INSERT *
     assert(cat.sql("ns", "SELECT label FROM t").head.getString(0) == "A")
   }
 
+  test("ALTER COLUMN TYPE text: widening promotes in place, narrowing errors") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    cat.sql("ns", "CREATE TABLE w (k INT, amt FLOAT)")
+    cat.sql("ns", "INSERT INTO w VALUES (1, cast(1.5 as float))")
+    cat.sql("ns", "ALTER TABLE w ALTER COLUMN k TYPE BIGINT")
+    cat.sql("ns", "ALTER TABLE w ALTER COLUMN amt TYPE DOUBLE")
+    cat.sql("ns", "INSERT INTO w VALUES (3000000000, 2.5)")
+    assert(cat.sql("ns", "SELECT k, amt FROM w ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (3000000000L, 2.5)))
+    // narrow-era file found through a wide-typed pruned read
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM w WHERE k = 1")
+      .head.getLong(0) == 1L)
+    val err = intercept[IllegalArgumentException] {
+      cat.sql("ns", "ALTER TABLE w ALTER COLUMN k TYPE INT")
+    }
+    assert(err.getMessage.contains("not a lossless widening"))
+  }
+
   test("SHOW PARTITIONS / DESCRIBE / SHOW CREATE TABLE / SHOW TBLPROPERTIES") {
     val cat = freshCat
     cat.createNamespace("ns")

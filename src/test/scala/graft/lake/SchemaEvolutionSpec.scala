@@ -193,6 +193,106 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("widenColumnType: int->long and float->double across file eras") {
+    val root = freshRoot
+    val df = Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f")
+    val t = LakeTable.create(spark, root, df.schema)
+    val v1 = t.append(df.coalesce(1))
+    t.widenColumnType("i", LongType)
+    t.widenColumnType("f", DoubleType)
+    assert(t.schema("i").dataType == LongType &&
+      t.schema("f").dataType == DoubleType)
+    // post-widen writes carry values only a wide type can hold
+    t.append(Seq((3000000000L, 3.5)).toDF("i", "f").coalesce(1))
+    assert(t.scan().as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (2L, 2.5), (3000000000L, 3.5)))
+    // pruned reads stay sound across eras: the predicate is typed at
+    // the WIDE type but must still find rows in narrow-era files
+    // (their int-era min/max stats re-parse under the wide type)
+    assert(t.scan(col("i") === 2L).as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 2.5)))
+    assert(t.scan(col("f") === 1.5d).count() == 1)
+    assert(t.scan(col("i") === 3000000000L).count() == 1)
+    // narrowing and cross-domain changes are refused
+    intercept[IllegalArgumentException] {
+      t.widenColumnType("i", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      t.widenColumnType("f", StringType)
+    }
+    // time travel still reads the narrow era under its own schema
+    assert(t.scanAt(v1).schema("i").dataType == IntegerType)
+  }
+
+  test("widenColumnType: decimal growth and date->timestamp_ntz") {
+    val root = freshRoot
+    val df = Seq((BigDecimal("1.23"), java.sql.Date.valueOf("2020-03-04")))
+      .toDF("dec", "dt")
+      .select(col("dec").cast(DecimalType(5, 2)).as("dec"), col("dt"))
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df.coalesce(1))
+    t.widenColumnType("dec", DecimalType(12, 4))
+    t.widenColumnType("dt", TimestampNTZType)
+    val row = t.scan().collect().head
+    assert(row.getDecimal(0) == new java.math.BigDecimal("1.2300"))
+    assert(row.getAs[java.time.LocalDateTime](1) ==
+      java.time.LocalDateTime.of(2020, 3, 4, 0, 0))
+    // the old date-domain stats are dropped, not misread as micros:
+    // an ntz predicate must still FIND the narrow-era row
+    assert(t.scan(col("dt") ===
+      lit("2020-03-04 00:00:00").cast("timestamp_ntz")).count() == 1)
+    // decimal scale shrink refused even when precision grows
+    intercept[IllegalArgumentException] {
+      t.widenColumnType("dec", DecimalType(20, 2))
+    }
+  }
+
+  test("widenColumnType: bloom-tracked column survives the domain flip") {
+    val root = freshRoot
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map("write.bloom.columns" -> "k"))
+    t.append(df.coalesce(1))
+    t.widenColumnType("k", LongType)
+    // the int-domain bloom was dropped with the widen: a long-typed
+    // probe of a narrow-era file must not false-negative away its rows
+    assert(t.scan(col("k") === 2L).count() == 1)
+    // and a fresh write rebuilds blooms in the long domain
+    t.append(Seq((5000000000L, "c")).toDF("k", "v").coalesce(1))
+    assert(t.scan(col("k") === 5000000000L).count() == 1)
+  }
+
+  test("auto-evolve widens an existing column when the source is wider") {
+    val root = freshRoot
+    val df = Seq((1, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_AUTO_EVOLVE -> "true"))
+    t.append(df)
+    // a LONG source lands in the INT column: the table widens instead
+    // of the write narrowing 3000000000 into garbage
+    t.append(Seq((3000000000L, "b")).toDF("id", "v"))
+    assert(t.schema("id").dataType == LongType)
+    assert(t.scan().select("id").as[Long].collect().toSet ==
+      Set(1L, 3000000000L))
+  }
+
+  test("auto-evolve resolves names case-insensitively (analyzer parity)") {
+    // spark.sql.caseSensitive defaults to false, so a source 'ID' IS
+    // the table's 'id' — auto-evolve must not add a case-duplicate
+    // column (which would make every later read ambiguous), and the
+    // write must land the values in the existing column.
+    val root = freshRoot
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_AUTO_EVOLVE -> "true"))
+    t.append(df)
+    t.append(Seq((2L, "b", "fr")).toDF("ID", "V", "Lang"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "Lang"),
+      "ID/V must resolve to existing id/v; only Lang is genuinely new")
+    assert(t.scan().where($"id" === 2L).select("v", "Lang")
+      .collect().head.toSeq == Seq("b", "fr"))
+  }
+
   test("auto-evolve off: extra source columns are dropped, not added") {
     val root = freshRoot
     val df = Seq((1L, "a")).toDF("id", "v")
