@@ -780,6 +780,35 @@ WHEN NOT MATCHED THEN INSERT *
       out
     }),
 
+    "q_sql_delete_subquery" -> ((s, dir) => {
+      // subquery DML: DELETE … WHERE k IN (SELECT …) and a correlated
+      // UPDATE … WHERE EXISTS — the conditions ride Catalyst's own
+      // parsed subquery trees into the lake ops (no SQL-text rewrite)
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val cat = new LakeCatalog(s, tmp("graft-sqldelsub"))
+      cat.createNamespace("ns")
+      val target = orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("ns", "ord", target.schema)
+      cat.loadTable("ns", "ord").append(target)
+      customer.where(col("c_nationkey") < 5).select("c_custkey")
+        .createOrReplaceTempView("__low_nat")
+      customer.where(col("c_nationkey") >= 20).select("c_custkey")
+        .createOrReplaceTempView("__high_nat")
+      cat.sql("ns",
+        "DELETE FROM ord WHERE o_custkey IN (SELECT c_custkey FROM __low_nat)")
+      cat.sql("ns",
+        """UPDATE ord SET o_totalprice = cast(0 as double)
+          |WHERE EXISTS (SELECT 1 FROM __high_nat h
+          |              WHERE h.c_custkey = ord.o_custkey)""".stripMargin)
+      val out = cat.sql("ns",
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ord")
+      s.catalog.dropTempView("__low_nat")
+      s.catalog.dropTempView("__high_nat")
+      out
+    }),
+
     "q_sql_alter_widen" -> ((s, dir) => {
       // type-widening schema evolution: create narrow (INT, FLOAT),
       // fill, ALTER COLUMN TYPE to (BIGINT, DOUBLE) — metadata-only,
@@ -1642,6 +1671,20 @@ WHEN NOT MATCHED THEN INSERT *
         |  ON tgt.o_orderkey = src.o_orderkey
         |WHERE tgt.o_orderkey IS NOT NULL
         |   OR src.o_totalprice > 100000""".stripMargin,
+
+    // survivors of the IN-subquery delete (custkey not in nations<5),
+    // with totalprice zeroed where the correlated EXISTS (nations>=20)
+    // matched
+    "q_sql_delete_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CASE WHEN EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey
+        |                      AND c.c_nationkey >= 20)
+        |       THEN CAST(0 AS DOUBLE) ELSE o.o_totalprice
+        |  END AS o_totalprice
+        |FROM orders o
+        |WHERE o.o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_nationkey < 5)""".stripMargin,
 
     // narrow era: even keys as (INT, FLOAT) — reads back as the exact
     // double widening of the stored float (REAL round-trip). wide era:

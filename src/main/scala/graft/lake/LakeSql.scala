@@ -164,7 +164,7 @@ object LakeSql {
       m.notMatchedBySourceActions match {
         case Seq() => Some(None)
         case Seq(DeleteAction(c)) =>
-          Some(Some(c.map(columnOf).getOrElse(lit(true))))
+          Some(Some(c.map(columnOf(_)).getOrElse(lit(true))))
         case _ => None
       }
     val keys = equiKeys(m.mergeCondition).getOrElse(
@@ -187,7 +187,7 @@ object LakeSql {
       case (Seq(DeleteAction(cond), UpdateStarAction(None)),
           Seq(InsertStarAction(None)), Some(du)) =>
         lt.merge(src, norm,
-          deleteWhen = Some(cond.map(columnOf).getOrElse(lit(true))),
+          deleteWhen = Some(cond.map(columnOf(_)).getOrElse(lit(true))),
           dropUnmatchedWhen = du)
       // pure keyed delete: every matched key drops, nothing inserts
       case (Seq(DeleteAction(None)), Seq(), Some(None)) =>
@@ -272,9 +272,9 @@ object LakeSql {
     }
     // NMBS clauses run on the target plan pre-join: bare names only
     val nmbs = m.notMatchedBySourceActions.map {
-      case DeleteAction(c) => MergeWhen(c.map(columnOf), None)
+      case DeleteAction(c) => MergeWhen(c.map(columnOf(_)), None)
       case UpdateAction(c, as, _) =>
-        MergeWhen(c.map(columnOf),
+        MergeWhen(c.map(columnOf(_)),
           Some(as.map(a => assignTarget(a.key) -> columnOf(a.value)).toMap))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
@@ -456,7 +456,7 @@ object LakeSql {
   private def delete(cat: LakeCatalog, ns: String,
       d: DeleteFromTable): DataFrame = {
     val lt = cat.loadTable(ns, tableNameOf(d.table))
-    lt.delete(columnOf(d.condition))
+    lt.delete(columnOf(d.condition, aliasNamesOf(d.table)))
     cat.spark.emptyDataFrame
   }
 
@@ -474,7 +474,8 @@ object LakeSql {
       fields.find(_.equalsIgnoreCase(name)).getOrElse(name) ->
         columnOf(a.value)
     }.toMap
-    lt.update(u.condition.map(columnOf).getOrElse(lit(true)), assigns)
+    lt.update(u.condition.map(columnOf(_, aliasNamesOf(u.table)))
+      .getOrElse(lit(true)), assigns)
     cat.spark.emptyDataFrame
   }
 
@@ -628,13 +629,36 @@ object LakeSql {
 
   /** Parsed predicate/value expression → Column, with table/alias
     * qualifiers stripped (the lake ops run single-table plans where
-    * qualified names would not resolve). */
-  private def columnOf(e: Expression): Column = {
+    * qualified names would not resolve).
+    *
+    * Subquery conditions (`IN (SELECT …)`, `[NOT] EXISTS …`) can't
+    * ride the usual `expr(bare.sql)` round-trip — ListQuery prints as
+    * an unresolvable function call — so those trees are wrapped in a
+    * Column DIRECTLY ([[GraftSqlBridge.column]]) and analysis resolves
+    * the inner relations against the same registered views. Inside a
+    * subplan only TARGET-qualified attributes (`targetQuals`, e.g.
+    * `t.id` in a correlated `EXISTS (… WHERE p.pid = t.id)`) are
+    * stripped: the target alias names a plan that doesn't exist in the
+    * rewritten single-table scan, while inner aliases like `p.pid`
+    * must stay for the subquery's own resolution. */
+  private def columnOf(e: Expression,
+      targetQuals: Set[String] = Set.empty): Column = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     val bare = e.transform {
       case a: UnresolvedAttribute if a.nameParts.size > 1 =>
         UnresolvedAttribute(Seq(a.nameParts.last))
     }
-    expr(bare.sql)
+    if (!bare.exists(_.isInstanceOf[SubqueryExpression]))
+      return expr(bare.sql)
+    val stripped = bare.transform {
+      case sq: SubqueryExpression if targetQuals.nonEmpty =>
+        sq.withNewPlan(sq.plan.transformAllExpressions {
+          case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+              targetQuals(a.nameParts.init.mkString(".").toLowerCase) =>
+            UnresolvedAttribute(Seq(a.nameParts.last))
+        })
+    }
+    GraftSqlBridge.column(stripped)
   }
 
   /** Evaluate a TIMESTAMP AS OF expression to epoch millis under the

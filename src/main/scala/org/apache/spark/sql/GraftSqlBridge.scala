@@ -15,4 +15,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a parsed catalyst expression in a Column WITHOUT a SQL-text
+    * round-trip — subquery expressions (`IN (SELECT …)`, `EXISTS …`)
+    * have no parseable `.sql` form (ListQuery prints as a function
+    * call no catalog resolves), so the DML front-end hands the tree
+    * straight to analysis. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

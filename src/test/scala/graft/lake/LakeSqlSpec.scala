@@ -75,6 +75,30 @@ WHEN NOT MATCHED THEN INSERT *
       (7L, "v7"), (9L, "v9")))
   }
 
+  test("DELETE and UPDATE with IN/EXISTS subquery predicates") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df)
+    val probe = Seq(2L, 4L, 11L).toDF("pid")
+    cat.createTable("ns", "probe", probe.schema)
+    cat.loadTable("ns", "probe").append(probe)
+    // IN (SELECT …) against another CATALOG table
+    cat.sql("ns", "DELETE FROM t WHERE id IN (SELECT pid FROM probe)")
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM t").head.getLong(0) == 8)
+    // NOT EXISTS with a correlated subquery — t.id is a TARGET
+    // qualifier (stripped for the single-table rewrite), p.pid an
+    // inner alias (kept for the subquery's own resolution)
+    cat.sql("ns",
+      """UPDATE t SET v = 'orphan'
+        |WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.pid = t.id)
+        |  AND t.id > 8""".stripMargin)
+    val got = cat.sql("ns", "SELECT id, v FROM t WHERE id > 8 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((9L, "orphan"), (10L, "orphan")))
+  }
+
   test("MERGE with an explicit SET assignment routes to the general path") {
     val cat = freshCat
     cat.createNamespace("ns")
