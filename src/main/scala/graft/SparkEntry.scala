@@ -947,6 +947,9 @@ WHEN NOT MATCHED THEN INSERT *
       StreamingIngest.windowedCounts(s, dir,
         windowDuration = "1 hour", watermarkDelay = "1 hour")),
 
+    "q_stream_dedup" -> ((s, dir) =>
+      StreamingIngest.streamingDedup(s, dir)),
+
     "q_stream_interval_join" -> ((s, dir) =>
       StreamingIngest.intervalJoin(s, dir, windowSeconds = 900)),
 
@@ -1118,6 +1121,26 @@ WHEN NOT MATCHED THEN INSERT *
       ShardPacking.assign(weighted, "n_tokens", "doc_id",
         budget = 5000L, numRangePartitions = 8)
         .select("doc_id", "n_tokens", "shard")
+    }),
+
+    "q_lake_vectors" -> ((s, dir) => {
+      // embeddings as FIRST-CLASS LAKE DATA: array<float> columns ride
+      // the full table lifecycle byte-exact — append, COW MERGE
+      // rewrite (labels bumped, vectors untouched), predicate DELETE —
+      // and exact ANN then runs straight off the manifest-planned lake
+      // scan (the 100 TB shape: vectors live in the governed table,
+      // not in side files)
+      val e = t(s, dir, "embeddings")
+      val tbl = graft.lake.LakeTable.create(s,
+        tmp("graft-lakevec") + "/t", e.schema)
+      tbl.append(e.where(col("vec_id") % 3 =!= 0))
+      tbl.merge(e.where(col("vec_id") % 3 === 0 || col("vec_id") % 5 === 0)
+        .withColumn("label", col("label") + 100), Seq("vec_id"))
+      tbl.delete(col("vec_id") % 7 === 0)
+      val corpus = tbl.scan()
+      val queries = corpus.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.bruteForceTopK(corpus, queries, k = 5)
     }),
 
     // ---- similarity / ANN over embeddings
@@ -1815,6 +1838,13 @@ WHEN NOT MATCHED THEN INSERT *
         |WHERE ts_us - ts_us % 3600000000 + 3600000000 <= mx - 3600000000
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // the doubled delivery collapses back to the distinct key set —
+    // which physical copy survives is arrival-dependent, so only the
+    // key columns are compared
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
     // AvailableNow emits every in-batch match, so the stream-stream
     // interval join equals the plain batch interval join
     "q_stream_interval_join" ->
@@ -1998,6 +2028,25 @@ WHEN NOT MATCHED THEN INSERT *
 
     // exact top-k: DOUBLE[] casts make DuckDB's cosine run the same
     // float→double widened arithmetic as graft_cosine
+    // lake lifecycle algebra: append(%3<>0) + merge-upsert(%3=0 or
+    // %5=0, embeddings unchanged) + delete(%7=0) ≡ all ids with
+    // vec_id % 7 <> 0 — the ANN must see exactly that corpus
+    "q_lake_vectors" ->
+      """WITH final AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |        q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+        |  FROM final c CROSS JOIN final q
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rnk <= 5""".stripMargin,
+
     "q_ann_bruteforce" ->
       """SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
         |       round(score, 6) AS score

@@ -113,6 +113,42 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** Streaming exactly-once dedup (`dropDuplicatesWithinWatermark`):
+    * the "same delivery arrives twice" ingest guard — an at-least-once
+    * upstream (replayed file drop, redelivered queue segment) is
+    * simulated by UNIONING two streaming reads of the same source; the
+    * dedup state keeps one row per (user_id, event_type, ts) key and
+    * drops the duplicate delivery. The watermark bounds state in a
+    * continuous deployment: a key's row is held only until event time
+    * passes watermarkDelay beyond it, so state is O(keys per watermark
+    * window), never O(stream). Only the KEY columns are returned —
+    * which physical duplicate survives is arrival-order-dependent, the
+    * surviving key set is exact. */
+  def streamingDedup(spark: SparkSession, dir: String,
+      watermarkDelay: String = "1 hour",
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    def delivery() = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val deduped = delivery().union(delivery())
+      .withWatermark("event_time", watermarkDelay)
+      // key on the µs event time (not raw ns): the dedup key should be
+      // the same clock the watermark advances on
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "event_time")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("event_time")).as("ts_us"))
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-stream INTERVAL join (the attribution shape): each click
     * joins every purchase by the same user within
     * `[click, click + windowSeconds]`. Both sides carry event-time
