@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup OUTSIDE the measurements: without it the
+    // alphabetically-first query absorbs classloading + JIT + first
+    // codegen compile (~3-5 s of one-time cost booked against an
+    // unlucky name)
+    spark.range(1000000).selectExpr("sum(id) AS s", "count(*) AS n")
+      .write.format("noop").mode("overwrite").save()
     // pinned (sorted) query order: run-to-run and round-to-round diffs
     // line up by name, never by map-iteration accident
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

@@ -555,6 +555,24 @@ WHEN NOT MATCHED THEN INSERT *
       lt.scan().select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    "q_binpack" -> ((s, dir) => {
+      // size-aware binpack maintenance: 4 small supplier slices
+      // coalesce through CALL rewrite_small_files losslessly (the
+      // selective survives-untouched half of the contract is
+      // BinPackSpec's; write amplification = small-file fraction)
+      val supplier = t(s, dir, "supplier")
+      val cat = new LakeCatalog(s, tmp("graft-binpack"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "sup", supplier.schema)
+      val lt = cat.loadTable("ns", "sup")
+      (0 until 4).foreach(i =>
+        lt.append(supplier.where(col("s_suppkey") % 4 === i).coalesce(1)))
+      cat.sql("ns", "CALL system.rewrite_small_files('sup', 1073741824)")
+      cat.sql("ns",
+        """SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+          |FROM sup""".stripMargin)
+    }),
+
     "q_bloom_merge" -> ((s, dir) => {
       // keyed MERGE on a bloom-filtered table: the ingest's files all
       // span the whole custkey range (hash-split halves), so min/max
@@ -1467,6 +1485,11 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // lossless coalesce: binpack only moves rows between files
+    "q_binpack" ->
+      """SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier""".stripMargin,
 
     "q_bloom_merge" ->
       """SELECT c_custkey,

@@ -2028,6 +2028,93 @@ final class LakeTable private (
     * (one tiny agg over data the rewrite reads anyway); columns must be
     * numeric/date/timestamp/boolean (stat-domain orderable). Content is
     * identical; only layout changes. */
+  /** Size-aware binpack compaction (≡ Iceberg `rewrite_data_files`
+    * binpack): coalesce SMALL files toward `targetFileBytes` outputs
+    * and leave right-sized files untouched — at 100 TB the difference
+    * between a maintenance pass that rewrites the whole table and one
+    * whose write amplification is bounded by the small-file fraction.
+    *
+    * Candidate selection is pure MANIFEST arithmetic (fileInfo bytes —
+    * zero fs calls): live files under `targetFileBytes`, grouped by
+    * partition directory + spec era (files of different hive layouts
+    * can't share an output), greedy-packed into bins of roughly
+    * `targetFileBytes`; only bins holding >= 2 files rewrite (each to
+    * ONE output via a source-file-keyed repartition). Groups with
+    * fewer than `minInputFiles` candidates are left alone. Files with
+    * no recorded size (legacy manifests) are skipped, conservatively.
+    *
+    * Outstanding deletes stay correct WITHOUT a full fold: rewritten
+    * rows are read through the delete set, and the new files' commit
+    * sequence outranks every existing delete so nothing re-suppresses
+    * them; untouched files keep their sequence and their deletes;
+    * stale position-delete rows naming removed files match nothing. */
+  def binPack(targetFileBytes: Long, minInputFiles: Int = 2): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(minInputFiles >= 2,
+      "minInputFiles < 2 would rewrite lone files for nothing")
+    val base = current
+    val smalls = base.liveFiles
+      .flatMap(f => base.fileInfo.get(f).map(f -> _.bytes))
+      .filter(_._2 < targetFileBytes)
+    val groups = smalls.groupBy { case (f, _) =>
+      (f.take(f.lastIndexOf('/') + 1), base.fileSpec.getOrElse(f, 0L))
+    }
+    val bins = Seq.newBuilder[Seq[String]]
+    groups.toSeq.sortBy(_._1._1).foreach { case (_, files) =>
+      if (files.size >= minInputFiles) {
+        var cur = List.empty[String]
+        var bytes = 0L
+        def flush(): Unit = {
+          if (cur.sizeIs >= 2) bins += cur.reverse
+          cur = Nil; bytes = 0L
+        }
+        files.sortBy(_._1).foreach { case (f, b) =>
+          if (cur.nonEmpty && bytes + b > targetFileBytes) flush()
+          cur ::= f; bytes += b
+        }
+        flush()
+      }
+    }
+    val packed = bins.result()
+    if (packed.isEmpty) return base.snapshotId
+    val rewritten = packed.flatten
+    // bin id per source file. Matching key is the bare fs PATH — the
+    // scan's input_file_name() spells the scheme as `file:///root/…`
+    // while Hadoop Path.toString spells `file:/root/…`, so both sides
+    // normalize to the scheme-less path before the join.
+    val spark0 = spark
+    import spark0.implicits._
+    val pathBins = packed.zipWithIndex.flatMap { case (fls, i) =>
+      fls.map(f =>
+        fs.makeQualified(new Path(rootPath, f)).toUri.getPath -> i)
+    }.toDF("__graft_path", "__graft_bin")
+    // bins are a packing heuristic: a hash collision can co-locate two
+    // bins in one task, which only makes an output file larger (and
+    // dynamic partitioning still splits cross-dir rows) — the size
+    // target is advisory, correctness never depends on it
+    val data = readFilesWithName(rewritten)
+      .withColumn("__graft_path",
+        regexp_replace(col(FILE_COL), "^[A-Za-z0-9+.-]+:/+", "/"))
+      .join(broadcast(pathBins), Seq("__graft_path"))
+      .repartition(packed.size, col("__graft_bin"))
+      .drop(FILE_COL, "__graft_path", "__graft_bin")
+    val WriteResult(added, stats, info) = writeDataFiles(data)
+    // row-conservation guard (manifest arithmetic, no extra job): with
+    // no deletes outstanding the rewrite must carry EXACTLY the input
+    // rows — a path-normalization miss in the bin join would otherwise
+    // silently drop whole files
+    if (base.deleteFiles.isEmpty && base.posDeleteFiles.isEmpty) {
+      val expectRows = rewritten.flatMap(base.fileInfo.get).map(_.rows).sum
+      val gotRows = info.values.map(_.rows).sum
+      require(gotRows == expectRows,
+        s"binPack aborted before commit: rewrite carries $gotRows rows " +
+          s"of $expectRows read — refusing to lose data")
+    }
+    val keep = base.liveFiles.filterNot(rewritten.toSet)
+    commit(base, "compact", added = added, removed = rewritten,
+      live = keep ++ added, addedStats = stats, addedInfo = info)
+  }
+
   def compact(targetFilesPerPartition: Int,
       clusterBy: Seq[String]): Long = {
     require(targetFilesPerPartition >= 1, "target must be >= 1")
