@@ -82,6 +82,25 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def dropTable(ns: String, table: String): Unit =
     if (tableExists(ns, table)) loadTable(ns, table).drop()
 
+  /** ≡ `ALTER TABLE t RENAME TO t2`: table identity IS its directory,
+    * so a rename is one fs rename of the table root (atomic on
+    * HDFS/local) — data, metadata, history, and refs travel unchanged.
+    * The old name's temp views are torn down here; the new name's
+    * register on the caller's next statement. */
+  def renameTable(ns: String, oldName: String, newName: String): Unit = {
+    require(tableExists(ns, oldName), s"no table $ns.$oldName")
+    require(newName.nonEmpty && !newName.contains("/"),
+      s"bad table name: $newName")
+    require(!fs.exists(new Path(tablePath(ns, newName))),
+      s"table $ns.$newName already exists")
+    require(fs.rename(new Path(tablePath(ns, oldName)),
+      new Path(tablePath(ns, newName))),
+      s"filesystem rename $oldName -> $newName failed")
+    Seq("", "_history", "_files", "_snapshots", "_partitions", "_refs",
+      "_manifests").foreach(sfx =>
+      spark.catalog.dropTempView(oldName + sfx))
+  }
+
   /** Register every table of `ns` as a temp view so the interactive SQL
     * surface works exactly like the reference's notebook (entry point C,
     * SURVEY.md §3.3: `spark.sql("SELECT count(*) FROM bronze_orders")`,

@@ -37,8 +37,8 @@ object LakeSql {
       case dml @ (_: MergeIntoTable | _: DeleteFromTable | _: UpdateTable |
           _: InsertIntoStatement | _: CreateTable | _: CreateTableAsSelect |
           _: DropTable | _: AddColumns | _: RenameColumn | _: DropColumns |
-          _: AlterColumns | _: SetTableProperties | _: UnsetTableProperties |
-          _: TruncateTable) =>
+          _: AlterColumns | _: RenameTable | _: SetTableProperties |
+          _: UnsetTableProperties | _: TruncateTable) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
@@ -58,6 +58,11 @@ object LakeSql {
           case r: RenameColumn => alterRenameColumn(cat, ns, r)
           case d: DropColumns => alterDropColumns(cat, ns, d)
           case a: AlterColumns => alterColumns(cat, ns, a)
+          case r: RenameTable =>
+            if (r.isView) throw new UnsupportedOperationException(
+              "RENAME VIEW is not a lake operation")
+            cat.renameTable(ns, tableNameOf(r.child), r.newName.last)
+            cat.spark.emptyDataFrame
           case s: SetTableProperties =>
             cat.loadTable(ns, tableNameOf(s.table))
               .setProperties(s.properties)
@@ -553,6 +558,8 @@ object LakeSql {
       case "rewrite_small_files" => // (tbl, target_bytes[, min_input])
         val minIn = if (c.args.size > 2) lng(2).toInt else 2
         Seq(lt.binPack(lng(1), minIn)).toDF("snapshot_id")
+      case "convert_equality_deletes" => // (tbl)
+        Seq(lt.convertEqualityDeletes()).toDF("snapshot_id")
       case "remove_orphan_files" =>
         val removed = if (c.args.size > 1) lt.removeOrphanFiles(lng(1))
           else lt.removeOrphanFiles()
@@ -574,8 +581,9 @@ object LakeSql {
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — supported: expire_snapshots[_older_" +
           "than], rewrite_data_files, rewrite_small_files, " +
-          "remove_orphan_files, rollback_to_snapshot, create_tag, " +
-          "create_branch, drop_ref, publish_staged, discard_staged")
+          "convert_equality_deletes, remove_orphan_files, " +
+          "rollback_to_snapshot, create_tag, create_branch, drop_ref, " +
+          "publish_staged, discard_staged")
     }
     cat.registerViews(ns)
     out

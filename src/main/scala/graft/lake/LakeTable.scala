@@ -747,13 +747,23 @@ final class LakeTable private (
     val posApplied =
       if (ctx.posDeleteFiles.isEmpty) eqApplied
       else {
+        // Captured file URIs are ABSOLUTE (that's what _metadata
+        // .file_path yields), but the table can MOVE after capture
+        // (ALTER TABLE … RENAME TO, a warehouse relocation) — so the
+        // anti-join matches on the table-RELATIVE tail instead. The
+        // `data/` boundary is unambiguous: hive partition dirs always
+        // carry '=', so no other path segment is the bare word `data`,
+        // and the greedy prefix pins the LAST such segment even when
+        // the warehouse path itself contains /data/.
+        def relTail(c: org.apache.spark.sql.Column) =
+          regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
         val pd = ctx.posDeleteFiles
           .map(p => spark.read.parquet(new Path(rootPath, p.path).toString))
           .reduce(_ unionByName _)
-          .select(col(POS_FILE_FIELD).as(s"__graft_pd_file"),
+          .select(relTail(col(POS_FILE_FIELD)).as(s"__graft_pd_file"),
             col(POS_POS_FIELD).as(s"__graft_pd_pos"))
         eqApplied.join(pd,
-          col(PFILE_COL) === col("__graft_pd_file") &&
+          relTail(col(PFILE_COL)) === col("__graft_pd_file") &&
             col(PIDX_COL) === col("__graft_pd_pos"),
           "left_anti")
       }
@@ -1521,6 +1531,52 @@ final class LakeTable private (
       val seq = b.snapshotId + 1
       commit(b, "delete", added = Nil, removed = covered,
         live = b.liveFiles.diff(covered),
+        posDeletesOverride = Some(b.posDeleteFiles ++
+          delPaths.map(p => PosDeleteFile(p, seq))))
+    }
+  }
+
+  /** Convert every outstanding EQUALITY delete into position deletes
+    * (≡ the equality→position rewrite inside Iceberg's delete
+    * maintenance): a merge-on-read table that accumulated N delete
+    * eras pays ONE broadcast position anti-join on reads afterwards
+    * instead of one equality anti-join per era — the MOR
+    * read-amplification dial. Suppressed positions are computed by the
+    * SAME read path that serves queries (positions-after-pos-deletes
+    * anti-joined with positions-after-all-deletes), so sequence
+    * semantics — a merge's after-image outranking its own delete —
+    * are inherited, never re-implemented. Only files an equality
+    * delete can still touch (era < delete count) are scanned. */
+  def convertEqualityDeletes(): Long = {
+    val base = current
+    val dels = base.deleteFiles
+    if (dels.isEmpty) return base.snapshotId
+    def era(f: String): Int = {
+      val s = base.fileSeq.getOrElse(f, 0L)
+      dels.count(_.seq <= s)
+    }
+    val candidates = base.liveFiles.filter(f => era(f) < dels.size)
+    val delPaths =
+      if (candidates.isEmpty) Nil
+      else {
+        val noEq = base.copy(deleteFiles = Nil)
+        val afterPos = readFilesAs(noEq, candidates, withPos = true)
+          .select(col(PFILE_COL), col(PIDX_COL))
+        val surviving = readFilesAs(base, candidates, withPos = true)
+          .select(col(PFILE_COL), col(PIDX_COL))
+        val suppressed = afterPos.except(surviving)
+          .select(col(PFILE_COL).as(POS_FILE_FIELD),
+            col(PIDX_COL).as(POS_POS_FIELD))
+        if (suppressed.isEmpty) Nil else writeDeleteFiles(suppressed)
+      }
+    commitWithRetry(base)(posRetrySafe) { b =>
+      val seq = b.snapshotId + 1
+      // clear only the deletes we CONVERTED — a racing merge may have
+      // added new equality deletes after our base, and wiping those
+      // would un-delete its rows
+      val newer = b.deleteFiles.filterNot(dels.toSet)
+      commit(b, "rewrite-deletes", added = Nil, removed = Nil,
+        live = b.liveFiles, deletesOverride = Some(newer),
         posDeletesOverride = Some(b.posDeleteFiles ++
           delPaths.map(p => PosDeleteFile(p, seq))))
     }

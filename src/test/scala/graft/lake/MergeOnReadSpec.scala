@@ -333,4 +333,52 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.update($"id" > 1000L, Map("v" -> lit("x"))) == head)
     assert(t.scan().count() == 100)
   }
+
+  test("convert_equality_deletes: eras collapse to positions, reads equal") {
+    val root = TestSpark.tmpDir("mor-convert") + "/t"
+    val t = morTable(root)
+    // two delete eras with an after-image that must stay visible
+    t.merge(Seq((1L, "ONE"), (101L, "NEW")).toDF("id", "v"), Seq("id"))
+    t.merge(Seq((2L, "TWO"), (1L, "ONE-AGAIN")).toDF("id", "v"), Seq("id"))
+    // plus an outstanding position delete that must be preserved
+    t.delete($"id" === 50L)
+    val before = t.scan().as[(Long, String)].collect().toSet
+    assert(t.currentSnapshot.get.deleteFiles.size >= 2)
+
+    t.convertEqualityDeletes()
+    val snap = t.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty, "equality deletes fully converted")
+    assert(snap.posDeleteFiles.nonEmpty)
+    assert(t.scan().as[(Long, String)].collect().toSet == before,
+      "reads identical across the conversion")
+    assert(before.contains((1L, "ONE-AGAIN")) && !before.contains((1L, "ONE")),
+      "after-image seq semantics carried through")
+    // idempotent when nothing remains to convert
+    val head = t.currentSnapshotId.get
+    assert(t.convertEqualityDeletes() == head)
+    // post-conversion writes behave normally: a re-insert of a deleted
+    // key is visible (stale positions name old rows, not new files)
+    t.append(Seq((50L, "FIFTY-BACK")).toDF("id", "v"))
+    assert(t.scan().where($"id" === 50L).as[(Long, String)]
+      .collect().toSeq == Seq((50L, "FIFTY-BACK")))
+  }
+
+  test("CALL convert_equality_deletes + ALTER TABLE RENAME TO via SQL") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("mor-convert-sql"))
+    cat.createNamespace("ns")
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema, properties = morProps)
+    val lt = cat.loadTable("ns", "t")
+    lt.append(df)
+    lt.merge(Seq((1L, "ONE")).toDF("id", "v"), Seq("id"))
+    assert(lt.currentSnapshot.get.deleteFiles.nonEmpty)
+    cat.sql("ns", "CALL system.convert_equality_deletes('t')")
+    assert(cat.loadTable("ns", "t").currentSnapshot.get.deleteFiles.isEmpty)
+    cat.sql("ns", "ALTER TABLE t RENAME TO t2")
+    assert(!cat.tableExists("ns", "t") && cat.tableExists("ns", "t2"))
+    // history, data, and outstanding position deletes all travelled
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM t2").head.getLong(0) == 10)
+    assert(cat.sql("ns", "SELECT v FROM t2 WHERE id = 1").head.getString(0)
+      == "ONE")
+  }
 }
