@@ -555,6 +555,30 @@ WHEN NOT MATCHED THEN INSERT *
       lt.scan().select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    "q_convert_deletes" -> ((s, dir) => {
+      // MOR maintenance: two merge eras stack equality-delete files,
+      // CALL convert_equality_deletes collapses them to position
+      // deletes — afterwards reads pay ONE broadcast anti-join and the
+      // relation is still the plain upsert algebra
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val cat = new LakeCatalog(s, tmp("graft-convdel"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "cust", cust.schema,
+        properties = Map("write.merge.mode" -> "merge-on-read"))
+      val lt = cat.loadTable("ns", "cust")
+      lt.append(cust)
+      lt.merge(cust.where(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2), Seq("c_custkey"))
+      lt.merge(cust.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000), Seq("c_custkey"))
+      cat.sql("ns", "CALL system.convert_equality_deletes('cust')")
+      cat.sql("ns",
+        """SELECT c_custkey, c_nationkey,
+          | round(c_acctbal, 2) AS c_acctbal
+          |FROM cust""".stripMargin)
+    }),
+
     "q_binpack" -> ((s, dir) => {
       // size-aware binpack maintenance: 4 small supplier slices
       // coalesce through CALL rewrite_small_files losslessly (the
@@ -1485,6 +1509,16 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // two merge eras then conversion: %7 wins over %5 on overlap keys
+    // (the second merge sourced ORIGINAL balances, so %35 keys end at
+    // original + 1000, not doubled + 1000)
+    "q_convert_deletes" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000
+        |             WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |             ELSE c_acctbal END, 2) AS c_acctbal
+        |FROM customer""".stripMargin,
 
     // lossless coalesce: binpack only moves rows between files
     "q_binpack" ->

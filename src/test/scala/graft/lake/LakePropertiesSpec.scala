@@ -188,6 +188,56 @@ class LakePropertiesSpec extends AnyFunSuite {
     }, 15)
   }
 
+  test("property: binPack preserves content for any batches and target") {
+    // the partial-rewrite path must be lossless for EVERY packing
+    // shape: random small batches, a random byte target (sometimes
+    // tiny → nothing packs, sometimes huge → everything packs), rows
+    // with duplicate values (conservation can't lean on distinctness)
+    val rowG = Gen.zip(Gen.chooseNum(-20L, 20L), Gen.oneOf("a", "b"))
+    val batchG = Gen.nonEmptyListOf(rowG).map(_.take(20))
+    val batchesG = Gen.nonEmptyListOf(batchG).map(_.take(5))
+    val targetG = Gen.oneOf(1L, 512L, 4096L, 1L << 20)
+    check(Prop.forAllNoShrink(batchesG, targetG) { (batches, target) =>
+      val root = TestSpark.tmpDir("prop-binpack") + "/t"
+      val first = batches.head.toDF("k", "s")
+      val t = LakeTable.create(spark, root, first.schema)
+      batches.foreach(b => t.append(b.toDF("k", "s").coalesce(1)))
+      val before = t.scan().collect().map(_.toSeq.toString).sorted.toList
+      val filesBefore = t.currentSnapshot.get.liveFiles.size
+      t.binPack(target)
+      val after = t.scan().collect().map(_.toSeq.toString).sorted.toList
+      val filesAfter = t.currentSnapshot.get.liveFiles.size
+      t.drop()
+      before == after && filesAfter <= filesBefore
+    }, 10)
+  }
+
+  test("property: convertEqualityDeletes is read-invariant for any merge mix") {
+    // random merge sequences build arbitrary delete-era stacks
+    // (updates, inserts, re-updates of the same key); conversion must
+    // never change what a scan returns
+    val keyG = Gen.chooseNum(1L, 15L)
+    val mergeG = Gen.nonEmptyListOf(Gen.zip(keyG, Gen.identifier.map(_.take(4))))
+      .map(_.take(6))
+    val mergesG = Gen.nonEmptyListOf(mergeG).map(_.take(3))
+    check(Prop.forAllNoShrink(mergesG) { merges =>
+      val root = TestSpark.tmpDir("prop-convert") + "/t"
+      val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      val t = LakeTable.create(spark, root, df.schema,
+        properties = Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+      t.append(df.coalesce(1))
+      merges.foreach { m =>
+        t.merge(m.distinctBy(_._1).toDF("id", "v"), Seq("id"))
+      }
+      val before = t.scan().collect().map(_.toSeq.toString).sorted.toList
+      t.convertEqualityDeletes()
+      val noEq = t.currentSnapshot.get.deleteFiles.isEmpty
+      val after = t.scan().collect().map(_.toSeq.toString).sorted.toList
+      t.drop()
+      noEq && before == after
+    }, 8)
+  }
+
   test("property: pruned scans never lose rows across a type widen") {
     // widenColumnType leaves narrow-era files in place and retypes the
     // scan schema: random int/float batches, a widen (int->long,

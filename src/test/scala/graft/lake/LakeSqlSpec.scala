@@ -99,6 +99,20 @@ WHEN NOT MATCHED THEN INSERT *
     assert(got == Seq((9L, "orphan"), (10L, "orphan")))
   }
 
+  test("UPDATE SET with a scalar subquery value") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df)
+    Seq(5.0).toDF("bonus").createOrReplaceTempView("__bonus")
+    cat.sql("ns",
+      "UPDATE t SET bal = bal + (SELECT max(bonus) FROM __bonus) WHERE id = 1")
+    assert(cat.sql("ns", "SELECT id, bal FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 15.0), (2L, 20.0)))
+  }
+
   test("MERGE with an explicit SET assignment routes to the general path") {
     val cat = freshCat
     cat.createNamespace("ns")
