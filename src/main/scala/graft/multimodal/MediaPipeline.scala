@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -18,11 +19,13 @@ import org.apache.spark.sql.types._
   * Pixel access goes through the `Raster` (raw samples), NOT `getRGB`,
   * so grayscale images are read without color-management remapping and
   * the features are exact, reproducible functions of the stored
-  * samples. Bytes that do not decode as a supported image (audio,
-  * video, arbitrary blobs) fall back to a clearly-marked deterministic
-  * byte-level STUB — this container ships no audio/video codecs — and
-  * [[sampleFrames]] likewise chunks bytes rather than seeking real
-  * keyframes. The plumbing around both paths — the schema contract
+  * samples. Audio decode is REAL too — JDK `javax.sound.sampled`
+  * parses WAV/AIFF/AU PCM, and [[audioFeatures]] computes banded mean
+  * amplitudes from the decoded frames. Only bytes that are neither a
+  * supported image nor supported audio (video, arbitrary blobs) fall
+  * back to a clearly-marked deterministic byte-level STUB — this
+  * container ships no video codecs — and [[sampleFrames]] likewise
+  * chunks bytes rather than seeking real keyframes. The plumbing around both paths — the schema contract
   * (`media binary, media_meta struct`), partition-parallel batched
   * execution (`mapPartitions` over fixed-size batches, the JVM shape
   * of `mapInPandas`), and the downstream feature consumers (ANN search
@@ -89,6 +92,117 @@ object MediaPipeline {
       }(encoder)
   }
 
+  /** Synthetic-but-REAL audio fixture: a mono 8-bit unsigned-PCM WAV
+    * per document (8 kHz, `bands`×`perBand` samples) whose band `j`
+    * holds the constant sample `(doc_id + j) mod 256` — a closed-form
+    * amplitude function, so decoded feature values are exactly
+    * predictable (and SQL-expressible by an oracle) while still
+    * exercising the full WAV encode → `javax.sound.sampled` decode
+    * path. */
+  def attachSyntheticWav(docs: DataFrame, bands: Int = 8,
+      perBand: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        val fmt = new AudioFormat(
+          AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val data = new Array[Byte](bands * perBand)
+          var i = 0
+          while (i < data.length) {
+            data(i) = (((id + i / perBand) % 256 + 256) % 256).toByte
+            i += 1
+          }
+          val out = new ByteArrayOutputStream()
+          val ais = new AudioInputStream(
+            new ByteArrayInputStream(data), fmt, data.length.toLong)
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+          val bytes = out.toByteArray
+          Row(id, bytes, Row("audio/wav", null, null, bytes.length.toLong))
+        }
+      }(encoder)
+  }
+
+  /** JDK `javax.sound.sampled` decode: Some(normalized samples) for
+    * WAV/AIFF/AU PCM bytes — per-frame channel average mapped to
+    * [0, 1] over the format's full-scale range — None for anything the
+    * JDK cannot read (triggers the stub fallback). Handles 8-bit
+    * signed/unsigned and 16-bit signed PCM in either endianness; other
+    * encodings are converted to 16-bit signed PCM first. */
+  private[multimodal] def decodeAudio(bytes: Array[Byte])
+      : Option[Array[Double]] =
+    try {
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val enc = raw.getFormat.getEncoding
+      val ais =
+        if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+            enc == AudioFormat.Encoding.PCM_UNSIGNED) raw
+        else {
+          val f = raw.getFormat
+          AudioSystem.getAudioInputStream(new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+            f.getChannels, 2 * f.getChannels, f.getSampleRate, false), raw)
+        }
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) return None
+      val channels = fmt.getChannels
+      val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      val big = fmt.isBigEndian
+      val data = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = data.length / frameBytes
+      val out = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0.0
+        var c = 0
+        while (c < channels) {
+          val off = f * frameBytes + c * bytesPerSample
+          val norm =
+            if (bits == 8) {
+              val b = data(off)
+              if (unsigned) (b & 0xFF) / 255.0 else (b.toInt + 128) / 255.0
+            } else {
+              val (b0, b1) = (data(off) & 0xFF, data(off + 1) & 0xFF)
+              val u = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+              if (unsigned) u / 65535.0
+              else ((u.toShort: Int) + 32768) / 65535.0
+            }
+          sum += norm
+          c += 1
+        }
+        out(f) = sum / channels
+        f += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** REAL audio features: `dim` equal time bands; band value = mean
+    * normalized amplitude over the band's frames (same band mapping as
+    * [[imageFeatures]]). Bands past the clip length stay 0. */
+  private[multimodal] def audioFeatures(samples: Array[Double],
+      dim: Int): Array[Float] = {
+    val n = samples.length
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val band = math.min(dim - 1, i * dim / n)
+      sums(band) += samples(i)
+      counts(band) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(j =>
+      if (counts(j) == 0) 0f else (sums(j) / counts(j)).toFloat)
+  }
+
   /** JDK ImageIO decode: Some(image) for PNG/JPEG/BMP/GIF bytes, None
     * for anything the JDK cannot read (triggers the stub fallback). */
   private[multimodal] def decodeImage(bytes: Array[Byte])
@@ -125,10 +239,11 @@ object MediaPipeline {
       if (counts(j) == 0) 0f else (sums(j) / counts(j) / 255.0).toFloat)
   }
 
-  /** STUB decode for non-image bytes: deterministic `dim`-point
-    * pseudo-features from the raw bytes (per-bucket byte means,
-    * normalized) — audio/video codecs are not in this container, so
-    * their feature path keeps this byte-level stand-in. */
+  /** STUB decode for bytes that are neither image nor audio:
+    * deterministic `dim`-point pseudo-features from the raw bytes
+    * (per-bucket byte means, normalized) — video codecs are not in
+    * this container, so that feature path keeps this byte-level
+    * stand-in. */
   private[multimodal] def decodeStub(bytes: Array[Byte],
       dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
@@ -259,9 +374,14 @@ object MediaPipeline {
               case Some(img) =>
                 Row(id, imageFeatures(img, dim).toSeq, bytes.length.toLong,
                   img.getWidth, img.getHeight)
-              case None =>
-                Row(id, decodeStub(bytes, dim).toSeq, bytes.length.toLong,
-                  null, null)
+              case None => decodeAudio(bytes) match {
+                case Some(samples) =>
+                  Row(id, audioFeatures(samples, dim).toSeq,
+                    bytes.length.toLong, null, null)
+                case None =>
+                  Row(id, decodeStub(bytes, dim).toSeq, bytes.length.toLong,
+                    null, null)
+              }
             }
           }
         }

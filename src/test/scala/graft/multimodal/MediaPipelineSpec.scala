@@ -106,6 +106,53 @@ class MediaPipelineSpec extends AnyFunSuite {
       iu.getRaster.getSample(1, 0, 0) == 0)
   }
 
+  test("real WAV round-trip: encode → javax.sound decode → banded features") {
+    val docs = Seq((10L, "-"), (300L, "-")).toDF("doc_id", "text")
+    val media = MediaPipeline.attachSyntheticWav(docs, bands = 8, perBand = 16)
+    val rows = media.orderBy("doc_id").collect()
+    // the media column holds genuine RIFF/WAVE bytes
+    val wav = rows(0).getAs[Array[Byte]]("media")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(wav.length == 44 + 8 * 16) // canonical PCM header + data
+
+    val feats = MediaPipeline.extractFeatures(media, dim = 8)
+      .orderBy("doc_id").collect()
+    // audio path: no image dimensions
+    assert(feats.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    // band b of doc d = ((d + b) mod 256) / 255 exactly — the decoded
+    // frames must match the encoded closed form bit-for-bit
+    def expected(id: Long): Seq[Float] =
+      (0 until 8).map(b => (((id + b) % 256) / 255.0).toFloat)
+    assert(feats(0).getSeq[Float](1) == expected(10L))
+    assert(feats(1).getSeq[Float](1) == expected(300L)) // wraps past 255
+  }
+
+  test("decodeAudio handles 16-bit signed PCM with channel averaging") {
+    // hand-built stereo 16-bit little-endian WAV: 2 frames,
+    // L/R = (+16384, -16384) then (32767, 32767)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 2, 4, 8000f, false)
+    val data = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(16384).putShort(-16384)
+      .putShort(32767).putShort(32767).array()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val samples = MediaPipeline.decodeAudio(out.toByteArray).get
+    assert(samples.length == 2)
+    // frame 0: mean of (16384+32768)/65535 and (-16384+32768)/65535
+    assert(math.abs(samples(0) - 32768.0 / 65535.0) < 1e-12)
+    // frame 1: both full-scale positive = (32767+32768)/65535 = 1.0
+    assert(math.abs(samples(1) - 1.0) < 1e-9)
+    // non-audio, non-image bytes still say None
+    assert(MediaPipeline.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
   test("non-image bytes keep the stub fallback with null dimensions") {
     val docs = Seq((1L, "plainly not a png")).toDF("doc_id", "text")
     val feats = MediaPipeline.extractFeatures(
