@@ -379,6 +379,27 @@ WHEN NOT MATCHED THEN INSERT *
       lt.scan()
     }),
 
+    "q_default_column" -> ((s, dir) => {
+      // column DEFAULTs across write eras: era-0 files predate the
+      // column and must project the default at scan time (zero
+      // rewrite); era-1 files omit it at write time and materialize
+      // the default; era-2 writes it explicitly — including NULL,
+      // which must NOT be coalesced to the default
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val root = tmp("graft-defcol") + "/nation"
+      val lt = LakeTable.create(s, root, nation.schema)
+      lt.append(nation.where(col("n_nationkey") < 10))
+      lt.addColumn("tier", org.apache.spark.sql.types.StringType,
+        defaultSql = Some("'standard'"))
+      lt.append(nation.where(col("n_nationkey") >= 10 &&
+        col("n_nationkey") < 20))
+      lt.append(nation.where(col("n_nationkey") >= 20)
+        .withColumn("tier",
+          when(col("n_nationkey") % 2 === 0, lit("vip"))))
+      lt.scan()
+    }),
+
     "q_partition_evolution" -> ((s, dir) => {
       // partition evolution: era 0 unpartitioned, era 1 partitioned by
       // o_orderpriority; a merge then updates keys in BOTH layout eras
@@ -675,6 +696,26 @@ WHEN NOT MATCHED THEN INSERT *
       cat.sql("ns",
         """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
           |FROM nation_t GROUP BY n_regionkey""".stripMargin)
+    }),
+
+    "q_analyze_stats" -> ((s, dir) => {
+      // ANALYZE TABLE → stats as table properties: num_rows is
+      // metadata-exact (manifest row counts, zero data I/O); column
+      // ndv/nulls/min/max come from one aggregate pass. The oracle
+      // recomputes every value from the raw table.
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cat = new LakeCatalog(s, tmp("graft-analyze"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema)
+      cat.loadTable("ns", "orders_t").append(orders)
+      cat.sql("ns",
+        "ANALYZE TABLE orders_t COMPUTE STATISTICS FOR COLUMNS " +
+          "o_orderkey, o_orderstatus")
+      cat.sql("ns", "SHOW TBLPROPERTIES orders_t")
+        .where(col("key").startsWith("stats.") &&
+          !col("key").isin("stats.size_bytes", "stats.analyzed_snapshot"))
+        .select(col("key"), col("value"))
     }),
 
     "q_sql_merge" -> ((s, dir) => {
@@ -1252,6 +1293,21 @@ WHEN NOT MATCHED THEN INSERT *
           round(element_at(col("features"), 1).cast("double"), 4)
             .as("f0"),
           round(element_at(col("features"), 8).cast("double"), 4)
+            .as("f7"))),
+    "q_multimodal_audio" -> ((s, dir) =>
+      // REAL audio path: a synthetic mono 8-bit PCM WAV per document
+      // (time band j = constant sample (doc_id + j) mod 256) goes
+      // through genuine WAV encode → javax.sound.sampled decode →
+      // banded amplitude features, so the oracle's closed-form
+      // per-band values certify the decode is exact
+      MediaPipeline.extractFeatures(
+        MediaPipeline.attachSyntheticWav(docs(s, dir)), dim = 8)
+        .select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4)
+            .as("f0"),
+          round(element_at(col("features"), 4).cast("double"), 4)
+            .as("f3"),
+          round(element_at(col("features"), 8).cast("double"), 4)
             .as("f7")))
   )
 
@@ -1557,6 +1613,12 @@ WHEN NOT MATCHED THEN INSERT *
         | CASE WHEN n_nationkey >= 10 THEN 'late' END AS flag
         |FROM nation""".stripMargin,
 
+    "q_default_column" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CASE WHEN n_nationkey < 20 THEN 'standard'
+        |      WHEN n_nationkey % 2 = 0 THEN 'vip' END AS tier
+        |FROM nation""".stripMargin,
+
     "q_cdc_delete" ->
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
@@ -1676,6 +1738,26 @@ WHEN NOT MATCHED THEN INSERT *
     "q_sql_surface" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_analyze_stats" ->
+      """SELECT 'stats.num_rows' AS key,
+        |       CAST(count(*) AS VARCHAR) AS value FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderkey.ndv',
+        |  CAST(count(DISTINCT o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderkey.nulls',
+        |  CAST(count(*) - count(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderkey.min',
+        |  CAST(min(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderkey.max',
+        |  CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderstatus.ndv',
+        |  CAST(count(DISTINCT o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderstatus.nulls',
+        |  CAST(count(*) - count(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderstatus.min',
+        |  CAST(min(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'stats.col.o_orderstatus.max',
+        |  CAST(max(o_orderstatus) AS VARCHAR) FROM orders""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH tgt AS (
@@ -2522,6 +2604,12 @@ WHEN NOT MATCHED THEN INSERT *
     "q_multimodal_features" ->
       """SELECT doc_id, 16 AS width, 8 AS height,
         |  round(((doc_id % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f0,
+        |  round((((doc_id + 7) % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f7
+        |FROM documents""".stripMargin,
+    "q_multimodal_audio" ->
+      """SELECT doc_id, 172::BIGINT AS n_bytes,
+        |  round(((doc_id % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f0,
+        |  round((((doc_id + 3) % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f3,
         |  round((((doc_id + 7) % 256) / 255.0)::FLOAT::DOUBLE, 4) AS f7
         |FROM documents""".stripMargin
   )

@@ -75,6 +75,25 @@ object LakeSql {
         // re-register so the caller's NEXT statement sees the new state
         cat.registerViews(ns)
         out
+      // ANALYZE TABLE … COMPUTE STATISTICS [NOSCAN | FOR COLUMNS …]
+      case a: AnalyzeTable =>
+        require(a.partitionSpec.isEmpty || a.partitionSpec.values
+            .forall(_.isEmpty),
+          "partition-scoped ANALYZE is not supported — stats are " +
+            "table-level (the manifest already carries per-file counts)")
+        cat.loadTable(ns, tableNameOf(a.child)).analyze()
+        cat.registerViews(ns)
+        cat.spark.emptyDataFrame
+      case a: AnalyzeColumn =>
+        val lt = cat.loadTable(ns, tableNameOf(a.child))
+        val cols =
+          if (a.allColumns) lt.schema.fields
+            .filter(f => LakeTable.isScalarType(f.dataType))
+            .map(_.name).toSeq
+          else a.columnNames.getOrElse(Nil)
+        lt.analyzeColumns(cols)
+        cat.registerViews(ns)
+        cat.spark.emptyDataFrame
       // metadata statements (read-only, no view re-registration needed)
       case s: ShowPartitions => showPartitions(cat, ns, s)
       case d: DescribeRelation => describeTable(cat, ns, d)
@@ -113,12 +132,23 @@ object LakeSql {
     import spark.implicits._
     val lt = cat.loadTable(ns, tableNameOf(d.relation))
     val cols = lt.schema.fields.toSeq.map(f =>
-      (f.name, f.dataType.sql.toLowerCase, null: String))
+      (f.name, f.dataType.sql.toLowerCase,
+        LakeTable.defaultSqlOf(f, LakeTable.CurrentDefaultKey)
+          .map(s => s"default: $s").orNull))
     val parts =
       if (lt.partitionColumns.isEmpty) Nil
       else ("# Partition Information", null: String, null: String) +:
         lt.partitionColumns.map(p => (p, null: String, null: String))
-    (cols ++ parts).toDF("col_name", "data_type", "comment")
+    // EXTENDED: ANALYZE-recorded statistics, when present
+    val stats =
+      if (!d.isExtended) Nil
+      else lt.properties.get(LakeTable.PROP_STATS_ROWS).toSeq.flatMap { n =>
+        Seq(("# Statistics", null: String, null: String),
+          ("Statistics", s"${lt.properties.getOrElse(
+            LakeTable.PROP_STATS_BYTES, "?")} bytes, $n rows",
+            null: String))
+      }
+    (cols ++ parts ++ stats).toDF("col_name", "data_type", "comment")
   }
 
   /** `SHOW CREATE TABLE t` → one `createtab_stmt` row reconstructing
@@ -131,7 +161,11 @@ object LakeSql {
     val name = tableNameOf(s.child)
     val lt = cat.loadTable(ns, name)
     val colsDdl = lt.schema.fields
-      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+      .map { f =>
+        val dflt = LakeTable.defaultSqlOf(f, LakeTable.CurrentDefaultKey)
+          .map(d => s" DEFAULT $d").getOrElse("")
+        s"  ${f.name} ${f.dataType.sql}$dflt"
+      }.mkString(",\n")
     val partDdl =
       if (lt.partitionColumns.isEmpty) ""
       else s"\nPARTITIONED BY (${lt.partitionColumns.mkString(", ")})"
@@ -382,7 +416,8 @@ object LakeSql {
     a.columnsToAdd.foreach { c =>
       if (c.path.nonEmpty) throw new UnsupportedOperationException(
         "nested ADD COLUMN is not supported")
-      lt.addColumn(c.colName, c.dataType, nullable = c.nullable)
+      lt.addColumn(c.colName, c.dataType, nullable = c.nullable,
+        defaultSql = c.default.map(_.originalSQL))
     }
     cat.spark.emptyDataFrame
   }

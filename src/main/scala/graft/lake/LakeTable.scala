@@ -710,12 +710,35 @@ final class LakeTable private (
         if (dels.isEmpty) 0 else era(f),
         ctx.fileSpec.getOrElse(f, 0L)))
     val parts = groups.toSeq.map { case ((mapping, e, _), files) =>
-      val physSchema =
-        if (mapping.isEmpty) sch
-        else StructType(sch.fields.map(f =>
-          f.copy(name = mapping.getOrElse(f.name, f.name))))
-      val cols = sch.fields.map(f =>
-        col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
+      // default-column metadata stays OUT of the physical scan schema:
+      // the default is applied by THIS layer's projection below —
+      // leaving EXISTS_DEFAULT on the scan schema would wake Spark's
+      // own per-file default resolution (a re-parse per scan and a
+      // second opinion on semantics we already own)
+      val stripDefaults = (f: StructField) =>
+        if (!f.metadata.contains(LakeTable.ExistsDefaultKey) &&
+            !f.metadata.contains(LakeTable.CurrentDefaultKey)) f
+        else f.copy(metadata = {
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          mb.remove(LakeTable.ExistsDefaultKey)
+          mb.remove(LakeTable.CurrentDefaultKey)
+          mb.build()
+        })
+      val physSchema = StructType(sch.fields.map(f =>
+        stripDefaults(f.copy(name = mapping.getOrElse(f.name, f.name)))))
+      val cols = sch.fields.map { f =>
+        val phys = mapping.getOrElse(f.name, f.name)
+        // a column added AFTER these files were written projects its
+        // declared EXISTS_DEFAULT (constant-folded — zero per-row
+        // cost); without one, the reserved absent name reads NULL.
+        // Files that physically carry the column are untouched — an
+        // explicitly written NULL stays NULL.
+        LakeTable.defaultSqlOf(f, LakeTable.ExistsDefaultKey) match {
+          case Some(sql) if phys.startsWith(ABSENT_PREFIX) =>
+            expr(sql).cast(f.dataType).as(f.name)
+          case _ => col(phys).as(f.name)
+        }
+      }.toSeq ++
         (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil) ++
         (if (needPos) Seq(col("_metadata.file_path").as(PFILE_COL),
           col("_metadata.row_index").as(PIDX_COL)) else Nil)
@@ -1677,6 +1700,73 @@ final class LakeTable private (
       propertiesOverride = Some(base.properties ++ props))
   }
 
+  /** ≡ `ANALYZE TABLE … COMPUTE STATISTICS [NOSCAN]`: records
+    * table-level stats (row count, total bytes, the analyzed snapshot)
+    * as table properties in one metadata commit. Because the manifest
+    * already carries exact per-file row counts, even the "scan" flavor
+    * is metadata-only here — O(live files) driver work, zero data I/O —
+    * unless row-level deletes are pending (then one count over the
+    * MOR-applied scan). Readable via `SHOW TBLPROPERTIES` /
+    * `DESCRIBE EXTENDED` / the `.stats` keys. */
+  def analyze(): Long = {
+    val s = current
+    val bytes = s.liveFiles.flatMap(s.fileInfo.get).map(_.bytes).sum
+    setProperties(Map(
+      LakeTable.PROP_STATS_ROWS -> countRows().toString,
+      LakeTable.PROP_STATS_BYTES -> bytes.toString,
+      LakeTable.PROP_STATS_SNAPSHOT -> s.snapshotId.toString))
+  }
+
+  /** ≡ `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS c1, …`: one
+    * aggregate pass over the table computing, per column, the distinct
+    * count, null count, and min/max (rendered as strings), stored as
+    * `stats.col.<name>.{ndv,nulls,min,max}` properties alongside the
+    * table-level stats — the CBO-shaped summary an engine or a human
+    * reads before picking join orders.
+    *
+    * `exact = true` (default) uses `count_distinct` — one shuffle of
+    * distinct values per column, the price of an exact NDV and fine as
+    * an occasional maintenance action. At the 100 TB scale pass
+    * `exact = false` for `approx_count_distinct` (HyperLogLog++,
+    * map-side partials only — the same single-pass shape Spark's own
+    * ANALYZE uses). */
+  def analyzeColumns(cols: Seq[String], exact: Boolean = true): Long = {
+    val sch = schema
+    val bad = cols.filterNot(sch.fieldNames.contains)
+    require(bad.isEmpty, s"no such column(s): ${bad.mkString(", ")}")
+    val nonScalar = cols.filter(c => !LakeTable.isScalarType(sch(c).dataType))
+    require(nonScalar.isEmpty,
+      s"FOR COLUMNS needs scalar-typed columns, got: " +
+        nonScalar.map(c => s"$c: ${sch(c).dataType.simpleString}")
+          .mkString(", "))
+    val s = current
+    val df = scan()
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def str(field: String): Option[String] = {
+      val i = row.fieldIndex(field)
+      if (row.isNullAt(i)) None else Some(row.get(i).toString)
+    }
+    val colProps = cols.flatMap { c =>
+      Seq(s"stats.col.$c.ndv" -> str(s"__ndv_$c").getOrElse("0"),
+        s"stats.col.$c.nulls" -> str(s"__nulls_$c").getOrElse("0")) ++
+        str(s"__min_$c").map(v => s"stats.col.$c.min" -> v) ++
+        str(s"__max_$c").map(v => s"stats.col.$c.max" -> v)
+    }
+    val bytes = s.liveFiles.flatMap(s.fileInfo.get).map(_.bytes).sum
+    setProperties(colProps.toMap ++ Map(
+      LakeTable.PROP_STATS_ROWS -> str("__rows").getOrElse("0"),
+      LakeTable.PROP_STATS_BYTES -> bytes.toString,
+      LakeTable.PROP_STATS_SNAPSHOT -> s.snapshotId.toString))
+  }
+
   /** ≡ `ALTER TABLE … UNSET TBLPROPERTIES`. */
   def unsetProperties(keys: Seq[String]): Long = {
     val base = current
@@ -1714,8 +1804,9 @@ final class LakeTable private (
   // -------------------------------------------------------- schema evolution
 
   /** Add a nullable column (metadata-only commit, ≡ Iceberg
-    * `ALTER TABLE … ADD COLUMN`): existing files read NULL for it, new
-    * writes carry it.
+    * `ALTER TABLE … ADD COLUMN`): existing files read NULL for it —
+    * or the column's DEFAULT, when one is declared — and new writes
+    * carry it.
     *
     * Every pre-existing live file gets a name mapping to a reserved
     * never-written physical name. This guarantees Iceberg's field-id
@@ -1723,16 +1814,43 @@ final class LakeTable private (
     * bytes under `name` (dropColumn + re-add) reads NULL instead of
     * silently resurrecting the old data; (b) re-adding a name that is
     * still some file's PHYSICAL name after a rename (rename v→w, add v)
-    * cannot collide in the per-file physical schema. */
+    * cannot collide in the per-file physical schema.
+    *
+    * `defaultSql` (≡ Iceberg v3 initial-defaults / Delta
+    * `ALTER TABLE … ADD COLUMN … DEFAULT`): a constant, deterministic
+    * SQL expression stored in the field's metadata under Spark's own
+    * default-column keys (`EXISTS_DEFAULT` = what pre-existing rows
+    * read, `CURRENT_DEFAULT` = what future writes fill for the column
+    * when absent). Zero rewrite in both directions: old files project
+    * the expression at scan time; new files that carry the column read
+    * their written values verbatim (an explicit NULL written after the
+    * add stays NULL — default is NOT a read-time coalesce). */
   def addColumn(name: String, dataType: DataType,
-      nullable: Boolean = true): Long = {
+      nullable: Boolean = true, defaultSql: Option[String] = None): Long = {
     val base = current
     val sch = schema
     require(!sch.fieldNames.contains(name), s"column $name already exists")
     require(nullable,
       "new columns must be nullable: existing files carry no values")
+    val metadata = defaultSql match {
+      case None => Metadata.empty
+      case Some(sql) =>
+        // validate once at DDL time: parses, evaluates as a constant
+        // (no input row), is deterministic, and casts to the column
+        // type — then read-time re-evaluation is exactly this value
+        val df = spark.range(1)
+          .select(expr(sql).cast(dataType).as("__graft_default"))
+        require(df.queryExecution.analyzed.expressions
+            .forall(_.deterministic),
+          s"DEFAULT for $name must be deterministic: $sql")
+        df.collect() // fails here, not mid-scan, on a bad expression
+        new MetadataBuilder()
+          .putString(LakeTable.ExistsDefaultKey, sql)
+          .putString(LakeTable.CurrentDefaultKey, sql)
+          .build()
+    }
     val newSchema = StructType(sch.fields :+
-      StructField(name, dataType, nullable))
+      StructField(name, dataType, nullable, metadata))
     val absent = ABSENT_PREFIX + name
     val renames = base.liveFiles.map { f =>
       f -> (base.fileRenames.getOrElse(f, Map.empty) + (name -> absent))
@@ -2439,11 +2557,13 @@ final class LakeTable private (
     val want = schema
     val have: Map[String, String] =
       df.columns.map(n => resolveKey(n) -> n).toMap
-    // nullable columns the source lacks (e.g. added by addColumn after
-    // the writer was built) fill with NULL — Iceberg's write behavior;
-    // missing non-nullable columns are still an error
+    // columns the source lacks (e.g. added by addColumn after the
+    // writer was built) fill with their declared CURRENT_DEFAULT, else
+    // NULL — Iceberg's write behavior; missing non-nullable columns
+    // without a default are still an error
     val missing = want.fields.filterNot(f => have.contains(resolveKey(f.name)))
-    val missingRequired = missing.filterNot(_.nullable)
+    val missingRequired = missing.filterNot(f => f.nullable ||
+      LakeTable.defaultSqlOf(f, LakeTable.CurrentDefaultKey).isDefined)
     require(missingRequired.isEmpty,
       "source is missing non-nullable table columns: " +
         missingRequired.map(_.name).mkString(", "))
@@ -2451,7 +2571,11 @@ final class LakeTable private (
       have.get(resolveKey(f.name)) match {
         // select by the SOURCE spelling, emit under the TABLE spelling
         case Some(src) => col(src).cast(f.dataType).as(f.name)
-        case None      => lit(null).cast(f.dataType).as(f.name)
+        case None =>
+          LakeTable.defaultSqlOf(f, LakeTable.CurrentDefaultKey) match {
+            case Some(sql) => expr(sql).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
       }
     }.toIndexedSeq: _*)
   }
@@ -2756,6 +2880,27 @@ object LakeTable {
     case _                                              => false
   }
 
+  /** Spark's own default-column field-metadata keys
+    * (`ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY` /
+    * `EXISTS_DEFAULT_…`) — stored under the same names so the schema
+    * JSON round-trips Spark-idiomatically. EXISTS = what rows written
+    * BEFORE the column existed read; CURRENT = what future writes fill
+    * when the column is absent from the batch. */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** The stored default SQL under `key` for field `f`, if any. */
+  private[lake] def defaultSqlOf(f: StructField, key: String): Option[String] =
+    if (f.metadata.contains(key)) Some(f.metadata.getString(key)) else None
+
+  /** Scalar (non-nested) type — what ANALYZE … FOR COLUMNS can
+    * summarize with min/max/ndv. */
+  private[lake] def isScalarType(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case NullType | CalendarIntervalType => false
+    case _ => true
+  }
+
   val METADATA_DIR = "metadata"
   /** Nominal block size for manifest-built [[FileStatus]]es (local
     * split planning uses maxPartitionBytes, not this). */
@@ -2794,6 +2939,10 @@ object LakeTable {
   /** Filter size in bits (default [[BloomStats.DefaultBits]]). */
   val PROP_BLOOM_BITS = "write.bloom.bits"
   val PROP_FORMAT_VERSION = "format-version"
+  /** ANALYZE TABLE output (see [[LakeTable.analyze]]). */
+  val PROP_STATS_ROWS = "stats.num_rows"
+  val PROP_STATS_BYTES = "stats.size_bytes"
+  val PROP_STATS_SNAPSHOT = "stats.analyzed_snapshot"
   /** Min age before a beyond-HEAD metadata file counts as a crashed
     * commit's orphan (see commit()). */
   val ORPHAN_GRACE_MS: Long = 5000L
