@@ -525,6 +525,29 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_bucketed_join" -> ((s, dir) => {
+      // storage-partitioned join: both tables bucketed with Spark's own
+      // bucket-id function on their join key, files carrying the
+      // _NNNNN bucket suffix — the scans claim a real BucketSpec and
+      // the sort-merge join runs with ZERO table-side shuffles
+      // (spec-asserted in BucketedJoinSpec; here the result is oracled)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      val ltO = LakeTable.create(s, tmp("graft-bjoin") + "/orders",
+        orders.schema, partitionBy = Seq("bucket(8, o_custkey)"))
+      val ltC = LakeTable.create(s, tmp("graft-bjoin") + "/customer",
+        cust.schema, partitionBy = Seq("bucket(8, c_custkey)"))
+      ltO.append(orders)
+      ltC.append(cust)
+      ltO.scan().hint("merge")
+        .join(ltC.scan().hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
     "q_table_snapshots" -> ((s, dir) => {
       // `.snapshots` metadata table: commit-delta sizes per snapshot
       val nation = t(s, dir, "nation")
@@ -1663,6 +1686,13 @@ WHEN NOT MATCHED THEN INSERT *
 
     // the scan output is transform-invisible: identical to plain orders
     // minus the deleted custkeys
+    "q_bucketed_join" ->
+      """SELECT c_custkey, c_name,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+
     "q_bucket_partition" ->
       """SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice

@@ -742,7 +742,8 @@ final class LakeTable private (
         (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil) ++
         (if (needPos) Seq(col("_metadata.file_path").as(PFILE_COL),
           col("_metadata.row_index").as(PIDX_COL)) else Nil)
-      val part = prunedParquetScan(ctx, files, physSchema, sch, mapping)
+      val part = prunedParquetScan(ctx, files, physSchema, sch, mapping,
+          specId = ctx.fileSpec.getOrElse(files.head, 0L))
         .select(cols: _*) // stable column order + current names
       if (dels.isEmpty) part else part.withColumn(ERA_COL, lit(e))
     }
@@ -1991,13 +1992,42 @@ final class LakeTable private (
     * WAP files, not yet committed) fall back to one `getFileStatus`. */
   private def prunedParquetScan(ctx: Snapshot, relFiles: Seq[String],
       physSchema: StructType, logicalSchema: StructType,
-      mapping: Map[String, String]): DataFrame = {
+      mapping: Map[String, String], specId: Long = 0L): DataFrame = {
     val statuses = relFiles.map { f =>
       val p = fs.makeQualified(new Path(rootPath, f))
       ctx.fileInfo.get(f) match {
         case Some(fi) =>
           new FileStatus(fi.bytes, false, 1, DefaultBlockSize, 0L, p)
         case None => fs.getFileStatus(p)
+      }
+    }
+    // claim a real BucketSpec when this era is partitioned by exactly
+    // one bucket transform and EVERY file carries a parseable Spark
+    // bucket-id suffix: the scan then reports
+    // HashPartitioning(source, N) — the exact partitioning Spark's own
+    // bucketed tables report, because the write derived the bucket with
+    // Spark's own bucket-id function — and joins/aggregations on the
+    // source column skip the table-side shuffle. Files from older
+    // (pre-suffix or differently-specced) eras make the claim
+    // impossible and fall back to a plain scan, never a wrong one.
+    val bucketSpec = {
+      import org.apache.spark.sql.execution.datasources.BucketingUtils
+      val eraFields = PartitionSpec.parseAll(
+        ctx.specsOrDefault.getOrElse(specId, Nil))
+      eraFields.collect {
+        case f @ PartitionSpec.Field(_, PartitionSpec.Bucket(n), _) =>
+          (f, n)
+      } match {
+        case Seq((f, n)) =>
+          val phys = mapping.getOrElse(f.source, f.source)
+          val allNamed = statuses.forall(st =>
+            BucketingUtils.getBucketId(st.getPath.getName)
+              .exists(id => id >= 0 && id < n))
+          if (allNamed && !phys.startsWith(ABSENT_PREFIX))
+            Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+              n, Seq(phys), Nil))
+          else None
+        case _ => None
       }
     }
     // pushed filters arrive in this era's PHYSICAL names; the manifest
@@ -2023,7 +2053,8 @@ final class LakeTable private (
       }
     }
     GraftManifestFileIndex.dataFrame(spark,
-      Map("basePath" -> dataDir.toString), physSchema, statuses, pruner)
+      Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,
+      bucketSpec)
   }
 
   /** Bloom pruning for pushed literal equalities (the read-side twin of
@@ -2138,14 +2169,15 @@ final class LakeTable private (
     * `source = literal` / `source IN (literals)` conjunct on a
     * `bucket(N, source)` table keeps only the files of the literals'
     * buckets — the hash is evaluated driver-side with the SAME
-    * XxHash64 expression the write derived the directory from. (The
+    * murmur3 bucket-id expression the write derived the directory
+    * from (Spark's own, seed 42). (The
     * monotone transforms need nothing here: their source columns are
     * stored in the data files, so footer stats already range-prune.) */
   private def pruneBucketsByPredicate(base: Snapshot,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       candidates: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
+      And, AttributeReference, EqualTo, Expression, In, Literal, Murmur3Hash}
     if (base.fileStats.isEmpty) return candidates
     // base's own spec, not `partitionFields` — see pruneByPredicate's
     // schema note (the partial-snapshot path must stay current-free)
@@ -2161,8 +2193,10 @@ final class LakeTable private (
       bucketFields.find(_.source == name).foreach { f =>
         val n = f.transform.asInstanceOf[PartitionSpec.Bucket].n
         val vals = lits.filter(_.value != null).map { l =>
-          val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
-          java.lang.Math.floorMod(h, n.toLong)
+          // Spark's bucket-id function (murmur3 seed 42) — MUST match
+          // PartitionSpec.Field.expr's write-side pmod(hash(col), n)
+          val h = new Murmur3Hash(Seq(l)).eval(null).asInstanceOf[Int]
+          java.lang.Math.floorMod(h, n).toLong
         }.toSet
         if (lits.forall(_.value != null)) // null literals match nothing anyway
           files = files.filter { file =>
@@ -2625,8 +2659,38 @@ final class LakeTable private (
       // same status call), then read the footers in parallel — each
       // open is independent driver-side I/O, and a large
       // compact/overwrite commit would otherwise pay O(files) serial reads
+      // single-bucket-field tables name their data files with Spark's
+      // `_NNNNN` bucket-id suffix (parsed from the hive bucket dir the
+      // hash-derived write placed them in) — the read side can then
+      // claim a real BucketSpec and scans become bucketed
+      // (storage-partitioned joins/aggs on the source column)
+      val bucketDir: Option[String] = fields.collect {
+        case fld if fld.transform.isInstanceOf[PartitionSpec.Bucket] =>
+          fld.dirName
+      } match {
+        case Seq(one) => Some(one + "=")
+        case _ => None
+      }
+      def withBucketSuffix(rel: String): String = bucketDir match {
+        case None => rel
+        case Some(prefix) =>
+          val id = rel.split('/').collectFirst {
+            case seg if seg.startsWith(prefix) => seg.stripPrefix(prefix)
+          }.flatMap(v => scala.util.Try(v.toInt).toOption)
+          id match {
+            case Some(b) =>
+              val slash = rel.lastIndexOf('/')
+              val (dir, name) = rel.splitAt(slash + 1)
+              val suffix = org.apache.spark.sql.execution.datasources
+                .BucketingUtils.bucketIdToString(b)
+              val dot = name.indexOf('.')
+              if (dot < 0) dir + name + suffix
+              else dir + name.substring(0, dot) + suffix + name.substring(dot)
+            case None => rel
+          }
+      }
       val moved = files.map { f =>
-        val rel = relativePath(staging, f)
+        val rel = withBucketSuffix(relativePath(staging, f))
         val dest = new Path(dataDir, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))

@@ -16,18 +16,23 @@ import org.apache.spark.sql.types._
   * so pre-transform manifests parse unchanged as identity):
   *
   *   - `col`                — identity (hive behavior, value in the dir)
-  *   - `bucket(N, col)`     — `pmod(xxhash64(col), N)`; any prunable type
+  *   - `bucket(N, col)`     — `pmod(hash(col), N)` (Spark's murmur3
+  *                            bucket id); any prunable type
   *   - `day(col)` / `month(col)` / `year(col)`
   *                          — days/months/years since epoch (date/ts)
   *   - `truncate(W, col)`   — floor-to-width for integrals, prefix for
   *                            strings
   *
   * Scale shape: the derived value is computed map-side at write
-  * (codegen'd `xxhash64`/`datediff` — no shuffle beyond the hive write's
+  * (codegen'd `hash`/`datediff` — no shuffle beyond the hive write's
   * own), recorded per-file from the directory name as an exact
   * point-stat, and pruned against driver-side: set-membership for bucket
   * (≤ N values per source key set), range intersection for the monotone
-  * time/truncate transforms.
+  * time/truncate transforms. Bucket files additionally carry Spark's
+  * `_NNNNN` bucket-id name suffix, so scans of a single-bucket-field
+  * table run as genuine BUCKETED scans (HashPartitioning(source, N)) —
+  * co-located joins and aggregations on the source column skip the
+  * table-side shuffle entirely.
   */
 object PartitionSpec {
 
@@ -63,7 +68,12 @@ object PartitionSpec {
       * decimal; truncate-on-string emits the prefix string. */
     def expr(sourceType: DataType): Column = transform match {
       case Identity => col(source)
-      case Bucket(n) => pmod(xxhash64(col(source)), lit(n)).cast(LongType)
+      // Spark's OWN bucket-id function (murmur3 seed 42 — identical to
+      // HashPartitioning.partitionIdExpression, what Spark's bucketed
+      // writes/reads use). Keeping the bucket domain Spark-native lets
+      // the scan claim a real BucketSpec, so joins/aggs on the source
+      // column are storage-partitioned: zero shuffle on the table side.
+      case Bucket(n) => pmod(hash(col(source)), lit(n)).cast(LongType)
       case Day =>
         datediff(col(source).cast(DateType), to_date(lit("1970-01-01")))
           .cast(LongType)

@@ -93,7 +93,9 @@ object GraftManifestFileIndex {
     * same) but with [[GraftManifestFileIndex]] as the file listing. */
   def dataFrame(spark: SparkSession, parameters: Map[String, String],
       schema: StructType, statuses: Seq[FileStatus],
-      prune: Seq[Expression] => (Path => Boolean)): DataFrame = {
+      prune: Seq[Expression] => (Path => Boolean),
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]
+        = None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     // file sources always read under a nullable schema (DataFrameReader
     // applies `asNullable` to user schemas; a file CAN hold nulls
@@ -106,7 +108,7 @@ object GraftManifestFileIndex {
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partNames(f.name)))
     val relation = HadoopFsRelation(index, index.partitionSchema,
-      dataSchema, None, new ParquetFileFormat, parameters)(cs)
+      dataSchema, bucketSpec, new ParquetFileFormat, parameters)(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(relation))
   }
 }
