@@ -37,11 +37,25 @@ import graft.lake.LakeTable
   *    is `LakeTable.changes(start, end]` — every insert AND delete the
   *    range produced, tagged `_change_type` / `_commit_snapshot_id`,
   *    so merges/deletes/updates stream correctly instead of erroring.
+  *  - `maxSnapshotsPerTrigger`: rate limit — at most this many table
+  *    commits per micro-batch (≡ Delta's `maxFilesPerTrigger` /
+  *    Iceberg's streaming rate limits, in this table's natural unit:
+  *    one commit = one bounded append). Without it, a stream started
+  *    at `startingSnapshotId = 0` on a year-old 100 TB table plans the
+  *    ENTIRE history as micro-batch one; with it, the backfill drains
+  *    in bounded steps and checkpoints progress between them. The cap
+  *    is enforced in `latestOffset` (SupportsAdmissionControl — the
+  *    engine hands over the last COMMITTED offset as the base, so
+  *    restarts are checkpoint-exact), and Trigger.AvailableNow latches
+  *    its target via SupportsTriggerAvailableNow so a capped drain
+  *    still runs to completion (the FileStreamSource pattern).
   */
 class GraftLakeStreamSource(
     sqlContext: SQLContext,
     root: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private val table = LakeTable.load(sqlContext.sparkSession, root)
   private val startAfter =
@@ -50,10 +64,48 @@ class GraftLakeStreamSource(
     options.getOrElse("skipNonAppends", "false").toBoolean
   private val changeFeed =
     options.getOrElse("readChangeFeed", "false").toBoolean
+  private val maxSnapshots: Option[Long] =
+    options.get("maxSnapshotsPerTrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+      n
+    }
+
+  /** Trigger.AvailableNow target, latched at stream start (the
+    * FileStreamSource pattern): implementing the trait keeps the
+    * engine from wrapping this source in its latch-one-offset wrapper,
+    * which would otherwise freeze a RATE-LIMITED first offset as the
+    * run's entire target and end the drain after one capped batch.
+    * Instead the head is pinned here and capped offsets advance toward
+    * it trigger by trigger. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = table.currentSnapshotId
 
   override val schema: StructType =
     if (changeFeed) GraftLakeStreamSource.changeFeedSchema(table.schema)
     else table.schema
+
+  /** Admission-control offset resolution (what the engine calls for a
+    * SupportsAdmissionControl source instead of [[getOffset]]): `start`
+    * is the last COMMITTED end — authoritative, checkpoint-backed — so
+    * the per-trigger cap advances from it with no source-side offset
+    * bookkeeping, and a restart can never hand out a backwards offset. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = availableNowTarget.orElse(table.currentSnapshotId)
+    head match {
+      case None => null // table has no commits yet
+      case Some(h) =>
+        val base = Option(start).map(_.json.trim.toLong)
+          .getOrElse(startAfter)
+        val capped = maxSnapshots.fold(h)(n => math.min(h, base + n))
+        if (capped <= base) start else LongOffset(capped)
+    }
+  }
 
   override def getOffset: Option[Offset] =
     table.currentSnapshotId.map(LongOffset(_))

@@ -46,6 +46,47 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(sunk().size == 4)
   }
 
+  test("maxSnapshotsPerTrigger bounds each micro-batch; backfill drains in steps") {
+    val base = TestSpark.tmpDir("lakestream-rate")
+    val root = s"$base/t"
+    val df = Seq((0L, "seed")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema)
+    (1L to 5L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("maxSnapshotsPerTrigger", "2").load(root)
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val sunk = spark.read.parquet(s"$base/out").as[(Long, String)]
+      .collect().toSet
+    assert(sunk == (1L to 5L).map(i => (i, s"v$i")).toSet)
+    // 5 append commits at ≤2 snapshots per trigger → ≥3 micro-batches
+    val offsets = new java.io.File(s"$base/ckpt/offsets").list()
+      .filterNot(_.startsWith("."))
+    assert(offsets.length >= 3, offsets.mkString(","))
+
+    // restart from the same checkpoint: the cap's base recovers from
+    // the replayed last batch — only the delta streams, no duplicates
+    t.append(Seq((6L, "v6")).toDF("id", "v"))
+    drain()
+    val after = spark.read.parquet(s"$base/out").as[(Long, String)]
+      .collect()
+    assert(after.length == 6 && after.toSet ==
+      (1L to 6L).map(i => (i, s"v$i")).toSet)
+
+    // a non-positive cap is rejected at stream start
+    intercept[Exception] {
+      spark.readStream.format("graft-lake")
+        .option("maxSnapshotsPerTrigger", "0").load(root)
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+  }
+
   test("sink: file stream lands in a lake table; replay doesn't dup") {
     val base = TestSpark.tmpDir("lakesink")
     val root = s"$base/t"
