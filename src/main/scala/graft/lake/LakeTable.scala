@@ -56,6 +56,8 @@ final class LakeTable private (
   // session-wide, once: fixes the parquet-pushdown -0.0 equality hole
   // (see NormalizeZeroComparisonLiterals) for every scan in the session
   NormalizeZeroComparisonLiterals.ensure(spark)
+  // metadata-only COUNT(*) rewrite for manifest-backed scans
+  ManifestCountRule.ensure(spark)
 
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(hconf)
@@ -2052,9 +2054,18 @@ final class LakeTable private (
         p => kept(relativePath(rootPath, p))
       }
     }
+    // exact relation row count from manifest footer counts (None if
+    // any file predates row-count recording) — lets a bare COUNT(*)
+    // answer from metadata (ManifestCountRule); delete anti-joins
+    // above this relation block that rewrite by plan shape, so MOR
+    // state can never leak into the fast path
+    val knownRows =
+      if (relFiles.forall(ctx.fileInfo.contains))
+        Some(relFiles.map(ctx.fileInfo(_).rows).sum)
+      else None
     GraftManifestFileIndex.dataFrame(spark,
       Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,
-      bucketSpec)
+      bucketSpec, knownRows)
   }
 
   /** Bloom pruning for pushed literal equalities (the read-side twin of

@@ -45,7 +45,12 @@ class GraftManifestFileIndex(
     parameters: Map[String, String],
     userSchema: StructType,
     statuses: Seq[FileStatus],
-    prune: Seq[Expression] => (Path => Boolean))
+    prune: Seq[Expression] => (Path => Boolean),
+    /** Exact total rows across `statuses` per the manifest's footer
+      * counts, when every file reported one — lets
+      * [[graft.lake.ManifestCountRule]] answer a bare COUNT(*) with
+      * zero data I/O. None = at least one file's count is unknown. */
+    val knownRowCount: Option[Long] = None)
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], parameters,
     Some(userSchema), NoopCache) {
@@ -95,15 +100,16 @@ object GraftManifestFileIndex {
       schema: StructType, statuses: Seq[FileStatus],
       prune: Seq[Expression] => (Path => Boolean),
       bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]
-        = None): DataFrame = {
+        = None,
+      knownRowCount: Option[Long] = None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     // file sources always read under a nullable schema (DataFrameReader
     // applies `asNullable` to user schemas; a file CAN hold nulls
     // regardless of what the caller believes) — without this a
     // non-nullable long column would silently read nulls as 0
     val fullSchema = schema.asNullable
-    val index =
-      new GraftManifestFileIndex(cs, parameters, fullSchema, statuses, prune)
+    val index = new GraftManifestFileIndex(cs, parameters, fullSchema,
+      statuses, prune, knownRowCount)
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partNames(f.name)))
