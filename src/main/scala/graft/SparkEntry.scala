@@ -721,6 +721,42 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM nation_t GROUP BY n_regionkey""".stripMargin)
     }),
 
+    "q_compact_where" -> ((s, dir) => {
+      // predicate-scoped compaction: only the URGENT partition's small
+      // files coalesce (manifest-pruned selection — the other
+      // partitions keep their exact file set, spec-asserted in
+      // CompactWhereSpec); content is byte-identical, which is what
+      // the oracle certifies
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val root = tmp("graft-cw") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      lt.append(orders.where(col("o_orderkey") % 2 === 1))
+      lt.compactWhere(col("o_orderpriority") === "1-URGENT")
+      lt.scan().select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q_sql_count_pushdown" -> ((s, dir) => {
+      // SQL COUNT(*) over a lake view answers from the MANIFEST
+      // (ManifestCountRule: zero data I/O, plan-shape-gated —
+      // CountRowsSpec asserts no FileSourceScan); the oracle recounts
+      // from raw parquet. The WHERE variant beside it takes the normal
+      // pruned-scan path in the same statement.
+      val lineitem = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val cat = new LakeCatalog(s, tmp("graft-sqlcount"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "lineitem_t", lineitem.schema)
+      cat.loadTable("ns", "lineitem_t").append(lineitem)
+      cat.sql("ns",
+        """SELECT (SELECT count(*) FROM lineitem_t) AS total,
+          |       count(*) AS high_qty
+          |FROM lineitem_t WHERE l_quantity > 40""".stripMargin)
+    }),
+
     "q_analyze_stats" -> ((s, dir) => {
       // ANALYZE TABLE → stats as table properties: num_rows is
       // metadata-exact (manifest row counts, zero data I/O); column
@@ -1768,6 +1804,16 @@ WHEN NOT MATCHED THEN INSERT *
     "q_sql_surface" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_compact_where" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
+
+    "q_sql_count_pushdown" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS total,
+        |       count(*) AS high_qty
+        |FROM lineitem WHERE l_quantity > 40""".stripMargin,
 
     "q_analyze_stats" ->
       """SELECT 'stats.num_rows' AS key,

@@ -590,6 +590,9 @@ object LakeSql {
         val cols = if (c.args.size > 2)
           str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq else Nil
         Seq(lt.compact(target, cols)).toDF("snapshot_id")
+      case "compact_where" => // (tbl, predicate_sql[, files_per_partition])
+        val target = if (c.args.size > 2) lng(2).toInt else 1
+        Seq(lt.compactWhere(expr(str(1)), target)).toDF("snapshot_id")
       case "rewrite_small_files" => // (tbl, target_bytes[, min_input])
         val minIn = if (c.args.size > 2) lng(2).toInt else 2
         Seq(lt.binPack(lng(1), minIn)).toDF("snapshot_id")
@@ -615,10 +618,10 @@ object LakeSql {
         lt.discardStaged(str(1)); spark.emptyDataFrame
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — supported: expire_snapshots[_older_" +
-          "than], rewrite_data_files, rewrite_small_files, " +
-          "convert_equality_deletes, remove_orphan_files, " +
-          "rollback_to_snapshot, create_tag, create_branch, drop_ref, " +
-          "publish_staged, discard_staged")
+          "than], rewrite_data_files, compact_where, " +
+          "rewrite_small_files, convert_equality_deletes, " +
+          "remove_orphan_files, rollback_to_snapshot, create_tag, " +
+          "create_branch, drop_ref, publish_staged, discard_staged")
     }
     cat.registerViews(ns)
     out

@@ -2334,6 +2334,60 @@ final class LakeTable private (
       live = keep ++ added, addedStats = stats, addedInfo = info)
   }
 
+  /** Predicate-scoped compaction (≡ Iceberg
+    * `rewrite_data_files(where => …)` / Delta `OPTIMIZE t WHERE …`):
+    * coalesce ONLY the files the predicate selects via MANIFEST
+    * pruning (per-file bounds, identity partition values, hidden
+    * bucket hashes) — at 100 TB the maintenance pass rewrites one
+    * partition's files, not the table. Selection is file-granular and
+    * layout-only: every row of a selected file rewrites (content
+    * identical — the predicate scopes, it does not filter), groups
+    * never cross partition dirs or spec eras, and groups already at or
+    * under `targetFilesPerPartition` files stay put. Outstanding
+    * deletes stay correct exactly as in [[binPack]]: rewritten rows
+    * are read THROUGH the delete set and the new files' sequence
+    * outranks every existing delete; untouched files keep their delete
+    * state (only a FULL [[compact]] clears delete files). */
+  def compactWhere(predicate: Column,
+      targetFilesPerPartition: Int = 1): Long = {
+    require(targetFilesPerPartition >= 1, "target must be >= 1")
+    val base = current
+    if (base.liveFiles.isEmpty) return base.snapshotId
+    val cands = pruneByPredicate(base, predicate)
+    val groups = cands.groupBy(f => (f.take(f.lastIndexOf('/') + 1),
+        base.fileSpec.getOrElse(f, 0L)))
+      .filter(_._2.size > targetFilesPerPartition)
+    val rewritten = groups.values.flatten.toSeq.sorted
+    if (rewritten.isEmpty) return base.snapshotId
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val salt = "__graft_compact_salt"
+    val numParts = math.max(1L,
+      groups.size.toLong * targetFilesPerPartition).min(100000L).toInt
+    // deterministic content-hash salt — same retry-safety bar as
+    // [[compact]]'s (a re-salted retry must place rows identically)
+    val data = readFilesAs(base, rewritten)
+      .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
+        lit(targetFilesPerPartition)))
+      .repartition(numParts,
+        (partitionFields.map(f => f.expr(types(f.source))) :+
+          col(salt)): _*)
+      .drop(salt)
+    val WriteResult(added, stats, info) = writeDataFiles(data)
+    // row-conservation guard, manifest arithmetic (see binPack) —
+    // only provable when nothing suppresses rows and counts are known
+    if (base.deleteFiles.isEmpty && base.posDeleteFiles.isEmpty &&
+        rewritten.forall(base.fileInfo.contains)) {
+      val expectRows = rewritten.map(base.fileInfo(_).rows).sum
+      val gotRows = info.values.map(_.rows).sum
+      require(gotRows == expectRows,
+        s"compactWhere aborted before commit: rewrite carries $gotRows " +
+          s"rows of $expectRows read — refusing to lose data")
+    }
+    val keep = base.liveFiles.filterNot(rewritten.toSet)
+    commit(base, "compact", added = added, removed = rewritten,
+      live = keep ++ added, addedStats = stats, addedInfo = info)
+  }
+
   def compact(targetFilesPerPartition: Int,
       clusterBy: Seq[String]): Long = {
     require(targetFilesPerPartition >= 1, "target must be >= 1")
