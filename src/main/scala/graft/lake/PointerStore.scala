@@ -55,44 +55,62 @@ sealed trait PointerStore {
 final class RenamePointerStore(fs: FileSystem, rootUri: java.net.URI,
     conf: Configuration) extends PointerStore {
 
-  /** Attempts before trusting an absent-mid-evidence pointer (covers
-    * the µs-scale delete+rename window of an OVERWRITE swap). */
-  private val Retries = 3
+  /** How long a reader rides out SUSTAINED swap evidence before
+    * concluding the pointer is genuinely unreadable. Every probe that
+    * sees either the pointer or a fresh in-flight tmp re-arms the
+    * wait, so only a pathological case (a swap window on every single
+    * probe for this long) exhausts it. */
+  private val SwapDeadlineNanos = 10_000_000_000L
+
+  /** Tmp files older than this are crash leftovers, not evidence of an
+    * in-flight swap — without the cutoff a writer that died between
+    * create-tmp and rename would pin every absent-pointer read into
+    * the retry loop forever. */
+  private val StaleTmpMillis = 60_000L
 
   private def swapInFlight(p: Path): Boolean = {
     val prefix = s".${p.getName}-"
+    val now = System.currentTimeMillis()
     try fs.listStatus(p.getParent).exists { s =>
       val n = s.getPath.getName
-      n.startsWith(prefix) && n.endsWith(".tmp")
+      n.startsWith(prefix) && n.endsWith(".tmp") &&
+        (now - s.getModificationTime) < StaleTmpMillis
     } catch { case _: java.io.IOException => false }
   }
 
   override def read(p: Path): Option[String] = {
-    var attempt = 0
+    // A bounded ATTEMPT count is not enough: under back-to-back swaps
+    // (a commit storm) every probe can land inside some writer's
+    // delete-then-rename window, so the loop keys on EVIDENCE — retry
+    // while the pointer or a fresh swap tmp is observable, give up
+    // (None) only after two consecutive evidence-free probes, and fail
+    // loudly rather than answer a false "no table" if evidence
+    // persists past the deadline.
+    val deadline = System.nanoTime() + SwapDeadlineNanos
     var noEvidenceRuns = 0
-    while (attempt < Retries) {
-      var sawEvidence = true
+    while (System.nanoTime() < deadline) {
       if (fs.exists(p)) {
+        noEvidenceRuns = 0
         try return Some(LakeTable.readString(fs, p))
-        catch { case _: java.io.IOException => /* mid-swap; retry */ }
+        catch { case _: java.io.IOException => Thread.sleep(1L) /* mid-swap */ }
       } else if (!swapInFlight(p) && !fs.exists(p)) {
         // absent with no tmp in flight and still absent on re-probe.
         // One confirmation round guards the sampling race where an
         // entire swap completes between the two probes (the tmp is
         // gone AND the target was re-deleted by the next swap); a
         // never-created pointer answers in ~1 ms, not the old ~30.
-        sawEvidence = false
         noEvidenceRuns += 1
         if (noEvidenceRuns >= 2) return None
         Thread.sleep(1L)
-      }
-      if (sawEvidence) {
+      } else {
         noEvidenceRuns = 0
-        attempt += 1
-        if (attempt < Retries) Thread.sleep(5L << attempt)
+        Thread.sleep(1L)
       }
     }
-    if (fs.exists(p)) Some(LakeTable.readString(fs, p)) else None
+    if (fs.exists(p)) Some(LakeTable.readString(fs, p))
+    else throw new java.io.IOException(
+      s"pointer $p unreadable: swap evidence persisted for " +
+        s"${SwapDeadlineNanos / 1000000000L}s without a complete value")
   }
 
   override def write(p: Path, value: String): Unit = {
@@ -163,7 +181,12 @@ final class GenerationPointerStore(fs: FileSystem) extends PointerStore {
       attempt += 1
       Thread.sleep(1L << attempt)
     }
-    None
+    // generations exist but none readable across every retry: that is
+    // storage trouble, not "no table" — honor the contract (None =
+    // never created) by failing loudly instead
+    if (gens(p).isEmpty) None
+    else throw new java.io.IOException(
+      s"pointer $p unreadable: generations present but none complete")
   }
 
   override def write(p: Path, value: String): Unit = {
