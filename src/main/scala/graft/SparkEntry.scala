@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Contamination, Dedup, LexicalQuality, Mixture, PiiScrub, RepetitionMetrics, SaltedJoin, Sampling, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Contamination, Dedup, LexicalQuality, Mixture, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -1330,6 +1330,23 @@ WHEN NOT MATCHED THEN INSERT *
     "q_neardup_embedding" -> ((s, dir) =>
       SimilaritySearch.cosineNearDupPairs(t(s, dir, "embeddings"),
         threshold = 0.25, nPlanes = 6)),
+
+    // SemDeDup: coarse k-means clusters bound the quadratic stage,
+    // exact cosine within a cluster, greedy keep-first drop in id order
+    "q_semdedup" -> ((s, dir) =>
+      SemanticDedup.dedup(t(s, dir, "embeddings"), nCentroids = 16,
+        threshold = 0.2)),
+
+    // span-level duplication signal: fraction of each doc's distinct
+    // trigrams appearing in ≥1 other doc — no self-join, linear cost
+    "q_dup_gram_stats" -> ((s, dir) =>
+      TextDedup.duplicatedGramStats(docs(s, dir), n = 2)),
+
+    // fastText-pattern quality classifier: heuristic labels (lang
+    // column = 'en'), multinomial NB trained in one aggregation pass,
+    // per-doc log-odds score from broadcast vocabulary weights
+    "q_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.trainScore(docs(s, dir), col("lang") === "en")),
 
     // ---- multimodal plumbing (stubbed decode, real schema/batching)
     "q_multimodal_frames" -> ((s, dir) =>
@@ -2656,6 +2673,87 @@ WHEN NOT MATCHED THEN INSERT *
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
          |    b.embedding::DOUBLE[]), 6) >= 0.25""".stripMargin,
+
+    // SemDeDup: same 16-seed quantizer as q_ann_ivf; a vector survives
+    // iff no lower-id same-cluster vector is near-duplicate to it
+    "q_semdedup" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+        |         embedding AS cvec
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1)
+        |SELECT a.vec_id, CAST(a.cid AS INTEGER) AS centroid_id
+        |FROM assign a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM assign b
+        |  WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+        |    AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) >= 0.2)""".stripMargin,
+
+    // duplicated-span stats over distinct word bigrams (the shingles
+    // semantics, including the short-document whole-text fallback)
+    "q_dup_gram_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM toks WHERE len(ts) >= 2),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS gram
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(ts, ' ') AS gram
+        |  FROM toks WHERE len(ts) < 2),
+        |d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_grams,
+        |  round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+        |FROM g JOIN d USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+
+    // multinomial NB quality classifier, trained and scored in SQL:
+    // Laplace-smoothed per-token log-likelihood ratios + prior log-odds
+    "q_quality_classifier" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, (lang = 'en') AS y FROM documents),
+        |tok AS (
+        |  SELECT doc_id, y,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM base),
+        |counts AS (
+        |  SELECT t,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cneg
+        |  FROM tok GROUP BY t),
+        |tot AS (
+        |  SELECT sum(cpos) AS npos, sum(cneg) AS nneg, count(*) AS v
+        |  FROM counts),
+        |dtot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dpos,
+        |         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dneg
+        |  FROM base),
+        |w AS (
+        |  SELECT t, ln((cpos + 1) / CAST(npos + v AS DOUBLE))
+        |           - ln((cneg + 1) / CAST(nneg + v AS DOUBLE)) AS w
+        |  FROM counts CROSS JOIN tot)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(w.w) + ln(CAST(dtot.dpos + 1 AS DOUBLE)
+        |    / (dtot.dneg + 1)), 4) AS nb_score,
+        |  round(sum(w.w) + ln(CAST(dtot.dpos + 1 AS DOUBLE)
+        |    / (dtot.dneg + 1)), 4) > 0 AS label_pred
+        |FROM tok JOIN w USING (t) CROSS JOIN dtot
+        |GROUP BY tok.doc_id, dtot.dpos, dtot.dneg""".stripMargin,
 
     // the media stub is deterministic byte math over the (ASCII) text:
     // resize keeps min(len, 64) bytes, frames tile them into <=4 chunks

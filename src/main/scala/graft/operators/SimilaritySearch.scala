@@ -181,7 +181,7 @@ object SimilaritySearch {
 
   /** (id, vector) centroids → the inlined literal array both the
     * assignment and the probe `transform` over (zero shuffle). */
-  private def centroidLiteral(cents: Seq[(Int, Seq[Float])]): Column =
+  private[operators] def centroidLiteral(cents: Seq[(Int, Seq[Float])]): Column =
     array(cents.map { case (id, v) =>
       struct(lit(id).as("id"), typedLit(v).as("vec"))
     }: _*)
@@ -189,7 +189,7 @@ object SimilaritySearch {
   /** Nearest centroid, map-side: argmax cosine via array_max over a
     * struct whose lexicographic order is (sim asc, -id asc) → max =
     * highest sim, ties to the lowest centroid id. */
-  private def nearestCentroid(centLit: Column, vec: Column): Column =
+  private[operators] def nearestCentroid(centLit: Column, vec: Column): Column =
     -array_max(transform(centLit, cs =>
       struct(cosine(vec, cs.getField("vec")).as("sim"),
         (-cs.getField("id")).as("negid")))).getField("negid")
@@ -208,8 +208,8 @@ object SimilaritySearch {
     * refined means are re-normalized (spherical k-means: cosine cares
     * about direction only); a cluster that loses all members keeps its
     * previous centroid, the standard empty-cluster fallback. */
-  private def trainCentroids(c: DataFrame, seeds: Seq[(Int, Seq[Float])],
-      iters: Int): Seq[(Int, Seq[Float])] = {
+  private[operators] def trainCentroids(c: DataFrame,
+      seeds: Seq[(Int, Seq[Float])], iters: Int): Seq[(Int, Seq[Float])] = {
     var cents = seeds
     (1 to iters).foreach { _ =>
       val centLit = centroidLiteral(cents)

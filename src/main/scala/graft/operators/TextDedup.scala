@@ -264,4 +264,37 @@ object TextDedup {
       .where(col("__j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
+
+  /** Per-document duplicated-span statistics (the Gopher/Dolma
+    * "fraction of text in duplicated n-grams" family, at shingle
+    * granularity): for every document, how many of its DISTINCT word
+    * `n`-grams also appear in at least one OTHER document, and the
+    * resulting duplicate fraction — the signal span-level dedup
+    * policies threshold on (docs that merely overlap boilerplate score
+    * low; near-copies score ~1).
+    *
+    * Returns `(idCol, n_grams, dup_grams, dup_fraction)`.
+    *
+    * Scale shape: both wide stages move 8-byte gram hashes, never
+    * text — one groupBy(gram) computing document frequency over rows
+    * already distinct per doc ([[shingles]] emits a distinct array),
+    * one hash join of those slim df rows back to the (id, gram) pairs
+    * (1:1, no row explosion even for stop-grams), one groupBy(id).
+    * Unlike the pairwise operators there is NO self-join, so no
+    * hot-bucket guard is needed: cost is linear in total gram count at
+    * any corpus size. */
+  def duplicatedGramStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("gram"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("dup_grams") / col("n_grams").cast("double"), 4))
+  }
 }

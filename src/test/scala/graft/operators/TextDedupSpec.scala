@@ -91,4 +91,22 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
   }
+
+  test("duplicatedGramStats: exact per-doc counts, incl. short-doc fallback") {
+    import spark.implicits._
+    val c = corpus.union(Seq((5L, "ab cd")).toDF("doc_id", "text"))
+    val got = TextDedup.duplicatedGramStats(c, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"),
+          r.getAs[Double]("dup_fraction")))).toMap
+    // docs 1,2 identical (10 distinct trigrams, every one shared)
+    assert(got(1L) == ((10L, 10L, 1.0)))
+    assert(got(2L) == ((10L, 10L, 1.0)))
+    // doc 3 differs in one word: the 3 trigrams covering it are unique
+    assert(got(3L) == ((10L, 7L, 0.7)))
+    // unrelated doc shares nothing
+    assert(got(4L)._2 == 0L && got(4L)._3 == 0.0)
+    // 2-token doc: whole-text fallback gram, unshared
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
 }
