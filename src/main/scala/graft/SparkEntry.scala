@@ -922,6 +922,36 @@ WHEN NOT MATCHED THEN INSERT *
       out
     }),
 
+    "q_sql_merge_evolve" -> ((s, dir) => {
+      // MERGE WITH SCHEMA EVOLUTION (Spark 4 syntax): source-only
+      // columns join the target schema mid-statement (metadata-only
+      // adds); pre-existing rows read them as NULL, updated/inserted
+      // rows carry the source values
+      val orders = t(s, dir, "orders")
+      val cat = new LakeCatalog(s, tmp("graft-sqlmevolve"))
+      cat.createNamespace("ns")
+      val target = orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("ns", "inv", target.schema)
+      cat.loadTable("ns", "inv").append(target)
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .createOrReplaceTempView("__evolve_src")
+      cat.sql("ns",
+        """MERGE WITH SCHEMA EVOLUTION INTO inv AS t
+          |USING __evolve_src AS s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = cat.sql("ns",
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+          | o_orderpriority
+          |FROM inv""".stripMargin)
+      s.catalog.dropTempView("__evolve_src")
+      out
+    }),
+
     "q_sql_delete_subquery" -> ((s, dir) => {
       // subquery DML: DELETE … WHERE k IN (SELECT …) and a correlated
       // UPDATE … WHERE EXISTS — the conditions ride Catalyst's own
@@ -1926,6 +1956,24 @@ WHEN NOT MATCHED THEN INSERT *
         |  ON tgt.o_orderkey = src.o_orderkey
         |WHERE tgt.o_orderkey IS NOT NULL
         |   OR src.o_totalprice > 100000""".stripMargin,
+
+    // schema-evolving star merge: matched rows take every source
+    // column, target-only rows read the evolved column as NULL
+    "q_sql_merge_evolve" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(src.o_orderkey, tgt.o_orderkey) AS o_orderkey,
+        |  round(CASE WHEN src.o_orderkey IS NOT NULL
+        |    THEN src.o_totalprice ELSE tgt.o_totalprice END, 2)
+        |    AS o_totalprice,
+        |  src.o_orderpriority AS o_orderpriority
+        |FROM tgt FULL OUTER JOIN src
+        |  ON tgt.o_orderkey = src.o_orderkey""".stripMargin,
 
     // survivors of the IN-subquery delete (custkey not in nations<5),
     // with totalprice zeroed where the correlated EXISTS (nations>=20)

@@ -211,12 +211,19 @@ object LakeSql {
         "MERGE ON must be a conjunction of target.k = source.k " +
           s"equalities, got: ${m.mergeCondition.sql}"))
     val lt = cat.loadTable(ns, tableNameOf(m.targetTable))
-    val fields = lt.schema.fieldNames
-    val norm = keys.map(k => fields.find(_.equalsIgnoreCase(k)).getOrElse(k))
     // the source subquery resolves against the session's temp views
     // (the reference's __temp_table pattern); extra projected columns
     // like the dedup row_num are dropped by merge's schema alignment
     val src = GraftSqlBridge.ofRows(cat.spark, m.sourceTable)
+    // `MERGE WITH SCHEMA EVOLUTION` (Spark 4 syntax): the statement is
+    // the opt-in — every source-only column joins the target schema
+    // (nullable add; wider source types widen) BEFORE the merge plans,
+    // so SET * / INSERT * carry the new columns and pre-existing rows
+    // read them as NULL. Without the clause, extra source columns are
+    // dropped by alignment as before.
+    if (m.withSchemaEvolution) lt.evolveSchemaFor(src)
+    val fields = lt.schema.fieldNames
+    val norm = keys.map(k => fields.find(_.equalsIgnoreCase(k)).getOrElse(k))
     (m.matchedActions, m.notMatchedActions, starNmbs) match {
       // the reference's upsert shape (scripts/bronze-silver.py:254-269)
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),

@@ -2636,6 +2636,16 @@ final class LakeTable private (
 
   private def autoEvolveFor(df: DataFrame): Unit = {
     if (!properties.get(PROP_AUTO_EVOLVE).contains("true")) return
+    evolveSchemaFor(df)
+  }
+
+  /** Evolve THIS table's schema to accommodate `df`'s: source columns
+    * the table lacks are added (nullable, metadata-only commits) and
+    * table columns a wider source type arrives for are widened. The
+    * unconditional core of the `write.schema.auto-evolve` property and
+    * of SQL `MERGE WITH SCHEMA EVOLUTION`, where the statement itself
+    * is the opt-in. */
+  def evolveSchemaFor(df: DataFrame): Unit = {
     val byKey = schema.fields.map(f => resolveKey(f.name) -> f).toMap
     df.schema.fields.foreach { f =>
       byKey.get(resolveKey(f.name)) match {

@@ -133,4 +133,38 @@ WHEN MATCHED AND psrc.v > 10 THEN UPDATE SET v = psrc.v
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 50L), (2L, 2L), (100L, 3L), (200L, 4L)))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns") {
+    val cat = freshCat
+    val lt = setup(cat)
+    Seq((2L, "B", 99L, "eu"), (9L, "n", 9L, "us"))
+      .toDF("id", "cat", "amount", "region")
+      .createOrReplaceTempView("esrc")
+    // without the clause, the same star merge DROPS region (alignment)
+    cat.sql("ns", """
+MERGE WITH SCHEMA EVOLUTION INTO t USING esrc ON t.id = esrc.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+""")
+    assert(lt.schema.fieldNames.toSeq == Seq("id", "cat", "amount", "region"))
+    val got = cat.sql("ns", "SELECT id, cat, amount, region FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)).getOrElse("-"))).toSeq
+    assert(got == Seq(
+      (1L, "a", 10L, "-"),   // pre-existing row: evolved column reads NULL
+      (2L, "B", 99L, "eu"),  // updated row carries the new column
+      (3L, "c", 30L, "-"),
+      (4L, "d", 40L, "-"),
+      (9L, "n", 9L, "us")))  // insert carries it too
+
+    // the SAME statement without the clause drops unknown source columns
+    Seq((3L, "C", 1L, "apac")).toDF("id", "cat", "amount", "extra2")
+      .createOrReplaceTempView("esrc2")
+    cat.sql("ns", """
+MERGE INTO t USING esrc2 ON t.id = esrc2.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+""")
+    assert(lt.schema.fieldNames.toSeq == Seq("id", "cat", "amount", "region"))
+  }
 }
