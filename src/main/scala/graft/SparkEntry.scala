@@ -695,6 +695,29 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_branch_ff" -> ((s, dir) => {
+      // staging branches (audit-branch workflow): two audited
+      // changesets accumulate on a branch invisibly, a bad branch is
+      // discarded whole, then ONE atomic fast-forward commit publishes
+      // the series (BranchStagingSpec asserts the single-commit and
+      // zero-rewrite algebra)
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-branchff") + "/t"
+      val slim = orders.select(col("o_orderkey"), col("o_totalprice"))
+      val lt = LakeTable.create(s, root, slim.schema)
+      lt.append(slim.where(col("o_orderkey") % 3 === 0))
+      lt.appendToBranch("audit", slim.where(col("o_orderkey") % 3 === 1))
+      lt.appendToBranch("audit",
+        slim.where(col("o_orderkey") % 3 === 1).limit(0)) // empty set ok
+      lt.appendToBranch("reject", slim.where(col("o_orderkey") % 3 === 2))
+      require(lt.scan().count() < lt.scanBranch("audit").count(),
+        "branch must be invisible pre-publish")
+      lt.discardBranch("reject")
+      lt.fastForwardBranch("audit")
+      lt.scan().select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_metadata_count" -> ((s, dir) => {
       // COUNT(*) answered from manifest record counts alone — zero data
       // I/O, zero Spark jobs (scan-count fallback covered in
@@ -1708,6 +1731,11 @@ WHEN NOT MATCHED THEN INSERT *
     "q_wap_publish" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
+
+    // published branch (%3∈{0,1}) minus the discarded one (%3=2)
+    "q_branch_ff" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 3 <> 2""".stripMargin,
 
     "q_time_travel_ts" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -623,12 +623,19 @@ object LakeSql {
         Seq(lt.publishStaged(str(1))).toDF("snapshot_id")
       case "discard_staged" =>
         lt.discardStaged(str(1)); spark.emptyDataFrame
+      // staging branches (audit-branch workflow): publish the whole
+      // branch as one atomic commit / drop everything parked
+      case "fast_forward" =>
+        Seq(lt.fastForwardBranch(str(1))).toDF("snapshot_id")
+      case "discard_branch" =>
+        lt.discardBranch(str(1)); spark.emptyDataFrame
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — supported: expire_snapshots[_older_" +
           "than], rewrite_data_files, compact_where, " +
           "rewrite_small_files, convert_equality_deletes, " +
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
-          "create_branch, drop_ref, publish_staged, discard_staged")
+          "create_branch, drop_ref, publish_staged, discard_staged, " +
+          "fast_forward, discard_branch")
     }
     cat.registerViews(ns)
     out

@@ -659,6 +659,87 @@ final class LakeTable private (
     fs.delete(stagedPath(wapId), false)
   }
 
+  // ------------------------------------------------- staging branches
+
+  /** Append-only STAGING BRANCHES on the WAP parking machinery —
+    * Iceberg's audit-branch workflow (`spark.wap.branch`): each
+    * [[appendToBranch]] parks one changeset in the branch's namespace,
+    * so the branch accumulates an ordered series of audited appends
+    * that table readers never see; [[fastForwardBranch]] publishes the
+    * WHOLE series as ONE atomic commit (all files land in a single
+    * snapshot — downstream incremental consumers see one batch);
+    * [[discardBranch]] drops everything parked. [[scanBranch]] previews
+    * table ∪ parked changesets — exactly what the table will read
+    * after the fast-forward. Branch-side row-level ops (merge/delete
+    * over parked state) are out of scope by design: stage, audit,
+    * publish-or-discard. Distinct from the named snapshot REFS
+    * ([[createBranch]]): a ref is a movable pointer over committed
+    * history; a staging branch holds uncommitted future state. */
+  private def branchPrefix(name: String) = s"b.$name."
+
+  /** Park `df` as the branch's next changeset; returns the changeset
+    * id. Ordinals are allocated optimistically — a racing writer's
+    * collision on the exclusive create retries with the next slot. */
+  def appendToBranch(name: String, df: DataFrame): String = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_-]+"),
+      s"bad branch name '$name'")
+    var attempt = 0
+    while (attempt < 50) {
+      val next = branchChangesets(name)
+        .flatMap(id => scala.util.Try(
+          id.stripPrefix(branchPrefix(name)).toLong).toOption)
+        .maxOption.getOrElse(0L) + 1
+      val id = f"b.$name.$next%06d"
+      try { stageAppend(df, id); return id }
+      catch {
+        // lost the ordinal race (pre-check or exclusive create):
+        // re-list and take the next slot
+        case _: IllegalArgumentException => attempt += 1
+        case _: java.io.IOException => attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"branch $name changeset allocation contended beyond 50 attempts")
+  }
+
+  /** The branch's parked changeset ids, in publish order. */
+  def branchChangesets(name: String): Seq[String] =
+    stagedIds.filter(_.startsWith(branchPrefix(name))).sorted
+
+  /** Preview: the table as it will read after [[fastForwardBranch]]. */
+  def scanBranch(name: String): DataFrame =
+    branchChangesets(name).foldLeft(scan())(
+      (acc, id) => acc.unionByName(scanStaged(id)))
+
+  /** Publish every parked changeset of the branch in ONE atomic append
+    * commit and clear the branch. Like [[publishStaged]], refuses if
+    * any changeset predates a schema or partition-spec evolution. */
+  def fastForwardBranch(name: String): Long = {
+    val ids = branchChangesets(name)
+    require(ids.nonEmpty, s"no staged changesets on branch $name on $root")
+    val loaded = ids.map(readStaged)
+    val entries = loaded.flatMap(_._3)
+    val added = entries.map(_.path)
+    val stats = entries.filter(_.stats.nonEmpty)
+      .map(e => e.path -> e.stats).toMap
+    val info = entries.flatMap(e => e.info.map(e.path -> _)).toMap
+    val id = commitWithRetry(current)() { b =>
+      loaded.foreach { case (schemaJson, specId, _) =>
+        require(b.schemaJson == schemaJson && b.currentSpecId == specId,
+          s"branch $name predates a schema or partition-spec " +
+            "evolution — discard and re-stage")
+      }
+      commit(b, "append", added = added, removed = Nil,
+        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info)
+    }
+    ids.foreach(i => fs.delete(stagedPath(i), false))
+    id
+  }
+
+  /** Drop every parked changeset of the branch (files included). */
+  def discardBranch(name: String): Unit =
+    branchChangesets(name).foreach(discardStaged)
+
   private def readFiles(relFiles: Seq[String]): DataFrame =
     readFilesAs(current, relFiles)
 
