@@ -629,13 +629,15 @@ object LakeSql {
         Seq(lt.fastForwardBranch(str(1))).toDF("snapshot_id")
       case "discard_branch" =>
         lt.discardBranch(str(1)); spark.emptyDataFrame
+      case "rewrite_manifests" =>
+        Seq(lt.rewriteManifests()).toDF("snapshot_id")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — supported: expire_snapshots[_older_" +
           "than], rewrite_data_files, compact_where, " +
           "rewrite_small_files, convert_equality_deletes, " +
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
-          "fast_forward, discard_branch")
+          "fast_forward, discard_branch, rewrite_manifests")
     }
     cat.registerViews(ns)
     out

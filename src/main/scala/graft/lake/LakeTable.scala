@@ -2309,6 +2309,24 @@ final class LakeTable private (
     files
   }
 
+  /** Metadata-only manifest compaction (≡ Iceberg's
+    * `rewrite_manifests`): regroup EVERY manifest entry into fresh
+    * full-size chunks, path-sorted so hive partition directories land
+    * contiguously — no data file moves, one commit. Two reasons to
+    * run it: (1) heavy churn (many selective rewrites) leaves more,
+    * smaller chunks than the incremental LSM fold alone repacks;
+    * (2) interleaved multi-partition ingest leaves each chunk spanning
+    * many partitions, so per-chunk summaries prune nothing — after the
+    * path-sort, a partition-selective scan materializes only that
+    * partition's chunks. Cost: O(live entries) driver work + rewriting
+    * every chunk file once; at 10⁸ files schedule it like any other
+    * maintenance pass. */
+  def rewriteManifests(): Long =
+    commitWithRetry(current)() { b =>
+      commit(b, "rewrite-manifests", added = Nil, removed = Nil,
+        live = b.liveFiles, rechunk = true)
+    }
+
   /** Bin-pack compaction: rewrite the current data into at most
     * `targetFilesPerPartition` files per hive partition (small-file
     * compaction — the maintenance operation an ingest-heavy lakehouse
@@ -2938,7 +2956,8 @@ final class LakeTable private (
       reuseChunksFrom: Seq[Snapshot] = Nil,
       specChange: Option[(Seq[String], Long, Map[Long, Seq[String]])] = None,
       fileSpecOverride: Option[Map[String, Long]] = None,
-      propertiesOverride: Option[Map[String, String]] = None): Long = {
+      propertiesOverride: Option[Map[String, String]] = None,
+      rechunk: Boolean = false): Long = {
     val id = base.snapshotId + 1
     // Append-shaped commits (nothing removed, no per-file overrides —
     // append, MOR merge/delete/update) keep every base entry live, so
@@ -2992,7 +3011,13 @@ final class LakeTable private (
     // crash strands only uuid-named orphans that maintenance reclaims.
     //
     val planned =
-      if (appendShaped)
+      if (rechunk)
+        // forced full re-chunk (rewriteManifests): ignore every parent
+        // chunk and regroup ALL entries path-sorted, so hive partition
+        // dirs land contiguously and chunk summaries come out tight
+        ManifestIO.Plan(Nil, ManifestIO.entriesOf(snap0).sortBy(_.path)
+          .grouped(ManifestIO.ChunkTargetEntries).toVector)
+      else if (appendShaped)
         ManifestIO.planAppend(base.manifests,
           added.map(f => ManifestEntry(f, seqs.getOrElse(f, 0L),
             stats.getOrElse(f, Map.empty),

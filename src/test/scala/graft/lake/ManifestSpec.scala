@@ -292,4 +292,47 @@ class ManifestSpec extends AnyFunSuite {
       fileInfo = Map.empty), ManifestIO.entriesOf(snap))
     assert(rt == snap)
   }
+
+  test("rewriteManifests re-clusters chunks so partition scans skip more") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot
+    val df0 = Seq((0L, "a", "seed")).toDF("id", "p", "v")
+    val t = LakeTable.create(spark, root, df0.schema,
+      partitionBy = Seq("p"))
+    // interleaved multi-partition appends: every commit writes one file
+    // per partition, so every delta chunk SPANS both partitions and a
+    // p-selective scan can skip nothing at the chunk level
+    (0 until 4).foreach { k =>
+      t.append(Seq((k * 2L, "a", s"a$k"), (k * 2 + 1L, "b", s"b$k"))
+        .toDF("id", "p", "v"))
+    }
+    val before = t.currentSnapshot.get
+    val rowsBefore = t.scan().orderBy("id").collect().toSeq
+
+    val fresh1 = LakeTable.load(spark, root)
+    fresh1.scan(col("p") === "a").count()
+    val loadsBefore = fresh1.chunkLoads.get()
+
+    t.rewriteManifests()
+    val after = t.currentSnapshot.get
+    // metadata-only: same files, same rows, one more snapshot
+    assert(after.liveFiles.toSet == before.liveFiles.toSet)
+    assert(after.operation == "rewrite-manifests")
+    assert(t.scan().orderBy("id").collect().toSeq == rowsBefore)
+    // chunks were actually rewritten (no reuse) and are path-sorted, so
+    // the two hive partition dirs occupy disjoint chunks
+    assert(after.manifests.toSet.intersect(before.manifests.toSet).isEmpty)
+
+    val fresh2 = LakeTable.load(spark, root)
+    assert(fresh2.scan(col("p") === "a").count() ==
+      fresh1.scan(col("p") === "a").count())
+    val loadsAfter = fresh2.chunkLoads.get()
+    assert(loadsAfter < loadsBefore,
+      s"partition scan loaded $loadsAfter chunks after rewrite, " +
+        s"$loadsBefore before — re-clustering bought nothing")
+
+    // SQL surface
+    val snapId = after.snapshotId
+    assert(t.rewriteManifests() == snapId + 1) // idempotent re-run commits
+  }
 }
