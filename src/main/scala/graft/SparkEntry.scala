@@ -1380,6 +1380,15 @@ WHEN NOT MATCHED THEN INSERT *
         probeHamming = 1)
     }),
 
+    "q_ann_pq" -> ((s, dir) => {
+      // product quantization: corpus compressed to 4 codeword ids per
+      // vector (64 floats → 4 bytes), queries score by ADC lookups
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.pqTopK(e, queries, k = 5)
+    }),
+
     "q_neardup_embedding" -> ((s, dir) =>
       SimilaritySearch.cosineNearDupPairs(t(s, dir, "embeddings"),
         threshold = 0.25, nPlanes = 6)),
@@ -2403,6 +2412,49 @@ WHEN NOT MATCHED THEN INSERT *
         |      ORDER BY list_cosine_similarity(a.corpus_vec::DOUBLE[],
         |        p.query_vec::DOUBLE[]) DESC, a.corpus_id ASC) AS rnk
         |  FROM assign a JOIN probe p ON a.cid = p.cid)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // product quantization: id-sampled per-block codebooks (the SQL
+    // replays them), argmin-L2 encoding, ADC scoring in a FIXED
+    // 4-term add order so both engines' doubles are bit-identical
+    "q_ann_pq" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS j,
+        |         embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT m, j, v[(m-1)*16+1:m*16] AS c
+        |  FROM seeds, unnest(generate_series(1, 4)) AS t(m)),
+        |enc AS (
+        |  SELECT vec_id, m, j FROM (
+        |    SELECT e.vec_id, cb.m, cb.j,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+        |        ORDER BY list_distance(
+        |          (e.embedding::DOUBLE[])[(cb.m-1)*16+1:cb.m*16], cb.c),
+        |          cb.j) AS rn
+        |    FROM embeddings e CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |parts AS (
+        |  SELECT q.vec_id AS query_id, enc.vec_id AS corpus_id, enc.m,
+        |    list_inner_product(
+        |      (q.embedding::DOUBLE[])[(enc.m-1)*16+1:enc.m*16], cb.c) AS p
+        |  FROM embeddings q
+        |  CROSS JOIN enc
+        |  JOIN cb ON enc.m = cb.m AND enc.j = cb.j
+        |  WHERE q.vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    max(CASE WHEN m=1 THEN p END) + max(CASE WHEN m=2 THEN p END)
+        |    + max(CASE WHEN m=3 THEN p END)
+        |    + max(CASE WHEN m=4 THEN p END) AS score
+        |  FROM parts GROUP BY query_id, corpus_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT query_id, corpus_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, corpus_id) AS rnk
+        |  FROM scored)
         |WHERE rnk <= 5""".stripMargin,
 
     // streaming sessionize emits every CLOSED session = the batch

@@ -235,6 +235,85 @@ object SimilaritySearch {
     cents
   }
 
+  /** Product-quantization (PQ) approximate top-k — the MEMORY scale
+    * path: the vector dimension splits into `nSubspaces` blocks, each
+    * block gets a tiny per-block codebook (`nCodes` codewords), and
+    * every corpus vector is ENCODED as just its per-block codeword ids
+    * — `nSubspaces` small ints instead of `dim` floats (64-dim float32
+    * → 4 bytes: a 25 TB embedding column fits executor memory as a
+    * ~1.6 TB code column). Queries score candidates with ADC
+    * (asymmetric distance computation): the approximate inner product
+    * is the sum over blocks of query-subvector · codeword — the query
+    * side stays exact, only the corpus is quantized.
+    *
+    * Codebooks are id-sampled exactly like [[ivfTopK]]'s centroids
+    * (the `nCodes` lowest-id vectors' sub-slices — reproducible in
+    * plain SQL, which is what the correctness oracle replays);
+    * codeword assignment is argmin squared-L2 per block, ties to the
+    * lowest codeword id. All double math in a FIXED fold order so the
+    * oracle's arithmetic is bit-identical.
+    *
+    * Scale shape: the codebook is a driver-side literal
+    * (nSubspaces × nCodes × dim/nSubspaces floats — KBs); encoding is
+    * pure map-side `transform` math, zero corpus shuffle, and the
+    * scored candidate set is corpus × broadcast queries exactly like
+    * [[bruteForceTopK]] but at ~nSubspaces lookups per pair instead of
+    * `dim` multiplies. A production variant composes with [[ivfTopK]]
+    * (IVF-PQ): coarse cells bound the candidates, PQ codes pay the
+    * per-candidate cost; same plan shape. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nSubspaces: Int = 4, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("corpus_vec"))
+    val seedRows = c.orderBy("corpus_id").limit(nCodes).collect()
+    require(seedRows.nonEmpty, "empty corpus")
+    val dim = seedRows.head.getSeq[Float](1).size
+    require(dim % nSubspaces == 0,
+      s"dim $dim not divisible into $nSubspaces subspaces")
+    val sub = dim / nSubspaces
+    // codebook(m)(j): the j-th seed's m-th sub-slice, as doubles
+    val cbLit = array((0 until nSubspaces).map(m =>
+      array(seedRows.map(r => typedLit(
+        r.getSeq[Float](1).slice(m * sub, (m + 1) * sub)
+          .map(_.toDouble).toSeq)): _*)): _*)
+
+    def toD(v: Column) = transform(v, x => x.cast("double"))
+    def sqDist(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    def inner(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+    // encode map-side: code(m) = argmin_j ||x_m − c_{m,j}||², 1-based
+    val encoded = c
+      .withColumn("__vd", toD(col("corpus_vec")))
+      .withColumn("code",
+        transform(sequence(lit(1), lit(nSubspaces)), m =>
+          array_min(transform(sequence(lit(1), lit(nCodes)), j =>
+            struct(
+              sqDist(slice(col("__vd"), (m - lit(1)) * sub + lit(1), lit(sub)),
+                element_at(element_at(cbLit, m), j)).as("d"),
+              j.as("j")))).getField("j")))
+      .select(col("corpus_id"), col("code"))
+
+    // ADC scoring: exact query subvectors against quantized corpus
+    val q = queries.select(col(queryIdCol), toD(col(vecCol)).as("__qd"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .withColumn("score",
+        aggregate(sequence(lit(1), lit(nSubspaces)), lit(0.0), (acc, m) =>
+          acc + inner(
+            slice(col("__qd"), (m - lit(1)) * sub + lit(1), lit(sub)),
+            element_at(element_at(cbLit, m),
+              element_at(col("code"), m)))))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(round(col("score"), 6).desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("corpus_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
     * itself, exact cosine within buckets, keep pairs ≥ `threshold`.
     * `nPlanes` is a MINIMUM — the effective count grows with the corpus

@@ -245,4 +245,40 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((100L, 101L)))
   }
+
+  test("pq: a corpus vector equal to a seed scores its own exact product") {
+    // 4-dim, 2 subspaces of 2: seeds are ids 0 and 1, so their codes
+    // quantize losslessly and ADC reproduces the exact inner product
+    val c = Seq(
+      (0L, vec(1, 0, 0, 1)),
+      (1L, vec(0, 1, 1, 0)),
+      (2L, vec(1, 0, 0, 0.9)) // nearest codewords: (seed0_a, seed0_b)
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, vec(1, 0, 0, 1))).toDF("query_id", "embedding")
+      .select($"query_id", $"embedding")
+    val got = SimilaritySearch.pqTopK(c, q, k = 3, nSubspaces = 2,
+      nCodes = 2).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Double]("score")))
+    // vec 0: exact — q·(1,0|0,1) = 2; vec 2 quantizes TO seed 0's
+    // codewords, so it scores the same 2.0 (id tiebreak puts 0 first);
+    // vec 1: q·(0,1|1,0) = 0
+    assert(got.toSeq == Seq((0L, 2.0), (2L, 2.0), (1L, 0.0)))
+  }
+
+  test("pq recall tracks brute force on the real corpus") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = SimilaritySearch.bruteForceTopK(e, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("corpus_id"))).toSet
+    val pq = SimilaritySearch.pqTopK(e, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("corpus_id"))).toSet
+    // quantized scores are approximations, and this synthetic corpus is
+    // near-random (the worst case for PQ: no cluster structure for the
+    // codebooks to exploit) — demand far-better-than-chance overlap,
+    // not production recall: random top-10-of-500 would land ~0.02
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.1, s"pq recall $recall vs brute force")
+  }
 }
