@@ -22,9 +22,10 @@ import graft.streaming.{StreamingIngest, StreamingSessionize}
   * sorted columns): identical column names/aliases on both sides; sums of
   * integers CAST to BIGINT in DuckDB (it widens to HUGEINT); doubles
   * rounded (2dp money, 4dp ratios, 6dp cosines); event-time compared in
-  * epoch MICROseconds (events.parquet carries ns — Spark reads them as
-  * long via nanosAsLong, DuckDB truncates to its µs timestamps; `ts div
-  * 1000` ≡ `epoch_us(ts)`); timestamp literals built with `to_timestamp`
+  * epoch MICROseconds (events.ts normalizes to `ts_us` via the
+  * schema-adaptive [[graft.sources.EventTime]] — ns longs truncate,
+  * µs timestamps read exact; both ≡ DuckDB `epoch_us(ts)`);
+  * timestamp literals built with `to_timestamp`
   * so the session timezone (UTC), not the JVM default, interprets them.
   */
 object SparkEntry {
@@ -34,11 +35,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events carries ns-precision timestamps → read as long nanos and
-    * derive µs (integer division, matching DuckDB's ns→µs truncation). */
+  /** events' `ts` has shipped as int64 nanos AND as TIMESTAMP(µs) across
+    * fixture generations → normalize via the schema-adaptive
+    * [[graft.sources.EventTime]] (ts_us ≡ DuckDB `epoch_us(ts)` either
+    * way). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    graft.sources.EventTime.withTsUs(t(s, dir, "events"))
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =

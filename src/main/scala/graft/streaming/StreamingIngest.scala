@@ -17,15 +17,24 @@ object StreamingIngest {
 
   private val counter = new AtomicInteger(0)
 
-  /** The events table's file schema (ns timestamps surface as long nanos;
-    * sessions must set spark.sql.legacy.parquet.nanosAsLong=true). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming read of the events files with event time normalized to
+    * `event_time` (TimestampType) + `ts_us` (epoch µs LongType),
+    * whatever the files' physical ts encoding (int64 nanos vs
+    * TIMESTAMP(µs) — see [[graft.sources.EventTime]]). The file stream
+    * source requires a declared schema, so resolve the REAL one with a
+    * batch footer read first instead of hard-coding an encoding the
+    * producer may have changed. */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema =
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val tsType = fileSchema("ts").dataType
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("event_time", graft.sources.EventTime.eventTimeExpr(tsType))
+      .withColumn("ts_us", unix_micros(col("event_time")))
+  }
 
   /** Tail a lake table's COMMIT LOG as a stream
     * (`format("graft-lake")`, offsets = snapshot ids — see
@@ -62,10 +71,8 @@ object StreamingIngest {
     * value sum. */
   def availableNowAggregate(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_agg_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val stream = eventsStream(spark, dir, glob)
     val agg = stream.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     val q = agg.writeStream
@@ -87,12 +94,8 @@ object StreamingIngest {
       windowDuration: String = "1 hour",
       watermarkDelay: String = "1 hour",
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_window_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
-      .withColumn("event_time",
-        timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(spark, dir, glob)
     val agg = stream
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), windowDuration),
@@ -127,11 +130,8 @@ object StreamingIngest {
   def streamingDedup(spark: SparkSession, dir: String,
       watermarkDelay: String = "1 hour",
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    def delivery() = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    def delivery() = eventsStream(spark, dir, glob)
     val deduped = delivery().union(delivery())
       .withWatermark("event_time", watermarkDelay)
       // key on the µs event time (not raw ns): the dedup key should be
@@ -158,16 +158,14 @@ object StreamingIngest {
     * result is deterministic and equals the batch interval join. */
   def intervalJoin(spark: SparkSession, dir: String,
       windowSeconds: Long, glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_ijoin_${counter.incrementAndGet()}"
     def side(eventType: String, prefix: String) =
-      spark.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", glob).parquet(dir)
+      eventsStream(spark, dir, glob)
         .where(col("event_type") === eventType)
         .select(
           col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_time"))
+          col("event_time").as(s"${prefix}_time"))
         .withWatermark(s"${prefix}_time", "1 hour")
     val clicks = side("click", "c")
     val purchases = side("purchase", "p")
@@ -214,7 +212,7 @@ object StreamingIngest {
   * stateful streaming job at 100 TB/day needs. */
 object StreamingSessionize {
 
-  case class Event(event_id: Long, ts: Long, user_id: Long,
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start_us: Long,
@@ -227,11 +225,11 @@ object StreamingSessionize {
 
     def fn(user: Long, it: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       var cur = state.getOption
       sorted.foreach { e =>
-        val tsUs = e.ts / 1000L
+        val tsUs = e.ts_us
         cur match {
           case Some(s) if tsUs - s.end > gapUs =>
             out += Session(user, s.start, s.end, s.n, s.total)
@@ -257,12 +255,9 @@ object StreamingSessionize {
   def run(spark: SparkSession, dir: String,
       gapSeconds: Long, glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val events = spark.readStream
-      .schema(StreamingIngest.eventsSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val events = StreamingIngest.eventsStream(spark, dir, glob)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
       .as[Event]
     val q = sessionize(events, gapSeconds).writeStream
       .outputMode(OutputMode.Append)

@@ -29,8 +29,8 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = StreamingIngest.intervalJoin(spark, dir, win)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.sources.EventTime.withTsUs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val c = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts_us").as("cts"))
@@ -52,8 +52,8 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "session_start_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.sources.EventTime.withTsUs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val batch = Sessionize.byGap(ev, "user_id", col("ts_us"), "value", gap)
     // drop each user's final (still-open) session
     val closed = batch

@@ -18,8 +18,8 @@ class WindowedStreamSpec extends AnyFunSuite {
         r.getLong(3), r.getDouble(4))).toSet
 
     // batch equivalent: tumbling windows with end <= max(event) - delay
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.sources.EventTime.withTsUs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val hourUs = 3600L * 1000000L
     val maxTs = ev.agg(max($"ts_us")).collect()(0).getLong(0)
     val closed = ev
