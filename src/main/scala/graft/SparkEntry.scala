@@ -767,7 +767,7 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_sql_count_pushdown" -> ((s, dir) => {
       // SQL COUNT(*) over a lake view answers from the MANIFEST
-      // (ManifestCountRule: zero data I/O, plan-shape-gated —
+      // (ManifestAggRule: zero data I/O, plan-shape-gated —
       // CountRowsSpec asserts no FileSourceScan); the oracle recounts
       // from raw parquet. The WHERE variant beside it takes the normal
       // pruned-scan path in the same statement.
@@ -781,6 +781,25 @@ WHEN NOT MATCHED THEN INSERT *
         """SELECT (SELECT count(*) FROM lineitem_t) AS total,
           |       count(*) AS high_qty
           |FROM lineitem_t WHERE l_quantity > 40""".stripMargin)
+    }),
+
+    "q_sql_minmax_pushdown" -> ((s, dir) => {
+      // global MIN/MAX (+ count) over a lake view answer from MANIFEST
+      // column bounds (ManifestAggRule: zero data I/O at any scale —
+      // ManifestAggSpec asserts no FileSourceScan and exercises every
+      // fallback gate); the oracle recomputes from raw parquet.
+      // Integer + string columns only: fp bounds are pruning-widened
+      // on purpose and never answer exact aggregates.
+      val lineitem = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val cat = new LakeCatalog(s, tmp("graft-minmax"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "lineitem_t", lineitem.schema)
+      cat.loadTable("ns", "lineitem_t").append(lineitem)
+      cat.sql("ns",
+        """SELECT count(*) AS n, min(l_orderkey) AS min_key,
+          |  max(l_orderkey) AS max_key, min(l_returnflag) AS min_flag,
+          |  max(l_returnflag) AS max_flag FROM lineitem_t""".stripMargin)
     }),
 
     "q_analyze_stats" -> ((s, dir) => {
@@ -1224,6 +1243,26 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_dedup_simhash" -> ((s, dir) =>
       TextDedup.simHashPairs(docs(s, dir), maxHamming = 3)),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // production incremental dedup: the historical corpus (doc_id % 3
+      // != 0) is represented by a signature INDEX persisted in a lake
+      // table; the new batch (doc_id % 3 == 0) admits against it —
+      // exact digests + LSH candidates (batch side broadcast, corpus
+      // never shuffles) + true-Jaccard verification on candidate texts.
+      // bands=64 (r=2) makes LSH recall total at threshold 0.5 for this
+      // corpus (same guarantee q_dedup_minhash relies on).
+      import graft.operators.IncrementalDedup
+      val d = docs(s, dir)
+      val corpus = d.where(col("doc_id") % 3 =!= 0)
+      val batch = d.where(col("doc_id") % 3 === 0)
+      val idx = IncrementalDedup.buildIndex(corpus)
+      val t = graft.lake.LakeTable.create(s,
+        tmp("graft-dedup-idx") + "/t", idx.schema)
+      t.append(idx)
+      IncrementalDedup.admit(t.scan(), corpus, batch,
+        bands = 64, threshold = 0.5)
+    }),
 
     // representatives over the EXACT ngram-jaccard pairs (not the
     // hash-seeded simhash pairs) so the transitive-closure output is
@@ -1902,6 +1941,12 @@ WHEN NOT MATCHED THEN INSERT *
         |       count(*) AS high_qty
         |FROM lineitem WHERE l_quantity > 40""".stripMargin,
 
+    "q_sql_minmax_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+        |FROM lineitem""".stripMargin,
+
     "q_analyze_stats" ->
       """SELECT 'stats.num_rows' AS key,
         |       CAST(count(*) AS VARCHAR) AS value FROM orders
@@ -2569,6 +2614,60 @@ WHEN NOT MATCHED THEN INSERT *
         |WHERE comp.x IS NULL OR comp.rep = d.doc_id""".stripMargin,
 
     "q_dedup_simhash" -> simhashOracleSql,
+
+    // incremental admission: batch = doc_id % 3 == 0 against corpus =
+    // the rest; dup_of = smallest matching id among corpus matches and
+    // lower-id batch matches (exact md5 OR trigram-shingle J >= 0.5);
+    // exact beats near on the same id; unmatched batch docs are novel
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM toks WHERE len(ts) >= 3),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(ts, ' ') AS gram
+        |  FROM toks WHERE len(ts) < 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |md AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pair AS (
+        |  SELECT y.doc_id AS doc_id, x.doc_id AS dup_of,
+        |    CAST(count(*) AS DOUBLE) / (cy.n + cx.n - count(*)) AS j
+        |  FROM g x JOIN g y ON x.gram = y.gram
+        |  JOIN cnt cx ON cx.doc_id = x.doc_id
+        |  JOIN cnt cy ON cy.doc_id = y.doc_id
+        |  WHERE y.doc_id % 3 = 0
+        |    AND (x.doc_id % 3 <> 0 OR x.doc_id < y.doc_id)
+        |  GROUP BY y.doc_id, x.doc_id, cy.n, cx.n),
+        |exacts AS (
+        |  SELECT b.doc_id AS doc_id, a.doc_id AS dup_of
+        |  FROM md a JOIN md b ON a.h = b.h
+        |  WHERE b.doc_id % 3 = 0
+        |    AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)),
+        |matches AS (
+        |  SELECT doc_id, dup_of, 0 AS ex FROM pair WHERE j >= 0.5
+        |  UNION ALL SELECT doc_id, dup_of, 1 AS ex FROM exacts),
+        |best AS (
+        |  SELECT doc_id, dup_of, ex, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY dup_of ASC, ex DESC) AS rn
+        |  FROM matches)
+        |SELECT doc_id, dup_of,
+        |  CASE WHEN ex = 1 THEN 'exact' ELSE 'near' END AS kind
+        |FROM best WHERE rn = 1
+        |UNION ALL
+        |SELECT d.doc_id, CAST(NULL AS BIGINT) AS dup_of, 'novel' AS kind
+        |FROM documents d
+        |WHERE d.doc_id % 3 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM matches m WHERE m.doc_id = d.doc_id)"""
+        .stripMargin,
 
     // winnowing fingerprint = min over 16-char windows of the polynomial
     // rolling hash, whose 64-bit wraparound is plain mod-2^64 arithmetic:

@@ -57,7 +57,7 @@ final class LakeTable private (
   // (see NormalizeZeroComparisonLiterals) for every scan in the session
   NormalizeZeroComparisonLiterals.ensure(spark)
   // metadata-only COUNT(*) rewrite for manifest-backed scans
-  ManifestCountRule.ensure(spark)
+  ManifestAggRule.ensure(spark)
 
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(hconf)
@@ -2137,16 +2137,57 @@ final class LakeTable private (
     }
     // exact relation row count from manifest footer counts (None if
     // any file predates row-count recording) — lets a bare COUNT(*)
-    // answer from metadata (ManifestCountRule); delete anti-joins
+    // answer from metadata (ManifestAggRule); delete anti-joins
     // above this relation block that rewrite by plan shape, so MOR
     // state can never leak into the fast path
     val knownRows =
       if (relFiles.forall(ctx.fileInfo.contains))
         Some(relFiles.map(ctx.fileInfo(_).rows).sum)
       else None
+    // proven exact column bounds for the metadata MIN/MAX leg of
+    // ManifestAggRule — a LAZY fold (cost ∝ files × cols, paid only by
+    // plans the rule can actually rewrite). A column is proven iff
+    // EVERY planned file either reports footer bounds for it or is
+    // proven all-null for it (recorded null count == the file's row
+    // count, or an empty file); one unprovable file drops the column.
+    // Keys are this era's PHYSICAL names (the relation's attributes) —
+    // stats are held under current logical names.
+    val knownBounds: () => Map[String, Option[(String, String)]] = () =>
+      if (knownRows.isEmpty) Map.empty
+      else logicalSchema.fields.iterator.flatMap { fld =>
+        if (!ManifestAggRule.exactStatType(fld.dataType)) None
+        else {
+          var mn: String = null
+          var mx: String = null
+          var any = false
+          var ok = true
+          val it = relFiles.iterator
+          while (ok && it.hasNext) {
+            val f = it.next()
+            val st = ctx.fileStats.getOrElse(f, Map.empty)
+            st.get(fld.name) match {
+              case Some(cs) =>
+                if (!any) { mn = cs.min; mx = cs.max; any = true }
+                else {
+                  if (FileStats.cmp(fld.dataType, cs.min, mn) < 0) mn = cs.min
+                  if (FileStats.cmp(fld.dataType, cs.max, mx) > 0) mx = cs.max
+                }
+              case None =>
+                val rows = ctx.fileInfo(f).rows
+                val allNull = rows == 0L || st
+                  .get(FileStats.nullsKey(fld.name))
+                  .exists(_.min.toLong == rows)
+                if (!allNull) ok = false
+            }
+          }
+          if (!ok) None
+          else Some(mapping.getOrElse(fld.name, fld.name) ->
+            (if (any) Some((mn, mx)) else None))
+        }
+      }.toMap
     GraftManifestFileIndex.dataFrame(spark,
       Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,
-      bucketSpec, knownRows)
+      bucketSpec, knownRows, knownBounds)
   }
 
   /** Bloom pruning for pushed literal equalities (the read-side twin of

@@ -1,0 +1,161 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftlake.GraftManifestFileIndex
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Answers `SELECT COUNT(*) / MIN(col) / MAX(col) FROM lake_table` from
+  * the MANIFEST — zero data I/O at any scale (≡ Iceberg's DSv2 aggregate
+  * pushdown; this engine's scans are DSv1, so the same win lands as an
+  * optimizer rewrite). The API twin of the count leg is
+  * [[LakeTable.countRows]] (q_metadata_count); this rule gives the SQL
+  * surface the same O(1) answer: on a 100 TB table,
+  * `SELECT count(*), min(ts), max(ts)` over a registered view goes from
+  * a full scan of every row group to driver-side manifest arithmetic.
+  *
+  * Strictly conservative by PLAN SHAPE — the rewrite fires only when:
+  *  - the aggregate is global (no grouping) and EVERY output is a bare
+  *    `count(*)` / `count(<non-null literal>)` / `min(col)` / `max(col)`
+  *    (no DISTINCT, no FILTER clause, no other functions mixed in);
+  *  - the child is the scan's Project chain over a [[LogicalRelation]]
+  *    whose file index is a [[GraftManifestFileIndex]] carrying the
+  *    needed answer from the manifest (exact row count for count; a
+  *    proven column bound for min/max — see `columnBounds`' contract in
+  *    [[LakeTable]]: every live file either reports exact footer bounds
+  *    for the column or is PROVEN all-null via its recorded null count),
+  *    or a Union of such per-era sub-scans. Projects must forward the
+  *    attribute unchanged (alias-only); ANYTHING else — Filter, the MOR
+  *    delete anti-joins, limits, samples, expression projects — blocks
+  *    the rewrite and the query runs normally.
+  *  - the column's type has EXACT manifest bounds. Float/double are
+  *    excluded on purpose: their recorded bounds are pruning-widened
+  *    (±0.0 canonicalization, NaN-poisoned files drop bounds), sound
+  *    for skipping but not exact answers.
+  * MOR tables with outstanding deletes are safe by construction: their
+  * read plan contains anti-joins, which block the pattern. */
+object ManifestAggRule extends Rule[LogicalPlan] {
+
+  /** Types whose manifest bounds are exact values from the data (footer
+    * min/max or identity-partition dir values) — safe to RETURN, not
+    * just prune with. */
+  def exactStatType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType | BooleanType | StringType => true
+    case _ => false
+  }
+
+  /** Encoded stat string → Catalyst internal value of `dt`. */
+  private def internalValue(dt: DataType, s: String): Any = dt match {
+    case ByteType      => s.toLong.toByte
+    case ShortType     => s.toLong.toShort
+    case IntegerType   => s.toLong.toInt
+    case DateType      => s.toLong.toInt // days
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case BooleanType   => s.toLong != 0L
+    case StringType    => UTF8String.fromString(s)
+    case other => throw new IllegalStateException(s"no exact stats: $other")
+  }
+
+  /** Exact relation row count, looking through count-preserving
+    * Projects and summing per-era Union legs; None = cannot prove. */
+  private def relationCount(p: LogicalPlan): Option[Long] = p match {
+    case Project(_, child) => relationCount(child)
+    case u: Union =>
+      val legs = u.children.map(relationCount)
+      if (legs.forall(_.isDefined)) Some(legs.flatten.sum) else None
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftManifestFileIndex => g.knownRowCount
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Proven bounds for `attr`, resolved through alias-only Projects and
+    * per-era Unions down to the manifest index.
+    * None = cannot prove; Some(None) = proven all-null (min/max = NULL);
+    * Some(Some((min, max))) = encoded exact bounds. */
+  private def attrBounds(p: LogicalPlan, attr: Attribute)
+      : Option[Option[(String, String)]] = p match {
+    case Project(projList, child) =>
+      projList.find(_.exprId == attr.exprId) match {
+        case Some(ar: AttributeReference) => attrBounds(child, ar)
+        case Some(Alias(ar: AttributeReference, _)) => attrBounds(child, ar)
+        case _ => None // computed column / missing: cannot resolve
+      }
+    case u: Union =>
+      val idx = u.output.indexWhere(_.exprId == attr.exprId)
+      if (idx < 0) None
+      else {
+        val dt = attr.dataType
+        val legs = u.children.map(c => attrBounds(c, c.output(idx)))
+        if (legs.exists(_.isEmpty)) None
+        else {
+          // all-null legs contribute no values (SQL min/max ignore nulls)
+          val vals = legs.flatten.flatten
+          if (vals.isEmpty) Some(None)
+          else Some(Some(vals.reduce { (a, b) =>
+            (if (FileStats.cmp(dt, b._1, a._1) < 0) b._1 else a._1,
+              if (FileStats.cmp(dt, b._2, a._2) > 0) b._2 else a._2)
+          }))
+        }
+      }
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftManifestFileIndex => g.columnBounds.get(attr.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The constant this output expression folds to, or None = blocked. */
+  private def constantFor(e: NamedExpression, child: LogicalPlan)
+      : Option[Any] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          relationCount(child).map(n => n: Any)
+        case Min(a: Attribute) if exactStatType(a.dataType) =>
+          attrBounds(child, a).map(_.map(b =>
+            internalValue(a.dataType, b._1)).orNull)
+        case Max(a: Attribute) if exactStatType(a.dataType) =>
+          attrBounds(child, a).map(_.map(b =>
+            internalValue(a.dataType, b._2)).orNull)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate
+        if agg.groupingExpressions.isEmpty &&
+          agg.aggregateExpressions.nonEmpty =>
+      val values = agg.aggregateExpressions.map(constantFor(_, agg.child))
+      if (values.forall(_.isDefined))
+        LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(values.map(_.get))),
+          isStreaming = false, stream = None)
+      else agg
+  }
+
+  /** Idempotent per-session registration (same hook as
+    * [[NormalizeZeroComparisonLiterals]]). */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.contains(this))
+      exp.extraOptimizations = exp.extraOptimizations :+ this
+  }
+}

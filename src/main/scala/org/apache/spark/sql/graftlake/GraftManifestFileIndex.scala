@@ -48,12 +48,24 @@ class GraftManifestFileIndex(
     prune: Seq[Expression] => (Path => Boolean),
     /** Exact total rows across `statuses` per the manifest's footer
       * counts, when every file reported one — lets
-      * [[graft.lake.ManifestCountRule]] answer a bare COUNT(*) with
+      * [[graft.lake.ManifestAggRule]] answer a bare COUNT(*) with
       * zero data I/O. None = at least one file's count is unknown. */
-    val knownRowCount: Option[Long] = None)
+    val knownRowCount: Option[Long] = None,
+    /** Thunk producing PROVEN exact column bounds across `statuses`
+      * (encoded in the manifest stat domain, keyed by this scan's
+      * physical column names): absent key = unproven, `None` = proven
+      * all-null, `Some((min, max))` = exact. Lazily forced — only a
+      * plan that [[graft.lake.ManifestAggRule]] can rewrite pays the
+      * fold over per-file stats. */
+    knownColumnBounds: () => Map[String, Option[(String, String)]] =
+      () => Map.empty)
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], parameters,
     Some(userSchema), NoopCache) {
+
+  /** Forced at most once, and only by [[graft.lake.ManifestAggRule]]. */
+  lazy val columnBounds: Map[String, Option[(String, String)]] =
+    knownColumnBounds()
 
   private val leaves: LinkedHashMap[Path, FileStatus] = {
     val m = LinkedHashMap.empty[Path, FileStatus]
@@ -101,7 +113,9 @@ object GraftManifestFileIndex {
       prune: Seq[Expression] => (Path => Boolean),
       bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]
         = None,
-      knownRowCount: Option[Long] = None): DataFrame = {
+      knownRowCount: Option[Long] = None,
+      knownColumnBounds: () => Map[String, Option[(String, String)]] =
+        () => Map.empty): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     // file sources always read under a nullable schema (DataFrameReader
     // applies `asNullable` to user schemas; a file CAN hold nulls
@@ -109,7 +123,7 @@ object GraftManifestFileIndex {
     // non-nullable long column would silently read nulls as 0
     val fullSchema = schema.asNullable
     val index = new GraftManifestFileIndex(cs, parameters, fullSchema,
-      statuses, prune, knownRowCount)
+      statuses, prune, knownRowCount, knownColumnBounds)
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partNames(f.name)))

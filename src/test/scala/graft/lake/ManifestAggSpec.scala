@@ -1,0 +1,141 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Metadata-only MIN/MAX (+ count) via ManifestAggRule: with a
+  * fully-informed manifest and no outstanding deletes, a global
+  * min/max/count aggregate is driver arithmetic over manifest bounds —
+  * zero data I/O; every unprovable shape (filters, fp columns, MOR
+  * delete state, expression projections) falls back to the scan and
+  * stays exact. */
+class ManifestAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hasFileScan(q: org.apache.spark.sql.DataFrame): Boolean = {
+    q.collect()
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scan(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scan(s.plan)
+        case _ => false
+      }
+    scan(q.queryExecution.executedPlan)
+  }
+
+  test("global min/max/count answer from the manifest: no file scan") {
+    val df = (1L to 500L).map { i =>
+      (i, s"s${500 - i}", new Timestamp(1700000000000L + i * 1000L),
+        i % 2 == 0)
+    }.toDF("k", "s", "ts", "b")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(4))
+
+    val q = cat.sql("ns",
+      """SELECT count(*) AS n, min(k) AS mnk, max(k) AS mxk,
+        |  min(s) AS mns, max(s) AS mxs, min(ts) AS mnt, max(ts) AS mxt,
+        |  min(b) AS mnb, max(b) AS mxb FROM t""".stripMargin)
+    val r = q.collect().head
+    assert(r.getLong(0) == 500L)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 500L)
+    assert(r.getString(3) == "s0" && r.getString(4) == "s99")
+    assert(r.getTimestamp(5) == new Timestamp(1700000001000L))
+    assert(r.getTimestamp(6) == new Timestamp(1700000500000L))
+    assert(!r.getBoolean(7) && r.getBoolean(8))
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+
+    // DataFrame API path gets the same rewrite
+    val api = cat.loadTable("ns", "t").scan()
+      .agg(min($"k").as("mnk"), max($"s").as("mxs"))
+    assert(api.collect().head.getLong(0) == 1L)
+    assert(!hasFileScan(api))
+  }
+
+  test("proven all-null column: NULL min/max with no scan") {
+    val df = (1L to 50L).map(i => (i, Option.empty[java.lang.Long]))
+      .toDF("k", "empty")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-null"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(2))
+    val q = cat.sql("ns",
+      "SELECT min(empty) AS mn, max(empty) AS mx, min(k) AS mnk FROM t")
+    val r = q.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 1L)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+  }
+
+  test("unprovable shapes fall back to the scan and stay exact") {
+    val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
+      .toDF("k", "x", "v")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fb"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(3))
+
+    // fp bounds are pruning-widened, never answers: scan, exact
+    val fp = cat.sql("ns", "SELECT min(x) AS mn, max(x) AS mx FROM t")
+    val rfp = fp.collect().head
+    assert(rfp.getDouble(0) == 1 / 7.0 && rfp.getDouble(1) == 300 / 7.0)
+    assert(hasFileScan(fp))
+
+    // filters block the rewrite
+    val filtered =
+      cat.sql("ns", "SELECT min(k) AS mn FROM t WHERE k > 100")
+    assert(filtered.collect().head.getLong(0) == 101L)
+    assert(hasFileScan(filtered))
+
+    // expression aggregates block it
+    val exprAgg = cat.sql("ns", "SELECT min(k + 1) AS mn FROM t")
+    assert(exprAgg.collect().head.getLong(0) == 2L)
+    assert(hasFileScan(exprAgg))
+
+    // grouped aggregates block it
+    val grouped = cat.sql("ns",
+      "SELECT k % 2 AS g, min(k) AS mn FROM t GROUP BY k % 2")
+    assert(grouped.collect().length == 2)
+    assert(hasFileScan(grouped))
+  }
+
+  test("MOR delete state blocks the rewrite; result stays exact") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("magg-mor") + "/t",
+      df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(df.repartition(2))
+    t.deleteByKeys(Seq(1L, 100L).toDF("k"), Seq("k"))
+    val q = t.scan().agg(min($"k").as("mn"), max($"k").as("mx"),
+      count(lit(1)).as("n"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 99L && r.getLong(2) == 98L)
+    assert(hasFileScan(q))
+    // compaction folds the deletes in -> metadata answers come back
+    t.compact(1)
+    val q2 = t.scan().agg(min($"k").as("mn"), max($"k").as("mx"))
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == 2L && r2.getLong(1) == 99L)
+    assert(!hasFileScan(q2))
+  }
+
+  test("renamed column still answers from the manifest (physical-name keying)") {
+    val df = (1L to 60L).map(i => (i, s"v$i")).toDF("a", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("magg-ren") + "/t",
+      df.schema)
+    t.append(df)
+    t.renameColumn("a", "b")
+    val q = t.scan().agg(min($"b").as("mn"), max($"b").as("mx"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 60L)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+  }
+}
