@@ -783,6 +783,29 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM lineitem_t WHERE l_quantity > 40""".stripMargin)
     }),
 
+    "q_runtime_filter_join" -> ((s, dir) => {
+      // dynamic file pruning for a fact⋈dim join: the fact table's file
+      // list shrinks to files that can hold the dim's ACTUAL keys
+      // (range bounds on the clustered ingest + per-file Blooms) before
+      // Spark plans a single task — RuntimeFilterSpec asserts the file
+      // count drops; the oracle is the plain join
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val lt = graft.lake.LakeTable.create(s, tmp("graft-rtf") + "/t",
+        li.schema, properties = Map("write.bloom.columns" -> "l_orderkey"))
+      lt.append(li.repartitionByRange(8, col("l_orderkey")))
+      val dim = t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      lt.scanForJoin(dim.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+    }),
+
     "q_sql_minmax_pushdown" -> ((s, dir) => {
       // global MIN/MAX (+ count) over a lake view answer from MANIFEST
       // column bounds (ManifestAggRule: zero data I/O at any scale —
@@ -797,7 +820,8 @@ WHEN NOT MATCHED THEN INSERT *
       cat.createTable("ns", "lineitem_t", lineitem.schema)
       cat.loadTable("ns", "lineitem_t").append(lineitem)
       cat.sql("ns",
-        """SELECT count(*) AS n, min(l_orderkey) AS min_key,
+        """SELECT count(*) AS n, count(l_quantity) AS n_qty,
+          |  min(l_orderkey) AS min_key,
           |  max(l_orderkey) AS max_key, min(l_returnflag) AS min_flag,
           |  max(l_returnflag) AS max_flag FROM lineitem_t""".stripMargin)
     }),
@@ -1156,6 +1180,18 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_stream_sessions" -> ((s, dir) =>
       StreamingSessionize.run(s, dir, 1800)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))),
+
+    "q_stream_sessions_timeout" -> ((s, dir) =>
+      // timeout-emitting sessionizer: gap-closed sessions PLUS idle
+      // final sessions whose end + gap fell behind the final watermark
+      // (max event − 1h) — the continuous-deployment contract where
+      // every session eventually emits (StreamingSpec proves the
+      // timeout path emits strictly more than the gap-only path)
+      StreamingSessionize.runWithTimeout(s, dir, 1800,
+        watermarkDelay = "1 hour")
         .select(col("user_id"), col("session_start_us"),
           col("session_end_us"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))),
@@ -1941,8 +1977,16 @@ WHEN NOT MATCHED THEN INSERT *
         |       count(*) AS high_qty
         |FROM lineitem WHERE l_quantity > 40""".stripMargin,
 
+    "q_runtime_filter_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_sql_minmax_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(l_quantity) AS BIGINT) AS n_qty,
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
         |FROM lineitem""".stripMargin,
@@ -2532,6 +2576,39 @@ WHEN NOT MATCHED THEN INSERT *
         |FROM agg
         |QUALIFY session_no < max(session_no) OVER (PARTITION BY user_id)"""
         .stripMargin,
+
+    // gap-closed sessions + idle finals timed out by the watermark:
+    // Spark registers the timeout at floor(end_us/1000) + gap_ms and
+    // fires it when the final watermark (floor(max_us/1000) − delay_ms)
+    // is strictly greater — mirrored in ms integer math here
+    "q_stream_sessions_timeout" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |wm AS (
+        |  SELECT (max(ts_us) // 1000) - 3600000 AS wm_ms FROM e),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM b),
+        |agg AS (
+        |  SELECT user_id, session_no,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ts_us) AS session_start_us,
+        |    max(ts_us) AS session_end_us,
+        |    round(sum(value), 2) AS total_value
+        |  FROM s GROUP BY user_id, session_no)
+        |SELECT user_id, session_start_us, session_end_us, n_events,
+        |       total_value
+        |FROM agg
+        |QUALIFY session_no < max(session_no) OVER (PARTITION BY user_id)
+        |  OR (session_end_us // 1000) + 1800000 <
+        |     (SELECT wm_ms FROM wm)""".stripMargin,
 
     // MinHash+LSH verifies candidates with the TRUE shingle Jaccard, so
     // its output equals the exact pair set whenever banding recall is

@@ -307,6 +307,26 @@ final class LakeTable private (
     * by Catalyst reach the Parquet scan as usual. */
   def scan(): DataFrame = readFiles(current.liveFiles)
 
+  /** RUNTIME-FILTERED scan for a key-equality join (≡ Iceberg/Delta
+    * dynamic file pruning): before planning a `fact ⋈ dim` join, prune
+    * this table's FILE LIST against the join side's actual key set —
+    * per-file key bounds, hidden-partition transforms (a `bucket(N)`
+    * table drops to the source keys' buckets), and per-file Bloom
+    * filters all apply, via the same stack MERGE/DELETE use. Costs one
+    * tiny agg over `source`'s keys (+ a capped hash collect when Blooms
+    * exist) and a driver-side manifest walk — no table data is read.
+    *
+    * A dropped file provably contains NO row matching any source key, so
+    * `scanForJoin(dim, keys).join(dim, keys)` ≡ `scan().join(dim, keys)`
+    * — but on a 100 TB fact table with a selective dim the scan opens
+    * only the matching sliver of files, the pruning Catalyst alone
+    * cannot do (the dim's key set is a runtime value). Rows from kept
+    * files still need the join itself to filter non-matching rows. */
+  def scanForJoin(source: DataFrame, keys: Seq[String]): DataFrame = {
+    val base = current
+    readFilesAs(base, pruneByStats(base, source, keys))
+  }
+
   /** Pruned scan: `predicate` both filters rows AND prunes the FILE LIST
     * driver-side against the manifest before Spark ever lists a file —
     * per-file column bounds, identity partition values, and bucket-hash
@@ -2144,50 +2164,54 @@ final class LakeTable private (
       if (relFiles.forall(ctx.fileInfo.contains))
         Some(relFiles.map(ctx.fileInfo(_).rows).sum)
       else None
-    // proven exact column bounds for the metadata MIN/MAX leg of
-    // ManifestAggRule — a LAZY fold (cost ∝ files × cols, paid only by
-    // plans the rule can actually rewrite). A column is proven iff
-    // EVERY planned file either reports footer bounds for it or is
-    // proven all-null for it (recorded null count == the file's row
-    // count, or an empty file); one unprovable file drops the column.
-    // Keys are this era's PHYSICAL names (the relation's attributes) —
-    // stats are held under current logical names.
-    val knownBounds: () => Map[String, Option[(String, String)]] = () =>
+    // proven per-column facts for the metadata MIN/MAX/count(col) legs
+    // of ManifestAggRule — a LAZY fold (cost ∝ files × cols, paid only
+    // by plans the rule can actually rewrite). Bounds are proven iff
+    // EVERY planned file either reports footer bounds for the column
+    // or is proven all-null (recorded null count == the file's row
+    // count, or an empty file); the non-null count is proven iff every
+    // file reports a null count (Σ rows − nulls). One unprovable file
+    // drops that fact, independently per fact. Keys are this era's
+    // PHYSICAL names (the relation's attributes) — stats are held
+    // under current logical names.
+    val knownProofs: () => Map[String, ColumnProof] = () =>
       if (knownRows.isEmpty) Map.empty
       else logicalSchema.fields.iterator.flatMap { fld =>
-        if (!ManifestAggRule.exactStatType(fld.dataType)) None
-        else {
-          var mn: String = null
-          var mx: String = null
-          var any = false
-          var ok = true
-          val it = relFiles.iterator
-          while (ok && it.hasNext) {
-            val f = it.next()
-            val st = ctx.fileStats.getOrElse(f, Map.empty)
-            st.get(fld.name) match {
-              case Some(cs) =>
-                if (!any) { mn = cs.min; mx = cs.max; any = true }
-                else {
-                  if (FileStats.cmp(fld.dataType, cs.min, mn) < 0) mn = cs.min
-                  if (FileStats.cmp(fld.dataType, cs.max, mx) > 0) mx = cs.max
-                }
-              case None =>
-                val rows = ctx.fileInfo(f).rows
-                val allNull = rows == 0L || st
-                  .get(FileStats.nullsKey(fld.name))
-                  .exists(_.min.toLong == rows)
-                if (!allNull) ok = false
-            }
+        val wantBounds = ManifestAggRule.exactStatType(fld.dataType)
+        var mn: String = null
+        var mx: String = null
+        var any = false
+        var boundsOk = wantBounds
+        var nonNull = 0L
+        var nonNullOk = true
+        relFiles.foreach { f =>
+          val st = ctx.fileStats.getOrElse(f, Map.empty)
+          val rows = ctx.fileInfo(f).rows
+          val nulls = st.get(FileStats.nullsKey(fld.name))
+            .map(_.min.toLong)
+          if (boundsOk) st.get(fld.name) match {
+            case Some(cs) =>
+              if (!any) { mn = cs.min; mx = cs.max; any = true }
+              else {
+                if (FileStats.cmp(fld.dataType, cs.min, mn) < 0) mn = cs.min
+                if (FileStats.cmp(fld.dataType, cs.max, mx) > 0) mx = cs.max
+              }
+            case None =>
+              if (!(rows == 0L || nulls.contains(rows))) boundsOk = false
           }
-          if (!ok) None
-          else Some(mapping.getOrElse(fld.name, fld.name) ->
-            (if (any) Some((mn, mx)) else None))
+          if (nonNullOk) nulls match {
+            case Some(n) => nonNull += rows - n
+            case None => if (rows != 0L) nonNullOk = false
+          }
         }
+        if (!boundsOk && !nonNullOk) None
+        else Some(mapping.getOrElse(fld.name, fld.name) -> ColumnProof(
+          if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,
+          if (nonNullOk) Some(nonNull) else None))
       }.toMap
     GraftManifestFileIndex.dataFrame(spark,
       Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,
-      bucketSpec, knownRows, knownBounds)
+      bucketSpec, knownRows, knownProofs)
   }
 
   /** Bloom pruning for pushed literal equalities (the read-side twin of

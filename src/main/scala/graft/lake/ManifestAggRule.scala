@@ -11,6 +11,17 @@ import org.apache.spark.sql.graftlake.GraftManifestFileIndex
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Per-column proof the manifest can make about a planned scan, used by
+  * [[ManifestAggRule]]:
+  *  - `bounds`: None = unproven; Some(None) = proven all-null;
+  *    Some(Some((min, max))) = exact encoded bounds (every planned file
+  *    reported footer bounds or is proven all-null).
+  *  - `nonNull`: exact non-null row count (Σ rows − nulls), when every
+  *    planned file reports both counts; answers `count(col)`. */
+final case class ColumnProof(
+    bounds: Option[Option[(String, String)]],
+    nonNull: Option[Long])
+
 /** Answers `SELECT COUNT(*) / MIN(col) / MAX(col) FROM lake_table` from
   * the MANIFEST — zero data I/O at any scale (≡ Iceberg's DSv2 aggregate
   * pushdown; this engine's scans are DSv1, so the same win lands as an
@@ -22,12 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Strictly conservative by PLAN SHAPE — the rewrite fires only when:
   *  - the aggregate is global (no grouping) and EVERY output is a bare
-  *    `count(*)` / `count(<non-null literal>)` / `min(col)` / `max(col)`
+  *    `count(*)` / `count(<non-null literal>)` / `count(col)` /
+  *    `min(col)` / `max(col)`
   *    (no DISTINCT, no FILTER clause, no other functions mixed in);
   *  - the child is the scan's Project chain over a [[LogicalRelation]]
   *    whose file index is a [[GraftManifestFileIndex]] carrying the
-  *    needed answer from the manifest (exact row count for count; a
-  *    proven column bound for min/max — see `columnBounds`' contract in
+  *    needed answer from the manifest (exact row count for count(*);
+  *    Σ rows − recorded nulls for count(col); a proven column bound
+  *    for min/max — see [[ColumnProof]] and its construction in
   *    [[LakeTable]]: every live file either reports exact footer bounds
   *    for the column or is PROVEN all-null via its recorded null count),
   *    or a Union of such per-era sub-scans. Projects must forward the
@@ -80,16 +93,16 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Proven bounds for `attr`, resolved through alias-only Projects and
-    * per-era Unions down to the manifest index.
-    * None = cannot prove; Some(None) = proven all-null (min/max = NULL);
-    * Some(Some((min, max))) = encoded exact bounds. */
-  private def attrBounds(p: LogicalPlan, attr: Attribute)
-      : Option[Option[(String, String)]] = p match {
+  /** Proof for `attr`, resolved through alias-only Projects and per-era
+    * Unions down to the manifest index; the `bounds` and `nonNull` legs
+    * combine independently across Union arms. None = cannot resolve the
+    * attribute to a manifest-backed relation at all. */
+  private def attrProof(p: LogicalPlan, attr: Attribute)
+      : Option[ColumnProof] = p match {
     case Project(projList, child) =>
       projList.find(_.exprId == attr.exprId) match {
-        case Some(ar: AttributeReference) => attrBounds(child, ar)
-        case Some(Alias(ar: AttributeReference, _)) => attrBounds(child, ar)
+        case Some(ar: AttributeReference) => attrProof(child, ar)
+        case Some(Alias(ar: AttributeReference, _)) => attrProof(child, ar)
         case _ => None // computed column / missing: cannot resolve
       }
     case u: Union =>
@@ -97,21 +110,30 @@ object ManifestAggRule extends Rule[LogicalPlan] {
       if (idx < 0) None
       else {
         val dt = attr.dataType
-        val legs = u.children.map(c => attrBounds(c, c.output(idx)))
+        val legs = u.children.map(c => attrProof(c, c.output(idx)))
         if (legs.exists(_.isEmpty)) None
         else {
-          // all-null legs contribute no values (SQL min/max ignore nulls)
-          val vals = legs.flatten.flatten
-          if (vals.isEmpty) Some(None)
-          else Some(Some(vals.reduce { (a, b) =>
-            (if (FileStats.cmp(dt, b._1, a._1) < 0) b._1 else a._1,
-              if (FileStats.cmp(dt, b._2, a._2) > 0) b._2 else a._2)
-          }))
+          val ps = legs.flatten
+          val bounds =
+            if (ps.exists(_.bounds.isEmpty)) None
+            else {
+              // all-null legs contribute no values (min/max ignore nulls)
+              val vals = ps.flatMap(_.bounds.get)
+              if (vals.isEmpty) Some(None)
+              else Some(Some(vals.reduce { (a, b) =>
+                (if (FileStats.cmp(dt, b._1, a._1) < 0) b._1 else a._1,
+                  if (FileStats.cmp(dt, b._2, a._2) > 0) b._2 else a._2)
+              }))
+            }
+          val nonNull =
+            if (ps.exists(_.nonNull.isEmpty)) None
+            else Some(ps.map(_.nonNull.get).sum)
+          Some(ColumnProof(bounds, nonNull))
         }
       }
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation => h.location match {
-        case g: GraftManifestFileIndex => g.columnBounds.get(attr.name)
+        case g: GraftManifestFileIndex => g.columnProofs.get(attr.name)
         case _ => None
       }
       case _ => None
@@ -127,11 +149,14 @@ object ManifestAggRule extends Rule[LogicalPlan] {
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           relationCount(child).map(n => n: Any)
+        case Count(Seq(a: Attribute)) =>
+          // null-skipping count(col) = Σ (rows − recorded nulls)
+          attrProof(child, a).flatMap(_.nonNull).map(n => n: Any)
         case Min(a: Attribute) if exactStatType(a.dataType) =>
-          attrBounds(child, a).map(_.map(b =>
+          attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
             internalValue(a.dataType, b._1)).orNull)
         case Max(a: Attribute) if exactStatType(a.dataType) =>
-          attrBounds(child, a).map(_.map(b =>
+          attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
             internalValue(a.dataType, b._2)).orNull)
         case _ => None
       }

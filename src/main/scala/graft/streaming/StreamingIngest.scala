@@ -250,6 +250,66 @@ object StreamingSessionize {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Gap sessionization that ALSO emits idle sessions via EVENT-TIME
+    * TIMEOUT: a session whose gap has provably passed (watermark beyond
+    * `session_end + gap`) emits without waiting for the user's next
+    * event — the missing half of [[sessionize]], whose open sessions
+    * otherwise sit in state forever for users who never return. This is
+    * the continuous-deployment contract: every session eventually
+    * emits, state stays O(open sessions), and the watermark delay is
+    * the only added latency.
+    *
+    * Requires `events` to carry a watermark on an `event_time` column
+    * (the caller attaches it — flatMapGroupsWithState needs the
+    * watermark for both late-data policy and the timeout clock).
+    * Timeouts are registered in ms (Spark's watermark precision) as
+    * `floor(end_us/1000) + gap_ms`, guarded above the current watermark
+    * as the API requires; a timeout fires when the watermark passes it
+    * — the deterministic mirror a batch oracle can compute. */
+  def sessionizeWithTimeout(events: Dataset[Event], gapSeconds: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val gapMs = gapSeconds * 1000L
+
+    def fn(user: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // idle long enough: the watermark proves no event can extend it
+        val s = state.get
+        state.remove()
+        return Iterator(Session(user, s.start, s.end, s.n, s.total))
+      }
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val tsUs = e.ts_us
+        cur match {
+          case Some(s) if tsUs - s.end > gapUs =>
+            out += Session(user, s.start, s.end, s.n, s.total)
+            cur = Some(SessionState(tsUs, tsUs, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, math.max(s.end, tsUs),
+              s.n + 1, s.total + e.value))
+          case None =>
+            cur = Some(SessionState(tsUs, tsUs, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(
+          math.max(s.end / 1000L + gapMs,
+            state.getCurrentWatermarkMs() + 1L))
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** End-to-end streaming run over parquet with AvailableNow; returns the
     * emitted (closed) sessions as a batch DataFrame. */
   def run(spark: SparkSession, dir: String,
@@ -260,6 +320,34 @@ object StreamingSessionize {
       .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
       .as[Event]
     val q = sessionize(events, gapSeconds).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** [[run]]'s timeout-emitting twin: gap-closed sessions emit as they
+    * close, and idle final sessions emit once the final watermark
+    * (max event time − `watermarkDelay`) passes `end + gap`. Only
+    * sessions still within the watermark horizon when the available
+    * data drains remain in state. */
+  def runWithTimeout(spark: SparkSession, dir: String, gapSeconds: Long,
+      watermarkDelay: String = "1 hour",
+      glob: String = "events.parquet"): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_sessions_to_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // event_time STAYS in the projection: the watermark attribute must
+    // survive into the flatMapGroupsWithState child for Spark to accept
+    // EventTimeTimeout (extra columns are fine for the typed view)
+    val events = StreamingIngest.eventsStream(spark, dir, glob)
+      .withWatermark("event_time", watermarkDelay)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value",
+        $"event_time")
+      .as[Event]
+    val q = sessionizeWithTimeout(events, gapSeconds).writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(name)

@@ -51,21 +51,21 @@ class GraftManifestFileIndex(
       * [[graft.lake.ManifestAggRule]] answer a bare COUNT(*) with
       * zero data I/O. None = at least one file's count is unknown. */
     val knownRowCount: Option[Long] = None,
-    /** Thunk producing PROVEN exact column bounds across `statuses`
-      * (encoded in the manifest stat domain, keyed by this scan's
-      * physical column names): absent key = unproven, `None` = proven
-      * all-null, `Some((min, max))` = exact. Lazily forced — only a
-      * plan that [[graft.lake.ManifestAggRule]] can rewrite pays the
-      * fold over per-file stats. */
-    knownColumnBounds: () => Map[String, Option[(String, String)]] =
+    /** Thunk producing PROVEN per-column facts across `statuses`
+      * (bounds encoded in the manifest stat domain + exact non-null
+      * counts, keyed by this scan's physical column names; see
+      * [[graft.lake.ColumnProof]]). Lazily forced — only a plan that
+      * [[graft.lake.ManifestAggRule]] can rewrite pays the fold over
+      * per-file stats. */
+    knownColumnProofs: () => Map[String, graft.lake.ColumnProof] =
       () => Map.empty)
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], parameters,
     Some(userSchema), NoopCache) {
 
   /** Forced at most once, and only by [[graft.lake.ManifestAggRule]]. */
-  lazy val columnBounds: Map[String, Option[(String, String)]] =
-    knownColumnBounds()
+  lazy val columnProofs: Map[String, graft.lake.ColumnProof] =
+    knownColumnProofs()
 
   private val leaves: LinkedHashMap[Path, FileStatus] = {
     val m = LinkedHashMap.empty[Path, FileStatus]
@@ -114,7 +114,7 @@ object GraftManifestFileIndex {
       bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]
         = None,
       knownRowCount: Option[Long] = None,
-      knownColumnBounds: () => Map[String, Option[(String, String)]] =
+      knownColumnProofs: () => Map[String, graft.lake.ColumnProof] =
         () => Map.empty): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     // file sources always read under a nullable schema (DataFrameReader
@@ -123,7 +123,7 @@ object GraftManifestFileIndex {
     // non-nullable long column would silently read nulls as 0
     val fullSchema = schema.asNullable
     val index = new GraftManifestFileIndex(cs, parameters, fullSchema,
-      statuses, prune, knownRowCount, knownColumnBounds)
+      statuses, prune, knownRowCount, knownColumnProofs)
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partNames(f.name)))

@@ -56,10 +56,11 @@ class CountRowsSpec extends AnyFunSuite {
     assert(filtered.collect().head.getLong(0) == 10L)
     assert(hasFileScan(filtered))
 
-    // count(col) is null-skipping — not rewritten
+    // count(col) is null-skipping — answered as Σ rows − recorded
+    // nulls from the manifest (ManifestAggSpec covers the null math)
     val colCnt = cat.sql("ns", "SELECT count(v) AS n FROM t")
     assert(colCnt.collect().head.getLong(0) == 400L)
-    assert(hasFileScan(colCnt))
+    assert(!hasFileScan(colCnt), colCnt.queryExecution.executedPlan.toString)
 
     // grouped counts are not rewritten
     val grouped = cat.sql("ns",

@@ -75,6 +75,30 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
   }
 
+  test("count(col) answers as rows minus recorded nulls, no scan") {
+    val df = (1L to 90L).map(i =>
+      (i, if (i % 3 == 0) None else Some(s"v$i"))).toDF("k", "v")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-cnt"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(3))
+    val q = cat.sql("ns",
+      "SELECT count(v) AS nv, count(k) AS nk, count(*) AS n FROM t")
+    val r = q.collect().head
+    assert(r.getLong(0) == 60L && r.getLong(1) == 90L &&
+      r.getLong(2) == 90L)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // count(col) works even for types without exact bounds (double):
+    // null counts are type-agnostic
+    val dd = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) None else Some(i / 3.0))).toDF("k", "x")
+    cat.createTable("ns", "d", dd.schema)
+    cat.loadTable("ns", "d").append(dd)
+    val qd = cat.sql("ns", "SELECT count(x) AS nx FROM d")
+    assert(qd.collect().head.getLong(0) == 30L)
+    assert(!hasFileScan(qd), qd.queryExecution.executedPlan.toString)
+  }
+
   test("unprovable shapes fall back to the scan and stay exact") {
     val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
       .toDF("k", "x", "v")

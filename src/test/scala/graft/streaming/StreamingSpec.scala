@@ -67,6 +67,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == closed)
   }
 
+  test("timeout emission: idle finals emit once the watermark passes end+gap") {
+    val gap = 1800L
+    val delayMs = 3600L * 1000L
+    val got = StreamingSessionize.runWithTimeout(spark, dir, gap)
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ev = graft.sources.EventTime.withTsUs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val batch = Sessionize.byGap(ev, "user_id", col("ts_us"), "value", gap)
+    val maxUs = ev.agg(max($"ts_us")).collect()(0).getLong(0)
+    val wmMs = maxUs / 1000L - delayMs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_start_us").desc)
+    val expected = batch
+      .withColumn("rn", row_number().over(w))
+      // non-final sessions gap-close in-batch; finals emit iff the
+      // registered timeout (end_ms + gap_ms) fell strictly behind the
+      // final watermark
+      .where(col("rn") > 1 ||
+        (col("session_end_us") / 1000L).cast("long") + gap * 1000L
+          < wmMs)
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+
+    // and it emits strictly MORE than the gap-only sessionizer: the
+    // timeout path is what flushes idle finals
+    val gapOnly = StreamingSessionize.run(spark, dir, gap)
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gapOnly.subsetOf(got) && got.size > gapOnly.size)
+  }
+
   test("sessionize survives a pathological hot user in one trigger") {
     // one user carries 50k of 50.2k events in a single AvailableNow
     // trigger — the documented per-user in-batch materialization bound.
