@@ -814,7 +814,7 @@ WHEN NOT MATCHED THEN INSERT *
       // Integer + string columns only: fp bounds are pruning-widened
       // on purpose and never answer exact aggregates.
       val lineitem = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
       val cat = new LakeCatalog(s, tmp("graft-minmax"))
       cat.createNamespace("ns")
       cat.createTable("ns", "lineitem_t", lineitem.schema)
@@ -823,7 +823,10 @@ WHEN NOT MATCHED THEN INSERT *
         """SELECT count(*) AS n, count(l_quantity) AS n_qty,
           |  min(l_orderkey) AS min_key,
           |  max(l_orderkey) AS max_key, min(l_returnflag) AS min_flag,
-          |  max(l_returnflag) AS max_flag FROM lineitem_t""".stripMargin)
+          |  max(l_returnflag) AS max_flag,
+          |  unix_micros(CAST(min(l_shipdate) AS TIMESTAMP)) AS min_ship_us,
+          |  max(l_orderkey) - min(l_orderkey) AS key_span
+          |FROM lineitem_t""".stripMargin)
     }),
 
     "q_analyze_stats" -> ((s, dir) => {
@@ -1988,7 +1991,9 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(l_quantity) AS BIGINT) AS n_qty,
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
-        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+        |  epoch_us(min(l_shipdate)) AS min_ship_us,
+        |  max(l_orderkey) - min(l_orderkey) AS key_span
         |FROM lineitem""".stripMargin,
 
     "q_analyze_stats" ->

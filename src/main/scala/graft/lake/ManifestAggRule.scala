@@ -141,25 +141,44 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The constant this output expression folds to, or None = blocked. */
+  /** The constant one aggregate call folds to, or None = blocked. */
+  private def aggConstant(ae: AggregateExpression, child: LogicalPlan)
+      : Option[Any] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if l.value != null =>
+        relationCount(child).map(n => n: Any)
+      case Count(Seq(a: Attribute)) =>
+        // null-skipping count(col) = Σ (rows − recorded nulls)
+        attrProof(child, a).flatMap(_.nonNull).map(n => n: Any)
+      case Min(a: Attribute) if exactStatType(a.dataType) =>
+        attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
+          internalValue(a.dataType, b._1)).orNull)
+      case Max(a: Attribute) if exactStatType(a.dataType) =>
+        attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
+          internalValue(a.dataType, b._2)).orNull)
+      case _ => None
+    }
+
+  /** The constant this output expression folds to, or None = blocked.
+    * Every aggregate call inside it must answer from the manifest; the
+    * surrounding expression tree (what CollapseProject merged into the
+    * Aggregate — `max(k) − min(k)`, `unix_micros(max(ts))`, …) then
+    * folds by ordinary evaluation over the substituted constants. */
   private def constantFor(e: NamedExpression, child: LogicalPlan)
       : Option[Any] = e match {
-    case Alias(ae: AggregateExpression, _)
-        if !ae.isDistinct && ae.filter.isEmpty =>
-      ae.aggregateFunction match {
-        case Count(Seq(l: Literal)) if l.value != null =>
-          relationCount(child).map(n => n: Any)
-        case Count(Seq(a: Attribute)) =>
-          // null-skipping count(col) = Σ (rows − recorded nulls)
-          attrProof(child, a).flatMap(_.nonNull).map(n => n: Any)
-        case Min(a: Attribute) if exactStatType(a.dataType) =>
-          attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
-            internalValue(a.dataType, b._1)).orNull)
-        case Max(a: Attribute) if exactStatType(a.dataType) =>
-          attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
-            internalValue(a.dataType, b._2)).orNull)
-        case _ => None
+    case Alias(expr, _) =>
+      var ok = true
+      val substituted = expr.transformUp {
+        case ae: AggregateExpression =>
+          aggConstant(ae, child) match {
+            case Some(v) => Literal(v, ae.dataType)
+            case None => ok = false; ae
+          }
       }
+      if (!ok || !substituted.deterministic ||
+          substituted.references.nonEmpty) None
+      else scala.util.Try(substituted.eval(InternalRow.empty)).toOption
     case _ => None
   }
 

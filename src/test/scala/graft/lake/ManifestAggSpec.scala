@@ -59,6 +59,19 @@ class ManifestAggSpec extends AnyFunSuite {
       .agg(min($"k").as("mnk"), max($"s").as("mxs"))
     assert(api.collect().head.getLong(0) == 1L)
     assert(!hasFileScan(api))
+
+    // expressions OVER metadata aggregates fold too (CollapseProject
+    // merges the outer projection into the Aggregate; every aggregate
+    // leaf substitutes its manifest constant, the rest evaluates)
+    val exprQ = cat.sql("ns",
+      """SELECT max(k) - min(k) AS span,
+        |  unix_micros(max(ts)) AS mx_us,
+        |  count(*) * 2 AS n2 FROM t""".stripMargin)
+    val er = exprQ.collect().head
+    assert(er.getLong(0) == 499L)
+    assert(er.getLong(1) == 1700000500000000L)
+    assert(er.getLong(2) == 1000L)
+    assert(!hasFileScan(exprQ), exprQ.queryExecution.executedPlan.toString)
   }
 
   test("proven all-null column: NULL min/max with no scan") {
