@@ -47,6 +47,15 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
+  /** embeddings with the vector column normalized to array<float> —
+    * the custom vector Expressions bind to FloatType elements, and this
+    * keeps a future fixture regeneration that widens to double from
+    * crashing the whole ANN family (same drift class [[graft.sources
+    * .EventTime]] absorbs for events.ts). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
   private val tmpDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private lazy val cleanupHook: Unit =
@@ -1406,7 +1415,7 @@ WHEN NOT MATCHED THEN INSERT *
       // and exact ANN then runs straight off the manifest-planned lake
       // scan (the 100 TB shape: vectors live in the governed table,
       // not in side files)
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val tbl = graft.lake.LakeTable.create(s,
         tmp("graft-lakevec") + "/t", e.schema)
       tbl.append(e.where(col("vec_id") % 3 =!= 0))
@@ -1421,7 +1430,7 @@ WHEN NOT MATCHED THEN INSERT *
 
     // ---- similarity / ANN over embeddings
     "q_cosine_pairs" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") + 1 === col("id_b"))
@@ -1430,21 +1439,21 @@ WHEN NOT MATCHED THEN INSERT *
     }),
 
     "q_ann_bruteforce" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.bruteForceTopK(e, queries, k = 5)
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 10)
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.ivfTopK(e, queries, k = 5, nCentroids = 16,
@@ -1454,7 +1463,7 @@ WHEN NOT MATCHED THEN INSERT *
     "q_ann_lsh_multiprobe" -> ((s, dir) => {
       // multi-probe LSH: each query also probes the `planes` buckets at
       // hamming distance 1 — recall recovery for near-boundary vectors
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 10,
@@ -1464,20 +1473,20 @@ WHEN NOT MATCHED THEN INSERT *
     "q_ann_pq" -> ((s, dir) => {
       // product quantization: corpus compressed to 4 codeword ids per
       // vector (64 floats → 4 bytes), queries score by ADC lookups
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.pqTopK(e, queries, k = 5)
     }),
 
     "q_neardup_embedding" -> ((s, dir) =>
-      SimilaritySearch.cosineNearDupPairs(t(s, dir, "embeddings"),
+      SimilaritySearch.cosineNearDupPairs(emb(s, dir),
         threshold = 0.25, nPlanes = 6)),
 
     // SemDeDup: coarse k-means clusters bound the quadratic stage,
     // exact cosine within a cluster, greedy keep-first drop in id order
     "q_semdedup" -> ((s, dir) =>
-      SemanticDedup.dedup(t(s, dir, "embeddings"), nCentroids = 16,
+      SemanticDedup.dedup(emb(s, dir), nCentroids = 16,
         threshold = 0.2)),
 
     // span-level duplication signal: fraction of each doc's distinct

@@ -108,8 +108,14 @@ object IncrementalDedup {
     val candidates = candCorpus.unionByName(candBatch).distinct()
 
     // ---- verify candidates on true shingle Jaccard (texts fetched by
-    // id: corpus lookup + the batch's own shingles)
+    // id: corpus lookup + the batch's own shingles). Semi-join the
+    // corpus down to CANDIDATE ids before shingling — tokenize/shingle
+    // cost is then ∝ candidates, not corpus (on a lake-table corpus the
+    // id semi-join also manifest-prunes which files are read at all)
+    val candIds = candidates.select(col("dup_of")).distinct()
     val dupSh = corpus
+      .join(candIds.withColumnRenamed("dup_of", idCol), Seq(idCol),
+        "left_semi")
       .select(col(idCol).as("dup_of"),
         TextDedup.shingles(col(textCol), shingleSize).as("sh_b"))
       .unionByName(batchSh.select(col("id").as("dup_of"),
