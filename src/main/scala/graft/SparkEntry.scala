@@ -792,6 +792,27 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM lineitem_t WHERE l_quantity > 40""".stripMargin)
     }),
 
+    "q_sql_group_by_partition" -> ((s, dir) => {
+      // GROUPED metadata aggregate: per-partition profile (count +
+      // key bounds) of an identity-partitioned lake table answers
+      // entirely from the manifest — every file's rows provably share
+      // one partition value, so the fold groups files driver-side
+      // (ManifestAggSpec asserts no FileSourceScan; beyond Iceberg's
+      // global-only pushdown). Oracle recomputes from raw parquet.
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cat = new LakeCatalog(s, tmp("graft-grpagg"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema,
+        partitionBy = Seq("o_orderstatus"))
+      cat.loadTable("ns", "orders_t").append(orders)
+      cat.sql("ns",
+        """SELECT o_orderstatus, count(*) AS n,
+          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          |  count(o_totalprice) AS n_price
+          |FROM orders_t GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     "q_runtime_filter_join" -> ((s, dir) => {
       // dynamic file pruning for a fact⋈dim join: the fact table's file
       // list shrinks to files that can hold the dim's ACTUAL keys
@@ -1988,6 +2009,12 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT (SELECT count(*) FROM lineitem) AS total,
         |       count(*) AS high_qty
         |FROM lineitem WHERE l_quantity > 40""".stripMargin,
+
+    "q_sql_group_by_partition" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(count(o_totalprice) AS BIGINT) AS n_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_runtime_filter_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,

@@ -2209,9 +2209,29 @@ final class LakeTable private (
           if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,
           if (nonNullOk) Some(nonNull) else None))
       }.toMap
+    // per-file facts for the GROUPED metadata rewrite (lazy, same
+    // provenance as the folds above): physical-name keyed bounds /
+    // all-null proofs / null counts per planned file
+    val knownFacts: () => Option[Seq[FileFacts]] = () =>
+      if (knownRows.isEmpty) None
+      else Some(relFiles.map { f =>
+        val st = ctx.fileStats.getOrElse(f, Map.empty)
+        val rows = ctx.fileInfo(f).rows
+        val cols = logicalSchema.fields.iterator.map { fld =>
+          val nulls = st.get(FileStats.nullsKey(fld.name))
+            .map(_.min.toLong)
+          mapping.getOrElse(fld.name, fld.name) -> ColFacts(
+            if (ManifestAggRule.exactStatType(fld.dataType))
+              st.get(fld.name).map(cs => (cs.min, cs.max))
+            else None,
+            rows == 0L || nulls.contains(rows),
+            nulls)
+        }.toMap
+        FileFacts(rows, cols)
+      })
     GraftManifestFileIndex.dataFrame(spark,
       Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,
-      bucketSpec, knownRows, knownProofs)
+      bucketSpec, knownRows, knownProofs, knownFacts)
   }
 
   /** Bloom pruning for pushed literal equalities (the read-side twin of

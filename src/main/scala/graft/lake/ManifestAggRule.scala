@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -21,6 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class ColumnProof(
     bounds: Option[Option[(String, String)]],
     nonNull: Option[Long])
+
+/** Per-file, per-column manifest facts (physical-name keyed) — the raw
+  * material for [[ManifestAggRule]]'s GROUPED rewrite, which needs to
+  * fold per group of files instead of over the whole scan.
+  *  - `bounds`: exact encoded min/max when recorded (absent for
+  *    columns without stats or non-exact types);
+  *  - `allNull`: the file provably holds no values for the column
+  *    (recorded null count == row count, or an empty file);
+  *  - `nulls`: the recorded null count, when present. */
+final case class ColFacts(
+    bounds: Option[(String, String)],
+    allNull: Boolean,
+    nulls: Option[Long])
+
+final case class FileFacts(rows: Long, cols: Map[String, ColFacts])
 
 /** Answers `SELECT COUNT(*) / MIN(col) / MAX(col) FROM lake_table` from
   * the MANIFEST — zero data I/O at any scale (≡ Iceberg's DSv2 aggregate
@@ -182,6 +197,154 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // ------------------------------------------------- grouped rewrite
+
+  /** Resolve `attr` through alias-only Projects to the manifest index
+    * and the relation-level (physical) column name. No Union support —
+    * the grouped rewrite requires one single-era relation. */
+  private def resolveAttr(p: LogicalPlan, attr: Attribute)
+      : Option[(GraftManifestFileIndex, String)] = p match {
+    case Project(projList, child) =>
+      projList.find(_.exprId == attr.exprId) match {
+        case Some(ar: AttributeReference) => resolveAttr(child, ar)
+        case Some(Alias(ar: AttributeReference, _)) => resolveAttr(child, ar)
+        case _ => None
+      }
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftManifestFileIndex if l.output.exists(
+          _.exprId == attr.exprId) => Some((g, attr.name))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Fold one group of files into a [[ColumnProof]] (same math as the
+    * relation-wide fold in [[LakeTable]], per group). */
+  private def foldProofs(files: Seq[FileFacts], name: String,
+      dt: DataType): ColumnProof = {
+    var mn: String = null; var mx: String = null; var any = false
+    var boundsOk = exactStatType(dt)
+    var nonNull = 0L; var nonNullOk = true
+    files.foreach { f =>
+      val cf = f.cols.getOrElse(name, ColFacts(None, f.rows == 0L, None))
+      if (boundsOk) cf.bounds match {
+        case Some((a, b)) =>
+          if (!any) { mn = a; mx = b; any = true }
+          else {
+            if (FileStats.cmp(dt, a, mn) < 0) mn = a
+            if (FileStats.cmp(dt, b, mx) > 0) mx = b
+          }
+        case None => if (!cf.allNull) boundsOk = false
+      }
+      if (nonNullOk) cf.nulls match {
+        case Some(n) => nonNull += f.rows - n
+        case None =>
+          if (cf.allNull) () // zero non-null rows, nothing to add
+          else if (f.rows != 0L) nonNullOk = false
+      }
+    }
+    ColumnProof(
+      if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,
+      if (nonNullOk) Some(nonNull) else None)
+  }
+
+  /** GROUPED metadata aggregate: `SELECT g, count(*), min(x), … GROUP
+    * BY g` folds per group of files when every file's rows provably
+    * share ONE value of `g` — point bounds (min == max) with zero
+    * recorded nulls, or proven all-null (the NULL group). Files written
+    * under identity partitioning satisfy this by construction (the dir
+    * value is a per-file point stat), so partition-profile queries on a
+    * 100 TB table answer with zero data I/O — a rewrite even Iceberg's
+    * DSv2 pushdown does not attempt (it is global-only). Any file that
+    * straddles group values, any second grouping column, or any
+    * unresolvable output falls back to the normal scan. */
+  private def groupedRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val gAttr = agg.groupingExpressions match {
+      case Seq(a: Attribute) if exactStatType(a.dataType) => a
+      case _ => return None
+    }
+    val (idx, gName) = resolveAttr(agg.child, gAttr).getOrElse(
+      return None)
+    val files = idx.fileFacts.getOrElse(return None)
+    // assign every file wholly to one group, or give up
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], scala.collection.mutable.ArrayBuffer[FileFacts]]
+    files.foreach { f =>
+      if (f.rows > 0L) {
+        val cf = f.cols.getOrElse(gName, return None)
+        val key: Option[String] = cf.bounds match {
+          case Some((a, b)) if a == b && cf.nulls.contains(0L) => Some(a)
+          case _ if cf.allNull => None
+          case _ => return None
+        }
+        groups.getOrElseUpdate(key,
+          scala.collection.mutable.ArrayBuffer.empty) += f
+      }
+    }
+    // per group: substitute the grouping attr and every aggregate call
+    // with constants, then fold the surrounding expression
+    val rows = groups.toSeq.map { case (key, gf) =>
+      val keyValue: Any =
+        key.map(internalValue(gAttr.dataType, _)).orNull
+      val values = agg.aggregateExpressions.map { ne =>
+        val (expr, ok0) = ne match {
+          case Alias(e, _) => (e, true)
+          case a: Attribute if a.exprId == gAttr.exprId => (a: Expression, true)
+          case _ => (ne: Expression, false)
+        }
+        if (!ok0) return None
+        var ok = true
+        val substituted = expr.transformUp {
+          case a: Attribute if a.exprId == gAttr.exprId =>
+            Literal(keyValue, gAttr.dataType)
+          case ae: AggregateExpression =>
+            (if (ae.isDistinct || ae.filter.nonEmpty) None
+            else ae.aggregateFunction match {
+              case Count(Seq(l: Literal)) if l.value != null =>
+                Some(gf.map(_.rows).sum: Any)
+              case Count(Seq(a: Attribute)) =>
+                resolveAttr(agg.child, a) match {
+                  case Some((i2, n2)) if i2 eq idx =>
+                    foldProofs(gf.toSeq, n2, a.dataType).nonNull
+                      .map(n => n: Any)
+                  case _ => None
+                }
+              case Min(a: Attribute) if exactStatType(a.dataType) =>
+                resolveAttr(agg.child, a) match {
+                  case Some((i2, n2)) if i2 eq idx =>
+                    foldProofs(gf.toSeq, n2, a.dataType).bounds
+                      .map(_.map(b => internalValue(a.dataType, b._1))
+                        .orNull)
+                  case _ => None
+                }
+              case Max(a: Attribute) if exactStatType(a.dataType) =>
+                resolveAttr(agg.child, a) match {
+                  case Some((i2, n2)) if i2 eq idx =>
+                    foldProofs(gf.toSeq, n2, a.dataType).bounds
+                      .map(_.map(b => internalValue(a.dataType, b._2))
+                        .orNull)
+                  case _ => None
+                }
+              case _ => None
+            }) match {
+              case Some(v) => Literal(v, ae.dataType)
+              case None => ok = false; ae
+            }
+        }
+        if (!ok || !substituted.deterministic ||
+            substituted.references.nonEmpty) return None
+        scala.util.Try(substituted.eval(InternalRow.empty))
+          .getOrElse(return None)
+      }
+      InternalRow.fromSeq(values)
+    }
+    Some(LocalRelation(agg.output, rows,
+      isStreaming = false, stream = None))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty &&
@@ -192,6 +355,8 @@ object ManifestAggRule extends Rule[LogicalPlan] {
           Seq(InternalRow.fromSeq(values.map(_.get))),
           isStreaming = false, stream = None)
       else agg
+    case agg: Aggregate if agg.aggregateExpressions.nonEmpty =>
+      groupedRewrite(agg).getOrElse(agg)
   }
 
   /** Idempotent per-session registration (same hook as

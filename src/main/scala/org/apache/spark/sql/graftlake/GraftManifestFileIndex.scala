@@ -58,7 +58,11 @@ class GraftManifestFileIndex(
       * [[graft.lake.ManifestAggRule]] can rewrite pays the fold over
       * per-file stats. */
     knownColumnProofs: () => Map[String, graft.lake.ColumnProof] =
-      () => Map.empty)
+      () => Map.empty,
+    /** Thunk producing per-file facts for the GROUPED metadata rewrite
+      * (None = some file lacks manifest info). Lazily forced. */
+    knownFileFacts: () => Option[Seq[graft.lake.FileFacts]] =
+      () => None)
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], parameters,
     Some(userSchema), NoopCache) {
@@ -66,6 +70,11 @@ class GraftManifestFileIndex(
   /** Forced at most once, and only by [[graft.lake.ManifestAggRule]]. */
   lazy val columnProofs: Map[String, graft.lake.ColumnProof] =
     knownColumnProofs()
+
+  /** Forced at most once, and only by [[graft.lake.ManifestAggRule]]'s
+    * grouped rewrite. */
+  lazy val fileFacts: Option[Seq[graft.lake.FileFacts]] =
+    knownFileFacts()
 
   private val leaves: LinkedHashMap[Path, FileStatus] = {
     val m = LinkedHashMap.empty[Path, FileStatus]
@@ -115,7 +124,9 @@ object GraftManifestFileIndex {
         = None,
       knownRowCount: Option[Long] = None,
       knownColumnProofs: () => Map[String, graft.lake.ColumnProof] =
-        () => Map.empty): DataFrame = {
+        () => Map.empty,
+      knownFileFacts: () => Option[Seq[graft.lake.FileFacts]] =
+        () => None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     // file sources always read under a nullable schema (DataFrameReader
     // applies `asNullable` to user schemas; a file CAN hold nulls
@@ -123,7 +134,7 @@ object GraftManifestFileIndex {
     // non-nullable long column would silently read nulls as 0
     val fullSchema = schema.asNullable
     val index = new GraftManifestFileIndex(cs, parameters, fullSchema,
-      statuses, prune, knownRowCount, knownColumnProofs)
+      statuses, prune, knownRowCount, knownColumnProofs, knownFileFacts)
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partNames(f.name)))

@@ -112,6 +112,44 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(!hasFileScan(qd), qd.queryExecution.executedPlan.toString)
   }
 
+  test("grouped by identity partition: per-group answers with no scan") {
+    val df = (1L to 300L).map { i =>
+      val p = if (i % 5 == 0) None else Some(s"g${i % 3}")
+      (i, p, s"v$i")
+    }.toDF("k", "p", "v")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-grp"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema, partitionBy = Seq("p"))
+    cat.loadTable("ns", "t").append(df)
+
+    val q = cat.sql("ns",
+      """SELECT p, count(*) AS n, min(k) AS mn, max(k) AS mx
+        |FROM t GROUP BY p""".stripMargin)
+    val got = q.collect().map(r =>
+      (if (r.isNullAt(0)) "NULL" else r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exp = df.groupBy("p")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) "NULL" else r.getString(0),
+          r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp && got.size == 4) // g0 g1 g2 + NULL partition
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+
+    // expressions over the group key and aggregates fold too
+    val qe = cat.sql("ns",
+      """SELECT upper(p) AS pu, count(*) * 2 AS n2, max(k) - min(k) AS d
+        |FROM t GROUP BY p""".stripMargin)
+    assert(qe.collect().length == 4)
+    assert(!hasFileScan(qe), qe.queryExecution.executedPlan.toString)
+
+    // grouping on a column whose files straddle values: falls back
+    val qf = cat.sql("ns",
+      "SELECT v, count(*) AS n FROM t GROUP BY v")
+    assert(qf.collect().length == 300)
+    assert(hasFileScan(qf))
+  }
+
   test("unprovable shapes fall back to the scan and stay exact") {
     val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
       .toDF("k", "x", "v")
