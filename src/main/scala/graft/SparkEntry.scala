@@ -792,6 +792,52 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM lineitem_t WHERE l_quantity > 40""".stripMargin)
     }),
 
+    "q_sql_views" -> ((s, dir) => {
+      // stored SQL views: original text persisted in catalog metadata
+      // and LATE-BOUND — the INSERT lands AFTER the view exists and
+      // must be visible through it for the numbers to hash-match.
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val cat = new LakeCatalog(s, tmp("graft-views"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "lineitem_t", li.schema)
+      cat.loadTable("ns", "lineitem_t").append(li)
+      cat.sql("ns",
+        """CREATE VIEW r_items AS
+          |SELECT l_orderkey, l_quantity FROM lineitem_t
+          |WHERE l_returnflag = 'R'""".stripMargin)
+      cat.sql("ns", "INSERT INTO lineitem_t VALUES (9999999, 'R', 5.0)")
+      cat.sql("ns",
+        """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+          |  max(l_orderkey) AS max_key FROM r_items""".stripMargin)
+    }),
+
+    "q_sql_constraints" -> ((s, dir) => {
+      // CHECK constraints via SQL text: add validates existing data,
+      // a violating INSERT aborts before any file commits (the query
+      // REQUIRES the rejection), a valid INSERT lands; the returned
+      // aggregate proves exactly one row was admitted.
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val cat = new LakeCatalog(s, tmp("graft-ck"))
+      cat.createNamespace("ns")
+      cat.createTable("ns", "orders_t", orders.schema)
+      cat.loadTable("ns", "orders_t").append(orders)
+      cat.sql("ns",
+        "ALTER TABLE orders_t ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice > 0)")
+      val blocked =
+        try {
+          cat.sql("ns", "INSERT INTO orders_t VALUES (-1, -5.0, 'X')")
+          false
+        } catch { case _: IllegalStateException => true }
+      require(blocked, "CHECK constraint failed to block the bad insert")
+      cat.sql("ns", "INSERT INTO orders_t VALUES (9999999, 123.45, 'O')")
+      cat.sql("ns",
+        """SELECT count(*) AS n, round(min(o_totalprice), 2) AS min_price,
+          |  max(o_orderkey) AS max_key FROM orders_t""".stripMargin)
+    }),
+
     "q_sql_group_by_partition" -> ((s, dir) => {
       // GROUPED metadata aggregate: per-partition profile (count +
       // key bounds) of an identity-partitioned lake table answers
@@ -2009,6 +2055,22 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT (SELECT count(*) FROM lineitem) AS total,
         |       count(*) AS high_qty
         |FROM lineitem WHERE l_quantity > 40""".stripMargin,
+
+    // the view must see the post-view INSERT (late binding) for these
+    // numbers to hash-match
+    "q_sql_views" ->
+      """SELECT CAST(count(*) + 1 AS BIGINT) AS n,
+        |  round(sum(l_quantity) + 5.0, 2) AS sum_qty,
+        |  greatest(max(l_orderkey), 9999999) AS max_key
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    // orders + exactly the one admitted row (the violating insert must
+    // have been rejected for these numbers to hash-match)
+    "q_sql_constraints" ->
+      """SELECT CAST(count(*) + 1 AS BIGINT) AS n,
+        |  round(least(min(o_totalprice), 123.45), 2) AS min_price,
+        |  greatest(max(o_orderkey), 9999999) AS max_key
+        |FROM orders""".stripMargin,
 
     "q_sql_group_by_partition" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

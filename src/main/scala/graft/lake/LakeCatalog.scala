@@ -101,6 +101,85 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       spark.catalog.dropTempView(oldName + sfx))
   }
 
+  // --------------------------------- stored SQL views (≡ Iceberg views)
+
+  private def viewsFile(ns: String) = new Path(new Path(whPath, ns),
+    "_views.json")
+
+  /** Stored views of `ns` in CREATION ORDER (a later view may reference
+    * an earlier one; registration replays them in sequence). Stored as
+    * `<warehouse>/<ns>/_views.json` — catalog metadata, not table
+    * state, so they survive table drops and travel with the warehouse. */
+  def listViews(ns: String): Seq[(String, String)] = {
+    val p = viewsFile(ns)
+    if (!fs.exists(p)) return Nil
+    val body = {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+    }
+    val n = Snapshot.mapper.readTree(body)
+    (0 until n.size).map { i =>
+      (n.get(i).get("name").asText, n.get(i).get("sql").asText)
+    }
+  }
+
+  private def writeViews(ns: String, views: Seq[(String, String)]): Unit = {
+    val m = Snapshot.mapper
+    val arr = m.createArrayNode()
+    views.foreach { case (name, sql) =>
+      val o = arr.addObject(); o.put("name", name); o.put("sql", sql)
+    }
+    val tmp = new Path(new Path(whPath, ns), s"._views-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(m.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(arr).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, viewsFile(ns))) {
+      fs.delete(viewsFile(ns), false)
+      require(fs.rename(tmp, viewsFile(ns)), s"cannot write views of $ns")
+    }
+  }
+
+  /** ≡ `CREATE [OR REPLACE] VIEW name AS <sql>`: stores the ORIGINAL
+    * SQL text (late-binding, like Iceberg views — each reference
+    * re-resolves against the CURRENT table state) and registers it
+    * immediately. The definition is validated by registering it. */
+  def createView(ns: String, name: String, sql: String,
+      replace: Boolean = false): Unit = {
+    require(name.nonEmpty && !name.contains("/"), s"bad view name: $name")
+    require(!tableExists(ns, name), s"$ns.$name is a table")
+    val cur = listViews(ns)
+    require(replace || !cur.exists(_._1 == name),
+      s"view $ns.$name already exists")
+    val next = cur.filterNot(_._1 == name) :+ (name, sql)
+    // validate by building the plan NOW (tables must already be
+    // registered by the caller's session — cat.sql does this)
+    spark.sql(sql).createOrReplaceTempView(name)
+    writeViews(ns, next)
+  }
+
+  /** ≡ `DROP VIEW [IF EXISTS] name`. */
+  def dropView(ns: String, name: String, ifExists: Boolean = false): Unit = {
+    val cur = listViews(ns)
+    if (!cur.exists(_._1 == name)) {
+      require(ifExists, s"no view $ns.$name")
+      return
+    }
+    writeViews(ns, cur.filterNot(_._1 == name))
+    spark.catalog.dropTempView(name)
+  }
+
+  /** ≡ `SHOW VIEWS`. */
+  def showViews(ns: String): DataFrame = {
+    import spark.implicits._
+    listViews(ns).map { case (n, sql) => (ns, n, sql) }
+      .toDF("namespace", "viewName", "sql")
+  }
+
   /** Register every table of `ns` as a temp view so the interactive SQL
     * surface works exactly like the reference's notebook (entry point C,
     * SURVEY.md §3.3: `spark.sql("SELECT count(*) FROM bronze_orders")`,
@@ -109,7 +188,7 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * (the temp-view spelling of Iceberg's `table.history` dotted tables —
     * reference: scripts/bronze-silver.py:119). Views are bound to the
     * CURRENT snapshot; re-register after new commits to see them. */
-  def registerViews(ns: String): Unit =
+  def registerViews(ns: String): Unit = {
     listTables(ns).foreach { t =>
       val lt = loadTable(ns, t)
       lt.scan().createOrReplaceTempView(t)
@@ -120,6 +199,14 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       lt.refsTable.createOrReplaceTempView(s"${t}_refs")
       lt.manifestsTable.createOrReplaceTempView(s"${t}_manifests")
     }
+    // stored SQL views LAST (they reference the table views — and, in
+    // creation order, each other); late-binding: each registration
+    // re-resolves the stored text against the CURRENT table state. A
+    // view whose dependency vanished fails loudly at registration.
+    listViews(ns).foreach { case (name, sql) =>
+      spark.sql(sql).createOrReplaceTempView(name)
+    }
+  }
 
   /** Convenience: `USE ns` + register + run one SQL statement.
     *

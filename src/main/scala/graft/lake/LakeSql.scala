@@ -38,7 +38,8 @@ object LakeSql {
           _: InsertIntoStatement | _: CreateTable | _: CreateTableAsSelect |
           _: DropTable | _: AddColumns | _: RenameColumn | _: DropColumns |
           _: AlterColumns | _: RenameTable | _: SetTableProperties |
-          _: UnsetTableProperties | _: TruncateTable) =>
+          _: UnsetTableProperties | _: TruncateTable |
+          _: AddCheckConstraint | _: DropConstraint) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
@@ -71,6 +72,19 @@ object LakeSql {
             cat.loadTable(ns, tableNameOf(u.table))
               .unsetProperties(u.propertyKeys)
             cat.spark.emptyDataFrame
+          // ALTER TABLE … ADD CONSTRAINT name CHECK (cond): the parsed
+          // node carries the condition both as an expression (wrapped
+          // in a validation Filter) and as its original SQL text — the
+          // text is what we store and re-parse at write time
+          case ac: AddCheckConstraint =>
+            val cc = ac.checkConstraint
+            cat.loadTable(ns, cc.tableName)
+              .addCheckConstraint(cc.name, cc.condition)
+            cat.spark.emptyDataFrame
+          case dc: DropConstraint =>
+            cat.loadTable(ns, tableNameOf(dc.child))
+              .dropCheckConstraint(dc.name, dc.ifExists)
+            cat.spark.emptyDataFrame
         }
         // re-register so the caller's NEXT statement sees the new state
         cat.registerViews(ns)
@@ -94,6 +108,30 @@ object LakeSql {
         lt.analyzeColumns(cols)
         cat.registerViews(ns)
         cat.spark.emptyDataFrame
+      // stored SQL views (≡ Iceberg views: the ORIGINAL text persists
+      // in catalog metadata, late-bound at each registration)
+      case cv: CreateView =>
+        val name = cv.child match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => u.nameParts.last
+          case other => throw new UnsupportedOperationException(
+            s"cannot resolve view name: ${other.getClass.getSimpleName}")
+        }
+        val text = cv.originalText.getOrElse(
+          throw new UnsupportedOperationException(
+            "CREATE VIEW requires an AS <query> text"))
+        cat.createView(ns, name, text, replace = cv.replace)
+        cat.spark.emptyDataFrame
+      case dv: DropView =>
+        val name = dv.child match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => u.nameParts.last
+          case other => throw new UnsupportedOperationException(
+            s"cannot resolve view name: ${other.getClass.getSimpleName}")
+        }
+        cat.dropView(ns, name, ifExists = dv.ifExists)
+        cat.spark.emptyDataFrame
+      case _: ShowViews => cat.showViews(ns)
       // metadata statements (read-only, no view re-registration needed)
       case s: ShowPartitions => showPartitions(cat, ns, s)
       case d: DescribeRelation => describeTable(cat, ns, d)

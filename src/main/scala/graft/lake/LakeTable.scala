@@ -1793,6 +1793,94 @@ final class LakeTable private (
     }
   }
 
+  // ------------------------------------------------ CHECK constraints
+
+  /** Declared CHECK constraints: name → condition SQL. Stored as table
+    * properties under `constraints.<name>` (Delta's scheme) so they
+    * version with the table, travel through SHOW TBLPROPERTIES /
+    * SHOW CREATE TABLE, and need no manifest format change. */
+  def checkConstraints: Map[String, String] =
+    properties.collect {
+      case (k, v) if k.startsWith(LakeTable.ConstraintPrefix) =>
+        k.stripPrefix(LakeTable.ConstraintPrefix) -> v
+    }
+
+  /** ≡ `ALTER TABLE … ADD CONSTRAINT name CHECK (cond)`: validates the
+    * EXISTING data first (one pruned probe for a violating row — the
+    * add fails if any current row breaks the rule), then records the
+    * constraint as a metadata-only property commit. Every subsequent
+    * data write re-validates what it writes (see
+    * [[enforceWriteConstraints]]). NULL results violate, like Delta:
+    * a constraint must evaluate TRUE. */
+  def addCheckConstraint(name: String, conditionSql: String): Long = {
+    require(!checkConstraints.contains(name),
+      s"constraint $name already exists")
+    val bad = scan()
+      .where(!coalesce(expr(conditionSql), lit(false))).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint $name ($conditionSql): existing row " +
+        s"violates it: ${bad.headOption.fold("")(_.toString)}")
+    setProperties(Map(LakeTable.ConstraintPrefix + name -> conditionSql))
+  }
+
+  /** ≡ `ALTER TABLE … DROP CONSTRAINT [IF EXISTS] name`. */
+  def dropCheckConstraint(name: String, ifExists: Boolean = false): Long = {
+    if (!checkConstraints.contains(name)) {
+      require(ifExists, s"no constraint $name")
+      return current.snapshotId
+    }
+    unsetProperties(Seq(LakeTable.ConstraintPrefix + name))
+  }
+
+  /** Column names a constraint's condition references (for the
+    * drop/rename-column guards). */
+  private def constraintRefs(conditionSql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(conditionSql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.head
+    }.toSet
+
+  /** Refuse schema changes that would orphan a constraint. */
+  private def requireNoConstraintOn(colName: String, op: String): Unit =
+    checkConstraints.foreach { case (n, sql) =>
+      require(!constraintRefs(sql).contains(colName),
+        s"cannot $op column $colName: CHECK constraint $n ($sql) " +
+          "references it — drop the constraint first")
+    }
+
+  /** One violation probe over a batch about to be written: CHECK
+    * constraints (must evaluate TRUE — NULL violates) and, when the
+    * table opts in with `write.enforce-not-null=true`, the schema's
+    * non-nullable columns — all in a single job; the first offending
+    * rule is named in the error. NOT NULL is OPT-IN because Scala
+    * tuple/case-class-derived schemas over-declare non-nullability and
+    * this engine's read path deliberately treats every file as
+    * nullable (a file CAN hold nulls regardless of declarations); only
+    * a table that explicitly asks gets writes rejected over it. Tables
+    * without constraints pay NOTHING (no job). Runs on every data
+    * write — ingest, merge/update rewrites, compaction folds — so no
+    * file can ever hold a violating row, including rows introduced by
+    * UPDATE/MERGE SET expressions. */
+  private def enforceWriteConstraints(df: DataFrame): Unit = {
+    val checks = checkConstraints.toSeq.sortBy(_._1)
+    val notNull =
+      if (!properties.get(LakeTable.PropEnforceNotNull).contains("true")) Nil
+      else schema.fields.filter(!_.nullable).map(_.name)
+        .filter(df.columns.contains).toSeq
+    if (checks.isEmpty && notNull.isEmpty) return
+    val conds = checks.map { case (n, sql) =>
+      (s"CHECK constraint $n ($sql)", !coalesce(expr(sql), lit(false)))
+    } ++ notNull.map(c => (s"NOT NULL column $c", col(c).isNull))
+    val label = conds.tail.foldLeft(
+      when(conds.head._2, lit(conds.head._1))) {
+      case (acc, (n, c)) => acc.when(c, lit(n))
+    }
+    val bad = df.where(conds.map(_._2).reduce(_ || _))
+      .select(label.as("rule")).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"write rejected: a row violates ${bad.head.getString(0)}")
+  }
+
   /** Metadata-only table-property update (≡ `ALTER TABLE … SET
     * TBLPROPERTIES`): properties steer FUTURE operations (merge/delete
     * modes, codec, sort order, distribution) — no data is touched, and
@@ -1976,6 +2064,7 @@ final class LakeTable private (
     require(sch.fieldNames.contains(oldName), s"no column $oldName")
     require(!sch.fieldNames.contains(newName),
       s"column $newName already exists")
+    requireNoConstraintOn(oldName, "rename")
     require(!specSources.contains(oldName),
       s"cannot rename partition source column $oldName " +
         "(baked into the hive directory layout of some spec era)")
@@ -2062,6 +2151,7 @@ final class LakeTable private (
     val base = current
     val sch = schema
     require(sch.fieldNames.contains(name), s"no column $name")
+    requireNoConstraintOn(name, "drop")
     require(!specSources.contains(name),
       s"cannot drop partition source column $name " +
         "(of the current or a historical spec era)")
@@ -2880,6 +2970,7 @@ final class LakeTable private (
     * cost ∝ commit size, see [[FileStats]]). File names carry Spark's task
     * UUIDs — unique across commits. */
   private def writeDataFiles(df: DataFrame): WriteResult = {
+    enforceWriteConstraints(df)
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     val conf = df.sparkSession.conf
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
@@ -3218,6 +3309,12 @@ object LakeTable {
     * when the column is absent from the batch. */
   val CurrentDefaultKey = "CURRENT_DEFAULT"
   val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** Table-property prefix for CHECK constraints (Delta's scheme). */
+  val ConstraintPrefix = "constraints."
+
+  /** Opt-in NOT NULL write enforcement (see enforceWriteConstraints). */
+  val PropEnforceNotNull = "write.enforce-not-null"
 
   /** The stored default SQL under `key` for field `f`, if any. */
   private[lake] def defaultSqlOf(f: StructField, key: String): Option[String] =
