@@ -1263,6 +1263,24 @@ WHEN NOT MATCHED THEN INSERT *
           col("session_end_us"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))),
 
+    "q_stream_enrich" -> ((s, dir) => {
+      // stream-static enrichment against a lake dim: every micro-batch
+      // joins the dim's CURRENT snapshot (foreachBatch re-scan — the
+      // SCD-lookup shape; StreamingSpec proves a mid-stream dim update
+      // is visible to the next batch); here the dim is fixed so the
+      // result equals the batch join the oracle computes
+      import s.implicits._
+      val base = tmp("graft-enrich")
+      val dim = graft.lake.LakeTable.create(s, s"$base/dim",
+        (0L to 9L).map(i => (i, s"seg_$i")).toDF("seg", "label").schema)
+      dim.append((0L to 9L).map(i => (i, s"seg_$i")).toDF("seg", "label"))
+      StreamingIngest.enrichWithLakeDim(s, dir, dim,
+          col("user_id") % 10, "seg", s"$base/out")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
     "q_stream_sessions_timeout" -> ((s, dir) =>
       // timeout-emitting sessionizer: gap-closed sessions PLUS idle
       // final sessions whose end + gap fell behind the final watermark
@@ -2679,6 +2697,12 @@ WHEN NOT MATCHED THEN INSERT *
         |FROM agg
         |QUALIFY session_no < max(session_no) OVER (PARTITION BY user_id)"""
         .stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT 'seg_' || CAST(user_id % 10 AS VARCHAR) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // gap-closed sessions + idle finals timed out by the watermark:
     // Spark registers the timeout at floor(end_us/1000) + gap_ms and

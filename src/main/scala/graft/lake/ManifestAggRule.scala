@@ -262,44 +262,58 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     * straddles group values, any second grouping column, or any
     * unresolvable output falls back to the normal scan. */
   private def groupedRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val gAttr = agg.groupingExpressions match {
-      case Seq(a: Attribute) if exactStatType(a.dataType) => a
+    val gAttrs = agg.groupingExpressions.map {
+      case a: Attribute if exactStatType(a.dataType) => a
       case _ => return None
     }
-    val (idx, gName) = resolveAttr(agg.child, gAttr).getOrElse(
-      return None)
+    if (gAttrs.isEmpty) return None
+    val resolved = gAttrs.map(a =>
+      resolveAttr(agg.child, a).getOrElse(return None))
+    val idx = resolved.head._1
+    if (!resolved.forall(_._1 eq idx)) return None
+    val gNames = resolved.map(_._2)
     val files = idx.fileFacts.getOrElse(return None)
-    // assign every file wholly to one group, or give up
+    // assign every file wholly to one group (a point value or NULL per
+    // grouping column), or give up
     val groups = scala.collection.mutable.LinkedHashMap
-      .empty[Option[String], scala.collection.mutable.ArrayBuffer[FileFacts]]
+      .empty[Seq[Option[String]],
+        scala.collection.mutable.ArrayBuffer[FileFacts]]
     files.foreach { f =>
       if (f.rows > 0L) {
-        val cf = f.cols.getOrElse(gName, return None)
-        val key: Option[String] = cf.bounds match {
-          case Some((a, b)) if a == b && cf.nulls.contains(0L) => Some(a)
-          case _ if cf.allNull => None
-          case _ => return None
+        val key: Seq[Option[String]] = gNames.map { gName =>
+          val cf = f.cols.getOrElse(gName, return None)
+          cf.bounds match {
+            case Some((a, b)) if a == b && cf.nulls.contains(0L) => Some(a)
+            case _ if cf.allNull => None
+            case _ => return None
+          }
         }
         groups.getOrElseUpdate(key,
           scala.collection.mutable.ArrayBuffer.empty) += f
       }
     }
-    // per group: substitute the grouping attr and every aggregate call
+    // per group: substitute the grouping attrs and every aggregate call
     // with constants, then fold the surrounding expression
     val rows = groups.toSeq.map { case (key, gf) =>
-      val keyValue: Any =
-        key.map(internalValue(gAttr.dataType, _)).orNull
+      val keyValues: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+          (Any, DataType)] =
+        gAttrs.zip(key).map { case (a, k) =>
+          a.exprId -> (k.map(internalValue(a.dataType, _)).orNull,
+            a.dataType)
+        }.toMap
       val values = agg.aggregateExpressions.map { ne =>
         val (expr, ok0) = ne match {
           case Alias(e, _) => (e, true)
-          case a: Attribute if a.exprId == gAttr.exprId => (a: Expression, true)
+          case a: Attribute if keyValues.contains(a.exprId) =>
+            (a: Expression, true)
           case _ => (ne: Expression, false)
         }
         if (!ok0) return None
         var ok = true
         val substituted = expr.transformUp {
-          case a: Attribute if a.exprId == gAttr.exprId =>
-            Literal(keyValue, gAttr.dataType)
+          case a: Attribute if keyValues.contains(a.exprId) =>
+            val (v, dt) = keyValues(a.exprId)
+            Literal(v, dt)
           case ae: AggregateExpression =>
             (if (ae.isDistinct || ae.filter.nonEmpty) None
             else ae.aggregateFunction match {

@@ -149,6 +149,50 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** Stream-static ENRICHMENT against a lake dimension (the streaming
+    * lookup/SCD shape): each micro-batch joins the dimension's CURRENT
+    * snapshot — `foreachBatch` re-scans the lake table per batch, so a
+    * dim update between batches is visible to the next batch. A plain
+    * `stream.join(dim.scan())` would pin the snapshot captured at
+    * query start for the stream's whole lifetime; the per-batch
+    * re-scan is what a continuously-enriching pipeline needs (and each
+    * re-scan is manifest-planned: zero listing, pruned by the join's
+    * pushed filters). Joined batches append to `outPath` parquet with
+    * the batch id stamped; returns the drained result as a batch read.
+    *
+    * `keyExpr` derives the stream-side join key (e.g. a bucketing of
+    * user_id) named as the dim's key column. */
+  def enrichWithLakeDim(spark: SparkSession, dir: String,
+      dim: graft.lake.LakeTable, keyExpr: org.apache.spark.sql.Column,
+      keyName: String, outPath: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      onBatch: Long => Unit = _ => ()): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema =
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", glob)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+      .withColumn(keyName, keyExpr)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        batch.join(dim.scan(), keyName)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        onBatch(batchId)
+        ()
+      }
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Stream-stream INTERVAL join (the attribution shape): each click
     * joins every purchase by the same user within
     * `[click, click + windowSeconds]`. Both sides carry event-time

@@ -150,6 +150,30 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(hasFileScan(qf))
   }
 
+  test("multi-column partition grouping folds per (a, b) group, no scan") {
+    val df = (1L to 240L).map { i =>
+      (i, s"d${i % 2}", if (i % 3 == 0) None else Some(s"s${i % 2}"))
+    }.toDF("k", "day", "src")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-grp2"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema,
+      partitionBy = Seq("day", "src"))
+    cat.loadTable("ns", "t").append(df)
+    val q = cat.sql("ns",
+      """SELECT day, src, count(*) AS n, max(k) AS mx
+        |FROM t GROUP BY day, src""".stripMargin)
+    val got = q.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) "NULL" else r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet
+    val exp = df.groupBy("day", "src")
+      .agg(count(lit(1)).as("n"), max($"k").as("mx"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) "NULL" else r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp && got.size == 4) // (d0|d1) × (s-val|NULL)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+  }
+
   test("unprovable shapes fall back to the scan and stay exact") {
     val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
       .toDF("k", "x", "v")

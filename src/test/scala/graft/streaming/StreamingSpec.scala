@@ -101,6 +101,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(gapOnly.subsetOf(got) && got.size > gapOnly.size)
   }
 
+  test("lake-dim enrichment re-scans the dim per micro-batch (SCD lookup)") {
+    import org.apache.spark.sql.types._
+    val base = graft.TestSpark.tmpDir("enrich")
+    // two event files -> two AvailableNow batches (maxFilesPerTrigger=1)
+    Seq((1L, 1000L * 1000000000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$base/in/a")
+    Seq((2L, 2000L * 1000000000L, 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$base/in/b")
+    // move part files up so the glob sees exactly two files
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    Seq("a", "b").foreach { d =>
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$base/in/$d/part-*.parquet")).head
+      fs.rename(part.getPath,
+        new org.apache.hadoop.fs.Path(s"$base/in/ev_$d.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/in/$d"), true)
+    }
+    val dim = graft.lake.LakeTable.create(spark, s"$base/dim",
+      StructType(Seq(StructField("seg", LongType),
+        StructField("label", StringType))))
+    dim.append(Seq((7L, "old")).toDF("seg", "label"))
+    val out = StreamingIngest.enrichWithLakeDim(spark, s"$base/in",
+      dim, col("user_id"), "seg", s"$base/out", glob = "ev_*.parquet",
+      maxFilesPerTrigger = Some(1),
+      onBatch = { id =>
+        // SCD update after the FIRST batch: later batches must see it
+        if (id == 0L) {
+          dim.merge(Seq((7L, "new")).toDF("seg", "label"), Seq("seg"))
+        }
+      })
+    val got = out.select("event_id", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "old"), (2L, "new")), got.toString)
+  }
+
   test("sessionize survives a pathological hot user in one trigger") {
     // one user carries 50k of 50.2k events in a single AvailableNow
     // trigger — the documented per-user in-batch materialization bound.
