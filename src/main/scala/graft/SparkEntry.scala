@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Contamination, Dedup, LexicalQuality, Mixture, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Contamination, Dedup, LexicalQuality, Mixture, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -1492,6 +1492,14 @@ WHEN NOT MATCHED THEN INSERT *
         budget = 5000L, numRangePartitions = 8)
         .select("doc_id", "n_tokens", "shard")
     }),
+
+    "q_sequence_pack" -> ((s, dir) =>
+      // fixed-length training-sequence packing: the corpus token stream
+      // cut into 512-token sequences, long docs splitting across
+      // sequences — one (doc, sequence) span row each; global layout
+      // via the distributed prefix sum (never a single-task window)
+      SequencePacking.pack(docs(s, dir), seqLen = 512,
+        numRangePartitions = 8)),
 
     "q_lake_vectors" -> ((s, dir) => {
       // embeddings as FIRST-CLASS LAKE DATA: array<float> columns ride
@@ -3057,6 +3065,28 @@ WHEN NOT MATCHED THEN INSERT *
         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0) AS BIGINT)
         |    AS shard
         |FROM tc""".stripMargin,
+
+    "q_sequence_pack" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n AS BIGINT) AS s
+        |  FROM tc WHERE n > 0),
+        |x AS (
+        |  SELECT doc_id, s, s + n AS e,
+        |    unnest(generate_series(s // 512, (s + n - 1) // 512))
+        |      AS seq_id
+        |  FROM p)
+        |SELECT doc_id, seq_id,
+        |  greatest(s, seq_id * 512) - s AS tok_start,
+        |  least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)
+        |    AS tok_len
+        |FROM x""".stripMargin,
 
     // hyperplane-LSH top-k: bucket join on the exact signature, re-rank
     // within buckets (single-probe; sparse buckets return < k rows)

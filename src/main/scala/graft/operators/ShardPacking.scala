@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   * touches one row per partition. */
 object ShardPacking {
 
-  def assign(df: DataFrame, weightCol: String, orderCol: String,
-      budget: Long, numRangePartitions: Int = 0): DataFrame = {
-    require(budget > 0, "budget must be positive")
+  /** df + `startCol` = each row's EXCLUSIVE global prefix sum of
+    * `weightCol` in `orderCol` order — the distributed prefix-sum
+    * primitive described above, shared by shard assignment and
+    * [[SequencePacking]]. */
+  def withStartOffsets(df: DataFrame, weightCol: String, orderCol: String,
+      startCol: String, numRangePartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numRangePartitions > 0) numRangePartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -49,9 +52,18 @@ object ShardPacking {
         coalesce(sum(col("__tot")).over(offsetW), lit(0L)))
       .select(col(pid), col("__offset"))
     local.join(broadcast(offsets), Seq(pid))
-      .withColumn("shard",
-        floor((col("__cum_local") + col("__offset") - col(weightCol))
-          / lit(budget.toDouble)).cast("long"))
+      .withColumn(startCol,
+        col("__cum_local") + col("__offset") - col(weightCol))
       .drop(pid, "__cum_local", "__offset")
+  }
+
+  def assign(df: DataFrame, weightCol: String, orderCol: String,
+      budget: Long, numRangePartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    withStartOffsets(df, weightCol, orderCol, "__start",
+        numRangePartitions)
+      .withColumn("shard",
+        floor(col("__start") / lit(budget.toDouble)).cast("long"))
+      .drop("__start")
   }
 }
