@@ -1493,6 +1493,26 @@ WHEN NOT MATCHED THEN INSERT *
         .select("doc_id", "n_tokens", "shard")
     }),
 
+    "q_data_card" -> ((s, dir) => {
+      // the corpus DATA CARD: per-language doc/token counts, exact
+      // token-length quantiles, and the exact-duplicate rate — one
+      // grouped aggregate pass over per-row codegen'd token counts and
+      // digests (the report a training-data team publishes per drop)
+      val d = docs(s, dir)
+        .withColumn("n_tokens",
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .withColumn("h", md5(col("text")))
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 2).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 2).as("p90_tokens"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        round(lit(1.0) - countDistinct(col("h")) / count(lit(1)), 4)
+          .as("dup_rate"))
+    }),
+
     "q_sequence_pack" -> ((s, dir) =>
       // fixed-length training-sequence packing: the corpus token stream
       // cut into 512-token sequences, long docs splitting across
@@ -3065,6 +3085,21 @@ WHEN NOT MATCHED THEN INSERT *
         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0) AS BIGINT)
         |    AS shard
         |FROM tc""".stripMargin,
+
+    "q_data_card" ->
+      """WITH t AS (
+        |  SELECT lang, md5(text) AS h,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(avg(n_tokens), 2) AS avg_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 2) AS p50_tokens,
+        |  round(quantile_cont(n_tokens, 0.9), 2) AS p90_tokens,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+        |  round(1.0 - count(DISTINCT h) / count(*), 4) AS dup_rate
+        |FROM t GROUP BY lang""".stripMargin,
 
     "q_sequence_pack" ->
       """WITH tc AS (
