@@ -1565,6 +1565,17 @@ WHEN NOT MATCHED THEN INSERT *
       SimilaritySearch.lshTopK(e, queries, k = 5, nPlanes = 10)
     }),
 
+    "q_ann_int8" -> ((s, dir) => {
+      // exact top-k over int8-quantized vectors (4× memory): cosine is
+      // scale-invariant so the scoring loop runs on the integer codes;
+      // the oracle re-derives the SAME codes (floor(x/scale + 0.5))
+      // and ranks with list_cosine_similarity
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.quantizedTopK(e, queries, k = 5)
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val queries = e.where(col("vec_id") % 50 === 0)
@@ -2616,6 +2627,30 @@ WHEN NOT MATCHED THEN INSERT *
         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
         |        q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
         |  FROM embeddings c CROSS JOIN embeddings q
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // int8 quantization mirrored exactly: scale = list-max |x| / 127,
+    // codes = floor(x/scale + 0.5); ranking on the codes (cosine is
+    // scale-invariant)
+    "q_ann_int8" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) /
+        |        (list_aggregate(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0)
+        |        + 0.5) AS DOUBLE)) AS q
+        |  FROM embeddings)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_cosine_similarity(c.q, q.q) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.q, q.q) DESC,
+        |        c.vec_id ASC) AS rnk
+        |  FROM qv c CROSS JOIN qv q
         |  WHERE q.vec_id % 50 = 0)
         |WHERE rnk <= 5""".stripMargin,
 

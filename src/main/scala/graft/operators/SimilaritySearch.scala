@@ -49,6 +49,46 @@ object SimilaritySearch {
     math.min(62, math.max(minPlanes, needed))
   }
 
+  /** Int8 scalar quantization of an embedding column — the 4× memory
+    * compression a 100 TB ANN corpus runs on: per-vector `scaleCol` =
+    * max|x| / 127 and `codesCol` = ⌊x / scale + 0.5⌋ ∈ [−127, 127]
+    * (deterministic floor(+0.5) rounding, mirrored exactly by the SQL
+    * oracle). Cosine is SCALE-INVARIANT, so similarity search runs
+    * directly on the integer codes — no dequantization in the scoring
+    * loop, and dot products over ±127 codes stay exactly representable
+    * in float; `scaleCol` is kept for value reconstruction. All
+    * per-row array math (codegen'd higher-order functions), zero
+    * shuffle. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+      codesCol: String = "q_codes",
+      scaleCol: String = "q_scale"): DataFrame = {
+    val v = col(vecCol)
+    val mx = aggregate(
+      transform(v, x => abs(x.cast("double"))), lit(0d),
+      (acc, x) => greatest(acc, x))
+    df.withColumn(scaleCol, mx / lit(127d))
+      .withColumn(codesCol,
+        when(col(scaleCol) === 0d, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            floor(x.cast("double") / col(scaleCol) + lit(0.5d))
+              .cast("int"))))
+  }
+
+  /** Exact top-k over int8-QUANTIZED vectors: quantize both sides, then
+    * the brute-force cosine loop runs on the codes (scale-invariance —
+    * see [[quantizeInt8]]). The accuracy/4×-memory trade, with the same
+    * broadcast-queries / zero-corpus-shuffle plan as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    def codes(df: DataFrame, id: String) =
+      quantizeInt8(df, vecCol)
+        .select(col(id), col("q_codes").cast("array<float>").as(vecCol))
+    bruteForceTopK(codes(corpus, idCol), codes(queries, queryIdCol), k,
+      idCol, vecCol, queryIdCol)
+  }
+
   /** Exact top-k: for each query vector, the k most-cosine-similar corpus
     * vectors. Deterministic tie-break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
