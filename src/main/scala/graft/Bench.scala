@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line (bracketed around a full
+  * per-query line) on stdout.
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS     local[N] threads (default 4)
+  *   SPARK_GRAFT_QUERIES  comma-separated query-name subset (default: all)
+  *   SPARK_GRAFT_REPS     runs per query; best (min) time is reported
+  *                        (default 2 — one co-tenant CPU spike can no
+  *                        longer masquerade as a plan regression)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,10 +33,18 @@ object Bench {
     // unlucky name)
     spark.range(1000000).selectExpr("sum(id) AS s", "count(*) AS n")
       .write.format("noop").mode("overwrite").save()
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg
     // pinned (sorted) query order: run-to-run and round-to-round diffs
     // line up by name, never by map-iteration accident
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
+      // best-of-reps: each rep rebuilds the query's own lake state from
+      // scratch, so the min is a clean same-plan re-measure, not a cache hit
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every operator (count()
         // can collapse a projection to a footer-metadata read)
@@ -35,19 +58,23 @@ object Bench {
           }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
         spark.catalog.clearCache() // release operator-internal persists
-        name -> (if (ok) elapsed else -1.0)
+        if (ok) elapsed else -1.0
+      }
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
+    val loadAfter = loadAvg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     // the compact line carries every scalar a grader needs and is short
     // enough to survive ANY truncation; it brackets the full per-query
-    // line so both head-kept and tail-kept captures stay parseable
+    // line so both head-kept and tail-kept captures stay parseable.
+    // load1m before/after lets a reader see co-tenant pressure at a glance.
     val compactLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"reps":$reps,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"sf":"$sfDir"}"""
     println(compactLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size},"reps":$reps,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}""")
     println(compactLine)
     spark.stop()
   }

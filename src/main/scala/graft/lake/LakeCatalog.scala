@@ -106,26 +106,27 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   private def viewsFile(ns: String) = new Path(new Path(whPath, ns),
     "_views.json")
 
+  // view metadata rides the SAME pointer-swap protocol as table HEAD
+  // commits (complete-at-swap; no delete-then-rename crash window that
+  // could lose every stored view), and in-process mutations serialize on
+  // one lock so concurrent createView/dropView can't lose updates
+  private def viewsPointer: PointerStore =
+    PointerStore.forTable(spark, fs, whPath.toUri, hconf)
+  private val viewsLock = new Object
+
   /** Stored views of `ns` in CREATION ORDER (a later view may reference
     * an earlier one; registration replays them in sequence). Stored as
     * `<warehouse>/<ns>/_views.json` — catalog metadata, not table
     * state, so they survive table drops and travel with the warehouse. */
-  def listViews(ns: String): Seq[(String, String)] = {
-    val p = viewsFile(ns)
-    if (!fs.exists(p)) return Nil
-    val body = {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        out.toString("UTF-8")
-      } finally in.close()
+  def listViews(ns: String): Seq[(String, String)] =
+    viewsPointer.read(viewsFile(ns)) match {
+      case None => Nil
+      case Some(body) =>
+        val n = Snapshot.mapper.readTree(body)
+        (0 until n.size).map { i =>
+          (n.get(i).get("name").asText, n.get(i).get("sql").asText)
+        }
     }
-    val n = Snapshot.mapper.readTree(body)
-    (0 until n.size).map { i =>
-      (n.get(i).get("name").asText, n.get(i).get("sql").asText)
-    }
-  }
 
   private def writeViews(ns: String, views: Seq[(String, String)]): Unit = {
     val m = Snapshot.mapper
@@ -133,16 +134,13 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     views.foreach { case (name, sql) =>
       val o = arr.addObject(); o.put("name", name); o.put("sql", sql)
     }
-    val tmp = new Path(new Path(whPath, ns), s"._views-${java.util.UUID.randomUUID()}.json")
-    val out = fs.create(tmp, true)
-    try out.write(m.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(arr).getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, viewsFile(ns))) {
-      fs.delete(viewsFile(ns), false)
-      require(fs.rename(tmp, viewsFile(ns)), s"cannot write views of $ns")
-    }
+    viewsPointer.write(viewsFile(ns),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(arr))
   }
+
+  /** Suffixes [[registerViews]] reserves for per-table metadata views. */
+  private val MetadataViewSuffixes = Seq("_history", "_files",
+    "_snapshots", "_partitions", "_refs", "_manifests")
 
   /** ≡ `CREATE [OR REPLACE] VIEW name AS <sql>`: stores the ORIGINAL
     * SQL text (late-binding, like Iceberg views — each reference
@@ -152,26 +150,38 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       replace: Boolean = false): Unit = {
     require(name.nonEmpty && !name.contains("/"), s"bad view name: $name")
     require(!tableExists(ns, name), s"$ns.$name is a table")
-    val cur = listViews(ns)
-    require(replace || !cur.exists(_._1 == name),
-      s"view $ns.$name already exists")
-    val next = cur.filterNot(_._1 == name) :+ (name, sql)
-    // validate by building the plan NOW (tables must already be
-    // registered by the caller's session — cat.sql does this)
-    spark.sql(sql).createOrReplaceTempView(name)
-    writeViews(ns, next)
+    // a view named e.g. `orders_history` would silently shadow the
+    // generated metadata view of table `orders` session-wide — reserved
+    MetadataViewSuffixes.foreach { sfx =>
+      if (name.endsWith(sfx) &&
+          tableExists(ns, name.stripSuffix(sfx)))
+        throw new IllegalArgumentException(
+          s"view name $name shadows the $sfx metadata view of table " +
+            s"${name.stripSuffix(sfx)} — pick another name")
+    }
+    viewsLock.synchronized {
+      val cur = listViews(ns)
+      require(replace || !cur.exists(_._1 == name),
+        s"view $ns.$name already exists")
+      val next = cur.filterNot(_._1 == name) :+ (name, sql)
+      // validate by building the plan NOW (tables must already be
+      // registered by the caller's session — cat.sql does this)
+      spark.sql(sql).createOrReplaceTempView(name)
+      writeViews(ns, next)
+    }
   }
 
   /** ≡ `DROP VIEW [IF EXISTS] name`. */
-  def dropView(ns: String, name: String, ifExists: Boolean = false): Unit = {
-    val cur = listViews(ns)
-    if (!cur.exists(_._1 == name)) {
-      require(ifExists, s"no view $ns.$name")
-      return
+  def dropView(ns: String, name: String, ifExists: Boolean = false): Unit =
+    viewsLock.synchronized {
+      val cur = listViews(ns)
+      if (!cur.exists(_._1 == name)) {
+        require(ifExists, s"no view $ns.$name")
+        return
+      }
+      writeViews(ns, cur.filterNot(_._1 == name))
+      spark.catalog.dropTempView(name)
     }
-    writeViews(ns, cur.filterNot(_._1 == name))
-    spark.catalog.dropTempView(name)
-  }
 
   /** ≡ `SHOW VIEWS`. */
   def showViews(ns: String): DataFrame = {

@@ -1848,7 +1848,13 @@ final class LakeTable private (
           "references it — drop the constraint first")
     }
 
-  /** One violation probe over a batch about to be written: CHECK
+  /** Whether any write-time rule is active (used to skip the staged-file
+    * validation read entirely on unconstrained tables). */
+  private def hasWriteConstraints: Boolean =
+    checkConstraints.nonEmpty ||
+      properties.get(LakeTable.PropEnforceNotNull).contains("true")
+
+  /** One violation probe over the STAGED files of a write — CHECK
     * constraints (must evaluate TRUE — NULL violates) and, when the
     * table opts in with `write.enforce-not-null=true`, the schema's
     * non-nullable columns — all in a single job; the first offending
@@ -1858,9 +1864,13 @@ final class LakeTable private (
     * nullable (a file CAN hold nulls regardless of declarations); only
     * a table that explicitly asks gets writes rejected over it. Tables
     * without constraints pay NOTHING (no job). Runs on every data
-    * write — ingest, merge/update rewrites, compaction folds — so no
-    * file can ever hold a violating row, including rows introduced by
-    * UPDATE/MERGE SET expressions. */
+    * write — ingest, merge/update rewrites, compaction folds — over the
+    * parquet the write just staged, BEFORE any file is renamed live: the
+    * validated rows are byte-for-byte the rows a commit would publish,
+    * so the guarantee holds even for non-deterministic inputs
+    * (rand()/uuid()/re-read sources), and a constrained write pays one
+    * pushdown-pruned columnar read of the delta instead of a second full
+    * evaluation of its input plan. */
   private def enforceWriteConstraints(df: DataFrame): Unit = {
     val checks = checkConstraints.toSeq.sortBy(_._1)
     val notNull =
@@ -2970,7 +2980,6 @@ final class LakeTable private (
     * cost ∝ commit size, see [[FileStats]]). File names carry Spark's task
     * UUIDs — unique across commits. */
   private def writeDataFiles(df: DataFrame): WriteResult = {
-    enforceWriteConstraints(df)
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     val conf = df.sparkSession.conf
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
@@ -3004,6 +3013,17 @@ final class LakeTable private (
       if (fields.nonEmpty)
         w = w.partitionBy(fields.map(_.dirName): _*)
       w.parquet(staging.toString)
+      // validate what was actually WRITTEN (staging is still disposable —
+      // a violation throws here and `finally` deletes it, so no live file
+      // can ever hold a violating row). Identity partition columns live
+      // in the hive dirs; supplying the table schema casts them back.
+      if (hasWriteConstraints) {
+        val readSchema = org.apache.spark.sql.types.StructType(
+          sch.fields.filter(f => df.columns.contains(f.name)))
+        enforceWriteConstraints(
+          spark.read.option("basePath", staging.toString)
+            .schema(readSchema).parquet(staging.toString))
+      }
       val files = listParquet(fs, staging)
       // rename serially (cheap metadata ops; size captured from the
       // same status call), then read the footers in parallel — each

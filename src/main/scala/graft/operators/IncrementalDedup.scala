@@ -69,16 +69,26 @@ object IncrementalDedup {
     * `threshold`), or `novel` (`dup_of` NULL). `dup_of` is the SMALLEST
     * matching id among corpus matches and earlier (lower-id) batch
     * matches — deterministic, and `exact` wins over `near` for the
-    * same id. */
+    * same id.
+    *
+    * `eager` (default): the batch signature/shingle temporaries are
+    * persisted for the DAG's multiple references, the manifest is
+    * materialized (localCheckpoint — O(batch) slim rows), and the
+    * temporaries are unpersisted before returning — a long-lived
+    * session leaks nothing. `eager = false` returns a fully lazy plan
+    * and persists NOTHING: the temporaries are recomputed per
+    * reference (bounded by the batch, never the corpus). */
   def admit(index: DataFrame, corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 128, bands: Int = 32, shingleSize: Int = 3,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val batchIdx = buildIndex(batch, textCol, idCol, k, shingleSize, seed)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val batchSh = batch.select(col(idCol).as("id"),
-        TextDedup.shingles(col(textCol), shingleSize).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      threshold: Double = 0.5, seed: Long = 42L,
+      eager: Boolean = true): DataFrame = {
+    def keep(df: DataFrame): DataFrame =
+      if (eager) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val batchIdx = keep(buildIndex(batch, textCol, idCol, k, shingleSize,
+      seed))
+    val batchSh = keep(batch.select(col(idCol).as("id"),
+      TextDedup.shingles(col(textCol), shingleSize).as("sh")))
 
     // ---- exact layer: digest joins (batch digests broadcast)
     val exactCorpus = index
@@ -145,6 +155,15 @@ object IncrementalDedup {
       .join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("dup_of", lit(null).cast("long"))
       .withColumn("kind", lit("novel"))
-    best.unionByName(novel)
+    val out = best.unionByName(novel)
+    if (!eager) out
+    else {
+      // materialize (cuts lineage), then drop the cached temporaries —
+      // nothing stays pinned in the session's block manager
+      val mat = out.localCheckpoint(true)
+      batchIdx.unpersist(false)
+      batchSh.unpersist(false)
+      mat
+    }
   }
 }

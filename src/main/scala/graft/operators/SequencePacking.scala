@@ -38,9 +38,11 @@ object SequencePacking {
     ShardPacking.withStartOffsets(counted, "__n_tokens", idCol,
         "__start", numRangePartitions)
       .withColumn("__end", col("__start") + col("__n_tokens"))
+      // integer division (`div`), NOT `/`: `/` routes longs through
+      // DoubleType and silently loses exactness past 2^53 token offsets
       .withColumn("seq_id", explode(sequence(
-        (col("__start") / L).cast("long"),
-        ((col("__end") - 1) / L).cast("long"))))
+        expr(s"__start div $seqLen"),
+        expr(s"(__end - 1) div $seqLen"))))
       .withColumn("__span_start",
         greatest(col("__start"), col("seq_id") * L))
       .select(col(idCol),
