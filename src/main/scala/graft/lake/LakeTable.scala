@@ -3262,11 +3262,31 @@ final class LakeTable private (
       fs.delete(metaPath, false)
     // optimistic concurrency: exclusive create of v<id>.json fails if a
     // racing writer committed the same version first. Normalize the
-    // already-exists failure to ConcurrentModificationException when
-    // HEAD has in fact moved, so every losing racer sees ONE exception
-    // type (and [[append]] can retry on it).
+    // already-exists failure to ConcurrentModificationException, so
+    // every losing racer sees ONE exception type (and [[append]] can
+    // retry on it).
     try writeStringExclusive(fs, metaPath, ManifestIO.listToJson(snap))
     catch {
+      case e: java.io.IOException if fs.exists(metaPath) =>
+        // lost the exclusive create: the winner's HEAD swap may still
+        // be IN FLIGHT (a real cross-process window — the winner is
+        // between create and swap for milliseconds of wall time), so
+        // HEAD alone can't distinguish "lost the race" from "storage
+        // trouble". The surviving v<id>.json IS the evidence. Ride the
+        // swap out briefly so the retry loop observes the moved HEAD
+        // and rebases; if HEAD never moves (winner crashed mid-swap),
+        // the age-gated orphan recovery above unblocks a later attempt.
+        dropNewChunks()
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var sleep = 2L
+        while (currentSnapshotId.contains(base.snapshotId) &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(sleep)
+          sleep = math.min(sleep * 2, 100L)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"table $root: version $id was committed by a racing writer " +
+            s"(${e.getMessage})")
       case e: java.io.IOException
           if !currentSnapshotId.contains(base.snapshotId) =>
         dropNewChunks()

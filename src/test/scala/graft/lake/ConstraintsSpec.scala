@@ -11,6 +11,12 @@ import graft.TestSpark
   * only after the existing data validates, and re-validated on EVERY
   * data write (ingest, merge/update rewrites) in one probe job — a
   * violating batch aborts before any file is committed. */
+object ConstraintsSpec {
+  /** Evaluation counter for the non-determinism test (local mode: UDF
+    * closures run in this JVM, so a static is visible to tasks). */
+  val evals = new java.util.concurrent.atomic.AtomicLong()
+}
+
 class ConstraintsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -97,6 +103,95 @@ class ConstraintsSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](t.append(bad))
     assert(e.getMessage.contains("NOT NULL column k"))
     assert(t.scan().count() == 1L)
+  }
+
+  test("non-deterministic input: validation sees the WRITTEN rows, once") {
+    // The poison column is valid for its first full evaluation (10 rows)
+    // and violating for any later one. Probe-then-write would validate
+    // evaluation #1 and commit evaluation #2's violating rows; the
+    // staged-file validation reads back what the write actually staged,
+    // so the write both succeeds AND commits only valid rows — and the
+    // input plan is evaluated exactly once (no double computation).
+    ConstraintsSpec.evals.set(0L)
+    val poison = udf { () =>
+      if (ConstraintsSpec.evals.incrementAndGet() <= 10) 1.0 else -1.0
+    }.asNondeterministic()
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir("ck-nd") + "/t",
+      StructType(Seq(StructField("k", LongType),
+        StructField("x", DoubleType))))
+    t.addCheckConstraint("x_pos", "x >= 0")
+    t.append(spark.range(10).coalesce(1)
+      .select(col("id").as("k"), poison().as("x")))
+    assert(ConstraintsSpec.evals.get() == 10L,
+      s"input evaluated ${ConstraintsSpec.evals.get()} times, expected 10")
+    assert(t.scan().where(col("x") < 0).count() == 0L)
+    assert(t.scan().count() == 10L)
+  }
+
+  test("adding a column does not orphan constraints; constrain new column") {
+    val df = (1L to 5L).map(i => (i, i * 10L)).toDF("id", "amount")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("ck-evolve"))
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t", df.schema)
+    t.append(df)
+    t.addCheckConstraint("amt_pos", "amount >= 0")
+
+    // evolve-merge adding a source-only column: allowed (only
+    // drop/rename orphan a constraint), and amt_pos re-validates the
+    // rewritten rows
+    Seq((2L, 99L, "eu"), (9L, 9L, "us"))
+      .toDF("id", "amount", "region").createOrReplaceTempView("ev_src")
+    cat.sql("ns", """
+MERGE WITH SCHEMA EVOLUTION INTO t USING ev_src ON t.id = ev_src.id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+""")
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("id", "amount", "region"))
+    assert(t.scan().count() == 6L)
+
+    // constrain the EVOLVED column (NULL-tolerant: pre-existing rows
+    // read NULL for it and a CHECK must evaluate TRUE)
+    t.addCheckConstraint("region_len",
+      "region IS NULL OR length(region) <= 4")
+    // ...and a NULL-intolerant add over those NULL rows is refused
+    intercept[IllegalArgumentException](
+      t.addCheckConstraint("region_req", "region IS NOT NULL"))
+
+    // a later merge violating the evolved-column constraint aborts the
+    // DATA commit (rows unchanged)
+    Seq((3L, 30L, "overlong")).toDF("id", "amount", "region")
+      .createOrReplaceTempView("ev_bad")
+    val e = intercept[IllegalStateException](cat.sql("ns", """
+MERGE INTO t USING ev_bad ON t.id = ev_bad.id
+WHEN MATCHED THEN UPDATE SET *
+"""))
+    assert(e.getMessage.contains("region_len"))
+    assert(t.scan().where(col("id") === 3L).select("region")
+      .collect().head.isNullAt(0))
+  }
+
+  test("constrain-then-evolve: violating evolve-merge aborts the data") {
+    val df = (1L to 5L).map(i => (i, i * 10L)).toDF("id", "amount")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("ck-cte"))
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t", df.schema)
+    t.append(df)
+    t.addCheckConstraint("amt_pos", "amount >= 0")
+
+    // the merge's auto-evolve (a metadata commit) may land, but the
+    // violating DATA write must not
+    Seq((2L, -1L, "eu")).toDF("id", "amount", "region")
+      .createOrReplaceTempView("cte_bad")
+    val e = intercept[IllegalStateException](cat.sql("ns", """
+MERGE WITH SCHEMA EVOLUTION INTO t USING cte_bad ON t.id = cte_bad.id
+WHEN MATCHED THEN UPDATE SET *
+"""))
+    assert(e.getMessage.contains("amt_pos"))
+    val rows = t.scan().select("id", "amount").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == (1L to 5L).map(i => (i, i * 10L)))
   }
 
   test("schema changes that would orphan a constraint are refused") {

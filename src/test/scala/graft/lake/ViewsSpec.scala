@@ -64,6 +64,33 @@ class ViewsSpec extends AnyFunSuite {
       cat.sql("ns", "CREATE VIEW t AS SELECT 1 AS x"))
     intercept[Exception](
       cat.sql("ns", "CREATE VIEW broken AS SELECT * FROM no_such_table"))
+    // reserved metadata-view suffixes of existing tables: a view named
+    // t_history would silently shadow table t's generated history view
+    val e = intercept[IllegalArgumentException](
+      cat.createView("ns", "t_history", "SELECT 1 AS x"))
+    assert(e.getMessage.contains("t_history"))
+    intercept[IllegalArgumentException](
+      cat.createView("ns", "t_files", "SELECT 1 AS x"))
+    // ...but the suffix alone is fine when no such table exists
+    cat.createView("ns", "other_history", "SELECT 1 AS x")
+    cat.dropView("ns", "other_history")
     assert(cat.listViews("ns").isEmpty)
+  }
+
+  test("concurrent createView calls do not lose updates") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("views3"))
+    cat.createNamespace("ns")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val fs = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            cat.createView("ns", s"v$i", s"SELECT $i AS x")
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(cat.listViews("ns").map(_._1).toSet ==
+      (1 to 16).map(i => s"v$i").toSet)
   }
 }
