@@ -234,28 +234,46 @@ object SimilaritySearch {
       struct(cosine(vec, cs.getField("vec")).as("sim"),
         (-cs.getField("id")).as("negid")))).getField("negid")
 
-  /** Spherical Lloyd refinement of the id-sampled seed centroids —
-    * the k-means training a production IVF runs over the same pipeline
+  /** Nearest codeword by squared L2 (PQ's sub-slice metric), map-side:
+    * argmin via array_min over a struct ordered (dist asc, id asc). */
+  private[operators] def nearestCodewordL2(centLit: Column,
+      vec: Column): Column =
+    array_min(transform(centLit, cs =>
+      struct(
+        aggregate(zip_with(vec, cs.getField("vec"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), _ + _).as("d"),
+        cs.getField("id").as("id")))).getField("id")
+
+  /** Lloyd refinement of the id-sampled seed centroids — the k-means
+    * training a production IVF/PQ runs over the same pipeline
     * (k-means|| initialization collapses to the fixed seed draw here so
     * runs are reproducible; the iteration count is fixed, not
-    * convergence-tested, for the same reason).
+    * convergence-tested, for the same reason). `spherical = true` is
+    * IVF's cosine flavor: nearest-by-cosine assignment, re-normalized
+    * means. `spherical = false` is PQ's codebook flavor: nearest-by-L2
+    * assignment, plain means (sub-slices aren't unit vectors, so
+    * normalizing would distort them).
     *
     * Scale shape: each iteration is ONE distributed aggregation — the
     * map side assigns every vector to its nearest centroid (the same
     * inlined-literal argmax as the query path, zero shuffle) and
     * partially aggregates per-dimension sums, so the shuffle carries
-    * only tasks × centroids × dim partial rows, never vectors. The
-    * refined means are re-normalized (spherical k-means: cosine cares
-    * about direction only); a cluster that loses all members keeps its
-    * previous centroid, the standard empty-cluster fallback. */
+    * only tasks × centroids × dim partial rows, never vectors. A
+    * cluster that loses all members keeps its previous centroid, the
+    * standard empty-cluster fallback. */
   private[operators] def trainCentroids(c: DataFrame,
-      seeds: Seq[(Int, Seq[Float])], iters: Int): Seq[(Int, Seq[Float])] = {
+      seeds: Seq[(Int, Seq[Float])], iters: Int,
+      spherical: Boolean = true): Seq[(Int, Seq[Float])] = {
     var cents = seeds
     (1 to iters).foreach { _ =>
       val centLit = centroidLiteral(cents)
+      val assigned =
+        if (spherical) nearestCentroid(centLit, col("corpus_vec"))
+        else nearestCodewordL2(centLit, col("corpus_vec"))
       val means = c
-        .withColumn("centroid_id",
-          nearestCentroid(centLit, col("corpus_vec")))
+        .withColumn("centroid_id", assigned)
         .select(col("centroid_id"),
           posexplode(col("corpus_vec")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
@@ -265,9 +283,12 @@ object SimilaritySearch {
         means.get(id) match {
           case Some(rows) =>
             val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-            val norm = math.sqrt(vec.map(x => x * x).sum)
-            if (norm == 0.0) id -> old
-            else id -> vec.map(x => (x / norm).toFloat).toSeq
+            if (!spherical) id -> vec.map(_.toFloat).toSeq
+            else {
+              val norm = math.sqrt(vec.map(x => x * x).sum)
+              if (norm == 0.0) id -> old
+              else id -> vec.map(x => (x / norm).toFloat).toSeq
+            }
           case None => id -> old // empty cluster keeps its centroid
         }
       }
@@ -291,7 +312,11 @@ object SimilaritySearch {
     * plain SQL, which is what the correctness oracle replays);
     * codeword assignment is argmin squared-L2 per block, ties to the
     * lowest codeword id. All double math in a FIXED fold order so the
-    * oracle's arithmetic is bit-identical.
+    * oracle's arithmetic is bit-identical. `trainIterations > 0`
+    * Lloyd-refines each subspace's codebook ([[trainCentroids]] with
+    * `spherical = false` — L2 assignment, plain means) for tighter
+    * cells at the cost of nSubspaces × iters aggregation jobs; the
+    * default 0 keeps the oracle-reproducible codebook.
     *
     * Scale shape: the codebook is a driver-side literal
     * (nSubspaces × nCodes × dim/nSubspaces floats — KBs); encoding is
@@ -304,7 +329,9 @@ object SimilaritySearch {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nSubspaces: Int = 4, nCodes: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      trainIterations: Int = 0): DataFrame = {
+    require(trainIterations >= 0)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("corpus_vec"))
     val seedRows = c.orderBy("corpus_id").limit(nCodes).collect()
@@ -313,11 +340,22 @@ object SimilaritySearch {
     require(dim % nSubspaces == 0,
       s"dim $dim not divisible into $nSubspaces subspaces")
     val sub = dim / nSubspaces
-    // codebook(m)(j): the j-th seed's m-th sub-slice, as doubles
-    val cbLit = array((0 until nSubspaces).map(m =>
-      array(seedRows.map(r => typedLit(
-        r.getSeq[Float](1).slice(m * sub, (m + 1) * sub)
-          .map(_.toDouble).toSeq)): _*)): _*)
+    // codebook(m)(j): the j-th codeword of subspace m, as doubles —
+    // seed sub-slices, Lloyd-refined per subspace when training is on
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until nSubspaces).map { m =>
+      val seeds = seedRows.zipWithIndex.map { case (r, j) =>
+        (j + 1) -> r.getSeq[Float](1).slice(m * sub, (m + 1) * sub)
+      }.toSeq
+      val cb =
+        if (trainIterations == 0) seeds
+        else trainCentroids(
+          c.select(col("corpus_id"),
+            slice(col("corpus_vec"), m * sub + 1, sub).as("corpus_vec")),
+          seeds, trainIterations, spherical = false)
+      cb.sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
+    }
+    val cbLit = array(codebooks.map(cb =>
+      array(cb.map(cw => typedLit(cw)): _*)): _*)
 
     def toD(v: Column) = transform(v, x => x.cast("double"))
     def sqDist(a: Column, b: Column) = aggregate(

@@ -281,4 +281,27 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val recall = bf.intersect(pq).size.toDouble / bf.size
     assert(recall >= 0.1, s"pq recall $recall vs brute force")
   }
+
+  test("trained pq codebooks: recall@10 >= seeded on sf0.01 embeddings") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = e.where($"vec_id" % 500 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = SimilaritySearch.bruteForceTopK(e, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("corpus_id"))).toSet
+    def recallOf(iters: Int): Double = {
+      val got = SimilaritySearch.pqTopK(e, queries, k = 10,
+        trainIterations = iters)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("corpus_id"))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val seeded = recallOf(0)
+    val trained = recallOf(3)
+    // per-subspace Lloyd tightens the codebooks around the actual
+    // sub-slice distribution, so ADC ranking can only get closer to the
+    // exact one (deterministic: fixed seeds, fixed iteration count)
+    info(f"pq recall@10: seeded=$seeded%.3f trained=$trained%.3f")
+    assert(trained >= seeded,
+      s"trained pq recall $trained < seeded $seeded")
+  }
 }
