@@ -19,9 +19,19 @@ import graft.pipeline.PipelineRunner
   * inference, bronze append, snapshot-incremental read, the dedup
   * window, and a COW merge over ~57 partitions — the pipeline's
   * behavior at 4 orders of magnitude above the reference fixture.
+  *
+  * `runMain graft.ScaleSmoke metadata-agg [sfDir]` instead smokes the
+  * metadata-aggregate rewrite at manifest scale: ~50k file entries in
+  * one table (the 100 TB date×source profile shape), then times the
+  * grouped GROUP BY partition answer and proves it planned zero file
+  * scans. Results recorded in PERF.md.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("metadata-agg")) {
+      metadataAggSmoke(args.lift(1).getOrElse("/root/testdata/sf0.01"))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val workDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-scale").toString)
@@ -104,6 +114,81 @@ object ScaleSmoke {
     require(silverN == n, "silver must stay keyed-unique")
     require(updatedN == nUpd, "updates must win in silver")
     println("[scale] PASS")
+    spark.stop()
+  }
+
+  /** Manifest-scale smoke for the metadata-aggregate rewrite: build a
+    * ~50k-file table (100 identity-partition values × 512 write tasks,
+    * ONE commit — the small-files worst case a 100 TB date×source
+    * profile would accumulate), then measure the grouped
+    * GROUP BY partition aggregate that ManifestAggRule answers from
+    * the manifest fold alone. Asserts the plan holds no file scan and
+    * reports wall time + driver-heap delta per run. */
+  private def metadataAggSmoke(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-magg-smoke")
+      .config("spark.sql.shuffle.partitions", "512")
+      // AQE would helpfully coalesce the deliberate 512-way round-robin
+      // and shrink the file count this smoke exists to create
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-magg-scale").toString
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 100).as("grp"), col("o_totalprice"))
+    val cat = new LakeCatalog(spark, s"$work/warehouse")
+    cat.createNamespace("ns")
+    cat.createTable("ns", "wide", orders.schema, partitionBy = Seq("grp"))
+    val t = cat.loadTable("ns", "wide")
+    println("[magg] writing the 512-task × 100-partition append…")
+    var t0 = System.nanoTime()
+    // hash-repartition BY KEY, not round-robin: round-robin's stride
+    // (512) aliases against grp = key % 100 and collapses each task to
+    // ~26 distinct groups; a hash distribution makes every task a
+    // uniform sample of all 100, so the write fans out to ~48k files
+    t.append(orders.repartition(512, col("o_orderkey")))
+    val entries = t.files.count()
+    println(f"[magg] one commit, $entries manifest entries " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val sql = """SELECT grp, count(*) AS n, min(o_orderkey) AS min_key,
+                |  max(o_orderkey) AS max_key,
+                |  count(o_totalprice) AS n_price
+                |FROM wide GROUP BY grp""".stripMargin
+    val rt = Runtime.getRuntime
+    (1 to 3).foreach { run =>
+      System.gc()
+      val heap0 = rt.totalMemory() - rt.freeMemory()
+      t0 = System.nanoTime()
+      val df = cat.sql("ns", sql)
+      val rows = df.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.gc() // retained delta, not transient fold garbage
+      val heapMb = (rt.totalMemory() - rt.freeMemory() - heap0) / 1e6
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("FileSourceScan") && !plan.contains("Scan parquet"),
+        "grouped metadata aggregate planned a file scan")
+      require(rows.length == 100, s"expected 100 groups, got ${rows.length}")
+      println(f"[magg] run $run: ${rows.length} groups in $secs%.3f s " +
+        f"(driver-heap delta $heapMb%.0f MB, plan = LocalTableScan only)")
+    }
+    // ground truth on the raw rows: the fold must not just be fast
+    val truth = orders.groupBy("grp").agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        count("o_totalprice").as("n_price"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val got = cat.sql("ns", sql).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    require(got == truth, "metadata answer != ground truth")
+    println("[magg] PASS (values equal ground truth)")
     spark.stop()
   }
 }
