@@ -29,7 +29,9 @@ import graft.pipeline.PipelineRunner
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("metadata-agg")) {
-      metadataAggSmoke(args.lift(1).getOrElse("/root/testdata/sf0.01"))
+      // sf0.1's 150k orders × 512 hash tasks × 100 partition values
+      // lands ~48k files in one commit; sf0.01's 15k rows top out ~13k
+      metadataAggSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -148,10 +150,8 @@ object ScaleSmoke {
     val t = cat.loadTable("ns", "wide")
     println("[magg] writing the 512-task × 100-partition append…")
     var t0 = System.nanoTime()
-    // hash-repartition BY KEY, not round-robin: round-robin's stride
-    // (512) aliases against grp = key % 100 and collapses each task to
-    // ~26 distinct groups; a hash distribution makes every task a
-    // uniform sample of all 100, so the write fans out to ~48k files
+    // hash-repartition BY KEY so every task is a uniform sample of all
+    // 100 groups and the dynamic-partition write fans out maximally
     t.append(orders.repartition(512, col("o_orderkey")))
     val entries = t.files.count()
     println(f"[magg] one commit, $entries manifest entries " +

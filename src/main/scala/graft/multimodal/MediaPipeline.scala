@@ -21,15 +21,19 @@ import org.apache.spark.sql.types._
   * the features are exact, reproducible functions of the stored
   * samples. Audio decode is REAL too — JDK `javax.sound.sampled`
   * parses WAV/AIFF/AU PCM, and [[audioFeatures]] computes banded mean
-  * amplitudes from the decoded frames. Only bytes that are neither a
-  * supported image nor supported audio (video, arbitrary blobs) fall
-  * back to a clearly-marked deterministic byte-level STUB — this
-  * container ships no video codecs — and [[sampleFrames]] likewise
-  * chunks bytes rather than seeking real keyframes. The plumbing around both paths — the schema contract
-  * (`media binary, media_meta struct`), partition-parallel batched
-  * execution (`mapPartitions` over fixed-size batches, the JVM shape
-  * of `mapInPandas`), and the downstream feature consumers (ANN search
-  * over the extracted vectors) — is identical and tested.
+  * amplitudes from the decoded frames. Video decode is REAL for
+  * MJPEG-in-AVI — a pure-JDK RIFF chunk walk ([[decodeAviFrames]])
+  * yields the per-frame JPEG payloads, which ImageIO then decodes like
+  * any other image — so [[sampleFrames]] seeks real frames and
+  * [[extractFeatures]] computes real per-frame band features for that
+  * container. Only bytes in none of those families (codecs the JDK
+  * cannot touch: H.264/VP9/…, arbitrary blobs) fall back to a
+  * clearly-marked deterministic byte-level STUB. The plumbing around
+  * every path — the schema contract (`media binary, media_meta
+  * struct`), partition-parallel batched execution (`mapPartitions`
+  * over fixed-size batches, the JVM shape of `mapInPandas`), and the
+  * downstream feature consumers (ANN search over the extracted
+  * vectors) — is identical and tested.
   */
 object MediaPipeline {
 
@@ -124,6 +128,126 @@ object MediaPipeline {
           AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
           val bytes = out.toByteArray
           Row(id, bytes, Row("audio/wav", null, null, bytes.length.toLong))
+        }
+      }(encoder)
+  }
+
+  // ------------------------------------------------ MJPEG-AVI (video)
+
+  /** Assemble a minimal well-formed MJPEG-in-AVI container (RIFF
+    * `AVI ` → `hdrl` (avih + strl/strh/strf) → `movi` with one `00dc`
+    * chunk per JPEG frame). Pure JDK byte assembly — the inverse of
+    * [[decodeAviFrames]] and the standard uncompressed-index-free AVI
+    * every MJPEG camera writes. */
+  private[multimodal] def buildMjpegAvi(frames: Seq[Array[Byte]],
+      width: Int, height: Int, fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ body)
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(1000000L / fps) ++ le32(maxFrame.toLong * fps) ++
+      le32(0) ++ le32(0x10) /* AVIF_HASINDEX off, 0x10 = interleaved */ ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame.toLong) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps.toLong) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(maxFrame.toLong) ++
+      le32(0xFFFFFFFFL) /* quality */ ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++ cc("MJPG") ++
+      le32(width.toLong * height * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++
+        chunk("strf", strf)))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** REAL video decode for the one container pure JDK can handle:
+    * MJPEG-in-AVI. Walks the RIFF chunk tree and returns the `00dc` /
+    * `00db` stream payloads — each a standalone JPEG that ImageIO
+    * decodes. None for bytes that are not a RIFF AVI (or hold no video
+    * chunks) — those fall through to the byte-level stub, which after
+    * this remains only for codecs the JDK genuinely cannot touch. */
+  private[multimodal] def decodeAviFrames(bytes: Array[Byte])
+      : Option[Seq[Array[Byte]]] =
+    try {
+      if (bytes.length < 12) return None
+      def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      def u32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+          ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val size = u32(off + 4).toInt
+          val dataStart = off + 8
+          if (size < 0 || dataStart + size > bytes.length) return
+          if (id == "LIST" && size >= 4)
+            walk(dataStart + 4, dataStart + size)
+          else if ((id.endsWith("dc") || id.endsWith("db")) && size > 0)
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart,
+              dataStart + size)
+          off = dataStart + size + (size & 1)
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+
+  /** Synthetic-but-REAL video fixture: an MJPEG-AVI per document whose
+    * frame `f` is a grayscale JPEG with row `y` holding (approximately,
+    * JPEG being lossy) the sample `(doc_id + f + y) mod 256` —
+    * exercises the full container-assemble → RIFF-walk → per-frame
+    * ImageIO path. */
+  def attachSyntheticAvi(docs: DataFrame, width: Int = 16,
+      height: Int = 8, nFrames: Int = 6,
+      idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frames = (0 until nFrames).map { f =>
+            val img = new BufferedImage(width, height,
+              BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < height) {
+              val v = ((id + f + y) % 256 + 256) % 256
+              var x = 0
+              while (x < width) { raster.setSample(x, y, 0, v.toInt); x += 1 }
+              y += 1
+            }
+            val out = new ByteArrayOutputStream()
+            ImageIO.write(img, "jpg", out)
+            out.toByteArray
+          }
+          val bytes = buildMjpegAvi(frames, width, height)
+          Row(id, bytes,
+            Row("video/x-msvideo", width, height, bytes.length.toLong))
         }
       }(encoder)
   }
@@ -239,11 +363,11 @@ object MediaPipeline {
       if (counts(j) == 0) 0f else (sums(j) / counts(j) / 255.0).toFloat)
   }
 
-  /** STUB decode for bytes that are neither image nor audio:
+  /** STUB decode for bytes that are none of image / audio / MJPEG-AVI:
     * deterministic `dim`-point pseudo-features from the raw bytes
-    * (per-bucket byte means, normalized) — video codecs are not in
-    * this container, so that feature path keeps this byte-level
-    * stand-in. */
+    * (per-bucket byte means, normalized). After the AVI path, this
+    * stand-in remains only for codecs the JDK genuinely cannot decode
+    * (H.264/VP9/…, arbitrary blobs). */
   private[multimodal] def decodeStub(bytes: Array[Byte],
       dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
@@ -321,10 +445,13 @@ object MediaPipeline {
   }
 
   /** Batched frame sampling: one media blob → up to `maxFrames` frame
-    * rows (video → frames shape; STUB chunks the bytes evenly — the
-    * JDK has no video codec, a real impl would seek keyframes). Output
-    * explodes rows partition-locally; downstream per-frame ops (feature
-    * extract, dedup) then fan out with full parallelism. */
+    * rows. MJPEG-AVI blobs sample REAL frames — evenly spaced indices
+    * over the container's decoded `00dc` chunks, each emitted frame a
+    * standalone JPEG (`frame_no` = the original frame index) — any
+    * other bytes fall back to the even byte-chunk STUB (codecs the JDK
+    * cannot read). Output explodes rows partition-locally; downstream
+    * per-frame ops (feature extract, dedup) then fan out with full
+    * parallelism. */
   def sampleFrames(df: DataFrame, maxFrames: Int = 4,
       batchSize: Int = DefaultBatchSize): DataFrame = {
     require(maxFrames >= 1)
@@ -337,14 +464,23 @@ object MediaPipeline {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap(_.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val n = math.min(maxFrames, math.max(1, bytes.length))
-          val size = math.max(1, bytes.length / n)
-          (0 until n).iterator.map { i =>
-            val from = i * size
-            val until = if (i == n - 1) bytes.length
-              else math.min(bytes.length, from + size)
-            Row(r.getLong(0), i, java.util.Arrays.copyOfRange(
-              bytes, from, until))
+          decodeAviFrames(bytes) match {
+            case Some(frames) =>
+              val n = math.min(maxFrames, frames.length)
+              (0 until n).iterator.map { i =>
+                val idx = i * frames.length / n // even spacing
+                Row(r.getLong(0), idx, frames(idx))
+              }
+            case None =>
+              val n = math.min(maxFrames, math.max(1, bytes.length))
+              val size = math.max(1, bytes.length / n)
+              (0 until n).iterator.map { i =>
+                val from = i * size
+                val until = if (i == n - 1) bytes.length
+                  else math.min(bytes.length, from + size)
+                Row(r.getLong(0), i, java.util.Arrays.copyOfRange(
+                  bytes, from, until))
+              }
           }
         })
       }(encoder)
@@ -378,9 +514,20 @@ object MediaPipeline {
                 case Some(samples) =>
                   Row(id, audioFeatures(samples, dim).toSeq,
                     bytes.length.toLong, null, null)
-                case None =>
-                  Row(id, decodeStub(bytes, dim).toSeq, bytes.length.toLong,
-                    null, null)
+                case None => decodeAviFrames(bytes)
+                    .map(_.flatMap(decodeImage)).filter(_.nonEmpty) match {
+                  case Some(imgs) =>
+                    // video: mean of per-frame band features (the
+                    // standard frame-pooled video embedding shape)
+                    val fs = imgs.map(imageFeatures(_, dim))
+                    val mean = Array.tabulate(dim)(j =>
+                      (fs.map(_(j).toDouble).sum / fs.size).toFloat)
+                    Row(id, mean.toSeq, bytes.length.toLong,
+                      imgs.head.getWidth, imgs.head.getHeight)
+                  case None =>
+                    Row(id, decodeStub(bytes, dim).toSeq,
+                      bytes.length.toLong, null, null)
+                }
               }
             }
           }

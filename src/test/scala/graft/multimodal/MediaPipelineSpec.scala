@@ -153,6 +153,61 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(MediaPipeline.decodeAudio("not audio".getBytes).isEmpty)
   }
 
+  test("MJPEG-AVI round-trip: assemble → RIFF walk → real JPEG frames") {
+    val docs = Seq((7L, "x"), (300L, "y")).toDF("doc_id", "text")
+    val media = MediaPipeline.attachSyntheticAvi(docs, width = 16,
+      height = 8, nFrames = 6)
+    val row = media.orderBy("doc_id").collect().head
+    val bytes = row.getAs[Array[Byte]](1)
+    // container is a real RIFF AVI
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    // parser recovers every frame; each one is a standalone JPEG that
+    // ImageIO decodes at the declared dimensions
+    val frames = MediaPipeline.decodeAviFrames(bytes)
+    assert(frames.exists(_.length == 6))
+    frames.get.foreach { f =>
+      val img = MediaPipeline.decodeImage(f)
+      assert(img.isDefined)
+      assert(img.get.getWidth == 16 && img.get.getHeight == 8)
+    }
+    // frame content tracks the closed-form pixel function (JPEG-lossy:
+    // the first row of frame 0 for doc 7 is near (7 + 0 + 0) mod 256)
+    val first = MediaPipeline.decodeImage(frames.get.head).get
+    val v = first.getRaster.getSampleDouble(0, 0, 0)
+    assert(math.abs(v - 7.0) < 16.0, s"frame pixel $v far from 7")
+
+    // sampleFrames seeks REAL frames for AVI media: evenly spaced
+    // original indices, each emitted frame decodable
+    val sampled = MediaPipeline.sampleFrames(media, maxFrames = 3)
+      .where($"doc_id" === 7L).orderBy("frame_no").collect()
+    assert(sampled.length == 3)
+    assert(sampled.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    sampled.foreach(r => assert(
+      MediaPipeline.decodeImage(r.getAs[Array[Byte]](2)).isDefined))
+
+    // extractFeatures pools per-frame band features with REAL video
+    // dimensions; values near the closed-form mean, not the byte stub
+    val feats = MediaPipeline.extractFeatures(media, dim = 8)
+      .where($"doc_id" === 7L).collect().head
+    assert(feats.getInt(3) == 16 && feats.getInt(4) == 8)
+    val fs = feats.getSeq[Float](1)
+    // band y of frame f ≈ (7 + f + y)/255; mean over f=0..5 adds 2.5
+    (0 until 8).foreach { y =>
+      val expected = (7.0 + 2.5 + y) / 255.0
+      assert(math.abs(fs(y) - expected) < 0.05,
+        s"band $y: ${fs(y)} vs $expected")
+    }
+  }
+
+  test("sampleFrames on an AVI shorter than maxFrames emits every frame") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val media = MediaPipeline.attachSyntheticAvi(docs, nFrames = 2)
+    val sampled = MediaPipeline.sampleFrames(media, maxFrames = 5).collect()
+    assert(sampled.length == 2)
+    assert(sampled.map(_.getInt(1)).toSet == Set(0, 1))
+  }
+
   test("non-image bytes keep the stub fallback with null dimensions") {
     val docs = Seq((1L, "plainly not a png")).toDF("doc_id", "text")
     val feats = MediaPipeline.extractFeatures(
