@@ -334,14 +334,41 @@ object SimilaritySearch {
     require(trainIterations >= 0)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("corpus_vec"))
+    val (cbLit, sub) = pqCodebookLiteral(c, nSubspaces, nCodes,
+      trainIterations)
+
+    val encoded = pqEncode(c, cbLit, nSubspaces, nCodes, sub)
+
+    // ADC scoring: exact query subvectors against quantized corpus
+    val q = queries.select(col(queryIdCol), toD(col(vecCol)).as("__qd"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .withColumn("score", adcScore(cbLit, nSubspaces, sub))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(round(col("score"), 6).desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("corpus_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  private def toD(v: Column) = transform(v, x => x.cast("double"))
+  private def sqDist(a: Column, b: Column) = aggregate(
+    zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+  private def inner(a: Column, b: Column) = aggregate(
+    zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** Per-subspace codebooks as an inlined literal (see [[pqTopK]]):
+    * codebook(m)(j) = j-th codeword of subspace m, seeded from the
+    * `nCodes` lowest-id vectors' sub-slices, Lloyd-refined when
+    * `trainIterations > 0`. Returns (literal, subspace width). */
+  private def pqCodebookLiteral(c: DataFrame, nSubspaces: Int,
+      nCodes: Int, trainIterations: Int): (Column, Int) = {
     val seedRows = c.orderBy("corpus_id").limit(nCodes).collect()
     require(seedRows.nonEmpty, "empty corpus")
     val dim = seedRows.head.getSeq[Float](1).size
     require(dim % nSubspaces == 0,
       s"dim $dim not divisible into $nSubspaces subspaces")
     val sub = dim / nSubspaces
-    // codebook(m)(j): the j-th codeword of subspace m, as doubles —
-    // seed sub-slices, Lloyd-refined per subspace when training is on
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until nSubspaces).map { m =>
       val seeds = seedRows.zipWithIndex.map { case (r, j) =>
         (j + 1) -> r.getSeq[Float](1).slice(m * sub, (m + 1) * sub)
@@ -354,18 +381,16 @@ object SimilaritySearch {
           seeds, trainIterations, spherical = false)
       cb.sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
     }
-    val cbLit = array(codebooks.map(cb =>
-      array(cb.map(cw => typedLit(cw)): _*)): _*)
+    (array(codebooks.map(cb =>
+      array(cb.map(cw => typedLit(cw)): _*)): _*), sub)
+  }
 
-    def toD(v: Column) = transform(v, x => x.cast("double"))
-    def sqDist(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-    def inner(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-
-    // encode map-side: code(m) = argmin_j ||x_m − c_{m,j}||², 1-based
-    val encoded = c
-      .withColumn("__vd", toD(col("corpus_vec")))
+  /** Map-side PQ encoding: code(m) = argmin_j ||x_m − c_{m,j}||²,
+    * 1-based, ties to the lowest codeword id. Keeps every non-vector
+    * column of `c` (so an IVF cell id rides along). */
+  private def pqEncode(c: DataFrame, cbLit: Column, nSubspaces: Int,
+      nCodes: Int, sub: Int): DataFrame =
+    c.withColumn("__vd", toD(col("corpus_vec")))
       .withColumn("code",
         transform(sequence(lit(1), lit(nSubspaces)), m =>
           array_min(transform(sequence(lit(1), lit(nCodes)), j =>
@@ -373,17 +398,76 @@ object SimilaritySearch {
               sqDist(slice(col("__vd"), (m - lit(1)) * sub + lit(1), lit(sub)),
                 element_at(element_at(cbLit, m), j)).as("d"),
               j.as("j")))).getField("j")))
-      .select(col("corpus_id"), col("code"))
+      .drop("__vd", "corpus_vec")
 
-    // ADC scoring: exact query subvectors against quantized corpus
-    val q = queries.select(col(queryIdCol), toD(col(vecCol)).as("__qd"))
-    val scored = encoded.crossJoin(broadcast(q))
-      .withColumn("score",
-        aggregate(sequence(lit(1), lit(nSubspaces)), lit(0.0), (acc, m) =>
-          acc + inner(
-            slice(col("__qd"), (m - lit(1)) * sub + lit(1), lit(sub)),
-            element_at(element_at(cbLit, m),
-              element_at(col("code"), m)))))
+  /** ADC score of a `__qd` query column against a `code` column, in a
+    * FIXED fold order (subspace 1..n) so the SQL oracle's arithmetic
+    * is bit-identical. */
+  private def adcScore(cbLit: Column, nSubspaces: Int,
+      sub: Int): Column =
+    aggregate(sequence(lit(1), lit(nSubspaces)), lit(0.0), (acc, m) =>
+      acc + inner(
+        slice(col("__qd"), (m - lit(1)) * sub + lit(1), lit(sub)),
+        element_at(element_at(cbLit, m),
+          element_at(col("code"), m))))
+
+  /** IVF-PQ — the two scale paths COMPOSED, the FAISS "IVFADC" layout
+    * every billion-vector deployment runs (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, §IV): the
+    * coarse quantizer bounds WHICH candidates a query pays for
+    * (|corpus| · nProbe / nCentroids), PQ codes bound WHAT each
+    * candidate costs (nSubspaces lookups, 4 bytes of corpus memory).
+    * This variant quantizes raw vectors, not cell residuals — the
+    * add-on the non-residual layout trades for reusing one codebook
+    * across cells (and for plain-SQL oracle replay).
+    *
+    * Scale shape: centroids AND codebooks are driver-side literals
+    * (KBs); assignment + encoding are one map-side pass over the
+    * corpus — never shuffled, never duplicated; the candidate join is
+    * corpus ⋈ broadcast(probes) on the cell id, so each executor
+    * streams only its own cells' codes. The final window ranks
+    * |corpus| · nProbe / nCentroids rows per query, the same bound as
+    * [[ivfTopK]] at ~nSubspaces/dim of the arithmetic. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      nSubspaces: Int = 4, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      trainIterations: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("corpus_vec"))
+    val centroidRows = c.orderBy("corpus_id").limit(nCentroids).collect()
+    val seeds = centroidRows.zipWithIndex.map { case (r, i) =>
+      (i + 1) -> r.getSeq[Float](1)
+    }.toSeq
+    val centLit = centroidLiteral(
+      if (trainIterations == 0) seeds
+      else trainCentroids(c, seeds, trainIterations))
+    val (cbLit, sub) = pqCodebookLiteral(c, nSubspaces, nCodes,
+      trainIterations)
+
+    // one map-side pass: cell assignment + PQ encoding together
+    val encoded = pqEncode(
+      c.withColumn("centroid_id",
+        nearestCentroid(centLit, col("corpus_vec"))),
+      cbLit, nSubspaces, nCodes, sub)
+
+    // nProbe nearest cells per query (same probe expr as ivfTopK)
+    val q = queries.select(col(queryIdCol), col(vecCol).as("query_vec"))
+    val probes = q.withColumn("centroid_id",
+        explode(slice(
+          transform(
+            array_sort(transform(centLit, cs =>
+              struct((-cosine(col("query_vec"), cs.getField("vec")))
+                .as("negsim"), cs.getField("id").as("id")))),
+            s => s.getField("id")),
+          1, nProbe)))
+      .select(col("centroid_id"), col(queryIdCol),
+        toD(col("query_vec")).as("__qd"))
+
+    val scored = encoded.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("score", adcScore(cbLit, nSubspaces, sub))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(round(col("score"), 6).desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -304,4 +304,42 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(trained >= seeded,
       s"trained pq recall $trained < seeded $seeded")
   }
+
+  test("ivf-pq with nProbe == nCentroids degenerates to plain pq") {
+    // probing every cell removes the candidate restriction, so the
+    // composition must return exactly pqTopK's answer — the coarse
+    // stage only ever PRUNES, never rescores
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("score"))).toSet
+    val pq = rows(SimilaritySearch.pqTopK(e, queries, k = 5))
+    val ivfpq = rows(SimilaritySearch.ivfPqTopK(e, queries, k = 5,
+      nCentroids = 8, nProbe = 8))
+    assert(ivfpq == pq)
+  }
+
+  test("ivf-pq partial probe returns a subset of pq scores, k per query") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val pqScores = SimilaritySearch.pqTopK(e, queries, k = 500)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("corpus_id"))
+        -> r.getAs[Double]("score")).toMap
+    val got = SimilaritySearch.ivfPqTopK(e, queries, k = 5,
+      nCentroids = 8, nProbe = 2).collect()
+    assert(got.nonEmpty)
+    val perQuery = got.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rs) => assert(rs.length <= 5) }
+    // every candidate the composition scored carries pq's exact ADC
+    // score — the coarse stage changed the candidate set, not the math
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("corpus_id"))
+      assert(pqScores(key) == r.getAs[Double]("score"))
+    }
+  }
 }
