@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Contamination, Dedup, LexicalQuality, Mixture, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, Contamination, Dedup, Dsir, Funnel, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -756,6 +756,37 @@ WHEN NOT MATCHED THEN INSERT *
           |FROM nation_t GROUP BY n_regionkey""".stripMargin)
     }),
 
+    "q_multi_table_txn" -> ((s, dir) => {
+      // catalog-level MULTI-TABLE transaction: the fact table's second
+      // half and the summary table derived from the FULL fact table
+      // publish atomically — any non-atomic pair of appends would leave
+      // a window (and, under a crash, a permanent state) where the
+      // summary disagrees with the rows it claims to describe. The
+      // oracle certifies the invariant: per-priority row counts seen
+      // through the fact table equal the counts the summary recorded.
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val cat = new LakeCatalog(s, tmp("graft-txn"))
+      cat.createNamespace("m")
+      cat.createTable("m", "orders_t", o.schema)
+      cat.loadTable("m", "orders_t")
+        .append(o.where(col("o_orderkey") % 2 === 0))
+      val summary = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_recorded"),
+          round(sum(col("o_totalprice")), 2).as("total_recorded"))
+      cat.createTable("m", "summary_t", summary.schema)
+      cat.transaction("m") { txn =>
+        txn.append("orders_t", o.where(col("o_orderkey") % 2 =!= 0))
+        txn.append("summary_t", summary)
+      }
+      cat.recoverTransactions("m") // bootstrap no-op: nothing pending
+      cat.loadTable("m", "orders_t").scan()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .join(cat.loadTable("m", "summary_t").scan(),
+          Seq("o_orderpriority"))
+    }),
+
     "q_compact_where" -> ((s, dir) => {
       // predicate-scoped compaction: only the URGENT partition's small
       // files coalesce (manifest-pruned selection — the other
@@ -1352,6 +1383,18 @@ WHEN NOT MATCHED THEN INSERT *
         .select("user_id", "session_no", "n_events", "session_start_us",
           "session_end_us", "total_value", "duration_s")),
 
+    // windowed view→click→purchase funnel, earliest-completion greedy
+    // matching, 7-day completion window
+    "q_funnel" -> ((s, dir) =>
+      Funnel.funnel(events(s, dir), Seq("view", "click", "purchase"),
+        col("ts_us"), maxSpan = 7L * 86400L * 1000000L)),
+
+    // weekly cohort retention, weeks anchored at 2024-01-01 (anchored
+    // periods — no engine-specific week-start rules)
+    "q_cohort_retention" -> ((s, dir) =>
+      Funnel.cohortRetention(events(s, dir), col("ts_us"),
+        anchor = 1704067200000000L, periodLen = 7L * 86400L * 1000000L)),
+
     // ---- dedup family
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exact(docs(s, dir))),
@@ -1473,6 +1516,20 @@ WHEN NOT MATCHED THEN INSERT *
     // docs of globally rare tokens score low
     "q_unigram_logprob" -> ((s, dir) =>
       LexicalQuality.unigramLogProb(docs(s, dir), "doc_id", "text")),
+
+    // bigram conditional LM + perplexity — the next step toward the
+    // CCNet filter: word-salad that passes a unigram filter (common
+    // words, weird order) scores low here
+    "q_bigram_logprob" -> ((s, dir) =>
+      NgramLm.bigramLogProb(docs(s, dir), "doc_id", "text")),
+
+    // DSIR importance weights toward a target-domain sample (src0/src1
+    // docs): hashed-unigram bucket distributions, 64 buckets — the
+    // data-selection score of arXiv:2302.03169
+    "q_dsir_weights" -> ((s, dir) =>
+      Dsir.importanceWeights(docs(s, dir),
+        docs(s, dir).where(col("source").isin("src0", "src1")),
+        "doc_id", "text", nBuckets = 64)),
 
     // corpus is PII-free by construction, so the scrub must be the
     // identity — md5(scrubbed) == md5(text) is the per-row proof; the
@@ -1601,6 +1658,16 @@ WHEN NOT MATCHED THEN INSERT *
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       SimilaritySearch.pqTopK(e, queries, k = 5)
+    }),
+
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ (FAISS's IVFADC layout): coarse cells bound WHICH
+      // candidates a query pays for, PQ codes bound WHAT each costs
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimilaritySearch.ivfPqTopK(e, queries, k = 5, nCentroids = 16,
+        nProbe = 4, nSubspaces = 4, nCodes = 16)
     }),
 
     "q_neardup_embedding" -> ((s, dir) =>
@@ -2108,6 +2175,15 @@ WHEN NOT MATCHED THEN INSERT *
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
 
+    // the atomically-published fact/summary pair must agree exactly
+    // with one grouped pass over the raw input
+    "q_multi_table_txn" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_recorded,
+        |  round(sum(o_totalprice), 2) AS total_recorded
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
     "q_sql_count_pushdown" ->
       """SELECT (SELECT count(*) FROM lineitem) AS total,
         |       count(*) AS high_qty
@@ -2489,6 +2565,60 @@ WHEN NOT MATCHED THEN INSERT *
         |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
         |FROM s GROUP BY user_id, session_no""".stripMargin,
 
+    // funnel: greedy earliest-completion chain — each step's match is
+    // the earliest eligible event at/after the previous match, whole
+    // chain within 7 days of step 1; depth k ⇒ reached every step ≤ k
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts_us) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'click' AND e.ts_us >= s1.t1
+        |    AND e.ts_us <= s1.t1 + 604800000000
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts_us) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |    AND e.ts_us <= s2.t1 + 604800000000
+        |  GROUP BY s2.user_id, s2.t1, s2.t2),
+        |d AS (
+        |  SELECT 1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |           + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM s3),
+        |f AS (
+        |  SELECT 1 AS step, 'view' AS event_type, count(*) AS n FROM d
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM d WHERE depth >= 2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM d WHERE depth >= 3),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+        |SELECT CAST(step AS INTEGER) AS step, event_type,
+        |  CAST(f.n AS BIGINT) AS n_users,
+        |  round(f.n / tot.n, 4) AS conv_rate
+        |FROM f CROSS JOIN tot""".stripMargin,
+
+    // weekly cohort retention anchored at 2024-01-01 UTC (anchored
+    // 7-day periods — no engine week-start rules)
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor((epoch_us(ts) - 1704067200000000)
+        |      / 604800000000) AS BIGINT) AS wk
+        |  FROM events),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM a
+        |      GROUP BY user_id)
+        |SELECT c.cohort AS cohort_week, a.wk - c.cohort AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies
@@ -2718,6 +2848,72 @@ WHEN NOT MATCHED THEN INSERT *
         |  CROSS JOIN enc
         |  JOIN cb ON enc.m = cb.m AND enc.j = cb.j
         |  WHERE q.vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    max(CASE WHEN m=1 THEN p END) + max(CASE WHEN m=2 THEN p END)
+        |    + max(CASE WHEN m=3 THEN p END)
+        |    + max(CASE WHEN m=4 THEN p END) AS score
+        |  FROM parts GROUP BY query_id, corpus_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT query_id, corpus_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // IVF-PQ: the q_ann_ivf coarse quantizer (cent/assign/probe CTEs)
+    // bounds the candidate set, the q_ann_pq codebooks (seeds/cb/enc)
+    // price each candidate via ADC in the same fixed 4-term add order
+    "q_ann_ivfpq" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+        |         embedding AS cvec
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT corpus_id, cid FROM (
+        |    SELECT e.vec_id AS corpus_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.vec_id AS query_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+        |  WHERE rn <= 4),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS j,
+        |         embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT m, j, v[(m-1)*16+1:m*16] AS c
+        |  FROM seeds, unnest(generate_series(1, 4)) AS t(m)),
+        |enc AS (
+        |  SELECT vec_id, m, j FROM (
+        |    SELECT e.vec_id, cb.m, cb.j,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+        |        ORDER BY list_distance(
+        |          (e.embedding::DOUBLE[])[(cb.m-1)*16+1:cb.m*16], cb.c),
+        |          cb.j) AS rn
+        |    FROM embeddings e CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT p.query_id, a.corpus_id
+        |  FROM assign a JOIN probe p ON a.cid = p.cid),
+        |parts AS (
+        |  SELECT cd.query_id, cd.corpus_id, enc.m,
+        |    list_inner_product(
+        |      (q.embedding::DOUBLE[])[(enc.m-1)*16+1:enc.m*16], cb.c) AS p
+        |  FROM cand cd
+        |  JOIN embeddings q ON q.vec_id = cd.query_id
+        |  JOIN enc ON enc.vec_id = cd.corpus_id
+        |  JOIN cb ON enc.m = cb.m AND enc.j = cb.j),
         |scored AS (
         |  SELECT query_id, corpus_id,
         |    max(CASE WHEN m=1 THEN p END) + max(CASE WHEN m=2 THEN p END)
@@ -3091,6 +3287,66 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(ln(CAST(f.c AS DOUBLE) / n.total)), 4) AS logprob
         |FROM tok2 t JOIN freq f ON t.tk = f.tk CROSS JOIN n
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // bigram LM: adjacency over the FILTERED token sequence (empties
+    // dropped before lead()), p(w2|w1) = c12/c1 from the corpus itself
+    "q_bigram_logprob" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS tk,
+        |         generate_subscripts(toks, 1) AS pos
+        |  FROM raw),
+        |tok2 AS (SELECT * FROM tok WHERE tk <> ''),
+        |big AS (
+        |  SELECT doc_id, tk AS w1,
+        |         lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok2),
+        |big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM big2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS t FROM c12
+        |       GROUP BY w1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(CAST(f.c AS DOUBLE) / t.t)), 4) AS logprob,
+        |  round(exp(-avg(ln(CAST(f.c AS DOUBLE) / t.t))), 4) AS ppl
+        |FROM big2 b JOIN c12 f ON b.w1 = f.w1 AND b.w2 = f.w2
+        |JOIN c1 t ON b.w1 = t.w1
+        |GROUP BY b.doc_id""".stripMargin,
+
+    // DSIR: hashed-unigram (md5 low 32 bits mod 64) bucket dists, raw
+    // corpus = p, src0/src1 sample = q, Laplace (c+1)/(N+64); weight =
+    // Σ ln(q/p) over the doc's tokens — arithmetic shapes mirror the
+    // Spark side exactly (each prob computed, then the ratio's ln)
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS tk
+        |  FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM tok WHERE tk <> ''),
+        |ttok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tk
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |ttok2 AS (
+        |  SELECT CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM ttok WHERE tk <> ''),
+        |p AS (SELECT b, count(*) AS c FROM tok2 GROUP BY b),
+        |pn AS (SELECT count(*) AS n FROM tok2),
+        |q AS (SELECT b, count(*) AS c FROM ttok2 GROUP BY b),
+        |qn AS (SELECT count(*) AS n FROM ttok2)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(ln(
+        |    (CAST(COALESCE(q.c, 0) + 1 AS DOUBLE) / (qn.n + 64)) /
+        |    (CAST(p.c + 1 AS DOUBLE) / (pn.n + 64)))), 4) AS weight
+        |FROM tok2 t
+        |JOIN p ON t.b = p.b
+        |LEFT JOIN q ON t.b = q.b
+        |CROSS JOIN pn CROSS JOIN qn
         |GROUP BY t.doc_id""".stripMargin,
 
     "q_pii_scrub" -> {

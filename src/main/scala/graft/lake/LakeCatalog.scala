@@ -232,4 +232,122 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     registerViews(ns)
     LakeSql.run(this, ns, query)
   }
+
+  // ------------------------- multi-table transactions (catalog-level)
+
+  /** Marker directory for in-flight multi-table transactions:
+    * `<warehouse>/<ns>/_txns/<id>.json` holds a PREPARED decision
+    * record (the participant list) from just before the first table
+    * publishes until just after the last. */
+  private def txnsDir(ns: String) = new Path(new Path(whPath, ns),
+    "_txns")
+
+  /** Run `body` as a MULTI-TABLE transaction over namespace `ns` —
+    * the capability Iceberg itself only gets from a REST catalog's
+    * multi-table commit: several tables' appends publish together or
+    * not at all. Writes inside the body stage onto a per-table
+    * transaction branch (invisible to readers — zero table commits);
+    * if the body throws, every staged changeset is discarded and no
+    * table moved. On success the commit point is one exclusive-create
+    * PREPARED marker listing the participants; after it, each table is
+    * fast-forwarded in turn with an idempotent `txn.` watermark, and
+    * the marker is removed once all have published.
+    *
+    * Atomicity is ALL-OR-NOTHING WITH ROLL-FORWARD: before the marker,
+    * nothing is visible; after it, a crash anywhere mid-publish is
+    * completed by [[recoverTransactions]] (the watermark makes
+    * re-publishing a no-op, so recovery is exactly-once per table).
+    * Cross-table ISOLATION during the publish window is
+    * read-committed, not serializable — a reader between two
+    * fast-forwards sees table A new and table B old (the same window
+    * every non-catalog-transactional lake has on every pair of
+    * commits; here it is bounded and always converges). Returns
+    * table → published snapshot id. */
+  def transaction(ns: String)(
+      body: LakeTransaction => Unit): Map[String, Long] = {
+    require(namespaces.contains(ns), s"namespace $ns does not exist")
+    val id = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val txn = new LakeTransaction(this, ns, id)
+    try body(txn)
+    catch {
+      case e: Throwable =>
+        txn.tables.values.foreach(t =>
+          try t.discardBranch(txn.branch)
+          catch { case _: Exception => () })
+        throw e
+    }
+    if (txn.tables.isEmpty) return Map.empty
+    fs.mkdirs(txnsDir(ns))
+    val m = Snapshot.mapper
+    val o = m.createObjectNode()
+    o.put("id", id)
+    val arr = o.putArray("tables")
+    txn.tables.keys.foreach(arr.add)
+    // the DECISION POINT: marker present = committed (roll forward);
+    // absent = aborted (nothing was ever visible)
+    LakeTable.writeStringExclusive(fs, new Path(txnsDir(ns), s"$id.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(o))
+    val results = publishPrepared(ns, id, txn.tables.keys.toSeq)
+    fs.delete(new Path(txnsDir(ns), s"$id.json"), false)
+    results
+  }
+
+  private def publishPrepared(ns: String, id: String,
+      tableNames: Seq[String]): Map[String, Long] =
+    tableNames.map { t =>
+      t -> loadTable(ns, t).fastForwardBranch(s"txn-$id",
+        txn = Some((s"ctxn-$id", 1L)))
+    }.toMap
+
+  /** Ids of transactions that reached their PREPARED marker but not
+    * yet the post-publish cleanup (normally empty; non-empty after a
+    * crash mid-publish). */
+  def pendingTransactions(ns: String): Seq[String] =
+    if (!fs.exists(txnsDir(ns))) Nil
+    else fs.listStatus(txnsDir(ns)).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+      .toSeq.sorted
+
+  /** Roll every PREPARED-but-unfinished transaction forward to
+    * completion (crash recovery — call at catalog bootstrap). Tables
+    * that already published skip on their `txn.` watermark; tables
+    * that never did publish now. Returns the recovered ids. */
+  def recoverTransactions(ns: String): Seq[String] =
+    pendingTransactions(ns).map { id =>
+      val marker = new Path(txnsDir(ns), s"$id.json")
+      val n = Snapshot.mapper.readTree(
+        LakeTable.readString(fs, marker))
+      val tbls = (0 until n.path("tables").size)
+        .map(n.path("tables").get(_).asText)
+      tbls.foreach { t =>
+        if (tableExists(ns, t)) {
+          try publishPrepared(ns, id, Seq(t))
+          catch { case _: IllegalArgumentException => () } // discarded
+        }
+      }
+      fs.delete(marker, false)
+      id
+    }
+}
+
+/** Writer handle inside [[LakeCatalog.transaction]]: appends stage on
+  * a per-table `txn-<id>` branch; [[scan]] previews a participant
+  * table WITH the transaction's own staged writes (read-your-writes),
+  * and plain committed state for everything else. */
+final class LakeTransaction private[lake] (catalog: LakeCatalog,
+    ns: String, val id: String) {
+  private[lake] val tables =
+    scala.collection.mutable.LinkedHashMap.empty[String, LakeTable]
+  private[lake] def branch = s"txn-$id"
+
+  /** Stage an append of `df` to `table` (invisible until commit). */
+  def append(table: String, df: DataFrame): Unit =
+    tables.getOrElseUpdate(table, catalog.loadTable(ns, table))
+      .appendToBranch(branch, df)
+
+  /** Preview: committed state ∪ this transaction's staged writes. */
+  def scan(table: String): DataFrame =
+    tables.get(table).map(_.scanBranch(branch))
+      .getOrElse(catalog.loadTable(ns, table).scan())
 }

@@ -733,9 +733,25 @@ final class LakeTable private (
 
   /** Publish every parked changeset of the branch in ONE atomic append
     * commit and clear the branch. Like [[publishStaged]], refuses if
-    * any changeset predates a schema or partition-spec evolution. */
-  def fastForwardBranch(name: String): Long = {
+    * any changeset predates a schema or partition-spec evolution.
+    *
+    * `txn` (appId, version) makes the publish IDEMPOTENT on the same
+    * `txn.$appId` watermark as [[appendOnce]]: a replay that finds its
+    * watermark already committed only clears leftover staged markers —
+    * the roll-forward contract the catalog's multi-table transaction
+    * recovery relies on (a crash between this commit and the staged-
+    * file cleanup must not double-publish on recovery). */
+  def fastForwardBranch(name: String,
+      txn: Option[(String, Long)] = None): Long = {
     val ids = branchChangesets(name)
+    def watermarked(s: Snapshot): Boolean = txn.exists { case (app, v) =>
+      s.properties.get(s"txn.$app").exists(_.toLong >= v)
+    }
+    val base = current
+    if (watermarked(base)) {
+      ids.foreach(i => fs.delete(stagedPath(i), false))
+      return base.snapshotId
+    }
     require(ids.nonEmpty, s"no staged changesets on branch $name on $root")
     val loaded = ids.map(readStaged)
     val entries = loaded.flatMap(_._3)
@@ -743,14 +759,21 @@ final class LakeTable private (
     val stats = entries.filter(_.stats.nonEmpty)
       .map(e => e.path -> e.stats).toMap
     val info = entries.flatMap(e => e.info.map(e.path -> _)).toMap
-    val id = commitWithRetry(current)() { b =>
-      loaded.foreach { case (schemaJson, specId, _) =>
-        require(b.schemaJson == schemaJson && b.currentSpecId == specId,
-          s"branch $name predates a schema or partition-spec " +
-            "evolution — discard and re-stage")
+    val id = commitWithRetry(base)() { b =>
+      if (watermarked(b)) b.snapshotId
+      else {
+        loaded.foreach { case (schemaJson, specId, _) =>
+          require(b.schemaJson == schemaJson && b.currentSpecId == specId,
+            s"branch $name predates a schema or partition-spec " +
+              "evolution — discard and re-stage")
+        }
+        commit(b, "append", added = added, removed = Nil,
+          live = b.liveFiles ++ added, addedStats = stats,
+          addedInfo = info,
+          propertiesOverride = txn.map { case (app, v) =>
+            b.properties + (s"txn.$app" -> v.toString)
+          })
       }
-      commit(b, "append", added = added, removed = Nil,
-        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info)
     }
     ids.foreach(i => fs.delete(stagedPath(i), false))
     id

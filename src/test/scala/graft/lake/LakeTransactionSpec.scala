@@ -1,0 +1,112 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Catalog-level multi-table transactions: stage-on-branch, PREPARED
+  * marker as the decision point, idempotent roll-forward recovery. */
+class LakeTransactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(tag: String): LakeCatalog = {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir(tag))
+    cat.createNamespace("ns")
+    Seq("t1", "t2").foreach { t =>
+      val df = Seq((1L, "base")).toDF("id", "v")
+      cat.createTable("ns", t, df.schema)
+      cat.loadTable("ns", t).append(df)
+    }
+    cat
+  }
+
+  test("both tables publish together; nothing visible before commit") {
+    val cat = freshCatalog("txn-ok")
+    val results = cat.transaction("ns") { txn =>
+      txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+      txn.append("t2", Seq((2L, "b")).toDF("id", "v"))
+      txn.append("t2", Seq((3L, "c")).toDF("id", "v"))
+      // nothing has committed while the body runs
+      assert(cat.loadTable("ns", "t1").scan().count() == 1)
+      assert(cat.loadTable("ns", "t2").scan().count() == 1)
+      // read-your-writes preview
+      assert(txn.scan("t1").count() == 2)
+      assert(txn.scan("t2").count() == 3)
+    }
+    assert(results.keySet == Set("t1", "t2"))
+    assert(cat.loadTable("ns", "t1").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").scan().count() == 3)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
+  test("body failure rolls back: no table moves, nothing staged") {
+    val cat = freshCatalog("txn-rb")
+    val before1 = cat.loadTable("ns", "t1").currentSnapshotId
+    intercept[RuntimeException] {
+      cat.transaction("ns") { txn =>
+        txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+        sys.error("boom")
+      }
+    }
+    val t1 = cat.loadTable("ns", "t1")
+    assert(t1.currentSnapshotId == before1)
+    assert(t1.scan().count() == 1)
+    assert(cat.pendingTransactions("ns").isEmpty)
+    // the staged changeset was discarded, not orphaned
+    assert(t1.branchChangesets(
+      cat.pendingTransactions("ns").headOption.getOrElse("txn-none"))
+      .isEmpty)
+  }
+
+  test("crash mid-publish rolls FORWARD via recoverTransactions") {
+    val cat = freshCatalog("txn-crash")
+    val id = "deadbeef0001"
+    val t1 = cat.loadTable("ns", "t1")
+    val t2 = cat.loadTable("ns", "t2")
+    // replicate the protocol up to the crash: stage both, write the
+    // PREPARED marker, publish ONLY t1, then "crash"
+    t1.appendToBranch(s"txn-$id", Seq((2L, "a")).toDF("id", "v"))
+    t2.appendToBranch(s"txn-$id", Seq((2L, "b")).toDF("id", "v"))
+    val fs = new Path(cat.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(cat.warehouse, s"ns/_txns/$id.json")
+    fs.mkdirs(marker.getParent)
+    LakeTable.writeStringExclusive(fs, marker,
+      s"""{"id":"$id","tables":["t1","t2"]}""")
+    t1.fastForwardBranch(s"txn-$id", txn = Some((s"ctxn-$id", 1L)))
+    assert(cat.loadTable("ns", "t1").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").scan().count() == 1) // torn state
+
+    assert(cat.pendingTransactions("ns") == Seq(id))
+    val recovered = cat.recoverTransactions("ns")
+    assert(recovered == Seq(id))
+    // t2 rolled forward; t1 NOT double-published
+    assert(cat.loadTable("ns", "t1").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").scan().count() == 2)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
+  test("replayed publish with the txn watermark is a no-op") {
+    val cat = freshCatalog("txn-replay")
+    val t1 = cat.loadTable("ns", "t1")
+    t1.appendToBranch("txn-x", Seq((2L, "a")).toDF("id", "v"))
+    val snap = t1.fastForwardBranch("txn-x", txn = Some(("ctxn-x", 1L)))
+    assert(t1.scan().count() == 2)
+    // a crash between commit and staged cleanup replays the publish
+    // with changesets parked again: the watermark must swallow it
+    t1.appendToBranch("txn-x", Seq((2L, "a")).toDF("id", "v"))
+    val again = t1.fastForwardBranch("txn-x", txn = Some(("ctxn-x", 1L)))
+    assert(again == snap)
+    assert(t1.scan().count() == 2)
+    assert(t1.branchChangesets("txn-x").isEmpty) // leftovers cleared
+  }
+
+  test("empty transaction commits nothing and leaves no marker") {
+    val cat = freshCatalog("txn-empty")
+    val results = cat.transaction("ns") { _ => () }
+    assert(results.isEmpty)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+}
