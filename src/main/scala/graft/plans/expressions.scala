@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -398,6 +399,90 @@ object expressions {
       copy(child = c)
   }
 
+  /** All of a document's repetition statistics in ONE tokenizing pass:
+    * struct(n_tokens, n_distinct, top_count, n_bigrams,
+    * n_distinct_bigrams). Replaces a 4-way recomputation of the token
+    * array plus an explode→groupBy→groupBy→join top-token pipeline with
+    * a single per-row loop — token identity is EXACT (interned string
+    * ids, bigram = packed id pair), so the result is byte-identical to
+    * the SQL-oracle formulation, just without materializing any arrays
+    * or shuffling any (doc, token) rows.
+    *
+    * Tokenization replicates `regexp_extract_all(lower(text),
+    * '[a-z0-9]+')` as a character scan over the lowercased string. */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string arg, got ${child.dataType.sql}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_count", LongType, nullable = false),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("n_distinct_bigrams", LongType, nullable = false)))
+    override def prettyName: String = "graft_repetition_stats"
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[UTF8String])
+
+    /** Public for codegen (bound reference object — the surrounding
+      * whole-stage pipeline stays fused). */
+    def compute(u: UTF8String): InternalRow = {
+      val s = u.toString.toLowerCase
+      val ids = new java.util.HashMap[String, Integer]()
+      var counts = new Array[Int](16)
+      val bigrams = new java.util.HashSet[java.lang.Long]()
+      var nTokens = 0L
+      var nBigrams = 0L
+      var prevId = -1
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          var j = i + 1
+          while (j < n && {
+            val d = s.charAt(j)
+            (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) j += 1
+          val tok = s.substring(i, j)
+          var id = ids.get(tok)
+          if (id == null) {
+            id = Integer.valueOf(ids.size)
+            ids.put(tok, id)
+            if (id >= counts.length)
+              counts = java.util.Arrays.copyOf(counts, counts.length * 2)
+          }
+          counts(id) += 1
+          nTokens += 1
+          if (prevId >= 0) {
+            nBigrams += 1
+            bigrams.add((prevId.toLong << 32) | id.longValue())
+          }
+          prevId = id
+          i = j
+        } else i += 1
+      }
+      var top = 0L
+      var k = 0
+      val d = ids.size
+      while (k < d) { if (counts(k) > top) top = counts(k); k += 1 }
+      new GenericInternalRow(Array[Any](nTokens, d.toLong, top,
+        nBigrams, bigrams.size.toLong))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("repstats", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column API
 
   import org.apache.spark.sql.graft.{shim => S}
@@ -419,4 +504,7 @@ object expressions {
 
   def hyperplaneSignature(vec: Column, nPlanes: Int, seed: Long): Column =
     S.column(HyperplaneSignature(S.expression(vec), nPlanes, seed))
+
+  def repetitionStats(text: Column): Column =
+    S.column(RepetitionStats(S.expression(text)))
 }
