@@ -233,6 +233,12 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     LakeSql.run(this, ns, query)
   }
 
+  /** Run several `INSERT INTO` statements as ONE multi-table
+    * transaction (see [[transaction]]) — all publish atomically, or
+    * none do. Returns table → published snapshot id. */
+  def sqlTransaction(ns: String, statements: Seq[String]): Map[String, Long] =
+    LakeSql.runTransaction(this, ns, statements)
+
   // ------------------------- multi-table transactions (catalog-level)
 
   /** Marker directory for in-flight multi-table transactions:

@@ -382,28 +382,61 @@ object LakeSql {
     * explicit list are null-filled by the write's schema alignment. */
   private def insert(cat: LakeCatalog, ns: String,
       i: InsertIntoStatement): DataFrame = {
+    val lt = cat.loadTable(ns, tableNameOf(i.table))
+    val positioned = alignedInsertRows(cat, lt, i)
+    if (i.overwrite) lt.overwrite(positioned) else lt.append(positioned)
+    cat.spark.emptyDataFrame
+  }
+
+  /** The INSERT statement's source rows with SQL's positional column
+    * mapping applied (shared by [[insert]] and [[runTransaction]]). */
+  private def alignedInsertRows(cat: LakeCatalog, lt: LakeTable,
+      i: InsertIntoStatement): DataFrame = {
     if (i.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
       "static PARTITION specs are not supported — the table's own " +
         "partition spec derives partition values from the rows")
-    val lt = cat.loadTable(ns, tableNameOf(i.table))
     val df = GraftSqlBridge.ofRows(cat.spark, i.query)
-    val positioned =
-      if (i.byName) df // BY NAME: the write's schema alignment matches
-      else {
-        val fields = lt.schema.fieldNames
-        val targetCols: Seq[String] =
-          if (i.userSpecifiedCols.isEmpty) fields.toSeq
-          else i.userSpecifiedCols.map(c =>
-            fields.find(_.equalsIgnoreCase(c)).getOrElse(
-              throw new IllegalArgumentException(
-                s"INSERT column $c not in table schema")))
-        require(df.columns.length == targetCols.length,
-          s"INSERT provides ${df.columns.length} columns for " +
-            s"${targetCols.length} targets")
-        df.toDF(targetCols: _*)
+    if (i.byName) df // BY NAME: the write's schema alignment matches
+    else {
+      val fields = lt.schema.fieldNames
+      val targetCols: Seq[String] =
+        if (i.userSpecifiedCols.isEmpty) fields.toSeq
+        else i.userSpecifiedCols.map(c =>
+          fields.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"INSERT column $c not in table schema")))
+      require(df.columns.length == targetCols.length,
+        s"INSERT provides ${df.columns.length} columns for " +
+          s"${targetCols.length} targets")
+      df.toDF(targetCols: _*)
+    }
+  }
+
+  /** Run `statements` as ONE multi-table transaction
+    * ([[LakeCatalog.transaction]]): every statement must be a plain
+    * `INSERT INTO … SELECT …|VALUES …` (the append-only shape the
+    * transaction branches can stage — no OVERWRITE, no DML rewrite);
+    * all of them publish atomically, or none do. Returns
+    * table → published snapshot id. */
+  def runTransaction(cat: LakeCatalog, ns: String,
+      statements: Seq[String]): Map[String, Long] = {
+    cat.useNamespace(ns)
+    cat.registerViews(ns)
+    val out = cat.transaction(ns) { txn =>
+      statements.foreach { q =>
+        cat.spark.sessionState.sqlParser.parsePlan(q) match {
+          case i: InsertIntoStatement if !i.overwrite =>
+            val table = tableNameOf(i.table)
+            txn.append(table,
+              alignedInsertRows(cat, cat.loadTable(ns, table), i))
+          case other => throw new UnsupportedOperationException(
+            "transactions support INSERT INTO statements only, got: " +
+              other.getClass.getSimpleName)
+        }
       }
-    if (i.overwrite) lt.overwrite(positioned) else lt.append(positioned)
-    cat.spark.emptyDataFrame
+    }
+    cat.registerViews(ns)
+    out
   }
 
   /** `CREATE TABLE t (cols) [PARTITIONED BY (…)] [TBLPROPERTIES (…)]`
@@ -615,6 +648,15 @@ object LakeSql {
       case other => throw new UnsupportedOperationException(
         s"cannot resolve procedure: ${other.getClass.getSimpleName}")
     }
+    // catalog-level procedures (no table argument)
+    procName.toLowerCase match {
+      case "recover_transactions" =>
+        // roll PREPARED-but-unfinished multi-table transactions forward
+        val ids = cat.recoverTransactions(ns)
+        cat.registerViews(ns)
+        return ids.toDF("transaction_id")
+      case _ => ()
+    }
     val lt = cat.loadTable(ns, str(0))
     val out: DataFrame = procName.toLowerCase match {
       case "expire_snapshots" =>
@@ -675,7 +717,8 @@ object LakeSql {
           "rewrite_small_files, convert_equality_deletes, " +
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
-          "fast_forward, discard_branch, rewrite_manifests")
+          "fast_forward, discard_branch, rewrite_manifests, " +
+          "recover_transactions")
     }
     cat.registerViews(ns)
     out

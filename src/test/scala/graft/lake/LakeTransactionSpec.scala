@@ -109,4 +109,51 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(results.isEmpty)
     assert(cat.pendingTransactions("ns").isEmpty)
   }
+
+  test("SQL transaction: INSERT batch publishes atomically") {
+    val cat = freshCatalog("txn-sql")
+    val results = cat.sqlTransaction("ns", Seq(
+      "INSERT INTO t1 VALUES (2, 'a'), (3, 'b')",
+      "INSERT INTO t2 SELECT id + 10, v FROM t1"))
+    assert(results.keySet == Set("t1", "t2"))
+    assert(cat.loadTable("ns", "t1").scan().count() == 3)
+    // the INSERT..SELECT read COMMITTED t1 (1 row) — the transaction's
+    // own staged rows are not visible to SQL statements inside it
+    assert(cat.loadTable("ns", "t2").scan().count() == 2)
+  }
+
+  test("SQL transaction: non-INSERT statement rolls the batch back") {
+    val cat = freshCatalog("txn-sql-rb")
+    intercept[UnsupportedOperationException] {
+      cat.sqlTransaction("ns", Seq(
+        "INSERT INTO t1 VALUES (2, 'a')",
+        "DELETE FROM t2 WHERE id = 1"))
+    }
+    assert(cat.loadTable("ns", "t1").scan().count() == 1)
+    assert(cat.loadTable("ns", "t2").scan().count() == 1)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
+  test("CALL system.recover_transactions() completes a torn publish") {
+    val cat = freshCatalog("txn-sqlrec")
+    val id = "cafebabe0002"
+    val t1 = cat.loadTable("ns", "t1")
+    val t2 = cat.loadTable("ns", "t2")
+    t1.appendToBranch(s"txn-$id", Seq((2L, "a")).toDF("id", "v"))
+    t2.appendToBranch(s"txn-$id", Seq((2L, "b")).toDF("id", "v"))
+    val fs = new Path(cat.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(cat.warehouse, s"ns/_txns/$id.json")
+    fs.mkdirs(marker.getParent)
+    LakeTable.writeStringExclusive(fs, marker,
+      s"""{"id":"$id","tables":["t1","t2"]}""")
+    t1.fastForwardBranch(s"txn-$id", txn = Some((s"ctxn-$id", 1L)))
+
+    val out = cat.sql("ns", "CALL system.recover_transactions()")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq(id))
+    assert(cat.loadTable("ns", "t1").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").scan().count() == 2)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
 }
