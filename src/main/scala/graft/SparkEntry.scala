@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, Contamination, Dedup, Dsir, Funnel, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, Dsir, Funnel, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -1395,6 +1395,67 @@ WHEN NOT MATCHED THEN INSERT *
       Funnel.cohortRetention(events(s, dir), col("ts_us"),
         anchor = 1704067200000000L, periodLen = 7L * 86400L * 1000000L)),
 
+    // rolling z-score anomaly detection: each event scored against its
+    // user's previous 20 events (≥10 required) — row membership is an
+    // INTEGER condition, so only the rounded score carries fp noise.
+    // Per-user window partitions only; at scale this is the sessionize
+    // shuffle shape (shuffle by user, sort by time within)
+    "q_anomaly_zscore" -> ((s, dir) => {
+      // (ts, event_id) ordering — no reliance on timestamp uniqueness
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-20, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"),
+          avg(col("value")).over(w).as("__mu"),
+          stddev_samp(col("value")).over(w).as("__sd"),
+          count(lit(1)).over(w).as("__n"))
+        .where(col("__n") >= 10 && col("__sd") > 0)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round((col("value") - col("__mu")) / col("__sd"), 4).as("z"))
+    }),
+
+    // hourly OHLC bars per event type: open/close picked by a
+    // deterministic (ts, event_id) row_number — no reliance on
+    // timestamp uniqueness. One grouped agg after a per-(hour,type)
+    // window; both keyed on the same columns, one shuffle reused
+    "q_ohlc_bars" -> ((s, dir) => {
+      val hr = floor(col("ts_us") / 3600000000L).cast("long").as("hour")
+      val e = events(s, dir).select(hr, col("event_type"),
+        col("ts_us"), col("event_id"), col("value"))
+      val wAsc = Window.partitionBy(col("hour"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy(col("hour"), col("event_type"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("__ra", row_number().over(wAsc))
+        .withColumn("__rd", row_number().over(wDesc))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(when(col("__ra") === 1, col("value"))), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(max(when(col("__rd") === 1, col("value"))), 2).as("close"),
+          round(sum(col("value")), 2).as("total"))
+    }),
+
+    // band (range) join WITHOUT an equi key: every error paired with
+    // every signup within ±60 s corpus-wide — the binning rewrite
+    // (equi-join on band-quantized time, smaller side exploded ±1 bin)
+    // replaces Spark's BroadcastNestedLoopJoin with one hash join
+    "q_band_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("ts_us").as("error_ts"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("ts_us").as("signup_ts"))
+      BandJoin.join(errors, signups, "error_ts", "signup_ts",
+        band = 60000000L)
+        .select("error_id", "signup_id", "error_ts", "signup_ts")
+    }),
+
     // ---- dedup family
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exact(docs(s, dir))),
@@ -2565,6 +2626,18 @@ WHEN NOT MATCHED THEN INSERT *
         |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
         |FROM s GROUP BY user_id, session_no""".stripMargin,
 
+    "q_band_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |err AS (SELECT event_id AS error_id, ts_us AS error_ts
+        |        FROM e WHERE event_type = 'error'),
+        |sg AS (SELECT event_id AS signup_id, ts_us AS signup_ts
+        |       FROM e WHERE event_type = 'signup')
+        |SELECT error_id, signup_id, error_ts, signup_ts
+        |FROM err JOIN sg
+        |  ON abs(error_ts - signup_ts) <= 60000000""".stripMargin,
+
     // funnel: greedy earliest-completion chain — each step's match is
     // the earliest eligible event at/after the previous match, whole
     // chain within 7 days of step 1; depth k ⇒ reached every step ≤ k
@@ -2602,6 +2675,48 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(f.n AS BIGINT) AS n_users,
         |  round(f.n / tot.n, 4) AS conv_rate
         |FROM f CROSS JOIN tot""".stripMargin,
+
+    // rolling z-score: frame ordered (ts, event_id) — deterministic
+    // under timestamp ties; membership (n ≥ 10, sd > 0) is integer-
+    // or sign-exact, only the rounded score carries fp noise
+    "q_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd,
+        |    count(*) OVER w AS n
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ts_us,
+        |  round((value - mu) / sd, 4) AS z
+        |FROM s WHERE n >= 10 AND sd > 0""".stripMargin,
+
+    // hourly OHLC bars: open/close via deterministic (ts, event_id)
+    // row_number — no reliance on timestamp uniqueness
+    "q_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+        |      AS hour,
+        |    event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |      ORDER BY ts_us ASC, event_id ASC) AS ra,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |      ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT hour, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+        |  round(sum(value), 2) AS total
+        |FROM r GROUP BY hour, event_type""".stripMargin,
 
     // weekly cohort retention anchored at 2024-01-01 UTC (anchored
     // 7-day periods — no engine week-start rules)

@@ -25,13 +25,16 @@ object StreamingIngest {
     * batch footer read first instead of hard-coding an encoding the
     * producer may have changed. */
   def eventsStream(spark: SparkSession, dir: String,
-      glob: String): DataFrame = {
+      glob: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema =
       spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val tsType = fileSchema("ts").dataType
-    spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val reader = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
       .withColumn("event_time", graft.sources.EventTime.eventTimeExpr(tsType))
       .withColumn("ts_us", unix_micros(col("event_time")))
   }
@@ -200,11 +203,20 @@ object StreamingIngest {
     * (Spark evicts buffered rows once the other side's watermark passes
     * the interval). With AvailableNow every in-batch match emits, so the
     * result is deterministic and equals the batch interval join. */
+  /** `joinType = "left_outer"` adds the attribution REMAINDER: a click
+    * whose interval the purchase-side watermark has provably passed
+    * emits once with NULL purchase columns (Spark evicts its state in
+    * a LATER micro-batch — feed multiple files with
+    * `maxFilesPerTrigger` so the watermark advances across batches;
+    * clicks still inside the watermark at drain stay buffered,
+    * the standard outer-stream-join contract). */
   def intervalJoin(spark: SparkSession, dir: String,
-      windowSeconds: Long, glob: String = "events.parquet"): DataFrame = {
+      windowSeconds: Long, glob: String = "events.parquet",
+      joinType: String = "inner",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_ijoin_${counter.incrementAndGet()}"
     def side(eventType: String, prefix: String) =
-      eventsStream(spark, dir, glob)
+      eventsStream(spark, dir, glob, maxFilesPerTrigger)
         .where(col("event_type") === eventType)
         .select(
           col("user_id").as(s"${prefix}_user"),
@@ -217,7 +229,7 @@ object StreamingIngest {
       col("c_user") === col("p_user") &&
         col("p_time") >= col("c_time") &&
         col("p_time") <= col("c_time") + expr(
-          s"INTERVAL $windowSeconds SECONDS"))
+          s"INTERVAL $windowSeconds SECONDS"), joinType)
       .select(col("c_user").as("user_id"),
         col("c_id").as("click_id"), col("p_id").as("purchase_id"),
         unix_micros(col("c_time")).as("click_ts_us"),

@@ -101,6 +101,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(gapOnly.subsetOf(got) && got.size > gapOnly.size)
   }
 
+  test("left-outer interval join: expired unmatched clicks emit NULLs") {
+    val base = graft.TestSpark.tmpDir("ojoin")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    def writeFile(tag: String, rows: Seq[(Long, Long, Long, String)],
+        mtime: Long): Unit = {
+      rows.map { case (id, tsSec, user, typ) =>
+        (id, tsSec * 1000000000L, user, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$base/stage_$tag")
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$base/stage_$tag/part-*.parquet")).head
+      fs.rename(part.getPath,
+        new org.apache.hadoop.fs.Path(s"$base/in/ev_$tag.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/stage_$tag"), true)
+      new java.io.File(s"$base/in/ev_$tag.parquet").setLastModified(mtime)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+    val t0 = System.currentTimeMillis() - 60000
+    // batch 1: a matched click (user 7) and a never-matched one (user 8)
+    writeFile("a", Seq((1L, 1000L, 7L, "click"),
+      (2L, 1100L, 7L, "purchase"), (3L, 2000L, 8L, "click")), t0)
+    // later batches push BOTH sides' watermarks (the query watermark
+    // is their MIN) far past click 3's interval end (2900s); each
+    // pusher pair matches itself so only click 3 can emit a NULL.
+    // Outer results lag eviction by a batch, so two pushers follow
+    writeFile("b", Seq((4L, 50000L, 9L, "click"),
+      (40L, 50010L, 9L, "purchase")), t0 + 1000)
+    writeFile("c", Seq((5L, 100000L, 10L, "click"),
+      (50L, 100010L, 10L, "purchase")), t0 + 2000)
+    writeFile("d", Seq((6L, 150000L, 11L, "click"),
+      (60L, 150010L, 11L, "purchase")), t0 + 3000)
+
+    val out = StreamingIngest.intervalJoin(spark, s"$base/in",
+      windowSeconds = 900, glob = "ev_*.parquet",
+      joinType = "left_outer", maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // every matched pair emits once, with its purchase
+    assert(out.contains((7L, 1L, 2L)), out.toString)
+    assert(out.contains((9L, 4L, 40L)), out.toString)
+    // the expired unmatched click emits once, with NULL purchase
+    assert(out.contains((8L, 3L, -1L)), out.toString)
+    // and it is the ONLY null row — matched clicks never re-emit
+    assert(out.count(_._3 == -1L) == 1, out.toString)
+  }
+
   test("lake-dim enrichment re-scans the dim per micro-batch (SCD lookup)") {
     import org.apache.spark.sql.types._
     val base = graft.TestSpark.tmpDir("enrich")
