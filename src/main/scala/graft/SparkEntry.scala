@@ -787,6 +787,39 @@ WHEN NOT MATCHED THEN INSERT *
           Seq("o_orderpriority"))
     }),
 
+    "q_stream_fanout" -> ((s, dir) => {
+      // exactly-once streaming FAN-OUT: one micro-batch lands in
+      // bronze (raw rows) AND stats (per-type counts) as ONE
+      // multi-table transaction keyed <appId>-<batchId> — then the
+      // whole stream REPLAYS from a fresh checkpoint and must change
+      // nothing (deterministic txn ids + watermarks). The consistency
+      // invariant the oracle certifies: recounting bronze per type
+      // equals what stats recorded, post-replay.
+      import org.apache.spark.sql.types._
+      val base = tmp("graft-fanout")
+      val cat = new LakeCatalog(s, s"$base/wh")
+      cat.createNamespace("ns")
+      cat.createTable("ns", "bronze", StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType))))
+      cat.createTable("ns", "stats", StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType))))
+      val routes: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "bronze" -> (b => b.select(col("event_id"), col("event_type"))),
+        "stats" -> (b => b.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))))
+      def run(ckpt: String): Unit = StreamingIngest.fanoutExactlyOnce(
+        StreamingIngest.eventsStream(s, dir, "events.parquet"),
+        cat, "ns", routes, appId = "qfan", checkpoint = s"$base/$ckpt")
+      run("ckpt1")
+      run("ckpt2") // checkpoint loss: full redelivery, must be a no-op
+      cat.loadTable("ns", "bronze").scan()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+        .join(cat.loadTable("ns", "stats").scan(), Seq("event_type"))
+    }),
+
     "q_compact_where" -> ((s, dir) => {
       // predicate-scoped compaction: only the URGENT partition's small
       // files coalesce (manifest-pruned selection — the other
@@ -2235,6 +2268,14 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderpriority,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
+
+    // post-replay, the bronze recount per type must equal what the
+    // stats table recorded — one grouped pass over raw events
+    "q_stream_fanout" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the atomically-published fact/summary pair must agree exactly
     // with one grouped pass over the raw input

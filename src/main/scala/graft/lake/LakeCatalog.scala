@@ -270,17 +270,36 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * commits; here it is bounded and always converges). Returns
     * table → published snapshot id. */
   def transaction(ns: String)(
+      body: LakeTransaction => Unit): Map[String, Long] =
+    transactionWithId(ns, java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12))(body)
+
+  /** [[transaction]] with a CALLER-CHOSEN id — the replay-safe form: a
+    * crashed-and-retried run using the SAME id is exactly-once no
+    * matter where the crash landed. First touch of a table discards
+    * any stale staging a crashed prior attempt with this id left
+    * behind (pre-marker, nothing was visible — safe to restage); the
+    * PREPARED marker is reused if it already exists; and the per-table
+    * `txn.` watermark makes re-publishing a no-op. This is the
+    * `foreachBatch` contract: id = (query id, batch id) gives a
+    * streaming job atomic exactly-once fan-out to several tables. */
+  def transactionWithId(ns: String, id: String)(
       body: LakeTransaction => Unit): Map[String, Long] = {
     require(namespaces.contains(ns), s"namespace $ns does not exist")
-    val id = java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
+    require(id.nonEmpty && id.matches("[A-Za-z0-9_-]+"),
+      s"bad transaction id '$id'")
+    val marker = new Path(txnsDir(ns), s"$id.json")
     val txn = new LakeTransaction(this, ns, id)
     try body(txn)
     catch {
       case e: Throwable =>
-        txn.tables.values.foreach(t =>
-          try t.discardBranch(txn.branch)
-          catch { case _: Exception => () })
+        // abort is only safe while the decision point was not reached:
+        // with an existing marker (post-marker crash replay) leave the
+        // staging for roll-forward instead of discarding committed work
+        if (!fs.exists(marker))
+          txn.tables.values.foreach(t =>
+            try t.discardBranch(txn.branch)
+            catch { case _: Exception => () })
         throw e
     }
     if (txn.tables.isEmpty) return Map.empty
@@ -291,11 +310,13 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     val arr = o.putArray("tables")
     txn.tables.keys.foreach(arr.add)
     // the DECISION POINT: marker present = committed (roll forward);
-    // absent = aborted (nothing was ever visible)
-    LakeTable.writeStringExclusive(fs, new Path(txnsDir(ns), s"$id.json"),
+    // absent = aborted (nothing was ever visible). A replay of the
+    // same id reuses the marker it already wrote.
+    try LakeTable.writeStringExclusive(fs, marker,
       m.writerWithDefaultPrettyPrinter().writeValueAsString(o))
+    catch { case _: java.io.IOException if fs.exists(marker) => () }
     val results = publishPrepared(ns, id, txn.tables.keys.toSeq)
-    fs.delete(new Path(txnsDir(ns), s"$id.json"), false)
+    fs.delete(marker, false)
     results
   }
 
@@ -305,6 +326,29 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       t -> loadTable(ns, t).fastForwardBranch(s"txn-$id",
         txn = Some((s"ctxn-$id", 1L)))
     }.toMap
+
+  /** Consistent cross-table READ transaction: every listed table's
+    * snapshot is pinned up front (one quick HEAD-read loop) and the
+    * body reads all of them AS OF those pins via time travel — later
+    * commits, including a concurrent [[transaction]] publish, are
+    * invisible for the body's whole lifetime. This closes the write
+    * side's read-committed window for readers who opt in: the residual
+    * skew is the microseconds BETWEEN two HEAD reads in the pin loop,
+    * not the unbounded duration of a multi-statement report. Pinned
+    * reads cost nothing extra — scanAt plans from the same manifest. */
+  def readTransaction[T](ns: String, tableNames: Seq[String])(
+      body: (String => DataFrame) => T): T = {
+    val pinned = tableNames.map { t =>
+      val lt = loadTable(ns, t)
+      t -> (lt, lt.currentSnapshotId)
+    }.toMap
+    body { name =>
+      val (lt, snap) = pinned.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"table $name was not pinned by this read transaction"))
+      snap.map(lt.scanAt).getOrElse(lt.scan())
+    }
+  }
 
   /** Ids of transactions that reached their PREPARED marker but not
     * yet the post-publish cleanup (normally empty; non-empty after a
@@ -347,10 +391,21 @@ final class LakeTransaction private[lake] (catalog: LakeCatalog,
     scala.collection.mutable.LinkedHashMap.empty[String, LakeTable]
   private[lake] def branch = s"txn-$id"
 
-  /** Stage an append of `df` to `table` (invisible until commit). */
-  def append(table: String, df: DataFrame): Unit =
-    tables.getOrElseUpdate(table, catalog.loadTable(ns, table))
-      .appendToBranch(branch, df)
+  /** Stage an append of `df` to `table` (invisible until commit).
+    * First touch clears staging a crashed prior attempt with the SAME
+    * deterministic id may have parked (this run restages it — bodies
+    * replayed under one id must be deterministic, the standard
+    * foreachBatch contract; already-PUBLISHED tables skip again on
+    * their `txn.` watermark regardless of what is restaged). */
+  def append(table: String, df: DataFrame): Unit = {
+    val lt = tables.getOrElse(table, {
+      val t = catalog.loadTable(ns, table)
+      try t.discardBranch(branch) catch { case _: Exception => () }
+      tables.put(table, t)
+      t
+    })
+    lt.appendToBranch(branch, df)
+  }
 
   /** Preview: committed state ∪ this transaction's staged writes. */
   def scan(table: String): DataFrame =

@@ -243,6 +243,38 @@ object StreamingIngest {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Exactly-once streaming FAN-OUT to several lake tables: each
+    * micro-batch routes through every `(table, transform)` and all the
+    * routed writes publish as ONE multi-table transaction
+    * ([[graft.lake.LakeCatalog.transactionWithId]]) keyed
+    * `<appId>-<batchId>` — deterministic, so a batch replayed after a
+    * crash anywhere (mid-stage, mid-publish, or between table commit
+    * and streaming-offset commit) is exactly-once per table AND
+    * atomic ACROSS tables: no replay can leave the bronze copy with a
+    * batch its audit/stats twin is missing. The batch is persisted
+    * once so the routes don't recompute the source. This is the
+    * missing half of single-table `txnAppId` exactly-once — the same
+    * watermark machinery, lifted to a table GROUP. */
+  def fanoutExactlyOnce(stream: DataFrame, cat: graft.lake.LakeCatalog,
+      ns: String, routes: Seq[(String, DataFrame => DataFrame)],
+      appId: String, checkpoint: String): Unit = {
+    require(routes.nonEmpty, "fanout needs at least one route")
+    require(appId.nonEmpty && appId.matches("[A-Za-z0-9_-]+"),
+      s"bad appId '$appId'")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try cat.transactionWithId(ns, s"$appId-$batchId") { txn =>
+          routes.foreach { case (table, f) => txn.append(table, f(batch)) }
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
 
 /** Arbitrary stateful processing: gap-based sessionization with

@@ -103,11 +103,61 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(t1.branchChangesets("txn-x").isEmpty) // leftovers cleared
   }
 
+  test("read transaction pins every table against concurrent commits") {
+    val cat = freshCatalog("txn-read")
+    cat.readTransaction("ns", Seq("t1", "t2")) { read =>
+      assert(read("t1").count() == 1)
+      // a full write transaction lands mid-read-transaction
+      cat.transaction("ns") { txn =>
+        txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+        txn.append("t2", Seq((2L, "b")).toDF("id", "v"))
+      }
+      // pinned reads stay on the pre-commit snapshots, consistently
+      assert(read("t1").count() == 1)
+      assert(read("t2").count() == 1)
+      intercept[IllegalArgumentException](read("t3"))
+    }
+    // unpinned readers see the committed pair
+    assert(cat.loadTable("ns", "t1").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").scan().count() == 2)
+  }
+
   test("empty transaction commits nothing and leaves no marker") {
     val cat = freshCatalog("txn-empty")
     val results = cat.transaction("ns") { _ => () }
     assert(results.isEmpty)
     assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
+  test("deterministic-id transaction replayed end-to-end is exactly-once") {
+    val cat = freshCatalog("txn-det")
+    def runOnce(): Map[String, Long] =
+      cat.transactionWithId("ns", "batch-7") { txn =>
+        txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+        txn.append("t2", Seq((2L, "b")).toDF("id", "v"))
+      }
+    val first = runOnce()
+    // full replay (crash between table commit and offset commit): the
+    // same id publishes NOTHING new — same snapshots, same counts
+    val second = runOnce()
+    assert(second == first)
+    assert(cat.loadTable("ns", "t1").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").scan().count() == 2)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
+  test("deterministic-id replay discards a crashed attempt's staging") {
+    val cat = freshCatalog("txn-stale")
+    // a prior attempt with this id crashed pre-marker, leaving staging
+    cat.loadTable("ns", "t1").appendToBranch("txn-batch-3",
+      Seq((99L, "stale")).toDF("id", "v"))
+    cat.transactionWithId("ns", "batch-3") { txn =>
+      txn.append("t1", Seq((2L, "fresh")).toDF("id", "v"))
+    }
+    val rows = cat.loadTable("ns", "t1").scan()
+      .collect().map(_.getString(1)).sorted.toSeq
+    // only the replayed body's rows published — the stale row is gone
+    assert(rows == Seq("base", "fresh"))
   }
 
   test("SQL transaction: INSERT batch publishes atomically") {

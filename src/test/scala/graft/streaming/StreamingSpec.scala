@@ -187,6 +187,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "old"), (2L, "new")), got.toString)
   }
 
+  test("multi-table fan-out: atomic per batch, exactly-once on replay") {
+    import org.apache.spark.sql.types._
+    val base = graft.TestSpark.tmpDir("fanout")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    def writeEvents(tag: String, rows: Seq[(Long, String)],
+        mtime: Long): Unit = {
+      rows.zipWithIndex.map { case ((id, typ), i) =>
+        (id, (1000L + i) * 1000000000L, 7L, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$base/stage_$tag")
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$base/stage_$tag/part-*.parquet")).head
+      fs.rename(part.getPath,
+        new org.apache.hadoop.fs.Path(s"$base/in/ev_$tag.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/stage_$tag"), true)
+      new java.io.File(s"$base/in/ev_$tag.parquet").setLastModified(mtime)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+    val t0 = System.currentTimeMillis() - 60000
+    writeEvents("a", Seq((1L, "click"), (2L, "view")), t0)
+    writeEvents("b", Seq((3L, "click")), t0 + 1000)
+
+    val cat = new graft.lake.LakeCatalog(spark, s"$base/wh")
+    cat.createNamespace("ns")
+    cat.createTable("ns", "bronze", StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType))))
+    cat.createTable("ns", "stats", StructType(Seq(
+      StructField("event_type", StringType), StructField("n", LongType))))
+    val routes: Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "bronze" -> (b => b.select(col("event_id"), col("event_type"))),
+      "stats" -> (b => b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))))
+    def run(ckpt: String): Unit = StreamingIngest.fanoutExactlyOnce(
+      StreamingIngest.eventsStream(spark, s"$base/in", "ev_*.parquet",
+        maxFilesPerTrigger = Some(1)),
+      cat, "ns", routes, appId = "fan", checkpoint = ckpt)
+
+    run(s"$base/ckpt1")
+    assert(cat.loadTable("ns", "bronze").scan().count() == 3)
+    // per-batch stats rows: batch a contributes (click,1),(view,1);
+    // batch b contributes (click,1)
+    assert(cat.loadTable("ns", "stats").scan().count() == 3)
+
+    // checkpoint loss = full redelivery of both files; deterministic
+    // <appId>-<batchId> transaction ids make the replay a no-op in
+    // BOTH tables (atomic exactly-once across the group)
+    run(s"$base/ckpt2")
+    assert(cat.loadTable("ns", "bronze").scan().count() == 3)
+    assert(cat.loadTable("ns", "stats").scan().count() == 3)
+  }
+
   test("sessionize survives a pathological hot user in one trigger") {
     // one user carries 50k of 50.2k events in a single AvailableNow
     // trigger — the documented per-user in-batch materialization bound.
