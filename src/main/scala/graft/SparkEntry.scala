@@ -787,6 +787,33 @@ WHEN NOT MATCHED THEN INSERT *
           Seq("o_orderpriority"))
     }),
 
+    "q_incremental_mv" -> ((s, dir) => {
+      // incrementally-maintained materialized aggregate: the MV target
+      // is refreshed from the source's CDC changelog after EVERY
+      // mutation (append ×2, COW merge rewrite, predicate delete with
+      // full-group retraction) — never recomputed. The oracle is the
+      // from-scratch aggregate over the equivalent final state, so a
+      // hash match proves exact incremental maintenance. The refresh
+      // watermark rides the merge commit itself (no crash window).
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val base = tmp("graft-mv")
+      val src = graft.lake.LakeTable.create(s, s"$base/src", o.schema)
+      val tgt = graft.lake.LakeTable.create(s, s"$base/tgt",
+        graft.lake.IncrementalMv.targetSchema(src,
+          Seq("o_orderpriority")))
+      def refresh(): Unit = graft.lake.IncrementalMv.refresh(
+        src, tgt, Seq("o_orderpriority"), "o_totalprice")
+      src.append(o.where(col("o_orderkey") % 2 === 0)); refresh()
+      src.append(o.where(col("o_orderkey") % 2 =!= 0)); refresh()
+      src.merge(o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey")); refresh()
+      src.delete(col("o_orderpriority") === "1-URGENT"); refresh()
+      tgt.scan().select(col("o_orderpriority"), col("cnt"),
+        round(col("total"), 2).as("total"))
+    }),
+
     "q_stream_fanout" -> ((s, dir) => {
       // exactly-once streaming FAN-OUT: one micro-batch lands in
       // bronze (raw rows) AND stats (per-type counts) as ONE
@@ -2268,6 +2295,18 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderpriority,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
+
+    // the from-scratch aggregate over the source's FINAL state — the
+    // incrementally-maintained MV must hash-match it exactly
+    "q_incremental_mv" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(v), 2) AS total
+        |FROM f GROUP BY o_orderpriority""".stripMargin,
 
     // post-replay, the bronze recount per type must equal what the
     // stats table recorded — one grouped pass over raw events

@@ -1270,7 +1270,15 @@ final class LakeTable private (
     * after-image, so MOR would save nothing here. */
   def mergeClauses(source: DataFrame, keys: Seq[String],
       matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
-      notMatchedBySource: Seq[MergeWhen] = Nil): Long = {
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      extraProperties: Map[String, String] = Map.empty): Long = {
+    // extraProperties land IN the merge's own commit — a watermark
+    // recorded atomically with the change it describes (the
+    // incremental-MV refresh contract: no crash window where the delta
+    // applied but its source snapshot wasn't recorded, or vice versa)
+    def propsFor(b: Snapshot): Option[Map[String, String]] =
+      if (extraProperties.isEmpty) None
+      else Some(b.properties ++ extraProperties)
     val fields = schema.fieldNames.toSeq
     def normName(n: String): String =
       fields.find(_.equalsIgnoreCase(n)).getOrElse(throw
@@ -1314,7 +1322,14 @@ final class LakeTable private (
         valueFor(nm, idx, c, lit(null))
           .cast(schema(c).dataType).as(c)
       }: _*)
-      return append(inserted)
+      if (extraProperties.isEmpty) return append(inserted)
+      val WriteResult(added, stats, info) =
+        writeDataFiles(distributeForWrite(alignToSchema(inserted)))
+      return commitWithRetry(base)() { b =>
+        commit(b, "merge", added = added, removed = Nil,
+          live = b.liveFiles ++ added, addedStats = stats,
+          addedInfo = info, propertiesOverride = propsFor(b))
+      }
     }
 
     // affected files: (a) any file that may hold a source key —
@@ -1359,7 +1374,7 @@ final class LakeTable private (
       val WriteResult(added, stats, info) = writeDataFiles(inserted)
       return commit(base, "merge", added = added, removed = Nil,
         live = base.liveFiles ++ added, addedStats = stats,
-        addedInfo = info)
+        addedInfo = info, propertiesOverride = propsFor(base))
     }
 
     // NMBS clauses see only the target: compute their clause index and
@@ -1414,7 +1429,8 @@ final class LakeTable private (
     val WriteResult(added, stats, info) = writeDataFiles(result)
     commit(base, "merge", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added,
-      addedStats = stats, addedInfo = info)
+      addedStats = stats, addedInfo = info,
+      propertiesOverride = propsFor(base))
   }
 
   /** Stats-based candidate pruning for key-equality operations: a file

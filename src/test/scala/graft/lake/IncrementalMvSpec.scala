@@ -1,0 +1,83 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incrementally-maintained materialized aggregate: every refresh must
+  * equal the full recompute, through appends, MERGE rewrites, deletes,
+  * and key retraction — and replaying a refresh must be a no-op. */
+class IncrementalMvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def recompute(src: LakeTable) = src.scan()
+    .groupBy("k").agg(count(lit(1)).as("cnt"),
+      coalesce(sum(col("v")), lit(0.0)).as("total"))
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    .toSet
+
+  private def mvState(tgt: LakeTable) = tgt.scan()
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    .toSet
+
+  test("refresh tracks append, merge rewrite, delete, and retraction") {
+    val base = TestSpark.tmpDir("mv")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq(("a", 1.0)).toDF("k", "v").schema)
+    val tgt = LakeTable.create(spark, s"$base/tgt",
+      IncrementalMv.targetSchema(src, Seq("k")))
+
+    src.append(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"))
+    IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(mvState(tgt) == recompute(src))
+    assert(mvState(tgt) == Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+
+    // append a new key and more of an old one
+    src.append(Seq(("b", 1.0), ("c", 7.0)).toDF("k", "v"))
+    IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(mvState(tgt) == recompute(src))
+
+    // a COW MERGE rewrite (update b's values via keyed merge)
+    src.merge(Seq(("b", 10.0)).toDF("k", "v"), Seq("k"))
+    IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(mvState(tgt) == recompute(src))
+
+    // retraction: deleting every 'a' row must REMOVE the 'a' MV row
+    src.delete(col("k") === "a")
+    IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(mvState(tgt) == recompute(src))
+    assert(!mvState(tgt).exists(_._1 == "a"))
+  }
+
+  test("refresh is idempotent: watermark rides the merge commit") {
+    val base = TestSpark.tmpDir("mv-idem")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq(("a", 1.0)).toDF("k", "v").schema)
+    val tgt = LakeTable.create(spark, s"$base/tgt",
+      IncrementalMv.targetSchema(src, Seq("k")))
+    src.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    val s1 = IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(tgt.properties(IncrementalMv.WatermarkProp).toLong ==
+      src.currentSnapshotId.get)
+    // no new source commits: replayed refresh returns the same
+    // snapshot and changes nothing
+    val s2 = IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(s2 == s1)
+    assert(mvState(tgt) == recompute(src))
+  }
+
+  test("a delta netting to zero inserts no row for an unseen key") {
+    val base = TestSpark.tmpDir("mv-zero")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq(("a", 1.0)).toDF("k", "v").schema)
+    val tgt = LakeTable.create(spark, s"$base/tgt",
+      IncrementalMv.targetSchema(src, Seq("k")))
+    // key 'z' appears and fully disappears within one refresh window
+    src.append(Seq(("z", 3.0), ("a", 1.0)).toDF("k", "v"))
+    src.delete(col("k") === "z")
+    IncrementalMv.refresh(src, tgt, Seq("k"), "v")
+    assert(mvState(tgt) == Set(("a", 1L, 1.0)))
+  }
+}
