@@ -1455,6 +1455,43 @@ WHEN NOT MATCHED THEN INSERT *
       Funnel.cohortRetention(events(s, dir), col("ts_us"),
         anchor = 1704067200000000L, periodLen = 7L * 86400L * 1000000L)),
 
+    // PIVOT: per-user value totals spread across event-type columns
+    // (explicit value list — the distributed-safe form: no extra pass
+    // to discover pivot values, stable output schema)
+    "q_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 2))),
+
+    // ROLLUP subtotals: (priority, status), (priority), grand total —
+    // one pass, Spark expands grouping sets map-side
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // hourly resample with GAP FILLING: every (hour, type) cell in the
+    // observed range appears, zero-filled — the dense grid downstream
+    // time-series models expect. The grid is sequence+explode over a
+    // 1-row bounds agg crossed with the distinct types (both tiny)
+    "q_resample_gapfill" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        floor(col("ts_us") / 3600000000L).cast("long").as("hr"),
+        col("event_type"))
+      val counts = e.groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val hours = e.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val types = e.select(col("event_type")).distinct()
+      hours.crossJoin(types)
+        .join(counts, Seq("hr", "event_type"), "left")
+        .select(col("hr").as("hour"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
     // rolling z-score anomaly detection: each event scored against its
     // user's previous 20 events (≥10 required) — row membership is an
     // INTEGER condition, so only the rounded score carries fp noise.
@@ -2755,6 +2792,43 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(f.n AS BIGINT) AS n_users,
         |  round(f.n / tot.n, 4) AS conv_rate
         |FROM f CROSS JOIN tot""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2)
+        |    AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
+        |    AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+        |    AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2)
+        |    AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2)
+        |    AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_resample_gapfill" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+        |      AS hr, event_type
+        |  FROM events),
+        |c AS (SELECT hr, event_type, count(*) AS n FROM e
+        |      GROUP BY hr, event_type),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM e),
+        |h AS (SELECT unnest(generate_series(mn, mx)) AS hr FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e)
+        |SELECT h.hr AS hour, t.event_type,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        |FROM h CROSS JOIN t
+        |LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type"""
+        .stripMargin,
 
     // rolling z-score: frame ordered (ts, event_id) — deterministic
     // under timestamp ties; membership (n ≥ 10, sd > 0) is integer-
