@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, Dsir, Funnel, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, Dsir, Funnel, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup, VectorIndex}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -1828,6 +1828,22 @@ WHEN NOT MATCHED THEN INSERT *
         nProbe = 4, nSubspaces = 4, nCodes = 16)
     }),
 
+    "q_ann_lake_index" -> ((s, dir) => {
+      // ANN index AS LAKE METADATA: the IVF quantizer persists in the
+      // table's properties (atomic with the commit, versioned with the
+      // data, travels through time travel/branches) and search loads
+      // it with one HEAD read — zero training at query time. Same
+      // seeded quantizer as q_ann_ivf, so the oracle replays in SQL.
+      val e = emb(s, dir)
+      val tbl = graft.lake.LakeTable.create(s,
+        tmp("graft-vindex") + "/t", e.schema)
+      tbl.append(e)
+      VectorIndex.build(tbl, nCentroids = 16)
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      VectorIndex.searchTopK(tbl, queries, k = 5, nProbe = 4)
+    }),
+
     "q_neardup_embedding" -> ((s, dir) =>
       SimilaritySearch.cosineNearDupPairs(emb(s, dir),
         threshold = 0.25, nPlanes = 6)),
@@ -3051,6 +3067,42 @@ WHEN NOT MATCHED THEN INSERT *
         |        c.vec_id ASC) AS rnk
         |  FROM qv c CROSS JOIN qv q
         |  WHERE q.vec_id % 50 = 0)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // the lake-persisted index uses the SAME seeded quantizer as
+    // q_ann_ivf (16 lowest vec_ids, argmax-cosine assignment, top-4
+    // probes) — identical SQL replay
+    "q_ann_lake_index" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+        |         embedding AS cvec
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT corpus_id, corpus_vec, cid FROM (
+        |    SELECT e.vec_id AS corpus_id, e.embedding AS corpus_vec, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, query_vec, cid FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+        |  WHERE rn <= 4)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, corpus_id,
+        |       round(score, 6) AS score
+        |FROM (
+        |  SELECT p.query_id, a.corpus_id,
+        |    list_cosine_similarity(a.corpus_vec::DOUBLE[],
+        |      p.query_vec::DOUBLE[]) AS score,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(a.corpus_vec::DOUBLE[],
+        |        p.query_vec::DOUBLE[]) DESC, a.corpus_id ASC) AS rnk
+        |  FROM assign a JOIN probe p ON a.cid = p.cid)
         |WHERE rnk <= 5""".stripMargin,
 
     // mirrors ivfTopK exactly: centroids = 16 lowest vec_ids, assignment
