@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.lake.{LakeCatalog, LakeTable}
 import graft.multimodal.MediaPipeline
-import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, Dsir, Funnel, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup, VectorIndex}
+import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, Dsir, Funnel, GopherFilter, LexicalQuality, Mixture, NgramLm, PiiScrub, QualityClassifier, RepetitionMetrics, SaltedJoin, Sampling, SemanticDedup, SequencePacking, Sessionize, ShardPacking, SimilaritySearch, TextDedup, VectorIndex}
 import graft.pipeline.PipelineRunner
 import graft.plans.expressions.{cosine, fingerprint}
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -1688,6 +1688,12 @@ WHEN NOT MATCHED THEN INSERT *
       Dsir.importanceWeights(docs(s, dir),
         docs(s, dir).where(col("source").isin("src0", "src1")),
         "doc_id", "text", nBuckets = 64)),
+
+    // the Gopher rule cascade as an auditable keep/drop + first-
+    // failing-rule decision — every signal a ratio of integer counts
+    // (bit-identical across engines), every signal map-side
+    "q_gopher_filter" -> ((s, dir) =>
+      GopherFilter.filter(docs(s, dir))),
 
     // corpus is PII-free by construction, so the scrub must be the
     // identity — md5(scrubbed) == md5(text) is the per-row proof; the
@@ -3609,6 +3615,65 @@ WHEN NOT MATCHED THEN INSERT *
         |  round(avg(ln(CAST(f.c AS DOUBLE) / n.total)), 4) AS logprob
         |FROM tok2 t JOIN freq f ON t.tk = f.tk CROSS JOIN n
         |GROUP BY t.doc_id""".stripMargin,
+
+    // Gopher cascade: first failing rule in documented order; all
+    // ratios are int/int double divisions — engine-identical
+    "q_gopher_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM toks),
+        |bi AS (
+        |  SELECT a.doc_id, count(*) AS nb, count(DISTINCT
+        |    a.word || ' ' || b.word) AS db
+        |  FROM w a JOIN w b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY a.doc_id),
+        |top AS (
+        |  SELECT doc_id, max(c) AS mx
+        |  FROM (SELECT doc_id, word, count(*) AS c FROM w
+        |        GROUP BY doc_id, word)
+        |  GROUP BY doc_id),
+        |sig AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(t.ts) AS BIGINT) AS n,
+        |    CAST(list_aggregate(list_transform(t.ts, x -> len(x)),
+        |      'sum') AS BIGINT) AS lensum,
+        |    CAST(len(t.text) - len(regexp_replace(t.text,
+        |      '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS symbols,
+        |    CAST(len(t.text) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(t.ts,
+        |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+        |    coalesce(top.mx, 0) AS topc,
+        |    coalesce(bi.nb, 0) AS nb,
+        |    coalesce(bi.nb - bi.db, 0) AS dupb
+        |  FROM toks t
+        |  LEFT JOIN bi ON t.doc_id = bi.doc_id
+        |  LEFT JOIN top ON t.doc_id = top.doc_id)
+        |SELECT doc_id, n AS n_tokens, (reason IS NULL) AS keep,
+        |       reason AS fail_reason
+        |FROM (
+        |  SELECT *, CASE
+        |    WHEN n < 25 THEN 'too_few_words'
+        |    WHEN n > 90 THEN 'too_many_words'
+        |    WHEN CAST(lensum AS DOUBLE) / n < 2.0
+        |      THEN 'mean_word_too_short'
+        |    WHEN CAST(lensum AS DOUBLE) / n > 10.0
+        |      THEN 'mean_word_too_long'
+        |    WHEN CAST(symbols AS DOUBLE) / greatest(chars, 1) > 0.1
+        |      THEN 'symbol_heavy'
+        |    WHEN CAST(alpha AS DOUBLE) / n < 0.8
+        |      THEN 'non_alpha_words'
+        |    WHEN CAST(topc AS DOUBLE) / n > 0.12
+        |      THEN 'top_word_dominates'
+        |    WHEN nb > 0 AND CAST(dupb AS DOUBLE) / nb > 0.25
+        |      THEN 'repeated_bigrams'
+        |    END AS reason
+        |  FROM sig)""".stripMargin,
 
     // bigram LM: adjacency over the FILTERED token sequence (empties
     // dropped before lead()), p(w2|w1) = c12/c1 from the corpus itself

@@ -480,9 +480,17 @@ final class LakeTable private (
       val prev = snapshot(s.parentId.get)
       val post = readFilesAs(s, s.addedFiles)
       val pre = readFilesAs(prev, s.removedFiles)
-      val base = Seq(
-        tag(post.exceptAll(pre), "insert", s.snapshotId),
-        tag(pre.exceptAll(post), "delete", s.snapshotId))
+      // the exceptAll pair cancels rows a rewrite carried over; a
+      // one-sided commit (pure append / metadata delete) has nothing
+      // to cancel — skip the two set-difference shuffles entirely
+      // (what makes an append-heavy changelog consumer like the
+      // incremental-MV refresh scan-speed instead of shuffle-bound)
+      val base =
+        if (s.removedFiles.isEmpty) Seq(tag(post, "insert", s.snapshotId))
+        else if (s.addedFiles.isEmpty) Seq(tag(pre, "delete", s.snapshotId))
+        else Seq(
+          tag(post.exceptAll(pre), "insert", s.snapshotId),
+          tag(pre.exceptAll(post), "delete", s.snapshotId))
       // a changed delete STATE alters carried files' visibility with no
       // file delta: diff it in both directions — added delete artifacts
       // suppress pre-image rows (deletes), removed ones (rollback)
