@@ -814,6 +814,34 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("total"), 2).as("total"))
     }),
 
+    "q_stream_mv" -> ((s, dir) => {
+      // CONTINUOUS MV maintenance over the change feed: drain once,
+      // then commit more (append + merge rewrite) and drain again from
+      // a FRESH checkpoint — the rebuilt stream's first batch mixes
+      // replayed and new snapshots, and the snapshot-aligned merge
+      // watermark must keep the target exactly-once. Oracle = the
+      // from-scratch aggregate over the final source state.
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val base = tmp("graft-smv")
+      val src = graft.lake.LakeTable.create(s, s"$base/src", o.schema)
+      val tgt = graft.lake.LakeTable.create(s, s"$base/tgt",
+        graft.lake.IncrementalMv.targetSchema(src,
+          Seq("o_orderpriority")))
+      def drain(ckpt: String): Unit = graft.lake.IncrementalMv
+        .continuous(s, s"$base/src", tgt, Seq("o_orderpriority"),
+          "o_totalprice", appId = "qsmv", checkpoint = s"$base/$ckpt")
+      src.append(o.where(col("o_orderkey") % 2 === 0))
+      drain("ckpt1")
+      src.append(o.where(col("o_orderkey") % 2 =!= 0))
+      src.merge(o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3),
+        Seq("o_orderkey"))
+      drain("ckpt2") // checkpoint loss + new commits
+      tgt.scan().select(col("o_orderpriority"), col("cnt"),
+        round(col("total"), 2).as("total"))
+    }),
+
     "q_stream_fanout" -> ((s, dir) => {
       // exactly-once streaming FAN-OUT: one micro-batch lands in
       // bronze (raw rows) AND stats (per-type counts) as ONE
@@ -2363,6 +2391,18 @@ WHEN NOT MATCHED THEN INSERT *
         |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
         |         ELSE o_totalprice END AS v
         |  FROM orders WHERE o_orderpriority <> '1-URGENT')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(v), 2) AS total
+        |FROM f GROUP BY o_orderpriority""".stripMargin,
+
+    // the continuously-maintained MV must equal the from-scratch
+    // aggregate over the final source state
+    "q_stream_mv" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS v
+        |  FROM orders)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         |  round(sum(v), 2) AS total
         |FROM f GROUP BY o_orderpriority""".stripMargin,

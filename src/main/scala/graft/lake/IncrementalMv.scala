@@ -42,10 +42,23 @@ object IncrementalMv {
     val head = source.currentSnapshotId.getOrElse(0L)
     val already = target.currentSnapshotId.getOrElse(0L)
     if (head <= last) return already
+    applyChangeRows(target, source.changes(last, head), keys, valueCol,
+      extraProperties = Map(WatermarkProp -> head.toString))
+  }
 
+  /** Fold `_change_type`-tagged rows to one signed delta per key and
+    * MERGE them into the target (add / insert / retract-at-zero) —
+    * the shared core of [[refresh]] (batch, range = changelog) and
+    * [[continuous]] (streaming, range = one micro-batch). `txn` makes
+    * the merge idempotent on replay. */
+  def applyChangeRows(target: LakeTable, changeRows: DataFrame,
+      keys: Seq[String], valueCol: String,
+      extraProperties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keys.nonEmpty, "grouped MV needs at least one key")
     val sgn = when(col(LakeTable.CHANGE_TYPE_COL) === "insert", 1L)
       .otherwise(-1L)
-    val delta = source.changes(last, head)
+    val delta = changeRows
       .select((keys.map(col) :+ sgn.as("__sgn") :+
         col(valueCol).as("__v")): _*)
       .groupBy(keys.map(col): _*)
@@ -65,7 +78,46 @@ object IncrementalMv {
         MergeWhen(Some(col("s.dcnt") =!= 0L), Some(
           keys.map(k => k -> col(s"s.$k")).toMap ++ Map(
             "cnt" -> col("s.dcnt"), "total" -> col("s.dsum"))))),
-      extraProperties = Map(WatermarkProp -> head.toString))
+      extraProperties = extraProperties, txn = txn)
+  }
+
+  /** CONTINUOUS maintenance: tail the source's row-level change feed
+    * (`format("graft-lake")` + `readChangeFeed`) and apply each
+    * micro-batch's delta with a SNAPSHOT-ALIGNED merge watermark: the
+    * applied version is the batch's highest source snapshot id, and
+    * rows at or below the recorded watermark are filtered out first.
+    * That gives exactly-once under crash replay, checkpoint loss, and
+    * even checkpoint loss WITH new source commits (a rebuilt stream's
+    * first batch mixes replayed and new snapshots — the filter drops
+    * the replayed rows, the remainder applies once). Drains whatever
+    * has arrived (AvailableNow) then returns; in production the same
+    * call runs with a continuous trigger. The MV is therefore
+    * maintained in near-real-time at cost ∝ changed rows, end to end:
+    * CDC source → signed-delta fold → idempotent merge. */
+  def continuous(spark: org.apache.spark.sql.SparkSession,
+      sourceRoot: String, target: LakeTable, keys: Seq[String],
+      valueCol: String, appId: String, checkpoint: String): Unit = {
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(sourceRoot)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wm = target.properties.get(s"txn.$appId")
+          .map(_.toLong).getOrElse(0L)
+        val fresh = batch.where(col(LakeTable.CHANGE_SNAP_COL) > wm)
+          .persist()
+        try {
+          val mx = fresh.agg(max(col(LakeTable.CHANGE_SNAP_COL)))
+            .head.get(0)
+          if (mx != null)
+            applyChangeRows(target, fresh, keys, valueCol,
+              txn = Some((appId, mx.asInstanceOf[Long])))
+        } finally fresh.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The target schema [[refresh]] maintains for `keys` + `valueCol`

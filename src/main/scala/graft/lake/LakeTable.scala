@@ -1279,14 +1279,25 @@ final class LakeTable private (
   def mergeClauses(source: DataFrame, keys: Seq[String],
       matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
       notMatchedBySource: Seq[MergeWhen] = Nil,
-      extraProperties: Map[String, String] = Map.empty): Long = {
+      extraProperties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     // extraProperties land IN the merge's own commit — a watermark
     // recorded atomically with the change it describes (the
     // incremental-MV refresh contract: no crash window where the delta
-    // applied but its source snapshot wasn't recorded, or vice versa)
+    // applied but its source snapshot wasn't recorded, or vice versa).
+    // `txn` is the appendOnce idempotence contract for merges: a
+    // replayed (appId, version) at or below the recorded watermark is
+    // a no-op — what makes a foreachBatch delta-merge exactly-once.
+    txn.foreach { case (app, v) =>
+      val b = current
+      if (b.properties.get(s"txn.$app").exists(_.toLong >= v))
+        return b.snapshotId
+    }
+    val txnProps = txn.map { case (app, v) =>
+      s"txn.$app" -> v.toString }.toMap
     def propsFor(b: Snapshot): Option[Map[String, String]] =
-      if (extraProperties.isEmpty) None
-      else Some(b.properties ++ extraProperties)
+      if (extraProperties.isEmpty && txnProps.isEmpty) None
+      else Some(b.properties ++ extraProperties ++ txnProps)
     val fields = schema.fieldNames.toSeq
     def normName(n: String): String =
       fields.find(_.equalsIgnoreCase(n)).getOrElse(throw
@@ -1330,7 +1341,7 @@ final class LakeTable private (
         valueFor(nm, idx, c, lit(null))
           .cast(schema(c).dataType).as(c)
       }: _*)
-      if (extraProperties.isEmpty) return append(inserted)
+      if (extraProperties.isEmpty && txn.isEmpty) return append(inserted)
       val WriteResult(added, stats, info) =
         writeDataFiles(distributeForWrite(alignToSchema(inserted)))
       return commitWithRetry(base)() { b =>

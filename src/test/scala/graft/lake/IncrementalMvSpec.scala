@@ -68,6 +68,36 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(mvState(tgt) == recompute(src))
   }
 
+  test("continuous MV over the change feed: exactly-once everywhere") {
+    val base = TestSpark.tmpDir("mv-cont")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq(("a", 1.0)).toDF("k", "v").schema)
+    val tgt = LakeTable.create(spark, s"$base/tgt",
+      IncrementalMv.targetSchema(src, Seq("k")))
+    src.append(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"))
+    src.merge(Seq(("b", 9.0)).toDF("k", "v"), Seq("k"))
+    src.delete(col("k") === "a")
+
+    def run(ckpt: String): Unit = IncrementalMv.continuous(spark,
+      s"$base/src", tgt, Seq("k"), "v", appId = "mv",
+      checkpoint = s"$base/$ckpt")
+    run("ckpt1")
+    assert(mvState(tgt) == recompute(src))
+    assert(mvState(tgt) == Set(("b", 1L, 9.0)))
+
+    // crash replay on the SAME checkpoint: nothing re-applies
+    run("ckpt1")
+    assert(mvState(tgt) == Set(("b", 1L, 9.0)))
+
+    // checkpoint LOSS with NEW data: the rebuilt stream's first batch
+    // mixes replayed and new snapshots — replayed rows filter out on
+    // the snapshot-aligned watermark, the new append applies once
+    src.append(Seq(("b", 1.0), ("c", 4.0)).toDF("k", "v"))
+    run("ckpt2")
+    assert(mvState(tgt) == recompute(src))
+    assert(mvState(tgt) == Set(("b", 2L, 10.0), ("c", 1L, 4.0)))
+  }
+
   test("a delta netting to zero inserts no row for an unseen key") {
     val base = TestSpark.tmpDir("mv-zero")
     val src = LakeTable.create(spark, s"$base/src",
