@@ -1483,24 +1483,6 @@ WHEN NOT MATCHED THEN INSERT *
       Funnel.cohortRetention(events(s, dir), col("ts_us"),
         anchor = 1704067200000000L, periodLen = 7L * 86400L * 1000000L)),
 
-    // PIVOT: per-user value totals spread across event-type columns
-    // (explicit value list — the distributed-safe form: no extra pass
-    // to discover pivot values, stable output schema)
-    "q_pivot" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(col("user_id"))
-        .pivot("event_type",
-          Seq("click", "view", "purchase", "signup", "error"))
-        .agg(round(sum(col("value")), 2))),
-
-    // ROLLUP subtotals: (priority, status), (priority), grand total —
-    // one pass, Spark expands grouping sets map-side
-    "q_rollup" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .rollup(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"))),
-
     // hourly resample with GAP FILLING: every (hour, type) cell in the
     // observed range appears, zero-filled — the dense grid downstream
     // time-series models expect. The grid is sequence+explode over a
@@ -2854,27 +2836,6 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(f.n AS BIGINT) AS n_users,
         |  round(f.n / tot.n, 4) AS conv_rate
         |FROM f CROSS JOIN tot""".stripMargin,
-
-    "q_pivot" ->
-      """SELECT user_id,
-        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2)
-        |    AS click,
-        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
-        |    AS view,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
-        |    AS purchase,
-        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2)
-        |    AS signup,
-        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2)
-        |    AS error
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "q_rollup" ->
-      """SELECT o_orderpriority, o_orderstatus,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q_resample_gapfill" ->
       """WITH e AS (
