@@ -1483,6 +1483,14 @@ WHEN NOT MATCHED THEN INSERT *
       Funnel.cohortRetention(events(s, dir), col("ts_us"),
         anchor = 1704067200000000L, periodLen = 7L * 86400L * 1000000L)),
 
+    // CUBE: all four grouping sets in one pass (completes the
+    // grouping-sets family beside q_rollup's hierarchy)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
     // hourly resample with GAP FILLING: every (hour, type) cell in the
     // observed range appears, zero-filled — the dense grid downstream
     // time-series models expect. The grid is sequence+explode over a
@@ -2836,6 +2844,13 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(f.n AS BIGINT) AS n_users,
         |  round(f.n / tot.n, 4) AS conv_rate
         |FROM f CROSS JOIN tot""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q_resample_gapfill" ->
       """WITH e AS (

@@ -122,6 +122,26 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(cat.loadTable("ns", "t2").scan().count() == 2)
   }
 
+  test("concurrent transactions on the same tables both publish") {
+    val cat = freshCatalog("txn-conc")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 3).map { n =>
+      new Thread(() =>
+        try cat.transaction("ns") { txn =>
+          txn.append("t1", Seq((10L + n, s"a$n")).toDF("id", "v"))
+          txn.append("t2", Seq((20L + n, s"b$n")).toDF("id", "v"))
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    // txn branches are id-namespaced and fast-forwards are
+    // append-shaped commits under optimistic retry: no lost commit
+    assert(cat.loadTable("ns", "t1").scan().count() == 4)
+    assert(cat.loadTable("ns", "t2").scan().count() == 4)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
   test("empty transaction commits nothing and leaves no marker") {
     val cat = freshCatalog("txn-empty")
     val results = cat.transaction("ns") { _ => () }
