@@ -711,6 +711,9 @@ object LakeSql {
         lt.discardBranch(str(1)); spark.emptyDataFrame
       case "rewrite_manifests" =>
         Seq(lt.rewriteManifests()).toDF("snapshot_id")
+      case "verify_table" => // (tbl[, 'deep'])
+        lt.verifyTable(deep = c.args.size > 1 &&
+          str(1).equalsIgnoreCase("deep"))
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — supported: expire_snapshots[_older_" +
           "than], rewrite_data_files, compact_where, " +
@@ -718,7 +721,7 @@ object LakeSql {
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
-          "recover_transactions")
+          "verify_table, recover_transactions")
     }
     cat.registerViews(ns)
     out

@@ -2912,6 +2912,69 @@ final class LakeTable private (
     * staging move and their commit. The age gate keeps a LIVE writer's
     * freshly-moved files safe — never run with a small threshold while
     * writes are in flight. Returns the root-relative paths removed. */
+  /** Consistency AUDIT of the current snapshot (≙ a lake `fsck`): one
+    * row per check — `(check, ok, detail)`. The metadata level costs
+    * zero data I/O (existence + recorded-size probes against the
+    * manifest, O(live files) driver/fs calls); `deep = true` adds a
+    * per-file ROW-COUNT recount (one grouped scan) compared against
+    * the manifest's recorded rows — the check that catches a data file
+    * swapped or truncated without its footer breaking. The operational
+    * tool a 100 TB deployment runs after a storage incident, before
+    * trusting metadata-only answers again. */
+  def verifyTable(deep: Boolean = false): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = current
+    def head(xs: Seq[String]): String = xs.take(5).mkString(", ") +
+      (if (xs.size > 5) s", … ${xs.size} total" else "")
+
+    val missing = base.liveFiles.filterNot(f =>
+      fs.exists(new Path(rootPath, f)))
+    val sizeBad = base.liveFiles.filter { f =>
+      base.fileInfo.get(f).exists { fi =>
+        val p = new Path(rootPath, f)
+        fs.exists(p) && fs.getFileStatus(p).getLen != fi.bytes
+      }
+    }
+    val delMissing =
+      (base.deleteFiles.map(_.path) ++ base.posDeleteFiles.map(_.path))
+        .filterNot(f => fs.exists(new Path(rootPath, f)))
+
+    var rows = Seq(
+      ("files_exist", missing.isEmpty,
+        if (missing.isEmpty) s"${base.liveFiles.size} live files"
+        else s"missing: ${head(missing)}"),
+      ("file_sizes", sizeBad.isEmpty,
+        if (sizeBad.isEmpty) "recorded bytes match the filesystem"
+        else s"size mismatch: ${head(sizeBad)}"),
+      ("delete_files_exist", delMissing.isEmpty,
+        if (delMissing.isEmpty)
+          s"${base.deleteFiles.size + base.posDeleteFiles.size} artifacts"
+        else s"missing: ${head(delMissing)}"))
+
+    if (deep) {
+      // recount only files that exist (missing ones already reported);
+      // RAW parquet reads — recorded rows are pre-MOR-delete counts
+      val present = base.liveFiles.filterNot(missing.contains)
+      val counted =
+        if (present.isEmpty) Map.empty[String, Long]
+        else spark.read
+          .parquet(present.map(f => new Path(rootPath, f).toString): _*)
+          .select(col("_metadata.file_path").as("f"))
+          .groupBy(col("f")).agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => relativize(r.getString(0)) -> r.getLong(1)).toMap
+      val rowBad = present.filter { f =>
+        base.fileInfo.get(f).exists(_.rows != counted.getOrElse(f, 0L))
+      }
+      rows = rows :+ (("row_counts", rowBad.isEmpty,
+        if (rowBad.isEmpty)
+          s"${counted.values.sum} rows across ${present.size} files"
+        else s"recount mismatch: ${head(rowBad)}"))
+    }
+    rows.toDF("check", "ok", "detail")
+  }
+
   def removeOrphanFiles(olderThanMs: Long = 3600000L): Seq[String] = {
     val retained = snapshots
     // staged-but-unpublished WAP changesets reference real data files

@@ -1,0 +1,71 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** verifyTable: the lake fsck — metadata-level existence/size probes,
+  * deep per-file row recount, corruption actually detected. */
+class VerifyTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String) = {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir(tag) + "/t",
+      df.schema)
+    t.append(df.where($"id" <= 50))
+    t.append(df.where($"id" > 50))
+    t
+  }
+
+  private def checks(t: LakeTable, deep: Boolean) =
+    t.verifyTable(deep).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2)))
+      .toMap
+
+  test("a healthy table passes every check, shallow and deep") {
+    val t = fresh("vt-ok")
+    val shallow = checks(t, deep = false)
+    assert(shallow.keySet ==
+      Set("files_exist", "file_sizes", "delete_files_exist"))
+    assert(shallow.values.forall(_._1), shallow.toString)
+    val deep = checks(t, deep = true)
+    assert(deep("row_counts")._1, deep.toString)
+    assert(deep("row_counts")._2.contains("100 rows"))
+  }
+
+  test("a deleted data file fails files_exist") {
+    val t = fresh("vt-gone")
+    val fs = new Path(t.root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val victim = t.currentSnapshot.get.liveFiles.head
+    fs.delete(new Path(new Path(t.root), victim), false)
+    val got = checks(t, deep = true)
+    assert(!got("files_exist")._1)
+    assert(got("files_exist")._2.contains("missing"))
+    // the surviving files still recount clean
+    assert(got("row_counts")._1, got.toString)
+  }
+
+  test("a truncated file fails file_sizes; CALL surface works") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("vt-sql"))
+    cat.createNamespace("ns")
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema)
+    val t = cat.loadTable("ns", "t")
+    t.append(df)
+    val fs = new Path(t.root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val victim = new Path(new Path(t.root),
+      t.currentSnapshot.get.liveFiles.head)
+    // overwrite with garbage of a different length
+    val out = fs.create(victim, true)
+    out.write("not parquet".getBytes); out.close()
+    val got = cat.sql("ns", "CALL system.verify_table('t')")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("files_exist")) // still present
+    assert(!got("file_sizes")) // but the wrong bytes
+  }
+}
