@@ -1491,6 +1491,58 @@ WHEN NOT MATCHED THEN INSERT *
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // explicit GROUPING SETS: two independent profiles in one pass —
+    // neither rollup's hierarchy nor cube's powerset
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    "q_set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_totalprice") > 150000).select("o_orderkey")
+        .intersect(
+          o.where(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey"))
+    }),
+
+    // RANGE window frame (value-based, not row-based): each event's
+    // trailing-hour spend per user — peers at equal ts all join the
+    // frame, so the result is order-independent by construction
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_us"),
+        round(sum(col("value")).over(w), 2).as("hour_spend"))
+    }),
+
+    // ntile quartiles over per-user spend (deterministic rounded-total
+    // ordering so both engines bucket identically)
+    "q_ntile_quartiles" -> ((s, dir) => {
+      val totals = events(s, dir).groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = Window.orderBy(col("total").desc, col("user_id").asc)
+      totals.select(col("user_id"), col("total"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    // statistical aggregate family: avg/variance/stddev/corr per type
+    // (corr over a well-conditioned pair — both engines' streaming
+    // co-moment formulations agree to far beyond 4 decimals)
+    "q_stat_aggs" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("__x", pmod(col("event_id"), lit(97)).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(var_samp(col("value")), 4).as("var_value"),
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(corr(col("value"), col("__x")), 4).as("corr_vx"))),
+
     // hourly resample with GAP FILLING: every (hour, type) cell in the
     // observed range appears, zero-filled — the dense grid downstream
     // time-series models expect. The grid is sequence+explode over a
@@ -2851,6 +2903,48 @@ WHEN NOT MATCHED THEN INSERT *
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"""
+        .stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT
+        |SELECT o_orderkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q_window_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+        |    AS hour_spend
+        |FROM e""".stripMargin,
+
+    "q_ntile_quartiles" ->
+      """WITH t AS (
+        |  SELECT user_id, round(sum(value), 2) AS total
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, total,
+        |  CAST(ntile(4) OVER (ORDER BY total DESC, user_id ASC)
+        |    AS INTEGER) AS quartile
+        |FROM t""".stripMargin,
+
+    "q_stat_aggs" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(var_samp(value), 4) AS var_value,
+        |  round(stddev_samp(value), 4) AS sd_value,
+        |  round(corr(value, CAST(event_id % 97 AS DOUBLE)), 4)
+        |    AS corr_vx
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_resample_gapfill" ->
       """WITH e AS (
