@@ -814,6 +814,34 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("total"), 2).as("total"))
     }),
 
+    "q_incremental_mv_minmax" -> ((s, dir) => {
+      // MIN/MAX maintenance — the aggregates that do NOT admit pure
+      // delta updates: insert-only refreshes take the least/greatest
+      // fast path, refreshes containing retractions recompute extremes
+      // for JUST the touched keys (keyed pruned scan). The merge here
+      // TRIPLES some prices (mx must rise via recompute) and the
+      // delete removes a whole priority class; the oracle recomputes
+      // everything from the final state.
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val base = tmp("graft-mvx")
+      val src = graft.lake.LakeTable.create(s, s"$base/src", o.schema)
+      val tgt = graft.lake.LakeTable.create(s, s"$base/tgt",
+        graft.lake.IncrementalMv.extremesSchema(src,
+          Seq("o_orderpriority")))
+      def refresh(): Unit = graft.lake.IncrementalMv.refreshWithExtremes(
+        src, tgt, Seq("o_orderpriority"), "o_totalprice")
+      src.append(o.where(col("o_orderkey") % 2 === 0)); refresh()
+      src.append(o.where(col("o_orderkey") % 2 =!= 0)); refresh()
+      src.merge(o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3),
+        Seq("o_orderkey")); refresh()
+      src.delete(col("o_orderpriority") === "5-LOW"); refresh()
+      tgt.scan().select(col("o_orderpriority"), col("cnt"),
+        round(col("total"), 2).as("total"),
+        round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
+    }),
+
     "q_stream_mv" -> ((s, dir) => {
       // CONTINUOUS MV maintenance over the change feed: drain once,
       // then commit more (append + merge rewrite) and drain again from
@@ -2435,6 +2463,19 @@ WHEN NOT MATCHED THEN INSERT *
         |  FROM orders WHERE o_orderpriority <> '1-URGENT')
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         |  round(sum(v), 2) AS total
+        |FROM f GROUP BY o_orderpriority""".stripMargin,
+
+    // the incrementally-maintained extremes must equal a from-scratch
+    // min/max over the final state
+    "q_incremental_mv_minmax" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderpriority <> '5-LOW')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(v), 2) AS total,
+        |  round(min(v), 2) AS mn, round(max(v), 2) AS mx
         |FROM f GROUP BY o_orderpriority""".stripMargin,
 
     // the continuously-maintained MV must equal the from-scratch

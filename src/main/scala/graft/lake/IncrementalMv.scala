@@ -132,4 +132,84 @@ object IncrementalMv {
         org.apache.spark.sql.types.StructField("total",
           org.apache.spark.sql.types.DoubleType)))
   }
+
+  /** [[targetSchema]] plus `mn`/`mx` DOUBLE for [[refreshWithExtremes]]. */
+  def extremesSchema(source: LakeTable, keys: Seq[String]):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      targetSchema(source, keys).fields ++ Seq(
+        org.apache.spark.sql.types.StructField("mn",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mx",
+          org.apache.spark.sql.types.DoubleType)))
+
+  /** [[refresh]] extended with MIN/MAX — the aggregate pair that does
+    * NOT admit pure delta maintenance (a retraction of the current
+    * extreme invalidates it). The textbook split, applied per key per
+    * refresh:
+    *
+    *   - insert-only keys: `mn = least(mn, min(new))`,
+    *     `mx = greatest(mx, max(new))` — pure delta, no source touch;
+    *   - keys with ANY retraction in the window: mn/mx RECOMPUTED from
+    *     the source, but only for those keys — a keyed semi-join scan
+    *     the manifest prunes by bounds/Blooms at scale, never a full
+    *     recompute.
+    *
+    * cnt/total stay delta-maintained; a key whose count reaches zero
+    * retracts entirely. The watermark rides the merge commit exactly
+    * like [[refresh]]. */
+  def refreshWithExtremes(source: LakeTable, target: LakeTable,
+      keys: Seq[String], valueCol: String): Long = {
+    require(keys.nonEmpty, "grouped MV needs at least one key")
+    val last = target.properties.get(WatermarkProp)
+      .map(_.toLong).getOrElse(0L)
+    val head = source.currentSnapshotId.getOrElse(0L)
+    val already = target.currentSnapshotId.getOrElse(0L)
+    if (head <= last) return already
+
+    val changeRows = source.changes(last, head)
+    val isIns = col(LakeTable.CHANGE_TYPE_COL) === "insert"
+    val sgn = when(isIns, 1L).otherwise(-1L)
+    val delta = changeRows
+      .select((keys.map(col) :+ sgn.as("__sgn") :+ isIns.as("__ins") :+
+        col(valueCol).as("__v")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__sgn")).as("dcnt"),
+        coalesce(sum(col("__sgn") * col("__v")), lit(0.0)).as("dsum"),
+        min(when(col("__ins"), col("__v"))).as("ins_mn"),
+        max(when(col("__ins"), col("__v"))).as("ins_mx"),
+        max(when(!col("__ins"), lit(1L)).otherwise(0L)).as("retracted"))
+
+    // recompute extremes ONLY for retracted keys (keyed pruned scan)
+    val retractedKeys = delta.where(col("retracted") === 1L)
+      .select(keys.map(col): _*)
+    val recomputed = source.scan()
+      .join(retractedKeys, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("rec_mn"),
+        max(col(valueCol)).as("rec_mx"))
+    val enriched = delta.join(recomputed, keys, "left")
+
+    target.mergeClauses(enriched, keys,
+      matched = Seq(
+        MergeWhen(Some(col("t.cnt") + col("s.dcnt") === 0L), None),
+        // any retraction: extremes come from the recompute
+        MergeWhen(Some(col("s.retracted") === 1L), Some(Map(
+          "cnt" -> (col("t.cnt") + col("s.dcnt")),
+          "total" -> (col("t.total") + col("s.dsum")),
+          "mn" -> col("s.rec_mn"), "mx" -> col("s.rec_mx")))),
+        // insert-only: pure delta on least/greatest
+        MergeWhen(None, Some(Map(
+          "cnt" -> (col("t.cnt") + col("s.dcnt")),
+          "total" -> (col("t.total") + col("s.dsum")),
+          "mn" -> least(col("t.mn"), col("s.ins_mn")),
+          "mx" -> greatest(col("t.mx"), col("s.ins_mx")))))),
+      notMatched = Seq(
+        MergeWhen(Some(col("s.dcnt") =!= 0L), Some(
+          keys.map(k => k -> col(s"s.$k")).toMap ++ Map(
+            "cnt" -> col("s.dcnt"), "total" -> col("s.dsum"),
+            "mn" -> coalesce(col("s.rec_mn"), col("s.ins_mn")),
+            "mx" -> coalesce(col("s.rec_mx"), col("s.ins_mx")))))),
+      extraProperties = Map(WatermarkProp -> head.toString))
+  }
 }

@@ -98,6 +98,50 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(mvState(tgt) == Set(("b", 2L, 10.0), ("c", 1L, 4.0)))
   }
 
+  test("min/max maintenance: delta fast path + recompute-on-retraction") {
+    val base = TestSpark.tmpDir("mv-ext")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq(("a", 1.0)).toDF("k", "v").schema)
+    val tgt = LakeTable.create(spark, s"$base/tgt",
+      IncrementalMv.extremesSchema(src, Seq("k")))
+    def state() = tgt.scan().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    def expect() = src.scan().groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    // insert-only refresh: the least/greatest fast path
+    src.append(Seq(("a", 3.0), ("a", 7.0), ("b", 5.0)).toDF("k", "v"))
+    IncrementalMv.refreshWithExtremes(src, tgt, Seq("k"), "v")
+    assert(state() == expect())
+    src.append(Seq(("a", 1.0), ("b", 9.0)).toDF("k", "v"))
+    IncrementalMv.refreshWithExtremes(src, tgt, Seq("k"), "v")
+    assert(state() == expect())
+    assert(state().exists(t => t._1 == "a" && t._4 == 1.0 && t._5 == 7.0))
+
+    // retraction of a's MINIMUM: least() could never raise mn — only
+    // the keyed recompute path can
+    src.delete(col("k") === "a" && col("v") === 1.0)
+    IncrementalMv.refreshWithExtremes(src, tgt, Seq("k"), "v")
+    assert(state() == expect())
+    assert(state().exists(t => t._1 == "a" && t._4 == 3.0 && t._5 == 7.0))
+
+    // merge rewrite retracts b's old values (9→2): mx must DROP
+    src.merge(Seq(("b", 2.0)).toDF("k", "v"), Seq("k"))
+    IncrementalMv.refreshWithExtremes(src, tgt, Seq("k"), "v")
+    assert(state() == expect())
+    assert(state().exists(t => t._1 == "b" && t._5 == 2.0))
+
+    // whole-key retraction
+    src.delete(col("k") === "a")
+    IncrementalMv.refreshWithExtremes(src, tgt, Seq("k"), "v")
+    assert(state() == expect())
+    assert(!state().exists(_._1 == "a"))
+  }
+
   test("a delta netting to zero inserts no row for an unseen key") {
     val base = TestSpark.tmpDir("mv-zero")
     val src = LakeTable.create(spark, s"$base/src",
