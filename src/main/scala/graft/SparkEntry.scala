@@ -1505,6 +1505,20 @@ WHEN NOT MATCHED THEN INSERT *
       Funnel.funnel(events(s, dir), Seq("view", "click", "purchase"),
         col("ts_us"), maxSpan = 7L * 86400L * 1000000L)),
 
+    // time-to-convert distribution over COMPLETED funnel chains:
+    // count + exact interpolated p50/p90 + mean of (purchase − view)
+    "q_funnel_timing" -> ((s, dir) => {
+      val chain = Funnel.userFunnel(events(s, dir),
+        Seq("view", "click", "purchase"), col("ts_us"),
+        maxSpan = 7L * 86400L * 1000000L)
+      chain.where(col("__t3").isNotNull)
+        .select(((col("__t3") - col("__t1")) / 1000000.0).as("__s"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(__s, 0.5)"), 2).as("p50_s"),
+          round(expr("percentile(__s, 0.9)"), 2).as("p90_s"),
+          round(avg(col("__s")), 2).as("avg_s"))
+    }),
+
     // weekly cohort retention, weeks anchored at 2024-01-01 (anchored
     // periods — no engine-specific week-start rules)
     "q_cohort_retention" -> ((s, dir) =>
@@ -3044,6 +3058,34 @@ WHEN NOT MATCHED THEN INSERT *
         |  round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
         |  round(sum(value), 2) AS total
         |FROM r GROUP BY hour, event_type""".stripMargin,
+
+    // same greedy chain as q_funnel; timing stats over completions
+    "q_funnel_timing" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts_us) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'click' AND e.ts_us >= s1.t1
+        |    AND e.ts_us <= s1.t1 + 604800000000
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts_us) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |    AND e.ts_us <= s2.t1 + 604800000000
+        |  GROUP BY s2.user_id, s2.t1, s2.t2),
+        |d AS (SELECT (t3 - t1) / 1000000.0 AS s FROM s3
+        |      WHERE t3 IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(s, 0.5), 2) AS p50_s,
+        |  round(quantile_cont(s, 0.9), 2) AS p90_s,
+        |  round(avg(s), 2) AS avg_s
+        |FROM d""".stripMargin,
 
     // weekly cohort retention anchored at 2024-01-01 UTC (anchored
     // 7-day periods — no engine week-start rules)

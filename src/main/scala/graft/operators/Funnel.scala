@@ -26,13 +26,14 @@ object Funnel {
     * product-analytics engine ships. Output one row per step:
     * (step, event_type, n_users, conv_rate) with conv_rate relative
     * to step 1, rounded HALF_UP to 4 decimals (DuckDB's rounding). */
-  def funnel(events: DataFrame, steps: Seq[String], tsCol: Column,
+  /** Per-user greedy earliest-completion chain: one row per user with
+    * a step-1 event, columns `__t1 … __tN` (NULL from the first
+    * unreached step on). The building block [[funnel]] summarizes and
+    * conversion-timing analyses consume directly. */
+  def userFunnel(events: DataFrame, steps: Seq[String], tsCol: Column,
       maxSpan: Long, userCol: String = "user_id",
       typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
-
     val t1 = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(tsCol).as("__t1"))
     // each later step: earliest event of that type at/after the
@@ -40,7 +41,7 @@ object Funnel {
     // Eligibility sits IN the join condition: a user whose candidate
     // events all fall outside the window keeps their partial-funnel
     // row (left join, null match)
-    val chain = steps.tail.zipWithIndex.foldLeft(t1) {
+    steps.tail.zipWithIndex.foldLeft(t1) {
       case (cur, (step, i)) =>
         val prev = s"__t${i + 1}"
         val cand = events.where(col(typeCol) === step)
@@ -51,6 +52,17 @@ object Funnel {
           .groupBy(cur.columns.map(col).toIndexedSeq: _*)
           .agg(min(col("__ts")).as(s"__t${i + 2}"))
     }
+  }
+
+  def funnel(events: DataFrame, steps: Seq[String], tsCol: Column,
+      maxSpan: Long, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val chain = userFunnel(events, steps, tsCol, maxSpan, userCol,
+      typeCol)
     val reached = chain.select(
       (lit(1L) +: steps.tail.indices.map(i =>
         when(col(s"__t${i + 2}").isNotNull, 1L).otherwise(0L))
