@@ -49,6 +49,30 @@ class VerifyTableSpec extends AnyFunSuite {
     assert(got("row_counts")._1, got.toString)
   }
 
+  test("MOR delete artifacts are audited; a missing one is detected") {
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("vt-mor") + "/t",
+      df.schema, properties = Map(
+        LakeTable.PROP_MERGE_MODE -> "merge-on-read",
+        LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(df)
+    t.merge(Seq((1L, "V1"), (2L, "V2")).toDF("id", "v"), Seq("id"))
+    val snap = t.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty, "expected an equality-delete file")
+    val ok = checks(t, deep = true)
+    assert(ok.values.forall(_._1), ok.toString)
+    assert(ok("delete_files_exist")._2.contains(
+      s"${snap.deleteFiles.size + snap.posDeleteFiles.size} artifacts"))
+    // remove a delete artifact: the audit must flag it
+    val fs = new Path(t.root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(new Path(t.root), snap.deleteFiles.head.path),
+      false)
+    val bad = checks(t, deep = false)
+    assert(!bad("delete_files_exist")._1, bad.toString)
+    assert(bad("files_exist")._1) // data files themselves intact
+  }
+
   test("a truncated file fails file_sizes; CALL surface works") {
     val cat = new LakeCatalog(spark, TestSpark.tmpDir("vt-sql"))
     cat.createNamespace("ns")
