@@ -284,6 +284,30 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * `foreachBatch` contract: id = (query id, batch id) gives a
     * streaming job atomic exactly-once fan-out to several tables. */
   def transactionWithId(ns: String, id: String)(
+      body: LakeTransaction => Unit): Map[String, Long] =
+    runTransaction(ns, id, s"ctxn-$id", 1L)(body)
+
+  /** [[transactionWithId]] for RECURRING work keyed by a stable app id
+    * with a monotonic version (≡ Iceberg's `txnAppId`/`txnVersion`
+    * pattern): every run publishes under ONE per-table watermark
+    * property `txn.<appId>` that is UPDATED in place, instead of
+    * accreting a fresh `txn.ctxn-<id>` entry per run — the shape a
+    * long-running streaming fan-out needs (one micro-batch per minute
+    * for a month must not grow 43k properties on every snapshot). A
+    * replay of any (appId, version) at or below the recorded watermark
+    * is a no-op; versions must be applied in nondecreasing order by
+    * the caller (the `foreachBatch` contract — batchId is exactly
+    * this). The transaction id is derived as `<appId>-<version>`. */
+  def transactionVersioned(ns: String, appId: String, version: Long)(
+      body: LakeTransaction => Unit): Map[String, Long] = {
+    require(appId.nonEmpty && appId.matches("[A-Za-z0-9_-]+"),
+      s"bad transaction appId '$appId'")
+    require(version >= 0, s"bad transaction version $version")
+    runTransaction(ns, s"$appId-$version", appId, version)(body)
+  }
+
+  private def runTransaction(ns: String, id: String, app: String,
+      version: Long)(
       body: LakeTransaction => Unit): Map[String, Long] = {
     require(namespaces.contains(ns), s"namespace $ns does not exist")
     require(id.nonEmpty && id.matches("[A-Za-z0-9_-]+"),
@@ -307,6 +331,8 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     val m = Snapshot.mapper
     val o = m.createObjectNode()
     o.put("id", id)
+    o.put("app", app)
+    o.put("version", version)
     val arr = o.putArray("tables")
     txn.tables.keys.foreach(arr.add)
     // the DECISION POINT: marker present = committed (roll forward);
@@ -315,17 +341,40 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     try LakeTable.writeStringExclusive(fs, marker,
       m.writerWithDefaultPrettyPrinter().writeValueAsString(o))
     catch { case _: java.io.IOException if fs.exists(marker) => () }
-    val results = publishPrepared(ns, id, txn.tables.keys.toSeq)
+    val results = publishPrepared(ns, id, txn.tables.keys.toSeq,
+      app, version)
     fs.delete(marker, false)
     results
   }
 
+  /** Publish each table's staged `txn-<id>` branch under the
+    * transaction's `txn.<app>` watermark. Each publish commit also
+    * GARBAGE-COLLECTS watermarks of COMPLETED ad-hoc transactions
+    * (`txn.ctxn-*` keys whose PREPARED marker no longer exists —
+    * marker deletion is the proof every participant published, so no
+    * recovery can ever need them again): per-snapshot metadata stays
+    * bounded by in-flight transactions, not lifetime transaction
+    * count. The marker set is re-listed inside each commit attempt,
+    * against the snapshot being committed on, so a concurrent
+    * transaction mid-publish (marker still present) is never GC'd.
+    * Stable `txn.<appId>` watermarks from [[transactionVersioned]]
+    * are one-per-app and never collected. */
   private def publishPrepared(ns: String, id: String,
-      tableNames: Seq[String]): Map[String, Long] =
+      tableNames: Seq[String], app: String,
+      version: Long): Map[String, Long] = {
+    def staleCtxn(props: Map[String, String]): Set[String] = {
+      val live = pendingTransactions(ns).toSet
+      props.keySet.filter { k =>
+        k.startsWith("txn.ctxn-") && !live.contains(
+          k.stripPrefix("txn.ctxn-"))
+      }
+    }
     tableNames.map { t =>
       t -> loadTable(ns, t).fastForwardBranch(s"txn-$id",
-        txn = Some((s"ctxn-$id", 1L)))
+        txn = Some((app, version)),
+        dropProperties = s => staleCtxn(s.properties))
     }.toMap
+  }
 
   /** Consistent cross-table READ transaction: every listed table's
     * snapshot is pinned up front (one quick HEAD-read loop) and the
@@ -338,15 +387,19 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * reads cost nothing extra — scanAt plans from the same manifest. */
   def readTransaction[T](ns: String, tableNames: Seq[String])(
       body: (String => DataFrame) => T): T = {
+    // an initially-EMPTY table pins as empty (schema captured at pin
+    // time) — falling back to a live scan() would let a concurrent
+    // commit become visible mid-body, breaking the pinned contract
     val pinned = tableNames.map { t =>
       val lt = loadTable(ns, t)
-      t -> (lt, lt.currentSnapshotId)
+      t -> (lt, lt.currentSnapshotId, lt.schema)
     }.toMap
     body { name =>
-      val (lt, snap) = pinned.getOrElse(name,
+      val (lt, snap, sch) = pinned.getOrElse(name,
         throw new IllegalArgumentException(
           s"table $name was not pinned by this read transaction"))
-      snap.map(lt.scanAt).getOrElse(lt.scan())
+      snap.map(lt.scanAt).getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
     }
   }
 
@@ -368,12 +421,29 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       val marker = new Path(txnsDir(ns), s"$id.json")
       val n = Snapshot.mapper.readTree(
         LakeTable.readString(fs, marker))
+      val app = if (n.hasNonNull("app")) n.path("app").asText
+        else s"ctxn-$id" // pre-versioned marker format
+      val version = if (n.hasNonNull("version"))
+        n.path("version").asLong else 1L
       val tbls = (0 until n.path("tables").size)
         .map(n.path("tables").get(_).asText)
       tbls.foreach { t =>
         if (tableExists(ns, t)) {
-          try publishPrepared(ns, id, Seq(t))
-          catch { case _: IllegalArgumentException => () } // discarded
+          try publishPrepared(ns, id, Seq(t), app, version)
+          catch {
+            // benign ONLY when the publish already landed AND its
+            // staged-file cleanup ran (crash between cleanup and the
+            // marker delete): watermark present + nothing staged.
+            // Any OTHER failure (schema-evolution conflict, lost
+            // staging without a watermark, IO) must propagate and
+            // LEAVE the marker — deleting it would silently drop a
+            // committed transaction's effect on this table
+            case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("no staged changesets") &&
+                  loadTable(ns, t).properties.get(s"txn.$app")
+                    .exists(_.toLong >= version) => ()
+          }
         }
       }
       fs.delete(marker, false)

@@ -750,7 +750,8 @@ final class LakeTable private (
     * recovery relies on (a crash between this commit and the staged-
     * file cleanup must not double-publish on recovery). */
   def fastForwardBranch(name: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      dropProperties: Snapshot => Set[String] = _ => Set.empty): Long = {
     val ids = branchChangesets(name)
     def watermarked(s: Snapshot): Boolean = txn.exists { case (app, v) =>
       s.properties.get(s"txn.$app").exists(_.toLong >= v)
@@ -775,12 +776,18 @@ final class LakeTable private (
             s"branch $name predates a schema or partition-spec " +
               "evolution — discard and re-stage")
         }
+        // dropProperties is evaluated against the snapshot actually
+        // being committed on (re-listed per attempt) — the caller's
+        // staleness decision must never act on a stale marker view
+        val drops = dropProperties(b)
         commit(b, "append", added = added, removed = Nil,
           live = b.liveFiles ++ added, addedStats = stats,
           addedInfo = info,
-          propertiesOverride = txn.map { case (app, v) =>
-            b.properties + (s"txn.$app" -> v.toString)
-          })
+          propertiesOverride =
+            if (txn.isEmpty && drops.isEmpty) None
+            else Some((b.properties -- drops) ++ txn.map {
+              case (app, v) => s"txn.$app" -> v.toString
+            }))
       }
     }
     ids.foreach(i => fs.delete(stagedPath(i), false))
@@ -1288,10 +1295,13 @@ final class LakeTable private (
     // `txn` is the appendOnce idempotence contract for merges: a
     // replayed (appId, version) at or below the recorded watermark is
     // a no-op — what makes a foreachBatch delta-merge exactly-once.
-    txn.foreach { case (app, v) =>
+    def txnWatermarked(s: Snapshot): Boolean = txn.exists {
+      case (app, v) =>
+        s.properties.get(s"txn.$app").exists(_.toLong >= v)
+    }
+    if (txn.nonEmpty) {
       val b = current
-      if (b.properties.get(s"txn.$app").exists(_.toLong >= v))
-        return b.snapshotId
+      if (txnWatermarked(b)) return b.snapshotId
     }
     val txnProps = txn.map { case (app, v) =>
       s"txn.$app" -> v.toString }.toMap
@@ -1345,7 +1355,13 @@ final class LakeTable private (
       val WriteResult(added, stats, info) =
         writeDataFiles(distributeForWrite(alignToSchema(inserted)))
       return commitWithRetry(base)() { b =>
-        commit(b, "merge", added = added, removed = Nil,
+        // re-check the txn watermark against the snapshot actually
+        // being committed on — the up-front check is check-then-act;
+        // a concurrent replay of the same (appId, version) landing
+        // between it and this commit must turn this attempt into a
+        // no-op, not a double-apply
+        if (txnWatermarked(b)) b.snapshotId
+        else commit(b, "merge", added = added, removed = Nil,
           live = b.liveFiles ++ added, addedStats = stats,
           addedInfo = info, propertiesOverride = propsFor(b))
       }

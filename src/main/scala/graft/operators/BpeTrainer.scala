@@ -97,7 +97,7 @@ object BpeTrainer {
     * merge, merges in learned order) — the reference implementation
     * the spec checks the distributed trainer against. */
   def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Vector[String] = word.toLowerCase.map(_.toString).toVector
+    var syms: Vector[String] = word.toLowerCase(java.util.Locale.ROOT).map(_.toString).toVector
       match {
         case init :+ last => init :+ (last + "</w>")
         case empty => empty

@@ -117,7 +117,8 @@ object expressions {
     override def prettyName: String = "graft_fingerprint"
 
     override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+      val s = v.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT)
       TextFingerprint.minRollingHash(s, window)
     }
 
@@ -126,7 +127,7 @@ object expressions {
       val cls = TextFingerprint.getClass.getName.stripSuffix("$") + "$"
       nullSafeCodeGen(ctx, ev, s =>
         s"""${ev.value} = $cls.MODULE$$.minRollingHash(
-           |  $s.toString().toLowerCase(), $window);""".stripMargin)
+           |  $s.toString().toLowerCase(java.util.Locale.ROOT), $window);""".stripMargin)
     }
 
     override protected def withNewChildInternal(c: Expression) =
@@ -430,7 +431,9 @@ object expressions {
     /** Public for codegen (bound reference object — the surrounding
       * whole-stage pipeline stays fused). */
     def compute(u: UTF8String): InternalRow = {
-      val s = u.toString.toLowerCase
+      // Locale.ROOT: match SQL lower() — under tr/az default locales 'I'
+      // maps to dotless ı and would vanish from the [a-z0-9] token scan
+      val s = u.toString.toLowerCase(java.util.Locale.ROOT)
       val ids = new java.util.HashMap[String, Integer]()
       var counts = new Array[Int](16)
       val bigrams = new java.util.HashSet[java.lang.Long]()

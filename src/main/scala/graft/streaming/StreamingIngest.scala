@@ -265,7 +265,11 @@ object StreamingIngest {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try cat.transactionWithId(ns, s"$appId-$batchId") { txn =>
+        // versioned watermark (txn.<appId>, monotone batchId): one
+        // per-table property UPDATED per batch, not one accreted per
+        // batch — a month of micro-batches must not grow 43k snapshot
+        // properties
+        try cat.transactionVersioned(ns, appId, batchId) { txn =>
           routes.foreach { case (table, f) => txn.append(table, f(batch)) }
         } finally batch.unpersist()
         ()

@@ -167,4 +167,33 @@ WHEN NOT MATCHED THEN INSERT *
 """)
     assert(lt.schema.fieldNames.toSeq == Seq("id", "cat", "amount", "region"))
   }
+
+  test("txn merge racing its own replay lands exactly once") {
+    // the check-then-act window: a zombie replay of the same
+    // (appId, version) commits BETWEEN this merge's up-front watermark
+    // check and its commit attempt — the retry must re-check the
+    // watermark on the rebased head and no-op, never double-apply
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val schema = Seq((0L, "", 0L)).toDF("id", "cat", "amount").schema
+    cat.createTable("ns", "e", schema)
+    val lt = cat.loadTable("ns", "e")
+    val src = Seq((1L, "p", 3L)).toDF("id", "cat", "amount")
+    val nm = Seq(MergeWhen(None, Some(Map(
+      "id" -> col("s.id"), "cat" -> col("s.cat"),
+      "amount" -> col("s.amount")))))
+    var fired = false
+    lt.beforeCommitHook = () => if (!fired) {
+      fired = true
+      // the "zombie" second driver applies the same versioned merge
+      cat.loadTable("ns", "e").mergeClauses(src, Seq("id"),
+        matched = Nil, notMatched = nm, txn = Some(("job", 7L)))
+    }
+    try lt.mergeClauses(src, Seq("id"),
+      matched = Nil, notMatched = nm, txn = Some(("job", 7L)))
+    finally lt.beforeCommitHook = () => ()
+    assert(fired)
+    assert(lt.scan().count() == 1)
+    assert(lt.properties("txn.job") == "7")
+  }
 }

@@ -226,4 +226,107 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(cat.loadTable("ns", "t2").scan().count() == 2)
     assert(cat.pendingTransactions("ns").isEmpty)
   }
+
+  test("versioned transactions keep ONE watermark property per app") {
+    val cat = freshCatalog("txn-versioned")
+    (0L to 2L).foreach { v =>
+      cat.transactionVersioned("ns", "fanout", v) { txn =>
+        txn.append("t1", Seq((100L + v, s"v$v")).toDF("id", "v"))
+        txn.append("t2", Seq((200L + v, s"v$v")).toDF("id", "v"))
+      }
+    }
+    val t1 = cat.loadTable("ns", "t1")
+    assert(t1.scan().count() == 4)
+    // ONE stable watermark, updated in place — not one per run
+    val wmarks = t1.properties.keys.filter(_.startsWith("txn.")).toSeq
+    assert(wmarks == Seq("txn.fanout"), wmarks.toString)
+    assert(t1.properties("txn.fanout") == "2")
+    // replay of an already-applied version is a no-op on every table
+    val before = t1.currentSnapshotId
+    cat.transactionVersioned("ns", "fanout", 1L) { txn =>
+      txn.append("t1", Seq((999L, "dup")).toDF("id", "v"))
+      txn.append("t2", Seq((999L, "dup")).toDF("id", "v"))
+    }
+    assert(cat.loadTable("ns", "t1").currentSnapshotId == before)
+    assert(cat.loadTable("ns", "t1").scan().count() == 4)
+    assert(cat.loadTable("ns", "t2").scan().count() == 4)
+  }
+
+  test("completed ad-hoc ctxn watermarks are GC'd by the next publish") {
+    val cat = freshCatalog("txn-gc")
+    cat.transactionWithId("ns", "adhoc1") { txn =>
+      txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+    }
+    assert(cat.loadTable("ns", "t1").properties
+      .contains("txn.ctxn-adhoc1"))
+    cat.transactionWithId("ns", "adhoc2") { txn =>
+      txn.append("t1", Seq((3L, "b")).toDF("id", "v"))
+    }
+    val props = cat.loadTable("ns", "t1").properties
+    // adhoc1's marker is gone (fully published) → watermark collected;
+    // adhoc2's own watermark remains until a later publish collects it
+    assert(!props.contains("txn.ctxn-adhoc1"), props.toString)
+    assert(props.contains("txn.ctxn-adhoc2"))
+    assert(cat.loadTable("ns", "t1").scan().count() == 3)
+  }
+
+  test("in-flight transaction's watermark survives a concurrent GC") {
+    // crash mid-publish (marker left), then an unrelated transaction
+    // publishes on the same table: the pending txn's watermark must
+    // NOT be collected (its marker still exists), so recovery stays
+    // exactly-once
+    val cat = freshCatalog("txn-gc-pending")
+    val id = "tornpub1"
+    val t1 = cat.loadTable("ns", "t1")
+    t1.appendToBranch(s"txn-$id", Seq((2L, "a")).toDF("id", "v"))
+    val fs = new Path(cat.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(cat.warehouse, s"ns/_txns/$id.json")
+    fs.mkdirs(marker.getParent)
+    LakeTable.writeStringExclusive(fs, marker,
+      s"""{"id":"$id","app":"ctxn-$id","version":1,"tables":["t1"]}""")
+    // the torn txn already published t1 (crash before marker delete)
+    t1.fastForwardBranch(s"txn-$id", txn = Some((s"ctxn-$id", 1L)))
+    // unrelated publish GC's stale watermarks — must keep tornpub1's
+    cat.transactionWithId("ns", "bystander") { txn =>
+      txn.append("t1", Seq((5L, "c")).toDF("id", "v"))
+    }
+    assert(cat.loadTable("ns", "t1").properties
+      .contains(s"txn.ctxn-$id"))
+    // recovery is then a clean no-op for t1
+    assert(cat.recoverTransactions("ns") == Seq(id))
+    assert(cat.loadTable("ns", "t1").scan().count() == 3)
+    assert(cat.pendingTransactions("ns").isEmpty)
+  }
+
+  test("read transaction pins an initially-empty table as EMPTY") {
+    val cat = freshCatalog("txn-read-empty")
+    val df = Seq((1L, "x")).toDF("id", "v")
+    cat.createTable("ns", "t3", df.schema) // no rows committed
+    cat.readTransaction("ns", Seq("t1", "t3")) { read =>
+      assert(read("t3").count() == 0)
+      assert(read("t3").schema.fieldNames.toSeq == Seq("id", "v"))
+      // a commit lands mid-body — the pinned read must NOT see it
+      cat.loadTable("ns", "t3").append(df)
+      assert(read("t3").count() == 0)
+    }
+    assert(cat.loadTable("ns", "t3").scan().count() == 1)
+  }
+
+  test("recovery refuses to drop a committed txn on lost staging") {
+    // marker present, no watermark, no staged changesets: something is
+    // genuinely wrong (a replay discarded staging and crashed before
+    // restaging) — recovery must propagate and LEAVE the marker so a
+    // rerun of the replay can restage, never silently delete it
+    val cat = freshCatalog("txn-rec-strict")
+    val id = "loststage1"
+    val fs = new Path(cat.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(cat.warehouse, s"ns/_txns/$id.json")
+    fs.mkdirs(marker.getParent)
+    LakeTable.writeStringExclusive(fs, marker,
+      s"""{"id":"$id","app":"ctxn-$id","version":1,"tables":["t1"]}""")
+    intercept[IllegalArgumentException](cat.recoverTransactions("ns"))
+    assert(cat.pendingTransactions("ns") == Seq(id))
+  }
 }
