@@ -1004,7 +1004,6 @@ final class LakeTable private (
   private def commitWithRetry(base: Snapshot)(
       canRetry: (Snapshot, Snapshot) => Boolean = (_, _) => true)(
       attempt: Snapshot => Long): Long = {
-    beforeCommitHook()
     var b = base
     var n = 0
     while (true) {
@@ -1028,6 +1027,38 @@ final class LakeTable private (
     * attempt — lets a spec deterministically interleave a racing
     * commit. No-op in production. */
   private[lake] var beforeCommitHook: () => Unit = () => ()
+
+  /** Whole-operation conflict retry for COPY-ON-WRITE rewrites (merge,
+    * mergeClauses, delete, deleteByKeys, update). A rewrite's outputs
+    * derive from the base snapshot's DATA, so a lost commit race can't
+    * reuse the already-written artifacts the way [[commitWithRetry]]
+    * does for appends — the only sound retry is to RECOMPUTE the whole
+    * op against the new HEAD, which is exactly a serial re-execution
+    * after the winning commit (serializable by construction; the
+    * source/predicate re-evaluates, idempotence watermarks re-check,
+    * MOR position ordinals re-capture). Opt-in via table property
+    * `commit.conflict-mode=recompute` (≡ Iceberg's commit retries on
+    * row-level ops); the default `fail` surfaces the
+    * ConcurrentModificationException so the caller decides — either
+    * way the loser NEVER silently drops the winner's effect. Each
+    * attempt re-reads HEAD from the pointer store, so this is safe
+    * across real process boundaries (see CrossProcessConflictSpec).
+    * Files written by a lost attempt become orphans for maintenance
+    * (same note as appendInternal's rebased retry). */
+  private def rewriteWithRetry(op: () => Long): Long = {
+    var n = 0
+    while (true) {
+      try return op()
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          n += 1
+          if (n >= MAX_COMMIT_ATTEMPTS ||
+              !properties.get(LakeTable.PROP_CONFLICT_MODE)
+                .contains("recompute")) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Ingest-path write distribution (≡ Iceberg's
     * `write.distribution-mode=hash`): cluster rows by the table's
@@ -1115,6 +1146,12 @@ final class LakeTable private (
     * sync costs one key+cond column scan and zero rewrites. The cond is
     * evaluated against TARGET rows (bare column names). */
   def merge(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      dropUnmatchedWhen: Option[org.apache.spark.sql.Column]): Long =
+    rewriteWithRetry(() =>
+      mergeImpl(source, keys, deleteWhen, dropUnmatchedWhen))
+
+  private def mergeImpl(source: DataFrame, keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
       dropUnmatchedWhen: Option[org.apache.spark.sql.Column]): Long = {
     autoEvolveFor(source)
@@ -1287,7 +1324,15 @@ final class LakeTable private (
       matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
       notMatchedBySource: Seq[MergeWhen] = Nil,
       extraProperties: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    rewriteWithRetry(() => mergeClausesImpl(source, keys, matched,
+      notMatched, notMatchedBySource, extraProperties, txn))
+
+  private def mergeClausesImpl(source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
+      notMatchedBySource: Seq[MergeWhen],
+      extraProperties: Map[String, String],
+      txn: Option[(String, Long)]): Long = {
     // extraProperties land IN the merge's own commit — a watermark
     // recorded atomically with the change it describes (the
     // incremental-MV refresh contract: no crash window where the delta
@@ -1609,7 +1654,11 @@ final class LakeTable private (
     * primitive. Same affected-file pruning as [[merge]]: a key-column-
     * only scan semi-joined with the distinct keys locates the files to
     * rewrite; the rewrite anti-joins them away. Null keys never match. */
-  def deleteByKeys(keys: DataFrame, keyCols: Seq[String]): Long = {
+  def deleteByKeys(keys: DataFrame, keyCols: Seq[String]): Long =
+    rewriteWithRetry(() => deleteByKeysImpl(keys, keyCols))
+
+  private def deleteByKeysImpl(keys: DataFrame,
+      keyCols: Seq[String]): Long = {
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
     if (properties.get(PROP_DELETE_MODE).contains("merge-on-read")) {
@@ -1656,7 +1705,10 @@ final class LakeTable private (
     * POSITION-delete files (≡ Iceberg v2): the locating scan captures
     * each matching row's (file, row-ordinal) — ZERO data rewrite; readers
     * anti-join the positions until [[compact]] folds them in. */
-  def delete(predicate: org.apache.spark.sql.Column): Long = {
+  def delete(predicate: org.apache.spark.sql.Column): Long =
+    rewriteWithRetry(() => deleteImpl(predicate))
+
+  private def deleteImpl(predicate: org.apache.spark.sql.Column): Long = {
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
     if (properties.get(PROP_DELETE_MODE).contains("merge-on-read"))
@@ -1800,6 +1852,10 @@ final class LakeTable private (
     * after-image as new data files (≡ Iceberg v2 MOR UPDATE = position
     * delete + insert) — zero rewrite of existing files. */
   def update(predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    rewriteWithRetry(() => updateImpl(predicate, assignments))
+
+  private def updateImpl(predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     val bad = assignments.keySet.diff(schema.fieldNames.toSet)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
@@ -3291,6 +3347,10 @@ final class LakeTable private (
       fileSpecOverride: Option[Map[String, Long]] = None,
       propertiesOverride: Option[Map[String, String]] = None,
       rechunk: Boolean = false): Long = {
+    // the test seam fires between an op's artifact write and THIS
+    // commit attempt (per attempt — specs interleave racing commits
+    // deterministically on COW rewrite paths too, not just appends)
+    beforeCommitHook()
     val id = base.snapshotId + 1
     // Append-shaped commits (nothing removed, no per-file overrides —
     // append, MOR merge/delete/update) keep every base entry live, so
@@ -3536,6 +3596,10 @@ object LakeTable {
   val PROP_DISTRIBUTION_MODE = "write.distribution-mode"
   val PROP_DELETE_MODE = "write.delete.mode"
   val PROP_UPDATE_MODE = "write.update.mode"
+  /** `fail` (default) | `recompute` — whether a COW rewrite losing a
+    * commit race re-executes against the new HEAD (serial schedule)
+    * or surfaces the ConcurrentModificationException. */
+  val PROP_CONFLICT_MODE = "commit.conflict-mode"
   val PROP_AUTO_EVOLVE = "write.schema.auto-evolve"
   /** Comma-separated columns to build per-file Bloom filters for (see
     * [[BloomStats]]); empty/absent = none. */
