@@ -75,6 +75,20 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"reps":$reps,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"sf":"$sfDir"}"""
     println(compactLine)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size},"reps":$reps,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}""")
+    // per-query numbers ALSO as short self-contained chunk lines (≤4 KB
+    // each, in query order): a tail-kept capture that clips the long
+    // line above mid-stream still holds every query in parseable form
+    val entries = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    entries.foreach { e =>
+      if (chunks.last.map(_.length + 1).sum + e.length > 3000)
+        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      chunks.last += e
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"parts":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
     println(compactLine)
     spark.stop()
   }

@@ -795,23 +795,38 @@ WHEN NOT MATCHED THEN INSERT *
       // from-scratch aggregate over the equivalent final state, so a
       // hash match proves exact incremental maintenance. The refresh
       // watermark rides the merge commit itself (no crash window).
+      // refreshes are driven through the SQL surface (`CALL
+      // system.refresh_mv`) — the definition (source/keys/value) is
+      // stamped on the target once and travels with the table; the
+      // staleness probe brackets each mutation (stale before, fresh
+      // after), all driver arithmetic.
       val o = t(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
       val base = tmp("graft-mv")
-      val src = graft.lake.LakeTable.create(s, s"$base/src", o.schema)
-      val tgt = graft.lake.LakeTable.create(s, s"$base/tgt",
-        graft.lake.IncrementalMv.targetSchema(src,
-          Seq("o_orderpriority")))
-      def refresh(): Unit = graft.lake.IncrementalMv.refresh(
-        src, tgt, Seq("o_orderpriority"), "o_totalprice")
+      val cat = new graft.lake.LakeCatalog(s, base)
+      cat.createNamespace("mv")
+      cat.createTable("mv", "src", o.schema)
+      val src = cat.loadTable("mv", "src")
+      cat.createTable("mv", "tgt", graft.lake.IncrementalMv
+        .targetSchema(src, Seq("o_orderpriority")))
+      graft.lake.IncrementalMv.define(cat.loadTable("mv", "tgt"),
+        "src", Seq("o_orderpriority"), "o_totalprice")
+      def refresh(): Unit = {
+        assert(cat.sql("mv", "CALL system.mv_staleness('tgt')")
+          .select("is_stale").head().getBoolean(0))
+        cat.sql("mv", "CALL system.refresh_mv('tgt')").collect()
+        assert(!cat.sql("mv", "CALL system.mv_staleness('tgt')")
+          .select("is_stale").head().getBoolean(0))
+      }
       src.append(o.where(col("o_orderkey") % 2 === 0)); refresh()
       src.append(o.where(col("o_orderkey") % 2 =!= 0)); refresh()
       src.merge(o.where(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2),
         Seq("o_orderkey")); refresh()
       src.delete(col("o_orderpriority") === "1-URGENT"); refresh()
-      tgt.scan().select(col("o_orderpriority"), col("cnt"),
-        round(col("total"), 2).as("total"))
+      cat.loadTable("mv", "tgt").scan()
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("total"), 2).as("total"))
     }),
 
     "q_incremental_mv_minmax" -> ((s, dir) => {

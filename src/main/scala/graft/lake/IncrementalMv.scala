@@ -31,6 +31,64 @@ import org.apache.spark.sql.functions._
 object IncrementalMv {
 
   val WatermarkProp = "graft.mv.source"
+  /** MV DEFINITION properties (set once by [[define]]) — what lets the
+    * SQL surface (`CALL system.refresh_mv('t')`) refresh a target
+    * without the caller re-supplying source/keys/value every time,
+    * the Delta-Live-Tables-shaped contract. */
+  val SourceTableProp = "graft.mv.source-table"
+  val KeysProp = "graft.mv.keys"
+  val ValueColProp = "graft.mv.value-column"
+  /** `sum` (count+sum MV, [[refresh]]) | `extremes` (adds min/max,
+    * [[refreshWithExtremes]]). */
+  val KindProp = "graft.mv.kind"
+
+  /** Stamp the MV definition on `target` so later refreshes can be
+    * driven BY NAME (SQL `CALL system.refresh_mv` or
+    * [[refreshByName]]) — the definition travels with the table. */
+  def define(target: LakeTable, sourceTable: String, keys: Seq[String],
+      valueCol: String, kind: String = "sum"): Unit = {
+    require(kind == "sum" || kind == "extremes", s"bad MV kind $kind")
+    target.setProperties(Map(
+      SourceTableProp -> sourceTable,
+      KeysProp -> keys.mkString(","),
+      ValueColProp -> valueCol,
+      KindProp -> kind))
+  }
+
+  /** Refresh a DEFINED MV by its catalog name (reads the definition
+    * properties stamped by [[define]]). Returns the target snapshot. */
+  def refreshByName(cat: LakeCatalog, ns: String,
+      targetName: String): Long = {
+    val tgt = cat.loadTable(ns, targetName)
+    val props = tgt.properties
+    val srcName = props.getOrElse(SourceTableProp,
+      throw new IllegalArgumentException(
+        s"$targetName is not a defined MV — missing $SourceTableProp " +
+          "(call IncrementalMv.define first)"))
+    val keys = props(KeysProp).split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val valueCol = props(ValueColProp)
+    val src = cat.loadTable(ns, srcName)
+    if (props.getOrElse(KindProp, "sum") == "extremes")
+      refreshWithExtremes(src, tgt, keys, valueCol)
+    else refresh(src, tgt, keys, valueCol)
+  }
+
+  /** Staleness of a defined MV — pure driver arithmetic (two HEAD
+    * reads, zero data I/O): the applied source watermark vs the
+    * source's current snapshot. `pending_commits` is exact because
+    * snapshot ids are sequential. */
+  def staleness(cat: LakeCatalog, ns: String, targetName: String):
+      (String, Long, Long, Long, Boolean) = {
+    val tgt = cat.loadTable(ns, targetName)
+    val props = tgt.properties
+    val srcName = props.getOrElse(SourceTableProp,
+      throw new IllegalArgumentException(
+        s"$targetName is not a defined MV — missing $SourceTableProp"))
+    val applied = props.get(WatermarkProp).map(_.toLong).getOrElse(0L)
+    val head = cat.loadTable(ns, srcName).currentSnapshotId.getOrElse(0L)
+    (srcName, applied, head, (head - applied).max(0L), head > applied)
+  }
 
   /** Refresh `target` from `source`'s changelog; no-op when already
     * current. Returns the target snapshot after the refresh. */

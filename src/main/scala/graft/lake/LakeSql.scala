@@ -659,6 +659,18 @@ object LakeSql {
     }
     val lt = cat.loadTable(ns, str(0))
     val out: DataFrame = procName.toLowerCase match {
+      case "refresh_mv" => // (mv_table) — definition rides the table
+        val snap = IncrementalMv.refreshByName(cat, ns, str(0))
+        val applied = cat.loadTable(ns, str(0)).properties
+          .get(IncrementalMv.WatermarkProp).map(_.toLong).getOrElse(0L)
+        Seq((snap, applied))
+          .toDF("snapshot_id", "applied_source_snapshot")
+      case "mv_staleness" => // (mv_table) — driver arithmetic only
+        val (src, applied, head, pending, stale) =
+          IncrementalMv.staleness(cat, ns, str(0))
+        Seq((str(0), src, applied, head, pending, stale)).toDF(
+          "mv", "source_table", "applied_source_snapshot",
+          "source_head", "pending_commits", "is_stale")
       case "expire_snapshots" =>
         lt.expireSnapshots(lng(1).toInt)
         Seq(lt.currentSnapshotId.getOrElse(0L)).toDF("current_snapshot_id")
@@ -721,7 +733,8 @@ object LakeSql {
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
-          "verify_table, recover_transactions")
+          "verify_table, recover_transactions, refresh_mv, " +
+          "mv_staleness")
     }
     cat.registerViews(ns)
     out

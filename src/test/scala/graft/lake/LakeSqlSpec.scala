@@ -488,4 +488,47 @@ WHEN NOT MATCHED THEN INSERT *
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 10.0), (2L, 40.0)))
   }
+
+  test("CALL system.refresh_mv + mv_staleness drive a defined MV") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 5.0))
+      .toDF("id", "k", "x")
+    cat.createTable("ns", "src", df.schema)
+    val src = cat.loadTable("ns", "src")
+    cat.createTable("ns", "mv",
+      IncrementalMv.targetSchema(src, Seq("k")))
+    IncrementalMv.define(cat.loadTable("ns", "mv"), "src",
+      Seq("k"), "x")
+    // staleness is snapshot arithmetic: even the source's CREATE
+    // commit counts as unapplied until a first (empty) refresh
+    // baselines the watermark
+    assert(cat.sql("ns", "CALL system.mv_staleness('mv')")
+      .select("is_stale").head().getBoolean(0))
+    cat.sql("ns", "CALL system.refresh_mv('mv')").collect()
+    assert(!cat.sql("ns", "CALL system.mv_staleness('mv')")
+      .select("is_stale").head().getBoolean(0))
+    src.append(df)
+    val stale = cat.sql("ns", "CALL system.mv_staleness('mv')")
+      .select("source_table", "pending_commits", "is_stale").head()
+    assert(stale.getString(0) == "src" && stale.getLong(1) >= 1L &&
+      stale.getBoolean(2))
+    cat.sql("ns", "CALL system.refresh_mv('mv')").collect()
+    val got = cat.sql("ns",
+      "SELECT k, cnt, total FROM mv ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 2L, 15.0), ("b", 1L, 20.0)))
+    // source mutates → stale again; refresh applies just the delta
+    src.delete(col("k") === "b")
+    assert(cat.sql("ns", "CALL system.mv_staleness('mv')")
+      .select("is_stale").head().getBoolean(0))
+    cat.sql("ns", "CALL system.refresh_mv('mv')").collect()
+    assert(cat.sql("ns", "SELECT k FROM mv").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(!cat.sql("ns", "CALL system.mv_staleness('mv')")
+      .select("is_stale").head().getBoolean(0))
+    // an undefined table is refused, not half-refreshed
+    intercept[IllegalArgumentException](
+      cat.sql("ns", "CALL system.refresh_mv('src')"))
+  }
 }
