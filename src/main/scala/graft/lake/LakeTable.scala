@@ -2692,6 +2692,24 @@ final class LakeTable private (
     val groups = smalls.groupBy { case (f, _) =>
       (f.take(f.lastIndexOf('/') + 1), base.fileSpec.getOrElse(f, 0L))
     }
+    // on a sort-ordered table, bins are formed in RANGE order (files
+    // ordered by their recorded min bound of the leading sort column,
+    // not by path): disjoint input ranges then pack into contiguous,
+    // still-disjoint output ranges, preserving single-file pruning
+    val sortCols = sortOrderColumns
+    val binOrder: Seq[(String, Long)] => Seq[(String, Long)] =
+      sortCols.headOption.flatMap { c =>
+        schema.fields.find(_.name == c).map { f =>
+          (files: Seq[(String, Long)]) => files.sortBy(_._1).sortWith {
+            case ((a, _), (b, _)) =>
+              (for {
+                sa <- base.fileStats.get(a).flatMap(_.get(c))
+                sb <- base.fileStats.get(b).flatMap(_.get(c))
+              } yield FileStats.cmp(f.dataType, sa.min, sb.min) < 0)
+                .getOrElse(false)
+          }
+        }
+      }.getOrElse((files: Seq[(String, Long)]) => files.sortBy(_._1))
     val bins = Seq.newBuilder[Seq[String]]
     groups.toSeq.sortBy(_._1._1).foreach { case (_, files) =>
       if (files.size >= minInputFiles) {
@@ -2701,7 +2719,7 @@ final class LakeTable private (
           if (cur.sizeIs >= 2) bins += cur.reverse
           cur = Nil; bytes = 0L
         }
-        files.sortBy(_._1).foreach { case (f, b) =>
+        binOrder(files).foreach { case (f, b) =>
           if (cur.nonEmpty && bytes + b > targetFileBytes) flush()
           cur ::= f; bytes += b
         }
@@ -2724,13 +2742,22 @@ final class LakeTable private (
     // bins are a packing heuristic: a hash collision can co-locate two
     // bins in one task, which only makes an output file larger (and
     // dynamic partitioning still splits cross-dir rows) — the size
-    // target is advisory, correctness never depends on it
-    val data = readFilesWithName(rewritten)
+    // target is advisory, correctness never depends on it. On a
+    // sort-ordered table the distribution is RANGE on (bin, sort
+    // cols) + an in-partition sort instead: bins were formed in range
+    // order, so every output file is a contiguous slice of the global
+    // sort — bounds stay disjoint and pruning stays single-file.
+    val joined = readFilesWithName(rewritten)
       .withColumn("__graft_path",
         regexp_replace(col(FILE_COL), "^[A-Za-z0-9+.-]+:/+", "/"))
       .join(broadcast(pathBins), Seq("__graft_path"))
-      .repartition(packed.size, col("__graft_bin"))
-      .drop(FILE_COL, "__graft_path", "__graft_bin")
+    val data = (if (sortCols.isEmpty)
+        joined.repartition(packed.size, col("__graft_bin"))
+      else {
+        val order = col("__graft_bin") +: sortCols.map(col)
+        joined.repartitionByRange(packed.size, order: _*)
+          .sortWithinPartitions(order: _*)
+      }).drop(FILE_COL, "__graft_path", "__graft_bin")
     val WriteResult(added, stats, info) = writeDataFiles(data)
     // row-conservation guard (manifest arithmetic, no extra job): with
     // no deletes outstanding the rewrite must carry EXACTLY the input
@@ -2858,6 +2885,19 @@ final class LakeTable private (
           .repartitionByRange(numParts, (partExprs :+ col(zcol)): _*)
           .sortWithinPartitions((partExprs :+ col(zcol)): _*)
           .drop(zcol)
+      } else if (sortOrderColumns.nonEmpty) {
+        // SORT-ORDER-AWARE rewrite (≡ Iceberg's sort-order-preserving
+        // rewrite_data_files): a sort-ordered table's read-side
+        // pruning depends on per-file bounds staying DISJOINT — the
+        // hash-salt path below would shuffle the clustering away and
+        // widen every rewritten file's range to the whole domain,
+        // degrading post-compaction merge/filter pruning from
+        // one-file to all-files. Range-distribute + sort by the
+        // declared order instead (boundaries sampled once on the
+        // driver — same retry-determinism bar as the Z-order path).
+        val sc = sortOrderColumns.map(col)
+        all.repartitionByRange(numParts, (partExprs ++ sc): _*)
+          .sortWithinPartitions((partExprs ++ sc): _*)
       } else {
         // salt must be DETERMINISTIC per row (content hash, not
         // monotonically_increasing_id): a retried map task re-salting

@@ -489,6 +489,54 @@ WHEN NOT MATCHED THEN INSERT *
     assert(got == Seq((1L, 10.0), (2L, 40.0)))
   }
 
+  test("README SQL quickstart executes verbatim, in order") {
+    // the statements below are the README's "SQL quickstart" section,
+    // character for character — editing one side means editing both
+    val cat = freshCat
+    cat.createNamespace("demo")
+    def sql(q: String) = cat.sql("demo", q)
+
+    sql("""CREATE TABLE bronze_orders (invoiceid BIGINT,
+      category STRING, processed_time BIGINT)
+      TBLPROPERTIES ('format-version'='2')""")
+    sql("""INSERT INTO bronze_orders VALUES
+      (24137, 'degree', 100), (40994, 'market', 100),
+      (24137, 'degree####', 200)""")
+
+    sql("""CREATE TABLE silver_orders (invoiceid BIGINT,
+      category STRING, processed_time BIGINT)""")
+    sql("""MERGE INTO silver_orders AS target
+      USING (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY invoiceid
+            ORDER BY processed_time DESC) AS row_num
+          FROM bronze_orders) AS deduped
+        WHERE row_num = 1
+      ) AS source
+      ON target.invoiceid = source.invoiceid
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val silver = sql(
+      "SELECT invoiceid, category FROM silver_orders ORDER BY invoiceid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(silver == Seq((24137L, "degree####"), (40994L, "market")))
+
+    sql("CALL system.create_tag('silver_orders', 'v1', 2)")
+    assert(sql(
+      "SELECT count(*) AS n FROM silver_orders VERSION AS OF 'v1'")
+      .head().getLong(0) == 2L)
+
+    val hist = sql(
+      "SELECT snapshot_id, operation FROM silver_orders_history")
+      .collect().map(_.getString(1)).toSeq
+    // a MERGE into an EMPTY table takes the insert-only fast path and
+    // commits as an append (no files to rewrite)
+    assert(hist == Seq("create", "append"))
+    val verdict = sql("CALL system.verify_table('silver_orders')")
+    assert(verdict.where($"ok" === false).count() == 0,
+      verdict.collect().mkString("\n"))
+  }
+
   test("CALL system.refresh_mv + mv_staleness drive a defined MV") {
     val cat = freshCat
     cat.createNamespace("ns")

@@ -67,6 +67,78 @@ class SortOrderSpec extends AnyFunSuite {
     assert(overlaps > 0, "expected overlapping ranges without sort order")
   }
 
+  private def disjointRanges(t: LakeTable): Seq[(Long, Long)] = {
+    val base = t.currentSnapshot.get
+    val ranges = base.liveFiles.flatMap(f =>
+      base.fileStats.get(f).flatMap(_.get("id"))
+        .map(cs => (cs.min.toLong, cs.max.toLong)))
+    assert(ranges.size == base.liveFiles.size, "file missing id bounds")
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file ranges: $sorted")
+      case _ =>
+    }
+    sorted
+  }
+
+  test("compact PRESERVES the sort order: per-file bounds stay disjoint") {
+    // the maintenance shape for streaming upserts: many sorted
+    // micro-batch files accumulate; compaction must keep the declared
+    // clustering (Iceberg's sort-order-aware rewrite) or merge pruning
+    // degrades from one file back to all files
+    val root = TestSpark.tmpDir("sortcompact") + "/t"
+    val df = (1L to 1200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_SORT_ORDER -> "id"))
+    // 6 appends with interleaved key ranges — each internally sorted,
+    // but the FILES' ranges overlap across appends
+    (0 until 6).foreach { i =>
+      t.append(df.where($"id" % 6 === i))
+    }
+    assert(t.currentSnapshot.get.liveFiles.size >= 6)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try t.compact(targetFilesPerPartition = 4)
+    finally spark.conf.set(coalesceKey, "true")
+    val after = t.currentSnapshot.get
+    assert(after.liveFiles.size > 1,
+      "need multiple post-compact files to prove disjointness")
+    disjointRanges(t)
+    // and pruning is single-file again
+    val pruned = t.pruneByStats(after,
+      Seq((600L, "upd")).toDF("id", "v"), Seq("id"))
+    assert(pruned.size == 1, s"expected 1 candidate, got $pruned")
+    assert(t.scan().count() == 1200)
+    assert(t.scan().agg(sum("id")).head().getLong(0) ==
+      (1L to 1200L).sum)
+  }
+
+  test("binPack on a sort-ordered table packs bins in RANGE order") {
+    val root = TestSpark.tmpDir("sortbinpack") + "/t"
+    val df = (1L to 900L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_SORT_ORDER -> "id"))
+    // 9 small single-range files appended in SCRAMBLED range order:
+    // path order ≠ range order, so path-ordered bins would interleave
+    Seq(4, 0, 7, 2, 8, 1, 5, 3, 6).foreach { i =>
+      t.append(df.where($"id" > i * 100L && $"id" <= (i + 1) * 100L)
+        .coalesce(1))
+    }
+    assert(t.currentSnapshot.get.liveFiles.size == 9)
+    val before = t.currentSnapshot.get
+    val perFileBytes = before.liveFiles
+      .flatMap(before.fileInfo.get).map(_.bytes).max
+    // bins of ~3 input files each
+    t.binPack(targetFileBytes = perFileBytes * 3 + 1024)
+    val after = t.currentSnapshot.get
+    assert(after.liveFiles.size < 9, "binPack did not coalesce")
+    assert(after.liveFiles.size > 1,
+      "need multiple bins to prove range-ordered packing")
+    disjointRanges(t)
+    assert(t.scan().count() == 900)
+  }
+
   test("sort order survives schema evolution of unrelated columns") {
     val root = TestSpark.tmpDir("sortevolve") + "/t"
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")

@@ -54,4 +54,44 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(lens.exists(l => l < "table".length + 0),
       s"no compression: $lens")
   }
+
+  test("property: every learned merge strictly compresses the corpus " +
+      "token count; training is deterministic") {
+    import org.scalacheck.{Gen, Prop}
+    // small alphabet forces repeated pairs; words 1..6 chars, 4..20
+    // words — enough structure to learn real merges, small enough for
+    // per-case distributed training
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(4, 20).flatMap(n =>
+      Gen.listOfN(n, wordGen))
+    def corpusTokens(words: Seq[String],
+        merges: Seq[(String, String)]): Long =
+      words.map(w => BpeTrainer.segmentWord(w, merges).length.toLong).sum
+    val prop = Prop.forAllNoShrink(corpusGen) { words =>
+      val df = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      val merges = BpeTrainer.train(df, "text", numMerges = 4,
+        minPairCount = 2)
+      // token count under each merge PREFIX: STRICTLY decreasing —
+      // a learned pair occurs >= minPairCount times in the (possibly
+      // overlapping) pair count, so greedy application fuses at least
+      // once; overlaps mean the saving can be less than the count
+      // ("aaa" counts (a,a) twice but fuses once), never zero
+      val counts = (0 to merges.length).map(k =>
+        corpusTokens(words, merges.take(k)))
+      val monotone = counts.sliding(2).forall {
+        case Seq(prev, next) => next < prev
+        case _ => true
+      }
+      // determinism: re-training learns the identical sequence (the
+      // argmax tie-break is total: count desc, pair asc)
+      val again = BpeTrainer.train(df, "text", numMerges = 4,
+        minPairCount = 2)
+      monotone && again == merges
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(6)
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }
