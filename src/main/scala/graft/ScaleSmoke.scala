@@ -34,6 +34,19 @@ object ScaleSmoke {
       metadataAggSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return
     }
+    if (args.headOption.contains("mv-burst")) {
+      mvBurstSmoke(args.lift(1).getOrElse("/root/testdata/sf0.01"),
+        args.lift(2).map(_.toInt).getOrElse(100))
+      return
+    }
+    if (args.headOption.contains("txn-burst")) {
+      txnBurstSmoke(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
+    if (args.headOption.contains("funnel")) {
+      funnelSmoke(args.lift(1).map(_.toLong).getOrElse(10000000L))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val workDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-scale").toString)
@@ -189,6 +202,195 @@ object ScaleSmoke {
         r.getLong(4))).toMap
     require(got == truth, "metadata answer != ground truth")
     println("[magg] PASS (values equal ground truth)")
+    spark.stop()
+  }
+
+  private def smokeSession(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** `runMain graft.ScaleSmoke mv-burst [sfDir] [commits]`: pushes
+    * ~`commits` CDC mutations through [[graft.lake.IncrementalMv]]
+    * refresh and proves refresh cost tracks the DELTA, not the table:
+    * the per-refresh time of the last quarter of the burst must stay
+    * within noise of the first quarter (each refresh merges ~0.5% of
+    * the keys), and the final MV must equal the from-scratch
+    * aggregate exactly. Results recorded in PERF.md. */
+  private def mvBurstSmoke(sfDir: String, commits: Int): Unit = {
+    val spark = smokeSession("graft-mv-burst")
+    val work = Files.createTempDirectory("graft-mv-burst").toString
+    import graft.lake.{IncrementalMv, LakeTable}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    val src = LakeTable.create(spark, s"$work/src", orders.schema)
+    val tgt = LakeTable.create(spark, s"$work/tgt",
+      IncrementalMv.targetSchema(src, Seq("o_orderpriority")))
+    def refresh(): Double = {
+      val t0 = System.nanoTime()
+      IncrementalMv.refresh(src, tgt, Seq("o_orderpriority"),
+        "o_totalprice")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val n = orders.count()
+    println(s"[mv-burst] seed: $n rows, then $commits CDC refreshes")
+    src.append(orders)
+    val seedSec = refresh()
+    println(f"[mv-burst] seed refresh: $seedSec%.2f s ($n rows)")
+    val times = (1 to commits).map { i =>
+      // each commit touches ~0.5% of keys (one modulus class of 200),
+      // alternating price-bump merges and deletes to exercise both
+      // signed-delta directions; modulus spread keeps deltas disjoint
+      val slice = orders.where(col("o_orderkey") % 200 === i % 200)
+      if (i % 10 == 0)
+        src.delete(col("o_orderkey") % 2000 === (i * 7) % 2000)
+      else
+        src.merge(slice.withColumn("o_totalprice",
+          col("o_totalprice") + i), Seq("o_orderkey"))
+      val s = refresh()
+      if (i % 20 == 0) println(f"[mv-burst] refresh $i: $s%.2f s")
+      s
+    }
+    val firstQ = times.slice(5, commits / 4).sorted
+    val lastQ = times.takeRight(commits / 4).sorted
+    def median(xs: Seq[Double]) = xs(xs.size / 2)
+    println(f"[mv-burst] per-refresh median: first-quarter " +
+      f"${median(firstQ)}%.2f s, last-quarter ${median(lastQ)}%.2f s " +
+      f"(${commits} commits, head snapshot ${src.currentSnapshotId.get})")
+    require(median(lastQ) <= median(firstQ) * 3.0,
+      "refresh cost grew with table HISTORY — should track delta only")
+    // exactness: the MV after 100 incremental refreshes equals the
+    // from-scratch aggregate of the source's final state
+    val truth = src.scan().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), math.round(r.getDouble(2) * 100))).toMap
+    val got = tgt.scan().collect().map(r => r.getString(0) ->
+      (r.getLong(1), math.round(r.getDouble(2) * 100))).toMap
+    require(got == truth, s"MV diverged from ground truth")
+    println("[mv-burst] PASS (MV exact after burst)")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleSmoke txn-burst [commits]`: a burst of
+    * multi-table transactions (versioned watermarks) with a TORN
+    * publish injected mid-burst; recovery must roll it forward and
+    * the burst must end consistent — equal row counts in every
+    * participant, zero pending markers, ONE stable watermark property
+    * (no per-commit metadata accretion). */
+  private def txnBurstSmoke(commits: Int): Unit = {
+    val spark = smokeSession("graft-txn-burst")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-txn-burst").toString
+    import graft.lake.LakeTable
+    val cat = new LakeCatalog(spark, s"$work/warehouse")
+    cat.createNamespace("ns")
+    val schema = Seq((0L, 0L)).toDF("id", "batch").schema
+    Seq("t1", "t2", "t3").foreach(cat.createTable("ns", _, schema))
+    val times = (0 until commits).map { i =>
+      val t0 = System.nanoTime()
+      if (i == commits / 2) {
+        // torn publish: stage + marker + publish ONE of three tables,
+        // then "crash" — bootstrap recovery must finish the other two
+        val id = s"burst-$i"
+        Seq("t1", "t2", "t3").foreach { t =>
+          cat.loadTable("ns", t).appendToBranch(s"txn-$id",
+            Seq((i.toLong * 10, i.toLong)).toDF("id", "batch"))
+        }
+        val fs = new org.apache.hadoop.fs.Path(cat.warehouse)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          cat.warehouse, s"ns/_txns/$id.json")
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, false)
+        out.write((s"""{"id":"$id","app":"burst","version":$i,""" +
+          s""""tables":["t1","t2","t3"]}""").getBytes("UTF-8"))
+        out.close()
+        cat.loadTable("ns", "t1").fastForwardBranch(s"txn-$id",
+          txn = Some(("burst", i.toLong)))
+        println(s"[txn-burst] injected torn publish at commit $i")
+        val rec = cat.recoverTransactions("ns")
+        require(rec == Seq(id), s"recovery saw $rec")
+      } else {
+        cat.transactionVersioned("ns", "burst", i.toLong) { txn =>
+          Seq("t1", "t2", "t3").foreach { t =>
+            txn.append(t, Seq((i.toLong * 10, i.toLong))
+              .toDF("id", "batch"))
+          }
+        }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val firstQ = times.slice(2, commits / 4)
+    val lastQ = times.takeRight(commits / 4)
+    println(f"[txn-burst] per-txn median: first-quarter " +
+      f"${median(firstQ)}%.2f s, last-quarter ${median(lastQ)}%.2f s")
+    require(median(lastQ) <= median(firstQ) * 3.0,
+      "txn cost grew with history — commit should write O(delta)")
+    val counts = Seq("t1", "t2", "t3").map(t =>
+      cat.loadTable("ns", t).scan().count())
+    require(counts.distinct.size == 1 && counts.head == commits.toLong,
+      s"participants diverged: $counts (expected $commits each)")
+    require(cat.pendingTransactions("ns").isEmpty, "markers left behind")
+    val wmarks = cat.loadTable("ns", "t1").properties.keys
+      .filter(_.startsWith("txn.")).toSeq
+    require(wmarks == Seq("txn.burst"),
+      s"watermark accretion: $wmarks (expected exactly txn.burst)")
+    println(s"[txn-burst] PASS ($commits atomic commits, torn publish " +
+      "recovered, one stable watermark)")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleSmoke funnel [events]`: the 4-step windowed
+    * funnel over ~10M synthetic events — proves the per-step join
+    * chain stays shuffle-bounded (exchanges ∝ steps, never events)
+    * and measures wall time at 100× the bench fixture. */
+  private def funnelSmoke(nEvents: Long): Unit = {
+    val spark = smokeSession("graft-funnel-smoke")
+    val steps = Seq("view", "cart", "checkout", "purchase")
+    // ~nEvents events over nEvents/20 users; step types with
+    // decreasing frequency + noise types, timestamps increasing per
+    // user so real conversions exist
+    val ev = spark.range(nEvents).select(
+      (col("id") % (nEvents / 20)).as("user_id"),
+      element_at(
+        array((steps ++ Seq("noise1", "noise2")).map(lit): _*),
+        (pmod(xxhash64(col("id")), lit(6)) + 1).cast("int"))
+        .as("event_type"),
+      (col("id") / (nEvents / 20)).cast("long").as("ts_us"))
+      .persist()
+    println(s"[funnel] ${ev.count()} events, " +
+      s"${nEvents / 20} users, 4 steps")
+    val t0 = System.nanoTime()
+    val result = graft.operators.Funnel.funnel(ev, steps,
+      col("ts_us"), maxSpan = 100L)
+    val rows = result.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    rows.foreach(r => println(s"[funnel]   $r"))
+    // plan audit: the chain is steps-1 joins; exchanges must be a
+    // small constant per step (shuffle-bounded), never data-dependent
+    val chain = graft.operators.Funnel.userFunnel(ev, steps,
+      col("ts_us"), maxSpan = 100L)
+    val plan = chain.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    println(f"[funnel] $secs%.1f s end-to-end; $exchanges exchanges " +
+      s"for ${steps.size} steps in the user-chain plan")
+    require(exchanges <= steps.size * 4,
+      s"funnel plan shuffles grew beyond steps-bounded: $exchanges")
+    require(rows.length == steps.size && rows.head.getLong(2) > 0,
+      "funnel produced no step-1 users")
+    ev.unpersist()
+    println("[funnel] PASS")
     spark.stop()
   }
 }
