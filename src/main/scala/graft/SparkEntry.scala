@@ -690,6 +690,37 @@ WHEN NOT MATCHED THEN INSERT *
           count(lit(1)).as("n"))
     }),
 
+    "q_compact_sortorder" -> ((s, dir) => {
+      // sort-order-PRESERVING compaction: four interleaved appends on
+      // a write.sort.order table leave files whose l_orderkey ranges
+      // overlap ACROSS appends; compact must both keep the content
+      // identical (the oracle) and restore DISJOINT per-file bounds
+      // (asserted here — the property that keeps merge pruning
+      // single-file after maintenance).
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val root = tmp("graft-sortcompact") + "/t"
+      val lt = LakeTable.create(s, root, li.schema,
+        properties = Map(LakeTable.PROP_SORT_ORDER -> "l_orderkey"))
+      (0 until 4).foreach(i =>
+        lt.append(li.where(col("l_orderkey") % 4 === i)))
+      lt.compact(targetFilesPerPartition = 4)
+      val snap = lt.currentSnapshot.get
+      val ranges = snap.liveFiles.flatMap(f =>
+        snap.fileStats.get(f).flatMap(_.get("l_orderkey"))
+          .map(cs => (cs.min.toLong, cs.max.toLong))).sortBy(_._1)
+      require(ranges.size == snap.liveFiles.size, "file missing bounds")
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          require(aMax < bMin, s"post-compact overlap: $ranges")
+        case _ => ()
+      }
+      lt.scan().groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("rev"),
+          count(lit(1)).as("n"))
+    }),
+
     "q_wap_publish" -> ((s, dir) => {
       // write-audit-publish: stage the second half of orders invisibly,
       // audit the parked rows, then publish file-level (zero rewrite —
@@ -827,6 +858,37 @@ WHEN NOT MATCHED THEN INSERT *
       cat.loadTable("mv", "tgt").scan()
         .select(col("o_orderpriority"), col("cnt"),
           round(col("total"), 2).as("total"))
+    }),
+
+    "q_mv_staleness" -> ((s, dir) => {
+      // the staleness probe around one refresh cycle — snapshot ids
+      // are sequential (create=1, then +1 per commit), so every number
+      // below is exact and deterministic: the oracle is a literal
+      // VALUES table. pending_commits counts unapplied source commits.
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val base = tmp("graft-mvstale")
+      val cat = new graft.lake.LakeCatalog(s, base)
+      cat.createNamespace("mv")
+      cat.createTable("mv", "src", o.schema)
+      val src = cat.loadTable("mv", "src")
+      cat.createTable("mv", "tgt", graft.lake.IncrementalMv
+        .targetSchema(src, Seq("o_orderpriority")))
+      graft.lake.IncrementalMv.define(cat.loadTable("mv", "tgt"),
+        "src", Seq("o_orderpriority"), "o_totalprice")
+      def probe(phase: String) =
+        cat.sql("mv", "CALL system.mv_staleness('tgt')")
+          .select(lit(phase).as("phase"), col("source_table"),
+            col("applied_source_snapshot"), col("source_head"),
+            col("pending_commits"), col("is_stale"))
+      src.append(o.where(col("o_orderkey") % 2 === 0)) // snapshot 2
+      src.append(o.where(col("o_orderkey") % 2 =!= 0)) // snapshot 3
+      val p1 = probe("1_before_refresh")
+      cat.sql("mv", "CALL system.refresh_mv('tgt')").collect()
+      val p2 = probe("2_after_refresh")
+      src.delete(col("o_orderpriority") === "1-URGENT") // snapshot 4
+      val p3 = probe("3_after_mutation")
+      p1.unionByName(p2).unionByName(p3)
     }),
 
     "q_incremental_mv_minmax" -> ((s, dir) => {
@@ -2329,6 +2391,14 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
 
+    // content is invariant under the sort-order-preserving compaction
+    // (the disjoint-bounds property is asserted inside the query)
+    "q_compact_sortorder" ->
+      """SELECT l_orderkey, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
     // published branch (%3∈{0,1}) minus the discarded one (%3=2)
     "q_branch_ff" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
@@ -2493,6 +2563,20 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         |  round(sum(v), 2) AS total
         |FROM f GROUP BY o_orderpriority""".stripMargin,
+
+    // snapshot ids are sequential, so the staleness probes are an
+    // exact literal table: src = create(1) + 2 appends (2,3), refresh
+    // applies watermark 3, delete commits 4
+    "q_mv_staleness" ->
+      """SELECT * FROM (VALUES
+        |  ('1_before_refresh', 'src', CAST(0 AS BIGINT),
+        |   CAST(3 AS BIGINT), CAST(3 AS BIGINT), true),
+        |  ('2_after_refresh', 'src', CAST(3 AS BIGINT),
+        |   CAST(3 AS BIGINT), CAST(0 AS BIGINT), false),
+        |  ('3_after_mutation', 'src', CAST(3 AS BIGINT),
+        |   CAST(4 AS BIGINT), CAST(1 AS BIGINT), true))
+        | AS t(phase, source_table, applied_source_snapshot,
+        |      source_head, pending_commits, is_stale)""".stripMargin,
 
     // the incrementally-maintained extremes must equal a from-scratch
     // min/max over the final state
