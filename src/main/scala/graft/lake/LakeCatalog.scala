@@ -72,6 +72,9 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       partitionBy: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): LakeTable = {
     createNamespace(ns)
+    // a recreated name must not reuse views registered for a prior
+    // incarnation (snapshot ids restart, so heads could collide)
+    invalidateViewCache(ns, table)
     LakeTable.create(spark, tablePath(ns, table), schema, partitionBy,
       properties)
   }
@@ -80,7 +83,10 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     LakeTable.load(spark, tablePath(ns, table))
 
   def dropTable(ns: String, table: String): Unit =
-    if (tableExists(ns, table)) loadTable(ns, table).drop()
+    if (tableExists(ns, table)) {
+      invalidateViewCache(ns, table)
+      loadTable(ns, table).drop()
+    }
 
   /** ≡ `ALTER TABLE t RENAME TO t2`: table identity IS its directory,
     * so a rename is one fs rename of the table root (atomic on
@@ -99,6 +105,8 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     Seq("", "_history", "_files", "_snapshots", "_partitions", "_refs",
       "_manifests").foreach(sfx =>
       spark.catalog.dropTempView(oldName + sfx))
+    invalidateViewCache(ns, oldName)
+    invalidateViewCache(ns, newName)
   }
 
   // --------------------------------- stored SQL views (≡ Iceberg views)
@@ -198,23 +206,51 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * (the temp-view spelling of Iceberg's `table.history` dotted tables —
     * reference: scripts/bronze-silver.py:119). Views are bound to the
     * CURRENT snapshot; re-register after new commits to see them. */
+  // (ns, table) → HEAD snapshot the temp views were last built from.
+  // registerViews runs before EVERY statement [[sql]] executes, and
+  // re-planning scan() + six metadata views for every table in the
+  // namespace per statement is O(tables) driver work — on a 500-table
+  // namespace that's 3500 plan constructions per statement. The views
+  // are snapshot-pinned at registration, so a table whose HEAD hasn't
+  // moved has nothing to refresh. Per-catalog-instance cache: a fresh
+  // catalog (or a recreated/renamed table, which purges its entry)
+  // always registers.
+  private val viewHeads =
+    scala.collection.mutable.Map.empty[(String, String), Option[Long]]
+  private var storedViewState: Seq[(String, String)] = null
+
+  private[lake] def invalidateViewCache(ns: String, table: String): Unit =
+    viewHeads.remove((ns, table))
+
   def registerViews(ns: String): Unit = {
+    var changed = false
     listTables(ns).foreach { t =>
       val lt = loadTable(ns, t)
-      lt.scan().createOrReplaceTempView(t)
-      lt.history.createOrReplaceTempView(s"${t}_history")
-      lt.files.createOrReplaceTempView(s"${t}_files")
-      lt.snapshotsTable.createOrReplaceTempView(s"${t}_snapshots")
-      lt.partitions.createOrReplaceTempView(s"${t}_partitions")
-      lt.refsTable.createOrReplaceTempView(s"${t}_refs")
-      lt.manifestsTable.createOrReplaceTempView(s"${t}_manifests")
+      val head = lt.currentSnapshotId
+      if (!viewHeads.get((ns, t)).contains(head)) {
+        changed = true
+        lt.scan().createOrReplaceTempView(t)
+        lt.history.createOrReplaceTempView(s"${t}_history")
+        lt.files.createOrReplaceTempView(s"${t}_files")
+        lt.snapshotsTable.createOrReplaceTempView(s"${t}_snapshots")
+        lt.partitions.createOrReplaceTempView(s"${t}_partitions")
+        lt.refsTable.createOrReplaceTempView(s"${t}_refs")
+        lt.manifestsTable.createOrReplaceTempView(s"${t}_manifests")
+        viewHeads((ns, t)) = head
+      }
     }
     // stored SQL views LAST (they reference the table views — and, in
     // creation order, each other); late-binding: each registration
     // re-resolves the stored text against the CURRENT table state. A
     // view whose dependency vanished fails loudly at registration.
-    listViews(ns).foreach { case (name, sql) =>
-      spark.sql(sql).createOrReplaceTempView(name)
+    // Skipped only when no table view moved AND the definitions are
+    // unchanged — then re-resolution provably yields the same plan.
+    val views = listViews(ns)
+    if (changed || storedViewState != views) {
+      views.foreach { case (name, sql) =>
+        spark.sql(sql).createOrReplaceTempView(name)
+      }
+      storedViewState = views
     }
   }
 
