@@ -1756,6 +1756,14 @@ WHEN NOT MATCHED THEN INSERT *
       TextDedup.ngramJaccardPairs(docsWithTrigrams(s, dir),
         n = 3, threshold = 0.5, maxDocFreq = Some(100))),
 
+    // asymmetric containment (|A∩B| / min gram count): catches a short
+    // doc quoted whole inside a long one — Jaccard ≈ |short|/|long|
+    // misses it structurally. Lower threshold than Jaccard: the
+    // measure is ≥ Jaccard by construction.
+    "q_dedup_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(docsWithTrigrams(s, dir),
+        n = 3, threshold = 0.6, maxDocFreq = Some(100))),
+
     // 64 bands of 2 rows: candidate probability at the 0.5 threshold is
     // 1-(1-0.5^2)^64 ≈ 1-1e-8, so banding recall is total by
     // construction (32 bands of 4 would leave ~13% misses for pairs at
@@ -3239,6 +3247,37 @@ WHEN NOT MATCHED THEN INSERT *
         |JOIN cnt ca ON sh.id_a = ca.doc_id
         |JOIN cnt cb ON sh.id_b = cb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |d3 AS (SELECT * FROM toks WHERE len(ts) >= 3),
+        |w AS (
+        |  SELECT doc_id, unnest(ts) AS word,
+        |         generate_subscripts(ts, 1) AS pos
+        |  FROM d3),
+        |g0 AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |keep AS (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100),
+        |g AS (SELECT g0.* FROM g0 JOIN keep USING (gram)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |sh AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(shared AS DOUBLE) / least(ca.n, cb.n), 4)
+        |    AS containment
+        |FROM sh
+        |JOIN cnt ca ON sh.id_a = ca.doc_id
+        |JOIN cnt cb ON sh.id_b = cb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / least(ca.n, cb.n) >= 0.6""".stripMargin,
 
     "q_vocab_stats" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -222,7 +222,39 @@ object TextDedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = None): DataFrame =
+    sharedGramPairs(docs, textCol, idCol, n, maxDocFreq)
+      .withColumn("__j", col("shared") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+
+  /** Asymmetric CONTAINMENT near-duplicate pairs (Broder's containment
+    * measure): shared distinct `n`-grams over the SMALLER document's
+    * gram count — `|A ∩ B| / min(|A|, |B|)`. Catches the pairs Jaccard
+    * structurally cannot: a short document quoted whole inside a much
+    * longer one scores containment ≈ 1.0 while its Jaccard ≈
+    * |short|/|long| stays under any useful threshold. The span-level
+    * admission policy ("drop docs mostly contained in an earlier doc")
+    * thresholds on exactly this. Same candidate machinery and scale
+    * shape as [[ngramJaccardPairs]] — 8-byte gram hashes through every
+    * exchange, optional df cap against boilerplate blowup. */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    sharedGramPairs(docs, textCol, idCol, n, maxDocFreq)
+      .withColumn("__c", col("shared") /
+        least(col("na"), col("nb")).cast("double"))
+      .where(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__c"), 4).as("containment"))
+
+  /** Shared-distinct-gram counts per candidate pair: (id_a, id_b,
+    * shared, na, nb) with id_a < id_b — the common core the Jaccard
+    * and containment measures select from. */
+  private def sharedGramPairs(docs: DataFrame, textCol: String,
+      idCol: String, n: Int,
+      maxDocFreq: Option[Int]): DataFrame = {
     // join/shuffle on the 64-bit gram hash, not the gram string: an
     // 8-byte fixed-width key through every exchange. Birthday bound:
     // ~2e-11 collision odds at a 30k-gram vocabulary, ~3% only past
@@ -259,10 +291,6 @@ object TextDedup {
         Seq("id_a"))
       .join(counts.select(col("id").as("id_b"), col("n_grams").as("nb")),
         Seq("id_b"))
-      .withColumn("__j", col("shared") /
-        (col("na") + col("nb") - col("shared")).cast("double"))
-      .where(col("__j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
   /** Per-document duplicated-span statistics (the Gopher/Dolma

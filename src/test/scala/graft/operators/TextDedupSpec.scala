@@ -109,4 +109,32 @@ class TextDedupSpec extends AnyFunSuite {
     // 2-token doc: whole-text fallback gram, unshared
     assert(got(5L) == ((1L, 0L, 0.0)))
   }
+
+  test("containment catches the quoted-whole pair Jaccard misses") {
+    import spark.implicits._
+    // doc 20 is doc 10's text quoted VERBATIM inside much longer text:
+    // every one of the short doc's grams is shared, so containment =
+    // 1.0 — while Jaccard = |short| / |long| stays low
+    val short0 = "the quick brown fox jumps over the lazy dog"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val c = Seq(
+      (10L, short0),
+      (20L, s"$filler $short0 $filler"),
+      (30L, "completely unrelated content about query engines"))
+      .toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(c, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(cont == Seq((10L, 20L, 1.0)), cont.toString)
+    // the same pair under Jaccard at the same bar: nothing
+    val jac = TextDedup.ngramJaccardPairs(c, n = 3, threshold = 0.9)
+    assert(jac.isEmpty)
+    // and containment is a superset of Jaccard at equal thresholds:
+    // J(A,B) = s/(na+nb-s) <= s/min(na,nb) = C(A,B)
+    val jAll = TextDedup.ngramJaccardPairs(c, n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cAll = TextDedup.containmentPairs(c, n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jAll.subsetOf(cAll))
+  }
 }
