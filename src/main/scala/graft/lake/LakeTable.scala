@@ -3083,6 +3083,36 @@ final class LakeTable private (
         if (rowBad.isEmpty)
           s"${counted.values.sum} rows across ${present.size} files"
         else s"recount mismatch: ${head(rowBad)}"))
+
+      // stats audit (footer reads only, no data I/O): re-collect each
+      // file's footer bounds + null counts with the SAME code path the
+      // write used and compare to the manifest — a file REPLACED in
+      // place with matching size and row count would still answer
+      // pruning decisions with stale bounds, the corruption mode the
+      // size/rowcount probes cannot see. Renamed- or old-spec-era
+      // files are skipped (their physical footer names differ by
+      // design); comparison is over keys both sides report, minus
+      // bloom pseudo-columns (computed post-collect).
+      val sch = schema
+      val fields = partitionFields
+      val statsBad = present.filter { f =>
+        base.fileStats.get(f).exists { recorded =>
+          val skip = base.fileRenames.get(f).exists(_.nonEmpty) ||
+            !base.fileSpec.getOrElse(f, base.currentSpecId)
+              .equals(base.currentSpecId)
+          !skip && scala.util.Try {
+            val (actual, _) = FileStats.collect(hconf,
+              new Path(rootPath, f), sch, fields, f)
+            recorded.keys
+              .filterNot(BloomStats.isBloomKey)
+              .exists(k => actual.get(k).exists(_ != recorded(k)))
+          }.getOrElse(false)
+        }
+      }
+      rows = rows :+ (("file_stats", statsBad.isEmpty,
+        if (statsBad.isEmpty)
+          "recorded bounds/null counts match the footers"
+        else s"stale stats: ${head(statsBad)}"))
     }
     rows.toDF("check", "ok", "detail")
   }

@@ -92,4 +92,53 @@ class VerifyTableSpec extends AnyFunSuite {
     assert(got("files_exist")) // still present
     assert(!got("file_sizes")) // but the wrong bytes
   }
+
+  test("deep stats audit catches an in-place swap the other probes miss") {
+    // the nastiest corruption mode: a live file REPLACED by another
+    // valid parquet file with the SAME byte length and SAME row count
+    // but different values — existence, size, and recount all pass;
+    // only the footer-bounds audit sees the manifest's stats are stale
+    val df = (1L to 100L).map(i => (i, i * 10L)).toDF("id", "x")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("vt-swap") + "/t",
+      df.schema)
+    t.append(df.where($"id" <= 50).coalesce(1))
+    // a decoy table whose single file has the same schema and row
+    // count but a shifted value range
+    val decoy = LakeTable.create(spark,
+      TestSpark.tmpDir("vt-swap-decoy") + "/t", df.schema)
+    decoy.append(df.where($"id" > 50).coalesce(1))
+    val fs = new Path(t.root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val victim = new Path(new Path(t.root),
+      t.currentSnapshot.get.liveFiles.head)
+    val donor = new Path(new Path(decoy.root),
+      decoy.currentSnapshot.get.liveFiles.head)
+    val in = fs.open(donor)
+    val bytes = new Array[Byte](fs.getFileStatus(donor).getLen.toInt)
+    in.readFully(bytes); in.close()
+    val out = fs.create(victim, true)
+    out.write(bytes); out.close()
+    val got = checks(t, deep = true)
+    assert(got("files_exist")._1)
+    assert(got("row_counts")._1, got.toString) // same 50 rows — passes
+    assert(!got("file_stats")._1, got.toString) // bounds don't match
+    assert(got("file_stats")._2.contains("stale stats"))
+  }
+
+  test("deep stats audit passes a healthy evolved table") {
+    // renamed columns and added columns must not false-positive: the
+    // audit skips renamed-era files and compares only shared keys
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("vt-audit-ok") + "/t",
+      df.schema)
+    t.append(df)
+    t.renameColumn("v", "w")
+    t.append((41L to 60L).map(i => (i, s"v$i")).toDF("id", "w"))
+    t.addColumn("z", org.apache.spark.sql.types.LongType)
+    t.append((61L to 70L).map(i => (i, s"v$i", i * 2))
+      .toDF("id", "w", "z"))
+    val got = checks(t, deep = true)
+    assert(got("file_stats")._1, got.toString)
+    assert(got("row_counts")._1, got.toString)
+  }
 }
