@@ -206,28 +206,31 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * (the temp-view spelling of Iceberg's `table.history` dotted tables —
     * reference: scripts/bronze-silver.py:119). Views are bound to the
     * CURRENT snapshot; re-register after new commits to see them. */
-  // (ns, table) → HEAD snapshot the temp views were last built from.
-  // registerViews runs before EVERY statement [[sql]] executes, and
-  // re-planning scan() + six metadata views for every table in the
-  // namespace per statement is O(tables) driver work — on a 500-table
-  // namespace that's 3500 plan constructions per statement. The views
-  // are snapshot-pinned at registration, so a table whose HEAD hasn't
-  // moved has nothing to refresh. Per-catalog-instance cache: a fresh
-  // catalog (or a recreated/renamed table, which purges its entry)
-  // always registers.
-  private val viewHeads =
-    scala.collection.mutable.Map.empty[(String, String), Option[Long]]
+  // registration ledger: view name → (warehouse, ns, HEAD) the temp
+  // views were last built from. registerViews runs before EVERY
+  // statement [[sql]] executes, and re-planning scan() + six metadata
+  // views for every table in the namespace per statement is O(tables)
+  // driver work — on a 500-table namespace that's 3500 plan
+  // constructions per statement. Views are snapshot-pinned at
+  // registration, so a table whose HEAD hasn't moved has nothing to
+  // refresh. The ledger is SESSION-GLOBAL (keyed alongside the
+  // session identity in [[LakeCatalog.viewLedger]]) because the temp-
+  // view namespace is: a second catalog registering the same table
+  // NAME takes the views over, and this catalog must then re-register
+  // rather than skip over the foreign binding.
+  private def ledgerKey(t: String) =
+    (System.identityHashCode(spark), t)
   private var storedViewState: Seq[(String, String)] = null
 
   private[lake] def invalidateViewCache(ns: String, table: String): Unit =
-    viewHeads.remove((ns, table))
+    LakeCatalog.viewLedger.remove(ledgerKey(table))
 
   def registerViews(ns: String): Unit = {
     var changed = false
     listTables(ns).foreach { t =>
       val lt = loadTable(ns, t)
-      val head = lt.currentSnapshotId
-      if (!viewHeads.get((ns, t)).contains(head)) {
+      val state = (warehouse, ns, lt.currentSnapshotId)
+      if (LakeCatalog.viewLedger.get(ledgerKey(t)) != state) {
         changed = true
         lt.scan().createOrReplaceTempView(t)
         lt.history.createOrReplaceTempView(s"${t}_history")
@@ -236,7 +239,7 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
         lt.partitions.createOrReplaceTempView(s"${t}_partitions")
         lt.refsTable.createOrReplaceTempView(s"${t}_refs")
         lt.manifestsTable.createOrReplaceTempView(s"${t}_manifests")
-        viewHeads((ns, t)) = head
+        LakeCatalog.viewLedger.put(ledgerKey(t), state)
       }
     }
     // stored SQL views LAST (they reference the table views — and, in
@@ -485,6 +488,15 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       fs.delete(marker, false)
       id
     }
+}
+
+object LakeCatalog {
+  /** Session-global view-registration ledger (see registerViews):
+    * view name → (warehouse, ns, head) it was last registered from.
+    * Keyed by the owning SparkSession's identity so independent
+    * sessions never interact. */
+  private val viewLedger = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (String, String, Option[Long])]()
 }
 
 /** Writer handle inside [[LakeCatalog.transaction]]: appends stage on

@@ -3097,9 +3097,11 @@ final class LakeTable private (
       val fields = partitionFields
       val statsBad = present.filter { f =>
         base.fileStats.get(f).exists { recorded =>
+          // absent fileSpec entry = era 0 (same default the read path
+          // uses), NOT current era — a legacy file in an evolved table
+          // must be skipped, not audited under the wrong spec
           val skip = base.fileRenames.get(f).exists(_.nonEmpty) ||
-            !base.fileSpec.getOrElse(f, base.currentSpecId)
-              .equals(base.currentSpecId)
+            base.fileSpec.getOrElse(f, 0L) != base.currentSpecId
           !skip && scala.util.Try {
             val (actual, _) = FileStats.collect(hconf,
               new Path(rootPath, f), sch, fields, f)
