@@ -175,6 +175,7 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       // validate by building the plan NOW (tables must already be
       // registered by the caller's session — cat.sql does this)
       spark.sql(sql).createOrReplaceTempView(name)
+      LakeCatalog.ledger(spark).put(s"view:$name", (warehouse, ns, sql))
       writeViews(ns, next)
     }
   }
@@ -189,6 +190,9 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       }
       writeViews(ns, cur.filterNot(_._1 == name))
       spark.catalog.dropTempView(name)
+      // a stale ledger entry would make a later re-CREATE with the
+      // identical definition skip registration of the dropped temp view
+      LakeCatalog.ledger(spark).remove(s"view:$name")
     }
 
   /** ≡ `SHOW VIEWS`. */
@@ -206,31 +210,32 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     * (the temp-view spelling of Iceberg's `table.history` dotted tables —
     * reference: scripts/bronze-silver.py:119). Views are bound to the
     * CURRENT snapshot; re-register after new commits to see them. */
-  // registration ledger: view name → (warehouse, ns, HEAD) the temp
-  // views were last built from. registerViews runs before EVERY
+  // registration ledger: view name → (warehouse, ns, HEAD, stamp) the
+  // temp views were last built from. registerViews runs before EVERY
   // statement [[sql]] executes, and re-planning scan() + six metadata
   // views for every table in the namespace per statement is O(tables)
   // driver work — on a 500-table namespace that's 3500 plan
   // constructions per statement. Views are snapshot-pinned at
-  // registration, so a table whose HEAD hasn't moved has nothing to
-  // refresh. The ledger is SESSION-GLOBAL (keyed alongside the
-  // session identity in [[LakeCatalog.viewLedger]]) because the temp-
-  // view namespace is: a second catalog registering the same table
-  // NAME takes the views over, and this catalog must then re-register
-  // rather than skip over the foreign binding.
-  private def ledgerKey(t: String) =
-    (System.identityHashCode(spark), t)
-  private var storedViewState: Seq[(String, String)] = null
-
+  // registration, so a table whose HEAD hasn't moved (and whose
+  // metadataStamp — refs + snapshot-file set — is unchanged; tags and
+  // snapshot expiry mutate metadata WITHOUT moving HEAD) has nothing
+  // to refresh. The ledger is SESSION-GLOBAL (one map per live
+  // SparkSession in [[LakeCatalog.ledger]]) because the temp-view
+  // namespace is: a second catalog registering the same table or view
+  // NAME takes the binding over — recorded in the shared ledger, so
+  // this catalog re-registers instead of skipping over the foreign
+  // binding. Stored views ride the same ledger ("view:" keys) for the
+  // same reason.
   private[lake] def invalidateViewCache(ns: String, table: String): Unit =
-    LakeCatalog.viewLedger.remove(ledgerKey(table))
+    LakeCatalog.ledger(spark).remove(s"table:$table")
 
   def registerViews(ns: String): Unit = {
+    val led = LakeCatalog.ledger(spark)
     var changed = false
     listTables(ns).foreach { t =>
       val lt = loadTable(ns, t)
-      val state = (warehouse, ns, lt.currentSnapshotId)
-      if (LakeCatalog.viewLedger.get(ledgerKey(t)) != state) {
+      val state = (warehouse, ns, lt.currentSnapshotId, lt.metadataStamp)
+      if (led.get(s"table:$t") != state) {
         changed = true
         lt.scan().createOrReplaceTempView(t)
         lt.history.createOrReplaceTempView(s"${t}_history")
@@ -239,21 +244,24 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
         lt.partitions.createOrReplaceTempView(s"${t}_partitions")
         lt.refsTable.createOrReplaceTempView(s"${t}_refs")
         lt.manifestsTable.createOrReplaceTempView(s"${t}_manifests")
-        LakeCatalog.viewLedger.put(ledgerKey(t), state)
+        led.put(s"table:$t", state)
       }
     }
     // stored SQL views LAST (they reference the table views — and, in
     // creation order, each other); late-binding: each registration
     // re-resolves the stored text against the CURRENT table state. A
     // view whose dependency vanished fails loudly at registration.
-    // Skipped only when no table view moved AND the definitions are
-    // unchanged — then re-resolution provably yields the same plan.
-    val views = listViews(ns)
-    if (changed || storedViewState != views) {
-      views.foreach { case (name, sql) =>
+    // A view is skipped only when no table view moved AND its recorded
+    // (warehouse, ns, definition) is unchanged in the session ledger —
+    // then re-resolution provably yields the same plan. A same-named
+    // stored view from ANOTHER catalog updates the shared entry, so
+    // its takeover forces this catalog's next pass to re-register.
+    listViews(ns).foreach { case (name, sql) =>
+      val state = (warehouse, ns, sql)
+      if (changed || led.get(s"view:$name") != state) {
         spark.sql(sql).createOrReplaceTempView(name)
+        led.put(s"view:$name", state)
       }
-      storedViewState = views
     }
   }
 
@@ -315,7 +323,13 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** [[transaction]] with a CALLER-CHOSEN id — the replay-safe form: a
     * crashed-and-retried run using the SAME id is exactly-once no
-    * matter where the crash landed. First touch of a table discards
+    * matter where the crash landed, PROVIDED the retry happens before
+    * the table's completed-transaction watermark is garbage-collected
+    * ([[LakeCatalog.CtxnGraceSnapshots]] subsequent commits on each
+    * participant — prompt retries always qualify). Recurring work that
+    * must stay idempotent indefinitely uses [[transactionVersioned]],
+    * whose stable watermark is never collected. First touch of a table
+    * discards
     * any stale staging a crashed prior attempt with this id left
     * behind (pre-marker, nothing was visible — safe to restage); the
     * PREPARED marker is reused if it already exists; and the per-table
@@ -341,6 +355,11 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       body: LakeTransaction => Unit): Map[String, Long] = {
     require(appId.nonEmpty && appId.matches("[A-Za-z0-9_-]+"),
       s"bad transaction appId '$appId'")
+    // ctxn- is the ad-hoc watermark namespace (txn.ctxn-<id>) whose
+    // entries are garbage-collected after a grace window — a versioned
+    // appId colliding with it would have its stable watermark collected
+    require(!appId.startsWith("ctxn-"),
+      s"appId '$appId' uses the reserved 'ctxn-' prefix")
     require(version >= 0, s"bad transaction version $version")
     runTransaction(ns, s"$appId-$version", appId, version)(body)
   }
@@ -388,30 +407,37 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** Publish each table's staged `txn-<id>` branch under the
     * transaction's `txn.<app>` watermark. Each publish commit also
-    * GARBAGE-COLLECTS watermarks of COMPLETED ad-hoc transactions
-    * (`txn.ctxn-*` keys whose PREPARED marker no longer exists —
-    * marker deletion is the proof every participant published, so no
-    * recovery can ever need them again): per-snapshot metadata stays
-    * bounded by in-flight transactions, not lifetime transaction
-    * count. The marker set is re-listed inside each commit attempt,
-    * against the snapshot being committed on, so a concurrent
-    * transaction mid-publish (marker still present) is never GC'd.
-    * Stable `txn.<appId>` watermarks from [[transactionVersioned]]
-    * are one-per-app and never collected. */
+    * GARBAGE-COLLECTS watermarks of COMPLETED ad-hoc transactions —
+    * `txn.ctxn-*` keys whose PREPARED marker no longer exists (marker
+    * deletion is the proof every participant published, so recovery
+    * never needs them) AND whose recorded publish snapshot is at least
+    * [[LakeCatalog.CtxnGraceSnapshots]] behind the head being
+    * committed on. The grace window keeps a recently-completed
+    * transaction's watermark alive so a crashed caller's replay under
+    * the same id still skips (exactly-once); it also makes ONE marker
+    * listing per publish safe — a transaction prepared after the
+    * listing can only carry a fresh (in-grace) watermark, which the
+    * age check protects regardless of marker liveness. Per-snapshot
+    * metadata stays bounded by transactions in the last N snapshots,
+    * not lifetime count. Stable `txn.<appId>` watermarks from
+    * [[transactionVersioned]] are one-per-app and never collected. */
   private def publishPrepared(ns: String, id: String,
       tableNames: Seq[String], app: String,
       version: Long): Map[String, Long] = {
-    def staleCtxn(props: Map[String, String]): Set[String] = {
-      val live = pendingTransactions(ns).toSet
-      props.keySet.filter { k =>
-        k.startsWith("txn.ctxn-") && !live.contains(
-          k.stripPrefix("txn.ctxn-"))
+    val live = pendingTransactions(ns).toSet
+    def staleCtxn(s: Snapshot): Set[String] = {
+      val horizon = s.snapshotId - LakeCatalog.CtxnGraceSnapshots
+      s.properties.keySet.filter { k =>
+        k.startsWith("txn.ctxn-") &&
+          !live.contains(k.stripPrefix("txn.ctxn-")) &&
+          (try s.properties(k).toLong <= horizon
+           catch { case _: NumberFormatException => true })
       }
     }
     tableNames.map { t =>
       t -> loadTable(ns, t).fastForwardBranch(s"txn-$id",
         txn = Some((app, version)),
-        dropProperties = s => staleCtxn(s.properties))
+        dropProperties = staleCtxn)
     }.toMap
   }
 
@@ -454,9 +480,33 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   /** Roll every PREPARED-but-unfinished transaction forward to
     * completion (crash recovery — call at catalog bootstrap). Tables
     * that already published skip on their `txn.` watermark; tables
-    * that never did publish now. Returns the recovered ids. */
-  def recoverTransactions(ns: String): Seq[String] =
-    pendingTransactions(ns).map { id =>
+    * that never did publish now. Returns the recovered ids.
+    *
+    * Markers are recovered INDEPENDENTLY: one unrecoverable
+    * transaction (e.g. staging discarded by an operator while the
+    * marker survived) must not block later markers — each is
+    * attempted, its failure collected, and a single aggregate error
+    * thrown at the end with every failed marker left in place for a
+    * retry after the cause is fixed. */
+  def recoverTransactions(ns: String): Seq[String] = {
+    val attempts = pendingTransactions(ns).map { id =>
+      try Right(recoverOne(ns, id))
+      catch { case e: Exception => Left((id, e)) }
+    }
+    val failures = attempts.collect { case Left(f) => f }
+    if (failures.nonEmpty) {
+      val ex = new IllegalStateException(
+        s"recovery failed for transaction(s) " +
+          s"${failures.map(_._1).mkString(", ")} — their markers were " +
+          "left in place for retry; other pending transactions were " +
+          "still processed", failures.head._2)
+      failures.tail.foreach { case (_, e) => ex.addSuppressed(e) }
+      throw ex
+    }
+    attempts.collect { case Right(id) => id }
+  }
+
+  private def recoverOne(ns: String, id: String): String = {
       val marker = new Path(txnsDir(ns), s"$id.json")
       val n = Snapshot.mapper.readTree(
         LakeTable.readString(fs, marker))
@@ -491,12 +541,39 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 }
 
 object LakeCatalog {
+  /** GC'able ad-hoc (`txn.ctxn-*`) watermarks must be at least this
+    * many snapshots behind the head being committed on: within the
+    * window a crashed-and-retried [[LakeCatalog.transactionWithId]]
+    * still skips on its watermark (exactly-once replay); beyond it the
+    * watermark is collected so per-snapshot metadata stays bounded by
+    * RECENT transactions, not lifetime count. Callers needing replay
+    * idempotence durable past this window use
+    * [[LakeCatalog.transactionVersioned]] (stable, never-collected
+    * watermark). */
+  private[lake] val CtxnGraceSnapshots = 16L
+
   /** Session-global view-registration ledger (see registerViews):
-    * view name → (warehouse, ns, head) it was last registered from.
-    * Keyed by the owning SparkSession's identity so independent
-    * sessions never interact. */
-  private val viewLedger = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (String, String, Option[Long])]()
+    * `table:<name>` → (warehouse, ns, head, metadataStamp) and
+    * `view:<name>` → (warehouse, ns, sql) the temp views were last
+    * registered from. One ledger per LIVE SparkSession, held weakly —
+    * reference identity (SparkSession does not override equals), so
+    * independent sessions never interact, a session's entries vanish
+    * with it, and a recycled identityHashCode can never alias a dead
+    * session's state. */
+  private val viewLedgers = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Any]]()
+
+  private[lake] def ledger(spark: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Any] =
+    viewLedgers.synchronized {
+      var m = viewLedgers.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+        viewLedgers.put(spark, m)
+      }
+      m
+    }
 }
 
 /** Writer handle inside [[LakeCatalog.transaction]]: appends stage on

@@ -554,6 +554,22 @@ final class LakeTable private (
     }.toMap
   }
 
+  /** Cheap change stamp for HEAD-PRESERVING metadata mutations — ref
+    * edits (create_tag / create_branch / drop_ref) rewrite refs.json
+    * without moving HEAD, and expire_snapshots deletes v<id>.json
+    * files (direct children of the metadata dir, so the dir mtime
+    * bumps). The catalog's view-registration ledger keys on this in
+    * addition to HEAD so `t_refs` / `t_snapshots` / `t_history` temp
+    * views never serve pre-mutation state from cache. Content hash of
+    * refs (one small read) + metadata-dir mtime: two fs calls, cross-
+    * process visible. */
+  def metadataStamp: (Long, Long) = {
+    val dirM =
+      try fs.getFileStatus(metaDir).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    (refs.hashCode.toLong, dirM)
+  }
+
   def createTag(name: String, snapshotId: Long): Unit =
     putRef(name, "tag", snapshotId, replace = false)
 
@@ -754,7 +770,11 @@ final class LakeTable private (
       dropProperties: Snapshot => Set[String] = _ => Set.empty): Long = {
     val ids = branchChangesets(name)
     def watermarked(s: Snapshot): Boolean = txn.exists { case (app, v) =>
-      s.properties.get(s"txn.$app").exists(_.toLong >= v)
+      s.properties.get(s"txn.$app").exists(_.toLong >= v) ||
+        // pre-versioned watermark format (txn.ctxn-<app>-<v>): a batch
+        // committed by the old per-batch-id scheme must still skip on
+        // an upgrade-spanning replay
+        s.properties.contains(s"txn.ctxn-$app-$v")
     }
     val base = current
     if (watermarked(base)) {
@@ -776,9 +796,9 @@ final class LakeTable private (
             s"branch $name predates a schema or partition-spec " +
               "evolution — discard and re-stage")
         }
-        // dropProperties is evaluated against the snapshot actually
-        // being committed on (re-listed per attempt) — the caller's
-        // staleness decision must never act on a stale marker view
+        // dropProperties is evaluated per attempt against the snapshot
+        // actually being committed on — the caller's staleness decision
+        // sees the properties as of the commit base, never a stale view
         val drops = dropProperties(b)
         commit(b, "append", added = added, removed = Nil,
           live = b.liveFiles ++ added, addedStats = stats,
@@ -786,6 +806,14 @@ final class LakeTable private (
           propertiesOverride =
             if (txn.isEmpty && drops.isEmpty) None
             else Some((b.properties -- drops) ++ txn.map {
+              // ad-hoc (ctxn-) watermarks record the PUBLISHING snapshot
+              // id instead of the constant version 1: any id satisfies
+              // the >= 1 skip check, and the stamp lets the catalog GC
+              // only watermarks older than a replay grace window instead
+              // of on the very next publish (bounded accretion WITHOUT
+              // destroying a recent crash-retry's idempotence)
+              case (app, _) if app.startsWith("ctxn-") =>
+                s"txn.$app" -> (b.snapshotId + 1).toString
               case (app, v) => s"txn.$app" -> v.toString
             }))
       }
@@ -2700,14 +2728,26 @@ final class LakeTable private (
     val binOrder: Seq[(String, Long)] => Seq[(String, Long)] =
       sortCols.headOption.flatMap { c =>
         schema.fields.find(_.name == c).map { f =>
-          (files: Seq[(String, Long)]) => files.sortBy(_._1).sortWith {
-            case ((a, _), (b, _)) =>
-              (for {
-                sa <- base.fileStats.get(a).flatMap(_.get(c))
-                sb <- base.fileStats.get(b).flatMap(_.get(c))
-              } yield FileStats.cmp(f.dataType, sa.min, sb.min) < 0)
-                .getOrElse(false)
+          // total order (strict weak ordering for TimSort): stat-less
+          // files (e.g. written before a sort-column rename) sort first
+          // among themselves by path, stat-bearing files by min bound
+          // with a path tie-break — a partial sortWith here can throw
+          // "Comparison method violates its general contract!"
+          val ord = new Ordering[(String, Long)] {
+            private def minOf(p: String): Option[String] =
+              base.fileStats.get(p).flatMap(_.get(c))
+                .flatMap(s => Option(s.min))
+            def compare(x: (String, Long), y: (String, Long)): Int =
+              (minOf(x._1), minOf(y._1)) match {
+                case (Some(a), Some(b)) =>
+                  val cv = FileStats.cmp(f.dataType, a, b)
+                  if (cv != 0) cv else x._1.compareTo(y._1)
+                case (None, None) => x._1.compareTo(y._1)
+                case (None, _) => -1
+                case (_, None) => 1
+              }
           }
+          (files: Seq[(String, Long)]) => files.sorted(ord)
         }
       }.getOrElse((files: Seq[(String, Long)]) => files.sortBy(_._1))
     val bins = Seq.newBuilder[Seq[String]]

@@ -252,22 +252,78 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(cat.loadTable("ns", "t2").scan().count() == 4)
   }
 
-  test("completed ad-hoc ctxn watermarks are GC'd by the next publish") {
+  test("ctxn watermarks survive the replay grace window, then GC") {
     val cat = freshCatalog("txn-gc")
     cat.transactionWithId("ns", "adhoc1") { txn =>
       txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
     }
     assert(cat.loadTable("ns", "t1").properties
       .contains("txn.ctxn-adhoc1"))
+    // an immediate follow-up publish must NOT collect a fresh
+    // watermark — the grace window is what keeps a crashed caller's
+    // prompt replay exactly-once
     cat.transactionWithId("ns", "adhoc2") { txn =>
       txn.append("t1", Seq((3L, "b")).toDF("id", "v"))
     }
-    val props = cat.loadTable("ns", "t1").properties
-    // adhoc1's marker is gone (fully published) → watermark collected;
-    // adhoc2's own watermark remains until a later publish collects it
-    assert(!props.contains("txn.ctxn-adhoc1"), props.toString)
-    assert(props.contains("txn.ctxn-adhoc2"))
+    val mid = cat.loadTable("ns", "t1").properties
+    assert(mid.contains("txn.ctxn-adhoc1"), mid.toString)
+    // ... and the replay does skip on it (no duplicate rows)
+    cat.transactionWithId("ns", "adhoc1") { txn =>
+      txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+    }
     assert(cat.loadTable("ns", "t1").scan().count() == 3)
+    // age the watermark past the grace window with plain commits;
+    // the next publish then collects every out-of-grace entry
+    val t1 = cat.loadTable("ns", "t1")
+    (1L to LakeCatalog.CtxnGraceSnapshots).foreach { i =>
+      t1.append(Seq((100L + i, "f")).toDF("id", "v"))
+    }
+    cat.transactionWithId("ns", "adhoc3") { txn =>
+      txn.append("t1", Seq((4L, "c")).toDF("id", "v"))
+    }
+    val props = cat.loadTable("ns", "t1").properties
+    assert(!props.contains("txn.ctxn-adhoc1"), props.toString)
+    assert(!props.contains("txn.ctxn-adhoc2"), props.toString)
+    assert(props.contains("txn.ctxn-adhoc3"))
+    assert(cat.loadTable("ns", "t1").scan().count() ==
+      3 + LakeCatalog.CtxnGraceSnapshots + 1)
+  }
+
+  test("versioned appIds cannot squat the ctxn watermark namespace") {
+    val cat = freshCatalog("txn-ctxn-prefix")
+    intercept[IllegalArgumentException] {
+      cat.transactionVersioned("ns", "ctxn-jobs", 1L) { txn =>
+        txn.append("t1", Seq((2L, "a")).toDF("id", "v"))
+      }
+    }
+  }
+
+  test("recovery processes later markers past an unrecoverable one") {
+    val cat = freshCatalog("txn-rec-multi")
+    val fs = new Path(cat.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(cat.warehouse, "ns/_txns"))
+    // marker 'a-bad': staging lost, no watermark — unrecoverable until
+    // an operator re-stages or discards it
+    LakeTable.writeStringExclusive(fs,
+      new Path(cat.warehouse, "ns/_txns/a-bad.json"),
+      """{"id":"a-bad","app":"ctxn-a-bad","version":1,"tables":["t1"]}""")
+    // marker 'b-torn': staged on t2 but never published — a genuine
+    // torn publish that recovery must still roll forward
+    cat.loadTable("ns", "t2")
+      .appendToBranch("txn-b-torn", Seq((2L, "b")).toDF("id", "v"))
+    LakeTable.writeStringExclusive(fs,
+      new Path(cat.warehouse, "ns/_txns/b-torn.json"),
+      """{"id":"b-torn","app":"ctxn-b-torn","version":1,""" +
+        """"tables":["t2"]}""")
+    val e = intercept[IllegalStateException](
+      cat.recoverTransactions("ns"))
+    assert(e.getMessage.contains("a-bad"))
+    // the poisoned marker stays for retry; b-torn completed anyway
+    assert(cat.pendingTransactions("ns") == Seq("a-bad"))
+    assert(cat.loadTable("ns", "t2").scan().count() == 2)
+    assert(cat.loadTable("ns", "t2").properties
+      .contains("txn.ctxn-b-torn"))
   }
 
   test("in-flight transaction's watermark survives a concurrent GC") {
@@ -326,7 +382,9 @@ class LakeTransactionSpec extends AnyFunSuite {
     fs.mkdirs(marker.getParent)
     LakeTable.writeStringExclusive(fs, marker,
       s"""{"id":"$id","app":"ctxn-$id","version":1,"tables":["t1"]}""")
-    intercept[IllegalArgumentException](cat.recoverTransactions("ns"))
+    val e = intercept[IllegalStateException](
+      cat.recoverTransactions("ns"))
+    assert(e.getCause.isInstanceOf[IllegalArgumentException])
     assert(cat.pendingTransactions("ns") == Seq(id))
   }
 }
