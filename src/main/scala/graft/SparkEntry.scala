@@ -1833,6 +1833,64 @@ WHEN NOT MATCHED THEN INSERT *
       docs(s, dir).select(col("doc_id"),
         fingerprint(col("text"), 16).as("fp"))),
 
+    // TF-IDF top terms per document: tf is a (doc, term) aggregate, df
+    // a vocab-bounded broadcast, the corpus size a 1×1 broadcast —
+    // ranking is per-doc window-parallel; nothing shuffles doc bodies.
+    // Scores quantized (×10⁴ floor) so cross-engine ln() ulp noise
+    // cannot flip ranks; exact ties break on the term.
+    "q_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      tf.join(broadcast(dfq), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))
+            * 10000).cast("long").as("score_q4"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_q4").desc, col("term").asc)))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score_q4")
+    }),
+
+    // Zipf fit of the vocabulary: regr_slope over the top-100 ranked
+    // frequencies. The unpartitioned rank window runs on the VOCAB
+    // aggregate (bounded, tiny), never the corpus.
+    "q_vocab_zipf" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("token").asc)))
+        .limit(100)
+        .agg(round(expr("regr_slope(ln(n), ln(rnk))"), 4)
+          .as("zipf_slope"), count(lit(1)).as("n_terms"))
+    }),
+
+    // RAG-style chunking: overlapping token windows (64 tokens, stride
+    // 32) per document — pure per-row array math (tokenize once,
+    // sequence + slice), zero shuffles; at 100 TB this is a map-only
+    // pass whose output feeds the embedding stage
+    "q_chunk_docs" -> ((s, dir) => {
+      val w = 64L; val st = 32L
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+        .select(col("doc_id"), col("n"), col("ts"),
+          explode(sequence(lit(0L),
+            greatest(ceil((col("n") - w) / lit(st.toDouble)).cast("long"),
+              lit(0L)))).as("chunk_idx"))
+        .withColumn("n_tokens",
+          least(lit(w), col("n") - col("chunk_idx") * st))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          get(col("ts"), (col("chunk_idx") * st).cast("int"))
+            .as("first_term"),
+          get(col("ts"), (col("chunk_idx") * st + col("n_tokens") - 1)
+            .cast("int")).as("last_term"))
+    }),
+
     // Gopher-style repetition/quality signals: per-row array math plus
     // one bounded (doc, token) aggregation
     "q_repetition_metrics" -> ((s, dir) =>
@@ -3292,6 +3350,54 @@ WHEN NOT MATCHED THEN INSERT *
         | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
         |   AS n_tokens
         |FROM documents""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1,2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(floor(tf.tf * ln((n.n + 1.0)/(dfq.df + 1.0)) * 10000)
+        |      AS BIGINT) AS score_q4
+        |  FROM tf, dfq, n WHERE tf.term = dfq.term),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_q4 DESC, term ASC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, score_q4 FROM ranked
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_vocab_zipf" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS n FROM tk GROUP BY 1),
+        |ranked AS (SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+        |  FROM freq ORDER BY n DESC, token ASC LIMIT 100)
+        |SELECT round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+        |  CAST(count(*) AS BIGINT) AS n_terms FROM ranked""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+        |    AS ts FROM documents),
+        |ch AS (
+        |  SELECT doc_id, len(ts) AS n, ts,
+        |    unnest(generate_series(0,
+        |      greatest(CAST(ceil((len(ts) - 64) / 32.0) AS BIGINT), 0)))
+        |      AS chunk_idx
+        |  FROM tk)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx*32) AS BIGINT) AS n_tokens,
+        |  ts[CAST(chunk_idx*32 + 1 AS INT)] AS first_term,
+        |  ts[CAST(chunk_idx*32 + least(64, n - chunk_idx*32) AS INT)]
+        |    AS last_term
+        |FROM ch""".stripMargin,
 
     "q_lang_id" ->
       """WITH tk AS (

@@ -26,8 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object LakeSql {
 
+  // MATERIALIZED VIEW DDL is not in Spark's grammar — matched on text
+  // before parsing (the body SELECT is parsed with Spark's parser)
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val DropMvRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+
   def run(cat: LakeCatalog, ns: String, query: String): DataFrame = {
     val spark = cat.spark
+    query match {
+      case CreateMvRe(name, body) =>
+        return createMaterializedView(cat, ns, name, body)
+      case DropMvRe(ifExists, name) =>
+        return dropMaterializedView(cat, ns, name, ifExists != null)
+      case _ => ()
+    }
     val parsed =
       // on a parse error fall through to spark.sql so the user sees
       // Spark's own ParseException, not a second-hand one
@@ -736,8 +752,112 @@ object LakeSql {
           "verify_table, recover_transactions, refresh_mv, " +
           "mv_staleness")
     }
+    // every procedure may have mutated table metadata — including
+    // HEAD-preserving mutations (tags/refs, snapshot expiry) the
+    // ledger's metadataStamp catches only at fs-mtime granularity;
+    // drop the cache entry so the re-registration below is unskippable
+    cat.invalidateViewCache(ns, str(0))
     cat.registerViews(ns)
     out
+  }
+
+  /** `CREATE MATERIALIZED VIEW name AS SELECT keys…, count(*) AS cnt,
+    * sum(v) AS total [, min(v) AS mn, max(v) AS mx] FROM src GROUP BY
+    * keys…` — the SQL spelling of [[IncrementalMv.define]]: creates
+    * the target lake table, stamps the MV definition on it, and runs
+    * the initial refresh from the source's changelog. Deliberately NOT
+    * a generic CTAS: the incremental-maintenance machinery supports
+    * exactly this aggregate shape (count+sum, optionally min/max — see
+    * IncrementalMv's scaladoc for why), so the statement validates the
+    * shape up front and rejects anything else with the expected form. */
+  private def createMaterializedView(cat: LakeCatalog, ns: String,
+      name: String, body: String): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    val expected = "CREATE MATERIALIZED VIEW <name> AS SELECT <keys…>" +
+      ", count(*) AS cnt, sum(<v>) AS total" +
+      "[, min(<v>) AS mn, max(<v>) AS mx] FROM <table> GROUP BY <keys…>"
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"unsupported materialized-view shape ($why) — expected: " +
+          expected)
+    val agg = spark.sessionState.sqlParser.parsePlan(body) match {
+      case a: Aggregate => a
+      case _ => bad("not a plain GROUP BY aggregate")
+    }
+    val srcName = agg.child match {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+      case _ => bad("FROM must name one table, no WHERE/JOIN/subquery")
+    }
+    val keys = agg.groupingExpressions.map {
+      case u: UnresolvedAttribute => u.name
+      case _ => bad("GROUP BY must list plain columns")
+    }
+    // output list: the key columns followed by the aggregate aliases
+    val (keyOut, aggOut) = agg.aggregateExpressions.partition {
+      case _: UnresolvedAttribute => true
+      case _ => false
+    }
+    if (keyOut.collect { case u: UnresolvedAttribute => u.name } != keys)
+      bad("SELECT must lead with the GROUP BY keys, in order")
+    val fns: Seq[(String, String, Seq[String])] = aggOut.map {
+      case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+        al.child match {
+          case f: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedFunction =>
+            (al.name, f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+              f.arguments.collect {
+                case u: UnresolvedAttribute => u.name })
+          case _ => bad("aggregates must be aliased function calls")
+        }
+      case _ => bad("aggregates must be aliased function calls")
+    }
+    val byAlias = fns.map(f => f._1 -> f).toMap
+    if (byAlias.size != fns.size) bad("duplicate aggregate aliases")
+    val vCol = byAlias.get("total") match {
+      case Some((_, "sum", Seq(v))) => v
+      case _ => bad("need sum(<v>) AS total")
+    }
+    byAlias.get("cnt") match {
+      case Some((_, "count", _)) => ()
+      case _ => bad("need count(*) AS cnt")
+    }
+    val extremes = (byAlias.get("mn"), byAlias.get("mx")) match {
+      case (Some((_, "min", Seq(a))), Some((_, "max", Seq(b))))
+          if a == vCol && b == vCol => true
+      case (None, None) => false
+      case _ => bad(s"min/max must both be present, over $vCol, " +
+        "aliased mn/mx")
+    }
+    if (fns.size != (if (extremes) 4 else 2))
+      bad("only cnt/total (and mn/mx) aggregates are maintainable")
+    require(!cat.tableExists(ns, name),
+      s"table $ns.$name already exists")
+    val src = cat.loadTable(ns, srcName)
+    cat.createTable(ns, name,
+      if (extremes) IncrementalMv.extremesSchema(src, keys)
+      else IncrementalMv.targetSchema(src, keys))
+    IncrementalMv.define(cat.loadTable(ns, name), srcName, keys, vCol,
+      if (extremes) "extremes" else "sum")
+    val snap = IncrementalMv.refreshByName(cat, ns, name)
+    cat.registerViews(ns)
+    Seq((name, snap)).toDF("mv", "snapshot_id")
+  }
+
+  /** `DROP MATERIALIZED VIEW [IF EXISTS] name` — refuses plain tables
+    * (those take `DROP TABLE`) so a typo cannot silently drop data. */
+  private def dropMaterializedView(cat: LakeCatalog, ns: String,
+      name: String, ifExists: Boolean): DataFrame = {
+    if (!cat.tableExists(ns, name)) {
+      require(ifExists, s"no materialized view $ns.$name")
+      return cat.spark.emptyDataFrame
+    }
+    require(cat.loadTable(ns, name).properties
+        .contains(IncrementalMv.SourceTableProp),
+      s"$ns.$name is a plain table, not a materialized view — " +
+        "use DROP TABLE")
+    cat.dropTable(ns, name)
+    cat.spark.emptyDataFrame
   }
 
   /** `SELECT … FROM table_changes('t', start_exclusive, end_inclusive)`

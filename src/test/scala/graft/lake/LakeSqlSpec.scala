@@ -579,4 +579,78 @@ WHEN NOT MATCHED THEN INSERT *
     intercept[IllegalArgumentException](
       cat.sql("ns", "CALL system.refresh_mv('src')"))
   }
+
+  test("CREATE/DROP MATERIALIZED VIEW DDL defines, populates, refreshes") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 1.0))
+      .toDF("id", "grp", "v")
+    cat.createTable("ns", "msrc", df.schema)
+    cat.loadTable("ns", "msrc").append(df)
+    cat.sql("ns", "CREATE MATERIALIZED VIEW magg AS SELECT grp, " +
+      "count(*) AS cnt, sum(v) AS total FROM msrc GROUP BY grp")
+    val rows = cat.sql("ns",
+      "SELECT grp, cnt, total FROM magg ORDER BY grp").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq(("a", 2L, 15.0), ("b", 1L, 1.0)))
+    // incremental: new source rows, CALL refresh, the MV follows
+    cat.loadTable("ns", "msrc")
+      .append(Seq((4L, "b", 9.0)).toDF("id", "grp", "v"))
+    cat.sql("ns", "CALL system.refresh_mv('magg')")
+    assert(cat.sql("ns", "SELECT total FROM magg WHERE grp = 'b'")
+      .head().getDouble(0) == 10.0)
+    // extremes variant (min/max recompute-on-retraction machinery)
+    cat.sql("ns", "CREATE MATERIALIZED VIEW mex AS SELECT grp, " +
+      "count(*) AS cnt, sum(v) AS total, min(v) AS mn, max(v) AS mx " +
+      "FROM msrc GROUP BY grp")
+    assert(cat.sql("ns", "SELECT mx FROM mex WHERE grp = 'b'")
+      .head().getDouble(0) == 9.0)
+    cat.sql("ns", "DROP MATERIALIZED VIEW mex")
+    assert(!cat.tableExists("ns", "mex"))
+    // a plain table refuses the MV drop path; unsupported MV shapes
+    // are rejected loudly with the expected form
+    intercept[IllegalArgumentException](
+      cat.sql("ns", "DROP MATERIALIZED VIEW msrc"))
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, avg(v) AS a " +
+        "FROM msrc GROUP BY grp"))
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS cnt, " +
+        "sum(v) AS total FROM msrc WHERE v > 0 GROUP BY grp"))
+  }
+
+  test("metadata views refresh after HEAD-preserving mutations") {
+    // create_tag / drop_ref / expire_snapshots mutate refs or snapshot
+    // metadata WITHOUT moving HEAD — the registration ledger must not
+    // serve pre-mutation t_refs / t_snapshots from cache
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ns", "hp", df.schema)
+    val lt = cat.loadTable("ns", "hp")
+    lt.append(df)
+    lt.append(Seq((2L, "b")).toDF("id", "v"))
+    // prime the view cache with a SELECT, then tag via CALL
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM hp_refs")
+      .head().getLong(0) == 0L)
+    val head = lt.currentSnapshotId.get
+    cat.sql("ns", s"CALL system.create_tag('hp', 'gold', $head)")
+    assert(cat.sql("ns",
+      "SELECT name FROM hp_refs").collect().map(_.getString(0))
+      .contains("gold"))
+    val snapsBefore = cat.sql("ns",
+      "SELECT count(*) AS n FROM hp_snapshots").head().getLong(0)
+    cat.sql("ns", "CALL system.drop_ref('hp', 'gold')")
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM hp_refs")
+      .head().getLong(0) == 0L)
+    cat.sql("ns", "CALL system.expire_snapshots('hp', 1)")
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM hp_snapshots")
+      .head().getLong(0) < snapsBefore)
+    // the same mutations through the SCALA API (no CALL hook) are
+    // caught by the metadataStamp component of the ledger key
+    lt.createTag("silver", lt.currentSnapshotId.get)
+    assert(cat.sql("ns",
+      "SELECT name FROM hp_refs").collect().map(_.getString(0))
+      .contains("silver"))
+  }
 }
