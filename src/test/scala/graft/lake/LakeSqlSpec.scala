@@ -535,6 +535,15 @@ WHEN NOT MATCHED THEN INSERT *
     val verdict = sql("CALL system.verify_table('silver_orders')")
     assert(verdict.where($"ok" === false).count() == 0,
       verdict.collect().mkString("\n"))
+
+    sql("""CREATE MATERIALIZED VIEW gold_by_category AS
+      SELECT category, count(*) AS cnt, sum(processed_time) AS total
+      FROM silver_orders GROUP BY category""")
+    sql("CALL system.refresh_mv('gold_by_category')")
+    val stale = sql("CALL system.mv_staleness('gold_by_category')")
+    assert(!stale.head().getAs[Boolean]("is_stale"))
+    assert(sql("SELECT sum(cnt) AS n FROM gold_by_category")
+      .head().getLong(0) == 2L)
   }
 
   test("CALL system.refresh_mv + mv_staleness drive a defined MV") {
