@@ -265,6 +265,24 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // add_files import: half of orders natively appended, half written
+    // as EXTERNAL parquet by plain Spark then imported by RENAME (one
+    // metadata commit, zero rewrite) — the scan proves the imported
+    // files read identically to native ones, stats and all
+    "q_add_files" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-addf")
+      val root = base + "/orders"
+      val ext = base + "/external"
+      val lt = LakeTable.create(s, root, orders.schema)
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      orders.where(col("o_orderkey") % 2 =!= 0)
+        .write.mode("overwrite").parquet(ext)
+      lt.addFiles(ext)
+      lt.scan().select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val root = tmp("graft-merge") + "/orders"
@@ -2397,6 +2415,11 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+
+    "q_add_files" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     "q_time_travel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -739,6 +739,9 @@ object LakeSql {
         lt.discardBranch(str(1)); spark.emptyDataFrame
       case "rewrite_manifests" =>
         Seq(lt.rewriteManifests()).toDF("snapshot_id")
+      case "add_files" => // (tbl, source_dir) — import without rewrite
+        val (snap, n) = lt.addFiles(str(1))
+        Seq((snap, n.toLong)).toDF("snapshot_id", "added_files")
       case "verify_table" => // (tbl[, 'deep'])
         lt.verifyTable(deep = c.args.size > 1 &&
           str(1).equalsIgnoreCase("deep"))
@@ -749,8 +752,8 @@ object LakeSql {
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
-          "verify_table, recover_transactions, refresh_mv, " +
-          "mv_staleness")
+          "add_files, verify_table, recover_transactions, " +
+          "refresh_mv, mv_staleness")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the

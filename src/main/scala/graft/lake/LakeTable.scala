@@ -1020,6 +1020,96 @@ final class LakeTable private (
     }
   }
 
+  /** Import EXISTING Parquet files into the table WITHOUT rewriting
+    * them (≡ Iceberg's `add_files` / `migrate` taking ownership): each
+    * file is schema-gated, constraint-checked, MOVED under `data/`
+    * (renames — zero data copy, O(files) metadata ops however large
+    * the files), footer-profiled for stats/pruning, and committed as
+    * ONE append. The table owns the files afterward: expiry and
+    * orphan tooling apply, exactly the ownership Iceberg's `migrate`
+    * establishes. The source layout is preserved under an import-
+    * scoped directory, so a hive layout matching the table's IDENTITY
+    * partition spec keeps partition pruning; hidden-transform specs
+    * are refused (their dirs cannot be derived from external layouts).
+    * Returns (snapshot id, files added).
+    * Reference: the `add_files` half of the Iceberg procedure surface
+    * the reference delegates to its Iceberg runtime jar
+    * (local-notebooks/s3tablebuckets.ipynb drives tables only through
+    * that jar's SQL). */
+  def addFiles(srcDir: String): (Long, Int) = {
+    val src = new Path(srcDir)
+    require(fs.exists(src), s"no such directory $srcDir")
+    val files = listParquet(fs, src)
+    require(files.nonEmpty, s"no parquet files under $srcDir")
+    val base = current
+    val sch = schema
+    val fields = partitionFields
+    require(fields.forall(_.isIdentity),
+      "add_files needs an unpartitioned or identity-partitioned " +
+        "table — hidden-transform partition dirs cannot be derived " +
+        "from an external layout")
+    val idCols = fields.map(_.source).toSet
+    // schema gate: file CONTENT must carry exactly the non-partition
+    // table columns with matching types (identity partition values
+    // live in the hive dirs, stripped from content like native
+    // writes); spark's dir-inferred partition types are ignored — the
+    // read path parses dir strings itself
+    val rels = files.map(f => relativePath(src, f))
+    fields.foreach { fld =>
+      val missing = rels.filterNot(
+        _.split('/').exists(_.startsWith(fld.dirName + "=")))
+      require(missing.isEmpty,
+        s"files lack a ${fld.dirName}= partition dir: " +
+          missing.take(3).mkString(", "))
+    }
+    val onDisk = spark.read.option("basePath", src.toString)
+      .parquet(src.toString).schema
+    val expect = sch.fields.filterNot(f => idCols(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    onDisk.fields.filterNot(f => idCols(f.name)).foreach { f =>
+      require(expect.get(f.name).contains(f.dataType),
+        s"column ${f.name}: ${f.dataType.simpleString} does not " +
+          "match the table schema")
+    }
+    val absent = expect.keySet -- onDisk.fieldNames
+    require(absent.isEmpty,
+      s"files lack table columns: ${absent.mkString(", ")}")
+    if (hasWriteConstraints)
+      enforceWriteConstraints(spark.read
+        .option("basePath", src.toString).schema(sch)
+        .parquet(src.toString))
+    // take ownership AFTER all validation: a crash between the renames
+    // and the commit leaves unreferenced files under data/ that
+    // remove_orphan_files reclaims (same window as any native write)
+    val importDir = s"import-${UUID.randomUUID().toString.take(8)}"
+    val moved = files.zip(rels).map { case (f, r) =>
+      val rel = s"$importDir/$r"
+      val dest = new Path(dataDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(f, dest))
+        throw new java.io.IOException(s"rename $f -> $dest failed")
+      (s"$DATA_DIR/$rel", dest, fs.getFileStatus(dest).getLen)
+    }
+    val statsMap = new java.util.concurrent.ConcurrentHashMap[
+      String, Map[String, ColStat]]()
+    val infoMap = new java.util.concurrent.ConcurrentHashMap[
+      String, FileInfo]()
+    moved.toList.asJava.parallelStream().forEach {
+      case (key, dest, len) =>
+        val (st, rows) = FileStats.collect(hconf, dest, sch, fields, key)
+        if (st.nonEmpty) statsMap.put(key, st)
+        infoMap.put(key, FileInfo(len, rows))
+    }
+    val added = moved.map(_._1)
+    val snap = commitWithRetry(base)() { b =>
+      commit(b, "add-files", added = added, removed = Nil,
+        live = b.liveFiles ++ added,
+        addedStats = statsMap.asScala.toMap,
+        addedInfo = infoMap.asScala.toMap)
+    }
+    (snap, added.size)
+  }
+
   /** Optimistic-retry loop (≡ Iceberg's commit retries): run
     * `attempt(base)`; on a lost race re-read HEAD and re-attempt against
     * it — committing the ALREADY-written artifacts, never re-running the
