@@ -283,6 +283,31 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // row lineage: stable _row_id assigned at first commit, preserved
+    // through a COW update AND a COW delete — the query PROVES the
+    // invariants (one id per surviving row, all ids unchanged) and the
+    // oracle is the surviving-key count. Absolute id values are
+    // file-assignment-order dependent, so invariants, not values.
+    "q_row_lineage" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-lineage") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+      lt.append(orders)
+      val before = lt.scanWithLineage()
+        .select(col("o_orderkey"), col(LakeTable.ROW_ID_COL).as("rid"))
+      lt.update(col("o_orderkey") % 10 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      lt.delete(col("o_orderkey") % 7 === 0)
+      val after = lt.scanWithLineage()
+        .select(col("o_orderkey"), col(LakeTable.ROW_ID_COL).as("rid2"))
+      before.join(after, "o_orderkey").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("rid2")).as("n_ids"),
+        sum(when(col("rid") === col("rid2"), 1L).otherwise(0L))
+          .as("n_preserved"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val root = tmp("graft-merge") + "/orders"
@@ -2420,6 +2445,12 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_custkey,
         |  round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
+
+    "q_row_lineage" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(count(*) AS BIGINT) AS n_preserved
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     "q_time_travel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -307,6 +307,34 @@ final class LakeTable private (
     * by Catalyst reach the Parquet scan as usual. */
   def scan(): DataFrame = readFiles(current.liveFiles)
 
+  private def rowLineageEnabled: Boolean =
+    properties.get(PROP_ROW_LINEAGE).contains("true")
+
+  /** [[scan]] plus the stable `_row_id` lineage column (Iceberg v3
+    * row lineage): ids are assigned ONCE at first commit — per-file
+    * `first_row_id` blocks carved from the `row.next-id` counter, so
+    * appends store NOTHING per row — and survive every COW rewrite
+    * (merge/update/delete/compaction materialize the carried ids
+    * physically in the rewritten files). An updated row keeps its id;
+    * an inserted row gets a fresh one. MOR after-images are NEW rows
+    * and get fresh ids (carrying would require reading the matched
+    * target rows, which merge-on-read exists to avoid). Requires the
+    * table to have been CREATED with `write.row-lineage=true`. */
+  def scanWithLineage(): DataFrame = {
+    require(rowLineageEnabled,
+      s"table $root has no row lineage — create it with " +
+        s"$PROP_ROW_LINEAGE=true")
+    val base = current
+    readFilesAs(base, base.liveFiles, withLineage = true)
+  }
+
+  /** Read `files` for a COW REWRITE: on a lineage table each row
+    * carries its resolved `_row_id`, so [[writeDataFiles]] persists
+    * the ids physically and the rewrite preserves them. */
+  private def readFilesForRewrite(ctx: Snapshot,
+      files: Seq[String]): DataFrame =
+    readFilesAs(ctx, files, withLineage = rowLineageEnabled)
+
   /** RUNTIME-FILTERED scan for a key-equality join (≡ Iceberg/Delta
     * dynamic file pruning): before planning a `fact ⋈ dim` join, prune
     * this table's FILE LIST against the join side's actual key set —
@@ -859,13 +887,17 @@ final class LakeTable private (
     * PIDX_COL — each surviving row's scan URI and row ordinal (what the
     * MOR predicate DELETE/UPDATE capture as new position deletes). */
   private def readFilesAs(ctx: Snapshot, relFiles: Seq[String],
-      withName: Boolean = false, withPos: Boolean = false): DataFrame = {
+      withName: Boolean = false, withPos: Boolean = false,
+      withLineage: Boolean = false): DataFrame = {
     val sch = DataType.fromJson(ctx.schemaJson).asInstanceOf[StructType]
     if (relFiles.isEmpty) {
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      val out =
+        if (!withLineage) sch
+        else StructType(sch.fields :+ StructField(ROW_ID_COL, LongType))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
     }
     val dels = ctx.deleteFiles.sortBy(_.seq)
-    val needPos = withPos || ctx.posDeleteFiles.nonEmpty
+    val needPos = withPos || withLineage || ctx.posDeleteFiles.nonEmpty
     def era(f: String): Int = {
       val s = ctx.fileSeq.getOrElse(f, 0L)
       dels.count(_.seq <= s)
@@ -894,7 +926,11 @@ final class LakeTable private (
           mb.build()
         })
       val physSchema = StructType(sch.fields.map(f =>
-        stripDefaults(f.copy(name = mapping.getOrElse(f.name, f.name)))))
+        stripDefaults(f.copy(name = mapping.getOrElse(f.name, f.name)))) ++
+        // lineage: declare the physical _row_id column — REWRITTEN
+        // files carry it (preserved ids), any other file reads null
+        // and resolves to first_row_id + position downstream
+        (if (withLineage) Seq(StructField(ROW_ID_COL, LongType)) else Nil))
       val cols = sch.fields.map { f =>
         val phys = mapping.getOrElse(f.name, f.name)
         // a column added AFTER these files were written projects its
@@ -908,6 +944,7 @@ final class LakeTable private (
           case _ => col(phys).as(f.name)
         }
       }.toSeq ++
+        (if (withLineage) Seq(col(ROW_ID_COL)) else Nil) ++
         (if (withName) Seq(input_file_name().as(FILE_COL)) else Nil) ++
         (if (needPos) Seq(col("_metadata.file_path").as(PFILE_COL),
           col("_metadata.row_index").as(PIDX_COL)) else Nil)
@@ -960,8 +997,35 @@ final class LakeTable private (
             col(PIDX_COL) === col("__graft_pd_pos"),
           "left_anti")
       }
-    if (needPos && !withPos) posApplied.drop(PFILE_COL, PIDX_COL)
-    else posApplied
+    val lineageResolved =
+      if (!withLineage) posApplied
+      else {
+        // resolve each row's id: the physical column wins (rewritten
+        // files preserved their carried ids there), else
+        // first_row_id + position — the Iceberg v3 resolution rule.
+        // The (file → first_row_id) map is bounded by the PLANNED
+        // files and broadcast; matching is on the table-relative tail
+        // (same move-proof rule as position deletes above).
+        val wanted = relFiles.toSet
+        val firsts = ctx.fileInfo.toSeq.collect {
+          case (f, fi) if wanted(f) && fi.firstRowId.isDefined =>
+            Row(f, fi.firstRowId.get)
+        }
+        val fdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(firsts, 1),
+          StructType(Seq(
+            StructField("__graft_first_file", StringType, nullable = false),
+            StructField("__graft_first_id", LongType, nullable = false))))
+        posApplied
+          .join(broadcast(fdf),
+            regexp_extract(col(PFILE_COL), "^(?:.*/)?(data/.+)$", 1) ===
+              col("__graft_first_file"), "left")
+          .withColumn(ROW_ID_COL, coalesce(col(ROW_ID_COL),
+            col("__graft_first_id") + col(PIDX_COL)))
+          .drop("__graft_first_file", "__graft_first_id")
+      }
+    if (needPos && !withPos) lineageResolved.drop(PFILE_COL, PIDX_COL)
+    else lineageResolved
   }
 
   // ------------------------------------------------------------------ writes
@@ -1338,7 +1402,8 @@ final class LakeTable private (
     // the drop flag is computed on the TARGET plan before the join so
     // the condition's bare column names can never be join-ambiguous
     val dropMark = "__graft_drop_mark"
-    val tgt = readFiles(affected)
+    val lineage = rowLineageEnabled
+    val tgt = readFilesForRewrite(base, affected)
       .withColumn(dropMark, dropCond.getOrElse(lit(false)))
       .alias("t")
     val s = src.withColumn(SRC_MARK, lit(1)).alias("s")
@@ -1356,7 +1421,12 @@ final class LakeTable private (
       .select(cols.map { c =>
         when(col(SRC_MARK).isNotNull, col(s"s.$c"))
           .otherwise(col(s"t.$c")).as(c)
-      }: _*)
+      } ++
+        // lineage: a matched row is an UPDATE and keeps the target's
+        // id; a source-only row is an insert — its t._row_id is null
+        // from the full-outer join and commit assigns it fresh
+        (if (lineage) Seq(col(s"t.$ROW_ID_COL").as(ROW_ID_COL))
+         else Nil): _*)
     val result = deleteKeys match {
       case Some(d) => merged.join(d, keys, "left_anti")
       case None => merged
@@ -1582,7 +1652,8 @@ final class LakeTable private (
     val nmbsAssignedCols: Seq[(Int, String)] = nmbs.zipWithIndex.flatMap {
       case (w, i) => w.assignments.toSeq.flatMap(_.keys).map(c => (i, c))
     }
-    val tgtBase = readFiles(affected)
+    val clauseLineage = rowLineageEnabled
+    val tgtBase = readFilesForRewrite(base, affected)
       .withColumn(TGT_MARK, lit(1))
       .withColumn(nmbsIdxCol,
         if (nmbs.isEmpty) lit(-1) else firstIdx(nmbs))
@@ -1622,7 +1693,11 @@ final class LakeTable private (
         .when(isSrcOnly, valueFor(nm, iIdx, c, lit(null)))
         .otherwise(nmbsValueFor(c))
         .cast(schema(c).dataType).as(c)
-    }: _*)
+    } ++
+      // lineage: matched/NMBS-updated rows keep the target id;
+      // source-only inserts are null → assigned fresh at commit
+      (if (clauseLineage) Seq(col(s"t.$ROW_ID_COL").as(ROW_ID_COL))
+       else Nil): _*)
 
     val WriteResult(added, stats, info) = writeDataFiles(result)
     commit(base, "merge", added = added, removed = affected,
@@ -1806,7 +1881,8 @@ final class LakeTable private (
       .select(FILE_COL).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
     if (affected.isEmpty) return base.snapshotId
-    val kept = readFiles(affected).join(k, keyCols, "left_anti")
+    val kept = readFilesForRewrite(base, affected)
+      .join(k, keyCols, "left_anti")
     val WriteResult(added, stats, info) = writeDataFiles(kept)
     commit(base, "delete", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
@@ -1857,7 +1933,7 @@ final class LakeTable private (
     // DELETE only removes rows where it evaluates to true
     val WriteResult(added, stats, info) =
       if (affected.isEmpty) WriteResult(Nil, Map.empty, Map.empty)
-      else writeDataFiles(readFiles(affected)
+      else writeDataFiles(readFilesForRewrite(base, affected)
         .where(!coalesce(predicate, lit(false))))
     val removed = covered ++ affected
     commit(base, "delete", added = added, removed = removed,
@@ -1990,14 +2066,17 @@ final class LakeTable private (
       .collect().map(r => relativize(r.getString(0))).toSeq
     if (affected.isEmpty) return base.snapshotId
     val sch = schema
-    val rewritten = readFiles(affected).select(sch.fields.map { f =>
-      assignments.get(f.name) match {
-        case Some(e) =>
-          when(predicate, e.cast(f.dataType)).otherwise(col(f.name))
-            .as(f.name)
-        case None => col(f.name)
-      }
-    }.toIndexedSeq: _*)
+    val rewritten = readFilesForRewrite(base, affected)
+      .select((sch.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(e) =>
+            when(predicate, e.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq ++
+        // lineage: an UPDATE keeps every row's id
+        (if (rowLineageEnabled) Seq(col(ROW_ID_COL)) else Nil)): _*)
     val WriteResult(added, stats, info) = writeDataFiles(rewritten)
     commit(base, "update", added = added, removed = affected,
       live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
@@ -2877,7 +2956,8 @@ final class LakeTable private (
     // cols) + an in-partition sort instead: bins were formed in range
     // order, so every output file is a contiguous slice of the global
     // sort — bounds stay disjoint and pruning stays single-file.
-    val joined = readFilesWithName(rewritten)
+    val joined = readFilesAs(base, rewritten, withName = true,
+        withLineage = rowLineageEnabled)
       .withColumn("__graft_path",
         regexp_replace(col(FILE_COL), "^[A-Za-z0-9+.-]+:/+", "/"))
       .join(broadcast(pathBins), Seq("__graft_path"))
@@ -2936,7 +3016,7 @@ final class LakeTable private (
       groups.size.toLong * targetFilesPerPartition).min(100000L).toInt
     // deterministic content-hash salt — same retry-safety bar as
     // [[compact]]'s (a re-salted retry must place rows identically)
-    val data = readFilesAs(base, rewritten)
+    val data = readFilesForRewrite(base, rewritten)
       .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
         lit(targetFilesPerPartition)))
       .repartition(numParts,
@@ -2972,7 +3052,7 @@ final class LakeTable private (
     val base = current
     if (base.liveFiles.isEmpty) return base.snapshotId
     val salt = "__graft_compact_salt"
-    val all = readFiles(base.liveFiles)
+    val all = readFilesForRewrite(base, base.liveFiles)
     // partition expressions: identity columns directly, transformed
     // fields via their derived expression (same value the write derives)
     val partExprs = partitionFields.map(f =>
@@ -3581,9 +3661,28 @@ final class LakeTable private (
         added.map(_ -> id))
     val dels = deletesOverride.getOrElse(base.deleteFiles)
     val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
-    val finfo = infoOverride.getOrElse(
+    val finfo0 = infoOverride.getOrElse(
       if (appendShaped) base.fileInfo ++ addedInfo
       else base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
+    // row lineage: every added file gets a first_row_id block carved
+    // from the row.next-id counter IN THIS COMMIT (no crash window —
+    // ids and counter land atomically with the files); path-sorted so
+    // assignment is deterministic within the commit
+    val props0 = propertiesOverride.getOrElse(base.properties)
+    val (finfo, props1) =
+      if (!props0.get(PROP_ROW_LINEAGE).contains("true") || added.isEmpty)
+        (finfo0, props0)
+      else {
+        var next = props0.get(PROP_NEXT_ROW_ID).map(_.toLong).getOrElse(0L)
+        val assigned = added.sorted.flatMap { f =>
+          finfo0.get(f).filter(_.firstRowId.isEmpty).map { fi =>
+            val entry = f -> fi.copy(firstRowId = Some(next))
+            next += fi.rows
+            entry
+          }
+        }
+        (finfo0 ++ assigned, props0 + (PROP_NEXT_ROW_ID -> next.toString))
+      }
     // partition-spec bookkeeping: new files carry the committing spec
     // id; an evolve-spec commit swaps the current spec + registry
     val (pcols, curSpec, specs) = specChange.getOrElse(
@@ -3596,7 +3695,7 @@ final class LakeTable private (
        else base.fileSpec.filter { case (f, _) => liveSet(f) }) ++ addedSpec)
     val snap0 = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
-      pcols, propertiesOverride.getOrElse(base.properties), stats, renames,
+      pcols, props1, stats, renames,
       seqs, dels, pdels, finfo, fileSpec = fspec, partitionSpecs = specs,
       currentSpecId = curSpec)
     // Chunk the per-file state (see ManifestIO): reuse every parent
@@ -3805,6 +3904,18 @@ object LakeTable {
   val PROP_AUTO_EVOLVE = "write.schema.auto-evolve"
   /** Comma-separated columns to build per-file Bloom filters for (see
     * [[BloomStats]]); empty/absent = none. */
+  /** Opt-in row lineage (Iceberg v3 shape): `write.row-lineage=true`
+    * (set at CREATE — rows written before enablement have no ids). */
+  val PROP_ROW_LINEAGE = "write.row-lineage"
+  /** Row-lineage id counter: the next unassigned row id. Advanced by
+    * every commit's added row count (rewrites included — carried rows
+    * leave their fresh slots unused, like Iceberg's next-row-id). */
+  val PROP_NEXT_ROW_ID = "row.next-id"
+  /** Lineage column [[LakeTable.scanWithLineage]] exposes; physically
+    * present only in REWRITTEN files (null there = row inserted by the
+    * rewrite, resolved to first_row_id + position). */
+  val ROW_ID_COL = "_row_id"
+
   val PROP_BLOOM_COLUMNS = "write.bloom.columns"
   /** Filter size in bits (default [[BloomStats.DefaultBits]]). */
   val PROP_BLOOM_BITS = "write.bloom.bits"

@@ -251,6 +251,7 @@ object ManifestIO {
       }
       e.info.foreach { fi =>
         o.put("bytes", fi.bytes); o.put("rows", fi.rows)
+        fi.firstRowId.foreach(o.put("first_row_id", _))
       }
       if (e.specId != 0L) o.put("spec", e.specId)
     }
@@ -275,7 +276,10 @@ object ManifestIO {
             .map(ce => ce.getKey -> ce.getValue.asText()).toMap,
         info =
           if (o.has("bytes"))
-            Some(FileInfo(o.path("bytes").asLong(), o.path("rows").asLong()))
+            Some(FileInfo(o.path("bytes").asLong(),
+              o.path("rows").asLong(),
+              if (o.hasNonNull("first_row_id"))
+                Some(o.path("first_row_id").asLong()) else None))
           else None,
         specId = if (o.has("spec")) o.path("spec").asLong() else 0L)
     }.toSeq

@@ -170,6 +170,7 @@ final case class Snapshot(
           val o = io.putObject(f)
           o.put("bytes", fi.bytes)
           o.put("rows", fi.rows)
+          fi.firstRowId.foreach(o.put("first_row_id", _))
         }
       }
     }
@@ -234,14 +235,23 @@ object Snapshot {
         if (!n.has("file_info")) Map.empty
         else n.path("file_info").properties().asScala.map { e =>
           e.getKey -> FileInfo(e.getValue.path("bytes").asLong(),
-            e.getValue.path("rows").asLong())
+            e.getValue.path("rows").asLong(),
+            if (e.getValue.hasNonNull("first_row_id"))
+              Some(e.getValue.path("first_row_id").asLong()) else None)
         }.toMap
     )
   }
 }
 
-/** Size and row count of one data file (manifest bookkeeping). */
-final case class FileInfo(bytes: Long, rows: Long)
+/** Size and row count of one data file (manifest bookkeeping).
+  * `firstRowId` is row-lineage bookkeeping (Iceberg v3 shape): the
+  * table-unique id of this file's first row — row N of the file is
+  * `firstRowId + N` unless the file physically carries a `_row_id`
+  * column (rewritten files do, preserving carried rows' original
+  * ids). Assigned at commit from the `row.next-id` counter when the
+  * table opts into `write.row-lineage`. */
+final case class FileInfo(bytes: Long, rows: Long,
+    firstRowId: Option[Long] = None)
 
 /** Min/max of one column in one data file, encoded in the type-normalized
   * string domain defined by [[FileStats]]. */
