@@ -308,6 +308,23 @@ WHEN NOT MATCHED THEN INSERT *
           .as("n_preserved"))
     }),
 
+    // lineage-typed CDC: the changelog classifies a COW rewrite's
+    // modified rows as update pre/post images BY ROW ID (Delta-CDF
+    // vocabulary) — carried rows cancel, per-commit cost ∝ delta
+    "q_cdc_lineage" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-cdclin") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+      lt.append(orders)
+      lt.update(col("o_orderkey") % 10 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      lt.delete(col("o_orderkey") % 7 === 0)
+      lt.changesWithLineage(0L, lt.currentSnapshotId.get)
+        .groupBy(col(LakeTable.CHANGE_TYPE_COL).as("change_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val root = tmp("graft-merge") + "/orders"
@@ -2451,6 +2468,16 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(count(*) AS BIGINT) AS n_ids,
         |  CAST(count(*) AS BIGINT) AS n_preserved
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    "q_cdc_lineage" ->
+      """SELECT 'insert' AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT 'update_preimage', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL SELECT 'update_postimage', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL SELECT 'delete', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     "q_time_travel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -485,7 +485,28 @@ final class LakeTable private (
     * a rollback across an evolution) is rejected — a changelog needs one
     * row shape.
     */
-  def changes(startExclusive: Long, endInclusive: Long): DataFrame = {
+  def changes(startExclusive: Long, endInclusive: Long): DataFrame =
+    changesInternal(startExclusive, endInclusive, lineage = false)
+
+  /** [[changes]] with ROW IDENTITY (requires `write.row-lineage`):
+    * each change row carries its `_row_id`, and a COW rewrite's
+    * modified rows are classified `update_preimage`/`update_postimage`
+    * instead of an anonymous delete+insert pair — the Delta-CDF change
+    * vocabulary, derivable only because the rewrite preserved ids.
+    * Rows without ids (written pre-enablement) and MOR after-images
+    * (new row identity by design) stay plain insert/delete. Cost: two
+    * id-keyed semi/anti joins per commit over the commit's OWN delta —
+    * still ∝ changed rows, never table size. */
+  def changesWithLineage(startExclusive: Long,
+      endInclusive: Long): DataFrame = {
+    require(rowLineageEnabled,
+      s"table $root has no row lineage — create it with " +
+        s"$PROP_ROW_LINEAGE=true")
+    changesInternal(startExclusive, endInclusive, lineage = true)
+  }
+
+  private def changesInternal(startExclusive: Long, endInclusive: Long,
+      lineage: Boolean): DataFrame = {
     require(endInclusive >= startExclusive,
       s"bad snapshot range ($startExclusive, $endInclusive]")
     val snaps = ((startExclusive + 1) to endInclusive).map(snapshot)
@@ -497,17 +518,40 @@ final class LakeTable private (
             s"${s.snapshotId} is not supported (one row shape per range)")
     }
     val sch = schema
-    val outSchema = StructType(sch.fields ++ Seq(
-      StructField(CHANGE_TYPE_COL, StringType, nullable = false),
-      StructField(CHANGE_SNAP_COL, LongType, nullable = false)))
+    val outSchema = StructType(sch.fields ++
+      (if (lineage) Seq(StructField(ROW_ID_COL, LongType)) else Nil) ++
+      Seq(
+        StructField(CHANGE_TYPE_COL, StringType, nullable = false),
+        StructField(CHANGE_SNAP_COL, LongType, nullable = false)))
     def tag(df: DataFrame, tpe: String, id: Long): DataFrame =
       df.withColumn(CHANGE_TYPE_COL, lit(tpe))
         .withColumn(CHANGE_SNAP_COL, lit(id))
+    // lineage classification: a row id on BOTH sides of a commit's
+    // delta is the same row modified in place (the rewrite preserved
+    // its id) → update pre/post images; one-sided ids are genuine
+    // inserts/deletes. Null ids never semi-match, so id-less rows
+    // take the anti branch (plain insert/delete) by construction.
+    def classify(ins: DataFrame, del: DataFrame,
+        id: Long): Seq[DataFrame] = {
+      val insIds = ins.select(col(ROW_ID_COL))
+        .where(col(ROW_ID_COL).isNotNull)
+      val delIds = del.select(col(ROW_ID_COL))
+        .where(col(ROW_ID_COL).isNotNull)
+      Seq(
+        tag(ins.join(delIds, Seq(ROW_ID_COL), "left_semi"),
+          "update_postimage", id),
+        tag(ins.join(delIds, Seq(ROW_ID_COL), "left_anti"),
+          "insert", id),
+        tag(del.join(insIds, Seq(ROW_ID_COL), "left_semi"),
+          "update_preimage", id),
+        tag(del.join(insIds, Seq(ROW_ID_COL), "left_anti"),
+          "delete", id))
+    }
     val parts = snaps.filter(s =>
       s.operation != "compact" && s.operation != "create").flatMap { s =>
       val prev = snapshot(s.parentId.get)
-      val post = readFilesAs(s, s.addedFiles)
-      val pre = readFilesAs(prev, s.removedFiles)
+      val post = readFilesAs(s, s.addedFiles, withLineage = lineage)
+      val pre = readFilesAs(prev, s.removedFiles, withLineage = lineage)
       // the exceptAll pair cancels rows a rewrite carried over; a
       // one-sided commit (pure append / metadata delete) has nothing
       // to cancel — skip the two set-difference shuffles entirely
@@ -516,6 +560,8 @@ final class LakeTable private (
       val base =
         if (s.removedFiles.isEmpty) Seq(tag(post, "insert", s.snapshotId))
         else if (s.addedFiles.isEmpty) Seq(tag(pre, "delete", s.snapshotId))
+        else if (lineage)
+          classify(post.exceptAll(pre), pre.exceptAll(post), s.snapshotId)
         else Seq(
           tag(post.exceptAll(pre), "insert", s.snapshotId),
           tag(pre.exceptAll(post), "delete", s.snapshotId))
@@ -530,8 +576,8 @@ final class LakeTable private (
       if (!deleteStateChanged) base
       else {
         val carried = s.liveFiles.intersect(prev.liveFiles)
-        val before = readFilesAs(prev, carried)
-        val after = readFilesAs(s, carried)
+        val before = readFilesAs(prev, carried, withLineage = lineage)
+        val after = readFilesAs(s, carried, withLineage = lineage)
         base ++ Seq(
           tag(before.exceptAll(after), "delete", s.snapshotId),
           tag(after.exceptAll(before), "insert", s.snapshotId))

@@ -103,6 +103,34 @@ class RowLineageSpec extends AnyFunSuite {
       .head().getDouble(0) == 9.9)
   }
 
+  test("changelog classifies updates by row identity (CDF vocabulary)") {
+    val lt = freshTable("lineage-cdc")
+    lt.append((1L to 10L).map(i => (i, s"v$i", i.toDouble))
+      .toDF("id", "v", "x"))
+    val s1 = lt.currentSnapshotId.get
+    lt.update($"id" === 3L, Map("v" -> lit("U")))
+    lt.delete($"id" === 5L)
+    lt.merge(Seq((4L, "M", 0.0), (99L, "NEW", 0.0))
+      .toDF("id", "v", "x"), Seq("id"))
+    val ch = lt.changesWithLineage(s1, lt.currentSnapshotId.get)
+    val counts = ch.groupBy(LakeTable.CHANGE_TYPE_COL).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // id 3 (UPDATE) and id 4 (matched MERGE) are update pairs; id 5 a
+    // delete; id 99 an insert — carried rewrite rows appear NOWHERE
+    assert(counts == Map("update_preimage" -> 2L,
+      "update_postimage" -> 2L, "delete" -> 1L, "insert" -> 1L), counts)
+    // each update pair shares ONE row id across pre and post image
+    val pairs = ch.where(col(LakeTable.CHANGE_TYPE_COL)
+        .startsWith("update"))
+      .groupBy("id", LakeTable.ROW_ID_COL).count().collect()
+    assert(pairs.length == 2 && pairs.forall(_.getLong(2) == 2L))
+    // a non-lineage table refuses the typed changelog
+    val plain = LakeTable.create(spark,
+      TestSpark.tmpDir("lineage-cdc-off") + "/t",
+      Seq((1L, "a")).toDF("id", "v").schema)
+    intercept[IllegalArgumentException](plain.changesWithLineage(0L, 1L))
+  }
+
   test("a table without the property refuses the lineage scan") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val lt = LakeTable.create(spark,
