@@ -742,6 +742,8 @@ object LakeSql {
       case "add_files" => // (tbl, source_dir) — import without rewrite
         val (snap, n) = lt.addFiles(str(1))
         Seq((snap, n.toLong)).toDF("snapshot_id", "added_files")
+      case "maintain" => // (tbl) — run the declared maintenance policy
+        lt.maintain().toDF("action", "detail")
       case "verify_table" => // (tbl[, 'deep'])
         lt.verifyTable(deep = c.args.size > 1 &&
           str(1).equalsIgnoreCase("deep"))
@@ -752,7 +754,7 @@ object LakeSql {
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
-          "add_files, verify_table, recover_transactions, " +
+          "add_files, maintain, verify_table, recover_transactions, " +
           "refresh_mv, mv_staleness")
     }
     // every procedure may have mutated table metadata — including
@@ -878,12 +880,19 @@ object LakeSql {
           case other => throw new UnsupportedOperationException(
             s"table_changes arguments must be literals, got ${other.sql}")
         }
-        require(args.size == 3,
-          "table_changes(table, start_exclusive, end_inclusive)")
+        require(args.size == 3 || (args.size == 4 &&
+            args(3).toString.equalsIgnoreCase("lineage")),
+          "table_changes(table, start_exclusive, end_inclusive" +
+            "[, 'lineage'])")
         val lt = cat.loadTable(ns, args(0).toString)
         val asLong = (a: Any) => a.asInstanceOf[java.lang.Number].longValue
-        lt.changes(asLong(args(1)), asLong(args(2)))
-          .queryExecution.analyzed
+        val ch =
+          // 'lineage': rows carry _row_id and rewrite deltas classify
+          // as update_preimage/update_postimage (Delta-CDF vocabulary)
+          if (args.size == 4)
+            lt.changesWithLineage(asLong(args(1)), asLong(args(2)))
+          else lt.changes(asLong(args(1)), asLong(args(2)))
+        ch.queryExecution.analyzed
     }
     GraftSqlBridge.ofRows(cat.spark, replaced)
   }

@@ -3375,6 +3375,36 @@ final class LakeTable private (
     rows.toDF("check", "ok", "detail")
   }
 
+  /** Run this table's DECLARED maintenance policy in one call — the
+    * nightly-job surface (`CALL system.maintain('t')`): each
+    * `maintenance.*` table property, when present, drives one action,
+    * so the schedule lives WITH the table instead of in every
+    * operator's cron. Order: small-file binpack first (its retired
+    * inputs become expirable history), then snapshot expiry, then
+    * orphan cleanup. Returns (action, detail) per action run. */
+  def maintain(): Seq[(String, String)] = {
+    val props = properties
+    val out = Seq.newBuilder[(String, String)]
+    props.get(PROP_MAINT_BINPACK_BYTES).foreach { b =>
+      val snap = binPack(b.toLong)
+      out += ("rewrite_small_files" ->
+        s"target-bytes=$b snapshot=$snap")
+    }
+    props.get(PROP_MAINT_EXPIRE_KEEP).foreach { k =>
+      expireSnapshots(k.toInt)
+      out += ("expire_snapshots" -> s"keep-last=$k")
+    }
+    props.get(PROP_MAINT_EXPIRE_AGE_MS).foreach { a =>
+      expireSnapshotsOlderThan(System.currentTimeMillis() - a.toLong)
+      out += ("expire_snapshots_older_than" -> s"max-age-ms=$a")
+    }
+    props.get(PROP_MAINT_ORPHAN_AGE_MS).foreach { a =>
+      val n = removeOrphanFiles(a.toLong).size
+      out += ("remove_orphan_files" -> s"removed=$n")
+    }
+    out.result()
+  }
+
   def removeOrphanFiles(olderThanMs: Long = 3600000L): Seq[String] = {
     val retained = snapshots
     // staged-but-unpublished WAP changesets reference real data files
@@ -3961,6 +3991,13 @@ object LakeTable {
     * present only in REWRITTEN files (null there = row inserted by the
     * rewrite, resolved to first_row_id + position). */
   val ROW_ID_COL = "_row_id"
+
+  /** Declared maintenance policy (see [[LakeTable.maintain]]): each
+    * property present enables one action of `CALL system.maintain`. */
+  val PROP_MAINT_BINPACK_BYTES = "maintenance.binpack.target-bytes"
+  val PROP_MAINT_EXPIRE_KEEP = "maintenance.expire.keep-last"
+  val PROP_MAINT_EXPIRE_AGE_MS = "maintenance.expire.max-age-ms"
+  val PROP_MAINT_ORPHAN_AGE_MS = "maintenance.orphans.min-age-ms"
 
   val PROP_BLOOM_COLUMNS = "write.bloom.columns"
   /** Filter size in bits (default [[BloomStats.DefaultBits]]). */

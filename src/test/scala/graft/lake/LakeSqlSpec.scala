@@ -477,6 +477,48 @@ WHEN NOT MATCHED THEN INSERT *
       .head().getLong(0) == 3L) // 2 inserts + 1 delete
   }
 
+  test("table_changes 'lineage' mode classifies updates through SQL") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.createTable("ns", "lc", df.schema,
+      properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+    val lt = cat.loadTable("ns", "lc")
+    lt.append(df)
+    lt.update(col("id") === 2L, Map("v" -> lit("U")))
+    val head = lt.currentSnapshotId.get
+    val counts = cat.sql("ns",
+      s"""SELECT _change_type, count(*) AS n
+         |FROM table_changes('lc', 1, $head, 'lineage')
+         |GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("insert" -> 3L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), counts)
+  }
+
+  test("CALL system.maintain runs the table's declared policy") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ns", "mnt", df.schema, properties = Map(
+      LakeTable.PROP_MAINT_BINPACK_BYTES -> (1024L * 1024).toString,
+      LakeTable.PROP_MAINT_EXPIRE_KEEP -> "2",
+      LakeTable.PROP_MAINT_ORPHAN_AGE_MS -> "0"))
+    val lt = cat.loadTable("ns", "mnt")
+    (1L to 4L).foreach(i =>
+      lt.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val actions = cat.sql("ns", "CALL system.maintain('mnt')")
+      .collect().map(_.getString(0)).toSeq
+    assert(actions == Seq("rewrite_small_files", "expire_snapshots",
+      "remove_orphan_files"), actions.toString)
+    val after = cat.loadTable("ns", "mnt")
+    assert(after.scan().count() == 4)           // content intact
+    assert(after.snapshots.size <= 2)           // history trimmed
+    // a table with NO declared policy is a clean no-op
+    cat.createTable("ns", "mnt2", df.schema)
+    assert(cat.sql("ns", "CALL system.maintain('mnt2')").count() == 0)
+  }
+
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
     val cat = freshCat
     cat.createNamespace("ns")
