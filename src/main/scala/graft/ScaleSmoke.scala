@@ -47,6 +47,10 @@ object ScaleSmoke {
       funnelSmoke(args.lift(1).map(_.toLong).getOrElse(10000000L))
       return
     }
+    if (args.headOption.contains("lineage")) {
+      lineageSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val workDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-scale").toString)
@@ -225,6 +229,53 @@ object ScaleSmoke {
     * within noise of the first quarter (each refresh merges ~0.5% of
     * the keys), and the final MV must equal the from-scratch
     * aggregate exactly. Results recorded in PERF.md. */
+  /** Row-lineage overhead at volume: identical append+merge+compact
+    * sequences on a lineage table vs a plain one — append-side
+    * overhead must be driver arithmetic only (per-file first_row_id
+    * blocks, zero per-row work), the rewrite side pays one extra
+    * int64 column in the rewritten files. Asserts id stability across
+    * the whole sequence. */
+  private def lineageSmoke(sfDir: String): Unit = {
+    val spark = smokeSession("graft-lineage-smoke")
+    val work = Files.createTempDirectory("graft-lineage").toString
+    import graft.lake.LakeTable
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val n = orders.count()
+    def sequence(root: String, props: Map[String, String]): Double = {
+      val lt = LakeTable.create(spark, root, orders.schema,
+        properties = props)
+      val t0 = System.nanoTime()
+      (0 until 4).foreach(i =>
+        lt.append(orders.where(col("o_orderkey") % 4 === i)))
+      lt.merge(orders.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderstatus", lit("U")), Seq("o_orderkey"))
+      lt.delete(col("o_orderkey") % 13 === 0)
+      lt.compact(1)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val plainSec = sequence(s"$work/plain", Map.empty)
+    val lt = s"$work/lineage"
+    val lineageSec = sequence(lt,
+      Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+    println(f"[lineage] $n%,d rows: plain $plainSec%.2f s, " +
+      f"lineage $lineageSec%.2f s (${lineageSec / plainSec}%.2fx)")
+    // id stability through merge+delete+compact: unique ids, one per
+    // surviving row
+    val t = LakeTable.load(spark, lt)
+    val ids = t.scanWithLineage()
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col(LakeTable.ROW_ID_COL)).as("ids"))
+      .head()
+    println(s"[lineage] rows=${ids.getLong(0)} distinct ids=" +
+      s"${ids.getLong(1)}")
+    assert(ids.getLong(0) == ids.getLong(1), "duplicate row ids")
+    val expect = orders.where(col("o_orderkey") % 13 =!= 0).count()
+    assert(ids.getLong(0) == expect, s"${ids.getLong(0)} vs $expect")
+    println("[lineage] OK")
+  }
+
   private def mvBurstSmoke(sfDir: String, commits: Int): Unit = {
     val spark = smokeSession("graft-mv-burst")
     val work = Files.createTempDirectory("graft-mv-burst").toString
