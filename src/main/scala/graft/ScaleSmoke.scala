@@ -222,13 +222,6 @@ object ScaleSmoke {
     spark
   }
 
-  /** `runMain graft.ScaleSmoke mv-burst [sfDir] [commits]`: pushes
-    * ~`commits` CDC mutations through [[graft.lake.IncrementalMv]]
-    * refresh and proves refresh cost tracks the DELTA, not the table:
-    * the per-refresh time of the last quarter of the burst must stay
-    * within noise of the first quarter (each refresh merges ~0.5% of
-    * the keys), and the final MV must equal the from-scratch
-    * aggregate exactly. Results recorded in PERF.md. */
   /** Row-lineage overhead at volume: identical append+merge+compact
     * sequences on a lineage table vs a plain one — append-side
     * overhead must be driver arithmetic only (per-file first_row_id
@@ -276,6 +269,13 @@ object ScaleSmoke {
     println("[lineage] OK")
   }
 
+  /** `runMain graft.ScaleSmoke mv-burst [sfDir] [commits]`: pushes
+    * ~`commits` CDC mutations through [[graft.lake.IncrementalMv]]
+    * refresh and proves refresh cost tracks the DELTA, not the table:
+    * the per-refresh time of the last quarter of the burst must stay
+    * within noise of the first quarter (each refresh merges ~0.5% of
+    * the keys), and the final MV must equal the from-scratch
+    * aggregate exactly. Results recorded in PERF.md. */
   private def mvBurstSmoke(sfDir: String, commits: Int): Unit = {
     val spark = smokeSession("graft-mv-burst")
     val work = Files.createTempDirectory("graft-mv-burst").toString

@@ -1924,7 +1924,9 @@ WHEN NOT MATCHED THEN INSERT *
         .groupBy("token").agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("n").desc, col("token").asc)))
-        .limit(100)
+        // rnk <= 100, not limit(100): limit takes physically-arbitrary
+        // rows, the rank predicate IS the deterministic top-100
+        .where(col("rnk") <= 100)
         .agg(round(expr("regr_slope(ln(n), ln(rnk))"), 4)
           .as("zipf_slope"), count(lit(1)).as("n_terms"))
     }),

@@ -810,6 +810,14 @@ object LakeSql {
         al.child match {
           case f: org.apache.spark.sql.catalyst.analysis
               .UnresolvedFunction =>
+            // the maintenance machinery computes PLAIN count(*)/sum/
+            // min/max — a DISTINCT or FILTER modifier would be
+            // silently ignored and the MV wrong forever
+            if (f.isDistinct)
+              bad("DISTINCT aggregates are not incrementally " +
+                "maintainable")
+            if (f.filter.isDefined)
+              bad("FILTER clauses are not supported")
             (al.name, f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
               f.arguments.collect {
                 case u: UnresolvedAttribute => u.name })
@@ -824,7 +832,9 @@ object LakeSql {
       case _ => bad("need sum(<v>) AS total")
     }
     byAlias.get("cnt") match {
-      case Some((_, "count", _)) => ()
+      // the empty attr list admits count(*) / count(1); count(<col>)
+      // (null-skipping) would be maintained as count(*) — reject it
+      case Some((_, "count", Seq())) => ()
       case _ => bad("need count(*) AS cnt")
     }
     val extremes = (byAlias.get("mn"), byAlias.get("mx")) match {
@@ -836,9 +846,22 @@ object LakeSql {
     }
     if (fns.size != (if (extremes) 4 else 2))
       bad("only cnt/total (and mn/mx) aggregates are maintainable")
+    if (keys.isEmpty)
+      bad("GROUP BY must list at least one key")
     require(!cat.tableExists(ns, name),
       s"table $ns.$name already exists")
     val src = cat.loadTable(ns, srcName)
+    // fail BEFORE creating the target — a late refresh failure would
+    // leave a half-created, defined-but-broken MV behind
+    keys.foreach(k => if (!src.schema.fieldNames.contains(k))
+      bad(s"no column $k on $srcName"))
+    src.schema.fields.find(_.name == vCol) match {
+      case Some(f) if f.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType] => ()
+      case Some(f) =>
+        bad(s"$vCol is ${f.dataType.simpleString}, not numeric")
+      case None => bad(s"no column $vCol on $srcName")
+    }
     cat.createTable(ns, name,
       if (extremes) IncrementalMv.extremesSchema(src, keys)
       else IncrementalMv.targetSchema(src, keys))
@@ -862,6 +885,11 @@ object LakeSql {
       s"$ns.$name is a plain table, not a materialized view — " +
         "use DROP TABLE")
     cat.dropTable(ns, name)
+    // same teardown as DROP TABLE: the dropped MV's stale temp views
+    // would otherwise serve the deleted table's file list
+    Seq("", "_history", "_files", "_snapshots", "_partitions", "_refs",
+      "_manifests").foreach(
+      sfx => cat.spark.catalog.dropTempView(s"$name$sfx"))
     cat.spark.emptyDataFrame
   }
 

@@ -529,23 +529,32 @@ final class LakeTable private (
     // lineage classification: a row id on BOTH sides of a commit's
     // delta is the same row modified in place (the rewrite preserved
     // its id) → update pre/post images; one-sided ids are genuine
-    // inserts/deletes. Null ids never semi-match, so id-less rows
-    // take the anti branch (plain insert/delete) by construction.
+    // inserts/deletes. ONE union + one id-partitioned count window —
+    // each exceptAll subplan appears exactly once in the final plan
+    // (a join formulation would re-derive the set differences per
+    // branch). Id-less rows (pre-lineage files, MOR after-images) are
+    // pinned to n=1 so they can never pair as updates; their single
+    // null window partition is commit-delta-sized.
     def classify(ins: DataFrame, del: DataFrame,
         id: Long): Seq[DataFrame] = {
-      val insIds = ins.select(col(ROW_ID_COL))
-        .where(col(ROW_ID_COL).isNotNull)
-      val delIds = del.select(col(ROW_ID_COL))
-        .where(col(ROW_ID_COL).isNotNull)
-      Seq(
-        tag(ins.join(delIds, Seq(ROW_ID_COL), "left_semi"),
-          "update_postimage", id),
-        tag(ins.join(delIds, Seq(ROW_ID_COL), "left_anti"),
-          "insert", id),
-        tag(del.join(insIds, Seq(ROW_ID_COL), "left_semi"),
-          "update_preimage", id),
-        tag(del.join(insIds, Seq(ROW_ID_COL), "left_anti"),
-          "delete", id))
+      val side = "__graft_side"
+      val n = "__graft_id_n"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(ROW_ID_COL))
+      val typed = ins.withColumn(side, lit("i"))
+        .unionByName(del.withColumn(side, lit("d")))
+        .withColumn(n, when(col(ROW_ID_COL).isNull, lit(1L))
+          .otherwise(count(lit(1)).over(w)))
+        .withColumn(CHANGE_TYPE_COL,
+          when(col(n) === 2L && col(side) === "i",
+            lit("update_postimage"))
+          .when(col(n) === 2L && col(side) === "d",
+            lit("update_preimage"))
+          .when(col(side) === "i", lit("insert"))
+          .otherwise(lit("delete")))
+        .withColumn(CHANGE_SNAP_COL, lit(id))
+        .drop(side, n)
+      Seq(typed)
     }
     val parts = snaps.filter(s =>
       s.operation != "compact" && s.operation != "create").flatMap { s =>
@@ -1149,6 +1158,14 @@ final class LakeTable private (
   def addFiles(srcDir: String): (Long, Int) = {
     val src = new Path(srcDir)
     require(fs.exists(src), s"no such directory $srcDir")
+    // importing the table's own files would rename live data out from
+    // under the manifests (and a source CONTAINING the table would
+    // list its live files as import candidates) — refuse both shapes
+    val srcQ = fs.makeQualified(src).toString.stripSuffix("/")
+    val rootQ = fs.makeQualified(rootPath).toString.stripSuffix("/")
+    require(!(srcQ + "/").startsWith(rootQ + "/") &&
+        !(rootQ + "/").startsWith(srcQ + "/"),
+      s"add_files source $srcDir overlaps the table directory $rootQ")
     val files = listParquet(fs, src)
     require(files.nonEmpty, s"no parquet files under $srcDir")
     val base = current
@@ -1172,8 +1189,18 @@ final class LakeTable private (
         s"files lack a ${fld.dirName}= partition dir: " +
           missing.take(3).mkString(", "))
     }
-    val onDisk = spark.read.option("basePath", src.toString)
-      .parquet(src.toString).schema
+    // unpartitioned: read the explicit FILE list (any source nesting
+    // works — no partition discovery involved). Identity-partitioned:
+    // a clean hive layout under src is required, so the basePath read
+    // discovers the partition dirs (and constraint checks see their
+    // values).
+    def sourceRead(schemaOpt: Option[StructType]) = {
+      val r0 = spark.read
+      val r = schemaOpt.map(r0.schema).getOrElse(r0)
+      if (fields.isEmpty) r.parquet(files.map(_.toString): _*)
+      else r.option("basePath", src.toString).parquet(src.toString)
+    }
+    val onDisk = sourceRead(None).schema
     val expect = sch.fields.filterNot(f => idCols(f.name))
       .map(f => f.name -> f.dataType).toMap
     onDisk.fields.filterNot(f => idCols(f.name)).foreach { f =>
@@ -1185,38 +1212,61 @@ final class LakeTable private (
     require(absent.isEmpty,
       s"files lack table columns: ${absent.mkString(", ")}")
     if (hasWriteConstraints)
-      enforceWriteConstraints(spark.read
-        .option("basePath", src.toString).schema(sch)
-        .parquet(src.toString))
-    // take ownership AFTER all validation: a crash between the renames
-    // and the commit leaves unreferenced files under data/ that
-    // remove_orphan_files reclaims (same window as any native write)
-    val importDir = s"import-${UUID.randomUUID().toString.take(8)}"
-    val moved = files.zip(rels).map { case (f, r) =>
-      val rel = s"$importDir/$r"
-      val dest = new Path(dataDir, rel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(f, dest))
-        throw new java.io.IOException(s"rename $f -> $dest failed")
-      (s"$DATA_DIR/$rel", dest, fs.getFileStatus(dest).getLen)
+      enforceWriteConstraints(sourceRead(Some(sch)))
+    // destination layout: hive partition segments + a uniquified file
+    // name ONLY — an arbitrary source dir could contain a segment
+    // literally named `data`, which would break the move-proof
+    // `data/`-boundary rule lineage resolution and position deletes
+    // key on (and two imports of one layout would collide on it)
+    val importId = s"import-${UUID.randomUUID().toString.take(8)}"
+    val destRels = rels.zipWithIndex.map { case (r, i) =>
+      val segs = r.split('/')
+      val hive = segs.dropRight(1).filter(_.contains('='))
+      ((importId +: hive) :+ s"part-$i-${segs.last}").mkString("/")
     }
+    // profile stats from the SOURCE footers (byte-identical after the
+    // rename), keyed by destination path, and PARK the import as a
+    // staged changeset BEFORE any file moves: staged entries are
+    // orphan-cleanup-protected, so a crash mid-import can never lose
+    // the only copy of the data — every file is at src or dest, the
+    // dest side shielded; `publish_staged`/`discard_staged` recover.
     val statsMap = new java.util.concurrent.ConcurrentHashMap[
       String, Map[String, ColStat]]()
     val infoMap = new java.util.concurrent.ConcurrentHashMap[
       String, FileInfo]()
-    moved.toList.asJava.parallelStream().forEach {
-      case (key, dest, len) =>
-        val (st, rows) = FileStats.collect(hconf, dest, sch, fields, key)
+    files.zip(destRels).toList.asJava.parallelStream().forEach {
+      case (f, r) =>
+        val key = s"$DATA_DIR/$r"
+        val (st, rows) = FileStats.collect(hconf, f, sch, fields, key)
         if (st.nonEmpty) statsMap.put(key, st)
-        infoMap.put(key, FileInfo(len, rows))
+        infoMap.put(key, FileInfo(fs.getFileStatus(f).getLen, rows))
     }
-    val added = moved.map(_._1)
+    val added = destRels.map(r => s"$DATA_DIR/$r")
+    val entries = added.map(k => ManifestEntry(k, 0L,
+      statsMap.getOrDefault(k, Map.empty), Map.empty,
+      Some(infoMap.get(k)), base.currentSpecId))
+    val m = Snapshot.mapper
+    val marker = m.createObjectNode()
+    marker.put("schema_json", base.schemaJson)
+    marker.put("spec_id", base.currentSpecId)
+    marker.set[com.fasterxml.jackson.databind.JsonNode]("chunk",
+      m.readTree(ManifestIO.chunkToJson(entries)))
+    fs.mkdirs(stagedDir)
+    writeStringExclusive(fs, stagedPath(importId),
+      m.writeValueAsString(marker))
+    files.zip(destRels).foreach { case (f, r) =>
+      val dest = new Path(dataDir, r)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(f, dest))
+        throw new java.io.IOException(s"rename $f -> $dest failed")
+    }
     val snap = commitWithRetry(base)() { b =>
       commit(b, "add-files", added = added, removed = Nil,
         live = b.liveFiles ++ added,
         addedStats = statsMap.asScala.toMap,
         addedInfo = infoMap.asScala.toMap)
     }
+    fs.delete(stagedPath(importId), false)
     (snap, added.size)
   }
 

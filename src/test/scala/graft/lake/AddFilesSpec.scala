@@ -100,6 +100,39 @@ class AddFilesSpec extends AnyFunSuite {
       cat.loadTable("ns", "tp2").addFiles(ext3))
   }
 
+  test("refuses the table's own directory; flattens 'data' segments") {
+    val wh = TestSpark.tmpDir("addfiles-self")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema)
+    val lt = cat.loadTable("ns", "t")
+    lt.append(df)
+    // importing the table's own data dir (or any parent of the table)
+    // would rename live files out from under the manifests
+    intercept[IllegalArgumentException](lt.addFiles(lt.root + "/data"))
+    intercept[IllegalArgumentException](lt.addFiles(wh))
+    assert(lt.scan().count() == 1)
+    // a source layout containing a dir literally named `data` must not
+    // survive into the stored path — the move-proof `data/`-boundary
+    // rule that lineage and position deletes key on pins the LAST such
+    // segment
+    val ext = TestSpark.tmpDir("addfiles-datadir")
+    Seq((2L, "b")).toDF("id", "v").write.mode("overwrite")
+      .parquet(ext + "/export/data")
+    val (_, n) = lt.addFiles(ext)
+    assert(n >= 1)
+    assert(lt.scan().count() == 2)
+    val stored = lt.files.select("file_path").collect()
+      .map(_.getString(0))
+    stored.foreach { p =>
+      assert(p.split('/').count(_ == "data") == 1, p)
+    }
+    // the import left no staged marker behind (protection was
+    // transient, released by the commit)
+    assert(lt.stagedIds.isEmpty)
+  }
+
   test("write constraints validate imported rows before ownership") {
     val wh = TestSpark.tmpDir("addfiles-chk")
     val cat = new LakeCatalog(spark, wh)

@@ -668,6 +668,27 @@ WHEN NOT MATCHED THEN INSERT *
     intercept[IllegalArgumentException](cat.sql("ns",
       "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS cnt, " +
         "sum(v) AS total FROM msrc WHERE v > 0 GROUP BY grp"))
+    // modifiers the maintenance machinery would silently ignore, a
+    // global aggregate, and a non-numeric value column all fail
+    // BEFORE any table is created
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, " +
+        "count(DISTINCT v) AS cnt, sum(v) AS total " +
+        "FROM msrc GROUP BY grp"))
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(id) AS cnt, " +
+        "sum(v) AS total FROM msrc GROUP BY grp"))
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT count(*) AS cnt, " +
+        "sum(v) AS total FROM msrc"))
+    intercept[Exception](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS cnt, " +
+        "sum(grp) AS total FROM msrc GROUP BY grp"))
+    assert(!cat.tableExists("ns", "bad"))
+    // DROP tears the temp views down — a re-query fails with
+    // not-found, never a read of the deleted table's files
+    intercept[Exception](
+      cat.sql("ns", "SELECT * FROM mex").collect())
   }
 
   test("metadata views refresh after HEAD-preserving mutations") {
