@@ -37,6 +37,10 @@ import graft.lake.LakeTable
   *    is `LakeTable.changes(start, end]` — every insert AND delete the
   *    range produced, tagged `_change_type` / `_commit_snapshot_id`,
   *    so merges/deletes/updates stream correctly instead of erroring.
+  *    `lineage` (on a `write.row-lineage` table) additionally carries
+  *    each row's `_row_id` and classifies COW-rewrite deltas as
+  *    `update_preimage`/`update_postimage` — the full Delta-CDF change
+  *    vocabulary, streamed.
   *  - `maxSnapshotsPerTrigger`: rate limit — at most this many table
   *    commits per micro-batch (≡ Delta's `maxFilesPerTrigger` /
   *    Iceberg's streaming rate limits, in this table's natural unit:
@@ -62,8 +66,13 @@ class GraftLakeStreamSource(
     options.getOrElse("startingSnapshotId", "0").toLong
   private val skipNonAppends =
     options.getOrElse("skipNonAppends", "false").toBoolean
-  private val changeFeed =
-    options.getOrElse("readChangeFeed", "false").toBoolean
+  private val changeFeedMode =
+    options.getOrElse("readChangeFeed", "false")
+      .toLowerCase(java.util.Locale.ROOT)
+  require(Seq("false", "true", "lineage").contains(changeFeedMode),
+    s"readChangeFeed must be true|false|lineage, got '$changeFeedMode'")
+  private val changeFeed = changeFeedMode != "false"
+  private val lineageFeed = changeFeedMode == "lineage"
   private val maxSnapshots: Option[Long] =
     options.get("maxSnapshotsPerTrigger").map { v =>
       val n = v.toLong
@@ -84,7 +93,8 @@ class GraftLakeStreamSource(
     availableNowTarget = table.currentSnapshotId
 
   override val schema: StructType =
-    if (changeFeed) GraftLakeStreamSource.changeFeedSchema(table.schema)
+    if (changeFeed) GraftLakeStreamSource.changeFeedSchema(table.schema,
+      lineage = lineageFeed)
     else table.schema
 
   /** Admission-control offset resolution (what the engine calls for a
@@ -121,7 +131,8 @@ class GraftLakeStreamSource(
     // rename/drop would otherwise surface as a bare AnalysisException
     // from the select below, so name the actual failure first
     val now =
-      if (changeFeed) GraftLakeStreamSource.changeFeedSchema(table.schema)
+      if (changeFeed) GraftLakeStreamSource.changeFeedSchema(
+        table.schema, lineage = lineageFeed)
       else table.schema
     val gone = schema.fieldNames.filterNot(now.fieldNames.toSet)
     if (gone.nonEmpty)
@@ -130,7 +141,8 @@ class GraftLakeStreamSource(
           s"under a running stream — columns no longer present: " +
           s"${gone.mkString(", ")}. Restart the stream (new checkpoint " +
           "or drop these columns from downstream) to adopt the new schema.")
-    val batch = (if (changeFeed) table.changes(lo, hi)
+    val batch = (if (lineageFeed) table.changesWithLineage(lo, hi)
+      else if (changeFeed) table.changes(lo, hi)
       else table.incrementalScan(lo, hi, skipNonAppends = skipNonAppends))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*) // stream schema is fixed at source creation
@@ -152,9 +164,14 @@ class GraftLakeStreamSource(
 object GraftLakeStreamSource {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
-  /** Table schema + the changelog tags [[LakeTable.changes]] emits. */
-  def changeFeedSchema(tableSchema: StructType): StructType =
-    StructType(tableSchema.fields ++ Seq(
+  /** Table schema + the changelog tags [[LakeTable.changes]] emits
+    * (plus `_row_id` in lineage mode, matching
+    * [[LakeTable.changesWithLineage]]'s column order). */
+  def changeFeedSchema(tableSchema: StructType,
+      lineage: Boolean = false): StructType =
+    StructType(tableSchema.fields ++
+      (if (lineage) Seq(StructField(LakeTable.ROW_ID_COL, LongType))
+       else Nil) ++ Seq(
       StructField(LakeTable.CHANGE_TYPE_COL, StringType, nullable = false),
       StructField(LakeTable.CHANGE_SNAP_COL, LongType, nullable = false)))
 }
@@ -211,9 +228,15 @@ class GraftLakeSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
       val t = LakeTable.load(sqlContext.sparkSession, rootOf(parameters))
-      if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
-        GraftLakeStreamSource.changeFeedSchema(t.schema)
-      else t.schema
+      parameters.getOrElse("readChangeFeed", "false")
+          .toLowerCase(java.util.Locale.ROOT) match {
+        case "false" => t.schema
+        case "true" => GraftLakeStreamSource.changeFeedSchema(t.schema)
+        case "lineage" =>
+          GraftLakeStreamSource.changeFeedSchema(t.schema, lineage = true)
+        case other => throw new IllegalArgumentException(
+          s"readChangeFeed must be true|false|lineage, got '$other'")
+      }
     })
 
   override def createSource(sqlContext: SQLContext,

@@ -174,6 +174,39 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(sunk().diff(batchFeed) == Set((9L, "z", "insert")))
   }
 
+  test("readChangeFeed=lineage streams typed updates with row ids") {
+    val base = TestSpark.tmpDir("lakecdflin")
+    val root = s"$base/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = LakeTable.create(spark, root, df.schema,
+      properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+    t.append(df.coalesce(1))
+    t.update($"id" === 1L, Map("v" -> org.apache.spark.sql
+      .functions.lit("A")))
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "lineage").load(root)
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$base/out")
+      .select($"id", $"v", $"_change_type", $"_row_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    val rid = rows.find(_._3 == "update_preimage").get._4
+    assert(rows.contains((1L, "a", "update_preimage", rid)))
+    assert(rows.contains((1L, "A", "update_postimage", rid)))
+    assert(rows.count(_._3 == "insert") == 2)
+    // a bad mode is refused loudly
+    intercept[Exception] {
+      val qq = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "bogus").load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt3")
+        .trigger(Trigger.AvailableNow()).start()
+      qq.awaitTermination()
+    }
+  }
+
   test("startingSnapshotId skips history; non-appends error by default") {
     val base = TestSpark.tmpDir("lakestream2")
     val root = s"$base/t"
