@@ -922,6 +922,27 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("total"), 2).as("total"))
     }),
 
+    // policy-driven maintenance: 4 small appends, then ONE CALL runs
+    // the table's declared binpack + expiry + orphan policy — the
+    // oracle proves content invariance through the whole pass
+    "q_maintain" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-maint")
+      val cat = new graft.lake.LakeCatalog(s, base)
+      cat.createNamespace("m")
+      cat.createTable("m", "t", orders.schema, properties = Map(
+        LakeTable.PROP_MAINT_BINPACK_BYTES ->
+          (64L * 1024 * 1024).toString,
+        LakeTable.PROP_MAINT_EXPIRE_KEEP -> "2",
+        LakeTable.PROP_MAINT_ORPHAN_AGE_MS -> "3600000"))
+      val lt = cat.loadTable("m", "t")
+      (0 until 4).foreach(i =>
+        lt.append(orders.where(col("o_orderkey") % 4 === i)))
+      cat.sql("m", "CALL system.maintain('t')").collect()
+      cat.sql("m", "SELECT o_orderkey, o_custkey, " +
+        "round(o_totalprice, 2) AS o_totalprice FROM t")
+    }),
+
     "q_mv_staleness" -> ((s, dir) => {
       // the staleness probe around one refresh cycle — snapshot ids
       // are sequential (create=1, then +1 per commit), so every number
@@ -2470,6 +2491,11 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(count(*) AS BIGINT) AS n_ids,
         |  CAST(count(*) AS BIGINT) AS n_preserved
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    "q_maintain" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     "q_cdc_lineage" ->
       """SELECT 'insert' AS change_type,
