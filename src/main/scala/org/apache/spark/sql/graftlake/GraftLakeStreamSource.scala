@@ -67,12 +67,15 @@ class GraftLakeStreamSource(
   private val skipNonAppends =
     options.getOrElse("skipNonAppends", "false").toBoolean
   private val changeFeedMode =
-    options.getOrElse("readChangeFeed", "false")
-      .toLowerCase(java.util.Locale.ROOT)
-  require(Seq("false", "true", "lineage").contains(changeFeedMode),
-    s"readChangeFeed must be true|false|lineage, got '$changeFeedMode'")
+    GraftLakeStreamSource.changeFeedModeOf(options)
   private val changeFeed = changeFeedMode != "false"
   private val lineageFeed = changeFeedMode == "lineage"
+  // fail at source creation, not at the first micro-batch — by then a
+  // checkpoint already exists
+  require(!lineageFeed ||
+      table.properties.get(LakeTable.PROP_ROW_LINEAGE).contains("true"),
+    s"readChangeFeed=lineage needs a ${LakeTable.PROP_ROW_LINEAGE} " +
+      s"table — $root has no row lineage")
   private val maxSnapshots: Option[Long] =
     options.get("maxSnapshotsPerTrigger").map { v =>
       val n = v.toLong
@@ -164,6 +167,18 @@ class GraftLakeStreamSource(
 object GraftLakeStreamSource {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
+  /** Single source of truth for the `readChangeFeed` option
+    * vocabulary — the provider's schema resolution and the source
+    * constructor must agree or the modes drift. */
+  private[graftlake] def changeFeedModeOf(
+      options: Map[String, String]): String = {
+    val mode = options.getOrElse("readChangeFeed", "false")
+      .toLowerCase(java.util.Locale.ROOT)
+    require(Seq("false", "true", "lineage").contains(mode),
+      s"readChangeFeed must be true|false|lineage, got '$mode'")
+    mode
+  }
+
   /** Table schema + the changelog tags [[LakeTable.changes]] emits
     * (plus `_row_id` in lineage mode, matching
     * [[LakeTable.changesWithLineage]]'s column order). */
@@ -228,14 +243,16 @@ class GraftLakeSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
       val t = LakeTable.load(sqlContext.sparkSession, rootOf(parameters))
-      parameters.getOrElse("readChangeFeed", "false")
-          .toLowerCase(java.util.Locale.ROOT) match {
+      GraftLakeStreamSource.changeFeedModeOf(parameters) match {
         case "false" => t.schema
         case "true" => GraftLakeStreamSource.changeFeedSchema(t.schema)
         case "lineage" =>
+          require(t.properties.get(LakeTable.PROP_ROW_LINEAGE)
+              .contains("true"),
+            s"readChangeFeed=lineage needs a " +
+              s"${LakeTable.PROP_ROW_LINEAGE} table — " +
+              s"${rootOf(parameters)} has no row lineage")
           GraftLakeStreamSource.changeFeedSchema(t.schema, lineage = true)
-        case other => throw new IllegalArgumentException(
-          s"readChangeFeed must be true|false|lineage, got '$other'")
       }
     })
 

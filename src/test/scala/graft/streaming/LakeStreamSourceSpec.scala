@@ -205,6 +205,13 @@ class LakeStreamSourceSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       qq.awaitTermination()
     }
+    // lineage mode on a non-lineage table fails FAST (at load, before
+    // any checkpoint exists)
+    val plainRoot = s"$base/plain"
+    LakeTable.create(spark, plainRoot, df.schema)
+    val e = intercept[Exception](spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "lineage").load(plainRoot))
+    assert(e.getMessage.contains("row-lineage"), e.getMessage)
   }
 
   test("startingSnapshotId skips history; non-appends error by default") {
