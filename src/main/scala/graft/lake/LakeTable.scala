@@ -3429,12 +3429,19 @@ final class LakeTable private (
     * nightly-job surface (`CALL system.maintain('t')`): each
     * `maintenance.*` table property, when present, drives one action,
     * so the schedule lives WITH the table instead of in every
-    * operator's cron. Order: small-file binpack first (its retired
-    * inputs become expirable history), then snapshot expiry, then
-    * orphan cleanup. Returns (action, detail) per action run. */
+    * operator's cron. Order: Z-order rewrite and small-file binpack
+    * first (their retired inputs become expirable history), then
+    * snapshot expiry, then orphan cleanup. Returns (action, detail)
+    * per action run. */
   def maintain(): Seq[(String, String)] = {
     val props = properties
     val out = Seq.newBuilder[(String, String)]
+    props.get(PROP_MAINT_ZORDER_COLUMNS).foreach { cs =>
+      val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val snap = compact(1, cols)
+      out += ("rewrite_data_files" ->
+        s"zorder=${cols.mkString(",")} snapshot=$snap")
+    }
     props.get(PROP_MAINT_BINPACK_BYTES).foreach { b =>
       val snap = binPack(b.toLong)
       out += ("rewrite_small_files" ->
@@ -4044,6 +4051,7 @@ object LakeTable {
 
   /** Declared maintenance policy (see [[LakeTable.maintain]]): each
     * property present enables one action of `CALL system.maintain`. */
+  val PROP_MAINT_ZORDER_COLUMNS = "maintenance.zorder.columns"
   val PROP_MAINT_BINPACK_BYTES = "maintenance.binpack.target-bytes"
   val PROP_MAINT_EXPIRE_KEEP = "maintenance.expire.keep-last"
   val PROP_MAINT_EXPIRE_AGE_MS = "maintenance.expire.max-age-ms"

@@ -517,6 +517,16 @@ WHEN NOT MATCHED THEN INSERT *
     // a table with NO declared policy is a clean no-op
     cat.createTable("ns", "mnt2", df.schema)
     assert(cat.sql("ns", "CALL system.maintain('mnt2')").count() == 0)
+    // a declared Z-order policy rewrites with the clustering columns
+    val dfz = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
+    cat.createTable("ns", "mntz", dfz.schema, properties = Map(
+      LakeTable.PROP_MAINT_ZORDER_COLUMNS -> "id,x"))
+    cat.loadTable("ns", "mntz").append(dfz)
+    val za = cat.sql("ns", "CALL system.maintain('mntz')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(za.map(_._1).toSeq == Seq("rewrite_data_files"), za.toSeq)
+    assert(za.head._2.contains("zorder=id,x"))
+    assert(cat.loadTable("ns", "mntz").scan().count() == 2)
   }
 
   test("qualified UPDATE predicate columns resolve after qualifier strip") {
