@@ -154,6 +154,17 @@ object FileStats {
     (fromPath ++ footer ++ partNulls, rows)
   }
 
+  /** Top-level field names of one file's footer schema (a single footer
+    * open — the add_files per-file gate: Spark's merged inference would
+    * union columns across files and let a file MISSING a table column
+    * slip through to read back as silent NULLs). */
+  def footerFieldNames(conf: Configuration, file: Path): Set[String] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally reader.close()
+  }
+
   /** Dir names of this path's `__HIVE_DEFAULT_PARTITION__` segments. */
   private def nullPartitionDirs(relPath: String): Set[String] =
     relPath.split('/').dropRight(1).flatMap { seg =>

@@ -867,7 +867,22 @@ object LakeSql {
       else IncrementalMv.targetSchema(src, keys))
     IncrementalMv.define(cat.loadTable(ns, name), srcName, keys, vCol,
       if (extremes) "extremes" else "sum")
-    val snap = IncrementalMv.refreshByName(cat, ns, name)
+    // the name/type gates above run before target creation, but the
+    // initial refresh can still fail on the SOURCE's history (e.g. a
+    // schema-changing commit changes() refuses) — tear the just-created
+    // target down so no defined-but-broken MV is left behind
+    val snap =
+      try IncrementalMv.refreshByName(cat, ns, name)
+      catch {
+        case e: Throwable =>
+          try {
+            cat.dropTable(ns, name)
+            Seq("", "_history", "_files", "_snapshots", "_partitions",
+              "_refs", "_manifests").foreach(sfx =>
+              cat.spark.catalog.dropTempView(s"$name$sfx"))
+          } catch { case _: Throwable => () } // surface the refresh error
+          throw e
+      }
     cat.registerViews(ns)
     Seq((name, snap)).toDF("mv", "snapshot_id")
   }

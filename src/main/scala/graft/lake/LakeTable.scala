@@ -644,13 +644,21 @@ final class LakeTable private (
     * bumps). The catalog's view-registration ledger keys on this in
     * addition to HEAD so `t_refs` / `t_snapshots` / `t_history` temp
     * views never serve pre-mutation state from cache. Content hash of
-    * refs (one small read) + metadata-dir mtime: two fs calls, cross-
-    * process visible. */
+    * refs (one small read) + the v*.json population (count and max id
+    * from one directory listing): mtime granularity is 1 s on many
+    * filesystems, so an expire within the same tick as the last view
+    * registration would be invisible to an mtime stamp — the version-
+    * file census changes on EVERY commit or expire regardless of
+    * clock resolution. Two fs calls, cross-process visible. */
   def metadataStamp: (Long, Long) = {
-    val dirM =
-      try fs.getFileStatus(metaDir).getModificationTime
-      catch { case _: java.io.IOException => 0L }
-    (refs.hashCode.toLong, dirM)
+    val vs =
+      try fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      catch { case _: java.io.IOException => Seq.empty[Long] }
+    (refs.hashCode.toLong,
+      if (vs.isEmpty) 0L else vs.size.toLong * 1000003L + vs.max)
   }
 
   def createTag(name: String, snapshotId: Long): Unit =
@@ -741,18 +749,27 @@ final class LakeTable private (
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
   }
 
-  private def readStaged(wapId: String): (String, Long, Seq[ManifestEntry]) = {
+  /** (schemaJson, specId, entries, sources). `sources` is non-empty
+    * only for `add_files` IMPORT markers: dest rel-path → absolute
+    * source path of the rename that carried the file in. */
+  private def readStaged(wapId: String)
+      : (String, Long, Seq[ManifestEntry], Map[String, String]) = {
     require(fs.exists(stagedPath(wapId)),
       s"no staged changeset $wapId on $root")
     val m = Snapshot.mapper
     val n = m.readTree(readString(fs, stagedPath(wapId)))
+    val sources = Option(n.get("sources")).map { s =>
+      s.properties().asScala.map(e => e.getKey -> e.getValue.asText())
+        .toMap
+    }.getOrElse(Map.empty)
     (n.path("schema_json").asText(), n.path("spec_id").asLong(),
-      ManifestIO.chunkFromJson(m.writeValueAsString(n.get("chunk"))))
+      ManifestIO.chunkFromJson(m.writeValueAsString(n.get("chunk"))),
+      sources)
   }
 
   /** The parked rows of a staged changeset (for auditing). */
   def scanStaged(wapId: String): DataFrame = {
-    val (schemaJson, _, entries) = readStaged(wapId)
+    val (schemaJson, _, entries, _) = readStaged(wapId)
     require(schemaJson == current.schemaJson,
       s"staged changeset $wapId predates a schema evolution — " +
         "discard and re-stage")
@@ -761,9 +778,36 @@ final class LakeTable private (
 
   /** Commit a staged changeset: its already-written files join the table
     * as a normal append (declaratively retry-safe like [[append]] — the
-    * files are fresh, every interleaved same-layout commit commutes). */
+    * files are fresh, every interleaved same-layout commit commutes).
+    *
+    * For an `add_files` IMPORT marker (crash recovery), the move is
+    * completed first: any entry whose dest file is missing is renamed
+    * in from its recorded source — the manifest must never commit a
+    * path that does not exist. A marker whose entries are ALREADY live
+    * (crash between the import's commit and its marker cleanup) only
+    * clears the marker — never double-adds. */
   def publishStaged(wapId: String): Long = {
-    val (schemaJson, specId, entries) = readStaged(wapId)
+    val (schemaJson, specId, entries, sources) = readStaged(wapId)
+    if (sources.nonEmpty) {
+      val live = current.liveFiles.toSet
+      if (entries.forall(e => live(e.path))) {
+        fs.delete(stagedPath(wapId), false)
+        return current.snapshotId
+      }
+      entries.foreach { e =>
+        val dest = new Path(rootPath, e.path)
+        if (!fs.exists(dest)) {
+          val src = new Path(sources.getOrElse(e.path,
+            throw new IllegalStateException(
+              s"import $wapId: no recorded source for ${e.path}")))
+          require(fs.exists(src),
+            s"import $wapId: ${e.path} missing at both $dest and $src")
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(s"rename $src -> $dest failed")
+        }
+      }
+    }
     val added = entries.map(_.path)
     val stats = entries.filter(_.stats.nonEmpty)
       .map(e => e.path -> e.stats).toMap
@@ -779,10 +823,37 @@ final class LakeTable private (
     id
   }
 
-  /** Drop a staged changeset and its parked data files. */
+  /** Drop a staged changeset and its parked data files.
+    *
+    * An `add_files` IMPORT marker's dest files are the ONLY copy (they
+    * arrived by rename, not copy) — discard moves them BACK to their
+    * recorded source paths instead of deleting. A marker whose entries
+    * are already live (crash after the import's commit) only clears
+    * the marker: the files belong to the table now. */
   def discardStaged(wapId: String): Unit = {
-    val (_, _, entries) = readStaged(wapId)
-    deleteAll(entries.map(e => new Path(rootPath, e.path)))
+    val (_, _, entries, sources) = readStaged(wapId)
+    if (sources.nonEmpty) {
+      val live = current.liveFiles.toSet
+      val livePaths = entries.map(_.path).filter(live)
+      if (livePaths.nonEmpty) {
+        require(livePaths.size == entries.size, s"import $wapId is " +
+          s"partially committed (${livePaths.size}/${entries.size} " +
+          "files live) — refusing discard; publish_staged to recover")
+        fs.delete(stagedPath(wapId), false)
+        return
+      }
+      entries.foreach { e =>
+        val dest = new Path(rootPath, e.path)
+        if (fs.exists(dest)) {
+          val src = new Path(sources.getOrElse(e.path,
+            throw new IllegalStateException(
+              s"import $wapId: no recorded source for ${e.path}")))
+          fs.mkdirs(src.getParent)
+          if (!fs.rename(dest, src))
+            throw new java.io.IOException(s"rename $dest -> $src failed")
+        }
+      }
+    } else deleteAll(entries.map(e => new Path(rootPath, e.path)))
     fs.delete(stagedPath(wapId), false)
   }
 
@@ -874,7 +945,7 @@ final class LakeTable private (
     val id = commitWithRetry(base)() { b =>
       if (watermarked(b)) b.snapshotId
       else {
-        loaded.foreach { case (schemaJson, specId, _) =>
+        loaded.foreach { case (schemaJson, specId, _, _) =>
           require(b.schemaJson == schemaJson && b.currentSpecId == specId,
             s"branch $name predates a schema or partition-spec " +
               "evolution — discard and re-stage")
@@ -1195,7 +1266,11 @@ final class LakeTable private (
     // discovers the partition dirs (and constraint checks see their
     // values).
     def sourceRead(schemaOpt: Option[StructType]) = {
-      val r0 = spark.read
+      // mergeSchema so the inferred view is the UNION of all footers —
+      // a type conflict between files surfaces here instead of being
+      // hidden by whichever single footer inference happened to pick
+      // (per-file column PRESENCE is gated separately below)
+      val r0 = spark.read.option("mergeSchema", "true")
       val r = schemaOpt.map(r0.schema).getOrElse(r0)
       if (fields.isEmpty) r.parquet(files.map(_.toString): _*)
       else r.option("basePath", src.toString).parquet(src.toString)
@@ -1234,13 +1309,32 @@ final class LakeTable private (
       String, Map[String, ColStat]]()
     val infoMap = new java.util.concurrent.ConcurrentHashMap[
       String, FileInfo]()
+    // per-file column-presence gate, in the same pass that opens every
+    // footer anyway: the merged-inference check above cannot see a file
+    // that merely LACKS a table column (its rows would read back as
+    // silent NULLs after import) — every footer must carry every
+    // non-partition table column, or the import fails before any rename
+    val expectNames = expect.keySet
+    val schemaErrs =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     files.zip(destRels).toList.asJava.parallelStream().forEach {
       case (f, r) =>
+        scala.util.Try(FileStats.footerFieldNames(hconf, f)) match {
+          case scala.util.Success(names) =>
+            val miss = expectNames -- names
+            if (miss.nonEmpty) schemaErrs.add(
+              s"$f lacks ${miss.toSeq.sorted.mkString(", ")}")
+          case scala.util.Failure(_) =>
+            schemaErrs.add(s"$f: unreadable parquet footer")
+        }
         val key = s"$DATA_DIR/$r"
         val (st, rows) = FileStats.collect(hconf, f, sch, fields, key)
         if (st.nonEmpty) statsMap.put(key, st)
         infoMap.put(key, FileInfo(fs.getFileStatus(f).getLen, rows))
     }
+    require(schemaErrs.isEmpty,
+      "add_files refused — files missing table columns: " +
+        schemaErrs.asScala.toSeq.sorted.take(5).mkString("; "))
     val added = destRels.map(r => s"$DATA_DIR/$r")
     val entries = added.map(k => ManifestEntry(k, 0L,
       statsMap.getOrDefault(k, Map.empty), Map.empty,
@@ -1251,6 +1345,15 @@ final class LakeTable private (
     marker.put("spec_id", base.currentSpecId)
     marker.set[com.fasterxml.jackson.databind.JsonNode]("chunk",
       m.readTree(ManifestIO.chunkToJson(entries)))
+    // dest → source map: files arrive by RENAME, so after a crash each
+    // one exists at exactly one of the two paths — recovery
+    // (publish_staged / discard_staged) must know the other endpoint to
+    // complete or undo the move instead of committing ghosts or
+    // deleting the only copy
+    val srcNode = marker.putObject("sources")
+    files.zip(destRels).foreach { case (f, r) =>
+      srcNode.put(s"$DATA_DIR/$r", fs.makeQualified(f).toString)
+    }
     fs.mkdirs(stagedDir)
     writeStringExclusive(fs, stagedPath(importId),
       m.writeValueAsString(marker))
@@ -2320,6 +2423,10 @@ final class LakeTable private (
     * time travel sees each era's own properties. */
   def setProperties(props: Map[String, String]): Long = {
     val base = current
+    require(!(props.get(LakeTable.PROP_ROW_LINEAGE).contains("true") &&
+        schema.fieldNames.contains(LakeTable.ROW_ID_COL)),
+      s"cannot enable ${LakeTable.PROP_ROW_LINEAGE}: the schema already " +
+        s"has a user column named ${LakeTable.ROW_ID_COL} (reserved)")
     commit(base, "set-properties", added = Nil, removed = Nil,
       live = base.liveFiles,
       propertiesOverride = Some(base.properties ++ props))
@@ -2455,6 +2562,9 @@ final class LakeTable private (
     val base = current
     val sch = schema
     require(!sch.fieldNames.contains(name), s"column $name already exists")
+    require(!(rowLineageEnabled && name == LakeTable.ROW_ID_COL),
+      s"column name ${LakeTable.ROW_ID_COL} is reserved on a " +
+        s"${LakeTable.PROP_ROW_LINEAGE}=true table")
     require(nullable,
       "new columns must be nullable: existing files carry no values")
     val metadata = defaultSql match {
@@ -2497,6 +2607,9 @@ final class LakeTable private (
     require(sch.fieldNames.contains(oldName), s"no column $oldName")
     require(!sch.fieldNames.contains(newName),
       s"column $newName already exists")
+    require(!(rowLineageEnabled && newName == LakeTable.ROW_ID_COL),
+      s"column name ${LakeTable.ROW_ID_COL} is reserved on a " +
+        s"${LakeTable.PROP_ROW_LINEAGE}=true table")
     requireNoConstraintOn(oldName, "rename")
     require(!specSources.contains(oldName),
       s"cannot rename partition source column $oldName " +
@@ -4126,6 +4239,12 @@ object LakeTable {
       properties: Map[String, String] = Map.empty): LakeTable = {
     require(!exists(spark, root), s"table $root already exists")
     validateSpec(schema, partitionBy)
+    // the lineage column is engine-assigned; a user column of the same
+    // name would duplicate in every lineage projection and COW rewrite
+    require(!properties.get(PROP_ROW_LINEAGE).contains("true") ||
+        !schema.fieldNames.contains(ROW_ID_COL),
+      s"column name $ROW_ID_COL is reserved on a $PROP_ROW_LINEAGE=true " +
+        "table (engine-assigned row lineage)")
     val t = new LakeTable(spark, root)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(root, METADATA_DIR))

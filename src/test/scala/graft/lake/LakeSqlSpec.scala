@@ -734,5 +734,38 @@ WHEN NOT MATCHED THEN INSERT *
     assert(cat.sql("ns",
       "SELECT name FROM hp_refs").collect().map(_.getString(0))
       .contains("silver"))
+    // direct-API expire immediately after a view query: dir-mtime has
+    // 1 s granularity on many filesystems, so only the v*.json census
+    // in the stamp makes this visible without any clock settling
+    lt.append(Seq((3L, "c")).toDF("id", "v"))
+    lt.append(Seq((4L, "d")).toDF("id", "v"))
+    val n0 = cat.sql("ns", "SELECT count(*) AS n FROM hp_snapshots")
+      .head().getLong(0)
+    lt.dropRef("silver") // refs protect snapshots from expiry
+    lt.expireSnapshots(1)
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM hp_snapshots")
+      .head().getLong(0) < n0)
+  }
+
+  test("CREATE MATERIALIZED VIEW tears down on a failed first refresh") {
+    // the initial refresh reads the SOURCE's full changelog — a
+    // schema-changing commit in that history makes changes() refuse,
+    // which must not strand a defined-but-broken MV behind
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a", 1.0)).toDF("id", "grp", "v")
+    cat.createTable("ns", "esrc", df.schema)
+    val src = cat.loadTable("ns", "esrc")
+    src.append(df)
+    src.addColumn("extra", org.apache.spark.sql.types.LongType)
+    intercept[UnsupportedOperationException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW emv AS SELECT grp, count(*) AS cnt, " +
+        "sum(v) AS total FROM esrc GROUP BY grp"))
+    assert(!cat.tableExists("ns", "emv"))
+    // the name is immediately reusable (no half-created residue)
+    intercept[UnsupportedOperationException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW emv AS SELECT grp, count(*) AS cnt, " +
+        "sum(v) AS total FROM esrc GROUP BY grp"))
+    assert(!cat.tableExists("ns", "emv"))
   }
 }

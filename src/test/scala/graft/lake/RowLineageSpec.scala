@@ -140,4 +140,31 @@ class RowLineageSpec extends AnyFunSuite {
     // and the counter property never appears
     assert(!lt.properties.contains(LakeTable.PROP_NEXT_ROW_ID))
   }
+
+  test("_row_id is a reserved name wherever lineage is on") {
+    import org.apache.spark.sql.types.LongType
+    val clash = Seq((1L, 2L)).toDF("id", LakeTable.ROW_ID_COL)
+    // create: a user column named _row_id + lineage would duplicate in
+    // every lineage projection and COW rewrite
+    intercept[IllegalArgumentException](LakeTable.create(spark,
+      TestSpark.tmpDir("lineage-resv") + "/t", clash.schema,
+      properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true")))
+    // schema evolution on a lineage table can't mint one either
+    val lt = LakeTable.create(spark,
+      TestSpark.tmpDir("lineage-resv2") + "/t",
+      Seq((1L, "a")).toDF("id", "v").schema,
+      properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+    intercept[IllegalArgumentException](
+      lt.addColumn(LakeTable.ROW_ID_COL, LongType))
+    intercept[IllegalArgumentException](
+      lt.renameColumn("v", LakeTable.ROW_ID_COL))
+    // nor can lineage be switched on over an existing _row_id column
+    val plain = LakeTable.create(spark,
+      TestSpark.tmpDir("lineage-resv3") + "/t", clash.schema)
+    intercept[IllegalArgumentException](plain.setProperties(
+      Map(LakeTable.PROP_ROW_LINEAGE -> "true")))
+    // without lineage the name stays an ordinary (if ill-advised) column
+    plain.append(clash)
+    assert(plain.scan().count() == 1)
+  }
 }
