@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -14,8 +12,6 @@ import org.apache.spark.sql.types._
   * seen-files tracking replacing the mtime checkpoint).
   */
 object StreamingIngest {
-
-  private val counter = new AtomicInteger(0)
 
   /** Streaming read of the events files with event time normalized to
     * `event_time` (TimestampType) + `ts_us` (epoch µs LongType),
@@ -37,6 +33,55 @@ object StreamingIngest {
       .parquet(dir)
       .withColumn("event_time", graft.sources.EventTime.eventTimeExpr(tsType))
       .withColumn("ts_us", unix_micros(col("event_time")))
+  }
+
+  /** Drain an APPEND-mode streaming frame through the graft-lake
+    * streaming sink and scan the committed table back: result delivery
+    * stays DISTRIBUTED (executors write data files; the driver only
+    * commits manifests). A `format("memory")` sink would accumulate
+    * the whole result in driver memory — fine for a 6-row fixture,
+    * a driver-OOM shape for a wide interval-join result at 100 TB. */
+  private[graft] def drainToLake(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$tag").toString
+    val root = s"$base/t"
+    graft.lake.LakeTable.create(spark, root, df.schema)
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("graft-lake")
+      .option("path", root)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.lake.LakeTable.load(spark, root).scan()
+  }
+
+  /** [[drainToLake]]'s COMPLETE-mode twin: each trigger's full result
+    * replaces the lake table's content (one atomic overwrite commit per
+    * micro-batch — the lake sink itself is append-only by contract, so
+    * complete mode routes through foreachBatch). The scan after drain
+    * is the LAST trigger's result, which under AvailableNow is the
+    * complete aggregate. */
+  private[graft] def drainCompleteToLake(df: DataFrame,
+      tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$tag").toString
+    val root = s"$base/t"
+    val table = graft.lake.LakeTable.create(spark, root, df.schema)
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.overwrite(batch)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.scan()
   }
 
   /** Tail a lake table's COMMIT LOG as a stream
@@ -74,18 +119,10 @@ object StreamingIngest {
     * value sum. */
   def availableNowAggregate(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
-    val name = s"graft_stream_agg_${counter.incrementAndGet()}"
     val stream = eventsStream(spark, dir, glob)
     val agg = stream.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainCompleteToLake(agg, "agg")
   }
 
   /** Watermarked event-time tumbling-window aggregation in APPEND mode:
@@ -97,7 +134,6 @@ object StreamingIngest {
       windowDuration: String = "1 hour",
       watermarkDelay: String = "1 hour",
       glob: String = "events.parquet"): DataFrame = {
-    val name = s"graft_stream_window_${counter.incrementAndGet()}"
     val stream = eventsStream(spark, dir, glob)
     val agg = stream
       .withWatermark("event_time", watermarkDelay)
@@ -109,14 +145,7 @@ object StreamingIngest {
         unix_micros(col("window.start")).as("window_start_us"),
         unix_micros(col("window.end")).as("window_end_us"),
         col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToLake(agg, "window")
   }
 
   /** Streaming exactly-once dedup (`dropDuplicatesWithinWatermark`):
@@ -133,7 +162,6 @@ object StreamingIngest {
   def streamingDedup(spark: SparkSession, dir: String,
       watermarkDelay: String = "1 hour",
       glob: String = "events.parquet"): DataFrame = {
-    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
     def delivery() = eventsStream(spark, dir, glob)
     val deduped = delivery().union(delivery())
       .withWatermark("event_time", watermarkDelay)
@@ -142,14 +170,7 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "event_time")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("event_time")).as("ts_us"))
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToLake(deduped, "dedup")
   }
 
   /** Stream-static ENRICHMENT against a lake dimension (the streaming
@@ -214,7 +235,6 @@ object StreamingIngest {
       windowSeconds: Long, glob: String = "events.parquet",
       joinType: String = "inner",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val name = s"graft_stream_ijoin_${counter.incrementAndGet()}"
     def side(eventType: String, prefix: String) =
       eventsStream(spark, dir, glob, maxFilesPerTrigger)
         .where(col("event_type") === eventType)
@@ -234,14 +254,7 @@ object StreamingIngest {
         col("c_id").as("click_id"), col("p_id").as("purchase_id"),
         unix_micros(col("c_time")).as("click_ts_us"),
         unix_micros(col("p_time")).as("purchase_ts_us"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToLake(joined, "ijoin")
   }
 
   /** Exactly-once streaming FAN-OUT to several lake tables: each
@@ -407,18 +420,11 @@ object StreamingSessionize {
   def run(spark: SparkSession, dir: String,
       gapSeconds: Long, glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
-    val name = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val events = StreamingIngest.eventsStream(spark, dir, glob)
       .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
       .as[Event]
-    val q = sessionize(events, gapSeconds).writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    StreamingIngest.drainToLake(sessionize(events, gapSeconds).toDF(),
+      "sessions")
   }
 
   /** [[run]]'s timeout-emitting twin: gap-closed sessions emit as they
@@ -430,7 +436,6 @@ object StreamingSessionize {
       watermarkDelay: String = "1 hour",
       glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
-    val name = s"graft_stream_sessions_to_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // event_time STAYS in the projection: the watermark attribute must
     // survive into the flatMapGroupsWithState child for Spark to accept
     // EventTimeTimeout (extra columns are fine for the typed view)
@@ -439,13 +444,7 @@ object StreamingSessionize {
       .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value",
         $"event_time")
       .as[Event]
-    val q = sessionizeWithTimeout(events, gapSeconds).writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    StreamingIngest.drainToLake(
+      sessionizeWithTimeout(events, gapSeconds).toDF(), "sessions_to")
   }
 }
