@@ -1610,6 +1610,9 @@ WHEN NOT MATCHED THEN INSERT *
     "q_stream_interval_join" -> ((s, dir) =>
       StreamingIngest.intervalJoin(s, dir, windowSeconds = 900)),
 
+    "q_stream_upsert" -> ((s, dir) =>
+      StreamingIngest.streamingUpsert(s, dir)),
+
     "q_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -3119,6 +3122,27 @@ WHEN NOT MATCHED THEN INSERT *
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts_us >= c.ts_us
         |  AND p.ts_us <= c.ts_us + 900000000""".stripMargin,
+
+    // streaming MOR upsert: three ordered drops (event_id % 3), one
+    // row per user per drop (max event_id), MERGEd in drop order with
+    // 'error' rows as CDC deletes — final state is last-writer-wins
+    // per user, minus users whose last action was a delete
+    "q_stream_upsert" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         round(value, 2) AS value, epoch_us(ts) AS ts_us,
+        |         event_id % 3 AS chunk
+        |  FROM events),
+        |reps AS (
+        |  SELECT * FROM e
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, chunk ORDER BY event_id DESC) = 1),
+        |last AS (
+        |  SELECT * FROM reps
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY chunk DESC) = 1)
+        |SELECT event_id, user_id, event_type, value, ts_us
+        |FROM last WHERE event_type <> 'error'""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (

@@ -1647,7 +1647,8 @@ final class LakeTable private (
     * are excluded from the delete file), matching the COW contract. */
   private def mergeMor(base: Snapshot, src: DataFrame,
       keys: Seq[String], extraDeleteKeys: Option[DataFrame] = None,
-      dropUnmatchedWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+      dropUnmatchedWhen: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val WriteResult(added, stats, info) = writeDataFiles(src)
     // one equality-delete file covers upserts (replaced by the
     // after-image) AND CDC delete rows (no after-image at all)
@@ -1675,12 +1676,53 @@ final class LakeTable private (
     // current data file (including a racer's fresh appends — exactly
     // the declarative upsert contract), and the after-image outranks it
     commitWithRetry(base)() { b =>
-      val seq = b.snapshotId + 1
-      commit(b, "merge", added = added, removed = Nil,
-        live = b.liveFiles ++ added, addedStats = stats, addedInfo = info,
-        deletesOverride = Some(b.deleteFiles ++
-          delPaths.map(p => DeleteFile(p, seq, keys, keys))))
+      // a replayed exactly-once batch racing its own earlier success:
+      // re-check the watermark on the REBASED head and skip rather
+      // than double-merge (the just-written files become orphans for
+      // maintenance, same as the append path)
+      if (txn.exists { case (app, v) =>
+          b.properties.get(s"txn.$app").exists(_.toLong >= v) })
+        b.snapshotId
+      else {
+        val seq = b.snapshotId + 1
+        commit(b, "merge", added = added, removed = Nil,
+          live = b.liveFiles ++ added, addedStats = stats, addedInfo = info,
+          deletesOverride = Some(b.deleteFiles ++
+            delPaths.map(p => DeleteFile(p, seq, keys, keys))),
+          propertiesOverride = txn.map { case (app, v) =>
+            b.properties + (s"txn.$app" -> v.toString)
+          })
+      }
     }
+  }
+
+  /** Exactly-once streaming MERGE (the write-side contract behind the
+    * lake streaming sink's `mergeKeys` option): [[merge]]'s upsert +
+    * CDC-delete semantics guarded by the same `txn.<appId>` snapshot
+    * watermark as [[appendOnce]] — a micro-batch replayed after a
+    * crash between table commit and streaming-offset commit finds its
+    * own (appId, batchId) watermark and skips. Merge-on-read tables
+    * only: per-batch COW would rewrite data files every trigger, while
+    * the MOR path costs one data file + one equality-delete file per
+    * batch regardless of table size — the only merge shape that
+    * survives a continuous 100-TB silver layer. */
+  def mergeOnce(source: DataFrame, keys: Seq[String], appId: String,
+      version: Long,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(properties.get(PROP_MERGE_MODE).contains("merge-on-read"),
+      s"mergeOnce needs $PROP_MERGE_MODE=merge-on-read — a per-batch " +
+        "COW rewrite is not a streaming-viable plan")
+    autoEvolveFor(source)
+    val base = current
+    if (base.properties.get(s"txn.$appId").exists(_.toLong >= version))
+      return base.snapshotId
+    val delCond = deleteWhen.map(c => coalesce(c, lit(false)))
+    val deleteKeys = delCond.map(c =>
+      source.where(c).select(keys.map(col): _*).na.drop().distinct())
+    val src = alignToSchema(
+      delCond.map(c => source.where(not(c))).getOrElse(source))
+    mergeMor(base, src, keys, deleteKeys, None,
+      txn = Some(appId -> version))
   }
 
   /** General MERGE with per-clause conditions and assignments — the

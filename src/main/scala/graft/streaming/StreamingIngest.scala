@@ -84,6 +84,65 @@ object StreamingIngest {
     table.scan()
   }
 
+  /** Streaming MOR UPSERT into a lake table — the continuous silver
+    * layer (the streaming twin of the reference's batch
+    * `MERGE INTO silver` step, `/root/reference/scripts/
+    * bronze-silver.py:209-217`): the events fixture is split into
+    * three ordered DROP files (`event_id % 3`, one row per user per
+    * drop — the merge batch contract), streamed one file per trigger,
+    * and each micro-batch MERGEs into a merge-on-read lake table via
+    * the lake sink's `mergeKeys` option — per batch that costs one
+    * data file + one equality-delete file, ZERO rewrites, whatever the
+    * table size. `deleteWhen` routes 'error'-typed rows to CDC
+    * deletes; `txnAppId` makes replayed batches exactly-once. The
+    * final state is last-writer-wins per user over the drop sequence —
+    * deterministic because drop order is pinned by mtime. */
+  def streamingUpsert(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert").toString
+    val ev = graft.sources.EventTime.withTsUs(
+        spark.read.option("pathGlobFilter", glob).parquet(dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    (0 to 2).foreach { i =>
+      val chunk = ev.where(col("event_id") % 3 === i)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      val tmp = s"$base/tmp$i"
+      chunk.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(inDir, f"drop_$i%d.parquet")
+      require(part.renameTo(dest), s"rename to $dest failed")
+      // pin the drop ORDER: the file stream source batches oldest-
+      // mtime-first under maxFilesPerTrigger
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val root = s"$base/t"
+    graft.lake.LakeTable.create(spark, root, ev.schema,
+      properties = Map(
+        graft.lake.LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .writeStream
+      .format("graft-lake")
+      .option("path", root)
+      .option("txnAppId", "stream_upsert")
+      .option("mergeKeys", "user_id")
+      .option("deleteWhen", "event_type = 'error'")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.lake.LakeTable.load(spark, root).scan()
+  }
+
   /** Tail a lake table's COMMIT LOG as a stream
     * (`format("graft-lake")`, offsets = snapshot ids — see
     * GraftLakeStreamSource) and aggregate what was delivered: builds a

@@ -203,7 +203,8 @@ object GraftLakeStreamSource {
   * (at-least-once on crash replay). Append output mode only — a lake
   * table is not a complete-mode materialized view. */
 class GraftLakeSink(sqlContext: SQLContext, root: String,
-    txnAppId: Option[String]) extends Sink {
+    txnAppId: Option[String], mergeKeys: Seq[String] = Nil,
+    deleteWhen: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val cs = sqlContext.sparkSession.asInstanceOf[classic.SparkSession]
@@ -215,9 +216,17 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
         .queryExecution.toRdd,
       data.schema, isStreaming = false)
     val table = LakeTable.load(cs, root)
-    txnAppId match {
-      case Some(app) => table.appendOnce(batch, app, batchId)
-      case None => table.append(batch)
+    val delCond = deleteWhen.map(org.apache.spark.sql.functions.expr)
+    (mergeKeys, txnAppId) match {
+      case (Nil, Some(app)) => table.appendOnce(batch, app, batchId)
+      case (Nil, None) => table.append(batch)
+      // streaming UPSERT: each micro-batch MERGEs on the keys (MOR
+      // equality deletes — zero rewrites per trigger); with txnAppId
+      // the merge rides the same watermark as appendOnce, so a
+      // replayed batch is exactly-once
+      case (keys, Some(app)) =>
+        table.mergeOnce(batch, keys, app, batchId, delCond)
+      case (keys, None) => table.merge(batch, keys, delCond)
     }
   }
 
@@ -271,7 +280,16 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     require(partitionColumns.isEmpty,
       "partitioning comes from the TABLE's spec — create the table " +
         "partitioned instead of passing partitionBy to the writer")
+    // mergeKeys flips the sink from per-batch APPEND to per-batch
+    // MERGE (upsert) on the named columns; deleteWhen (a SQL boolean
+    // over the batch row) marks CDC delete rows — the streaming twin
+    // of the reference's batch silver MERGE
+    val keys = parameters.get("mergeKeys").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val delWhen = parameters.get("deleteWhen")
+    require(keys.nonEmpty || delWhen.isEmpty,
+      "deleteWhen requires mergeKeys (delete rows are keyed)")
     new GraftLakeSink(sqlContext, rootOf(parameters),
-      parameters.get("txnAppId"))
+      parameters.get("txnAppId"), keys, delWhen)
   }
 }

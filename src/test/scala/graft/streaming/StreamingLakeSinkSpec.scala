@@ -163,6 +163,55 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     checkExactlyOnce(base, src)(sessions)
   }
 
+  test("streaming MOR upsert (mergeKeys) lands exactly-once under crash-replay") {
+    val base = TestSpark.tmpDir("lakesink-upsert")
+    val in = new java.io.File(s"$base/in"); in.mkdirs()
+    // drop 0 inserts three users; drop 1 updates u1, CDC-deletes u3,
+    // inserts u4 — final state is last-writer-wins minus the delete
+    val drops = Seq(
+      Seq((1L, "a", 1.0), (2L, "b", 1.0), (3L, "c", 1.0)),
+      Seq((1L, "a2", 5.0), (3L, "DEL", 0.0), (4L, "d", 2.0)))
+    drops.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/tmp$i"
+      rows.toDF("user_id", "tag", "v").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, s"drop_$i.parquet")
+      assert(part.renameTo(dest))
+      // pin drop ORDER (the file source batches oldest-mtime-first)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = drops.head.toDF("user_id", "tag", "v").schema
+    val outRoot = s"$base/out"
+    LakeTable.create(spark, outRoot, schema, properties =
+      Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .writeStream.format("graft-lake")
+        .option("path", outRoot)
+        .option("txnAppId", "upsert-job")
+        .option("mergeKeys", "user_id")
+        .option("deleteWhen", "tag = 'DEL'")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val out = LakeTable.load(spark, outRoot)
+    val after = contents(out)
+    assert(after == Seq("[1,a2,5.0]", "[2,b,1.0]", "[4,d,2.0]"), after)
+    val commits = out.history.count()
+    dropLastCommit(base)
+    run()
+    // the replayed batch finds its (appId, batchId) watermark: content
+    // unchanged AND no new commit (the merge was skipped, not redone)
+    assert(contents(LakeTable.load(spark, outRoot)) == after)
+    assert(LakeTable.load(spark, outRoot).history.count() == commits,
+      "replayed merge committed again: exactly-once violated")
+  }
+
   test("without txnAppId the same crash-replay DOES duplicate (control)") {
     val base = TestSpark.tmpDir("lakesink-noeos")
     val src = makeSourceTable(base)
