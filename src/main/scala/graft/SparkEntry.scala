@@ -2148,6 +2148,39 @@ WHEN NOT MATCHED THEN INSERT *
         nProbe = 4)
     }),
 
+    "q_ann_recall" -> ((s, dir) => {
+      // recall@k — THE tuning metric a production ANN deployment
+      // watches: per approximate index, the fraction of the exact
+      // brute-force top-k each query recovers. The bruteforce row is
+      // the control (recall 1 by construction); hits/(k·n_queries) is
+      // a ratio of integer counts, bit-identical cross-engine.
+      val e = emb(s, dir)
+      val k = 5
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val nq = queries.count()
+      val exact = SimilaritySearch.bruteForceTopK(e, queries, k)
+        .select(col("query_id"), col("corpus_id"))
+      def hitsOf(name: String, approx: DataFrame) =
+        approx.select(col("query_id"), col("corpus_id"))
+          .join(exact, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), col("hits"))
+      Seq(
+        hitsOf("bruteforce", exact),
+        hitsOf("lsh",
+          SimilaritySearch.lshTopK(e, queries, k, nPlanes = 10)),
+        hitsOf("lsh_multiprobe",
+          SimilaritySearch.lshTopK(e, queries, k, nPlanes = 10,
+            probeHamming = 1)),
+        hitsOf("ivf",
+          SimilaritySearch.ivfTopK(e, queries, k, nCentroids = 16,
+            nProbe = 4)))
+        .reduce(_.unionByName(_))
+        .select(col("method"), lit(nq).as("n_queries"), col("hits"),
+          round(col("hits") / lit(k * nq), 4).as("recall"))
+    }),
+
     "q_ann_lsh_multiprobe" -> ((s, dir) => {
       // multi-probe LSH: each query also probes the `planes` buckets at
       // hamming distance 1 — recall recovery for near-boundary vectors
@@ -4388,6 +4421,89 @@ WHEN NOT MATCHED THEN INSERT *
          |  FROM sigs c JOIN sigs q ON c.bucket = q.bucket
          |  WHERE q.vec_id % 50 = 0)
          |WHERE rnk <= 5""".stripMargin,
+
+    // recall@k: every index SQL-replayed (planes, buckets, centroids),
+    // then hits counted against the exact top-k — pure integer-count
+    // arithmetic, bit-identical across engines
+    "q_ann_recall" ->
+      s"""WITH ${sigsSql(10)},
+         |exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |          q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+         |    FROM embeddings c CROSS JOIN embeddings q
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rnk <= 5),
+         |nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 50 = 0),
+         |m_lsh AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |          q.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+         |    FROM sigs c JOIN sigs q ON c.bucket = q.bucket
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rnk <= 5),
+         |m_mp AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |          q.qvec::DOUBLE[]) DESC, c.vec_id ASC) AS rnk
+         |    FROM sigs c JOIN (
+         |      SELECT vec_id AS query_id, embedding AS qvec,
+         |        CASE WHEN b = 0 THEN bucket
+         |             ELSE xor(bucket, (1::BIGINT << (b - 1))) END AS bucket
+         |      FROM sigs, unnest(generate_series(0, 10)) AS u(b)
+         |      WHERE vec_id % 50 = 0) q ON c.bucket = q.bucket)
+         |  WHERE rnk <= 5),
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+         |         embedding AS cvec
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT corpus_id, corpus_vec, cid FROM (
+         |    SELECT e.vec_id AS corpus_id, e.embedding AS corpus_vec, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, query_vec, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+         |          c.cvec::DOUBLE[]) DESC, c.cid ASC) AS rn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+         |  WHERE rn <= 4),
+         |m_ivf AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT p.query_id, a.corpus_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(a.corpus_vec::DOUBLE[],
+         |          p.query_vec::DOUBLE[]) DESC, a.corpus_id ASC) AS rnk
+         |    FROM assign a JOIN probe p ON a.cid = p.cid)
+         |  WHERE rnk <= 5)
+         |SELECT method, n_queries, hits,
+         |       round(hits / (5.0 * n_queries), 4) AS recall
+         |FROM (
+         |  SELECT 'bruteforce' AS method, (SELECT n FROM nq) AS n_queries,
+         |         (SELECT count(*) FROM exact) AS hits
+         |  UNION ALL
+         |  SELECT 'lsh', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_lsh JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_mp JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'ivf', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_ivf JOIN exact
+         |       USING (query_id, corpus_id)))""".stripMargin,
 
     // multi-probe: each query joins its own bucket plus the 10 buckets
     // at hamming distance 1 (single-bit xor flips); probe buckets are

@@ -158,14 +158,14 @@ object SimilaritySearch {
     * queries probe their `nProbe` nearest centroids and re-rank exactly
     * within those inverted lists.
     *
-    * Centroids start as the `nCentroids` lowest-id corpus vectors — id
-    * order is uncorrelated with embedding position, so this samples as
-    * well as an id-hash draw and is exactly reproducible in plain SQL
-    * (the correctness oracle). `trainIterations > 0` refines them with
-    * that many deterministic spherical-k-means passes
-    * ([[trainCentroids]]) — better-fitting cells for clustered corpora
-    * at the cost of one aggregation job per pass; the default 0 keeps
-    * the oracle-reproducible quantizer.
+    * Untrained (`trainIterations = 0`, the default): centroids are the
+    * `nCentroids` lowest-id corpus vectors — exactly reproducible in
+    * plain SQL (the correctness oracle). Trained: seeds are drawn in
+    * deterministic md5-of-id order (a uniform sample even when ids
+    * correlate with embedding position) and refined with that many
+    * spherical-k-means passes ([[trainCentroids]]) — the production
+    * path for clustered corpora, where first-N seeding collapses
+    * recall (IvfTrainingSpec measures the gap).
     *
     * Scale shape: centroids are collected once (tiny — a driver-side
     * manifest-scale list) and inlined as a LITERAL array, so both the
@@ -183,8 +183,19 @@ object SimilaritySearch {
     require(trainIterations >= 0)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("corpus_vec"))
-    // TakeOrdered (no global sort), then a 16-row driver collect
-    val centroidRows = c.orderBy("corpus_id").limit(nCentroids).collect()
+    // TakeOrdered (no global sort), then a 16-row driver collect.
+    // Untrained mode seeds with the lowest-id rows (exactly SQL-
+    // replayable — the correctness oracle); trained mode seeds by
+    // DETERMINISTIC HASH order instead: on a corpus whose ids
+    // correlate with embedding position (time-ordered ingest, sorted
+    // exports — the 100-TB norm, not the exception), the first-N draw
+    // lands every seed in one region and recall collapses; the
+    // md5-order draw is a uniform sample whatever the id layout.
+    val seedSrc =
+      if (trainIterations == 0) c.orderBy("corpus_id")
+      else c.orderBy(md5(col("corpus_id").cast("string")),
+        col("corpus_id"))
+    val centroidRows = seedSrc.limit(nCentroids).collect()
     val seeds = centroidRows.zipWithIndex.map { case (r, i) =>
       (i + 1) -> r.getSeq[Float](1)
     }.toSeq

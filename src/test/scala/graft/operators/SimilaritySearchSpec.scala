@@ -218,10 +218,38 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     val untrained = recallOf(0)
     val trained = recallOf(3)
-    // Lloyd refinement tightens cells around the data, so probing the
-    // same number of cells must find at least as much of the true top-k
-    assert(trained >= untrained,
-      s"trained recall $trained < untrained $untrained")
+    // at a tiny fixed probe budget on an UNSTRUCTURED random corpus,
+    // recall differences between seed draws are noise (trained mode
+    // draws md5-sampled seeds, untrained draws first-N — different
+    // cells, not better or worse ones); the honest assertions are (a)
+    // training never COLLAPSES recall, and (b) Lloyd's objective —
+    // mean cosine to the assigned centroid — is monotone non-decreasing
+    // per pass, the k-means convergence property (IvfTrainingSpec
+    // measures the recall WIN on the structured corpus where it exists)
+    assert(trained >= 0.75 * untrained,
+      s"trained recall $trained collapsed vs untrained $untrained")
+    val c = e.select($"vec_id".as("corpus_id"),
+      $"embedding".as("corpus_vec"))
+    val seeds = c
+      .orderBy(md5($"corpus_id".cast("string")), $"corpus_id")
+      .limit(16).collect().zipWithIndex
+      .map { case (r, i) => (i + 1) -> r.getSeq[Float](1) }.toSeq
+    def objective(cents: Seq[(Int, Seq[Float])]): Double = {
+      val lit = SimilaritySearch.centroidLiteral(cents)
+      c.select(avg(array_max(transform(lit, cs =>
+          graft.plans.expressions.cosine($"corpus_vec",
+            cs.getField("vec"))))).as("o"))
+        .head().getDouble(0)
+    }
+    val objs = (0 to 3).map(i => objective(
+      if (i == 0) seeds
+      else SimilaritySearch.trainCentroids(c, seeds, i)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      // the corpus is unit-norm, so each Lloyd pass is exactly
+      // spherical k-means and the objective is monotone up to float32
+      // rounding in the stored vectors
+      assert(b >= a - 1e-6, s"Lloyd objective regressed: $objs")
+    }
     // scores remain exact cosines for whatever the trained index returns
     val bfScores = SimilaritySearch.bruteForceTopK(e, queries, k = 50)
       .select("query_id", "corpus_id", "score")
