@@ -922,6 +922,42 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("total"), 2).as("total"))
     }),
 
+    "q_gold_incremental" -> ((s, dir) => {
+      // incremental GOLD layer: the mart never rescans silver — an
+      // intermediate (state, category) cube is delta-maintained from
+      // silver's CDC changelog (cost ∝ changed rows) and gold derives
+      // from the tiny cube. Exercised through append ×2, a COW price
+      // update, and a predicate delete; the oracle recomputes the mart
+      // from the equivalent final silver state, so a hash match proves
+      // the incremental path exact end-to-end (including the
+      // count(DISTINCT category) that rides the cube's live keys).
+      // orders, not lineitem: the silver contract needs a UNIQUE merge
+      // key and the fixture's (l_orderkey, l_linenumber) collides
+      val o = t(s, dir, "orders")
+      val silverDf = o.select(
+        col("o_orderkey").as("invoiceid"),
+        col("o_orderpriority").as("category"),
+        col("o_orderstatus").as("destinationstate"),
+        round(col("o_totalprice"), 2).as("price"),
+        (col("o_orderkey") % 5 + 1).cast("double").as("quantity"))
+      val base = tmp("graft-gold")
+      val cat = new graft.lake.LakeCatalog(s, base)
+      cat.createNamespace("m")
+      cat.createTable("m", "silver", silverDf.schema)
+      val silver = cat.loadTable("m", "silver")
+      val job = new graft.pipeline.SilverToGoldJob(s, cat, "m",
+        "silver", "gold")
+      silver.append(silverDf.where(col("invoiceid") % 2 === 0))
+      job.runIncremental()
+      silver.append(silverDf.where(col("invoiceid") % 2 =!= 0))
+      job.runIncremental()
+      silver.merge(silverDf.where(col("invoiceid") % 7 === 0)
+        .withColumn("price", col("price") + 1), Seq("invoiceid"))
+      silver.delete(col("invoiceid") % 13 === 0)
+      job.runIncremental()
+      cat.loadTable("m", "gold").scan()
+    }),
+
     // policy-driven maintenance: 4 small appends, then ONE CALL runs
     // the table's declared binpack + expiry + orphan policy — the
     // oracle proves content invariance through the whole pass
@@ -2776,6 +2812,25 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         |  round(sum(v), 2) AS total
         |FROM f GROUP BY o_orderpriority""".stripMargin,
+
+    // the incremental gold mart vs a from-scratch recompute of the
+    // equivalent final silver state (update applied, deletes gone);
+    // avg_price derives as maintained-sum/cnt, n_categories as the
+    // cube's live keys per state
+    "q_gold_incremental" ->
+      """WITH silver AS (
+        |  SELECT o_orderpriority AS category,
+        |    o_orderstatus AS destinationstate,
+        |    round(o_totalprice, 2) +
+        |      CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price,
+        |    CAST(o_orderkey % 5 + 1 AS DOUBLE) AS quantity
+        |  FROM orders
+        |  WHERE o_orderkey % 13 <> 0)
+        |SELECT destinationstate, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(price * quantity), 2) AS revenue,
+        |  round(avg(price), 2) AS avg_price,
+        |  CAST(count(DISTINCT category) AS BIGINT) AS n_categories
+        |FROM silver GROUP BY destinationstate""".stripMargin,
 
     // snapshot ids are sequential, so the staleness probes are an
     // exact literal table: src = create(1) + 2 appends (2,3), refresh

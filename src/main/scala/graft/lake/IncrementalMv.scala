@@ -112,31 +112,67 @@ object IncrementalMv {
   def applyChangeRows(target: LakeTable, changeRows: DataFrame,
       keys: Seq[String], valueCol: String,
       extraProperties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long =
+    applyChangeRowsSums(target, changeRows, keys,
+      Seq("total" -> valueCol), extraProperties, txn)
+
+  /** [[applyChangeRows]] generalized to N SUM columns: `valueSums`
+    * maps each target column to a SQL expression over a source row
+    * (e.g. `"revenue" -> "price * quantity"`). One changelog pass
+    * folds every sum's signed delta per key; ONE merge applies them
+    * all — N maintained aggregates cost the same shuffle as one.
+    * This is what lets a mart with several measures (sums, and
+    * averages derived as sum/cnt) ride a single incremental MV. */
+  def applyChangeRowsSums(target: LakeTable, changeRows: DataFrame,
+      keys: Seq[String], valueSums: Seq[(String, String)],
+      extraProperties: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "grouped MV needs at least one key")
+    require(valueSums.nonEmpty, "need at least one maintained sum")
     val sgn = when(col(LakeTable.CHANGE_TYPE_COL) === "insert", 1L)
       .otherwise(-1L)
+    val vCols = valueSums.zipWithIndex.map { case ((_, e), i) =>
+      expr(e).as(s"__v$i")
+    }
     val delta = changeRows
-      .select((keys.map(col) :+ sgn.as("__sgn") :+
-        col(valueCol).as("__v")): _*)
+      .select((keys.map(col) :+ sgn.as("__sgn")) ++ vCols: _*)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sgn")).as("dcnt"),
         // all-null values for a key: the sum delta is zero, not null
-        coalesce(sum(col("__sgn") * col("__v")), lit(0.0)).as("dsum"))
+        valueSums.zipWithIndex.map { case ((n, _), i) =>
+          coalesce(sum(col("__sgn") * col(s"__v$i")), lit(0.0))
+            .as(s"__d_$n")
+        }: _*)
 
     target.mergeClauses(delta, keys,
       matched = Seq(
         // count falling to zero retracts the key entirely
         MergeWhen(Some(col("t.cnt") + col("s.dcnt") === 0L), None),
-        MergeWhen(None, Some(Map(
-          "cnt" -> (col("t.cnt") + col("s.dcnt")),
-          "total" -> (col("t.total") + col("s.dsum")))))),
+        MergeWhen(None, Some(
+          Map("cnt" -> (col("t.cnt") + col("s.dcnt"))) ++
+            valueSums.map { case (n, _) =>
+              n -> (col(s"t.$n") + col(s"s.__d_$n"))
+            }))),
       notMatched = Seq(
         // a delta that nets to zero for an unseen key inserts nothing
         MergeWhen(Some(col("s.dcnt") =!= 0L), Some(
-          keys.map(k => k -> col(s"s.$k")).toMap ++ Map(
-            "cnt" -> col("s.dcnt"), "total" -> col("s.dsum"))))),
+          keys.map(k => k -> col(s"s.$k")).toMap ++
+            Map("cnt" -> col("s.dcnt")) ++
+            valueSums.map { case (n, _) => n -> col(s"s.__d_$n") }))),
       extraProperties = extraProperties, txn = txn)
+  }
+
+  /** [[refresh]] generalized to the [[applyChangeRowsSums]] shape. */
+  def refreshSums(source: LakeTable, target: LakeTable,
+      keys: Seq[String], valueSums: Seq[(String, String)]): Long = {
+    require(keys.nonEmpty, "grouped MV needs at least one key")
+    val last = target.properties.get(WatermarkProp)
+      .map(_.toLong).getOrElse(0L)
+    val head = source.currentSnapshotId.getOrElse(0L)
+    val already = target.currentSnapshotId.getOrElse(0L)
+    if (head <= last) return already
+    applyChangeRowsSums(target, source.changes(last, head), keys,
+      valueSums, extraProperties = Map(WatermarkProp -> head.toString))
   }
 
   /** CONTINUOUS maintenance: tail the source's row-level change feed
