@@ -60,6 +60,10 @@ object ScaleSmoke {
       goldIncSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return
     }
+    if (args.headOption.contains("commit-depth")) {
+      commitDepthSmoke(args.lift(1).map(_.toInt).getOrElse(5000))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val workDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-scale").toString)
@@ -480,6 +484,93 @@ object ScaleSmoke {
       "funnel produced no step-1 users")
     ev.unpersist()
     println("[funnel] PASS")
+    spark.stop()
+  }
+
+  /** Metadata behavior at COMMIT DEPTH: thousands of commits on one
+    * table — the month-of-micro-batches shape. Each commit arrives via
+    * `addFiles` of one pre-written file (driver-only rename + footer
+    * read + commit — no per-commit Spark job, so the loop measures the
+    * METADATA path, which is the thing under test). Asserts:
+    *   - per-commit cost stays O(delta) as history deepens (chunked
+    *     manifests write one new chunk per commit, never rewrite the
+    *     past; last-decile median ≤ 3× first-decile median),
+    *   - plan time (a stats-pruned point scan) stays flat at depth,
+    *   - `.history` / `.snapshots` scans stay sub-second,
+    *   - `expireSnapshots` + chunk GC reclaims the metadata bytes
+    *     (≥ 60% reduction) without touching live data. */
+  private def commitDepthSmoke(commits: Int): Unit = {
+    val spark = smokeSession("graft-commit-depth")
+    val work = Files.createTempDirectory("graft-depth").toString
+    import graft.lake.LakeTable
+    // one row per future commit, one parquet file per drop dir, ONE
+    // Spark job (partitionBy carves the dirs; the drop column is
+    // duplicated so the data file itself still carries every table
+    // column — the per-footer import gate requires it)
+    spark.range(commits.toLong).select(col("id"),
+        (col("id") % 97).cast("double").as("v"),
+        col("id").as("drop"))
+      .coalesce(1).write.partitionBy("drop").parquet(s"$work/drops")
+    def dropDir(i: Int) = s"$work/drops/drop=$i"
+    val schema = spark.read.parquet(dropDir(0)).schema
+    val lt = LakeTable.create(spark, s"$work/t", schema)
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    println(s"[commit-depth] importing $commits single-file commits")
+    val times = (0 until commits).map { i =>
+      val t0 = System.nanoTime()
+      lt.addFiles(dropDir(i))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val dec = commits / 10
+    val first = median(times.slice(dec / 2, dec)) // skip JVM warm-up
+    val last = median(times.takeRight(dec))
+    val total = times.sum
+    val metaBytes = dirBytes(s"$work/t/metadata")
+    println(f"[commit-depth] $commits commits in $total%.1f s " +
+      f"(${total / commits * 1000}%.1f ms/commit); per-commit median " +
+      f"first-decile $first%.4f s, last-decile $last%.4f s; " +
+      f"metadata ${metaBytes / 1024 / 1024}%d MiB " +
+      f"(${metaBytes / commits}%d bytes/commit)")
+    require(last <= first * 3.0,
+      f"commit cost grew with history: $first%.4f -> $last%.4f s")
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val (planSec, hit) = timed(lt.scan(col("id") === (commits / 2).toLong)
+      .count())
+    // first metadata view pays the one-time snaplog reconciliation
+    // (reads every v-json the cache is missing, then persists the
+    // summaries); steady-state reads are one small file
+    val (rebuildSec, _) = timed(lt.history.count())
+    val (histSec, nHist) = timed(lt.history.count())
+    val (snapSec, nSnap) = timed(lt.snapshotsTable.count())
+    println(f"[commit-depth] at depth $commits: point scan " +
+      f"$planSec%.2f s ($hit row), snaplog rebuild $rebuildSec%.2f s, " +
+      f"then .history $histSec%.2f s ($nHist rows), " +
+      f".snapshots $snapSec%.2f s ($nSnap rows)")
+    require(hit == 1L)
+    require(histSec < 1.0 && snapSec < 1.0,
+      f"metadata scans not sub-second: $histSec%.2f / $snapSec%.2f")
+    // expiry + GC: metadata bytes shrink, data stays
+    val (expSec, _) = timed { lt.expireSnapshots(1); 0L }
+    val metaAfter = dirBytes(s"$work/t/metadata")
+    println(f"[commit-depth] expire+GC in $expSec%.1f s: metadata " +
+      f"${metaBytes / 1024 / 1024}%d MiB -> " +
+      f"${metaAfter / 1024 / 1024}%d MiB")
+    require(metaAfter <= metaBytes * 2 / 5,
+      s"expiry reclaimed too little: $metaBytes -> $metaAfter")
+    require(lt.countRows() == commits.toLong)
+    val (planSec2, hit2) = timed(
+      lt.scan(col("id") === (commits / 4).toLong).count())
+    require(hit2 == 1L)
+    println(f"[commit-depth] post-GC point scan $planSec2%.2f s; PASS")
     spark.stop()
   }
 

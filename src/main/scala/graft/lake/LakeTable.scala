@@ -160,12 +160,86 @@ final class LakeTable private (
       .sorted.map(snapshot)
   }
 
+  /** Compact per-snapshot summaries for the metadata VIEWS (history /
+    * snapshots): parsing N full `v<id>.json` files per query is
+    * O(history) I/O — 1.2 s at 300 commits, tens of seconds at a
+    * month of micro-batches — so summaries live in a single
+    * `metadata/snaplog.json` CACHE. Snapshots are immutable, so cached
+    * entries can never go stale; any reader reconciles the ids the
+    * cache is missing (reads only THOSE v-jsons) and rewrites the
+    * cache via write-to-temp + rename (best-effort: concurrent
+    * writers both produce valid content, last rename wins, and a
+    * reader that finds no cache just pays the reads it would have
+    * paid anyway). Expired ids drop out at the next rewrite because
+    * reconciliation starts from the live v-json listing. */
+  def snapshotSummaries: Seq[LakeTable.SnapSummary] = {
+    val head = currentSnapshotId.getOrElse(return Nil)
+    val re = "^v(\\d+)\\.json$".r
+    val ids = fs.listStatus(metaDir).toSeq
+      .flatMap(_.getPath.getName match {
+        case re(id) => Some(id.toLong)
+        case _ => None
+      })
+      .filter(_ <= head).sorted
+    val cached = readSnaplog()
+    val missing = ids.filterNot(cached.contains)
+    val fresh = missing.map { id =>
+      val s = snapshot(id)
+      id -> LakeTable.SnapSummary(s.snapshotId,
+        s.parentId, s.timestampMs, s.operation,
+        s.addedFiles.size.toLong, s.removedFiles.size.toLong,
+        s.liveFiles.size.toLong)
+    }.toMap
+    val all = ids.map(id => cached.getOrElse(id, fresh(id)))
+    if (missing.nonEmpty) writeSnaplog(all)
+    all
+  }
+
+  private def snaplogPath = new Path(metaDir, "snaplog.json")
+
+  private def readSnaplog(): Map[Long, LakeTable.SnapSummary] =
+    try {
+      if (!fs.exists(snaplogPath)) Map.empty
+      else {
+        val n = Snapshot.mapper.readTree(readString(fs, snaplogPath))
+        n.path("entries").elements().asScala.map { e =>
+          e.path("id").asLong() -> LakeTable.SnapSummary(
+            e.path("id").asLong(),
+            if (e.hasNonNull("parent")) Some(e.path("parent").asLong())
+            else None,
+            e.path("ts").asLong(), e.path("op").asText(),
+            e.path("na").asLong(), e.path("nr").asLong(),
+            e.path("nl").asLong())
+        }.toMap
+      }
+    } catch { case _: Exception => Map.empty } // cache only — rebuild
+
+  private def writeSnaplog(all: Seq[LakeTable.SnapSummary]): Unit =
+    try {
+      val m = Snapshot.mapper
+      val rootN = m.createObjectNode()
+      val arr = rootN.putArray("entries")
+      all.foreach { s =>
+        val e = arr.addObject()
+        e.put("id", s.id)
+        s.parentId.foreach(e.put("parent", _))
+        e.put("ts", s.tsMs); e.put("op", s.op)
+        e.put("na", s.nAdded); e.put("nr", s.nRemoved)
+        e.put("nl", s.nLive)
+      }
+      val tmp = new Path(metaDir,
+        s".snaplog-${UUID.randomUUID()}.json")
+      writeStringExclusive(fs, tmp, m.writeValueAsString(rootN))
+      fs.delete(snaplogPath, false)
+      if (!fs.rename(tmp, snaplogPath)) fs.delete(tmp, false)
+    } catch { case _: Exception => () } // cache only — never fail a read
+
   /** Metadata view ≡ Iceberg's `<table>.history`
     * (reference: scripts/bronze-silver.py:119,137). */
   def history: DataFrame = {
-    val rows = snapshots.map { s =>
-      Row(new java.sql.Timestamp(s.timestampMs), s.snapshotId,
-        s.parentId.map(Long.box).orNull, true, s.operation)
+    val rows = snapshotSummaries.map { s =>
+      Row(new java.sql.Timestamp(s.tsMs), s.id,
+        s.parentId.map(Long.box).orNull, true, s.op)
     }
     val sch = StructType(Seq(
       StructField("made_current_at", TimestampType),
@@ -244,11 +318,10 @@ final class LakeTable private (
       StructField("n_added_files", LongType, nullable = false),
       StructField("n_removed_files", LongType, nullable = false),
       StructField("n_live_files", LongType, nullable = false)))
-    val rows = snapshots.map { s =>
-      Row(s.snapshotId, s.parentId.map(Long.box).orNull,
-        new java.sql.Timestamp(s.timestampMs), s.operation,
-        s.addedFiles.size.toLong, s.removedFiles.size.toLong,
-        s.liveFiles.size.toLong)
+    val rows = snapshotSummaries.map { s =>
+      Row(s.id, s.parentId.map(Long.box).orNull,
+        new java.sql.Timestamp(s.tsMs), s.op,
+        s.nAdded, s.nRemoved, s.nLive)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
   }
@@ -4106,6 +4179,14 @@ case class MergeWhen(condition: Option[org.apache.spark.sql.Column],
     assignments: Option[Map[String, org.apache.spark.sql.Column]])
 
 object LakeTable {
+
+  /** One snapshot's metadata-view summary (see
+    * [[LakeTable.snapshotSummaries]]): everything `.history` /
+    * `.snapshots` render, ~100 bytes instead of the full manifest
+    * state. */
+  final case class SnapSummary(id: Long, parentId: Option[Long],
+      tsMs: Long, op: String, nAdded: Long, nRemoved: Long,
+      nLive: Long)
   /** Lossless type promotions the parquet vectorized reader upcasts
     * natively at scan time (Spark 4.x type widening; each pair probed
     * on this runtime). long→double is NOT here: longs above 2^53 lose
