@@ -154,14 +154,21 @@ object FileStats {
     (fromPath ++ footer ++ partNulls, rows)
   }
 
-  /** Top-level field names of one file's footer schema (a single footer
-    * open — the add_files per-file gate: Spark's merged inference would
-    * union columns across files and let a file MISSING a table column
-    * slip through to read back as silent NULLs). */
-  def footerFieldNames(conf: Configuration, file: Path): Set[String] = {
+  /** One file's footer schema as SPARK types — the same per-footer
+    * conversion the parquet datasource's schema inference applies, but
+    * with NO Spark job (one footer open on the calling thread). The
+    * add_files per-file gate: merged inference would union columns
+    * across files (hiding a file MISSING a table column behind NULLs)
+    * and costs a distributed read per import — at commit depth that
+    * read dominates the whole import. Honors the session's parquet
+    * type flags (nanos-as-long, timestamp inference) via the passed
+    * session-derived Configuration. */
+  def footerSparkSchema(conf: Configuration, file: Path,
+      converter: org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter)
+      : org.apache.spark.sql.types.StructType = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
+    try converter.convert(reader.getFooter.getFileMetaData.getSchema)
     finally reader.close()
   }
 

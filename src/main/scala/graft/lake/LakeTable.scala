@@ -1339,26 +1339,19 @@ final class LakeTable private (
     // discovers the partition dirs (and constraint checks see their
     // values).
     def sourceRead(schemaOpt: Option[StructType]) = {
-      // mergeSchema so the inferred view is the UNION of all footers —
-      // a type conflict between files surfaces here instead of being
-      // hidden by whichever single footer inference happened to pick
-      // (per-file column PRESENCE is gated separately below)
       val r0 = spark.read.option("mergeSchema", "true")
       val r = schemaOpt.map(r0.schema).getOrElse(r0)
       if (fields.isEmpty) r.parquet(files.map(_.toString): _*)
       else r.option("basePath", src.toString).parquet(src.toString)
     }
-    val onDisk = sourceRead(None).schema
     val expect = sch.fields.filterNot(f => idCols(f.name))
       .map(f => f.name -> f.dataType).toMap
-    onDisk.fields.filterNot(f => idCols(f.name)).foreach { f =>
-      require(expect.get(f.name).contains(f.dataType),
-        s"column ${f.name}: ${f.dataType.simpleString} does not " +
-          "match the table schema")
-    }
-    val absent = expect.keySet -- onDisk.fieldNames
-    require(absent.isEmpty,
-      s"files lack table columns: ${absent.mkString(", ")}")
+    // schema gating happens PER FOOTER in the stats pass below (name
+    // presence AND Spark-converted type against the table schema) —
+    // no driver-side Spark inference job; at commit depth that
+    // distributed read dominated the whole import (commit-depth smoke:
+    // ~146 ms/commit, almost all schema inference). Only declared
+    // write constraints still need a real row read.
     if (hasWriteConstraints)
       enforceWriteConstraints(sourceRead(Some(sch)))
     // destination layout: hive partition segments + a uniquified file
@@ -1382,23 +1375,38 @@ final class LakeTable private (
       String, Map[String, ColStat]]()
     val infoMap = new java.util.concurrent.ConcurrentHashMap[
       String, FileInfo]()
-    // per-file column-presence gate, in the same pass that opens every
-    // footer anyway: the merged-inference check above cannot see a file
-    // that merely LACKS a table column (its rows would read back as
-    // silent NULLs after import) — every footer must carry every
-    // non-partition table column, or the import fails before any rename
-    val expectNames = expect.keySet
+    // per-file schema gate, in the same pass that opens every footer
+    // anyway: every footer must carry every non-partition table column
+    // (a missing column would read back as silent NULLs after import —
+    // merged inference can't see it) AT the table's Spark type (a
+    // per-file conflict must refuse, not coerce) — or the import fails
+    // before any rename
     val schemaErrs =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // built ONCE on the session thread: the SQLConf-driven converter
+    // captures the session's parquet type flags; parallelStream worker
+    // threads have no active session to resolve them from
+    val schemaConverter = new org.apache.spark.sql.execution
+      .datasources.parquet.ParquetToSparkSchemaConverter(
+        spark.sessionState.conf)
     files.zip(destRels).toList.asJava.parallelStream().forEach {
       case (f, r) =>
-        scala.util.Try(FileStats.footerFieldNames(hconf, f)) match {
-          case scala.util.Success(names) =>
-            val miss = expectNames -- names
-            if (miss.nonEmpty) schemaErrs.add(
-              s"$f lacks ${miss.toSeq.sorted.mkString(", ")}")
-          case scala.util.Failure(_) =>
-            schemaErrs.add(s"$f: unreadable parquet footer")
+        scala.util.Try(
+            FileStats.footerSparkSchema(hconf, f, schemaConverter)) match {
+          case scala.util.Success(fileSch) =>
+            val have = fileSch.fields.map(x => x.name -> x.dataType).toMap
+            expect.toSeq.sortBy(_._1).foreach { case (n, dt) =>
+              have.get(n) match {
+                case None => schemaErrs.add(s"$f lacks $n")
+                case Some(got) if got != dt => schemaErrs.add(
+                  s"$f: column $n is ${got.simpleString}, table has " +
+                    dt.simpleString)
+                case _ => ()
+              }
+            }
+          case scala.util.Failure(e) =>
+            schemaErrs.add(s"$f: unreadable parquet footer " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage})")
         }
         val key = s"$DATA_DIR/$r"
         val (st, rows) = FileStats.collect(hconf, f, sch, fields, key)
@@ -1406,7 +1414,7 @@ final class LakeTable private (
         infoMap.put(key, FileInfo(fs.getFileStatus(f).getLen, rows))
     }
     require(schemaErrs.isEmpty,
-      "add_files refused — files missing table columns: " +
+      "add_files refused — file schemas do not match the table: " +
         schemaErrs.asScala.toSeq.sorted.take(5).mkString("; "))
     val added = destRels.map(r => s"$DATA_DIR/$r")
     val entries = added.map(k => ManifestEntry(k, 0L,
