@@ -39,8 +39,13 @@ object IncrementalMv {
   val KeysProp = "graft.mv.keys"
   val ValueColProp = "graft.mv.value-column"
   /** `sum` (count+sum MV, [[refresh]]) | `extremes` (adds min/max,
-    * [[refreshWithExtremes]]). */
+    * [[refreshWithExtremes]]) | `sums` (N maintained SUM expressions,
+    * [[refreshSums]] — definition in [[SumsProp]]). */
   val KindProp = "graft.mv.kind"
+  /** JSON `[{"n":"revenue","e":"price * quantity"}, …]` — the
+    * maintained column names and their source-row SQL expressions for
+    * a `sums`-kind MV. */
+  val SumsProp = "graft.mv.sums"
 
   /** Stamp the MV definition on `target` so later refreshes can be
     * driven BY NAME (SQL `CALL system.refresh_mv` or
@@ -55,6 +60,34 @@ object IncrementalMv {
       KindProp -> kind))
   }
 
+  /** [[define]] for an N-sum MV (kind `sums`): each `(name, exprSql)`
+    * is one maintained `sum(exprSql) AS name` column. */
+  def defineSums(target: LakeTable, sourceTable: String,
+      keys: Seq[String], sums: Seq[(String, String)]): Unit = {
+    require(sums.nonEmpty, "sums MV needs at least one maintained sum")
+    val m = Snapshot.mapper
+    val arr = m.createArrayNode()
+    sums.foreach { case (n, e) =>
+      val o = arr.addObject(); o.put("n", n); o.put("e", e)
+    }
+    target.setProperties(Map(
+      SourceTableProp -> sourceTable,
+      KeysProp -> keys.mkString(","),
+      KindProp -> "sums",
+      SumsProp -> m.writeValueAsString(arr)))
+  }
+
+  /** The `(name, exprSql)` list a `sums`-kind MV maintains. */
+  def sumsOf(target: LakeTable): Seq[(String, String)] = {
+    val json = target.properties.getOrElse(SumsProp,
+      throw new IllegalArgumentException(
+        s"${target.root} is not a sums MV — missing $SumsProp"))
+    val n = Snapshot.mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    n.elements().asScala.map(e =>
+      e.path("n").asText() -> e.path("e").asText()).toSeq
+  }
+
   /** Refresh a DEFINED MV by its catalog name (reads the definition
     * properties stamped by [[define]]). Returns the target snapshot. */
   def refreshByName(cat: LakeCatalog, ns: String,
@@ -67,11 +100,13 @@ object IncrementalMv {
           "(call IncrementalMv.define first)"))
     val keys = props(KeysProp).split(',').map(_.trim)
       .filter(_.nonEmpty).toSeq
-    val valueCol = props(ValueColProp)
     val src = cat.loadTable(ns, srcName)
-    if (props.getOrElse(KindProp, "sum") == "extremes")
-      refreshWithExtremes(src, tgt, keys, valueCol)
-    else refresh(src, tgt, keys, valueCol)
+    props.getOrElse(KindProp, "sum") match {
+      case "extremes" =>
+        refreshWithExtremes(src, tgt, keys, props(ValueColProp))
+      case "sums" => refreshSums(src, tgt, keys, sumsOf(tgt))
+      case _ => refresh(src, tgt, keys, props(ValueColProp))
+    }
   }
 
   /** Staleness of a defined MV — pure driver arithmetic (two HEAD
@@ -224,6 +259,22 @@ object IncrementalMv {
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("total",
+          org.apache.spark.sql.types.DoubleType)))
+  }
+
+  /** The target schema a `sums`-kind MV maintains: keys + cnt BIGINT
+    * + one DOUBLE per maintained sum (signed-delta folds promote to
+    * double — `coalesce(sum(sgn·v), 0.0)` — so the accumulator is
+    * double whatever the source expression's type, matching the
+    * single-sum [[targetSchema]]'s `total DOUBLE`). */
+  def sumsSchema(source: LakeTable, keys: Seq[String],
+      sumNames: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val src = source.schema
+    org.apache.spark.sql.types.StructType(
+      keys.map(k => src(k)) ++ Seq(
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType)) ++
+        sumNames.map(n => org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.DoubleType)))
   }
 

@@ -781,7 +781,9 @@ object LakeSql {
     import spark.implicits._
     val expected = "CREATE MATERIALIZED VIEW <name> AS SELECT <keys…>" +
       ", count(*) AS cnt, sum(<v>) AS total" +
-      "[, min(<v>) AS mn, max(<v>) AS mx] FROM <table> GROUP BY <keys…>"
+      "[, min(<v>) AS mn, max(<v>) AS mx] FROM <table> GROUP BY <keys…>" +
+      " — or N-sum form: count(*) AS cnt plus any number of " +
+      "sum(<expr>) AS <name> columns"
     def bad(why: String): Nothing =
       throw new IllegalArgumentException(
         s"unsupported materialized-view shape ($why) — expected: " +
@@ -805,49 +807,54 @@ object LakeSql {
     }
     if (keyOut.collect { case u: UnresolvedAttribute => u.name } != keys)
       bad("SELECT must lead with the GROUP BY keys, in order")
-    val fns: Seq[(String, String, Seq[String])] = aggOut.map {
-      case al: org.apache.spark.sql.catalyst.expressions.Alias =>
-        al.child match {
-          case f: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedFunction =>
-            // the maintenance machinery computes PLAIN count(*)/sum/
-            // min/max — a DISTINCT or FILTER modifier would be
-            // silently ignored and the MV wrong forever
-            if (f.isDistinct)
-              bad("DISTINCT aggregates are not incrementally " +
-                "maintainable")
-            if (f.filter.isDefined)
-              bad("FILTER clauses are not supported")
-            (al.name, f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
-              f.arguments.collect {
-                case u: UnresolvedAttribute => u.name })
-          case _ => bad("aggregates must be aliased function calls")
-        }
-      case _ => bad("aggregates must be aliased function calls")
-    }
+    val fns: Seq[(String, String, Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression])] =
+      aggOut.map {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          al.child match {
+            case f: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedFunction =>
+              // the maintenance machinery computes PLAIN count(*)/sum/
+              // min/max — a DISTINCT or FILTER modifier would be
+              // silently ignored and the MV wrong forever
+              if (f.isDistinct)
+                bad("DISTINCT aggregates are not incrementally " +
+                  "maintainable")
+              if (f.filter.isDefined)
+                bad("FILTER clauses are not supported")
+              (al.name,
+                f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+                f.arguments)
+            case _ => bad("aggregates must be aliased function calls")
+          }
+        case _ => bad("aggregates must be aliased function calls")
+      }
     val byAlias = fns.map(f => f._1 -> f).toMap
     if (byAlias.size != fns.size) bad("duplicate aggregate aliases")
-    val vCol = byAlias.get("total") match {
-      case Some((_, "sum", Seq(v))) => v
-      case _ => bad("need sum(<v>) AS total")
+    def attrArg(args: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression])
+        : Option[String] = args match {
+      case Seq(u: UnresolvedAttribute) => Some(u.name)
+      case _ => None
     }
     byAlias.get("cnt") match {
-      // the empty attr list admits count(*) / count(1); count(<col>)
+      // no attribute args admits count(*) / count(1); count(<col>)
       // (null-skipping) would be maintained as count(*) — reject it
-      case Some((_, "count", Seq())) => ()
+      case Some((_, "count", args)) if args.collect {
+          case u: UnresolvedAttribute => u }.isEmpty => ()
       case _ => bad("need count(*) AS cnt")
     }
-    val extremes = (byAlias.get("mn"), byAlias.get("mx")) match {
-      case (Some((_, "min", Seq(a))), Some((_, "max", Seq(b))))
-          if a == vCol && b == vCol => true
-      case (None, None) => false
-      case _ => bad(s"min/max must both be present, over $vCol, " +
-        "aliased mn/mx")
-    }
-    if (fns.size != (if (extremes) 4 else 2))
-      bad("only cnt/total (and mn/mx) aggregates are maintainable")
     if (keys.isEmpty)
       bad("GROUP BY must list at least one key")
+    val others = fns.filterNot(_._1 == "cnt")
+    // the legacy single-sum shapes (kind `sum` / `extremes`) keep
+    // their compact property encoding; anything else routes to the
+    // N-sum kind where every non-cnt aggregate is sum(<expression>)
+    val legacyTotal = byAlias.get("total")
+      .filter(t => t._2 == "sum" && attrArg(t._3).isDefined)
+      .flatMap(t => attrArg(t._3))
+    val legacyShape = legacyTotal.isDefined &&
+      others.map(_._1).toSet.subsetOf(Set("total", "mn", "mx"))
     require(!cat.tableExists(ns, name),
       s"table $ns.$name already exists")
     val src = cat.loadTable(ns, srcName)
@@ -855,18 +862,55 @@ object LakeSql {
     // leave a half-created, defined-but-broken MV behind
     keys.foreach(k => if (!src.schema.fieldNames.contains(k))
       bad(s"no column $k on $srcName"))
-    src.schema.fields.find(_.name == vCol) match {
-      case Some(f) if f.dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType] => ()
-      case Some(f) =>
-        bad(s"$vCol is ${f.dataType.simpleString}, not numeric")
-      case None => bad(s"no column $vCol on $srcName")
+    if (legacyShape) {
+      val vCol = legacyTotal.get
+      val extremes = (byAlias.get("mn"), byAlias.get("mx")) match {
+        case (Some((_, "min", a)), Some((_, "max", b)))
+            if attrArg(a).contains(vCol) && attrArg(b).contains(vCol) =>
+          true
+        case (None, None) => false
+        case _ => bad(s"min/max must both be present, over $vCol, " +
+          "aliased mn/mx")
+      }
+      if (fns.size != (if (extremes) 4 else 2))
+        bad("only cnt/total (and mn/mx) aggregates are maintainable")
+      src.schema.fields.find(_.name == vCol) match {
+        case Some(f) if f.dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType] => ()
+        case Some(f) =>
+          bad(s"$vCol is ${f.dataType.simpleString}, not numeric")
+        case None => bad(s"no column $vCol on $srcName")
+      }
+      cat.createTable(ns, name,
+        if (extremes) IncrementalMv.extremesSchema(src, keys)
+        else IncrementalMv.targetSchema(src, keys))
+      IncrementalMv.define(cat.loadTable(ns, name), srcName, keys, vCol,
+        if (extremes) "extremes" else "sum")
+    } else {
+      // N-sum MV: `count(*) AS cnt` plus any number of
+      // `sum(<expr>) AS <name>` — each expression is validated by
+      // planning it against the source schema, and must be numeric
+      val sums = others.map {
+        case (n, "sum", Seq(arg)) => n -> arg.sql
+        case (n, fn2, _) => bad(s"aggregate $n: $fn2 is not " +
+          "maintainable here — use count(*) AS cnt plus " +
+          "sum(<expr>) columns (or the cnt/total/mn/mx shape)")
+      }
+      sums.foreach { case (n, e) =>
+        val dt =
+          try src.scan().selectExpr(e).schema.head.dataType
+          catch { case ex: org.apache.spark.sql.AnalysisException =>
+            bad(s"sum($e) AS $n does not resolve on $srcName: " +
+              ex.getMessage.takeWhile(_ != '\n'))
+          }
+        if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          bad(s"sum($e) AS $n is ${dt.simpleString}, not numeric")
+      }
+      cat.createTable(ns, name,
+        IncrementalMv.sumsSchema(src, keys, sums.map(_._1)))
+      IncrementalMv.defineSums(cat.loadTable(ns, name), srcName, keys,
+        sums)
     }
-    cat.createTable(ns, name,
-      if (extremes) IncrementalMv.extremesSchema(src, keys)
-      else IncrementalMv.targetSchema(src, keys))
-    IncrementalMv.define(cat.loadTable(ns, name), srcName, keys, vCol,
-      if (extremes) "extremes" else "sum")
     // the name/type gates above run before target creation, but the
     // initial refresh can still fail on the SOURCE's history (e.g. a
     // schema-changing commit changes() refuses) — tear the just-created

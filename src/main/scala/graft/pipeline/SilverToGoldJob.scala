@@ -57,20 +57,20 @@ final class SilverToGoldJob(
     * silver commits since the last one (the MV watermark rides the
     * cube's merge commit — crash-safe, idempotent). */
   def runIncremental(): Long = {
-    import org.apache.spark.sql.types._
     val silver = catalog.loadTable(namespace, silverTable)
     val cubeName = s"${goldTable}_cube"
     val keys = Seq("destinationstate", "category")
     val sums = Seq("revenue" -> "price * quantity",
       "price_sum" -> "price")
     if (!catalog.tableExists(namespace, cubeName)) {
-      val src = silver.schema
-      catalog.createTable(namespace, cubeName, StructType(
-        keys.map(k => src(k)) ++ Seq(
-          StructField("cnt", LongType),
-          StructField("revenue", DoubleType),
-          StructField("price_sum", DoubleType))),
+      catalog.createTable(namespace, cubeName,
+        graft.lake.IncrementalMv.sumsSchema(silver, keys,
+          sums.map(_._1)),
         properties = PipelineDefaults.tableProperties)
+      // stamp the MV definition: the cube is then also refreshable by
+      // name through `CALL system.refresh_mv` / mv_staleness
+      graft.lake.IncrementalMv.defineSums(
+        catalog.loadTable(namespace, cubeName), silverTable, keys, sums)
     }
     val cube = catalog.loadTable(namespace, cubeName)
     graft.lake.IncrementalMv.refreshSums(silver, cube, keys, sums)

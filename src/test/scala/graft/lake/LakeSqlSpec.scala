@@ -747,6 +747,43 @@ WHEN NOT MATCHED THEN INSERT *
       .head().getLong(0) < n0)
   }
 
+  test("N-sum MATERIALIZED VIEW maintains several sum expressions") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a", 10.0, 2.0), (2L, "a", 5.0, 3.0),
+      (3L, "b", 1.0, 4.0)).toDF("id", "grp", "p", "q")
+    cat.createTable("ns", "nsrc", df.schema)
+    val src = cat.loadTable("ns", "nsrc")
+    src.append(df)
+    // several maintained sums, one an EXPRESSION over the source row —
+    // the cube shape the incremental gold layer rides
+    cat.sql("ns", "CREATE MATERIALIZED VIEW ncube AS SELECT grp, " +
+      "count(*) AS cnt, sum(p * q) AS revenue, sum(p) AS p_sum " +
+      "FROM nsrc GROUP BY grp")
+    def row(g: String) = cat.sql("ns",
+      s"SELECT cnt, revenue, p_sum FROM ncube WHERE grp = '$g'").head()
+    assert((row("a").getLong(0), row("a").getDouble(1),
+      row("a").getDouble(2)) == ((2L, 35.0, 15.0)))
+    // staleness + refresh drive through the same CALL surface
+    src.append(Seq((4L, "b", 2.0, 5.0)).toDF("id", "grp", "p", "q"))
+    assert(cat.sql("ns", "CALL system.mv_staleness('ncube')")
+      .select("is_stale").head().getBoolean(0))
+    cat.sql("ns", "CALL system.refresh_mv('ncube')")
+    assert((row("b").getLong(0), row("b").getDouble(1),
+      row("b").getDouble(2)) == ((2L, 14.0, 3.0)))
+    // retraction: delete drains group a to one row
+    src.delete(org.apache.spark.sql.functions.col("id") === 1L)
+    cat.sql("ns", "CALL system.refresh_mv('ncube')")
+    assert((row("a").getLong(0), row("a").getDouble(1),
+      row("a").getDouble(2)) == ((1L, 15.0, 5.0)))
+    // a non-resolving or non-numeric sum expression fails BEFORE
+    // creating anything
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS cnt, " +
+        "sum(nope * 2) AS x FROM nsrc GROUP BY grp"))
+    assert(!cat.tableExists("ns", "bad"))
+  }
+
   test("CREATE MATERIALIZED VIEW tears down on a failed first refresh") {
     // the initial refresh reads the SOURCE's full changelog — a
     // schema-changing commit in that history makes changes() refuse,
