@@ -1319,10 +1319,11 @@ WHEN NOT MATCHED THEN INSERT *
     }),
 
     "q_sql_merge_cdc" -> ((s, dir) => {
-      // CDC-shaped MERGE text: Op='D' rows delete, the rest upsert —
-      // the single-statement form of the reference's I/U/D handling.
-      // Unmatched delete rows are no-ops (never inserts), per the
-      // engine's documented CDC contract.
+      // CDC-shaped MERGE text: matched Op='D' rows delete, matched
+      // others update, UNMATCHED rows insert regardless of Op — SQL
+      // MERGE semantics (Spark/Iceberg/Delta): the MATCHED-only DELETE
+      // clause cannot suppress the NOT MATCHED INSERT. (The skip-insert
+      // CDC contract lives on the merge(deleteWhen=…) API.)
       val orders = t(s, dir, "orders")
       val cat = new LakeCatalog(s, tmp("graft-sqlcdc"))
       cat.createNamespace("ns")
@@ -3069,9 +3070,10 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey + 10000000000 AS o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
 
-    // tgt = %3<>0 keys; CDC batch over %2=0 keys: %10=0 delete, rest
-    // update (status U, price*2); unmatched updates insert, unmatched
-    // deletes no-op
+    // tgt = %3<>0 keys; CDC batch over %2=0 keys: matched %10=0 rows
+    // delete, matched others update (status U, price*2), UNMATCHED src
+    // rows insert regardless of op (SQL MERGE: a MATCHED-only DELETE
+    // cannot suppress the NOT MATCHED INSERT)
     "q_sql_merge_cdc" ->
       """WITH tgt AS (
         |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
@@ -3081,18 +3083,18 @@ WHEN NOT MATCHED THEN INSERT *
         |         'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 2 = 0)
         |SELECT
-        |  coalesce(u.o_orderkey, tgt.o_orderkey) AS o_orderkey,
-        |  CASE WHEN u.o_orderkey IS NOT NULL
-        |       THEN u.o_orderstatus ELSE tgt.o_orderstatus
+        |  coalesce(s.o_orderkey, tgt.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL
+        |       THEN s.o_orderstatus ELSE tgt.o_orderstatus
         |  END AS o_orderstatus,
-        |  round(CASE WHEN u.o_orderkey IS NOT NULL
-        |       THEN u.o_totalprice ELSE tgt.o_totalprice END, 2)
+        |  round(CASE WHEN s.o_orderkey IS NOT NULL
+        |       THEN s.o_totalprice ELSE tgt.o_totalprice END, 2)
         |    AS o_totalprice
         |FROM tgt
-        |FULL OUTER JOIN (SELECT * FROM src WHERE op = 'U') u
-        |  ON tgt.o_orderkey = u.o_orderkey
-        |WHERE coalesce(u.o_orderkey, tgt.o_orderkey) NOT IN
-        |  (SELECT o_orderkey FROM src WHERE op = 'D')""".stripMargin,
+        |FULL OUTER JOIN src s
+        |  ON tgt.o_orderkey = s.o_orderkey
+        |WHERE s.o_orderkey IS NULL OR tgt.o_orderkey IS NULL
+        |   OR s.op <> 'D'""".stripMargin,
 
     // src = nation-7 snapshot missing %3=0 custkeys (acctbal*2): matched
     // rows take the source image, source-only rows insert (none here),

@@ -283,12 +283,16 @@ object LakeSql {
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
           Some(du)) =>
         lt.merge(src, norm, None, du)
-      // CDC shape: delete-flagged rows drop, the rest upsert
-      case (Seq(DeleteAction(cond), UpdateStarAction(None)),
-          Seq(InsertStarAction(None)), Some(du)) =>
-        lt.merge(src, norm,
-          deleteWhen = Some(cond.map(columnOf(_)).getOrElse(lit(true))),
-          dropUnmatchedWhen = du)
+      // NB: the CDC shape (`WHEN MATCHED AND cond THEN DELETE` before
+      // the star pair) deliberately does NOT take the
+      // merge(deleteWhen=…) fast path: that API's documented contract
+      // skips inserting unmatched delete-flagged rows, but SQL MERGE
+      // semantics (Spark/Iceberg/Delta) insert them — the matched-only
+      // DELETE clause cannot suppress a NOT MATCHED INSERT. The text
+      // path must be SQL-conformant, so it routes to the general
+      // first-match-wins evaluator; CDC feeds that want skip-insert
+      // spell it `WHEN NOT MATCHED AND s.Op <> 'D' THEN INSERT *`, or
+      // call the merge(deleteWhen=…) API directly.
       // pure keyed delete: every matched key drops, nothing inserts
       case (Seq(DeleteAction(None)), Seq(), Some(None)) =>
         lt.deleteByKeys(src.select(norm.map(col): _*).distinct(), norm)

@@ -240,16 +240,21 @@ WHEN NOT MATCHED THEN INSERT *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     val got = cat.sql("ns", "SELECT id, v FROM t ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    // NB: the unmatched D row (9) must NOT insert; 4's Op column is
-    // dropped by schema alignment
-    assert(got == Seq((1L, "keep"), (2L, "updated"), (4L, "inserted")))
+    // SQL MERGE semantics (Spark/Iceberg/Delta): the MATCHED-only
+    // DELETE clause cannot suppress the NOT MATCHED INSERT, so the
+    // unmatched D row (9) DOES insert; Op columns are dropped by
+    // schema alignment. (Skip-insert CDC behavior is the
+    // merge(deleteWhen=…) API's documented contract, or is spelled
+    // `WHEN NOT MATCHED AND source.Op <> 'D' THEN INSERT *` in text.)
+    assert(got == Seq((1L, "keep"), (2L, "updated"), (4L, "inserted"),
+      (9L, "x")))
     // bare WHEN MATCHED THEN DELETE = keyed delete
     Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("__dels")
     cat.sql("ns",
       """MERGE INTO t USING __dels AS s ON t.id = s.id
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(cat.sql("ns", "SELECT id FROM t ORDER BY id")
-      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L, 9L))
     spark.catalog.dropTempView("__cdc")
     spark.catalog.dropTempView("__dels")
   }

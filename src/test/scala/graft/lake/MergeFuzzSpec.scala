@@ -192,6 +192,74 @@ class MergeFuzzSpec extends AnyFunSuite {
     }, 100)
     info(s"$n merge fuzz cases executed")
   }
+
+  // ---- star-shape fuzz across BOTH write modes -----------------------
+
+  private val starCaseGen = for {
+    tgt <- Gen.listOf(rowGen).map(dedup)
+    src <- Gen.listOf(rowGen).map(dedup)
+    mor <- Gen.oneOf(false, true)
+    del <- Gen.oneOf(0, 1) // 0 none, 1 "s.b >= 900"
+    bs <- Gen.oneOf(0, 1, 2) // 0 none, 1 unconditional, 2 "b > 300"
+  } yield (tgt, src, mor, del, bs)
+
+  test("property: star MERGE shapes (COW and MOR) ≡ reference, 60+ cases") {
+    var n = 0
+    check(Prop.forAllNoShrink(starCaseGen) {
+      case (tgt, src, mor, del, bs) =>
+        n += 1
+        val base = TestSpark.tmpDir(s"merge-star-$n")
+        val cat = new LakeCatalog(spark, base)
+        cat.createNamespace("f")
+        val tdf = tgt.toDF()
+        val sdf = src.toDF()
+        cat.createTable("f", "t_star", tdf.schema, properties =
+          if (mor) Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read")
+          else Map.empty)
+        val t = cat.loadTable("f", "t_star")
+        t.append(tdf)
+        sdf.createOrReplaceTempView("fuzz_star_src")
+        val text = Seq(
+          Some("MERGE INTO t_star t USING fuzz_star_src s " +
+            "ON t.id = s.id"),
+          if (del == 1) Some("WHEN MATCHED AND s.b >= 900 THEN DELETE")
+          else None,
+          Some("WHEN MATCHED THEN UPDATE SET *"),
+          Some("WHEN NOT MATCHED THEN INSERT *"),
+          bs match {
+            case 1 => Some("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+            case 2 => Some("WHEN NOT MATCHED BY SOURCE AND b > 300 " +
+              "THEN DELETE")
+            case _ => None
+          }).flatten.mkString(" ")
+        cat.sql("f", text)
+
+        def delCond(s: R) = del == 1 && s.b >= 900
+        def bsCond(t0: R) = bs match {
+          case 1 => true
+          case 2 => t0.b > 300
+          case _ => false
+        }
+        val srcById = src.map(s => s.id -> s).toMap
+        val tgtIds = tgt.map(_.id).toSet
+        val expect = (tgt.flatMap { t0 =>
+          srcById.get(t0.id) match {
+            case Some(s) => if (delCond(s)) None else Some(s)
+            case None => if (bsCond(t0)) None else Some(t0)
+          }
+        } ++ src.filterNot(s => tgtIds(s.id)))
+          .map(r => (r.id, r.a, r.b)).sorted
+        val got = t.scan().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+        val ok = got == expect
+        if (!ok) info(s"STAR CASE $n FAILED mode=${if (mor) "mor"
+          else "cow"}\n text=$text\n tgt=$tgt\n src=$src" +
+          s"\n expect=$expect\n got=$got")
+        ok
+    }, 60)
+    info(s"$n star merge fuzz cases executed")
+  }
 }
 
 object MergeFuzzSpec {
