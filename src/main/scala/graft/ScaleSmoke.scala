@@ -64,6 +64,16 @@ object ScaleSmoke {
       commitDepthSmoke(args.lift(1).map(_.toInt).getOrElse(5000))
       return
     }
+    if (args.headOption.contains("dedup-inc")) {
+      dedupIncSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(10))
+      return
+    }
+    if (args.headOption.contains("dedup-corpus")) {
+      dedupCorpusSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(10))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val workDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-scale").toString)
@@ -571,6 +581,215 @@ object ScaleSmoke {
       lt.scan(col("id") === (commits / 4).toLong).count())
     require(hit2 == 1L)
     println(f"[commit-depth] post-GC point scan $planSec2%.2f s; PASS")
+    spark.stop()
+  }
+
+  /** Synthetic dedup corpus: `mult` replica generations of the
+    * documents table. Replicas of clique bases (`doc_id % 50 == 0`)
+    * repeat the text verbatim — planted exact-duplicate cliques of size
+    * `mult`. All other replicas interleave a per-(doc, generation) salt
+    * token between every word, so every trigram contains the salt and
+    * replicas share NO grams (genuinely novel docs). Boilerplate bases
+    * (`doc_id % 3 == 0`) additionally append one shared sentence —
+    * hot grams with df ≈ mult·N/3 that the maxDocFreq guard must drop.
+    * Ids are `doc_id + gen·10⁸` (disjoint across generations). */
+  private def dedupCorpus(docs: org.apache.spark.sql.DataFrame,
+      mult: Int): org.apache.spark.sql.DataFrame = {
+    // short on purpose: the hot grams get df ≈ mult·N/3 (the guard's
+    // target), while the per-doc shared-gram RATIO stays ≈ 2/100 — so
+    // MinHash band buckets over boilerplate docs stay O(1)-sized and
+    // the no-guard minhash path keeps its linear scaling
+    val boiler = " all rights reserved worldwide"
+    val gens = (0 until mult).map { gen =>
+      val salted =
+        if (gen == 0) col("text")
+        else when(col("doc_id") % 50 === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit(" "),
+            concat(lit(" s"), lit(gen), lit("x"), col("doc_id"),
+              lit(" "))))
+      docs.select(
+        (col("doc_id") + lit(gen.toLong * 100000000L)).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(salted, lit(boiler)))
+          .otherwise(salted).as("text"))
+    }
+    gens.reduce(_ unionByName _)
+  }
+
+  /** `dedup-inc [sfDir] [mult]`: the broadcast gate under load — a
+    * `mult`×-replicated corpus is indexed, then a whole-generation
+    * batch admits against it TWICE: once broadcast-hinted (the
+    * under-ceiling default) and once through `broadcastBatch = false`
+    * (the path a deliberately over-threshold batch takes — here the
+    * caller's row-count policy trips at a tiny stand-in ceiling, the
+    * same decision a 512M-row real ceiling forces). Asserts the two
+    * manifests are IDENTICAL row-for-row, the gated plan carries zero
+    * broadcast hints, and admission decisions match construction
+    * (every clique-base replica is a dup; every salted doc is novel). */
+  private def dedupIncSmoke(sfDir: String, mult: Int): Unit = {
+    val spark = smokeSession("graft-dedup-inc")
+    import graft.operators.IncrementalDedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = dedupCorpus(docs, mult)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCorpus = corpus.count()
+    // the batch: one more generation — clique-base replicas duplicate
+    // the corpus, salted docs are novel
+    val batch = dedupCorpus(docs, mult + 1)
+      .where(col("doc_id") >= mult.toLong * 100000000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = batch.count()
+    val idx = IncrementalDedup.buildIndex(corpus).localCheckpoint()
+    println(s"[dedup-inc] corpus $nCorpus docs indexed; batch $nBatch")
+    // caller-side gate policy: a stand-in ceiling of 1000 batch rows
+    // (the production knob is Spark's ~512M-row/8 GB broadcast limit);
+    // this batch is DELIBERATELY over it, so the gate must disable the
+    // broadcast hints
+    val ceiling = 1000L
+    val overCeiling = nBatch > ceiling
+    require(overCeiling, s"smoke needs an over-threshold batch ($nBatch)")
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val (tGated, gated) = timed(IncrementalDedup.admit(idx, corpus,
+      batch, bands = 64, threshold = 0.5,
+      broadcastBatch = !overCeiling))
+    val (tHinted, hinted) = timed(IncrementalDedup.admit(idx, corpus,
+      batch, bands = 64, threshold = 0.5))
+    println(f"[dedup-inc] gated admit $tGated%.1f s, " +
+      f"hinted admit $tHinted%.1f s")
+    val lazyGated = IncrementalDedup.admit(idx, corpus, batch,
+      bands = 64, threshold = 0.5, eager = false,
+      broadcastBatch = false)
+    require(!lazyGated.queryExecution.analyzed.toString
+      .contains("ResolvedHint"), "gate left a broadcast hint in the plan")
+    val g = gated.collect().map(_.toSeq).toSet
+    val h = hinted.collect().map(_.toSeq).toSet
+    require(g == h, s"gated (${g.size}) and hinted (${h.size}) " +
+      "manifests diverged")
+    val byKind = gated.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[dedup-inc] admission: $byKind")
+    // construction truth: exactly the clique-base replicas (doc_id %
+    // 50 == 0 bases) are duplicates — kind is `exact` unless the base
+    // has a SMALLER intrinsic near-dup neighbor in the source corpus
+    // (smallest-matching-id resolution then correctly reports `near`);
+    // every salted doc is novel
+    val expectDup = docs.where(col("doc_id") % 50 === 0).count()
+    val dupFound = byKind.getOrElse("exact", 0L) +
+      byKind.getOrElse("near", 0L)
+    require(dupFound == expectDup,
+      s"expected $expectDup dups, got $dupFound ($byKind)")
+    require(byKind.getOrElse("exact", 0L) >= expectDup * 9 / 10,
+      s"exact should dominate the clique replicas: $byKind")
+    require(byKind.getOrElse("novel", 0L) == nBatch - expectDup,
+      s"novel count off: $byKind")
+    println("[dedup-inc] PASS (gated path ≡ hinted path, " +
+      s"$nBatch-row batch admitted without broadcast)")
+    spark.stop()
+  }
+
+  /** `dedup-corpus [sfDir] [mult]`: the dedup family's skew-guard and
+    * scaling story under load — a planted corpus at HALF and FULL size
+    * (25k / 50k docs at sf0.1×10) runs the n-gram inverted-index path,
+    * the MinHash+LSH path, and exact dedup. Asserts per size:
+    *   - verified pair counts exactly match the planted cliques
+    *     (C(mult,2) per clique base for ngram; minhash banding at
+    *     threshold 0.5 with r=2 finds identical docs with certainty),
+    *   - the candidate-pair count stays within the maxDocFreq guard's
+    *     Σ df·(df−1)/2 bound over RETAINED grams — while the dropped
+    *     hot boilerplate grams alone would have contributed ~(N/3·mult)²
+    *     pairs (reported as the blowup the guard prevented),
+    *   - wall time scales ~linearly corpus-half → corpus-full
+    *     (≤ 3.5× allows shuffle-constant noise; the quadratic
+    *     no-guard shape would be ≥ 4×). */
+  private def dedupCorpusSmoke(sfDir: String, mult: Int): Unit = {
+    val spark = smokeSession("graft-dedup-corpus")
+    import graft.operators.TextDedup
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val maxDf = 100
+    // canonicalize the base: the source corpus carries its own near/
+    // exact dups — remove every doc that participates in one, so the
+    // only duplicate structure in the synthetic corpus is the PLANTED
+    // one and the pair-count asserts are exact by construction
+    val srcNg = TextDedup.ngramJaccardPairs(raw, n = 3, threshold = 0.5,
+      maxDocFreq = Some(maxDf))
+    val srcMh = TextDedup.minHashPairs(raw, k = 128, bands = 64,
+      shingleSize = 3, threshold = 0.5)
+    val srcPairs = srcNg.select("id_a", "id_b")
+      .unionByName(srcMh.select("id_a", "id_b"))
+    val dirty = srcPairs.select(col("id_a").as("doc_id"))
+      .unionByName(srcPairs.select(col("id_b").as("doc_id")))
+      .unionByName(raw.groupBy(md5(col("text")).as("h"))
+        .agg(collect_list(col("doc_id")).as("ids"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(explode(col("ids")).as("doc_id")))
+      .distinct()
+    val docs = raw.join(dirty, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    spark.catalog.clearCache()
+    println(s"[dedup-corpus] base: ${raw.count()} docs, " +
+      s"${docs.count()} after removing intrinsic dup participants")
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def runAt(m: Int): (Double, Double) = {
+      val corpus = dedupCorpus(docs, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      val cliqueBases = docs.where(col("doc_id") % 50 === 0).count()
+      val expectPairs = cliqueBases * (m.toLong * (m - 1) / 2)
+      // --- candidate bound audit (same shingle pipeline the operator
+      // runs): retained grams obey df ≤ maxDf, candidates ≤ Σ df(df-1)/2
+      val grams = corpus.select(col("doc_id").as("id"),
+          explode(TextDedup.shingles(col("text"), 3)).as("g"))
+        .select(col("id"), xxhash64(col("g")).as("gram"))
+      val dfs = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .agg(
+          sum(when(col("df") <= maxDf,
+            (col("df") * (col("df") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("bound"),
+          sum(when(col("df") > maxDf,
+            (col("df") * (col("df") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("dropped")).head()
+      val (bound, dropped) = (dfs.getLong(0), dfs.getLong(1))
+      val (tNg, ngPairs) = timed(TextDedup.ngramJaccardPairs(corpus,
+        n = 3, threshold = 0.5, maxDocFreq = Some(maxDf)).count())
+      val (tMh, mhPairs) = timed(TextDedup.minHashPairs(corpus,
+        k = 128, bands = 64, shingleSize = 3, threshold = 0.5).count())
+      val (tEx, exGroups) = timed(TextDedup.exact(corpus)
+        .where(col("n_copies") > 1).count())
+      spark.catalog.clearCache()
+      corpus.unpersist(true)
+      println(f"[dedup-corpus] m=$m: $n%,d docs | ngram $tNg%.1f s " +
+        f"($ngPairs pairs), minhash $tMh%.1f s ($mhPairs pairs), " +
+        f"exact $tEx%.1f s ($exGroups dup groups) | candidate bound " +
+        f"$bound%,d, guard dropped $dropped%,d boilerplate pairs")
+      require(ngPairs == expectPairs,
+        s"ngram pairs $ngPairs != planted $expectPairs")
+      require(mhPairs == expectPairs,
+        s"minhash pairs $mhPairs != planted $expectPairs")
+      require(exGroups == cliqueBases,
+        s"exact dup groups $exGroups != planted $cliqueBases")
+      require(ngPairs <= bound,
+        s"verified pairs exceed the guard bound: $ngPairs > $bound")
+      require(dropped > bound * 10,
+        "fixture too tame: boilerplate blowup should dwarf the bound")
+      (tNg, tMh)
+    }
+    val (tNgHalf, tMhHalf) = runAt(mult / 2)
+    val (tNgFull, tMhFull) = runAt(mult)
+    println(f"[dedup-corpus] scaling half→full (2× docs): " +
+      f"ngram ${tNgFull / tNgHalf}%.2fx, minhash ${tMhFull / tMhHalf}%.2fx")
+    require(tNgFull <= tNgHalf * 3.5,
+      f"ngram path super-linear: ${tNgFull / tNgHalf}%.2fx for 2× docs")
+    require(tMhFull <= tMhHalf * 3.5,
+      f"minhash path super-linear: ${tMhFull / tMhHalf}%.2fx for 2× docs")
+    println("[dedup-corpus] PASS")
     spark.stop()
   }
 

@@ -1901,21 +1901,38 @@ WHEN NOT MATCHED THEN INSERT *
     "q_dedup_incremental" -> ((s, dir) => {
       // production incremental dedup: the historical corpus (doc_id % 3
       // != 0) is represented by a signature INDEX persisted in a lake
-      // table; the new batch (doc_id % 3 == 0) admits against it —
-      // exact digests + LSH candidates (batch side broadcast, corpus
-      // never shuffles) + true-Jaccard verification on candidate texts.
-      // bands=64 (r=2) makes LSH recall total at threshold 0.5 for this
-      // corpus (same guarantee q_dedup_minhash relies on).
+      // table; new batches (doc_id % 3 == 0) admit against it — exact
+      // digests + LSH candidates + true-Jaccard verification on
+      // candidate texts. TWO consecutive batches, split on an id
+      // threshold: batch 1 takes the broadcast-hinted fast path (the
+      // under-ceiling default); batch 2 admits against the GROWN index
+      // through the broadcastBatch=false hash-join fallback (the
+      // over-ceiling path a 1 TB ingest needs). Because `dup_of` is the
+      // smallest matching id and batch-1 ids all precede batch-2 ids,
+      // the two manifests union to exactly the one-shot admission the
+      // oracle computes — both physical strategies are hash-checked by
+      // one query. bands=64 (r=2) makes LSH recall total at threshold
+      // 0.5 (same guarantee q_dedup_minhash relies on).
       import graft.operators.IncrementalDedup
       val d = docs(s, dir)
       val corpus = d.where(col("doc_id") % 3 =!= 0)
       val batch = d.where(col("doc_id") % 3 === 0)
+      val cut = batch.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val batch1 = batch.where(col("doc_id") <= cut)
+      val batch2 = batch.where(col("doc_id") > cut)
       val idx = IncrementalDedup.buildIndex(corpus)
       val t = graft.lake.LakeTable.create(s,
         tmp("graft-dedup-idx") + "/t", idx.schema)
       t.append(idx)
-      IncrementalDedup.admit(t.scan(), corpus, batch,
+      val m1 = IncrementalDedup.admit(t.scan(), corpus, batch1,
         bands = 64, threshold = 0.5)
+      // ALL batch-1 rows join the index (dups too — later batches must
+      // see every earlier lower-id doc, novel or not)
+      t.append(IncrementalDedup.buildIndex(batch1))
+      val m2 = IncrementalDedup.admit(t.scan(),
+        corpus.unionByName(batch1), batch2,
+        bands = 64, threshold = 0.5, broadcastBatch = false)
+      m1.unionByName(m2)
     }),
 
     // representatives over the EXACT ngram-jaccard pairs (not the

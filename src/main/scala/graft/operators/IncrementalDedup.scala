@@ -77,23 +77,36 @@ object IncrementalDedup {
     * temporaries are unpersisted before returning — a long-lived
     * session leaks nothing. `eager = false` returns a fully lazy plan
     * and persists NOTHING: the temporaries are recomputed per
-    * reference (bounded by the batch, never the corpus). */
+    * reference (bounded by the batch, never the corpus).
+    *
+    * `broadcastBatch` (default true): hint-broadcast the batch's slim
+    * join sides (digests; band keys) so the big index streams map-side
+    * with ZERO corpus shuffle — right whenever the batch's band keys
+    * fit the broadcast ceiling (~8 GB / 512M rows: batch × bands rows
+    * of ~24 bytes, so roughly ≤ 10⁷-doc batches at 32 bands). For a
+    * larger batch (a 1 TB daily ingest is ~10⁸–10⁹ band rows) pass
+    * `false`: both layers fall back to plain hash-partitioned
+    * equi-joins — the corpus still only shuffles its SLIM index rows
+    * (id + digest / band keys), never document bodies. Same contract
+    * and results either way; only the physical join strategy changes. */
   def admit(index: DataFrame, corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       threshold: Double = 0.5, seed: Long = 42L,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true, broadcastBatch: Boolean = true): DataFrame = {
     def keep(df: DataFrame): DataFrame =
       if (eager) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
     val batchIdx = keep(buildIndex(batch, textCol, idCol, k, shingleSize,
       seed))
     val batchSh = keep(batch.select(col(idCol).as("id"),
       TextDedup.shingles(col(textCol), shingleSize).as("sh")))
 
-    // ---- exact layer: digest joins (batch digests broadcast)
+    // ---- exact layer: digest joins (batch digests broadcast if gated in)
     val exactCorpus = index
       .select(col("id").as("dup_of"), col("text_md5"))
-      .join(broadcast(batchIdx.select(col("id"), col("text_md5"))),
+      .join(hinted(batchIdx.select(col("id"), col("text_md5"))),
         Seq("text_md5"))
       .select(col("id"), col("dup_of"))
     val md = batchIdx.select(col("id"), col("text_md5"))
@@ -104,11 +117,12 @@ object IncrementalDedup {
       .select(col("id"), col("dup_of"))
 
     // ---- near layer: LSH candidates. The INDEX side is the corpus —
-    // broadcast the batch band keys so it streams map-side.
+    // broadcast the batch band keys (when gated in) so it streams
+    // map-side; otherwise a plain shuffled equi-join of slim band keys.
     val bb = bandKeys(batchIdx, k, bands)
     val candCorpus = bandKeys(index, k, bands)
       .select(col("id").as("dup_of"), col("band"), col("band_hash"))
-      .join(broadcast(bb), Seq("band", "band_hash"))
+      .join(hinted(bb), Seq("band", "band_hash"))
       .select(col("id"), col("dup_of"))
     val candBatch = bb
       .join(bb.select(col("id").as("dup_of"), col("band"),

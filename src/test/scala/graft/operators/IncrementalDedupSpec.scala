@@ -52,6 +52,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
       r.getString(2) == "exact")
   }
 
+  test("broadcastBatch=false: same manifest, zero broadcast hints") {
+    val index = IncrementalDedup.buildIndex(corpus)
+    val hintedRows = IncrementalDedup.admit(index, corpus, batch)
+      .collect().map(_.toSeq).toSet
+    val plain = IncrementalDedup.admit(index, corpus, batch,
+      eager = false, broadcastBatch = false)
+    // identical admission decisions through the hash-join fallback
+    assert(plain.collect().map(_.toSeq).toSet == hintedRows)
+    // and the gate really removed the hints from the plan
+    assert(!plain.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val hintedPlan = IncrementalDedup.admit(index, corpus, batch,
+      eager = false)
+    assert(hintedPlan.queryExecution.analyzed.toString
+      .contains("ResolvedHint"))
+  }
+
   test("admitted novel rows extend the index for the next batch") {
     val index0 = IncrementalDedup.buildIndex(corpus)
     val manifest = IncrementalDedup.admit(index0, corpus, batch)
