@@ -850,6 +850,11 @@ object LakeSql {
     }
     if (keys.isEmpty)
       bad("GROUP BY must list at least one key")
+    // an aggregate aliased to a key name would make the target schema
+    // emit a duplicate column — a broken table that every later scan
+    // trips over, created AFTER the existence gate passed
+    fns.map(_._1).toSet.intersect(keys.toSet).toSeq.sorted.foreach(n =>
+      bad(s"aggregate alias $n collides with a GROUP BY key name"))
     val others = fns.filterNot(_._1 == "cnt")
     // the legacy single-sum shapes (kind `sum` / `extremes`) keep
     // their compact property encoding; anything else routes to the

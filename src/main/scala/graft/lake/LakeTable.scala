@@ -849,6 +849,20 @@ final class LakeTable private (
     readFilesAs(current, entries.map(_.path))
   }
 
+  /** Every table-relative data path RETAINED HISTORY has ever seen:
+    * the head's live set plus each retained snapshot's added and
+    * removed lists. The committed-ness test for import-marker recovery
+    * — a path in this set reached the table by a real commit, even if
+    * a later COW rewrite or compaction removed it from the live set
+    * (its file may still exist on disk until expiry, so "dest exists"
+    * proves nothing and "not live" does NOT mean "never committed"). */
+  private def historyPaths: Set[String] = {
+    val snaps = snapshots
+    (current.liveFiles.iterator ++
+      snaps.iterator.flatMap(s => s.addedFiles.iterator ++
+        s.removedFiles.iterator)).toSet
+  }
+
   /** Commit a staged changeset: its already-written files join the table
     * as a normal append (declaratively retry-safe like [[append]] — the
     * files are fresh, every interleaved same-layout commit commutes).
@@ -856,17 +870,26 @@ final class LakeTable private (
     * For an `add_files` IMPORT marker (crash recovery), the move is
     * completed first: any entry whose dest file is missing is renamed
     * in from its recorded source — the manifest must never commit a
-    * path that does not exist. A marker whose entries are ALREADY live
-    * (crash between the import's commit and its marker cleanup) only
-    * clears the marker — never double-adds. */
+    * path that does not exist. A marker whose entries already appear
+    * in RETAINED HISTORY (crash between the import's commit and its
+    * marker cleanup — even if a later rewrite removed them from the
+    * live set) only clears the marker — never double-adds or
+    * resurrects. A marker whose entries appear partially (possible
+    * only once expiry has dropped the import commit itself) is
+    * ambiguous: recovery refuses rather than guess. */
   def publishStaged(wapId: String): Long = {
     val (schemaJson, specId, entries, sources) = readStaged(wapId)
     if (sources.nonEmpty) {
-      val live = current.liveFiles.toSet
-      if (entries.forall(e => live(e.path))) {
+      val seen = historyPaths
+      val seenN = entries.count(e => seen(e.path))
+      if (seenN == entries.size) {
         fs.delete(stagedPath(wapId), false)
         return current.snapshotId
       }
+      require(seenN == 0, s"import $wapId: $seenN/${entries.size} " +
+        "entries already appear in retained history — the import " +
+        "committed and was partially expired/rewritten; refusing to " +
+        "re-commit (clear the marker manually after auditing)")
       entries.foreach { e =>
         val dest = new Path(rootPath, e.path)
         if (!fs.exists(dest)) {
@@ -901,17 +924,21 @@ final class LakeTable private (
     * An `add_files` IMPORT marker's dest files are the ONLY copy (they
     * arrived by rename, not copy) — discard moves them BACK to their
     * recorded source paths instead of deleting. A marker whose entries
-    * are already live (crash after the import's commit) only clears
-    * the marker: the files belong to the table now. */
+    * already appear in RETAINED HISTORY (crash after the import's
+    * commit — including entries a later rewrite removed from the live
+    * set but whose files time travel still reads) only clears the
+    * marker: the files belong to the table now, and renaming them out
+    * would break reads of the snapshots that reference them. */
   def discardStaged(wapId: String): Unit = {
     val (_, _, entries, sources) = readStaged(wapId)
     if (sources.nonEmpty) {
-      val live = current.liveFiles.toSet
-      val livePaths = entries.map(_.path).filter(live)
-      if (livePaths.nonEmpty) {
-        require(livePaths.size == entries.size, s"import $wapId is " +
-          s"partially committed (${livePaths.size}/${entries.size} " +
-          "files live) — refusing discard; publish_staged to recover")
+      val seen = historyPaths
+      val seenPaths = entries.map(_.path).filter(seen)
+      if (seenPaths.nonEmpty) {
+        require(seenPaths.size == entries.size, s"import $wapId is " +
+          s"partially committed (${seenPaths.size}/${entries.size} " +
+          "entries in retained history) — refusing discard; " +
+          "publish_staged to recover")
         fs.delete(stagedPath(wapId), false)
         return
       }
@@ -1404,6 +1431,15 @@ final class LakeTable private (
                 case _ => ()
               }
             }
+            // symmetric gate: a footer field the table does not know
+            // would silently VANISH on every scan (the read path
+            // projects the table schema) — refuse rather than import
+            // data the table can never return. Partition-source
+            // columns are allowed in content (external writers often
+            // keep them alongside the hive dirs).
+            (have.keySet -- expect.keySet -- idCols).toSeq.sorted
+              .foreach(n => schemaErrs.add(
+                s"$f carries $n, which the table schema lacks"))
           case scala.util.Failure(e) =>
             schemaErrs.add(s"$f: unreadable parquet footer " +
               s"(${e.getClass.getSimpleName}: ${e.getMessage})")
@@ -3734,6 +3770,13 @@ final class LakeTable private (
           chunkCache.remove(name)
           removed += s"$METADATA_DIR/$name"
         }
+        // snaplog temps stranded by a failed cache rename (writeSnaplog
+        // only deletes its own temp on ITS failure branch; a crash
+        // between write and rename leaves the file) — nothing ever
+        // references them, so age is the only gate
+        if (st.isFile && name.startsWith(".snaplog-") &&
+            name.endsWith(".json") && st.getModificationTime < cutoff)
+          removed += s"$METADATA_DIR/$name"
       }
     }
     deleteAll(removed.toSeq.map(r => new Path(rootPath, r)))

@@ -74,6 +74,25 @@ class AddFilesRecoverySpec extends AnyFunSuite {
     assert(lt.stagedIds.isEmpty)
   }
 
+  test("per-file footer gate: a file with an EXTRA column is refused") {
+    val wh = TestSpark.tmpDir("addrec-extra")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ns")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("ns", "t", df.schema)
+    val lt = cat.loadTable("ns", "t")
+    val ext = TestSpark.tmpDir("addrec-extra-ext")
+    // a file carrying a column the table lacks: scans project the
+    // table schema, so the extra column would silently vanish —
+    // import must refuse, not swallow
+    df.withColumn("extra", lit(7)).coalesce(1).write
+      .mode("overwrite").parquet(ext)
+    val e = intercept[IllegalArgumentException](lt.addFiles(ext))
+    assert(e.getMessage.contains("carries extra"), e.getMessage)
+    assert(lt.scan().count() == 0)
+    assert(lt.stagedIds.isEmpty)
+  }
+
   test("crash before commit: publish_staged completes the import") {
     val f = fixture("pub")
     val id = crashImport(f)
@@ -135,5 +154,38 @@ class AddFilesRecoverySpec extends AnyFunSuite {
     f.lt.discardStaged(id)
     assert(f.lt.scan().count() == 100)
     assert(f.lt.stagedIds.isEmpty)
+  }
+
+  test("marker outliving a COW rewrite: recovery consults history, " +
+      "not the live set") {
+    val f = fixture("rewrite")
+    val id = crashImport(f)
+    val hfs = fs(f.lt.root)
+    val marker = new Path(f.lt.root, s"metadata/staged/$id.json")
+    val body = LakeTable.readString(hfs, marker)
+    val importSnap = f.lt.publishStaged(id)
+    // a later COW delete rewrites/removes imported entries from the
+    // LIVE set while their files still exist on disk (no expiry yet) —
+    // the exact state where a live-set committed-ness test lies
+    f.lt.delete($"id" > 90)
+    val head = f.lt.currentSnapshotId.get
+    assert(f.lt.scan().count() == 90)
+    // publish with the stale marker restored: every entry is in
+    // retained HISTORY → clear the marker, never re-commit (the old
+    // live-set test would have re-added all 3 files: +10 resurrected
+    // rows and 40 duplicated ones)
+    LakeTable.writeStringExclusive(hfs, marker, body)
+    f.lt.publishStaged(id)
+    assert(f.lt.currentSnapshotId.contains(head)) // no new commit
+    assert(f.lt.scan().count() == 90)
+    assert(f.lt.stagedIds.isEmpty)
+    // discard with the stale marker restored: files are referenced by
+    // retained snapshots → clear the marker only; time travel to the
+    // import snapshot must keep reading all 100 rows
+    LakeTable.writeStringExclusive(hfs, marker, body)
+    f.lt.discardStaged(id)
+    assert(f.lt.stagedIds.isEmpty)
+    assert(f.lt.scan().count() == 90)
+    assert(f.lt.scanAt(importSnap).count() == 100)
   }
 }

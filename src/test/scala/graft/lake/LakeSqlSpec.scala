@@ -699,6 +699,12 @@ WHEN NOT MATCHED THEN INSERT *
     intercept[Exception](cat.sql("ns",
       "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS cnt, " +
         "sum(grp) AS total FROM msrc GROUP BY grp"))
+    // a sum alias equal to a GROUP BY key would emit a duplicate
+    // column in the target schema — refused before creation
+    val aliasClash = intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS cnt, " +
+        "sum(v) AS grp FROM msrc GROUP BY grp"))
+    assert(aliasClash.getMessage.contains("collides"))
     assert(!cat.tableExists("ns", "bad"))
     // DROP tears the temp views down — a re-query fails with
     // not-found, never a read of the deleted table's files

@@ -522,9 +522,15 @@ class LakeTableSpec extends AnyFunSuite {
     val staged = LakeTable.listParquet(fs,
       new org.apache.hadoop.fs.Path(root + "/.orphan-staging")).head
     fs.rename(staged, orphan)
+    // plus a snaplog temp stranded by a crashed cache rename
+    val snaplogTmp = new org.apache.hadoop.fs.Path(root,
+      "metadata/.snaplog-deadbeef.json")
+    LakeTable.writeStringExclusive(fs, snaplogTmp, "{\"entries\":[]}")
     val removed = t.removeOrphanFiles(olderThanMs = 0L)
-    assert(removed == Seq("data/part-orphan-deadbeef.parquet"),
+    assert(removed.toSet == Set("data/part-orphan-deadbeef.parquet",
+      "metadata/.snaplog-deadbeef.json"),
       s"unexpected orphan set: $removed")
+    assert(!fs.exists(snaplogTmp))
     // committed state intact, including the retained-but-removed file
     assert(t.scan().orderBy("id").collect().toSeq == expected)
     assert(t.snapshots.flatMap(_.liveFiles).forall(f =>
