@@ -2229,7 +2229,20 @@ WHEN NOT MATCHED THEN INSERT *
             probeHamming = 1)),
         hitsOf("ivf",
           SimilaritySearch.ivfTopK(e, queries, k, nCentroids = 16,
-            nProbe = 4)))
+            nProbe = 4)),
+        // the trained row is the tuning loop's payoff: md5-sampled
+        // seeds + 2 replayable Lloyd passes (round-6 updates — see
+        // trainCentroids), same probe budget as the untrained row
+        hitsOf("ivf_trained",
+          SimilaritySearch.ivfTopK(e, queries, k, nCentroids = 16,
+            nProbe = 4, trainIterations = 2)),
+        hitsOf("pq",
+          SimilaritySearch.pqTopK(e, queries, k)),
+        hitsOf("ivfpq",
+          SimilaritySearch.ivfPqTopK(e, queries, k, nCentroids = 16,
+            nProbe = 4, nSubspaces = 4, nCodes = 16)),
+        hitsOf("int8",
+          SimilaritySearch.quantizedTopK(e, queries, k)))
         .reduce(_.unionByName(_))
         .select(col("method"), lit(nq).as("n_queries"), col("hits"),
           round(col("hits") / lit(k * nq), 4).as("recall"))
@@ -4560,6 +4573,165 @@ WHEN NOT MATCHED THEN INSERT *
          |        ORDER BY list_cosine_similarity(a.corpus_vec::DOUBLE[],
          |          p.query_vec::DOUBLE[]) DESC, a.corpus_id ASC) AS rnk
          |    FROM assign a JOIN probe p ON a.cid = p.cid)
+         |  WHERE rnk <= 5),
+         |qv8 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) /
+         |        (list_aggregate(list_transform(embedding,
+         |           y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0)
+         |        + 0.5) AS DOUBLE)) AS q
+         |  FROM embeddings),
+         |m_int8 AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(c.q, q.q) DESC,
+         |          c.vec_id ASC) AS rnk
+         |    FROM qv8 c CROSS JOIN qv8 q
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rnk <= 5),
+         |pseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS j,
+         |         embedding::DOUBLE[] AS v
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |pcb AS (
+         |  SELECT m, j, v[(m-1)*16+1:m*16] AS c
+         |  FROM pseeds, unnest(generate_series(1, 4)) AS t(m)),
+         |penc AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT e.vec_id, pcb.m, pcb.j,
+         |      row_number() OVER (PARTITION BY e.vec_id, pcb.m
+         |        ORDER BY list_distance(
+         |          (e.embedding::DOUBLE[])[(pcb.m-1)*16+1:pcb.m*16], pcb.c),
+         |          pcb.j) AS rn
+         |    FROM embeddings e CROSS JOIN pcb)
+         |  WHERE rn = 1),
+         |pparts AS (
+         |  SELECT q.vec_id AS query_id, penc.vec_id AS corpus_id, penc.m,
+         |    list_inner_product(
+         |      (q.embedding::DOUBLE[])[(penc.m-1)*16+1:penc.m*16], pcb.c)
+         |      AS p
+         |  FROM embeddings q
+         |  CROSS JOIN penc
+         |  JOIN pcb ON penc.m = pcb.m AND penc.j = pcb.j
+         |  WHERE q.vec_id % 50 = 0),
+         |m_pq AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(score, 6) DESC, corpus_id) AS rnk
+         |    FROM (
+         |      SELECT query_id, corpus_id,
+         |        max(CASE WHEN m=1 THEN p END) + max(CASE WHEN m=2 THEN p END)
+         |        + max(CASE WHEN m=3 THEN p END)
+         |        + max(CASE WHEN m=4 THEN p END) AS score
+         |      FROM pparts GROUP BY query_id, corpus_id))
+         |  WHERE rnk <= 5),
+         |ipparts AS (
+         |  SELECT cd.query_id, cd.corpus_id, penc.m,
+         |    list_inner_product(
+         |      (q.embedding::DOUBLE[])[(penc.m-1)*16+1:penc.m*16], pcb.c)
+         |      AS p
+         |  FROM (SELECT p.query_id, a.corpus_id
+         |        FROM assign a JOIN probe p ON a.cid = p.cid) cd
+         |  JOIN embeddings q ON q.vec_id = cd.query_id
+         |  JOIN penc ON penc.vec_id = cd.corpus_id
+         |  JOIN pcb ON penc.m = pcb.m AND penc.j = pcb.j),
+         |m_ivfpq AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(score, 6) DESC, corpus_id) AS rnk
+         |    FROM (
+         |      SELECT query_id, corpus_id,
+         |        max(CASE WHEN m=1 THEN p END) + max(CASE WHEN m=2 THEN p END)
+         |        + max(CASE WHEN m=3 THEN p END)
+         |        + max(CASE WHEN m=4 THEN p END) AS score
+         |      FROM ipparts GROUP BY query_id, corpus_id))
+         |  WHERE rnk <= 5),
+         |tseed AS (
+         |  SELECT row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+         |    embedding::DOUBLE[] AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |ta1 AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, s.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |          s.cvec) DESC, s.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN tseed s)
+         |  WHERE rn = 1),
+         |tm1 AS (
+         |  SELECT cid, pos, round(avg(x), 6) AS r FROM (
+         |    SELECT cid, unnest(embedding) AS x,
+         |           generate_subscripts(embedding, 1) AS pos FROM ta1)
+         |  GROUP BY cid, pos),
+         |tc1 AS (
+         |  SELECT s.cid, COALESCE(n.cvec, s.cvec) AS cvec
+         |  FROM tseed s LEFT JOIN (
+         |    SELECT cid,
+         |      CASE WHEN list_aggregate(list_transform(rv, w -> w*w),
+         |          'sum') = 0
+         |        THEN NULL
+         |        ELSE list_transform(rv, v -> round(v / sqrt(
+         |          list_aggregate(list_transform(rv, w -> w*w), 'sum')),
+         |          6)::FLOAT::DOUBLE) END AS cvec
+         |    FROM (SELECT cid, list(r ORDER BY pos) AS rv FROM tm1
+         |          GROUP BY cid)
+         |  ) n ON s.cid = n.cid),
+         |ta2 AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, s.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |          s.cvec) DESC, s.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN tc1 s)
+         |  WHERE rn = 1),
+         |tm2 AS (
+         |  SELECT cid, pos, round(avg(x), 6) AS r FROM (
+         |    SELECT cid, unnest(embedding) AS x,
+         |           generate_subscripts(embedding, 1) AS pos FROM ta2)
+         |  GROUP BY cid, pos),
+         |tc2 AS (
+         |  SELECT s.cid, COALESCE(n.cvec, s.cvec) AS cvec
+         |  FROM tc1 s LEFT JOIN (
+         |    SELECT cid,
+         |      CASE WHEN list_aggregate(list_transform(rv, w -> w*w),
+         |          'sum') = 0
+         |        THEN NULL
+         |        ELSE list_transform(rv, v -> round(v / sqrt(
+         |          list_aggregate(list_transform(rv, w -> w*w), 'sum')),
+         |          6)::FLOAT::DOUBLE) END AS cvec
+         |    FROM (SELECT cid, list(r ORDER BY pos) AS rv FROM tm2
+         |          GROUP BY cid)
+         |  ) n ON s.cid = n.cid),
+         |tassign AS (
+         |  SELECT corpus_id, corpus_vec, cid FROM (
+         |    SELECT e.vec_id AS corpus_id, e.embedding AS corpus_vec,
+         |      c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |          c.cvec) DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN tc2 c)
+         |  WHERE rn = 1),
+         |tprobe AS (
+         |  SELECT query_id, query_vec, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+         |          c.cvec) DESC, c.cid ASC) AS rn
+         |    FROM embeddings q CROSS JOIN tc2 c WHERE q.vec_id % 50 = 0)
+         |  WHERE rn <= 4),
+         |m_ivt AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT p.query_id, a.corpus_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(a.corpus_vec::DOUBLE[],
+         |          p.query_vec::DOUBLE[]) DESC, a.corpus_id ASC) AS rnk
+         |    FROM tassign a JOIN tprobe p ON a.cid = p.cid)
          |  WHERE rnk <= 5)
          |SELECT method, n_queries, hits,
          |       round(hits / (5.0 * n_queries), 4) AS recall
@@ -4577,6 +4749,22 @@ WHEN NOT MATCHED THEN INSERT *
          |  UNION ALL
          |  SELECT 'ivf', (SELECT n FROM nq),
          |    (SELECT count(*) FROM m_ivf JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'ivf_trained', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_ivt JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'pq', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_pq JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'ivfpq', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_ivfpq JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'int8', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_int8 JOIN exact
          |       USING (query_id, corpus_id)))""".stripMargin,
 
     // multi-probe: each query joins its own bucket plus the 10 buckets

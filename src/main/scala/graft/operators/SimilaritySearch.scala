@@ -273,10 +273,20 @@ object SimilaritySearch {
     * partially aggregates per-dimension sums, so the shuffle carries
     * only tasks × centroids × dim partial rows, never vectors. A
     * cluster that loses all members keeps its previous centroid, the
-    * standard empty-cluster fallback. */
+    * standard empty-cluster fallback.
+    *
+    * Every updated component is ROUNDED to 6 decimals (the mean, and
+    * for spherical the normalized value again): a distributed avg's
+    * summation order is nondeterministic, so unrounded centroids
+    * differ by ulps run-to-run (and engine-to-engine) — rounding makes
+    * the whole training loop REPLAYABLE (same clusters every run, and
+    * a SQL oracle can replay it step for step). Float32 centroids hold
+    * ~7 significant digits anyway, so the quantization costs nothing. */
   private[operators] def trainCentroids(c: DataFrame,
       seeds: Seq[(Int, Seq[Float])], iters: Int,
       spherical: Boolean = true): Seq[(Int, Seq[Float])] = {
+    def r6(v: Double): Double = BigDecimal(v)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     var cents = seeds
     (1 to iters).foreach { _ =>
       val centLit = centroidLiteral(cents)
@@ -293,12 +303,14 @@ object SimilaritySearch {
       cents = cents.map { case (id, old) =>
         means.get(id) match {
           case Some(rows) =>
-            val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+            val vec = rows.sortBy(_.getInt(1)).map(r => r6(r.getDouble(2)))
             if (!spherical) id -> vec.map(_.toFloat).toSeq
             else {
+              // norm over the ROUNDED means in dimension order — the
+              // exact fold a SQL replay computes
               val norm = math.sqrt(vec.map(x => x * x).sum)
               if (norm == 0.0) id -> old
-              else id -> vec.map(x => (x / norm).toFloat).toSeq
+              else id -> vec.map(x => r6(x / norm).toFloat).toSeq
             }
           case None => id -> old // empty cluster keeps its centroid
         }
