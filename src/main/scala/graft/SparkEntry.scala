@@ -544,6 +544,35 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_delete_vectors" -> ((s, dir) => {
+      // DELETION VECTORS (≡ Iceberg v3 DVs / Delta deletion vectors):
+      // a delete-heavy MOR history — four predicate deletes — with the
+      // accumulated position-delete artifacts consolidated into ONE
+      // per-file bitmap vector MID-history and again at the end, and a
+      // MOR update layered on top. Content must equal the plain
+      // predicate algebra through every representation change; the
+      // read pays one broadcast bitmap row per file instead of one
+      // anti-join per delete commit (DeleteVectorsSpec pins the plan
+      // shape and artifact counts).
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-dv") + "/orders"
+      val lt = LakeTable.create(s, root, orders.schema,
+        properties = Map(
+          LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+          LakeTable.PROP_UPDATE_MODE -> "merge-on-read"))
+      lt.append(orders)
+      lt.delete(col("o_orderkey") % 10 === 3)
+      lt.delete(col("o_orderkey") % 7 === 2)
+      lt.consolidateDeleteVectors()
+      // deletes and updates keep composing on top of the vector
+      lt.delete(col("o_custkey") % 11 === 4)
+      lt.update(col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> col("o_totalprice") * 2))
+      lt.consolidateDeleteVectors()
+      lt.scan().select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_table_changes" -> ((s, dir) => {
       // row-level CDC changelog (≡ Iceberg create_changelog_view):
       // append → inserts; MOR keyed delete → pre-image deletes via the
@@ -1582,16 +1611,37 @@ WHEN NOT MATCHED THEN INSERT *
     }),
 
     "q_gold_mart" -> ((s, _) => {
-      // full medallion incl. the gold aggregate layer on the fixture
+      // full medallion incl. the gold aggregate layer on the fixture —
+      // expressed as PURE DDL: one CREATE MATERIALIZED VIEW whose AVG
+      // and COUNT(DISTINCT …) lower onto the maintained cube (hidden
+      // sums + a category cube key; the registered view derives), kept
+      // fresh by CALL system.refresh_mv. Same mart SilverToGoldJob
+      // computes, now reachable by SQL-only users.
       val base = tmp("graft-gold")
       val rawDir = s"$base/raw"
-      Seq("/root/reference/raw/datafiles/initialsinserts",
-        "/root/reference/raw/datafiles/updates")
+      Seq("/root/reference/raw/datafiles/initialsinserts")
         .foreach(copyCsvsInto(_, rawDir))
       val cat = new LakeCatalog(s, s"$base/warehouse")
-      new PipelineRunner(s, cat, rawDir, s"$base/ckpt").runOnce()
-      new graft.pipeline.SilverToGoldJob(s, cat, "example_namespace").run()
-      cat.loadTable("example_namespace", "gold_orders_by_state").scan()
+      val runner = new PipelineRunner(s, cat, rawDir, s"$base/ckpt")
+      runner.runOnce()
+      cat.sql("example_namespace",
+        """CREATE MATERIALIZED VIEW gold_mart AS
+          |SELECT destinationstate, count(*) AS n_orders,
+          |  sum(price * quantity) AS revenue,
+          |  avg(price) AS avg_price,
+          |  count(DISTINCT category) AS n_categories
+          |FROM silver_orders
+          |GROUP BY destinationstate""".stripMargin)
+      // a second drop lands, silver merges it, refresh_mv catches up —
+      // the incremental loop a production mart runs on
+      copyCsvsInto("/root/reference/raw/datafiles/updates", rawDir)
+      runner.runOnce()
+      cat.sql("example_namespace", "CALL system.refresh_mv('gold_mart')")
+      cat.sql("example_namespace",
+        "SELECT destinationstate, n_orders, " +
+          "round(revenue, 2) AS revenue, " +
+          "round(avg_price, 2) AS avg_price, n_categories " +
+          "FROM gold_mart")
     }),
 
     // ---- streaming
@@ -2704,6 +2754,18 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // deletion vectors are a pure REPRESENTATION change: the oracle is
+    // the predicate algebra of the four deletes + the urgent-price
+    // update, independent of where the consolidation points fall
+    "q_delete_vectors" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |   AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_orderkey % 7 <> 2
+        |  AND o_custkey % 11 <> 4""".stripMargin,
 
     // position-delete semantics: DELETE removes status-F rows, the MOR
     // UPDATE then doubles urgent orders among the survivors

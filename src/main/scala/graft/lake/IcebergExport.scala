@@ -1,0 +1,369 @@
+package graft.lake
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** One-way EXPORT of a graft table's current snapshot as an
+  * Iceberg-spec v2 table (https://iceberg.apache.org/spec/): a
+  * `metadata/v1.metadata.json`, an Avro manifest LIST, one Avro
+  * manifest of `manifest_entry` records, and a HadoopTables-style
+  * `version-hint.text` — the interchange artifact that lets any
+  * Iceberg-reading engine (Spark+iceberg-runtime, Trino, DuckDB's
+  * iceberg extension, PyIceberg) scan data graft governs. Data files
+  * are referenced by ABSOLUTE URI into the graft table's `data/` dir —
+  * a zero-copy handoff; the export directory holds only metadata.
+  *
+  * Feasibility note (SURVEY §7.5): the Avro encoding — the offline
+  * blocker candidate — is fully writable with the distribution's
+  * `avro-1.12.1` core jar (hand-built schemas carrying the spec's
+  * `field-id` attributes, `DataFileWriter` + deflate). What CANNOT be
+  * done offline is a round-trip through a real Iceberg reader (no
+  * iceberg jar in the environment), so IcebergExportSpec instead
+  * re-reads the Avro with the same library and checks every
+  * spec-required field, value consistency with the graft manifest, and
+  * that the referenced parquet scans back row-identical.
+  *
+  * Scope (refused loudly otherwise):
+  *   - outstanding delete artifacts must be compacted away first
+  *     (graft equality deletes have no Iceberg encoding; position
+  *     deletes/DVs use different column names/ids) — the standard
+  *     "clean handoff after maintenance" shape;
+  *   - `bucket(N, col)` partitioning is not exportable: graft buckets
+  *     with Spark's murmur3, Iceberg with its own — declaring
+  *     `bucket[N]` would make an Iceberg reader bucket-prune with the
+  *     WRONG hash. Identity / day / month / year / truncate transforms
+  *     agree value-for-value and export as themselves.
+  */
+object IcebergExport {
+
+  /** Export `table`'s current snapshot under `destDir`; returns the
+    * absolute path of the written `v1.metadata.json`. */
+  def export(table: LakeTable, destDir: String): String = {
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException("no committed snapshot to export"))
+    require(snap.deleteFiles.isEmpty && snap.posDeleteFiles.isEmpty &&
+      snap.dvFiles.isEmpty,
+      "export needs a delete-free snapshot — run compact() first " +
+        "(graft delete artifacts have no Iceberg encoding)")
+    val fields = PartitionSpec.parseAll(snap.partitionColumns)
+    fields.foreach(f => require(
+      !f.transform.isInstanceOf[PartitionSpec.Bucket],
+      s"bucket transform ${f.spec} is not exportable: graft and " +
+        "Iceberg bucket with different hash functions"))
+
+    val spark = table.spark
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val metaDir = new Path(destDir, "metadata")
+    fs.mkdirs(metaDir)
+    val tableFs = new Path(table.root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def absUri(rel: String): String =
+      tableFs.makeQualified(new Path(table.root, rel)).toString
+
+    // ---- schema with Iceberg field ids (fresh assignment, unique)
+    val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    val m = Snapshot.mapper
+    def typeNode(dt: DataType): Any = dt match {
+      case LongType => "long"
+      case IntegerType | ShortType | ByteType => "int"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case StringType => "string"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case ArrayType(e, containsNull) =>
+        val o = m.createObjectNode()
+        o.put("type", "list")
+        o.put("element-id", id())
+        setType(o, "element", typeNode(e))
+        o.put("element-required", !containsNull)
+        o
+      case StructType(fs0) =>
+        val o = m.createObjectNode()
+        o.put("type", "struct")
+        val arr = o.putArray("fields")
+        fs0.foreach { f =>
+          val fo = arr.addObject()
+          fo.put("id", id())
+          fo.put("name", f.name)
+          fo.put("required", !f.nullable)
+          setType(fo, "type", typeNode(f.dataType))
+        }
+        o
+      case MapType(k, v, valueContainsNull) =>
+        val o = m.createObjectNode()
+        o.put("type", "map")
+        o.put("key-id", id())
+        setType(o, "key", typeNode(k))
+        o.put("value-id", id())
+        setType(o, "value", typeNode(v))
+        o.put("value-required", !valueContainsNull)
+        o
+      case other => throw new IllegalArgumentException(
+        s"no Iceberg encoding for Spark type ${other.simpleString}")
+    }
+    def setType(o: ObjectNode, key: String, t: Any): Unit = t match {
+      case s: String => o.put(key, s)
+      case n: ObjectNode => o.set[ObjectNode](key, n)
+    }
+    val schemaNode = m.createObjectNode()
+    schemaNode.put("type", "struct")
+    schemaNode.put("schema-id", 0)
+    val topIds = scala.collection.mutable.Map.empty[String, Int]
+    locally {
+      val arr = schemaNode.putArray("fields")
+      sch.fields.foreach { f =>
+        val fo = arr.addObject()
+        val fid = id()
+        topIds(f.name) = fid
+        fo.put("id", fid)
+        fo.put("name", f.name)
+        fo.put("required", !f.nullable)
+        setType(fo, "type", typeNode(f.dataType))
+      }
+    }
+    val lastColumnId = nextId
+
+    // ---- partition spec
+    def transformName(t: PartitionSpec.Transform): String = t match {
+      case PartitionSpec.Identity => "identity"
+      case PartitionSpec.Day => "day"
+      case PartitionSpec.Month => "month"
+      case PartitionSpec.Year => "year"
+      case PartitionSpec.Truncate(w) => s"truncate[$w]"
+      case PartitionSpec.Bucket(n) => s"bucket[$n]" // refused above
+    }
+    val specNode = m.createObjectNode()
+    specNode.put("spec-id", 0)
+    val specFieldsArr = specNode.putArray("fields")
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val fo = specFieldsArr.addObject()
+      fo.put("name", f.dirName)
+      fo.put("transform", transformName(f.transform))
+      fo.put("source-id", topIds(f.source))
+      fo.put("field-id", 1000 + i)
+    }
+
+    // ---- the manifest (Avro): one ADDED entry per live file
+    val seqNum = 1L
+    val snapId = snap.snapshotId
+    def avroPartField(f: PartitionSpec.Field, i: Int): String = {
+      val avroT = f.transform match {
+        case PartitionSpec.Identity =>
+          sch(f.source).dataType match {
+            case LongType => "\"long\""
+            case IntegerType | ShortType | ByteType | DateType => "\"int\""
+            case DoubleType => "\"double\""
+            case FloatType => "\"float\""
+            case StringType => "\"string\""
+            case BooleanType => "\"boolean\""
+            case other => throw new IllegalArgumentException(
+              s"identity partition over ${other.simpleString} " +
+                "is not exportable")
+          }
+        case PartitionSpec.Truncate(_) =>
+          sch(f.source).dataType match {
+            case StringType => "\"string\""
+            case _ => "\"long\""
+          }
+        case _ => "\"int\"" // day/month/year ordinals
+      }
+      s"""{"name":"${f.dirName}","type":["null",$avroT],""" +
+        s""""default":null,"field-id":${1000 + i}}"""
+    }
+    val partRecord =
+      s"""{"type":"record","name":"r102","fields":[${
+        fields.zipWithIndex.map { case (f, i) => avroPartField(f, i) }
+          .mkString(",")}]}"""
+    val entrySchema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":$partRecord},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin)
+    val partSchema = entrySchema.getField("data_file").schema()
+      .getField("partition").schema()
+
+    // partition VALUES parse from the hive dir segments of each path —
+    // the same place graft's own read path recovers them from
+    def partValue(f: PartitionSpec.Field, rel: String): AnyRef = {
+      val seg = rel.split('/').find(_.startsWith(f.dirName + "="))
+        .map(_.substring(f.dirName.length + 1))
+        .getOrElse(return null)
+      val raw = java.net.URLDecoder.decode(seg, "UTF-8")
+      if (raw == "__HIVE_DEFAULT_PARTITION__") return null
+      f.transform match {
+        case PartitionSpec.Identity => sch(f.source).dataType match {
+          case LongType => java.lang.Long.valueOf(raw)
+          case IntegerType | ShortType | ByteType =>
+            java.lang.Integer.valueOf(raw)
+          case DateType => java.lang.Integer.valueOf(
+            java.time.LocalDate.parse(raw).toEpochDay.toInt)
+          case DoubleType => java.lang.Double.valueOf(raw)
+          case FloatType => java.lang.Float.valueOf(raw)
+          case BooleanType => java.lang.Boolean.valueOf(raw)
+          case _ => raw
+        }
+        case PartitionSpec.Truncate(_) => sch(f.source).dataType match {
+          case StringType => raw
+          case _ => java.lang.Long.valueOf(raw)
+        }
+        case _ => java.lang.Integer.valueOf(raw)
+      }
+    }
+
+    val manifestName = s"m-${UUID.randomUUID()}.avro"
+    val manifestPath = new Path(metaDir, manifestName)
+    var addedRows = 0L
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.setMeta("schema", m.writeValueAsString(schemaNode))
+      w.setMeta("partition-spec",
+        m.writeValueAsString(specNode.get("fields")))
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      val out = fs.create(manifestPath, true)
+      w.create(entrySchema, out)
+      snap.liveFiles.foreach { rel =>
+        val info = snap.fileInfo.getOrElse(rel,
+          throw new IllegalStateException(
+            s"no size/row manifest info for $rel — legacy manifest; " +
+              "rewrite (compact) before export"))
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", Int.box(1)) // ADDED
+        e.put("snapshot_id", Long.box(snapId))
+        e.put("sequence_number", Long.box(seqNum))
+        e.put("file_sequence_number", Long.box(seqNum))
+        val df = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        df.put("content", Int.box(0)) // DATA
+        df.put("file_path", absUri(rel))
+        df.put("file_format", "PARQUET")
+        val pr = new GenericData.Record(partSchema)
+        fields.foreach(f => pr.put(f.dirName, partValue(f, rel)))
+        df.put("partition", pr)
+        df.put("record_count", Long.box(info.rows))
+        df.put("file_size_in_bytes", Long.box(info.bytes))
+        e.put("data_file", df)
+        w.append(e)
+        addedRows += info.rows
+      }
+      w.close()
+    }
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    // ---- the manifest LIST (Avro)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"partition_spec_id","type":"int","field-id":502},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515},
+        |{"name":"min_sequence_number","type":"long","field-id":516},
+        |{"name":"added_snapshot_id","type":"long","field-id":503},
+        |{"name":"added_files_count","type":"int","field-id":504},
+        |{"name":"existing_files_count","type":"int","field-id":505},
+        |{"name":"deleted_files_count","type":"int","field-id":506},
+        |{"name":"added_rows_count","type":"long","field-id":512},
+        |{"name":"existing_rows_count","type":"long","field-id":513},
+        |{"name":"deleted_rows_count","type":"long","field-id":514}
+        |]}""".stripMargin)
+    val listName = s"snap-$snapId-${UUID.randomUUID()}.avro"
+    val listPath = new Path(metaDir, listName)
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.setMeta("format-version", "2")
+      val out = fs.create(listPath, true)
+      w.create(listSchema, out)
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", fs.makeQualified(manifestPath).toString)
+      r.put("manifest_length", Long.box(manifestLen))
+      r.put("partition_spec_id", Int.box(0))
+      r.put("content", Int.box(0)) // data manifest
+      r.put("sequence_number", Long.box(seqNum))
+      r.put("min_sequence_number", Long.box(seqNum))
+      r.put("added_snapshot_id", Long.box(snapId))
+      r.put("added_files_count", Int.box(snap.liveFiles.size))
+      r.put("existing_files_count", Int.box(0))
+      r.put("deleted_files_count", Int.box(0))
+      r.put("added_rows_count", Long.box(addedRows))
+      r.put("existing_rows_count", Long.box(0L))
+      r.put("deleted_rows_count", Long.box(0L))
+      w.append(r)
+      w.close()
+    }
+
+    // ---- v1.metadata.json + HadoopTables version hint
+    val root = m.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", UUID.randomUUID().toString)
+    root.put("location", fs.makeQualified(new Path(destDir)).toString)
+    root.put("last-sequence-number", seqNum)
+    root.put("last-updated-ms", snap.timestampMs)
+    root.put("last-column-id", lastColumnId)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode)
+    root.put("default-spec-id", 0)
+    root.putArray("partition-specs").add(specNode)
+    root.put("last-partition-id",
+      if (fields.isEmpty) 999 else 999 + fields.size)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0)
+    so.putArray("fields")
+    val props = root.putObject("properties")
+    props.put("write.format.default", "parquet")
+    props.put("exported-by", "graft")
+    props.put("graft.snapshot-id", snapId.toString)
+    root.put("current-snapshot-id", snapId)
+    val sn = root.putArray("snapshots").addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seqNum)
+    sn.put("timestamp-ms", snap.timestampMs)
+    sn.put("manifest-list", fs.makeQualified(listPath).toString)
+    sn.put("schema-id", 0)
+    val sm = sn.putObject("summary")
+    sm.put("operation", "append")
+    sm.put("added-data-files", snap.liveFiles.size.toString)
+    sm.put("added-records", addedRows.toString)
+    val log = root.putArray("snapshot-log").addObject()
+    log.put("timestamp-ms", snap.timestampMs)
+    log.put("snapshot-id", snapId)
+    root.putArray("metadata-log")
+    val metaJsonPath = new Path(metaDir, "v1.metadata.json")
+    def write(p: Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    write(metaJsonPath,
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    write(new Path(metaDir, "version-hint.text"), "1")
+    fs.makeQualified(metaJsonPath).toString
+  }
+}

@@ -46,6 +46,15 @@ object IncrementalMv {
     * maintained column names and their source-row SQL expressions for
     * a `sums`-kind MV. */
   val SumsProp = "graft.mv.sums"
+  /** Optional DERIVED-VIEW SQL for an MV whose user-facing columns are
+    * computed from the maintained state rather than stored (AVG =
+    * maintained-sum / maintained-non-null-count; COUNT(DISTINCT k) =
+    * a roll-up over a cube keyed by k — the gold-layer cube trick,
+    * lifted into DDL). `__SELF__` is the placeholder the catalog
+    * substitutes with the registered physical-state view name; when
+    * present, [[LakeCatalog.registerViews]] registers the raw state as
+    * `<name>_state` and this SELECT as `<name>`. */
+  val ViewSqlProp = "graft.mv.view-sql"
 
   /** Stamp the MV definition on `target` so later refreshes can be
     * driven BY NAME (SQL `CALL system.refresh_mv` or
@@ -63,7 +72,8 @@ object IncrementalMv {
   /** [[define]] for an N-sum MV (kind `sums`): each `(name, exprSql)`
     * is one maintained `sum(exprSql) AS name` column. */
   def defineSums(target: LakeTable, sourceTable: String,
-      keys: Seq[String], sums: Seq[(String, String)]): Unit = {
+      keys: Seq[String], sums: Seq[(String, String)],
+      viewSql: Option[String] = None): Unit = {
     require(sums.nonEmpty, "sums MV needs at least one maintained sum")
     val m = Snapshot.mapper
     val arr = m.createArrayNode()
@@ -74,7 +84,8 @@ object IncrementalMv {
       SourceTableProp -> sourceTable,
       KeysProp -> keys.mkString(","),
       KindProp -> "sums",
-      SumsProp -> m.writeValueAsString(arr)))
+      SumsProp -> m.writeValueAsString(arr)) ++
+      viewSql.map(ViewSqlProp -> _))
   }
 
   /** The `(name, exprSql)` list a `sums`-kind MV maintains. */

@@ -237,7 +237,17 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       val state = (warehouse, ns, lt.currentSnapshotId, lt.metadataStamp)
       if (led.get(s"table:$t") != state) {
         changed = true
-        lt.scan().createOrReplaceTempView(t)
+        lt.properties.get(IncrementalMv.ViewSqlProp) match {
+          case Some(viewSql) =>
+            // an MV with derived user-facing columns (AVG / COUNT
+            // DISTINCT): the physical maintained state registers as
+            // `<t>_state`, the MV name itself as the deriving SELECT
+            lt.scan().createOrReplaceTempView(s"${t}_state")
+            spark.sql(viewSql.replace("__SELF__", s"`${t}_state`"))
+              .createOrReplaceTempView(t)
+          case None =>
+            lt.scan().createOrReplaceTempView(t)
+        }
         lt.history.createOrReplaceTempView(s"${t}_history")
         lt.files.createOrReplaceTempView(s"${t}_files")
         lt.snapshotsTable.createOrReplaceTempView(s"${t}_snapshots")

@@ -717,6 +717,10 @@ object LakeSql {
         Seq(lt.binPack(lng(1), minIn)).toDF("snapshot_id")
       case "convert_equality_deletes" => // (tbl)
         Seq(lt.convertEqualityDeletes()).toDF("snapshot_id")
+      case "consolidate_delete_vectors" => // (tbl)
+        Seq(lt.consolidateDeleteVectors()).toDF("snapshot_id")
+      case "export_iceberg" => // (tbl, dest_dir) — Iceberg v2 handoff
+        Seq(IcebergExport.export(lt, str(1))).toDF("metadata_path")
       case "remove_orphan_files" =>
         val removed = if (c.args.size > 1) lt.removeOrphanFiles(lng(1))
           else lt.removeOrphanFiles()
@@ -755,6 +759,7 @@ object LakeSql {
         s"unknown procedure $other — supported: expire_snapshots[_older_" +
           "than], rewrite_data_files, compact_where, " +
           "rewrite_small_files, convert_equality_deletes, " +
+          "consolidate_delete_vectors, export_iceberg, " +
           "remove_orphan_files, rollback_to_snapshot, create_tag, " +
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
@@ -812,23 +817,26 @@ object LakeSql {
     if (keyOut.collect { case u: UnresolvedAttribute => u.name } != keys)
       bad("SELECT must lead with the GROUP BY keys, in order")
     val fns: Seq[(String, String, Seq[
-        org.apache.spark.sql.catalyst.expressions.Expression])] =
+        org.apache.spark.sql.catalyst.expressions.Expression], Boolean)] =
       aggOut.map {
         case al: org.apache.spark.sql.catalyst.expressions.Alias =>
           al.child match {
             case f: org.apache.spark.sql.catalyst.analysis
                 .UnresolvedFunction =>
-              // the maintenance machinery computes PLAIN count(*)/sum/
-              // min/max — a DISTINCT or FILTER modifier would be
-              // silently ignored and the MV wrong forever
-              if (f.isDistinct)
+              // the maintenance machinery computes maintained SUMS —
+              // a FILTER modifier would be silently ignored and the MV
+              // wrong forever; DISTINCT is allowed ONLY as
+              // count(DISTINCT col) (lowered onto a cube key below)
+              if (f.isDistinct &&
+                  f.nameParts.last.toLowerCase(
+                    java.util.Locale.ROOT) != "count")
                 bad("DISTINCT aggregates are not incrementally " +
-                  "maintainable")
+                  "maintainable (only COUNT(DISTINCT col) lowers)")
               if (f.filter.isDefined)
                 bad("FILTER clauses are not supported")
               (al.name,
                 f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
-                f.arguments)
+                f.arguments, f.isDistinct)
             case _ => bad("aggregates must be aliased function calls")
           }
         case _ => bad("aggregates must be aliased function calls")
@@ -841,13 +849,15 @@ object LakeSql {
       case Seq(u: UnresolvedAttribute) => Some(u.name)
       case _ => None
     }
-    byAlias.get("cnt") match {
-      // no attribute args admits count(*) / count(1); count(<col>)
-      // (null-skipping) would be maintained as count(*) — reject it
-      case Some((_, "count", args)) if args.collect {
-          case u: UnresolvedAttribute => u }.isEmpty => ()
-      case _ => bad("need count(*) AS cnt")
-    }
+    // exactly one plain count(*) (any alias) anchors the MV: it is the
+    // maintained row count retraction/derivation rides on. Tree-deep
+    // attribute scan: count(v + 0) must lower as count(<expr>), never
+    // silently maintain as count(*).
+    val countStars = fns.filter(f => f._2 == "count" && !f._4 &&
+      f._3.flatMap(_.collect { case u: UnresolvedAttribute => u }).isEmpty)
+    if (countStars.size != 1)
+      bad("need exactly one count(*) aggregate (aliased)")
+    val cntAlias = countStars.head._1
     if (keys.isEmpty)
       bad("GROUP BY must list at least one key")
     // an aggregate aliased to a key name would make the target schema
@@ -855,14 +865,16 @@ object LakeSql {
     // trips over, created AFTER the existence gate passed
     fns.map(_._1).toSet.intersect(keys.toSet).toSeq.sorted.foreach(n =>
       bad(s"aggregate alias $n collides with a GROUP BY key name"))
-    val others = fns.filterNot(_._1 == "cnt")
+    val others = fns.filterNot(_._1 == cntAlias)
     // the legacy single-sum shapes (kind `sum` / `extremes`) keep
     // their compact property encoding; anything else routes to the
-    // N-sum kind where every non-cnt aggregate is sum(<expression>)
+    // N-sum kind, where AVG and COUNT(DISTINCT col) additionally
+    // LOWER onto maintained sums / an extra cube key
     val legacyTotal = byAlias.get("total")
-      .filter(t => t._2 == "sum" && attrArg(t._3).isDefined)
+      .filter(t => t._2 == "sum" && !t._4 && attrArg(t._3).isDefined)
       .flatMap(t => attrArg(t._3))
-    val legacyShape = legacyTotal.isDefined &&
+    val legacyShape = cntAlias == "cnt" && legacyTotal.isDefined &&
+      others.forall(f => !f._4) &&
       others.map(_._1).toSet.subsetOf(Set("total", "mn", "mx"))
     require(!cat.tableExists(ns, name),
       s"table $ns.$name already exists")
@@ -874,7 +886,7 @@ object LakeSql {
     if (legacyShape) {
       val vCol = legacyTotal.get
       val extremes = (byAlias.get("mn"), byAlias.get("mx")) match {
-        case (Some((_, "min", a)), Some((_, "max", b)))
+        case (Some((_, "min", a, _)), Some((_, "max", b, _)))
             if attrArg(a).contains(vCol) && attrArg(b).contains(vCol) =>
           true
         case (None, None) => false
@@ -896,29 +908,116 @@ object LakeSql {
       IncrementalMv.define(cat.loadTable(ns, name), srcName, keys, vCol,
         if (extremes) "extremes" else "sum")
     } else {
-      // N-sum MV: `count(*) AS cnt` plus any number of
-      // `sum(<expr>) AS <name>` — each expression is validated by
-      // planning it against the source schema, and must be numeric
-      val sums = others.map {
-        case (n, "sum", Seq(arg)) => n -> arg.sql
-        case (n, fn2, _) => bad(s"aggregate $n: $fn2 is not " +
-          "maintainable here — use count(*) AS cnt plus " +
-          "sum(<expr>) columns (or the cnt/total/mn/mx shape)")
+      // Extended maintainable shape: one count(*) (any alias) plus any
+      // mix of sum(<expr>) / count(<expr>) / avg(<expr>) / at most one
+      // count(DISTINCT <col>). AVG and COUNT DISTINCT are not directly
+      // delta-maintainable — they LOWER onto maintained sums (the
+      // gold-layer cube trick, SilverToGoldJob.runIncremental, now in
+      // DDL): avg = hidden sum / hidden non-null count; count(col) =
+      // sum of a non-null indicator; count(DISTINCT d) keys the
+      // PHYSICAL cube by d and the registered view rolls the cube back
+      // up to the declared keys (count(d) over live cube rows is exact
+      // because zero-count keys retract). The physical state registers
+      // as `<name>_state`; `<name>` is the deriving view.
+      val hidden = "__mv_"
+      (keys ++ fns.map(_._1)).filter(_.startsWith(hidden)).foreach(n =>
+        bad(s"name $n collides with the reserved $hidden prefix"))
+      val distincts = others.filter(f => f._2 == "count" && f._4)
+      if (distincts.size > 1)
+        bad("at most one COUNT(DISTINCT col) is maintainable " +
+          "(each needs its own cube key)")
+      val distinctCol = distincts.headOption.map { d =>
+        val c = attrArg(d._3).getOrElse(
+          bad("COUNT(DISTINCT …) needs a single plain source column"))
+        if (keys.contains(c))
+          bad(s"COUNT(DISTINCT $c) over GROUP BY key $c is always 1")
+        if (!src.schema.fieldNames.contains(c))
+          bad(s"no column $c on $srcName")
+        d._1 -> c
       }
-      sums.foreach { case (n, e) =>
+      val sums = others.flatMap {
+        case (_, "count", _, true) => None // the cube key, handled above
+        case (n, "sum", Seq(arg), false) => Some(n -> arg.sql)
+        // count(<expr>) ≡ sum of a non-null indicator — maintainable
+        // (the view casts the double-maintained sum back to BIGINT)
+        case (n, "count", Seq(arg), false) =>
+          Some(n -> s"(CASE WHEN (${arg.sql}) IS NULL THEN 0 ELSE 1 END)")
+        case (_, "avg", _, false) => None // lowered to hidden sums below
+        case (n, fn2, _, _) => bad(s"aggregate $n: $fn2 is not " +
+          "maintainable here — use count(*), sum/count/avg(<expr>), " +
+          "count(DISTINCT col) (or the cnt/total/mn/mx shape)")
+      }
+      val countCols = others.collect {
+        case (n, "count", args, false) if args.nonEmpty => n
+      }.toSet
+      val avgs = others.collect { case (n, "avg", args, false) =>
+        args match {
+          case Seq(arg) => n -> arg.sql
+          case _ => bad(s"avg AS $n needs exactly one argument")
+        }
+      }
+      val physSums0 = sums ++ avgs.flatMap { case (n, e) => Seq(
+        s"${hidden}sum_$n" -> e,
+        s"${hidden}nn_$n" -> s"(CASE WHEN ($e) IS NULL THEN 0 ELSE 1 END)")
+      }
+      // `count(*) + count(DISTINCT d)` alone carries no sums — the
+      // sums machinery still needs one maintained column
+      val physSums =
+        if (physSums0.nonEmpty) physSums0
+        else Seq(s"${hidden}one" -> "1")
+      val cubeKeys = keys ++ distinctCol.map(_._2).toSeq
+      physSums.map(_._1).toSet.intersect(cubeKeys.toSet).toSeq.sorted
+        .foreach(n => bad(s"aggregate alias $n collides with cube key $n"))
+      (avgs.map(_._2) ++ physSums.map(_._2)).distinct.foreach { e =>
         val dt =
           try src.scan().selectExpr(e).schema.head.dataType
           catch { case ex: org.apache.spark.sql.AnalysisException =>
-            bad(s"sum($e) AS $n does not resolve on $srcName: " +
+            bad(s"aggregate over ($e) does not resolve on $srcName: " +
               ex.getMessage.takeWhile(_ != '\n'))
           }
         if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
-          bad(s"sum($e) AS $n is ${dt.simpleString}, not numeric")
+          bad(s"aggregate over ($e) is ${dt.simpleString}, not numeric")
       }
+      // the user-facing view, needed whenever any column DERIVES from
+      // the maintained state (or the count alias isn't the physical
+      // 'cnt'); aggregate order follows the DDL's projection
+      val needView = avgs.nonEmpty || distinctCol.nonEmpty ||
+        countCols.nonEmpty || cntAlias != "cnt"
+      def q(n: String) = s"`$n`"
+      val viewSql =
+        if (!needView) None
+        else if (distinctCol.isEmpty) {
+          val items = keys.map(q) ++ fns.map {
+            case (n, "count", _, false) if n == cntAlias =>
+              s"cnt AS ${q(n)}"
+            case (n, "count", _, false) => // double-maintained indicator
+              s"CAST(${q(n)} AS BIGINT) AS ${q(n)}"
+            case (n, "avg", _, false) =>
+              s"(CAST(${q(s"${hidden}sum_$n")} AS DOUBLE) / " +
+                s"nullif(${q(s"${hidden}nn_$n")}, 0)) AS ${q(n)}"
+            case (n, _, _, _) => q(n)
+          }
+          Some(s"SELECT ${items.mkString(", ")} FROM __SELF__")
+        } else {
+          val d = distinctCol.get._2
+          val items = keys.map(q) ++ fns.map {
+            case (n, "count", _, true) => s"count(${q(d)}) AS ${q(n)}"
+            case (n, "count", _, false) if n == cntAlias =>
+              s"sum(cnt) AS ${q(n)}"
+            case (n, "count", _, false) =>
+              s"CAST(sum(${q(n)}) AS BIGINT) AS ${q(n)}"
+            case (n, "avg", _, false) =>
+              s"(CAST(sum(${q(s"${hidden}sum_$n")}) AS DOUBLE) / " +
+                s"nullif(sum(${q(s"${hidden}nn_$n")}), 0)) AS ${q(n)}"
+            case (n, _, _, _) => s"sum(${q(n)}) AS ${q(n)}"
+          }
+          Some(s"SELECT ${items.mkString(", ")} FROM __SELF__ " +
+            s"GROUP BY ${keys.map(q).mkString(", ")}")
+        }
       cat.createTable(ns, name,
-        IncrementalMv.sumsSchema(src, keys, sums.map(_._1)))
-      IncrementalMv.defineSums(cat.loadTable(ns, name), srcName, keys,
-        sums)
+        IncrementalMv.sumsSchema(src, cubeKeys, physSums.map(_._1)))
+      IncrementalMv.defineSums(cat.loadTable(ns, name), srcName, cubeKeys,
+        physSums, viewSql)
     }
     // the name/type gates above run before target creation, but the
     // initial refresh can still fail on the SOURCE's history (e.g. a
@@ -930,8 +1029,8 @@ object LakeSql {
         case e: Throwable =>
           try {
             cat.dropTable(ns, name)
-            Seq("", "_history", "_files", "_snapshots", "_partitions",
-              "_refs", "_manifests").foreach(sfx =>
+            Seq("", "_state", "_history", "_files", "_snapshots",
+              "_partitions", "_refs", "_manifests").foreach(sfx =>
               cat.spark.catalog.dropTempView(s"$name$sfx"))
           } catch { case _: Throwable => () } // surface the refresh error
           throw e
@@ -955,8 +1054,8 @@ object LakeSql {
     cat.dropTable(ns, name)
     // same teardown as DROP TABLE: the dropped MV's stale temp views
     // would otherwise serve the deleted table's file list
-    Seq("", "_history", "_files", "_snapshots", "_partitions", "_refs",
-      "_manifests").foreach(
+    Seq("", "_state", "_history", "_files", "_snapshots", "_partitions",
+      "_refs", "_manifests").foreach(
       sfx => cat.spark.catalog.dropTempView(s"$name$sfx"))
     cat.spark.emptyDataFrame
   }

@@ -487,7 +487,7 @@ final class LakeTable private (
   def countRows(): Long = {
     val s = current
     val metadataExact = s.deleteFiles.isEmpty && s.posDeleteFiles.isEmpty &&
-      s.liveFiles.forall(s.fileInfo.contains)
+      s.dvFiles.isEmpty && s.liveFiles.forall(s.fileInfo.contains)
     if (metadataExact) s.liveFiles.map(s.fileInfo(_).rows).sum
     else scan().count()
   }
@@ -654,7 +654,8 @@ final class LakeTable private (
       // excluded here, so an upsert's own inserts are not re-counted.
       val deleteStateChanged =
         s.deleteFiles != prev.deleteFiles ||
-          s.posDeleteFiles != prev.posDeleteFiles
+          s.posDeleteFiles != prev.posDeleteFiles ||
+          s.dvFiles != prev.dvFiles
       if (!deleteStateChanged) base
       else {
         val carried = s.liveFiles.intersect(prev.liveFiles)
@@ -1123,7 +1124,8 @@ final class LakeTable private (
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
     }
     val dels = ctx.deleteFiles.sortBy(_.seq)
-    val needPos = withPos || withLineage || ctx.posDeleteFiles.nonEmpty
+    val needPos = withPos || withLineage || ctx.posDeleteFiles.nonEmpty ||
+      ctx.dvFiles.nonEmpty
     def era(f: String): Int = {
       val s = ctx.fileSeq.getOrElse(f, 0L)
       dels.count(_.seq <= s)
@@ -1200,19 +1202,19 @@ final class LakeTable private (
         }
         df.drop(ERA_COL)
       }
+    // Captured file URIs are ABSOLUTE (that's what _metadata
+    // .file_path yields), but the table can MOVE after capture
+    // (ALTER TABLE … RENAME TO, a warehouse relocation) — so delete
+    // application matches on the table-RELATIVE tail instead. The
+    // `data/` boundary is unambiguous: hive partition dirs always
+    // carry '=', so no other path segment is the bare word `data`,
+    // and the greedy prefix pins the LAST such segment even when
+    // the warehouse path itself contains /data/.
+    def relTail(c: org.apache.spark.sql.Column) =
+      regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
     val posApplied =
       if (ctx.posDeleteFiles.isEmpty) eqApplied
       else {
-        // Captured file URIs are ABSOLUTE (that's what _metadata
-        // .file_path yields), but the table can MOVE after capture
-        // (ALTER TABLE … RENAME TO, a warehouse relocation) — so the
-        // anti-join matches on the table-RELATIVE tail instead. The
-        // `data/` boundary is unambiguous: hive partition dirs always
-        // carry '=', so no other path segment is the bare word `data`,
-        // and the greedy prefix pins the LAST such segment even when
-        // the warehouse path itself contains /data/.
-        def relTail(c: org.apache.spark.sql.Column) =
-          regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
         val pd = ctx.posDeleteFiles
           .map(p => spark.read.parquet(new Path(rootPath, p.path).toString))
           .reduce(_ unionByName _)
@@ -1223,8 +1225,33 @@ final class LakeTable private (
             col(PIDX_COL) === col("__graft_pd_pos"),
           "left_anti")
       }
+    val dvApplied =
+      if (ctx.dvFiles.isEmpty) posApplied
+      else {
+        // deletion vectors: ONE broadcast row per targeted data file
+        // (its packed ordinal bitset), applied as a map-side bit test —
+        // no per-deleted-row join keys, so read cost is independent of
+        // how many rows history has deleted. A row survives unless its
+        // file has a vector AND its ordinal's bit is set; `get()` is
+        // null-safe past the bitmap's tail (bits beyond the last set
+        // word were never set).
+        val dv = ctx.dvFiles
+          .map(d => spark.read.parquet(new Path(rootPath, d.path).toString))
+          .reduce(_ unionByName _)
+          .select(col(DV_FILE_FIELD).as("__graft_dv_file"),
+            col(DV_BITS_FIELD).as("__graft_dv_words"))
+        posApplied
+          .join(broadcast(dv),
+            relTail(col(PFILE_COL)) === col("__graft_dv_file"), "left")
+          .where(col("__graft_dv_words").isNull || coalesce(
+            expr(s"(shiftright(get(__graft_dv_words, " +
+              s"CAST($PIDX_COL / 64 AS INT)), " +
+              s"CAST($PIDX_COL % 64 AS INT)) & 1) = 0"),
+            lit(true)))
+          .drop("__graft_dv_file", "__graft_dv_words")
+      }
     val lineageResolved =
-      if (!withLineage) posApplied
+      if (!withLineage) dvApplied
       else {
         // resolve each row's id: the physical column wins (rewritten
         // files preserved their carried ids there), else
@@ -1242,7 +1269,7 @@ final class LakeTable private (
           StructType(Seq(
             StructField("__graft_first_file", StringType, nullable = false),
             StructField("__graft_first_id", LongType, nullable = false))))
-        posApplied
+        dvApplied
           .join(broadcast(fdf),
             regexp_extract(col(PFILE_COL), "^(?:.*/)?(data/.+)$", 1) ===
               col("__graft_first_file"), "left")
@@ -1598,7 +1625,7 @@ final class LakeTable private (
       writeDataFiles(distributeForWrite(alignToSchema(df)))
     commit(base, "overwrite", added = added, removed = base.liveFiles,
       live = added, addedStats = stats, addedInfo = info, deletesOverride = Some(Nil),
-      posDeletesOverride = Some(Nil))
+      posDeletesOverride = Some(Nil), dvOverride = Some(Nil))
   }
 
   /** Copy-on-write MERGE: upsert `source` into this table keyed on `keys`
@@ -2393,6 +2420,83 @@ final class LakeTable private (
     * target. */
   private val posRetrySafe: (Snapshot, Snapshot) => Boolean =
     (old, nb) => old.liveFiles.toSet.subsetOf(nb.liveFiles.toSet)
+
+  /** Consolidate the accumulated position-delete files (plus any prior
+    * deletion vectors) into ONE deletion-vector artifact — a parquet
+    * file holding one packed ordinal BITSET per targeted data file
+    * (≡ Iceberg v3's deletion vectors / Delta DVs, the v2→v3 delete
+    * representation change). What it buys at depth: a MOR table that
+    * accumulated thousands of predicate-delete commits otherwise pays,
+    * on EVERY read, one parquet open per delete artifact plus an
+    * anti-join keyed by every deleted row; after consolidation reads
+    * pay one broadcast row per touched data file and a map-side bit
+    * test — read amplification flat no matter how many delete commits
+    * history holds. Entries for no-longer-live files are dropped
+    * (their rows are gone with their files). Content is IDENTICAL
+    * before and after — this is maintenance, like
+    * [[convertEqualityDeletes]], and composes with it (equality →
+    * positions → vectors). New position deletes committed afterwards
+    * accumulate again until the next consolidation; reads apply both.
+    * Wired into `CALL system.maintain` via
+    * `maintenance.consolidate-dv=true`. */
+  def consolidateDeleteVectors(): Long = {
+    val base = current
+    // nothing to fold: no loose position files and at most one vector
+    if (base.posDeleteFiles.isEmpty && base.dvFiles.size <= 1)
+      return base.snapshotId
+    val spark0 = spark
+    import spark0.implicits._
+    def relTailCol(c: org.apache.spark.sql.Column) =
+      regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
+    val posPairs =
+      if (base.posDeleteFiles.isEmpty) None
+      else Some(base.posDeleteFiles
+        .map(p => spark.read.parquet(new Path(rootPath, p.path).toString))
+        .reduce(_ unionByName _)
+        .select(relTailCol(col(POS_FILE_FIELD)).as("f"),
+          col(POS_POS_FIELD).cast("long").as("p")))
+    val dvPairs =
+      if (base.dvFiles.isEmpty) None
+      else Some(base.dvFiles
+        .map(d => spark.read.parquet(new Path(rootPath, d.path).toString))
+        .reduce(_ unionByName _)
+        .select(col(DV_FILE_FIELD).as("f"),
+          posexplode(col(DV_BITS_FIELD)).as(Seq("w", "word")))
+        .select(col("f"), col("w"),
+          explode(expr(
+            "filter(sequence(0, 63), b -> (shiftright(word, b) & 1) = 1)"))
+            .as("b"))
+        .select(col("f"), (col("w") * 64 + col("b")).cast("long").as("p")))
+    val live = spark.createDataset(base.liveFiles).toDF("f")
+    val pairs = (posPairs.toSeq ++ dvPairs.toSeq)
+      .reduce(_ unionByName _)
+      .join(broadcast(live), Seq("f"), "left_semi")
+    // one bitset per file, built per group (a maintenance pass — the
+    // read path never runs this); ordinals are bounded by the file's
+    // row count, so the bitset is bytes ∝ file rows / 8 at worst
+    val dvRows = pairs.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bs = new java.util.BitSet()
+        it.foreach { case (_, p) =>
+          require(p <= Int.MaxValue, s"row ordinal $p out of bitset range")
+          bs.set(p.toInt)
+        }
+        (f, bs.toLongArray.toSeq, bs.cardinality().toLong)
+      }
+      .toDF(DV_FILE_FIELD, DV_BITS_FIELD, "n_deleted")
+    val delPaths = writeDvFiles(dvRows)
+    commitWithRetry(base)(posRetrySafe) { b =>
+      val seq = b.snapshotId + 1
+      // keep only position deletes a racer added AFTER our base —
+      // everything in the base set is folded into the vector
+      val newer = b.posDeleteFiles.filterNot(base.posDeleteFiles.toSet)
+      commit(b, "rewrite-deletes", added = Nil, removed = Nil,
+        live = b.liveFiles,
+        posDeletesOverride = Some(newer),
+        dvOverride = Some(delPaths.map(p => DvFile(p, seq))))
+    }
+  }
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching
     * `predicate`, file-pruned exactly like [[delete]]. ≡ the
@@ -3341,7 +3445,8 @@ final class LakeTable private (
     // no deletes outstanding the rewrite must carry EXACTLY the input
     // rows — a path-normalization miss in the bin join would otherwise
     // silently drop whole files
-    if (base.deleteFiles.isEmpty && base.posDeleteFiles.isEmpty) {
+    if (base.deleteFiles.isEmpty && base.posDeleteFiles.isEmpty &&
+        base.dvFiles.isEmpty) {
       val expectRows = rewritten.flatMap(base.fileInfo.get).map(_.rows).sum
       val gotRows = info.values.map(_.rows).sum
       require(gotRows == expectRows,
@@ -3395,6 +3500,7 @@ final class LakeTable private (
     // row-conservation guard, manifest arithmetic (see binPack) —
     // only provable when nothing suppresses rows and counts are known
     if (base.deleteFiles.isEmpty && base.posDeleteFiles.isEmpty &&
+        base.dvFiles.isEmpty &&
         rewritten.forall(base.fileInfo.contains)) {
       val expectRows = rewritten.map(base.fileInfo(_).rows).sum
       val gotRows = info.values.map(_.rows).sum
@@ -3495,7 +3601,7 @@ final class LakeTable private (
     // delete-free
     commit(base, "compact", added = added, removed = base.liveFiles,
       live = added, addedStats = stats, addedInfo = info, deletesOverride = Some(Nil),
-      posDeletesOverride = Some(Nil))
+      posDeletesOverride = Some(Nil), dvOverride = Some(Nil))
   }
 
   /** Expire snapshots older than the latest `keepLast`, deleting their
@@ -3528,7 +3634,8 @@ final class LakeTable private (
       shouldExpire(s) && !refIds(s.snapshotId))
     val keptFiles = kept.flatMap(_.liveFiles).toSet
     val keptDeletes = kept.flatMap(s =>
-      s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)).toSet
+      s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path) ++
+        s.dvFiles.map(_.path)).toSet
     // manifest chunks are shared across snapshots by name — reclaim only
     // those no retained snapshot references
     val keptChunks = kept.flatMap(_.manifests).toSet
@@ -3539,7 +3646,8 @@ final class LakeTable private (
       expired.flatMap(s => s.liveFiles.filterNot(keptFiles)).distinct
         .map(f => new Path(rootPath, f)) ++
       expired.flatMap(s =>
-          s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path))
+          s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path) ++
+            s.dvFiles.map(_.path))
         .distinct.filterNot(keptDeletes).map(f => new Path(rootPath, f)) ++
       doomedChunks.map(n => new Path(metaDir, n)) ++
       expired.map(s => new Path(metaDir, s"v${s.snapshotId}.json"))
@@ -3584,6 +3692,7 @@ final class LakeTable private (
       renamesOverride = Some(target.fileRenames),
       deletesOverride = Some(target.deleteFiles),
       posDeletesOverride = Some(target.posDeleteFiles),
+      dvOverride = Some(target.dvFiles),
       seqOverride = Some(target.fileSeq),
       infoOverride = Some(target.fileInfo),
       // the restored state is exactly the target's → its chunks are
@@ -3627,7 +3736,8 @@ final class LakeTable private (
       }
     }
     val delMissing =
-      (base.deleteFiles.map(_.path) ++ base.posDeleteFiles.map(_.path))
+      (base.deleteFiles.map(_.path) ++ base.posDeleteFiles.map(_.path) ++
+        base.dvFiles.map(_.path))
         .filterNot(f => fs.exists(new Path(rootPath, f)))
 
     var rows = Seq(
@@ -3639,7 +3749,8 @@ final class LakeTable private (
         else s"size mismatch: ${head(sizeBad)}"),
       ("delete_files_exist", delMissing.isEmpty,
         if (delMissing.isEmpty)
-          s"${base.deleteFiles.size + base.posDeleteFiles.size} artifacts"
+          s"${base.deleteFiles.size + base.posDeleteFiles.size +
+            base.dvFiles.size} artifacts"
         else s"missing: ${head(delMissing)}"))
 
     if (deep) {
@@ -3719,6 +3830,10 @@ final class LakeTable private (
       out += ("rewrite_small_files" ->
         s"target-bytes=$b snapshot=$snap")
     }
+    props.get(PROP_MAINT_CONSOLIDATE_DV).filter(_ == "true").foreach { _ =>
+      val snap = consolidateDeleteVectors()
+      out += ("consolidate_delete_vectors" -> s"snapshot=$snap")
+    }
     props.get(PROP_MAINT_EXPIRE_KEEP).foreach { k =>
       expireSnapshots(k.toInt)
       out += ("expire_snapshots" -> s"keep-last=$k")
@@ -3741,7 +3856,8 @@ final class LakeTable private (
     val staged = stagedIds.flatMap(id => readStaged(id)._3.map(_.path))
     val referenced = (retained.flatMap(s =>
       s.liveFiles ++ s.addedFiles ++ s.removedFiles ++
-        s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path)) ++
+        s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path) ++
+        s.dvFiles.map(_.path)) ++
       staged).toSet
     val referencedChunks = retained.flatMap(_.manifests).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -4009,6 +4125,25 @@ final class LakeTable private (
     } finally fs.delete(staging, true)
   }
 
+  /** Write ONE deletion-vector artifact under `deletes/` (dv-*.parquet);
+    * returns root-relative paths (a single element — the whole vector
+    * set is one tiny file: one row per targeted data file). */
+  private def writeDvFiles(dvDf: DataFrame): Seq[String] = {
+    val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
+    try {
+      dvDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val files = listParquet(fs, staging)
+      val delDir = new Path(rootPath, DELETES_DIR)
+      fs.mkdirs(delDir)
+      files.map { f =>
+        val dest = new Path(delDir, s"dv-${f.getName}")
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"rename $f -> $dest failed")
+        s"$DELETES_DIR/${dest.getName}"
+      }
+    } finally fs.delete(staging, true)
+  }
+
   /** `input_file_name()` URI → table-root-relative path. Works on the
     * DECODED filesystem path (partition values may contain spaces etc.;
     * the URI form would leave literal %XX in the stored manifest and
@@ -4033,6 +4168,7 @@ final class LakeTable private (
       renamesOverride: Option[Map[String, Map[String, String]]] = None,
       deletesOverride: Option[Seq[DeleteFile]] = None,
       posDeletesOverride: Option[Seq[PosDeleteFile]] = None,
+      dvOverride: Option[Seq[DvFile]] = None,
       seqOverride: Option[Map[String, Long]] = None,
       addedInfo: Map[String, FileInfo] = Map.empty,
       infoOverride: Option[Map[String, FileInfo]] = None,
@@ -4073,6 +4209,7 @@ final class LakeTable private (
         added.map(_ -> id))
     val dels = deletesOverride.getOrElse(base.deleteFiles)
     val pdels = posDeletesOverride.getOrElse(base.posDeleteFiles)
+    val dvs = dvOverride.getOrElse(base.dvFiles)
     val finfo0 = infoOverride.getOrElse(
       if (appendShaped) base.fileInfo ++ addedInfo
       else base.fileInfo.filter { case (f, _) => liveSet(f) } ++ addedInfo)
@@ -4108,7 +4245,8 @@ final class LakeTable private (
     val snap0 = Snapshot(id, Some(base.snapshotId), System.currentTimeMillis(),
       op, added, removed, live, schemaJson.getOrElse(base.schemaJson),
       pcols, props1, stats, renames,
-      seqs, dels, pdels, finfo, fileSpec = fspec, partitionSpecs = specs,
+      seqs, dels, pdels, dvFiles = dvs, fileInfo = finfo,
+      fileSpec = fspec, partitionSpecs = specs,
       currentSpecId = curSpec)
     // Chunk the per-file state (see ManifestIO): reuse every parent
     // chunk whose entries are unchanged (rollback additionally offers
@@ -4339,6 +4477,7 @@ object LakeTable {
   /** Declared maintenance policy (see [[LakeTable.maintain]]): each
     * property present enables one action of `CALL system.maintain`. */
   val PROP_MAINT_ZORDER_COLUMNS = "maintenance.zorder.columns"
+  val PROP_MAINT_CONSOLIDATE_DV = "maintenance.consolidate-dv"
   val PROP_MAINT_BINPACK_BYTES = "maintenance.binpack.target-bytes"
   val PROP_MAINT_EXPIRE_KEEP = "maintenance.expire.keep-last"
   val PROP_MAINT_EXPIRE_AGE_MS = "maintenance.expire.max-age-ms"
@@ -4370,6 +4509,10 @@ object LakeTable {
     * position-delete schema `file_path`, `pos`). */
   private val POS_FILE_FIELD = "file_uri"
   private val POS_POS_FIELD = "pos"
+  // deletion-vector artifact columns: target file (table-relative) and
+  // its deleted-ordinal bitset packed 64 ordinals per long
+  private val DV_FILE_FIELD = "file"
+  private val DV_BITS_FIELD = "dv"
   /** Changelog output columns (≡ Iceberg's `_change_type` etc.). */
   val CHANGE_TYPE_COL = "_change_type"
   val CHANGE_SNAP_COL = "_commit_snapshot_id"

@@ -329,6 +329,13 @@ object ManifestIO {
         o.put("path", d.path); o.put("seq", d.seq)
       }
     }
+    if (s.dvFiles.nonEmpty) {
+      val va = n.putArray("dv_files")
+      s.dvFiles.foreach { d =>
+        val o = va.addObject()
+        o.put("path", d.path); o.put("seq", d.seq)
+      }
+    }
     if (s.manifestSummaries.nonEmpty) {
       val ms = n.putObject("manifest_summaries")
       s.manifestSummaries.toSeq.sortBy(_._1).foreach { case (name, cols) =>
@@ -399,6 +406,11 @@ object ManifestIO {
         if (!n.has("pos_delete_files")) Nil
         else n.path("pos_delete_files").elements().asScala.map { o =>
           PosDeleteFile(o.path("path").asText(), o.path("seq").asLong())
+        }.toSeq,
+      dvFiles =
+        if (!n.has("dv_files")) Nil
+        else n.path("dv_files").elements().asScala.map { o =>
+          DvFile(o.path("path").asText(), o.path("seq").asLong())
         }.toSeq,
       manifests = manifests,
       partitionSpecs =

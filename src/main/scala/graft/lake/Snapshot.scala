@@ -61,6 +61,17 @@ final case class Snapshot(
       * the immutable file it was captured from. Cleared by compaction
       * and overwrite (their rewrites drop the targeted files). */
     posDeleteFiles: Seq[PosDeleteFile] = Nil,
+    /** Live DELETION-VECTOR artifacts (≡ Iceberg v3 deletion vectors /
+      * Delta DVs): each is a Parquet file of (file STRING, dv
+      * ARRAY<BIGINT>, n_deleted BIGINT) rows — one row per targeted
+      * data file, `dv` a bitset over row ordinals packed 64/long
+      * (bit p of word w set ⇔ ordinal w·64+p is deleted). Produced by
+      * [[LakeTable.consolidateDeleteVectors]] folding the accumulated
+      * position-delete files; readers pay ONE broadcast per-file
+      * bitmap lookup however many delete commits history holds.
+      * Cleared by full compaction and overwrite like position
+      * deletes. */
+    dvFiles: Seq[DvFile] = Nil,
     /** Per-live-file size and row count (≡ Iceberg's `file_size_in_bytes`
       * / `record_count` manifest fields) — what `.files`/`.partitions`
       * report and size-aware maintenance plans against. Absent file
@@ -163,6 +174,14 @@ final case class Snapshot(
         o.put("seq", d.seq)
       }
     }
+    if (dvFiles.nonEmpty) {
+      val va = n.putArray("dv_files")
+      dvFiles.foreach { d =>
+        val o = va.addObject()
+        o.put("path", d.path)
+        o.put("seq", d.seq)
+      }
+    }
     if (fileInfo.nonEmpty) {
       val io = n.putObject("file_info")
       liveFiles.foreach { f =>
@@ -231,6 +250,11 @@ object Snapshot {
         else n.path("pos_delete_files").elements().asScala.map { o =>
           PosDeleteFile(o.path("path").asText(), o.path("seq").asLong())
         }.toSeq,
+      dvFiles =
+        if (!n.has("dv_files")) Nil
+        else n.path("dv_files").elements().asScala.map { o =>
+          DvFile(o.path("path").asText(), o.path("seq").asLong())
+        }.toSeq,
       fileInfo =
         if (!n.has("file_info")) Map.empty
         else n.path("file_info").properties().asScala.map { e =>
@@ -272,3 +296,13 @@ final case class DeleteFile(path: String, seq: Long, keys: Seq[String],
   * committing snapshot (bookkeeping only — positions bind to immutable
   * files, so application needs no sequence ordering). */
 final case class PosDeleteFile(path: String, seq: Long)
+
+/** One deletion-vector artifact (≡ Iceberg v3 DVs / Delta deletion
+  * vectors, parquet-encoded): a Parquet file of
+  * (file STRING, dv ARRAY<BIGINT>, n_deleted BIGINT) rows — one
+  * compressed bitmap of deleted row ordinals PER data file, the fold
+  * of every position delete accumulated against that file. `file` is
+  * the target's table-relative path (`data/…`); `seq` records the
+  * consolidating snapshot (bookkeeping only, like
+  * [[PosDeleteFile.seq]]). */
+final case class DvFile(path: String, seq: Long)

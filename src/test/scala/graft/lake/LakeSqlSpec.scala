@@ -712,6 +712,59 @@ WHEN NOT MATCHED THEN INSERT *
       cat.sql("ns", "SELECT * FROM mex").collect())
   }
 
+  test("MATERIALIZED VIEW DDL lowers AVG and COUNT(DISTINCT col) onto " +
+      "the maintained cube") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = Seq(
+      (1L, "a", "x", 10.0), (2L, "a", "y", 6.0), (3L, "a", "y", 2.0),
+      (4L, "b", "x", 1.0)).toDF("id", "grp", "cat", "v")
+    cat.createTable("ns", "dsrc", df.schema)
+    cat.loadTable("ns", "dsrc").append(df)
+    cat.sql("ns",
+      """CREATE MATERIALIZED VIEW dmart AS
+        |SELECT grp, count(*) AS n_rows, sum(v) AS total,
+        |  avg(v) AS avg_v, count(v) AS n_v,
+        |  count(DISTINCT cat) AS n_cats
+        |FROM dsrc GROUP BY grp""".stripMargin)
+    def mart() = cat.sql("ns",
+      "SELECT grp, n_rows, total, round(avg_v, 4) AS avg_v, n_v, " +
+        "n_cats FROM dmart ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(mart() == Seq(("a", 3L, 18.0, 6.0, 3L, 2L),
+      ("b", 1L, 1.0, 1.0, 1L, 1L)))
+    // the physical state is the (grp, cat) cube; the MV name derives
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM dmart_state")
+      .head().getLong(0) == 3L)
+    // incremental: a NULL v (avg/count(v) must skip it), a new
+    // category, and a delete retracting category y's last rows
+    val src = cat.loadTable("ns", "dsrc")
+    src.append(Seq((5L, "b", "z", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "grp", "cat", "v"))
+    src.delete(col("cat") === "y")
+    cat.sql("ns", "CALL system.refresh_mv('dmart')")
+    assert(mart() == Seq(("a", 1L, 10.0, 10.0, 1L, 1L),
+      ("b", 2L, 1.0, 1.0, 1L, 2L)))
+    // staleness surface still works on the lowered MV
+    assert(!cat.sql("ns", "CALL system.mv_staleness('dmart')")
+      .head().getAs[Boolean]("is_stale"))
+    cat.sql("ns", "DROP MATERIALIZED VIEW dmart")
+    intercept[Exception](cat.sql("ns", "SELECT * FROM dmart").collect())
+    // rejected extended shapes, all before any table is created
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS n, " +
+        "count(DISTINCT cat) AS a, count(DISTINCT v) AS b " +
+        "FROM dsrc GROUP BY grp"))
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS n, " +
+        "count(DISTINCT grp) AS a FROM dsrc GROUP BY grp"))
+    intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS n, " +
+        "sum(v) AS __mv_x FROM dsrc GROUP BY grp"))
+    assert(!cat.tableExists("ns", "bad"))
+  }
+
   test("metadata views refresh after HEAD-preserving mutations") {
     // create_tag / drop_ref / expire_snapshots mutate refs or snapshot
     // metadata WITHOUT moving HEAD — the registration ledger must not
