@@ -64,6 +64,10 @@ object ScaleSmoke {
       commitDepthSmoke(args.lift(1).map(_.toInt).getOrElse(5000))
       return
     }
+    if (args.headOption.contains("fs-probe")) {
+      fsProbe()
+      return
+    }
     if (args.headOption.contains("dedup-inc")) {
       dedupIncSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -531,11 +535,20 @@ object ScaleSmoke {
       walk(new java.io.File(p))
     }
     println(s"[commit-depth] importing $commits single-file commits")
+    import graft.lake.LakeTable.{timers, timersEnabled}
+    timersEnabled.set(true)
     val times = (0 until commits).map { i =>
       val t0 = System.nanoTime()
       lt.addFiles(dropDir(i))
       (System.nanoTime() - t0) / 1e9
     }
+    timersEnabled.set(false)
+    import scala.jdk.CollectionConverters._
+    val prof = timers.asScala.toSeq
+      .map { case (k, v) => k -> v.get / 1e6 / commits }
+      .sortBy(-_._2)
+    println("[commit-depth] per-commit profile: " + prof.map {
+      case (k, ms) => f"$k=$ms%.1f ms" }.mkString(", "))
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val dec = commits / 10
     val first = median(times.slice(dec / 2, dec)) // skip JVM warm-up
@@ -582,6 +595,49 @@ object ScaleSmoke {
     require(hit2 == 1L)
     println(f"[commit-depth] post-GC point scan $planSec2%.2f s; PASS")
     spark.stop()
+  }
+
+  /** `fs-probe`: micro-latencies of the Hadoop fs operations the commit
+    * path performs, isolating where the per-commit milliseconds go. */
+  private def fsProbe(): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+    val conf = new Configuration()
+    val dir = new Path(Files.createTempDirectory("graft-fsprobe").toString)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val payload = ("x" * 7000).getBytes("UTF-8")
+    def bench(label: String, n: Int)(f: Int => Unit): Unit = {
+      val t0 = System.nanoTime()
+      (0 until n).foreach(f)
+      println(f"[fs-probe] $label: ${(System.nanoTime() - t0) / 1e6 / n}%.2f ms/op")
+    }
+    bench("fs.create exclusive + write + close (checksummed)", 300) { i =>
+      val o = fs.create(new Path(dir, s"a$i"), false)
+      o.write(payload); o.close()
+    }
+    val raw = FileSystem.newInstance(dir.toUri, conf)
+    raw.setWriteChecksum(false)
+    raw.setVerifyChecksum(false)
+    bench("fs.create exclusive (newInstance, no checksum)", 300) { i =>
+      val o = raw.create(new Path(dir, s"b$i"), false)
+      o.write(payload); o.close()
+    }
+    bench("FileContext.getFileContext (fresh each)", 300) { _ =>
+      FileContext.getFileContext(dir.toUri, conf)
+    }
+    val fc = FileContext.getFileContext(dir.toUri, conf)
+    bench("fc.rename OVERWRITE (cached fc)", 300) { i =>
+      fc.rename(new Path(dir, s"a$i"), new Path(dir, s"r$i"),
+        Options.Rename.OVERWRITE)
+    }
+    bench("fs.rename (plain)", 300) { i =>
+      fs.rename(new Path(dir, s"r$i"), new Path(dir, s"s$i"))
+    }
+    bench("fs.exists", 300) { i => fs.exists(new Path(dir, s"s$i")) }
+    bench("fs.open+read", 300) { i =>
+      graft.lake.LakeTable.readString(fs, new Path(dir, s"s$i"))
+    }
   }
 
   /** Synthetic dedup corpus: `mult` replica generations of the

@@ -172,6 +172,45 @@ object FileStats {
     finally reader.close()
   }
 
+  /** [[footerSparkSchema]] + [[collect]] off ONE footer open — the
+    * add_files profile pass needs both, and a separate open per use
+    * doubles the dominant per-file import cost (a footer open is the
+    * most expensive fs operation of a metadata-only commit). Throws if
+    * the footer is unreadable (the caller's per-file gate reports it);
+    * stats decode failures inside a readable footer degrade to
+    * no-stats exactly like [[collect]]. */
+  def footerProfile(conf: Configuration, file: Path,
+      converter: org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter,
+      schema: StructType, partitionFields: Seq[PartitionSpec.Field],
+      relPath: String)
+      : (StructType, Map[String, ColStat], Long) = {
+    val fromPath = partitionStats(schema, partitionFields, relPath)
+    val identitySources =
+      partitionFields.filter(_.isIdentity).map(_.source).toSet
+    val dataCols = schema.fields
+      .filterNot(f => identitySources(f.name))
+      .filter(f => supportsLiteralPruning(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val (fileSch, footer, rows) =
+      try {
+        val meta = reader.getFooter
+        val sch0 = converter.convert(meta.getFileMetaData.getSchema)
+        val (st, r) = Try(footerStatsOf(meta, dataCols))
+          .getOrElse((Map.empty[String, ColStat], -1L))
+        (sch0, st, r)
+      } finally reader.close()
+    val partNulls = partitionFields.filter(_.isIdentity).flatMap { f =>
+      if (fromPath.contains(f.dirName)) Some(nullsKey(f.source) ->
+        ColStat("0", "0"))
+      else if (rows >= 0 && nullPartitionDirs(relPath).contains(f.dirName))
+        Some(nullsKey(f.source) -> ColStat(rows.toString, rows.toString))
+      else None
+    }.toMap
+    (fileSch, fromPath ++ footer ++ partNulls, rows)
+  }
+
   /** Dir names of this path's `__HIVE_DEFAULT_PARTITION__` segments. */
   private def nullPartitionDirs(relPath: String): Set[String] =
     relPath.split('/').dropRight(1).flatMap { seg =>
@@ -187,7 +226,14 @@ object FileStats {
   private def footerStats(conf: Configuration, file: Path,
       dataCols: Map[String, DataType]): (Map[String, ColStat], Long) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
+    try footerStatsOf(reader.getFooter, dataCols)
+    finally reader.close()
+  }
+
+  private def footerStatsOf(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      dataCols: Map[String, DataType]): (Map[String, ColStat], Long) = {
+    {
       // Combine bounds across row groups; a column is dropped for the whole
       // file the moment any group's stats are missing or undecodable.
       // Null counts accumulate independently of bounds (a chunk whose
@@ -197,7 +243,7 @@ object FileStats {
       val dropped = mutable.Set.empty[String]
       val nullAcc = mutable.Map.empty[String, Long]
       val nullDropped = mutable.Set.empty[String]
-      for (block <- reader.getFooter.getBlocks.asScala;
+      for (block <- footer.getBlocks.asScala;
           cc <- block.getColumns.asScala) {
         val path = cc.getPath.toArray
         if (path.length == 1 && dataCols.contains(path(0))) {
@@ -223,12 +269,12 @@ object FileStats {
           }
         }
       }
-      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
       (acc.map { case (k, (mn, mx)) => k -> ColStat(mn, mx) }.toMap ++
         nullAcc.map { case (k, n) =>
           nullsKey(k) -> ColStat(n.toString, n.toString)
         }, rows)
-    } finally reader.close()
+    }
   }
 
   /** None = unknown (drop column for the file); Some(None) = chunk has no

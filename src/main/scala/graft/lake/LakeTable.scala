@@ -1364,9 +1364,9 @@ final class LakeTable private (
     require(!(srcQ + "/").startsWith(rootQ + "/") &&
         !(rootQ + "/").startsWith(srcQ + "/"),
       s"add_files source $srcDir overlaps the table directory $rootQ")
-    val files = listParquet(fs, src)
+    val files = LakeTable.timed("af.list")(listParquet(fs, src))
     require(files.nonEmpty, s"no parquet files under $srcDir")
-    val base = current
+    val base = LakeTable.timed("af.current")(current)
     val sch = schema
     val fields = partitionFields
     require(fields.forall(_.isIdentity),
@@ -1443,11 +1443,15 @@ final class LakeTable private (
     val schemaConverter = new org.apache.spark.sql.execution
       .datasources.parquet.ParquetToSparkSchemaConverter(
         spark.sessionState.conf)
+    LakeTable.timed("af.footers") {
     files.zip(destRels).toList.asJava.parallelStream().forEach {
       case (f, r) =>
-        scala.util.Try(
-            FileStats.footerSparkSchema(hconf, f, schemaConverter)) match {
-          case scala.util.Success(fileSch) =>
+        val key = s"$DATA_DIR/$r"
+        // ONE footer open per file yields the schema gate's Spark
+        // types AND the manifest stats/row count together
+        scala.util.Try(FileStats.footerProfile(hconf, f, schemaConverter,
+            sch, fields, key)) match {
+          case scala.util.Success((fileSch, st, rows)) =>
             val have = fileSch.fields.map(x => x.name -> x.dataType).toMap
             expect.toSeq.sortBy(_._1).foreach { case (n, dt) =>
               have.get(n) match {
@@ -1467,14 +1471,13 @@ final class LakeTable private (
             (have.keySet -- expect.keySet -- idCols).toSeq.sorted
               .foreach(n => schemaErrs.add(
                 s"$f carries $n, which the table schema lacks"))
+            if (st.nonEmpty) statsMap.put(key, st)
+            infoMap.put(key, FileInfo(fs.getFileStatus(f).getLen, rows))
           case scala.util.Failure(e) =>
             schemaErrs.add(s"$f: unreadable parquet footer " +
               s"(${e.getClass.getSimpleName}: ${e.getMessage})")
         }
-        val key = s"$DATA_DIR/$r"
-        val (st, rows) = FileStats.collect(hconf, f, sch, fields, key)
-        if (st.nonEmpty) statsMap.put(key, st)
-        infoMap.put(key, FileInfo(fs.getFileStatus(f).getLen, rows))
+    }
     }
     require(schemaErrs.isEmpty,
       "add_files refused — file schemas do not match the table: " +
@@ -1498,22 +1501,27 @@ final class LakeTable private (
     files.zip(destRels).foreach { case (f, r) =>
       srcNode.put(s"$DATA_DIR/$r", fs.makeQualified(f).toString)
     }
-    fs.mkdirs(stagedDir)
-    writeStringExclusive(fs, stagedPath(importId),
-      m.writeValueAsString(marker))
-    files.zip(destRels).foreach { case (f, r) =>
-      val dest = new Path(dataDir, r)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(f, dest))
-        throw new java.io.IOException(s"rename $f -> $dest failed")
+    LakeTable.timed("af.marker") {
+      fs.mkdirs(stagedDir)
+      writeStringExclusive(fs, stagedPath(importId),
+        m.writeValueAsString(marker))
     }
-    val snap = commitWithRetry(base)() { b =>
+    LakeTable.timed("af.rename") {
+      files.zip(destRels).foreach { case (f, r) =>
+        val dest = new Path(dataDir, r)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"rename $f -> $dest failed")
+      }
+    }
+    val snap = LakeTable.timed("af.commit")(commitWithRetry(base)() { b =>
       commit(b, "add-files", added = added, removed = Nil,
         live = b.liveFiles ++ added,
         addedStats = statsMap.asScala.toMap,
         addedInfo = infoMap.asScala.toMap)
-    }
-    fs.delete(stagedPath(importId), false)
+    })
+    LakeTable.timed("af.unmark")(
+      fs.delete(stagedPath(importId), false))
     (snap, added.size)
   }
 
@@ -4254,7 +4262,7 @@ final class LakeTable private (
     // BEFORE the snapshot JSON's exclusive create — a lost race or
     // crash strands only uuid-named orphans that maintenance reclaims.
     //
-    val planned =
+    val planned = LakeTable.timed("c.plan") {
       if (rechunk)
         // forced full re-chunk (rewriteManifests): ignore every parent
         // chunk and regroup ALL entries path-sorted, so hive partition
@@ -4273,13 +4281,15 @@ final class LakeTable private (
           (base.manifests ++ reuseChunksFrom.flatMap(_.manifests)).distinct
         ManifestIO.plan(snap0, candidateNames.map(n => n -> loadChunk(n)))
       }
-    val newChunks = planned.toWrite.map { entries =>
-      val name = s"m-${UUID.randomUUID()}.json"
-      writeStringExclusive(fs, new Path(metaDir, name),
-        ManifestIO.chunkToJson(entries))
-      chunkCache.put(name, entries)
-      name
     }
+    val newChunks = LakeTable.timed("c.chunkwrite")(
+      planned.toWrite.map { entries =>
+        val name = s"m-${UUID.randomUUID()}.json"
+        writeStringExclusive(fs, new Path(metaDir, name),
+          ManifestIO.chunkToJson(entries))
+        chunkCache.put(name, entries)
+        name
+      })
     // chunk-level summaries for the manifest list: reused chunks carry
     // the parent's summary forward (O(1), no chunk read on the warm
     // path), fresh chunks summarize their own entries (O(delta))
@@ -4287,10 +4297,11 @@ final class LakeTable private (
       .asInstanceOf[StructType]
     val parentSums = base.manifestSummaries
     val summaries: Map[String, Map[String, ColStat]] =
-      (planned.reused.map(n => n -> parentSums.getOrElse(n,
-          ManifestIO.summarize(loadChunk(n), listSchema))) ++
-        newChunks.zip(planned.toWrite).map { case (n, es) =>
-          n -> ManifestIO.summarize(es, listSchema) }).toMap
+      LakeTable.timed("c.summaries")(
+        (planned.reused.map(n => n -> parentSums.getOrElse(n,
+            ManifestIO.summarize(loadChunk(n), listSchema))) ++
+          newChunks.zip(planned.toWrite).map { case (n, es) =>
+            n -> ManifestIO.summarize(es, listSchema) }).toMap)
     val snap = snap0.copy(manifests = planned.reused ++ newChunks,
       manifestSummaries = summaries)
     def dropNewChunks(): Unit = newChunks.foreach { n =>
@@ -4304,16 +4315,19 @@ final class LakeTable private (
     // within ms and lose via the exclusive create; a crashed commit is
     // retried much later).
     val metaPath = new Path(metaDir, s"v$id.json")
-    if (fs.exists(metaPath) && currentSnapshotId.contains(base.snapshotId)
-        && System.currentTimeMillis() -
-          fs.getFileStatus(metaPath).getModificationTime > ORPHAN_GRACE_MS)
-      fs.delete(metaPath, false)
+    LakeTable.timed("c.orphancheck") {
+      if (fs.exists(metaPath) && currentSnapshotId.contains(base.snapshotId)
+          && System.currentTimeMillis() -
+            fs.getFileStatus(metaPath).getModificationTime > ORPHAN_GRACE_MS)
+        fs.delete(metaPath, false)
+    }
     // optimistic concurrency: exclusive create of v<id>.json fails if a
     // racing writer committed the same version first. Normalize the
     // already-exists failure to ConcurrentModificationException, so
     // every losing racer sees ONE exception type (and [[append]] can
     // retry on it).
-    try writeStringExclusive(fs, metaPath, ManifestIO.listToJson(snap))
+    try LakeTable.timed("c.vjson")(
+      writeStringExclusive(fs, metaPath, ManifestIO.listToJson(snap)))
     catch {
       case e: java.io.IOException if fs.exists(metaPath) =>
         // lost the exclusive create: the winner's HEAD swap may still
@@ -4344,7 +4358,7 @@ final class LakeTable private (
       case e: Throwable =>
         dropNewChunks(); throw e
     }
-    val now = currentSnapshotId
+    val now = LakeTable.timed("c.headcheck")(currentSnapshotId)
     if (!now.contains(base.snapshotId)) {
       // clean our metadata only while it is still beyond HEAD — if HEAD
       // reached id, the file may be the winner's current snapshot
@@ -4352,7 +4366,7 @@ final class LakeTable private (
       throw new java.util.ConcurrentModificationException(
         s"table $root HEAD moved to $now during commit of $id")
     }
-    writeHead(id)
+    LakeTable.timed("c.head")(writeHead(id))
     id
   }
 
@@ -4368,6 +4382,21 @@ case class MergeWhen(condition: Option[org.apache.spark.sql.Column],
     assignments: Option[Map[String, org.apache.spark.sql.Column]])
 
 object LakeTable {
+
+  /** Commit-path micro-timers (ScaleSmoke `commit-depth` profiling —
+    * off by default, one atomic read per section when disabled). */
+  private[graft] val timersEnabled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val timers = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  @inline private[graft] def timed[T](label: String)(f: => T): T =
+    if (!timersEnabled.get) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally timers.computeIfAbsent(label,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+        .addAndGet(System.nanoTime() - t0)
+    }
 
   /** One snapshot's metadata-view summary (see
     * [[LakeTable.snapshotSummaries]]): everything `.history` /

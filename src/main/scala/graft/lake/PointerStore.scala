@@ -113,11 +113,29 @@ final class RenamePointerStore(fs: FileSystem, rootUri: java.net.URI,
         s"${SwapDeadlineNanos / 1000000000L}s without a complete value")
   }
 
+  // FileContext is built once (unlike FileSystem, Hadoop does not cache
+  // FileContext instances — constructing one per swap costs more than
+  // the swap) and only USED where it buys something: on a filesystem
+  // with a native atomic overwrite (HDFS), fc.rename(OVERWRITE) is the
+  // true atomic pointer swap. On the local filesystem FileContext's
+  // OVERWRITE path is itself delete-then-rename — the identical
+  // visibility window as a plain delete+rename, at ~500× the cost
+  // (measured 26.6 ms vs 0.05 ms per swap: it dominates the whole
+  // commit) — so local pointers swap with plain FileSystem calls and
+  // readers ride out the window exactly as before.
+  private lazy val fc = FileContext.getFileContext(rootUri, conf)
+  private val localFs =
+    rootUri == null || rootUri.getScheme == null ||
+      rootUri.getScheme == "file"
+
   override def write(p: Path, value: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}-${UUID.randomUUID()}.tmp")
     LakeTable.writeStringExclusive(fs, tmp, value)
-    val fc = FileContext.getFileContext(rootUri, conf)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    if (localFs) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"pointer swap $tmp -> $p failed")
+    } else fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 }
 
