@@ -544,6 +544,27 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_iceberg_export" -> ((s, dir) => {
+      // the Iceberg v2 handoff, CONTENT-checked: export an
+      // identity-partitioned table, then answer per-partition row
+      // counts FROM THE EXPORTED METADATA ALONE (metadata.json →
+      // manifest-list avro → manifest avro, read back with the same
+      // avro library) — hash-equal to the source aggregate iff the
+      // manifest's partition values and record counts are faithful
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-iceexp")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders)
+      val metaPath = graft.lake.IcebergExport.export(lt, s"$base/ice")
+      val entries = graft.lake.IcebergExport.readEntries(metaPath,
+        s.sessionState.newHadoopConf())
+      entries.map(e => (e._3("o_orderpriority"), e._2))
+        .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        .toSeq.toDF("o_orderpriority", "n_rows")
+    }),
+
     "q_delete_vectors" -> ((s, dir) => {
       // DELETION VECTORS (≡ Iceberg v3 DVs / Delta deletion vectors):
       // a delete-heavy MOR history — four predicate deletes — with the
@@ -2754,6 +2775,13 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // the exported Iceberg manifest must carry faithful partition
+    // values and record counts — its per-partition roll-up equals the
+    // source aggregate
+    "q_iceberg_export" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -83,6 +83,7 @@ object IcebergExport {
       case BooleanType => "boolean"
       case DateType => "date"
       case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
       case BinaryType => "binary"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case ArrayType(e, containsNull) =>
@@ -365,5 +366,49 @@ object IcebergExport {
       m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     write(new Path(metaDir, "version-hint.text"), "1")
     fs.makeQualified(metaJsonPath).toString
+  }
+
+  /** Read an exported table's data-file entries back — metadata.json →
+    * manifest list → manifest, with the same avro library that wrote
+    * them: `(file_path, record_count, partition values as
+    * name → string)` per data file. The verification half of the
+    * handoff (no Iceberg jar exists offline to read with), also what
+    * q_iceberg_export answers its oracle from. */
+  def readEntries(metadataJsonPath: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Long, Map[String, String])] = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    import org.apache.avro.mapred.FsInput
+    val m = Snapshot.mapper
+    val metaP = new Path(metadataJsonPath)
+    val fs = metaP.getFileSystem(conf)
+    val meta = m.readTree(LakeTable.readString(fs, metaP))
+    val listUri = meta.path("snapshots").elements().asScala.toSeq
+      .find(_.path("snapshot-id").asLong() ==
+        meta.path("current-snapshot-id").asLong())
+      .getOrElse(throw new IllegalStateException("no current snapshot"))
+      .path("manifest-list").asText()
+    def records(uri: String): Seq[GenericRecord] = {
+      val r = DataFileReader.openReader(
+        new FsInput(new Path(uri), conf),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        while (r.hasNext) buf += r.next()
+        buf.toSeq
+      } finally r.close()
+    }
+    records(listUri).flatMap { mf =>
+      records(mf.get("manifest_path").toString).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val pr = df.get("partition").asInstanceOf[GenericRecord]
+        val parts = pr.getSchema.getFields.asScala.map(f =>
+          f.name() -> Option(pr.get(f.name())).map(_.toString).orNull)
+          .toMap
+        (df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long], parts)
+      }
+    }
   }
 }
