@@ -68,6 +68,11 @@ object ScaleSmoke {
       fsProbe()
       return
     }
+    if (args.headOption.contains("dv")) {
+      dvSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(200))
+      return
+    }
     if (args.headOption.contains("dedup-inc")) {
       dedupIncSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -594,6 +599,66 @@ object ScaleSmoke {
       lt.scan(col("id") === (commits / 4).toLong).count())
     require(hit2 == 1L)
     println(f"[commit-depth] post-GC point scan $planSec2%.2f s; PASS")
+    spark.stop()
+  }
+
+  /** `dv [sfDir] [deletes]`: deletion-vector read amplification at
+    * delete-commit DEPTH — the month-of-hourly-predicate-deletes shape.
+    * Seeds orders into a MOR table, runs `deletes` single-key
+    * predicate-delete commits (one position-delete artifact each), and
+    * measures a full-scan aggregate BEFORE consolidation (N artifact
+    * opens + an anti-join keyed by every deleted row) vs AFTER
+    * `consolidateDeleteVectors()` (one broadcast bitmap row per file).
+    * Asserts: identical scan content, ≥ `deletes` artifacts folding to
+    * exactly one, the post-DV plan free of LeftAnti, and the post-DV
+    * scan at least as fast (with generous noise headroom — the real
+    * claim is the SHAPE; wall clock at fixture scale is job overhead). */
+  private def dvSmoke(sfDir: String, deletes: Int): Unit = {
+    val spark = smokeSession("graft-dv-smoke")
+    val work = Files.createTempDirectory("graft-dv").toString
+    import graft.lake.LakeTable
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    lt.append(orders.repartition(8))
+    val n = orders.count()
+    println(s"[dv] $n rows seeded; running $deletes MOR delete commits")
+    var t0 = System.nanoTime()
+    (1 to deletes).foreach(i =>
+      lt.delete(col("o_orderkey") === (i * 17 + 1).toLong))
+    println(f"[dv] $deletes predicate-delete commits in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val preArtifacts = lt.currentSnapshot.get.posDeleteFiles.size
+    def scanAgg(): (Double, Long, Long) = {
+      val t = System.nanoTime()
+      val r = lt.scan().agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      ((System.nanoTime() - t) / 1e9, r.getLong(0), r.getLong(1))
+    }
+    scanAgg() // warm
+    val (tPre, rowsPre, sumPre) = scanAgg()
+    println(f"[dv] pre-DV scan: $tPre%.2f s over $preArtifacts " +
+      "position-delete artifacts")
+    require(preArtifacts >= deletes, s"expected >= $deletes artifacts")
+    t0 = System.nanoTime()
+    lt.consolidateDeleteVectors()
+    println(f"[dv] consolidation in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val s = lt.currentSnapshot.get
+    require(s.posDeleteFiles.isEmpty && s.dvFiles.size == 1,
+      s"expected one vector, got ${s.dvFiles.size} + " +
+        s"${s.posDeleteFiles.size} position files")
+    scanAgg() // warm
+    val (tPost, rowsPost, sumPost) = scanAgg()
+    println(f"[dv] post-DV scan: $tPost%.2f s over 1 vector artifact " +
+      f"(${tPre / tPost}%.2fx)")
+    require(rowsPre == rowsPost && sumPre == sumPost,
+      s"content diverged: ($rowsPre,$sumPre) vs ($rowsPost,$sumPost)")
+    require(rowsPre == n - deletes, s"$rowsPre vs ${n - deletes}")
+    val plan = lt.scan().queryExecution.executedPlan.toString
+    require(!plan.contains("LeftAnti"), "post-DV plan still anti-joins")
+    require(tPost <= tPre * 1.5,
+      f"DV read slower than the artifact pile: $tPre%.2f -> $tPost%.2f")
+    println("[dv] PASS")
     spark.stop()
   }
 

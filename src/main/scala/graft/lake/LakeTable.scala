@@ -1212,12 +1212,20 @@ final class LakeTable private (
     // the warehouse path itself contains /data/.
     def relTail(c: org.apache.spark.sql.Column) =
       regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
+    // every position-delete artifact shares ONE schema — read them as
+    // a single multi-path scan with that schema declared, not N
+    // unioned per-file reads each paying plan-time footer inference
+    // (at delete-commit depth the N-union shape made every scan's
+    // PLANNING cost O(outstanding artifacts) driver footer opens)
+    val posDeleteSchema = StructType(Seq(
+      StructField(POS_FILE_FIELD, StringType),
+      StructField(POS_POS_FIELD, LongType)))
     val posApplied =
       if (ctx.posDeleteFiles.isEmpty) eqApplied
       else {
-        val pd = ctx.posDeleteFiles
-          .map(p => spark.read.parquet(new Path(rootPath, p.path).toString))
-          .reduce(_ unionByName _)
+        val pd = spark.read.schema(posDeleteSchema)
+          .parquet(ctx.posDeleteFiles
+            .map(p => new Path(rootPath, p.path).toString): _*)
           .select(relTail(col(POS_FILE_FIELD)).as(s"__graft_pd_file"),
             col(POS_POS_FIELD).as(s"__graft_pd_pos"))
         eqApplied.join(pd,
@@ -1235,9 +1243,11 @@ final class LakeTable private (
         // file has a vector AND its ordinal's bit is set; `get()` is
         // null-safe past the bitmap's tail (bits beyond the last set
         // word were never set).
-        val dv = ctx.dvFiles
-          .map(d => spark.read.parquet(new Path(rootPath, d.path).toString))
-          .reduce(_ unionByName _)
+        val dv = spark.read.schema(StructType(Seq(
+            StructField(DV_FILE_FIELD, StringType),
+            StructField(DV_BITS_FIELD, ArrayType(LongType)))))
+          .parquet(ctx.dvFiles
+            .map(d => new Path(rootPath, d.path).toString): _*)
           .select(col(DV_FILE_FIELD).as("__graft_dv_file"),
             col(DV_BITS_FIELD).as("__graft_dv_words"))
         posApplied
@@ -2458,16 +2468,20 @@ final class LakeTable private (
       regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
     val posPairs =
       if (base.posDeleteFiles.isEmpty) None
-      else Some(base.posDeleteFiles
-        .map(p => spark.read.parquet(new Path(rootPath, p.path).toString))
-        .reduce(_ unionByName _)
+      else Some(spark.read.schema(StructType(Seq(
+          StructField(POS_FILE_FIELD, StringType),
+          StructField(POS_POS_FIELD, LongType))))
+        .parquet(base.posDeleteFiles
+          .map(p => new Path(rootPath, p.path).toString): _*)
         .select(relTailCol(col(POS_FILE_FIELD)).as("f"),
           col(POS_POS_FIELD).cast("long").as("p")))
     val dvPairs =
       if (base.dvFiles.isEmpty) None
-      else Some(base.dvFiles
-        .map(d => spark.read.parquet(new Path(rootPath, d.path).toString))
-        .reduce(_ unionByName _)
+      else Some(spark.read.schema(StructType(Seq(
+          StructField(DV_FILE_FIELD, StringType),
+          StructField(DV_BITS_FIELD, ArrayType(LongType)))))
+        .parquet(base.dvFiles
+          .map(d => new Path(rootPath, d.path).toString): _*)
         .select(col(DV_FILE_FIELD).as("f"),
           posexplode(col(DV_BITS_FIELD)).as(Seq("w", "word")))
         .select(col("f"), col("w"),
