@@ -90,7 +90,13 @@ object SimilaritySearch {
   }
 
   /** Exact top-k: for each query vector, the k most-cosine-similar corpus
-    * vectors. Deterministic tie-break on corpus id. */
+    * vectors. Deterministic tie-break on corpus id.
+    *
+    * Broadcast bound: the hint is on the QUERY side, which is small by
+    * construction (a search request batch — 10³–10⁵ vectors, well
+    * under the ~8 GB/512M-row ceiling; 10⁵ × 64-dim float32 ≈ 26 MB).
+    * A query set past that is not a search workload but an all-pairs
+    * join — use [[cosineNearDupPairs]]'s bucketed shape instead. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
@@ -363,6 +369,8 @@ object SimilaritySearch {
     val encoded = pqEncode(c, cbLit, nSubspaces, nCodes, sub)
 
     // ADC scoring: exact query subvectors against quantized corpus
+    // (query side broadcast — same request-batch bound as
+    // bruteForceTopK: searches carry 10³–10⁵ queries, megabytes)
     val q = queries.select(col(queryIdCol), toD(col(vecCol)).as("__qd"))
     val scored = encoded.crossJoin(broadcast(q))
       .withColumn("score", adcScore(cbLit, nSubspaces, sub))
