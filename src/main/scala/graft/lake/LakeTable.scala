@@ -1236,9 +1236,9 @@ final class LakeTable private (
     val dvApplied =
       if (ctx.dvFiles.isEmpty) posApplied
       else {
-        // deletion vectors: ONE broadcast row per targeted data file
-        // (its packed ordinal bitset), applied as a map-side bit test —
-        // no per-deleted-row join keys, so read cost is independent of
+        // deletion vectors: ONE row per targeted data file (its packed
+        // ordinal bitset), applied as a map-side bit test — no
+        // per-deleted-row join keys, so read cost is independent of
         // how many rows history has deleted. A row survives unless its
         // file has a vector AND its ordinal's bit is set; `get()` is
         // null-safe past the bitmap's tail (bits beyond the last set
@@ -1250,8 +1250,25 @@ final class LakeTable private (
             .map(d => new Path(rootPath, d.path).toString): _*)
           .select(col(DV_FILE_FIELD).as("__graft_dv_file"),
             col(DV_BITS_FIELD).as("__graft_dv_words"))
+        // Broadcast bound: each row is bytes ∝ target file's rows / 8
+        // (~125 KB for a 10⁶-row file), so a delete pattern touching
+        // ~60k+ such files pushes the hint past Spark's 8 GB broadcast
+        // ceiling and materializes on the driver first. The artifact
+        // size was recorded at consolidation time (DvFile.bytes; a
+        // live stat covers pre-field snapshots); above the gate —
+        // `spark.graft.lake.dv-broadcast-max-bytes`, default 1 GB —
+        // fall back to a plain shuffled join keyed on the file tail
+        // (still one slim row per file), same results either way.
+        val dvBytes = ctx.dvFiles.map { d =>
+          if (d.bytes > 0L) d.bytes
+          else fs.getFileStatus(new Path(rootPath, d.path)).getLen
+        }.sum
+        val dvMax = spark.conf
+          .getOption("spark.graft.lake.dv-broadcast-max-bytes")
+          .map(_.toLong).getOrElse(1L << 30)
+        val dvHinted = if (dvBytes <= dvMax) broadcast(dv) else dv
         posApplied
-          .join(broadcast(dv),
+          .join(dvHinted,
             relTail(col(PFILE_COL)) === col("__graft_dv_file"), "left")
           .where(col("__graft_dv_words").isNull || coalesce(
             expr(s"(shiftright(get(__graft_dv_words, " +
@@ -2516,7 +2533,8 @@ final class LakeTable private (
       commit(b, "rewrite-deletes", added = Nil, removed = Nil,
         live = b.liveFiles,
         posDeletesOverride = Some(newer),
-        dvOverride = Some(delPaths.map(p => DvFile(p, seq))))
+        dvOverride = Some(delPaths.map { case (p, sz) =>
+          DvFile(p, seq, sz) }))
     }
   }
 
@@ -4150,7 +4168,11 @@ final class LakeTable private (
   /** Write ONE deletion-vector artifact under `deletes/` (dv-*.parquet);
     * returns root-relative paths (a single element — the whole vector
     * set is one tiny file: one row per targeted data file). */
-  private def writeDvFiles(dvDf: DataFrame): Seq[String] = {
+  /** Writes the consolidated deletion-vector parquet and returns each
+    * artifact's (table-relative path, on-disk bytes) — the size is
+    * recorded in [[DvFile]] so the read path can size-gate its
+    * broadcast without a plan-time stat. */
+  private def writeDvFiles(dvDf: DataFrame): Seq[(String, Long)] = {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     try {
       dvDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
@@ -4161,7 +4183,7 @@ final class LakeTable private (
         val dest = new Path(delDir, s"dv-${f.getName}")
         if (!fs.rename(f, dest))
           throw new java.io.IOException(s"rename $f -> $dest failed")
-        s"$DELETES_DIR/${dest.getName}"
+        (s"$DELETES_DIR/${dest.getName}", fs.getFileStatus(dest).getLen)
       }
     } finally fs.delete(staging, true)
   }

@@ -334,6 +334,7 @@ object ManifestIO {
       s.dvFiles.foreach { d =>
         val o = va.addObject()
         o.put("path", d.path); o.put("seq", d.seq)
+        if (d.bytes > 0L) o.put("bytes", d.bytes)
       }
     }
     if (s.manifestSummaries.nonEmpty) {
@@ -410,7 +411,8 @@ object ManifestIO {
       dvFiles =
         if (!n.has("dv_files")) Nil
         else n.path("dv_files").elements().asScala.map { o =>
-          DvFile(o.path("path").asText(), o.path("seq").asLong())
+          DvFile(o.path("path").asText(), o.path("seq").asLong(),
+            o.path("bytes").asLong())
         }.toSeq,
       manifests = manifests,
       partitionSpecs =

@@ -180,6 +180,7 @@ final case class Snapshot(
         val o = va.addObject()
         o.put("path", d.path)
         o.put("seq", d.seq)
+        if (d.bytes > 0L) o.put("bytes", d.bytes)
       }
     }
     if (fileInfo.nonEmpty) {
@@ -253,7 +254,8 @@ object Snapshot {
       dvFiles =
         if (!n.has("dv_files")) Nil
         else n.path("dv_files").elements().asScala.map { o =>
-          DvFile(o.path("path").asText(), o.path("seq").asLong())
+          DvFile(o.path("path").asText(), o.path("seq").asLong(),
+            o.path("bytes").asLong())
         }.toSeq,
       fileInfo =
         if (!n.has("file_info")) Map.empty
@@ -304,5 +306,8 @@ final case class PosDeleteFile(path: String, seq: Long)
   * of every position delete accumulated against that file. `file` is
   * the target's table-relative path (`data/…`); `seq` records the
   * consolidating snapshot (bookkeeping only, like
-  * [[PosDeleteFile.seq]]). */
-final case class DvFile(path: String, seq: Long)
+  * [[PosDeleteFile.seq]]). `bytes` is the artifact's on-disk size,
+  * recorded at commit so the read path can size-gate its broadcast
+  * without a plan-time `getFileStatus`; 0 means unknown (a snapshot
+  * written before the field existed) and falls back to a live stat. */
+final case class DvFile(path: String, seq: Long, bytes: Long = 0L)

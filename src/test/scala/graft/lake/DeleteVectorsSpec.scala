@@ -120,6 +120,33 @@ class DeleteVectorsSpec extends AnyFunSuite {
     assert(t.countRows() == 996)
   }
 
+  test("the bitmap broadcast is size-gated: bytes recorded at commit, " +
+      "and above the bound the hint drops for a plain join — same rows") {
+    val t = deleteHeavy("dv-gate", 8)
+    t.consolidateDeleteVectors()
+    val dvf = t.currentSnapshot.get.dvFiles.head
+    assert(dvf.bytes > 0L, "artifact size recorded in DvFile at commit")
+    // the recorded size survives the on-disk snapshot doc: a FRESH
+    // handle on the same root must see it
+    val reread = LakeTable.load(spark, t.root).currentSnapshot.get
+    assert(reread.dvFiles.head.bytes == dvf.bytes)
+    val expect = t.scan().orderBy("id").collect().toSeq
+    // under the default gate (1 GB) the tiny vector is hint-broadcast
+    assert(t.scan().queryExecution.analyzed.toString
+      .contains("strategy=broadcast"), "small DV keeps the hint")
+    // force the fallback: bound of 0 — hint must drop, rows identical
+    spark.conf.set("spark.graft.lake.dv-broadcast-max-bytes", "0")
+    try {
+      val gated = t.scan()
+      assert(!gated.queryExecution.analyzed.toString
+        .contains("strategy=broadcast"),
+        "above the bound the DV join must not carry a broadcast hint")
+      assert(gated.orderBy("id").collect().toSeq == expect)
+      assert(gated.count() == 992)
+    } finally
+      spark.conf.unset("spark.graft.lake.dv-broadcast-max-bytes")
+  }
+
   test("maintain runs consolidation when the policy property asks") {
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = LakeTable.create(spark, TestSpark.tmpDir("dv-maintain") + "/t",
