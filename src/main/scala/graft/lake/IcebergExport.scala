@@ -176,10 +176,19 @@ object IcebergExport {
               s"identity partition over ${other.simpleString} " +
                 "is not exportable")
           }
+        // Iceberg defines truncate's result type as the SOURCE type
+        // (int stays int) — emitting long for an int source would make
+        // a spec-conformant reader fail partition-struct resolution or
+        // misprune. Types without a tested encoding are refused loudly
+        // (same policy as bucket).
         case PartitionSpec.Truncate(_) =>
           sch(f.source).dataType match {
             case StringType => "\"string\""
-            case _ => "\"long\""
+            case LongType => "\"long\""
+            case IntegerType | ShortType | ByteType => "\"int\""
+            case other => throw new IllegalArgumentException(
+              s"truncate partition over ${other.simpleString} " +
+                "is not exportable")
           }
         case _ => "\"int\"" // day/month/year ordinals
       }
@@ -229,7 +238,10 @@ object IcebergExport {
         }
         case PartitionSpec.Truncate(_) => sch(f.source).dataType match {
           case StringType => raw
-          case _ => java.lang.Long.valueOf(raw)
+          case LongType => java.lang.Long.valueOf(raw)
+          // source-typed per the Iceberg spec; other source types were
+          // refused at schema-declaration time above
+          case _ => java.lang.Integer.valueOf(raw)
         }
         case _ => java.lang.Integer.valueOf(raw)
       }

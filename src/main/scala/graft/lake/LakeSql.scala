@@ -968,6 +968,14 @@ object LakeSql {
       val cubeKeys = keys ++ distinctCol.map(_._2).toSeq
       physSums.map(_._1).toSet.intersect(cubeKeys.toSet).toSeq.sorted
         .foreach(n => bad(s"aggregate alias $n collides with cube key $n"))
+      // the physical state ALWAYS carries the maintained `cnt` row
+      // count (sumsSchema injects it) — any other aggregate or cube
+      // key named `cnt` would create a duplicate-column table that
+      // the refresh MERGE then silently collapses
+      if (others.exists(_._1 == "cnt") || cubeKeys.contains("cnt"))
+        bad("the physical state reserves column name `cnt` for the " +
+          "maintained row count — rename the non-count(*) aggregate " +
+          "or key aliased `cnt`")
       (avgs.map(_._2) ++ physSums.map(_._2)).distinct.foreach { e =>
         val dt =
           try src.scan().selectExpr(e).schema.head.dataType

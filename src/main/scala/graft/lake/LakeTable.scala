@@ -877,7 +877,11 @@ final class LakeTable private (
     * live set) only clears the marker — never double-adds or
     * resurrects. A marker whose entries appear partially (possible
     * only once expiry has dropped the import commit itself) is
-    * ambiguous: recovery refuses rather than guess. */
+    * ambiguous: recovery refuses rather than guess. The fully-expired
+    * marker (entries in NO retained history — indistinguishable by
+    * file state from a fresh pre-commit crash, whose recovery must
+    * stay automatic) cannot arise: [[expireWhere]] clears committed
+    * imports' markers before destroying their history evidence. */
   def publishStaged(wapId: String): Long = {
     val (schemaJson, specId, entries, sources) = readStaged(wapId)
     if (sources.nonEmpty) {
@@ -3672,6 +3676,30 @@ final class LakeTable private (
     val refIds = refs.values.map(_._2).toSet
     val (expired, kept) = snapshots.partition(s =>
       shouldExpire(s) && !refIds(s.snapshotId))
+    // Expiry destroys the committed-ness evidence import-marker
+    // recovery rides on ([[historyPaths]]): a marker lingering past
+    // the expiry of every snapshot that referenced its committed
+    // entries would make a later publish_staged re-commit the files —
+    // a silent double-add whenever the entry files still physically
+    // exist (e.g. a prior expiry crashed mid-delete). Clear such
+    // markers NOW, while the evidence still exists: a marker entry
+    // appearing ANYWHERE in history (retained or expiring) proves the
+    // import committed — import dest paths carry a fresh UUID, so
+    // nothing else can have put them there. Fresh-crash markers
+    // (never committed; entries in no history) are untouched, keeping
+    // their recovery automatic. Runs BEFORE any deletion, so a crash
+    // leaves either full evidence or a cleared marker, never the
+    // ambiguous middle state.
+    if (expired.nonEmpty) {
+      val allHist = (kept.iterator ++ expired.iterator)
+        .flatMap(s => s.liveFiles.iterator ++ s.addedFiles.iterator ++
+          s.removedFiles.iterator).toSet
+      stagedIds.filter(_.startsWith("import-")).foreach { id =>
+        val (_, _, entries, sources) = readStaged(id)
+        if (sources.nonEmpty && entries.exists(e => allHist(e.path)))
+          fs.delete(stagedPath(id), false)
+      }
+    }
     val keptFiles = kept.flatMap(_.liveFiles).toSet
     val keptDeletes = kept.flatMap(s =>
       s.deleteFiles.map(_.path) ++ s.posDeleteFiles.map(_.path) ++

@@ -156,6 +156,44 @@ class AddFilesRecoverySpec extends AnyFunSuite {
     assert(f.lt.stagedIds.isEmpty)
   }
 
+  test("expiry clears a stale marker of a COMMITTED import before " +
+      "destroying its history evidence — no later double-add") {
+    val f = fixture("expire")
+    val id = crashImport(f)
+    val hfs = fs(f.lt.root)
+    val marker = new Path(f.lt.root, s"metadata/staged/$id.json")
+    val body = LakeTable.readString(hfs, marker)
+    f.lt.publishStaged(id)
+    assert(f.lt.scan().count() == 100)
+    // rewrite the imported rows out of the live set, then restore the
+    // stale marker and expire everything but HEAD: once the import
+    // snapshot is expired, historyPaths loses the committed-ness
+    // evidence — so expiry itself must clear the marker first
+    f.lt.delete($"id" > 50)
+    LakeTable.writeStringExclusive(hfs, marker, body)
+    f.lt.expireSnapshots(keepLast = 1)
+    assert(f.lt.stagedIds.isEmpty,
+      "expiry must clear the committed import's stale marker")
+    assert(f.lt.scan().count() == 50)
+    // and had the marker somehow survived, publish now refuses (gone)
+    intercept[IllegalArgumentException](f.lt.publishStaged(id))
+    assert(f.lt.scan().count() == 50)
+  }
+
+  test("expiry leaves a FRESH-crash marker (never committed) alone — " +
+      "its automatic recovery still works afterwards") {
+    val f = fixture("expire-fresh")
+    val id = crashImport(f)
+    // unrelated churn + expiry while the uncommitted marker lingers
+    f.lt.append(Seq((101L, "v101")).toDF("id", "v"))
+    f.lt.expireSnapshots(keepLast = 1)
+    assert(f.lt.stagedIds == Seq(id),
+      "an uncommitted import marker must survive expiry")
+    f.lt.publishStaged(id)
+    assert(f.lt.scan().count() == 101)
+    assert(f.lt.scan().agg(sum($"id")).head().getLong(0) == 5050L + 101L)
+  }
+
   test("marker outliving a COW rewrite: recovery consults history, " +
       "not the live set") {
     val f = fixture("rewrite")

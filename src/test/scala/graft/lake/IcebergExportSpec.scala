@@ -125,6 +125,38 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(parts == Set("g0", "g1", "g2", "g3"))
   }
 
+  test("truncate over an int source exports with int type and values " +
+      "(Iceberg: truncate's result type IS the source type)") {
+    val df = (1 to 100).map(i => (i, i.toLong, s"v$i"))
+      .toDF("n", "id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("ice-trunc") + "/t",
+      df.schema, partitionBy = Seq("truncate(25, n)"))
+    t.append(df)
+    val metaPath = IcebergExport.export(t,
+      TestSpark.tmpDir("ice-trunc-out"))
+    val meta = Snapshot.mapper.readTree(
+      java.nio.file.Files.readString(localFile(metaPath).toPath))
+    val listUri = meta.path("snapshots").get(0)
+      .path("manifest-list").asText()
+    val mf = avroRecords(listUri).head
+    val entries = avroRecords(mf.get("manifest_path").toString)
+    val partField = entries.head.get("data_file")
+      .asInstanceOf[GenericRecord].getSchema
+      .getField("partition").schema().getFields.get(0)
+    // nullable union ["null", int] — the non-null branch must be INT
+    val nonNull = partField.schema().getTypes.asScala
+      .filter(_.getType != org.apache.avro.Schema.Type.NULL)
+    assert(nonNull.map(_.getType) ==
+      Seq(org.apache.avro.Schema.Type.INT), s"got $nonNull")
+    val parts = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord]
+      .get(partField.name)).toSet
+    assert(parts.forall(_.isInstanceOf[java.lang.Integer]))
+    assert(parts.map(_.asInstanceOf[java.lang.Integer].intValue()) ==
+      Set(0, 25, 50, 75, 100))
+  }
+
   test("refusals: outstanding deletes; bucket transforms") {
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
     val mor = LakeTable.create(spark,

@@ -706,6 +706,14 @@ WHEN NOT MATCHED THEN INSERT *
         "sum(v) AS grp FROM msrc GROUP BY grp"))
     assert(aliasClash.getMessage.contains("collides"))
     assert(!cat.tableExists("ns", "bad"))
+    // the physical state always carries the maintained `cnt` column:
+    // a NON-anchor aggregate aliased `cnt` (anchor aliased elsewhere)
+    // would duplicate it — refused before creation
+    val cntClash = intercept[IllegalArgumentException](cat.sql("ns",
+      "CREATE MATERIALIZED VIEW bad AS SELECT grp, count(*) AS n, " +
+        "sum(v) AS cnt FROM msrc GROUP BY grp"))
+    assert(cntClash.getMessage.contains("reserves"))
+    assert(!cat.tableExists("ns", "bad"))
     // DROP tears the temp views down — a re-query fails with
     // not-found, never a read of the deleted table's files
     intercept[Exception](
