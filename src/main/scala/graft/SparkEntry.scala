@@ -565,6 +565,44 @@ WHEN NOT MATCHED THEN INSERT *
         .toSeq.toDF("o_orderpriority", "n_rows")
     }),
 
+    "q_iceberg_export_mor" -> ((s, dir) => {
+      // the MOR half of the Iceberg handoff, CONTENT-checked: a MOR
+      // table carrying BOTH a consolidated deletion vector and loose
+      // position-delete files exports WITHOUT compaction (the
+      // artifacts re-encode as one v2 position-delete parquet), and
+      // the result is reconstructed FROM THE EXPORTED ARTIFACTS ALONE
+      // — manifest data URIs anti-joined with the exported (file_path,
+      // pos) pairs over plain Spark _metadata row positions. Hash-
+      // equal to the predicate algebra iff the re-encoding is
+      // faithful. The delete side is bounded by the deleted-row count
+      // and auto-broadcasts; no hint needed.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-iceexp-mor")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      lt.append(orders)
+      lt.delete(col("o_orderkey") % 10 === 3)
+      lt.consolidateDeleteVectors()
+      lt.delete(col("o_custkey") % 7 === 1)
+      val metaPath = graft.lake.IcebergExport.export(lt, s"$base/ice")
+      val conf = s.sessionState.newHadoopConf()
+      val dataUris = graft.lake.IcebergExport
+        .readEntries(metaPath, conf).map(_._1)
+      val delUris = graft.lake.IcebergExport
+        .readDeleteEntries(metaPath, conf).map(_._1)
+      def tailOf(c: org.apache.spark.sql.Column) =
+        regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
+      val dels = s.read.parquet(delUris: _*)
+        .select(tailOf(col("file_path")).as("__f"), col("pos").as("__p"))
+      s.read.parquet(dataUris: _*)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          tailOf(col("_metadata.file_path")).as("__f"),
+          col("_metadata.row_index").as("__p"))
+        .join(dels, Seq("__f", "__p"), "left_anti")
+        .drop("__f", "__p")
+    }),
+
     "q_delete_vectors" -> ((s, dir) => {
       // DELETION VECTORS (≡ Iceberg v3 DVs / Delta deletion vectors):
       // a delete-heavy MOR history — four predicate deletes — with the
@@ -2782,6 +2820,15 @@ WHEN NOT MATCHED THEN INSERT *
     "q_iceberg_export" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // the exported position deletes are a pure REPRESENTATION of the
+    // two delete predicates — reconstruction from the export must
+    // equal the predicate algebra over the source
+    "q_iceberg_export_mor" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2)
+        |  AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_custkey % 7 <> 1""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

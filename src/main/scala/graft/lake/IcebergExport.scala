@@ -31,11 +31,23 @@ import org.apache.spark.sql.types._
   * spec-required field, value consistency with the graft manifest, and
   * that the referenced parquet scans back row-identical.
   *
+  * MOR snapshots export WITHOUT compaction: graft's accumulated
+  * position-delete artifacts and deletion vectors re-encode as ONE
+  * Iceberg v2 position-delete parquet — columns `file_path`
+  * (field-id 2147483546) / `pos` (field-id 2147483545), field-ids
+  * written into the parquet schema, rows sorted by (file_path, pos),
+  * `file_path` values string-identical to the data manifest's
+  * entries — referenced from a DELETES manifest (content=1) under an
+  * unpartitioned spec. DVs expand back to explicit positions (v2 has
+  * no vector encoding; v3's puffin blobs are out of scope). The
+  * delete parquet is the one artifact the export WRITES beyond
+  * metadata — data files remain a zero-copy absolute-URI handoff.
+  *
   * Scope (refused loudly otherwise):
-  *   - outstanding delete artifacts must be compacted away first
-  *     (graft equality deletes have no Iceberg encoding; position
-  *     deletes/DVs use different column names/ids) — the standard
-  *     "clean handoff after maintenance" shape;
+  *   - outstanding EQUALITY deletes are not exportable (their Iceberg
+  *     encoding needs field-id-addressed equality columns graft does
+  *     not track) — run `convertEqualityDeletes()` or `compact()`
+  *     first;
   *   - `bucket(N, col)` partitioning is not exportable: graft buckets
   *     with Spark's murmur3, Iceberg with its own — declaring
   *     `bucket[N]` would make an Iceberg reader bucket-prune with the
@@ -49,10 +61,12 @@ object IcebergExport {
   def export(table: LakeTable, destDir: String): String = {
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException("no committed snapshot to export"))
-    require(snap.deleteFiles.isEmpty && snap.posDeleteFiles.isEmpty &&
-      snap.dvFiles.isEmpty,
-      "export needs a delete-free snapshot — run compact() first " +
-        "(graft delete artifacts have no Iceberg encoding)")
+    require(snap.deleteFiles.isEmpty,
+      "export needs an equality-delete-free snapshot — run " +
+        "convertEqualityDeletes() or compact() first (equality " +
+        "deletes have no tested Iceberg encoding here)")
+    val hasPosDeletes =
+      snap.posDeleteFiles.nonEmpty || snap.dvFiles.nonEmpty
     val fields = PartitionSpec.parseAll(snap.partitionColumns)
     fields.foreach(f => require(
       !f.transform.isInstanceOf[PartitionSpec.Bucket],
@@ -289,6 +303,138 @@ object IcebergExport {
     }
     val manifestLen = fs.getFileStatus(manifestPath).getLen
 
+    // ---- position deletes (MOR handoff): re-encode graft's position
+    // artifacts + expanded deletion vectors as ONE spec-conformant
+    // position-delete parquet, then a DELETES manifest referencing it.
+    // file_path values are built as rootUri + "/" + relative tail —
+    // string-identical to the data manifest's absUri(rel) (same
+    // qualified root, same separator), which Iceberg requires for
+    // delete application.
+    case class DeleteArtifact(uri: String, rows: Long, bytes: Long)
+    val rootUri = tableFs.makeQualified(new Path(table.root)).toString
+      .stripSuffix("/")
+    val deleteArtifact: Option[DeleteArtifact] =
+      if (!hasPosDeletes) None
+      else {
+        import org.apache.spark.sql.functions._
+        def relTail(c: org.apache.spark.sql.Column) =
+          regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
+        val posPairs =
+          if (snap.posDeleteFiles.isEmpty) None
+          else Some(spark.read.schema(StructType(Seq(
+              StructField(LakeTable.POS_FILE_FIELD, StringType),
+              StructField(LakeTable.POS_POS_FIELD, LongType))))
+            .parquet(snap.posDeleteFiles
+              .map(p => new Path(table.root, p.path).toString): _*)
+            .select(relTail(col(LakeTable.POS_FILE_FIELD)).as("f"),
+              col(LakeTable.POS_POS_FIELD).cast("long").as("p")))
+        val dvPairs =
+          if (snap.dvFiles.isEmpty) None
+          else Some(spark.read.schema(StructType(Seq(
+              StructField(LakeTable.DV_FILE_FIELD, StringType),
+              StructField(LakeTable.DV_BITS_FIELD, ArrayType(LongType)))))
+            .parquet(snap.dvFiles
+              .map(d => new Path(table.root, d.path).toString): _*)
+            .select(col(LakeTable.DV_FILE_FIELD).as("f"),
+              posexplode(col(LakeTable.DV_BITS_FIELD)).as(Seq("w", "word")))
+            .select(col("f"), col("w"), explode(expr(
+              "filter(sequence(0, 63), b -> (shiftright(word, b) & 1) = 1)"))
+              .as("b"))
+            .select(col("f"), (col("w") * 64 + col("b")).cast("long")
+              .as("p")))
+        // only deletes against LIVE files travel — an entry for a file
+        // a later rewrite removed would reference a path absent from
+        // the data manifest
+        val live = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            snap.liveFiles.map(org.apache.spark.sql.Row(_)), 1),
+          StructType(Seq(StructField("f", StringType, nullable = false))))
+        val pairs = (posPairs.toSeq ++ dvPairs.toSeq)
+          .reduce(_ unionByName _)
+          .join(broadcast(live), Seq("f"), "left_semi")
+        // Iceberg readers resolve delete-file columns BY FIELD ID —
+        // attach the spec's reserved ids to the parquet schema
+        def fid(n: Long) = new MetadataBuilder()
+          .putLong("parquet.field.id", n).build()
+        val sorted = pairs
+          .select(concat(lit(rootUri + "/"), col("f"))
+              .as("file_path", fid(2147483546L)),
+            col("p").as("pos", fid(2147483545L)))
+          .repartition(1).sortWithinPartitions("file_path", "pos")
+        val nDel = pairs.count()
+        val prevFieldIdConf =
+          spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+        val staging = new Path(destDir, s".staging-${UUID.randomUUID()}")
+        try {
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          sorted.write.parquet(staging.toString)
+        } finally prevFieldIdConf match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+          case None =>
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        }
+        val written = LakeTable.listParquet(fs, staging)
+        require(written.size == 1, s"expected one delete file: $written")
+        val delDir = new Path(destDir, "deletes")
+        fs.mkdirs(delDir)
+        val dest = new Path(delDir, s"pd-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(written.head, dest))
+          throw new java.io.IOException(
+            s"rename ${written.head} -> $dest failed")
+        fs.delete(staging, true)
+        Some(DeleteArtifact(fs.makeQualified(dest).toString, nDel,
+          fs.getFileStatus(dest).getLen))
+      }
+    // delete files spanning partitions are written under an
+    // UNPARTITIONED spec (the spec allows per-manifest spec ids); a
+    // table already unpartitioned reuses spec 0
+    val delSpecId = if (fields.isEmpty) 0 else 1
+    val delManifest: Option[(Path, Long)] = deleteArtifact.map { da =>
+      val delEntrySchema = new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int","field-id":0},
+           |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+           |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+           |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+           |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+           |{"name":"content","type":"int","field-id":134},
+           |{"name":"file_path","type":"string","field-id":100},
+           |{"name":"file_format","type":"string","field-id":101},
+           |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102d","fields":[]}},
+           |{"name":"record_count","type":"long","field-id":103},
+           |{"name":"file_size_in_bytes","type":"long","field-id":104}
+           |]}}]}""".stripMargin)
+      val p = new Path(metaDir, s"m-${UUID.randomUUID()}.avro")
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](delEntrySchema))
+      w.setMeta("schema", m.writeValueAsString(schemaNode))
+      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec-id", delSpecId.toString)
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "deletes")
+      val out = fs.create(p, true)
+      w.create(delEntrySchema, out)
+      val e = new GenericData.Record(delEntrySchema)
+      e.put("status", Int.box(1)) // ADDED
+      e.put("snapshot_id", Long.box(snapId))
+      e.put("sequence_number", Long.box(seqNum))
+      e.put("file_sequence_number", Long.box(seqNum))
+      val df = new GenericData.Record(
+        delEntrySchema.getField("data_file").schema())
+      df.put("content", Int.box(1)) // POSITION_DELETES
+      df.put("file_path", da.uri)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(delEntrySchema
+        .getField("data_file").schema().getField("partition").schema()))
+      df.put("record_count", Long.box(da.rows))
+      df.put("file_size_in_bytes", Long.box(da.bytes))
+      e.put("data_file", df)
+      w.append(e)
+      w.close()
+      (p, fs.getFileStatus(p).getLen)
+    }
+
     // ---- the manifest LIST (Avro)
     val listSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
@@ -329,6 +475,24 @@ object IcebergExport {
       r.put("existing_rows_count", Long.box(0L))
       r.put("deleted_rows_count", Long.box(0L))
       w.append(r)
+      delManifest.foreach { case (p, len) =>
+        val d = new GenericData.Record(listSchema)
+        d.put("manifest_path", fs.makeQualified(p).toString)
+        d.put("manifest_length", Long.box(len))
+        d.put("partition_spec_id", Int.box(delSpecId))
+        d.put("content", Int.box(1)) // DELETES manifest
+        d.put("sequence_number", Long.box(seqNum))
+        d.put("min_sequence_number", Long.box(seqNum))
+        d.put("added_snapshot_id", Long.box(snapId))
+        d.put("added_files_count", Int.box(1))
+        d.put("existing_files_count", Int.box(0))
+        d.put("deleted_files_count", Int.box(0))
+        d.put("added_rows_count",
+          Long.box(deleteArtifact.get.rows))
+        d.put("existing_rows_count", Long.box(0L))
+        d.put("deleted_rows_count", Long.box(0L))
+        w.append(d)
+      }
       w.close()
     }
 
@@ -343,7 +507,16 @@ object IcebergExport {
     root.put("current-schema-id", 0)
     root.putArray("schemas").add(schemaNode)
     root.put("default-spec-id", 0)
-    root.putArray("partition-specs").add(specNode)
+    val specsArr = root.putArray("partition-specs")
+    specsArr.add(specNode)
+    // the unpartitioned spec delete files of a partitioned table are
+    // written under (registered only when used)
+    if (delManifest.nonEmpty && delSpecId == 1) {
+      val unpart = m.createObjectNode()
+      unpart.put("spec-id", 1)
+      unpart.putArray("fields")
+      specsArr.add(unpart)
+    }
     root.put("last-partition-id",
       if (fields.isEmpty) 999 else 999 + fields.size)
     root.put("default-sort-order-id", 0)
@@ -362,9 +535,16 @@ object IcebergExport {
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.put("schema-id", 0)
     val sm = sn.putObject("summary")
-    sm.put("operation", "append")
+    // a snapshot carrying delete files alongside its data is an
+    // overwrite in Iceberg's operation taxonomy
+    sm.put("operation",
+      if (deleteArtifact.isEmpty) "append" else "overwrite")
     sm.put("added-data-files", snap.liveFiles.size.toString)
     sm.put("added-records", addedRows.toString)
+    deleteArtifact.foreach { da =>
+      sm.put("added-delete-files", "1")
+      sm.put("added-position-deletes", da.rows.toString)
+    }
     val log = root.putArray("snapshot-log").addObject()
     log.put("timestamp-ms", snap.timestampMs)
     log.put("snapshot-id", snapId)
@@ -411,16 +591,58 @@ object IcebergExport {
         buf.toSeq
       } finally r.close()
     }
-    records(listUri).flatMap { mf =>
-      records(mf.get("manifest_path").toString).map { e =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val pr = df.get("partition").asInstanceOf[GenericRecord]
-        val parts = pr.getSchema.getFields.asScala.map(f =>
-          f.name() -> Option(pr.get(f.name())).map(_.toString).orNull)
-          .toMap
-        (df.get("file_path").toString,
-          df.get("record_count").asInstanceOf[Long], parts)
+    records(listUri)
+      .filter(_.get("content").asInstanceOf[Int] == 0) // data manifests
+      .flatMap { mf =>
+        records(mf.get("manifest_path").toString).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val pr = df.get("partition").asInstanceOf[GenericRecord]
+          val parts = pr.getSchema.getFields.asScala.map(f =>
+            f.name() -> Option(pr.get(f.name())).map(_.toString).orNull)
+            .toMap
+          (df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Long], parts)
+        }
       }
+  }
+
+  /** The position-delete files of an exported MOR snapshot —
+    * metadata.json → manifest list → DELETES manifests (content=1):
+    * `(file_path, record_count)` per delete parquet. Pair with
+    * [[readEntries]] to reconstruct the live row set engine-free. */
+  def readDeleteEntries(metadataJsonPath: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Long)] = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    import org.apache.avro.mapred.FsInput
+    val m = Snapshot.mapper
+    val metaP = new Path(metadataJsonPath)
+    val fs = metaP.getFileSystem(conf)
+    val meta = m.readTree(LakeTable.readString(fs, metaP))
+    val listUri = meta.path("snapshots").elements().asScala.toSeq
+      .find(_.path("snapshot-id").asLong() ==
+        meta.path("current-snapshot-id").asLong())
+      .getOrElse(throw new IllegalStateException("no current snapshot"))
+      .path("manifest-list").asText()
+    def records(uri: String): Seq[GenericRecord] = {
+      val r = DataFileReader.openReader(
+        new FsInput(new Path(uri), conf),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        while (r.hasNext) buf += r.next()
+        buf.toSeq
+      } finally r.close()
     }
+    records(listUri)
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+      .flatMap { mf =>
+        records(mf.get("manifest_path").toString).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          (df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Long])
+        }
+      }
   }
 }

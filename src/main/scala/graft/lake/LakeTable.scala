@@ -4599,13 +4599,14 @@ object LakeTable {
   private val PFILE_COL = "__graft_pos_file"
   private val PIDX_COL = "__graft_pos_idx"
   /** Column names INSIDE a position-delete Parquet file (≡ Iceberg's
-    * position-delete schema `file_path`, `pos`). */
-  private val POS_FILE_FIELD = "file_uri"
-  private val POS_POS_FIELD = "pos"
+    * position-delete schema `file_path`, `pos`). Package-visible so
+    * [[IcebergExport]] can re-encode the artifacts spec-conformantly. */
+  private[lake] val POS_FILE_FIELD = "file_uri"
+  private[lake] val POS_POS_FIELD = "pos"
   // deletion-vector artifact columns: target file (table-relative) and
   // its deleted-ordinal bitset packed 64 ordinals per long
-  private val DV_FILE_FIELD = "file"
-  private val DV_BITS_FIELD = "dv"
+  private[lake] val DV_FILE_FIELD = "file"
+  private[lake] val DV_BITS_FIELD = "dv"
   /** Changelog output columns (≡ Iceberg's `_change_type` etc.). */
   val CHANGE_TYPE_COL = "_change_type"
   val CHANGE_SNAP_COL = "_commit_snapshot_id"

@@ -157,18 +157,145 @@ class IcebergExportSpec extends AnyFunSuite {
       Set(0, 25, 50, 75, 100))
   }
 
-  test("refusals: outstanding deletes; bucket transforms") {
+  test("MOR export: position artifacts + deletion vectors re-encode " +
+      "as one v2 position-delete file; (data − positions) scans back " +
+      "row-identical") {
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("ice-mor2") + "/t",
+      df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(df.repartition(4))
+    (1 to 10).foreach(i => t.delete($"id" === i.toLong))
+    t.consolidateDeleteVectors() // 10 dels now live in a DV bitset
+    t.delete($"id" >= 990L)      // 11 more as loose position files
+    assert(t.currentSnapshot.get.dvFiles.nonEmpty &&
+      t.currentSnapshot.get.posDeleteFiles.nonEmpty)
+    val expect = t.scan().orderBy("id").collect().toSeq
+    assert(expect.size == 979)
+
+    val dest = TestSpark.tmpDir("ice-mor2-out")
+    val metaPath = IcebergExport.export(t, dest)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = Snapshot.mapper.readTree(
+      java.nio.file.Files.readString(localFile(metaPath).toPath))
+    assert(meta.path("snapshots").get(0).path("summary")
+      .path("operation").asText() == "overwrite")
+
+    // manifest list: one DATA + one DELETES manifest
+    val listRecs = avroRecords(meta.path("snapshots").get(0)
+      .path("manifest-list").asText())
+    assert(listRecs.map(_.get("content").asInstanceOf[Int]).sorted ==
+      Seq(0, 1))
+    val delMf = listRecs.find(_.get("content") == Int.box(1)).get
+    assert(delMf.get("added_files_count").asInstanceOf[Int] == 1)
+    assert(delMf.get("added_rows_count").asInstanceOf[Long] == 21L)
+
+    // the DELETES manifest entry: spec-required fields, content=1
+    val delEntries = avroRecords(delMf.get("manifest_path").toString)
+    assert(delEntries.size == 1)
+    val de = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(de.get("content").asInstanceOf[Int] == 1)
+    assert(de.get("file_format").toString == "PARQUET")
+    assert(de.get("record_count").asInstanceOf[Long] == 21L)
+    val delUri = de.get("file_path").toString
+    assert(IcebergExport.readDeleteEntries(metaPath, conf) ==
+      Seq(delUri -> 21L))
+
+    // the delete parquet itself: reserved field-ids in its schema,
+    // rows sorted by (file_path, pos), every file_path
+    // string-identical to a data manifest entry
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delUri), conf))
+    val pqFields =
+      try footer.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> f.getId.intValue()).toMap
+      finally footer.close()
+    assert(pqFields == Map(
+      "file_path" -> 2147483546, "pos" -> 2147483545.toInt))
+    val dels = spark.read.parquet(delUri)
+      .select($"file_path".cast("string"), $"pos").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dels.size == 21)
+    assert(dels == dels.sorted, "delete rows must be sorted")
+    val dataUris = IcebergExport.readEntries(metaPath, conf)
+    assert(dataUris.size == 4) // delete manifest filtered out
+    assert(dels.map(_._1).toSet.subsetOf(dataUris.map(_._1).toSet),
+      "delete file_path values must match data entries exactly")
+
+    // engine-free reconstruction: read the manifest's data files with
+    // plain Spark, anti-join the exported positions — row-identical
+    // to the graft scan (join on the table-relative tail: Spark's
+    // _metadata.file_path and Hadoop's qualified URI may differ in
+    // slash spelling, which is exactly why the manifest-exact match
+    // is asserted separately above)
+    def tail(s: org.apache.spark.sql.Column) =
+      regexp_extract(s, "^(?:.*/)?(data/.+)$", 1)
+    val delDf = spark.read.parquet(delUri)
+      .select(tail($"file_path").as("__f"), $"pos".as("__p"))
+    val rebuilt = spark.read.parquet(dataUris.map(_._1): _*)
+      .select($"id", $"v", tail(col("_metadata.file_path")).as("__f"),
+        col("_metadata.row_index").as("__p"))
+      .join(delDf, Seq("__f", "__p"), "left_anti")
+      .select("id", "v").orderBy("id").collect().toSeq
+    assert(rebuilt == expect)
+  }
+
+  test("MOR export of a PARTITIONED table registers the unpartitioned " +
+      "delete spec and scopes the DELETES manifest to it") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 4}", s"v$i"))
+      .toDF("id", "grp", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("ice-morp") + "/t",
+      df.schema, partitionBy = Seq("grp"),
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(df)
+    t.delete($"id" % 10L === 0L) // 20 deletes spanning partitions
+    val expect = t.scan().orderBy("id").collect().toSeq
+    val metaPath = IcebergExport.export(t,
+      TestSpark.tmpDir("ice-morp-out"))
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = Snapshot.mapper.readTree(
+      java.nio.file.Files.readString(localFile(metaPath).toPath))
+    val specs = meta.path("partition-specs").elements().asScala.toSeq
+    assert(specs.map(_.path("spec-id").asInt()) == Seq(0, 1))
+    assert(specs(1).path("fields").size() == 0)
+    assert(meta.path("default-spec-id").asInt() == 0)
+    val listRecs = avroRecords(meta.path("snapshots").get(0)
+      .path("manifest-list").asText())
+    val delMf = listRecs.find(_.get("content") == Int.box(1)).get
+    assert(delMf.get("partition_spec_id").asInstanceOf[Int] == 1)
+    // reconstruction across hive partition dirs
+    def tail(s: org.apache.spark.sql.Column) =
+      regexp_extract(s, "^(?:.*/)?(data/.+)$", 1)
+    val delUri = IcebergExport.readDeleteEntries(metaPath, conf).head._1
+    val delDf = spark.read.parquet(delUri)
+      .select(tail($"file_path").as("__f"), $"pos".as("__p"))
+    val dataUris = IcebergExport.readEntries(metaPath, conf).map(_._1)
+    val rebuilt = spark.read.parquet(dataUris: _*)
+      .select($"id", $"v",
+        tail(col("_metadata.file_path")).as("__f"),
+        col("_metadata.row_index").as("__p"))
+      .join(delDf, Seq("__f", "__p"), "left_anti")
+      .select("id", "v").orderBy("id").collect().toSeq
+    assert(rebuilt.map(_.getLong(0)) == expect.map(_.getLong(0)))
+    assert(rebuilt.size == 180)
+  }
+
+  test("refusals: outstanding EQUALITY deletes; bucket transforms") {
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
     val mor = LakeTable.create(spark,
       TestSpark.tmpDir("ice-mor") + "/t", df.schema,
       properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
     mor.append(df)
-    mor.delete($"id" === 1L)
+    // keyed CDC delete = an EQUALITY delete artifact — no tested
+    // Iceberg encoding, refused with the conversion hint
+    mor.deleteByKeys(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(mor.currentSnapshot.get.deleteFiles.nonEmpty)
     val e1 = intercept[IllegalArgumentException](
       IcebergExport.export(mor, TestSpark.tmpDir("ice-mor-out")))
-    assert(e1.getMessage.contains("delete-free"))
-    // after compaction the same table exports fine
-    mor.compact(1)
+    assert(e1.getMessage.contains("convertEqualityDeletes"))
+    // converting equality → position deletes makes it exportable
+    mor.convertEqualityDeletes()
     IcebergExport.export(mor, TestSpark.tmpDir("ice-mor-out2"))
 
     val bt = LakeTable.create(spark,
