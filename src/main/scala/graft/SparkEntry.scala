@@ -685,6 +685,30 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_iceberg_bucket" -> ((s, dir) => {
+      // the ICEBERG-spec bucket transform (murmur3_x86_32 seed 0,
+      // IcebergBucketSpec pins the spec's published hash vectors) as a
+      // write transform for handoff tables: keyed COW delete prunes by
+      // set-membership over the iceberg hash domain, the table exports
+      // WITH its bucket[8] spec (native Spark-hash buckets are
+      // refused), and the result reads back FROM THE EXPORTED data
+      // manifest alone — content-equal to the predicate algebra
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-ibucket")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        partitionBy = Seq("bucket_iceberg(8, o_custkey)"))
+      lt.append(orders)
+      lt.deleteByKeys(
+        orders.where(col("o_custkey") % 97 === 0).select("o_custkey"),
+        Seq("o_custkey"))
+      val metaPath = graft.lake.IcebergExport.export(lt, s"$base/ice")
+      val dataUris = graft.lake.IcebergExport.readEntries(metaPath,
+        s.sessionState.newHadoopConf()).map(_._1)
+      s.read.parquet(dataUris: _*)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -2889,6 +2913,14 @@ WHEN NOT MATCHED THEN INSERT *
         |GROUP BY c_custkey, c_name""".stripMargin,
 
     "q_bucket_partition" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_custkey % 97 <> 0""".stripMargin,
+
+    // the iceberg bucket transform is a pure LAYOUT choice — content
+    // equals the same keyed-delete algebra, here read back through the
+    // exported Iceberg data manifest
+    "q_iceberg_bucket" ->
       """SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_custkey % 97 <> 0""".stripMargin,

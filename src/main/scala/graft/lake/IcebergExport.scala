@@ -70,8 +70,9 @@ object IcebergExport {
     val fields = PartitionSpec.parseAll(snap.partitionColumns)
     fields.foreach(f => require(
       !f.transform.isInstanceOf[PartitionSpec.Bucket],
-      s"bucket transform ${f.spec} is not exportable: graft and " +
-        "Iceberg bucket with different hash functions"))
+      s"bucket transform ${f.spec} is not exportable: graft's native " +
+        "bucket uses Spark's murmur3(seed 42), Iceberg its own — " +
+        "partition with bucket_iceberg(N, col) for handoff tables"))
 
     val spark = table.spark
     val fs = new Path(destDir).getFileSystem(
@@ -160,6 +161,9 @@ object IcebergExport {
       case PartitionSpec.Month => "month"
       case PartitionSpec.Year => "year"
       case PartitionSpec.Truncate(w) => s"truncate[$w]"
+      // bucket_iceberg hashes with the Iceberg-spec function, so the
+      // declared transform prunes correctly on the reader's side
+      case PartitionSpec.BucketIceberg(n) => s"bucket[$n]"
       case PartitionSpec.Bucket(n) => s"bucket[$n]" // refused above
     }
     val specNode = m.createObjectNode()

@@ -2235,7 +2235,7 @@ final class LakeTable private (
       val dt = f.statType(types(f.source))
       val expr = f.expr(types(f.source))
       f.transform match {
-        case PartitionSpec.Bucket(_) =>
+        case PartitionSpec.Bucket(_) | PartitionSpec.BucketIceberg(_) =>
           // null source keys never match (plain-equality contract) —
           // exclude them BEFORE deriving (bucket(null) is a real bucket)
           val vals = src.where(col(f.source).isNotNull)
@@ -3302,7 +3302,7 @@ final class LakeTable private (
     // base's own spec, not `partitionFields` — see pruneByPredicate's
     // schema note (the partial-snapshot path must stay current-free)
     val bucketFields = PartitionSpec.parseAll(base.partitionColumns)
-      .filter(f => f.transform.isInstanceOf[PartitionSpec.Bucket])
+      .filter(_.isBucketLike)
     if (bucketFields.isEmpty) return candidates
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -3311,12 +3311,22 @@ final class LakeTable private (
     var files = candidates
     def prune(name: String, lits: Seq[Literal]): Unit =
       bucketFields.find(_.source == name).foreach { f =>
-        val n = f.transform.asInstanceOf[PartitionSpec.Bucket].n
         val vals = lits.filter(_.value != null).map { l =>
-          // Spark's bucket-id function (murmur3 seed 42) — MUST match
-          // PartitionSpec.Field.expr's write-side pmod(hash(col), n)
-          val h = new Murmur3Hash(Seq(l)).eval(null).asInstanceOf[Int]
-          java.lang.Math.floorMod(h, n).toLong
+          f.transform match {
+            case PartitionSpec.Bucket(n) =>
+              // Spark's bucket-id function (murmur3 seed 42) — MUST
+              // match Field.expr's write-side pmod(hash(col), n)
+              val h = new Murmur3Hash(Seq(l)).eval(null).asInstanceOf[Int]
+              java.lang.Math.floorMod(h, n).toLong
+            case PartitionSpec.BucketIceberg(n) =>
+              // the ICEBERG bucket hash — matches Field.expr's
+              // write-side IcebergBucketId (and any external Iceberg
+              // reader pruning the exported spec)
+              IcebergBucketHash
+                .bucketValue(l.value, l.dataType, n).toLong
+            case other => throw new IllegalStateException(
+              s"non-bucket transform $other in bucket pruning")
+          }
         }.toSet
         if (lits.forall(_.value != null)) // null literals match nothing anyway
           files = files.filter { file =>

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   *   - `col`                — identity (hive behavior, value in the dir)
   *   - `bucket(N, col)`     — `pmod(hash(col), N)` (Spark's murmur3
   *                            bucket id); any prunable type
+  *   - `bucket_iceberg(N, col)` — the ICEBERG-spec bucket id
+  *                            ([[IcebergBucketHash]], murmur3_x86_32
+  *                            seed 0 over spec byte forms) — opt-in for
+  *                            tables meant for Iceberg handoff: exports
+  *                            as `bucket[N]` with reader-correct prune
+  *                            semantics, but claims NO Spark BucketSpec
+  *                            (the two hash domains differ)
   *   - `day(col)` / `month(col)` / `year(col)`
   *                          — days/months/years since epoch (date/ts)
   *   - `truncate(W, col)`   — floor-to-width for integrals, prefix for
@@ -39,6 +46,7 @@ object PartitionSpec {
   sealed trait Transform
   case object Identity extends Transform
   final case class Bucket(n: Int) extends Transform
+  final case class BucketIceberg(n: Int) extends Transform
   case object Day extends Transform
   case object Month extends Transform
   case object Year extends Transform
@@ -57,6 +65,7 @@ object PartitionSpec {
     val dirName: String = transform match {
       case Identity => source
       case Bucket(n) => s"${source}_bucket_$n"
+      case BucketIceberg(n) => s"${source}_ibucket_$n"
       case Day => s"${source}_day"
       case Month => s"${source}_month"
       case Year => s"${source}_year"
@@ -74,6 +83,12 @@ object PartitionSpec {
       // the scan claim a real BucketSpec, so joins/aggs on the source
       // column are storage-partitioned: zero shuffle on the table side.
       case Bucket(n) => pmod(hash(col(source)), lit(n)).cast(LongType)
+      // Iceberg-spec bucket id, already in [0, n) — codegen Expression,
+      // map-side like `hash`
+      case BucketIceberg(n) =>
+        org.apache.spark.sql.graft.shim.column(IcebergBucketId(
+          org.apache.spark.sql.graft.shim.expression(col(source)), n))
+          .cast(LongType)
       case Day =>
         datediff(col(source).cast(DateType), to_date(lit("1970-01-01")))
           .cast(LongType)
@@ -100,8 +115,15 @@ object PartitionSpec {
     /** Is the derived value a MONOTONE function of the source? (Range
       * pruning is sound only then; bucket prunes by set-membership.) */
     def monotone: Boolean = transform match {
-      case Bucket(_) => false
+      case Bucket(_) | BucketIceberg(_) => false
       case _ => true
+    }
+
+    /** Is the derived value a bucket id (pruned by set-membership,
+      * never by range)? Covers BOTH hash domains. */
+    def isBucketLike: Boolean = transform match {
+      case Bucket(_) | BucketIceberg(_) => true
+      case _ => false
     }
 
     /** Source types the transform accepts. Bucket excludes FP sources
@@ -113,6 +135,7 @@ object PartitionSpec {
         case FloatType | DoubleType => false
         case other => FileStats.supportsPruning(other)
       }
+      case BucketIceberg(_) => IcebergBucketHash.supports(dt)
       case Day | Month | Year =>
         dt == DateType || dt == TimestampType || dt == TimestampNTZType
       case Truncate(_) => dt match {
@@ -131,6 +154,8 @@ object PartitionSpec {
       val parts = args.split(',').map(_.trim).filter(_.nonEmpty)
       (fn.toLowerCase, parts) match {
         case ("bucket", Array(n, src)) => Field(src, Bucket(n.toInt), spec)
+        case ("bucket_iceberg", Array(n, src)) =>
+          Field(src, BucketIceberg(n.toInt), spec)
         case ("truncate", Array(w, src)) =>
           Field(src, Truncate(w.toLong), spec)
         case ("day", Array(src)) => Field(src, Day, spec)
