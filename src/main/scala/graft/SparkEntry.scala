@@ -2381,6 +2381,64 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("hits") / lit(k * nq), 4).as("recall"))
     }),
 
+    "q_ann_recall_clustered" -> ((s, dir) => {
+      // recall@k in the TYPICAL regime: the fixture embeddings are
+      // uniform-random (LSH/IVF's near-worst case — q_ann_recall's
+      // absolute numbers are floors), so this second recall table runs
+      // on a PLANTED-CLUSTER corpus where bucketing methods earn their
+      // keep, plus an IVF probe-count sweep (2/4/8) — the
+      // probes-vs-recall curve a production deployment tunes against.
+      // The corpus is deterministic and integer-valued (cluster-center
+      // grid × 2 + md5-derived noise in [-7, 7] — moderate overlap, the
+      // realistic regime), so dots and norms are EXACT in both engines
+      // and the DuckDB oracle rebuilds the identical corpus from two
+      // generate_series — no parquet needed. Expected shape at this
+      // separation: lsh ~.54 / multiprobe ~.79 (vs the random fixture's
+      // .20/.24 floor) and ivf .94 → 1.0 saturating at probe 4.
+      import org.apache.spark.sql.functions.{array_sort => asort}
+      val n = 600; val dim = 16; val kC = 8; val k = 5
+      val corpus = s.range(0, n).select(col("id").as("vec_id"),
+          explode(sequence(lit(0), lit(dim - 1))).as("j"))
+        .withColumn("x",
+          (((((col("vec_id") % kC) * 37 + col("j") * 13) % 19) - 9) * 2 +
+            expr("cast(conv(substring(md5(concat(cast(vec_id as " +
+              "string), '_', cast(j as string))), 1, 8), 16, 10) " +
+              "as bigint)") % 15 - 7)
+          .cast("float"))
+        .groupBy("vec_id")
+        .agg(transform(asort(collect_list(struct(col("j"), col("x")))),
+          st => st.getField("x")).as("embedding"))
+      val queries = corpus.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val nq = queries.count()
+      val exact = SimilaritySearch.bruteForceTopK(corpus, queries, k)
+        .select(col("query_id"), col("corpus_id"))
+      def hitsOf(name: String, approx: DataFrame) =
+        approx.select(col("query_id"), col("corpus_id"))
+          .join(exact, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), col("hits"))
+      Seq(
+        hitsOf("bruteforce", exact),
+        hitsOf("lsh",
+          SimilaritySearch.lshTopK(corpus, queries, k, nPlanes = 10)),
+        hitsOf("lsh_multiprobe",
+          SimilaritySearch.lshTopK(corpus, queries, k, nPlanes = 10,
+            probeHamming = 1)),
+        hitsOf("ivf_probe2",
+          SimilaritySearch.ivfTopK(corpus, queries, k, nCentroids = 16,
+            nProbe = 2)),
+        hitsOf("ivf_probe4",
+          SimilaritySearch.ivfTopK(corpus, queries, k, nCentroids = 16,
+            nProbe = 4)),
+        hitsOf("ivf_probe8",
+          SimilaritySearch.ivfTopK(corpus, queries, k, nCentroids = 16,
+            nProbe = 8)))
+        .reduce(_.unionByName(_))
+        .select(col("method"), lit(nq).as("n_queries"), col("hits"),
+          round(col("hits") / lit(k * nq), 4).as("recall"))
+    }),
+
     "q_ann_lsh_multiprobe" -> ((s, dir) => {
       // multi-probe LSH: each query also probes the `planes` buckets at
       // hamming distance 1 — recall recovery for near-boundary vectors
@@ -4934,6 +4992,136 @@ WHEN NOT MATCHED THEN INSERT *
          |  UNION ALL
          |  SELECT 'int8', (SELECT n FROM nq),
          |    (SELECT count(*) FROM m_int8 JOIN exact
+         |       USING (query_id, corpus_id)))""".stripMargin,
+
+    // the planted-cluster corpus rebuilds EXACTLY from two
+    // generate_series (integer grid + md5 noise — dots and norms exact
+    // in both engines); the probe CTE is computed once to depth 8 and
+    // each sweep row filters it
+    "q_ann_recall_clustered" ->
+      s"""WITH corpus AS (
+         |  SELECT i AS vec_id, list(x ORDER BY j) AS embedding FROM (
+         |    SELECT i, j, CAST(
+         |      (((i % 8) * 37 + j * 13) % 19 - 9) * 2
+         |      + (CAST('0x' || substr(md5(i || '_' || j), 1, 8)
+         |           AS BIGINT) % 15 - 7) AS DOUBLE) AS x
+         |    FROM generate_series(0, 599) s(i),
+         |         generate_series(0, 15) t(j))
+         |  GROUP BY i),
+         |nq AS (SELECT count(*) AS n FROM corpus WHERE vec_id % 25 = 0),
+         |exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(c.embedding,
+         |          q.embedding) DESC, c.vec_id ASC) AS rnk
+         |    FROM corpus c CROSS JOIN corpus q WHERE q.vec_id % 25 = 0)
+         |  WHERE rnk <= 5),
+         |planes(pi, pl) AS (VALUES
+         |  ${planesSqlValues(10, 16, 42L)}),
+         |sigs AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(sum(CASE WHEN list_dot_product(e.embedding, p.pl) > 0
+         |      THEN 1 << (p.pi - 1) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM corpus e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding),
+         |m_lsh AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(c.embedding,
+         |          q.embedding) DESC, c.vec_id ASC) AS rnk
+         |    FROM sigs c JOIN sigs q ON c.bucket = q.bucket
+         |    WHERE q.vec_id % 25 = 0)
+         |  WHERE rnk <= 5),
+         |m_mp AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(c.embedding,
+         |          q.qvec) DESC, c.vec_id ASC) AS rnk
+         |    FROM sigs c JOIN (
+         |      SELECT vec_id AS query_id, embedding AS qvec,
+         |        CASE WHEN b = 0 THEN bucket
+         |             ELSE xor(bucket, (1::BIGINT << (b - 1))) END
+         |          AS bucket
+         |      FROM sigs, unnest(generate_series(0, 10)) AS u(b)
+         |      WHERE vec_id % 25 = 0) q ON c.bucket = q.bucket)
+         |  WHERE rnk <= 5),
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+         |         embedding AS cvec
+         |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT corpus_id, corpus_vec, cid FROM (
+         |    SELECT e.vec_id AS corpus_id, e.embedding AS corpus_vec,
+         |      c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding,
+         |          c.cvec) DESC, c.cid ASC) AS rn
+         |    FROM corpus e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, query_vec, cid, rn FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS query_vec,
+         |      c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding,
+         |          c.cvec) DESC, c.cid ASC) AS rn
+         |    FROM corpus q CROSS JOIN cent c WHERE q.vec_id % 25 = 0)
+         |  WHERE rn <= 8),
+         |m_ivf2 AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT p.query_id, a.corpus_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(a.corpus_vec,
+         |          p.query_vec) DESC, a.corpus_id ASC) AS rnk
+         |    FROM assign a JOIN probe p ON a.cid = p.cid
+         |    WHERE p.rn <= 2)
+         |  WHERE rnk <= 5),
+         |m_ivf4 AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT p.query_id, a.corpus_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(a.corpus_vec,
+         |          p.query_vec) DESC, a.corpus_id ASC) AS rnk
+         |    FROM assign a JOIN probe p ON a.cid = p.cid
+         |    WHERE p.rn <= 4)
+         |  WHERE rnk <= 5),
+         |m_ivf8 AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT p.query_id, a.corpus_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(a.corpus_vec,
+         |          p.query_vec) DESC, a.corpus_id ASC) AS rnk
+         |    FROM assign a JOIN probe p ON a.cid = p.cid
+         |    WHERE p.rn <= 8)
+         |  WHERE rnk <= 5)
+         |SELECT method, n_queries, hits,
+         |       round(hits / (5.0 * n_queries), 4) AS recall
+         |FROM (
+         |  SELECT 'bruteforce' AS method,
+         |         (SELECT n FROM nq) AS n_queries,
+         |         (SELECT count(*) FROM exact) AS hits
+         |  UNION ALL
+         |  SELECT 'lsh', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_lsh JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_mp JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'ivf_probe2', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_ivf2 JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'ivf_probe4', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_ivf4 JOIN exact
+         |       USING (query_id, corpus_id))
+         |  UNION ALL
+         |  SELECT 'ivf_probe8', (SELECT n FROM nq),
+         |    (SELECT count(*) FROM m_ivf8 JOIN exact
          |       USING (query_id, corpus_id)))""".stripMargin,
 
     // multi-probe: each query joins its own bucket plus the 10 buckets
