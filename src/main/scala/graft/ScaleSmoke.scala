@@ -68,6 +68,10 @@ object ScaleSmoke {
       fsProbe()
       return
     }
+    if (args.headOption.contains("stream-probe")) {
+      streamProbe(args.lift(1).map(_.toInt).getOrElse(200))
+      return
+    }
     if (args.headOption.contains("dv")) {
       dvSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(200))
@@ -613,6 +617,87 @@ object ScaleSmoke {
     * exactly one, the post-DV plan free of LeftAnti, and the post-DV
     * scan at least as fast (with generous noise headroom — the real
     * claim is the SHAPE; wall clock at fixture scale is job overhead). */
+  /** Streaming micro-batch PLANNING cost at commit depth: a table of
+    * `commits` one-row append snapshots, then (a) per-single-snapshot
+    * incremental-scan planning on a COLD handle — what one graft-lake
+    * micro-batch pays before any row moves — and (b) an end-to-end
+    * Trigger.AvailableNow drain through the real source with a
+    * per-trigger cap, timing per-micro-batch wall. Guards the skeleton
+    * range-planning path (incrementalScan materializes ONE full
+    * snapshot per batch, skeletons for the rest). */
+  private def streamProbe(commits: Int): Unit = {
+    val spark = smokeSession("graft-stream-probe")
+    val work = Files.createTempDirectory("graft-sprobe").toString
+    import graft.lake.LakeTable
+    // one parquet per future commit, ONE Spark job (commit-depth trick)
+    spark.range(commits.toLong).select(col("id"),
+        (col("id") * 3 % 101).cast("double").as("v"),
+        col("id").as("drop"))
+      .coalesce(1).write.partitionBy("drop").parquet(s"$work/drops")
+    val schema = spark.read.parquet(s"$work/drops/drop=0").schema
+    val lt = LakeTable.create(spark, s"$work/t", schema)
+    var t0 = System.nanoTime()
+    (0 until commits).foreach(i => lt.addFiles(s"$work/drops/drop=$i"))
+    println(f"[stream-probe] $commits single-file commits in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val head = lt.currentSnapshotId.get
+
+    // (a) cold-handle batch PLANNING: build the incremental frame and
+    // force the physical plan, no execution — the per-trigger planning
+    // cost a tailing stream pays at depth. Single-snapshot batches AND
+    // a 50-snapshot catch-up range (where the skeleton path earns its
+    // keep: 1 full materialization + N skeletons instead of N fulls).
+    def planProbe(tag: String): Unit = {
+      val cold = LakeTable.load(spark, s"$work/t")
+      val t1 = System.nanoTime()
+      var batches = 0
+      var lo = head - 50
+      while (lo < head) {
+        val df = cold.incrementalScan(lo, lo + 1)
+        df.queryExecution.executedPlan // force planning
+        batches += 1; lo += 1
+      }
+      val perBatch = (System.nanoTime() - t1) / 1e6 / batches
+      println(f"[stream-probe] $tag: $batches single-snapshot batch " +
+        f"plans on a cold handle, $perBatch%.1f ms/batch")
+    }
+    planProbe("plan")
+    planProbe("plan-warm") // second handle: fs cache warm, parse cost only
+    locally { // one 50-snapshot catch-up batch, skeleton range planning
+      val cold = LakeTable.load(spark, s"$work/t")
+      val t1 = System.nanoTime()
+      cold.incrementalScan(head - 50, head).queryExecution.executedPlan
+      println(f"[stream-probe] range-50 plan (skeletons + 1 full): " +
+        f"${(System.nanoTime() - t1) / 1e6}%.1f ms")
+      // the pre-skeleton cost reference: materializing every snapshot
+      // in the range on a cold handle (what the old range plan did)
+      val cold2 = LakeTable.load(spark, s"$work/t")
+      val t2 = System.nanoTime()
+      ((head - 50 + 1) to head).foreach(cold2.snapshot)
+      println(f"[stream-probe] range-50 legacy reference (50 full " +
+        f"materializations): ${(System.nanoTime() - t2) / 1e6}%.1f ms")
+    }
+
+    // (b) end-to-end AvailableNow drain via the real source, capped so
+    // the run is many micro-batches — per-batch fixed cost measured
+    // through the whole engine
+    val cap = 10
+    t0 = System.nanoTime()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxSnapshotsPerTrigger", cap.toString)
+      .load(s"$work/t")
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = math.ceil((head.toDouble) / cap).toInt
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"[stream-probe] AvailableNow drain: ~$nBatches " +
+      f"micro-batches (cap $cap) in $total%.1f s = " +
+      f"${total / nBatches * 1000}%.0f ms/micro-batch; PASS")
+  }
+
   private def dvSmoke(sfDir: String, deletes: Int): Unit = {
     val spark = smokeSession("graft-dv-smoke")
     val work = Files.createTempDirectory("graft-dv").toString

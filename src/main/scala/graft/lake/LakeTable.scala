@@ -91,7 +91,15 @@ final class LakeTable private (
     // re-materializing the per-file maps each time.
     val cached = snapCache.get(id)
     if (cached != null) return cached
-    val s = ManifestIO.snapshotFromJson(readString(fs, p), loadChunk)
+    val json = readString(fs, p)
+    // the doc's OWN inline chunks are in hand — seed the cache so
+    // materializing it doesn't re-read the file per chunk (each seed
+    // still counts as ONE cold chunk load for the pruning metric)
+    ManifestIO.inlineChunksOf(json).foreach { case (n, e) =>
+      if (chunkCache.putIfAbsent(n, e) == null)
+        chunkLoads.incrementAndGet()
+    }
+    val s = ManifestIO.snapshotFromJson(json, loadChunk)
     if (currentSnapshotId.exists(id <= _)) {
       // coarse bound: the access pattern is HEAD plus a few historical
       // reads; wholesale clear keeps the cache O(1)-ish without LRU
@@ -105,6 +113,32 @@ final class LakeTable private (
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
 
+  /** Skeleton load of one snapshot doc — scalars + file DELTA + chunk
+    * names, per-file maps left EMPTY, zero chunk loads (see
+    * [[ManifestIO.listSkeleton]]). What range planning (incremental
+    * scan, stream tailing) needs per snapshot; callers that touch
+    * per-file state must use [[snapshot]]. A cached full snapshot
+    * serves as its own skeleton. */
+  private def snapshotSkeleton(id: Long): Snapshot = {
+    val full = snapCache.get(id)
+    if (full != null) return full
+    val c = skelCache.get(id)
+    if (c != null) return c
+    val p = new Path(metaDir, s"v$id.json")
+    require(fs.exists(p),
+      s"snapshot $id not found in $root (expired or never committed)")
+    val json = readString(fs, p)
+    val s = ManifestIO.listSkeleton(json).getOrElse(Snapshot.fromJson(json))
+    if (currentSnapshotId.exists(id <= _)) {
+      if (skelCache.size >= 256) skelCache.clear()
+      skelCache.put(id, s)
+    }
+    s
+  }
+
+  private val skelCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
+
   /** Manifest chunks are immutable once written (uuid-named, never
     * rewritten in place), so they cache safely across snapshot loads —
     * re-loading a snapshot re-reads only its small list JSON. */
@@ -113,10 +147,23 @@ final class LakeTable private (
   /** Cold chunk reads (cache misses) — observable by specs asserting
     * that summary-pruned scans load strictly fewer chunks. */
   private[lake] val chunkLoads = new java.util.concurrent.atomic.AtomicLong
+  /** Inline delta chunks: `iv<hostVersion>-<k>.json`, embedded in their
+    * host snapshot doc at commit (zero extra creates); a real file of
+    * the same name exists only once expiry PROMOTED the chunk past its
+    * host's death — the file, when present, wins. */
+  private val InlineChunkRe = "^iv(\\d+)-\\d+\\.json$".r
   private def loadChunk(name: String): Seq[ManifestEntry] =
     chunkCache.computeIfAbsent(name, { n =>
       chunkLoads.incrementAndGet()
-      ManifestIO.chunkFromJson(readString(fs, new Path(metaDir, n)))
+      val p = new Path(metaDir, n)
+      n match {
+        case InlineChunkRe(vid) if !fs.exists(p) =>
+          ManifestIO.inlineChunk(
+              readString(fs, new Path(metaDir, s"v$vid.json")), n)
+            .getOrElse(throw new IllegalStateException(
+              s"chunk $n absent from both $metaDir and v$vid.json"))
+        case _ => ManifestIO.chunkFromJson(readString(fs, p))
+      }
     })
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
@@ -264,10 +311,26 @@ final class LakeTable private (
     // driver-side row materialization. At 10⁶ files that is a few
     // thousand chunk files read in parallel, not a 300 MB driver list.
     if (snap.manifests.isEmpty) return filesLegacy(snap)
-    val paths = snap.manifests.map(n => new Path(metaDir, n).toString)
+    // file-backed chunks scan DISTRIBUTED as before; inline chunks
+    // (small by the commit-path bound) parse driver-side from their
+    // host docs and union in through the same JSON reader
+    val (inline, backed) = snap.manifests.partition(n =>
+      InlineChunkRe.matches(n) && !fs.exists(new Path(metaDir, n)))
+    val backedDf =
+      if (backed.isEmpty) None
+      else Some(spark.read.option("multiLine", "true")
+        .schema(CHUNK_READ_SCHEMA)
+        .json(backed.map(n => new Path(metaDir, n).toString): _*))
+    val inlineDf =
+      if (inline.isEmpty) None
+      else {
+        val enc = org.apache.spark.sql.Encoders.STRING
+        Some(spark.read.schema(CHUNK_READ_SCHEMA).json(
+          spark.createDataset(inline.map(n =>
+            ManifestIO.chunkToJson(loadChunk(n))))(enc)))
+      }
     val parts = split(col("e.path"), "/")
-    spark.read.option("multiLine", "true").schema(CHUNK_READ_SCHEMA)
-      .json(paths: _*)
+    (backedDf.toSeq ++ inlineDf.toSeq).reduce(_ unionByName _)
       .select(explode(col("entries")).as("e"))
       .select(
         col("e.path").as("file_path"),
@@ -500,12 +563,18 @@ final class LakeTable private (
       skipNonAppends: Boolean = false): DataFrame = {
     require(endInclusive >= startExclusive,
       s"bad snapshot range ($startExclusive, $endInclusive]")
-    val all = ((startExclusive + 1) to endInclusive).map(snapshot)
+    // SKELETONS for the range (op + file delta, no per-file maps, no
+    // chunk loads): the plan only needs each snapshot's addedFiles;
+    // the one FULL materialization is the range-end context below.
+    // A streaming tail at commit depth otherwise pays O(range × table)
+    // doc+chunk parsing PER MICRO-BATCH for state it never reads.
+    val all = ((startExclusive + 1) to endInclusive).map(snapshotSkeleton)
     // evolve-schema/evolve-spec commits add no data rows — they are
     // transparent to an incremental range (added files still read under
     // the current schema; spec eras are grouped per file)
     def appendShaped(s: Snapshot): Boolean =
       s.operation == "append" || s.operation == "create" ||
+        s.operation == "add-files" || // an import adds, removes nothing
         s.operation == "evolve-schema" || s.operation == "evolve-spec" ||
         s.operation == "set-properties" || s.operation == "unset-properties"
     val snaps =
@@ -529,7 +598,7 @@ final class LakeTable private (
     // streaming-skip-overwrite-snapshots).
     if (snaps.isEmpty) readFilesAs(current, Nil)
     else {
-      val ctx = snaps.last
+      val ctx = snapshot(snaps.last.snapshotId) // the ONE full load
       val added =
         if (!skipNonAppends) snaps.flatMap(_.addedFiles)
         else {
@@ -3717,6 +3786,22 @@ final class LakeTable private (
     // manifest chunks are shared across snapshots by name — reclaim only
     // those no retained snapshot references
     val keptChunks = kept.flatMap(_.manifests).toSet
+    // inline chunks hosted by an EXPIRING doc but referenced by a kept
+    // snapshot must outlive their host: promote each to a real file of
+    // the SAME NAME before any deletion. loadChunk prefers the file, so
+    // a crash between promote and doc-delete just leaves two identical
+    // copies; a re-run skips the already-promoted ones.
+    if (expired.nonEmpty) {
+      val expiredIds = expired.map(_.snapshotId).toSet
+      keptChunks.toSeq.sorted.foreach {
+        case n @ InlineChunkRe(vid) if expiredIds(vid.toLong) =>
+          val p = new Path(metaDir, n)
+          if (!fs.exists(p))
+            writeStringExclusive(fs, p,
+              ManifestIO.chunkToJson(loadChunk(n)))
+        case _ => ()
+      }
+    }
     val doomedChunks = expired.flatMap(_.manifests).distinct
       .filterNot(keptChunks)
     doomedChunks.foreach(chunkCache.remove)
@@ -3959,7 +4044,9 @@ final class LakeTable private (
     if (fs.exists(metaDir)) {
       fs.listStatus(metaDir).foreach { st =>
         val name = st.getPath.getName
-        if (st.isFile && name.startsWith("m-") && name.endsWith(".json") &&
+        if (st.isFile && name.endsWith(".json") &&
+            (name.startsWith("m-") ||
+              InlineChunkRe.matches(name)) && // promoted-then-stranded
             !referencedChunks(name) && st.getModificationTime < cutoff) {
           chunkCache.remove(name)
           removed += s"$METADATA_DIR/$name"
@@ -4356,13 +4443,33 @@ final class LakeTable private (
         ManifestIO.plan(snap0, candidateNames.map(n => n -> loadChunk(n)))
       }
     }
+    // SMALL delta chunks EMBED in the snapshot doc (see
+    // ManifestIO.listToJson's `inline` doc): the doc's exclusive
+    // create carries them atomically — one fewer fsynced create per
+    // commit in the high-frequency small-commit regime, and a lost
+    // race or crash strands no orphan chunk file. LARGE chunks (bulk
+    // appends, LSM fold outputs — the long-lived artifacts) stay real
+    // files so the distributed `.files`/`.partitions` manifest scan
+    // keeps its executor-side property: inline content is bounded by
+    // the fold invariant to the small size classes. Expiry promotes
+    // any still-referenced inline chunk to a real file before its
+    // host doc dies.
+    val inlined = scala.collection.mutable.Map
+      .empty[String, Seq[ManifestEntry]]
     val newChunks = LakeTable.timed("c.chunkwrite")(
-      planned.toWrite.map { entries =>
-        val name = s"m-${UUID.randomUUID()}.json"
-        writeStringExclusive(fs, new Path(metaDir, name),
-          ManifestIO.chunkToJson(entries))
-        chunkCache.put(name, entries)
-        name
+      planned.toWrite.zipWithIndex.map { case (entries, k) =>
+        if (entries.size <= LakeTable.INLINE_CHUNK_MAX_ENTRIES) {
+          val name = s"iv$id-$k.json"
+          inlined(name) = entries
+          chunkCache.put(name, entries)
+          name
+        } else {
+          val name = s"m-${UUID.randomUUID()}.json"
+          writeStringExclusive(fs, new Path(metaDir, name),
+            ManifestIO.chunkToJson(entries))
+          chunkCache.put(name, entries)
+          name
+        }
       })
     // chunk-level summaries for the manifest list: reused chunks carry
     // the parent's summary forward (O(1), no chunk read on the warm
@@ -4378,9 +4485,12 @@ final class LakeTable private (
             n -> ManifestIO.summarize(es, listSchema) }).toMap)
     val snap = snap0.copy(manifests = planned.reused ++ newChunks,
       manifestSummaries = summaries)
+    // a losing racer's inline chunks exist ONLY in our cache — purge
+    // them so a rebase never reads our content under the winner's
+    // same-named chunk; file-backed ones are deleted like before
     def dropNewChunks(): Unit = newChunks.foreach { n =>
       chunkCache.remove(n)
-      fs.delete(new Path(metaDir, n), false)
+      if (n.startsWith("m-")) fs.delete(new Path(metaDir, n), false)
     }
     // crash recovery: a v<id>.json left by a commit that died before its
     // HEAD swap (HEAD still == our base) is an orphan — remove it, or the
@@ -4401,7 +4511,8 @@ final class LakeTable private (
     // every losing racer sees ONE exception type (and [[append]] can
     // retry on it).
     try LakeTable.timed("c.vjson")(
-      writeStringExclusive(fs, metaPath, ManifestIO.listToJson(snap)))
+      writeStringExclusive(fs, metaPath,
+        ManifestIO.listToJson(snap, inlined.toMap)))
     catch {
       case e: java.io.IOException if fs.exists(metaPath) =>
         // lost the exclusive create: the winner's HEAD swap may still
@@ -4528,6 +4639,14 @@ object LakeTable {
   }
 
   val METADATA_DIR = "metadata"
+  /** Largest delta chunk embedded in its snapshot doc instead of a
+    * file of its own (see commit()'s chunk-write step): small enough
+    * that the inline share of the manifest stays in the LSM fold's
+    * small size classes — the distributed `.files` scan keeps reading
+    * the big chunks executor-side — while the dominant high-frequency
+    * commit shapes (single-file appends, MOR delete artifacts,
+    * checkpoint bumps) pay zero chunk creates. */
+  val INLINE_CHUNK_MAX_ENTRIES = 64
   /** Nominal block size for manifest-built [[FileStatus]]es (local
     * split planning uses maxPartitionBytes, not this). */
   private val DefaultBlockSize: Long = 128L * 1024 * 1024

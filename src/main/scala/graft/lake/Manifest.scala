@@ -288,10 +288,25 @@ object ManifestIO {
   /** Manifest-list snapshot JSON (`"manifests"` key marks the format;
     * legacy inline snapshots carry `"live_files"` instead): scalars,
     * the commit's file delta, chunk names, and the delete-file lists —
-    * O(delta) bytes, never O(table). */
-  def listToJson(s: Snapshot): String = {
+    * O(delta) bytes, never O(table).
+    *
+    * `inline` carries this commit's NEW delta chunks embedded in the
+    * snapshot doc itself (named `iv<id>-<k>.json`) — one exclusive
+    * create per commit instead of two, and the chunk rides the commit
+    * point atomically (a lost race strands NOTHING on disk). An inline
+    * chunk referenced past its host's expiry is promoted to a real
+    * file of the same name by [[LakeTable.expireWhere]]. */
+  def listToJson(s: Snapshot,
+      inline: Map[String, Seq[ManifestEntry]] = Map.empty): String = {
     val m = Snapshot.mapper
     val n: ObjectNode = m.createObjectNode()
+    if (inline.nonEmpty) {
+      val io = n.putObject("inline_chunks")
+      inline.toSeq.sortBy(_._1).foreach { case (name, entries) =>
+        io.set[ObjectNode](name, m.readTree(chunkToJson(entries))
+          .asInstanceOf[ObjectNode])
+      }
+    }
     n.put("snapshot_id", s.snapshotId)
     s.parentId.foreach(p => n.put("parent_id", p))
     n.put("timestamp_ms", s.timestampMs)
@@ -348,6 +363,27 @@ object ManifestIO {
       }
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  /** One embedded delta chunk of a snapshot doc (written by
+    * [[listToJson]]'s `inline` map), or None if the doc doesn't carry
+    * that name. */
+  def inlineChunk(listJson: String, name: String)
+      : Option[Seq[ManifestEntry]] = {
+    val n = Snapshot.mapper.readTree(listJson).path("inline_chunks")
+    if (!n.has(name)) None
+    else Some(chunkFromJson(
+      Snapshot.mapper.writeValueAsString(n.get(name))))
+  }
+
+  /** Every embedded delta chunk of a snapshot doc — loading a doc
+    * pre-seeds the chunk cache with these so materializing it never
+    * re-reads its own file. */
+  def inlineChunksOf(listJson: String): Map[String, Seq[ManifestEntry]] = {
+    val n = Snapshot.mapper.readTree(listJson).path("inline_chunks")
+    n.properties().asScala.map(e =>
+      e.getKey -> chunkFromJson(
+        Snapshot.mapper.writeValueAsString(e.getValue))).toMap
   }
 
   /** Parse a snapshot JSON of EITHER format. For the manifest-list

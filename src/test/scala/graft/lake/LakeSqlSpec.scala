@@ -331,7 +331,10 @@ WHEN NOT MATCHED THEN INSERT *
     assert(manifests.nonEmpty)
     assert(manifests.map(_.getLong(1)).sum ==
       lt.currentSnapshot.get.liveFiles.size)
-    assert(manifests.forall(_.getString(0).startsWith("metadata/m-")))
+    // chunk names: file-backed (m-) or inline-in-snapshot-doc (iv)
+    assert(manifests.forall(r =>
+      r.getString(0).startsWith("metadata/m-") ||
+        r.getString(0).startsWith("metadata/iv")))
   }
 
   test("ALTER TABLE text: add/rename/drop columns and set/unset properties") {

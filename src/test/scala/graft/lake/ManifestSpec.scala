@@ -30,6 +30,7 @@ class ManifestSpec extends AnyFunSuite {
     val n = 40
     var perCommitNewBytes = Vector.empty[Long]
     var vJsonSizes = Vector.empty[Long]
+    var vJsonIds = Vector.empty[Long]
     var chunkCounts = Vector.empty[Int]
     var reusedAtLeastOne = 0
     (1 to n).foreach { i =>
@@ -41,17 +42,30 @@ class ManifestSpec extends AnyFunSuite {
       val newFiles = after.view.filterKeys(!before.contains(_)).toMap
       perCommitNewBytes :+= newFiles.values.sum
       vJsonSizes :+= after(s"v$id.json")
+      vJsonIds :+= id
       chunkCounts :+= t.currentSnapshot.get.manifests.size
       if (t.currentSnapshot.get.manifests.exists(prevManifests))
         reusedAtLeastOne += 1
     }
-    // the snapshot JSON never inlines per-file state: it carries the
-    // delta, chunk names, and per-CHUNK summaries, so its size is
-    // O(chunks) — and the fold keeps chunks ~log(table), not O(table).
-    // ~450 B covers one chunk's name + 2-column summary (pretty JSON).
-    vJsonSizes.zip(chunkCounts).foreach { case (bytes, chunks) =>
-      assert(bytes < 1500L + 450L * chunks,
-        s"snapshot JSON not O(chunks): $bytes bytes at $chunks chunks")
+    // the snapshot JSON carries the delta, chunk names, per-CHUNK
+    // summaries, and (since the inline-chunk change) SMALL delta
+    // chunks embedded under `inline_chunks` — so the bound splits:
+    // everything OUTSIDE inline_chunks is O(chunks), and the inline
+    // share is bounded by the same delta+fold-tax bound as the
+    // per-commit new-bytes check below. Never O(table) either way.
+    val fsys = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    vJsonSizes.zip(chunkCounts).zip(vJsonIds).foreach {
+      case ((bytes, chunks), id) =>
+        val doc = Snapshot.mapper.readTree(LakeTable.readString(fsys,
+          new Path(root, s"${LakeTable.METADATA_DIR}/v$id.json")))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        doc.remove("inline_chunks")
+        val nonInline = Snapshot.mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(doc).length
+        assert(nonInline < 1500L + 450L * chunks,
+          s"snapshot JSON (minus inline chunks) not O(chunks): " +
+            s"$nonInline of $bytes bytes at $chunks chunks")
     }
     // per-commit metadata is delta + bounded fold tax — never the table.
     // A full inline manifest at n=40 would be ~40 entries every commit;
@@ -161,8 +175,12 @@ class ManifestSpec extends AnyFunSuite {
     val left = metaFiles(root).keySet
     assert(expiredChunks.forall(!left(_)),
       s"dead chunks survived expiry: ${expiredChunks.intersect(left)}")
-    // every retained chunk still present and the table reads fine
-    assert(t.currentSnapshot.get.manifests.forall(left))
+    // every retained chunk still READABLE: file-backed ones as files,
+    // inline ones from their (retained or promoted) host doc — a cold
+    // handle proves it end-to-end
+    assert(t.currentSnapshot.get.manifests.forall(n =>
+      left(n) || n.startsWith("iv")))
+    assert(LakeTable.load(spark, root).scan().count() == 6)
     assert(t.scan().count() == 6)
   }
 
