@@ -743,6 +743,22 @@ object ScaleSmoke {
     require(!plan.contains("LeftAnti"), "post-DV plan still anti-joins")
     require(tPost <= tPre * 1.5,
       f"DV read slower than the artifact pile: $tPre%.2f -> $tPost%.2f")
+    // gate-threshold evidence: the recorded artifact size, and the
+    // same scan under the FORCED shuffled-join fallback — the cost
+    // delta the broadcast gate trades against driver memory
+    val dvBytes = s.dvFiles.map(_.bytes).sum
+    println(f"[dv] vector artifact: $dvBytes%,d bytes for " +
+      f"${s.liveFiles.size} files / $deletes deleted rows")
+    spark.conf.set("spark.graft.lake.dv-broadcast-max-bytes", "0")
+    try {
+      scanAgg() // warm the fallback plan
+      val (tFb, rowsFb, sumFb) = scanAgg()
+      require(rowsFb == rowsPost && sumFb == sumPost,
+        "fallback join diverged from the broadcast path")
+      println(f"[dv] forced shuffled-join fallback scan: $tFb%.2f s " +
+        f"(broadcast $tPost%.2f s, ${tFb / tPost}%.2fx)")
+    } finally
+      spark.conf.unset("spark.graft.lake.dv-broadcast-max-bytes")
     println("[dv] PASS")
     spark.stop()
   }
