@@ -709,6 +709,52 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_iceberg_export_eq" -> ((s, dir) => {
+      // EQUALITY deletes in the Iceberg handoff, sequence semantics
+      // CONTENT-checked: keyed MOR deletes + a later same-key
+      // re-insert + a second keyed delete export as v2 equality-delete
+      // files whose entry sequences suppress STRICTLY older data rows
+      // only — the re-insert survives the first delete (its data seq
+      // is newer) and falls to the second. Reconstructed FROM THE
+      // EXPORTED ARTIFACTS ALONE: data entries carry their faithful
+      // sequences, each eq parquet anti-joins on (key match AND
+      // data_seq < delete_seq). Hash-equal to the predicate algebra
+      // iff both the key values and the sequences are faithful.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-iceexp-eq")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      lt.append(orders)                                       // seq 2
+      lt.deleteByKeys(orders.where(col("o_orderkey") % 10 === 7)
+        .select("o_orderkey"), Seq("o_orderkey"))             // seq 3
+      lt.append(orders.where(col("o_orderkey") % 20 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)) // seq 4
+      lt.deleteByKeys(orders.where(col("o_orderkey") % 40 === 7)
+        .select("o_orderkey"), Seq("o_orderkey"))             // seq 5
+      val metaPath = graft.lake.IcebergExport.export(lt, s"$base/ice")
+      val conf = s.sessionState.newHadoopConf()
+      def tailOf(c: org.apache.spark.sql.Column) =
+        regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
+      val entries = graft.lake.IcebergExport.readEntries(metaPath, conf)
+      import s.implicits._
+      val seqDf = entries.map(e =>
+          (e._1.replaceFirst("^(?:.*/)?(?=data/)", ""), e._4))
+        .toDF("__f", "__seq")
+      var cur = s.read.parquet(entries.map(_._1): _*)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          tailOf(col("_metadata.file_path")).as("__f"))
+        .join(seqDf, Seq("__f"))
+      graft.lake.IcebergExport.readEqualityDeleteEntries(metaPath, conf)
+        .foreach { case (uri, _, seq, _) =>
+          val keys = s.read.parquet(uri)
+            .select(col("o_orderkey").as("__k"))
+          cur = cur.join(keys, cur("o_orderkey") === col("__k") &&
+            cur("__seq") < lit(seq), "left_anti")
+        }
+      cur.drop("__f", "__seq")
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -2902,6 +2948,20 @@ WHEN NOT MATCHED THEN INSERT *
     "q_iceberg_export" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // equality-delete sequence algebra: the first keyed delete removes
+    // the ORIGINAL %10=7 rows; the doubled re-insert (%20=7) postdates
+    // it and survives; the second delete (%40=7) removes its share of
+    // the re-inserts (originals already gone — idempotent)
+    "q_iceberg_export_eq" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2)
+        |  AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, round(o_totalprice * 2, 2)
+        |  AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 20 = 7 AND o_orderkey % 40 <> 7""".stripMargin,
 
     // the exported position deletes are a pure REPRESENTATION of the
     // two delete predicates — reconstruction from the export must

@@ -43,16 +43,24 @@ import org.apache.spark.sql.types._
   * delete parquet is the one artifact the export WRITES beyond
   * metadata — data files remain a zero-copy absolute-URI handoff.
   *
+  * EQUALITY deletes export as Iceberg v2 equality-delete files: each
+  * graft artifact (already the typed key VALUES) rewrites one-to-one
+  * with the table's field ids in the parquet schema and
+  * `equality_ids` in its manifest entry. Sequence numbers export
+  * FAITHFULLY from graft's per-file commit seqs, because the two
+  * systems share the suppression rule exactly: an equality delete
+  * hides data rows of STRICTLY smaller sequence (graft's era rule),
+  * so a MERGE's same-commit after-image survives in both.
+  *
   * Scope (refused loudly otherwise):
-  *   - outstanding EQUALITY deletes are not exportable (their Iceberg
-  *     encoding needs field-id-addressed equality columns graft does
-  *     not track) — run `convertEqualityDeletes()` or `compact()`
-  *     first;
-  *   - `bucket(N, col)` partitioning is not exportable: graft buckets
-  *     with Spark's murmur3, Iceberg with its own — declaring
-  *     `bucket[N]` would make an Iceberg reader bucket-prune with the
-  *     WRONG hash. Identity / day / month / year / truncate transforms
-  *     agree value-for-value and export as themselves.
+  *   - native `bucket(N, col)` partitioning is not exportable: graft's
+  *     default bucket uses Spark's murmur3(seed 42), Iceberg its own —
+  *     declaring `bucket[N]` would make an Iceberg reader bucket-prune
+  *     with the WRONG hash; partition with `bucket_iceberg(N, col)`
+  *     for handoff tables. Identity / day / month / year / truncate
+  *     transforms agree value-for-value and export as themselves;
+  *   - an equality delete whose key column was dropped from the
+  *     current schema (no field id to declare) — compact first.
   */
 object IcebergExport {
 
@@ -61,12 +69,9 @@ object IcebergExport {
   def export(table: LakeTable, destDir: String): String = {
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException("no committed snapshot to export"))
-    require(snap.deleteFiles.isEmpty,
-      "export needs an equality-delete-free snapshot — run " +
-        "convertEqualityDeletes() or compact() first (equality " +
-        "deletes have no tested Iceberg encoding here)")
     val hasPosDeletes =
       snap.posDeleteFiles.nonEmpty || snap.dvFiles.nonEmpty
+    val hasEqDeletes = snap.deleteFiles.nonEmpty
     val fields = PartitionSpec.parseAll(snap.partitionColumns)
     fields.foreach(f => require(
       !f.transform.isInstanceOf[PartitionSpec.Bucket],
@@ -177,9 +182,16 @@ object IcebergExport {
       fo.put("field-id", 1000 + i)
     }
 
-    // ---- the manifest (Avro): one ADDED entry per live file
-    val seqNum = 1L
+    // ---- the manifest (Avro): one ADDED entry per live file.
+    // Sequence numbers export FAITHFULLY from graft's per-file commit
+    // seqs: equality deletes suppress strictly-smaller data sequences
+    // in BOTH systems (graft's era rule ⟺ Iceberg's data_seq <
+    // delete_seq — same-commit after-images survive), and position
+    // deletes apply at data_seq ≤ delete_seq with paths pinning the
+    // exact targets. A delete-free table still exports all-1s.
     val snapId = snap.snapshotId
+    def seqOf(rel: String): Long =
+      math.max(snap.fileSeq.getOrElse(rel, 0L), 1L)
     def avroPartField(f: PartitionSpec.Field, i: Int): String = {
       val avroT = f.transform match {
         case PartitionSpec.Identity =>
@@ -287,8 +299,8 @@ object IcebergExport {
         val e = new GenericData.Record(entrySchema)
         e.put("status", Int.box(1)) // ADDED
         e.put("snapshot_id", Long.box(snapId))
-        e.put("sequence_number", Long.box(seqNum))
-        e.put("file_sequence_number", Long.box(seqNum))
+        e.put("sequence_number", Long.box(seqOf(rel)))
+        e.put("file_sequence_number", Long.box(seqOf(rel)))
         val df = new GenericData.Record(
           entrySchema.getField("data_file").schema())
         df.put("content", Int.box(0)) // DATA
@@ -314,10 +326,41 @@ object IcebergExport {
     // string-identical to the data manifest's absUri(rel) (same
     // qualified root, same separator), which Iceberg requires for
     // delete application.
-    case class DeleteArtifact(uri: String, rows: Long, bytes: Long)
+    case class DeleteArtifact(uri: String, rows: Long, bytes: Long,
+        seq: Long, equalityIds: Seq[Int] = Nil)
     val rootUri = tableFs.makeQualified(new Path(table.root)).toString
       .stripSuffix("/")
-    val deleteArtifact: Option[DeleteArtifact] =
+    // shared parquet-writing machinery for delete artifacts: field-ids
+    // into the schema (Iceberg readers resolve delete columns BY ID),
+    // one sorted file, renamed under destDir/deletes/
+    def fid(n: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    def writeDeleteParquet(df: org.apache.spark.sql.DataFrame,
+        prefix: String): (String, Long) = {
+      val prevFieldIdConf =
+        spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      val staging = new Path(destDir, s".staging-${UUID.randomUUID()}")
+      try {
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df.write.parquet(staging.toString)
+      } finally prevFieldIdConf match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+      val written = LakeTable.listParquet(fs, staging)
+      require(written.size == 1, s"expected one delete file: $written")
+      val delDir = new Path(destDir, "deletes")
+      fs.mkdirs(delDir)
+      val dest = new Path(delDir, s"$prefix-${UUID.randomUUID()}.parquet")
+      if (!fs.rename(written.head, dest))
+        throw new java.io.IOException(
+          s"rename ${written.head} -> $dest failed")
+      fs.delete(staging, true)
+      (fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen)
+    }
+    val posArtifact: Option[DeleteArtifact] =
       if (!hasPosDeletes) None
       else {
         import org.apache.spark.sql.functions._
@@ -356,88 +399,100 @@ object IcebergExport {
         val pairs = (posPairs.toSeq ++ dvPairs.toSeq)
           .reduce(_ unionByName _)
           .join(broadcast(live), Seq("f"), "left_semi")
-        // Iceberg readers resolve delete-file columns BY FIELD ID —
-        // attach the spec's reserved ids to the parquet schema
-        def fid(n: Long) = new MetadataBuilder()
-          .putLong("parquet.field.id", n).build()
         val sorted = pairs
           .select(concat(lit(rootUri + "/"), col("f"))
               .as("file_path", fid(2147483546L)),
             col("p").as("pos", fid(2147483545L)))
           .repartition(1).sortWithinPartitions("file_path", "pos")
         val nDel = pairs.count()
-        val prevFieldIdConf =
-          spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-        val staging = new Path(destDir, s".staging-${UUID.randomUUID()}")
-        try {
-          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-          sorted.write.parquet(staging.toString)
-        } finally prevFieldIdConf match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-          case None =>
-            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-        }
-        val written = LakeTable.listParquet(fs, staging)
-        require(written.size == 1, s"expected one delete file: $written")
-        val delDir = new Path(destDir, "deletes")
-        fs.mkdirs(delDir)
-        val dest = new Path(delDir, s"pd-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(written.head, dest))
-          throw new java.io.IOException(
-            s"rename ${written.head} -> $dest failed")
-        fs.delete(staging, true)
-        Some(DeleteArtifact(fs.makeQualified(dest).toString, nDel,
-          fs.getFileStatus(dest).getLen))
+        val (uri, bytes) = writeDeleteParquet(sorted, "pd")
+        // positions pin exact paths, so one seq covering every folded
+        // artifact is faithful: files added after the last contributing
+        // delete commit carry LARGER seqs and are untargeted anyway
+        val seq = (snap.posDeleteFiles.map(_.seq) ++
+          snap.dvFiles.map(_.seq)).max
+        Some(DeleteArtifact(uri, nDel, bytes, seq))
       }
+    // equality-delete artifacts re-encode one-to-one (their COMMIT seq
+    // is load-bearing: Iceberg suppresses data rows with STRICTLY
+    // smaller sequence — the exact era rule graft applies, so
+    // same-commit MERGE after-images survive in both systems). The
+    // delete parquet carries the key VALUES under the table's field
+    // ids; `equality_ids` in the manifest names those ids.
+    val eqArtifacts: Seq[DeleteArtifact] = snap.deleteFiles.map { d =>
+      import org.apache.spark.sql.functions.col
+      d.keys.foreach(k => require(topIds.contains(k),
+        s"equality delete on $k, which the current schema lacks — " +
+          "compact() before export"))
+      val src = spark.read.parquet(
+        new Path(table.root, d.path).toString)
+      val renamed = src.select(d.physicalKeys.zip(d.keys).map {
+        case (p, k) => col(p).as(k, fid(topIds(k).toLong))
+      }.toIndexedSeq: _*)
+        .repartition(1).sortWithinPartitions(d.keys.map(col): _*)
+      val nDel = src.count()
+      val (uri, bytes) = writeDeleteParquet(renamed, "eq")
+      DeleteArtifact(uri, nDel, bytes, d.seq,
+        d.keys.map(topIds(_)))
+    }
+    val deleteArtifacts = posArtifact.toSeq ++ eqArtifacts
     // delete files spanning partitions are written under an
     // UNPARTITIONED spec (the spec allows per-manifest spec ids); a
     // table already unpartitioned reuses spec 0
     val delSpecId = if (fields.isEmpty) 0 else 1
-    val delManifest: Option[(Path, Long)] = deleteArtifact.map { da =>
-      val delEntrySchema = new Schema.Parser().parse(
-        s"""{"type":"record","name":"manifest_entry","fields":[
-           |{"name":"status","type":"int","field-id":0},
-           |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-           |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-           |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-           |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-           |{"name":"content","type":"int","field-id":134},
-           |{"name":"file_path","type":"string","field-id":100},
-           |{"name":"file_format","type":"string","field-id":101},
-           |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102d","fields":[]}},
-           |{"name":"record_count","type":"long","field-id":103},
-           |{"name":"file_size_in_bytes","type":"long","field-id":104}
-           |]}}]}""".stripMargin)
-      val p = new Path(metaDir, s"m-${UUID.randomUUID()}.avro")
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](delEntrySchema))
-      w.setMeta("schema", m.writeValueAsString(schemaNode))
-      w.setMeta("partition-spec", "[]")
-      w.setMeta("partition-spec-id", delSpecId.toString)
-      w.setMeta("format-version", "2")
-      w.setMeta("content", "deletes")
-      val out = fs.create(p, true)
-      w.create(delEntrySchema, out)
-      val e = new GenericData.Record(delEntrySchema)
-      e.put("status", Int.box(1)) // ADDED
-      e.put("snapshot_id", Long.box(snapId))
-      e.put("sequence_number", Long.box(seqNum))
-      e.put("file_sequence_number", Long.box(seqNum))
-      val df = new GenericData.Record(
-        delEntrySchema.getField("data_file").schema())
-      df.put("content", Int.box(1)) // POSITION_DELETES
-      df.put("file_path", da.uri)
-      df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(delEntrySchema
-        .getField("data_file").schema().getField("partition").schema()))
-      df.put("record_count", Long.box(da.rows))
-      df.put("file_size_in_bytes", Long.box(da.bytes))
-      e.put("data_file", df)
-      w.append(e)
-      w.close()
-      (p, fs.getFileStatus(p).getLen)
-    }
+    val delManifest: Option[(Path, Long)] =
+      if (deleteArtifacts.isEmpty) None
+      else Some {
+        val delEntrySchema = new Schema.Parser().parse(
+          s"""{"type":"record","name":"manifest_entry","fields":[
+             |{"name":"status","type":"int","field-id":0},
+             |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+             |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+             |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+             |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+             |{"name":"content","type":"int","field-id":134},
+             |{"name":"file_path","type":"string","field-id":100},
+             |{"name":"file_format","type":"string","field-id":101},
+             |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102d","fields":[]}},
+             |{"name":"record_count","type":"long","field-id":103},
+             |{"name":"file_size_in_bytes","type":"long","field-id":104},
+             |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+             |]}}]}""".stripMargin)
+        val p = new Path(metaDir, s"m-${UUID.randomUUID()}.avro")
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](delEntrySchema))
+        w.setMeta("schema", m.writeValueAsString(schemaNode))
+        w.setMeta("partition-spec", "[]")
+        w.setMeta("partition-spec-id", delSpecId.toString)
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        val out = fs.create(p, true)
+        w.create(delEntrySchema, out)
+        deleteArtifacts.foreach { da =>
+          val e = new GenericData.Record(delEntrySchema)
+          e.put("status", Int.box(1)) // ADDED
+          e.put("snapshot_id", Long.box(snapId))
+          e.put("sequence_number", Long.box(da.seq))
+          e.put("file_sequence_number", Long.box(da.seq))
+          val df = new GenericData.Record(
+            delEntrySchema.getField("data_file").schema())
+          // 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+          df.put("content", Int.box(if (da.equalityIds.isEmpty) 1 else 2))
+          df.put("file_path", da.uri)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(delEntrySchema
+            .getField("data_file").schema().getField("partition").schema()))
+          df.put("record_count", Long.box(da.rows))
+          df.put("file_size_in_bytes", Long.box(da.bytes))
+          if (da.equalityIds.nonEmpty)
+            df.put("equality_ids",
+              java.util.Arrays.asList(da.equalityIds.map(Int.box): _*))
+          e.put("data_file", df)
+          w.append(e)
+        }
+        w.close()
+        (p, fs.getFileStatus(p).getLen)
+      }
 
     // ---- the manifest LIST (Avro)
     val listSchema = new Schema.Parser().parse(
@@ -458,6 +513,9 @@ object IcebergExport {
         |]}""".stripMargin)
     val listName = s"snap-$snapId-${UUID.randomUUID()}.avro"
     val listPath = new Path(metaDir, listName)
+    val dataSeqs = snap.liveFiles.map(seqOf)
+    val delSeqs = deleteArtifacts.map(_.seq)
+    val lastSeq = (dataSeqs ++ delSeqs ++ Seq(1L)).max
     locally {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](listSchema))
@@ -469,8 +527,10 @@ object IcebergExport {
       r.put("manifest_length", Long.box(manifestLen))
       r.put("partition_spec_id", Int.box(0))
       r.put("content", Int.box(0)) // data manifest
-      r.put("sequence_number", Long.box(seqNum))
-      r.put("min_sequence_number", Long.box(seqNum))
+      r.put("sequence_number",
+        Long.box(if (dataSeqs.isEmpty) 1L else dataSeqs.max))
+      r.put("min_sequence_number",
+        Long.box(if (dataSeqs.isEmpty) 1L else dataSeqs.min))
       r.put("added_snapshot_id", Long.box(snapId))
       r.put("added_files_count", Int.box(snap.liveFiles.size))
       r.put("existing_files_count", Int.box(0))
@@ -485,14 +545,14 @@ object IcebergExport {
         d.put("manifest_length", Long.box(len))
         d.put("partition_spec_id", Int.box(delSpecId))
         d.put("content", Int.box(1)) // DELETES manifest
-        d.put("sequence_number", Long.box(seqNum))
-        d.put("min_sequence_number", Long.box(seqNum))
+        d.put("sequence_number", Long.box(delSeqs.max))
+        d.put("min_sequence_number", Long.box(delSeqs.min))
         d.put("added_snapshot_id", Long.box(snapId))
-        d.put("added_files_count", Int.box(1))
+        d.put("added_files_count", Int.box(deleteArtifacts.size))
         d.put("existing_files_count", Int.box(0))
         d.put("deleted_files_count", Int.box(0))
         d.put("added_rows_count",
-          Long.box(deleteArtifact.get.rows))
+          Long.box(deleteArtifacts.map(_.rows).sum))
         d.put("existing_rows_count", Long.box(0L))
         d.put("deleted_rows_count", Long.box(0L))
         w.append(d)
@@ -505,7 +565,7 @@ object IcebergExport {
     root.put("format-version", 2)
     root.put("table-uuid", UUID.randomUUID().toString)
     root.put("location", fs.makeQualified(new Path(destDir)).toString)
-    root.put("last-sequence-number", seqNum)
+    root.put("last-sequence-number", lastSeq)
     root.put("last-updated-ms", snap.timestampMs)
     root.put("last-column-id", lastColumnId)
     root.put("current-schema-id", 0)
@@ -534,7 +594,7 @@ object IcebergExport {
     root.put("current-snapshot-id", snapId)
     val sn = root.putArray("snapshots").addObject()
     sn.put("snapshot-id", snapId)
-    sn.put("sequence-number", seqNum)
+    sn.put("sequence-number", lastSeq)
     sn.put("timestamp-ms", snap.timestampMs)
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.put("schema-id", 0)
@@ -542,12 +602,16 @@ object IcebergExport {
     // a snapshot carrying delete files alongside its data is an
     // overwrite in Iceberg's operation taxonomy
     sm.put("operation",
-      if (deleteArtifact.isEmpty) "append" else "overwrite")
+      if (deleteArtifacts.isEmpty) "append" else "overwrite")
     sm.put("added-data-files", snap.liveFiles.size.toString)
     sm.put("added-records", addedRows.toString)
-    deleteArtifact.foreach { da =>
-      sm.put("added-delete-files", "1")
-      sm.put("added-position-deletes", da.rows.toString)
+    if (deleteArtifacts.nonEmpty) {
+      sm.put("added-delete-files", deleteArtifacts.size.toString)
+      posArtifact.foreach(da =>
+        sm.put("added-position-deletes", da.rows.toString))
+      if (eqArtifacts.nonEmpty)
+        sm.put("added-equality-deletes",
+          eqArtifacts.map(_.rows).sum.toString)
     }
     val log = root.putArray("snapshot-log").addObject()
     log.put("timestamp-ms", snap.timestampMs)
@@ -572,7 +636,7 @@ object IcebergExport {
     * q_iceberg_export answers its oracle from. */
   def readEntries(metadataJsonPath: String,
       conf: org.apache.hadoop.conf.Configuration)
-      : Seq[(String, Long, Map[String, String])] = {
+      : Seq[(String, Long, Map[String, String], Long)] = {
     import org.apache.avro.file.DataFileReader
     import org.apache.avro.generic.GenericDatumReader
     import org.apache.avro.mapred.FsInput
@@ -605,13 +669,15 @@ object IcebergExport {
             f.name() -> Option(pr.get(f.name())).map(_.toString).orNull)
             .toMap
           (df.get("file_path").toString,
-            df.get("record_count").asInstanceOf[Long], parts)
+            df.get("record_count").asInstanceOf[Long], parts,
+            e.get("sequence_number").asInstanceOf[Long])
         }
       }
   }
 
-  /** The position-delete files of an exported MOR snapshot —
-    * metadata.json → manifest list → DELETES manifests (content=1):
+  /** The POSITION-delete files of an exported MOR snapshot —
+    * metadata.json → manifest list → DELETES manifests (content=1) →
+    * entries with `data_file.content = 1`:
     * `(file_path, record_count)` per delete parquet. Pair with
     * [[readEntries]] to reconstruct the live row set engine-free. */
   def readDeleteEntries(metadataJsonPath: String,
@@ -642,11 +708,62 @@ object IcebergExport {
     records(listUri)
       .filter(_.get("content").asInstanceOf[Int] == 1)
       .flatMap { mf =>
-        records(mf.get("manifest_path").toString).map { e =>
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          (df.get("file_path").toString,
-            df.get("record_count").asInstanceOf[Long])
-        }
+        records(mf.get("manifest_path").toString)
+          .filter(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("content").asInstanceOf[Int] == 1)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            (df.get("file_path").toString,
+              df.get("record_count").asInstanceOf[Long])
+          }
+      }
+  }
+
+  /** The EQUALITY-delete files of an exported MOR snapshot — entries
+    * with `data_file.content = 2`: `(file_path, record_count,
+    * sequence_number, equality field-ids)` per delete parquet. The
+    * sequence number is load-bearing: rows of data files with STRICTLY
+    * smaller sequence are suppressed when their key values match. */
+  def readEqualityDeleteEntries(metadataJsonPath: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Long, Long, Seq[Int])] = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    import org.apache.avro.mapred.FsInput
+    val m = Snapshot.mapper
+    val metaP = new Path(metadataJsonPath)
+    val fs = metaP.getFileSystem(conf)
+    val meta = m.readTree(LakeTable.readString(fs, metaP))
+    val listUri = meta.path("snapshots").elements().asScala.toSeq
+      .find(_.path("snapshot-id").asLong() ==
+        meta.path("current-snapshot-id").asLong())
+      .getOrElse(throw new IllegalStateException("no current snapshot"))
+      .path("manifest-list").asText()
+    def records(uri: String): Seq[GenericRecord] = {
+      val r = DataFileReader.openReader(
+        new FsInput(new Path(uri), conf),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        while (r.hasNext) buf += r.next()
+        buf.toSeq
+      } finally r.close()
+    }
+    records(listUri)
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+      .flatMap { mf =>
+        records(mf.get("manifest_path").toString)
+          .filter(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("content").asInstanceOf[Int] == 2)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val ids = df.get("equality_ids")
+              .asInstanceOf[java.util.List[Integer]]
+              .asScala.map(_.intValue()).toSeq
+            (df.get("file_path").toString,
+              df.get("record_count").asInstanceOf[Long],
+              e.get("sequence_number").asInstanceOf[Long], ids)
+          }
       }
   }
 }

@@ -281,29 +281,78 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(rebuilt.size == 180)
   }
 
-  test("refusals: outstanding EQUALITY deletes; bucket transforms") {
-    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
-    val mor = LakeTable.create(spark,
-      TestSpark.tmpDir("ice-mor") + "/t", df.schema,
+  test("EQUALITY deletes export with faithful sequences: strictly " +
+      "older matching rows suppressed, same/later re-inserts survive") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir("ice-eq") + "/t", df.schema,
       properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
-    mor.append(df)
-    // keyed CDC delete = an EQUALITY delete artifact — no tested
-    // Iceberg encoding, refused with the conversion hint
-    mor.deleteByKeys(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
-    assert(mor.currentSnapshot.get.deleteFiles.nonEmpty)
-    val e1 = intercept[IllegalArgumentException](
-      IcebergExport.export(mor, TestSpark.tmpDir("ice-mor-out")))
-    assert(e1.getMessage.contains("convertEqualityDeletes"))
-    // converting equality → position deletes makes it exportable
-    mor.convertEqualityDeletes()
-    IcebergExport.export(mor, TestSpark.tmpDir("ice-mor-out2"))
+    t.append(df)                                        // data seq 2
+    t.deleteByKeys((1L to 3L).toDF("id"), Seq("id"))    // eq seq 3
+    t.append(Seq((1L, "new1"), (2L, "new2"))
+      .toDF("id", "v"))                                 // data seq 4
+    t.deleteByKeys(Seq(Tuple1(2L)).toDF("id"), Seq("id")) // eq seq 5
+    t.delete($"id" === 50L)       // position artifact on top (seq 6)
+    val expect = t.scan().orderBy("id", "v").collect().toSeq
+    assert(expect.map(_.getLong(0)).count(_ == 1L) == 1) // re-insert lives
+    assert(!expect.map(_.getLong(0)).contains(2L))       // re-kill holds
+    assert(expect.size == 97)
 
+    val metaPath = IcebergExport.export(t, TestSpark.tmpDir("ice-eq-out"))
+    val conf = spark.sessionState.newHadoopConf()
+    // the DELETES manifest carries BOTH kinds; eq entries declare the
+    // key's field id and their own commit sequence
+    val eqs = IcebergExport.readEqualityDeleteEntries(metaPath, conf)
+    assert(eqs.map(e => (e._2, e._3, e._4)).sortBy(_._2) ==
+      Seq((3L, 3L, Seq(1)), (1L, 5L, Seq(1))))
+    assert(IcebergExport.readDeleteEntries(metaPath, conf).size == 1)
+    // eq parquet: key column under the table's field id
+    val eqFooter = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(eqs.head._1), conf))
+    val eqFields =
+      try eqFooter.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> f.getId.intValue()).toMap
+      finally eqFooter.close()
+    assert(eqFields == Map("id" -> 1))
+
+    // engine-free reconstruction implementing the spec's rules:
+    // position deletes by (path, pos); equality deletes suppress key
+    // matches of STRICTLY smaller data sequence
+    def tail(s: org.apache.spark.sql.Column) =
+      regexp_extract(s, "^(?:.*/)?(data/.+)$", 1)
+    val entries = IcebergExport.readEntries(metaPath, conf)
+    val seqDf = entries.map(e =>
+        (e._1.replaceFirst("^(?:.*/)?(?=data/)", ""), e._4))
+      .toDF("__f", "__seq")
+    var cur = spark.read.parquet(entries.map(_._1): _*)
+      .select($"id", $"v", tail(col("_metadata.file_path")).as("__f"),
+        col("_metadata.row_index").as("__p"))
+      .join(seqDf, Seq("__f"))
+    IcebergExport.readDeleteEntries(metaPath, conf).foreach {
+      case (uri, _) =>
+        val dels = spark.read.parquet(uri)
+          .select(tail($"file_path").as("__f"), $"pos".as("__p"))
+        cur = cur.join(dels, Seq("__f", "__p"), "left_anti")
+    }
+    eqs.foreach { case (uri, _, seq, ids) =>
+      assert(ids == Seq(1))
+      val keys = spark.read.parquet(uri).select($"id".as("__k"))
+      cur = cur.join(keys,
+        cur("id") === col("__k") && cur("__seq") < lit(seq), "left_anti")
+    }
+    assert(cur.select("id", "v").orderBy("id", "v").collect().toSeq ==
+      expect)
+  }
+
+  test("refusal: native Spark-hash bucket transforms stay unexportable") {
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
     val bt = LakeTable.create(spark,
       TestSpark.tmpDir("ice-bucket") + "/t", df.schema,
       partitionBy = Seq("bucket(4, id)"))
     bt.append(df)
     val e2 = intercept[IllegalArgumentException](
       IcebergExport.export(bt, TestSpark.tmpDir("ice-bucket-out")))
-    assert(e2.getMessage.contains("bucket"))
+    assert(e2.getMessage.contains("bucket_iceberg"))
   }
 }
