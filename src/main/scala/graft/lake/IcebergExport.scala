@@ -65,13 +65,19 @@ import org.apache.spark.sql.types._
 object IcebergExport {
 
   /** Export `table`'s current snapshot under `destDir`; returns the
-    * absolute path of the written `v1.metadata.json`. */
-  def export(table: LakeTable, destDir: String): String = {
-    val snap = table.currentSnapshot.getOrElse(
-      throw new IllegalStateException("no committed snapshot to export"))
+    * absolute path of the written `v1.metadata.json`. `atSnapshot`
+    * pins a RETAINED historical snapshot instead (a time-travel
+    * handoff — publish an audited or pre-mutation state): its data
+    * and delete artifacts remain on disk until expiry, so the export
+    * is exactly the point-in-time table an Iceberg reader should
+    * see. */
+  def export(table: LakeTable, destDir: String,
+      atSnapshot: Option[Long] = None): String = {
+    val snap = atSnapshot.map(table.snapshot).getOrElse(
+      table.currentSnapshot.getOrElse(throw new IllegalStateException(
+        "no committed snapshot to export")))
     val hasPosDeletes =
       snap.posDeleteFiles.nonEmpty || snap.dvFiles.nonEmpty
-    val hasEqDeletes = snap.deleteFiles.nonEmpty
     val fields = PartitionSpec.parseAll(snap.partitionColumns)
     fields.foreach(f => require(
       !f.transform.isInstanceOf[PartitionSpec.Bucket],

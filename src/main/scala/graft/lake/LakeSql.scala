@@ -719,8 +719,13 @@ object LakeSql {
         Seq(lt.convertEqualityDeletes()).toDF("snapshot_id")
       case "consolidate_delete_vectors" => // (tbl)
         Seq(lt.consolidateDeleteVectors()).toDF("snapshot_id")
-      case "export_iceberg" => // (tbl, dest_dir) — Iceberg v2 handoff
-        Seq(IcebergExport.export(lt, str(1))).toDF("metadata_path")
+      case "export_iceberg" =>
+        // (tbl, dest_dir[, snapshot_id]) — Iceberg v2 handoff; the
+        // optional third argument pins a retained historical snapshot
+        // (time-travel export)
+        Seq(IcebergExport.export(lt, str(1),
+          if (c.args.size > 2) Some(lng(2)) else None))
+          .toDF("metadata_path")
       case "remove_orphan_files" =>
         val removed = if (c.args.size > 1) lt.removeOrphanFiles(lng(1))
           else lt.removeOrphanFiles()

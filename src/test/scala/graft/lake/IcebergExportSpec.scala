@@ -345,6 +345,41 @@ class IcebergExportSpec extends AnyFunSuite {
       expect)
   }
 
+  test("time-travel export pins a retained historical snapshot: the " +
+      "export sees the pre-mutation state, HEAD is untouched") {
+    val df = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir("ice-tt") + "/t", df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(df)
+    val pinned = t.currentSnapshotId.get // 60 rows, no deletes
+    t.delete($"id" <= 10L)
+    t.append(Seq((61L, "late")).toDF("id", "v"))
+    assert(t.scan().count() == 51)
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = IcebergExport.export(t,
+      TestSpark.tmpDir("ice-tt-out"), atSnapshot = Some(pinned))
+    val entries = IcebergExport.readEntries(metaPath, conf)
+    assert(entries.map(_._2).sum == 60L)
+    assert(IcebergExport.readDeleteEntries(metaPath, conf).isEmpty,
+      "the pinned snapshot predates every delete")
+    val rebuilt = spark.read.parquet(entries.map(_._1): _*)
+    assert(rebuilt.count() == 60)
+    assert(rebuilt.agg(sum($"id")).head().getLong(0) == 1830L)
+    // SQL surface: CALL with the optional snapshot argument
+    val wh = TestSpark.tmpDir("ice-tt-sql")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t2", df.schema)
+    val t2 = cat.loadTable("ns", "t2")
+    t2.append(df)
+    val pin2 = t2.currentSnapshotId.get
+    t2.append(Seq((99L, "x")).toDF("id", "v"))
+    val out = cat.sql("ns", s"CALL system.export_iceberg('t2', " +
+      s"'$wh/ice2', $pin2)").head().getString(0)
+    assert(IcebergExport.readEntries(out, conf).map(_._2).sum == 60L)
+  }
+
   test("refusal: native Spark-hash bucket transforms stay unexportable") {
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
     val bt = LakeTable.create(spark,
