@@ -72,6 +72,11 @@ object ScaleSmoke {
       streamProbe(args.lift(1).map(_.toInt).getOrElse(200))
       return
     }
+    if (args.headOption.contains("export")) {
+      exportSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(500))
+      return
+    }
     if (args.headOption.contains("dv")) {
       dvSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(200))
@@ -696,6 +701,86 @@ object ScaleSmoke {
     println(f"[stream-probe] AvailableNow drain: ~$nBatches " +
       f"micro-batches (cap $cap) in $total%.1f s = " +
       f"${total / nBatches * 1000}%.0f ms/micro-batch; PASS")
+  }
+
+  /** Iceberg-export cost + fidelity at FILE depth: a `files`-file MOR
+    * table with mixed outstanding delete state (equality keys, loose
+    * position files, a consolidated vector), exported and then
+    * reconstructed from the exported artifacts alone — the driver cost
+    * must scale O(files) (one manifest entry each, no data I/O beyond
+    * the delete-artifact rewrites), and the reconstructed row count
+    * must equal the governed scan. */
+  private def exportSmoke(sfDir: String, files: Int): Unit = {
+    val spark = smokeSession("graft-export-smoke")
+    val work = Files.createTempDirectory("graft-exp").toString
+    import graft.lake.{IcebergExport, LakeTable}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    lt.append(orders.repartition(files))
+    lt.deleteByKeys(orders.where(col("o_orderkey") % 101 === 5)
+      .select("o_orderkey"), Seq("o_orderkey"))
+    (1 to 20).foreach(i =>
+      lt.delete(col("o_orderkey") === (i * 31 + 2).toLong))
+    lt.consolidateDeleteVectors()
+    (1 to 5).foreach(i =>
+      lt.delete(col("o_orderkey") === (i * 97 + 4).toLong))
+    val s = lt.currentSnapshot.get
+    println(s"[export] ${s.liveFiles.size} data files, " +
+      s"${s.deleteFiles.size} eq + ${s.posDeleteFiles.size} pos + " +
+      s"${s.dvFiles.size} dv artifacts outstanding")
+    val expect = lt.scan().count()
+    var t0 = System.nanoTime()
+    val metaPath = IcebergExport.export(lt, s"$work/ice")
+    val tExp = (System.nanoTime() - t0) / 1e9
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    println(f"[export] export of ${s.liveFiles.size} files in " +
+      f"$tExp%.1f s (${tExp * 1000 / s.liveFiles.size}%.2f ms/file); " +
+      f"export dir ${dirBytes(s"$work/ice") / 1024}%,d KiB " +
+      "(metadata + rewritten delete artifacts only)")
+    // reconstruct from the exported artifacts alone
+    t0 = System.nanoTime()
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = IcebergExport.readEntries(metaPath, conf)
+    require(entries.size == s.liveFiles.size, "entry per live file")
+    def tailOf(c: org.apache.spark.sql.Column) =
+      regexp_extract(c, "^(?:.*/)?(data/.+)$", 1)
+    import spark.implicits._
+    val seqDf = entries.map(e =>
+        (e._1.replaceFirst("^(?:.*/)?(?=data/)", ""), e._4))
+      .toDF("__f", "__seq")
+    var cur = spark.read.parquet(entries.map(_._1): _*)
+      .select(col("o_orderkey"),
+        tailOf(col("_metadata.file_path")).as("__f"),
+        col("_metadata.row_index").as("__p"))
+      .join(seqDf, Seq("__f"))
+    IcebergExport.readDeleteEntries(metaPath, conf).foreach {
+      case (uri, _) =>
+        val dels = spark.read.parquet(uri)
+          .select(tailOf(col("file_path")).as("__f"),
+            col("pos").as("__p"))
+        cur = cur.join(dels, Seq("__f", "__p"), "left_anti")
+    }
+    IcebergExport.readEqualityDeleteEntries(metaPath, conf).foreach {
+      case (uri, _, seq, _) =>
+        val keys = spark.read.parquet(uri)
+          .select(col("o_orderkey").as("__k"))
+        cur = cur.join(keys, cur("o_orderkey") === col("__k") &&
+          cur("__seq") < lit(seq), "left_anti")
+    }
+    val got = cur.count()
+    println(f"[export] reconstruction from exported artifacts in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s: $got rows " +
+      f"(governed scan $expect)")
+    require(got == expect, s"reconstruction diverged: $got vs $expect")
+    println("[export] PASS")
+    spark.stop()
   }
 
   private def dvSmoke(sfDir: String, deletes: Int): Unit = {
