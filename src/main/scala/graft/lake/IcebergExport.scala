@@ -397,7 +397,11 @@ object IcebergExport {
               .as("p")))
         // only deletes against LIVE files travel — an entry for a file
         // a later rewrite removed would reference a path absent from
-        // the data manifest
+        // the data manifest. Broadcast bound: one ~100-byte relative
+        // path per live file, so even a 10⁶-file table broadcasts
+        // ~100 MB — two orders of magnitude under Spark's ceiling, and
+        // the list already sits materialized on the driver (it IS the
+        // manifest the export iterates).
         val live = spark.createDataFrame(
           spark.sparkContext.parallelize(
             snap.liveFiles.map(org.apache.spark.sql.Row(_)), 1),
