@@ -755,6 +755,40 @@ WHEN NOT MATCHED THEN INSERT *
       cur.drop("__f", "__seq")
     }),
 
+    "q_iceberg_roundtrip" -> ((s, dir) => {
+      // BOTH halves of the Iceberg handoff under one oracle: an
+      // identity-partitioned MOR table with the full delete ladder
+      // (predicate position deletes → a consolidated deletion vector →
+      // a keyed equality delete → a newer-sequence re-insert) exports
+      // to spec v2 metadata, then scans back through IcebergImport —
+      // the INDEPENDENT general reader (metadata.json → schema →
+      // manifests → MOR application), not the export's own re-read
+      // helpers. The identity partition column is load-bearing: it
+      // exists only in manifest partition values, never in the data
+      // parquet, so a hash match proves metadata-carried identity
+      // values, position re-encoding, AND equality sequence semantics
+      // all survived the round trip.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-iceround")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        partitionBy = Seq("o_orderstatus"),
+        properties = Map(
+          LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+          LakeTable.PROP_UPDATE_MODE -> "merge-on-read"))
+      lt.append(orders)                                      // seq 2
+      lt.delete(col("o_orderkey") % 10 === 3)                // positions
+      lt.consolidateDeleteVectors()
+      lt.deleteByKeys(orders.where(col("o_custkey") % 13 === 2)
+        .select("o_custkey"), Seq("o_custkey"))              // equality
+      lt.append(orders.where(col("o_custkey") % 26 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      val metaPath = graft.lake.IcebergExport.export(lt, s"$base/ice")
+      graft.lake.IcebergImport.scan(s, metaPath)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -2971,6 +3005,22 @@ WHEN NOT MATCHED THEN INSERT *
         |  AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 10 <> 3 AND o_custkey % 7 <> 1""".stripMargin,
+
+    // export → general-reader import is semantics-preserving: survivors
+    // are the predicate algebra of the position + equality deletes, the
+    // re-insert postdates the equality delete and survives with its
+    // tripled price (the ENTIRE original %26=2 slice re-enters — its
+    // earlier survivors were just eq-deleted, its %10=3 rows were only
+    // position-deleted in their ORIGINAL files)
+    "q_iceberg_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_custkey % 13 <> 2
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice * 3, 2) AS o_totalprice
+        |FROM orders WHERE o_custkey % 26 = 2""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -235,6 +235,18 @@ object IcebergExport {
       s"""{"type":"record","name":"r102","fields":[${
         fields.zipWithIndex.map { case (f, i) => avroPartField(f, i) }
           .mkString(",")}]}"""
+    // per-file column statistics ride the spec's optional k_v-record
+    // "map" fields (Avro maps need string keys, so Iceberg models
+    // int-keyed maps as arrays of key/value records): value_counts /
+    // null_value_counts from graft's row + __nulls__ manifests,
+    // lower/upper_bounds as the spec's single-value binary
+    // serialization of graft's per-file min/max — what lets a real
+    // Iceberg reader min/max-prune the handoff exactly like graft does
+    def kvMap(name: String, kId: Int, vId: Int, vType: String): String =
+      s"""{"type":"array","items":{"type":"record","name":"$name",""" +
+        s""""fields":[{"name":"key","type":"int","field-id":$kId},""" +
+        s"""{"name":"value","type":"$vType","field-id":$vId}]},""" +
+        s""""logicalType":"map"}"""
     val entrySchema = new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -247,7 +259,11 @@ object IcebergExport {
          |{"name":"file_format","type":"string","field-id":101},
          |{"name":"partition","field-id":102,"type":$partRecord},
          |{"name":"record_count","type":"long","field-id":103},
-         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"value_counts","type":["null",${kvMap("k119_v120", 119, 120, "long")}],"default":null,"field-id":109},
+         |{"name":"null_value_counts","type":["null",${kvMap("k121_v122", 121, 122, "long")}],"default":null,"field-id":110},
+         |{"name":"lower_bounds","type":["null",${kvMap("k126_v127", 126, 127, "bytes")}],"default":null,"field-id":125},
+         |{"name":"upper_bounds","type":["null",${kvMap("k129_v130", 129, 130, "bytes")}],"default":null,"field-id":128}
          |]}}]}""".stripMargin)
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
@@ -281,6 +297,45 @@ object IcebergExport {
         }
         case _ => java.lang.Integer.valueOf(raw)
       }
+    }
+
+    // graft stat-domain string → the spec's single-value binary form
+    // for the SOURCE type (little-endian per the spec; strings UTF-8).
+    // None = no tested encoding → the column's bound is simply omitted
+    // (bounds are optional per column; readers keep the file).
+    def boundBytes(dt: DataType, v: String)
+        : Option[java.nio.ByteBuffer] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      dt match {
+        case IntegerType | ShortType | ByteType | DateType =>
+          Some(le(4).putInt(v.toLong.toInt).flip().asInstanceOf[ByteBuffer])
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(le(8).putLong(v.toLong).flip().asInstanceOf[ByteBuffer])
+        case BooleanType =>
+          Some(ByteBuffer.wrap(Array((if (v.toLong == 0L) 0 else 1).toByte)))
+        case FloatType =>
+          Some(le(4).putFloat(v.toDouble.toFloat).flip()
+            .asInstanceOf[ByteBuffer])
+        case DoubleType =>
+          Some(le(8).putDouble(v.toDouble).flip().asInstanceOf[ByteBuffer])
+        case StringType => Some(ByteBuffer.wrap(
+          v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        case _ => None
+      }
+    }
+    def kvRecords(schemaField: Schema,
+        entries: Seq[(Int, AnyRef)]): java.util.List[GenericRecord] = {
+      // unwrap ["null", array] union → the array's element record type
+      val arr = schemaField.getTypes.asScala
+        .find(_.getType == Schema.Type.ARRAY).get
+      val elem = arr.getElementType
+      entries.sortBy(_._1).map { case (k, v) =>
+        val r = new GenericData.Record(elem)
+        r.put("key", Int.box(k))
+        r.put("value", v)
+        r: GenericRecord
+      }.asJava
     }
 
     val manifestName = s"m-${UUID.randomUUID()}.avro"
@@ -317,6 +372,37 @@ object IcebergExport {
         df.put("partition", pr)
         df.put("record_count", Long.box(info.rows))
         df.put("file_size_in_bytes", Long.box(info.bytes))
+        val stats = snap.fileStats.getOrElse(rel, Map.empty)
+        if (stats.nonEmpty) {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val lower = Seq.newBuilder[(Int, AnyRef)]
+          val upper = Seq.newBuilder[(Int, AnyRef)]
+          val nulls = Seq.newBuilder[(Int, AnyRef)]
+          val counts = Seq.newBuilder[(Int, AnyRef)]
+          sch.fields.foreach { f =>
+            topIds.get(f.name).foreach { fid =>
+              stats.get(f.name).foreach { st =>
+                for (lo <- boundBytes(f.dataType, st.min);
+                     hi <- boundBytes(f.dataType, st.max)) {
+                  lower += fid -> lo; upper += fid -> hi
+                  // a column with attained bounds was fully profiled:
+                  // its value count is the file's row count
+                  counts += fid -> Long.box(info.rows)
+                }
+              }
+              stats.get(FileStats.nullsKey(f.name)).foreach { st =>
+                nulls += fid -> Long.box(st.min.toLong)
+              }
+            }
+          }
+          def putMap(field: String, b: Seq[(Int, AnyRef)]): Unit =
+            if (b.nonEmpty) df.put(field,
+              kvRecords(dfSchema.getField(field).schema(), b))
+          putMap("lower_bounds", lower.result())
+          putMap("upper_bounds", upper.result())
+          putMap("null_value_counts", nulls.result())
+          putMap("value_counts", counts.result())
+        }
         e.put("data_file", df)
         w.append(e)
         addedRows += info.rows

@@ -675,6 +675,23 @@ object LakeSql {
         val ids = cat.recoverTransactions(ns)
         cat.registerViews(ns)
         return ids.toDF("transaction_id")
+      case "import_iceberg" =>
+        // (metadata_json_path, table_name) — materialize an Iceberg v2
+        // table (any writer's HadoopTables layout) as a NEW governed
+        // table in the current namespace: IcebergImport.scan applies
+        // the spec's full MOR semantics (position + sequence-aware
+        // equality deletes, metadata-carried identity partitions), and
+        // the copy lands as a clean baseline with no carried artifacts
+        val tbl = str(1)
+        require(!cat.tableExists(ns, tbl),
+          s"table $ns.$tbl already exists")
+        val back = IcebergImport.scan(spark, str(0))
+        val imported = cat.createTable(ns, tbl, back.schema)
+        imported.append(back)
+        cat.registerViews(ns)
+        return Seq((tbl, imported.currentSnapshotId.getOrElse(0L),
+          imported.countRows()))
+          .toDF("table", "snapshot_id", "row_count")
       case _ => ()
     }
     val lt = cat.loadTable(ns, str(0))
@@ -769,7 +786,7 @@ object LakeSql {
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
           "add_files, maintain, verify_table, recover_transactions, " +
-          "refresh_mv, mv_staleness")
+          "refresh_mv, mv_staleness, import_iceberg")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the

@@ -380,6 +380,59 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IcebergExport.readEntries(out, conf).map(_._2).sum == 60L)
   }
 
+  test("per-file column statistics export as the spec's single-value " +
+      "binary forms under the spec's k_v map field-ids") {
+    val df = Seq((5L, "bb", 2.5, null.asInstanceOf[String]),
+      (100L, "aa", -1.5, "x"))
+      .toDF("id", "v", "x", "maybe")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("ice-stats") + "/t",
+      df.schema)
+    t.append(df.repartition(1))
+    val metaPath = IcebergExport.export(t,
+      TestSpark.tmpDir("ice-stats-out"))
+    val meta = Snapshot.mapper.readTree(
+      java.nio.file.Files.readString(localFile(metaPath).toPath))
+    val listUri = meta.path("snapshots").get(0)
+      .path("manifest-list").asText()
+    val manifestUri = avroRecords(listUri).head
+      .get("manifest_path").toString
+    val entry = avroRecords(manifestUri).head
+    val dfRec = entry.get("data_file").asInstanceOf[GenericRecord]
+    // field ids assigned in schema order: id=1 v=2 x=3 maybe=4
+    def kv(field: String): Map[Int, Any] =
+      dfRec.get(field).asInstanceOf[java.util.List[_]].asScala.map { r =>
+        val rec = r.asInstanceOf[GenericRecord]
+        rec.get("key").asInstanceOf[Int] -> rec.get("value")
+      }.toMap
+    def bytesOf(v: Any): Array[Byte] = {
+      val b = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val a = new Array[Byte](b.remaining()); b.get(a); a
+    }
+    val lower = kv("lower_bounds"); val upper = kv("upper_bounds")
+    // long 5 / 100, little-endian 8 bytes
+    assert(bytesOf(lower(1)).toSeq ==
+      Seq[Byte](5, 0, 0, 0, 0, 0, 0, 0))
+    assert(bytesOf(upper(1)).toSeq ==
+      Seq[Byte](100, 0, 0, 0, 0, 0, 0, 0))
+    // string bounds: raw UTF-8
+    assert(new String(bytesOf(lower(2)), "UTF-8") == "aa")
+    assert(new String(bytesOf(upper(2)), "UTF-8") == "bb")
+    // double −1.5 / 2.5, IEEE-754 little-endian
+    assert(java.nio.ByteBuffer.wrap(bytesOf(lower(3)))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble == -1.5)
+    assert(java.nio.ByteBuffer.wrap(bytesOf(upper(3)))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble == 2.5)
+    // null count for the nullable column; value_counts = record_count
+    assert(kv("null_value_counts")(4) == 1L)
+    assert(kv("value_counts")(1) == 2L)
+    // the avro schema carries the spec's map-entry field ids
+    val loField = dfRec.getSchema.getField("lower_bounds").schema()
+      .getTypes.asScala.find(_.getType ==
+        org.apache.avro.Schema.Type.ARRAY).get.getElementType
+    assert(loField.getField("key").getObjectProp("field-id") == 126)
+    assert(loField.getField("value").getObjectProp("field-id") == 127)
+  }
+
   test("refusal: native Spark-hash bucket transforms stay unexportable") {
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
     val bt = LakeTable.create(spark,

@@ -1,0 +1,152 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The read half of the Iceberg handoff: [[IcebergImport.scan]] is an
+  * INDEPENDENT general-purpose v2 reader (metadata.json → schema →
+  * manifests → MOR-applied DataFrame), so export → import must land
+  * row-identical to the governed graft scan through code that shares
+  * nothing with the export's own verification helpers. */
+class IcebergImportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("flat round-trip: exported table scans back row- and " +
+      "schema-identical through the general reader") {
+    val df = (1L to 400L).map(i => (i, s"v$i", i * 1.5))
+      .toDF("id", "v", "x")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-flat") + "/t",
+      df.schema)
+    t.append(df.repartition(3))
+    val meta = IcebergExport.export(t, TestSpark.tmpDir("iceimp-flat-out"))
+    val back = IcebergImport.scan(spark, meta)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      t.scan().schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(rowsOf(back) == rowsOf(t.scan()))
+  }
+
+  test("identity partition columns come back from MANIFEST metadata " +
+      "(the data files do not store them)") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+      (4L, null.asInstanceOf[String], 40.0))
+      .toDF("id", "grp", "x")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-part") + "/t",
+      df.schema, partitionBy = Seq("grp"))
+    t.append(df)
+    // precondition: the physical parquet really lacks the column
+    val oneFile = new org.apache.hadoop.fs.Path(t.root,
+      t.currentSnapshot.get.liveFiles.head).toString
+    assert(!spark.read.parquet(oneFile).columns.contains("grp"))
+    val meta = IcebergExport.export(t, TestSpark.tmpDir("iceimp-part-out"))
+    val back = IcebergImport.scan(spark, meta)
+    assert(rowsOf(back) == rowsOf(t.scan()))
+    assert(back.where($"grp" === "a").count() == 2)
+    assert(back.where($"grp".isNull).count() == 1)
+  }
+
+  test("MOR round-trip: position deletes, a consolidated deletion " +
+      "vector, and sequence-aware equality deletes all apply") {
+    val df = (1L to 600L).map(i => (i, i % 7, s"p$i")).toDF("k", "g", "p")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-mor") + "/t",
+      df.schema, properties = Map(
+        LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+        LakeTable.PROP_UPDATE_MODE -> "merge-on-read"))
+    t.append(df)                                            // seq 2
+    t.delete($"k" % 10 === 3)                               // pos, seq 3
+    t.consolidateDeleteVectors()                            // DV
+    t.delete($"g" === 5)                                    // pos, seq 5
+    t.deleteByKeys(df.where($"k" % 9 === 1).select("k"), Seq("k")) // eq
+    // re-insert some deleted keys: their NEWER data seq must survive
+    // the older equality delete in both systems
+    t.append(df.where($"k" % 18 === 1)
+      .withColumn("p", concat(lit("re-"), $"p")))
+    val meta = IcebergExport.export(t, TestSpark.tmpDir("iceimp-mor-out"))
+    val back = IcebergImport.scan(spark, meta)
+    assert(rowsOf(back) == rowsOf(t.scan()))
+    assert(back.where($"p".startsWith("re-")).count() ==
+      df.where($"k" % 18 === 1).count())
+  }
+
+  test("snapshot-pinned export scans back as the historical state") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-tt") + "/t",
+      df.schema)
+    val s1 = t.append(df.where($"id" <= 50))
+    t.append(df.where($"id" > 50))
+    val meta = IcebergExport.export(t,
+      TestSpark.tmpDir("iceimp-tt-out"), atSnapshot = Some(s1))
+    val back = IcebergImport.scan(spark, meta)
+    assert(rowsOf(back) == rowsOf(t.scanAt(s1)))
+    assert(back.count() == 50)
+  }
+
+  test("array columns survive the type round-trip") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("id", "emb")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-arr") + "/t",
+      df.schema)
+    t.append(df)
+    val meta = IcebergExport.export(t, TestSpark.tmpDir("iceimp-arr-out"))
+    val back = IcebergImport.scan(spark, meta)
+    assert(back.schema("emb").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    assert(rowsOf(back) == rowsOf(t.scan()))
+  }
+
+  test("exported manifest bounds prune imported files: scanWhere plans " +
+      "only the files whose bounds admit the predicate") {
+    val df = (1L to 1000L).map(i => (i, s"v$i", (i % 10).toDouble))
+      .toDF("id", "v", "x")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-prune") + "/t",
+      df.schema)
+    // four files with disjoint id ranges → bounds separate them exactly
+    (0L until 4L).foreach(b => t.append(
+      df.where($"id" > b * 250 && $"id" <= (b + 1) * 250).repartition(1)))
+    val meta = IcebergExport.export(t, TestSpark.tmpDir("iceimp-prune-out"))
+    val conf = spark.sessionState.newHadoopConf()
+    val tm = IcebergImport.load(meta, conf)
+    assert(tm.dataEntries.size == 4)
+    // every entry decoded bounds for id (long), v (string), x (double)
+    tm.dataEntries.foreach { e =>
+      assert(Set("id", "v", "x").subsetOf(e.stats.keySet), e.stats.keySet)
+    }
+    val pruned = IcebergImport.pruneEntries(spark, tm,
+      $"id" >= 600L && $"id" <= 700L)
+    assert(pruned.size == 1, pruned.map(_.stats.get("id")))
+    val got = IcebergImport.scanWhere(spark, meta,
+      $"id" >= 600L && $"id" <= 700L)
+    assert(rowsOf(got) ==
+      rowsOf(t.scan().where($"id" >= 600L && $"id" <= 700L)))
+    // an unprunable predicate keeps everything and stays correct
+    assert(IcebergImport.scanWhere(spark, meta,
+      length($"v") === 3).count() ==
+      t.scan().where(length($"v") === 3).count())
+  }
+
+  test("importTable materializes a governed copy that keeps evolving") {
+    val df = (1L to 200L).map(i => (i, s"v$i", i % 3)).toDF("k", "v", "g")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-mat") + "/t",
+      df.schema, properties = Map(
+        LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(df)
+    t.delete($"k" % 5 === 0)
+    val meta = IcebergExport.export(t, TestSpark.tmpDir("iceimp-mat-out"))
+    val imported = IcebergImport.importTable(spark, meta,
+      TestSpark.tmpDir("iceimp-mat-dst") + "/t")
+    assert(rowsOf(imported.scan()) == rowsOf(t.scan()))
+    // the copy is a first-class table: no delete artifacts carried,
+    // and row-level ops work on it immediately
+    assert(imported.currentSnapshot.get.posDeleteFiles.isEmpty &&
+      imported.currentSnapshot.get.deleteFiles.isEmpty)
+    imported.delete($"g" === 1)
+    assert(imported.scan().where($"g" === 1).count() == 0)
+  }
+}

@@ -880,4 +880,34 @@ WHEN NOT MATCHED THEN INSERT *
         "sum(v) AS total FROM esrc GROUP BY grp"))
     assert(!cat.tableExists("ns", "emv"))
   }
+
+  test("CALL system.import_iceberg materializes an exported MOR table " +
+      "as a governed copy, queryable in the same statement stream") {
+    val cat = freshCat
+    cat.createNamespace("ns")
+    val df = (1L to 300L).map(i => (i, s"v$i", i % 4)).toDF("k", "v", "g")
+    cat.createTable("ns", "src", df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    val src = cat.loadTable("ns", "src")
+    src.append(df)
+    src.delete($"k" % 6 === 0)
+    val dest = TestSpark.tmpDir("lakesql-ice")
+    val metaPath = cat.sql("ns",
+      s"CALL system.export_iceberg('src', '$dest')")
+      .collect().head.getString(0)
+    val res = cat.sql("ns",
+      s"CALL system.import_iceberg('$metaPath', 'src_copy')")
+      .collect().head
+    assert(res.getString(0) == "src_copy")
+    assert(res.getLong(2) == 250L)
+    // the copy answers SQL like any catalog table, row-equal to source
+    val back = cat.sql("ns",
+      "SELECT g, count(*) AS n FROM src_copy GROUP BY g ORDER BY g")
+    val direct = cat.sql("ns",
+      "SELECT g, count(*) AS n FROM src GROUP BY g ORDER BY g")
+    assert(back.collect().toSeq == direct.collect().toSeq)
+    // name collision is refused before any work
+    intercept[IllegalArgumentException](cat.sql("ns",
+      s"CALL system.import_iceberg('$metaPath', 'src_copy')"))
+  }
 }
