@@ -77,6 +77,11 @@ object ScaleSmoke {
         args.lift(2).map(_.toInt).getOrElse(500))
       return
     }
+    if (args.headOption.contains("import")) {
+      importSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(500))
+      return
+    }
     if (args.headOption.contains("dv")) {
       dvSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(200))
@@ -780,6 +785,67 @@ object ScaleSmoke {
       f"(governed scan $expect)")
     require(got == expect, s"reconstruction diverged: $got vs $expect")
     println("[export] PASS")
+    spark.stop()
+  }
+
+  /** Import-side cost at file depth: a `files`-file MOR export read
+    * back through the GENERAL reader — metadata planning (load) ms,
+    * full-scan parity with the governed scan, and the bounds-pruning
+    * win of scanWhere on a selective range predicate. */
+  private def importSmoke(sfDir: String, files: Int): Unit = {
+    val spark = smokeSession("graft-import-smoke")
+    val work = Files.createTempDirectory("graft-imp").toString
+    import graft.lake.{IcebergExport, IcebergImport, LakeTable}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    // range-partition by key so per-file bounds are selective (the
+    // shape a sorted/ingest-ordered table has at scale)
+    lt.append(orders.repartitionByRange(files, col("o_orderkey")))
+    lt.deleteByKeys(orders.where(col("o_orderkey") % 101 === 5)
+      .select("o_orderkey"), Seq("o_orderkey"))
+    (1 to 10).foreach(i =>
+      lt.delete(col("o_orderkey") === (i * 31 + 2).toLong))
+    lt.consolidateDeleteVectors()
+    val metaPath = IcebergExport.export(lt, s"$work/ice")
+    val conf = spark.sessionState.newHadoopConf()
+
+    var t0 = System.nanoTime()
+    val tm = IcebergImport.load(metaPath, conf)
+    val tLoad = (System.nanoTime() - t0) / 1e6
+    println(f"[import] load(): ${tm.dataEntries.size} data entries + " +
+      f"${tm.deleteEntries.size} delete entries planned in $tLoad%.0f ms " +
+      f"(${tLoad / tm.dataEntries.size}%.3f ms/file)")
+    require(tm.dataEntries.forall(_.stats.nonEmpty), "bounds decoded")
+
+    t0 = System.nanoTime()
+    val full = IcebergImport.scan(spark, metaPath).count()
+    val tFull = (System.nanoTime() - t0) / 1e9
+    val expect = lt.scan().count()
+    require(full == expect, s"import scan diverged: $full vs $expect")
+    println(f"[import] full MOR scan: $full rows in $tFull%.1f s " +
+      "(= governed scan)")
+
+    val keyMax = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val lo = keyMax / 2; val hi = keyMax / 2 + keyMax / 100
+    val pred = col("o_orderkey") >= lo && col("o_orderkey") <= hi
+    val planned = IcebergImport.pruneEntries(spark, tm, pred).size
+    t0 = System.nanoTime()
+    val prunedCount = IcebergImport.scanWhere(spark, metaPath, pred)
+      .count()
+    val tPruned = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val unprunedCount = IcebergImport.scan(spark, metaPath)
+      .where(pred).count()
+    val tUnpruned = (System.nanoTime() - t0) / 1e9
+    require(prunedCount == unprunedCount,
+      s"pruned scan diverged: $prunedCount vs $unprunedCount")
+    println(f"[import] 1%% key-range predicate: scanWhere planned " +
+      f"$planned/${tm.dataEntries.size} files, $prunedCount rows in " +
+      f"$tPruned%.1f s vs full-scan filter $tUnpruned%.1f s " +
+      f"(${tUnpruned / tPruned}%.1fx)")
+    println("[import] PASS")
     spark.stop()
   }
 

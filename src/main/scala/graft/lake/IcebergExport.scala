@@ -84,6 +84,24 @@ object IcebergExport {
       s"bucket transform ${f.spec} is not exportable: graft's native " +
         "bucket uses Spark's murmur3(seed 42), Iceberg its own — " +
         "partition with bucket_iceberg(N, col) for handoff tables"))
+    // files written BEFORE a schema evolution (rename / add column) are
+    // tracked in graft's name mapping — their PHYSICAL parquet columns
+    // differ from the exported schema's names. graft data files carry
+    // no Iceberg field-ids, so any Iceberg reader resolves them by
+    // NAME and would read a renamed column as all-NULL (or, after a
+    // drop + re-add, resurrect dead bytes) and an added column's
+    // EXISTS_DEFAULT as NULL. Silent wrongness → refused loudly, same
+    // policy as bucket transforms. compact() rewrites every file under
+    // the current schema and clears the mapping.
+    locally {
+      val evolved = snap.liveFiles
+        .filter(f => snap.fileRenames.getOrElse(f, Map.empty).nonEmpty)
+      require(evolved.isEmpty,
+        s"${evolved.size} live files predate a schema evolution " +
+          "(rename/add column) and read through graft's name mapping, " +
+          "which Iceberg readers cannot see — compact() before export. " +
+          s"First: ${evolved.take(3).mkString(", ")}")
+    }
 
     val spark = table.spark
     val fs = new Path(destDir).getFileSystem(

@@ -360,7 +360,7 @@ object IcebergImport {
     * exposed for plan assertions. Analysis failure (or a predicate the
     * prover can't reason about) keeps every file — pruning is never
     * load-bearing. */
-  private[lake] def pruneEntries(spark: SparkSession, tm: TableMeta,
+  private[graft] def pruneEntries(spark: SparkSession, tm: TableMeta,
       predicate: Column): Seq[DataEntry] = {
     val cond = scala.util.Try {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tm.schema)

@@ -433,6 +433,35 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(loField.getField("value").getObjectProp("field-id") == 127)
   }
 
+  test("refusal: schema-evolved files (rename / add column) cannot " +
+      "export until compacted — then the round-trip carries the " +
+      "evolved values") {
+    val df = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("ice-evo") + "/t",
+      df.schema)
+    t.append(df)
+    t.renameColumn("v", "label")
+    // pre-rename files read through the name mapping → refused
+    val e1 = intercept[IllegalArgumentException](
+      IcebergExport.export(t, TestSpark.tmpDir("ice-evo-out0")))
+    assert(e1.getMessage.contains("compact"))
+    t.addColumn("score", org.apache.spark.sql.types.LongType,
+      defaultSql = Some("7"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergExport.export(t, TestSpark.tmpDir("ice-evo-out1")))
+    assert(e2.getMessage.contains("schema evolution"))
+    // compaction rewrites every file under the CURRENT schema (renamed
+    // physical names, defaults materialized) and clears the mapping
+    t.compact()
+    val metaPath = IcebergExport.export(t,
+      TestSpark.tmpDir("ice-evo-out2"))
+    val back = IcebergImport.scan(spark, metaPath)
+    assert(back.columns.toSeq == Seq("id", "label", "score"))
+    assert(back.where($"score" === 7L).count() == 60)
+    assert(back.collect().map(_.toString).toSet ==
+      t.scan().collect().map(_.toString).toSet)
+  }
+
   test("refusal: native Spark-hash bucket transforms stay unexportable") {
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
     val bt = LakeTable.create(spark,
