@@ -77,6 +77,11 @@ object ScaleSmoke {
         args.lift(2).map(_.toInt).getOrElse(500))
       return
     }
+    if (args.headOption.contains("publish")) {
+      publishSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(20))
+      return
+    }
     if (args.headOption.contains("import")) {
       importSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(500))
@@ -785,6 +790,48 @@ object ScaleSmoke {
       f"(governed scan $expect)")
     require(got == expect, s"reconstruction diverged: $got vs $expect")
     println("[export] PASS")
+    spark.stop()
+  }
+
+  /** Continuous-publish cost: `rounds` append+publish cycles against a
+    * seeded 500-file table — delta publishes must stay O(new files),
+    * flat in table size — then one delete forcing the full-rewrite
+    * fallback, for the cost ratio. */
+  private def publishSmoke(sfDir: String, rounds: Int): Unit = {
+    val spark = smokeSession("graft-publish-smoke")
+    val work = Files.createTempDirectory("graft-pub").toString
+    import graft.lake.{IcebergExport, IcebergImport, LakeTable}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    lt.append(orders.repartition(500))
+    var t0 = System.nanoTime()
+    IcebergExport.publish(lt, s"$work/ice")
+    println(f"[publish] v1 (full, 500 files): " +
+      f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    val slice = orders.limit(200).repartition(2)
+    val deltaMs = (1 to rounds).map { _ =>
+      lt.append(slice)
+      val s = System.nanoTime()
+      IcebergExport.publish(lt, s"$work/ice")
+      (System.nanoTime() - s) / 1e6
+    }
+    println(f"[publish] $rounds append+publish cycles: " +
+      f"avg ${deltaMs.sum / rounds}%.0f ms/delta publish " +
+      f"(first ${deltaMs.head}%.0f, last ${deltaMs.last}%.0f — " +
+      "flat = O(new files), not O(table))")
+    lt.delete(col("o_orderkey") % 97 === 3)
+    t0 = System.nanoTime()
+    val mFull = IcebergExport.publish(lt, s"$work/ice")
+    println(f"[publish] full-rewrite publish after a delete " +
+      f"(${lt.currentSnapshot.get.liveFiles.size} files): " +
+      f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    val got = IcebergImport.scan(spark, mFull).count()
+    val expect = lt.scan().count()
+    require(got == expect, s"publish history diverged: $got vs $expect")
+    println(s"[publish] v${rounds + 2} current reads $got rows " +
+      "(= governed scan); PASS")
     spark.stop()
   }
 

@@ -64,6 +64,19 @@ import org.apache.spark.sql.types._
   */
 object IcebergExport {
 
+  /** Prior state of an already-exported table at `destDir`, parsed
+    * from its current `vN.metadata.json` — what [[publish]] appends
+    * to. `listUri` lets delta publishes carry the prior manifests
+    * verbatim. */
+  private final case class PriorMeta(version: Int, uuid: String,
+      lastSeq: Long, lastUpdatedMs: Long, metaFileUri: String,
+      currentSnapshotId: Long, graftSnapshotId: Option[Long],
+      schemaFieldsJson: String, spec0Json: String, hadDeleteSpec: Boolean,
+      listUri: String,
+      snapshots: Seq[com.fasterxml.jackson.databind.JsonNode],
+      snapshotLog: Seq[com.fasterxml.jackson.databind.JsonNode],
+      metadataLog: Seq[com.fasterxml.jackson.databind.JsonNode])
+
   /** Export `table`'s current snapshot under `destDir`; returns the
     * absolute path of the written `v1.metadata.json`. `atSnapshot`
     * pins a RETAINED historical snapshot instead (a time-travel
@@ -72,7 +85,85 @@ object IcebergExport {
     * is exactly the point-in-time table an Iceberg reader should
     * see. */
   def export(table: LakeTable, destDir: String,
+      atSnapshot: Option[Long] = None): String =
+    doExport(table, destDir, atSnapshot, prior = None)
+
+  /** CONTINUOUS publish: append the table's current snapshot to an
+    * ALREADY-EXPORTED Iceberg table at `destDir` as a new metadata
+    * version — `v{N+1}.metadata.json` carrying the full published
+    * snapshot history (an Iceberg reader time-travels across
+    * publishes), version-hint bumped last so a reader never sees a
+    * half-written version. A fresh directory degenerates to
+    * [[export]]; re-publishing the already-current snapshot is an
+    * idempotent no-op.
+    *
+    * Cost shape: when the change since the last publish is
+    * APPEND-ONLY (no removed files, identical delete artifacts, same
+    * schema/spec) the prior manifests are carried verbatim in the new
+    * manifest list and only a DELTA manifest is written — O(new
+    * files) work, the per-commit publish cadence a 100 TB mirror
+    * needs. Anything else falls back to a full (still correct,
+    * still data-zero-copy) manifest rewrite. Schema or partition-spec
+    * drift since the last publish is REFUSED — the exported history's
+    * field-ids are frozen at first export, and re-binding old
+    * snapshots to a new schema would silently change what time-travel
+    * reads return; export to a fresh directory instead. */
+  def publish(table: LakeTable, destDir: String,
       atSnapshot: Option[Long] = None): String = {
+    val conf = table.spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val hintP = new Path(destDir, "metadata/version-hint.text")
+    if (!fs.exists(hintP))
+      return doExport(table, destDir, atSnapshot, prior = None)
+    val m = Snapshot.mapper
+    val version = LakeTable.readString(fs, hintP).trim.toInt
+    val metaP = new Path(destDir, s"metadata/v$version.metadata.json")
+    val node = m.readTree(LakeTable.readString(fs, metaP))
+    val snap = atSnapshot.map(table.snapshot).getOrElse(
+      table.currentSnapshot.getOrElse(throw new IllegalStateException(
+        "no committed snapshot to publish")))
+    val published = node.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSet
+    if (node.path("current-snapshot-id").asLong() == snap.snapshotId)
+      return fs.makeQualified(metaP).toString // idempotent re-publish
+    require(!published.contains(snap.snapshotId),
+      s"snapshot ${snap.snapshotId} is already in the published " +
+        "history but not current — republishing a rolled-back state " +
+        "needs a fresh export directory")
+    val curNode = node.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() ==
+        node.path("current-snapshot-id").asLong())
+      .getOrElse(throw new IllegalStateException(
+        s"$metaP has no current snapshot"))
+    val specs = node.path("partition-specs").elements().asScala.toSeq
+    val prior = PriorMeta(
+      version = version,
+      uuid = node.path("table-uuid").asText(),
+      lastSeq = node.path("last-sequence-number").asLong(),
+      lastUpdatedMs = node.path("last-updated-ms").asLong(),
+      metaFileUri = fs.makeQualified(metaP).toString,
+      currentSnapshotId = node.path("current-snapshot-id").asLong(),
+      graftSnapshotId = Option(node.path("properties")
+        .path("graft.snapshot-id").asText(null)).map(_.toLong),
+      schemaFieldsJson = m.writeValueAsString(
+        node.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt() ==
+            node.path("current-schema-id").asInt())
+          .getOrElse(throw new IllegalStateException("no current schema"))
+          .path("fields")),
+      spec0Json = m.writeValueAsString(specs.head.path("fields")),
+      hadDeleteSpec = specs.exists(s =>
+        s.path("spec-id").asInt() == 1 &&
+          !s.path("fields").elements().hasNext),
+      listUri = curNode.path("manifest-list").asText(),
+      snapshots = node.path("snapshots").elements().asScala.toSeq,
+      snapshotLog = node.path("snapshot-log").elements().asScala.toSeq,
+      metadataLog = node.path("metadata-log").elements().asScala.toSeq)
+    doExport(table, destDir, atSnapshot, Some(prior))
+  }
+
+  private def doExport(table: LakeTable, destDir: String,
+      atSnapshot: Option[Long], prior: Option[PriorMeta]): String = {
     val snap = atSnapshot.map(table.snapshot).getOrElse(
       table.currentSnapshot.getOrElse(throw new IllegalStateException(
         "no committed snapshot to export")))
@@ -205,6 +296,55 @@ object IcebergExport {
       fo.put("source-id", topIds(f.source))
       fo.put("field-id", 1000 + i)
     }
+
+    // ---- publish-over-prior guards + the append-only DELTA decision.
+    // The exported history's field-ids are frozen at first export:
+    // rebinding carried snapshots to a drifted schema or spec would
+    // silently change what their time-travel reads return.
+    prior.foreach { p =>
+      require(p.schemaFieldsJson ==
+          m.writeValueAsString(schemaNode.get("fields")),
+        "schema changed since the last publish — the published " +
+          "history's field-ids are frozen; export to a fresh directory")
+      require(p.spec0Json == m.writeValueAsString(specNode.get("fields")),
+        "partition spec changed since the last publish — export to a " +
+          "fresh directory")
+    }
+    // Append-only since the last publish (no removed files, identical
+    // delete artifacts — same schema/spec guaranteed above) ⇒ the
+    // prior manifests stay valid verbatim: carry their manifest-list
+    // records and write only a DELTA manifest. Needs the previously
+    // published graft snapshot still retained to diff against.
+    val prevSnap: Option[Snapshot] = prior
+      .flatMap(_.graftSnapshotId)
+      .flatMap(id => scala.util.Try(table.snapshot(id)).toOption)
+      .filter { prev =>
+        prev.liveFiles.toSet.subsetOf(snap.liveFiles.toSet) &&
+          prev.deleteFiles == snap.deleteFiles &&
+          prev.posDeleteFiles == snap.posDeleteFiles &&
+          prev.dvFiles == snap.dvFiles
+      }
+    val deltaMode = prevSnap.nonEmpty
+    val prevLive: Set[String] =
+      prevSnap.map(_.liveFiles.toSet).getOrElse(Set.empty)
+    val filesToWrite: Seq[String] =
+      if (deltaMode) snap.liveFiles.filterNot(prevLive) else snap.liveFiles
+    // carried prior manifests (delta mode): both data and delete lists
+    val carriedRecords: Seq[GenericRecord] =
+      if (deltaMode) {
+        import org.apache.avro.generic.GenericDatumReader
+        import org.apache.avro.mapred.FsInput
+        val conf = table.spark.sessionState.newHadoopConf()
+        val r = org.apache.avro.file.DataFileReader.openReader(
+          new FsInput(new Path(prior.get.listUri), conf),
+          new GenericDatumReader[GenericRecord]())
+        try {
+          val buf =
+            scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+          while (r.hasNext) buf += r.next()
+          buf.toSeq
+        } finally r.close()
+      } else Nil
 
     // ---- the manifest (Avro): one ADDED entry per live file.
     // Sequence numbers export FAITHFULLY from graft's per-file commit
@@ -359,6 +499,9 @@ object IcebergExport {
     val manifestName = s"m-${UUID.randomUUID()}.avro"
     val manifestPath = new Path(metaDir, manifestName)
     var addedRows = 0L
+    var existingRows = 0L
+    var addedFiles = 0
+    var existingFiles = 0
     locally {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](entrySchema))
@@ -370,14 +513,22 @@ object IcebergExport {
       w.setMeta("content", "data")
       val out = fs.create(manifestPath, true)
       w.create(entrySchema, out)
-      snap.liveFiles.foreach { rel =>
+      filesToWrite.foreach { rel =>
         val info = snap.fileInfo.getOrElse(rel,
           throw new IllegalStateException(
             s"no size/row manifest info for $rel — legacy manifest; " +
               "rewrite (compact) before export"))
+        // under a prior publish, files that predate it are EXISTING
+        // (attributed to the previously published snapshot — the
+        // standard conservative attribution when manifests rewrite);
+        // files newer than it are ADDED by this snapshot
+        val isExisting = prior.exists(p => seqOf(rel) <= p.lastSeq)
         val e = new GenericData.Record(entrySchema)
-        e.put("status", Int.box(1)) // ADDED
-        e.put("snapshot_id", Long.box(snapId))
+        e.put("status", Int.box(if (isExisting) 0 else 1))
+        e.put("snapshot_id", Long.box(
+          if (isExisting) prior.get.currentSnapshotId else snapId))
+        if (isExisting) { existingFiles += 1; existingRows += info.rows }
+        else { addedFiles += 1; addedRows += info.rows }
         e.put("sequence_number", Long.box(seqOf(rel)))
         e.put("file_sequence_number", Long.box(seqOf(rel)))
         val df = new GenericData.Record(
@@ -423,7 +574,6 @@ object IcebergExport {
         }
         e.put("data_file", df)
         w.append(e)
-        addedRows += info.rows
       }
       w.close()
     }
@@ -471,7 +621,7 @@ object IcebergExport {
       (fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen)
     }
     val posArtifact: Option[DeleteArtifact] =
-      if (!hasPosDeletes) None
+      if (!hasPosDeletes || deltaMode) None // delta: carried verbatim
       else {
         import org.apache.spark.sql.functions._
         def relTail(c: org.apache.spark.sql.Column) =
@@ -533,7 +683,8 @@ object IcebergExport {
     // same-commit MERGE after-images survive in both systems). The
     // delete parquet carries the key VALUES under the table's field
     // ids; `equality_ids` in the manifest names those ids.
-    val eqArtifacts: Seq[DeleteArtifact] = snap.deleteFiles.map { d =>
+    val eqArtifacts: Seq[DeleteArtifact] =
+      (if (deltaMode) Nil else snap.deleteFiles).map { d =>
       import org.apache.spark.sql.functions.col
       d.keys.foreach(k => require(topIds.contains(k),
         s"equality delete on $k, which the current schema lacks — " +
@@ -628,29 +779,40 @@ object IcebergExport {
     val listName = s"snap-$snapId-${UUID.randomUUID()}.avro"
     val listPath = new Path(metaDir, listName)
     val dataSeqs = snap.liveFiles.map(seqOf)
+    val writtenSeqs = filesToWrite.map(seqOf)
     val delSeqs = deleteArtifacts.map(_.seq)
-    val lastSeq = (dataSeqs ++ delSeqs ++ Seq(1L)).max
+    val lastSeq = (dataSeqs ++ delSeqs ++
+      prior.map(_.lastSeq).toSeq ++ Seq(1L)).max
     locally {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](listSchema))
       w.setMeta("format-version", "2")
       val out = fs.create(listPath, true)
       w.create(listSchema, out)
+      // delta publish: the prior manifests come first, verbatim —
+      // their data files, delete artifacts, and sequences are
+      // unchanged by an append-only delta (guarded above)
+      carriedRecords.foreach { cr =>
+        val c = new GenericData.Record(listSchema)
+        listSchema.getFields.asScala.foreach(f =>
+          c.put(f.name(), cr.get(f.name())))
+        w.append(c)
+      }
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", fs.makeQualified(manifestPath).toString)
       r.put("manifest_length", Long.box(manifestLen))
       r.put("partition_spec_id", Int.box(0))
       r.put("content", Int.box(0)) // data manifest
       r.put("sequence_number",
-        Long.box(if (dataSeqs.isEmpty) 1L else dataSeqs.max))
+        Long.box(if (writtenSeqs.isEmpty) 1L else writtenSeqs.max))
       r.put("min_sequence_number",
-        Long.box(if (dataSeqs.isEmpty) 1L else dataSeqs.min))
+        Long.box(if (writtenSeqs.isEmpty) 1L else writtenSeqs.min))
       r.put("added_snapshot_id", Long.box(snapId))
-      r.put("added_files_count", Int.box(snap.liveFiles.size))
-      r.put("existing_files_count", Int.box(0))
+      r.put("added_files_count", Int.box(addedFiles))
+      r.put("existing_files_count", Int.box(existingFiles))
       r.put("deleted_files_count", Int.box(0))
       r.put("added_rows_count", Long.box(addedRows))
-      r.put("existing_rows_count", Long.box(0L))
+      r.put("existing_rows_count", Long.box(existingRows))
       r.put("deleted_rows_count", Long.box(0L))
       w.append(r)
       delManifest.foreach { case (p, len) =>
@@ -674,10 +836,14 @@ object IcebergExport {
       w.close()
     }
 
-    // ---- v1.metadata.json + HadoopTables version hint
+    // ---- v{N}.metadata.json + HadoopTables version hint
+    val version = prior.map(_.version + 1).getOrElse(1)
     val root = m.createObjectNode()
     root.put("format-version", 2)
-    root.put("table-uuid", UUID.randomUUID().toString)
+    // the uuid is the table's published identity — stable across
+    // publishes so readers see one table gaining snapshots
+    root.put("table-uuid",
+      prior.map(_.uuid).getOrElse(UUID.randomUUID().toString))
     root.put("location", fs.makeQualified(new Path(destDir)).toString)
     root.put("last-sequence-number", lastSeq)
     root.put("last-updated-ms", snap.timestampMs)
@@ -688,8 +854,10 @@ object IcebergExport {
     val specsArr = root.putArray("partition-specs")
     specsArr.add(specNode)
     // the unpartitioned spec delete files of a partitioned table are
-    // written under (registered only when used)
-    if (delManifest.nonEmpty && delSpecId == 1) {
+    // written under (registered when used NOW or by any carried
+    // delete manifest from a prior publish)
+    if ((delManifest.nonEmpty && delSpecId == 1) ||
+        prior.exists(_.hadDeleteSpec)) {
       val unpart = m.createObjectNode()
       unpart.put("spec-id", 1)
       unpart.putArray("fields")
@@ -706,19 +874,25 @@ object IcebergExport {
     props.put("exported-by", "graft")
     props.put("graft.snapshot-id", snapId.toString)
     root.put("current-snapshot-id", snapId)
-    val sn = root.putArray("snapshots").addObject()
+    val snapsArr = root.putArray("snapshots")
+    prior.foreach(_.snapshots.foreach(n => snapsArr.add(n)))
+    val sn = snapsArr.addObject()
     sn.put("snapshot-id", snapId)
+    prior.flatMap(_.snapshots.lastOption)
+      .map(_.path("snapshot-id").asLong())
+      .foreach(sn.put("parent-snapshot-id", _))
     sn.put("sequence-number", lastSeq)
     sn.put("timestamp-ms", snap.timestampMs)
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.put("schema-id", 0)
     val sm = sn.putObject("summary")
-    // a snapshot carrying delete files alongside its data is an
+    // a snapshot carrying NEW delete files alongside its data is an
     // overwrite in Iceberg's operation taxonomy
     sm.put("operation",
       if (deleteArtifacts.isEmpty) "append" else "overwrite")
-    sm.put("added-data-files", snap.liveFiles.size.toString)
+    sm.put("added-data-files", addedFiles.toString)
     sm.put("added-records", addedRows.toString)
+    sm.put("total-data-files", snap.liveFiles.size.toString)
     if (deleteArtifacts.nonEmpty) {
       sm.put("added-delete-files", deleteArtifacts.size.toString)
       posArtifact.foreach(da =>
@@ -727,18 +901,28 @@ object IcebergExport {
         sm.put("added-equality-deletes",
           eqArtifacts.map(_.rows).sum.toString)
     }
-    val log = root.putArray("snapshot-log").addObject()
+    val logArr = root.putArray("snapshot-log")
+    prior.foreach(_.snapshotLog.foreach(n => logArr.add(n)))
+    val log = logArr.addObject()
     log.put("timestamp-ms", snap.timestampMs)
     log.put("snapshot-id", snapId)
-    root.putArray("metadata-log")
-    val metaJsonPath = new Path(metaDir, "v1.metadata.json")
+    val mlArr = root.putArray("metadata-log")
+    prior.foreach { p =>
+      p.metadataLog.foreach(n => mlArr.add(n))
+      val e = mlArr.addObject()
+      e.put("timestamp-ms", p.lastUpdatedMs)
+      e.put("metadata-file", p.metaFileUri)
+    }
+    val metaJsonPath = new Path(metaDir, s"v$version.metadata.json")
     def write(p: Path, s: String): Unit = {
       val out = fs.create(p, true)
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
     write(metaJsonPath,
       m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    write(new Path(metaDir, "version-hint.text"), "1")
+    // the version hint flips LAST — a reader racing a publish resolves
+    // to the previous, complete version
+    write(new Path(metaDir, "version-hint.text"), version.toString)
     fs.makeQualified(metaJsonPath).toString
   }
 

@@ -743,6 +743,14 @@ object LakeSql {
         Seq(IcebergExport.export(lt, str(1),
           if (c.args.size > 2) Some(lng(2)) else None))
           .toDF("metadata_path")
+      case "publish_iceberg" =>
+        // (tbl, dest_dir[, snapshot_id]) — CONTINUOUS publish: append
+        // the snapshot to an already-exported Iceberg table as a new
+        // metadata version (readers time-travel across publishes);
+        // append-only deltas carry prior manifests verbatim
+        Seq(IcebergExport.publish(lt, str(1),
+          if (c.args.size > 2) Some(lng(2)) else None))
+          .toDF("metadata_path")
       case "remove_orphan_files" =>
         val removed = if (c.args.size > 1) lt.removeOrphanFiles(lng(1))
           else lt.removeOrphanFiles()
@@ -786,7 +794,7 @@ object LakeSql {
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
           "add_files, maintain, verify_table, recover_transactions, " +
-          "refresh_mv, mv_staleness, import_iceberg")
+          "refresh_mv, mv_staleness, import_iceberg, publish_iceberg")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the

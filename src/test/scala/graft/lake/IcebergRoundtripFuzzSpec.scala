@@ -1,0 +1,99 @@
+package graft.lake
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Differential fuzz of the Iceberg HANDOFF: the same random
+  * mutation ladder as [[DvFuzzSpec]] (appends, MOR keyed merges →
+  * equality deletes, MOR predicate deletes → position artifacts,
+  * conversion, DV consolidation, compaction) — but checked through
+  * EXPORT + the general reader: every few steps the table exports to
+  * fresh Iceberg v2 metadata and [[IcebergImport.scan]] must
+  * reproduce the driver-side model exactly. What it guards beyond
+  * DvFuzzSpec: the export encoding (sequence numbers, delete
+  * re-encodings, partition values) and the import decoding compose
+  * correctly over ARBITRARY artifact states, not just the
+  * hand-picked ladders in the example-based specs. */
+class IcebergRoundtripFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(seed: Int, steps: Int, partitioned: Boolean): Unit = {
+    val rnd = new Random(seed)
+    val base = Seq((0L, "", 0L)).toDF("id", "v", "g")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir(s"icefuzz-$seed") + "/t", base.schema,
+      partitionBy = if (partitioned) Seq("g") else Nil,
+      properties = Map(
+        LakeTable.PROP_DELETE_MODE -> "merge-on-read",
+        LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    var nextId = 0L
+    def df(rows: Seq[(Long, String)]) =
+      rows.map { case (k, v) => (k, v, k % 5) }.toDF("id", "v", "g")
+
+    var exports = 0
+    (1 to steps).foreach { step =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val n = 1 + rnd.nextInt(40)
+          val rows = (0 until n).map { _ =>
+            nextId += 1; (nextId, s"a$step-$nextId")
+          }
+          t.append(df(rows).repartition(1 + rnd.nextInt(3)))
+          rows.foreach { case (k, v) => model(k) = v }
+        case 3 | 4 | 5 =>
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextInt(5) == 0).take(30)
+            .map(k => (k, s"u$step-$k"))
+          val inserts = (0 until rnd.nextInt(10)).map { _ =>
+            nextId += 1; (nextId, s"i$step-$nextId")
+          }
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            t.merge(df(src), Seq("id"))
+            src.foreach { case (k, v) => model(k) = v }
+          }
+        case 6 | 7 =>
+          val m = 2 + rnd.nextInt(9)
+          val r = rnd.nextInt(m)
+          t.delete(col("id") % m === r.toLong && col("id") <= nextId)
+          model.keys.toSeq.filter(k => k % m == r)
+            .foreach(model.remove)
+        case 8 => rnd.nextInt(3) match {
+          case 0 => t.convertEqualityDeletes()
+          case 1 => t.consolidateDeleteVectors()
+          case _ =>
+            t.convertEqualityDeletes()
+            t.consolidateDeleteVectors()
+        }
+        case 9 => t.compact(1 + rnd.nextInt(2))
+      }
+      if (step % 5 == 0 || step == steps) {
+        exports += 1
+        val meta = IcebergExport.export(t,
+          TestSpark.tmpDir(s"icefuzz-$seed-out$step"))
+        val got = IcebergImport.scan(spark, meta).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+        val want = model.map { case (k, v) => k -> (v, k % 5) }.toMap
+        assert(got == want,
+          s"seed $seed step $step export diverged: import ${got.size} " +
+            s"rows vs model ${want.size}; " +
+            s"extra=${(got.keySet -- want.keySet).take(5)}, " +
+            s"missing=${(want.keySet -- got.keySet).take(5)}")
+      }
+    }
+    assert(exports >= steps / 5)
+  }
+
+  test("random artifact states export + import model-exact " +
+      "(seed 42, unpartitioned)") { run(42, 25, partitioned = false) }
+
+  test("random artifact states export + import model-exact " +
+      "(seed 11, identity-partitioned)") { run(11, 25, partitioned = true) }
+}
