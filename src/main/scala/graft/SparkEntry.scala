@@ -789,6 +789,37 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    "q_iceberg_publish" -> ((s, dir) => {
+      // CONTINUOUS publish + incremental mirror consumption, both
+      // load-bearing under one oracle: v1 publishes the even half,
+      // v2 publishes the odd half as an APPEND-ONLY DELTA (prior
+      // manifests carried verbatim), v3 re-publishes after a MOR
+      // delete (full-rewrite fallback). 'delta' rows come from
+      // incrementalScan over the published history — exactly the rows
+      // v2 added, read from v2's delta manifest alone; 'final' rows
+      // re-read the v3 current state through the general importer.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-icepub")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        properties = Map(
+          LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      val v1 = lt.currentSnapshotId.get
+      graft.lake.IcebergExport.publish(lt, s"$base/ice")
+      lt.append(orders.where(col("o_orderkey") % 2 === 1))
+      val v2 = lt.currentSnapshotId.get
+      graft.lake.IcebergExport.publish(lt, s"$base/ice")
+      lt.delete(col("o_custkey") % 7 === 3)
+      val m3 = graft.lake.IcebergExport.publish(lt, s"$base/ice")
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          lit(src).as("src"))
+      shape(graft.lake.IcebergImport.scan(s, m3), "final")
+        .unionAll(shape(graft.lake.IcebergImport.incrementalScan(s, m3,
+          fromSnapshot = v1, toSnapshot = Some(v2)), "delta"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -3021,6 +3052,18 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         | round(o_totalprice * 3, 2) AS o_totalprice
         |FROM orders WHERE o_custkey % 26 = 2""".stripMargin,
+
+    // 'final' = the post-delete state read from the v3 publish;
+    // 'delta' = exactly the odd half v2 appended, read incrementally
+    // from the published history's delta manifest
+    "q_iceberg_publish" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice, 'final' AS src
+        |FROM orders WHERE o_custkey % 7 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice, 'delta' AS src
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -454,6 +454,52 @@ object IcebergImport {
     df.select(tm.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** INCREMENTAL read over a published snapshot history: the rows
+    * ADDED in snapshots `(fromSnapshot, toSnapshot]` — the
+    * mirror-consumption shape for a continuously-published table
+    * (each sync reads only the new files, O(delta) I/O however large
+    * the table). Append-only ranges only, matching graft's own
+    * incremental-scan contract and Iceberg's incremental-append read:
+    * a range snapshot whose manifests drop files (rewrite/delete) is
+    * refused — the consumer must resync from a full scan. ADDED
+    * attribution is exact under delta publishes (each publish's delta
+    * manifest marks exactly the new files with the new snapshot id).
+    * `toSnapshot` defaults to the current snapshot. */
+  def incrementalScan(spark: SparkSession, metadataJsonPath: String,
+      fromSnapshot: Long, toSnapshot: Option[Long] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val m = Snapshot.mapper
+    val metaP = new Path(metadataJsonPath)
+    val fs = metaP.getFileSystem(conf)
+    val meta = m.readTree(LakeTable.readString(fs, metaP))
+    val hi = toSnapshot.getOrElse(
+      meta.path("current-snapshot-id").asLong())
+    val ordered = meta.path("snapshots").elements().asScala.toSeq
+      .map(_.path("snapshot-id").asLong())
+    require(ordered.contains(fromSnapshot),
+      s"snapshot $fromSnapshot not in the published history")
+    require(ordered.contains(hi),
+      s"snapshot $hi not in the published history")
+    require(ordered.indexOf(fromSnapshot) < ordered.indexOf(hi),
+      s"empty or inverted range ($fromSnapshot, $hi]")
+    val tmTo = load(metadataJsonPath, conf, Some(hi))
+    // append-only guard: every file live at `from` must still be live
+    // at `to`, and no delete artifacts may have appeared in between —
+    // otherwise "rows added" is not well-defined from adds alone
+    val tmFrom = load(metadataJsonPath, conf, Some(fromSnapshot))
+    val toLive = tmTo.dataEntries.map(_.uri).toSet
+    require(tmFrom.dataEntries.forall(e => toLive.contains(e.uri)),
+      s"range ($fromSnapshot, $hi] removed files — not append-only; " +
+        "resync from a full scan")
+    require(tmFrom.deleteEntries.map(_.uri).toSet ==
+        tmTo.deleteEntries.map(_.uri).toSet,
+      s"range ($fromSnapshot, $hi] changed delete artifacts — not " +
+        "append-only; resync from a full scan")
+    val fromLive = tmFrom.dataEntries.map(_.uri).toSet
+    val added = tmTo.dataEntries.filterNot(e => fromLive.contains(e.uri))
+    scanEntries(spark, tmTo.copy(deleteEntries = Nil), added)
+  }
+
   /** Materialize the Iceberg table at `metadataJsonPath` as a NEW
     * governed graft table at `destRoot` (post-delete row set; the copy
     * is a clean baseline with no carried delete artifacts). Returns

@@ -131,6 +131,33 @@ class IcebergImportSpec extends AnyFunSuite {
       t.scan().where(length($"v") === 3).count())
   }
 
+  test("incrementalScan reads exactly the rows a published range " +
+      "added, and refuses non-append-only ranges") {
+    val df = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-inc") + "/t",
+      df.schema, properties = Map(
+        LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    val dest = TestSpark.tmpDir("iceimp-inc-out")
+    val s1 = t.append(df.where($"id" <= 100))
+    IcebergExport.publish(t, dest)
+    val s2 = t.append(df.where($"id" > 100 && $"id" <= 200))
+    IcebergExport.publish(t, dest)
+    t.delete($"id" % 10 === 7)
+    val s3 = t.currentSnapshotId.get
+    val m3 = IcebergExport.publish(t, dest)
+    // the (s1, s2] delta is exactly the second append
+    val inc = IcebergImport.incrementalScan(spark, m3, s1, Some(s2))
+    assert(rowsOf(inc) ==
+      rowsOf(df.where($"id" > 100 && $"id" <= 200)))
+    // a range crossing the delete is refused both ways
+    val e1 = intercept[IllegalArgumentException](
+      IcebergImport.incrementalScan(spark, m3, s2, Some(s3)))
+    assert(e1.getMessage.contains("delete artifacts"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.incrementalScan(spark, m3, s2, Some(s2)))
+    assert(e2.getMessage.contains("range"))
+  }
+
   test("importTable materializes a governed copy that keeps evolving") {
     val df = (1L to 200L).map(i => (i, s"v$i", i % 3)).toDF("k", "v", "g")
     val t = LakeTable.create(spark, TestSpark.tmpDir("iceimp-mat") + "/t",
