@@ -406,12 +406,25 @@ object IcebergImport {
     }
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(infoRows, 1), infoSchema)
+    // broadcast gate (house rule: every explicit hint is size-gated):
+    // one short row per live file — path + seq + identity values,
+    // ~100 B/file, so 10⁶ files ≈ 100 MB, well under Spark's 8 GB
+    // hint ceiling — but the list arrives from UNTRUSTED metadata
+    // (arbitrary path lengths, arbitrary file counts), so above the
+    // configured bound the hint drops and Spark plans the join freely
+    // (a shuffled join on the path key — still one row per file).
+    val infoBytes = infoRows.iterator
+      .map(r => 64L + r.getString(0).length * 2L).sum
+    val maxBytes = spark.conf
+      .getOption("spark.graft.iceberg.import-broadcast-max-bytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val infoSide = if (infoBytes <= maxBytes) broadcast(info) else info
 
     var df = spark.read.schema(tm.schema)
       .parquet(entries.map(_.uri): _*)
       .withColumn(F, normUriCol(col("_metadata.file_path")))
       .withColumn(P, col("_metadata.row_index"))
-      .join(broadcast(info), F)
+      .join(infoSide, F)
     // identity partition columns are metadata-carried (spec-true; data
     // files may or may not store them — prefer the stored value)
     identCols.foreach(c =>
