@@ -1058,6 +1058,36 @@ WHEN NOT MATCHED THEN INSERT *
       Seq(lt.countRows()).toDF("n")
     }),
 
+    // MIN/MAX (+count) answered from manifest bounds alone
+    // (ManifestAggRule — the SQL twin of Iceberg DSv2 aggregate
+    // pushdown), INCLUDING the double column: FP bounds are provably
+    // exact here (non-zero, NaN-free), the case the rule's
+    // exactFoldedBounds guard admits. At 100 TB a key-range/freshness
+    // probe reads zero data. The metadata plan is asserted in-query:
+    // the whole aggregate must fold to a LocalRelation.
+    "q_metadata_minmax" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-metaminmax") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema)
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      lt.append(orders.where(col("o_orderkey") % 2 === 1))
+      val q = lt.scan().agg(
+        min(col("o_orderkey")).as("min_okey"),
+        max(col("o_orderkey")).as("max_okey"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        count(lit(1)).as("n"))
+      require(q.queryExecution.optimizedPlan.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "metadata min/max must fold to a LocalRelation:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q
+    }),
+
     "q_sql_surface" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val wh = tmp("graft-sql")
@@ -2968,6 +2998,16 @@ WHEN NOT MATCHED THEN INSERT *
 
     "q_metadata_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM orders",
+
+    "q_metadata_minmax" ->
+      """SELECT CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_okey,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderpriority) AS min_prio,
+        |  max(o_orderpriority) AS max_prio,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders""".stripMargin,
 
     "q_wap_publish" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -3216,6 +3216,9 @@ final class LakeTable private (
             case None => if (rows != 0L) nonNullOk = false
           }
         }
+        if (boundsOk && any &&
+          !ManifestAggRule.exactFoldedBounds(fld.dataType, mn, mx))
+          boundsOk = false
         if (!boundsOk && !nonNullOk) None
         else Some(mapping.getOrElse(fld.name, fld.name) -> ColumnProof(
           if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,

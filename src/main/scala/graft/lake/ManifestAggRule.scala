@@ -62,22 +62,43 @@ final case class FileFacts(rows: Long, cols: Map[String, ColFacts])
   *    attribute unchanged (alias-only); ANYTHING else — Filter, the MOR
   *    delete anti-joins, limits, samples, expression projects — blocks
   *    the rewrite and the query runs normally.
-  *  - the column's type has EXACT manifest bounds. Float/double are
-  *    excluded on purpose: their recorded bounds are pruning-widened
-  *    (±0.0 canonicalization, NaN-poisoned files drop bounds), sound
-  *    for skipping but not exact answers.
+  *  - the column's type has EXACT manifest bounds. Float/double answer
+  *    only under an extra per-fold guard ([[exactFoldedBounds]]): their
+  *    recorded bounds are pruning-widened at ±0.0 (FileStats.fpBounds
+  *    canonicalizes signed zeros) and NaN-poisoned chunks drop bounds
+  *    entirely — so a folded ZERO bound may carry the wrong sign and
+  *    blocks the rewrite, while a NaN-bearing file blocks it by having
+  *    no bounds at all (the fallback scan then returns Spark's NaN
+  *    semantics). A non-zero folded bound is the stored IEEE value
+  *    itself: exact.
   * MOR tables with outstanding deletes are safe by construction: their
   * read plan contains anti-joins, which block the pattern. */
 object ManifestAggRule extends Rule[LogicalPlan] {
 
   /** Types whose manifest bounds are exact values from the data (footer
     * min/max or identity-partition dir values) — safe to RETURN, not
-    * just prune with. */
+    * just prune with. Float/double are exact only when the FOLDED
+    * bounds pass [[exactFoldedBounds]] (checked at both fold sites). */
   def exactStatType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType | BooleanType | StringType => true
+        TimestampType | TimestampNTZType | BooleanType | StringType |
+        FloatType | DoubleType => true
     case _ => false
   }
+
+  /** FP bounds are pruning-widened at ±0.0 (a recorded zero bound may
+    * carry the wrong sign), so a folded zero bound is sound to prune
+    * with but not to RETURN. Non-zero folded bounds are the stored IEEE
+    * values (NaN-bearing chunks drop bounds at commit, so a present
+    * bound is never NaN-poisoned). Every fold that feeds a returned
+    * MIN/MAX must pass this; bounds combined from ALREADY-GUARDED folds
+    * (the Union-leg reduce) stay non-zero by construction. */
+  def exactFoldedBounds(dt: DataType, mn: String, mx: String): Boolean =
+    dt match {
+      case FloatType | DoubleType =>
+        mn.toDouble != 0.0 && mx.toDouble != 0.0
+      case _ => true
+    }
 
   /** Encoded stat string → Catalyst internal value of `dt`. */
   private def internalValue(dt: DataType, s: String): Any = dt match {
@@ -87,6 +108,8 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case DateType      => s.toLong.toInt // days
     case LongType | TimestampType | TimestampNTZType => s.toLong
     case BooleanType   => s.toLong != 0L
+    case FloatType     => s.toDouble.toFloat // Double.toString round-trips
+    case DoubleType    => s.toDouble
     case StringType    => UTF8String.fromString(s)
     case other => throw new IllegalStateException(s"no exact stats: $other")
   }
@@ -246,6 +269,7 @@ object ManifestAggRule extends Rule[LogicalPlan] {
           else if (f.rows != 0L) nonNullOk = false
       }
     }
+    if (boundsOk && any && !exactFoldedBounds(dt, mn, mx)) boundsOk = false
     ColumnProof(
       if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,
       if (nonNullOk) Some(nonNull) else None)
@@ -263,7 +287,16 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     * unresolvable output falls back to the normal scan. */
   private def groupedRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val gAttrs = agg.groupingExpressions.map {
-      case a: Attribute if exactStatType(a.dataType) => a
+      // FP GROUP KEYS are excluded outright (not just zero-guarded):
+      // Spark normalizes ±0.0/NaN in grouping keys
+      // (NormalizeFloatingNumbers), so a decoded dir/point value could
+      // differ in sign from the scan's normalized key. In practice the
+      // normalization wrapper already breaks the bare-Attribute pattern
+      // before this rule runs — this is defense in depth, not plan
+      //-ordering reliance. FP MEASURES (min(x)/max(x)) stay eligible
+      // via the exactFoldedBounds guard in foldProofs.
+      case a: Attribute if exactStatType(a.dataType) &&
+        a.dataType != FloatType && a.dataType != DoubleType => a
       case _ => return None
     }
     if (gAttrs.isEmpty) return None

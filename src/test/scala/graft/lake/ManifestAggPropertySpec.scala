@@ -27,6 +27,8 @@ class ManifestAggPropertySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(11)
     val edgeLongs = Seq(Long.MinValue, Long.MaxValue, 0L, -1L, 1L)
     val edgeStrs = Seq("", "a", "zzz", "Ω-unicode", " lead", "trail ")
+    val edgeDbls = Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, Double.MaxValue)
 
     (1 to 6).foreach { trial =>
       var kept = Vector.empty[R]
@@ -36,7 +38,10 @@ class ManifestAggPropertySpec extends AnyFunSuite {
         else rnd.nextLong() % 100000L
         val s = if (rnd.nextInt(5) == 0) None
           else Some(edgeStrs(rnd.nextInt(edgeStrs.size)) + rnd.nextInt(100))
-        val x = if (rnd.nextInt(4) == 0) None else Some(rnd.nextGaussian())
+        val x = if (rnd.nextInt(4) == 0) None
+          else if (rnd.nextInt(6) == 0)
+            Some(edgeDbls(rnd.nextInt(edgeDbls.size)))
+          else Some(rnd.nextGaussian())
         val p = if (rnd.nextInt(6) == 0) None
           else Some(s"p${rnd.nextInt(3)}")
         R(k, s, x, p)
@@ -64,7 +69,8 @@ class ManifestAggPropertySpec extends AnyFunSuite {
       val r = t.scan().agg(
         count(lit(1)).as("n"), count($"s").as("ns"),
         min($"k").as("mnk"), max($"k").as("mxk"),
-        min($"s").as("mns"), max($"s").as("mxs")).collect().head
+        min($"s").as("mns"), max($"s").as("mxs"),
+        min($"x").as("mnx"), max($"x").as("mxx")).collect().head
       assert(r.getLong(0) == kept.size, s"trial $trial n")
       assert(r.getLong(1) == kept.count(_.s.isDefined), s"trial $trial ns")
       if (kept.nonEmpty) {
@@ -75,6 +81,21 @@ class ManifestAggPropertySpec extends AnyFunSuite {
           assert(r.getString(4) == ss.min, s"trial $trial mns")
           assert(r.getString(5) == ss.max, s"trial $trial mxs")
         } else assert(r.isNullAt(4) && r.isNullAt(5))
+        // FP min/max under Spark's SQL semantics: NaN is the largest
+        // value; -0.0 == 0.0 (either bit pattern is a correct answer,
+        // which is exactly why the rewrite refuses zero folded bounds)
+        val xs = kept.flatMap(_.x)
+        if (xs.nonEmpty) {
+          val expMn = xs.reduce((a, b) =>
+            if (a.isNaN) b else if (b.isNaN) a else if (b < a) b else a)
+          val expMx = xs.reduce((a, b) =>
+            if (a.isNaN || b.isNaN) Double.NaN else if (b > a) b else a)
+          val (gMn, gMx) = (r.getDouble(6), r.getDouble(7))
+          assert(gMn.isNaN == expMn.isNaN && (gMn.isNaN || gMn == expMn),
+            s"trial $trial mnx: $gMn vs $expMn")
+          assert(gMx.isNaN == expMx.isNaN && (gMx.isNaN || gMx == expMx),
+            s"trial $trial mxx: $gMx vs $expMx")
+        } else assert(r.isNullAt(6) && r.isNullAt(7))
       }
 
       // grouped by the partition column (rewrite eligible only when

@@ -10,9 +10,9 @@ import graft.TestSpark
 /** Metadata-only MIN/MAX (+ count) via ManifestAggRule: with a
   * fully-informed manifest and no outstanding deletes, a global
   * min/max/count aggregate is driver arithmetic over manifest bounds —
-  * zero data I/O; every unprovable shape (filters, fp columns, MOR
-  * delete state, expression projections) falls back to the scan and
-  * stays exact. */
+  * zero data I/O; every unprovable shape (filters, zero/NaN-touched fp
+  * bounds, MOR delete state, expression projections) falls back to the
+  * scan and stays exact. */
 class ManifestAggSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -101,8 +101,8 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(r.getLong(0) == 60L && r.getLong(1) == 90L &&
       r.getLong(2) == 90L)
     assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
-    // count(col) works even for types without exact bounds (double):
-    // null counts are type-agnostic
+    // count(col) never depends on bounds exactness (null counts are
+    // type-agnostic) — fp columns answer it regardless of zero/NaN
     val dd = (1L to 40L).map(i =>
       (i, if (i % 4 == 0) None else Some(i / 3.0))).toDF("k", "x")
     cat.createTable("ns", "d", dd.schema)
@@ -174,6 +174,88 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
   }
 
+  test("float/double min/max answer from the manifest when the folded " +
+      "bounds are provably exact (non-zero, no NaN files)") {
+    val df = (1L to 300L).map(i => (i, i / 7.0, (i * 0.5).toFloat))
+      .toDF("k", "x", "f")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fp"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(3))
+    val q = cat.sql("ns",
+      """SELECT min(x) AS mnx, max(x) AS mxx,
+        |  min(f) AS mnf, max(f) AS mxf FROM t""".stripMargin)
+    val r = q.collect().head
+    assert(r.getDouble(0) == 1 / 7.0 && r.getDouble(1) == 300 / 7.0)
+    assert(r.getFloat(2) == 0.5f && r.getFloat(3) == 150.0f)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // ... and as the MEASURE of a grouped-by-partition rewrite
+    val pdf = (1L to 90L).map(i => (i, s"g${i % 3}", i + 0.25))
+      .toDF("k", "g", "x")
+    val pt = LakeTable.create(spark, TestSpark.tmpDir("magg-fpg") + "/t",
+      pdf.schema, partitionBy = Seq("g"))
+    pt.append(pdf)
+    val gq = pt.scan().groupBy($"g")
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    val rows = gq.collect().map(r0 =>
+      r0.getString(0) -> (r0.getDouble(1), r0.getDouble(2))).toMap
+    assert(rows("g0") == (3.25, 90.25) && rows("g1") == (1.25, 88.25))
+    assert(!hasFileScan(gq), gq.queryExecution.executedPlan.toString)
+  }
+
+  test("FP bounds that fold to ±0.0 block the rewrite: the stored sign " +
+      "is widened, so the scan answers — exact either way") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fp0"))
+    cat.createNamespace("ns")
+    // corpus crossing zero: folded min is negative (exact) but folded
+    // max path must survive a file whose max IS 0.0
+    val df = Seq((1L, -3.5), (2L, -1.0), (3L, 0.0)).toDF("k", "x")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(1))
+    val q = cat.sql("ns", "SELECT min(x) AS mn, max(x) AS mx FROM t")
+    val r = q.collect().head
+    assert(r.getDouble(0) == -3.5 && r.getDouble(1) == 0.0)
+    assert(hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // the DANGEROUS corpus the guard exists for: a file holding -0.0
+    // records widened bounds (-0.0, 0.0); answering max from metadata
+    // would return +0.0 for a value that is bitwise -0.0
+    val dz = Seq((1L, -0.0), (2L, -2.0)).toDF("k", "x")
+    cat.createTable("ns", "z", dz.schema)
+    cat.loadTable("ns", "z").append(dz.repartition(1))
+    val qz = cat.sql("ns", "SELECT max(x) AS mx FROM z")
+    assert(hasFileScan(qz), qz.queryExecution.executedPlan.toString)
+    assert(java.lang.Double.doubleToRawLongBits(
+      qz.collect().head.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+  }
+
+  test("a NaN-bearing file blocks the FP rewrite: fallback scan keeps " +
+      "Spark's NaN-is-largest max semantics") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fpnan"))
+    cat.createNamespace("ns")
+    val df = Seq((1L, 1.5), (2L, Double.NaN), (3L, 7.5)).toDF("k", "x")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df.repartition(1))
+    val q = cat.sql("ns", "SELECT min(x) AS mn, max(x) AS mx FROM t")
+    val r = q.collect().head
+    assert(r.getDouble(0) == 1.5 && r.getDouble(1).isNaN)
+    assert(hasFileScan(q), q.queryExecution.executedPlan.toString)
+  }
+
+  test("FP GROUP KEYS never rewrite (normalized keys could flip a " +
+      "zero's sign): fallback scan, exact") {
+    val df = Seq((1L, 2.5), (2L, 2.5), (3L, 4.5)).toDF("k", "g")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fpkey"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema)
+    cat.loadTable("ns", "t").append(df)
+    val q = cat.sql("ns",
+      "SELECT g, count(*) AS n FROM t GROUP BY g")
+    assert(q.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap ==
+      Map(2.5 -> 2L, 4.5 -> 1L))
+    assert(hasFileScan(q), q.queryExecution.executedPlan.toString)
+  }
+
   test("unprovable shapes fall back to the scan and stay exact") {
     val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
       .toDF("k", "x", "v")
@@ -181,12 +263,6 @@ class ManifestAggSpec extends AnyFunSuite {
     cat.createNamespace("ns")
     cat.createTable("ns", "t", df.schema)
     cat.loadTable("ns", "t").append(df.repartition(3))
-
-    // fp bounds are pruning-widened, never answers: scan, exact
-    val fp = cat.sql("ns", "SELECT min(x) AS mn, max(x) AS mx FROM t")
-    val rfp = fp.collect().head
-    assert(rfp.getDouble(0) == 1 / 7.0 && rfp.getDouble(1) == 300 / 7.0)
-    assert(hasFileScan(fp))
 
     // filters block the rewrite
     val filtered =
