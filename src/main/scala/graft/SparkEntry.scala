@@ -1088,6 +1088,32 @@ WHEN NOT MATCHED THEN INSERT *
       q
     }),
 
+    // FILTERED metadata aggregate (ManifestAggRule's filtered leg): a
+    // partition-scoped freshness probe — count/min/max WHERE part = v —
+    // folds over exactly the files the manifest PROVES match (identity
+    // dir point-stats + zero recorded nulls prove all-match; every
+    // dropped file provably holds no match). At 100 TB this answers
+    // "how fresh is partition X" with zero data I/O; asserted in-query
+    // by the LocalRelation fold.
+    "q_metadata_agg_where" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-metaaggwhere") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders)
+      val q = lt.scan().where(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_okey"),
+          max(col("o_orderkey")).as("max_okey"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_orderdate")).as("max_date"))
+      require(q.queryExecution.optimizedPlan.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "filtered metadata aggregate must fold to a LocalRelation:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q
+    }),
+
     "q_sql_surface" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val wh = tmp("graft-sql")
@@ -3008,6 +3034,14 @@ WHEN NOT MATCHED THEN INSERT *
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders""".stripMargin,
+
+    "q_metadata_agg_where" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_okey,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_orderdate) AS max_date
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q_wap_publish" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

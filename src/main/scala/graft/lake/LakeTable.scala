@@ -3227,26 +3227,55 @@ final class LakeTable private (
     // per-file facts for the GROUPED metadata rewrite (lazy, same
     // provenance as the folds above): physical-name keyed bounds /
     // all-null proofs / null counts per planned file
+    def factsOf(f: String): FileFacts = {
+      val st = ctx.fileStats.getOrElse(f, Map.empty)
+      val rows = ctx.fileInfo(f).rows
+      val cols = logicalSchema.fields.iterator.map { fld =>
+        val nulls = st.get(FileStats.nullsKey(fld.name))
+          .map(_.min.toLong)
+        mapping.getOrElse(fld.name, fld.name) -> ColFacts(
+          if (ManifestAggRule.exactStatType(fld.dataType))
+            st.get(fld.name).map(cs => (cs.min, cs.max))
+          else None,
+          rows == 0L || nulls.contains(rows),
+          nulls)
+      }.toMap
+      FileFacts(rows, cols)
+    }
     val knownFacts: () => Option[Seq[FileFacts]] = () =>
       if (knownRows.isEmpty) None
-      else Some(relFiles.map { f =>
-        val st = ctx.fileStats.getOrElse(f, Map.empty)
-        val rows = ctx.fileInfo(f).rows
-        val cols = logicalSchema.fields.iterator.map { fld =>
-          val nulls = st.get(FileStats.nullsKey(fld.name))
-            .map(_.min.toLong)
-          mapping.getOrElse(fld.name, fld.name) -> ColFacts(
-            if (ManifestAggRule.exactStatType(fld.dataType))
-              st.get(fld.name).map(cs => (cs.min, cs.max))
-            else None,
-            rows == 0L || nulls.contains(rows),
-            nulls)
-        }.toMap
-        FileFacts(rows, cols)
-      })
+      else Some(relFiles.map(factsOf))
+    // FILTERED facts for `SELECT min/max/count … WHERE cond`
+    // (ManifestAggRule's filtered leg): the manifest proves the split
+    // when every file candidateFiles keeps is ALL-MATCH by the same
+    // per-file prover metadata-only DELETE trusts (bounds + null
+    // counts, [[PredicatePruning.allRowsMatch]]) — files it drops
+    // provably hold no match, so the aggregate over the kept files'
+    // facts is exact. One unprovable candidate → None (normal scan).
+    // Identity-partitioned files satisfy equality conditions on the
+    // partition column by construction (dir point-stat, zero nulls).
+    val knownFilteredFacts: org.apache.spark.sql.catalyst.expressions
+        .Expression => Option[Seq[FileFacts]] = cond =>
+      if (knownRows.isEmpty || ctx.fileStats.isEmpty) None
+      else {
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        val logicalCond = cond.transform {
+          case a: AttributeReference if inv.contains(a.name) =>
+            a.withName(inv(a.name))
+        }
+        val types = logicalSchema.fields
+          .map(f => f.name -> f.dataType).toMap
+        val cands = PredicatePruning.candidateFiles(logicalCond,
+          logicalSchema, relFiles, ctx.fileStats)
+        val proven = cands.forall(f =>
+          ctx.fileStats.get(f).exists(fs =>
+            PredicatePruning.allRowsMatch(logicalCond, fs, types,
+              Some(ctx.fileInfo(f).rows))))
+        if (proven) Some(cands.map(factsOf)) else None
+      }
     GraftManifestFileIndex.dataFrame(spark,
       Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,
-      bucketSpec, knownRows, knownProofs, knownFacts)
+      bucketSpec, knownRows, knownProofs, knownFacts, knownFilteredFacts)
   }
 
   /** Bloom pruning for pushed literal equalities (the read-side twin of

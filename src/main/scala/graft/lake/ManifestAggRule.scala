@@ -59,9 +59,13 @@ final case class FileFacts(rows: Long, cols: Map[String, ColFacts])
   *    [[LakeTable]]: every live file either reports exact footer bounds
   *    for the column or is PROVEN all-null via its recorded null count),
   *    or a Union of such per-era sub-scans. Projects must forward the
-  *    attribute unchanged (alias-only); ANYTHING else — Filter, the MOR
-  *    delete anti-joins, limits, samples, expression projects — blocks
-  *    the rewrite and the query runs normally.
+  *    attribute unchanged (alias-only); ANYTHING else — the MOR delete
+  *    anti-joins, limits, samples, expression projects — blocks the
+  *    rewrite and the query runs normally. ONE Filter in the chain
+  *    takes the FILTERED leg ([[filteredRewrite]]): the aggregate folds
+  *    over exactly the files the manifest proves match the condition
+  *    (all-match by bounds + null counts, every dropped file provably
+  *    matchless), else blocks as before.
   *  - the column's type has EXACT manifest bounds. Float/double answer
   *    only under an extra per-fold guard ([[exactFoldedBounds]]): their
   *    recorded bounds are pruning-widened at ±0.0 (FileStats.fpBounds
@@ -179,21 +183,24 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The constant one aggregate call folds to, or None = blocked. */
-  private def aggConstant(ae: AggregateExpression, child: LogicalPlan)
-      : Option[Any] =
+  /** The constant one aggregate call folds to under the given proof
+    * providers, or None = blocked. `relCount` answers `count(*)`;
+    * `proofFor` answers `count(col)`/`min(col)`/`max(col)`. */
+  private def aggConstant(ae: AggregateExpression,
+      relCount: () => Option[Long],
+      proofFor: Attribute => Option[ColumnProof]): Option[Any] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
       case Count(Seq(l: Literal)) if l.value != null =>
-        relationCount(child).map(n => n: Any)
+        relCount().map(n => n: Any)
       case Count(Seq(a: Attribute)) =>
         // null-skipping count(col) = Σ (rows − recorded nulls)
-        attrProof(child, a).flatMap(_.nonNull).map(n => n: Any)
+        proofFor(a).flatMap(_.nonNull).map(n => n: Any)
       case Min(a: Attribute) if exactStatType(a.dataType) =>
-        attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
+        proofFor(a).flatMap(_.bounds).map(_.map(b =>
           internalValue(a.dataType, b._1)).orNull)
       case Max(a: Attribute) if exactStatType(a.dataType) =>
-        attrProof(child, a).flatMap(_.bounds).map(_.map(b =>
+        proofFor(a).flatMap(_.bounds).map(_.map(b =>
           internalValue(a.dataType, b._2)).orNull)
       case _ => None
     }
@@ -203,13 +210,14 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     * surrounding expression tree (what CollapseProject merged into the
     * Aggregate — `max(k) − min(k)`, `unix_micros(max(ts))`, …) then
     * folds by ordinary evaluation over the substituted constants. */
-  private def constantFor(e: NamedExpression, child: LogicalPlan)
-      : Option[Any] = e match {
+  private def constantFor(e: NamedExpression,
+      relCount: () => Option[Long],
+      proofFor: Attribute => Option[ColumnProof]): Option[Any] = e match {
     case Alias(expr, _) =>
       var ok = true
       val substituted = expr.transformUp {
         case ae: AggregateExpression =>
-          aggConstant(ae, child) match {
+          aggConstant(ae, relCount, proofFor) match {
             case Some(v) => Literal(v, ae.dataType)
             case None => ok = false; ae
           }
@@ -392,16 +400,91 @@ object ManifestAggRule extends Rule[LogicalPlan] {
       isStreaming = false, stream = None))
   }
 
+  // ------------------------------------------------- filtered rewrite
+
+  /** Resolve `attr` like [[resolveAttr]] but ALSO through Filter nodes
+    * (attribute-transparent). Used ONLY by the filtered rewrite, where
+    * the filter's effect is carried by the facts subset — the grouped
+    * rewrite must keep the strict walk (a filter it looked through
+    * would silently be ignored). */
+  private def resolveAttrF(p: LogicalPlan, attr: Attribute)
+      : Option[(GraftManifestFileIndex, String)] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
+      resolveAttrF(child, attr)
+    case Project(projList, child) =>
+      projList.find(_.exprId == attr.exprId) match {
+        case Some(ar: AttributeReference) => resolveAttrF(child, ar)
+        case Some(Alias(ar: AttributeReference, _)) =>
+          resolveAttrF(child, ar)
+        case _ => None
+      }
+    case _ => resolveAttr(p, attr)
+  }
+
+  /** Metadata rewrite of `SELECT min/max/count … FROM t WHERE cond`:
+    * when the alias-only Project chain holds exactly one Filter over a
+    * manifest-backed relation and the manifest PROVES the file split
+    * (every possibly-matching file all-match, the rest no-match — the
+    * same per-file prover metadata-only DELETE uses), the aggregates
+    * fold over the matching files' facts. Partition-scoped freshness
+    * probes (`WHERE part = v`) answer with zero data I/O at any scale;
+    * range conditions answer exactly when they align with file bounds
+    * (a straddling file blocks the proof and the query runs normally).
+    * Zero matching files folds to SQL's empty-input row: count 0,
+    * min/max NULL. */
+  private def filteredRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    def find(p: LogicalPlan): Option[(Expression, LogicalPlan)] =
+      p match {
+        case Project(projList, child) if projList.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } => find(child)
+        case org.apache.spark.sql.catalyst.plans.logical
+            .Filter(cond, child) => Some((cond, child))
+        case _ => None
+      }
+    val (cond, below) = find(agg.child).getOrElse(return None)
+    if (!cond.deterministic) return None
+    val condAttrs = cond.references.toSeq
+    if (condAttrs.isEmpty) return None
+    val resolved = condAttrs.map(a =>
+      a -> resolveAttr(below, a).getOrElse(return None))
+    val idx = resolved.head._2._1
+    if (!resolved.forall(_._2._1 eq idx)) return None
+    val nameOf = resolved.map { case (a, (_, n)) => a.exprId -> n }.toMap
+    val physCond = cond.transformUp {
+      case a: AttributeReference if nameOf.contains(a.exprId) =>
+        a.withName(nameOf(a.exprId))
+    }
+    val facts = idx.filteredFacts(physCond).getOrElse(return None)
+    val relCount = () => Some(facts.map(_.rows).sum)
+    def proofFor(a: Attribute): Option[ColumnProof] =
+      resolveAttrF(agg.child, a) match {
+        case Some((i2, n2)) if i2 eq idx =>
+          Some(foldProofs(facts, n2, a.dataType))
+        case _ => None
+      }
+    val values = agg.aggregateExpressions
+      .map(constantFor(_, relCount, proofFor))
+    if (values.forall(_.isDefined))
+      Some(LocalRelation(agg.output,
+        Seq(InternalRow.fromSeq(values.map(_.get))),
+        isStreaming = false, stream = None))
+    else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.nonEmpty =>
-      val values = agg.aggregateExpressions.map(constantFor(_, agg.child))
+      val values = agg.aggregateExpressions.map(constantFor(_,
+        () => relationCount(agg.child), attrProof(agg.child, _)))
       if (values.forall(_.isDefined))
         LocalRelation(agg.output,
           Seq(InternalRow.fromSeq(values.map(_.get))),
           isStreaming = false, stream = None)
-      else agg
+      else filteredRewrite(agg).getOrElse(agg)
     case agg: Aggregate if agg.aggregateExpressions.nonEmpty =>
       groupedRewrite(agg).getOrElse(agg)
   }

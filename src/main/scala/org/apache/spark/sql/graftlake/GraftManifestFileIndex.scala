@@ -62,7 +62,16 @@ class GraftManifestFileIndex(
     /** Thunk producing per-file facts for the GROUPED metadata rewrite
       * (None = some file lacks manifest info). Lazily forced. */
     knownFileFacts: () => Option[Seq[graft.lake.FileFacts]] =
-      () => None)
+      () => None,
+    /** FILTERED facts for the metadata rewrite of
+      * `SELECT min/max/count … WHERE cond`: given the condition in this
+      * scan's physical column names, returns per-file facts for exactly
+      * the files whose rows survive it — defined only when the manifest
+      * PROVES the split (every possibly-matching file is proven
+      * all-match via bounds + null counts, every other file provably
+      * holds no match). None = not provable; the query runs normally. */
+    knownFilteredFacts: Expression => Option[Seq[graft.lake.FileFacts]] =
+      _ => None)
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], parameters,
     Some(userSchema), NoopCache) {
@@ -75,6 +84,12 @@ class GraftManifestFileIndex(
     * grouped rewrite. */
   lazy val fileFacts: Option[Seq[graft.lake.FileFacts]] =
     knownFileFacts()
+
+  /** Per-condition facts for the FILTERED metadata rewrite — evaluated
+    * per call (conditions vary), only by [[graft.lake.ManifestAggRule]]
+    * on plans it might rewrite. */
+  def filteredFacts(cond: Expression): Option[Seq[graft.lake.FileFacts]] =
+    knownFilteredFacts(cond)
 
   private val leaves: LinkedHashMap[Path, FileStatus] = {
     val m = LinkedHashMap.empty[Path, FileStatus]
@@ -126,7 +141,9 @@ object GraftManifestFileIndex {
       knownColumnProofs: () => Map[String, graft.lake.ColumnProof] =
         () => Map.empty,
       knownFileFacts: () => Option[Seq[graft.lake.FileFacts]] =
-        () => None): DataFrame = {
+        () => None,
+      knownFilteredFacts: Expression => Option[Seq[graft.lake.FileFacts]] =
+        _ => None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     // file sources always read under a nullable schema (DataFrameReader
     // applies `asNullable` to user schemas; a file CAN hold nulls
@@ -134,7 +151,8 @@ object GraftManifestFileIndex {
     // non-nullable long column would silently read nulls as 0
     val fullSchema = schema.asNullable
     val index = new GraftManifestFileIndex(cs, parameters, fullSchema,
-      statuses, prune, knownRowCount, knownColumnProofs, knownFileFacts)
+      statuses, prune, knownRowCount, knownColumnProofs, knownFileFacts,
+      knownFilteredFacts)
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partNames(f.name)))

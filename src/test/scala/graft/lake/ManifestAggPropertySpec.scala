@@ -109,6 +109,23 @@ class ManifestAggPropertySpec extends AnyFunSuite {
         p -> ((rs.size.toLong, rs.map(_.k).min, rs.map(_.k).max))
       }
       assert(got == exp, s"trial $trial grouped (partitioned=$partitioned)")
+
+      // FILTERED aggregates (rewrite eligible only when the split is
+      // provable — partitioned equality usually is; the VALUES must
+      // hold whichever path answered)
+      val fv = Seq(Some("p0"), Some("p1"), Some("p2"), None)(rnd.nextInt(4))
+      val cond = fv.map(v => $"p" === v).getOrElse($"p".isNull)
+      val fr = t.scan().where(cond).agg(
+        count(lit(1)).as("n"), count($"s").as("ns"),
+        min($"k").as("mn"), max($"k").as("mx")).collect().head
+      val fkept = kept.filter(r => r.p == fv)
+      assert(fr.getLong(0) == fkept.size, s"trial $trial filtered n")
+      assert(fr.getLong(1) == fkept.count(_.s.isDefined),
+        s"trial $trial filtered ns")
+      if (fkept.nonEmpty) {
+        assert(fr.getLong(2) == fkept.map(_.k).min &&
+          fr.getLong(3) == fkept.map(_.k).max, s"trial $trial filtered mm")
+      } else assert(fr.isNullAt(2) && fr.isNullAt(3))
     }
   }
 }

@@ -256,6 +256,79 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(hasFileScan(q), q.queryExecution.executedPlan.toString)
   }
 
+  test("FILTERED aggregates answer from the manifest when the file " +
+      "split is proven: partition equality, zero data I/O") {
+    val df = (1L to 120L).map(i =>
+      (i, s"p${i % 3}", i * 1.5, if (i % 4 == 0) None else Some(s"v$i")))
+      .toDF("k", "p", "x", "v")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fw"))
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t", df.schema, partitionBy = Seq("p"))
+    t.append(df.repartition(2))
+    val q = cat.sql("ns",
+      """SELECT count(*) AS n, count(v) AS nv, min(k) AS mn,
+        |  max(k) AS mx, max(x) AS mxx, max(k) - min(k) AS span
+        |FROM t WHERE p = 'p1'""".stripMargin)
+    val r = q.collect().head
+    val keys = (1L to 120L).filter(_ % 3 == 1)
+    assert(r.getLong(0) == keys.size)
+    assert(r.getLong(1) == keys.count(_ % 4 != 0))
+    assert(r.getLong(2) == keys.min && r.getLong(3) == keys.max)
+    assert(r.getDouble(4) == keys.max * 1.5)
+    assert(r.getLong(5) == keys.max - keys.min)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // IS NULL partition condition folds over the null-dir files
+    val nf = df.withColumn("p",
+      when($"k" % 2 === 0, $"p").otherwise(lit(null)))
+    val t2 = cat.createTable("ns", "t2", nf.schema, partitionBy = Seq("p"))
+    t2.append(nf)
+    val qn = cat.sql("ns",
+      "SELECT count(*) AS n, min(k) AS mn FROM t2 WHERE p IS NULL")
+    val rn = qn.collect().head
+    assert(rn.getLong(0) == 60L && rn.getLong(1) == 1L)
+    assert(!hasFileScan(qn), qn.queryExecution.executedPlan.toString)
+    // zero matching files: SQL's empty-input row, still metadata-only
+    val qe = cat.sql("ns",
+      "SELECT count(*) AS n, min(k) AS mn FROM t WHERE p = 'absent'")
+    val re = qe.collect().head
+    assert(re.getLong(0) == 0L && re.isNullAt(1))
+    assert(!hasFileScan(qe), qe.queryExecution.executedPlan.toString)
+  }
+
+  test("FILTERED aggregates: a range aligned with file bounds answers; " +
+      "a straddling range falls back — exact either way") {
+    val df = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fwr"))
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t", df.schema)
+    // two appends with DISJOINT key ranges = file-aligned cut at 100
+    t.append(df.where($"k" <= 100).repartition(1))
+    t.append(df.where($"k" > 100).repartition(1))
+    val aligned = cat.sql("ns",
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM t " +
+        "WHERE k > 100")
+    val ra = aligned.collect().head
+    assert(ra.getLong(0) == 100L && ra.getLong(1) == 101L &&
+      ra.getLong(2) == 200L)
+    assert(!hasFileScan(aligned),
+      aligned.queryExecution.executedPlan.toString)
+    // a cut through a file blocks the proof: normal pruned scan, exact
+    val straddle = cat.sql("ns",
+      "SELECT count(*) AS n, min(k) AS mn FROM t WHERE k > 150")
+    val rs = straddle.collect().head
+    assert(rs.getLong(0) == 50L && rs.getLong(1) == 151L)
+    assert(hasFileScan(straddle))
+    // MOR delete state blocks it by plan shape (anti-join below filter)
+    val tm = cat.createTable("ns", "tm", df.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    tm.append(df.where($"k" <= 100))
+    tm.append(df.where($"k" > 100))
+    tm.deleteByKeys(Seq(101L).toDF("k"), Seq("k"))
+    val qm = cat.sql("ns", "SELECT count(*) AS n FROM tm WHERE k > 100")
+    assert(qm.collect().head.getLong(0) == 99L)
+    assert(hasFileScan(qm))
+  }
+
   test("unprovable shapes fall back to the scan and stay exact") {
     val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
       .toDF("k", "x", "v")
@@ -312,5 +385,12 @@ class ManifestAggSpec extends AnyFunSuite {
     val r = q.collect().head
     assert(r.getLong(0) == 1L && r.getLong(1) == 60L)
     assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // the FILTERED leg resolves the renamed column to its physical
+    // name too (file bounds prove `b >= 1` all-match)
+    val qf = t.scan().where($"b" >= 1L)
+      .agg(count(lit(1)).as("n"), max($"b").as("mx"))
+    val rf = qf.collect().head
+    assert(rf.getLong(0) == 60L && rf.getLong(1) == 60L)
+    assert(!hasFileScan(qf), qf.queryExecution.executedPlan.toString)
   }
 }
