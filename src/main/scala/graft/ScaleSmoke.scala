@@ -257,6 +257,37 @@ object ScaleSmoke {
         r.getLong(4))).toMap
     require(got == truth, "metadata answer != ground truth")
     println("[magg] PASS (values equal ground truth)")
+
+    // FILTERED leg: the single-partition freshness probe — the split
+    // proof walks all entries but folds only the matching ~1% of files
+    val fsql = """SELECT count(*) AS n, min(o_orderkey) AS mn,
+                 |  max(o_orderkey) AS mx FROM wide
+                 |WHERE grp = 42""".stripMargin
+    (1 to 3).foreach { run =>
+      t0 = System.nanoTime()
+      val df = cat.sql("ns", fsql)
+      val row = df.collect().head
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("FileSourceScan") &&
+        !plan.contains("Scan parquet"),
+        "filtered metadata aggregate planned a file scan")
+      println(f"[magg] filtered run $run: n=${row.getLong(0)} " +
+        f"in $secs%.3f s (plan = LocalTableScan only)")
+    }
+    // contrast + ground truth: the same probe as a real scan of the
+    // raw fixture parquet
+    t0 = System.nanoTime()
+    val ft = orders.where(col("grp") === 42).agg(count(lit(1)).as("n"),
+      min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .collect().head
+    println(f"[magg] filtered contrast (raw parquet scan): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val fr = cat.sql("ns", fsql).collect().head
+    require((fr.getLong(0), fr.getLong(1), fr.getLong(2)) ==
+      (ft.getLong(0), ft.getLong(1), ft.getLong(2)),
+      "filtered metadata answer != ground truth")
+    println("[magg] filtered PASS (values equal ground truth)")
     spark.stop()
   }
 

@@ -308,12 +308,24 @@ object ManifestAggRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (gAttrs.isEmpty) return None
+    // ONE Filter in the chain composes with the grouped fold: groups
+    // form over the PROVEN matching files only (filteredFacts — same
+    // contract as the global filtered leg); attributes then resolve
+    // through the filter. No filter → all files.
+    val filterSplit = findFilter(agg.child)
+    val resolve: (LogicalPlan, Attribute) =>
+        Option[(GraftManifestFileIndex, String)] =
+      if (filterSplit.isDefined) resolveAttrF else resolveAttr
     val resolved = gAttrs.map(a =>
-      resolveAttr(agg.child, a).getOrElse(return None))
+      resolve(agg.child, a).getOrElse(return None))
     val idx = resolved.head._1
     if (!resolved.forall(_._1 eq idx)) return None
     val gNames = resolved.map(_._2)
-    val files = idx.fileFacts.getOrElse(return None)
+    val files = (filterSplit match {
+      case Some((cond, below)) =>
+        physicalCond(cond, below, idx).flatMap(idx.filteredFacts)
+      case None => idx.fileFacts
+    }).getOrElse(return None)
     // assign every file wholly to one group (a point value or NULL per
     // grouping column), or give up
     val groups = scala.collection.mutable.LinkedHashMap
@@ -361,14 +373,14 @@ object ManifestAggRule extends Rule[LogicalPlan] {
               case Count(Seq(l: Literal)) if l.value != null =>
                 Some(gf.map(_.rows).sum: Any)
               case Count(Seq(a: Attribute)) =>
-                resolveAttr(agg.child, a) match {
+                resolve(agg.child, a) match {
                   case Some((i2, n2)) if i2 eq idx =>
                     foldProofs(gf.toSeq, n2, a.dataType).nonNull
                       .map(n => n: Any)
                   case _ => None
                 }
               case Min(a: Attribute) if exactStatType(a.dataType) =>
-                resolveAttr(agg.child, a) match {
+                resolve(agg.child, a) match {
                   case Some((i2, n2)) if i2 eq idx =>
                     foldProofs(gf.toSeq, n2, a.dataType).bounds
                       .map(_.map(b => internalValue(a.dataType, b._1))
@@ -376,7 +388,7 @@ object ManifestAggRule extends Rule[LogicalPlan] {
                   case _ => None
                 }
               case Max(a: Attribute) if exactStatType(a.dataType) =>
-                resolveAttr(agg.child, a) match {
+                resolve(agg.child, a) match {
                   case Some((i2, n2)) if i2 eq idx =>
                     foldProofs(gf.toSeq, n2, a.dataType).bounds
                       .map(_.map(b => internalValue(a.dataType, b._2))
@@ -432,31 +444,47 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     * (a straddling file blocks the proof and the query runs normally).
     * Zero matching files folds to SQL's empty-input row: count 0,
     * min/max NULL. */
-  private def filteredRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    def find(p: LogicalPlan): Option[(Expression, LogicalPlan)] =
-      p match {
-        case Project(projList, child) if projList.forall {
-            case _: AttributeReference => true
-            case Alias(_: AttributeReference, _) => true
-            case _ => false
-          } => find(child)
-        case org.apache.spark.sql.catalyst.plans.logical
-            .Filter(cond, child) => Some((cond, child))
-        case _ => None
-      }
-    val (cond, below) = find(agg.child).getOrElse(return None)
+  /** The single Filter in an alias-only Project chain, with the plan
+    * below it. None = no filter at the top of the chain (a deeper one,
+    * or any non-alias shape, leaves the chain unmatched elsewhere). */
+  private def findFilter(p: LogicalPlan)
+      : Option[(Expression, LogicalPlan)] = p match {
+    case Project(projList, child) if projList.forall {
+        case _: AttributeReference => true
+        case Alias(_: AttributeReference, _) => true
+        case _ => false
+      } => findFilter(child)
+    case org.apache.spark.sql.catalyst.plans.logical
+        .Filter(cond, child) => Some((cond, child))
+    case _ => None
+  }
+
+  /** `cond` rebased to `idx`'s physical column names — None when any
+    * referenced attribute does not resolve to exactly `idx`, the
+    * condition is non-deterministic, or it references nothing (a
+    * constant filter is not this rewrite's business). */
+  private def physicalCond(cond: Expression, below: LogicalPlan,
+      idx: GraftManifestFileIndex): Option[Expression] = {
     if (!cond.deterministic) return None
     val condAttrs = cond.references.toSeq
     if (condAttrs.isEmpty) return None
     val resolved = condAttrs.map(a =>
       a -> resolveAttr(below, a).getOrElse(return None))
-    val idx = resolved.head._2._1
     if (!resolved.forall(_._2._1 eq idx)) return None
     val nameOf = resolved.map { case (a, (_, n)) => a.exprId -> n }.toMap
-    val physCond = cond.transformUp {
+    Some(cond.transformUp {
       case a: AttributeReference if nameOf.contains(a.exprId) =>
         a.withName(nameOf(a.exprId))
-    }
+    })
+  }
+
+  private def filteredRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (cond, below) = findFilter(agg.child).getOrElse(return None)
+    // derive the index from the condition's own attributes
+    val anchor = cond.references.toSeq.headOption
+      .flatMap(a => resolveAttr(below, a)).getOrElse(return None)
+    val idx = anchor._1
+    val physCond = physicalCond(cond, below, idx).getOrElse(return None)
     val facts = idx.filteredFacts(physCond).getOrElse(return None)
     val relCount = () => Some(facts.map(_.rows).sum)
     def proofFor(a: Attribute): Option[ColumnProof] =

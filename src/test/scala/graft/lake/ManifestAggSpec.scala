@@ -329,6 +329,57 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(hasFileScan(qm))
   }
 
+  test("FILTERED + GROUPED compose: per-partition answers over only " +
+      "the proven matching files, no scan") {
+    val df = (1L to 180L).map(i =>
+      (i, s"d${i % 2}", s"s${i % 3}")).toDF("k", "day", "src")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("magg-fg"))
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t", df.schema,
+      partitionBy = Seq("day", "src"))
+    // ONE file per (day, src) dir spanning the full k range, so a k
+    // cut below provably straddles every file
+    t.append(df.repartition(1))
+    val q = cat.sql("ns",
+      """SELECT src, count(*) AS n, min(k) AS mn, max(k) AS mx
+        |FROM t WHERE day = 'd1' GROUP BY src""".stripMargin)
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val keys = (1L to 180L).filter(_ % 2 == 1)
+    val exp = keys.groupBy(k => s"s${k % 3}").map { case (s, ks) =>
+      (s, ks.size.toLong, ks.min, ks.max)
+    }.toSet
+    assert(got == exp && got.size == 3)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // a filter the manifest cannot prove still blocks the grouped fold
+    val qf = cat.sql("ns",
+      "SELECT src, count(*) AS n FROM t WHERE k > 90 GROUP BY src")
+    assert(qf.collect().map(_.getLong(1)).sum == 90L)
+    assert(hasFileScan(qf))
+  }
+
+  test("time-travel scans get the metadata rewrite against the " +
+      "HISTORICAL manifest") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = LakeTable.create(spark, TestSpark.tmpDir("magg-tt") + "/t",
+      df.schema)
+    t.append(df.where($"k" <= 60))                       // snap 2
+    val histSnap = t.currentSnapshotId.get
+    t.append(df.where($"k" > 60))                        // snap 3
+    t.delete($"k" <= 10)                                 // COW rewrite
+    val q = t.scanAt(histSnap).agg(count(lit(1)).as("n"),
+      min($"k").as("mn"), max($"k").as("mx"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 60L && r.getLong(1) == 1L &&
+      r.getLong(2) == 60L)
+    assert(!hasFileScan(q), q.queryExecution.executedPlan.toString)
+    // HEAD answers the post-delete state from its own manifest
+    val qh = t.scan().agg(count(lit(1)).as("n"), min($"k").as("mn"))
+    val rh = qh.collect().head
+    assert(rh.getLong(0) == 90L && rh.getLong(1) == 11L)
+    assert(!hasFileScan(qh), qh.queryExecution.executedPlan.toString)
+  }
+
   test("unprovable shapes fall back to the scan and stay exact") {
     val df = (1L to 300L).map(i => (i, i / 7.0, s"v$i"))
       .toDF("k", "x", "v")
