@@ -1114,6 +1114,36 @@ WHEN NOT MATCHED THEN INSERT *
       q
     }),
 
+    // replaceWhere (≡ Delta replaceWhere / Iceberg row-filter
+    // overwrite): atomically restate ONE partition — the daily
+    // correction write. The delete side is pure metadata on an
+    // identity-partitioned table (fully-covered files drop from the
+    // manifest driver-side; untouched partitions carry their files),
+    // so at 100 TB the swap costs the new batch's write plus zero
+    // rewrites. The in-query require pins the untouched partitions'
+    // files as CARRIED, not rewritten.
+    "q_replace_where" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-replacewhere") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"))
+      lt.append(orders)
+      val before = lt.currentSnapshot.get
+      val untouched = before.liveFiles
+        .filterNot(_.contains("o_orderpriority=1-URGENT")).toSet
+      val restated = orders.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      lt.overwriteWhere(restated,
+        col("o_orderpriority") === "1-URGENT")
+      val after = lt.currentSnapshot.get
+      require(untouched.subsetOf(after.liveFiles.toSet),
+        "untouched partitions must carry their files, not rewrite")
+      lt.scan().select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }),
+
     "q_sql_surface" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val wh = tmp("graft-sql")
@@ -3034,6 +3064,17 @@ WHEN NOT MATCHED THEN INSERT *
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders""".stripMargin,
+
+    "q_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice * 2, 2) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q_metadata_agg_where" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

@@ -404,7 +404,18 @@ object LakeSql {
       i: InsertIntoStatement): DataFrame = {
     val lt = cat.loadTable(ns, tableNameOf(i.table))
     val positioned = alignedInsertRows(cat, lt, i)
-    if (i.overwrite) lt.overwrite(positioned) else lt.append(positioned)
+    if (i.overwrite) {
+      // dynamic mode (Spark's partitionOverwriteMode contract, also a
+      // per-table property): INSERT OVERWRITE on an identity-partitioned
+      // table replaces only the partitions present in the batch
+      val dynamic = lt.properties.get("write.partition-overwrite-mode")
+        .orElse(cat.spark.conf
+          .getOption("spark.sql.sources.partitionOverwriteMode"))
+        .exists(_.equalsIgnoreCase("dynamic")) &&
+        lt.identityPartitionColumns.nonEmpty
+      if (dynamic) lt.overwritePartitions(positioned)
+      else lt.overwrite(positioned)
+    } else lt.append(positioned)
     cat.spark.emptyDataFrame
   }
 

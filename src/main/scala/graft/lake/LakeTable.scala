@@ -178,6 +178,11 @@ final class LakeTable private (
     * transform specs like `bucket(8, key)` — see [[PartitionSpec]]). */
   def partitionColumns: Seq[String] = current.partitionColumns
 
+  /** Source columns of the CURRENT spec's identity partition fields —
+    * the columns dynamic partition overwrite replaces by. */
+  def identityPartitionColumns: Seq[String] =
+    partitionFields.filter(_.isIdentity).map(_.source)
+
   private def partitionFields: Seq[PartitionSpec.Field] =
     PartitionSpec.parseAll(current.partitionColumns)
 
@@ -1734,6 +1739,91 @@ final class LakeTable private (
     commit(base, "overwrite", added = added, removed = base.liveFiles,
       live = added, addedStats = stats, addedInfo = info, deletesOverride = Some(Nil),
       posDeletesOverride = Some(Nil), dvOverride = Some(Nil))
+  }
+
+  /** Predicate-scoped overwrite (≡ Delta `replaceWhere` / Iceberg's
+    * `OverwriteFiles` with a row filter): atomically replace exactly
+    * the rows matching `predicate` with `df`'s rows — ONE commit, so a
+    * reader never observes the region half-swapped and time travel
+    * keeps the pre-swap state. Every incoming row must satisfy
+    * `predicate` (checked in one probe job BEFORE anything moves —
+    * Delta's constraint-checked contract; a violating batch would
+    * silently leak rows out of the replaced region). The delete side
+    * reuses the COW DELETE machinery: stats-pruned candidates, files
+    * fully covered by the proof drop as pure metadata, only straddling
+    * files rewrite (their non-matching rows carry over with
+    * outstanding MOR deletes folded). A partition-sync on a 100 TB
+    * table thus rewrites nothing and swaps file lists driver-side. */
+  def overwriteWhere(df: DataFrame,
+      predicate: org.apache.spark.sql.Column): Long =
+    rewriteWithRetry(() => overwriteWhereImpl(df, predicate))
+
+  private def overwriteWhereImpl(df: DataFrame,
+      predicate: org.apache.spark.sql.Column): Long = {
+    autoEvolveFor(df)
+    val base = current
+    val aligned = alignToSchema(df)
+    val violating = aligned.where(!coalesce(predicate, lit(false)))
+      .limit(1).count()
+    require(violating == 0L,
+      s"overwriteWhere: the replacement batch contains rows that do " +
+        s"not satisfy the predicate ($predicate) — they would leak " +
+        "outside the replaced region; widen the predicate or filter " +
+        "the batch")
+    // delete side (COW semantics regardless of delete-mode: an
+    // overwrite is a rewrite op, like Delta's replaceWhere)
+    val candidates = pruneByPredicate(base, predicate)
+    val covered = analyzedCond(predicate)
+      .map(c => fullyCovered(base, c, candidates)).getOrElse(Nil)
+    val rest = candidates.diff(covered)
+    val affected =
+      if (rest.isEmpty) Nil
+      else readFilesWithName(rest)
+        .where(predicate)
+        .select(FILE_COL).distinct()
+        .collect().map(r => relativize(r.getString(0))).toSeq
+    val WriteResult(addedSurv, statsS, infoS) =
+      if (affected.isEmpty) WriteResult(Nil, Map.empty, Map.empty)
+      else writeDataFiles(readFilesForRewrite(base, affected)
+        .where(!coalesce(predicate, lit(false))))
+    val WriteResult(addedNew, statsN, infoN) =
+      writeDataFiles(distributeForWrite(aligned))
+    val removed = covered ++ affected
+    val added = addedSurv ++ addedNew
+    commit(base, "overwrite-where", added = added, removed = removed,
+      live = base.liveFiles.diff(removed) ++ added,
+      addedStats = statsS ++ statsN, addedInfo = infoS ++ infoN)
+  }
+
+  /** Dynamic partition overwrite (≡ Iceberg `INSERT OVERWRITE` in
+    * dynamic mode / Spark's `partitionOverwriteMode=dynamic`): replace
+    * exactly the identity partitions PRESENT in `df`, leave every
+    * other partition untouched — the daily-restatement write shape.
+    * Implemented as [[overwriteWhere]] over the batch's distinct
+    * partition tuples (one tiny distinct over the batch), so the
+    * replaced partitions drop as metadata and nothing rewrites. The
+    * tuple count is capped: beyond it the predicate tree stops being a
+    * sane plan, and a batch restating that much of the table should
+    * say so explicitly with overwriteWhere/overwrite. */
+  def overwritePartitions(df: DataFrame): Long = {
+    val parts = partitionFields.filter(_.isIdentity).map(_.source)
+    require(parts.nonEmpty,
+      "overwritePartitions requires identity partition columns " +
+        "(use overwrite/overwriteWhere on an unpartitioned table)")
+    val aligned = alignToSchema(df)
+    val tuples = aligned.select(parts.map(col): _*).distinct()
+      .limit(1001).collect()
+    require(tuples.length <= 1000,
+      "overwritePartitions: batch touches more than 1000 distinct " +
+        "partitions — use overwriteWhere with an explicit predicate")
+    require(tuples.nonEmpty, "overwritePartitions: empty batch")
+    val predicate = tuples.map { t =>
+      parts.zipWithIndex.map { case (p, i) =>
+        if (t.isNullAt(i)) col(p).isNull
+        else col(p) === lit(t.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    overwriteWhere(aligned, predicate)
   }
 
   /** Copy-on-write MERGE: upsert `source` into this table keyed on `keys`
