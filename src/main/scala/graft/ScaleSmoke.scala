@@ -68,6 +68,11 @@ object ScaleSmoke {
       fsProbe()
       return
     }
+    if (args.headOption.contains("replace-where")) {
+      replaceWhereSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(20))
+      return
+    }
     if (args.headOption.contains("stream-probe")) {
       streamProbe(args.lift(1).map(_.toInt).getOrElse(200))
       return
@@ -994,6 +999,56 @@ object ScaleSmoke {
 
   /** `fs-probe`: micro-latencies of the Hadoop fs operations the commit
     * path performs, isolating where the per-commit milliseconds go. */
+  /** replaceWhere at file depth: a `tasks × 100`-file identity-
+    * partitioned table, restate ONE partition. The delete side must be
+    * pure metadata (removed = exactly that partition's files, zero
+    * survivor rewrites), so the commit costs the new batch's write +
+    * driver-side manifest arithmetic however many files the table
+    * holds; the full-overwrite contrast rewrites everything. */
+  private def replaceWhereSmoke(sfDir: String, tasks: Int): Unit = {
+    val spark = smokeSession("graft-replacewhere-smoke")
+    val work = Files.createTempDirectory("graft-rw-scale").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 100).as("grp"), col("o_totalprice"))
+    val cat = new LakeCatalog(spark, s"$work/warehouse")
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", orders.schema, partitionBy = Seq("grp"))
+    val t = cat.loadTable("ns", "t")
+    var t0 = System.nanoTime()
+    t.append(orders.repartition(tasks, col("o_orderkey")))
+    val entries = t.currentSnapshot.get.liveFiles.size
+    println(f"[rw] seeded $entries files in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val before = t.currentSnapshot.get
+    val grpFiles = before.liveFiles.filter(_.contains("grp=42")).toSet
+    val batch = orders.where(col("grp") === 42)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t0 = System.nanoTime()
+    t.overwriteWhere(batch, col("grp") === 42)
+    val rwSecs = (System.nanoTime() - t0) / 1e9
+    val after = t.currentSnapshot.get
+    val removed = before.liveFiles.toSet -- after.liveFiles.toSet
+    require(removed == grpFiles,
+      s"expected exactly grp=42's ${grpFiles.size} files removed, " +
+        s"got ${removed.size}")
+    require((after.liveFiles.toSet -- before.liveFiles.toSet)
+        .forall(_.contains("grp=42")),
+      "every added file must land in the restated partition")
+    println(f"[rw] restated 1/100 partitions (${grpFiles.size} files " +
+      f"dropped as metadata, zero survivor rewrites) in $rwSecs%.2f s")
+    require(t.scan().count() == orders.count(), "row conservation")
+
+    // contrast: the full overwrite rewrites the whole table
+    t0 = System.nanoTime()
+    t.overwrite(orders.repartition(tasks, col("o_orderkey")))
+    println(f"[rw] full-overwrite contrast (all $entries files " +
+      f"rewritten): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println("[rw] PASS")
+    spark.stop()
+  }
+
   private def fsProbe(): Unit = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
