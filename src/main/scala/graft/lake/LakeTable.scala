@@ -1756,12 +1756,18 @@ final class LakeTable private (
     * table thus rewrites nothing and swaps file lists driver-side. */
   def overwriteWhere(df: DataFrame,
       predicate: org.apache.spark.sql.Column): Long =
-    rewriteWithRetry(() => overwriteWhereImpl(df, predicate))
+    rewriteWithRetry(() => overwriteWhereImpl(df, predicate, None))
 
   private def overwriteWhereImpl(df: DataFrame,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column,
+      txn: Option[(String, Long)]): Long = {
     autoEvolveFor(df)
     val base = current
+    // exactly-once replay guard (same `txn.<app>` watermark as
+    // appendOnce/mergeOnce): a replayed restatement batch skips
+    if (txn.exists { case (app, v) =>
+        base.properties.get(s"txn.$app").exists(_.toLong >= v) })
+      return base.snapshotId
     val aligned = alignToSchema(df)
     val violating = aligned.where(!coalesce(predicate, lit(false)))
       .limit(1).count()
@@ -1792,7 +1798,10 @@ final class LakeTable private (
     val added = addedSurv ++ addedNew
     commit(base, "overwrite-where", added = added, removed = removed,
       live = base.liveFiles.diff(removed) ++ added,
-      addedStats = statsS ++ statsN, addedInfo = infoS ++ infoN)
+      addedStats = statsS ++ statsN, addedInfo = infoS ++ infoN,
+      propertiesOverride = txn.map { case (app, v) =>
+        base.properties + (s"txn.$app" -> v.toString)
+      })
   }
 
   /** Dynamic partition overwrite (≡ Iceberg `INSERT OVERWRITE` in
@@ -1805,11 +1814,31 @@ final class LakeTable private (
     * tuple count is capped: beyond it the predicate tree stops being a
     * sane plan, and a batch restating that much of the table should
     * say so explicitly with overwriteWhere/overwrite. */
-  def overwritePartitions(df: DataFrame): Long = {
+  def overwritePartitions(df: DataFrame): Long =
+    rewriteWithRetry(() => overwritePartitionsImpl(df, None))
+
+  /** Streaming twin of [[overwritePartitions]] (the per-trigger
+    * restatement sink): rides the same `txn.<appId>` watermark as
+    * [[appendOnce]]/[[mergeOnce]], so a crash-replayed micro-batch
+    * restates nothing twice — exactly-once table content from
+    * at-least-once replay. */
+  def overwritePartitionsOnce(df: DataFrame, appId: String,
+      version: Long): Long =
+    rewriteWithRetry(() =>
+      overwritePartitionsImpl(df, Some((appId, version))))
+
+  private def overwritePartitionsImpl(df: DataFrame,
+      txn: Option[(String, Long)]): Long = {
     val parts = partitionFields.filter(_.isIdentity).map(_.source)
     require(parts.nonEmpty,
       "overwritePartitions requires identity partition columns " +
         "(use overwrite/overwriteWhere on an unpartitioned table)")
+    // replay guard BEFORE the distinct job: a watermarked replay skips
+    // without touching the batch at all
+    val base = current
+    if (txn.exists { case (app, v) =>
+        base.properties.get(s"txn.$app").exists(_.toLong >= v) })
+      return base.snapshotId
     val aligned = alignToSchema(df)
     val tuples = aligned.select(parts.map(col): _*).distinct()
       .limit(1001).collect()
@@ -1823,7 +1852,7 @@ final class LakeTable private (
         else col(p) === lit(t.get(i))
       }.reduce(_ && _)
     }.reduce(_ || _)
-    overwriteWhere(aligned, predicate)
+    overwriteWhereImpl(aligned, predicate, txn)
   }
 
   /** Copy-on-write MERGE: upsert `source` into this table keyed on `keys`

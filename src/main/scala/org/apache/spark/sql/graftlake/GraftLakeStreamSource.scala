@@ -204,7 +204,8 @@ object GraftLakeStreamSource {
   * table is not a complete-mode materialized view. */
 class GraftLakeSink(sqlContext: SQLContext, root: String,
     txnAppId: Option[String], mergeKeys: Seq[String] = Nil,
-    deleteWhen: Option[String] = None) extends Sink {
+    deleteWhen: Option[String] = None,
+    overwritePartitions: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val cs = sqlContext.sparkSession.asInstanceOf[classic.SparkSession]
@@ -217,6 +218,18 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
       data.schema, isStreaming = false)
     val table = LakeTable.load(cs, root)
     val delCond = deleteWhen.map(org.apache.spark.sql.functions.expr)
+    if (overwritePartitions) {
+      // streaming RESTATEMENT: each micro-batch dynamically overwrites
+      // exactly the identity partitions it carries — the per-trigger
+      // partition re-publish shape (Spark's own file sink cannot do
+      // dynamic overwrite under streaming). An empty trigger restates
+      // nothing and is skipped outright.
+      if (!batch.isEmpty) txnAppId match {
+        case Some(app) => table.overwritePartitionsOnce(batch, app, batchId)
+        case None => table.overwritePartitions(batch)
+      }
+      return
+    }
     (mergeKeys, txnAppId) match {
       case (Nil, Some(app)) => table.appendOnce(batch, app, batchId)
       case (Nil, None) => table.append(batch)
@@ -289,7 +302,13 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     val delWhen = parameters.get("deleteWhen")
     require(keys.nonEmpty || delWhen.isEmpty,
       "deleteWhen requires mergeKeys (delete rows are keyed)")
+    // overwritePartitions flips the sink to per-trigger dynamic
+    // partition restatement — exclusive with the upsert options
+    val restate = parameters.get("overwritePartitions")
+      .exists(_.equalsIgnoreCase("true"))
+    require(!restate || (keys.isEmpty && delWhen.isEmpty),
+      "overwritePartitions is exclusive with mergeKeys/deleteWhen")
     new GraftLakeSink(sqlContext, rootOf(parameters),
-      parameters.get("txnAppId"), keys, delWhen)
+      parameters.get("txnAppId"), keys, delWhen, restate)
   }
 }

@@ -212,6 +212,65 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
       "replayed merge committed again: exactly-once violated")
   }
 
+  test("streaming partition restatement (overwritePartitions) lands " +
+      "exactly-once under crash-replay") {
+    val base = TestSpark.tmpDir("lakesink-restate")
+    val in = new java.io.File(s"$base/in"); in.mkdirs()
+    // drop 0 publishes d0+d1; drop 1 RESTATES d1 and introduces d2 —
+    // final state: d0 untouched, d1 replaced wholesale, d2 new
+    val drops = Seq(
+      Seq((1L, "d0", "a"), (2L, "d0", "b"), (3L, "d1", "c"),
+        (4L, "d1", "d")),
+      Seq((9L, "d1", "restated"), (10L, "d2", "new")))
+    drops.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/tmp$i"
+      rows.toDF("k", "d", "v").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, s"drop_$i.parquet")
+      assert(part.renameTo(dest))
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = drops.head.toDF("k", "d", "v").schema
+    val outRoot = s"$base/out"
+    LakeTable.create(spark, outRoot, schema, partitionBy = Seq("d"))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .writeStream.format("graft-lake")
+        .option("path", outRoot)
+        .option("txnAppId", "restate-job")
+        .option("overwritePartitions", "true")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val out = LakeTable.load(spark, outRoot)
+    val after = contents(out)
+    assert(after ==
+      Seq("[1,d0,a]", "[10,d2,new]", "[2,d0,b]", "[9,d1,restated]"),
+      after)
+    val commits = out.history.count()
+    dropLastCommit(base)
+    run()
+    assert(contents(LakeTable.load(spark, outRoot)) == after)
+    assert(LakeTable.load(spark, outRoot).history.count() == commits,
+      "replayed restatement committed again: exactly-once violated")
+    // option exclusivity is refused loudly
+    val e = intercept[Exception] {
+      spark.readStream.schema(schema).parquet(s"$base/in")
+        .writeStream.format("graft-lake")
+        .option("path", outRoot)
+        .option("overwritePartitions", "true")
+        .option("mergeKeys", "k")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("without txnAppId the same crash-replay DOES duplicate (control)") {
     val base = TestSpark.tmpDir("lakesink-noeos")
     val src = makeSourceTable(base)
