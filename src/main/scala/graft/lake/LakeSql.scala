@@ -55,7 +55,8 @@ object LakeSql {
           _: DropTable | _: AddColumns | _: RenameColumn | _: DropColumns |
           _: AlterColumns | _: RenameTable | _: SetTableProperties |
           _: UnsetTableProperties | _: TruncateTable |
-          _: AddCheckConstraint | _: DropConstraint) =>
+          _: AddCheckConstraint | _: DropConstraint |
+          _: OverwriteByExpression) =>
         val out = dml match {
           case m: MergeIntoTable => merge(cat, ns, m)
           case d: DeleteFromTable => delete(cat, ns, d)
@@ -68,6 +69,19 @@ object LakeSql {
             cat.spark.emptyDataFrame
           case u: UpdateTable => update(cat, ns, u)
           case i: InsertIntoStatement => insert(cat, ns, i)
+          // `INSERT INTO t REPLACE WHERE cond SELECT …` — Spark's own
+          // v2 grammar for predicate-scoped overwrite → replaceWhere
+          case o: OverwriteByExpression =>
+            val lt = cat.loadTable(ns, tableNameOf(o.table))
+            val df0 = GraftSqlBridge.ofRows(cat.spark, o.query)
+            val fields = lt.schema.fieldNames
+            require(o.isByName || df0.columns.length == fields.length,
+              s"REPLACE WHERE provides ${df0.columns.length} columns " +
+                s"for ${fields.length} table columns")
+            val rows = if (o.isByName) df0 else df0.toDF(fields: _*)
+            lt.overwriteWhere(rows,
+              columnOf(o.deleteExpr, aliasNamesOf(o.table)))
+            cat.spark.emptyDataFrame
           case c: CreateTable => create(cat, ns, c)
           case c: CreateTableAsSelect => createAsSelect(cat, ns, c)
           case d: DropTable => drop(cat, ns, d)

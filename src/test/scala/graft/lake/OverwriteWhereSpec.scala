@@ -130,6 +130,26 @@ class OverwriteWhereSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("SQL `INSERT INTO t REPLACE WHERE cond SELECT …` routes to " +
+      "replaceWhere with positional column mapping") {
+    val df = (1L to 30L).map(i => (i, s"p${i % 3}", i * 1.0))
+      .toDF("k", "p", "x")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("rw-sqlrep"))
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t", df.schema, partitionBy = Seq("p"))
+    t.append(df)
+    cat.sql("ns",
+      "INSERT INTO t REPLACE WHERE p = 'p1' VALUES (700, 'p1', 7.5)")
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM t WHERE p = 'p1'")
+      .collect().head.getLong(0) == 1L)
+    assert(cat.sql("ns", "SELECT count(*) AS n FROM t")
+      .collect().head.getLong(0) == 21L)
+    // a leaking batch is refused through the SQL path too
+    val e = intercept[IllegalArgumentException](cat.sql("ns",
+      "INSERT INTO t REPLACE WHERE p = 'p1' VALUES (701, 'p2', 1.0)"))
+    assert(e.getMessage.contains("leak"))
+  }
+
   test("the swap is one changelog delta: replaced rows delete, new rows " +
       "insert, untouched partitions silent") {
     val df = (1L to 30L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
