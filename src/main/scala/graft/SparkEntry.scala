@@ -1980,6 +1980,13 @@ WHEN NOT MATCHED THEN INSERT *
     "q_stream_upsert" -> ((s, dir) =>
       StreamingIngest.streamingUpsert(s, dir)),
 
+    // streaming partition restatement: each micro-batch dynamically
+    // overwrites exactly the identity partitions it carries
+    // (sink option overwritePartitions=true, exactly-once via the txn
+    // watermark) — the q_replace_where semantics delivered by a stream
+    "q_stream_restate" -> ((s, dir) =>
+      StreamingIngest.streamingRestate(s, dir)),
+
     "q_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -3064,6 +3071,17 @@ WHEN NOT MATCHED THEN INSERT *
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders""".stripMargin,
+
+    "q_stream_restate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice * 2, 2) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q_replace_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -143,6 +143,53 @@ object StreamingIngest {
     graft.lake.LakeTable.load(spark, root).scan()
   }
 
+  /** Per-trigger PARTITION RESTATEMENT through the graft-lake sink
+    * (`overwritePartitions=true`): drop 0 publishes the whole orders
+    * table (5 partitions), drop 1 restates the '1-URGENT' partition
+    * with doubled prices. mtime pins the trigger order; each trigger
+    * dynamically overwrites exactly the partitions it carries under
+    * the txn watermark (exactly-once on replay), so the final state is
+    * last-restatement-wins per partition — the streaming twin of
+    * q_replace_where, checked by the same SQL oracle. */
+  def streamingRestate(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_restate").toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val drops = Seq(
+      orders,
+      orders.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    drops.zipWithIndex.foreach { case (d, i) =>
+      val tmp = s"$base/tmp$i"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(inDir, f"drop_$i%d.parquet")
+      require(part.renameTo(dest), s"rename to $dest failed")
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val root = s"$base/t"
+    graft.lake.LakeTable.create(spark, root, orders.schema,
+      partitionBy = Seq("o_orderpriority"))
+    val q = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .writeStream
+      .format("graft-lake")
+      .option("path", root)
+      .option("txnAppId", "stream_restate")
+      .option("overwritePartitions", "true")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.lake.LakeTable.load(spark, root).scan()
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Tail a lake table's COMMIT LOG as a stream
     * (`format("graft-lake")`, offsets = snapshot ids — see
     * GraftLakeStreamSource) and aggregate what was delivered: builds a
