@@ -183,6 +183,25 @@ final class LakeTable private (
   def identityPartitionColumns: Seq[String] =
     partitionFields.filter(_.isIdentity).map(_.source)
 
+  /** Hint-broadcast a driver-built ONE-ROW-PER-FILE frame, dropping
+    * the hint above a byte bound (house rule: every explicit broadcast
+    * hint is size-gated). These frames are path + a few fixed fields —
+    * MBs at 10⁶ files — but a 10⁸-file table pushes past Spark's 8 GB
+    * hint ceiling, so above `spark.graft.lake.filelist-broadcast-max-
+    * bytes` (default 1 GB) the hint drops and Spark plans the join
+    * freely (still one slim row per file on the shuffled side). */
+  private def maybeBroadcastFileList(df: DataFrame,
+      estBytes: Long): DataFrame = {
+    val max = spark.conf
+      .getOption("spark.graft.lake.filelist-broadcast-max-bytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    if (estBytes <= max) broadcast(df) else df
+  }
+
+  /** Estimated broadcast bytes of one short row per file path. */
+  private def fileListBytes(paths: Iterable[String]): Long =
+    paths.iterator.map(64L + _.length * 2L).sum
+
   private def partitionFields: Seq[PartitionSpec.Field] =
     PartitionSpec.parseAll(current.partitionColumns)
 
@@ -1375,7 +1394,8 @@ final class LakeTable private (
             StructField("__graft_first_file", StringType, nullable = false),
             StructField("__graft_first_id", LongType, nullable = false))))
         dvApplied
-          .join(broadcast(fdf),
+          .join(maybeBroadcastFileList(fdf,
+            fileListBytes(firsts.map(_.getString(0)))),
             regexp_extract(col(PFILE_COL), "^(?:.*/)?(data/.+)$", 1) ===
               col("__graft_first_file"), "left")
           .withColumn(ROW_ID_COL, coalesce(col(ROW_ID_COL),
@@ -2701,7 +2721,8 @@ final class LakeTable private (
     val live = spark.createDataset(base.liveFiles).toDF("f")
     val pairs = (posPairs.toSeq ++ dvPairs.toSeq)
       .reduce(_ unionByName _)
-      .join(broadcast(live), Seq("f"), "left_semi")
+      .join(maybeBroadcastFileList(live,
+        fileListBytes(base.liveFiles)), Seq("f"), "left_semi")
     // one bitset per file, built per group (a maintenance pass — the
     // read path never runs this); ordinals are bounded by the file's
     // row count, so the bitset is bytes ∝ file rows / 8 at worst
@@ -3706,7 +3727,8 @@ final class LakeTable private (
         withLineage = rowLineageEnabled)
       .withColumn("__graft_path",
         regexp_replace(col(FILE_COL), "^[A-Za-z0-9+.-]+:/+", "/"))
-      .join(broadcast(pathBins), Seq("__graft_path"))
+      .join(maybeBroadcastFileList(pathBins,
+        fileListBytes(rewritten)), Seq("__graft_path"))
     val data = (if (sortCols.isEmpty)
         joined.repartition(packed.size, col("__graft_bin"))
       else {
