@@ -1106,7 +1106,9 @@ WHEN NOT MATCHED THEN INSERT *
           min(col("o_orderkey")).as("min_okey"),
           max(col("o_orderkey")).as("max_okey"),
           min(col("o_totalprice")).as("min_price"),
-          max(col("o_orderdate")).as("max_date"))
+          max(col("o_orderdate")).as("max_date"),
+          // point-valued distinct proof through the filtered leg
+          countDistinct(col("o_orderpriority")).as("n_prio"))
       require(q.queryExecution.optimizedPlan.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
         "filtered metadata aggregate must fold to a LocalRelation:\n" +
@@ -3099,7 +3101,8 @@ WHEN NOT MATCHED THEN INSERT *
         |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_okey,
         |  min(o_totalprice) AS min_price,
-        |  max(o_orderdate) AS max_date
+        |  max(o_orderdate) AS max_date,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q_wap_publish" ->

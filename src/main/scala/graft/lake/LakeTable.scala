@@ -3405,13 +3405,21 @@ final class LakeTable private (
         }
         val types = logicalSchema.fields
           .map(f => f.name -> f.dataType).toMap
-        val cands = PredicatePruning.candidateFiles(logicalCond,
-          logicalSchema, relFiles, ctx.fileStats)
-        val proven = cands.forall(f =>
+        // candidateFiles keeps a file it merely lacks bounds for (e.g.
+        // a NULL-partition dir has no bounds on the partition column);
+        // the dual noneMatch proof discards those it can PROVE
+        // matchless (all-null column vs a comparison) before the
+        // all-match requirement is applied to what remains
+        val kept = PredicatePruning.candidateFiles(logicalCond,
+            logicalSchema, relFiles, ctx.fileStats)
+          .filterNot(f => ctx.fileStats.get(f).exists(fs =>
+            PredicatePruning.noneMatch(logicalCond, fs, types,
+              Some(ctx.fileInfo(f).rows))))
+        val proven = kept.forall(f =>
           ctx.fileStats.get(f).exists(fs =>
             PredicatePruning.allRowsMatch(logicalCond, fs, types,
               Some(ctx.fileInfo(f).rows))))
-        if (proven) Some(cands.map(factsOf)) else None
+        if (proven) Some(kept.map(factsOf)) else None
       }
     GraftManifestFileIndex.dataFrame(spark,
       Map("basePath" -> dataDir.toString), physSchema, statuses, pruner,

@@ -183,13 +183,44 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Exact `count(DISTINCT col)` over per-file facts: provable when
+    * every non-empty file is either all-null in the column (distinct
+    * ignores nulls) or POINT-VALUED (bounds min == max — identity
+    * partition files by construction); the answer is the size of the
+    * point-value set. FP columns excluded like group keys (a zero's
+    * stored sign is widened). One non-point file → None. */
+  private def distinctFromFacts(files: Seq[FileFacts], name: String,
+      dt: DataType): Option[Long] = {
+    if (!exactStatType(dt) || dt == FloatType || dt == DoubleType)
+      return None
+    val vals = scala.collection.mutable.Set.empty[String]
+    files.foreach { f =>
+      if (f.rows > 0L) {
+        val cf = f.cols.getOrElse(name, return None)
+        if (!cf.allNull) cf.bounds match {
+          case Some((a, b)) if a == b => vals += a
+          case _ => return None
+        }
+      }
+    }
+    Some(vals.size.toLong)
+  }
+
   /** The constant one aggregate call folds to under the given proof
     * providers, or None = blocked. `relCount` answers `count(*)`;
-    * `proofFor` answers `count(col)`/`min(col)`/`max(col)`. */
+    * `proofFor` answers `count(col)`/`min(col)`/`max(col)`;
+    * `distinctFor` answers `count(DISTINCT col)` (point-valued files
+    * only — see [[distinctFromFacts]]). */
   private def aggConstant(ae: AggregateExpression,
       relCount: () => Option[Long],
-      proofFor: Attribute => Option[ColumnProof]): Option[Any] =
-    if (ae.isDistinct || ae.filter.nonEmpty) None
+      proofFor: Attribute => Option[ColumnProof],
+      distinctFor: Attribute => Option[Long]): Option[Any] =
+    if (ae.isDistinct) ae.aggregateFunction match {
+      case Count(Seq(a: Attribute)) if ae.filter.isEmpty =>
+        distinctFor(a).map(n => n: Any)
+      case _ => None
+    }
+    else if (ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
       case Count(Seq(l: Literal)) if l.value != null =>
         relCount().map(n => n: Any)
@@ -212,12 +243,13 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     * folds by ordinary evaluation over the substituted constants. */
   private def constantFor(e: NamedExpression,
       relCount: () => Option[Long],
-      proofFor: Attribute => Option[ColumnProof]): Option[Any] = e match {
+      proofFor: Attribute => Option[ColumnProof],
+      distinctFor: Attribute => Option[Long]): Option[Any] = e match {
     case Alias(expr, _) =>
       var ok = true
       val substituted = expr.transformUp {
         case ae: AggregateExpression =>
-          aggConstant(ae, relCount, proofFor) match {
+          aggConstant(ae, relCount, proofFor, distinctFor) match {
             case Some(v) => Literal(v, ae.dataType)
             case None => ok = false; ae
           }
@@ -493,8 +525,14 @@ object ManifestAggRule extends Rule[LogicalPlan] {
           Some(foldProofs(facts, n2, a.dataType))
         case _ => None
       }
+    def distinctFor(a: Attribute): Option[Long] =
+      resolveAttrF(agg.child, a) match {
+        case Some((i2, n2)) if i2 eq idx =>
+          distinctFromFacts(facts, n2, a.dataType)
+        case _ => None
+      }
     val values = agg.aggregateExpressions
-      .map(constantFor(_, relCount, proofFor))
+      .map(constantFor(_, relCount, proofFor, distinctFor))
     if (values.forall(_.isDefined))
       Some(LocalRelation(agg.output,
         Seq(InternalRow.fromSeq(values.map(_.get))),
@@ -506,8 +544,15 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.nonEmpty =>
+      def distinctFor(a: Attribute): Option[Long] =
+        resolveAttr(agg.child, a) match {
+          case Some((idx, n)) =>
+            idx.fileFacts.flatMap(distinctFromFacts(_, n, a.dataType))
+          case None => None
+        }
       val values = agg.aggregateExpressions.map(constantFor(_,
-        () => relationCount(agg.child), attrProof(agg.child, _)))
+        () => relationCount(agg.child), attrProof(agg.child, _),
+        distinctFor))
       if (values.forall(_.isDefined))
         LocalRelation(agg.output,
           Seq(InternalRow.fromSeq(values.map(_.get))),

@@ -143,6 +143,44 @@ object PredicatePruning {
     }
   }
 
+  /** Proof that NO row of a file matches `e` — the dual of
+    * [[allRowsMatch]], for discarding candidates the conservative
+    * may-match keep retained only because a column recorded no bounds.
+    * The workhorse case is the RECORDED ALL-NULL column (null count ==
+    * row count — identity NULL-partition files by construction): a SQL
+    * comparison against NULL is never TRUE, so every comparison/IN/
+    * IS NOT NULL over it matches nothing; IS NULL matches nothing on a
+    * zero-null file; an empty file matches nothing vacuously. Sound,
+    * never complete — false unless proven. (`<=>` deliberately proves
+    * nothing: null-safe equality CAN be true on nulls.) */
+  def noneMatch(e: Expression, fileStats: Map[String, ColStat],
+      types: Map[String, DataType], rows: Option[Long]): Boolean = {
+    if (rows.contains(0L)) return true
+    def allNull(a: Expression): Boolean =
+      attrName(a).flatMap(n => nullsOf(fileStats, n))
+        .exists(n => n > 0L && rows.contains(n))
+    e match {
+      case And(l, r) =>
+        noneMatch(l, fileStats, types, rows) ||
+          noneMatch(r, fileStats, types, rows)
+      case Or(l, r) =>
+        noneMatch(l, fileStats, types, rows) &&
+          noneMatch(r, fileStats, types, rows)
+      case EqualTo(a, b) => allNull(a) || allNull(b)
+      case LessThan(a, b) => allNull(a) || allNull(b)
+      case LessThanOrEqual(a, b) => allNull(a) || allNull(b)
+      case GreaterThan(a, b) => allNull(a) || allNull(b)
+      case GreaterThanOrEqual(a, b) => allNull(a) || allNull(b)
+      case In(a, vs) if vs.nonEmpty => allNull(a)
+      case IsNotNull(a) => allNull(a)
+      case IsNull(a) =>
+        attrName(a).flatMap(n => nullsOf(fileStats, n)).contains(0L)
+      case Literal(false, BooleanType) => true
+      case Literal(null, BooleanType) => true
+      case _ => false
+    }
+  }
+
   /** Like [[boundsCheck]] but PROOF-directed: absent stats, unsupported
     * types, or unencodable literals prove nothing (false), where the
     * prune direction treats them as "maybe" (true). */
