@@ -8,9 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Differential fuzz of the row-level DML surface beyond MERGE:
-  * random 1–3-op SEQUENCES of UPDATE/DELETE (predicate templates ×
-  * assignment templates, including an IN-subquery delete) over random
-  * data, each sequence executed three ways that must agree
+  * random 1–3-op SEQUENCES of UPDATE/DELETE/REPLACE-WHERE (predicate
+  * templates × assignment templates, including an IN-subquery delete)
+  * over random data, each sequence executed three ways that must agree
   * row-for-row after EVERY op:
   *
   *   1. the SQL TEXT path (`DELETE FROM` / `UPDATE … SET` through
@@ -61,11 +61,18 @@ class UpdateDeleteFuzzSpec extends AnyFunSuite {
   private sealed trait Op
   private case class Del(p: PTpl) extends Op
   private case class Upd(p: PTpl, a: ATpl) extends Op
+  // replaceWhere: the region's rows re-derived through an assignment
+  // and swapped back in. When the transform pushes a row OUT of the
+  // predicate, BOTH paths must refuse (the leak gate) and leave state
+  // untouched — refusals are part of the modeled behavior, not noise.
+  private case class Rep(p: PTpl, a: ATpl) extends Op
 
   private val opGen: Gen[Op] = Gen.oneOf(
     Gen.oneOf(predPool).map(Del(_)),
     for { p <- Gen.oneOf(predPool); a <- Gen.oneOf(asgPool) }
-      yield Upd(p, a))
+      yield Upd(p, a),
+    for { p <- Gen.oneOf(predPool); a <- Gen.oneOf(asgPool) }
+      yield Rep(p, a))
 
   private val rowGen: Gen[R] = for {
     id <- Gen.chooseNum(0L, 15L)
@@ -122,6 +129,22 @@ class UpdateDeleteFuzzSpec extends AnyFunSuite {
               cat.sql("f", s"UPDATE t_sql SET ${a.sql} WHERE ${p.sql}")
               tApi.update(p.col, a.api)
               ref = ref.map(r => if (p.ref(r)) a.ref(r) else r)
+            case Rep(p, a) =>
+              val batch = ref.filter(p.ref).map(a.ref)
+              val bdf = batch.toDF()
+              bdf.createOrReplaceTempView("fuzz_rep_src")
+              val sqlText = s"INSERT INTO t_sql REPLACE WHERE " +
+                s"${p.sql} SELECT * FROM fuzz_rep_src"
+              if (batch.exists(r => !p.ref(r))) {
+                // leaking batch: both paths refuse, state untouched
+                intercept[IllegalArgumentException](
+                  tApi.overwriteWhere(bdf, p.col))
+                intercept[IllegalArgumentException](cat.sql("f", sqlText))
+              } else {
+                tApi.overwriteWhere(bdf, p.col)
+                cat.sql("f", sqlText)
+                ref = ref.filterNot(p.ref) ++ batch
+              }
           }
           def rows3(t: LakeTable) = t.scan().collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
