@@ -1849,10 +1849,20 @@ final class LakeTable private (
 
   private def overwritePartitionsImpl(df: DataFrame,
       txn: Option[(String, Long)]): Long = {
-    val parts = partitionFields.filter(_.isIdentity).map(_.source)
-    require(parts.nonEmpty,
-      "overwritePartitions requires identity partition columns " +
+    val fields = partitionFields
+    require(fields.nonEmpty,
+      "overwritePartitions requires a partitioned table " +
         "(use overwrite/overwriteWhere on an unpartitioned table)")
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // every field's transform must invert to a source condition:
+    // identity = equality, day/month/year/truncate = the source range
+    // whose derived value is the partition's — bucket (a hash) and
+    // truncate-on-string cannot, and are refused up front
+    fields.foreach(f => require(
+      f.inverseCond(types(f.source), protoValue(types(f.source)))
+        .isDefined,
+      s"overwritePartitions cannot invert transform ${f.spec} — " +
+        "use overwriteWhere with an explicit predicate"))
     // replay guard BEFORE the distinct job: a watermarked replay skips
     // without touching the batch at all
     val base = current
@@ -1860,19 +1870,30 @@ final class LakeTable private (
         base.properties.get(s"txn.$app").exists(_.toLong >= v) })
       return base.snapshotId
     val aligned = alignToSchema(df)
-    val tuples = aligned.select(parts.map(col): _*).distinct()
-      .limit(1001).collect()
+    val tuples = aligned
+      .select(fields.map(f =>
+        f.expr(types(f.source)).as(f.dirName)): _*)
+      .distinct().limit(1001).collect()
     require(tuples.length <= 1000,
       "overwritePartitions: batch touches more than 1000 distinct " +
         "partitions — use overwriteWhere with an explicit predicate")
     require(tuples.nonEmpty, "overwritePartitions: empty batch")
     val predicate = tuples.map { t =>
-      parts.zipWithIndex.map { case (p, i) =>
-        if (t.isNullAt(i)) col(p).isNull
-        else col(p) === lit(t.get(i))
+      fields.zipWithIndex.map { case (f, i) =>
+        f.inverseCond(types(f.source),
+          if (t.isNullAt(i)) null else t.get(i)).get
       }.reduce(_ && _)
     }.reduce(_ || _)
     overwriteWhereImpl(aligned, predicate, txn)
+  }
+
+  /** A representative non-null derived value for probing a transform's
+    * invertibility before any job runs (the probe value itself is
+    * discarded). */
+  private def protoValue(sourceType: org.apache.spark.sql.types.DataType)
+      : Any = sourceType match {
+    case org.apache.spark.sql.types.StringType => "x"
+    case _ => 0L
   }
 
   /** Copy-on-write MERGE: upsert `source` into this table keyed on `keys`

@@ -105,6 +105,63 @@ object PartitionSpec {
       }
     }
 
+    /** Condition on the SOURCE column selecting exactly the rows whose
+      * derived value equals `v` — the dynamic-partition-overwrite
+      * inverse. Time transforms invert to source RANGES built from the
+      * same session-timezone casts as the forward expression, so the
+      * round trip is exact in any session zone AND the range shape
+      * lets the stats prover drop whole files as metadata. None for
+      * non-invertible transforms: bucket is a hash; truncate-on-string
+      * is a prefix the range prover cannot express. A null derived
+      * value selects the null-source rows. */
+    def inverseCond(sourceType: DataType, v: Any): Option[Column] = {
+      if (v == null) return Some(col(source).isNull)
+      def dayRange(first: java.time.LocalDate,
+          next: java.time.LocalDate): Option[Column] = sourceType match {
+        case DateType =>
+          if (java.time.temporal.ChronoUnit.DAYS.between(first, next) == 1)
+            Some(col(source) === lit(java.sql.Date.valueOf(first)))
+          else Some(col(source) >= lit(java.sql.Date.valueOf(first)) &&
+            col(source) < lit(java.sql.Date.valueOf(next)))
+        case TimestampType =>
+          // date → timestamp casts at SESSION midnight, mirroring the
+          // forward ts → date cast — boundaries agree in any zone
+          Some(col(source) >=
+              lit(java.sql.Date.valueOf(first)).cast(TimestampType) &&
+            col(source) <
+              lit(java.sql.Date.valueOf(next)).cast(TimestampType))
+        case _ => None
+      }
+      transform match {
+        case Identity => Some(col(source) === lit(v))
+        case Day =>
+          val d = java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Number].longValue())
+          dayRange(d, d.plusDays(1))
+        case Month =>
+          val m = v.asInstanceOf[Number].longValue()
+          val first = java.time.LocalDate.of(
+            (1970L + Math.floorDiv(m, 12L)).toInt,
+            Math.floorMod(m, 12L).toInt + 1, 1)
+          dayRange(first, first.plusMonths(1))
+        case Year =>
+          val first = java.time.LocalDate.of(
+            (1970L + v.asInstanceOf[Number].longValue()).toInt, 1, 1)
+          dayRange(first, first.plusYears(1))
+        case Truncate(w) if sourceType != StringType =>
+          val lo = v.asInstanceOf[Number].longValue()
+          val loLit = lit(lo).cast(sourceType)
+          try {
+            val hi = Math.addExact(lo, w)
+            Some(col(source) >= loLit &&
+              col(source) < lit(hi).cast(sourceType))
+          } catch { case _: ArithmeticException =>
+            Some(col(source) >= loLit) // band touches the type maximum
+          }
+        case _ => None
+      }
+    }
+
     /** Stat-domain type of the derived value (see [[FileStats]]). */
     def statType(sourceType: DataType): DataType = transform match {
       case Identity => sourceType

@@ -106,6 +106,51 @@ class OverwriteWhereSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](flat.overwritePartitions(batch))
   }
 
+  test("dynamic overwrite inverts TIME transforms: day(ts) partitions " +
+      "restate by source range, other days' files carried") {
+    val ts0 = 1700000000000L // 2023-11-14 22:13:20 UTC
+    val df = (0 until 96).map(i =>
+      (i.toLong, new java.sql.Timestamp(ts0 + i * 3600000L), s"v$i"))
+      .toDF("k", "ts", "v") // 4 calendar days of hourly rows
+    val t = LakeTable.create(spark, TestSpark.tmpDir("rw-day") + "/t",
+      df.schema, partitionBy = Seq("day(ts)"))
+    t.append(df)
+    val before = t.currentSnapshot.get
+    assert(before.liveFiles.map(_.split('/')(1)).toSet.size == 5,
+      before.liveFiles) // 4 full days + the partial first day
+    // restate the rows of ONE calendar day (derived from the batch)
+    val day2 = df.where(to_date($"ts") === "2023-11-16")
+      .withColumn("v", concat(lit("re-"), $"v"))
+    assert(day2.count() == 24)
+    t.overwritePartitions(day2)
+    val after = t.currentSnapshot.get
+    // the other days' files carried; the restated day swapped
+    val untouched = before.liveFiles
+      .filterNot(_.contains("ts_day=19677")).toSet // 2023-11-16
+    assert(untouched.subsetOf(after.liveFiles.toSet))
+    assert(t.scan().count() == 96)
+    assert(t.scan().where($"v".startsWith("re-")).count() == 24)
+    assert(t.scan().where(to_date($"ts") === "2023-11-16")
+      .count() == 24)
+    // bucket transforms are refused up front (hash, not invertible)
+    val tb = LakeTable.create(spark, TestSpark.tmpDir("rw-day-b") + "/t",
+      df.schema, partitionBy = Seq("bucket(4, k)"))
+    tb.append(df)
+    val e = intercept[IllegalArgumentException](
+      tb.overwritePartitions(day2))
+    assert(e.getMessage.contains("cannot invert"))
+    // truncate over ints inverts to the band range
+    val di = (1L to 100L).map(i => (i, s"x$i")).toDF("k", "x")
+    val tt = LakeTable.create(spark, TestSpark.tmpDir("rw-trunc") + "/t",
+      di.schema, partitionBy = Seq("truncate(25, k)"))
+    tt.append(di)
+    tt.overwritePartitions(
+      Seq((30L, "band2"), (49L, "band2b")).toDF("k", "x"))
+    assert(tt.scan().count() == 100 - 25 + 2)
+    assert(tt.scan().where($"k" >= 25 && $"k" < 50).count() == 2)
+    assert(tt.scan().where($"k" < 25).count() == 24)
+  }
+
   test("SQL INSERT OVERWRITE: static mode replaces the table, dynamic " +
       "mode (table property) only the batch's partitions") {
     val df = (1L to 40L).map(i => (i, s"d${i % 2}")).toDF("k", "d")
