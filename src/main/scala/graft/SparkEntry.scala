@@ -1146,6 +1146,36 @@ WHEN NOT MATCHED THEN INSERT *
         col("o_orderdate"), col("o_orderpriority"))
     }),
 
+    // dynamic partition overwrite over a TIME transform: the table is
+    // hidden-partitioned by month(o_orderdate); the restatement batch's
+    // calendar month inverts to an exact o_orderdate source range, so
+    // the replaced month drops as metadata and every other month's
+    // files carry (asserted in-query) — the monthly-correction write
+    // at 100 TB costs the batch, not the table.
+    "q_replace_month" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-replacemonth") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("month(o_orderdate)"))
+      lt.append(orders)
+      val before = lt.currentSnapshot.get
+      val restated = orders
+        .where(year(col("o_orderdate")) === 1997 &&
+          month(col("o_orderdate")) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      lt.overwritePartitions(restated)
+      val after = lt.currentSnapshot.get
+      // month value (1997−1970)*12 + (3−1) = 326
+      val untouched = before.liveFiles
+        .filterNot(_.contains("o_orderdate_month=326")).toSet
+      require(untouched.subsetOf(after.liveFiles.toSet),
+        "untouched months must carry their files, not rewrite")
+      lt.scan().select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }),
+
     "q_sql_surface" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val wh = tmp("graft-sql")
@@ -3073,6 +3103,20 @@ WHEN NOT MATCHED THEN INSERT *
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders""".stripMargin,
+
+    "q_replace_month" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1997 AND month(o_orderdate) = 3)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice * 2, 2) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3"""
+        .stripMargin,
 
     "q_stream_restate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

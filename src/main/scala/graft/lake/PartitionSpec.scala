@@ -130,6 +130,12 @@ object PartitionSpec {
               lit(java.sql.Date.valueOf(first)).cast(TimestampType) &&
             col(source) <
               lit(java.sql.Date.valueOf(next)).cast(TimestampType))
+        case TimestampNTZType =>
+          // NTZ is zoneless wall-clock both ways: literal midnights
+          Some(col(source) >= lit(java.time.LocalDateTime.of(
+              first, java.time.LocalTime.MIDNIGHT)) &&
+            col(source) < lit(java.time.LocalDateTime.of(
+              next, java.time.LocalTime.MIDNIGHT)))
         case _ => None
       }
       transform match {

@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -132,6 +133,18 @@ class OverwriteWhereSpec extends AnyFunSuite {
     assert(t.scan().where($"v".startsWith("re-")).count() == 24)
     assert(t.scan().where(to_date($"ts") === "2023-11-16")
       .count() == 24)
+    // TIMESTAMP_NTZ sources invert too (zoneless midnights both ways)
+    // — parquet writers with isAdjustedToUTC=false land here, which is
+    // exactly how the q_replace_month fixture reads
+    val ntz = df.withColumn("ts", $"ts".cast(TimestampNTZType))
+    val tn = LakeTable.create(spark, TestSpark.tmpDir("rw-ntz") + "/t",
+      ntz.schema, partitionBy = Seq("day(ts)"))
+    tn.append(ntz)
+    tn.overwritePartitions(
+      ntz.where(to_date($"ts") === "2023-11-16")
+        .withColumn("v", lit("ntz-re")))
+    assert(tn.scan().where($"v" === "ntz-re").count() == 24)
+    assert(tn.scan().count() == 96)
     // bucket transforms are refused up front (hash, not invertible)
     val tb = LakeTable.create(spark, TestSpark.tmpDir("rw-day-b") + "/t",
       df.schema, partitionBy = Seq("bucket(4, k)"))
