@@ -1766,9 +1766,11 @@ final class LakeTable private (
     * the rows matching `predicate` with `df`'s rows — ONE commit, so a
     * reader never observes the region half-swapped and time travel
     * keeps the pre-swap state. Every incoming row must satisfy
-    * `predicate` (checked in one probe job BEFORE anything moves —
-    * Delta's constraint-checked contract; a violating batch would
-    * silently leak rows out of the replaced region). The delete side
+    * `predicate`, checked against the STAGED bytes before any commit
+    * (Delta's constraint-checked contract; validating the input plan
+    * instead would let a non-deterministic batch publish rows the
+    * check never saw — a violating batch would silently leak rows out
+    * of the replaced region). The delete side
     * reuses the COW DELETE machinery: stats-pruned candidates, files
     * fully covered by the proof drop as pure metadata, only straddling
     * files rewrite (their non-matching rows carry over with
@@ -1789,13 +1791,28 @@ final class LakeTable private (
         base.properties.get(s"txn.$app").exists(_.toLong >= v) })
       return base.snapshotId
     val aligned = alignToSchema(df)
-    val violating = aligned.where(!coalesce(predicate, lit(false)))
-      .limit(1).count()
-    require(violating == 0L,
-      s"overwriteWhere: the replacement batch contains rows that do " +
-        s"not satisfy the predicate ($predicate) — they would leak " +
-        "outside the replaced region; widen the predicate or filter " +
-        "the batch")
+    // write the replacement batch FIRST, then leak-check WHAT WAS
+    // WRITTEN (same rationale as enforceWriteConstraints: the input
+    // plan may be non-deterministic, so validating it and then
+    // re-evaluating it for the write could publish rows the check
+    // never saw). A violation throws before any commit — the written
+    // files are unreferenced orphans for maintenance, the table state
+    // untouched.
+    val WriteResult(addedNew, statsN, infoN) =
+      writeDataFiles(distributeForWrite(aligned))
+    if (addedNew.nonEmpty) {
+      val written = spark.read
+        .option("basePath", new Path(rootPath, "data").toString)
+        .schema(schema)
+        .parquet(addedNew.map(f => new Path(rootPath, f).toString): _*)
+      val violating = written.where(!coalesce(predicate, lit(false)))
+        .limit(1).count()
+      require(violating == 0L,
+        s"overwriteWhere: the replacement batch contains rows that do " +
+          s"not satisfy the predicate ($predicate) — they would leak " +
+          "outside the replaced region; widen the predicate or filter " +
+          "the batch")
+    }
     // delete side (COW semantics regardless of delete-mode: an
     // overwrite is a rewrite op, like Delta's replaceWhere)
     val candidates = pruneByPredicate(base, predicate)
@@ -1812,8 +1829,6 @@ final class LakeTable private (
       if (affected.isEmpty) WriteResult(Nil, Map.empty, Map.empty)
       else writeDataFiles(readFilesForRewrite(base, affected)
         .where(!coalesce(predicate, lit(false))))
-    val WriteResult(addedNew, statsN, infoN) =
-      writeDataFiles(distributeForWrite(aligned))
     val removed = covered ++ affected
     val added = addedSurv ++ addedNew
     commit(base, "overwrite-where", added = added, removed = removed,

@@ -45,7 +45,7 @@ class OverwriteWhereSpec extends AnyFunSuite {
   }
 
   test("a batch with rows outside the predicate is refused before " +
-      "anything moves") {
+      "any commit (validated on the staged bytes)") {
     val df = (1L to 30L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
     val t = LakeTable.create(spark, TestSpark.tmpDir("rw-leak") + "/t",
       df.schema, partitionBy = Seq("p"))
