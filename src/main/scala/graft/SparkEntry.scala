@@ -1263,6 +1263,40 @@ WHEN NOT MATCHED THEN INSERT *
           round(col("total"), 2).as("total"))
     }),
 
+    "q_scd2_dimension" -> ((s, dir) => {
+      // SCD TYPE-2 dimension maintained from the source's CDC
+      // changelog: initial load, a COW UPDATE, a predicate DELETE and
+      // a late-arrival append each become version rows with
+      // [valid_from, valid_to) snapshot intervals — TWO refreshes
+      // (one mid-history, exercising the watermark) build the same
+      // history a full replay would. Snapshot ids are sequential
+      // (create=1, append=2, update=3, delete=4, append=5), so the
+      // oracle reconstructs the exact interval table from customer
+      // alone. Cost ∝ changed rows: the changelog reads commit deltas,
+      // the open-row lookup prunes history files on the materialized
+      // _is_current bounds, the merge rewrites only key-affected files.
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), round(col("c_acctbal"), 2).as("c_bal"))
+      val base = tmp("graft-scd2")
+      val src = LakeTable.create(s, s"$base/src", cust.schema)
+      val dim = LakeTable.create(s, s"$base/dim",
+        graft.lake.ScdDimension.dimensionSchema(cust.schema,
+          Seq("c_custkey"), Seq("c_mktsegment", "c_bal")))
+      val keys = Seq("c_custkey"); val attrs = Seq("c_mktsegment", "c_bal")
+      src.append(cust.where(col("c_custkey") <= 400))            // s2
+      graft.lake.ScdDimension.refresh(src, dim, keys, attrs)
+      src.update(col("c_custkey") % 7 === 0,
+        Map("c_bal" -> round(col("c_bal") + 100, 2)))            // s3
+      src.delete(col("c_custkey") % 13 === 0)                    // s4
+      src.append(cust.where(col("c_custkey") > 400 &&
+        col("c_custkey") <= 500))                                // s5
+      graft.lake.ScdDimension.refresh(src, dim, keys, attrs)
+      dim.scan().select(col("c_custkey"), col("c_mktsegment"),
+        col("c_bal"), col("_valid_from").as("valid_from"),
+        col("_valid_to").as("valid_to"),
+        col("_is_current").as("is_current"))
+    }),
+
     "q_gold_incremental" -> ((s, dir) => {
       // incremental GOLD layer: the mart never rescans silver — an
       // intermediate (state, category) cube is delta-maintained from
@@ -3403,6 +3437,31 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         |  round(sum(v), 2) AS total
         |FROM f GROUP BY o_orderpriority""".stripMargin,
+
+    // the SCD2 dimension vs the interval table reconstructed from the
+    // commit plan: keys ≤400 load at snapshot 2; %7 keys re-version at
+    // 3 (bal+100); %13 keys close at 4 with no successor; keys
+    // 401..500 open at 5
+    "q_scd2_dimension" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |         round(c_acctbal, 2) AS bal
+        |  FROM customer WHERE c_custkey <= 400),
+        |v AS (
+        |  SELECT k, seg, bal, CAST(2 AS BIGINT) AS valid_from,
+        |    CASE WHEN k % 7 = 0 THEN 3 WHEN k % 13 = 0 THEN 4
+        |         ELSE NULL END AS valid_to FROM c
+        |  UNION ALL
+        |  SELECT k, seg, round(bal + 100, 2), 3,
+        |    CASE WHEN k % 13 = 0 THEN 4 ELSE NULL END
+        |  FROM c WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2), 5, NULL
+        |  FROM customer WHERE c_custkey > 400 AND c_custkey <= 500)
+        |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_bal,
+        |  valid_from, CAST(valid_to AS BIGINT) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
 
     // the incremental gold mart vs a from-scratch recompute of the
     // equivalent final silver state (update applied, deletes gone);

@@ -727,6 +727,12 @@ object LakeSql {
           .get(IncrementalMv.WatermarkProp).map(_.toLong).getOrElse(0L)
         Seq((snap, applied))
           .toDF("snapshot_id", "applied_source_snapshot")
+      case "refresh_scd2" => // (dim_table) — definition rides the table
+        val snap = ScdDimension.refreshByName(cat, ns, str(0))
+        val applied = cat.loadTable(ns, str(0)).properties
+          .get(ScdDimension.WatermarkProp).map(_.toLong).getOrElse(0L)
+        Seq((snap, applied))
+          .toDF("snapshot_id", "applied_source_snapshot")
       case "mv_staleness" => // (mv_table) — driver arithmetic only
         val (src, applied, head, pending, stale) =
           IncrementalMv.staleness(cat, ns, str(0))

@@ -1,0 +1,172 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SCD Type-2 dimension maintenance: every refresh must leave the
+  * dimension equal to the version history a full replay would build —
+  * through inserts, updates, deletes, re-inserts, multi-change
+  * batches, and crash-replayed refreshes. */
+class ScdDimensionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkPair(base: String) = {
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq((1, "x", 0.0)).toDF("k", "seg", "bal").schema)
+    val dim = LakeTable.create(spark, s"$base/dim",
+      ScdDimension.dimensionSchema(src.schema, Seq("k"),
+        Seq("seg", "bal")))
+    (src, dim)
+  }
+
+  private def state(dim: LakeTable) = dim.scan()
+    .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getBoolean(5))).toSet
+
+  test("insert → update → delete → re-insert builds the full history") {
+    val (src, dim) = mkPair(TestSpark.tmpDir("scd2"))
+    // s2: initial rows
+    src.append(Seq((1, "A", 10.0), (2, "B", 20.0)).toDF("k", "seg", "bal"))
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    assert(state(dim) == Set(
+      (1, "A", 10.0, 2L, None, true),
+      (2, "B", 20.0, 2L, None, true)))
+
+    // s3: update k=1; s4: delete k=2 — one refresh applies both
+    src.update(col("k") === 1, Map("bal" -> lit(11.0)))
+    src.delete(col("k") === 2)
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    assert(state(dim) == Set(
+      (1, "A", 10.0, 2L, Some(3L), false),
+      (1, "A", 11.0, 3L, None, true),
+      (2, "B", 20.0, 2L, Some(4L), false)))
+
+    // s5: re-insert k=2 — a NEW version row, the closed one untouched
+    src.append(Seq((2, "C", 25.0)).toDF("k", "seg", "bal"))
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    assert(state(dim) == Set(
+      (1, "A", 10.0, 2L, Some(3L), false),
+      (1, "A", 11.0, 3L, None, true),
+      (2, "B", 20.0, 2L, Some(4L), false),
+      (2, "C", 25.0, 5L, None, true)))
+  }
+
+  test("multiple commits to one key in a single refresh: every " +
+      "intermediate version lands, chained by _valid_to") {
+    val (src, dim) = mkPair(TestSpark.tmpDir("scd2-multi"))
+    src.append(Seq((1, "A", 1.0)).toDF("k", "seg", "bal"))     // s2
+    src.update(col("k") === 1, Map("bal" -> lit(2.0)))         // s3
+    src.update(col("k") === 1, Map("seg" -> lit("B")))         // s4
+    src.delete(col("k") === 1)                                 // s5
+    src.append(Seq((1, "Z", 9.0)).toDF("k", "seg", "bal"))     // s6
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    assert(state(dim) == Set(
+      (1, "A", 1.0, 2L, Some(3L), false),
+      (1, "A", 2.0, 3L, Some(4L), false),
+      (1, "B", 2.0, 4L, Some(5L), false),
+      (1, "Z", 9.0, 6L, None, true)))
+  }
+
+  test("no-op suppression: a rewrite that keeps tracked attrs equal " +
+      "creates no version — in-batch AND against the open dim row") {
+    val base = TestSpark.tmpDir("scd2-noop")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq((1, "x", 0.0, "u")).toDF("k", "seg", "bal", "other").schema)
+    val dim = LakeTable.create(spark, s"$base/dim",
+      ScdDimension.dimensionSchema(src.schema, Seq("k"),
+        Seq("seg", "bal")))
+    src.append(Seq((1, "A", 1.0, "u")).toDF("k", "seg", "bal", "other"))
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    val before = state2(dim)
+    // an UPDATE touching only the untracked column: delete+insert in
+    // the changelog, identical post-image — must be suppressed against
+    // the OPEN dim row (first event of the next batch)
+    src.update(col("k") === 1, Map("other" -> lit("v")))
+    val snapAfter = ScdDimension.refresh(src, dim, Seq("k"),
+      Seq("seg", "bal"))
+    assert(state2(dim) == before)
+    // watermark still advances (idempotence bookkeeping is per-source)
+    assert(dim.properties(ScdDimension.WatermarkProp).toLong ==
+      src.currentSnapshotId.get)
+    // in-batch: noop rewrite THEN a real change in one refresh — only
+    // the real change versions
+    src.update(col("k") === 1, Map("other" -> lit("w")))   // noop
+    src.update(col("k") === 1, Map("bal" -> lit(2.0)))     // real
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    val s = state2(dim)
+    assert(s.size == 2)
+    assert(s.exists { case (_, _, bal, _, to, cur) =>
+      bal == 2.0 && to.isEmpty && cur })
+    assert(snapAfter >= 0)
+  }
+
+  private def state2(dim: LakeTable) = dim.scan()
+    .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getBoolean(5))).toSet
+
+  test("refresh is idempotent and crash-safe: watermark rides the " +
+      "merge commit; replay is a no-op") {
+    val (src, dim) = mkPair(TestSpark.tmpDir("scd2-idem"))
+    src.append(Seq((1, "A", 1.0)).toDF("k", "seg", "bal"))
+    val s1 = ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    assert(dim.properties(ScdDimension.WatermarkProp).toLong ==
+      src.currentSnapshotId.get)
+    val s2 = ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    assert(s1 == s2)
+  }
+
+  test("duplicate business key in one source commit is refused loudly") {
+    val (src, dim) = mkPair(TestSpark.tmpDir("scd2-dup"))
+    src.append(Seq((1, "A", 1.0), (1, "B", 2.0)).toDF("k", "seg", "bal"))
+    val e = intercept[Exception] {
+      ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("continuous SCD2 over the change feed matches batch refresh") {
+    val base = TestSpark.tmpDir("scd2-cont")
+    val (src, dim) = mkPair(base)
+    val (src2, dim2) = mkPair(s"$base/twin")
+    def drive(t: LakeTable): Unit = {
+      t.append(Seq((1, "A", 1.0), (2, "B", 2.0)).toDF("k", "seg", "bal"))
+      t.update(col("k") === 1, Map("bal" -> lit(5.0)))
+      t.delete(col("k") === 2)
+    }
+    drive(src); drive(src2)
+    ScdDimension.continuous(spark, src.root, dim, Seq("k"),
+      Seq("seg", "bal"), appId = "scd2-test",
+      checkpoint = s"$base/ckpt")
+    ScdDimension.refresh(src2, dim2, Seq("k"), Seq("seg", "bal"))
+    assert(state(dim) == state(dim2))
+    // replay the whole stream from a LOST checkpoint: txn watermark
+    // makes re-application a no-op
+    ScdDimension.continuous(spark, src.root, dim, Seq("k"),
+      Seq("seg", "bal"), appId = "scd2-test",
+      checkpoint = s"$base/ckpt2")
+    assert(state(dim) == state(dim2))
+  }
+
+  test("SQL surface: define + CALL system.refresh_scd2") {
+    val base = TestSpark.tmpDir("scd2-sql")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    val src = cat.createTable("ns", "cust",
+      Seq((1, "x")).toDF("k", "seg").schema)
+    val dim = cat.createTable("ns", "cust_dim",
+      ScdDimension.dimensionSchema(src.schema, Seq("k"), Seq("seg")))
+    ScdDimension.define(dim, "cust", Seq("k"), Seq("seg"))
+    src.append(Seq((1, "A"), (2, "B")).toDF("k", "seg"))
+    val out = LakeSql.run(cat, "ns",
+      "CALL system.refresh_scd2('cust_dim')")
+    assert(out.columns.toSeq ==
+      Seq("snapshot_id", "applied_source_snapshot"))
+    assert(out.head.getLong(1) == src.currentSnapshotId.get)
+    assert(dim.scan().count() == 2)
+  }
+}
