@@ -820,6 +820,40 @@ WHEN NOT MATCHED THEN INSERT *
           fromSnapshot = v1, toSnapshot = Some(v2)), "delta"))
     }),
 
+    "q_delta_roundtrip" -> ((s, dir) => {
+      // DELTA-LOG interop end-to-end under one oracle (the Delta twin
+      // of q_iceberg_publish): export version 0 (even orders,
+      // identity-partitioned — partitionValues carry the hive dir
+      // values since graft never stores them in data files), publish
+      // version 1 (odd half, append-only O(delta) commit), a COW
+      // delete publishes version 2 with remove actions, checkpoint()
+      // folds the log into a spec-shaped parquet + _last_checkpoint.
+      // 'final' rows come from the ENGINE-FREE reader's
+      // checkpoint-seeded replay; 'v0' rows time-travel via
+      // versionAsOf over the same log — both scans reconstruct the
+      // partition column from partitionValues, proving the handoff
+      // row-exact in both directions of history.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-deltaround")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        partitionBy = Seq("o_orderstatus"))
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      graft.lake.DeltaExport.export(lt, s"$base/delta")
+      lt.append(orders.where(col("o_orderkey") % 2 === 1))
+      graft.lake.DeltaExport.publish(lt, s"$base/delta")
+      lt.delete(col("o_custkey") % 7 === 3)
+      graft.lake.DeltaExport.publish(lt, s"$base/delta")
+      graft.lake.DeltaExport.checkpoint(s, s"$base/delta")
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          lit(src).as("src"))
+      shape(graft.lake.DeltaImport.scan(s, s"$base/delta"), "final")
+        .unionAll(shape(graft.lake.DeltaImport.scan(s, s"$base/delta",
+          versionAsOf = Some(0L)), "v0"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -3278,6 +3312,19 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice, 'delta' AS src
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    // the Delta-log handoff: 'final' = post-delete state read through
+    // the checkpoint-seeded engine-free replay, 'v0' = the even half
+    // via versionAsOf time travel; o_orderstatus reconstructs from
+    // partitionValues (never stored in the data files)
+    "q_delta_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, 'final' AS src
+        |FROM orders WHERE o_custkey % 7 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, 'v0' AS src
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -1,0 +1,295 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ENGINE-FREE reader of Delta Lake tables (the delta-io protocol's
+  * `_delta_log`): no delta-spark jar — the log is versioned JSON (plus
+  * optional parquet checkpoints), and the data is parquet, both of
+  * which Spark reads natively. The inverse of [[DeltaExport]] and the
+  * Delta twin of [[IcebergImport]] — together they close the loop:
+  * any Delta writer's table can be scanned, time-traveled, and
+  * materialized as a governed graft table.
+  *
+  * Replay: `_last_checkpoint` (when present and ≤ the target version)
+  * seeds the state from the checkpoint parquet — O(1) files however
+  * long the history, and correct even after aged JSON commits were
+  * vacuumed away; JSON commits after it apply adds/removes in order.
+  * Without a checkpoint the JSON commits replay from version 0.
+  *
+  * Scope (refused loudly, never silently wrong):
+  *   - `protocol.minReaderVersion > 1`: reader-v2/v3 features (column
+  *     mapping, deletion vectors, type widening…) change what the
+  *     parquet bytes MEAN — scanning them naively would return wrong
+  *     rows, exactly the silent-wrongness class the Iceberg reader
+  *     refuses via its own gates;
+  *   - an `add` carrying `deletionVector` or a `metaData` declaring
+  *     `delta.columnMapping.mode` ≠ none (belt-and-braces — legal
+  *     only at reader v2+ anyway).
+  *
+  * Scale: the log replay is O(log) driver JSON (checkpoint-seeded,
+  * O(delta) steady-state); the scan is ONE multi-path parquet read
+  * with per-file partition values joined from a size-gated
+  * broadcast list keyed by `_metadata.file_path` — the same shape as
+  * [[IcebergImport.scanEntries]], no per-partition plan unions. */
+object DeltaImport {
+
+  /** One live data file: resolved absolute URI, the RAW string
+    * partition values from the log (None = null), and the carried
+    * size/mtime/stats (for [[DeltaExport.checkpoint]] round-trips). */
+  final case class AddFile(uri: String,
+      partitionValues: Map[String, Option[String]],
+      size: Long, modificationTime: Long, stats: Option[String])
+
+  /** Reconstructed table state at a version. */
+  final case class TableState(version: Long, schema: StructType,
+      partitionColumns: Seq[String], adds: Seq[AddFile],
+      minReaderVersion: Int, minWriterVersion: Int, metaId: String,
+      configuration: Map[String, String], createdTime: Long,
+      graftSnapshotId: Option[Long])
+
+  /** Strip scheme/authority variance so paths written by different
+    * qualifiers compare equal (same rule as [[IcebergImport]]). */
+  private[lake] def normUri(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
+  private def normUriCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
+  /** An add/remove `path` is a table-relative URL-encoded path or an
+    * absolute URI. */
+  private def resolvePath(tableDir: String, p: String): String = {
+    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    if (decoded.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") ||
+        decoded.startsWith("/")) decoded
+    else s"$tableDir/$decoded"
+  }
+
+  /** Replay the log at `tableDir` to `versionAsOf` (default: latest).
+    * Pure driver work; refuses unreadable protocol features. */
+  def state(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long]): TableState = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    require(fs.exists(logDir), s"$tableDir has no _delta_log")
+    val m = Snapshot.mapper
+    val commitRe = """(\d{20})\.json""".r
+    val versions = fs.listStatus(logDir).map(_.getPath.getName).collect {
+      case commitRe(v) => v.toLong
+    }.sorted.toSeq
+    require(versions.nonEmpty || fs.exists(
+        new Path(logDir, "_last_checkpoint")),
+      s"$tableDir: empty _delta_log")
+    val latest = if (versions.nonEmpty) versions.last else -1L
+    val target = versionAsOf.getOrElse(math.max(latest, ckptVersion(
+      fs, logDir, m).getOrElse(-1L)))
+
+    // mutable replay state
+    var minReader = 1; var minWriter = 1
+    var metaId = ""; var schemaString = ""
+    var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
+    var createdTime = 0L
+    var graftSnap: Option[Long] = None
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, AddFile]
+
+    def applyMeta(md: JsonNode): Unit = {
+      metaId = md.path("id").asText("")
+      schemaString = md.path("schemaString").asText("")
+      partCols = md.path("partitionColumns").elements().asScala
+        .map(_.asText()).toSeq
+      config = md.path("configuration").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+      if (md.hasNonNull("createdTime"))
+        createdTime = md.path("createdTime").asLong()
+      require(!config.get("delta.columnMapping.mode")
+          .exists(v => v != "none"),
+        "delta.columnMapping.mode is set — column-mapped parquet " +
+          "names cannot be resolved without the mapping metadata")
+    }
+    def applyAdd(a: JsonNode): Unit = {
+      require(!a.hasNonNull("deletionVector"),
+        "add action carries a deletionVector — Delta DV decoding is " +
+          "out of scope; compact the source table first")
+      val uri = resolvePath(tableDir, a.path("path").asText())
+      val pv = a.path("partitionValues").properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) None
+          else Some(e.getValue.asText()))
+      }.toMap
+      live(normUri(uri)) = AddFile(uri, pv,
+        a.path("size").asLong(0L),
+        a.path("modificationTime").asLong(0L),
+        if (a.hasNonNull("stats")) Some(a.path("stats").asText())
+        else None)
+    }
+    def applyRemove(r: JsonNode): Unit =
+      live.remove(normUri(resolvePath(tableDir, r.path("path").asText())))
+
+    // checkpoint seed (only when usable at or below the target)
+    val seedV = ckptVersion(fs, logDir, m).filter(_ <= target)
+    seedV.foreach { cv =>
+      val ck = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+      require(fs.exists(ck),
+        s"_last_checkpoint names version $cv but $ck is missing")
+      val rows = spark.read.parquet(ck.toString)
+      val cols = rows.columns.toSet
+      rows.collect().foreach { row =>
+        def nn(c: String) = cols(c) && !row.isNullAt(row.fieldIndex(c))
+        if (nn("protocol")) {
+          val p = row.getStruct(row.fieldIndex("protocol"))
+          minReader = p.getInt(p.fieldIndex("minReaderVersion"))
+          minWriter = p.getInt(p.fieldIndex("minWriterVersion"))
+        }
+        if (nn("metaData"))
+          applyMeta(m.readTree(structToJson(m,
+            row.getStruct(row.fieldIndex("metaData")))))
+        if (nn("add"))
+          applyAdd(m.readTree(structToJson(m,
+            row.getStruct(row.fieldIndex("add")))))
+        if (nn("remove"))
+          applyRemove(m.readTree(structToJson(m,
+            row.getStruct(row.fieldIndex("remove")))))
+      }
+    }
+
+    val replayFrom = seedV.map(_ + 1).getOrElse(0L)
+    val toReplay = versions.filter(v => v >= replayFrom && v <= target)
+    require(seedV.nonEmpty || versions.headOption.contains(0L),
+      s"$tableDir: version 0 commit is missing and no usable " +
+        "checkpoint precedes the target — cannot reconstruct state")
+    // a contiguous chain is required for correctness of the replay
+    toReplay.zipWithIndex.foreach { case (v, i) =>
+      require(v == replayFrom + i,
+        s"$tableDir: missing commit version ${replayFrom + i}")
+    }
+    toReplay.foreach { v =>
+      val txt = LakeTable.readString(fs,
+        new Path(logDir, f"$v%020d.json"))
+      txt.split('\n').filter(_.nonEmpty).foreach { line =>
+        val n = m.readTree(line)
+        if (n.has("protocol")) {
+          minReader = n.path("protocol").path("minReaderVersion").asInt(1)
+          minWriter = n.path("protocol").path("minWriterVersion").asInt(1)
+        }
+        if (n.has("metaData")) applyMeta(n.path("metaData"))
+        if (n.has("add")) applyAdd(n.path("add"))
+        if (n.has("remove")) applyRemove(n.path("remove"))
+        if (n.has("commitInfo") &&
+            n.path("commitInfo").hasNonNull("graftSnapshotId"))
+          graftSnap = Some(n.path("commitInfo")
+            .path("graftSnapshotId").asLong())
+      }
+    }
+    require(minReader <= 1,
+      s"protocol.minReaderVersion=$minReader — reader-v2+ features " +
+        "(column mapping, deletion vectors…) change what the parquet " +
+        "bytes mean; scanning naively would return wrong rows")
+    require(schemaString.nonEmpty,
+      s"$tableDir: no metaData action found in the log")
+    TableState(target,
+      DataType.fromJson(schemaString).asInstanceOf[StructType],
+      partCols, live.values.toSeq, minReader, minWriter, metaId,
+      config, createdTime, graftSnap)
+  }
+
+  private def ckptVersion(fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path, m: com.fasterxml.jackson.databind.ObjectMapper):
+      Option[Long] = {
+    val p = new Path(logDir, "_last_checkpoint")
+    if (!fs.exists(p)) None
+    else Some(m.readTree(LakeTable.readString(fs, p))
+      .path("version").asLong())
+  }
+
+  /** Minimal struct→JSON for checkpoint action rows (only the fields
+    * the action schemas above carry: strings, numbers, booleans,
+    * string maps, string arrays). */
+  private def structToJson(m: com.fasterxml.jackson.databind.ObjectMapper,
+      r: Row): String = {
+    val o = m.createObjectNode()
+    r.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!r.isNullAt(i)) f.dataType match {
+        case StringType => o.put(f.name, r.getString(i))
+        case LongType => o.put(f.name, r.getLong(i))
+        case IntegerType => o.put(f.name, r.getInt(i))
+        case BooleanType => o.put(f.name, r.getBoolean(i))
+        case MapType(StringType, StringType, _) =>
+          val mo = o.putObject(f.name)
+          r.getMap[String, String](i).foreach { case (k, v) =>
+            if (v == null) mo.putNull(k) else mo.put(k, v)
+          }
+        case ArrayType(StringType, _) =>
+          val ar = o.putArray(f.name)
+          r.getSeq[String](i).foreach(ar.add)
+        case _: StructType =>
+          o.set[com.fasterxml.jackson.databind.node.ObjectNode](f.name,
+            m.readTree(structToJson(m, r.getStruct(i)))
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        case other => throw new IllegalStateException(
+          s"unexpected checkpoint field type $other")
+      }
+    }
+    m.writeValueAsString(o)
+  }
+
+  /** Scan the Delta table at `tableDir` (optionally at a pinned
+    * version) as a DataFrame in the declared schema. */
+  def scan(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val st = state(spark, tableDir, versionAsOf)
+    if (st.adds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], st.schema)
+    val F = "__dl_f"
+    val partCols = st.partitionColumns
+    // one short driver-side row per live file: normalized path + RAW
+    // string partition values; the typed value comes from a cast in
+    // the plan (Delta's serialization is Spark-cast-compatible)
+    val infoSchema = StructType(
+      StructField(F, StringType, nullable = false) +:
+      partCols.map(c => StructField(s"__dl_$c", StringType)))
+    val infoRows = st.adds.map(a => Row.fromSeq(normUri(a.uri) +:
+      partCols.map(c => a.partitionValues.get(c).flatten.orNull)))
+    val info = spark.createDataFrame(
+      spark.sparkContext.parallelize(infoRows, 1), infoSchema)
+    // broadcast gate (house rule: every explicit hint is size-gated) —
+    // the list arrives from UNTRUSTED log metadata; above the bound
+    // the hint drops and Spark plans a shuffled join on the path key
+    val infoBytes = infoRows.iterator
+      .map(r => 64L + r.getString(0).length * 2L).sum
+    val maxBytes = spark.conf
+      .getOption("spark.graft.delta.import-broadcast-max-bytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val infoSide = if (infoBytes <= maxBytes) broadcast(info) else info
+
+    var df = spark.read.schema(st.schema)
+      .parquet(st.adds.map(_.uri): _*)
+      .withColumn(F, normUriCol(col("_metadata.file_path")))
+      .join(infoSide, F)
+    partCols.foreach { c =>
+      val dt = st.schema(c).dataType
+      df = df.withColumn(c, coalesce(col(c), col(s"__dl_$c").cast(dt)))
+    }
+    df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Materialize the Delta table as a NEW governed graft table at
+    * `destRoot` (clean baseline, stats profiled on write). */
+  def importTable(spark: SparkSession, tableDir: String,
+      destRoot: String, partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): LakeTable = {
+    val df = scan(spark, tableDir)
+    val t = LakeTable.create(spark, destRoot, df.schema, partitionBy,
+      properties)
+    t.append(df)
+    t
+  }
+}

@@ -717,6 +717,24 @@ object LakeSql {
         return Seq((tbl, imported.currentSnapshotId.getOrElse(0L),
           imported.countRows()))
           .toDF("table", "snapshot_id", "row_count")
+      case "import_delta" =>
+        // (table_dir, table_name) — engine-free Delta log replay →
+        // a NEW governed table (Delta twin of import_iceberg)
+        val tbl = str(1)
+        require(!cat.tableExists(ns, tbl),
+          s"table $ns.$tbl already exists")
+        val back = DeltaImport.scan(spark, str(0))
+        val imported = cat.createTable(ns, tbl, back.schema)
+        imported.append(back)
+        cat.registerViews(ns)
+        return Seq((tbl, imported.currentSnapshotId.getOrElse(0L),
+          imported.countRows()))
+          .toDF("table", "snapshot_id", "row_count")
+      case "checkpoint_delta" =>
+        // (delta_dir) — fold the published log into a parquet
+        // checkpoint + _last_checkpoint
+        return Seq(DeltaExport.checkpoint(spark, str(0)))
+          .toDF("checkpoint_version")
       case _ => ()
     }
     val lt = cat.loadTable(ns, str(0))
@@ -774,6 +792,16 @@ object LakeSql {
         Seq(IcebergExport.export(lt, str(1),
           if (c.args.size > 2) Some(lng(2)) else None))
           .toDF("metadata_path")
+      case "export_delta" =>
+        // (tbl, dest_dir[, snapshot_id]) — Delta log handoff
+        Seq(DeltaExport.export(lt, str(1),
+          if (c.args.size > 2) Some(lng(2)) else None))
+          .toDF("commit_path")
+      case "publish_delta" =>
+        // (tbl, dest_dir[, snapshot_id]) — CONTINUOUS Delta publish
+        Seq(DeltaExport.publish(lt, str(1),
+          if (c.args.size > 2) Some(lng(2)) else None))
+          .toDF("commit_path")
       case "publish_iceberg" =>
         // (tbl, dest_dir[, snapshot_id]) — CONTINUOUS publish: append
         // the snapshot to an already-exported Iceberg table as a new
@@ -825,7 +853,9 @@ object LakeSql {
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
           "add_files, maintain, verify_table, recover_transactions, " +
-          "refresh_mv, mv_staleness, import_iceberg, publish_iceberg")
+          "refresh_mv, refresh_scd2, mv_staleness, import_iceberg, " +
+          "publish_iceberg, export_delta, publish_delta, " +
+          "checkpoint_delta, import_delta")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the

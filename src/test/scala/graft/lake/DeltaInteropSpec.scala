@@ -1,0 +1,239 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Delta Lake interop: export writes a spec-shaped `_delta_log` the
+  * INDEPENDENT reader (DeltaImport — engine-free log replay) scans
+  * back row-identical; publish appends O(delta) versions; checkpoint
+  * folds the log; every unreadable/unwritable case refuses loudly. */
+class DeltaInteropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val mapper = Snapshot.mapper
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("export → log shape: protocol/metaData/add fields, stats, " +
+      "absolute zero-copy URIs; import scans back row-identical") {
+    val base = TestSpark.tmpDir("delta-exp")
+    val src = Seq((1, "a", 1.5), (2, "b", 2.5), (3, null, 3.5))
+      .toDF("id", "name", "v")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema)
+    lt.append(src)
+    val commit = DeltaExport.export(lt, s"$base/delta")
+    assert(commit.endsWith("00000000000000000000.json"))
+    // independent shape check: parse the JSON lines directly
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val txt = LakeTable.readString(fs, new Path(
+      s"$base/delta/_delta_log/00000000000000000000.json"))
+    val lines = txt.split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    assert(lines.exists(n => n.path("protocol")
+      .path("minReaderVersion").asInt(-1) == 1))
+    val md = lines.find(_.has("metaData")).get.path("metaData")
+    assert(md.path("format").path("provider").asText() == "parquet")
+    assert(md.path("schemaString").asText().nonEmpty)
+    val adds = lines.filter(_.has("add")).map(_.path("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      assert(a.path("path").asText().startsWith("file:"),
+        "zero-copy absolute URI expected")
+      assert(a.path("size").asLong() > 0L)
+      val st = mapper.readTree(a.path("stats").asText())
+      assert(st.path("numRecords").asLong() > 0L)
+      assert(st.path("minValues").path("id").isIntegralNumber)
+    }
+    assert(adds.map(a => mapper.readTree(a.path("stats").asText())
+      .path("maxValues").path("v").asDouble()).max == 3.5)
+    assert(adds.map(a => mapper.readTree(a.path("stats").asText())
+      .path("numRecords").asLong()).sum == 3L)
+    // the export dir holds ONLY the log — data stayed in place
+    assert(!fs.exists(new Path(s"$base/delta/data")))
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+  }
+
+  test("identity-partitioned export: partitionValues carry the hive " +
+      "dir values; import reconstructs typed columns (incl. null)") {
+    val base = TestSpark.tmpDir("delta-part")
+    val src = Seq((1, "us", 1.0), (2, "eu", 2.0), (3, null, 3.0))
+      .toDF("id", "region", "v")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("region"))
+    lt.append(src)
+    DeltaExport.export(lt, s"$base/delta")
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    assert(st.partitionColumns == Seq("region"))
+    assert(st.adds.flatMap(_.partitionValues.get("region")).toSet ==
+      Set(Some("us"), Some("eu"), None))
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+  }
+
+  test("transform-partitioned table exports UNPARTITIONED (documented " +
+      "downgrade — source columns live in the data, rows exact)") {
+    val base = TestSpark.tmpDir("delta-trans")
+    val src = Seq((1L, "2021-01-03"), (2L, "2021-02-05"))
+      .toDF("id", "d").withColumn("d", to_date(col("d")))
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("month(d)"))
+    lt.append(src)
+    DeltaExport.export(lt, s"$base/delta")
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    assert(st.partitionColumns.isEmpty)
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+  }
+
+  test("publish: append-only commit adds only the delta; a rewrite " +
+      "also removes; versionAsOf time-travels; republish is a no-op") {
+    val base = TestSpark.tmpDir("delta-pub")
+    val lt = LakeTable.create(spark, s"$base/t",
+      Seq((1, 1.0)).toDF("id", "v").schema)
+    lt.append(Seq((1, 1.0), (2, 2.0)).toDF("id", "v"))
+    DeltaExport.export(lt, s"$base/delta")
+    val v0 = rows(DeltaImport.scan(spark, s"$base/delta"))
+
+    lt.append(Seq((3, 3.0)).toDF("id", "v"))
+    val c1 = DeltaExport.publish(lt, s"$base/delta")
+    assert(c1.endsWith("00000000000000000001.json"))
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v1txt = LakeTable.readString(fs, new Path(
+      s"$base/delta/_delta_log/00000000000000000001.json"))
+    val v1lines = v1txt.split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    assert(v1lines.count(_.has("add")) >= 1)
+    assert(v1lines.count(_.has("remove")) == 0, "append-only delta")
+    assert(!v1lines.exists(_.has("metaData")), "metaData frozen at v0")
+
+    // COW delete rewrites/drops files → publish carries removes
+    lt.delete(col("id") === 1)
+    DeltaExport.publish(lt, s"$base/delta")
+    val v2txt = LakeTable.readString(fs, new Path(
+      s"$base/delta/_delta_log/00000000000000000002.json"))
+    assert(v2txt.split('\n').count(_.contains("\"remove\"")) >= 1)
+
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+    assert(DeltaImport.scan(spark, s"$base/delta",
+      versionAsOf = Some(0L)).collect().map(_.toSeq).toSet == v0)
+    // idempotent republish: same graft snapshot → same commit path
+    val again = DeltaExport.publish(lt, s"$base/delta")
+    assert(again.endsWith("00000000000000000002.json"))
+
+    // schema drift refused
+    lt.addColumn("w", org.apache.spark.sql.types.DoubleType)
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.publish(lt, s"$base/delta")
+    }
+    assert(e.getMessage.contains("drift"))
+  }
+
+  test("checkpoint: state folds into parquet + _last_checkpoint; " +
+      "replay seeds from it even with early JSON commits deleted") {
+    val base = TestSpark.tmpDir("delta-ckpt")
+    val lt = LakeTable.create(spark, s"$base/t",
+      Seq((1, 1.0)).toDF("id", "v").schema)
+    lt.append(Seq((1, 1.0)).toDF("id", "v"))
+    DeltaExport.export(lt, s"$base/delta")
+    lt.append(Seq((2, 2.0)).toDF("id", "v"))
+    DeltaExport.publish(lt, s"$base/delta")
+    lt.delete(col("id") === 1)
+    DeltaExport.publish(lt, s"$base/delta")
+    val cv = DeltaExport.checkpoint(spark, s"$base/delta")
+    assert(cv == 2L)
+    // a post-checkpoint commit still applies on top of the seed
+    lt.append(Seq((4, 4.0)).toDF("id", "v"))
+    DeltaExport.publish(lt, s"$base/delta")
+    // age out the pre-checkpoint JSON commits (Delta log cleanup)
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Seq(0L, 1L).foreach(v => fs.delete(new Path(
+      f"$base/delta/_delta_log/$v%020d.json"), false))
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+  }
+
+  test("refusals: MOR artifacts and name-mapped files on export; " +
+      "reader v2+, column mapping, and DVs on import") {
+    val base = TestSpark.tmpDir("delta-refuse")
+    val lt = LakeTable.create(spark, s"$base/t",
+      Seq((1, "a")).toDF("id", "name").schema,
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    lt.append(Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    lt.deleteByKeys(Seq(1).toDF("id"), Seq("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaExport.export(lt, s"$base/delta")
+    }
+    assert(e1.getMessage.contains("compact"))
+
+    // renamed-column name mapping
+    val lt2 = LakeTable.create(spark, s"$base/t2",
+      Seq((1, "a")).toDF("id", "name").schema)
+    lt2.append(Seq((1, "a")).toDF("id", "name"))
+    lt2.renameColumn("name", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaExport.export(lt2, s"$base/delta2")
+    }
+    assert(e2.getMessage.contains("name mapping"))
+
+    // import gates: hand-written hostile logs
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def writeLog(dir: String, lines: Seq[String]): Unit = {
+      fs.mkdirs(new Path(dir, "_delta_log"))
+      LakeTable.writeStringExclusive(fs,
+        new Path(dir, "_delta_log/00000000000000000000.json"),
+        lines.mkString("", "\n", "\n"))
+    }
+    val meta = """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    writeLog(s"$base/h1", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      meta))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/h1", None)
+    }
+    assert(e3.getMessage.contains("minReaderVersion"))
+
+    writeLog(s"$base/h2", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta.replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.columnMapping.mode\":\"name\"}")))
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/h2", None)
+    }
+    assert(e4.getMessage.contains("columnMapping"))
+
+    writeLog(s"$base/h3", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta,
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e5 = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/h3", None)
+    }
+    assert(e5.getMessage.contains("deletionVector"))
+  }
+
+  test("SQL surface: export_delta / publish_delta / checkpoint_delta " +
+      "/ import_delta") {
+    val base = TestSpark.tmpDir("delta-sql")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "src",
+      Seq((1, 2.0)).toDF("id", "v").schema)
+    t.append(Seq((1, 2.0), (2, 3.0)).toDF("id", "v"))
+    val out = LakeSql.run(cat, "ns",
+      s"CALL system.export_delta('src', '$base/delta')")
+    assert(out.columns.toSeq == Seq("commit_path"))
+    t.append(Seq((3, 4.0)).toDF("id", "v"))
+    LakeSql.run(cat, "ns",
+      s"CALL system.publish_delta('src', '$base/delta')")
+    LakeSql.run(cat, "ns",
+      s"CALL system.checkpoint_delta('$base/delta')")
+    val imp = LakeSql.run(cat, "ns",
+      s"CALL system.import_delta('$base/delta', 'copy')")
+    assert(imp.select("row_count").head.getLong(0) == 3L)
+    assert(rows(cat.loadTable("ns", "copy").scan()) == rows(t.scan()))
+  }
+}
