@@ -97,6 +97,16 @@ object ScaleSmoke {
         args.lift(2).map(_.toInt).getOrElse(200))
       return
     }
+    if (args.headOption.contains("delta-publish")) {
+      deltaPublishSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(20))
+      return
+    }
+    if (args.headOption.contains("scd2")) {
+      scd2Smoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(20))
+      return
+    }
     if (args.headOption.contains("dedup-inc")) {
       dedupIncSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -833,6 +843,122 @@ object ScaleSmoke {
     * seeded 500-file table — delta publishes must stay O(new files),
     * flat in table size — then one delete forcing the full-rewrite
     * fallback, for the cost ratio. */
+  /** Delta-publish cost at depth: v0 export of a 500-file table, then
+    * `rounds` append+publish cycles — each commit JSON must stay
+    * O(new files), so the per-publish ms is flat however long the
+    * history; a checkpoint then collapses replay cost (state() reads
+    * O(1) files instead of O(versions) JSON). */
+  private def deltaPublishSmoke(sfDir: String, rounds: Int): Unit = {
+    val spark = smokeSession("graft-delta-publish-smoke")
+    val work = Files.createTempDirectory("graft-dpub").toString
+    import graft.lake.{DeltaExport, DeltaImport, LakeTable}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema)
+    lt.append(orders.repartition(500))
+    var t0 = System.nanoTime()
+    DeltaExport.export(lt, s"$work/delta")
+    println(f"[delta-publish] v0 (full, 500 files): " +
+      f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    val slice = orders.limit(200).repartition(2)
+    val deltaMs = (1 to rounds).map { _ =>
+      lt.append(slice)
+      val s = System.nanoTime()
+      DeltaExport.publish(lt, s"$work/delta")
+      (System.nanoTime() - s) / 1e6
+    }
+    println(f"[delta-publish] $rounds append+publish cycles: " +
+      f"avg ${deltaMs.sum / rounds}%.0f ms/publish " +
+      f"(first ${deltaMs.head}%.0f, last ${deltaMs.last}%.0f — " +
+      "flat = O(new files), not O(table))")
+    t0 = System.nanoTime()
+    val stJson = DeltaImport.state(spark, s"$work/delta", None)
+    val tJson = (System.nanoTime() - t0) / 1e6
+    DeltaExport.checkpoint(spark, s"$work/delta")
+    lt.append(slice)
+    DeltaExport.publish(lt, s"$work/delta")
+    t0 = System.nanoTime()
+    val stCkpt = DeltaImport.state(spark, s"$work/delta", None)
+    val tCkpt = (System.nanoTime() - t0) / 1e6
+    println(f"[delta-publish] state replay: ${stJson.version + 1} JSON " +
+      f"versions $tJson%.0f ms → checkpoint-seeded $tCkpt%.0f ms " +
+      f"(${stCkpt.adds.size} live files)")
+    val got = DeltaImport.scan(spark, s"$work/delta").count()
+    val expect = lt.scan().count()
+    require(got == expect, s"delta history diverged: $got vs $expect")
+    println(s"[delta-publish] current reads $got rows (= governed " +
+      "scan); PASS")
+    spark.stop()
+  }
+
+  /** SCD2 refresh cost at depth: the claim under test is cost ∝
+    * CHANGED rows, never dimension size — per-refresh ms must stay
+    * flat as the dimension accumulates version history, because the
+    * changelog reads commit deltas, the open-row lookup prunes
+    * history files on the materialized _is_current bounds, and the
+    * merge rewrites only key-affected files. */
+  private def scd2Smoke(sfDir: String, rounds: Int): Unit = {
+    val spark = smokeSession("graft-scd2-smoke")
+    import graft.lake.{LakeTable, ScdDimension}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("price"))
+    val nSrc = orders.count()
+    // uniformly-scattered business keys are COW's worst case (every
+    // dim file holds some touched key — no pruning can narrow the
+    // rewrite); merge-on-read is the scale mode for that shape: one
+    // data file + one equality-delete file per refresh, zero rewrites
+    Seq(
+      "cow" -> Map.empty[String, String],
+      "mor" -> Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read")
+    ).foreach { case (mode, props) =>
+      val work = Files.createTempDirectory(s"graft-scd2-$mode").toString
+      val lt = LakeTable.create(spark, s"$work/src", orders.schema)
+      val dim = LakeTable.create(spark, s"$work/dim",
+        ScdDimension.dimensionSchema(orders.schema, Seq("o_orderkey"),
+          Seq("o_orderpriority", "price")), properties = props)
+      lt.append(orders.repartition(8))
+      var t0 = System.nanoTime()
+      ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
+        Seq("o_orderpriority", "price"))
+      println(f"[scd2/$mode] initial load ($nSrc keys): " +
+        f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+      // each round re-prices a rotating ~1k-key slice; the dimension
+      // grows by ~1k closed versions per round
+      val ms = (1 to rounds).map { i =>
+        lt.update(col("o_orderkey") % 137 === (i % 97).toLong,
+          Map("price" -> round(col("price") + 1, 2)))
+        val s = System.nanoTime()
+        ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
+          Seq("o_orderpriority", "price"))
+        val out = (System.nanoTime() - s) / 1e6
+        // MOR debt policy: fold delete files periodically, as a real
+        // deployment's maintenance would (time EXCLUDED — maintenance
+        // is amortized/background by design)
+        if (mode == "mor" && i % 10 == 0) dim.compact(8)
+        out
+      }
+      val dimRows = dim.scan().count()
+      val open = dim.scan()
+        .where(col(ScdDimension.CurrentCol)).count()
+      println(f"[scd2/$mode] $rounds update+refresh cycles: avg " +
+        f"${ms.sum / rounds}%.0f ms/refresh (first ${ms.head}%.0f, " +
+        f"last ${ms.last}%.0f); dim now $dimRows rows, $open open")
+      require(open == nSrc, s"open rows $open != source keys $nSrc")
+      // one refresh spanning MANY commits costs like one commit's
+      // worth of the same total change volume
+      (1 to 5).foreach(i => lt.update(
+        col("o_orderkey") % 149 === i.toLong,
+        Map("price" -> round(col("price") + 1, 2))))
+      t0 = System.nanoTime()
+      ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
+        Seq("o_orderpriority", "price"))
+      println(f"[scd2/$mode] one refresh over 5 pending commits: " +
+        f"${(System.nanoTime() - t0) / 1e6}%.0f ms; PASS")
+    }
+    spark.stop()
+  }
+
   private def publishSmoke(sfDir: String, rounds: Int): Unit = {
     val spark = smokeSession("graft-publish-smoke")
     val work = Files.createTempDirectory("graft-pub").toString

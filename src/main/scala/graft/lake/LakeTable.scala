@@ -1956,23 +1956,56 @@ final class LakeTable private (
   def merge(source: DataFrame, keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
       dropUnmatchedWhen: Option[org.apache.spark.sql.Column]): Long =
+    merge(source, keys, deleteWhen, dropUnmatchedWhen, Map.empty, None)
+
+  /** [[merge]] with `extraProperties` recorded atomically IN the merge
+    * commit (the incremental-maintenance watermark contract, same as
+    * [[mergeClauses]]) and an optional `txn` exactly-once watermark —
+    * what lets a maintainer whose after-image is fully source-computable
+    * (e.g. [[ScdDimension]]) ride the STAR merge and therefore the
+    * zero-rewrite merge-on-read path, which clause-merges cannot. */
+  def merge(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      dropUnmatchedWhen: Option[org.apache.spark.sql.Column],
+      extraProperties: Map[String, String],
+      txn: Option[(String, Long)]): Long =
     rewriteWithRetry(() =>
-      mergeImpl(source, keys, deleteWhen, dropUnmatchedWhen))
+      mergeImpl(source, keys, deleteWhen, dropUnmatchedWhen,
+        extraProperties, txn))
 
   private def mergeImpl(source: DataFrame, keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
-      dropUnmatchedWhen: Option[org.apache.spark.sql.Column]): Long = {
+      dropUnmatchedWhen: Option[org.apache.spark.sql.Column],
+      extraProperties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     autoEvolveFor(source)
     val base = current
+    // replayed exactly-once batch: the watermark re-check also runs on
+    // the rebased head inside mergeMor / on rewriteWithRetry re-runs
+    if (txn.exists { case (app, v) =>
+        base.properties.get(s"txn.$app").exists(_.toLong >= v) })
+      return base.snapshotId
+    def mergedProps: Option[Map[String, String]] =
+      if (extraProperties.isEmpty && txn.isEmpty) None
+      else Some(base.properties ++ extraProperties ++
+        txn.map { case (app, v) => s"txn.$app" -> v.toString })
     // split on the delete condition BEFORE alignment drops CDC columns
     val delCond = deleteWhen.map(c => coalesce(c, lit(false)))
     val deleteKeys = delCond.map(c =>
       source.where(c).select(keys.map(col): _*).na.drop().distinct())
     val src = alignToSchema(
       delCond.map(c => source.where(not(c))).getOrElse(source))
-    if (base.liveFiles.isEmpty) return append(src)
+    if (base.liveFiles.isEmpty) {
+      if (extraProperties.isEmpty && txn.isEmpty) return append(src)
+      val WriteResult(added0, stats0, info0) = writeDataFiles(
+        distributeForWrite(src))
+      return commit(base, "merge", added = added0, removed = Nil,
+        live = base.liveFiles ++ added0, addedStats = stats0,
+        addedInfo = info0, propertiesOverride = mergedProps)
+    }
     if (properties.get(PROP_MERGE_MODE).contains("merge-on-read"))
-      return mergeMor(base, src, keys, deleteKeys, dropUnmatchedWhen)
+      return mergeMor(base, src, keys, deleteKeys, dropUnmatchedWhen,
+        txn, extraProperties)
 
     // 1) Affected-file pruning, two stages:
     //    (a) manifest-stats range intersection — driver-only, touches ZERO
@@ -2017,7 +2050,8 @@ final class LakeTable private (
       // pure-insert batch: nothing to rewrite (deletes matched nothing)
       val WriteResult(added, stats, info) = writeDataFiles(src)
       return commit(base, "merge", added = added, removed = Nil,
-        live = base.liveFiles ++ added, addedStats = stats, addedInfo = info)
+        live = base.liveFiles ++ added, addedStats = stats,
+        addedInfo = info, propertiesOverride = mergedProps)
     }
 
     // 2) Rewrite ONLY the affected files: full-outer join with the source;
@@ -2060,7 +2094,8 @@ final class LakeTable private (
 
     val WriteResult(added, stats, info) = writeDataFiles(result)
     commit(base, "merge", added = added, removed = affected,
-      live = base.liveFiles.diff(affected) ++ added, addedStats = stats, addedInfo = info)
+      live = base.liveFiles.diff(affected) ++ added, addedStats = stats,
+      addedInfo = info, propertiesOverride = mergedProps)
   }
 
   /** Merge-on-read MERGE (≡ the `write.merge.mode=merge-on-read`
@@ -2075,7 +2110,8 @@ final class LakeTable private (
   private def mergeMor(base: Snapshot, src: DataFrame,
       keys: Seq[String], extraDeleteKeys: Option[DataFrame] = None,
       dropUnmatchedWhen: Option[org.apache.spark.sql.Column] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      extraProperties: Map[String, String] = Map.empty): Long = {
     val WriteResult(added, stats, info) = writeDataFiles(src)
     // one equality-delete file covers upserts (replaced by the
     // after-image) AND CDC delete rows (no after-image at all)
@@ -2116,9 +2152,10 @@ final class LakeTable private (
           live = b.liveFiles ++ added, addedStats = stats, addedInfo = info,
           deletesOverride = Some(b.deleteFiles ++
             delPaths.map(p => DeleteFile(p, seq, keys, keys))),
-          propertiesOverride = txn.map { case (app, v) =>
-            b.properties + (s"txn.$app" -> v.toString)
-          })
+          propertiesOverride =
+            if (txn.isEmpty && extraProperties.isEmpty) None
+            else Some(b.properties ++ extraProperties ++
+              txn.map { case (app, v) => s"txn.$app" -> v.toString }))
       }
     }
   }

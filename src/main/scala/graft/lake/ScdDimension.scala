@@ -189,16 +189,17 @@ object ScdDimension {
         snapC.as(ToCol),
         lit(false).as(CurrentCol)): _*)
 
-    // 4. one merge commit: closures match their open row on
-    //    (keys…, _valid_from) and close it; versions insert.
-    val allCols = keys ++ attrs ++ Seq(FromCol, ToCol, CurrentCol)
-    target.mergeClauses(versions.unionByName(closures),
-      keys :+ FromCol,
-      matched = Seq(MergeWhen(None, Some(Map(
-        ToCol -> col(s"s.$ToCol"),
-        CurrentCol -> col(s"s.$CurrentCol"))))),
-      notMatched = Seq(MergeWhen(None, Some(
-        allCols.map(c => c -> col(s"s.$c")).toMap))),
+    // 4. one STAR merge commit on (keys…, _valid_from): a closure row
+    //    is the open row's full after-image (same key+attrs, closed
+    //    interval) and replaces it; versions insert. Full-row sources
+    //    are what let the merge take the zero-rewrite merge-on-read
+    //    path when the dimension declares write.merge.mode=
+    //    merge-on-read — the right mode for scattered business keys,
+    //    where no COW pruning can narrow the rewrite (every file holds
+    //    some touched key); under MOR a refresh costs one data file +
+    //    one equality-delete file whatever the dimension's size.
+    target.merge(versions.unionByName(closures), keys :+ FromCol,
+      deleteWhen = None, dropUnmatchedWhen = None,
       extraProperties = extraProperties, txn = txn)
   }
 

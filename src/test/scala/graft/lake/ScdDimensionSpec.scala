@@ -152,6 +152,34 @@ class ScdDimensionSpec extends AnyFunSuite {
     assert(state(dim) == state(dim2))
   }
 
+  test("merge-on-read dimension: refresh rewrites ZERO data files " +
+      "(the scale mode for scattered business keys) and matches COW") {
+    val base = TestSpark.tmpDir("scd2-mor")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq((1, "x", 0.0)).toDF("k", "seg", "bal").schema)
+    val dim = LakeTable.create(spark, s"$base/dim",
+      ScdDimension.dimensionSchema(src.schema, Seq("k"),
+        Seq("seg", "bal")),
+      properties = Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+    src.append(Seq((1, "A", 1.0), (2, "B", 2.0)).toDF("k", "seg", "bal"))
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    src.update(col("k") === 1, Map("bal" -> lit(5.0)))
+    src.delete(col("k") === 2)
+    val preFiles = dim.currentSnapshot.get.liveFiles.toSet
+    ScdDimension.refresh(src, dim, Seq("k"), Seq("seg", "bal"))
+    val post = dim.currentSnapshot.get
+    assert(preFiles.subsetOf(post.liveFiles.toSet),
+      "MOR refresh must not rewrite or drop existing data files")
+    assert(post.deleteFiles.nonEmpty, "refresh lands an equality-delete")
+    // watermark rode the same MOR commit
+    assert(dim.properties(ScdDimension.WatermarkProp).toLong ==
+      src.currentSnapshotId.get)
+    assert(state(dim) == Set(
+      (1, "A", 1.0, 2L, Some(3L), false),
+      (1, "A", 5.0, 3L, None, true),
+      (2, "B", 2.0, 2L, Some(4L), false)))
+  }
+
   test("SQL surface: define + CALL system.refresh_scd2") {
     val base = TestSpark.tmpDir("scd2-sql")
     val cat = new LakeCatalog(spark, s"$base/cat")
