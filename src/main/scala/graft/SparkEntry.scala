@@ -2803,6 +2803,26 @@ WHEN NOT MATCHED THEN INSERT *
     "q_dup_gram_stats" -> ((s, dir) =>
       TextDedup.duplicatedGramStats(docs(s, dir), n = 2)),
 
+    "q_dedup_substring" -> ((s, dir) => {
+      // EXACT-SUBSTRING dedup (ExactSubstr, Lee et al. 2021): per-doc
+      // maximal spans of corpus-duplicated 30-char grams + span
+      // REMOVAL. clean_len comes from the actual cleaned string
+      // (removeSpans fold), while the oracle derives it as
+      // length - dup_chars — a hash match proves the span arithmetic
+      // AND the removal expression consistent. Wide stages shuffle
+      // (hash, pos) only; duplication decided on xxhash64 and
+      // re-verified on the gram string within the duplicated subset
+      // (collision-exact at any corpus size).
+      val d = docs(s, dir)
+      val spans = TextDedup.exactSubstringSpans(d, "text", "doc_id", 30)
+      d.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          length(TextDedup.removeSpans(col("text"), col("spans")))
+            .cast("long").as("clean_len"))
+    }),
+
     // fastText-pattern quality classifier: heuristic labels (lang
     // column = 'en'), multinomial NB trained in one aggregation pass,
     // per-doc log-odds score from broadcast vocabulary weights
@@ -5621,6 +5641,45 @@ WHEN NOT MATCHED THEN INSERT *
 
     // duplicated-span stats over distinct word bigrams (the shingles
     // semantics, including the short-document whole-text fallback)
+    // exact-substring spans: every position whose 30-gram occurs more
+    // than once in the corpus, merged into maximal islands per doc;
+    // clean_len cross-checks the removal fold as length - dup_chars
+    "q_dedup_substring" ->
+      """WITH g AS (
+        |  -- static series (DuckDB 1.0 has no lateral column bound);
+        |  -- 4095 comfortably exceeds the fixture's max doc length
+        |  SELECT doc_id, i AS pos,
+        |         substr(text, CAST(i AS INT) + 1, 30) AS gram
+        |  FROM documents, generate_series(0, 4095) AS t(i)
+        |  WHERE i <= length(text) - 30),
+        |d AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+        |    FROM g) q
+        |  WHERE c > 1),
+        |isl AS (
+        |  SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 30)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |isl2 AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |sp AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 30 AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS dup_chars
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.dup_chars, 0) AS dup_chars,
+        |  CAST(length(d0.text) - coalesce(a.dup_chars, 0) AS BIGINT)
+        |    AS clean_len
+        |FROM documents d0 LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "q_dup_gram_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

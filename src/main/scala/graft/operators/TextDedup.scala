@@ -325,4 +325,84 @@ object TextDedup {
       .withColumn("dup_fraction",
         round(col("dup_grams") / col("n_grams").cast("double"), 4))
   }
+
+  // ------------------------------------------- exact-substring (spans)
+
+  /** EXACT-SUBSTRING dedup (the ExactSubstr policy of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): find,
+    * per document, the character SPANS whose every position sits in a
+    * length-`L` substring that occurs elsewhere in the corpus — the
+    * memorization-driving repeats (licenses, boilerplate, syndicated
+    * paragraphs) that document-level near-dup keeps. Overlapping /
+    * touching duplicated grams merge into maximal spans.
+    *
+    * Returns `(idCol, spans array<struct<s,e>>, n_spans, dup_chars)` —
+    * one row per document that HAS duplicated spans; [[removeSpans]]
+    * cuts them out of the text.
+    *
+    * Spark-first shape (the paper's suffix array is a single-machine
+    * construction): one pass explodes each document into its
+    * `len−L+1` position grams, but the WIDE stages move only the
+    * gram's 8-byte xxhash64 and a position — never text. Duplication
+    * is decided on the hash (one window count per hash partition),
+    * then RE-VERIFIED on the gram string within the hash-duplicated
+    * subset only — collisions cost a false candidate re-checked, never
+    * a wrong span, so the result is exact at any corpus size while the
+    * full-corpus shuffle stays 16 B/position. Span assembly is a
+    * per-document running-max island merge (window over the dup
+    * positions only, ∝ duplicated content, not corpus). */
+  def exactSubstringSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", L: Int = 30): DataFrame = {
+    require(L >= 2, s"gram length $L too short")
+    val grams = docs.where(length(col(textCol)) >= L)
+      .select(col(idCol).as("id"), expr(
+        s"""posexplode(transform(
+           |  sequence(0, length($textCol) - $L),
+           |  i -> substring($textCol, i + 1, $L)))""".stripMargin)
+        .as(Seq("pos", "gram")))
+      .withColumn("h", xxhash64(col("gram")))
+    val byHash = Window.partitionBy("h")
+    val byGram = Window.partitionBy("gram")
+    val dup = grams
+      .withColumn("ch", count(lit(1)).over(byHash))
+      .where(col("ch") > 1) // slim-hash candidate filter
+      .withColumn("cs", count(lit(1)).over(byGram))
+      .where(col("cs") > 1) // string re-verify (collision-exact)
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + L)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    islands.groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_chars"),
+        sort_array(collect_list(struct(col("s"), col("e"))))
+          .as("spans"))
+  }
+
+  /** Cut `spans` (as produced by [[exactSubstringSpans]] — sorted,
+    * non-overlapping, 0-based `[s, e)`) out of `text`: a pure
+    * higher-order-function fold, no UDF — each step keeps the gap
+    * before the span, the finish keeps the tail. Null spans (a
+    * left-joined document with no duplicated content) pass the text
+    * through unchanged. */
+  def removeSpans(text: Column, spans: Column): Column = {
+    val folded = aggregate(spans,
+      struct(lit(0L).as("last"), lit("").as("acc")),
+      (st, sp) => struct(
+        sp.getField("e").as("last"),
+        concat(st.getField("acc"), text.substr(
+          (st.getField("last") + 1).cast("int"),
+          (sp.getField("s") - st.getField("last")).cast("int")))
+          .as("acc")),
+      st => concat(st.getField("acc"), text.substr(
+        (st.getField("last") + 1).cast("int"),
+        (length(text).cast("long") - st.getField("last")).cast("int"))))
+    when(spans.isNull, text).otherwise(folded)
+  }
 }
