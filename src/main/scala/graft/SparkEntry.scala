@@ -1475,6 +1475,44 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("total"), 2).as("total"))
     }),
 
+    "q_stream_scd2" -> ((s, dir) => {
+      // CONTINUOUS SCD2 over the change feed, with checkpoint loss:
+      // drain the initial load, commit update+delete+late-append, then
+      // drain from a FRESH checkpoint — the rebuilt stream's first
+      // batch mixes replayed and new snapshots and the snapshot-
+      // aligned txn watermark must keep the dimension exactly-once.
+      // The dim is merge-on-read (zero-rewrite refreshes); the oracle
+      // is the same interval reconstruction as q_scd2_dimension under
+      // this commit plan (create=1, append=2, update=3, delete=4,
+      // append=5).
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), round(col("c_acctbal"), 2).as("c_bal"))
+      val base = tmp("graft-sscd2")
+      val src = LakeTable.create(s, s"$base/src", cust.schema)
+      val dim = LakeTable.create(s, s"$base/dim",
+        graft.lake.ScdDimension.dimensionSchema(cust.schema,
+          Seq("c_custkey"), Seq("c_mktsegment", "c_bal")),
+        properties = Map(
+          LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+      val keys = Seq("c_custkey")
+      val attrs = Seq("c_mktsegment", "c_bal")
+      def drain(ck: String): Unit = graft.lake.ScdDimension
+        .continuous(s, s"$base/src", dim, keys, attrs,
+          appId = "qsscd2", checkpoint = s"$base/$ck")
+      src.append(cust.where(col("c_custkey") <= 300))            // s2
+      drain("ck1")
+      src.update(col("c_custkey") % 5 === 0,
+        Map("c_bal" -> round(col("c_bal") + 50, 2)))             // s3
+      src.delete(col("c_custkey") % 11 === 0)                    // s4
+      src.append(cust.where(col("c_custkey") > 300 &&
+        col("c_custkey") <= 350))                                // s5
+      drain("ck2") // checkpoint loss: replayed + new snapshots mix
+      dim.scan().select(col("c_custkey"), col("c_mktsegment"),
+        col("c_bal"), col("_valid_from").as("valid_from"),
+        col("_valid_to").as("valid_to"),
+        col("_is_current").as("is_current"))
+    }),
+
     "q_stream_fanout" -> ((s, dir) => {
       // exactly-once streaming FAN-OUT: one micro-batch lands in
       // bronze (raw rows) AND stats (per-type counts) as ONE
@@ -3525,6 +3563,30 @@ WHEN NOT MATCHED THEN INSERT *
         |  UNION ALL
         |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2), 5, NULL
         |  FROM customer WHERE c_custkey > 400 AND c_custkey <= 500)
+        |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_bal,
+        |  valid_from, CAST(valid_to AS BIGINT) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
+
+    // the streaming SCD2 twin: same interval reconstruction under the
+    // stream's commit plan (≤300 load at 2; %5 re-version at 3 with
+    // bal+50; %11 close at 4; 301..350 open at 5)
+    "q_stream_scd2" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |         round(c_acctbal, 2) AS bal
+        |  FROM customer WHERE c_custkey <= 300),
+        |v AS (
+        |  SELECT k, seg, bal, CAST(2 AS BIGINT) AS valid_from,
+        |    CASE WHEN k % 5 = 0 THEN 3 WHEN k % 11 = 0 THEN 4
+        |         ELSE NULL END AS valid_to FROM c
+        |  UNION ALL
+        |  SELECT k, seg, round(bal + 50, 2), 3,
+        |    CASE WHEN k % 11 = 0 THEN 4 ELSE NULL END
+        |  FROM c WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2), 5, NULL
+        |  FROM customer WHERE c_custkey > 300 AND c_custkey <= 350)
         |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_bal,
         |  valid_from, CAST(valid_to AS BIGINT) AS valid_to,
         |  valid_to IS NULL AS is_current
