@@ -802,6 +802,15 @@ object LakeSql {
         Seq(DeltaExport.publish(lt, str(1),
           if (c.args.size > 2) Some(lng(2)) else None))
           .toDF("commit_path")
+      case "publish_uniform" =>
+        // (tbl, dest_dir[, snapshot_id]) — UniForm-style DUAL handoff:
+        // Iceberg metadata (metadata/) and a Delta log (_delta_log/)
+        // side by side in ONE directory over the SAME zero-copy data
+        // files; any engine of either ecosystem reads the table
+        val pin = if (c.args.size > 2) Some(lng(2)) else None
+        Seq((IcebergExport.publish(lt, str(1), pin),
+          DeltaExport.publish(lt, str(1), pin)))
+          .toDF("iceberg_metadata_path", "delta_commit_path")
       case "publish_iceberg" =>
         // (tbl, dest_dir[, snapshot_id]) — CONTINUOUS publish: append
         // the snapshot to an already-exported Iceberg table as a new

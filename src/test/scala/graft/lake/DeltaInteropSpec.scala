@@ -215,6 +215,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("deletionVector"))
   }
 
+  test("UNIFORM-style dual handoff: Iceberg and Delta metadata side " +
+      "by side over the SAME zero-copy data files read identically") {
+    val base = TestSpark.tmpDir("uniform")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "src",
+      Seq((1, "us", 2.0)).toDF("id", "region", "v").schema,
+      partitionBy = Seq("region"))
+    t.append(Seq((1, "us", 2.0), (2, "eu", 3.0)).toDF("id", "region", "v"))
+    val out = LakeSql.run(cat, "ns",
+      s"CALL system.publish_uniform('src', '$base/uni')").head
+    t.append(Seq((3, "us", 4.0)).toDF("id", "region", "v"))
+    LakeSql.run(cat, "ns",
+      s"CALL system.publish_uniform('src', '$base/uni')")
+    assert(out.getString(0).contains("metadata") &&
+      out.getString(1).contains("_delta_log"))
+    val viaIce = rows(IcebergImport.scan(spark,
+      s"$base/uni/metadata/v2.metadata.json"))
+    val viaDelta = rows(DeltaImport.scan(spark, s"$base/uni"))
+    assert(viaIce == viaDelta && viaDelta == rows(t.scan()))
+    // zero-copy: the uniform dir holds metadata only
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/uni/data")))
+  }
+
   test("SQL surface: export_delta / publish_delta / checkpoint_delta " +
       "/ import_delta") {
     val base = TestSpark.tmpDir("delta-sql")
