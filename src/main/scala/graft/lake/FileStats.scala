@@ -58,10 +58,61 @@ object FileStats {
   val NullsPrefix = "__nulls__"
   def nullsKey(c: String): String = NullsPrefix + c
   def isNullsKey(k: String): Boolean = k.startsWith(NullsPrefix)
-  /** Internal pseudo-columns (blooms, null counts) — excluded from
-    * user-facing bounds views. */
+
+  /** Per-file EXACT column sums (`write.agg.columns`, integral columns
+    * only) ride the stats map as `__sum__<col>` point-stats — the raw
+    * material for ManifestAggRule's metadata-only SUM leg. Recorded as
+    * the exact decimal total of the file's non-null values (all-null
+    * and empty files record "0"); collected in one column-pruned
+    * distributed pass over the freshly written files (the BloomStats
+    * pattern), so the cost is opt-in and ∝ the commit's own data. */
+  val SumPrefix = "__sum__"
+  def sumKey(c: String): String = SumPrefix + c
+  def isSumKey(k: String): Boolean = k.startsWith(SumPrefix)
+
+  /** Types whose per-file sums are EXACT and whose Spark sum semantics
+    * a driver-side BigInt fold reproduces bit-for-bit (integral sums
+    * promote to LongType; in-range folds are order-independent).
+    * FP sums are order-dependent in Spark itself — no exact fold
+    * exists, so they are never recorded. */
+  def supportsExactSum(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Internal pseudo-columns (blooms, null counts, sums) — excluded
+    * from user-facing bounds views. */
   def isInternalKey(k: String): Boolean =
-    isNullsKey(k) || BloomStats.isBloomKey(k)
+    isNullsKey(k) || isSumKey(k) || BloomStats.isBloomKey(k)
+
+  /** One distributed pass over freshly written `files`: exact per-file
+    * sums for `cols` (already filtered to [[supportsExactSum]] types
+    * present in the data files). Returns absolute path → sum stats. */
+  def collectSums(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], basePath: String, schema: StructType,
+      cols: Seq[String]): Map[String, Map[String, ColStat]] = {
+    import org.apache.spark.sql.functions.{col => c, sum, coalesce, lit}
+    val readSchema = StructType(
+      schema.fields.filter(f => cols.contains(f.name)))
+    val rows = spark.read.option("basePath", basePath)
+      .schema(readSchema).parquet(files: _*)
+      .withColumn("__f", c("_metadata.file_path"))
+      .groupBy("__f")
+      .agg(coalesce(sum(c(cols.head).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as(cols.head),
+        cols.tail.map(n =>
+          coalesce(sum(c(n).cast(DecimalType(38, 0))),
+            lit(java.math.BigDecimal.ZERO)).as(n)): _*)
+      .collect()
+    // keyed by the scan's own file URI; the caller relativizes (an
+    // EMPTY file yields no group row — the caller records zero sums)
+    rows.map { r =>
+      r.getString(0) -> cols.map { n =>
+        val v = r.getDecimal(r.fieldIndex(n)).toBigInteger.toString
+        sumKey(n) -> ColStat(v, v)
+      }.toMap
+    }.toMap
+  }
 
   /** Types whose bounds we can both collect and compare. A key of any
     * other type disables pruning (full candidate set), never correctness. */

@@ -3216,6 +3216,7 @@ final class LakeTable private (
     def rekey(c: String): String =
       if (c == oldName) newName
       else if (c == FileStats.nullsKey(oldName)) FileStats.nullsKey(newName)
+      else if (c == FileStats.sumKey(oldName)) FileStats.sumKey(newName)
       else if (c == BloomStats.statKey(oldName)) BloomStats.statKey(newName)
       else c
     val stats = base.fileStats.map { case (f, cols) =>
@@ -3269,9 +3270,14 @@ final class LakeTable private (
     val newSchema = StructType(sch.fields.map(x =>
       if (x.name == name) x.copy(dataType = to) else x))
     val dropBounds = f.dataType == DateType // stat domain changes
+    // a sum stat survives only integral→integral widening (the Spark
+    // sum result type stays LongType); widening into the FP domain
+    // changes sum semantics to an order-dependent double fold
+    val dropSum = !FileStats.supportsExactSum(to)
     val stats = base.fileStats.map { case (fl, cols) =>
       fl -> (cols - BloomStats.statKey(name) --
-        (if (dropBounds) Seq(name) else Nil))
+        (if (dropBounds) Seq(name) else Nil) --
+        (if (dropSum) Seq(FileStats.sumKey(name)) else Nil))
     }.filter(_._2.nonEmpty)
     commit(base, "evolve-schema", added = Nil, removed = Nil,
       live = base.liveFiles, schemaJson = Some(newSchema.json),
@@ -3294,7 +3300,8 @@ final class LakeTable private (
     val newSchema = StructType(sch.fields.filterNot(_.name == name))
     val stats = base.fileStats
       .map { case (f, cols) => f -> (cols - name -
-        FileStats.nullsKey(name) - BloomStats.statKey(name)) }
+        FileStats.nullsKey(name) - FileStats.sumKey(name) -
+        BloomStats.statKey(name)) }
       .filter(_._2.nonEmpty)
     val renames = base.fileRenames
       .map { case (f, m) => f -> (m - name) }
@@ -3409,6 +3416,8 @@ final class LakeTable private (
         var boundsOk = wantBounds
         var nonNull = 0L
         var nonNullOk = true
+        var sumAcc = BigInt(0)
+        var sumOk = FileStats.supportsExactSum(fld.dataType)
         relFiles.foreach { f =>
           val st = ctx.fileStats.getOrElse(f, Map.empty)
           val rows = ctx.fileInfo(f).rows
@@ -3428,14 +3437,22 @@ final class LakeTable private (
             case Some(n) => nonNull += rows - n
             case None => if (rows != 0L) nonNullOk = false
           }
+          if (sumOk) st.get(FileStats.sumKey(fld.name)) match {
+            case Some(cs) => sumAcc += BigInt(cs.min)
+            // all-null / empty files contribute zero even without the
+            // stat (written before write.agg.columns was set)
+            case None =>
+              if (!(rows == 0L || nulls.contains(rows))) sumOk = false
+          }
         }
         if (boundsOk && any &&
           !ManifestAggRule.exactFoldedBounds(fld.dataType, mn, mx))
           boundsOk = false
-        if (!boundsOk && !nonNullOk) None
+        if (!boundsOk && !nonNullOk && !sumOk) None
         else Some(mapping.getOrElse(fld.name, fld.name) -> ColumnProof(
           if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,
-          if (nonNullOk) Some(nonNull) else None))
+          if (nonNullOk) Some(nonNull) else None,
+          if (sumOk) Some(sumAcc) else None))
       }.toMap
     // per-file facts for the GROUPED metadata rewrite (lazy, same
     // provenance as the folds above): physical-name keyed bounds /
@@ -3451,7 +3468,10 @@ final class LakeTable private (
             st.get(fld.name).map(cs => (cs.min, cs.max))
           else None,
           rows == 0L || nulls.contains(rows),
-          nulls)
+          nulls,
+          if (FileStats.supportsExactSum(fld.dataType))
+            st.get(FileStats.sumKey(fld.name)).map(cs => BigInt(cs.min))
+          else None)
       }.toMap
       FileFacts(rows, cols)
     }
@@ -4212,7 +4232,9 @@ final class LakeTable private (
             val (actual, _) = FileStats.collect(hconf,
               new Path(rootPath, f), sch, fields, f)
             recorded.keys
-              .filterNot(BloomStats.isBloomKey)
+              .filterNot(k => BloomStats.isBloomKey(k) ||
+                FileStats.isSumKey(k)) // sums come from a data pass,
+                                       // not the footer collector
               .exists(k => actual.get(k).exists(_ != recorded(k)))
           }.getOrElse(false)
         }
@@ -4514,6 +4536,28 @@ final class LakeTable private (
             statsMap.put(key,
               statsMap.getOrDefault(key, Map.empty) ++ blooms)
           }
+      }
+      // per-file EXACT sums (opt-in, integral columns): the metadata-
+      // SUM leg of ManifestAggRule — one column-pruned pass over the
+      // fresh files, same cost shape as the Bloom pass above. Identity
+      // partition columns live in the hive dirs (not in file content)
+      // and are excluded; their per-file sums would be value × rows,
+      // derivable but out of scope.
+      val aggCols = properties.get(PROP_AGG_COLUMNS).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .filter(c => sch.fieldNames.contains(c) &&
+          FileStats.supportsExactSum(sch(c).dataType) &&
+          !fields.exists(f => f.isIdentity && f.source == c))
+      if (aggCols.nonEmpty && moved.nonEmpty) {
+        val byKey = FileStats.collectSums(spark,
+            moved.map(_._2.toString), dataDir.toString, sch, aggCols)
+          .map { case (abs, m) => relativize(abs) -> m }
+        val zeros = aggCols.map(n =>
+          FileStats.sumKey(n) -> ColStat("0", "0")).toMap
+        moved.foreach { case (key, _, _) =>
+          statsMap.put(key, statsMap.getOrDefault(key, Map.empty) ++
+            byKey.getOrElse(key, zeros))
+        }
       }
       WriteResult(moved.map(_._1), statsMap.asScala.toMap,
         infoMap.asScala.toMap)
@@ -4960,6 +5004,10 @@ object LakeTable {
   val PROP_MAINT_ORPHAN_AGE_MS = "maintenance.orphans.min-age-ms"
 
   val PROP_BLOOM_COLUMNS = "write.bloom.columns"
+  /** Comma list of INTEGRAL columns whose exact per-file sums are
+    * recorded at write (`__sum__` pseudo-stats) — enables
+    * ManifestAggRule's metadata-only SUM leg. */
+  val PROP_AGG_COLUMNS = "write.agg.columns"
   /** Filter size in bits (default [[BloomStats.DefaultBits]]). */
   val PROP_BLOOM_BITS = "write.bloom.bits"
   val PROP_FORMAT_VERSION = "format-version"

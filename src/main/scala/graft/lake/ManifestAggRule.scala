@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -20,7 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planned file reports both counts; answers `count(col)`. */
 final case class ColumnProof(
     bounds: Option[Option[(String, String)]],
-    nonNull: Option[Long])
+    nonNull: Option[Long],
+    /** Exact Σ of the column over the planned files (integral columns
+      * with recorded `__sum__` stats only); None = unproven. Answers
+      * `sum(col)` when `nonNull` also proves null-ness (zero non-null
+      * rows → SQL NULL) and the fold fits the Spark result type. */
+    sum: Option[BigInt] = None)
 
 /** Per-file, per-column manifest facts (physical-name keyed) — the raw
   * material for [[ManifestAggRule]]'s GROUPED rewrite, which needs to
@@ -33,7 +38,10 @@ final case class ColumnProof(
 final case class ColFacts(
     bounds: Option[(String, String)],
     allNull: Boolean,
-    nulls: Option[Long])
+    nulls: Option[Long],
+    /** Exact recorded sum of the file's non-null values (`__sum__`
+      * stat, integral columns under `write.agg.columns`). */
+    sum: Option[BigInt] = None)
 
 final case class FileFacts(rows: Long, cols: Map[String, ColFacts])
 
@@ -170,7 +178,10 @@ object ManifestAggRule extends Rule[LogicalPlan] {
           val nonNull =
             if (ps.exists(_.nonNull.isEmpty)) None
             else Some(ps.map(_.nonNull.get).sum)
-          Some(ColumnProof(bounds, nonNull))
+          val sums =
+            if (ps.exists(_.sum.isEmpty)) None
+            else Some(ps.map(_.sum.get).sum)
+          Some(ColumnProof(bounds, nonNull, sums))
         }
       }
     case l: LogicalRelation => l.relation match {
@@ -233,6 +244,30 @@ object ManifestAggRule extends Rule[LogicalPlan] {
       case Max(a: Attribute) if exactStatType(a.dataType) =>
         proofFor(a).flatMap(_.bounds).map(_.map(b =>
           internalValue(a.dataType, b._2)).orNull)
+      // SUM over an integral column with recorded per-file sums — a
+      // rewrite even Iceberg's DSv2 pushdown does not attempt. The
+      // exact BigInt fold equals Spark's LongType sum in EVERY eval
+      // mode iff it fits in Long (in-range folds are order-independent
+      // and overflow-free); an out-of-range fold blocks the rewrite so
+      // the scan keeps Spark's own overflow semantics. FP sums are
+      // never recorded (order-dependent in Spark itself), and Average
+      // is deliberately NOT folded: Spark accumulates it in double, so
+      // an exact sum/count division could differ in ulps from the scan
+      // — spell avg as sum(x)/count(x) to ride the exact legs.
+      case s: Sum => s.child match {
+        case a: Attribute if FileStats.supportsExactSum(a.dataType) &&
+            ae.dataType == LongType =>
+          proofFor(a).flatMap { p =>
+            (p.sum, p.nonNull) match {
+              case (Some(v), Some(nn)) =>
+                if (nn == 0L) Some(null)
+                else if (v.isValidLong) Some(v.toLong: Any)
+                else None
+              case _ => None
+            }
+          }
+        case _ => None
+      }
       case _ => None
     }
 
@@ -291,6 +326,8 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     var mn: String = null; var mx: String = null; var any = false
     var boundsOk = exactStatType(dt)
     var nonNull = 0L; var nonNullOk = true
+    var sumAcc = BigInt(0)
+    var sumOk = FileStats.supportsExactSum(dt)
     files.foreach { f =>
       val cf = f.cols.getOrElse(name, ColFacts(None, f.rows == 0L, None))
       if (boundsOk) cf.bounds match {
@@ -308,11 +345,18 @@ object ManifestAggRule extends Rule[LogicalPlan] {
           if (cf.allNull) () // zero non-null rows, nothing to add
           else if (f.rows != 0L) nonNullOk = false
       }
+      if (sumOk) cf.sum match {
+        case Some(s) => sumAcc += s
+        // all-null / empty files contribute zero even without the stat
+        // (written before write.agg.columns was set)
+        case None => if (!(f.rows == 0L || cf.allNull)) sumOk = false
+      }
     }
     if (boundsOk && any && !exactFoldedBounds(dt, mn, mx)) boundsOk = false
     ColumnProof(
       if (boundsOk) Some(if (any) Some((mn, mx)) else None) else None,
-      if (nonNullOk) Some(nonNull) else None)
+      if (nonNullOk) Some(nonNull) else None,
+      if (sumOk) Some(sumAcc) else None)
   }
 
   /** GROUPED metadata aggregate: `SELECT g, count(*), min(x), … GROUP
@@ -427,6 +471,24 @@ object ManifestAggRule extends Rule[LogicalPlan] {
                         .orNull)
                   case _ => None
                 }
+              case s: Sum => s.child match {
+                case a: Attribute
+                    if FileStats.supportsExactSum(a.dataType) &&
+                      ae.dataType == LongType =>
+                  resolve(agg.child, a) match {
+                    case Some((i2, n2)) if i2 eq idx =>
+                      val p = foldProofs(gf.toSeq, n2, a.dataType)
+                      (p.sum, p.nonNull) match {
+                        case (Some(v), Some(nn)) =>
+                          if (nn == 0L) Some(null)
+                          else if (v.isValidLong) Some(v.toLong: Any)
+                          else None
+                        case _ => None
+                      }
+                    case _ => None
+                  }
+                case _ => None
+              }
               case _ => None
             }) match {
               case Some(v) => Literal(v, ae.dataType)

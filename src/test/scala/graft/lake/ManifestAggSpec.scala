@@ -444,4 +444,93 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(rf.getLong(0) == 60L && rf.getLong(1) == 60L)
     assert(!hasFileScan(qf), qf.queryExecution.executedPlan.toString)
   }
+
+  test("metadata SUM: write.agg.columns records exact per-file sums; " +
+      "global / grouped / filtered legs fold with no file scan") {
+    val df = (1L to 400L).map(i =>
+      (i, (i % 4).toInt, if (i % 10 == 0) null
+        else java.lang.Long.valueOf(i * 3)))
+      .toDF("k", "p", "v")
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("msum"))
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t", df.schema,
+      partitionBy = Seq("p"),
+      properties = Map(LakeTable.PROP_AGG_COLUMNS -> "v,k"))
+    cat.loadTable("ns", "t").append(df.repartition(4))
+
+    val expSum = (1L to 400L).filter(_ % 10 != 0).map(_ * 3).sum
+    val g = cat.sql("ns",
+      "SELECT sum(v) AS sv, sum(k) AS sk, count(v) AS cv FROM t")
+    val r = g.collect().head
+    assert(r.getLong(0) == expSum)
+    assert(r.getLong(1) == (1L to 400L).sum)
+    assert(r.getLong(2) == 360L)
+    assert(!hasFileScan(g), g.queryExecution.executedPlan.toString)
+
+    // avg spelled as exact legs folds too (deterministic expression
+    // over substituted constants)
+    val avg = cat.sql("ns",
+      "SELECT sum(v) / count(v) AS av FROM t")
+    assert(math.abs(avg.collect().head.getDouble(0) -
+      expSum.toDouble / 360.0) < 1e-9)
+    assert(!hasFileScan(avg))
+
+    // grouped by the identity partition: per-group sums, zero I/O
+    val gr = cat.sql("ns",
+      "SELECT p, sum(v) AS sv FROM t GROUP BY p")
+    val got = gr.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val exp = (1L to 400L).filter(_ % 10 != 0).groupBy(i => (i % 4).toInt)
+      .map { case (p, is) => p -> is.map(_ * 3).sum }
+    assert(got == exp)
+    assert(!hasFileScan(gr), gr.queryExecution.executedPlan.toString)
+
+    // filtered leg: partition probe proves the split
+    val f = cat.sql("ns", "SELECT sum(v) AS sv FROM t WHERE p = 2")
+    assert(f.collect().head.getLong(0) == exp(2))
+    assert(!hasFileScan(f))
+  }
+
+  test("metadata SUM guards: zero non-null rows fold to NULL; a file " +
+      "without the stat blocks; FP and Average never fold") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("msum-g"))
+    cat.createNamespace("ns")
+    // all-null column: sum is SQL NULL, still metadata-only
+    val dfN = Seq.tabulate(10)(i =>
+      (i.toLong, null: java.lang.Long)).toDF("k", "v")
+    cat.createTable("ns", "tn", dfN.schema,
+      properties = Map(LakeTable.PROP_AGG_COLUMNS -> "v"))
+    cat.loadTable("ns", "tn").append(dfN)
+    val qn = cat.sql("ns", "SELECT sum(v) AS sv FROM tn")
+    assert(qn.collect().head.isNullAt(0))
+    assert(!hasFileScan(qn))
+
+    // files written BEFORE the property was set block the fold (no
+    // silent wrong answer) but all-null legacy files still pass
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("k", "v")
+    cat.createTable("ns", "tb", df.schema)
+    val tb = cat.loadTable("ns", "tb")
+    tb.append(df)
+    tb.setProperties(Map(LakeTable.PROP_AGG_COLUMNS -> "v"))
+    tb.append(Seq((3L, 9L)).toDF("k", "v"))
+    val qb = cat.sql("ns", "SELECT sum(v) AS sv FROM tb")
+    assert(qb.collect().head.getLong(0) == 21L)
+    assert(hasFileScan(qb), "legacy file without the stat must scan")
+    // compaction rewrites every file under the property: fold returns
+    tb.compact(1)
+    val qc = cat.sql("ns", "SELECT sum(v) AS sv FROM tb")
+    assert(qc.collect().head.getLong(0) == 21L)
+    assert(!hasFileScan(qc))
+
+    // fp sums are never recorded/folded; avg(col) never folds either
+    val dfF = Seq((1L, 1.5), (2L, 2.5)).toDF("k", "x")
+    cat.createTable("ns", "tf", dfF.schema,
+      properties = Map(LakeTable.PROP_AGG_COLUMNS -> "x,k"))
+    cat.loadTable("ns", "tf").append(dfF)
+    val qf = cat.sql("ns", "SELECT sum(x) AS sx FROM tf")
+    assert(qf.collect().head.getDouble(0) == 4.0)
+    assert(hasFileScan(qf), "fp sum must run the scan")
+    val qa = cat.sql("ns", "SELECT avg(k) AS ak FROM tf")
+    assert(qa.collect().head.getDouble(0) == 1.5)
+    assert(hasFileScan(qa), "Average must run the scan")
+  }
 }
