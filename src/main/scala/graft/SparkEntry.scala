@@ -1122,6 +1122,53 @@ WHEN NOT MATCHED THEN INSERT *
       q
     }),
 
+    "q_metadata_sum" -> ((s, dir) => {
+      // metadata-only SUM (beyond Iceberg's DSv2 pushdown, which never
+      // pushes SUM): write.agg.columns records exact per-file integral
+      // sums at write; sum(col), avg spelled as sum/count, the GROUPED
+      // leg (per identity partition) and the FILTERED leg (partition
+      // probe) all fold from the manifest — every plan asserted
+      // LocalRelation in-query, zero data I/O at any scale.
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-metasum") + "/t"
+      val lt = LakeTable.create(s, root, orders.schema,
+        partitionBy = Seq("o_orderpriority"),
+        properties = Map(
+          LakeTable.PROP_AGG_COLUMNS -> "o_orderkey,o_custkey"))
+      lt.append(orders.where(col("o_orderkey") % 2 === 0))
+      lt.append(orders.where(col("o_orderkey") % 2 === 1))
+      def mustFold(q: org.apache.spark.sql.DataFrame) = {
+        require(q.queryExecution.optimizedPlan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "metadata SUM must fold to a LocalRelation:\n" +
+            q.queryExecution.optimizedPlan.toString)
+        q
+      }
+      val global = mustFold(lt.scan().agg(
+        sum(col("o_orderkey")).as("sum_okey"),
+        sum(col("o_custkey")).as("sum_ckey"),
+        count(col("o_orderkey")).as("n"),
+        (sum(col("o_orderkey")) / count(col("o_orderkey")))
+          .as("avg_okey")))
+        .withColumn("o_orderpriority", lit("ALL"))
+      val grouped = mustFold(lt.scan().groupBy("o_orderpriority")
+        .agg(sum(col("o_orderkey")).as("sum_okey"),
+          sum(col("o_custkey")).as("sum_ckey"),
+          count(col("o_orderkey")).as("n"),
+          (sum(col("o_orderkey")) / count(col("o_orderkey")))
+            .as("avg_okey")))
+      val filtered = mustFold(lt.scan()
+        .where(col("o_orderpriority") === "1-URGENT")
+        .agg(sum(col("o_custkey")).as("sum_ckey")))
+      global.unionByName(grouped)
+        .unionByName(filtered
+          .withColumn("o_orderpriority", lit("URGENT-PROBE"))
+          .withColumn("sum_okey", lit(null).cast("long"))
+          .withColumn("n", lit(null).cast("long"))
+          .withColumn("avg_okey", lit(null).cast("double")),
+          allowMissingColumns = false)
+    }),
+
     // FILTERED metadata aggregate (ManifestAggRule's filtered leg): a
     // partition-scoped freshness probe — count/min/max WHERE part = v —
     // folds over exactly the files the manifest PROVES match (identity
@@ -3542,6 +3589,28 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         |  round(sum(v), 2) AS total
         |FROM f GROUP BY o_orderpriority""".stripMargin,
+
+    // metadata-only SUM: global + per-partition + filtered probe, all
+    // folded from per-file exact sums; the oracle recomputes from data
+    "q_metadata_sum" ->
+      """SELECT 'ALL' AS o_orderpriority,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ckey,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderpriority,
+        |  CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(o_custkey) AS BIGINT),
+        |  CAST(count(o_orderkey) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey)
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'URGENT-PROBE', CAST(NULL AS BIGINT),
+        |  CAST(sum(o_custkey) AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE)
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     // the SCD2 dimension vs the interval table reconstructed from the
     // commit plan: keys ≤400 load at snapshot 2; %7 keys re-version at

@@ -245,7 +245,125 @@ object DeltaImport {
   def scan(spark: SparkSession, tableDir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val st = state(spark, tableDir, versionAsOf)
-    if (st.adds.isEmpty)
+    scanAdds(spark, st, st.adds)
+  }
+
+  /** [[scan]] with FILE SKIPPING: the adds' own stats JSON
+    * (minValues / maxValues / nullCount) and partitionValues convert
+    * into graft's stat domain and the predicate prunes files through
+    * the same prover every governed scan uses ([[PredicatePruning
+    * .candidateFiles]]) BEFORE any parquet opens — a selective probe
+    * over a foreign Delta table reads only the overlapping files.
+    * Conservative everywhere: STRING bounds are skipped (a foreign
+    * writer may truncate them — a truncated max understates and would
+    * mis-prune; graft's own exporter never truncates, but the reader
+    * cannot tell whose log it holds), `tightBounds: false` stats are
+    * ignored wholesale, unparseable values drop the column. Pruning is
+    * never load-bearing: the predicate re-applies on the scan. */
+  def scanWhere(spark: SparkSession, tableDir: String,
+      predicate: Column, versionAsOf: Option[Long] = None): DataFrame = {
+    val st = state(spark, tableDir, versionAsOf)
+    scanAdds(spark, st, pruneAdds(spark, st, predicate))
+      .where(predicate)
+  }
+
+  /** The adds surviving stats pruning for `predicate` — exposed for
+    * plan assertions. Analysis failure keeps every file. */
+  private[graft] def pruneAdds(spark: SparkSession, st: TableState,
+      predicate: Column): Seq[AddFile] = {
+    val cond = scala.util.Try {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
+        .where(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten
+    cond match {
+      case None => st.adds
+      case Some(c) =>
+        val byUri = st.adds.map(a => a.uri -> a).toMap
+        PredicatePruning.candidateFiles(c, st.schema,
+          st.adds.map(_.uri),
+          st.adds.map(a => a.uri -> addStats(st, a)).toMap)
+          .map(byUri)
+    }
+  }
+
+  /** One add's Delta stats JSON + partitionValues → graft stat-domain
+    * [[ColStat]]s (what [[PredicatePruning]] reasons over). */
+  private def addStats(st: TableState, a: AddFile)
+      : Map[String, ColStat] = {
+    val m = Snapshot.mapper
+    val out = Map.newBuilder[String, ColStat]
+    val types = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    def encode(dt: DataType, n: JsonNode): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType
+          if n.isIntegralNumber => Some(n.asLong().toString)
+      case FloatType | DoubleType if n.isNumber =>
+        Some(n.asDouble().toString)
+      case BooleanType if n.isBoolean =>
+        Some(if (n.asBoolean()) "1" else "0")
+      case DateType if n.isTextual => scala.util.Try(
+        java.time.LocalDate.parse(n.asText()).toEpochDay.toString).toOption
+      case TimestampType if n.isTextual => scala.util.Try {
+        val t = n.asText()
+        val inst = scala.util.Try(java.time.Instant.parse(t)).getOrElse(
+          java.time.OffsetDateTime.parse(t).toInstant)
+        (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+      }.toOption
+      case _ => None // strings skipped: foreign writers may truncate
+    }
+    a.stats.foreach { js =>
+      scala.util.Try(m.readTree(js)).toOption
+        // tightBounds: false (a DV-bearing writer's loose stats) —
+        // bounds and null counts are not row-exact, use none of them
+        .filter(_.path("tightBounds").asBoolean(true))
+        .foreach { n =>
+          st.schema.fields.foreach { f =>
+            for (lo <- Option(n.path("minValues").get(f.name))
+                   .filter(!_.isNull).flatMap(encode(f.dataType, _));
+                 hi <- Option(n.path("maxValues").get(f.name))
+                   .filter(!_.isNull).flatMap(encode(f.dataType, _)))
+              out += f.name -> ColStat(lo, hi)
+            val nc = n.path("nullCount").get(f.name)
+            if (nc != null && nc.isIntegralNumber)
+              out += FileStats.nullsKey(f.name) ->
+                ColStat(nc.asLong().toString, nc.asLong().toString)
+          }
+        }
+    }
+    // identity partition values are per-file points
+    st.partitionColumns.foreach { c =>
+      types.get(c).foreach { dt =>
+        a.partitionValues.get(c).foreach {
+          case Some(raw) =>
+            val enc = dt match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                scala.util.Try(raw.trim.toLong.toString).toOption
+              case BooleanType => raw.trim.toLowerCase match {
+                case "true" => Some("1"); case "false" => Some("0")
+                case _ => None
+              }
+              case DateType => scala.util.Try(
+                java.time.LocalDate.parse(raw).toEpochDay.toString).toOption
+              case StringType => Some(raw) // partition values are exact
+              case _ => None
+            }
+            enc.foreach { v =>
+              out += c -> ColStat(v, v)
+              out += FileStats.nullsKey(c) -> ColStat("0", "0")
+            }
+          case None => () // null partition value: no point stat
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def scanAdds(spark: SparkSession, st: TableState,
+      adds: Seq[AddFile]): DataFrame = {
+    if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], st.schema)
     val F = "__dl_f"
@@ -256,7 +374,7 @@ object DeltaImport {
     val infoSchema = StructType(
       StructField(F, StringType, nullable = false) +:
       partCols.map(c => StructField(s"__dl_$c", StringType)))
-    val infoRows = st.adds.map(a => Row.fromSeq(normUri(a.uri) +:
+    val infoRows = adds.map(a => Row.fromSeq(normUri(a.uri) +:
       partCols.map(c => a.partitionValues.get(c).flatten.orNull)))
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(infoRows, 1), infoSchema)
@@ -271,7 +389,7 @@ object DeltaImport {
     val infoSide = if (infoBytes <= maxBytes) broadcast(info) else info
 
     var df = spark.read.schema(st.schema)
-      .parquet(st.adds.map(_.uri): _*)
+      .parquet(adds.map(_.uri): _*)
       .withColumn(F, normUriCol(col("_metadata.file_path")))
       .join(infoSide, F)
     partCols.foreach { c =>

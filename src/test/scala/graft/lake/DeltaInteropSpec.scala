@@ -215,6 +215,49 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("deletionVector"))
   }
 
+  test("scanWhere skips files via the adds' stats and partitionValues; " +
+      "string bounds and loose stats never prune") {
+    val base = TestSpark.tmpDir("delta-skip")
+    val src = (1L to 1000L).map(i => (i, (i % 4).toString, s"name$i"))
+      .toDF("id", "part", "nm")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("part"))
+    // range-cluster so per-file id bounds are selective
+    lt.append(src.repartitionByRange(8, col("id")))
+    DeltaExport.export(lt, s"$base/delta")
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+
+    // selective range predicate: most files must prune away
+    val pruned = DeltaImport.pruneAdds(spark, st, col("id") <= 50)
+    assert(pruned.size < st.adds.size,
+      s"expected pruning, kept ${pruned.size}/${st.adds.size}")
+    assert(rows(DeltaImport.scanWhere(spark, s"$base/delta",
+        col("id") <= 50)) ==
+      rows(lt.scan().where(col("id") <= 50)))
+
+    // partition-value point pruning (string partition values are
+    // exact — only DATA string bounds are distrusted)
+    val pp = DeltaImport.pruneAdds(spark, st, col("part") === "2")
+    assert(pp.size < st.adds.size)
+    assert(pp.forall(_.partitionValues("part").contains("2")))
+    assert(rows(DeltaImport.scanWhere(spark, s"$base/delta",
+        col("part") === "2")) ==
+      rows(lt.scan().where(col("part") === "2")))
+
+    // data STRING bounds never prune (foreign writers may truncate)
+    val sp = DeltaImport.pruneAdds(spark, st, col("nm") === "name1")
+    assert(sp.size == st.adds.size)
+
+    // loose stats (tightBounds: false) are ignored wholesale
+    val loose = st.adds.head.copy(stats = st.adds.head.stats.map(s =>
+      s.replaceFirst("\\{", """{"tightBounds":false,""")))
+    val st2 = st.copy(adds = loose +: st.adds.tail)
+    val lp = DeltaImport.pruneAdds(spark, st2,
+      col("id") > 2000L) // matches nothing
+    assert(lp.exists(_.uri == loose.uri),
+      "a loose-stats file must survive every prune")
+  }
+
   test("UNIFORM-style dual handoff: Iceberg and Delta metadata side " +
       "by side over the SAME zero-copy data files read identically") {
     val base = TestSpark.tmpDir("uniform")
