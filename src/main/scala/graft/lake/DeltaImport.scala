@@ -248,6 +248,49 @@ object DeltaImport {
     scanAdds(spark, st, st.adds)
   }
 
+  /** TIMESTAMP AS OF: the latest version whose commit timestamp is ≤
+    * `timestampMs` (Delta's own resolution rule). Per-version
+    * timestamps come from each commit's `commitInfo.timestamp`, falling
+    * back to the commit file's modification time (the spec's legacy
+    * rule); resolution sees only the JSON commits still present —
+    * versions aged out behind a checkpoint are not addressable by
+    * time, exactly as in Delta after log cleanup. */
+  def versionAt(spark: SparkSession, tableDir: String,
+      timestampMs: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val m = Snapshot.mapper
+    val commitRe = """(\d{20})\.json""".r
+    val stamped = fs.listStatus(logDir).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case commitRe(v) =>
+          val ts = scala.util.Try {
+            LakeTable.readString(fs, s.getPath).split('\n')
+              .filter(_.nonEmpty).map(m.readTree)
+              .collectFirst {
+                case n if n.has("commitInfo") &&
+                    n.path("commitInfo").hasNonNull("timestamp") =>
+                  n.path("commitInfo").path("timestamp").asLong()
+              }
+          }.toOption.flatten.getOrElse(s.getModificationTime)
+          Some(v.toLong -> ts)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    require(stamped.nonEmpty, s"$tableDir: no addressable commits")
+    val at = stamped.filter(_._2 <= timestampMs)
+    require(at.nonEmpty,
+      s"no version at or before $timestampMs — earliest addressable " +
+        s"commit is version ${stamped.head._1} at ${stamped.head._2}")
+    at.last._1
+  }
+
+  /** [[scan]] pinned by wall-clock time instead of version. */
+  def scanAt(spark: SparkSession, tableDir: String,
+      timestampMs: Long): DataFrame =
+    scan(spark, tableDir, Some(versionAt(spark, tableDir, timestampMs)))
+
   /** [[scan]] with FILE SKIPPING: the adds' own stats JSON
     * (minValues / maxValues / nullCount) and partitionValues convert
     * into graft's stat domain and the predicate prunes files through

@@ -730,6 +730,18 @@ object LakeSql {
         return Seq((tbl, imported.currentSnapshotId.getOrElse(0L),
           imported.countRows()))
           .toDF("table", "snapshot_id", "row_count")
+      case "register_delta" =>
+        // (table_dir, view_name[, version]) — FEDERATE a Delta table
+        // in place: a temp view over the engine-free reader, no copy
+        val df = DeltaImport.scan(spark, str(0),
+          if (c.args.size > 2) Some(lng(2)) else None)
+        df.createOrReplaceTempView(str(1))
+        return Seq((str(1), str(0))).toDF("view", "table_dir")
+      case "register_iceberg" =>
+        // (metadata_json_path, view_name) — federate an Iceberg table
+        val df = IcebergImport.scan(spark, str(0))
+        df.createOrReplaceTempView(str(1))
+        return Seq((str(1), str(0))).toDF("view", "metadata_path")
       case "checkpoint_delta" =>
         // (delta_dir) — fold the published log into a parquet
         // checkpoint + _last_checkpoint

@@ -4285,6 +4285,20 @@ final class LakeTable private (
       val n = removeOrphanFiles(a.toLong).size
       out += ("remove_orphan_files" -> s"removed=$n")
     }
+    // mirror publishes LAST: they hand off the post-maintenance state
+    // (compacted files, folded deletes — the exporters refuse MOR
+    // artifacts, so consolidation/compaction above is what makes a
+    // delete-bearing table publishable at all)
+    props.get(LakeTable.PROP_MAINT_PUBLISH_ICEBERG).foreach { dir =>
+      out += ("publish_iceberg" -> IcebergExport.publish(this, dir))
+    }
+    props.get(LakeTable.PROP_MAINT_PUBLISH_DELTA).foreach { dir =>
+      out += ("publish_delta" -> DeltaExport.publish(this, dir))
+    }
+    props.get(LakeTable.PROP_MAINT_PUBLISH_UNIFORM).foreach { dir =>
+      out += ("publish_iceberg" -> IcebergExport.publish(this, dir))
+      out += ("publish_delta" -> DeltaExport.publish(this, dir))
+    }
     out.result()
   }
 
@@ -5002,6 +5016,14 @@ object LakeTable {
   val PROP_MAINT_EXPIRE_KEEP = "maintenance.expire.keep-last"
   val PROP_MAINT_EXPIRE_AGE_MS = "maintenance.expire.max-age-ms"
   val PROP_MAINT_ORPHAN_AGE_MS = "maintenance.orphans.min-age-ms"
+  /** Mirror-publish policies: each maintain() run appends the current
+    * snapshot to the named interop directory (Iceberg metadata / Delta
+    * log / both side by side) — the nightly handoff travels with the
+    * table like every other policy. Idempotent when HEAD is already
+    * published. */
+  val PROP_MAINT_PUBLISH_ICEBERG = "maintenance.publish-iceberg"
+  val PROP_MAINT_PUBLISH_DELTA = "maintenance.publish-delta"
+  val PROP_MAINT_PUBLISH_UNIFORM = "maintenance.publish-uniform"
 
   val PROP_BLOOM_COLUMNS = "write.bloom.columns"
   /** Comma list of INTEGRAL columns whose exact per-file sums are

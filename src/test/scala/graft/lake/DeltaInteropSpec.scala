@@ -284,6 +284,42 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/uni/data")))
   }
 
+  test("timestampAsOf resolves versions by commitInfo timestamps; " +
+      "register_delta/register_iceberg federate views in place; " +
+      "maintenance.publish-* mirrors on maintain()") {
+    val base = TestSpark.tmpDir("delta-ts")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "src",
+      Seq((1, 2.0)).toDF("id", "v").schema,
+      properties = Map(
+        LakeTable.PROP_MAINT_PUBLISH_UNIFORM -> s"$base/uni"))
+    t.append(Seq((1, 2.0)).toDF("id", "v"))
+    val acts1 = t.maintain().map(_._1)
+    assert(acts1.contains("publish_iceberg") &&
+      acts1.contains("publish_delta"))
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(Seq((2, 3.0)).toDF("id", "v"))
+    t.maintain()
+    // timestamp between the two publishes resolves to version 0
+    assert(DeltaImport.versionAt(spark, s"$base/uni", ts1) == 0L)
+    assert(DeltaImport.scanAt(spark, s"$base/uni", ts1).count() == 1L)
+    assert(DeltaImport.scan(spark, s"$base/uni").count() == 2L)
+    intercept[IllegalArgumentException] {
+      DeltaImport.versionAt(spark, s"$base/uni", 1000L) // before all
+    }
+    // federated views over both formats of the SAME uniform dir
+    LakeSql.run(cat, "ns",
+      s"CALL system.register_delta('$base/uni', 'v_delta')")
+    LakeSql.run(cat, "ns", s"CALL system.register_iceberg(" +
+      s"'$base/uni/metadata/v2.metadata.json', 'v_ice')")
+    val both = spark.sql(
+      """SELECT (SELECT sum(id) FROM v_delta) AS d,
+        |       (SELECT sum(id) FROM v_ice) AS i""".stripMargin).head
+    assert(both.getLong(0) == 3L && both.getLong(1) == 3L)
+  }
+
   test("SQL surface: export_delta / publish_delta / checkpoint_delta " +
       "/ import_delta") {
     val base = TestSpark.tmpDir("delta-sql")
