@@ -852,6 +852,11 @@ WHEN NOT MATCHED THEN INSERT *
       shape(graft.lake.DeltaImport.scan(s, s"$base/delta"), "final")
         .unionAll(shape(graft.lake.DeltaImport.scan(s, s"$base/delta",
           versionAsOf = Some(0L)), "v0"))
+        // incremental mirror consumption: exactly the rows version 1
+        // added (the odd half), read from its commit JSON alone
+        .unionAll(shape(graft.lake.DeltaImport.incrementalScan(s,
+          s"$base/delta", fromVersion = 0L, toVersion = Some(1L)),
+          "inc"))
     }),
 
     "q_bucketed_join" -> ((s, dir) => {
@@ -3429,7 +3434,11 @@ WHEN NOT MATCHED THEN INSERT *
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice, 'v0' AS src
-        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, 'inc' AS src
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

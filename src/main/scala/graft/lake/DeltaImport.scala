@@ -291,6 +291,61 @@ object DeltaImport {
       timestampMs: Long): DataFrame =
     scan(spark, tableDir, Some(versionAt(spark, tableDir, timestampMs)))
 
+  /** INCREMENTAL read over a published Delta history: the rows ADDED
+    * in versions `(fromVersion, toVersion]` — the mirror-consumption
+    * shape for a continuously-published table (each sync reads only
+    * the new files, O(delta) I/O however large the table), the Delta
+    * twin of [[IcebergImport.incrementalScan]]. Append-only ranges
+    * only: a version that removes files (rewrite/delete) makes "rows
+    * added" ill-defined from adds alone and is refused — resync from
+    * a full scan. Reads the range's own commit JSONs, so it needs
+    * them still present (not aged out behind a checkpoint). */
+  def incrementalScan(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val st = state(spark, tableDir, versionAsOf = None)
+    val hi = toVersion.getOrElse(st.version)
+    require(fromVersion < hi,
+      s"empty or inverted range ($fromVersion, $hi]")
+    require(hi <= st.version, s"version $hi is not published yet")
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val m = Snapshot.mapper
+    val adds = Seq.newBuilder[AddFile]
+    ((fromVersion + 1) to hi).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"commit version $v is missing (aged out behind a " +
+          "checkpoint?) — resync from a full scan")
+      LakeTable.readString(fs, p).split('\n').filter(_.nonEmpty)
+        .foreach { line =>
+          val n = m.readTree(line)
+          require(!n.has("remove"),
+            s"version $v removes files — not append-only; resync " +
+              "from a full scan")
+          require(!n.has("metaData") || v == 0L,
+            s"version $v changes table metadata mid-range")
+          if (n.has("add") &&
+              n.path("add").path("dataChange").asBoolean(true)) {
+            val a = n.path("add")
+            require(!a.hasNonNull("deletionVector"),
+              s"version $v adds a deletion vector — out of scope")
+            adds += AddFile(
+              resolvePath(tableDir, a.path("path").asText()),
+              a.path("partitionValues").properties().asScala.map { e =>
+                e.getKey -> (if (e.getValue.isNull) None
+                  else Some(e.getValue.asText()))
+              }.toMap,
+              a.path("size").asLong(0L),
+              a.path("modificationTime").asLong(0L),
+              if (a.hasNonNull("stats")) Some(a.path("stats").asText())
+              else None)
+          }
+        }
+    }
+    scanAdds(spark, st, adds.result())
+  }
+
   /** [[scan]] with FILE SKIPPING: the adds' own stats JSON
     * (minValues / maxValues / nullCount) and partitionValues convert
     * into graft's stat domain and the predicate prunes files through

@@ -284,6 +284,30 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/uni/data")))
   }
 
+  test("incrementalScan reads exactly a range's added rows and " +
+      "refuses non-append-only ranges") {
+    val base = TestSpark.tmpDir("delta-inc")
+    val lt = LakeTable.create(spark, s"$base/t",
+      Seq((1, 1.0)).toDF("id", "v").schema)
+    lt.append(Seq((1, 1.0), (2, 2.0)).toDF("id", "v"))
+    DeltaExport.export(lt, s"$base/delta")           // v0
+    lt.append(Seq((3, 3.0)).toDF("id", "v"))
+    DeltaExport.publish(lt, s"$base/delta")          // v1 append-only
+    lt.append(Seq((4, 4.0)).toDF("id", "v"))
+    DeltaExport.publish(lt, s"$base/delta")          // v2 append-only
+    lt.delete(col("id") === 1)
+    DeltaExport.publish(lt, s"$base/delta")          // v3 removes
+    assert(rows(DeltaImport.incrementalScan(spark, s"$base/delta",
+      0L, Some(2L))) == Set(Seq(3, 3.0), Seq(4, 4.0)))
+    assert(rows(DeltaImport.incrementalScan(spark, s"$base/delta",
+      1L, Some(2L))) == Set(Seq(4, 4.0)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.incrementalScan(spark, s"$base/delta", 2L, Some(3L))
+        .collect()
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("timestampAsOf resolves versions by commitInfo timestamps; " +
       "register_delta/register_iceberg federate views in place; " +
       "maintenance.publish-* mirrors on maintain()") {
