@@ -229,7 +229,9 @@ object ScaleSmoke {
         (col("o_orderkey") % 100).as("grp"), col("o_totalprice"))
     val cat = new LakeCatalog(spark, s"$work/warehouse")
     cat.createNamespace("ns")
-    cat.createTable("ns", "wide", orders.schema, partitionBy = Seq("grp"))
+    cat.createTable("ns", "wide", orders.schema, partitionBy = Seq("grp"),
+      properties = Map(
+        graft.lake.LakeTable.PROP_AGG_COLUMNS -> "o_orderkey"))
     val t = cat.loadTable("ns", "wide")
     println("[magg] writing the 512-task × 100-partition append…")
     var t0 = System.nanoTime()
@@ -242,7 +244,8 @@ object ScaleSmoke {
 
     val sql = """SELECT grp, count(*) AS n, min(o_orderkey) AS min_key,
                 |  max(o_orderkey) AS max_key,
-                |  count(o_totalprice) AS n_price
+                |  count(o_totalprice) AS n_price,
+                |  sum(o_orderkey) AS sum_key
                 |FROM wide GROUP BY grp""".stripMargin
     val rt = Runtime.getRuntime
     (1 to 3).foreach { run =>
@@ -264,12 +267,13 @@ object ScaleSmoke {
     // ground truth on the raw rows: the fold must not just be fast
     val truth = orders.groupBy("grp").agg(count(lit(1)).as("n"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
-        count("o_totalprice").as("n_price"))
+        count("o_totalprice").as("n_price"),
+        sum("o_orderkey").as("sum_key"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toMap
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     val got = cat.sql("ns", sql).collect().map(r =>
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))).toMap
+        r.getLong(4), r.getLong(5))).toMap
     require(got == truth, "metadata answer != ground truth")
     println("[magg] PASS (values equal ground truth)")
 
