@@ -1527,6 +1527,43 @@ WHEN NOT MATCHED THEN INSERT *
         round(col("total"), 2).as("total"))
     }),
 
+    "q_scd2_cdc" -> ((s, dir) => {
+      // SCD2 straight from a DMS-shaped CDC batch (Op I/U/D + change
+      // timestamp — the reference's raw drop format): the validity
+      // domain is the CDC clock itself (_valid_from/_valid_to hold
+      // epoch micros of the change ts), no intermediate lake table.
+      // One batch carries a key's whole I→U→D life (a %91 key gets
+      // two closed versions and no open row) — the shared fold
+      // sequences per-key events by ts.
+      val o = t(s, dir, "orders").where(col("o_orderkey") <= 400)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("o_orderdate"))
+      val ins = o.select(lit("I").as("op"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderkey"), col("o_orderpriority"), col("price"))
+      val upd = o.where(col("o_orderkey") % 7 === 0)
+        .select(lit("U").as("op"),
+          date_add(col("o_orderdate"), 1).cast("timestamp").as("ts"),
+          col("o_orderkey"), col("o_orderpriority"),
+          round(col("price") + 100, 2).as("price"))
+      val del = o.where(col("o_orderkey") % 13 === 0)
+        .select(lit("D").as("op"),
+          date_add(col("o_orderdate"), 2).cast("timestamp").as("ts"),
+          col("o_orderkey"), col("o_orderpriority"), col("price"))
+      val dim = LakeTable.create(s, tmp("graft-scd2cdc") + "/dim",
+        graft.lake.ScdDimension.dimensionSchema(
+          o.drop("o_orderdate").schema,
+          Seq("o_orderkey"), Seq("o_orderpriority", "price")))
+      graft.lake.ScdDimension.applyCdcBatch(dim,
+        ins.unionByName(upd).unionByName(del),
+        Seq("o_orderkey"), Seq("o_orderpriority", "price"), "op", "ts")
+      dim.scan().select(col("o_orderkey"), col("o_orderpriority"),
+        col("price"), col("_valid_from").as("valid_from"),
+        col("_valid_to").as("valid_to"),
+        col("_is_current").as("is_current"))
+    }),
+
     "q_stream_scd2" -> ((s, dir) => {
       // CONTINUOUS SCD2 over the change feed, with checkpoint loss:
       // drain the initial load, commit update+delete+late-append, then
@@ -3644,6 +3681,33 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_bal,
         |  valid_from, CAST(valid_to AS BIGINT) AS valid_to,
         |  valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
+
+    // SCD2 from the CDC clock: validity intervals are epoch micros of
+    // the change timestamps, reconstructed per the synthetic I/U/D plan
+    "q_scd2_cdc" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS seg,
+        |         round(o_totalprice, 2) AS bal, o_orderdate AS d
+        |  FROM orders WHERE o_orderkey <= 400),
+        |v AS (
+        |  SELECT k, seg, bal,
+        |    epoch_us(CAST(d AS TIMESTAMP)) AS vf,
+        |    CASE WHEN k % 7 = 0
+        |           THEN epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP))
+        |         WHEN k % 13 = 0
+        |           THEN epoch_us(CAST(d + INTERVAL 2 DAY AS TIMESTAMP))
+        |    END AS vt
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k, seg, round(bal + 100, 2),
+        |    epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP)),
+        |    CASE WHEN k % 13 = 0
+        |      THEN epoch_us(CAST(d + INTERVAL 2 DAY AS TIMESTAMP)) END
+        |  FROM c WHERE k % 7 = 0)
+        |SELECT k AS o_orderkey, seg AS o_orderpriority, bal AS price,
+        |  vf AS valid_from, CAST(vt AS BIGINT) AS valid_to,
+        |  vt IS NULL AS is_current
         |FROM v""".stripMargin,
 
     // the streaming SCD2 twin: same interval reconstruction under the

@@ -203,6 +203,34 @@ object ScdDimension {
       extraProperties = extraProperties, txn = txn)
   }
 
+  /** Apply an EXTERNAL CDC batch (the reference's DMS shape — an `Op`
+    * column `I`/`U`/`D` plus a change timestamp, exactly what lands in
+    * bronze from the reference's raw CSV drops,
+    * /root/reference/scripts/bronze-silver.py:209-217) straight to a
+    * type-2 dimension, no intermediate lake table: `I`/`U` rows are
+    * the key's post-image at `tsCol`, `D` rows close without
+    * successor, and the validity domain becomes the CDC clock itself
+    * (`_valid_from`/`_valid_to` hold epoch micros of `tsCol` instead
+    * of snapshot ids). Same fold, suppression, sequencing, and
+    * one-merge apply as [[refresh]] — [[applyChangeRows]] is shared
+    * verbatim. Caller contract: at most one event per (key, ts) — the
+    * reference's own row_number dedup guarantees it; duplicates refuse
+    * via the shared raise_error guard. `txn` makes a replayed batch
+    * (e.g. a foreachBatch micro-batch) exactly-once. */
+  def applyCdcBatch(target: LakeTable, batch: DataFrame,
+      keys: Seq[String], attrs: Seq[String], opCol: String,
+      tsCol: String, extraProperties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
+    val asChanges = batch.select(
+      (keys ++ attrs).map(col) ++ Seq(
+        when(upper(col(opCol)) === "D", lit("delete"))
+          .otherwise(lit("insert")).as(LakeTable.CHANGE_TYPE_COL),
+        unix_micros(col(tsCol).cast("timestamp"))
+          .as(LakeTable.CHANGE_SNAP_COL)): _*)
+    applyChangeRows(target, asChanges, keys, attrs, extraProperties,
+      txn)
+  }
+
   /** CONTINUOUS maintenance: tail the source's row-level change feed
     * and apply each micro-batch with a snapshot-aligned merge
     * watermark — exactly-once under crash replay and checkpoint loss,

@@ -180,6 +180,40 @@ class ScdDimensionSpec extends AnyFunSuite {
       (2, "B", 2.0, 2L, Some(4L), false)))
   }
 
+  test("applyCdcBatch: DMS-shaped I/U/D rows build the history on the " +
+      "CDC clock; same-ts duplicates refuse") {
+    val base = TestSpark.tmpDir("scd2-cdc")
+    val dim = LakeTable.create(spark, s"$base/dim",
+      ScdDimension.dimensionSchema(
+        Seq((1, "x", 0.0)).toDF("k", "seg", "bal").schema,
+        Seq("k"), Seq("seg", "bal")))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      ("I", ts("2024-01-01 00:00:00"), 1, "A", 1.0),
+      ("U", ts("2024-01-02 00:00:00"), 1, "A", 2.0),
+      ("D", ts("2024-01-03 00:00:00"), 1, "A", 2.0),
+      ("I", ts("2024-01-01 00:00:00"), 2, "B", 9.0)
+    ).toDF("op", "ts", "k", "seg", "bal")
+    ScdDimension.applyCdcBatch(dim, batch, Seq("k"), Seq("seg", "bal"),
+      "op", "ts")
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(state(dim) == Set(
+      (1, "A", 1.0, us("2024-01-01 00:00:00"),
+        Some(us("2024-01-02 00:00:00")), false),
+      (1, "A", 2.0, us("2024-01-02 00:00:00"),
+        Some(us("2024-01-03 00:00:00")), false),
+      (2, "B", 9.0, us("2024-01-01 00:00:00"), None, true)))
+    // duplicate live event per (key, ts) refuses loudly
+    val dup = Seq(
+      ("I", ts("2024-02-01 00:00:00"), 3, "C", 1.0),
+      ("U", ts("2024-02-01 00:00:00"), 3, "C", 2.0)
+    ).toDF("op", "ts", "k", "seg", "bal")
+    intercept[Exception] {
+      ScdDimension.applyCdcBatch(dim, dup, Seq("k"), Seq("seg", "bal"),
+        "op", "ts")
+    }
+  }
+
   test("SQL surface: define + CALL system.refresh_scd2") {
     val base = TestSpark.tmpDir("scd2-sql")
     val cat = new LakeCatalog(spark, s"$base/cat")
