@@ -2158,6 +2158,38 @@ WHEN NOT MATCHED THEN INSERT *
     "q_stream_lake_tail" -> ((s, dir) =>
       StreamingIngest.lakeTailAggregate(s, dir)),
 
+    "q_stream_delta_tail" -> ((s, dir) => {
+      // stream a FOREIGN Delta log into a governed lake table:
+      // format("delta-tail") offsets are Delta versions, each batch is
+      // the incremental version-range read, and the graft-lake sink's
+      // txnAppId makes delivery exactly-once. Two drains bracket a
+      // publish (the second resumes from the checkpointed version);
+      // the oracle is the full source state replicated.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val base = tmp("graft-dtail")
+      val src = LakeTable.create(s, s"$base/src", orders.schema)
+      src.append(orders.where(col("o_orderkey") % 2 === 0))
+      graft.lake.DeltaExport.export(src, s"$base/delta")
+      val dst = LakeTable.create(s, s"$base/dst", orders.schema)
+      def drain(): Unit = {
+        val q = s.readStream.format("delta-tail").load(s"$base/delta")
+          .writeStream.format("graft-lake")
+          .option("path", s"$base/dst")
+          .option("txnAppId", "q-dtail")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      src.append(orders.where(col("o_orderkey") % 2 === 1))
+      graft.lake.DeltaExport.publish(src, s"$base/delta")
+      drain()
+      dst.scan()
+    }),
+
     "q_stream_sessions" -> ((s, dir) =>
       StreamingSessionize.run(s, dir, 1800)
         .select(col("user_id"), col("session_start_us"),
@@ -4089,6 +4121,13 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the delta-tail stream replicates the foreign log exactly once,
+    // so the destination table IS the source state
+    "q_stream_delta_tail" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     // the lake-tail stream delivers every commit exactly once, so the
     // sink aggregate IS the batch aggregate over the source
