@@ -763,6 +763,12 @@ object LakeSql {
           .get(ScdDimension.WatermarkProp).map(_.toLong).getOrElse(0L)
         Seq((snap, applied))
           .toDF("snapshot_id", "applied_source_snapshot")
+      case "scd2_staleness" => // (dim_table) — driver arithmetic only
+        val (src, applied, head, pending, stale) =
+          ScdDimension.staleness(cat, ns, str(0))
+        Seq((str(0), src, applied, head, pending, stale)).toDF(
+          "dimension", "source_table", "applied_source_snapshot",
+          "source_head", "pending_commits", "is_stale")
       case "mv_staleness" => // (mv_table) — driver arithmetic only
         val (src, applied, head, pending, stale) =
           IncrementalMv.staleness(cat, ns, str(0))

@@ -91,6 +91,22 @@ object ScdDimension {
       KeysProp -> keys.mkString(","),
       AttrsProp -> attrs.mkString(",")))
 
+  /** Staleness of a defined dimension — pure driver arithmetic (two
+    * HEAD reads, zero data I/O), same contract as
+    * [[IncrementalMv.staleness]]. */
+  def staleness(cat: LakeCatalog, ns: String, targetName: String):
+      (String, Long, Long, Long, Boolean) = {
+    val tgt = cat.loadTable(ns, targetName)
+    val srcName = tgt.properties.getOrElse(SourceTableProp,
+      throw new IllegalArgumentException(
+        s"$targetName is not a defined SCD2 dimension — missing " +
+          s"$SourceTableProp"))
+    val applied = tgt.properties.get(WatermarkProp)
+      .map(_.toLong).getOrElse(0L)
+    val head = cat.loadTable(ns, srcName).currentSnapshotId.getOrElse(0L)
+    (srcName, applied, head, (head - applied).max(0L), head > applied)
+  }
+
   /** Refresh a DEFINED dimension by catalog name. */
   def refreshByName(cat: LakeCatalog, ns: String,
       targetName: String): Long = {

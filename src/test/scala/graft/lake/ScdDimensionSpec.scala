@@ -224,11 +224,17 @@ class ScdDimensionSpec extends AnyFunSuite {
       ScdDimension.dimensionSchema(src.schema, Seq("k"), Seq("seg")))
     ScdDimension.define(dim, "cust", Seq("k"), Seq("seg"))
     src.append(Seq((1, "A"), (2, "B")).toDF("k", "seg"))
+    assert(LakeSql.run(cat, "ns",
+      "CALL system.scd2_staleness('cust_dim')")
+      .select("is_stale").head.getBoolean(0), "stale before refresh")
     val out = LakeSql.run(cat, "ns",
       "CALL system.refresh_scd2('cust_dim')")
     assert(out.columns.toSeq ==
       Seq("snapshot_id", "applied_source_snapshot"))
     assert(out.head.getLong(1) == src.currentSnapshotId.get)
     assert(dim.scan().count() == 2)
+    assert(!LakeSql.run(cat, "ns",
+      "CALL system.scd2_staleness('cust_dim')")
+      .select("is_stale").head.getBoolean(0), "fresh after refresh")
   }
 }
