@@ -880,9 +880,10 @@ object LakeSql {
           "create_branch, drop_ref, publish_staged, discard_staged, " +
           "fast_forward, discard_branch, rewrite_manifests, " +
           "add_files, maintain, verify_table, recover_transactions, " +
-          "refresh_mv, refresh_scd2, mv_staleness, import_iceberg, " +
-          "publish_iceberg, export_delta, publish_delta, " +
-          "checkpoint_delta, import_delta")
+          "refresh_mv, refresh_scd2, scd2_staleness, mv_staleness, " +
+          "import_iceberg, publish_iceberg, register_iceberg, " +
+          "export_delta, publish_delta, publish_uniform, " +
+          "checkpoint_delta, import_delta, register_delta")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the
