@@ -339,6 +339,9 @@ object DeltaExport {
     lc.put("size", (2 + st.adds.size).toLong)
     val lcP = new Path(destDir, "_delta_log/_last_checkpoint")
     val tmp = new Path(destDir, s"_delta_log/._last_checkpoint.tmp")
+    // a crashed prior checkpoint may have left the temp behind — it is
+    // never live state (readers only see _last_checkpoint), reclaim it
+    if (fs.exists(tmp)) fs.delete(tmp, false)
     LakeTable.writeStringExclusive(fs, tmp, m.writeValueAsString(lc))
     if (fs.exists(lcP)) fs.delete(lcP, false)
     fs.rename(tmp, lcP)
