@@ -101,8 +101,10 @@ object DeltaExport {
       "partition drift since the last publish — export to a fresh " +
         "directory")
     writeVersion(table, destDir, atSnapshot, version = st.version + 1,
-      prevLive = st.adds.map(a => DeltaImport.normUri(a.uri) -> a.uri)
-        .toMap,
+      // canonical (encoded) key AND value: the remove action must name
+      // the file with the same encoded string its add used
+      prevLive = st.adds.map(a => DeltaImport.canonUri(a.uri) ->
+        new Path(a.uri).toUri.toString).toMap,
       withMeta = false)
   }
 
@@ -133,8 +135,12 @@ object DeltaExport {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
     val tableFs = new Path(table.root).getFileSystem(conf)
+    // the Delta PROTOCOL requires URL-encoded paths; Path.toUri is the
+    // same encoder Spark's _metadata.file_path uses (space → %20,
+    // hive-escaped '%' → %25, '+' literal), so hive-special partition
+    // values round-trip exactly through the import's URI decoding
     def absUri(rel: String): String =
-      tableFs.makeQualified(new Path(table.root, rel)).toString
+      tableFs.makeQualified(new Path(table.root, rel)).toUri.toString
 
     val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val fields = PartitionSpec.parseAll(snap.partitionColumns)
@@ -180,7 +186,7 @@ object DeltaExport {
       val seg = rel.split('/').find(_.startsWith(f.dirName + "="))
         .map(_.substring(f.dirName.length + 1))
         .getOrElse(return None)
-      val raw = java.net.URLDecoder.decode(seg, "UTF-8")
+      val raw = FileStats.unescapePathSegment(seg)
       if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
     }
 
@@ -212,6 +218,9 @@ object DeltaExport {
 
     val identSet = identFields.map(_.source).toSet
     val dataCols = sch.fields.filterNot(f => identSet(f.name))
+    // absUri is ALREADY the canonical encoded form — canonUri takes
+    // decoded/literal input only (Path keeps literals, so re-encoding
+    // an encoded string would double-escape '%')
     val liveNow = snap.liveFiles.map(rel =>
       DeltaImport.normUri(absUri(rel)) -> rel).toMap
     val newRels = snap.liveFiles.filterNot(rel =>

@@ -59,17 +59,33 @@ object DeltaImport {
   private[lake] def normUri(s: String): String =
     s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
-  private def normUriCol(c: Column): Column =
+  private[lake] def normUriCol(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
-  /** An add/remove `path` is a table-relative URL-encoded path or an
-    * absolute URI. */
-  private def resolvePath(tableDir: String, p: String): String = {
-    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
-    if (decoded.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") ||
-        decoded.startsWith("/")) decoded
-    else s"$tableDir/$decoded"
-  }
+  /** CANONICAL join key for matching driver-side file lists against
+    * `_metadata.file_path`: Spark reports the URL-ENCODED `Path.toUri`
+    * form (space → %20, hive-escaped '%' → %25, '+' literal).
+    * INPUT MUST BE THE DECODED/LITERAL PATH FORM — Hadoop Path keeps
+    * literals (no unescaping), so this encodes exactly once; feeding
+    * an already-encoded string would double-escape '%'. Unparseable
+    * input falls back raw (never throws on a hostile log). */
+  private[lake] def canonUri(s: String): String =
+    normUri(scala.util.Try(new Path(s).toUri.toString).getOrElse(s))
+
+  /** An add/remove `path` is a table-relative URL-ENCODED path or an
+    * absolute URI (Delta PROTOCOL) → the DECODED absolute path reads
+    * use. java.net.URI does RFC-3986 percent-decoding ('+' stays a
+    * literal plus — URLDecoder's form-decoding would corrupt it); a
+    * raw-unencoded path from a sloppy writer falls back as-is. */
+  private def resolvePath(tableDir: String, p: String): String =
+    scala.util.Try(new java.net.URI(p)).toOption match {
+      case Some(u) if u.getScheme != null => new Path(u).toString
+      case Some(u) if u.getPath != null && u.getPath.startsWith("/") =>
+        u.getPath
+      case Some(u) if u.getPath != null && u.getPath.nonEmpty =>
+        s"$tableDir/${u.getPath}"
+      case _ => if (p.startsWith("/")) p else s"$tableDir/$p"
+    }
 
   /** Replay the log at `tableDir` to `versionAsOf` (default: latest).
     * Pure driver work; refuses unreadable protocol features. */
@@ -88,8 +104,13 @@ object DeltaImport {
         new Path(logDir, "_last_checkpoint")),
       s"$tableDir: empty _delta_log")
     val latest = if (versions.nonEmpty) versions.last else -1L
-    val target = versionAsOf.getOrElse(math.max(latest, ckptVersion(
-      fs, logDir, m).getOrElse(-1L)))
+    val newest = math.max(latest, ckptVersion(fs, logDir, m)
+      .getOrElse(-1L))
+    versionAsOf.foreach(v => require(v >= 0 && v <= newest,
+      s"version $v does not exist — the log's latest version is " +
+        s"$newest (a caller pinning a version must never silently " +
+        "get a different state)"))
+    val target = versionAsOf.getOrElse(newest)
 
     // mutable replay state
     var minReader = 1; var minWriter = 1
@@ -124,14 +145,14 @@ object DeltaImport {
         e.getKey -> (if (e.getValue.isNull) None
           else Some(e.getValue.asText()))
       }.toMap
-      live(normUri(uri)) = AddFile(uri, pv,
+      live(canonUri(uri)) = AddFile(uri, pv,
         a.path("size").asLong(0L),
         a.path("modificationTime").asLong(0L),
         if (a.hasNonNull("stats")) Some(a.path("stats").asText())
         else None)
     }
     def applyRemove(r: JsonNode): Unit =
-      live.remove(normUri(resolvePath(tableDir, r.path("path").asText())))
+      live.remove(canonUri(resolvePath(tableDir, r.path("path").asText())))
 
     // checkpoint seed (only when usable at or below the target)
     val seedV = ckptVersion(fs, logDir, m).filter(_ <= target)
@@ -233,8 +254,11 @@ object DeltaImport {
           o.set[com.fasterxml.jackson.databind.node.ObjectNode](f.name,
             m.readTree(structToJson(m, r.getStruct(i)))
               .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
-        case other => throw new IllegalStateException(
-          s"unexpected checkpoint field type $other")
+        // enriched checkpoint columns some writers add (stats_parsed /
+        // partitionValues_parsed with typed min/max values) are
+        // redundant with the spec-required string forms this reader
+        // consumes — skip them rather than refuse a readable table
+        case _ => ()
       }
     }
     m.writeValueAsString(o)
@@ -320,8 +344,12 @@ object DeltaImport {
       LakeTable.readString(fs, p).split('\n').filter(_.nonEmpty)
         .foreach { line =>
           val n = m.readTree(line)
-          require(!n.has("remove"),
-            s"version $v removes files — not append-only; resync " +
+          // a dataChange=false remove is pure compaction (OPTIMIZE):
+          // no logical rows vanish and the matching rewritten adds
+          // are skipped below, so the range stays well-defined
+          require(!n.has("remove") ||
+              !n.path("remove").path("dataChange").asBoolean(true),
+            s"version $v removes rows — not append-only; resync " +
               "from a full scan")
           require(!n.has("metaData") || v == 0L,
             s"version $v changes table metadata mid-range")
@@ -472,7 +500,7 @@ object DeltaImport {
     val infoSchema = StructType(
       StructField(F, StringType, nullable = false) +:
       partCols.map(c => StructField(s"__dl_$c", StringType)))
-    val infoRows = adds.map(a => Row.fromSeq(normUri(a.uri) +:
+    val infoRows = adds.map(a => Row.fromSeq(canonUri(a.uri) +:
       partCols.map(c => a.partitionValues.get(c).flatten.orNull)))
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(infoRows, 1), infoSchema)

@@ -485,7 +485,10 @@ object FileStats {
     }).toOption
 
   /** Inverse of Spark's hive-path escaping (`%XX` per special char). */
-  private def unescapePathSegment(s: String): String = {
+  /** Hive path unescaping: %XX sequences only — URLDecoder's
+    * form-decoding would corrupt a literal '+' (hive never escapes
+    * it). Shared by the interop exporters' partition-value parses. */
+  private[lake] def unescapePathSegment(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

@@ -432,7 +432,7 @@ object IcebergExport {
       val seg = rel.split('/').find(_.startsWith(f.dirName + "="))
         .map(_.substring(f.dirName.length + 1))
         .getOrElse(return null)
-      val raw = java.net.URLDecoder.decode(seg, "UTF-8")
+      val raw = FileStats.unescapePathSegment(seg)
       if (raw == "__HIVE_DEFAULT_PARTITION__") return null
       f.transform match {
         case PartitionSpec.Identity => sch(f.source).dataType match {

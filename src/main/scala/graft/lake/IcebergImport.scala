@@ -386,7 +386,10 @@ object IcebergImport {
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], tm.schema)
-    val F = "__ice_f"; val P = "__ice_p"; val SEQ = "__ice_seq"
+    // double-underscore suffixes so a partition column literally named
+    // "f"/"p"/"seq" can never collide with the identity-value columns
+    // (__ice_<col>) joined below
+    val F = "__ice_f__"; val P = "__ice_p__"; val SEQ = "__ice_seq__"
 
     // one short driver-side row per live file: normalized path, data
     // sequence, identity partition values (see scaladoc for the
@@ -399,10 +402,15 @@ object IcebergImport {
       StructField(SEQ, LongType, nullable = false) +:
       identCols.map(c =>
         tm.schema(c).copy(name = s"__ice_$c", nullable = true)))
+    // CANONICAL (URL-encoded) key — `_metadata.file_path` reports the
+    // Path.toUri form, while manifest strings are usually the writer's
+    // decoded form; re-encoding through the same Hadoop Path encoder
+    // makes the join exact for paths with hive-escaped characters
     val infoRows = entries.map { e =>
-      Row.fromSeq(normUri(e.uri) +: e.seq +: identCols.map(c =>
-        externalValue(tm.schema(c).dataType,
-          e.identity.getOrElse(c, null))))
+      Row.fromSeq(DeltaImport.canonUri(e.uri) +: e.seq +:
+        identCols.map(c =>
+          externalValue(tm.schema(c).dataType,
+            e.identity.getOrElse(c, null))))
     }
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(infoRows, 1), infoSchema)
@@ -433,12 +441,30 @@ object IcebergImport {
     val posDels = tm.deleteEntries.filter(_.content == 1)
     if (posDels.nonEmpty) {
       // positions pin exact (path, ordinal) targets — no sequence test
-      // needed (a path never re-enters the table with new content)
+      // needed (a path never re-enters the table with new content).
+      // Delete-file path VALUES are writer-form strings; translate
+      // them to the canonical encoded key through a driver-side map
+      // over the known data entries (accepting either the raw manifest
+      // form or the encoded form — SQL has no URI codec, so the
+      // translation is a tiny keyed join, size-gated like the list)
+      val trans = entries.flatMap { e =>
+        val enc = DeltaImport.canonUri(e.uri)
+        Seq(normUri(e.uri) -> enc, enc -> enc)
+      }.distinct
+      val tdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          trans.map(t => Row(t._1, t._2)), 1),
+        StructType(Seq(StructField("__ice_raw", StringType),
+          StructField("__ice_enc", StringType))))
+      val transSide = if (infoBytes <= maxBytes) broadcast(tdf) else tdf
       val pd = spark.read.schema(StructType(Seq(
           StructField("file_path", StringType),
           StructField("pos", LongType))))
         .parquet(posDels.map(_.uri): _*)
-        .select(normUriCol(col("file_path")).as(F), col("pos").as(P))
+        .select(normUriCol(col("file_path")).as("__ice_rawf"),
+          col("pos").as(P))
+        .join(transSide, col("__ice_rawf") === col("__ice_raw"))
+        .select(col("__ice_enc").as(F), col(P))
       df = df.join(pd, Seq(F, P), "left_anti")
     }
 

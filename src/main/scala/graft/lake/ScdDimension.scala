@@ -175,6 +175,20 @@ object ScdDimension {
     val w = Window.partitionBy(kCols: _*)
       .orderBy(snapC.asc)
     val withPrev = ev.join(curOpen, keys, "left")
+      // LATE/OUT-OF-ORDER data is refused, not silently woven in: an
+      // event at or before the open row's _valid_from would either
+      // invert its interval (ts < from) or collide with it on the
+      // merge key (ts == from). The snapshot-changelog path can never
+      // trip this (snapshot ids are monotone past the watermark); the
+      // CDC-clock path can, and must resequence upstream instead.
+      .withColumn("__post", when(col("__cur_from").isNotNull &&
+        snapC <= col("__cur_from"), raise_error(concat(
+          lit("SCD2: out-of-order event for key ("),
+          concat_ws(",", kCols: _*),
+          lit(") at version "), snapC.cast("string"),
+          lit(" — the open row began at "),
+          col("__cur_from").cast("string"))))
+        .otherwise(col("__post")))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", when(col("__rn") === 1, col("__cur_post"))
         .otherwise(lag(col("__post"), 1).over(w)))
@@ -230,14 +244,34 @@ object ScdDimension {
     * of snapshot ids). Same fold, suppression, sequencing, and
     * one-merge apply as [[refresh]] — [[applyChangeRows]] is shared
     * verbatim. Caller contract: at most one event per (key, ts) — the
-    * reference's own row_number dedup guarantees it; duplicates refuse
-    * via the shared raise_error guard. `txn` makes a replayed batch
-    * (e.g. a foreachBatch micro-batch) exactly-once. */
+    * reference's own row_number dedup guarantees it; ANY colliding
+    * pair (I+I, I+D, D+D) refuses via this method's own window guard,
+    * and an event at or before the open row's interval start refuses
+    * in the shared core (late data must resequence upstream). `txn`
+    * makes a replayed batch (e.g. a foreachBatch micro-batch)
+    * exactly-once. */
   def applyCdcBatch(target: LakeTable, batch: DataFrame,
       keys: Seq[String], attrs: Seq[String], opCol: String,
       tsCol: String, extraProperties: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None): Long = {
-    val asChanges = batch.select(
+    // the shared fold's duplicate guard only fires on >1 INSERT per
+    // (key, version) — correct for the snapshot changelog, where an
+    // update is a delete+insert PAIR at one snapshot. In the CDC
+    // domain each row is one whole event, so ANY two events at one
+    // (key, ts) — I+D churn within clock granularity included — are
+    // ambiguous and must refuse, not fold to whichever op survives.
+    val evw = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ tsCol).map(col): _*)
+    val guarded = batch
+      .withColumn("__nev", count(lit(1)).over(evw))
+      .withColumn(opCol, when(col("__nev") > 1, raise_error(concat(
+        lit("SCD2 CDC: multiple events for key ("),
+        concat_ws(",", keys.map(col): _*),
+        lit(") at one timestamp — dedup upstream (the reference's " +
+          "row_number pattern) before applying"))))
+        .otherwise(col(opCol)))
+      .drop("__nev")
+    val asChanges = guarded.select(
       (keys ++ attrs).map(col) ++ Seq(
         when(upper(col(opCol)) === "D", lit("delete"))
           .otherwise(lit("insert")).as(LakeTable.CHANGE_TYPE_COL),

@@ -342,33 +342,45 @@ object TextDedup {
     *
     * Spark-first shape (the paper's suffix array is a single-machine
     * construction): one pass explodes each document into its
-    * `len−L+1` position grams, but the WIDE stages move only the
-    * gram's 8-byte xxhash64 and a position — never text. Duplication
-    * is decided on the hash (one window count per hash partition),
-    * then RE-VERIFIED on the gram string within the hash-duplicated
-    * subset only — collisions cost a false candidate re-checked, never
-    * a wrong span, so the result is exact at any corpus size while the
-    * full-corpus shuffle stays 16 B/position. Span assembly is a
-    * per-document running-max island merge (window over the dup
-    * positions only, ∝ duplicated content, not corpus). */
+    * `len−L+1` position grams HASHED IN PLACE, so the full-corpus wide
+    * stage moves only (id, pos, xxhash64) — 16 B/position, never text.
+    * Duplication is decided on the hash (map-side-combinable
+    * groupBy(h) count + join back), then candidates re-join their
+    * document once per doc, re-extract the gram, and RE-VERIFY on the
+    * string — collisions cost a false candidate re-checked, never a
+    * wrong span, and only the duplicated subset's gram text ever
+    * shuffles. Span assembly is a per-document running-max island
+    * merge (window over the dup positions only, ∝ duplicated content,
+    * not corpus). */
   def exactSubstringSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", L: Int = 30): DataFrame = {
     require(L >= 2, s"gram length $L too short")
-    val grams = docs.where(length(col(textCol)) >= L)
+    // slim exploded frame: hash the gram INSIDE the lambda so the
+    // full-corpus stages carry only (id, pos, hash) — 16 B/position —
+    // never the gram text
+    val slim = docs.where(length(col(textCol)) >= L)
       .select(col(idCol).as("id"), expr(
         s"""posexplode(transform(
            |  sequence(0, length($textCol) - $L),
-           |  i -> substring($textCol, i + 1, $L)))""".stripMargin)
-        .as(Seq("pos", "gram")))
-      .withColumn("h", xxhash64(col("gram")))
-    val byHash = Window.partitionBy("h")
+           |  i -> xxhash64(substring($textCol, i + 1, $L))))"""
+          .stripMargin).as(Seq("pos", "h")))
+    // map-side partial counts shrink the hash shuffle further
+    val dupH = slim.groupBy("h").agg(count(lit(1)).as("ch"))
+      .where(col("ch") > 1).select("h")
+    // candidates re-join their document ONCE PER DOC (not per
+    // position) and re-extract the gram string for the
+    // collision-exact verify — only the DUPLICATED subset's gram
+    // text ever shuffles
+    val cand = slim.join(dupH, "h")
+      .join(docs.select(col(idCol).as("id"),
+        col(textCol).as("__t")), "id")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(__t, pos + 1, $L)").as("gram"))
     val byGram = Window.partitionBy("gram")
-    val dup = grams
-      .withColumn("ch", count(lit(1)).over(byHash))
-      .where(col("ch") > 1) // slim-hash candidate filter
+    val dup = cand
       .withColumn("cs", count(lit(1)).over(byGram))
       .where(col("cs") > 1) // string re-verify (collision-exact)
-      .select(col("id"), col("pos").cast("long").as("pos"))
+      .select(col("id"), col("pos"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + L)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))

@@ -284,6 +284,48 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/uni/data")))
   }
 
+  test("hive-special partition values (space, %, +) survive the whole " +
+      "handoff: encoded add paths, exact partitionValues, round-trip " +
+      "scans, and publish deltas that never flip-flop") {
+    val base = TestSpark.tmpDir("delta-specials")
+    val src = Seq((1, "a b", 1.0), (2, "50%", 2.0), (3, "x+y", 3.0))
+      .toDF("id", "p", "v")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("p"))
+    lt.append(src)
+    DeltaExport.export(lt, s"$base/delta")
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    // partitionValues carry the DECODED values exactly
+    assert(st.adds.flatMap(_.partitionValues("p")).toSet ==
+      Set("a b", "50%", "x+y"))
+    // scan is row-identical (the encoded/decoded join-key class)
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+    // an APPEND-ONLY publish after the fix must emit zero removes
+    // (an encoding mismatch would make every file look new AND gone)
+    lt.append(Seq((4, "a b", 4.0)).toDF("id", "p", "v"))
+    DeltaExport.publish(lt, s"$base/delta")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v1 = LakeTable.readString(fs, new Path(
+      s"$base/delta/_delta_log/00000000000000000001.json"))
+    assert(!v1.contains("\"remove\""), "append-only publish leaked removes")
+    assert(v1.split('\n').count(_.contains("\"add\"")) == 1)
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+    // partition-value pruning still exact on the special values
+    assert(rows(DeltaImport.scanWhere(spark, s"$base/delta",
+      col("p") === "50%")) == rows(lt.scan().where(col("p") === "50%")))
+
+    // the Iceberg side of the same class — including MOR position
+    // deletes whose file_path VALUES must translate to the read key
+    val lt2 = LakeTable.create(spark, s"$base/t2", src.schema,
+      partitionBy = Seq("p"),
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    lt2.append(src)
+    lt2.delete(col("id") === 2) // position-delete artifact
+    val meta = IcebergExport.export(lt2, s"$base/ice")
+    assert(rows(IcebergImport.scan(spark, meta)) == rows(lt2.scan()))
+  }
+
   test("incrementalScan reads exactly a range's added rows and " +
       "refuses non-append-only ranges") {
     val base = TestSpark.tmpDir("delta-inc")
