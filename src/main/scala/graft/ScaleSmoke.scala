@@ -1373,7 +1373,7 @@ object ScaleSmoke {
       val t0 = System.nanoTime(); val r = f
       ((System.nanoTime() - t0) / 1e9, r)
     }
-    def runAt(m: Int): (Double, Double) = {
+    def runAt(m: Int): (Double, Double, Double) = {
       val corpus = dedupCorpus(docs, m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = corpus.count()
@@ -1399,12 +1399,25 @@ object ScaleSmoke {
         k = 128, bands = 64, shingleSize = 3, threshold = 0.5).count())
       val (tEx, exGroups) = timed(TextDedup.exact(corpus)
         .where(col("n_copies") > 1).count())
+      // exact-substring spans: each planted clique is m verbatim
+      // copies, so every copy's WHOLE text sits in duplicated spans —
+      // the corpus-wide position explode + span merge at load
+      val (tSs, ssStats) = timed {
+        val r = TextDedup.exactSubstringSpans(corpus, "text", "doc_id", 30)
+          .agg(count(lit(1)), sum("dup_chars")).head()
+        (r.getLong(0), r.getLong(1))
+      }
       spark.catalog.clearCache()
       corpus.unpersist(true)
       println(f"[dedup-corpus] m=$m: $n%,d docs | ngram $tNg%.1f s " +
         f"($ngPairs pairs), minhash $tMh%.1f s ($mhPairs pairs), " +
-        f"exact $tEx%.1f s ($exGroups dup groups) | candidate bound " +
-        f"$bound%,d, guard dropped $dropped%,d boilerplate pairs")
+        f"exact $tEx%.1f s ($exGroups dup groups), substr $tSs%.1f s " +
+        f"(${ssStats._1}%,d docs spanned, ${ssStats._2}%,d dup chars) " +
+        f"| candidate bound $bound%,d, guard dropped $dropped%,d " +
+        "boilerplate pairs")
+      require(ssStats._1 >= cliqueBases * m,
+        s"substring dedup missed planted copies: ${ssStats._1} docs " +
+          s"spanned < ${cliqueBases * m} planted")
       require(ngPairs == expectPairs,
         s"ngram pairs $ngPairs != planted $expectPairs")
       require(mhPairs == expectPairs,
@@ -1415,16 +1428,19 @@ object ScaleSmoke {
         s"verified pairs exceed the guard bound: $ngPairs > $bound")
       require(dropped > bound * 10,
         "fixture too tame: boilerplate blowup should dwarf the bound")
-      (tNg, tMh)
+      (tNg, tMh, tSs)
     }
-    val (tNgHalf, tMhHalf) = runAt(mult / 2)
-    val (tNgFull, tMhFull) = runAt(mult)
+    val (tNgHalf, tMhHalf, tSsHalf) = runAt(mult / 2)
+    val (tNgFull, tMhFull, tSsFull) = runAt(mult)
     println(f"[dedup-corpus] scaling half→full (2× docs): " +
-      f"ngram ${tNgFull / tNgHalf}%.2fx, minhash ${tMhFull / tMhHalf}%.2fx")
+      f"ngram ${tNgFull / tNgHalf}%.2fx, minhash ${tMhFull / tMhHalf}%.2fx, " +
+      f"substr ${tSsFull / tSsHalf}%.2fx")
     require(tNgFull <= tNgHalf * 3.5,
       f"ngram path super-linear: ${tNgFull / tNgHalf}%.2fx for 2× docs")
     require(tMhFull <= tMhHalf * 3.5,
       f"minhash path super-linear: ${tMhFull / tMhHalf}%.2fx for 2× docs")
+    require(tSsFull <= tSsHalf * 3.5,
+      f"substr path super-linear: ${tSsFull / tSsHalf}%.2fx for 2× docs")
     println("[dedup-corpus] PASS")
     spark.stop()
   }
