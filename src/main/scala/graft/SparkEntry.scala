@@ -820,6 +820,29 @@ WHEN NOT MATCHED THEN INSERT *
           fromSnapshot = v1, toSnapshot = Some(v2)), "delta"))
     }),
 
+    "q_delta_skip" -> ((s, dir) => {
+      // FILE SKIPPING over the exported Delta log, asserted in-query:
+      // a range-clustered export gives every add selective id bounds
+      // in its stats JSON, so a narrow key probe must plan a strict
+      // subset of files from the log alone — before any parquet opens
+      // — through the same PredicatePruning prover governed scans use.
+      // The oracle checks the VALUES; the require checks the plan.
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2)
+          .as("o_totalprice"))
+      val base = tmp("graft-dskip")
+      val lt = LakeTable.create(s, s"$base/t", orders.schema)
+      lt.append(orders.repartitionByRange(16, col("o_orderkey")))
+      graft.lake.DeltaExport.export(lt, s"$base/delta")
+      val st = graft.lake.DeltaImport.state(s, s"$base/delta", None)
+      val pred = col("o_orderkey") <= 300L
+      val kept = graft.lake.DeltaImport.pruneAdds(s, st, pred)
+      require(kept.size < st.adds.size,
+        s"stats skipping planned ${kept.size}/${st.adds.size} files — " +
+          "expected a strict subset for the narrow probe")
+      graft.lake.DeltaImport.scanWhere(s, s"$base/delta", pred)
+    }),
+
     "q_delta_roundtrip" -> ((s, dir) => {
       // DELTA-LOG interop end-to-end under one oracle (the Delta twin
       // of q_iceberg_publish): export version 0 (even orders,
@@ -3491,6 +3514,13 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice, 'delta' AS src
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    // stats file-skipping over the exported log (the require in the
+    // query asserts the planned-file subset; the oracle the values)
+    "q_delta_skip" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey <= 300""".stripMargin,
 
     // the Delta-log handoff: 'final' = post-delete state read through
     // the checkpoint-seeded engine-free replay, 'v0' = the even half
