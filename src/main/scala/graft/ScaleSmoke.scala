@@ -112,6 +112,10 @@ object ScaleSmoke {
         args.lift(2).map(_.toInt).getOrElse(10))
       return
     }
+    if (args.headOption.contains("substr-skew")) {
+      substrSkewSmoke(args.lift(1).map(_.toLong).getOrElse(100000L))
+      return
+    }
     if (args.headOption.contains("dedup-corpus")) {
       dedupCorpusSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -1393,20 +1397,37 @@ object ScaleSmoke {
             (col("df") * (col("df") - 1) / 2).cast("long"))
             .otherwise(0L)).as("dropped")).head()
       val (bound, dropped) = (dfs.getLong(0), dfs.getLong(1))
-      val (tNg, ngPairs) = timed(TextDedup.ngramJaccardPairs(corpus,
-        n = 3, threshold = 0.5, maxDocFreq = Some(maxDf)).count())
-      val (tMh, mhPairs) = timed(TextDedup.minHashPairs(corpus,
-        k = 128, bands = 64, shingleSize = 3, threshold = 0.5).count())
-      val (tEx, exGroups) = timed(TextDedup.exact(corpus)
-        .where(col("n_copies") > 1).count())
+      // every dedup stage runs under the task-skew listener: the
+      // scaling claim is per-stage max/median-task, not just totals —
+      // a hot-key straggler shows up here even when the wall clock
+      // happens to absorb it
+      def skewLine(rows: Seq[(Int, Int, Long, Long)]): String =
+        rows.filter(_._2 >= 2).sortBy { case (_, _, med, mx) =>
+          -mx.toDouble / math.max(med, 1) }.headOption
+          .map { case (sid, n, med, mx) =>
+            f"worst stage $sid (n=$n) max/med ${mx}ms/${med}ms=" +
+              f"${mx.toDouble / math.max(med, 1)}%.1fx" }
+          .getOrElse("no multi-task stage")
+      val ((tNg, ngPairs), ngSkew) = withTaskSkew(spark)(
+        timed(TextDedup.ngramJaccardPairs(corpus,
+          n = 3, threshold = 0.5, maxDocFreq = Some(maxDf)).count()))
+      val ((tMh, mhPairs), mhSkew) = withTaskSkew(spark)(
+        timed(TextDedup.minHashPairs(corpus,
+          k = 128, bands = 64, shingleSize = 3, threshold = 0.5).count()))
+      val ((tEx, exGroups), exSkew) = withTaskSkew(spark)(
+        timed(TextDedup.exact(corpus)
+          .where(col("n_copies") > 1).count()))
       // exact-substring spans: each planted clique is m verbatim
       // copies, so every copy's WHOLE text sits in duplicated spans —
       // the corpus-wide position explode + span merge at load
-      val (tSs, ssStats) = timed {
+      val ((tSs, ssStats), ssSkew) = withTaskSkew(spark)(timed {
         val r = TextDedup.exactSubstringSpans(corpus, "text", "doc_id", 30)
           .agg(count(lit(1)), sum("dup_chars")).head()
         (r.getLong(0), r.getLong(1))
-      }
+      })
+      println(s"[dedup-corpus] m=$m skew: ngram ${skewLine(ngSkew)} | " +
+        s"minhash ${skewLine(mhSkew)} | exact ${skewLine(exSkew)} | " +
+        s"substr ${skewLine(ssSkew)}")
       spark.catalog.clearCache()
       corpus.unpersist(true)
       println(f"[dedup-corpus] m=$m: $n%,d docs | ngram $tNg%.1f s " +
@@ -1529,6 +1550,90 @@ object ScaleSmoke {
     require(gotInc == gotFull,
       "incremental mart diverged from the from-scratch recompute")
     println("[gold-inc] PASS")
+    spark.stop()
+  }
+
+  /** Per-stage task-time skew under an action: run `f` with a listener
+    * recording every task's duration, return (result, rows) where rows
+    * are `(stageId, nTasks, medianMs, maxMs)` sorted by maxMs desc.
+    * This is the measurement the straggler claims rest on: a hot-key
+    * one-partition stage shows up as max ≫ median in its shuffle
+    * stage, whatever the totals say. */
+  private def withTaskSkew[T](spark: SparkSession)(f: => T)
+      : (T, Seq[(Int, Int, Long, Long)]) = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val times = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        times.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r = try f finally {
+      Thread.sleep(1500) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = times.asScala.toSeq.map { case (sid, q) =>
+      val ds = q.asScala.toSeq.sorted
+      (sid, ds.size, ds(ds.size / 2), ds.last)
+    }.sortBy(-_._4)
+    (r, rows)
+  }
+
+  /** `substr-skew [nDocs]`: the exact-substring verify stage's hot-gram
+    * straggler proof (round-15 verdict `weak`). Plants ONE 30-char
+    * boilerplate gram duplicated `nDocs`× (default 100k — every doc
+    * carries the same L-length block between unique md5 flanks), runs
+    * [[graft.operators.TextDedup.exactSubstringSpans]], and asserts:
+    *   - correctness: every doc reports exactly the 30-char planted
+    *     span (docs spanned == nDocs, dup_chars == 30·nDocs);
+    *   - no straggler: for every stage whose slowest task ran ≥ 1 s,
+    *     max-task ≤ 5× median-task. Under the pre-fix per-gram count
+    *     window, all `nDocs` occurrences of the planted gram land in
+    *     ONE window partition (max ≫ median in the verify stage); the
+    *     per-(h, gram) map-side-combined verify spreads them with the
+    *     underlying data partitioning.
+    * Prints the per-stage (tasks, median, max) table for PERF.md. */
+  private def substrSkewSmoke(nDocs: Long): Unit = {
+    val spark = smokeSession("graft-substr-skew")
+    import graft.operators.TextDedup
+    val boiler = "BOILERPLATE_LICENSE_GRAM_30CH!" // exactly L=30
+    require(boiler.length == 30)
+    val docs = spark.range(nDocs).select(col("id"),
+      concat(md5(col("id").cast("string")), lit(boiler),
+        md5((col("id") + 1000000007L).cast("string"))).as("text"))
+    val t0 = System.nanoTime()
+    val ((spanned, dupChars), skew) = withTaskSkew(spark) {
+      val r = TextDedup.exactSubstringSpans(docs, "text", "id", 30)
+        .agg(count(lit(1)), sum("dup_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[substr-skew] $nDocs%,d docs, one gram × $nDocs%,d " +
+      f"occurrences: $secs%.1f s, $spanned%,d docs spanned, " +
+      f"$dupChars%,d dup chars")
+    println("[substr-skew] stage skew (tasks, median ms, max ms):")
+    skew.take(12).foreach { case (sid, n, med, mx) =>
+      println(f"[substr-skew]   stage $sid%4d: n=$n%4d  med=$med%6d  " +
+        f"max=$mx%6d  ratio=${mx.toDouble / math.max(med, 1)}%5.1f") }
+    require(spanned == nDocs,
+      s"docs spanned $spanned != planted $nDocs")
+    // every doc carries at least the 30-char planted block; grams
+    // CROSSING an md5 flank into the boiler also repeat whenever two
+    // docs' flanks share a short suffix (hex alphabet — ~1/16 of pairs
+    // per overlap char), so the exact total sits modestly above 30/doc
+    require(dupChars >= 30L * nDocs && dupChars <= 60L * nDocs,
+      s"dup chars $dupChars outside [${30L * nDocs}, ${60L * nDocs}]")
+    val stragglers = skew.filter { case (_, _, med, mx) =>
+      mx >= 1000 && mx > 5L * math.max(med, 1) }
+    require(stragglers.isEmpty,
+      s"hot-gram straggler stages: ${stragglers.mkString(", ")}")
+    println("[substr-skew] PASS — no stage with max ≥ 1 s and " +
+      "max > 5× median")
     spark.stop()
   }
 }

@@ -58,7 +58,32 @@ import org.apache.spark.sql.types._
   */
 object DeltaExport {
 
+  /** `txn.appId` under which each export/publish commit records the
+    * source graft snapshot id. The spec requires checkpoints to carry
+    * the latest `txn` per appId, so publish idempotence SURVIVES
+    * checkpoint + aged-JSON cleanup — commitInfo (also written, for
+    * human readers) does not. */
+  private[lake] val PublishAppId = "graft-publish"
+
   private def pad(v: Long): String = f"$v%020d"
+
+  /** An existing-log probe that SURVIVES log cleanup: after
+    * [[checkpoint]] the aged JSON commits (version 0 included) are
+    * deletable, so "is version-0 JSON present" would misclassify a
+    * long-published mirror as a fresh directory and let [[export]]
+    * rewrite version 0 as a new full snapshot — silently resetting
+    * time travel and skipping every drift gate. ANY commit JSON or a
+    * `_last_checkpoint` marks the directory as owned by a log. */
+  private def hasLog(fs: org.apache.hadoop.fs.FileSystem,
+      destDir: String): Boolean = {
+    val logDir = new Path(destDir, "_delta_log")
+    if (!fs.exists(logDir)) return false
+    val commitRe = """\d{20}\.json""".r
+    fs.listStatus(logDir).exists { s =>
+      val n = s.getPath.getName
+      n == "_last_checkpoint" || commitRe.matches(n)
+    }
+  }
 
   /** Export `table`'s current snapshot under `destDir` as Delta
     * version 0; returns the absolute path of the written commit JSON.
@@ -68,7 +93,7 @@ object DeltaExport {
       atSnapshot: Option[Long] = None): String = {
     val conf = table.spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
-    require(!fs.exists(new Path(destDir, "_delta_log/00000000000000000000.json")),
+    require(!hasLog(fs, destDir),
       s"$destDir already holds a Delta log — publish() appends to it")
     writeVersion(table, destDir, atSnapshot, version = 0L,
       prevLive = Map.empty, withMeta = true)
@@ -83,7 +108,7 @@ object DeltaExport {
       atSnapshot: Option[Long] = None): String = {
     val conf = table.spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
-    if (!fs.exists(new Path(destDir, "_delta_log/00000000000000000000.json")))
+    if (!hasLog(fs, destDir))
       return export(table, destDir, atSnapshot)
     val st = DeltaImport.state(table.spark, destDir, versionAsOf = None)
     val snap = snapOf(table, atSnapshot)
@@ -156,6 +181,14 @@ object DeltaExport {
       o.putObject("operationParameters")
       o.put("graftSnapshotId", snap.snapshotId)
       lines += m.writeValueAsString(ci)
+    }
+    locally { // durable idempotence marker (survives log cleanup)
+      val tx = m.createObjectNode()
+      val o = tx.putObject("txn")
+      o.put("appId", PublishAppId)
+      o.put("version", snap.snapshotId)
+      o.put("lastUpdated", snap.timestampMs)
+      lines += m.writeValueAsString(tx)
     }
     if (withMeta) {
       val pr = m.createObjectNode()
@@ -317,22 +350,51 @@ object DeltaExport {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType)))
+    val removeT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
-      StructField("add", addT)))
+      StructField("add", addT),
+      StructField("remove", removeT),
+      StructField("txn", txnT)))
+    // checkpoint paths MUST be the canonical URL-ENCODED form the JSON
+    // commits use (AddFile.uri is the DECODED path the scan opens;
+    // Path.toUri encodes exactly once) — a decoded path here would be
+    // decoded AGAIN on replay and break every hive-special partition
+    // value the first time state is seeded from a checkpoint
+    def enc(uri: String): String = new Path(uri).toUri.toString
     val protoRow = Row(Row(st.minReaderVersion, st.minWriterVersion),
-      null, null)
+      null, null, null, null)
     val metaRow = Row(null, Row(st.metaId,
       Row("parquet", Map.empty[String, String]), st.schema.json,
-      st.partitionColumns, st.configuration, st.createdTime), null)
+      st.partitionColumns, st.configuration, st.createdTime),
+      null, null, null)
     val addRows = st.adds.map(a => Row(null, null,
-      Row(a.uri, a.partitionValues.map { case (k, v) =>
+      Row(enc(a.uri), a.partitionValues.map { case (k, v) =>
         k -> v.orNull }, a.size, a.modificationTime, true,
-        a.stats.orNull)))
+        a.stats.orNull), null, null))
+    // un-expired remove tombstones: the spec expects them (a VACUUM or
+    // CDF consumer layered on the exported log reasons over recent
+    // removes); expired ones age out of the checkpoint
+    val retentionMs = spark.conf
+      .getOption("spark.graft.delta.tombstone-retention-ms")
+      .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val rmRows = st.tombstones.filter(_._2 >= cutoff)
+      .map { case (uri, ts) =>
+        Row(null, null, null, Row(enc(uri), ts, true), null) }
+    val txnRows = st.txns.toSeq.map { case (app, v) =>
+      Row(null, null, null, null, Row(app, v)) }
+    val actionRows = protoRow +: metaRow +:
+      (addRows ++ rmRows ++ txnRows)
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
-      ckptT)
+      spark.sparkContext.parallelize(actionRows, 1), ckptT)
     val ckpt = new Path(destDir,
       s"_delta_log/${pad(st.version)}.checkpoint.parquet")
     val tmpDir = new Path(destDir, s"_delta_log/.ckpt-tmp-${st.version}")
@@ -345,7 +407,7 @@ object DeltaExport {
     fs.delete(tmpDir, true)
     val lc = m.createObjectNode()
     lc.put("version", st.version)
-    lc.put("size", (2 + st.adds.size).toLong)
+    lc.put("size", actionRows.size.toLong)
     val lcP = new Path(destDir, "_delta_log/_last_checkpoint")
     val tmp = new Path(destDir, s"_delta_log/._last_checkpoint.tmp")
     // a crashed prior checkpoint may have left the temp behind — it is

@@ -346,23 +346,41 @@ object TextDedup {
     * stage moves only (id, pos, xxhash64) — 16 B/position, never text.
     * Duplication is decided on the hash (map-side-combinable
     * groupBy(h) count + join back), then candidates re-join their
-    * document once per doc, re-extract the gram, and RE-VERIFY on the
-    * string — collisions cost a false candidate re-checked, never a
-    * wrong span, and only the duplicated subset's gram text ever
-    * shuffles. Span assembly is a per-document running-max island
-    * merge (window over the dup positions only, ∝ duplicated content,
-    * not corpus). */
+    * document once per doc, re-extract the gram, and RE-VERIFY
+    * collision-exactly — collisions cost a false candidate re-checked,
+    * never a wrong span. The string verify is PER-HASH collision
+    * detection, not a per-gram window: `groupBy(h, gram)` is map-side
+    * combinable, so a corpus-hot boilerplate gram (one license
+    * paragraph duplicated 10⁸×) collapses to one row per input
+    * partition before any shuffle — it can never become a
+    * one-partition window straggler. Hashes carrying a single distinct
+    * gram (the overwhelmingly common case) are verified duplicates
+    * outright; only COLLIDING hashes (expected ≈ corpus_grams²/2⁶⁴ —
+    * near-zero by the birthday bound, and broadcast-sized by
+    * construction) resolve per gram, via one broadcast left-join.
+    * Candidate gram text is extracted map-side and never shuffles.
+    * Span assembly is a per-document running-max island merge (window
+    * over the dup positions only, ∝ duplicated content, not corpus).
+    *
+    * `hashSpace` is a TEST SEAM: `> 0` narrows the gram hash to
+    * `pmod(xxhash64, hashSpace)` so specs can force distinct grams
+    * into one bucket and pin the collision path; production callers
+    * leave the default 0 (full 64-bit). */
   def exactSubstringSpans(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", L: Int = 30): DataFrame = {
+      idCol: String = "doc_id", L: Int = 30,
+      hashSpace: Long = 0L): DataFrame = {
     require(L >= 2, s"gram length $L too short")
     // slim exploded frame: hash the gram INSIDE the lambda so the
     // full-corpus stages carry only (id, pos, hash) — 16 B/position —
     // never the gram text
+    val hashOf = (sub: String) =>
+      if (hashSpace > 0) s"pmod(xxhash64($sub), ${hashSpace}L)"
+      else s"xxhash64($sub)"
     val slim = docs.where(length(col(textCol)) >= L)
       .select(col(idCol).as("id"), expr(
         s"""posexplode(transform(
            |  sequence(0, length($textCol) - $L),
-           |  i -> xxhash64(substring($textCol, i + 1, $L))))"""
+           |  i -> ${hashOf(s"substring($textCol, i + 1, $L)")}))"""
           .stripMargin).as(Seq("pos", "h")))
     // map-side partial counts shrink the hash shuffle further
     val dupH = slim.groupBy("h").agg(count(lit(1)).as("ch"))
@@ -371,15 +389,41 @@ object TextDedup {
     // position) and re-extract the gram string for the
     // collision-exact verify — only the DUPLICATED subset's gram
     // text ever shuffles
+    // persisted shared subtree (same contract as minHashPairs — see
+    // the class doc): the candidate set feeds BOTH the per-hash
+    // collision aggregation and the final verify pass; without the
+    // cache the corpus-wide explode + h/id shuffles would run twice
+    // (the two consumers prune different columns, so exchange reuse
+    // cannot dedup them). Size ∝ the duplicated subset only.
     val cand = slim.join(dupH, "h")
       .join(docs.select(col(idCol).as("id"),
         col(textCol).as("__t")), "id")
-      .select(col("id"), col("pos").cast("long").as("pos"),
+      .select(col("id"), col("pos").cast("long").as("pos"), col("h"),
         expr(s"substring(__t, pos + 1, $L)").as("gram"))
-    val byGram = Window.partitionBy("gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Collision-exact string verify WITHOUT a per-gram window (a
+    // window gets no map-side combine and no AQE skew split, so one
+    // corpus-hot gram would pin a whole task). Instead: per-(h, gram)
+    // occurrence counts — partial aggregation collapses a hot gram to
+    // one row per input partition — then per-hash collision info. For
+    // the non-colliding hashes (≈ all of them) every candidate is a
+    // true duplicate (the hash-level count > 1 IS the gram's count);
+    // a colliding hash carries the subset of its grams that genuinely
+    // repeat in `ok_grams`. The collision table is ≈ grams²/2⁶⁴ rows —
+    // tiny by the birthday bound — so the verify is one BROADCAST
+    // left-join; candidate rows never shuffle again.
+    val hgram = cand.groupBy("h", "gram")
+      .agg(count(lit(1)).as("gc"))
+    val collideInfo = hgram.groupBy("h")
+      .agg(count(lit(1)).as("ng"),
+        // collect_list skips nulls: only genuinely-repeating grams
+        collect_list(when(col("gc") > 1, col("gram"))).as("ok_grams"))
+      .where(col("ng") > 1)
+      .select(col("h"), col("ok_grams"))
     val dup = cand
-      .withColumn("cs", count(lit(1)).over(byGram))
-      .where(col("cs") > 1) // string re-verify (collision-exact)
+      .join(broadcast(collideInfo), Seq("h"), "left")
+      .where(col("ok_grams").isNull ||
+        array_contains(col("ok_grams"), col("gram")))
       .select(col("id"), col("pos"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + L)

@@ -386,6 +386,134 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(both.getLong(0) == 3L && both.getLong(1) == 3L)
   }
 
+  test("hive-special partition values survive checkpoint-seeded replay " +
+      "and aged-JSON cleanup: encoded checkpoint paths, exact " +
+      "partitionValues, no spurious publish deltas") {
+    val base = TestSpark.tmpDir("delta-ckpt-specials")
+    val src = Seq((1, "a b", 1.0), (2, "50%", 2.0), (3, "x+y", 3.0))
+      .toDF("id", "p", "v")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("p"))
+    lt.append(src)
+    DeltaExport.export(lt, s"$base/delta")
+    lt.append(Seq((4, "50%", 4.0)).toDF("id", "p", "v"))
+    DeltaExport.publish(lt, s"$base/delta")
+    val cv = DeltaExport.checkpoint(spark, s"$base/delta")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // age out EVERY pre-checkpoint JSON commit (Delta log cleanup) —
+    // state now comes exclusively from the checkpoint parquet
+    (0L to cv).foreach(v => fs.delete(new Path(
+      f"$base/delta/_delta_log/$v%020d.json"), false))
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    // the r15 bug: checkpoint stored the DECODED path, replay decoded
+    // it AGAIN → p=50%25 dir resolved to p=50% and scans failed
+    assert(st.adds.flatMap(_.partitionValues("p")).toSet ==
+      Set("a b", "50%", "x+y"))
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+    assert(rows(DeltaImport.scanWhere(spark, s"$base/delta",
+      col("p") === "50%")) == rows(lt.scan().where(col("p") === "50%")))
+    // publish on top of the checkpoint seed: canonical keys must line
+    // up — an append adds ONE file and zero removes
+    lt.append(Seq((5, "a b", 5.0)).toDF("id", "p", "v"))
+    val c2 = DeltaExport.publish(lt, s"$base/delta")
+    assert(c2.endsWith(f"${cv + 1}%020d.json"))
+    val v2 = LakeTable.readString(fs, new Path(c2))
+    assert(!v2.contains("\"remove\""),
+      "checkpoint-seeded publish emitted spurious removes")
+    assert(v2.split('\n').count(_.contains("\"add\"")) == 1)
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+  }
+
+  test("after checkpoint + full log cleanup, publish keeps appending " +
+      "(never rewrites version 0) and export refuses the directory; " +
+      "idempotence survives via the checkpointed txn action") {
+    val base = TestSpark.tmpDir("delta-cleanup-pub")
+    val lt = LakeTable.create(spark, s"$base/t",
+      Seq((1, 1.0)).toDF("id", "v").schema)
+    lt.append(Seq((1, 1.0)).toDF("id", "v"))
+    DeltaExport.export(lt, s"$base/delta")
+    lt.delete(col("id") === 1) // a remove → tombstone for the ckpt
+    lt.append(Seq((2, 2.0)).toDF("id", "v"))
+    DeltaExport.publish(lt, s"$base/delta")
+    val cv = DeltaExport.checkpoint(spark, s"$base/delta")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    (0L to cv).foreach(v => fs.delete(new Path(
+      f"$base/delta/_delta_log/$v%020d.json"), false))
+    // the checkpoint carries the spec actions JSON cleanup destroyed:
+    // the un-expired remove tombstone and the graft txn marker
+    val ck = spark.read.parquet(
+      f"$base/delta/_delta_log/$cv%020d.checkpoint.parquet")
+    assert(ck.where(col("remove").isNotNull).count() >= 1L,
+      "tombstones missing from the checkpoint")
+    assert(ck.where(col("txn.appId") === "graft-publish").count() == 1L)
+    // idempotent republish of the SAME snapshot: resolved from the
+    // checkpointed txn (commitInfo is gone with the JSON) → no-op
+    val same = DeltaExport.publish(lt, s"$base/delta")
+    assert(same.endsWith(f"$cv%020d.json"),
+      s"republish was not a no-op: $same")
+    assert(!fs.exists(new Path(
+      f"$base/delta/_delta_log/${cv + 1}%020d.json")))
+    // the r15 bug: export() saw no version-0 JSON and rewrote history
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.export(lt, s"$base/delta")
+    }
+    assert(e.getMessage.contains("already holds a Delta log"))
+    // a NEW snapshot still appends as cv+1 through publish
+    lt.append(Seq((3, 3.0)).toDF("id", "v"))
+    val c = DeltaExport.publish(lt, s"$base/delta")
+    assert(c.endsWith(f"${cv + 1}%020d.json"),
+      s"publish after cleanup must append, got $c")
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+  }
+
+  test("wide checkpoint (100k adds) replays through the distributed " +
+      "columnar path with JSON-replay parity; the file-count gate " +
+      "refuses loudly") {
+    val base = TestSpark.tmpDir("delta-wide-ckpt")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val meta = """{"metaData":{"id":"w","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val n = 100000
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta) ++ (0 until n).map { i =>
+      val node = mapper.createObjectNode()
+      val a = node.putObject("add")
+      a.put("path", s"part-$i.parquet")
+      a.putObject("partitionValues")
+      a.put("size", (i + 1).toLong)
+      a.put("modificationTime", i.toLong)
+      a.put("dataChange", true)
+      a.put("stats", s"""{"numRecords":${i % 7}}""")
+      mapper.writeValueAsString(node)
+    }
+    fs.mkdirs(new Path(s"$base/delta/_delta_log"))
+    LakeTable.writeStringExclusive(fs,
+      new Path(s"$base/delta/_delta_log/00000000000000000000.json"),
+      lines.mkString("", "\n", "\n"))
+    val viaJson = DeltaImport.state(spark, s"$base/delta", None)
+    assert(viaJson.adds.size == n)
+    DeltaExport.checkpoint(spark, s"$base/delta")
+    fs.delete(new Path(
+      s"$base/delta/_delta_log/00000000000000000000.json"), false)
+    val viaCkpt = DeltaImport.state(spark, s"$base/delta", None)
+    def key(a: DeltaImport.AddFile) =
+      (a.uri, a.partitionValues, a.size, a.modificationTime, a.stats)
+    assert(viaCkpt.adds.map(key).toSet == viaJson.adds.map(key).toSet,
+      "checkpoint replay diverged from JSON replay")
+    assert(viaCkpt.schema == viaJson.schema)
+    // loud refusal above the planning bound
+    spark.conf.set("spark.graft.delta.max-import-files", "1000")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaImport.state(spark, s"$base/delta", None)
+      }
+      assert(e.getMessage.contains("max-import-files"))
+    } finally spark.conf.unset("spark.graft.delta.max-import-files")
+  }
+
   test("SQL surface: export_delta / publish_delta / checkpoint_delta " +
       "/ import_delta") {
     val base = TestSpark.tmpDir("delta-sql")

@@ -102,5 +102,45 @@ class ExactSubstringSpec extends AnyFunSuite {
           .map(s => (s.getLong(0), s.getLong(1))).toList
       }.toMap
     assert(got == expected)
+
+    // collision pinning: narrow the hash space so DISTINCT grams are
+    // FORCED into shared buckets (hashSpace=1 puts the whole corpus
+    // into ONE bucket — the maximal collision storm) and the string
+    // verify must still produce byte-identical spans
+    for (space <- Seq(1L, 2L, 7L)) {
+      val collided = TextDedup
+        .exactSubstringSpans(df, "text", "doc_id", L, hashSpace = space)
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](3)
+            .map(s => (s.getLong(0), s.getLong(1))).toList
+        }.toMap
+      assert(collided == expected,
+        s"hashSpace=$space diverged from the full-hash result")
+    }
+  }
+
+  test("hash collision between two DISTINCT grams must not fabricate " +
+      "duplicates; a genuine duplicate sharing the bucket still verifies") {
+    val L = 10
+    // hashSpace=1: every gram lands in bucket 0. Doc 1 and doc 2 have
+    // completely different text (every gram unique corpus-wide), so
+    // despite the forced hash collision NO span may be reported for
+    // them. Docs 3 and 4 share a block — their spans must survive the
+    // collision storm.
+    val shared = "SHAREDBLOCKSHARED"
+    val docs = Seq(
+      (1L, "abcdefghijklmnop"),
+      (2L, "qrstuvwxyz012345"),
+      (3L, s"___${shared}___"),
+      (4L, s"+++${shared}+++")
+    ).toDF("doc_id", "text")
+    val out = TextDedup
+      .exactSubstringSpans(docs, "text", "doc_id", L, hashSpace = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // spans cover the shared 17-char block: positions 3..10 are dup
+    // gram starts, island [3, 3+7+L) = [3, 20) → 17 chars
+    assert(out == Map(3L -> (1L, 17L), 4L -> (1L, 17L)),
+      s"collision fabricated or lost spans: $out")
   }
 }
