@@ -65,9 +65,6 @@ object DeltaImport {
   private[lake] def normUri(s: String): String =
     s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
-  private[lake] def normUriCol(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-
   /** CANONICAL join key for matching driver-side file lists against
     * `_metadata.file_path`: Spark reports the URL-ENCODED `Path.toUri`
     * form (space → %20, hive-escaped '%' → %25, '+' literal).
@@ -584,37 +581,34 @@ object DeltaImport {
     if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], st.schema)
-    val F = "__dl_f"
-    val partCols = st.partitionColumns
-    // one short driver-side row per live file: normalized path + RAW
-    // string partition values; the typed value comes from a cast in
-    // the plan (Delta's serialization is Spark-cast-compatible)
-    val infoSchema = StructType(
-      StructField(F, StringType, nullable = false) +:
-      partCols.map(c => StructField(s"__dl_$c", StringType)))
-    val infoRows = adds.map(a => Row.fromSeq(canonUri(a.uri) +:
-      partCols.map(c => a.partitionValues.get(c).flatten.orNull)))
-    val info = spark.createDataFrame(
-      spark.sparkContext.parallelize(infoRows, 1), infoSchema)
-    // broadcast gate (house rule: every explicit hint is size-gated) —
-    // the list arrives from UNTRUSTED log metadata; above the bound
-    // the hint drops and Spark plans a shuffled join on the path key
-    val infoBytes = infoRows.iterator
-      .map(r => 64L + r.getString(0).length * 2L).sum
-    val maxBytes = spark.conf
-      .getOption("spark.graft.delta.import-broadcast-max-bytes")
-      .map(_.toLong).getOrElse(1L << 30)
-    val infoSide = if (infoBytes <= maxBytes) broadcast(info) else info
-
-    var df = spark.read.schema(st.schema)
-      .parquet(adds.map(_.uri): _*)
-      .withColumn(F, normUriCol(col("_metadata.file_path")))
-      .join(infoSide, F)
-    partCols.foreach { c =>
-      val dt = st.schema(c).dataType
-      df = df.withColumn(c, coalesce(col(c), col(s"__dl_$c").cast(dt)))
+    // log-backed FileIndex (the TahoeFileIndex shape): partition
+    // values come from the adds' partitionValues as REAL partition
+    // columns — no join — and pushed predicates reach the index, so
+    // every consumer (scan, register_delta views, joins) partition-
+    // prunes and stats-skips through ordinary Catalyst pushdown.
+    val conf = spark.sessionState.newHadoopConf()
+    val planned = adds.map { a =>
+      val p = new Path(a.uri)
+      // a spec add always carries size; a sloppy writer's 0/absent
+      // size would make Spark's split planner skip the file entirely
+      // (zero splits) — stat the real length rather than lose rows
+      val len =
+        if (a.size > 0L) a.size
+        else p.getFileSystem(conf).getFileStatus(p).getLen
+      (a, new org.apache.hadoop.fs.FileStatus(len, false, 1, len,
+        a.modificationTime, p))
     }
-    df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+    org.apache.spark.sql.graftlake.DeltaLogFileIndex.dataFrame(
+      spark, new Path(adds.head.uri).getParent.toString, st.schema,
+      st.partitionColumns,
+      planned.map { case (a, fs) =>
+        (fs, st.partitionColumns.map(c =>
+          c -> a.partitionValues.get(c).flatten).toMap)
+      },
+      // forced only when a data filter is pushed: per-file stats JSON
+      // → graft stat domain, keyed by the planned path string
+      () => planned.map { case (a, fs) =>
+        fs.getPath.toString -> addStats(st, a) }.toMap)
   }
 
   /** Materialize the Delta table as a NEW governed graft table at

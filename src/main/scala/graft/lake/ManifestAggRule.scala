@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EvalMode, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -245,15 +245,18 @@ object ManifestAggRule extends Rule[LogicalPlan] {
         proofFor(a).flatMap(_.bounds).map(_.map(b =>
           internalValue(a.dataType, b._2)).orNull)
       // SUM over an integral column with recorded per-file sums — a
-      // rewrite even Iceberg's DSv2 pushdown does not attempt. The
-      // exact BigInt fold equals Spark's LongType sum in EVERY eval
-      // mode iff it fits in Long (in-range folds are order-independent
-      // and overflow-free); an out-of-range fold blocks the rewrite so
-      // the scan keeps Spark's own overflow semantics. FP sums are
-      // never recorded (order-dependent in Spark itself), and Average
-      // is deliberately NOT folded: Spark accumulates it in double, so
-      // an exact sum/count division could differ in ulps from the scan
-      // — spell avg as sum(x)/count(x) to ride the exact legs.
+      // rewrite even Iceberg's DSv2 pushdown does not attempt. Under
+      // LEGACY eval the exact BigInt fold equals Spark's LongType sum
+      // iff it fits in Long (Long addition wraps modulo 2⁶⁴, so an
+      // in-range total is returned exactly whatever the intermediate
+      // excursions); an out-of-range fold blocks the rewrite so the
+      // scan keeps Spark's own overflow semantics. ANSI/TRY modes need
+      // [[sumModeSafe]]'s single-sign proof on top (see there). FP
+      // sums are never recorded (order-dependent in Spark itself), and
+      // Average is deliberately NOT folded: Spark accumulates it in
+      // double, so an exact sum/count division could differ in ulps
+      // from the scan — spell avg as sum(x)/count(x) to ride the
+      // exact legs.
       case s: Sum => s.child match {
         case a: Attribute if FileStats.supportsExactSum(a.dataType) &&
             ae.dataType == LongType =>
@@ -261,7 +264,7 @@ object ManifestAggRule extends Rule[LogicalPlan] {
             (p.sum, p.nonNull) match {
               case (Some(v), Some(nn)) =>
                 if (nn == 0L) Some(null)
-                else if (v.isValidLong) Some(v.toLong: Any)
+                else if (v.isValidLong && sumModeSafe(s, p)) Some(v.toLong: Any)
                 else None
               case _ => None
             }
@@ -270,6 +273,28 @@ object ManifestAggRule extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+
+  /** Under ANSI/TRY evaluation the SCAN can throw (or return NULL) on
+    * an INTERMEDIATE partial-sum overflow even when the exact total is
+    * in range — e.g. rows `[Long.MAX, 1, -2]` — and that is a
+    * row-order property no file statistic can witness in general, so
+    * folding there would return a value where Spark's own execution
+    * does not. The fold stays enabled under those modes only when the
+    * folded bounds prove the column SINGLE-SIGNED (all values ≥ 0, or
+    * all ≤ 0): partial sums are then monotone, bounded by the in-range
+    * total, and the scan can never overflow — fold ≡ scan exactly.
+    * LEGACY mode needs no guard (see the caller's comment). */
+  private def sumModeSafe(s: Sum, p: ColumnProof): Boolean = {
+    val guarded = s.evalContext.evalMode != EvalMode.LEGACY ||
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    !guarded || (p.bounds match {
+      case Some(Some((mn, mx))) =>
+        scala.util.Try(BigInt(mn) >= 0 || BigInt(mx) <= 0)
+          .getOrElse(false)
+      case Some(None) => true // proven all-null: nothing accumulates
+      case None => false
+    })
+  }
 
   /** The constant this output expression folds to, or None = blocked.
     * Every aggregate call inside it must answer from the manifest; the
@@ -481,7 +506,8 @@ object ManifestAggRule extends Rule[LogicalPlan] {
                       (p.sum, p.nonNull) match {
                         case (Some(v), Some(nn)) =>
                           if (nn == 0L) Some(null)
-                          else if (v.isValidLong) Some(v.toLong: Any)
+                          else if (v.isValidLong && sumModeSafe(s, p))
+                            Some(v.toLong: Any)
                           else None
                         case _ => None
                       }

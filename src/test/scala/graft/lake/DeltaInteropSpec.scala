@@ -514,6 +514,45 @@ class DeltaInteropSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.delta.max-import-files")
   }
 
+  test("registered Delta views prune through Catalyst pushdown: " +
+      "partition predicates drop partitions, data predicates skip " +
+      "files via the adds' stats — plan-asserted") {
+    val base = TestSpark.tmpDir("delta-view-prune")
+    val src = (1L to 1000L).map(i => (i, (i % 4).toString))
+      .toDF("id", "part")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("part"))
+    lt.append(src.repartitionByRange(8, col("id")))
+    DeltaExport.export(lt, s"$base/delta")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    LakeSql.run(cat, "ns",
+      s"CALL system.register_delta('$base/delta', 'v_prune')")
+    def planned(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      scans.flatMap(s => s.relation.location
+        .listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString)))
+    }
+    val all = planned(spark.table("v_prune"))
+    // partition predicate prunes through the VIEW (the r15 gap)
+    val pp = spark.sql("SELECT * FROM v_prune WHERE part = '2'")
+    assert(planned(pp).size < all.size,
+      s"partition predicate kept ${planned(pp).size}/${all.size}")
+    assert(rows(pp) == rows(lt.scan().where(col("part") === "2")))
+    // selective data predicate skips files via the adds' stats
+    val dp = spark.sql("SELECT * FROM v_prune WHERE id <= 50")
+    assert(planned(dp).size < all.size,
+      s"data predicate kept ${planned(dp).size}/${all.size}")
+    assert(rows(dp) == rows(lt.scan().where(col("id") <= 50)))
+    // a predicate matching nothing plans zero files but stays correct
+    val zp = spark.sql("SELECT * FROM v_prune WHERE id > 5000")
+    assert(planned(zp).isEmpty)
+    assert(zp.count() == 0L)
+  }
+
   test("SQL surface: export_delta / publish_delta / checkpoint_delta " +
       "/ import_delta") {
     val base = TestSpark.tmpDir("delta-sql")

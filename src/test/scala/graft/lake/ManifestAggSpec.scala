@@ -533,4 +533,46 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(qa.collect().head.getDouble(0) == 1.5)
     assert(hasFileScan(qa), "Average must run the scan")
   }
+
+  test("metadata SUM under ANSI/TRY: mixed-sign columns block the fold " +
+      "(an intermediate scan overflow could throw where the fold " +
+      "answers); single-signed columns still fold") {
+    val cat = new LakeCatalog(spark, TestSpark.tmpDir("msum-ansi"))
+    cat.createNamespace("ns")
+    // pos: all values >= 0 (monotone partials — provably safe);
+    // mix: genuinely mixed signs, total in range
+    val df = Seq((1L, 10L, -5L), (2L, 20L, 7L), (3L, 30L, -1L))
+      .toDF("k", "pos", "mix")
+    cat.createTable("ns", "ta", df.schema,
+      properties = Map(LakeTable.PROP_AGG_COLUMNS -> "pos,mix"))
+    cat.loadTable("ns", "ta").append(df)
+    // LEGACY mode (ansi off explicitly — Spark 4 defaults it ON):
+    // both fold (Long wraps modulo 2^64 — an in-range total is exact
+    // whatever the intermediate excursions)
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ql = cat.sql("ns",
+        "SELECT sum(pos) AS sp, sum(mix) AS sm FROM ta")
+      val rl = ql.collect().head
+      assert(rl.getLong(0) == 60L && rl.getLong(1) == 1L)
+      assert(!hasFileScan(ql), ql.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    // ANSI (the session default here): single-signed still folds,
+    // mixed-sign runs the scan
+    val qp = cat.sql("ns", "SELECT sum(pos) AS sp FROM ta")
+    assert(qp.collect().head.getLong(0) == 60L)
+    assert(!hasFileScan(qp), "single-signed ANSI sum must still fold")
+    val qm = cat.sql("ns", "SELECT sum(mix) AS sm FROM ta")
+    assert(qm.collect().head.getLong(0) == 1L)
+    assert(hasFileScan(qm),
+      "mixed-sign ANSI sum must run the scan (overflow is a " +
+        "row-order property the manifest cannot witness)")
+    // TRY mode guards like ANSI whatever the conf says
+    val qt = cat.sql("ns",
+      "SELECT try_sum(mix) AS sm, try_sum(pos) AS sp FROM ta")
+    val rt = qt.collect().head
+    assert(rt.getLong(0) == 1L && rt.getLong(1) == 60L)
+    assert(hasFileScan(qt), "try_sum(mix) must run the scan")
+  }
 }
