@@ -918,17 +918,29 @@ object ScaleSmoke {
     // data file + one equality-delete file per refresh, zero rewrites
     Seq(
       "cow" -> Map.empty[String, String],
-      "mor" -> Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read")
+      // *-lineage: source created with write.row-lineage — the refresh
+      // consumes the id-join changelog (carried-row cancellation by
+      // id instead of the EXCEPT ALL content-hash pair)
+      "cow-lineage" -> Map.empty[String, String],
+      "mor" -> Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read"),
+      "mor-lineage" -> Map(LakeTable.PROP_MERGE_MODE -> "merge-on-read")
     ).foreach { case (mode, props) =>
       val work = Files.createTempDirectory(s"graft-scd2-$mode").toString
-      val lt = LakeTable.create(spark, s"$work/src", orders.schema)
+      val srcProps =
+        if (mode.endsWith("-lineage"))
+          Map(LakeTable.PROP_ROW_LINEAGE -> "true")
+        else Map.empty[String, String]
+      val lt = LakeTable.create(spark, s"$work/src", orders.schema,
+        properties = srcProps)
       val dim = LakeTable.create(spark, s"$work/dim",
         ScdDimension.dimensionSchema(orders.schema, Seq("o_orderkey"),
           Seq("o_orderpriority", "price")), properties = props)
       lt.append(orders.repartition(8))
+      val useLin = mode.endsWith("-lineage")
+      def rf() = ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
+        Seq("o_orderpriority", "price"), useLineage = useLin)
       var t0 = System.nanoTime()
-      ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
-        Seq("o_orderpriority", "price"))
+      rf()
       println(f"[scd2/$mode] initial load ($nSrc keys): " +
         f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
       // each round re-prices a rotating ~1k-key slice; the dimension
@@ -937,8 +949,7 @@ object ScaleSmoke {
         lt.update(col("o_orderkey") % 137 === (i % 97).toLong,
           Map("price" -> round(col("price") + 1, 2)))
         val s = System.nanoTime()
-        ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
-          Seq("o_orderpriority", "price"))
+        rf()
         val out = (System.nanoTime() - s) / 1e6
         // MOR debt policy: fold delete files periodically, as a real
         // deployment's maintenance would (time EXCLUDED — maintenance
@@ -959,8 +970,7 @@ object ScaleSmoke {
         col("o_orderkey") % 149 === i.toLong,
         Map("price" -> round(col("price") + 1, 2))))
       t0 = System.nanoTime()
-      ScdDimension.refresh(lt, dim, Seq("o_orderkey"),
-        Seq("o_orderpriority", "price"))
+      rf()
       println(f"[scd2/$mode] one refresh over 5 pending commits: " +
         f"${(System.nanoTime() - t0) / 1e6}%.0f ms; PASS")
     }

@@ -783,10 +783,33 @@ WHEN NOT MATCHED THEN INSERT *
       lt.append(orders.where(col("o_custkey") % 26 === 2)
         .withColumn("o_totalprice", col("o_totalprice") * 3))
       val metaPath = graft.lake.IcebergExport.export(lt, s"$base/ice")
-      graft.lake.IcebergImport.scan(s, metaPath)
-        .select(col("o_orderkey"), col("o_custkey"),
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"),
-          round(col("o_totalprice"), 2).as("o_totalprice"))
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          lit(src).as("src"))
+      val mor = shape(graft.lake.IcebergImport.scan(s, metaPath), "mor")
+      // DAY-partitioned round trip (three months of orders → ~90 day
+      // partitions): the day transform VALUE in each manifest entry
+      // inverts to o_orderdate interval bounds at import, so a
+      // one-month predicate plans a strict file subset — asserted
+      // in-query — while the rows stay oracle-exact
+      val dt = LakeTable.create(s, s"$base/byday", orders.schema,
+        partitionBy = Seq("day(o_orderdate)"))
+      dt.append(orders.where(
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp_ntz")))
+      val dmeta = graft.lake.IcebergExport.export(dt, s"$base/iceday")
+      val dpred =
+        col("o_orderdate") >= lit("1995-02-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1995-03-01").cast("timestamp_ntz")
+      val tm = graft.lake.IcebergImport.load(dmeta,
+        s.sessionState.newHadoopConf())
+      val planned = graft.lake.IcebergImport.pruneEntries(s, tm, dpred)
+      require(planned.size < tm.dataEntries.size,
+        s"day-transform pruning planned ${planned.size} of " +
+          s"${tm.dataEntries.size} files — no subset")
+      mor.unionAll(shape(
+        graft.lake.IcebergImport.scanWhere(s, dmeta, dpred), "day"))
     }),
 
     "q_iceberg_publish" -> ((s, dir) => {
@@ -880,6 +903,42 @@ WHEN NOT MATCHED THEN INSERT *
         .unionAll(shape(graft.lake.DeltaImport.incrementalScan(s,
           s"$base/delta", fromVersion = 0L, toVersion = Some(1L)),
           "inc"))
+    }),
+
+    "q_delta_dv_import" -> ((s, dir) => {
+      // Delta DELETION-VECTOR interop end-to-end: a merge-on-read
+      // table accumulates position deletes, consolidateDeleteVectors()
+      // folds them into L44 bitmap artifacts, export re-encodes them
+      // as REAL Delta DVs (spec RoaringBitmapArray .bin + reader-v3
+      // protocol + deletionVectors feature), a second delete GROWS the
+      // vectors and publish mirrors the growth as the spec's
+      // remove+re-add pair, checkpoint() folds the descriptors into
+      // the parquet checkpoint — and the ENGINE-FREE importer applies
+      // them back through the foreign path (a _metadata.row_index
+      // bit-test against the decoded bitmap). 'final' reads the
+      // checkpoint-SEEDED replay; 'v0' time-travels below the
+      // checkpoint through the JSON replay — both row-exact under the
+      // oracle's pure predicate algebra.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-deltadv")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        properties = Map(
+          graft.lake.LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      lt.append(orders)
+      lt.delete(col("o_orderkey") % 10 === 3)
+      lt.consolidateDeleteVectors()
+      graft.lake.DeltaExport.export(lt, s"$base/delta")
+      lt.delete(col("o_custkey") % 11 === 4)
+      lt.consolidateDeleteVectors()
+      graft.lake.DeltaExport.publish(lt, s"$base/delta")
+      graft.lake.DeltaExport.checkpoint(s, s"$base/delta")
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          lit(src).as("src"))
+      shape(graft.lake.DeltaImport.scan(s, s"$base/delta"), "final")
+        .unionAll(shape(graft.lake.DeltaImport.scan(s, s"$base/delta",
+          versionAsOf = Some(0L)), "v0"))
     }),
 
     "q_bucketed_join" -> ((s, dir) => {
@@ -3495,13 +3554,19 @@ WHEN NOT MATCHED THEN INSERT *
     // position-deleted in their ORIGINAL files)
     "q_iceberg_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
-        | round(o_totalprice, 2) AS o_totalprice
+        | round(o_totalprice, 2) AS o_totalprice, 'mor' AS src
         |FROM orders
         |WHERE o_orderkey % 10 <> 3 AND o_custkey % 13 <> 2
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus,
-        | round(o_totalprice * 3, 2) AS o_totalprice
-        |FROM orders WHERE o_custkey % 26 = 2""".stripMargin,
+        | round(o_totalprice * 3, 2) AS o_totalprice, 'mor' AS src
+        |FROM orders WHERE o_custkey % 26 = 2
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, 'day' AS src
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'""".stripMargin,
 
     // 'final' = the post-delete state read from the v3 publish;
     // 'delta' = exactly the odd half v2 appended, read incrementally
@@ -3538,6 +3603,18 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice, 'inc' AS src
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    // the foreign-path DV read is pure predicate algebra: v0 has the
+    // first delete applied, 'final' both
+    "q_delta_dv_import" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice, 'final' AS src
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_custkey % 11 <> 4
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice, 'v0' AS src
+        |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -36,12 +36,19 @@ import org.apache.spark.sql.types._
   * Iceberg's bucket case, where declaring the transform with the
   * wrong hash would mis-prune, an undeclared transform cannot.
   *
+  * MOR handoff: CONSOLIDATED graft deletion vectors (L44 artifacts)
+  * re-encode as real Delta deletion vectors — [[DeltaDv]] writes the
+  * spec RoaringBitmapArray `.bin` files into the export dir and each
+  * affected `add` carries the descriptor (storageType `u`,
+  * `tightBounds: false` stats); the protocol upgrades to the
+  * table-features form (3, 7) + `deletionVectors` the first time one
+  * is live, and a DV that grew re-publishes its file as the spec's
+  * remove + re-add pair.
+  *
   * Scope (refused loudly otherwise):
-  *   - outstanding MOR artifacts (equality / position deletes,
-  *     deletion vectors): Delta expresses row-level deletes only via
-  *     its own deletion-vector encoding (RoaringBitmap in puffin-like
-  *     files, reader version 3) — re-encoding is out of scope;
-  *     `compact()` first;
+  *   - LOOSE merge-on-read artifacts: position deletes fold into
+  *     exportable DVs via `consolidateDeleteVectors()`; equality
+  *     deletes have no Delta expression — `compact()` first;
   *   - live files that predate a schema evolution (graft's name
   *     mapping ≙ Delta column mapping, which this export does not
   *     declare) — `compact()` rewrites them under the current schema.
@@ -96,7 +103,7 @@ object DeltaExport {
     require(!hasLog(fs, destDir),
       s"$destDir already holds a Delta log — publish() appends to it")
     writeVersion(table, destDir, atSnapshot, version = 0L,
-      prevLive = Map.empty, withMeta = true)
+      prev = None, withMeta = true)
   }
 
   /** CONTINUOUS publish: append the table's current snapshot to an
@@ -126,11 +133,7 @@ object DeltaExport {
       "partition drift since the last publish — export to a fresh " +
         "directory")
     writeVersion(table, destDir, atSnapshot, version = st.version + 1,
-      // canonical (encoded) key AND value: the remove action must name
-      // the file with the same encoded string its add used
-      prevLive = st.adds.map(a => DeltaImport.canonUri(a.uri) ->
-        new Path(a.uri).toUri.toString).toMap,
-      withMeta = false)
+      prev = Some(st), withMeta = false)
   }
 
   private def snapOf(table: LakeTable, atSnapshot: Option[Long]) =
@@ -140,13 +143,15 @@ object DeltaExport {
 
   private def writeVersion(table: LakeTable, destDir: String,
       atSnapshot: Option[Long], version: Long,
-      prevLive: Map[String, String], withMeta: Boolean): String = {
+      prev: Option[DeltaImport.TableState], withMeta: Boolean): String = {
     val snap = snapOf(table, atSnapshot)
-    require(snap.deleteFiles.isEmpty && snap.posDeleteFiles.isEmpty &&
-        snap.dvFiles.isEmpty,
-      s"snapshot ${snap.snapshotId} carries merge-on-read delete " +
-        "artifacts — Delta expresses row deletes only via its own " +
-        "deletion-vector encoding (out of scope); compact() first")
+    // CONSOLIDATED deletion vectors re-encode as Delta DVs below;
+    // loose position/equality deletes have no Delta expression
+    require(snap.deleteFiles.isEmpty && snap.posDeleteFiles.isEmpty,
+      s"snapshot ${snap.snapshotId} carries loose merge-on-read " +
+        "delete artifacts — consolidateDeleteVectors() folds position " +
+        "deletes into exportable deletion vectors; equality deletes " +
+        "need compact()")
     locally {
       val evolved = snap.liveFiles
         .filter(f => snap.fileRenames.getOrElse(f, Map.empty).nonEmpty)
@@ -172,6 +177,35 @@ object DeltaExport {
     val identFields = fields.filter(_.isIdentity)
     val m = Snapshot.mapper
 
+    // consolidated DV artifacts → per-file deleted positions (driver
+    // bytes ∝ deleted rows / 8 — the artifacts' own planning class).
+    // The artifact's `file` field is the table-relative data path.
+    val dvByRel: Map[String, Array[Long]] =
+      if (snap.dvFiles.isEmpty) Map.empty
+      else spark.read.schema(StructType(Seq(
+          StructField("file", StringType),
+          StructField("dv", ArrayType(LongType)))))
+        .parquet(snap.dvFiles.map(d =>
+          new Path(table.root, d.path).toString): _*)
+        .collect().iterator.map { r =>
+          val words = r.getSeq[Long](1)
+          val pos = Array.newBuilder[Long]
+          var w = 0
+          while (w < words.length) {
+            var word = words(w); var bit = 0
+            while (word != 0L) {
+              val t = java.lang.Long.numberOfTrailingZeros(word)
+              bit += t
+              pos += (w.toLong << 6) + bit
+              word = word >>> t >>> 1; bit += 1
+            }
+            w += 1
+          }
+          r.getString(0) -> pos.result()
+        }.filter(_._2.nonEmpty).toMap
+    def curCard(rel: String): Long =
+      dvByRel.get(rel).map(_.length.toLong).getOrElse(0L)
+
     val lines = Seq.newBuilder[String]
     locally { // commitInfo first (spec convention; readers ignore it)
       val ci = m.createObjectNode()
@@ -190,12 +224,30 @@ object DeltaExport {
       o.put("lastUpdated", snap.timestampMs)
       lines += m.writeValueAsString(tx)
     }
-    if (withMeta) {
+    // protocol: plain (1, 2) tables stay maximally readable; the
+    // moment deletion vectors are live the spec requires the
+    // table-features protocol (3, 7) + the deletionVectors feature in
+    // BOTH feature lists. A publish that INTRODUCES DVs over a (1, 2)
+    // log upgrades the protocol in the same commit (legal per spec).
+    val dvLive = snap.liveFiles.exists(r => curCard(r) > 0)
+    def protoLine(): String = {
       val pr = m.createObjectNode()
       val p = pr.putObject("protocol")
-      p.put("minReaderVersion", 1)
-      p.put("minWriterVersion", 2)
-      lines += m.writeValueAsString(pr)
+      if (dvLive) {
+        p.put("minReaderVersion", 3)
+        p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("deletionVectors")
+        p.putArray("writerFeatures").add("deletionVectors")
+      } else {
+        p.put("minReaderVersion", 1)
+        p.put("minWriterVersion", 2)
+      }
+      m.writeValueAsString(pr)
+    }
+    if (!withMeta && dvLive && prev.exists(_.minReaderVersion < 3))
+      lines += protoLine()
+    if (withMeta) {
+      lines += protoLine()
       val md = m.createObjectNode()
       val o = md.putObject("metaData")
       o.put("id", java.util.UUID.nameUUIDFromBytes(
@@ -256,11 +308,54 @@ object DeltaExport {
     // an encoded string would double-escape '%')
     val liveNow = snap.liveFiles.map(rel =>
       DeltaImport.normUri(absUri(rel)) -> rel).toMap
-    val newRels = snap.liveFiles.filterNot(rel =>
-      prevLive.contains(DeltaImport.normUri(absUri(rel))))
+    val prevLive: Map[String, String] = prev.map(_.adds.map(a =>
+      DeltaImport.canonUri(a.uri) -> (if (a.rawPath.nonEmpty) a.rawPath
+        else new Path(a.uri).toUri.toString)).toMap)
+      .getOrElse(Map.empty)
+    val prevDvCard: Map[String, Long] = prev.map(_.adds.flatMap(a =>
+      a.dv.map(d => DeltaImport.canonUri(a.uri) -> d.cardinality))
+      .toMap).getOrElse(Map.empty)
+    // a file re-publishes when it is NEW or its deletion vector GREW
+    // (graft DVs only accumulate — a delete never un-deletes — so
+    // cardinality equality ⇔ set equality for this log's only writer);
+    // Delta's DV-update shape is remove(old add) + add(new descriptor)
+    // in one commit
+    val newRels = snap.liveFiles.filter { rel =>
+      val key = DeltaImport.normUri(absUri(rel))
+      !prevLive.contains(key) ||
+        prevDvCard.getOrElse(key, 0L) != curCard(rel)
+    }
     val goneUris = prevLive.filterNot { case (norm, _) =>
-      liveNow.contains(norm) }.values
+      liveNow.contains(norm) }.values ++
+      newRels.flatMap(rel =>
+        prevLive.get(DeltaImport.normUri(absUri(rel))))
 
+    // one DV file per commit holding every (re)published descriptor
+    // (the same packing delta writers use); storageType `u`, no prefix
+    val dvRels = newRels.filter(r => curCard(r) > 0)
+    val dvDescByRel: Map[String, DeltaDv.Descriptor] =
+      if (dvRels.isEmpty) Map.empty
+      else {
+        val uuid = java.util.UUID.randomUUID()
+        val datas = dvRels.map(r => DeltaDv.serialize(dvByRel(r)))
+        val offs = DeltaDv.writeFile(fs,
+          new Path(destDir, s"deletion_vector_$uuid.bin"), datas)
+        dvRels.zip(offs).map { case (rel, (off, size)) =>
+          rel -> DeltaDv.Descriptor("u", DeltaDv.encodeUuid(uuid),
+            Some(off), size, dvByRel(rel).length.toLong)
+        }.toMap
+      }
+
+    // removes BEFORE adds: a DV update names the same path in both,
+    // and a sequential replayer must land on the add
+    goneUris.foreach { uri =>
+      val rm = m.createObjectNode()
+      val o = rm.putObject("remove")
+      o.put("path", uri)
+      o.put("deletionTimestamp", snap.timestampMs)
+      o.put("dataChange", true)
+      lines += m.writeValueAsString(rm)
+    }
     newRels.foreach { rel =>
       val info = snap.fileInfo.getOrElse(rel,
         throw new IllegalStateException(
@@ -279,8 +374,20 @@ object DeltaExport {
       o.put("size", info.bytes)
       o.put("modificationTime", snap.timestampMs)
       o.put("dataChange", true)
+      dvDescByRel.get(rel).foreach { d =>
+        val dv = o.putObject("deletionVector")
+        dv.put("storageType", d.storageType)
+        dv.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(off => dv.put("offset", off))
+        dv.put("sizeInBytes", d.sizeInBytes)
+        dv.put("cardinality", d.cardinality)
+      }
       val fileStats = snap.fileStats.getOrElse(rel, Map.empty)
       val st = m.createObjectNode()
+      // graft stats are PHYSICAL (pre-delete): numRecords counts the
+      // file's rows per spec; with a DV the logical bounds may be
+      // tighter than the recorded ones, so mark them loose
+      if (dvDescByRel.contains(rel)) st.put("tightBounds", false)
       st.put("numRecords", info.rows)
       val mins = st.putObject("minValues")
       val maxs = st.putObject("maxValues")
@@ -296,14 +403,6 @@ object DeltaExport {
       }
       o.put("stats", m.writeValueAsString(st))
       lines += m.writeValueAsString(add)
-    }
-    goneUris.foreach { uri =>
-      val rm = m.createObjectNode()
-      val o = rm.putObject("remove")
-      o.put("path", uri)
-      o.put("deletionTimestamp", snap.timestampMs)
-      o.put("dataChange", true)
-      lines += m.writeValueAsString(rm)
     }
 
     val logDir = new Path(destDir, "_delta_log")
@@ -331,7 +430,9 @@ object DeltaExport {
     val m = Snapshot.mapper
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val formatT = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
@@ -342,6 +443,12 @@ object DeltaExport {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType,
@@ -349,7 +456,8 @@ object DeltaExport {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvT)))
     val removeT = StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -363,22 +471,29 @@ object DeltaExport {
       StructField("add", addT),
       StructField("remove", removeT),
       StructField("txn", txnT)))
-    // checkpoint paths MUST be the canonical URL-ENCODED form the JSON
-    // commits use (AddFile.uri is the DECODED path the scan opens;
-    // Path.toUri encodes exactly once) — a decoded path here would be
-    // decoded AGAIN on replay and break every hive-special partition
-    // value the first time state is seeded from a checkpoint
+    // checkpoint paths are the add action's VERBATIM string when the
+    // replay kept it (removes and foreign replayers reconcile on the
+    // exact string), else the canonical URL-ENCODED Path.toUri form —
+    // NEVER the decoded path, which would be decoded AGAIN on replay
+    // and break every hive-special partition value the first time
+    // state is seeded from a checkpoint
     def enc(uri: String): String = new Path(uri).toUri.toString
-    val protoRow = Row(Row(st.minReaderVersion, st.minWriterVersion),
+    val protoRow = Row(Row(st.minReaderVersion, st.minWriterVersion,
+      if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq,
+      if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq),
       null, null, null, null)
     val metaRow = Row(null, Row(st.metaId,
       Row("parquet", Map.empty[String, String]), st.schema.json,
       st.partitionColumns, st.configuration, st.createdTime),
       null, null, null)
     val addRows = st.adds.map(a => Row(null, null,
-      Row(enc(a.uri), a.partitionValues.map { case (k, v) =>
+      Row(if (a.rawPath.nonEmpty) a.rawPath else enc(a.uri),
+        a.partitionValues.map { case (k, v) =>
         k -> v.orNull }, a.size, a.modificationTime, true,
-        a.stats.orNull), null, null))
+        a.stats.orNull,
+        a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes,
+          d.cardinality)).orNull), null, null))
     // un-expired remove tombstones: the spec expects them (a VACUUM or
     // CDF consumer layered on the exported log reasons over recent
     // removes); expired ones age out of the checkpoint
@@ -387,8 +502,8 @@ object DeltaExport {
       .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
     val cutoff = System.currentTimeMillis() - retentionMs
     val rmRows = st.tombstones.filter(_._2 >= cutoff)
-      .map { case (uri, ts) =>
-        Row(null, null, null, Row(enc(uri), ts, true), null) }
+      .map { case (raw, ts) =>
+        Row(null, null, null, Row(raw, ts, true), null) }
     val txnRows = st.txns.toSeq.map { case (app, v) =>
       Row(null, null, null, null, Row(app, v)) }
     val actionRows = protoRow +: metaRow +:

@@ -24,33 +24,46 @@ import org.apache.spark.sql.types._
   * Without a checkpoint the JSON commits replay from version 0.
   *
   * Scope (refused loudly, never silently wrong):
-  *   - `protocol.minReaderVersion > 1`: reader-v2/v3 features (column
-  *     mapping, deletion vectors, type widening…) change what the
-  *     parquet bytes MEAN — scanning them naively would return wrong
-  *     rows, exactly the silent-wrongness class the Iceberg reader
-  *     refuses via its own gates;
-  *   - an `add` carrying `deletionVector` or a `metaData` declaring
+  *   - reader protocol: v1 fully; v3 when `readerFeatures` ⊆
+  *     {deletionVectors} — DV-bearing adds decode through [[DeltaDv]]
+  *     and apply as a per-file bitmap row filter on
+  *     `_metadata.row_index` (the same gated-broadcast bit-test shape
+  *     as graft's own L44 DVs). Everything else (v2 = column mapping;
+  *     v3 with any OTHER reader feature — type widening, v2
+  *     checkpoints, …) changes what the parquet bytes MEAN — scanning
+  *     naively would return wrong rows, exactly the silent-wrongness
+  *     class the Iceberg reader refuses via its own gates;
+  *   - a DV add under a protocol that never declared the
+  *     deletionVectors feature, or a `metaData` declaring
   *     `delta.columnMapping.mode` ≠ none (belt-and-braces — legal
   *     only at reader v2+ anyway).
   *
-  * Scale: the log replay is O(log) driver JSON (checkpoint-seeded,
-  * O(delta) steady-state); the scan is ONE multi-path parquet read
-  * with per-file partition values joined from a size-gated
-  * broadcast list keyed by `_metadata.file_path` — the same shape as
-  * [[IcebergImport.scanEntries]], no per-partition plan unions. */
+  * Scale: the log replay is O(log) driver work (checkpoint-seeded and
+  * columnar for the add rows, O(delta) steady-state); the scan plans
+  * through [[org.apache.spark.sql.graftlake.DeltaLogFileIndex]] — the
+  * log's partitionValues become real partition columns (native
+  * Catalyst partition pruning + stats file-skipping on pushed
+  * filters, no join), the TahoeFileIndex shape. */
 object DeltaImport {
 
   /** One live data file: resolved absolute URI, the RAW string
-    * partition values from the log (None = null), and the carried
-    * size/mtime/stats (for [[DeltaExport.checkpoint]] round-trips). */
+    * partition values from the log (None = null), the carried
+    * size/mtime/stats (for [[DeltaExport.checkpoint]] round-trips),
+    * and the deletion-vector descriptor when the file has one. */
   final case class AddFile(uri: String,
       partitionValues: Map[String, Option[String]],
-      size: Long, modificationTime: Long, stats: Option[String])
+      size: Long, modificationTime: Long, stats: Option[String],
+      dv: Option[DeltaDv.Descriptor] = None,
+      /** The add action's ORIGINAL path string, verbatim — removes and
+        * checkpoint rows must reference a file by the exact string its
+        * add used (foreign replayers reconcile on it), and re-encoding
+        * the decoded [[uri]] can change the URI authority form. */
+      rawPath: String = "")
 
   /** Reconstructed table state at a version. `tombstones` are the
-    * un-expired remove actions (decoded uri → deletionTimestamp) a
-    * spec checkpoint must carry; `txns` the latest `txn` action per
-    * appId (Delta's durable idempotence channel — survives log
+    * un-expired remove actions (verbatim path string →
+    * deletionTimestamp) a spec checkpoint must carry; `txns` the
+    * latest `txn` action per appId (Delta's durable idempotence channel — survives log
     * cleanup where commitInfo does not). */
   final case class TableState(version: Long, schema: StructType,
       partitionColumns: Seq[String], adds: Seq[AddFile],
@@ -58,7 +71,9 @@ object DeltaImport {
       configuration: Map[String, String], createdTime: Long,
       graftSnapshotId: Option[Long],
       tombstones: Seq[(String, Long)] = Nil,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   /** Strip scheme/authority variance so paths written by different
     * qualifiers compare equal (same rule as [[IcebergImport]]). */
@@ -117,6 +132,9 @@ object DeltaImport {
 
     // mutable replay state
     var minReader = 1; var minWriter = 1
+    var readerFeats = Set.empty[String]
+    var writerFeats = Set.empty[String]
+    var featsDeclared = false
     var metaId = ""; var schemaString = ""
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -142,11 +160,30 @@ object DeltaImport {
         "delta.columnMapping.mode is set — column-mapped parquet " +
           "names cannot be resolved without the mapping metadata")
     }
+    def applyProtocol(p: JsonNode): Unit = {
+      minReader = p.path("minReaderVersion").asInt(1)
+      minWriter = p.path("minWriterVersion").asInt(1)
+      readerFeats = p.path("readerFeatures").elements().asScala
+        .map(_.asText()).toSet
+      writerFeats = p.path("writerFeatures").elements().asScala
+        .map(_.asText()).toSet
+      featsDeclared = p.has("readerFeatures")
+    }
     def applyAdd(a: JsonNode): Unit = {
-      require(!a.hasNonNull("deletionVector"),
-        "add action carries a deletionVector — Delta DV decoding is " +
-          "out of scope; compact the source table first")
-      val uri = resolvePath(tableDir, a.path("path").asText())
+      val dv =
+        if (!a.hasNonNull("deletionVector")) None
+        else {
+          val d = a.path("deletionVector")
+          Some(DeltaDv.Descriptor(
+            d.path("storageType").asText(),
+            d.path("pathOrInlineDv").asText(),
+            if (d.hasNonNull("offset")) Some(d.path("offset").asInt())
+            else None,
+            d.path("sizeInBytes").asInt(),
+            d.path("cardinality").asLong()))
+        }
+      val raw = a.path("path").asText()
+      val uri = resolvePath(tableDir, raw)
       val pv = a.path("partitionValues").properties().asScala.map { e =>
         e.getKey -> (if (e.getValue.isNull) None
           else Some(e.getValue.asText()))
@@ -157,13 +194,15 @@ object DeltaImport {
         a.path("size").asLong(0L),
         a.path("modificationTime").asLong(0L),
         if (a.hasNonNull("stats")) Some(a.path("stats").asText())
-        else None)
+        else None, dv, raw)
     }
     def applyRemove(r: JsonNode): Unit = {
-      val uri = resolvePath(tableDir, r.path("path").asText())
-      val key = canonUri(uri)
+      val raw = r.path("path").asText()
+      val key = canonUri(resolvePath(tableDir, raw))
       live.remove(key)
-      tombstones(key) = (uri, r.path("deletionTimestamp").asLong(0L))
+      // tombstones keep the action's VERBATIM path string — a
+      // checkpoint re-emitting them must not change the reference
+      tombstones(key) = (raw, r.path("deletionTimestamp").asLong(0L))
     }
     def applyTxn(t: JsonNode): Unit =
       if (t.hasNonNull("appId"))
@@ -187,11 +226,9 @@ object DeltaImport {
         .collect().foreach { row =>
           val cols = row.schema.fieldNames.toSet
           def nn(c: String) = cols(c) && !row.isNullAt(row.fieldIndex(c))
-          if (nn("protocol")) {
-            val p = row.getStruct(row.fieldIndex("protocol"))
-            minReader = p.getInt(p.fieldIndex("minReaderVersion"))
-            minWriter = p.getInt(p.fieldIndex("minWriterVersion"))
-          }
+          if (nn("protocol"))
+            applyProtocol(m.readTree(structToJson(m,
+              row.getStruct(row.fieldIndex("protocol")))))
           if (nn("metaData"))
             applyMeta(m.readTree(structToJson(m,
               row.getStruct(row.fieldIndex("metaData")))))
@@ -214,10 +251,12 @@ object DeltaImport {
       if (top("add")) {
         val addDf = rows.where(col("add").isNotNull).select(col("add.*"))
         val af = addDf.schema.fieldNames.toSet
-        if (af("deletionVector"))
-          require(addDf.where(col("deletionVector").isNotNull).isEmpty,
-            "checkpoint add actions carry deletionVector — Delta DV " +
-              "decoding applies only through the JSON/descriptor path")
+        val dvF: Set[String] =
+          if (!af("deletionVector")) Set.empty
+          else addDf.schema("deletionVector").dataType match {
+            case s: StructType => s.fieldNames.toSet
+            case _ => Set.empty
+          }
         val maxFiles = spark.conf
           .getOption("spark.graft.delta.max-import-files")
           .map(_.toLong).getOrElse(20000000L)
@@ -229,23 +268,39 @@ object DeltaImport {
             "distributed metadata planning end-to-end")
         def sel(c: String, dt: DataType): Column =
           if (af(c)) col(c).cast(dt) else lit(null).cast(dt)
+        def dvSel(c: String, dt: DataType): Column =
+          if (dvF(c)) col(s"deletionVector.$c").cast(dt)
+          else lit(null).cast(dt)
         addDf.select(col("path").cast(StringType),
             sel("partitionValues",
               MapType(StringType, StringType, valueContainsNull = true)),
             sel("size", LongType), sel("modificationTime", LongType),
-            sel("stats", StringType))
+            sel("stats", StringType),
+            dvSel("storageType", StringType),
+            dvSel("pathOrInlineDv", StringType),
+            dvSel("offset", IntegerType),
+            dvSel("sizeInBytes", IntegerType),
+            dvSel("cardinality", LongType))
           .collect().foreach { r =>
             val uri = resolvePath(tableDir, r.getString(0))
             val pv: Map[String, Option[String]] =
               if (r.isNullAt(1)) Map.empty
               else r.getMap[String, String](1).toMap
                 .map { case (k, v) => k -> Option(v) }
+            val dv =
+              if (r.isNullAt(5)) None
+              else Some(DeltaDv.Descriptor(r.getString(5),
+                if (r.isNullAt(6)) "" else r.getString(6),
+                if (r.isNullAt(7)) None else Some(r.getInt(7)),
+                if (r.isNullAt(8)) 0 else r.getInt(8),
+                if (r.isNullAt(9)) 0L else r.getLong(9)))
             val key = canonUri(uri)
             tombstones.remove(key)
             live(key) = AddFile(uri, pv,
               if (r.isNullAt(2)) 0L else r.getLong(2),
               if (r.isNullAt(3)) 0L else r.getLong(3),
-              if (r.isNullAt(4)) None else Some(r.getString(4)))
+              if (r.isNullAt(4)) None else Some(r.getString(4)), dv,
+              r.getString(0))
           }
       }
     }
@@ -263,15 +318,23 @@ object DeltaImport {
     toReplay.foreach { v =>
       val txt = LakeTable.readString(fs,
         new Path(logDir, f"$v%020d.json"))
-      txt.split('\n').filter(_.nonEmpty).foreach { line =>
-        val n = m.readTree(line)
-        if (n.has("protocol")) {
-          minReader = n.path("protocol").path("minReaderVersion").asInt(1)
-          minWriter = n.path("protocol").path("minWriterVersion").asInt(1)
-        }
+      val nodes = txt.split('\n').filter(_.nonEmpty).map(m.readTree)
+      // spec Action Reconciliation: one commit CAN carry a remove and
+      // an add of the SAME path (the deletion-vector update shape —
+      // remove the old add, re-add with the new descriptor) and the
+      // add wins whatever the line order; a remove only tombstones
+      // paths the same commit did not (re-)add
+      val addedNow = nodes.filter(_.has("add")).map(n => canonUri(
+        resolvePath(tableDir, n.path("add").path("path").asText()))).toSet
+      nodes.foreach { n =>
+        if (n.has("protocol")) applyProtocol(n.path("protocol"))
         if (n.has("metaData")) applyMeta(n.path("metaData"))
+        if (n.has("remove")) {
+          val key = canonUri(resolvePath(tableDir,
+            n.path("remove").path("path").asText()))
+          if (!addedNow(key)) applyRemove(n.path("remove"))
+        }
         if (n.has("add")) applyAdd(n.path("add"))
-        if (n.has("remove")) applyRemove(n.path("remove"))
         if (n.has("txn")) applyTxn(n.path("txn"))
         if (n.has("commitInfo") &&
             n.path("commitInfo").hasNonNull("graftSnapshotId"))
@@ -279,10 +342,27 @@ object DeltaImport {
             .path("graftSnapshotId").asLong())
       }
     }
-    require(minReader <= 1,
-      s"protocol.minReaderVersion=$minReader — reader-v2+ features " +
-        "(column mapping, deletion vectors…) change what the parquet " +
-        "bytes mean; scanning naively would return wrong rows")
+    // reader protocol gate: v1, or v3 whose EVERY reader feature is
+    // one this reader actually implements (deletionVectors only). v2
+    // (column mapping) and any unknown v3 feature change what the
+    // parquet bytes mean — refuse rather than return wrong rows.
+    val unknownFeats = readerFeats - "deletionVectors"
+    // a v3 protocol MUST declare readerFeatures (spec); its absence
+    // means unknowable semantics — refuse like an unknown feature
+    require(minReader <= 1 ||
+        (minReader == 3 && featsDeclared && unknownFeats.isEmpty),
+      s"protocol.minReaderVersion=$minReader with readerFeatures=" +
+        s"${readerFeats.mkString("[", ",", "]")} — unsupported " +
+        s"reader features ${unknownFeats.mkString("[", ",", "]")} " +
+        "change what the parquet bytes mean; scanning naively would " +
+        "return wrong rows")
+    val dvAdds = live.values.count(_.dv.isDefined)
+    require(dvAdds == 0 ||
+        (minReader == 3 && readerFeats("deletionVectors")),
+      s"$dvAdds add actions carry deletionVector but the protocol " +
+        s"(minReaderVersion=$minReader, readerFeatures=" +
+        s"${readerFeats.mkString("[", ",", "]")}) never declared the " +
+        "deletionVectors feature — refusing a spec-violating log")
     require(schemaString.nonEmpty,
       s"$tableDir: no metaData action found in the log")
     TableState(target,
@@ -292,7 +372,7 @@ object DeltaImport {
       // the txn channel survives log cleanup (checkpoints must carry
       // the latest txn per appId); commitInfo is the legacy fallback
       txns.get(DeltaExport.PublishAppId).orElse(graftSnap),
-      tombstones.values.toSeq, txns.toMap)
+      tombstones.values.toSeq, txns.toMap, readerFeats, writerFeats)
   }
 
   private def ckptVersion(fs: org.apache.hadoop.fs.FileSystem,
@@ -358,7 +438,7 @@ object DeltaImport {
   def scan(spark: SparkSession, tableDir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val st = state(spark, tableDir, versionAsOf)
-    scanAdds(spark, st, st.adds)
+    scanAdds(spark, tableDir, st, st.adds)
   }
 
   /** TIMESTAMP AS OF: the latest version whose commit timestamp is ≤
@@ -460,7 +540,7 @@ object DeltaImport {
           }
         }
     }
-    scanAdds(spark, st, adds.result())
+    scanAdds(spark, tableDir, st, adds.result())
   }
 
   /** [[scan]] with FILE SKIPPING: the adds' own stats JSON
@@ -478,7 +558,7 @@ object DeltaImport {
   def scanWhere(spark: SparkSession, tableDir: String,
       predicate: Column, versionAsOf: Option[Long] = None): DataFrame = {
     val st = state(spark, tableDir, versionAsOf)
-    scanAdds(spark, st, pruneAdds(spark, st, predicate))
+    scanAdds(spark, tableDir, st, pruneAdds(spark, st, predicate))
       .where(predicate)
   }
 
@@ -576,8 +656,8 @@ object DeltaImport {
     out.result()
   }
 
-  private def scanAdds(spark: SparkSession, st: TableState,
-      adds: Seq[AddFile]): DataFrame = {
+  private def scanAdds(spark: SparkSession, tableDir: String,
+      st: TableState, adds: Seq[AddFile]): DataFrame = {
     if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], st.schema)
@@ -598,7 +678,7 @@ object DeltaImport {
       (a, new org.apache.hadoop.fs.FileStatus(len, false, 1, len,
         a.modificationTime, p))
     }
-    org.apache.spark.sql.graftlake.DeltaLogFileIndex.dataFrame(
+    val base = org.apache.spark.sql.graftlake.DeltaLogFileIndex.dataFrame(
       spark, new Path(adds.head.uri).getParent.toString, st.schema,
       st.partitionColumns,
       planned.map { case (a, fs) =>
@@ -609,7 +689,60 @@ object DeltaImport {
       // → graft stat domain, keyed by the planned path string
       () => planned.map { case (a, fs) =>
         fs.getPath.toString -> addStats(st, a) }.toMap)
+    applyDvs(spark, tableDir, st, adds, base)
   }
+
+  /** Drop rows a deletion vector marks deleted: decode each DV to a
+    * packed word bitset (one slim row PER FILE, bytes ∝ deleted
+    * rows / 8 — never a per-deleted-row join key), join on the
+    * normalized `_metadata.file_path`, and bit-test
+    * `_metadata.row_index` map-side — the same shape, gate
+    * (`spark.graft.lake.dv-broadcast-max-bytes`), and shuffled-join
+    * fallback as graft's own L44 DV read path. */
+  private def applyDvs(spark: SparkSession, tableDir: String,
+      st: TableState, adds: Seq[AddFile], base: DataFrame): DataFrame = {
+    val dvAdds = adds.filter(_.dv.isDefined)
+    if (dvAdds.isEmpty) return base
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = dvAdds.map { a =>
+      val positions = DeltaDv.read(
+        new Path(tableDir).getFileSystem(conf), tableDir, a.dv.get)
+      val words =
+        if (positions.isEmpty) Array.empty[Long]
+        else {
+          require(positions.last < (1L << 34),
+            s"DV row index ${positions.last} in ${a.uri} exceeds any " +
+              "plausible parquet row count — refusing a hostile DV")
+          val w = new Array[Long]((positions.last >>> 6).toInt + 1)
+          positions.foreach(i => w((i >>> 6).toInt) |= (1L << (i & 63)))
+          w
+        }
+      Row(canonUri(a.uri), words.toSeq)
+    }
+    val dvDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("__dl_dv_file", StringType, nullable = false),
+        StructField("__dl_dv_words", ArrayType(LongType)))))
+    val dvBytes = rows.map(r => 64L + r.getSeq[Long](1).length * 8L).sum
+    val dvMax = spark.conf
+      .getOption("spark.graft.lake.dv-broadcast-max-bytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val dvHinted = if (dvBytes <= dvMax) broadcast(dvDf) else dvDf
+    val F = "__dl_f"; val I = "__dl_idx"
+    base
+      .withColumn(F, regexp_replace(col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"))
+      .withColumn(I, col("_metadata.row_index"))
+      .join(dvHinted, col(F) === col("__dl_dv_file"), "left")
+      .where(col("__dl_dv_words").isNull || coalesce(
+        expr(s"(shiftright(get(__dl_dv_words, " +
+          s"CAST($I / 64 AS INT)), " +
+          s"CAST($I % 64 AS INT)) & 1) = 0"),
+        lit(true)))
+      .select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
 
   /** Materialize the Delta table as a NEW governed graft table at
     * `destRoot` (clean baseline, stats profiled on write). */

@@ -64,7 +64,12 @@ object IcebergImport {
     * form [[PredicatePruning]] consumes directly. */
   final case class DataEntry(uri: String, rows: Long, seq: Long,
       identity: Map[String, AnyRef],
-      stats: Map[String, ColStat] = Map.empty)
+      stats: Map[String, ColStat] = Map.empty,
+      /** `bucket[N]` partition values: (source column, N, bucket id) —
+        * pruned by set-membership against equality/IN literals using
+        * the iceberg-spec hash (range reasoning is unsound for a
+        * hash). */
+      buckets: Seq[(String, Int, Long)] = Nil)
 
   /** One delete artifact: content 1 = position deletes, 2 = equality
     * deletes (with the key field-ids). */
@@ -192,19 +197,19 @@ object IcebergImport {
       val mUri = mf.get("manifest_path").toString
       val mSeq = Option(mf.get("sequence_number"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      // identity fields of THIS manifest's spec: partition-field name →
-      // source column name (the spec JSON rides the manifest's avro
-      // metadata, so multi-spec tables resolve per manifest)
-      val identityOf: Map[String, String] =
+      // THIS manifest's full partition spec: field name → (transform,
+      // source column). The spec JSON rides the manifest's avro
+      // metadata, so multi-spec tables resolve per manifest.
+      val specOf: Seq[(String, String, String)] =
         avroMeta(mUri, conf, "partition-spec").map { js =>
-          m.readTree(js).elements().asScala
-            .filter(_.path("transform").asText() == "identity")
-            .map { f =>
-              val src = f.path("source-id").asInt()
-              f.path("name").asText() -> topIdToName.getOrElse(src,
-                f.path("name").asText())
-            }.toMap
-        }.getOrElse(Map.empty)
+          m.readTree(js).elements().asScala.map { f =>
+            val srcId = f.path("source-id").asInt()
+            (f.path("name").asText(), f.path("transform").asText(),
+              topIdToName.getOrElse(srcId, f.path("name").asText()))
+          }.toSeq
+        }.getOrElse(Nil)
+      val identityOf: Map[String, String] = specOf.collect {
+        case (n, "identity", src) => n -> src }.toMap
       records(mUri, conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // 2 = DELETED (removed by this snapshot)
@@ -222,8 +227,44 @@ object IcebergImport {
               identityOf.get(f.name()).map(col =>
                 col -> unwrapAvro(pr.get(f.name())))
             }.toMap
+            // NON-identity transforms invert into pruning facts: a
+            // time/truncate value bounds its SOURCE column (a
+            // conservative superset interval — safe for canMatch,
+            // which never needs attained bounds), a bucket value
+            // prunes by hash set-membership in pruneEntries
+            val derived = scala.collection.mutable
+              .Map.empty[String, ColStat]
+            val buckets = Seq.newBuilder[(String, Int, Long)]
+            specOf.foreach { case (fname, transform, src) =>
+              if (transform != "identity" &&
+                  schema.fieldNames.contains(src) &&
+                  pr.getSchema.getField(fname) != null) {
+                val v = pr.get(fname)
+                if (v != null) {
+                  val dt = schema(src).dataType
+                  transformBounds(transform, dt, v).foreach {
+                    case (lo, hi) => derived(src) =
+                      derived.get(src) match {
+                        case Some(p) => ColStat(
+                          if (FileStats.cmp(dt, lo, p.min) > 0) lo
+                          else p.min,
+                          if (FileStats.cmp(dt, hi, p.max) < 0) hi
+                          else p.max)
+                        case None => ColStat(lo, hi)
+                      }
+                  }
+                  (transform, v) match {
+                    case (BucketRe(n), num: Number) =>
+                      buckets += ((src, n.toInt, num.longValue()))
+                    case _ => ()
+                  }
+                }
+              }
+            }
+            // real file bounds (attained, tighter) win over derived
             data += DataEntry(uri, rows, seq, ident,
-              entryStats(df, topIdToName, schema))
+              derived.toMap ++ entryStats(df, topIdToName, schema),
+              buckets.result())
           } else {
             val ids = Option(df.getSchema.getField("equality_ids"))
               .flatMap(_ => Option(df.get("equality_ids")))
@@ -241,6 +282,58 @@ object IcebergImport {
   private def unwrapAvro(v: AnyRef): AnyRef = v match {
     case u: org.apache.avro.util.Utf8 => u.toString
     case other => other
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+
+  /** Invert a non-identity transform VALUE into stat-domain bounds on
+    * its SOURCE column — `day(ts)=d` ⇒ ts ∈ [d·86400e6, (d+1)·86400e6)
+    * micros, `truncate[w](n)=v` ⇒ n ∈ [v, v+w−1], etc. The interval is
+    * a SUPERSET of the file's real values (safe for canMatch pruning,
+    * which never requires attained bounds). None = no sound inversion
+    * (bucket — a hash; string truncate — no closed upper bound;
+    * unknown transforms). */
+  private[lake] def transformBounds(transform: String, dt: DataType,
+      v: AnyRef): Option[(String, String)] = {
+    val num = v match {
+      case n: Number => n.longValue()
+      case _ => return None
+    }
+    val MicrosDay = 86400000000L
+    def tsOrDate(loDay: Long, hiDayExcl: Long): Option[(String, String)] =
+      dt match {
+        case DateType =>
+          Some((loDay.toString, (hiDayExcl - 1).toString))
+        case TimestampType | TimestampNTZType =>
+          Some(((loDay * MicrosDay).toString,
+            (hiDayExcl * MicrosDay - 1).toString))
+        case _ => None
+      }
+    transform match {
+      case "day" => tsOrDate(num, num + 1)
+      case "hour" => dt match {
+        case TimestampType | TimestampNTZType =>
+          Some(((num * 3600000000L).toString,
+            ((num + 1) * 3600000000L - 1).toString))
+        case _ => None
+      }
+      case "month" =>
+        val first = java.time.LocalDate.of(
+          (1970L + Math.floorDiv(num, 12L)).toInt,
+          Math.floorMod(num, 12L).toInt + 1, 1)
+        tsOrDate(first.toEpochDay, first.plusMonths(1).toEpochDay)
+      case "year" =>
+        val first = java.time.LocalDate.of((1970L + num).toInt, 1, 1)
+        tsOrDate(first.toEpochDay, first.plusYears(1).toEpochDay)
+      case TruncRe(w) => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          scala.util.Try(Math.addExact(num, w.toLong - 1)).toOption
+            .map(hi => (num.toString, hi.toString))
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** Decode an entry's lower/upper_bounds + null_value_counts (the
@@ -374,10 +467,57 @@ object IcebergImport {
       case None => tm.dataEntries
       case Some(c) =>
         val byUri = tm.dataEntries.map(e => e.uri -> e).toMap
-        PredicatePruning.candidateFiles(c, tm.schema,
+        val kept = PredicatePruning.candidateFiles(c, tm.schema,
           tm.dataEntries.map(_.uri),
           tm.dataEntries.map(e => e.uri -> e.stats).toMap)
           .map(byUri)
+        bucketPrune(c, kept)
+    }
+  }
+
+  /** `bucket[N]` set-membership over an imported spec: an equality /
+    * IN conjunct on a bucketed source column keeps only entries whose
+    * recorded bucket id equals the literal's iceberg-spec hash — the
+    * same prune an Iceberg planner makes, sound because the importer
+    * pins the spec hash ([[IcebergBucketHash]], Appendix-B vectors).
+    * Disjunctions and non-literal comparisons keep everything. */
+  private def bucketPrune(cond: org.apache.spark.sql.catalyst
+        .expressions.Expression,
+      entries: Seq[DataEntry]): Seq[DataEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Expression, In, Literal}
+    if (!entries.exists(_.buckets.nonEmpty)) return entries
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // source column → the equality literals a matching row must take
+    val eqLits = scala.collection.mutable
+      .Map.empty[String, Seq[Literal]]
+    conjuncts(cond).foreach {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        eqLits(a.name) = eqLits.getOrElse(a.name, Nil) :+ l
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        eqLits(a.name) = eqLits.getOrElse(a.name, Nil) :+ l
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        // IN is a disjunction: sound only as ONE conjunct fact —
+        // handled below by "any value's bucket matches"
+        eqLits(a.name) = eqLits.getOrElse(a.name, Nil) ++
+          vs.map(_.asInstanceOf[Literal])
+      case _ => ()
+    }
+    if (eqLits.isEmpty) return entries
+    entries.filter { e =>
+      e.buckets.forall { case (src, n, bv) =>
+        eqLits.get(src) match {
+          case Some(lits) if lits.forall(l => l.value != null &&
+              IcebergBucketHash.supports(l.dataType)) =>
+            lits.exists(l => IcebergBucketHash
+              .bucketValue(l.value, l.dataType, n).toLong == bv)
+          case _ => true
+        }
+      }
     }
   }
 

@@ -467,7 +467,7 @@ final class LakeTable private (
     * by Catalyst reach the Parquet scan as usual. */
   def scan(): DataFrame = readFiles(current.liveFiles)
 
-  private def rowLineageEnabled: Boolean =
+  private[lake] def rowLineageEnabled: Boolean =
     properties.get(PROP_ROW_LINEAGE).contains("true")
 
   /** [[scan]] plus the stable `_row_id` lineage column (Iceberg v3
@@ -692,35 +692,51 @@ final class LakeTable private (
     def tag(df: DataFrame, tpe: String, id: Long): DataFrame =
       df.withColumn(CHANGE_TYPE_COL, lit(tpe))
         .withColumn(CHANGE_SNAP_COL, lit(id))
-    // lineage classification: a row id on BOTH sides of a commit's
-    // delta is the same row modified in place (the rewrite preserved
-    // its id) → update pre/post images; one-sided ids are genuine
-    // inserts/deletes. ONE union + one id-partitioned count window —
-    // each exceptAll subplan appears exactly once in the final plan
-    // (a join formulation would re-derive the set differences per
-    // branch). Id-less rows (pre-lineage files, MOR after-images) are
-    // pinned to n=1 so they can never pair as updates; their single
-    // null window partition is commit-delta-sized.
-    def classify(ins: DataFrame, del: DataFrame,
+    // lineage classification by ID-KEYED JOIN: a row id on BOTH sides
+    // of a commit's delta is the same row (the rewrite preserved its
+    // id) — same content means CARRIED (emits nothing, the join's own
+    // null-safe struct compare cancels it), different content means
+    // update pre/post images; one-sided ids are genuine inserts /
+    // deletes. One 8-byte-keyed full-outer join replaces the two
+    // FULL-ROW-HASH set differences AND the id-partitioned window the
+    // previous formulation paid (three wide shuffles → one slim one).
+    // Id-less rows (pre-lineage files, MOR after-images — new row
+    // identity by design) cannot key a join; they keep the
+    // content-cancelling exceptAll pair over their own isNull subset,
+    // which prunes to ~nothing on a lineage-from-birth table.
+    def classify(post: DataFrame, pre: DataFrame,
         id: Long): Seq[DataFrame] = {
-      val side = "__graft_side"
-      val n = "__graft_id_n"
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(ROW_ID_COL))
-      val typed = ins.withColumn(side, lit("i"))
-        .unionByName(del.withColumn(side, lit("d")))
-        .withColumn(n, when(col(ROW_ID_COL).isNull, lit(1L))
-          .otherwise(count(lit(1)).over(w)))
-        .withColumn(CHANGE_TYPE_COL,
-          when(col(n) === 2L && col(side) === "i",
-            lit("update_postimage"))
-          .when(col(n) === 2L && col(side) === "d",
-            lit("update_preimage"))
-          .when(col(side) === "i", lit("insert"))
-          .otherwise(lit("delete")))
-        .withColumn(CHANGE_SNAP_COL, lit(id))
-        .drop(side, n)
-      Seq(typed)
+      val dataCols = post.columns.filter(_ != ROW_ID_COL).toSeq
+      val img = struct(dataCols.map(col): _*)
+      val p = post.where(col(ROW_ID_COL).isNotNull)
+        .select(col(ROW_ID_COL), img.as("__graft_post"))
+      val q = pre.where(col(ROW_ID_COL).isNotNull)
+        .select(col(ROW_ID_COL), img.as("__graft_pre"))
+      val changed = p.join(q, Seq(ROW_ID_COL), "full_outer")
+        .where(!(col("__graft_post") <=> col("__graft_pre")))
+      // each surviving id yields its present sides in one pass
+      val rows = changed.select(col(ROW_ID_COL), explode(array(
+          when(col("__graft_post").isNotNull, struct(
+            col("__graft_post").as("img"),
+            when(col("__graft_pre").isNotNull,
+              lit("update_postimage")).otherwise(lit("insert"))
+              .as("t"))),
+          when(col("__graft_pre").isNotNull, struct(
+            col("__graft_pre").as("img"),
+            when(col("__graft_post").isNotNull,
+              lit("update_preimage")).otherwise(lit("delete"))
+              .as("t"))))).as("__graft_e"))
+        .where(col("__graft_e").isNotNull)
+        .select(dataCols.map(c =>
+            col("__graft_e.img").getField(c).as(c)) ++ Seq(
+          col(ROW_ID_COL),
+          col("__graft_e.t").as(CHANGE_TYPE_COL),
+          lit(id).as(CHANGE_SNAP_COL)): _*)
+      val postNull = post.where(col(ROW_ID_COL).isNull)
+      val preNull = pre.where(col(ROW_ID_COL).isNull)
+      Seq(rows,
+        tag(postNull.exceptAll(preNull), "insert", id),
+        tag(preNull.exceptAll(postNull), "delete", id))
     }
     val parts = snaps.filter(s =>
       s.operation != "compact" && s.operation != "create").flatMap { s =>
@@ -736,7 +752,7 @@ final class LakeTable private (
         if (s.removedFiles.isEmpty) Seq(tag(post, "insert", s.snapshotId))
         else if (s.addedFiles.isEmpty) Seq(tag(pre, "delete", s.snapshotId))
         else if (lineage)
-          classify(post.exceptAll(pre), pre.exceptAll(post), s.snapshotId)
+          classify(post, pre, s.snapshotId)
         else Seq(
           tag(post.exceptAll(pre), "insert", s.snapshotId),
           tag(pre.exceptAll(post), "delete", s.snapshotId))

@@ -123,15 +123,41 @@ object ScdDimension {
   }
 
   /** Apply the source's un-applied changelog range; no-op when already
-    * current. Returns the target snapshot after the refresh. */
+    * current. Returns the target snapshot after the refresh.
+    *
+    * `useLineage` (requires `write.row-lineage=true` on the source)
+    * swaps the content-diff changelog for
+    * [[LakeTable.changesWithLineage]]'s id-keyed one — same dimension
+    * bit-for-bit (the lineage vocabulary folds back to insert/delete
+    * before the shared apply core; ScdDimensionSpec proves the
+    * equivalence). It is OPT-IN, not automatic, because the measured
+    * default regime favors content-diff: at the sf0.1 ScaleSmoke
+    * (150k keys, scattered ~1.1k-key updates, 20 cycles) lineage
+    * refreshes averaged 6.5 s vs 4.9 s (cow dim) and 5.8 s vs 3.7 s
+    * (mor dim) — the id-materializing read (`_metadata.row_index` +
+    * first_row_id resolution per side) costs more than the
+    * `EXCEPT ALL` pair it replaces. The switch exists for sources
+    * where the balance flips (very wide rows, where hashing full
+    * row content dominates reading an 8-byte id). */
   def refresh(source: LakeTable, target: LakeTable, keys: Seq[String],
-      attrs: Seq[String]): Long = {
+      attrs: Seq[String], useLineage: Boolean = false): Long = {
     val last = target.properties.get(WatermarkProp)
       .map(_.toLong).getOrElse(0L)
     val head = source.currentSnapshotId.getOrElse(0L)
     val already = target.currentSnapshotId.getOrElse(0L)
     if (head <= last) return already
-    applyChangeRows(target, source.changes(last, head), keys, attrs,
+    val changeRows =
+      if (useLineage)
+        source.changesWithLineage(last, head)
+          .withColumn(LakeTable.CHANGE_TYPE_COL,
+            when(col(LakeTable.CHANGE_TYPE_COL) === "update_postimage",
+              lit("insert"))
+              .when(col(LakeTable.CHANGE_TYPE_COL) === "update_preimage",
+                lit("delete"))
+              .otherwise(col(LakeTable.CHANGE_TYPE_COL)))
+          .drop(LakeTable.ROW_ID_COL)
+      else source.changes(last, head)
+    applyChangeRows(target, changeRows, keys, attrs,
       extraProperties = Map(WatermarkProp -> head.toString))
   }
 

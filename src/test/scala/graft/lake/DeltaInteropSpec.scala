@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -551,6 +553,115 @@ class DeltaInteropSpec extends AnyFunSuite {
     val zp = spark.sql("SELECT * FROM v_prune WHERE id > 5000")
     assert(planned(zp).isEmpty)
     assert(zp.count() == 0L)
+  }
+
+  test("deletion-vector round-trip: consolidated graft DVs export as " +
+      "spec Delta DVs (protocol 3/7 + feature), import applies them, " +
+      "a grown DV publishes as remove+re-add, checkpoint preserves " +
+      "them across log cleanup") {
+    val base = TestSpark.tmpDir("delta-dv")
+    val src = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val lt = LakeTable.create(spark, s"$base/t", src.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    lt.append(src.repartition(4))
+    lt.delete(col("id") <= 20) // MOR position deletes
+    lt.consolidateDeleteVectors() // → DV artifacts (L44)
+    DeltaExport.export(lt, s"$base/delta")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+    // protocol + descriptor shape
+    val v0 = LakeTable.readString(fs, new Path(
+      s"$base/delta/_delta_log/00000000000000000000.json"))
+    val v0lines = v0.split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    val proto = v0lines.find(_.has("protocol")).get.path("protocol")
+    assert(proto.path("minReaderVersion").asInt() == 3)
+    assert(proto.path("readerFeatures").elements().asScala
+      .map(_.asText()).toSet == Set("deletionVectors"))
+    val dvAdds = v0lines.filter(n => n.has("add") &&
+      n.path("add").hasNonNull("deletionVector"))
+    assert(dvAdds.nonEmpty, "no add carried a deletionVector")
+    dvAdds.foreach { n =>
+      val d = n.path("add").path("deletionVector")
+      assert(d.path("storageType").asText() == "u")
+      assert(d.path("cardinality").asLong() > 0L)
+      assert(mapper.readTree(n.path("add").path("stats").asText())
+        .path("tightBounds").asBoolean(true) == false,
+        "DV-bearing add must mark stats loose")
+    }
+    // the .bin lives in the EXPORT dir (zero-copy data untouched)
+    assert(fs.listStatus(new Path(s"$base/delta")).exists(
+      _.getPath.getName.startsWith("deletion_vector_")))
+
+    // import applies the deletes
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+    assert(DeltaImport.scan(spark, s"$base/delta").count() == 180L)
+
+    // grow the DV → publish emits the remove + re-add pair
+    lt.delete(col("id") <= 40)
+    lt.consolidateDeleteVectors()
+    val c1 = DeltaExport.publish(lt, s"$base/delta")
+    val v1lines = LakeTable.readString(fs, new Path(c1))
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    val rm = v1lines.filter(_.has("remove"))
+      .map(_.path("remove").path("path").asText()).toSet
+    val ad = v1lines.filter(_.has("add"))
+      .map(_.path("add").path("path").asText()).toSet
+    assert(rm.nonEmpty && rm == ad,
+      s"DV growth must remove+re-add the same paths: rm=$rm ad=$ad")
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+
+    // checkpoint keeps the DV descriptors through aged-JSON cleanup
+    val cv = DeltaExport.checkpoint(spark, s"$base/delta")
+    (0L to cv).foreach(v => fs.delete(new Path(
+      f"$base/delta/_delta_log/$v%020d.json"), false))
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    assert(st.adds.exists(_.dv.isDefined),
+      "checkpoint-seeded state lost the deletion vectors")
+    assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
+    assert(DeltaImport.scan(spark, s"$base/delta").count() == 160L)
+
+    // import into a governed table materializes the POST-delete rows
+    val imp = DeltaImport.importTable(spark, s"$base/delta",
+      s"$base/copy")
+    assert(rows(imp.scan()) == rows(lt.scan()))
+  }
+
+  test("hostile DV logs refuse: DV add under a v1 protocol, unknown " +
+      "v3 reader feature, unknown storageType at read time") {
+    val base = TestSpark.tmpDir("delta-dv-hostile")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def writeLog(dir: String, lines: Seq[String]): Unit = {
+      fs.mkdirs(new Path(dir, "_delta_log"))
+      LakeTable.writeStringExclusive(fs,
+        new Path(dir, "_delta_log/00000000000000000000.json"),
+        lines.mkString("", "\n", "\n"))
+    }
+    val meta = """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val dvAdd = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"xxxxxxxxxxxxxxxxxxxx","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
+    // v3 with deletionVectors is now READABLE — state() succeeds
+    writeLog(s"$base/ok", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      meta, dvAdd))
+    val stOk = DeltaImport.state(spark, s"$base/ok", None)
+    assert(stOk.adds.head.dv.exists(_.cardinality == 1L))
+    // v3 with an UNKNOWN feature still refuses
+    writeLog(s"$base/h1", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":[]}}""",
+      meta))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/h1", None)
+    }
+    assert(e1.getMessage.contains("v2Checkpoint"))
+    // a DV add under a protocol that never declared the feature
+    writeLog(s"$base/h2", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta, dvAdd))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/h2", None)
+    }
+    assert(e2.getMessage.contains("deletionVector"))
   }
 
   test("SQL surface: export_delta / publish_delta / checkpoint_delta " +

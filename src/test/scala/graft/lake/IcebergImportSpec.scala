@@ -131,6 +131,92 @@ class IcebergImportSpec extends AnyFunSuite {
       t.scan().where(length($"v") === 3).count())
   }
 
+  test("transform partition values prune imported files: day spec → " +
+      "source-interval bounds; bucket_iceberg spec → spec-hash " +
+      "set-membership BEYOND what column stats can prove") {
+    // --- day(ts): each day's files plan only under a one-day predicate
+    val df = (1 to 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2021-03-${i % 4 + 1}%02d 10:00:${i % 60}%02d"), s"k$i")
+    }.toDF("id", "ts", "k")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir("iceimp-day") + "/t", df.schema,
+      partitionBy = Seq("day(ts)"))
+    t.append(df)
+    val meta = IcebergExport.export(t,
+      TestSpark.tmpDir("iceimp-day-out"))
+    val conf = spark.sessionState.newHadoopConf()
+    val tm = IcebergImport.load(meta, conf)
+    assert(tm.dataEntries.size >= 4, "four day partitions expected")
+    val dayPred = $"ts" >= lit("2021-03-02 00:00:00").cast("timestamp") &&
+      $"ts" < lit("2021-03-03 00:00:00").cast("timestamp")
+    val pruned = IcebergImport.pruneEntries(spark, tm, dayPred)
+    assert(pruned.size < tm.dataEntries.size,
+      s"day predicate kept ${pruned.size}/${tm.dataEntries.size}")
+    assert(rowsOf(IcebergImport.scanWhere(spark, meta, dayPred)) ==
+      rowsOf(t.scan().where(dayPred)))
+
+    // --- bucket_iceberg(4, k): an equality literal prunes to the one
+    // bucket — the string bounds of every file ADMIT the literal
+    // (k1..k999 sort into every file), so ONLY the hash can prune
+    val bt = LakeTable.create(spark,
+      TestSpark.tmpDir("iceimp-buck") + "/t", df.schema,
+      partitionBy = Seq("bucket_iceberg(4, k)"))
+    bt.append(df)
+    val bmeta = IcebergExport.export(bt,
+      TestSpark.tmpDir("iceimp-buck-out"))
+    val btm = IcebergImport.load(bmeta, conf)
+    assert(btm.dataEntries.exists(_.buckets.nonEmpty),
+      "bucket values missing from imported entries")
+    val statsOnly = btm.dataEntries.filter { e =>
+      e.stats.get("k").forall(cs =>
+        cs.min <= "k150" && cs.max >= "k150") }
+    assert(statsOnly.size > 1,
+      "fixture broken: string bounds should not isolate one file")
+    val bp = IcebergImport.pruneEntries(spark, btm, $"k" === "k150")
+    assert(bp.size < btm.dataEntries.size,
+      s"bucket predicate kept ${bp.size}/${btm.dataEntries.size}")
+    assert(rowsOf(IcebergImport.scanWhere(spark, bmeta,
+      $"k" === "k150")) == rowsOf(bt.scan().where($"k" === "k150")))
+    // IN prunes to the union of buckets; a non-equality keeps all
+    val bin = IcebergImport.pruneEntries(spark, btm,
+      $"k".isin("k150", "k7"))
+    assert(bin.size <= btm.dataEntries.size && bin.size >= bp.size)
+    assert(IcebergImport.pruneEntries(spark, btm,
+      $"k" > "k").size == btm.dataEntries.size)
+  }
+
+  test("transformBounds inverts every supported transform value to a " +
+      "sound source interval and refuses the unsound ones") {
+    import IcebergImport.transformBounds
+    val d = 18687L // 2021-03-01 in epoch days
+    assert(transformBounds("day", DateType, Long.box(d)) ==
+      Some((d.toString, d.toString)))
+    assert(transformBounds("day", TimestampType, Long.box(d)) ==
+      Some(((d * 86400000000L).toString,
+        ((d + 1) * 86400000000L - 1).toString)))
+    assert(transformBounds("hour", TimestampType, Long.box(5L)) ==
+      Some(((5L * 3600000000L).toString,
+        (6L * 3600000000L - 1).toString)))
+    // month 614 = 1970 + 51y + 2m → 2021-03
+    val mLo = java.time.LocalDate.of(2021, 3, 1)
+    assert(transformBounds("month", DateType, Long.box(614L)) ==
+      Some((mLo.toEpochDay.toString,
+        (mLo.plusMonths(1).toEpochDay - 1).toString)))
+    val yLo = java.time.LocalDate.of(2021, 1, 1)
+    assert(transformBounds("year", TimestampType, Long.box(51L)) ==
+      Some(((yLo.toEpochDay * 86400000000L).toString,
+        (yLo.plusYears(1).toEpochDay * 86400000000L - 1).toString)))
+    assert(transformBounds("truncate[10]", LongType, Long.box(40L)) ==
+      Some(("40", "49")))
+    // unsound inversions refuse: bucket is a hash, string truncate
+    // has no closed upper bound, unknown transforms unknown
+    assert(transformBounds("bucket[16]", LongType, Long.box(3L)).isEmpty)
+    assert(transformBounds("truncate[4]", StringType, "abcd").isEmpty)
+    assert(transformBounds("void", LongType, Long.box(1L)).isEmpty)
+    assert(transformBounds("zorder", LongType, Long.box(1L)).isEmpty)
+  }
+
   test("incrementalScan reads exactly the rows a published range " +
       "added, and refuses non-append-only ranges") {
     val df = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v")

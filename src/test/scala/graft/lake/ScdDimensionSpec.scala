@@ -237,4 +237,45 @@ class ScdDimensionSpec extends AnyFunSuite {
       "CALL system.scd2_staleness('cust_dim')")
       .select("is_stale").head.getBoolean(0), "fresh after refresh")
   }
+
+  test("row-lineage source: the id-join changelog refresh builds the " +
+      "EXACT history the content-diff changelog builds, through " +
+      "updates, deletes, re-inserts, and no-op rewrites") {
+    // identical commit sequences against two sources — one plain, one
+    // write.row-lineage=true — must land identical dimensions
+    def run(base: String, lineage: Boolean) = {
+      val props =
+        if (lineage) Map(LakeTable.PROP_ROW_LINEAGE -> "true")
+        else Map.empty[String, String]
+      val src = LakeTable.create(spark, s"$base/src",
+        Seq((1, "x", 0.0)).toDF("k", "seg", "bal").schema,
+        properties = props)
+      assert(src.rowLineageEnabled == lineage)
+      val dim = LakeTable.create(spark, s"$base/dim",
+        ScdDimension.dimensionSchema(src.schema, Seq("k"),
+          Seq("seg", "bal")))
+      def rf() = ScdDimension.refresh(src, dim, Seq("k"),
+        Seq("seg", "bal"), useLineage = lineage)
+      src.append((1 to 50).map(i => (i, "A", i * 1.0))
+        .toDF("k", "seg", "bal"))
+      rf()
+      // COW update touches 10 keys — the other 40 rows are CARRIED by
+      // the rewrite; the lineage path must cancel them in the id join
+      src.update(col("k") <= 10, Map("bal" -> (col("bal") + 100)))
+      src.delete(col("k") === 25)
+      rf()
+      src.append(Seq((25, "B", 7.0)).toDF("k", "seg", "bal"))
+      // a second update of the SAME keys (multi-version chains)
+      src.update(col("k") <= 5, Map("seg" -> lit("Z")))
+      rf()
+      state(dim)
+    }
+    val plain = run(TestSpark.tmpDir("scd2-plain"), lineage = false)
+    val viaLineage = run(TestSpark.tmpDir("scd2-lin"), lineage = true)
+    assert(viaLineage == plain,
+      "lineage refresh diverged from the content-diff refresh")
+    assert(plain.count(_._6) == 50, "50 open rows expected")
+    assert(plain.size == 50 + 10 + 1 + 5,
+      "closed versions: 10 first updates + 1 delete + 5 re-updates")
+  }
 }
