@@ -905,6 +905,71 @@ WHEN NOT MATCHED THEN INSERT *
           "inc"))
     }),
 
+    "q_delta_column_mapping" -> ((s, dir) => {
+      // COLUMN-MAPPED Delta import (reader v2): the real-world shape
+      // delta-spark writes since columnMapping became common — files
+      // hold opaque PHYSICAL column names, partitionValues are keyed
+      // by them, and only the metaData schema's mapping metadata ties
+      // them back to logical names. The fixture is a hand-written log
+      // over physically-named parquet (the only Delta writer this
+      // offline environment has); the engine-free reader must
+      // reassemble the LOGICAL table: identity partition column from
+      // physical-keyed partitionValues, physical→logical renames on
+      // the data columns, and a logical-predicate scanWhere leg.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-deltacm")
+      val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sessionState.newHadoopConf())
+      def fm(id: Long, phys: String) =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build()
+      import org.apache.spark.sql.types._
+      val logical = StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = true,
+          fm(1, "col-1")),
+        StructField("o_custkey", LongType, nullable = true,
+          fm(2, "col-2")),
+        StructField("o_orderstatus", StringType, nullable = true,
+          fm(3, "col-3")),
+        StructField("o_totalprice", DoubleType, nullable = true,
+          fm(4, "col-4"))))
+      def jstr(x: String) = "\"" +
+        x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val statuses = orders.select("o_orderstatus").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val adds = statuses.map { status =>
+        val sub = s"$base/files/$status"
+        orders.where(col("o_orderstatus") === status)
+          .select(col("o_orderkey").as("col-1"),
+            col("o_custkey").as("col-2"),
+            col("o_totalprice").as("col-4"))
+          .coalesce(1).write.parquet(sub)
+        val st0 = fsys.listStatus(new org.apache.hadoop.fs.Path(sub))
+          .filter(_.getPath.getName.endsWith(".parquet")).head
+        (st0.getPath.toUri.toString, status, st0.getLen)
+      }
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":${jstr(logical.json)},"partitionColumns":["o_orderstatus"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}""") ++
+        adds.map { case (p, status, size) =>
+          s"""{"add":{"path":${jstr(p)},"partitionValues":{"col-3":${jstr(status)}},"size":$size,"modificationTime":1,"dataChange":true}}"""
+        }
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$base/t/_delta_log"))
+      graft.lake.LakeTable.writeStringExclusive(fsys,
+        new org.apache.hadoop.fs.Path(
+          s"$base/t/_delta_log/00000000000000000000.json"),
+        lines.mkString("", "\n", "\n"))
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          lit(src).as("src"))
+      shape(graft.lake.DeltaImport.scan(s, s"$base/t"), "all")
+        .unionAll(shape(graft.lake.DeltaImport.scanWhere(s, s"$base/t",
+          col("o_orderstatus") === "F"), "f"))
+    }),
+
     "q_delta_dv_import" -> ((s, dir) => {
       // Delta DELETION-VECTOR interop end-to-end: a merge-on-read
       // table accumulates position deletes, consolidateDeleteVectors()
@@ -3603,6 +3668,18 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice, 'inc' AS src
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    // column mapping is a pure NAMING indirection — the logical rows
+    // are exactly the source's; the 'f' leg re-reads under a logical
+    // partition predicate
+    "q_delta_column_mapping" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, 'all' AS src
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, 'f' AS src
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     // the foreign-path DV read is pure predicate algebra: v0 has the
     // first delete applied, 'final' both

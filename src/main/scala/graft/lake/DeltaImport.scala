@@ -24,19 +24,22 @@ import org.apache.spark.sql.types._
   * Without a checkpoint the JSON commits replay from version 0.
   *
   * Scope (refused loudly, never silently wrong):
-  *   - reader protocol: v1 fully; v3 when `readerFeatures` ⊆
-  *     {deletionVectors} — DV-bearing adds decode through [[DeltaDv]]
-  *     and apply as a per-file bitmap row filter on
-  *     `_metadata.row_index` (the same gated-broadcast bit-test shape
-  *     as graft's own L44 DVs). Everything else (v2 = column mapping;
-  *     v3 with any OTHER reader feature — type widening, v2
-  *     checkpoints, …) changes what the parquet bytes MEAN — scanning
-  *     naively would return wrong rows, exactly the silent-wrongness
-  *     class the Iceberg reader refuses via its own gates;
+  *   - reader protocol: v1 fully; v2 (column mapping — the version's
+  *     only reader feature); v3 when `readerFeatures` ⊆
+  *     {deletionVectors, columnMapping}. DV-bearing adds decode
+  *     through [[DeltaDv]] and apply as a per-file bitmap row filter
+  *     on `_metadata.row_index` (the same gated-broadcast bit-test
+  *     shape as graft's own L44 DVs); COLUMN-MAPPED tables read under
+  *     the physical schema (`physicalName`, or parquet FIELD IDS for
+  *     mode `id`) and rename back via a positional struct cast, with
+  *     physical-keyed partitionValues/stats translated at use.
+  *     Everything else (any OTHER v3 reader feature — type widening,
+  *     v2 checkpoints, …; an unknown columnMapping mode) changes what
+  *     the parquet bytes MEAN — scanning naively would return wrong
+  *     rows, exactly the silent-wrongness class the Iceberg reader
+  *     refuses via its own gates;
   *   - a DV add under a protocol that never declared the
-  *     deletionVectors feature, or a `metaData` declaring
-  *     `delta.columnMapping.mode` ≠ none (belt-and-braces — legal
-  *     only at reader v2+ anyway).
+  *     deletionVectors feature.
   *
   * Scale: the log replay is O(log) driver work (checkpoint-seeded and
   * columnar for the add rows, O(delta) steady-state); the scan plans
@@ -155,10 +158,11 @@ object DeltaImport {
         .map(e => e.getKey -> e.getValue.asText()).toMap
       if (md.hasNonNull("createdTime"))
         createdTime = md.path("createdTime").asLong()
-      require(!config.get("delta.columnMapping.mode")
-          .exists(v => v != "none"),
-        "delta.columnMapping.mode is set — column-mapped parquet " +
-          "names cannot be resolved without the mapping metadata")
+      config.get("delta.columnMapping.mode").foreach { v =>
+        require(v == "none" || v == "name" || v == "id",
+          s"unknown delta.columnMapping.mode '$v' — refusing rather " +
+            "than mis-resolving parquet columns")
+      }
     }
     def applyProtocol(p: JsonNode): Unit = {
       minReader = p.path("minReaderVersion").asInt(1)
@@ -342,14 +346,17 @@ object DeltaImport {
             .path("graftSnapshotId").asLong())
       }
     }
-    // reader protocol gate: v1, or v3 whose EVERY reader feature is
-    // one this reader actually implements (deletionVectors only). v2
-    // (column mapping) and any unknown v3 feature change what the
-    // parquet bytes mean — refuse rather than return wrong rows.
-    val unknownFeats = readerFeats - "deletionVectors"
+    // reader protocol gate: v1; v2 (whose only reader feature is
+    // column mapping, which this reader resolves); or v3 whose EVERY
+    // reader feature is one this reader actually implements
+    // (deletionVectors, columnMapping). Any unknown v3 feature changes
+    // what the parquet bytes mean — refuse rather than return wrong
+    // rows.
+    val unknownFeats = readerFeats -- Set("deletionVectors",
+      "columnMapping")
     // a v3 protocol MUST declare readerFeatures (spec); its absence
     // means unknowable semantics — refuse like an unknown feature
-    require(minReader <= 1 ||
+    require(minReader <= 2 ||
         (minReader == 3 && featsDeclared && unknownFeats.isEmpty),
       s"protocol.minReaderVersion=$minReader with readerFeatures=" +
         s"${readerFeats.mkString("[", ",", "]")} — unsupported " +
@@ -587,11 +594,52 @@ object DeltaImport {
 
   /** One add's Delta stats JSON + partitionValues → graft stat-domain
     * [[ColStat]]s (what [[PredicatePruning]] reasons over). */
+  // ------------------------------------------- column mapping (v2/v3)
+
+  private val PhysKey = "delta.columnMapping.physicalName"
+  private val MapIdKey = "delta.columnMapping.id"
+
+  private[lake] def mappingMode(st: TableState): String =
+    st.configuration.getOrElse("delta.columnMapping.mode", "none")
+
+  /** A field's physical (on-disk) name under column mapping. */
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** The PHYSICAL shape of a mapped type: every struct field renamed
+    * to its `physicalName` (nested included); in `id` mode each field
+    * additionally carries `parquet.field.id` so Spark's parquet reader
+    * resolves columns by FIELD ID — the spec's resolution rule for
+    * that mode, robust to a writer using arbitrary on-disk names. */
+  private def physicalType(dt: DataType, byId: Boolean): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val mb = new MetadataBuilder()
+        if (byId && f.metadata.contains(MapIdKey))
+          mb.putLong("parquet.field.id", f.metadata.getLong(MapIdKey))
+        StructField(physName(f), physicalType(f.dataType, byId),
+          f.nullable, mb.build())
+      })
+      case a: ArrayType =>
+        a.copy(elementType = physicalType(a.elementType, byId))
+      case mp: MapType => mp.copy(
+        keyType = physicalType(mp.keyType, byId),
+        valueType = physicalType(mp.valueType, byId))
+      case other => other
+    }
+
   private def addStats(st: TableState, a: AddFile)
       : Map[String, ColStat] = {
     val m = Snapshot.mapper
     val out = Map.newBuilder[String, ColStat]
     val types = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    // under column mapping the stats JSON and partitionValues are
+    // keyed by PHYSICAL names — resolve each logical field through it
+    val mapped = mappingMode(st) != "none"
+    def keyOf(f: StructField): String = if (mapped) physName(f) else f.name
+    val physOfCol: Map[String, String] =
+      st.schema.fields.map(f => f.name -> keyOf(f)).toMap
     def encode(dt: DataType, n: JsonNode): Option[String] = dt match {
       case ByteType | ShortType | IntegerType | LongType
           if n.isIntegralNumber => Some(n.asLong().toString)
@@ -616,12 +664,13 @@ object DeltaImport {
         .filter(_.path("tightBounds").asBoolean(true))
         .foreach { n =>
           st.schema.fields.foreach { f =>
-            for (lo <- Option(n.path("minValues").get(f.name))
+            val k = keyOf(f)
+            for (lo <- Option(n.path("minValues").get(k))
                    .filter(!_.isNull).flatMap(encode(f.dataType, _));
-                 hi <- Option(n.path("maxValues").get(f.name))
+                 hi <- Option(n.path("maxValues").get(k))
                    .filter(!_.isNull).flatMap(encode(f.dataType, _)))
               out += f.name -> ColStat(lo, hi)
-            val nc = n.path("nullCount").get(f.name)
+            val nc = n.path("nullCount").get(k)
             if (nc != null && nc.isIntegralNumber)
               out += FileStats.nullsKey(f.name) ->
                 ColStat(nc.asLong().toString, nc.asLong().toString)
@@ -631,7 +680,7 @@ object DeltaImport {
     // identity partition values are per-file points
     st.partitionColumns.foreach { c =>
       types.get(c).foreach { dt =>
-        a.partitionValues.get(c).foreach {
+        a.partitionValues.get(physOfCol.getOrElse(c, c)).foreach {
           case Some(raw) =>
             val enc = dt match {
               case ByteType | ShortType | IntegerType | LongType =>
@@ -678,18 +727,70 @@ object DeltaImport {
       (a, new org.apache.hadoop.fs.FileStatus(len, false, 1, len,
         a.modificationTime, p))
     }
+    // COLUMN MAPPING (reader v2 / v3 columnMapping): files store
+    // PHYSICAL names (mode `name`) or resolve by parquet FIELD ID
+    // (mode `id` — parquet.field.id metadata on the read schema).
+    // The scan reads under the physical shape and a positional struct
+    // cast renames everything (nested included) back to the logical
+    // schema; partitionValues and stats JSON are physical-keyed per
+    // spec and translate at their use sites. Filters on logical names
+    // push through the rename aliases into the physical scan, so
+    // pruning is unchanged.
+    val mode = mappingMode(st)
+    val mapped = mode != "none"
+    val partSet = st.partitionColumns.toSet
+    val physOfCol: Map[String, String] =
+      st.schema.fields.map(f => f.name -> physName(f)).toMap
+    val readSchema =
+      if (!mapped) st.schema
+      else {
+        val physAll = physicalType(st.schema, mode == "id")
+          .asInstanceOf[StructType]
+        StructType(st.schema.fields.zip(physAll.fields).map {
+          case (lf, pf) =>
+            if (partSet(lf.name)) lf // partition cols come from the log
+            else pf
+        })
+      }
     val base = org.apache.spark.sql.graftlake.DeltaLogFileIndex.dataFrame(
-      spark, new Path(adds.head.uri).getParent.toString, st.schema,
+      spark, new Path(adds.head.uri).getParent.toString, readSchema,
       st.partitionColumns,
       planned.map { case (a, fs) =>
         (fs, st.partitionColumns.map(c =>
-          c -> a.partitionValues.get(c).flatten).toMap)
+          c -> a.partitionValues.get(
+            if (mapped) physOfCol.getOrElse(c, c) else c).flatten)
+          .toMap)
       },
       // forced only when a data filter is pushed: per-file stats JSON
-      // → graft stat domain, keyed by the planned path string
+      // → graft stat domain. The pushed filters reference the READ
+      // schema's (physical) names, so the stat keys translate
+      // logical → physical here.
       () => planned.map { case (a, fs) =>
-        fs.getPath.toString -> addStats(st, a) }.toMap)
-    applyDvs(spark, tableDir, st, adds, base)
+        val logical = addStats(st, a)
+        val keyed =
+          if (!mapped) logical
+          else logical.map { case (k, v) =>
+            (if (k.startsWith(FileStats.NullsPrefix))
+              FileStats.nullsKey(physOfCol.getOrElse(
+                k.stripPrefix(FileStats.NullsPrefix),
+                k.stripPrefix(FileStats.NullsPrefix)))
+            else if (partSet(k)) k // partition cols keep logical names
+            else physOfCol.getOrElse(k, k)) -> v
+          }
+        fs.getPath.toString -> keyed
+      }.toMap,
+      fieldIdRead = mapped && mode == "id")
+    val dvApplied = applyDvs(spark, tableDir, adds, base)
+    // rename back to the LOGICAL schema: non-struct fields are pure
+    // aliases (filters keep pushing through); struct-typed fields use
+    // Spark's positional struct cast, which renames nested fields
+    // wholesale (a same-type cast optimizes away)
+    if (!mapped) dvApplied.select(
+      st.schema.fieldNames.map(col).toIndexedSeq: _*)
+    else dvApplied.select(st.schema.fields.map { f =>
+      if (partSet(f.name)) col(f.name)
+      else col(physOfCol(f.name)).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Drop rows a deletion vector marks deleted: decode each DV to a
@@ -700,7 +801,7 @@ object DeltaImport {
     * (`spark.graft.lake.dv-broadcast-max-bytes`), and shuffled-join
     * fallback as graft's own L44 DV read path. */
   private def applyDvs(spark: SparkSession, tableDir: String,
-      st: TableState, adds: Seq[AddFile], base: DataFrame): DataFrame = {
+      adds: Seq[AddFile], base: DataFrame): DataFrame = {
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty) return base
     val conf = spark.sessionState.newHadoopConf()
@@ -740,7 +841,7 @@ object DeltaImport {
           s"CAST($I / 64 AS INT)), " +
           s"CAST($I % 64 AS INT)) & 1) = 0"),
         lit(true)))
-      .select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .drop(F, I, "__dl_dv_file", "__dl_dv_words")
   }
 
 

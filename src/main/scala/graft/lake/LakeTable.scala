@@ -5167,7 +5167,7 @@ object LakeTable {
     } finally in.close()
   }
 
-  private[lake] def writeStringExclusive(fs: FileSystem, p: Path,
+  private[graft] def writeStringExclusive(fs: FileSystem, p: Path,
       s: String): Unit = {
     val out = fs.create(p, false) // overwrite=false → exclusive
     try out.write(s.getBytes(StandardCharsets.UTF_8))

@@ -114,7 +114,12 @@ object DeltaLogFileIndex {
   def dataFrame(spark: SparkSession, tableDir: String,
       schema: StructType, partCols: Seq[String],
       entries: Seq[(FileStatus, Map[String, Option[String]])],
-      statsThunk: () => Map[String, Map[String, ColStat]]): DataFrame = {
+      statsThunk: () => Map[String, Map[String, ColStat]],
+      /** Column-mapping `id` mode: resolve parquet columns by the
+        * `parquet.field.id` metadata the read schema carries (the
+        * relation-scoped form of
+        * spark.sql.parquet.fieldId.read.enabled). */
+      fieldIdRead: Boolean = false): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val fullSchema = schema.asNullable
     val index = new DeltaLogFileIndex(cs, tableDir, fullSchema,
@@ -122,8 +127,12 @@ object DeltaLogFileIndex {
     val partSet = partCols.toSet
     val dataSchema =
       StructType(fullSchema.fields.filterNot(f => partSet(f.name)))
+    val options =
+      if (fieldIdRead)
+        Map(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key -> "true")
+      else Map.empty[String, String]
     val relation = HadoopFsRelation(index, index.partitionSchema,
-      dataSchema, None, new ParquetFileFormat, Map.empty)(cs)
+      dataSchema, None, new ParquetFileFormat, options)(cs)
     // project back to the DECLARED column order (the file-source
     // relation appends partition columns last)
     val df = classic.Dataset.ofRows(cs, LogicalRelation(relation))

@@ -198,10 +198,12 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("minReaderVersion"))
 
+    // a column-mapping MODE this reader does not know cannot be
+    // resolved (mode name/id are now READ — see the mapping tests)
     writeLog(s"$base/h2", Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       meta.replace("\"configuration\":{}",
-        "\"configuration\":{\"delta.columnMapping.mode\":\"name\"}")))
+        "\"configuration\":{\"delta.columnMapping.mode\":\"weird\"}")))
     val e4 = intercept[IllegalArgumentException] {
       DeltaImport.state(spark, s"$base/h2", None)
     }
