@@ -415,6 +415,37 @@ object DeltaExport {
     fs.makeQualified(commit).toString
   }
 
+  /** LOG CLEANUP (Delta's metadata-retention step): delete commit
+    * JSONs at or below the checkpoint version whose age exceeds
+    * `retentionMs` (default 30 days — `delta.logRetentionDuration`'s
+    * default). Requires a checkpoint — state reconstruction seeds
+    * from it, so the aged JSONs are dead weight for current-state
+    * reads; what IS lost is version/timestamp travel into the cleaned
+    * range (exactly Delta's own trade). Returns the deleted count. */
+  def cleanupLog(spark: org.apache.spark.sql.SparkSession,
+      destDir: String, retentionMs: Long = 30L * 24 * 3600 * 1000): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(destDir, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val m = Snapshot.mapper
+    val lcP = new Path(logDir, "_last_checkpoint")
+    require(fs.exists(lcP),
+      s"$destDir has no checkpoint — checkpoint() first (cleanup " +
+        "would otherwise destroy the only state reconstruction path)")
+    val cv = m.readTree(LakeTable.readString(fs, lcP))
+      .path("version").asLong()
+    val commitRe = """(\d{20})\.json""".r
+    val cutoff = System.currentTimeMillis() - retentionMs
+    fs.listStatus(logDir).count { s =>
+      s.getPath.getName match {
+        case commitRe(v) if v.toLong <= cv &&
+            s.getModificationTime < cutoff =>
+          fs.delete(s.getPath, false)
+        case _ => false
+      }
+    }.toLong
+  }
+
   /** Fold the log at `destDir` into a spec-shaped parquet CHECKPOINT
     * of the latest version (one row per action: protocol, metaData,
     * each live add) plus `_last_checkpoint`, after which readers

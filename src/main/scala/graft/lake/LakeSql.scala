@@ -747,6 +747,12 @@ object LakeSql {
         // checkpoint + _last_checkpoint
         return Seq(DeltaExport.checkpoint(spark, str(0)))
           .toDF("checkpoint_version")
+      case "cleanup_delta" =>
+        // (delta_dir [, retention_ms]) — delete aged commit JSONs at
+        // or below the checkpoint version (Delta's log retention)
+        val deleted = DeltaExport.cleanupLog(spark, str(0),
+          if (c.args.size > 1) lng(1) else 30L * 24 * 3600 * 1000)
+        return Seq(deleted).toDF("deleted_commits")
       case _ => ()
     }
     val lt = cat.loadTable(ns, str(0))
@@ -883,7 +889,7 @@ object LakeSql {
           "refresh_mv, refresh_scd2, scd2_staleness, mv_staleness, " +
           "import_iceberg, publish_iceberg, register_iceberg, " +
           "export_delta, publish_delta, publish_uniform, " +
-          "checkpoint_delta, import_delta, register_delta")
+          "checkpoint_delta, cleanup_delta, import_delta, register_delta")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the

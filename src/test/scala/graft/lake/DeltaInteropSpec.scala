@@ -288,6 +288,37 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/uni/data")))
   }
 
+  test("UNIFORM over a DV-bearing table: Iceberg position deletes and " +
+      "Delta deletion vectors express the SAME deletes over the same " +
+      "zero-copy files — both engine-free readers row-identical") {
+    val base = TestSpark.tmpDir("uniform-dv")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "src",
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(3))
+    t.delete(col("id") % 7 === 0)
+    t.consolidateDeleteVectors()
+    LakeSql.run(cat, "ns",
+      s"CALL system.publish_uniform('src', '$base/uni')")
+    val viaIce = rows(IcebergImport.scan(spark,
+      s"$base/uni/metadata/v1.metadata.json"))
+    val viaDelta = rows(DeltaImport.scan(spark, s"$base/uni"))
+    assert(viaIce == viaDelta && viaDelta == rows(t.scan()),
+      s"ice=${viaIce.size} delta=${viaDelta.size} src=${t.scan().count()}")
+    assert(viaDelta.size == 100 - 14)
+    // grow the deletes → re-publish keeps both sides aligned
+    t.delete(col("id") % 5 === 0)
+    t.consolidateDeleteVectors()
+    LakeSql.run(cat, "ns",
+      s"CALL system.publish_uniform('src', '$base/uni')")
+    assert(rows(DeltaImport.scan(spark, s"$base/uni")) == rows(t.scan()))
+    assert(rows(IcebergImport.scan(spark,
+      s"$base/uni/metadata/v2.metadata.json")) == rows(t.scan()))
+  }
+
   test("hive-special partition values (space, %, +) survive the whole " +
       "handoff: encoded add paths, exact partitionValues, round-trip " +
       "scans, and publish deltas that never flip-flop") {
@@ -682,9 +713,30 @@ class DeltaInteropSpec extends AnyFunSuite {
       s"CALL system.publish_delta('src', '$base/delta')")
     LakeSql.run(cat, "ns",
       s"CALL system.checkpoint_delta('$base/delta')")
+    // retention 0: every commit at or below the checkpoint ages out
+    val cleaned = LakeSql.run(cat, "ns",
+      s"CALL system.cleanup_delta('$base/delta', 0)")
+      .select("deleted_commits").head.getLong(0)
+    assert(cleaned == 2L, s"expected 2 aged commits deleted, got $cleaned")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(
+      s"$base/delta/_delta_log/00000000000000000000.json")))
+    // state reconstructs from the checkpoint; import still exact
     val imp = LakeSql.run(cat, "ns",
       s"CALL system.import_delta('$base/delta', 'copy')")
     assert(imp.select("row_count").head.getLong(0) == 3L)
     assert(rows(cat.loadTable("ns", "copy").scan()) == rows(t.scan()))
+    // cleanup without a checkpoint refuses
+    val t2 = cat.createTable("ns", "src2",
+      Seq((1, 2.0)).toDF("id", "v").schema)
+    t2.append(Seq((1, 2.0)).toDF("id", "v"))
+    LakeSql.run(cat, "ns",
+      s"CALL system.export_delta('src2', '$base/delta2')")
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.run(cat, "ns",
+        s"CALL system.cleanup_delta('$base/delta2', 0)")
+    }
+    assert(e.getMessage.contains("checkpoint"))
   }
 }
