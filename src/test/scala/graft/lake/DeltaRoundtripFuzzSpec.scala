@@ -24,12 +24,19 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def run(seed: Int, steps: Int, partitioned: Boolean): Unit = {
+  private def run(seed: Int, steps: Int, partitioned: Boolean,
+      mor: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val base = Seq((0L, "", 0L)).toDF("id", "v", "g")
     val t = LakeTable.create(spark,
       TestSpark.tmpDir(s"dfuzz-$seed") + "/t", base.schema,
-      partitionBy = if (partitioned) Seq("g") else Nil)
+      partitionBy = if (partitioned) Seq("g") else Nil,
+      // MOR deletes → position artifacts → consolidated DVs: the
+      // publishes below carry REAL Delta deletion vectors, so the
+      // whole fuzz drives the DV encode/replay/decode path
+      properties = if (mor)
+        Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read")
+      else Map.empty)
     val dir = TestSpark.tmpDir(s"dfuzz-$seed") + "/delta"
     val model = scala.collection.mutable.Map.empty[Long, String]
     var nextId = 0L
@@ -39,6 +46,7 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
     // (delta version, model snapshot, appendOnlySincePrev)
     val history = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Map[Long, String], Boolean)]
+    var sawDv = false
     (1 to steps).foreach { step =>
       val appendOnly = rnd.nextInt(10) match {
         case 0 | 1 | 2 | 3 =>
@@ -79,8 +87,13 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
         case 9 =>
           t.compact(1 + rnd.nextInt(2)); false
       }
+      // loose position deletes fold into exportable DVs first
+      if (mor && t.currentSnapshot.exists(_.posDeleteFiles.nonEmpty))
+        t.consolidateDeleteVectors()
       DeltaExport.publish(t, dir)
-      val v = DeltaImport.state(spark, dir, None).version
+      val stNow = DeltaImport.state(spark, dir, None)
+      if (stNow.adds.exists(_.dv.isDefined)) sawDv = true
+      val v = stNow.version
       // publish is idempotent per graft snapshot: a no-op step (empty
       // merge) re-publishes the same version — record once
       if (!history.lastOption.exists(_._1 == v))
@@ -93,6 +106,10 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
     def shape(m: Map[Long, String]) =
       m.map { case (k, v) => k -> (v, k % 5) }
 
+    // a MOR ladder that never published a DV proved nothing — fail
+    // the FIXTURE, not silently narrow the coverage
+    assert(!mor || sawDv,
+      s"seed $seed: no published version carried a deletion vector")
     // final live state
     assert(read(DeltaImport.scan(spark, dir)) == shape(history.last._2),
       s"seed $seed: final scan diverged")
@@ -122,5 +139,16 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
   test("random publish histories model-exact (seed 23, " +
       "identity-partitioned)") {
     run(23, 22, partitioned = true)
+  }
+
+  test("random MERGE-ON-READ histories publish deletion vectors: " +
+      "scan, versionAsOf across DV growth, and checkpointed DV " +
+      "descriptors all model-exact (seed 41)") {
+    run(41, 22, partitioned = false, mor = true)
+  }
+
+  test("random MOR + identity-partitioned DV histories model-exact " +
+      "(seed 59)") {
+    run(59, 22, partitioned = true, mor = true)
   }
 }
