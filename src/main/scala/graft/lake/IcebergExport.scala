@@ -278,6 +278,7 @@ object IcebergExport {
     def transformName(t: PartitionSpec.Transform): String = t match {
       case PartitionSpec.Identity => "identity"
       case PartitionSpec.Day => "day"
+      case PartitionSpec.Hour => "hour"
       case PartitionSpec.Month => "month"
       case PartitionSpec.Year => "year"
       case PartitionSpec.Truncate(w) => s"truncate[$w]"

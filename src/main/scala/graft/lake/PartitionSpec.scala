@@ -48,6 +48,7 @@ object PartitionSpec {
   final case class Bucket(n: Int) extends Transform
   final case class BucketIceberg(n: Int) extends Transform
   case object Day extends Transform
+  case object Hour extends Transform
   case object Month extends Transform
   case object Year extends Transform
   final case class Truncate(w: Long) extends Transform
@@ -67,6 +68,7 @@ object PartitionSpec {
       case Bucket(n) => s"${source}_bucket_$n"
       case BucketIceberg(n) => s"${source}_ibucket_$n"
       case Day => s"${source}_day"
+      case Hour => s"${source}_hour"
       case Month => s"${source}_month"
       case Year => s"${source}_year"
       case Truncate(w) => s"${source}_trunc_$w"
@@ -92,6 +94,19 @@ object PartitionSpec {
       case Day =>
         datediff(col(source).cast(DateType), to_date(lit("1970-01-01")))
           .cast(LongType)
+      // hours since epoch. An INSTANT column uses its micros directly
+      // (zone-independent, the Iceberg rule); an NTZ column is
+      // zoneless both ways — wall-clock days×24 + wall-clock hour —
+      // mirroring the Day transform's zone-consistency design
+      case Hour => sourceType match {
+        case TimestampNTZType =>
+          (datediff(col(source).cast(DateType),
+            to_date(lit("1970-01-01"))).cast(LongType) * lit(24L) +
+            hour(col(source)).cast(LongType)).cast(LongType)
+        case _ =>
+          floor(unix_micros(col(source)) / lit(3600000000L))
+            .cast(LongType)
+      }
       case Month =>
         ((year(col(source).cast(DateType)) - lit(1970)) * lit(12) +
           month(col(source).cast(DateType)) - lit(1)).cast(LongType)
@@ -144,6 +159,23 @@ object PartitionSpec {
           val d = java.time.LocalDate.ofEpochDay(
             v.asInstanceOf[Number].longValue())
           dayRange(d, d.plusDays(1))
+        case Hour =>
+          val h = v.asInstanceOf[Number].longValue()
+          sourceType match {
+            case TimestampType => Some(
+              col(source) >= lit(java.time.Instant
+                .ofEpochSecond(h * 3600L)) &&
+              col(source) < lit(java.time.Instant
+                .ofEpochSecond((h + 1) * 3600L)))
+            case TimestampNTZType => Some(
+              col(source) >= lit(java.time.LocalDateTime
+                .ofEpochSecond(h * 3600L, 0,
+                  java.time.ZoneOffset.UTC)) &&
+              col(source) < lit(java.time.LocalDateTime
+                .ofEpochSecond((h + 1) * 3600L, 0,
+                  java.time.ZoneOffset.UTC)))
+            case _ => None
+          }
         case Month =>
           val m = v.asInstanceOf[Number].longValue()
           val first = java.time.LocalDate.of(
@@ -201,6 +233,7 @@ object PartitionSpec {
       case BucketIceberg(_) => IcebergBucketHash.supports(dt)
       case Day | Month | Year =>
         dt == DateType || dt == TimestampType || dt == TimestampNTZType
+      case Hour => dt == TimestampType || dt == TimestampNTZType
       case Truncate(_) => dt match {
         case ByteType | ShortType | IntegerType | LongType | StringType =>
           true
@@ -222,6 +255,7 @@ object PartitionSpec {
         case ("truncate", Array(w, src)) =>
           Field(src, Truncate(w.toLong), spec)
         case ("day", Array(src)) => Field(src, Day, spec)
+        case ("hour", Array(src)) => Field(src, Hour, spec)
         case ("month", Array(src)) => Field(src, Month, spec)
         case ("year", Array(src)) => Field(src, Year, spec)
         case _ => throw new IllegalArgumentException(

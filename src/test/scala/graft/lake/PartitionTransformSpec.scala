@@ -25,6 +25,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(parse("bucket(8, key)") == Field("key", Bucket(8),
       "bucket(8, key)"))
     assert(parse("day(ts)") == Field("ts", Day, "day(ts)"))
+    assert(parse("hour(ts)") == Field("ts", Hour, "hour(ts)"))
     assert(parse("month(ts)") == Field("ts", Month, "month(ts)"))
     assert(parse("year(ts)") == Field("ts", Year, "year(ts)"))
     assert(parse("truncate(4, code)") == Field("code", Truncate(4),
@@ -115,6 +116,42 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(pruned.head.contains("ts_year=51")) // 2021 - 1970
     assert(t.scan().count() == 30)
     assert(t.scan().schema.fieldNames.toSeq == Seq("id", "ts"))
+  }
+
+  test("hour table: epoch-hour dirs, range pruning, scan(predicate) " +
+      "opens only the hour's files, dynamic overwrite inverts exactly") {
+    val root = freshRoot("pt-hour")
+    val rows = (0 until 24).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2021-01-01 ${i % 4}%02d:${i}%02d:00"))
+    }
+    val df = rows.toDF("id", "ts")
+    val t = LakeTable.create(spark, root, df.schema,
+      partitionBy = Seq("hour(ts)"))
+    t.append(df.repartition(1))
+    val base = t.currentSnapshot.get
+    assert(base.liveFiles.size == 4) // one per hour
+    // 2021-01-01 00:00 UTC = 447_312 hours since epoch
+    val h0 = java.time.Instant.parse("2021-01-01T00:00:00Z")
+      .getEpochSecond / 3600
+    assert(base.liveFiles.exists(_.contains(s"ts_hour=$h0")))
+    // keyed prune: a source pinned to hour 2 touches only its file
+    val src = Seq((999L, Timestamp.valueOf("2021-01-01 02:10:00")))
+      .toDF("id", "ts")
+    val pruned = t.pruneByStats(base, src, Seq("ts"))
+    assert(pruned.size == 1 && pruned.head.contains(s"ts_hour=${h0 + 2}"),
+      s"hour prune failed: $pruned")
+    assert(t.scan().count() == 24)
+    assert(t.scan().schema.fieldNames.toSeq == Seq("id", "ts"))
+    // dynamic partition overwrite restates exactly one hour via the
+    // hour inverse (instant range)
+    val restate = Seq((1000L, Timestamp.valueOf("2021-01-01 01:30:00")))
+      .toDF("id", "ts")
+    t.overwritePartitions(restate)
+    val got = t.scan().collect().map(_.getLong(0)).toSet
+    val expect = rows.collect {
+      case (id, ts) if ts.toLocalDateTime.getHour != 1 => id
+    }.toSet + 1000L
+    assert(got == expect, s"hour restatement diverged")
   }
 
   test("truncate(string) table: prefix dirs, range pruning") {
