@@ -896,6 +896,36 @@ object ScaleSmoke {
     require(got == expect, s"delta history diverged: $got vs $expect")
     println(s"[delta-publish] current reads $got rows (= governed " +
       "scan); PASS")
+
+    // --- deletion-vector publish leg: a MOR table at the same file
+    // count deletes ~1% of keys, consolidates, and publishes — the
+    // extra cost over a plain publish is the DV re-encode (positions
+    // decode + roaring serialize + one .bin write, bytes ∝ deleted
+    // rows / 8) and must stay file-count-flat, not table-sized
+    val mt = LakeTable.create(spark, s"$work/mt", orders.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    mt.append(orders.repartition(500))
+    DeltaExport.export(mt, s"$work/mdelta")
+    val dvMs = (1 to 5).map { i =>
+      mt.delete(col("o_orderkey") % 101 === i.toLong)
+      mt.consolidateDeleteVectors()
+      val s = System.nanoTime()
+      DeltaExport.publish(mt, s"$work/mdelta")
+      (System.nanoTime() - s) / 1e6
+    }
+    val mst = DeltaImport.state(spark, s"$work/mdelta", None)
+    val dvFiles = mst.adds.count(_.dv.isDefined)
+    val dvCard = mst.adds.flatMap(_.dv).map(_.cardinality).sum
+    val dvBytes = mst.adds.flatMap(_.dv).map(_.sizeInBytes.toLong).sum
+    println(f"[delta-publish] 5 DV publish cycles (500-file MOR " +
+      f"table): avg ${dvMs.sum / 5}%.0f ms/publish (first " +
+      f"${dvMs.head}%.0f, last ${dvMs.last}%.0f); $dvFiles files " +
+      f"carry DVs, $dvCard%,d deleted rows in $dvBytes%,d DV bytes")
+    val mgot = DeltaImport.scan(spark, s"$work/mdelta").count()
+    val mexp = mt.scan().count()
+    require(mgot == mexp, s"DV history diverged: $mgot vs $mexp")
+    println(s"[delta-publish] DV current reads $mgot rows (= governed " +
+      "scan); PASS")
     spark.stop()
   }
 
