@@ -37,7 +37,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object DeltaDv {
 
   final case class Descriptor(storageType: String, pathOrInlineDv: String,
-      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long) {
+    /** The spec's file-action reconciliation key component —
+      * delta-spark's `DeletionVectorDescriptor.uniqueId`:
+      * `storageType + pathOrInlineDv` plus `@offset` when stored at an
+      * offset. Add/remove actions pair up on (path, uniqueId); a file
+      * action without a DV contributes the empty id. */
+    def uniqueId: String =
+      storageType + pathOrInlineDv + offset.map("@" + _).getOrElse("")
+  }
 
   private val Magic = 1681511377
   private val CookieNoRun = 12346
@@ -224,6 +232,15 @@ object DeltaDv {
         while (r < runs) {
           val start = bb.getShort() & 0xffff
           val len = bb.getShort() & 0xffff
+          // a run must stay inside its 16-bit container: past 0xffff
+          // the value would carry into the container-key bits and
+          // silently emit WRONG row indexes (the loud-failure contract
+          // forbids that; the read()-side cardinality cross-check comes
+          // from the same untrusted descriptor, so it cannot be relied
+          // on to catch it)
+          require(start + len <= 0xffff,
+            s"malformed run container: start=$start len=$len overflows " +
+              "the 16-bit value space")
           var v = start
           while (v <= start + len) { emit(base | v); v += 1 }
           r += 1

@@ -237,7 +237,14 @@ object DeltaExport {
         p.put("minReaderVersion", 3)
         p.put("minWriterVersion", 7)
         p.putArray("readerFeatures").add("deletionVectors")
-        p.putArray("writerFeatures").add("deletionVectors")
+        // table-features protocols must carry the LEGACY writer
+        // features the pre-upgrade minWriterVersion=2 implied
+        // (appendOnly, invariants) alongside the new one — listing
+        // only deletionVectors would silently drop obligations a
+        // conforming writer honors
+        val wf = p.putArray("writerFeatures")
+        wf.add("appendOnly"); wf.add("invariants")
+        wf.add("deletionVectors")
       } else {
         p.put("minReaderVersion", 1)
         p.put("minWriterVersion", 2)
@@ -308,13 +315,19 @@ object DeltaExport {
     // an encoded string would double-escape '%')
     val liveNow = snap.liveFiles.map(rel =>
       DeltaImport.normUri(absUri(rel)) -> rel).toMap
-    val prevLive: Map[String, String] = prev.map(_.adds.map(a =>
-      DeltaImport.canonUri(a.uri) -> (if (a.rawPath.nonEmpty) a.rawPath
-        else new Path(a.uri).toUri.toString)).toMap)
-      .getOrElse(Map.empty)
-    val prevDvCard: Map[String, Long] = prev.map(_.adds.flatMap(a =>
-      a.dv.map(d => DeltaImport.canonUri(a.uri) -> d.cardinality))
-      .toMap).getOrElse(Map.empty)
+    // previous live adds keyed by canonical path: the verbatim path
+    // string to reference in a remove, plus the add's DV descriptor —
+    // foreign replayers reconcile file actions on (path,
+    // deletionVector.uniqueId), so a remove must name the replaced
+    // add's exact descriptor or the stale add stays live over there
+    val prevLive: Map[String, (String, Option[DeltaDv.Descriptor])] =
+      prev.map(_.adds.map(a =>
+        DeltaImport.canonUri(a.uri) ->
+          ((if (a.rawPath.nonEmpty) a.rawPath
+            else new Path(a.uri).toUri.toString), a.dv)).toMap)
+        .getOrElse(Map.empty)
+    val prevDvCard: Map[String, Long] = prevLive.flatMap {
+      case (k, (_, dv)) => dv.map(d => k -> d.cardinality) }
     // a file re-publishes when it is NEW or its deletion vector GREW
     // (graft DVs only accumulate — a delete never un-deletes — so
     // cardinality equality ⇔ set equality for this log's only writer);
@@ -325,10 +338,11 @@ object DeltaExport {
       !prevLive.contains(key) ||
         prevDvCard.getOrElse(key, 0L) != curCard(rel)
     }
-    val goneUris = prevLive.filterNot { case (norm, _) =>
-      liveNow.contains(norm) }.values ++
-      newRels.flatMap(rel =>
-        prevLive.get(DeltaImport.normUri(absUri(rel))))
+    val goneAdds: Iterable[(String, Option[DeltaDv.Descriptor])] =
+      prevLive.filterNot { case (norm, _) =>
+        liveNow.contains(norm) }.values ++
+        newRels.flatMap(rel =>
+          prevLive.get(DeltaImport.normUri(absUri(rel))))
 
     // one DV file per commit holding every (re)published descriptor
     // (the same packing delta writers use); storageType `u`, no prefix
@@ -346,14 +360,29 @@ object DeltaExport {
         }.toMap
       }
 
-    // removes BEFORE adds: a DV update names the same path in both,
-    // and a sequential replayer must land on the add
-    goneUris.foreach { uri =>
+    def putDv(o: ObjectNode, d: DeltaDv.Descriptor): Unit = {
+      val dv = o.putObject("deletionVector")
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(off => dv.put("offset", off))
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
+    }
+
+    // removes carry the replaced add's DV descriptor: reconciliation
+    // keys file actions by (path, deletionVector.uniqueId), so a
+    // remove without the descriptor would cancel a DIFFERENT key and
+    // leave the DV-bearing add live in conforming foreign replayers
+    // (the file scanned twice under two DVs, or a dropped file
+    // resurrected). Removes go BEFORE adds so a sequential replayer of
+    // a DV update lands on the add.
+    goneAdds.foreach { case (uri, dv) =>
       val rm = m.createObjectNode()
       val o = rm.putObject("remove")
       o.put("path", uri)
       o.put("deletionTimestamp", snap.timestampMs)
       o.put("dataChange", true)
+      dv.foreach(putDv(o, _))
       lines += m.writeValueAsString(rm)
     }
     newRels.foreach { rel =>
@@ -374,14 +403,7 @@ object DeltaExport {
       o.put("size", info.bytes)
       o.put("modificationTime", snap.timestampMs)
       o.put("dataChange", true)
-      dvDescByRel.get(rel).foreach { d =>
-        val dv = o.putObject("deletionVector")
-        dv.put("storageType", d.storageType)
-        dv.put("pathOrInlineDv", d.pathOrInlineDv)
-        d.offset.foreach(off => dv.put("offset", off))
-        dv.put("sizeInBytes", d.sizeInBytes)
-        dv.put("cardinality", d.cardinality)
-      }
+      dvDescByRel.get(rel).foreach(putDv(o, _))
       val fileStats = snap.fileStats.getOrElse(rel, Map.empty)
       val st = m.createObjectNode()
       // graft stats are PHYSICAL (pre-delete): numRecords counts the
@@ -492,7 +514,11 @@ object DeltaExport {
     val removeT = StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      // reconciliation keys on (path, deletionVector.uniqueId) — a
+      // tombstone re-emitted without its descriptor would reference a
+      // different key than the remove action it preserves
+      StructField("deletionVector", dvT)))
     val txnT = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
@@ -532,9 +558,12 @@ object DeltaExport {
       .getOption("spark.graft.delta.tombstone-retention-ms")
       .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val rmRows = st.tombstones.filter(_._2 >= cutoff)
-      .map { case (raw, ts) =>
-        Row(null, null, null, Row(raw, ts, true), null) }
+    val rmRows = st.tombstones.filter(_.deletionTimestamp >= cutoff)
+      .map { t =>
+        Row(null, null, null, Row(t.rawPath, t.deletionTimestamp, true,
+          t.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes,
+            d.cardinality)).orNull), null) }
     val txnRows = st.txns.toSeq.map { case (app, v) =>
       Row(null, null, null, null, Row(app, v)) }
     val actionRows = protoRow +: metaRow +:

@@ -63,9 +63,17 @@ object DeltaImport {
         * the decoded [[uri]] can change the URI authority form. */
       rawPath: String = "")
 
+  /** One un-expired remove action a spec checkpoint must carry: the
+    * VERBATIM path string the action used, its deletionTimestamp, and
+    * the deletionVector descriptor of the removed add when it had one —
+    * foreign replayers reconcile file actions by
+    * (path, deletionVector.uniqueId), so dropping the descriptor from
+    * a re-emitted tombstone would change which add it cancels. */
+  final case class Tombstone(rawPath: String, deletionTimestamp: Long,
+      dv: Option[DeltaDv.Descriptor])
+
   /** Reconstructed table state at a version. `tombstones` are the
-    * un-expired remove actions (verbatim path string →
-    * deletionTimestamp) a spec checkpoint must carry; `txns` the
+    * un-expired remove actions a spec checkpoint must carry; `txns` the
     * latest `txn` action per appId (Delta's durable idempotence channel — survives log
     * cleanup where commitInfo does not). */
   final case class TableState(version: Long, schema: StructType,
@@ -73,7 +81,7 @@ object DeltaImport {
       minReaderVersion: Int, minWriterVersion: Int, metaId: String,
       configuration: Map[String, String], createdTime: Long,
       graftSnapshotId: Option[Long],
-      tombstones: Seq[(String, Long)] = Nil,
+      tombstones: Seq[Tombstone] = Nil,
       txns: Map[String, Long] = Map.empty,
       readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty)
@@ -106,6 +114,22 @@ object DeltaImport {
       case Some(u) if u.getPath != null && u.getPath.nonEmpty =>
         s"$tableDir/${u.getPath}"
       case _ => if (p.startsWith("/")) p else s"$tableDir/$p"
+    }
+
+  /** The deletionVector descriptor of a file action (add OR remove —
+    * the spec allows both to carry one, and reconciliation depends on
+    * it). */
+  private def dvOf(action: JsonNode): Option[DeltaDv.Descriptor] =
+    if (!action.hasNonNull("deletionVector")) None
+    else {
+      val d = action.path("deletionVector")
+      Some(DeltaDv.Descriptor(
+        d.path("storageType").asText(),
+        d.path("pathOrInlineDv").asText(),
+        if (d.hasNonNull("offset")) Some(d.path("offset").asInt())
+        else None,
+        d.path("sizeInBytes").asInt(),
+        d.path("cardinality").asLong()))
     }
 
   /** Replay the log at `tableDir` to `versionAsOf` (default: latest).
@@ -144,10 +168,17 @@ object DeltaImport {
     var createdTime = 0L
     var graftSnap: Option[Long] = None
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // file-action reconciliation keys on (canonical path, deletion-
+    // vector uniqueId) — the spec's rule and delta-spark's
+    // InMemoryLogReplay key — NOT path alone: a remove only cancels the
+    // add that carried the SAME descriptor, so a DV-growth pair
+    // (remove old-dv + add new-dv) resolves exactly and a stale add a
+    // corrupt log leaves live is DETECTED (refused below) instead of
+    // silently masked by last-add-wins
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, AddFile]
+      .empty[(String, String), AddFile]
     val tombstones = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, Long)]
+      .empty[(String, String), Tombstone]
 
     def applyMeta(md: JsonNode): Unit = {
       metaId = md.path("id").asText("")
@@ -174,26 +205,15 @@ object DeltaImport {
       featsDeclared = p.has("readerFeatures")
     }
     def applyAdd(a: JsonNode): Unit = {
-      val dv =
-        if (!a.hasNonNull("deletionVector")) None
-        else {
-          val d = a.path("deletionVector")
-          Some(DeltaDv.Descriptor(
-            d.path("storageType").asText(),
-            d.path("pathOrInlineDv").asText(),
-            if (d.hasNonNull("offset")) Some(d.path("offset").asInt())
-            else None,
-            d.path("sizeInBytes").asInt(),
-            d.path("cardinality").asLong()))
-        }
+      val dv = dvOf(a)
       val raw = a.path("path").asText()
       val uri = resolvePath(tableDir, raw)
       val pv = a.path("partitionValues").properties().asScala.map { e =>
         e.getKey -> (if (e.getValue.isNull) None
           else Some(e.getValue.asText()))
       }.toMap
-      val key = canonUri(uri)
-      tombstones.remove(key) // a re-added path is no tombstone
+      val key = (canonUri(uri), dv.fold("")(_.uniqueId))
+      tombstones.remove(key) // a re-added file action is no tombstone
       live(key) = AddFile(uri, pv,
         a.path("size").asLong(0L),
         a.path("modificationTime").asLong(0L),
@@ -202,11 +222,14 @@ object DeltaImport {
     }
     def applyRemove(r: JsonNode): Unit = {
       val raw = r.path("path").asText()
-      val key = canonUri(resolvePath(tableDir, raw))
+      val dv = dvOf(r)
+      val key = (canonUri(resolvePath(tableDir, raw)),
+        dv.fold("")(_.uniqueId))
       live.remove(key)
       // tombstones keep the action's VERBATIM path string — a
       // checkpoint re-emitting them must not change the reference
-      tombstones(key) = (raw, r.path("deletionTimestamp").asLong(0L))
+      tombstones(key) = Tombstone(raw,
+        r.path("deletionTimestamp").asLong(0L), dv)
     }
     def applyTxn(t: JsonNode): Unit =
       if (t.hasNonNull("appId"))
@@ -307,7 +330,7 @@ object DeltaImport {
                 if (r.isNullAt(7)) None else Some(r.getInt(7)),
                 if (r.isNullAt(8)) 0 else r.getInt(8),
                 if (r.isNullAt(9)) 0L else r.getLong(9)))
-            val key = canonUri(uri)
+            val key = (canonUri(uri), dv.fold("")(_.uniqueId))
             tombstones.remove(key)
             live(key) = AddFile(uri, pv,
               if (r.isNullAt(2)) 0L else r.getLong(2),
@@ -333,19 +356,24 @@ object DeltaImport {
         new Path(logDir, f"$v%020d.json"))
       val nodes = txt.split('\n').filter(_.nonEmpty).map(m.readTree)
       // spec Action Reconciliation: one commit CAN carry a remove and
-      // an add of the SAME path (the deletion-vector update shape —
-      // remove the old add, re-add with the new descriptor) and the
+      // an add of the same (path, deletionVector.uniqueId) key, and the
       // add wins whatever the line order; a remove only tombstones
-      // paths the same commit did not (re-)add
-      val addedNow = nodes.filter(_.has("add")).map(n => canonUri(
-        resolvePath(tableDir, n.path("add").path("path").asText()))).toSet
+      // keys the same commit did not (re-)add. A DV update (remove the
+      // old descriptor + add the new) uses two DIFFERENT keys, so both
+      // actions apply — exactly delta-spark's replay.
+      val addedNow = nodes.filter(_.has("add")).map { n =>
+        val a = n.path("add")
+        (canonUri(resolvePath(tableDir, a.path("path").asText())),
+          dvOf(a).fold("")(_.uniqueId))
+      }.toSet
       nodes.foreach { n =>
         if (n.has("protocol")) applyProtocol(n.path("protocol"))
         if (n.has("metaData")) applyMeta(n.path("metaData"))
         if (n.has("remove")) {
-          val key = canonUri(resolvePath(tableDir,
-            n.path("remove").path("path").asText()))
-          if (!addedNow(key)) applyRemove(n.path("remove"))
+          val rm = n.path("remove")
+          val key = (canonUri(resolvePath(tableDir,
+            rm.path("path").asText())), dvOf(rm).fold("")(_.uniqueId))
+          if (!addedNow(key)) applyRemove(rm)
         }
         if (n.has("add")) applyAdd(n.path("add"))
         if (n.has("txn")) applyTxn(n.path("txn"))
@@ -381,6 +409,19 @@ object DeltaImport {
         "deletionVectors feature — refusing a spec-violating log")
     require(schemaString.nonEmpty,
       s"$tableDir: no metaData action found in the log")
+    // a valid log leaves at most ONE live add per path; two (a remove
+    // that named the wrong (path, dvId) key, or none at all) would make
+    // conforming readers scan the file twice — refuse the corruption
+    // loudly instead of either scanning twice or silently picking one
+    locally {
+      val dupPaths = live.keys.groupBy(_._1).filter(_._2.size > 1)
+      require(dupPaths.isEmpty,
+        s"$tableDir: ${dupPaths.size} path(s) have MULTIPLE live add " +
+          "actions after replay (file actions reconcile on (path, " +
+          "deletionVector.uniqueId) — a remove must name the replaced " +
+          "add's descriptor); first: " +
+          dupPaths.keys.take(3).mkString(", "))
+    }
     TableState(target,
       DataType.fromJson(schemaString).asInstanceOf[StructType],
       partCols, live.values.toSeq, minReader, minWriter, metaId,

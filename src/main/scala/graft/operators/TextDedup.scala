@@ -14,14 +14,19 @@ import graft.plans.expressions.{minhashSignature, simhash64}
   * join), so each scales to billions of documents by partition count
   * alone.
   *
-  * Note: minHashPairs/ngramJaccardPairs `persist()` their shared
-  * shingle/gram subtree (three consumers would otherwise recompute the
-  * tokenize→shingle→explode pass). The returned DataFrame is lazy, so
-  * the operator cannot unpersist before the caller's action — callers
-  * running many such queries in one session should
-  * `spark.catalog.clearCache()` between them (Verify/Bench do), or cache
-  * eviction will reclaim the spillable MEMORY_AND_DISK blocks under
-  * pressure.
+  * CACHE-RELEASE CONTRACT (applies to every persist site in this
+  * family: minHashPairs' shingle frame, sharedGramPairs' gram frames,
+  * duplicatedGramStats' gram frame, exactSubstringSpans' candidate
+  * frame): each operator `persist()`s a shared subtree that several
+  * consumers would otherwise recompute. The returned DataFrame is
+  * lazy, so the operator CANNOT unpersist before the caller's action —
+  * release is the CALLER's obligation: run
+  * `spark.catalog.clearCache()` after consuming the result (Verify and
+  * Bench do, between queries). A caller that never releases leaks only
+  * spillable MEMORY_AND_DISK blocks, which cache eviction reclaims
+  * under memory pressure (eviction merely recomputes) — but on a
+  * long-lived session the blocks otherwise accumulate for its
+  * lifetime, so release explicitly.
   */
 object TextDedup {
 

@@ -68,6 +68,39 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("run container whose start+len overflows the 16-bit value " +
+      "space refuses (would carry into the container-key bits)") {
+    val runsPayload = ByteBuffer.allocate(2 + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    runsPayload.putShort(1.toShort)
+    runsPayload.putShort(0xfffe.toShort) // start = 65534
+    runsPayload.putShort(5.toShort)      // len 5 → 65534+5 > 0xffff
+    val bm = ByteBuffer.allocate(4 + 1 + 4 + runsPayload.capacity())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bm.putInt(12347 | (0 << 16))
+    bm.put(0x01.toByte)
+    bm.putShort(0.toShort)
+    bm.putShort(5.toShort)
+    bm.put(runsPayload.array())
+    val data = ByteBuffer.allocate(12 + bm.capacity())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    data.putInt(1681511377)
+    data.putLong(1L)
+    data.put(bm.array())
+    val e = intercept[IllegalArgumentException] {
+      DeltaDv.deserialize(data.array())
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
+  test("descriptor uniqueId follows delta-spark's reconciliation key " +
+      "shape: storageType + pathOrInlineDv [+ @offset]") {
+    assert(DeltaDv.Descriptor("u", "abc", Some(7), 10, 2L).uniqueId ==
+      "uabc@7")
+    assert(DeltaDv.Descriptor("i", "zzz", None, 10, 2L).uniqueId ==
+      "izzz")
+  }
+
   test("malformed input refuses loudly: bad magic, bad cookie") {
     val e1 = intercept[IllegalArgumentException] {
       DeltaDv.deserialize(Array.fill(16)(0x7f.toByte))

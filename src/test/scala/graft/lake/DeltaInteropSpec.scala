@@ -611,6 +611,11 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(proto.path("minReaderVersion").asInt() == 3)
     assert(proto.path("readerFeatures").elements().asScala
       .map(_.asText()).toSet == Set("deletionVectors"))
+    // the (3,7) upgrade must carry the legacy writer features the
+    // pre-upgrade minWriterVersion=2 implied, not just the new one
+    assert(proto.path("writerFeatures").elements().asScala
+      .map(_.asText()).toSet ==
+      Set("appendOnly", "invariants", "deletionVectors"))
     val dvAdds = v0lines.filter(n => n.has("add") &&
       n.path("add").hasNonNull("deletionVector"))
     assert(dvAdds.nonEmpty, "no add carried a deletionVector")
@@ -642,10 +647,36 @@ class DeltaInteropSpec extends AnyFunSuite {
       .map(_.path("add").path("path").asText()).toSet
     assert(rm.nonEmpty && rm == ad,
       s"DV growth must remove+re-add the same paths: rm=$rm ad=$ad")
+    // each remove must name the REPLACED add's DV descriptor — foreign
+    // replayers reconcile on (path, deletionVector.uniqueId), and a
+    // remove without it would leave the old DV-bearing add live
+    val v0DvByPath = v0lines.filter(n => n.has("add") &&
+        n.path("add").hasNonNull("deletionVector"))
+      .map(n => n.path("add").path("path").asText() ->
+        n.path("add").path("deletionVector")).toMap
+    v1lines.filter(_.has("remove")).foreach { n =>
+      val r = n.path("remove")
+      val p = r.path("path").asText()
+      assert(r.hasNonNull("deletionVector"),
+        s"remove of $p lost the replaced add's deletionVector")
+      val want = v0DvByPath(p)
+      Seq("storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+        "cardinality").foreach { f =>
+        assert(r.path("deletionVector").path(f) == want.path(f),
+          s"remove descriptor field $f diverged for $p")
+      }
+    }
     assert(rows(DeltaImport.scan(spark, s"$base/delta")) == rows(lt.scan()))
 
-    // checkpoint keeps the DV descriptors through aged-JSON cleanup
+    // checkpoint keeps the DV descriptors through aged-JSON cleanup —
+    // on the live adds AND on the un-expired remove tombstones (both
+    // sides of the reconciliation key must survive re-emission)
     val cv = DeltaExport.checkpoint(spark, s"$base/delta")
+    val ckDf = spark.read.parquet(
+      f"$base/delta/_delta_log/$cv%020d.checkpoint.parquet")
+    assert(ckDf.where(col("remove.deletionVector.cardinality") > 0L)
+      .count() >= 1L,
+      "checkpoint tombstones lost their deletionVector descriptors")
     (0L to cv).foreach(v => fs.delete(new Path(
       f"$base/delta/_delta_log/$v%020d.json"), false))
     val st = DeltaImport.state(spark, s"$base/delta", None)
@@ -695,6 +726,60 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaImport.state(spark, s"$base/h2", None)
     }
     assert(e2.getMessage.contains("deletionVector"))
+  }
+
+  test("file actions reconcile on (path, deletionVector.uniqueId): a " +
+      "cross-version DV update resolves to the new descriptor and " +
+      "tombstones the old; a log that leaves two adds live per path " +
+      "refuses") {
+    val base = TestSpark.tmpDir("delta-reconcile")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val meta = """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    def dv(tag: String, card: Long) =
+      s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$tag","offset":1,"sizeInBytes":8,"cardinality":$card}"""
+    def add(dvJson: String) =
+      s"""{"add":{"path":"f.parquet","partitionValues":{},"size":9,"modificationTime":1,"dataChange":true,$dvJson}}"""
+    def remove(dvJson: String) =
+      s"""{"remove":{"path":"f.parquet","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true,$dvJson}}"""
+    def writeV(dir: String, v: Long, lines: Seq[String]): Unit = {
+      fs.mkdirs(new Path(dir, "_delta_log"))
+      LakeTable.writeStringExclusive(fs,
+        new Path(dir, f"_delta_log/$v%020d.json"),
+        lines.mkString("", "\n", "\n"))
+    }
+    // conforming DV update across versions: remove(old) + add(new)
+    writeV(s"$base/ok", 0L, Seq(proto, meta,
+      add(dv("aaaaaaaaaaaaaaaaaaaa", 2))))
+    writeV(s"$base/ok", 1L, Seq(
+      remove(dv("aaaaaaaaaaaaaaaaaaaa", 2)),
+      add(dv("bbbbbbbbbbbbbbbbbbbb", 5))))
+    val st = DeltaImport.state(spark, s"$base/ok", None)
+    assert(st.adds.size == 1)
+    assert(st.adds.head.dv.exists(_.cardinality == 5L),
+      "the DV update must resolve to the NEW descriptor")
+    assert(st.tombstones.exists(t =>
+      t.rawPath == "f.parquet" && t.dv.exists(_.cardinality == 2L)),
+      "the replaced add must tombstone WITH its old descriptor")
+    // the same update with a descriptor-less remove cancels the wrong
+    // key (the r16 export bug shape) — the old add stays live and the
+    // reader must refuse the double-scan state rather than mask it
+    writeV(s"$base/bad", 0L, Seq(proto, meta,
+      add(dv("aaaaaaaaaaaaaaaaaaaa", 2))))
+    writeV(s"$base/bad", 1L, Seq(
+      """{"remove":{"path":"f.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      add(dv("bbbbbbbbbbbbbbbbbbbb", 5))))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/bad", None)
+    }
+    assert(e.getMessage.contains("MULTIPLE live add"))
+    // within one commit, remove+add of the SAME key: add wins
+    writeV(s"$base/same", 0L, Seq(proto, meta,
+      remove(dv("cccccccccccccccccccc", 3)),
+      add(dv("cccccccccccccccccccc", 3))))
+    val st2 = DeltaImport.state(spark, s"$base/same", None)
+    assert(st2.adds.size == 1 && st2.tombstones.isEmpty)
   }
 
   test("SQL surface: export_delta / publish_delta / checkpoint_delta " +
