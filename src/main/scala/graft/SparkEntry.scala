@@ -1006,6 +1006,49 @@ WHEN NOT MATCHED THEN INSERT *
           versionAsOf = Some(0L)), "v0"))
     }),
 
+    "q_iceberg_v3_dv" -> ((s, dir) => {
+      // ICEBERG V3 deletion-vector interop end-to-end: a merge-on-read
+      // table's consolidated L44 DVs export as a spec-v3 metadata tree
+      // whose deletes are PUFFIN deletion-vector-v1 blobs (the shared
+      // Delta-compatible frame over the same roaring serialization),
+      // manifest entries pinning each blob by referenced_data_file +
+      // content_offset/content_size_in_bytes; a second delete GROWS
+      // the vectors and publish rewrites the puffin under the same v3
+      // history. 'final' reads the grown state through the engine-free
+      // importer's puffin path (footer-verified blob type, CRC-checked
+      // frame, bitmap bit-test on _metadata.row_index); 'v1'
+      // time-travels to the pre-growth snapshot, whose carried
+      // manifests still reference the FIRST puffin file.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-icev3dv")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema,
+        properties = Map(
+          graft.lake.LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+      lt.append(orders)
+      lt.delete(col("o_orderkey") % 9 === 5)
+      lt.consolidateDeleteVectors()
+      val snapV1 = lt.currentSnapshotId.get
+      graft.lake.IcebergExport.export(lt, s"$base/ice",
+        formatVersion = 3)
+      lt.delete(col("o_orderkey") % 8 === 1)
+      lt.consolidateDeleteVectors()
+      val meta = graft.lake.IcebergExport.publish(lt, s"$base/ice")
+      // shape asserts: the tree IS v3 and the deletes ARE puffin DVs
+      val tm = graft.lake.IcebergImport.load(meta,
+        s.sessionState.newHadoopConf())
+      require(tm.deleteEntries.nonEmpty &&
+        tm.deleteEntries.forall(d => d.format == "puffin" &&
+          d.referencedDataFile.isDefined && d.contentOffset.isDefined),
+        "v3 export did not encode deletes as puffin deletion vectors")
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          lit(src).as("src"))
+      shape(graft.lake.IcebergImport.scan(s, meta), "final")
+        .unionAll(shape(graft.lake.IcebergImport.scan(s, meta,
+          atSnapshot = Some(snapV1)), "v1"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -3692,6 +3735,19 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice, 'v0' AS src
         |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
+
+    // the v3 puffin-DV read is pure predicate algebra: 'v1' has the
+    // first delete applied, 'final' both (the growth rewrote the
+    // vectors; time travel still reads the first puffin)
+    "q_iceberg_v3_dv" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice, 'final' AS src
+        |FROM orders
+        |WHERE o_orderkey % 9 <> 5 AND o_orderkey % 8 <> 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice, 'v1' AS src
+        |FROM orders WHERE o_orderkey % 9 <> 5""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -269,6 +269,42 @@ object DeltaDv {
 
   // ---- DV file framing ----
 
+  /** Frame one serialized bitmap as `int32-BE dataSize | data |
+    * int32-BE CRC32(data)` — the layout BOTH formats share: Delta
+    * stores this frame per DV inside its `.bin` files (after the
+    * version byte), and Iceberg v3 stores the IDENTICAL frame as a
+    * puffin `deletion-vector-v1` blob (the deliberate cross-format
+    * compatibility of the two specs: the "magic + vector" the Iceberg
+    * spec frames is byte-for-byte the RoaringBitmapArray serialization
+    * Delta frames as `data`). */
+  def frame(data: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32
+    crc.update(data)
+    val bb = ByteBuffer.allocate(4 + data.length + 4) // BE by default
+    bb.putInt(data.length)
+    bb.put(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Inverse of [[frame]]: verify the length word and CRC, return the
+    * serialized bitmap bytes. Refuses loudly on any mismatch. */
+  def unframe(framed: Array[Byte]): Array[Byte] = {
+    require(framed.length >= 8, s"DV frame truncated (${framed.length} B)")
+    val bb = ByteBuffer.wrap(framed) // big-endian
+    val len = bb.getInt()
+    require(len >= 0 && len == framed.length - 8,
+      s"DV frame length $len does not match the framed region " +
+        s"(${framed.length} B)")
+    val data = new Array[Byte](len)
+    bb.get(data)
+    val stored = bb.getInt()
+    val crc = new CRC32
+    crc.update(data)
+    require(stored == crc.getValue.toInt, "DV frame checksum mismatch")
+    data
+  }
+
   /** Write one DV file holding `dvs` (serialized bitmap datas) and
     * return each DV's (offset, sizeInBytes). */
   def writeFile(fs: FileSystem, path: Path,

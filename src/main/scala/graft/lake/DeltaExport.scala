@@ -136,6 +136,36 @@ object DeltaExport {
       prev = Some(st), withMeta = false)
   }
 
+  /** Consolidated DV artifacts → per-file deleted positions (driver
+    * bytes ∝ deleted rows / 8 — the artifacts' own planning class).
+    * The artifact's `file` field is the table-relative data path.
+    * Shared with [[IcebergExport]]'s v3 puffin encoding. */
+  private[lake] def dvPositionsByRel(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      dvFiles: Seq[DvFile]): Map[String, Array[Long]] =
+    if (dvFiles.isEmpty) Map.empty
+    else spark.read.schema(StructType(Seq(
+        StructField("file", StringType),
+        StructField("dv", ArrayType(LongType)))))
+      .parquet(dvFiles.map(d =>
+        new Path(tableRoot, d.path).toString): _*)
+      .collect().iterator.map { r =>
+        val words = r.getSeq[Long](1)
+        val pos = Array.newBuilder[Long]
+        var w = 0
+        while (w < words.length) {
+          var word = words(w); var bit = 0
+          while (word != 0L) {
+            val t = java.lang.Long.numberOfTrailingZeros(word)
+            bit += t
+            pos += (w.toLong << 6) + bit
+            word = word >>> t >>> 1; bit += 1
+          }
+          w += 1
+        }
+        r.getString(0) -> pos.result()
+      }.filter(_._2.nonEmpty).toMap
+
   private def snapOf(table: LakeTable, atSnapshot: Option[Long]) =
     atSnapshot.map(table.snapshot).getOrElse(
       table.currentSnapshot.getOrElse(throw new IllegalStateException(
@@ -177,32 +207,8 @@ object DeltaExport {
     val identFields = fields.filter(_.isIdentity)
     val m = Snapshot.mapper
 
-    // consolidated DV artifacts → per-file deleted positions (driver
-    // bytes ∝ deleted rows / 8 — the artifacts' own planning class).
-    // The artifact's `file` field is the table-relative data path.
     val dvByRel: Map[String, Array[Long]] =
-      if (snap.dvFiles.isEmpty) Map.empty
-      else spark.read.schema(StructType(Seq(
-          StructField("file", StringType),
-          StructField("dv", ArrayType(LongType)))))
-        .parquet(snap.dvFiles.map(d =>
-          new Path(table.root, d.path).toString): _*)
-        .collect().iterator.map { r =>
-          val words = r.getSeq[Long](1)
-          val pos = Array.newBuilder[Long]
-          var w = 0
-          while (w < words.length) {
-            var word = words(w); var bit = 0
-            while (word != 0L) {
-              val t = java.lang.Long.numberOfTrailingZeros(word)
-              bit += t
-              pos += (w.toLong << 6) + bit
-              word = word >>> t >>> 1; bit += 1
-            }
-            w += 1
-          }
-          r.getString(0) -> pos.result()
-        }.filter(_._2.nonEmpty).toMap
+      dvPositionsByRel(spark, table.root, snap.dvFiles)
     def curCard(rel: String): Long =
       dvByRel.get(rel).map(_.length.toLong).getOrElse(0L)
 

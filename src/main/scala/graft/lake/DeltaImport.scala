@@ -844,54 +844,23 @@ object DeltaImport {
   }
 
   /** Drop rows a deletion vector marks deleted: decode each DV to a
-    * packed word bitset (one slim row PER FILE, bytes ∝ deleted
-    * rows / 8 — never a per-deleted-row join key), join on the
-    * normalized `_metadata.file_path`, and bit-test
-    * `_metadata.row_index` map-side — the same shape, gate
-    * (`spark.graft.lake.dv-broadcast-max-bytes`), and shuffled-join
-    * fallback as graft's own L44 DV read path. */
+    * packed word bitset, join on the normalized
+    * `_metadata.file_path`, and bit-test `_metadata.row_index`
+    * map-side — the shared [[DvFilter]] shape (same gate and
+    * shuffled-join fallback as graft's own L44 DV read path). */
   private def applyDvs(spark: SparkSession, tableDir: String,
       adds: Seq[AddFile], base: DataFrame): DataFrame = {
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty) return base
     val conf = spark.sessionState.newHadoopConf()
-    val rows = dvAdds.map { a =>
-      val positions = DeltaDv.read(
+    val dvs = dvAdds.map { a =>
+      canonUri(a.uri) -> DeltaDv.read(
         new Path(tableDir).getFileSystem(conf), tableDir, a.dv.get)
-      val words =
-        if (positions.isEmpty) Array.empty[Long]
-        else {
-          require(positions.last < (1L << 34),
-            s"DV row index ${positions.last} in ${a.uri} exceeds any " +
-              "plausible parquet row count — refusing a hostile DV")
-          val w = new Array[Long]((positions.last >>> 6).toInt + 1)
-          positions.foreach(i => w((i >>> 6).toInt) |= (1L << (i & 63)))
-          w
-        }
-      Row(canonUri(a.uri), words.toSeq)
     }
-    val dvDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("__dl_dv_file", StringType, nullable = false),
-        StructField("__dl_dv_words", ArrayType(LongType)))))
-    val dvBytes = rows.map(r => 64L + r.getSeq[Long](1).length * 8L).sum
-    val dvMax = spark.conf
-      .getOption("spark.graft.lake.dv-broadcast-max-bytes")
-      .map(_.toLong).getOrElse(1L << 30)
-    val dvHinted = if (dvBytes <= dvMax) broadcast(dvDf) else dvDf
-    val F = "__dl_f"; val I = "__dl_idx"
-    base
-      .withColumn(F, regexp_replace(col("_metadata.file_path"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"))
-      .withColumn(I, col("_metadata.row_index"))
-      .join(dvHinted, col(F) === col("__dl_dv_file"), "left")
-      .where(col("__dl_dv_words").isNull || coalesce(
-        expr(s"(shiftright(get(__dl_dv_words, " +
-          s"CAST($I / 64 AS INT)), " +
-          s"CAST($I % 64 AS INT)) & 1) = 0"),
-        lit(true)))
-      .drop(F, I, "__dl_dv_file", "__dl_dv_words")
+    DvFilter.filterDeleted(spark, base,
+      regexp_replace(col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
+      col("_metadata.row_index"), dvs)
   }
 
 

@@ -75,7 +75,8 @@ object IcebergExport {
       listUri: String,
       snapshots: Seq[com.fasterxml.jackson.databind.JsonNode],
       snapshotLog: Seq[com.fasterxml.jackson.databind.JsonNode],
-      metadataLog: Seq[com.fasterxml.jackson.databind.JsonNode])
+      metadataLog: Seq[com.fasterxml.jackson.databind.JsonNode],
+      formatVersion: Int, nextRowId: Long)
 
   /** Export `table`'s current snapshot under `destDir`; returns the
     * absolute path of the written `v1.metadata.json`. `atSnapshot`
@@ -83,10 +84,21 @@ object IcebergExport {
     * handoff — publish an audited or pre-mutation state): its data
     * and delete artifacts remain on disk until expiry, so the export
     * is exactly the point-in-time table an Iceberg reader should
-    * see. */
+    * see.
+    *
+    * `formatVersion` 2 (default) writes the v2 shape; 3 writes a
+    * spec-v3 tree whose MOR position deletes are PUFFIN DELETION
+    * VECTORS (one `deletion-vector-v1` blob per referenced data file,
+    * manifest entries carrying `referenced_data_file` +
+    * `content_offset`/`content_size_in_bytes`) instead of a
+    * position-delete parquet — the v3 handoff shape. A v3 export
+    * requires position deletes already consolidated
+    * (`consolidateDeleteVectors()`): the DV artifacts ARE the blobs.
+    * Row-lineage counters (`next-row-id`, snapshot `first-row-id`)
+    * are emitted monotonically across publishes. */
   def export(table: LakeTable, destDir: String,
-      atSnapshot: Option[Long] = None): String =
-    doExport(table, destDir, atSnapshot, prior = None)
+      atSnapshot: Option[Long] = None, formatVersion: Int = 2): String =
+    doExport(table, destDir, atSnapshot, prior = None, formatVersion)
 
   /** CONTINUOUS publish: append the table's current snapshot to an
     * ALREADY-EXPORTED Iceberg table at `destDir` as a new metadata
@@ -109,12 +121,13 @@ object IcebergExport {
     * snapshots to a new schema would silently change what time-travel
     * reads return; export to a fresh directory instead. */
   def publish(table: LakeTable, destDir: String,
-      atSnapshot: Option[Long] = None): String = {
+      atSnapshot: Option[Long] = None, formatVersion: Int = 2): String = {
     val conf = table.spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
     val hintP = new Path(destDir, "metadata/version-hint.text")
     if (!fs.exists(hintP))
-      return doExport(table, destDir, atSnapshot, prior = None)
+      return doExport(table, destDir, atSnapshot, prior = None,
+        formatVersion)
     val m = Snapshot.mapper
     val version = LakeTable.readString(fs, hintP).trim.toInt
     val metaP = new Path(destDir, s"metadata/v$version.metadata.json")
@@ -158,17 +171,33 @@ object IcebergExport {
       listUri = curNode.path("manifest-list").asText(),
       snapshots = node.path("snapshots").elements().asScala.toSeq,
       snapshotLog = node.path("snapshot-log").elements().asScala.toSeq,
-      metadataLog = node.path("metadata-log").elements().asScala.toSeq)
-    doExport(table, destDir, atSnapshot, Some(prior))
+      metadataLog = node.path("metadata-log").elements().asScala.toSeq,
+      formatVersion = node.path("format-version").asInt(2),
+      nextRowId = node.path("next-row-id").asLong(0L))
+    // a published history's format version is frozen at first export —
+    // the prior manifests are carried verbatim under it
+    doExport(table, destDir, atSnapshot, Some(prior),
+      prior.formatVersion)
   }
 
   private def doExport(table: LakeTable, destDir: String,
-      atSnapshot: Option[Long], prior: Option[PriorMeta]): String = {
+      atSnapshot: Option[Long], prior: Option[PriorMeta],
+      formatVersion: Int): String = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"format-version $formatVersion is not writable (2 and 3 are)")
     val snap = atSnapshot.map(table.snapshot).getOrElse(
       table.currentSnapshot.getOrElse(throw new IllegalStateException(
         "no committed snapshot to export")))
     val hasPosDeletes =
       snap.posDeleteFiles.nonEmpty || snap.dvFiles.nonEmpty
+    // a v3 export encodes position deletes as puffin DVs — the
+    // consolidated artifacts ARE the blobs; loose position deletes
+    // would need the same fold first
+    if (formatVersion == 3)
+      require(snap.posDeleteFiles.isEmpty,
+        s"snapshot ${snap.snapshotId} carries loose position-delete " +
+          "artifacts — a v3 export encodes deletes as puffin deletion " +
+          "vectors; consolidateDeleteVectors() first")
     val fields = PartitionSpec.parseAll(snap.partitionColumns)
     fields.foreach(f => require(
       !f.transform.isInstanceOf[PartitionSpec.Bucket],
@@ -510,7 +539,7 @@ object IcebergExport {
       w.setMeta("partition-spec",
         m.writeValueAsString(specNode.get("fields")))
       w.setMeta("partition-spec-id", "0")
-      w.setMeta("format-version", "2")
+      w.setMeta("format-version", formatVersion.toString)
       w.setMeta("content", "data")
       val out = fs.create(manifestPath, true)
       w.create(entrySchema, out)
@@ -588,7 +617,11 @@ object IcebergExport {
     // qualified root, same separator), which Iceberg requires for
     // delete application.
     case class DeleteArtifact(uri: String, rows: Long, bytes: Long,
-        seq: Long, equalityIds: Seq[Int] = Nil)
+        seq: Long, equalityIds: Seq[Int] = Nil,
+        format: String = "PARQUET",
+        refDataFile: Option[String] = None,
+        contentOffset: Option[Long] = None,
+        contentSize: Option[Long] = None)
     val rootUri = tableFs.makeQualified(new Path(table.root)).toString
       .stripSuffix("/")
     // shared parquet-writing machinery for delete artifacts: field-ids
@@ -621,8 +654,44 @@ object IcebergExport {
       fs.delete(staging, true)
       (fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen)
     }
+    // v3: consolidated DV artifacts → ONE puffin file, one
+    // deletion-vector-v1 blob per referenced live data file; the
+    // manifest entries pin each blob by referenced_data_file +
+    // content_offset/content_size_in_bytes (record_count =
+    // cardinality). Driver bytes ∝ deleted rows / 8 — the artifacts'
+    // own planning class.
+    val dvArtifacts: Seq[DeleteArtifact] =
+      if (formatVersion != 3 || snap.dvFiles.isEmpty || deltaMode) Nil
+      else {
+        val liveSet = snap.liveFiles.toSet
+        val byRel = DeltaExport
+          .dvPositionsByRel(spark, table.root, snap.dvFiles)
+          .filter { case (rel, _) => liveSet(rel) }
+        if (byRel.isEmpty) Nil
+        else {
+          val delDir = new Path(destDir, "deletes")
+          fs.mkdirs(delDir)
+          val pf = new Path(delDir, s"dv-${UUID.randomUUID()}.puffin")
+          val rels = byRel.keys.toSeq.sorted
+          val offs = Puffin.writeFile(fs, pf, rels.map { rel =>
+            (Puffin.DvBlobType, Puffin.dvBlob(byRel(rel)),
+              Map("referenced-data-file" -> absUri(rel),
+                "cardinality" -> byRel(rel).length.toString))
+          }, Map("created-by" -> "graft"))
+          val puffinUri = fs.makeQualified(pf).toString
+          val puffinLen = fs.getFileStatus(pf).getLen
+          // positions pin exact paths — one seq covering every folded
+          // artifact is faithful (same argument as the v2 encoding)
+          val seq = snap.dvFiles.map(_.seq).max
+          rels.zip(offs).map { case (rel, (off, blen)) =>
+            DeleteArtifact(puffinUri, byRel(rel).length.toLong,
+              puffinLen, seq, Nil, "PUFFIN", Some(absUri(rel)),
+              Some(off), Some(blen))
+          }
+        }
+      }
     val posArtifact: Option[DeleteArtifact] =
-      if (!hasPosDeletes || deltaMode) None // delta: carried verbatim
+      if (!hasPosDeletes || deltaMode || formatVersion == 3) None
       else {
         import org.apache.spark.sql.functions._
         def relTail(c: org.apache.spark.sql.Column) =
@@ -701,7 +770,7 @@ object IcebergExport {
       DeleteArtifact(uri, nDel, bytes, d.seq,
         d.keys.map(topIds(_)))
     }
-    val deleteArtifacts = posArtifact.toSeq ++ eqArtifacts
+    val deleteArtifacts = posArtifact.toSeq ++ dvArtifacts ++ eqArtifacts
     // delete files spanning partitions are written under an
     // UNPARTITIONED spec (the spec allows per-manifest spec ids); a
     // table already unpartitioned reuses spec 0
@@ -709,6 +778,14 @@ object IcebergExport {
     val delManifest: Option[(Path, Long)] =
       if (deleteArtifacts.isEmpty) None
       else Some {
+        // v3 deletion-vector entry fields (spec field-ids 143–145)
+        val v3DeleteFields =
+          if (formatVersion != 3) ""
+          else """,
+            |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+            |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+            |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+            .stripMargin
         val delEntrySchema = new Schema.Parser().parse(
           s"""{"type":"record","name":"manifest_entry","fields":[
              |{"name":"status","type":"int","field-id":0},
@@ -722,7 +799,7 @@ object IcebergExport {
              |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102d","fields":[]}},
              |{"name":"record_count","type":"long","field-id":103},
              |{"name":"file_size_in_bytes","type":"long","field-id":104},
-             |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+             |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}$v3DeleteFields
              |]}}]}""".stripMargin)
         val p = new Path(metaDir, s"m-${UUID.randomUUID()}.avro")
         val w = new DataFileWriter[GenericRecord](
@@ -730,7 +807,7 @@ object IcebergExport {
         w.setMeta("schema", m.writeValueAsString(schemaNode))
         w.setMeta("partition-spec", "[]")
         w.setMeta("partition-spec-id", delSpecId.toString)
-        w.setMeta("format-version", "2")
+        w.setMeta("format-version", formatVersion.toString)
         w.setMeta("content", "deletes")
         val out = fs.create(p, true)
         w.create(delEntrySchema, out)
@@ -742,10 +819,16 @@ object IcebergExport {
           e.put("file_sequence_number", Long.box(da.seq))
           val df = new GenericData.Record(
             delEntrySchema.getField("data_file").schema())
-          // 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+          // 1 = POSITION_DELETES (incl. v3 puffin DVs), 2 = EQUALITY
           df.put("content", Int.box(if (da.equalityIds.isEmpty) 1 else 2))
           df.put("file_path", da.uri)
-          df.put("file_format", "PARQUET")
+          df.put("file_format", da.format)
+          da.refDataFile.foreach(v =>
+            df.put("referenced_data_file", v))
+          da.contentOffset.foreach(v =>
+            df.put("content_offset", Long.box(v)))
+          da.contentSize.foreach(v =>
+            df.put("content_size_in_bytes", Long.box(v)))
           df.put("partition", new GenericData.Record(delEntrySchema
             .getField("data_file").schema().getField("partition").schema()))
           df.put("record_count", Long.box(da.rows))
@@ -787,7 +870,7 @@ object IcebergExport {
     locally {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](listSchema))
-      w.setMeta("format-version", "2")
+      w.setMeta("format-version", formatVersion.toString)
       val out = fs.create(listPath, true)
       w.create(listSchema, out)
       // delta publish: the prior manifests come first, verbatim —
@@ -840,7 +923,7 @@ object IcebergExport {
     // ---- v{N}.metadata.json + HadoopTables version hint
     val version = prior.map(_.version + 1).getOrElse(1)
     val root = m.createObjectNode()
-    root.put("format-version", 2)
+    root.put("format-version", formatVersion)
     // the uuid is the table's published identity — stable across
     // publishes so readers see one table gaining snapshots
     root.put("table-uuid",
@@ -886,6 +969,14 @@ object IcebergExport {
     sn.put("timestamp-ms", snap.timestampMs)
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.put("schema-id", 0)
+    // v3 row lineage: monotone id-range accounting across publishes —
+    // this snapshot's new rows get [first-row-id, first-row-id +
+    // added), and next-row-id advances past them
+    if (formatVersion == 3) {
+      val firstRowId = prior.map(_.nextRowId).getOrElse(0L)
+      sn.put("first-row-id", firstRowId)
+      root.put("next-row-id", firstRowId + addedRows)
+    }
     val sm = sn.putObject("summary")
     // a snapshot carrying NEW delete files alongside its data is an
     // overwrite in Iceberg's operation taxonomy

@@ -71,10 +71,17 @@ object IcebergImport {
         * hash). */
       buckets: Seq[(String, Int, Long)] = Nil)
 
-  /** One delete artifact: content 1 = position deletes, 2 = equality
-    * deletes (with the key field-ids). */
+  /** One delete artifact: content 1 = position deletes (parquet
+    * (file_path, pos) rows, or — format-version 3 — a puffin
+    * DELETION-VECTOR blob pinned by `referencedDataFile` +
+    * `contentOffset`/`contentSize`), 2 = equality deletes (with the
+    * key field-ids). */
   final case class DeleteEntry(uri: String, rows: Long, seq: Long,
-      content: Int, equalityIds: Seq[Int])
+      content: Int, equalityIds: Seq[Int],
+      format: String = "parquet",
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   final case class TableMeta(schema: StructType,
       topIdToName: Map[Int, String],
@@ -163,6 +170,37 @@ object IcebergImport {
     val metaP = new Path(metadataJsonPath)
     val fs = metaP.getFileSystem(conf)
     val meta = m.readTree(LakeTable.readString(fs, metaP))
+    // FORMAT-VERSION GATE: v2 reads fully; v3 reads with puffin
+    // deletion vectors (below) after proving the v3-only semantics
+    // this reader does NOT implement are absent — every other version
+    // (v1's `manifests` layout, any future v4+) changes what the
+    // metadata or data bytes MEAN and is refused loudly rather than
+    // read wrong (the same hazard class as DeltaImport's
+    // reader-feature gate).
+    val formatVersion = meta.path("format-version").asInt(1)
+    require(formatVersion == 2 || formatVersion == 3,
+      s"$metadataJsonPath: format-version $formatVersion is not " +
+        "readable (v2 and v3 are) — refusing rather than mis-reading")
+    if (formatVersion == 3) {
+      // v3 DEFAULT VALUES: a field added with `initial-default` reads
+      // as that default from files written before it — scanning
+      // naively returns NULLs instead. Refuse until implemented.
+      def hasDefault(n: JsonNode): Boolean =
+        n.path("fields").elements().asScala.exists { f =>
+          f.hasNonNull("initial-default") ||
+            (f.path("type").isObject && hasDefault(f.path("type"))) ||
+            (f.path("type").isObject &&
+              Seq("element", "key", "value").exists(k =>
+                f.path("type").path(k).isObject &&
+                  hasDefault(f.path("type").path(k))))
+        }
+      val defaulted = meta.path("schemas").elements().asScala
+        .filter(hasDefault)
+      require(defaulted.isEmpty,
+        s"$metadataJsonPath: a v3 schema declares field " +
+          "initial-default values, which this reader does not apply — " +
+          "refusing rather than returning NULL for defaulted columns")
+    }
     val snapId = atSnapshot.getOrElse(
       meta.path("current-snapshot-id").asLong())
     val snapNode = meta.path("snapshots").elements().asScala
@@ -271,7 +309,18 @@ object IcebergImport {
               .map(_.asInstanceOf[java.util.List[Integer]]
                 .asScala.map(_.intValue()).toSeq)
               .getOrElse(Nil)
-            dels += DeleteEntry(uri, rows, seq, content, ids)
+            def optField[T](name: String): Option[T] =
+              Option(df.getSchema.getField(name))
+                .flatMap(_ => Option(df.get(name)))
+                .map(_.asInstanceOf[T])
+            val fmt = Option(df.get("file_format"))
+              .map(_.toString.toLowerCase(java.util.Locale.ROOT))
+              .getOrElse("parquet")
+            dels += DeleteEntry(uri, rows, seq, content, ids, fmt,
+              optField[AnyRef]("referenced_data_file").map(_.toString),
+              optField[java.lang.Long]("content_offset").map(_.longValue()),
+              optField[java.lang.Long]("content_size_in_bytes")
+                .map(_.longValue()))
           }
         }
       }
@@ -578,7 +627,64 @@ object IcebergImport {
     identCols.foreach(c =>
       df = df.withColumn(c, coalesce(col(c), col(s"__ice_$c"))))
 
-    val posDels = tm.deleteEntries.filter(_.content == 1)
+    tm.deleteEntries.foreach { d =>
+      require((d.content == 1 && (d.format == "parquet" ||
+          d.format == "puffin")) ||
+          (d.content == 2 && d.format == "parquet"),
+        s"delete file ${d.uri} has content=${d.content} " +
+          s"file_format=${d.format} — no implemented decoding; " +
+          "refusing rather than mis-reading")
+    }
+
+    // v3 DELETION VECTORS (puffin blobs): decode each referenced
+    // file's blob through the shared frame + roaring codec and drop
+    // its rows by the packed-bitmap bit-test on the row ordinal — the
+    // same DvFilter shape (and broadcast gate) as the Delta DV path.
+    val dvDels = tm.deleteEntries.filter(d =>
+      d.content == 1 && d.format == "puffin")
+    if (dvDels.nonEmpty) {
+      val conf = spark.sessionState.newHadoopConf()
+      // one footer parse per puffin file: the manifest's
+      // offset/length are the read plan, but the footer's own blob
+      // metadata is the integrity gate — a blob at this offset whose
+      // declared type is NOT deletion-vector-v1 (or is compressed)
+      // would decode to garbage row indexes; refuse it loudly
+      val footerByFile: Map[String, Seq[Puffin.BlobMeta]] =
+        dvDels.map(_.uri).distinct.map { uri =>
+          val p = new Path(uri)
+          uri -> Puffin.readBlobs(p.getFileSystem(conf), p)
+        }.toMap
+      val dvs = dvDels.map { d =>
+        val ref = d.referencedDataFile.getOrElse(
+          throw new IllegalArgumentException(
+            s"puffin delete entry ${d.uri} lacks referenced_data_file"))
+        val off = d.contentOffset.getOrElse(
+          throw new IllegalArgumentException(
+            s"puffin delete entry ${d.uri} lacks content_offset"))
+        val size = d.contentSize.getOrElse(
+          throw new IllegalArgumentException(
+            s"puffin delete entry ${d.uri} lacks content_size_in_bytes"))
+        val blob = footerByFile(d.uri)
+          .find(b => b.offset == off && b.length == size)
+          .getOrElse(throw new IllegalArgumentException(
+            s"${d.uri} has no footer blob at offset $off length " +
+              s"$size — the manifest references a region the puffin " +
+              "file does not declare"))
+        require(blob.blobType == Puffin.DvBlobType,
+          s"${d.uri} blob at offset $off has type '${blob.blobType}' " +
+            s"— only ${Puffin.DvBlobType} is a deletion vector; " +
+            "refusing rather than decoding garbage")
+        val p = new Path(d.uri)
+        val bytes = Puffin.readBlob(p.getFileSystem(conf), p, off, size,
+          blob.compressionCodec)
+        DeltaImport.canonUri(ref) ->
+          Puffin.readDvBlob(bytes, cardinality = Some(d.rows))
+      }
+      df = DvFilter.filterDeleted(spark, df, col(F), col(P), dvs)
+    }
+
+    val posDels = tm.deleteEntries.filter(d =>
+      d.content == 1 && d.format == "parquet")
     if (posDels.nonEmpty) {
       // positions pin exact (path, ordinal) targets — no sequence test
       // needed (a path never re-enters the table with new content).
