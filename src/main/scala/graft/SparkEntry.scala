@@ -2380,6 +2380,86 @@ WHEN NOT MATCHED THEN INSERT *
       dst.scan()
     }),
 
+    "q_delta_cdf_tail" -> ((s, dir) => {
+      // FOREIGN Delta CHANGE-DATA-FEED consumption: a hand-written
+      // MERGE-heavy-shaped log (the only CDF writer this offline
+      // environment has) whose v1 carries the spec's `cdc` actions —
+      // update pre/post-images and deletes in a `_change_data` parquet
+      // — ALONGSIDE decoy dataChange file actions the CDF read must
+      // ignore (the precedence rule: counting both double-reports);
+      // v2 is a plain append whose insert rows SYNTHESIZE from the add
+      // action. format("delta-tail") with readChangeFeed=true streams
+      // the feed rate-limited (1 version/trigger) into a governed lake
+      // sink exactly-once; the oracle reconstructs every change row by
+      // predicate algebra. A decoy leak would surface as the whole
+      // base file re-reported as deletes — hash-fatal.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val base = tmp("graft-cdftail")
+      val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sessionState.newHadoopConf())
+      def onePart(dirP: String,
+          df: org.apache.spark.sql.DataFrame): (String, Long) = {
+        df.coalesce(1).write.parquet(dirP)
+        val st0 = fsys.listStatus(new org.apache.hadoop.fs.Path(dirP))
+          .filter(_.getPath.getName.endsWith(".parquet")).head
+        (st0.getPath.toUri.toString, st0.getLen)
+      }
+      val (f0, s0) = onePart(s"$base/files/f0", orders)
+      val updated = orders.where(col("o_orderkey") % 13 === 1)
+      val cdc = updated.withColumn("_change_type", lit("update_preimage"))
+        .unionAll(updated
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionAll(orders.where(col("o_orderkey") % 17 === 2 &&
+            col("o_orderkey") % 13 =!= 1)
+          .withColumn("_change_type", lit("delete")))
+      val (c1, cs1) = onePart(s"$base/t/_change_data/c1", cdc)
+      val (f2, s2) = onePart(s"$base/files/f2",
+        orders.where(col("o_orderkey") % 19 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1))
+      def jstr(x: String) = "\"" +
+        x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val schemaStr = jstr(orders.schema.json)
+      val logDir = s"$base/t/_delta_log"
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(logDir))
+      def writeV(v: Long, lines: Seq[String]): Unit =
+        graft.lake.LakeTable.writeStringExclusive(fsys,
+          new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"),
+          lines.mkString("", "\n", "\n"))
+      writeV(0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"cdf","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1}}""",
+        s"""{"add":{"path":${jstr(f0)},"partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+      writeV(1L, Seq(
+        s"""{"cdc":{"path":${jstr(c1)},"partitionValues":{},"size":$cs1,"dataChange":false}}""",
+        s"""{"remove":{"path":${jstr(f0)},"deletionTimestamp":1,"dataChange":true}}""",
+        s"""{"add":{"path":${jstr(f0)},"partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+      writeV(2L, Seq(
+        s"""{"add":{"path":${jstr(f2)},"partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}"""))
+      val sinkSchema = org.apache.spark.sql.types.StructType(
+        orders.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)))
+      val dst = LakeTable.create(s, s"$base/dst", sinkSchema)
+      val q = s.readStream.format("delta-tail")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(s"$base/t")
+        .writeStream.format("graft-lake")
+        .option("path", s"$base/dst")
+        .option("txnAppId", "q-cdf-tail")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dst.scan()
+    }),
+
     "q_stream_sessions" -> ((s, dir) =>
       StreamingSessionize.run(s, dir, 1800)
         .select(col("user_id"), col("session_start_us"),
@@ -4368,6 +4448,36 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
+
+    // the CDF tail is pure predicate algebra: v1's cdc rows (update
+    // pre/post-images on %13=1, deletes on %17=2 minus the update
+    // overlap — the decoy file actions contribute NOTHING), v2's
+    // synthesized inserts (%19=3, price+1); a decoy leak would
+    // re-report the whole base file as deletes and fail the hash
+    "q_delta_cdf_tail" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice,
+        | 'update_preimage' AS _change_type,
+        | CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 13 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) * 2 AS o_totalprice,
+        | 'update_postimage' AS _change_type,
+        | CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 13 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice,
+        | 'delete' AS _change_type,
+        | CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 17 = 2 AND o_orderkey % 13 <> 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) + 1 AS o_totalprice,
+        | 'insert' AS _change_type,
+        | CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 19 = 3""".stripMargin,
 
     // the lake-tail stream delivers every commit exactly once, so the
     // sink aggregate IS the batch aggregate over the source

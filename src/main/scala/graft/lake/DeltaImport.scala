@@ -26,7 +26,13 @@ import org.apache.spark.sql.types._
   * Scope (refused loudly, never silently wrong):
   *   - reader protocol: v1 fully; v2 (column mapping — the version's
   *     only reader feature); v3 when `readerFeatures` ⊆
-  *     {deletionVectors, columnMapping}. DV-bearing adds decode
+  *     {deletionVectors, columnMapping, v2Checkpoint, typeWidening}
+  *     (the last gated per declared type change — see
+  *     [[wideningSupported]]). V2 CHECKPOINTS
+  *     (what current delta-spark writes by default) seed state from
+  *     the UUID-named manifest — parquet or commit-shaped JSON,
+  *     `checkpointMetadata` verified — plus its `sidecar` parquet
+  *     files under `_delta_log/_sidecars/`. DV-bearing adds decode
   *     through [[DeltaDv]] and apply as a per-file bitmap row filter
   *     on `_metadata.row_index` (the same gated-broadcast bit-test
   *     shape as graft's own L44 DVs); COLUMN-MAPPED tables read under
@@ -115,6 +121,41 @@ object DeltaImport {
         s"$tableDir/${u.getPath}"
       case _ => if (p.startsWith("/")) p else s"$tableDir/$p"
     }
+
+  private val TypeChangesKey = "delta.typeChanges"
+  private val IntRank = Map("byte" -> 0, "short" -> 1, "integer" -> 2,
+    "long" -> 3)
+  private val DecRe = """decimal\((\d+),\s*(-?\d+)\)""".r
+
+  /** Is `fromType -> toType` a widening this distribution's parquet
+    * reader performs natively under the wide read schema? (Measured:
+    * byte/short/int up-rank; {byte,short,int,float}→double;
+    * date→timestampNtz; int/long and narrower decimals → a decimal
+    * with enough integral-digit headroom. NOT long→double — the
+    * reader fails on it, and the promotion would lose precision.) */
+  private[lake] def wideningSupported(from: String, to: String): Boolean = {
+    def dec(s: String): Option[(Int, Int)] = s match {
+      case DecRe(p, sc) => Some((p.toInt, sc.toInt))
+      case _ => None
+    }
+    (from, to) match {
+      case (f, t) if IntRank.contains(f) && IntRank.contains(t) =>
+        IntRank(f) < IntRank(t)
+      case ("float", "double") => true
+      case (f, "double") if IntRank.get(f).exists(_ <= 2) => true
+      case ("date", "timestampNtz") => true
+      case (f, t) =>
+        dec(t).exists { case (tp, ts) =>
+          dec(f) match {
+            case Some((fp, fs)) => // wider decimal, scale kept or grown
+              ts >= fs && (tp - ts) >= (fp - fs) && (tp, ts) != (fp, fs)
+            case None => // integral → decimal with enough digits
+              IntRank.get(f).exists(r =>
+                ts >= 0 && (tp - ts) >= (if (r <= 2) 10 else 20))
+          }
+        }
+    }
+  }
 
   /** The deletionVector descriptor of a file action (add OR remove —
     * the spec allows both to carry one, and reconciliation depends on
@@ -247,98 +288,157 @@ object DeltaImport {
     val seedV = ckptVersion(fs, logDir, m).filter(_ <= target)
       .filter(_ => !jsonChainComplete || target + 1 > 64)
     seedV.foreach { cv =>
-      val parts = ckptFiles(fs, logDir, m, cv)
-      parts.foreach(p => require(fs.exists(p),
-        s"_last_checkpoint names version $cv but $p is missing"))
-      val rows = spark.read.parquet(parts.map(_.toString): _*)
-      val top = rows.schema.fieldNames.toSet
-      // protocol / metaData / txn / remove are SMALL action groups
-      // (singletons or retention-bounded tombstones) — driver-side
-      // replay is fine for them
-      def nnCol(c: String): Column =
-        if (top(c)) col(c).isNotNull else lit(false)
-      rows.where(nnCol("protocol") || nnCol("metaData") ||
-          nnCol("txn") || nnCol("remove"))
-        .collect().foreach { row =>
-          val cols = row.schema.fieldNames.toSet
-          def nn(c: String) = cols(c) && !row.isNullAt(row.fieldIndex(c))
-          if (nn("protocol"))
-            applyProtocol(m.readTree(structToJson(m,
-              row.getStruct(row.fieldIndex("protocol")))))
-          if (nn("metaData"))
-            applyMeta(m.readTree(structToJson(m,
-              row.getStruct(row.fieldIndex("metaData")))))
-          if (nn("txn"))
-            applyTxn(m.readTree(structToJson(m,
-              row.getStruct(row.fieldIndex("txn")))))
-          if (nn("remove"))
-            applyRemove(m.readTree(structToJson(m,
-              row.getStruct(row.fieldIndex("remove")))))
-        }
-      // adds replay DISTRIBUTED: a foreign table's checkpoint can hold
-      // 10⁷–10⁸ add rows whose size is not under graft's control —
-      // per-row JSON re-encoding through the driver was the r15
-      // finding. The columnar path projects only the five fields the
-      // reader needs and collects compact rows, behind a loud
-      // file-count gate (`spark.graft.delta.max-import-files`,
-      // default 20M — ~ the planning bound graft's own manifests
-      // document; above it the table needs a real metadata engine,
-      // and silently planning it would stall the driver).
-      if (top("add")) {
-        val addDf = rows.where(col("add").isNotNull).select(col("add.*"))
-        val af = addDf.schema.fieldNames.toSet
-        val dvF: Set[String] =
-          if (!af("deletionVector")) Set.empty
-          else addDf.schema("deletionVector").dataType match {
-            case s: StructType => s.fieldNames.toSet
-            case _ => Set.empty
-          }
-        val maxFiles = spark.conf
-          .getOption("spark.graft.delta.max-import-files")
-          .map(_.toLong).getOrElse(20000000L)
-        val nAdds = addDf.count()
-        require(nAdds <= maxFiles,
-          s"checkpoint holds $nAdds add actions — above the " +
-            s"$maxFiles-file planning bound " +
-            "(spark.graft.delta.max-import-files); this table needs " +
-            "distributed metadata planning end-to-end")
-        def sel(c: String, dt: DataType): Column =
-          if (af(c)) col(c).cast(dt) else lit(null).cast(dt)
-        def dvSel(c: String, dt: DataType): Column =
-          if (dvF(c)) col(s"deletionVector.$c").cast(dt)
-          else lit(null).cast(dt)
-        addDf.select(col("path").cast(StringType),
-            sel("partitionValues",
-              MapType(StringType, StringType, valueContainsNull = true)),
-            sel("size", LongType), sel("modificationTime", LongType),
-            sel("stats", StringType),
-            dvSel("storageType", StringType),
-            dvSel("pathOrInlineDv", StringType),
-            dvSel("offset", IntegerType),
-            dvSel("sizeInBytes", IntegerType),
-            dvSel("cardinality", LongType))
-          .collect().foreach { r =>
-            val uri = resolvePath(tableDir, r.getString(0))
-            val pv: Map[String, Option[String]] =
-              if (r.isNullAt(1)) Map.empty
-              else r.getMap[String, String](1).toMap
-                .map { case (k, v) => k -> Option(v) }
-            val dv =
-              if (r.isNullAt(5)) None
-              else Some(DeltaDv.Descriptor(r.getString(5),
-                if (r.isNullAt(6)) "" else r.getString(6),
-                if (r.isNullAt(7)) None else Some(r.getInt(7)),
-                if (r.isNullAt(8)) 0 else r.getInt(8),
-                if (r.isNullAt(9)) 0L else r.getLong(9)))
-            val key = (canonUri(uri), dv.fold("")(_.uniqueId))
-            tombstones.remove(key)
-            live(key) = AddFile(uri, pv,
-              if (r.isNullAt(2)) 0L else r.getLong(2),
-              if (r.isNullAt(3)) 0L else r.getLong(3),
-              if (r.isNullAt(4)) None else Some(r.getString(4)), dv,
-              r.getString(0))
-          }
+      val sidecarPaths = Seq.newBuilder[Path]
+      val sidecarDir = new Path(logDir, "_sidecars")
+      def applySidecar(n: JsonNode): Unit = {
+        val p = n.path("path").asText()
+        sidecarPaths += (scala.util.Try(new java.net.URI(p)).toOption match {
+          case Some(u) if u.getScheme != null => new Path(u)
+          case _ if p.startsWith("/") => new Path(p)
+          case _ => new Path(sidecarDir, p)
+        })
       }
+      var sawCkptMeta = false
+      def applyCkptMeta(n: JsonNode): Unit = {
+        require(n.path("version").asLong(-1L) == cv,
+          s"v2 checkpoint's checkpointMetadata names version " +
+            s"${n.path("version").asLong(-1L)}, expected $cv — " +
+            "refusing a mislabeled checkpoint")
+        sawCkptMeta = true
+      }
+
+      // one parquet action-file set (classic checkpoint parts, a v2
+      // manifest, or v2 sidecars): small action groups (protocol /
+      // metaData / txn / remove / checkpointMetadata / sidecar —
+      // singletons or retention-bounded) replay driver-side; adds
+      // replay DISTRIBUTED — a foreign checkpoint can hold 10⁷–10⁸
+      // add rows whose size is not under graft's control (per-row
+      // JSON re-encoding through the driver was the r15 finding). The
+      // columnar path projects only the fields the reader needs and
+      // collects compact rows, behind a loud file-count gate
+      // (`spark.graft.delta.max-import-files`, default 20M — ~ the
+      // planning bound graft's own manifests document; above it the
+      // table needs a real metadata engine, and silently planning it
+      // would stall the driver).
+      def processParquet(paths: Seq[Path]): Unit = {
+        val rows = spark.read.parquet(paths.map(_.toString): _*)
+        val top = rows.schema.fieldNames.toSet
+        def nnCol(c: String): Column =
+          if (top(c)) col(c).isNotNull else lit(false)
+        rows.where(nnCol("protocol") || nnCol("metaData") ||
+            nnCol("txn") || nnCol("remove") ||
+            nnCol("checkpointMetadata") || nnCol("sidecar"))
+          .collect().foreach { row =>
+            val cols = row.schema.fieldNames.toSet
+            def nn(c: String) = cols(c) && !row.isNullAt(row.fieldIndex(c))
+            def js(c: String) = m.readTree(structToJson(m,
+              row.getStruct(row.fieldIndex(c))))
+            if (nn("protocol")) applyProtocol(js("protocol"))
+            if (nn("metaData")) applyMeta(js("metaData"))
+            if (nn("txn")) applyTxn(js("txn"))
+            if (nn("remove")) applyRemove(js("remove"))
+            if (nn("checkpointMetadata")) applyCkptMeta(js("checkpointMetadata"))
+            if (nn("sidecar")) applySidecar(js("sidecar"))
+          }
+        if (top("add")) {
+          val addDf = rows.where(col("add").isNotNull).select(col("add.*"))
+          val af = addDf.schema.fieldNames.toSet
+          val dvF: Set[String] =
+            if (!af("deletionVector")) Set.empty
+            else addDf.schema("deletionVector").dataType match {
+              case s: StructType => s.fieldNames.toSet
+              case _ => Set.empty
+            }
+          val maxFiles = spark.conf
+            .getOption("spark.graft.delta.max-import-files")
+            .map(_.toLong).getOrElse(20000000L)
+          val nAdds = addDf.count()
+          require(nAdds <= maxFiles,
+            s"checkpoint holds $nAdds add actions — above the " +
+              s"$maxFiles-file planning bound " +
+              "(spark.graft.delta.max-import-files); this table needs " +
+              "distributed metadata planning end-to-end")
+          def sel(c: String, dt: DataType): Column =
+            if (af(c)) col(c).cast(dt) else lit(null).cast(dt)
+          def dvSel(c: String, dt: DataType): Column =
+            if (dvF(c)) col(s"deletionVector.$c").cast(dt)
+            else lit(null).cast(dt)
+          addDf.select(col("path").cast(StringType),
+              sel("partitionValues",
+                MapType(StringType, StringType, valueContainsNull = true)),
+              sel("size", LongType), sel("modificationTime", LongType),
+              sel("stats", StringType),
+              dvSel("storageType", StringType),
+              dvSel("pathOrInlineDv", StringType),
+              dvSel("offset", IntegerType),
+              dvSel("sizeInBytes", IntegerType),
+              dvSel("cardinality", LongType))
+            .collect().foreach { r =>
+              val uri = resolvePath(tableDir, r.getString(0))
+              val pv: Map[String, Option[String]] =
+                if (r.isNullAt(1)) Map.empty
+                else r.getMap[String, String](1).toMap
+                  .map { case (k, v) => k -> Option(v) }
+              val dv =
+                if (r.isNullAt(5)) None
+                else Some(DeltaDv.Descriptor(r.getString(5),
+                  if (r.isNullAt(6)) "" else r.getString(6),
+                  if (r.isNullAt(7)) None else Some(r.getInt(7)),
+                  if (r.isNullAt(8)) 0 else r.getInt(8),
+                  if (r.isNullAt(9)) 0L else r.getLong(9)))
+              val key = (canonUri(uri), dv.fold("")(_.uniqueId))
+              tombstones.remove(key)
+              live(key) = AddFile(uri, pv,
+                if (r.isNullAt(2)) 0L else r.getLong(2),
+                if (r.isNullAt(3)) 0L else r.getLong(3),
+                if (r.isNullAt(4)) None else Some(r.getString(4)), dv,
+                r.getString(0))
+            }
+        }
+      }
+
+      // resolve the checkpoint's manifest: classic (single or
+      // multi-part, _last_checkpoint-named) or a V2 CHECKPOINT (the
+      // v2Checkpoint table feature current delta-spark writes by
+      // default on new tables): one UUID-named manifest
+      // `{cv}.checkpoint.{uniqueId}.{parquet|json}` holding the
+      // non-file actions plus `sidecar` pointers into
+      // _delta_log/_sidecars/, where the file actions live.
+      val classic = ckptFiles(fs, logDir, m, cv)
+      if (classic.forall(fs.exists)) processParquet(classic)
+      else {
+        val v2Re = (f"$cv%020d" +
+          """\.checkpoint\.[A-Za-z0-9_-]+\.(parquet|json)""").r
+        val v2 = fs.listStatus(logDir).map(_.getPath)
+          .filter(p => v2Re.matches(p.getName)).sortBy(_.getName)
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            s"_last_checkpoint names version $cv but neither " +
+              s"${classic.head} nor a v2 checkpoint manifest exists"))
+        if (v2.getName.endsWith(".parquet")) processParquet(Seq(v2))
+        else {
+          // a JSON v2 manifest is commit-shaped: one action per line
+          // (inherently a driver read; file actions usually live in
+          // the parquet sidecars it references)
+          LakeTable.readString(fs, v2).split('\n').filter(_.nonEmpty)
+            .map(m.readTree).foreach { n =>
+              if (n.has("protocol")) applyProtocol(n.path("protocol"))
+              if (n.has("metaData")) applyMeta(n.path("metaData"))
+              if (n.has("txn")) applyTxn(n.path("txn"))
+              if (n.has("remove")) applyRemove(n.path("remove"))
+              if (n.has("add")) applyAdd(n.path("add"))
+              if (n.has("sidecar")) applySidecar(n.path("sidecar"))
+              if (n.has("checkpointMetadata"))
+                applyCkptMeta(n.path("checkpointMetadata"))
+            }
+        }
+        require(sawCkptMeta,
+          s"$v2 carries no checkpointMetadata action — not a valid " +
+            "v2 checkpoint manifest")
+      }
+      val scs = sidecarPaths.result()
+      scs.foreach(p => require(fs.exists(p),
+        s"v2 checkpoint sidecar $p is missing"))
+      if (scs.nonEmpty) processParquet(scs)
     }
 
     val replayFrom = seedV.map(_ + 1).getOrElse(0L)
@@ -390,7 +490,8 @@ object DeltaImport {
     // what the parquet bytes mean — refuse rather than return wrong
     // rows.
     val unknownFeats = readerFeats -- Set("deletionVectors",
-      "columnMapping")
+      "columnMapping", "v2Checkpoint", "typeWidening",
+      "typeWidening-preview")
     // a v3 protocol MUST declare readerFeatures (spec); its absence
     // means unknowable semantics — refuse like an unknown feature
     require(minReader <= 2 ||
@@ -409,6 +510,48 @@ object DeltaImport {
         "deletionVectors feature — refusing a spec-violating log")
     require(schemaString.nonEmpty,
       s"$tableDir: no metaData action found in the log")
+    val parsedSchema =
+      DataType.fromJson(schemaString).asInstanceOf[StructType]
+    // TYPE WIDENING (typeWidening / typeWidening-preview): files
+    // written BEFORE a widening store the narrow physical type and
+    // only the schema metadata's `delta.typeChanges` records the
+    // promotion. Spark's parquet reader performs widening promotions
+    // natively when scanning under the wide (logical) read schema —
+    // measured on this distribution: byte/short/int up-rank,
+    // {byte,short,int,float}→double, date→timestampNtz, int/long and
+    // narrower decimals →wider decimal — so the scan path needs no
+    // change for exactly those pairs. Every DECLARED change is gated
+    // here; an unimplemented pair (e.g. long→double, which the reader
+    // fails on) or an unparseable declaration refuses loudly instead
+    // of dying downstream with a raw PARQUET_COLUMN read error.
+    if (readerFeats("typeWidening") || readerFeats("typeWidening-preview")) {
+      def checkWidening(s0: StructType): Unit = s0.fields.foreach { f =>
+        if (f.metadata.contains(TypeChangesKey)) {
+          val changes = scala.util.Try(
+            f.metadata.getMetadataArray(TypeChangesKey)
+              .map(ch => (ch.getString("fromType"),
+                ch.getString("toType")))).getOrElse(
+            throw new IllegalArgumentException(
+              s"column ${f.name}: unparseable $TypeChangesKey " +
+                "metadata — refusing rather than mis-reading " +
+                "pre-widening files"))
+          changes.foreach { case (from, to) =>
+            require(wideningSupported(from, to),
+              s"column ${f.name}: type change $from -> $to is not an " +
+                "implemented widening promotion — scanning " +
+                "pre-widening files would fail or return wrong " +
+                "values; refusing")
+          }
+        }
+        f.dataType match {
+          case s2: StructType => checkWidening(s2)
+          case ArrayType(s2: StructType, _) => checkWidening(s2)
+          case MapType(_, s2: StructType, _) => checkWidening(s2)
+          case _ => ()
+        }
+      }
+      checkWidening(parsedSchema)
+    }
     // a valid log leaves at most ONE live add per path; two (a remove
     // that named the wrong (path, dvId) key, or none at all) would make
     // conforming readers scan the file twice — refuse the corruption
@@ -422,8 +565,7 @@ object DeltaImport {
           "add's descriptor); first: " +
           dupPaths.keys.take(3).mkString(", "))
     }
-    TableState(target,
-      DataType.fromJson(schemaString).asInstanceOf[StructType],
+    TableState(target, parsedSchema,
       partCols, live.values.toSeq, minReader, minWriter, metaId,
       config, createdTime,
       // the txn channel survives log cleanup (checkpoints must carry
@@ -598,6 +740,105 @@ object DeltaImport {
         }
     }
     scanAdds(spark, tableDir, st, adds.result())
+  }
+
+  /** CHANGE-DATA-FEED read over a version range `(fromVersion,
+    * toVersion]` — the spec's CDF resolution, per version:
+    *
+    *   - a commit carrying `cdc` actions contributes EXACTLY its
+    *     `_change_data` files' rows (their `_change_type` column:
+    *     insert / update_preimage / update_postimage / delete); the
+    *     commit's add/remove actions are IGNORED for change purposes
+    *     (they express the same change physically — counting both
+    *     would double-report);
+    *   - a commit without `cdc` actions contributes its
+    *     `dataChange=true` adds' rows as `insert` and its
+    *     `dataChange=true` removes' rows as `delete` (the removed
+    *     parquet is still present until vacuum) — so a MERGE-heavy
+    *     foreign table streams row-level changes instead of failing
+    *     the append-only gate, and graft's own published logs (which
+    *     never write cdc) tail as insert/delete pairs.
+    *
+    * Result = the table schema + `_change_type` + `_commit_version`.
+    * Refused loudly: a non-cdc version whose file actions carry
+    * deletion vectors (row-level changes would need a DV diff), and a
+    * non-cdc remove on a PARTITIONED table without partitionValues
+    * (identity values live in metadata, not the data file — the
+    * delete rows could not be reconstructed). Needs the range's
+    * commit JSONs still present, like [[incrementalScan]]. */
+  def changeScan(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val st = state(spark, tableDir, versionAsOf = None)
+    val hi = toVersion.getOrElse(st.version)
+    require(fromVersion < hi,
+      s"empty or inverted range ($fromVersion, $hi]")
+    require(hi <= st.version, s"version $hi is not published yet")
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val m = Snapshot.mapper
+    val ct = "_change_type"; val cv = "_commit_version"
+    // the cdc files' read state: the data schema plus the physical
+    // _change_type column the spec stores in every change file —
+    // scanAdds reconstructs partition columns from the actions'
+    // partitionValues and resolves column mapping exactly as for adds
+    val cdcState = st.copy(schema = StructType(
+      st.schema.fields :+ StructField(ct, StringType)))
+    def fileOf(n: JsonNode): AddFile = {
+      val raw = n.path("path").asText()
+      AddFile(resolvePath(tableDir, raw),
+        n.path("partitionValues").properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None
+            else Some(e.getValue.asText()))
+        }.toMap,
+        n.path("size").asLong(0L),
+        n.path("modificationTime").asLong(0L), None, dvOf(n), raw)
+    }
+    val legs = Seq.newBuilder[DataFrame]
+    ((fromVersion + 1) to hi).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"commit version $v is missing (aged out behind a " +
+          "checkpoint?) — resync from a full scan")
+      val nodes = LakeTable.readString(fs, p).split('\n')
+        .filter(_.nonEmpty).map(m.readTree)
+      val cdcFiles = nodes.filter(_.has("cdc"))
+        .map(n => fileOf(n.path("cdc"))).toSeq
+      if (cdcFiles.nonEmpty) {
+        legs += scanAdds(spark, tableDir, cdcState, cdcFiles)
+          .withColumn(cv, lit(v))
+      } else {
+        val adds = nodes.filter(n => n.has("add") &&
+            n.path("add").path("dataChange").asBoolean(true))
+          .map(n => fileOf(n.path("add"))).toSeq
+        val removes = nodes.filter(n => n.has("remove") &&
+            n.path("remove").path("dataChange").asBoolean(true))
+          .map(n => fileOf(n.path("remove"))).toSeq
+        (adds ++ removes).foreach(f => require(f.dv.isEmpty,
+          s"version $v changes deletion vectors without cdc actions " +
+            "— its row-level changes would need a DV diff; out of " +
+            "scope, resync from a full scan"))
+        if (st.partitionColumns.nonEmpty)
+          removes.foreach(f => require(
+            st.partitionColumns.forall(f.partitionValues.contains),
+            s"version $v removes files from a partitioned table " +
+              "without partitionValues on the remove — the deleted " +
+              "rows' partition column cannot be reconstructed"))
+        if (adds.nonEmpty)
+          legs += scanAdds(spark, tableDir, st, adds)
+            .withColumn(ct, lit("insert")).withColumn(cv, lit(v))
+        if (removes.nonEmpty)
+          legs += scanAdds(spark, tableDir, st, removes)
+            .withColumn(ct, lit("delete")).withColumn(cv, lit(v))
+      }
+    }
+    val outCols = (st.schema.fieldNames :+ ct :+ cv).toIndexedSeq
+    legs.result().map(_.select(outCols.map(col): _*))
+      .reduceOption(_ unionAll _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], StructType(
+          cdcState.schema.fields :+ StructField(cv, LongType,
+            nullable = false))))
   }
 
   /** [[scan]] with FILE SKIPPING: the adds' own stats JSON

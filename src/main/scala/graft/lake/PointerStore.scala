@@ -139,15 +139,78 @@ final class RenamePointerStore(fs: FileSystem, rootUri: java.net.URI,
   }
 }
 
+/** HTTP-412 class: a conditional PUT lost to an existing key. The one
+  * failure kind the generation protocol retries — anything else is
+  * real storage trouble and propagates. */
+final class PreconditionFailed(msg: String)
+    extends java.io.IOException(msg)
+
+/** The object-store PRIMITIVE the generation protocol needs — an
+  * all-or-nothing create-if-absent plus list/read/delete. This is the
+  * seam where a real object-store client plugs in:
+  *
+  *   - S3: `PutObject` with `If-None-Match: *` (412 on conflict),
+  *     `ListObjectsV2`, `GetObject`, `DeleteObject`;
+  *   - GCS: upload with `x-goog-if-generation-match: 0`;
+  *   - a catalog-pointer variant (DynamoDB/Glue conditional update)
+  *     satisfies the same contract with keys instead of objects.
+  *
+  * The AWS/GCS client itself is environmental (no SDK offline) —
+  * [[FsConditionalPut]] is the filesystem implementation, and the
+  * spec's contention doubles inject 412 races through this trait to
+  * prove the protocol code against exactly the failure surface S3
+  * would present. */
+trait ConditionalPut {
+  /** Atomically create `p` holding `value` iff `p` is absent.
+    * @throws PreconditionFailed when the key already exists */
+  def putIfAbsent(p: Path, value: String): Unit
+
+  /** Full value of `p`; None = absent or not yet readable. */
+  def read(p: Path): Option[String]
+
+  /** The children of `dir` (shallow). Absent dir = Nil. */
+  def list(dir: Path): Seq[Path]
+
+  /** Best-effort delete (used only for unreachable old generations). */
+  def delete(p: Path): Unit
+}
+
+/** [[ConditionalPut]] over a Hadoop FileSystem: exclusive create is
+  * the conditional PUT (HDFS/local honor it natively). */
+final class FsConditionalPut(fs: FileSystem) extends ConditionalPut {
+  override def putIfAbsent(p: Path, value: String): Unit =
+    try LakeTable.writeStringExclusive(fs, p, value)
+    catch {
+      case e: java.io.IOException =>
+        // classify: lost-the-create (the 412 class) vs real trouble
+        if (fs.exists(p)) throw new PreconditionFailed(
+          s"$p already exists (lost the exclusive create): ${e.getMessage}")
+        else throw e
+    }
+  override def read(p: Path): Option[String] =
+    try Some(LakeTable.readString(fs, p))
+    catch { case _: java.io.IOException => None }
+  override def list(dir: Path): Seq[Path] =
+    try fs.listStatus(dir).toSeq.map(_.getPath)
+    catch { case _: java.io.IOException => Nil }
+  override def delete(p: Path): Unit =
+    try fs.delete(p, false)
+    catch { case _: java.io.IOException => () }
+}
+
 /** Rename-free generation pointer store — the object-store-safe
-  * protocol. The pointer `<dir>/<name>` is represented by files
-  * `<dir>/<name>.gen-<n>`: a swap exclusively creates generation n+1
-  * (on S3: conditional `PUT If-None-Match:*` of the whole object) and
-  * then best-effort deletes generations older than the previous one,
-  * so a reader listing for the highest generation ALWAYS finds a
-  * complete value — the old generation outlives the swap, closing the
-  * absent-mid-swap window renames have. Generation numbers are
-  * zero-padded so lexicographic listing order is numeric order.
+  * protocol, written against [[ConditionalPut]]. The pointer
+  * `<dir>/<name>` is represented by files `<dir>/<name>.gen-<n>`: a
+  * swap conditionally creates generation n+1 (on S3: conditional
+  * `PUT If-None-Match:*` of the whole object) and then best-effort
+  * deletes generations older than the previous one, so a reader
+  * listing for the highest generation ALWAYS finds a complete value —
+  * the old generation outlives the swap, closing the absent-mid-swap
+  * window renames have. Generation numbers are zero-padded so
+  * lexicographic listing order is numeric order. Only
+  * [[PreconditionFailed]] (a lost race) retries; any other storage
+  * error propagates — retrying real trouble would spin 50 times and
+  * misreport it as contention.
   *
   * Completeness framing: an S3 PUT is all-or-nothing, but the local
   * emulation (exclusive create, then write, then close) exposes a
@@ -155,22 +218,24 @@ final class RenamePointerStore(fs: FileSystem, rootUri: java.net.URI,
   * therefore length-prefixed (`<byte-count>\n<payload>`); a reader
   * that sees a short or unparseable frame treats the generation as
   * in-flight and falls back to the previous one. */
-final class GenerationPointerStore(fs: FileSystem) extends PointerStore {
+final class GenerationPointerStore(backend: ConditionalPut)
+    extends PointerStore {
+
+  def this(fs: FileSystem) = this(new FsConditionalPut(fs))
 
   private def gens(p: Path): Seq[(Long, Path)] = {
     val prefix = s"${p.getName}.gen-"
-    try fs.listStatus(p.getParent).toSeq.flatMap { s =>
-      val n = s.getPath.getName
+    backend.list(p.getParent).flatMap { path =>
+      val n = path.getName
       if (!n.startsWith(prefix)) None
       else scala.util.Try(n.substring(prefix.length).toLong).toOption
-        .map(_ -> s.getPath)
-    } catch { case _: java.io.IOException => Nil }
+        .map(_ -> path)
+    }
   }
 
   /** None = file absent/unreadable OR frame incomplete (in-flight). */
   private def readComplete(path: Path): Option[String] =
-    try {
-      val framed = LakeTable.readString(fs, path)
+    backend.read(path).flatMap { framed =>
       val nl = framed.indexOf('\n')
       if (nl <= 0) None
       else scala.util.Try(framed.substring(0, nl).toInt).toOption
@@ -180,7 +245,7 @@ final class GenerationPointerStore(fs: FileSystem) extends PointerStore {
               .length == len) Some(payload)
           else None
         }
-    } catch { case _: java.io.IOException => None }
+    }
 
   override def read(p: Path): Option[String] = {
     // newest complete generation wins; a generation can be in-flight
@@ -216,18 +281,15 @@ final class GenerationPointerStore(fs: FileSystem) extends PointerStore {
       val next = known.maxOption.getOrElse(0L) + 1
       val target = new Path(p.getParent, f"${p.getName}.gen-$next%019d")
       try {
-        LakeTable.writeStringExclusive(fs, target, framed)
+        backend.putIfAbsent(target, framed)
         // keep the immediately-previous generation alive for in-flight
         // readers; everything older is unreachable and sweeps away
         gens(p).filter(_._1 < next - 1)
-          .foreach { case (_, old) =>
-            try fs.delete(old, false)
-            catch { case _: java.io.IOException => () }
-          }
+          .foreach { case (_, old) => backend.delete(old) }
         return
       } catch {
-        case _: java.io.IOException =>
-          // lost the exclusive create to a racing swap: re-list, retry
+        case _: PreconditionFailed =>
+          // lost the conditional PUT to a racing swap: re-list, retry
           attempt += 1
           if (attempt > 50)
             throw new java.util.ConcurrentModificationException(

@@ -20,15 +20,23 @@ import graft.lake.DeltaImport
   * streams into graft with the usual exactly-once sink contracts on
   * the write side.
   *
-  * APPEND-ONLY logs only, refused loudly otherwise (a version that
-  * removes files makes "rows added" ill-defined without decoding
-  * Delta's change-data files, which is out of scope — same contract
-  * as the batch incremental read and graft's own strict stream
-  * source). Options: `startingVersion` (exclusive lower bound,
-  * default −1 = deliver everything ever added, version 0 included),
+  * APPEND-ONLY logs only in the default mode, refused loudly
+  * otherwise (a version that removes files makes "rows added"
+  * ill-defined from adds alone). With `readChangeFeed=true` each
+  * micro-batch is instead [[DeltaImport.changeScan]] — the spec's CDF
+  * resolution: versions carrying `cdc` actions stream their
+  * `_change_data` rows (with the writer's `_change_type`), versions
+  * without them synthesize `insert`/`delete` rows from the
+  * dataChange file actions — so a MERGE-heavy foreign table streams
+  * row-level changes instead of failing the append-only gate. The
+  * CDF schema appends `_change_type` + `_commit_version`.
+  *
+  * Options: `startingVersion` (exclusive lower bound, default −1 =
+  * deliver everything ever added, version 0 included),
   * `maxVersionsPerTrigger` (admission control, same rate-limit shape
-  * as the graft-lake source). Version discovery is one log-dir
-  * listing per trigger — no state replay on the hot path. */
+  * as the graft-lake source), `readChangeFeed`. Version discovery is
+  * one log-dir listing per trigger — no state replay on the hot
+  * path. */
 class DeltaTailSource(
     sqlContext: SQLContext,
     dir: String,
@@ -45,9 +53,12 @@ class DeltaTailSource(
       n
     }
 
+  private val cdf =
+    options.getOrElse("readChangeFeed", "false").toBoolean
+
   // schema (and the reader-feature gates) latch at source creation
   override val schema: StructType =
-    DeltaImport.state(sqlContext.sparkSession, dir, None).schema
+    DeltaTailSource.schemaFor(sqlContext, dir, cdf)
 
   private def currentVersion: Long = {
     val logDir = new Path(dir, "_delta_log")
@@ -83,8 +94,10 @@ class DeltaTailSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf).getOrElse(startAfter)
     val hi = versionOf(end)
-    val batch = DeltaImport.incrementalScan(
-        sqlContext.sparkSession, dir, lo, Some(hi))
+    val batch = (if (cdf)
+        DeltaImport.changeScan(sqlContext.sparkSession, dir, lo, Some(hi))
+      else DeltaImport.incrementalScan(
+        sqlContext.sparkSession, dir, lo, Some(hi)))
       .select(schema.fieldNames
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val cs = sqlContext.sparkSession.asInstanceOf[classic.SparkSession]
@@ -99,6 +112,21 @@ class DeltaTailSource(
   override def toString: String = s"DeltaTailSource[$dir]"
 }
 
+object DeltaTailSource {
+  /** The stream schema: the table's, plus the CDF columns when
+    * `readChangeFeed` is on. */
+  private[graftlake] def schemaFor(sqlContext: SQLContext, dir: String,
+      cdf: Boolean): StructType = {
+    val base = DeltaImport.state(sqlContext.sparkSession, dir, None).schema
+    if (!cdf) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+}
+
 class DeltaTailSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -111,8 +139,9 @@ class DeltaTailSourceProvider extends StreamSourceProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(DeltaImport.state(
-      sqlContext.sparkSession, dirOf(parameters), None).schema))
+    (shortName(), schema.getOrElse(DeltaTailSource.schemaFor(
+      sqlContext, dirOf(parameters),
+      parameters.getOrElse("readChangeFeed", "false").toBoolean)))
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],

@@ -710,14 +710,15 @@ class DeltaInteropSpec extends AnyFunSuite {
       meta, dvAdd))
     val stOk = DeltaImport.state(spark, s"$base/ok", None)
     assert(stOk.adds.head.dv.exists(_.cardinality == 1L))
-    // v3 with an UNKNOWN feature still refuses
+    // v3 with an UNKNOWN feature still refuses (v2Checkpoint is now a
+    // KNOWN one — see the v2-checkpoint replay test)
     writeLog(s"$base/h1", Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":[]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","someFutureFeature"],"writerFeatures":[]}}""",
       meta))
     val e1 = intercept[IllegalArgumentException] {
       DeltaImport.state(spark, s"$base/h1", None)
     }
-    assert(e1.getMessage.contains("v2Checkpoint"))
+    assert(e1.getMessage.contains("someFutureFeature"))
     // a DV add under a protocol that never declared the feature
     writeLog(s"$base/h2", Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -726,6 +727,227 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaImport.state(spark, s"$base/h2", None)
     }
     assert(e2.getMessage.contains("deletionVector"))
+  }
+
+  test("v2 checkpoints (UUID-named manifest + _sidecars) seed state " +
+      "from parquet AND json manifests; missing sidecars and " +
+      "mislabeled checkpointMetadata refuse") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = TestSpark.tmpDir("delta-v2ckpt")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val logDir = s"$base/t/_delta_log"
+    fs.mkdirs(new Path(logDir))
+    // two single-row data files referenced absolutely
+    def dataFile(tag: String, id: Long): (String, Long) = {
+      val dir = s"$base/files/$tag"
+      Seq(id).toDF("id").coalesce(1).write.parquet(dir)
+      val st = fs.listStatus(new Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      (st.getPath.toUri.toString, st.getLen)
+    }
+    val (p1, s1) = dataFile("f1", 1L)
+    val (p2, s2) = dataFile("f2", 2L)
+    val schemaStr = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val protoLine = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    val metaLine = s"""{"metaData":{"id":"v2ck","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    LakeTable.writeStringExclusive(fs,
+      new Path(logDir, "00000000000000000000.json"),
+      Seq(protoLine, metaLine,
+        s"""{"add":{"path":${jstr(p1)},"partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    LakeTable.writeStringExclusive(fs,
+      new Path(logDir, "00000000000000000001.json"),
+      s"""{"add":{"path":${jstr(p2)},"partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}""" + "\n")
+    // declared v2Checkpoint feature is readable via plain JSON replay
+    assert(DeltaImport.state(spark, s"$base/t", None).adds.size == 2)
+
+    // sidecar parquet: the two add actions
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType,
+        valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val scT = StructType(Seq(StructField("add", addT)))
+    val scRows = Seq(
+      Row(Row(p1, Map.empty[String, String], s1, 1L, true)),
+      Row(Row(p2, Map.empty[String, String], s2, 1L, true)))
+    val staging = s"$base/staging-sc"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scRows, 1), scT)
+      .coalesce(1).write.parquet(staging)
+    fs.mkdirs(new Path(logDir, "_sidecars"))
+    val scPart = fs.listStatus(new Path(staging))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(scPart, new Path(logDir, "_sidecars/sc-1.parquet"))
+    val scLen = fs.getFileStatus(
+      new Path(logDir, "_sidecars/sc-1.parquet")).getLen
+
+    // PARQUET v2 manifest: protocol + metaData + checkpointMetadata +
+    // sidecar rows under the UUID-named file
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val ckT = StructType(Seq(StructField("version", LongType)))
+    val sideT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val manT = StructType(Seq(
+      StructField("protocol", protocolT),
+      StructField("metaData", metaT),
+      StructField("checkpointMetadata", ckT),
+      StructField("sidecar", sideT)))
+    val schemaJson = schemaStr.replace("\\\"", "\"")
+    val manRows = Seq(
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
+        null, null, null),
+      Row(null, Row("v2ck", Row("parquet", Map.empty[String, String]),
+        schemaJson, Seq.empty[String], Map.empty[String, String], 1L),
+        null, null),
+      Row(null, null, Row(1L), null),
+      Row(null, null, null, Row("sc-1.parquet", scLen, 0L)))
+    val staging2 = s"$base/staging-man"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(manRows, 1), manT)
+      .coalesce(1).write.parquet(staging2)
+    val manPart = fs.listStatus(new Path(staging2))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val manName =
+      "00000000000000000001.checkpoint.80a083e8-7026-4e79.parquet"
+    fs.rename(manPart, new Path(logDir, manName))
+    LakeTable.writeStringExclusive(fs, new Path(logDir,
+      "_last_checkpoint"), """{"version":1,"size":4}""")
+    // age out every JSON commit: state must come from the v2 seed
+    Seq(0L, 1L).foreach(v => fs.delete(new Path(
+      logDir, f"$v%020d.json"), false))
+    val st = DeltaImport.state(spark, s"$base/t", None)
+    assert(st.version == 1L && st.adds.size == 2)
+    assert(st.readerFeatures == Set("v2Checkpoint"))
+    assert(rows(DeltaImport.scan(spark, s"$base/t")) ==
+      Set(Seq(1L), Seq(2L)))
+
+    // JSON v2 manifest variant (same sidecar)
+    fs.delete(new Path(logDir, manName), false)
+    LakeTable.writeStringExclusive(fs, new Path(logDir,
+      "00000000000000000001.checkpoint.80a083e8-7026-4e79.json"),
+      Seq(protoLine, metaLine,
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":$scLen,"modificationTime":0}}""")
+        .mkString("", "\n", "\n"))
+    assert(rows(DeltaImport.scan(spark, s"$base/t")) ==
+      Set(Seq(1L), Seq(2L)))
+
+    // mislabeled checkpointMetadata refuses
+    fs.delete(new Path(logDir,
+      "00000000000000000001.checkpoint.80a083e8-7026-4e79.json"), false)
+    LakeTable.writeStringExclusive(fs, new Path(logDir,
+      "00000000000000000001.checkpoint.bad0bad0.json"),
+      Seq(protoLine, metaLine,
+        """{"checkpointMetadata":{"version":7}}""",
+        s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":$scLen,"modificationTime":0}}""")
+        .mkString("", "\n", "\n"))
+    val eBad = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/t", None)
+    }
+    assert(eBad.getMessage.contains("names version 7"))
+
+    // a missing sidecar refuses by name
+    fs.delete(new Path(logDir,
+      "00000000000000000001.checkpoint.bad0bad0.json"), false)
+    LakeTable.writeStringExclusive(fs, new Path(logDir,
+      "00000000000000000001.checkpoint.cafecafe.json"),
+      Seq(protoLine, metaLine,
+        """{"checkpointMetadata":{"version":1}}""",
+        """{"sidecar":{"path":"gone.parquet","sizeInBytes":1,"modificationTime":0}}""")
+        .mkString("", "\n", "\n"))
+    val eGone = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/t", None)
+    }
+    assert(eGone.getMessage.contains("sidecar") &&
+      eGone.getMessage.contains("missing"))
+  }
+
+  test("typeWidening: pre-widening files read natively under the wide " +
+      "schema (int->long, float->double across files); unimplemented " +
+      "widenings refuse per declared change") {
+    val base = TestSpark.tmpDir("delta-widen")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def dataFile(tag: String, sql: String): (String, Long) = {
+      val dir = s"$base/files/$tag"
+      spark.sql(sql).coalesce(1).write.parquet(dir)
+      val st0 = fs.listStatus(new Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      (st0.getPath.toUri.toString, st0.getLen)
+    }
+    // f1 written under the NARROW schema (a int, b float); f2 after
+    // the widening (a long, b double)
+    val (p1, s1) = dataFile("f1",
+      "SELECT CAST(1 AS INT) a, CAST(1.5 AS FLOAT) b")
+    val (p2, s2) = dataFile("f2",
+      "SELECT CAST(8589934592 AS LONG) a, CAST(2.5 AS DOUBLE) b")
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val wideSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"a\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\",\"tableVersion\":1}]}},{\"name\":\"b\",\"type\":\"double\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"float\",\"toType\":\"double\",\"tableVersion\":1}]}}]}"""
+    val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}"""
+    fs.mkdirs(new Path(s"$base/t/_delta_log"))
+    LakeTable.writeStringExclusive(fs,
+      new Path(s"$base/t/_delta_log/00000000000000000000.json"),
+      Seq(proto,
+        s"""{"metaData":{"id":"tw","format":{"provider":"parquet","options":{}},"schemaString":"$wideSchema","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        s"""{"add":{"path":${jstr(p1)},"partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}""",
+        s"""{"add":{"path":${jstr(p2)},"partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    val st = DeltaImport.state(spark, s"$base/t", None)
+    assert(st.schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(rows(DeltaImport.scan(spark, s"$base/t")) ==
+      Set(Seq(1L, 1.5), Seq(8589934592L, 2.5)))
+
+    // an UNIMPLEMENTED widening (long->double loses precision and the
+    // parquet reader fails on it) refuses with the change named
+    val badSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"a\",\"type\":\"double\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"long\",\"toType\":\"double\",\"tableVersion\":1}]}}]}"""
+    fs.mkdirs(new Path(s"$base/bad/_delta_log"))
+    LakeTable.writeStringExclusive(fs,
+      new Path(s"$base/bad/_delta_log/00000000000000000000.json"),
+      Seq(proto,
+        s"""{"metaData":{"id":"tw2","format":{"provider":"parquet","options":{}},"schemaString":"$badSchema","partitionColumns":[],"configuration":{},"createdTime":1}}""")
+        .mkString("", "\n", "\n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/bad", None)
+    }
+    assert(e.getMessage.contains("long -> double"))
+
+    // the support matrix itself
+    assert(DeltaImport.wideningSupported("integer", "long"))
+    assert(DeltaImport.wideningSupported("byte", "short"))
+    assert(DeltaImport.wideningSupported("float", "double"))
+    assert(DeltaImport.wideningSupported("date", "timestampNtz"))
+    assert(DeltaImport.wideningSupported("integer", "decimal(10,0)"))
+    assert(DeltaImport.wideningSupported("long", "decimal(20,0)"))
+    assert(DeltaImport.wideningSupported("decimal(5,2)", "decimal(10,4)"))
+    assert(!DeltaImport.wideningSupported("long", "double"))
+    assert(!DeltaImport.wideningSupported("long", "integer"))
+    assert(!DeltaImport.wideningSupported("long", "decimal(10,0)"))
+    assert(!DeltaImport.wideningSupported("decimal(10,4)", "decimal(5,2)"))
+    assert(!DeltaImport.wideningSupported("string", "long"))
   }
 
   test("file actions reconcile on (path, deletionVector.uniqueId): a " +

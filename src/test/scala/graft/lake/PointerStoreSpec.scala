@@ -89,6 +89,74 @@ class PointerStoreSpec extends AnyFunSuite {
     assert(left <= 8, s"$left generation files left behind")
   }
 
+  test("conditional-put 412 races through the double: a rival winning " +
+      "every contended generation forces re-list + retry, readers stay " +
+      "complete; spurious 412s converge; non-412 errors propagate") {
+    val (fs, dir, _) = fixture("ptr-412")
+    val p = new Path(dir, "HEAD")
+    def framed(v: String) =
+      s"${v.getBytes(java.nio.charset.StandardCharsets.UTF_8).length}\n$v"
+    val inner = new FsConditionalPut(fs)
+
+    // double 1: a RIVAL writer lands on every contended key first —
+    // the S3 failure surface (our PUT answers 412, the key now holds
+    // the rival's object); the protocol must re-list, take the next
+    // generation, and eventually win
+    val contested = new AtomicInteger(3)
+    val rivalSeq = new AtomicInteger(0)
+    val racing = new ConditionalPut {
+      override def putIfAbsent(path: Path, value: String): Unit =
+        if (contested.getAndDecrement() > 0) {
+          inner.putIfAbsent(path,
+            framed(s"rival-${rivalSeq.incrementAndGet()}"))
+          throw new PreconditionFailed(s"412: $path exists")
+        } else inner.putIfAbsent(path, value)
+      override def read(path: Path) = inner.read(path)
+      override def list(d: Path) = inner.list(d)
+      override def delete(path: Path) = inner.delete(path)
+    }
+    val store = new GenerationPointerStore(racing)
+    store.write(p, "ours")
+    // our write took 4 attempts (3 rivals + 1 win) and holds the
+    // HIGHEST generation; every intermediate read is complete
+    assert(store.read(p).contains("ours"))
+    val gens = fs.listStatus(dir)
+      .map(_.getPath.getName).filter(_.startsWith("HEAD.gen-")).sorted
+    assert(gens.last.endsWith(f"${4L}%019d"),
+      s"expected the winning write at generation 4, got $gens")
+
+    // double 2: SPURIOUS 412s (key reported existing but nothing
+    // written — e.g. a stale negative cache): retry converges on the
+    // same generation
+    val spurious = new AtomicInteger(5)
+    val flaky = new ConditionalPut {
+      override def putIfAbsent(path: Path, value: String): Unit =
+        if (spurious.getAndDecrement() > 0)
+          throw new PreconditionFailed(s"412 (spurious): $path")
+        else inner.putIfAbsent(path, value)
+      override def read(path: Path) = inner.read(path)
+      override def list(d: Path) = inner.list(d)
+      override def delete(path: Path) = inner.delete(path)
+    }
+    new GenerationPointerStore(flaky).write(p, "after-spurious")
+    assert(store.read(p).contains("after-spurious"))
+
+    // double 3: a REAL storage error is not contention — it must
+    // propagate immediately, not spin 50 retries
+    val onFire = new ConditionalPut {
+      override def putIfAbsent(path: Path, value: String): Unit =
+        throw new java.io.IOException("disk on fire")
+      override def read(path: Path) = inner.read(path)
+      override def list(d: Path) = inner.list(d)
+      override def delete(path: Path) = inner.delete(path)
+    }
+    val e = intercept[java.io.IOException] {
+      new GenerationPointerStore(onFire).write(p, "never")
+    }
+    assert(e.getMessage.contains("disk on fire"))
+    assert(store.read(p).contains("after-spurious"), "state unchanged")
+  }
+
   test("a LakeTable commits and reads through the generation store") {
     import spark.implicits._
     spark.conf.set("spark.graft.lake.pointer-store", "generation")

@@ -74,6 +74,81 @@ class DeltaTailSourceSpec extends AnyFunSuite {
       src.scan().collect().map(_.toSeq).toSet)
   }
 
+  test("readChangeFeed: cdc actions stream their _change_data rows " +
+      "(same-version file actions ignored for changes); non-cdc " +
+      "versions synthesize insert/delete; DV versions refuse") {
+    import graft.lake.DeltaImport
+    val base = TestSpark.tmpDir("deltatail-cdf")
+    val src = LakeTable.create(spark, s"$base/src",
+      Seq((1L, "a")).toDF("id", "v").schema)
+    // one data file, so the COW delete below rewrites it (remove+add)
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))
+    DeltaExport.export(src, s"$base/delta")            // v0
+    src.delete(col("id") === 1L)                       // COW rewrite
+    DeltaExport.publish(src, s"$base/delta")           // v1: remove+add
+    def tup(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    // non-cdc version: the COW rewrite synthesizes delete(old file's
+    // rows) + insert(rewritten file's rows)
+    val ch1 = tup(DeltaImport.changeScan(spark, s"$base/delta",
+      0L, Some(1L)))
+    assert(ch1 == Set((1L, "a", "delete", 1L), (2L, "b", "delete", 1L),
+      (2L, "b", "insert", 1L)))
+
+    // hand-append v2: a cdc action + a DECOY dataChange remove that
+    // the CDF read must ignore (the spec's precedence rule — counting
+    // both would double-report the change)
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Seq((9L, "z", "delete")).toDF("id", "v", "_change_type").coalesce(1)
+      .write.parquet(s"$base/delta/_change_data/c0")
+    val cdcPart = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$base/delta/_change_data/c0"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(
+      s"$base/delta/_delta_log/00000000000000000002.json"),
+      Seq(
+        s"""{"cdc":{"path":${jstr(cdcPart.getPath.toUri.toString)},"partitionValues":{},"size":${cdcPart.getLen},"dataChange":false}}""",
+        s"""{"remove":{"path":${jstr(st.adds.head.rawPath)},"deletionTimestamp":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    assert(tup(DeltaImport.changeScan(spark, s"$base/delta",
+      1L, Some(2L))) == Set((9L, "z", "delete", 2L)))
+
+    // streaming leg: rate-limited AvailableNow drain of the whole
+    // change feed, exactly-once into a parquet sink
+    val q = spark.readStream.format("delta-tail")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(s"$base/delta")
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(tup(spark.read.parquet(s"$base/out")) ==
+      ch1 ++ Set((9L, "z", "delete", 2L)))
+
+    // a DV-bearing version without cdc actions refuses (row-level
+    // changes would need a DV diff)
+    val mor = LakeTable.create(spark, s"$base/mor",
+      Seq((1L, "a")).toDF("id", "v").schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    mor.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))
+    mor.delete(col("id") === 1L)
+    mor.consolidateDeleteVectors()
+    DeltaExport.export(mor, s"$base/delta2")
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.changeScan(spark, s"$base/delta2", -1L, Some(0L))
+        .collect()
+    }
+    assert(e.getMessage.contains("DV diff"))
+  }
+
   test("a removing version fails the stream loudly (append-only " +
       "contract, same as the batch incremental read)") {
     val base = TestSpark.tmpDir("deltatail-rm")
