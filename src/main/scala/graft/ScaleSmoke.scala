@@ -116,6 +116,10 @@ object ScaleSmoke {
       substrSkewSmoke(args.lift(1).map(_.toLong).getOrElse(100000L))
       return
     }
+    if (args.headOption.contains("delta-plan")) {
+      deltaPlanSmoke(args.lift(1).map(_.toInt).getOrElse(100000))
+      return
+    }
     if (args.headOption.contains("dedup-corpus")) {
       dedupCorpusSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -926,6 +930,74 @@ object ScaleSmoke {
     require(mgot == mexp, s"DV history diverged: $mgot vs $mexp")
     println(s"[delta-publish] DV current reads $mgot rows (= governed " +
       "scan); PASS")
+    spark.stop()
+  }
+
+  /** [[org.apache.spark.sql.graftlake.DeltaLogFileIndex]] planning
+    * depth: a synthetic adds-only log (hand-written JSON; planning
+    * never opens the data files) at n/10 and n adds, timing the
+    * driver replay and the executedPlan + listFiles cost of a full
+    * scan, a partition-pruned probe, and a stats-pruned probe — the
+    * flat-vs-adds curve PERF.md records. Planned-file counts are
+    * REQUIRED exact (1/100 partitions; the stats subset), so the
+    * numbers can never go quietly wrong. */
+  private def deltaPlanSmoke(maxAdds: Int): Unit = {
+    val spark = smokeSession("graft-delta-plan-smoke")
+    import graft.lake.DeltaImport
+    val schemaStr = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    Seq(maxAdds / 10, maxAdds).foreach { n =>
+      val work = Files.createTempDirectory("graft-dplan").toString
+      val dir = s"$work/t"
+      val fs = new org.apache.hadoop.fs.Path(work).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val sb = new StringBuilder(n * 256)
+      sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        .append('\n')
+      sb.append("""{"metaData":{"id":"plan","format":{"provider":"parquet","options":{}},"schemaString":"""")
+        .append(schemaStr)
+        .append("""","partitionColumns":["p"],"configuration":{},"createdTime":1}}""")
+        .append('\n')
+      (0 until n).foreach { i =>
+        val lo = i.toLong * 100; val hi = lo + 99
+        sb.append(s"""{"add":{"path":"p=${i % 100}/f$i.parquet","partitionValues":{"p":"${i % 100}"},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":100,\\"minValues\\":{\\"id\\":$lo},\\"maxValues\\":{\\"id\\":$hi},\\"nullCount\\":{\\"id\\":0}}"}}""")
+          .append('\n')
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+      graft.lake.LakeTable.writeStringExclusive(fs,
+        new org.apache.hadoop.fs.Path(dir,
+          "_delta_log/00000000000000000000.json"), sb.toString)
+      var t0 = System.nanoTime()
+      val st = DeltaImport.state(spark, dir, None)
+      val replayMs = (System.nanoTime() - t0) / 1e6
+      require(st.adds.size == n, s"replay lost adds: ${st.adds.size}")
+      t0 = System.nanoTime()
+      val df = DeltaImport.scan(spark, dir)
+      val buildMs = (System.nanoTime() - t0) / 1e6
+      def planned(q: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val s = System.nanoTime()
+        val scans = q.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }
+        require(scans.nonEmpty, "no FileSourceScanExec in the plan")
+        val files = scans.map(sc => sc.relation.location
+          .listFiles(sc.partitionFilters, sc.dataFilters)
+          .map(_.files.size.toLong).sum).sum
+        (files, (System.nanoTime() - s) / 1e6)
+      }
+      val (fFull, msFull) = planned(df)
+      val (fPart, msPart) = planned(df.where(col("p") === "7"))
+      val (fStats, msStats) = planned(df.where(col("id") <= 5000L))
+      require(fFull == n, s"full plan listed $fFull of $n files")
+      require(fPart == n / 100,
+        s"partition probe planned $fPart files, expected ${n / 100}")
+      require(fStats == 51,
+        s"stats probe planned $fStats files, expected 51 (min<=5000)")
+      println(f"[delta-plan] $n%,d adds: replay $replayMs%.0f ms, " +
+        f"index build $buildMs%.0f ms; plan full $msFull%.0f ms " +
+        f"($fFull%,d files), partition-pruned $msPart%.0f ms " +
+        f"($fPart files), stats-pruned $msStats%.0f ms ($fStats " +
+        "files); PASS")
+    }
     spark.stop()
   }
 
