@@ -26,9 +26,9 @@ import org.apache.spark.sql.types._
   * Scope (refused loudly, never silently wrong):
   *   - reader protocol: v1 fully; v2 (column mapping — the version's
   *     only reader feature); v3 when `readerFeatures` ⊆
-  *     {deletionVectors, columnMapping, v2Checkpoint, typeWidening}
-  *     (the last gated per declared type change — see
-  *     [[wideningSupported]]). V2 CHECKPOINTS
+  *     {deletionVectors, columnMapping, v2Checkpoint, typeWidening,
+  *     timestampNtz} (typeWidening gated per declared type change —
+  *     see [[wideningSupported]]). V2 CHECKPOINTS
   *     (what current delta-spark writes by default) seed state from
   *     the UUID-named manifest — parquet or commit-shaped JSON,
   *     `checkpointMetadata` verified — plus its `sidecar` parquet
@@ -489,9 +489,12 @@ object DeltaImport {
     // (deletionVectors, columnMapping). Any unknown v3 feature changes
     // what the parquet bytes mean — refuse rather than return wrong
     // rows.
+    // timestampNtz is a pure TYPE MARKER (the table uses
+    // TIMESTAMP_NTZ columns) — the schema parser and parquet reader
+    // handle the type natively, so declaring it readable is exact
     val unknownFeats = readerFeats -- Set("deletionVectors",
       "columnMapping", "v2Checkpoint", "typeWidening",
-      "typeWidening-preview")
+      "typeWidening-preview", "timestampNtz")
     // a v3 protocol MUST declare readerFeatures (spec); its absence
     // means unknowable semantics — refuse like an unknown feature
     require(minReader <= 2 ||
@@ -802,6 +805,12 @@ object DeltaImport {
           "checkpoint?) — resync from a full scan")
       val nodes = LakeTable.readString(fs, p).split('\n')
         .filter(_.nonEmpty).map(m.readTree)
+      // a mid-range schema change re-types what the older files'
+      // bytes mean for the change rows — same refusal as the
+      // incremental read (version 0's initial metaData is fine)
+      require(!nodes.exists(_.has("metaData")) || v == 0L,
+        s"version $v changes table metadata mid-range — resync from " +
+          "a full scan")
       val cdcFiles = nodes.filter(_.has("cdc"))
         .map(n => fileOf(n.path("cdc"))).toSeq
       if (cdcFiles.nonEmpty) {

@@ -884,6 +884,33 @@ class DeltaInteropSpec extends AnyFunSuite {
       eGone.getMessage.contains("missing"))
   }
 
+  test("timestampNtz reader feature: a TIMESTAMP_NTZ table reads " +
+      "(pure type marker — the parquet reader handles the type)") {
+    val base = TestSpark.tmpDir("delta-tsntz")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    spark.sql("SELECT CAST('2021-01-03 04:05:06' AS TIMESTAMP_NTZ) ts")
+      .coalesce(1).write.parquet(s"$base/files/f1")
+    val st0 = fs.listStatus(new Path(s"$base/files/f1"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    fs.mkdirs(new Path(s"$base/t/_delta_log"))
+    LakeTable.writeStringExclusive(fs,
+      new Path(s"$base/t/_delta_log/00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+        """{"metaData":{"id":"ntz","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"ts\",\"type\":\"timestamp_ntz\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        s"""{"add":{"path":${jstr(st0.getPath.toUri.toString)},"partitionValues":{},"size":${st0.getLen},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    val st = DeltaImport.state(spark, s"$base/t", None)
+    assert(st.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(DeltaImport.scan(spark, s"$base/t").collect()
+      .map(_.get(0).toString).toSeq ==
+      Seq("2021-01-03T04:05:06"))
+  }
+
   test("typeWidening: pre-widening files read natively under the wide " +
       "schema (int->long, float->double across files); unimplemented " +
       "widenings refuse per declared change") {

@@ -133,6 +133,17 @@ class DeltaTailSourceSpec extends AnyFunSuite {
     assert(tup(spark.read.parquet(s"$base/out")) ==
       ch1 ++ Set((9L, "z", "delete", 2L)))
 
+    // a mid-range schema change refuses (older files' change rows
+    // would re-type under the new schema)
+    LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(
+      s"$base/delta/_delta_log/00000000000000000003.json"),
+      s"""{"metaData":{"id":"drift","format":{"provider":"parquet","options":{}},"schemaString":${jstr(st.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":2}}""" + "\n")
+    val eMeta = intercept[IllegalArgumentException] {
+      DeltaImport.changeScan(spark, s"$base/delta", 0L, Some(3L))
+        .collect()
+    }
+    assert(eMeta.getMessage.contains("metadata mid-range"))
+
     // a DV-bearing version without cdc actions refuses (row-level
     // changes would need a DV diff)
     val mor = LakeTable.create(spark, s"$base/mor",
