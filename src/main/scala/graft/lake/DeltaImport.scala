@@ -797,7 +797,18 @@ object DeltaImport {
         n.path("size").asLong(0L),
         n.path("modificationTime").asLong(0L), None, dvOf(n), raw)
     }
-    val legs = Seq.newBuilder[DataFrame]
+    // files accumulate per KIND across the whole range, so the plan
+    // holds at most THREE scans however many versions the range spans
+    // (a per-version union grows the plan linearly — the shape that
+    // breaks at a 10³-version replay); each row's _commit_version
+    // resolves from a slim (file → version) map joined on the row's
+    // normalized source path — one ~100 B row per file, size-gated
+    // broadcast like every other file-list join. The rare path that
+    // legitimately repeats within a kind (removed then re-added inside
+    // the range) gets its own leg, so the map join stays 1:1.
+    val cdcFiles = Seq.newBuilder[(AddFile, Long)]
+    val insFiles = Seq.newBuilder[(AddFile, Long)]
+    val delFiles = Seq.newBuilder[(AddFile, Long)]
     ((fromVersion + 1) to hi).foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
       require(fs.exists(p),
@@ -811,12 +822,10 @@ object DeltaImport {
       require(!nodes.exists(_.has("metaData")) || v == 0L,
         s"version $v changes table metadata mid-range — resync from " +
           "a full scan")
-      val cdcFiles = nodes.filter(_.has("cdc"))
+      val cdc = nodes.filter(_.has("cdc"))
         .map(n => fileOf(n.path("cdc"))).toSeq
-      if (cdcFiles.nonEmpty) {
-        legs += scanAdds(spark, tableDir, cdcState, cdcFiles)
-          .withColumn(cv, lit(v))
-      } else {
+      if (cdc.nonEmpty) cdcFiles ++= cdc.map(_ -> v)
+      else {
         val adds = nodes.filter(n => n.has("add") &&
             n.path("add").path("dataChange").asBoolean(true))
           .map(n => fileOf(n.path("add"))).toSeq
@@ -833,16 +842,48 @@ object DeltaImport {
             s"version $v removes files from a partitioned table " +
               "without partitionValues on the remove — the deleted " +
               "rows' partition column cannot be reconstructed"))
-        if (adds.nonEmpty)
-          legs += scanAdds(spark, tableDir, st, adds)
-            .withColumn(ct, lit("insert")).withColumn(cv, lit(v))
-        if (removes.nonEmpty)
-          legs += scanAdds(spark, tableDir, st, removes)
-            .withColumn(ct, lit("delete")).withColumn(cv, lit(v))
+        insFiles ++= adds.map(_ -> v)
+        delFiles ++= removes.map(_ -> v)
+      }
+    }
+    val F = "__cdf_f"
+    def legs(state: TableState, files: Seq[(AddFile, Long)],
+        fixedType: Option[String]): Seq[DataFrame] = {
+      if (files.isEmpty) return Nil
+      def typed(df: DataFrame): DataFrame =
+        fixedType.fold(df)(t => df.withColumn(ct, lit(t)))
+      val byPath = files.groupBy { case (a, _) => canonUri(a.uri) }
+      val (uniq, dup) = files.partition { case (a, _) =>
+        byPath(canonUri(a.uri)).size == 1 }
+      val one: Option[DataFrame] =
+        if (uniq.isEmpty) None
+        else {
+          val vmRows = uniq.map { case (a, v) => Row(canonUri(a.uri), v) }
+          val vmDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(vmRows, 1),
+            StructType(Seq(
+              StructField("__cdf_vf", StringType, nullable = false),
+              StructField(cv, LongType, nullable = false))))
+          val bytes = vmRows.map(r => 64L + r.getString(0).length * 2L).sum
+          val maxB = spark.conf
+            .getOption("spark.graft.delta.cdf-broadcast-max-bytes")
+            .map(_.toLong).getOrElse(1L << 30)
+          val side = if (bytes <= maxB) broadcast(vmDf) else vmDf
+          Some(typed(scanAdds(spark, tableDir, state, uniq.map(_._1),
+              fileKeyCol = Some(F))
+            .join(side, col(F) === col("__cdf_vf"))
+            .drop(F, "__cdf_vf")))
+        }
+      one.toSeq ++ dup.map { case (a, v) =>
+        typed(scanAdds(spark, tableDir, state, Seq(a)))
+          .withColumn(cv, lit(v))
       }
     }
     val outCols = (st.schema.fieldNames :+ ct :+ cv).toIndexedSeq
-    legs.result().map(_.select(outCols.map(col): _*))
+    (legs(cdcState, cdcFiles.result(), None) ++
+      legs(st, insFiles.result(), Some("insert")) ++
+      legs(st, delFiles.result(), Some("delete")))
+      .map(_.select(outCols.map(col): _*))
       .reduceOption(_ unionAll _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], StructType(
@@ -1005,8 +1046,12 @@ object DeltaImport {
     out.result()
   }
 
+  /** `fileKeyCol`: when set, the result carries an extra column of
+    * that name holding the row's normalized source-file path — what
+    * [[changeScan]] joins its per-file commit-version map against. */
   private def scanAdds(spark: SparkSession, tableDir: String,
-      st: TableState, adds: Seq[AddFile]): DataFrame = {
+      st: TableState, adds: Seq[AddFile],
+      fileKeyCol: Option[String] = None): DataFrame = {
     if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], st.schema)
@@ -1081,16 +1126,19 @@ object DeltaImport {
       }.toMap,
       fieldIdRead = mapped && mode == "id")
     val dvApplied = applyDvs(spark, tableDir, adds, base)
+    val fileCols = fileKeyCol.map(c =>
+      regexp_replace(col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/").as(c)).toSeq
     // rename back to the LOGICAL schema: non-struct fields are pure
     // aliases (filters keep pushing through); struct-typed fields use
     // Spark's positional struct cast, which renames nested fields
     // wholesale (a same-type cast optimizes away)
     if (!mapped) dvApplied.select(
-      st.schema.fieldNames.map(col).toIndexedSeq: _*)
-    else dvApplied.select(st.schema.fields.map { f =>
+      (st.schema.fieldNames.map(col) ++ fileCols).toIndexedSeq: _*)
+    else dvApplied.select((st.schema.fields.map { f =>
       if (partSet(f.name)) col(f.name)
       else col(physOfCol(f.name)).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    } ++ fileCols).toIndexedSeq: _*)
   }
 
   /** Drop rows a deletion vector marks deleted: decode each DV to a

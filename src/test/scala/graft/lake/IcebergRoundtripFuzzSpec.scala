@@ -22,7 +22,8 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def run(seed: Int, steps: Int, partitioned: Boolean): Unit = {
+  private def run(seed: Int, steps: Int, partitioned: Boolean,
+      formatVersion: Int = 2): Unit = {
     val rnd = new Random(seed)
     val base = Seq((0L, "", 0L)).toDF("id", "v", "g")
     val t = LakeTable.create(spark,
@@ -37,6 +38,7 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
       rows.map { case (k, v) => (k, v, k % 5) }.toDF("id", "v", "g")
 
     var exports = 0
+    var sawPuffinDv = false
     (1 to steps).foreach { step =>
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
@@ -75,8 +77,17 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
       }
       if (step % 5 == 0 || step == steps) {
         exports += 1
+        // a v3 export encodes position deletes as puffin DVs, which
+        // requires them consolidated — a legal public op that leaves
+        // the row set untouched, so the model is unaffected
+        if (formatVersion == 3) t.consolidateDeleteVectors()
         val meta = IcebergExport.export(t,
-          TestSpark.tmpDir(s"icefuzz-$seed-out$step"))
+          TestSpark.tmpDir(s"icefuzz-$seed-out$step"),
+          formatVersion = formatVersion)
+        if (formatVersion == 3 && IcebergImport.load(meta,
+            spark.sessionState.newHadoopConf()).deleteEntries
+            .exists(_.format == "puffin"))
+          sawPuffinDv = true
         val got = IcebergImport.scan(spark, meta).collect()
           .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
           .toMap
@@ -89,6 +100,13 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
       }
     }
     assert(exports >= steps / 5)
+    // coverage guard (the DeltaRoundtripFuzzSpec precedent): a v3 run
+    // whose ladder never produced a puffin DV would silently stop
+    // exercising the v3 delete path — fail the FIXTURE instead
+    if (formatVersion == 3)
+      assert(sawPuffinDv,
+        s"seed $seed: no export carried puffin deletion vectors — " +
+          "the v3 fuzz lost its DV coverage")
   }
 
   test("random artifact states export + import model-exact " +
@@ -96,4 +114,14 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
 
   test("random artifact states export + import model-exact " +
       "(seed 11, identity-partitioned)") { run(11, 25, partitioned = true) }
+
+  test("random artifact states export + import model-exact as V3 " +
+      "puffin-DV trees (seed 73, unpartitioned)") {
+    run(73, 25, partitioned = false, formatVersion = 3)
+  }
+
+  test("random artifact states export + import model-exact as V3 " +
+      "(seed 29, identity-partitioned)") {
+    run(29, 25, partitioned = true, formatVersion = 3)
+  }
 }

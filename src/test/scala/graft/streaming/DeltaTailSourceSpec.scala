@@ -133,6 +133,47 @@ class DeltaTailSourceSpec extends AnyFunSuite {
     assert(tup(spark.read.parquet(s"$base/out")) ==
       ch1 ++ Set((9L, "z", "delete", 2L)))
 
+    // the batch plan holds a CONSTANT scan count across the range —
+    // v1's synthesized insert+delete legs and v2's cdc leg = 3 scans
+    // however many versions the range spans (per-kind scans + a slim
+    // file→version map join, never a per-version union)
+    val multi = DeltaImport.changeScan(spark, s"$base/delta",
+      0L, Some(2L))
+    val nScans = multi.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(nScans == 3, s"expected 3 scans for the 2-version range, " +
+      s"got $nScans")
+    assert(tup(multi) == ch1 ++ Set((9L, "z", "delete", 2L)))
+
+    // a path removed then RE-ADDED inside the range keeps exact
+    // per-version attribution (the rare duplicate gets its own leg)
+    val dupDir = s"$base/dup"
+    Seq((5L, "e")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dupDir/files/f")
+    val fPart = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dupDir/files/f"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val fUri = jstr(fPart.getPath.toUri.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dupDir/t/_delta_log"))
+    val dupMeta = s"""{"metaData":{"id":"dup","format":{"provider":"parquet","options":{}},"schemaString":${jstr(Seq((1L, "a")).toDF("id", "v").schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    def wv(v: Long, lines: Seq[String]): Unit =
+      LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(
+        s"$dupDir/t/_delta_log/" + f"$v%020d.json"),
+        lines.mkString("", "\n", "\n"))
+    wv(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      dupMeta,
+      s"""{"add":{"path":$fUri,"partitionValues":{},"size":${fPart.getLen},"modificationTime":1,"dataChange":true}}"""))
+    wv(1L, Seq(
+      s"""{"remove":{"path":$fUri,"deletionTimestamp":1,"dataChange":true}}"""))
+    wv(2L, Seq(
+      s"""{"add":{"path":$fUri,"partitionValues":{},"size":${fPart.getLen},"modificationTime":2,"dataChange":true}}"""))
+    assert(tup(DeltaImport.changeScan(spark, s"$dupDir/t",
+      -1L, Some(2L))) == Set(
+      (5L, "e", "insert", 0L), (5L, "e", "delete", 1L),
+      (5L, "e", "insert", 2L)))
+
     // a mid-range schema change refuses (older files' change rows
     // would re-type under the new schema)
     LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(
