@@ -645,11 +645,14 @@ object DeltaImport {
 
   /** TIMESTAMP AS OF: the latest version whose commit timestamp is ≤
     * `timestampMs` (Delta's own resolution rule). Per-version
-    * timestamps come from each commit's `commitInfo.timestamp`, falling
-    * back to the commit file's modification time (the spec's legacy
-    * rule); resolution sees only the JSON commits still present —
-    * versions aged out behind a checkpoint are not addressable by
-    * time, exactly as in Delta after log cleanup. */
+    * timestamps prefer `commitInfo.inCommitTimestamp` when the writer
+    * recorded one (the in-commit-timestamps feature's authoritative,
+    * MONOTONIC clock — immune to the file-mtime skew the legacy rule
+    * suffers), then `commitInfo.timestamp`, then the commit file's
+    * modification time (the spec's legacy fallback); resolution sees
+    * only the JSON commits still present — versions aged out behind a
+    * checkpoint are not addressable by time, exactly as in Delta
+    * after log cleanup. */
   def versionAt(spark: SparkSession, tableDir: String,
       timestampMs: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -665,8 +668,12 @@ object DeltaImport {
               .filter(_.nonEmpty).map(m.readTree)
               .collectFirst {
                 case n if n.has("commitInfo") &&
-                    n.path("commitInfo").hasNonNull("timestamp") =>
-                  n.path("commitInfo").path("timestamp").asLong()
+                    (n.path("commitInfo").hasNonNull("inCommitTimestamp")
+                      || n.path("commitInfo").hasNonNull("timestamp")) =>
+                  val ci = n.path("commitInfo")
+                  if (ci.hasNonNull("inCommitTimestamp"))
+                    ci.path("inCommitTimestamp").asLong()
+                  else ci.path("timestamp").asLong()
               }
           }.toOption.flatten.getOrElse(s.getModificationTime)
           Some(v.toLong -> ts)

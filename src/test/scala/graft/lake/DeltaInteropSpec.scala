@@ -884,6 +884,31 @@ class DeltaInteropSpec extends AnyFunSuite {
       eGone.getMessage.contains("missing"))
   }
 
+  test("versionAt prefers commitInfo.inCommitTimestamp over the wall " +
+      "timestamp (the in-commit-timestamps monotonic clock)") {
+    val base = TestSpark.tmpDir("delta-ict")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val meta = """{"metaData":{"id":"ict","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    fs.mkdirs(new Path(s"$base/t/_delta_log"))
+    def wv(v: Long, ci: String): Unit =
+      LakeTable.writeStringExclusive(fs,
+        new Path(s"$base/t/_delta_log/" + f"$v%020d.json"),
+        (Seq(ci) ++ (if (v == 0L) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          meta) else Nil)).mkString("", "\n", "\n"))
+    // wall timestamps are SKEWED backwards; inCommitTimestamp is the
+    // monotonic truth
+    wv(0L, """{"commitInfo":{"timestamp":5000,"inCommitTimestamp":1000}}""")
+    wv(1L, """{"commitInfo":{"timestamp":2000,"inCommitTimestamp":3000}}""")
+    assert(DeltaImport.versionAt(spark, s"$base/t", 1500L) == 0L)
+    assert(DeltaImport.versionAt(spark, s"$base/t", 3000L) == 1L)
+    // without ict, the wall timestamp still resolves (legacy rule)
+    intercept[IllegalArgumentException] {
+      DeltaImport.versionAt(spark, s"$base/t", 999L) // before all
+    }
+  }
+
   test("timestampNtz reader feature: a TIMESTAMP_NTZ table reads " +
       "(pure type marker — the parquet reader handles the type)") {
     val base = TestSpark.tmpDir("delta-tsntz")
