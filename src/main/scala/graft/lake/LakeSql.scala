@@ -810,11 +810,14 @@ object LakeSql {
       case "consolidate_delete_vectors" => // (tbl)
         Seq(lt.consolidateDeleteVectors()).toDF("snapshot_id")
       case "export_iceberg" =>
-        // (tbl, dest_dir[, snapshot_id]) — Iceberg v2 handoff; the
-        // optional third argument pins a retained historical snapshot
-        // (time-travel export)
+        // (tbl, dest_dir[, snapshot_id[, format_version]]) — Iceberg
+        // handoff; the optional third argument pins a retained
+        // historical snapshot (time-travel export), the fourth picks
+        // the spec version (2 default; 3 writes MOR deletes as puffin
+        // deletion-vector blobs)
         Seq(IcebergExport.export(lt, str(1),
-          if (c.args.size > 2) Some(lng(2)) else None))
+          if (c.args.size > 2) Some(lng(2)) else None,
+          formatVersion = if (c.args.size > 3) lng(3).toInt else 2))
           .toDF("metadata_path")
       case "export_delta" =>
         // (tbl, dest_dir[, snapshot_id]) — Delta log handoff

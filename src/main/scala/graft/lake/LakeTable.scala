@@ -4838,9 +4838,9 @@ final class LakeTable private (
     // already-exists failure to ConcurrentModificationException, so
     // every losing racer sees ONE exception type (and [[append]] can
     // retry on it).
+    val metaJson = ManifestIO.listToJson(snap, inlined.toMap)
     try LakeTable.timed("c.vjson")(
-      writeStringExclusive(fs, metaPath,
-        ManifestIO.listToJson(snap, inlined.toMap)))
+      writeStringExclusive(fs, metaPath, metaJson))
     catch {
       case e: java.io.IOException if fs.exists(metaPath) =>
         // lost the exclusive create: the winner's HEAD swap may still
@@ -4880,6 +4880,27 @@ final class LakeTable private (
         s"table $root HEAD moved to $now during commit of $id")
     }
     LakeTable.timed("c.head")(writeHead(id))
+    // POST-SWAP OWNERSHIP CHECK: the age-gated orphan reclaim above
+    // can — if THIS writer stalled past ORPHAN_GRACE_MS between its
+    // v-file write and here — have deleted our v<id>.json and
+    // re-claimed the ordinal for another writer; both of us then swap
+    // HEAD to the same id and OUR commit would silently vanish while
+    // we report success (the one lost-commit window in the protocol).
+    // Reading the id back closes it: after OUR swap no further reclaim
+    // of this ordinal is possible (reclaim requires HEAD == base), so
+    // a mismatch proves the reclaim happened and this commit must
+    // surface the lost race for the retry loop to re-commit; the
+    // reclaimer's commit is exactly the file at HEAD, so nothing is
+    // torn. The read-back is one just-written (page-warm) metadata
+    // file per commit.
+    val backJson = LakeTable.timed("c.ownership")(
+      scala.util.Try(readString(fs, metaPath)).getOrElse(""))
+    if (backJson != metaJson) {
+      dropNewChunks()
+      throw new java.util.ConcurrentModificationException(
+        s"table $root: version $id was reclaimed by a racing writer " +
+          "while this commit was stalled (post-swap ownership check)")
+    }
     id
   }
 
@@ -5054,8 +5075,15 @@ object LakeTable {
   val PROP_STATS_BYTES = "stats.size_bytes"
   val PROP_STATS_SNAPSHOT = "stats.analyzed_snapshot"
   /** Min age before a beyond-HEAD metadata file counts as a crashed
-    * commit's orphan (see commit()). */
-  val ORPHAN_GRACE_MS: Long = 5000L
+    * commit's orphan (see commit()). MUST stay well above the losing
+    * racer's 5 s HEAD-swap ride-out: at parity, an impatient loser's
+    * retry reclaims the ordinal of a winner stalled barely past 5 s
+    * between its v-file write and HEAD swap — both then swap HEAD to
+    * the same id and one commit vanishes (observed once under double
+    * co-tenant load, round 17; the post-swap ownership check in
+    * commit() now also detects the reclaim, and this margin makes it
+    * need a full 60 s driver stall first). */
+  val ORPHAN_GRACE_MS: Long = 60000L
   /** Max optimistic commit attempts for retry-safe ops (append). */
   val MAX_COMMIT_ATTEMPTS: Int = 5
   private val FILE_COL = "__graft_file"

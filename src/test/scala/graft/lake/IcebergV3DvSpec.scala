@@ -126,6 +126,27 @@ class IcebergV3DvSpec extends AnyFunSuite {
     assert(rows(IcebergImport.scan(spark, meta2)) == rows(lt.scan()))
   }
 
+  test("SQL surface: CALL system.export_iceberg(tbl, dir, snapshot, " +
+      "3) writes the v3 puffin-DV tree") {
+    val base = TestSpark.tmpDir("ice-v3-sql")
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    cat.createNamespace("ns")
+    val src = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = cat.createTable("ns", "src", src.schema,
+      properties = Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(src.repartition(2))
+    t.delete(col("id") % 6 === 0)
+    t.consolidateDeleteVectors()
+    val snap = t.currentSnapshotId.get
+    val meta = LakeSql.run(cat, "ns",
+      s"CALL system.export_iceberg('src', '$base/ice', $snap, 3)")
+      .head.getString(0)
+    val tm = IcebergImport.load(meta, hconf)
+    assert(tm.deleteEntries.nonEmpty &&
+      tm.deleteEntries.forall(_.format == "puffin"))
+    assert(rows(IcebergImport.scan(spark, meta)) == rows(t.scan()))
+  }
+
   test("refusals: unknown format-version, v3 initial-default schemas, " +
       "loose position deletes on a v3 export, foreign blob types, " +
       "manifest regions the footer does not declare") {
