@@ -866,6 +866,51 @@ WHEN NOT MATCHED THEN INSERT *
       graft.lake.DeltaImport.scanWhere(s, s"$base/delta", pred)
     }),
 
+    "q_delta_variant" -> ((s, dir) => {
+      // VARIANT-typed Delta read (reader feature `variantType`, the
+      // 2025 delta-spark 4.x shape): the fixture is a hand-written
+      // reader-v3 log over parquet holding a real VARIANT column
+      // (Spark 4's native unshredded metadata+value binary pair —
+      // byte-identical to what delta-spark writes for an unshredded
+      // variant). The engine-free reader scans it under the declared
+      // variant schema and the query extracts typed fields back out
+      // with variant_get — proving the read end-to-end on VALUES, not
+      // just schema. Shredded variants refuse (DeltaInteropSpec).
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-dvar")
+      val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sessionState.newHadoopConf())
+      orders.selectExpr("o_orderkey",
+        "parse_json(to_json(named_struct('cust', o_custkey, " +
+          "'status', o_orderstatus, 'price', round(o_totalprice, 2)" +
+          "))) AS v")
+        .coalesce(1).write.parquet(s"$base/files/f1")
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(
+          s"$base/files/f1"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      def jstr(x: String) = "\"" +
+        x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.VariantType))).json
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$base/t/_delta_log"))
+      graft.lake.LakeTable.writeStringExclusive(fsys,
+        new org.apache.hadoop.fs.Path(
+          s"$base/t/_delta_log/00000000000000000000.json"),
+        Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+          s"""{"metaData":{"id":"var","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+          s"""{"add":{"path":${jstr(part.getPath.toUri.toString)},"partitionValues":{},"size":${part.getLen},"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n"))
+      graft.lake.DeltaImport.scan(s, s"$base/t")
+        .selectExpr("o_orderkey",
+          "variant_get(v, '$.cust', 'long') AS o_custkey",
+          "variant_get(v, '$.status', 'string') AS o_orderstatus",
+          "variant_get(v, '$.price', 'double') AS o_totalprice")
+    }),
+
     "q_delta_roundtrip" -> ((s, dir) => {
       // DELTA-LOG interop end-to-end under one oracle (the Delta twin
       // of q_iceberg_publish): export version 0 (even orders,
@@ -3774,6 +3819,15 @@ WHEN NOT MATCHED THEN INSERT *
       """SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey <= 300""".stripMargin,
+
+    // VARIANT columns through the engine-free Delta reader: the
+    // fixture packs (cust, status, price) into a variant per order
+    // and the query extracts them back typed — the oracle is the
+    // plain projection the round trip must reproduce
+    "q_delta_variant" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     // the Delta-log handoff: 'final' = post-delete state read through
     // the checkpoint-seeded engine-free replay, 'v0' = the even half

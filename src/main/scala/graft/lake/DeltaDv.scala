@@ -12,9 +12,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   *  - a DV's `data` is a serialized **RoaringBitmapArray** ("portable"
   *    flavor): little-endian `int32 magic = 1681511377`, `int64 n`,
-  *    then `n` standard 32-bit RoaringBitmaps back to back (bitmap `i`
+  *    then `n` entries of `int32-LE key | standard 32-bit
+  *    RoaringBitmap` in increasing key order (the bitmap at `key`
   *    holds the low-32 bits of every deleted row index whose high-32
-  *    bits equal `i`). The standard bitmap serialization is the
+  *    bits equal `key`; the writer emits the dense 0..n−1 index, the
+  *    reader honors sparse keys). The standard bitmap serialization is the
   *    RoaringFormatSpec portable format: no-run cookie 12346 or run
   *    cookie 12347, descriptive header of (key, cardinality−1) pairs,
   *    optional offset header, then array (sorted uint16s) / bitmap
@@ -135,11 +137,17 @@ object DeltaDv {
         scala.collection.mutable.ArrayBuffer.empty) += (lo32 & 0xffff)
     }
     val serialized = bitmaps.map(serializeBitmap)
-    val total = 4 + 8 + serialized.map(_.length).sum
+    // portable format: each 32-bit bitmap is PRECEDED by its u32 LE
+    // key (delta-spark's RoaringBitmapArray writes the dense index;
+    // the reader below honors sparse keys too)
+    val total = 4 + 8 + serialized.length * 4 +
+      serialized.map(_.length).sum
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
     bb.putLong(nBitmaps)
-    serialized.foreach(bb.put)
+    serialized.zipWithIndex.foreach { case (s, key) =>
+      bb.putInt(key); bb.put(s)
+    }
     bb.array()
   }
 
@@ -187,8 +195,17 @@ object DeltaDv {
       s"bad bitmap count $nBitmaps")
     val out = Array.newBuilder[Long]
     var b = 0
+    var prevKey = -1L
     while (b < nBitmaps) {
-      val high = b.toLong << 32
+      // u32 LE key precedes each bitmap (RoaringFormatSpec 64-bit
+      // portable as pinned by Delta PROTOCOL.md / Iceberg v3); keys
+      // must be increasing and may be sparse (empty bitmaps omitted)
+      val key = bb.getInt().toLong & 0xffffffffL
+      require(key > prevKey,
+        s"bitmap keys out of order ($key after $prevKey)")
+      require(key < (1L << 30), s"bitmap key $key out of range")
+      prevKey = key
+      val high = key << 32
       deserializeBitmap(bb, v => out += (high | (v & 0xffffffffL)))
       b += 1
     }

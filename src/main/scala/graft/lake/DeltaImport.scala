@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   *   - reader protocol: v1 fully; v2 (column mapping — the version's
   *     only reader feature); v3 when `readerFeatures` ⊆
   *     {deletionVectors, columnMapping, v2Checkpoint, typeWidening,
-  *     timestampNtz} (typeWidening gated per declared type change —
-  *     see [[wideningSupported]]). V2 CHECKPOINTS
+  *     timestampNtz, variantType} (typeWidening gated per declared
+  *     type change — see [[wideningSupported]]; variant read
+  *     unshredded via Spark 4's native VariantType,
+  *     variantShredding-preview refused). V2 CHECKPOINTS
   *     (what current delta-spark writes by default) seed state from
   *     the UUID-named manifest — parquet or commit-shaped JSON,
   *     `checkpointMetadata` verified — plus its `sidecar` parquet
@@ -489,12 +491,17 @@ object DeltaImport {
     // (deletionVectors, columnMapping). Any unknown v3 feature changes
     // what the parquet bytes mean — refuse rather than return wrong
     // rows.
-    // timestampNtz is a pure TYPE MARKER (the table uses
-    // TIMESTAMP_NTZ columns) — the schema parser and parquet reader
-    // handle the type natively, so declaring it readable is exact
+    // timestampNtz and variantType are pure TYPE MARKERS (the table
+    // uses TIMESTAMP_NTZ / VARIANT columns) — Spark 4's schema parser
+    // and parquet reader handle both natively (variant reads as its
+    // unshredded metadata+value binary pair), so declaring them
+    // readable is exact. variantShredding-preview is NOT listed:
+    // shredded variants scatter typed sub-columns this reader does
+    // not reassemble — refused below like any unknown feature.
     val unknownFeats = readerFeats -- Set("deletionVectors",
       "columnMapping", "v2Checkpoint", "typeWidening",
-      "typeWidening-preview", "timestampNtz")
+      "typeWidening-preview", "timestampNtz", "variantType",
+      "variantType-preview")
     // a v3 protocol MUST declare readerFeatures (spec); its absence
     // means unknowable semantics — refuse like an unknown feature
     require(minReader <= 2 ||
@@ -778,11 +785,19 @@ object DeltaImport {
     * commit JSONs still present, like [[incrementalScan]]. */
   def changeScan(spark: SparkSession, tableDir: String,
       fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
-    val st = state(spark, tableDir, versionAsOf = None)
-    val hi = toVersion.getOrElse(st.version)
+    val latest = state(spark, tableDir, versionAsOf = None)
+    val hi = toVersion.getOrElse(latest.version)
     require(fromVersion < hi,
       s"empty or inverted range ($fromVersion, $hi]")
-    require(hi <= st.version, s"version $hi is not published yet")
+    require(hi <= latest.version, s"version $hi is not published yet")
+    // replay a HISTORICAL range under the state AS OF hi, not the
+    // latest: a schema change committed after hi (e.g. a recovery
+    // replay after the table evolved) would otherwise silently read
+    // the range's files under the new schema — renamed/re-typed
+    // columns coming back null or mis-typed instead of correct
+    val st =
+      if (hi == latest.version) latest
+      else state(spark, tableDir, versionAsOf = Some(hi))
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(conf)
@@ -849,6 +864,16 @@ object DeltaImport {
             s"version $v removes files from a partitioned table " +
               "without partitionValues on the remove — the deleted " +
               "rows' partition column cannot be reconstructed"))
+        // synthesized deletes re-READ the removed files' content; a
+        // vacuumed file must refuse at plan time with the version
+        // named, not surface as a raw task FileNotFoundException
+        removes.foreach { f =>
+          val fp = new Path(f.uri)
+          require(fp.getFileSystem(conf).exists(fp),
+            s"version $v removes ${f.rawPath} whose data file no " +
+              "longer exists (vacuumed?) — its delete rows cannot be " +
+              "synthesized; resync from a full scan")
+        }
         insFiles ++= adds.map(_ -> v)
         delFiles ++= removes.map(_ -> v)
       }
@@ -1152,20 +1177,26 @@ object DeltaImport {
     * packed word bitset, join on the normalized
     * `_metadata.file_path`, and bit-test `_metadata.row_index`
     * map-side — the shared [[DvFilter]] shape (same gate and
-    * shuffled-join fallback as graft's own L44 DV read path). */
+    * shuffled-join fallback as graft's own L44 DV read path). Decode
+    * runs on EXECUTORS past [[DvFilter.filterDeletedBy]]'s threshold,
+    * so a 10⁶-file foreign table never funnels its DV bytes through
+    * the driver. */
   private def applyDvs(spark: SparkSession, tableDir: String,
       adds: Seq[AddFile], base: DataFrame): DataFrame = {
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty) return base
-    val conf = spark.sessionState.newHadoopConf()
-    val dvs = dvAdds.map { a =>
-      canonUri(a.uri) -> DeltaDv.read(
-        new Path(tableDir).getFileSystem(conf), tableDir, a.dv.get)
-    }
-    DvFilter.filterDeleted(spark, base,
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val td = tableDir
+    val specs = dvAdds.map(a => (canonUri(a.uri), a.dv.get))
+    DvFilter.filterDeletedBy(spark, base,
       regexp_replace(col("_metadata.file_path"),
         "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
-      col("_metadata.row_index"), dvs)
+      col("_metadata.row_index"), specs,
+      (t: (String, DeltaDv.Descriptor)) => {
+        val fs = new Path(td).getFileSystem(sconf.value)
+        t._1 -> DeltaDv.read(fs, td, t._2)
+      })
   }
 
 

@@ -643,18 +643,14 @@ object IcebergImport {
     val dvDels = tm.deleteEntries.filter(d =>
       d.content == 1 && d.format == "puffin")
     if (dvDels.nonEmpty) {
-      val conf = spark.sessionState.newHadoopConf()
-      // one footer parse per puffin file: the manifest's
-      // offset/length are the read plan, but the footer's own blob
-      // metadata is the integrity gate — a blob at this offset whose
-      // declared type is NOT deletion-vector-v1 (or is compressed)
-      // would decode to garbage row indexes; refuse it loudly
-      val footerByFile: Map[String, Seq[Puffin.BlobMeta]] =
-        dvDels.map(_.uri).distinct.map { uri =>
-          val p = new Path(uri)
-          uri -> Puffin.readBlobs(p.getFileSystem(conf), p)
-        }.toMap
-      val dvs = dvDels.map { d =>
+      val sconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      // specs resolve up front (missing fields refuse at plan time);
+      // footer parse + blob decode run through filterDeletedBy —
+      // driver-inline for typical tables, on EXECUTORS past the
+      // threshold (specs sort by puffin uri so each task's
+      // per-partition footer cache parses every file once)
+      val specs = dvDels.map { d =>
         val ref = d.referencedDataFile.getOrElse(
           throw new IllegalArgumentException(
             s"puffin delete entry ${d.uri} lacks referenced_data_file"))
@@ -664,23 +660,39 @@ object IcebergImport {
         val size = d.contentSize.getOrElse(
           throw new IllegalArgumentException(
             s"puffin delete entry ${d.uri} lacks content_size_in_bytes"))
-        val blob = footerByFile(d.uri)
-          .find(b => b.offset == off && b.length == size)
-          .getOrElse(throw new IllegalArgumentException(
-            s"${d.uri} has no footer blob at offset $off length " +
-              s"$size — the manifest references a region the puffin " +
-              "file does not declare"))
-        require(blob.blobType == Puffin.DvBlobType,
-          s"${d.uri} blob at offset $off has type '${blob.blobType}' " +
-            s"— only ${Puffin.DvBlobType} is a deletion vector; " +
-            "refusing rather than decoding garbage")
-        val p = new Path(d.uri)
-        val bytes = Puffin.readBlob(p.getFileSystem(conf), p, off, size,
-          blob.compressionCodec)
-        DeltaImport.canonUri(ref) ->
-          Puffin.readDvBlob(bytes, cardinality = Some(d.rows))
-      }
-      df = DvFilter.filterDeleted(spark, df, col(F), col(P), dvs)
+        (d.uri, ref, off, size, d.rows)
+      }.sortBy(_._1)
+      // the per-closure-instance cache is per-TASK after closure
+      // deserialization (and simply per-call on the driver path), so
+      // a puffin file's footer parses once per task, not once per DV
+      val footerCache = scala.collection.mutable.Map
+        .empty[String, Seq[Puffin.BlobMeta]]
+      df = DvFilter.filterDeletedBy(spark, df, col(F), col(P), specs,
+        (t: (String, String, Long, Long, Long)) => {
+          val (uri, ref, off, size, rows) = t
+          val p = new Path(uri)
+          val fs = p.getFileSystem(sconf.value)
+          // the manifest's offset/length are the read plan, but the
+          // footer's own blob metadata is the integrity gate — a blob
+          // at this offset whose declared type is NOT
+          // deletion-vector-v1 (or is compressed) would decode to
+          // garbage row indexes; refuse it loudly
+          val blob = footerCache.synchronized {
+            footerCache.getOrElseUpdate(uri, Puffin.readBlobs(fs, p))
+          }.find(b => b.offset == off && b.length == size)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$uri has no footer blob at offset $off length " +
+                s"$size — the manifest references a region the puffin " +
+                "file does not declare"))
+          require(blob.blobType == Puffin.DvBlobType,
+            s"$uri blob at offset $off has type '${blob.blobType}' " +
+              s"— only ${Puffin.DvBlobType} is a deletion vector; " +
+              "refusing rather than decoding garbage")
+          val bytes = Puffin.readBlob(fs, p, off, size,
+            blob.compressionCodec)
+          DeltaImport.canonUri(ref) ->
+            Puffin.readDvBlob(bytes, cardinality = Some(rows))
+        })
     }
 
     val posDels = tm.deleteEntries.filter(d =>

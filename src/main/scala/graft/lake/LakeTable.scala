@@ -4893,8 +4893,31 @@ final class LakeTable private (
     // reclaimer's commit is exactly the file at HEAD, so nothing is
     // torn. The read-back is one just-written (page-warm) metadata
     // file per commit.
-    val backJson = LakeTable.timed("c.ownership")(
-      scala.util.Try(readString(fs, metaPath)).getOrElse(""))
+    // Only a SUCCESSFUL read returning DIFFERENT content is reclaim
+    // evidence. A transient IO failure here must NOT be treated as
+    // reclaim: the swap already succeeded, so dropNewChunks() would
+    // delete m-* chunks the live HEAD references (corruption) and the
+    // CME would make the retry loop re-commit already-committed rows.
+    // Retry the read briefly; if it keeps failing, propagate the IO
+    // error with the chunks intact (the commit may well be live).
+    val backJson = LakeTable.timed("c.ownership") {
+      var last: Throwable = null
+      var got: String = null
+      var attempt = 0
+      while (got == null && attempt < 3) {
+        try got = readString(fs, metaPath)
+        catch {
+          case e: java.io.IOException =>
+            last = e; attempt += 1
+            if (attempt < 3) Thread.sleep(5L << attempt)
+        }
+      }
+      if (got == null) throw new java.io.IOException(
+        s"table $root: post-swap ownership read-back of v$id failed " +
+          "after the HEAD swap succeeded — the commit may be live; " +
+          "verify before retrying", last)
+      got
+    }
     if (backJson != metaJson) {
       dropNewChunks()
       throw new java.util.ConcurrentModificationException(

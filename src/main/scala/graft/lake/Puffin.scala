@@ -118,7 +118,9 @@ object Puffin {
         s"$path footer flags 0x${flags.toHexString} — compressed " +
           "footer payloads are not supported; refusing rather than " +
           "mis-reading")
-      require(payloadSize >= 0 && payloadSize <= len - 24,
+      // min file = head magic 4 + footer magic 4 + payload +
+      // size/flags/magic 12, so a blob-less file's payload is len-20
+      require(payloadSize >= 0 && payloadSize <= len - 20,
         s"$path footer payload size $payloadSize out of range")
       val payload = new Array[Byte](payloadSize)
       in.readFully(len - 12 - payloadSize, payload)

@@ -58,10 +58,11 @@ class DeltaDvSpec extends AnyFunSuite {
     bm.putShort(99.toShort)      // cardinality - 1
     // n < 4 → NO offset header in the run format
     bm.put(runsPayload.array())
-    val data = ByteBuffer.allocate(12 + bm.capacity())
+    val data = ByteBuffer.allocate(16 + bm.capacity())
       .order(ByteOrder.LITTLE_ENDIAN)
     data.putInt(1681511377)
     data.putLong(1L)
+    data.putInt(0) // u32 LE key of this bitmap
     data.put(bm.array())
     val got = DeltaDv.deserialize(data.array())
     val want = ((10L to 59L) ++ (200L to 249L)).toArray
@@ -82,15 +83,75 @@ class DeltaDvSpec extends AnyFunSuite {
     bm.putShort(0.toShort)
     bm.putShort(5.toShort)
     bm.put(runsPayload.array())
-    val data = ByteBuffer.allocate(12 + bm.capacity())
+    val data = ByteBuffer.allocate(16 + bm.capacity())
       .order(ByteOrder.LITTLE_ENDIAN)
     data.putInt(1681511377)
     data.putLong(1L)
+    data.putInt(0) // u32 LE key of this bitmap
     data.put(bm.array())
     val e = intercept[IllegalArgumentException] {
       DeltaDv.deserialize(data.array())
     }
     assert(e.getMessage.contains("overflows"))
+  }
+
+  test("byte-level fixture pinned to the RoaringFormatSpec 64-bit " +
+      "portable layout delta-spark/delta-rs write: magic, u64 count, " +
+      "u32 key per bitmap, standard 32-bit bitmaps") {
+    // positions {1, 5} in bitmap key 0 and {3} in bitmap key 1
+    val pos = Array(1L, 5L, (1L << 32) + 3L)
+    val exp = ByteBuffer.allocate(4 + 8 + (4 + 20) + (4 + 18))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    exp.putInt(1681511377) // RoaringBitmapArray portable magic
+    exp.putLong(2L)        // number of serialized bitmaps
+    exp.putInt(0)          // key of bitmap 0
+    exp.putInt(12346)      //   no-run cookie
+    exp.putInt(1)          //   container count
+    exp.putShort(0.toShort); exp.putShort(1.toShort) // key, card-1
+    exp.putInt(16)         //   offset of container 0 (within bitmap)
+    exp.putShort(1.toShort); exp.putShort(5.toShort) // array values
+    exp.putInt(1)          // key of bitmap 1
+    exp.putInt(12346)
+    exp.putInt(1)
+    exp.putShort(0.toShort); exp.putShort(0.toShort)
+    exp.putInt(16)
+    exp.putShort(3.toShort)
+    assert(DeltaDv.serialize(pos).toSeq == exp.array().toSeq,
+      "serialized bytes must match the spec layout exactly")
+    assert(DeltaDv.deserialize(exp.array()).toSeq == pos.toSeq)
+  }
+
+  test("sparse bitmap keys honored on deserialize; out-of-order keys " +
+      "refuse") {
+    // one serialized bitmap at key 2 holding {7} → row (2<<32)|7
+    def oneBitmap(key: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 8 + 4 + 18)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377); bb.putLong(1L)
+      bb.putInt(key)
+      bb.putInt(12346); bb.putInt(1)
+      bb.putShort(0.toShort); bb.putShort(0.toShort)
+      bb.putInt(16)
+      bb.putShort(7.toShort)
+      bb.array()
+    }
+    assert(DeltaDv.deserialize(oneBitmap(2)).toSeq ==
+      Seq((2L << 32) | 7L))
+    // two bitmaps with keys 1 then 0 refuse
+    val two = ByteBuffer.allocate(4 + 8 + 2 * (4 + 18))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    two.putInt(1681511377); two.putLong(2L)
+    Seq(1, 0).foreach { k =>
+      two.putInt(k)
+      two.putInt(12346); two.putInt(1)
+      two.putShort(0.toShort); two.putShort(0.toShort)
+      two.putInt(16)
+      two.putShort(7.toShort)
+    }
+    val e = intercept[IllegalArgumentException] {
+      DeltaDv.deserialize(two.array())
+    }
+    assert(e.getMessage.contains("out of order"))
   }
 
   test("descriptor uniqueId follows delta-spark's reconciliation key " +
@@ -107,7 +168,9 @@ class DeltaDvSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("magic"))
     val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(1681511377); bb.putLong(1L); bb.putInt(999)
+    bb.putInt(1681511377); bb.putLong(1L)
+    bb.putInt(0)   // key
+    bb.putInt(999) // bad cookie
     val e2 = intercept[IllegalArgumentException] {
       DeltaDv.deserialize(bb.array())
     }

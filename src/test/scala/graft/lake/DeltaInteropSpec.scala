@@ -689,6 +689,18 @@ class DeltaInteropSpec extends AnyFunSuite {
     val imp = DeltaImport.importTable(spark, s"$base/delta",
       s"$base/copy")
     assert(rows(imp.scan()) == rows(lt.scan()))
+
+    // EXECUTOR-SIDE decode parity: force the distributed path (driver
+    // threshold 0) — same rows, and the DV bytes never aggregate on
+    // the driver
+    spark.conf.set("spark.graft.lake.dv-decode-driver-max-files", "0")
+    try {
+      assert(rows(DeltaImport.scan(spark, s"$base/delta")) ==
+        rows(lt.scan()))
+    } finally {
+      spark.conf.unset("spark.graft.lake.dv-decode-driver-max-files")
+      spark.catalog.clearCache()
+    }
   }
 
   test("hostile DV logs refuse: DV add under a v1 protocol, unknown " +
@@ -934,6 +946,54 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaImport.scan(spark, s"$base/t").collect()
       .map(_.get(0).toString).toSeq ==
       Seq("2021-01-03T04:05:06"))
+  }
+
+  test("variantType reader feature: VARIANT columns read natively " +
+      "(unshredded metadata+value pair); variantShredding-preview " +
+      "refuses; field extraction and distributed-decode parity hold") {
+    val base = TestSpark.tmpDir("delta-variant")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    spark.sql("SELECT id, parse_json(to_json(named_struct(" +
+        "'k', id * 10, 's', concat('v', id)))) v FROM range(5)")
+      .coalesce(1).write.parquet(s"$base/files/f1")
+    val st0 = fs.listStatus(new Path(s"$base/files/f1"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.VariantType))).json
+    def mkLog(dir: String, feats: String): Unit = {
+      fs.mkdirs(new Path(s"$dir/_delta_log"))
+      LakeTable.writeStringExclusive(fs,
+        new Path(s"$dir/_delta_log/00000000000000000000.json"),
+        Seq(
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$feats,"writerFeatures":$feats}}""",
+          s"""{"metaData":{"id":"var","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+          s"""{"add":{"path":${jstr(st0.getPath.toUri.toString)},"partitionValues":{},"size":${st0.getLen},"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n"))
+    }
+    mkLog(s"$base/t", """["variantType"]""")
+    val st = DeltaImport.state(spark, s"$base/t", None)
+    assert(st.schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val got = DeltaImport.scan(spark, s"$base/t")
+      .selectExpr("id", "variant_get(v, '$.k', 'long')",
+        "variant_get(v, '$.s', 'string')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == (0L until 5L).map(i => (i, i * 10, s"v$i")).toSet)
+    // a SHREDDED variant table scatters typed sub-columns this reader
+    // does not reassemble — refuse by feature name
+    mkLog(s"$base/shred",
+      """["variantType","variantShredding-preview"]""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.state(spark, s"$base/shred", None)
+    }
+    assert(e.getMessage.contains("variantShredding-preview"))
   }
 
   test("typeWidening: pre-widening files read natively under the wide " +

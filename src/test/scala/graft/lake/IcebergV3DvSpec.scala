@@ -124,6 +124,17 @@ class IcebergV3DvSpec extends AnyFunSuite {
     sn2.next()
     assert(sn2.next().path("first-row-id").asLong() == next1)
     assert(rows(IcebergImport.scan(spark, meta2)) == rows(lt.scan()))
+
+    // EXECUTOR-SIDE puffin decode parity: force the distributed path
+    // (driver threshold 0) — footer gate + blob decode run in tasks,
+    // same rows back
+    spark.conf.set("spark.graft.lake.dv-decode-driver-max-files", "0")
+    try {
+      assert(rows(IcebergImport.scan(spark, meta2)) == rows(lt.scan()))
+    } finally {
+      spark.conf.unset("spark.graft.lake.dv-decode-driver-max-files")
+      spark.catalog.clearCache()
+    }
   }
 
   test("SQL surface: CALL system.export_iceberg(tbl, dir, snapshot, " +

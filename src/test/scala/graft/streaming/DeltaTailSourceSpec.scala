@@ -201,6 +201,65 @@ class DeltaTailSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DV diff"))
   }
 
+  test("CDF hygiene: a vacuumed remove refuses at plan time with the " +
+      "version named; a historical range reads under the state AS OF " +
+      "its end, not the latest schema") {
+    import graft.lake.DeltaImport
+    val base = TestSpark.tmpDir("deltatail-cdf2")
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    def mkLog(dir: String): (String, Long) = {
+      Seq((5L, "e")).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$dir/files/f")
+      val fPart = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$dir/files/f"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/t/_delta_log"))
+      (fPart.getPath.toUri.toString, fPart.getLen)
+    }
+    def wv(dir: String, v: Long, lines: Seq[String]): Unit =
+      LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(
+        s"$dir/t/_delta_log/" + f"$v%020d.json"),
+        lines.mkString("", "\n", "\n"))
+    val meta = s"""{"metaData":{"id":"h","format":{"provider":"parquet","options":{}},"schemaString":${jstr(Seq((1L, "a")).toDF("id", "v").schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}"""
+
+    // leg 1: remove at v1, then vacuum the data file away
+    val d1 = s"$base/vac"
+    val (uri1, len1) = mkLog(d1)
+    wv(d1, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta,
+      s"""{"add":{"path":${jstr(uri1)},"partitionValues":{},"size":$len1,"modificationTime":1,"dataChange":true}}"""))
+    wv(d1, 1L, Seq(
+      s"""{"remove":{"path":${jstr(uri1)},"deletionTimestamp":1,"dataChange":true}}"""))
+    fs.delete(new org.apache.hadoop.fs.Path(uri1), false)
+    val eVac = intercept[IllegalArgumentException] {
+      DeltaImport.changeScan(spark, s"$d1/t", 0L, Some(1L))
+    }
+    assert(eVac.getMessage.contains("version 1") &&
+      eVac.getMessage.contains("vacuumed"))
+
+    // leg 2: schema evolves AFTER the queried range — the range's
+    // rows must come back under the schema AS OF hi, not nulls/errors
+    // under the renamed latest schema
+    val d2 = s"$base/hist"
+    val (uri2, len2) = mkLog(d2)
+    wv(d2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta,
+      s"""{"add":{"path":${jstr(uri2)},"partitionValues":{},"size":$len2,"modificationTime":1,"dataChange":true}}"""))
+    val renamed = s"""{"metaData":{"id":"h","format":{"provider":"parquet","options":{}},"schemaString":${jstr(Seq((1L, "a")).toDF("id2", "v2").schema.json)},"partitionColumns":[],"configuration":{},"createdTime":2}}"""
+    wv(d2, 1L, Seq(renamed))
+    val hist = DeltaImport.changeScan(spark, s"$d2/t", -1L, Some(0L))
+    assert(hist.columns.take(2).toSeq == Seq("id", "v"),
+      "historical range must carry the schema as of its end version")
+    assert(hist.select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet == Set((5L, "e", "insert", 0L)))
+  }
+
   test("a removing version fails the stream loudly (append-only " +
       "contract, same as the batch incremental read)") {
     val base = TestSpark.tmpDir("deltatail-rm")
