@@ -120,6 +120,10 @@ object ScaleSmoke {
       deltaPlanSmoke(args.lift(1).map(_.toInt).getOrElse(100000))
       return
     }
+    if (args.headOption.contains("dv-import")) {
+      dvImportSmoke(args.lift(1).map(_.toInt).getOrElse(100000))
+      return
+    }
     if (args.headOption.contains("dedup-corpus")) {
       dedupCorpusSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -1694,6 +1698,61 @@ object ScaleSmoke {
       (sid, ds.size, ds(ds.size / 2), ds.last)
     }.sortBy(-_._4)
     (r, rows)
+  }
+
+  /** `dv-import [maxFiles]`: the foreign-DV decode path at 10⁵
+    * DV-bearing files — the shape that used to be a sequential driver
+    * loop (10⁵ fs round-trips + an ungated driver heap of bitmaps).
+    * Specs are real spec-encoded inline ('i', Z85 RoaringBitmapArray)
+    * deletion vectors; past the driver threshold
+    * [[graft.lake.DvFilter.filterDeletedBy]] decodes them INSIDE
+    * executor tasks and ships back one packed-words row per file, so
+    * driver time stays flat in the file count (plan build is spec
+    * construction only). One spec targets a real parquet file and
+    * must drop exactly its marked rows; the rest are phantom paths
+    * the left join passes through. */
+  private def dvImportSmoke(maxFiles: Int): Unit = {
+    val spark = smokeSession("graft-dv-import-smoke")
+    import graft.lake.{DeltaDv, DvFilter}
+    val work = Files.createTempDirectory("graft-dvimp").toString
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .write.parquet(s"$work/data")
+    val df = spark.read.parquet(s"$work/data")
+    val realKey = df.select(org.apache.spark.sql.functions
+        .input_file_name()).head.getString(0)
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    Seq(maxFiles / 10, maxFiles).foreach { n =>
+      var t0 = System.nanoTime()
+      val specs = (0 until n).map { i =>
+        val positions =
+          if (i == 0) Array(1L, 5L, 7L, 9L) // the real file: drop 4 rows
+          else Array(i.toLong % 97, 100L + i % 11) // phantom files
+        val data = DeltaDv.serialize(positions.distinct.sorted)
+        (if (i == 0) realKey else s"/phantom/f$i.parquet",
+          DeltaDv.Descriptor("i", DeltaDv.z85Encode(data), None,
+            data.length, positions.distinct.length.toLong))
+      }
+      val specMs = (System.nanoTime() - t0) / 1e6
+      t0 = System.nanoTime()
+      val filtered = DvFilter.filterDeletedBy(spark, df,
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
+        org.apache.spark.sql.functions.col("_metadata.row_index"),
+        specs.toSeq,
+        (t: (String, DeltaDv.Descriptor)) =>
+          t._1 -> DeltaDv.read(null, "/", t._2))
+      val planMs = (System.nanoTime() - t0) / 1e6
+      t0 = System.nanoTime()
+      val cnt = filtered.count()
+      val execMs = (System.nanoTime() - t0) / 1e6
+      require(cnt == 996L, s"expected 996 surviving rows, got $cnt")
+      spark.catalog.clearCache()
+      println(f"[dv-import] $n%,d DV files: spec build $specMs%.0f " +
+        f"ms, plan (decode ${if (n > 1024) "distributed" else
+          "driver"}) $planMs%.0f ms, execute $execMs%.0f ms; " +
+        "count exact; PASS")
+    }
   }
 
   /** `substr-skew [nDocs]`: the exact-substring verify stage's hot-gram

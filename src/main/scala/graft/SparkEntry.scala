@@ -1094,6 +1094,47 @@ WHEN NOT MATCHED THEN INSERT *
           atSnapshot = Some(snapV1)), "v1"))
     }),
 
+    "q_iceberg_v3_defaults" -> ((s, dir) => {
+      // ICEBERG V3 initial-defaults: a foreign v3 table ADDED a
+      // required column with an `initial-default` after its data
+      // files were written (the mandatory v3 shape — required columns
+      // can only be added with a default). The fixture exports the
+      // orders table, then rewrites the metadata to v3 with a new
+      // required int column `priority` defaulting to 3 — every data
+      // file predates it, so the engine-free reader must synthesize
+      // the default for every row, including under scanWhere's
+      // row-level predicate (the 'hot' leg filters ON the defaulted
+      // column, proving filters see the synthesized values).
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-icev3def")
+      val lt = LakeTable.create(s, s"$base/orders", orders.schema)
+      lt.append(orders)
+      val meta0 = graft.lake.IcebergExport.export(lt, s"$base/ice")
+      val hconf = s.sessionState.newHadoopConf()
+      val fsys = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(hconf)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(graft.lake.LakeTable.readString(fsys,
+          new org.apache.hadoop.fs.Path(meta0)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("format-version", 3)
+      node.path("schemas").elements().next()
+        .path("fields").asInstanceOf[
+          com.fasterxml.jackson.databind.node.ArrayNode]
+        .add(m.readTree("""{"id":999,"name":"priority","required":true,"type":"int","initial-default":3}"""))
+      val meta = new org.apache.hadoop.fs.Path(base, "v3-defaults.json")
+      graft.lake.LakeTable.writeStringExclusive(fsys, meta,
+        m.writeValueAsString(node))
+      def shape(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("priority"), lit(src).as("src"))
+      shape(graft.lake.IcebergImport.scan(s, meta.toString), "all")
+        .unionAll(shape(graft.lake.IcebergImport.scanWhere(s,
+          meta.toString, col("priority") === 3 &&
+            col("o_orderkey") % 4 === 0), "hot"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // storage-partitioned join: both tables bucketed with Spark's own
       // bucket-id function on their join key, files carrying the
@@ -3882,6 +3923,20 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice, 'v1' AS src
         |FROM orders WHERE o_orderkey % 9 <> 5""".stripMargin,
+
+    // v3 initial-defaults: every data file predates the required
+    // `priority` column, so every row synthesizes the default — the
+    // oracle is the plain projection plus the constant
+    "q_iceberg_v3_defaults" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice,
+        | 3 AS priority, 'all' AS src
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | round(o_totalprice, 2) AS o_totalprice,
+        | 3 AS priority, 'hot' AS src
+        |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin,
 
     // deletion vectors are a pure REPRESENTATION change: the oracle is
     // the predicate algebra of the four deletes + the urgent-price

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * packed-words row per file coming back) once the file count exceeds
   * `spark.graft.lake.dv-decode-driver-max-files` (default 1024);
   * below it the driver decode avoids the extra Spark job. */
-private[lake] object DvFilter {
+private[graft] object DvFilter {
 
   private val dvSchema = StructType(Seq(
     StructField("__gdv_file", StringType, nullable = false),

@@ -451,7 +451,15 @@ object IcebergExport {
          |{"name":"value_counts","type":["null",${kvMap("k119_v120", 119, 120, "long")}],"default":null,"field-id":109},
          |{"name":"null_value_counts","type":["null",${kvMap("k121_v122", 121, 122, "long")}],"default":null,"field-id":110},
          |{"name":"lower_bounds","type":["null",${kvMap("k126_v127", 126, 127, "bytes")}],"default":null,"field-id":125},
-         |{"name":"upper_bounds","type":["null",${kvMap("k129_v130", 129, 130, "bytes")}],"default":null,"field-id":128}
+         |{"name":"upper_bounds","type":["null",${kvMap("k129_v130", 129, 130, "bytes")}],"default":null,"field-id":128}${
+           // v3 row lineage: the file's EXPLICIT first_row_id (spec
+           // field-id 142) — written whenever graft tracks a lineage
+           // block for the file, so importers resolve _row_id without
+           // implementing snapshot/manifest inheritance
+           if (formatVersion == 3)
+             """,
+         |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142}"""
+           else ""}
          |]}}]}""".stripMargin)
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
@@ -571,6 +579,9 @@ object IcebergExport {
         df.put("partition", pr)
         df.put("record_count", Long.box(info.rows))
         df.put("file_size_in_bytes", Long.box(info.bytes))
+        if (formatVersion == 3)
+          info.firstRowId.foreach(r =>
+            df.put("first_row_id", Long.box(r)))
         val stats = snap.fileStats.getOrElse(rel, Map.empty)
         if (stats.nonEmpty) {
           val dfSchema = entrySchema.getField("data_file").schema()

@@ -69,7 +69,11 @@ object IcebergImport {
         * pruned by set-membership against equality/IN literals using
         * the iceberg-spec hash (range reasoning is unsound for a
         * hash). */
-      buckets: Seq[(String, Int, Long)] = Nil)
+      buckets: Seq[(String, Int, Long)] = Nil,
+      /** v3 row lineage: the file's explicit `first_row_id` (spec
+        * field-id 142) — row N of the file has
+        * `_row_id = firstRowId + N`. */
+      firstRowId: Option[Long] = None)
 
   /** One delete artifact: content 1 = position deletes (parquet
     * (file_path, pos) rows, or — format-version 3 — a puffin
@@ -86,7 +90,11 @@ object IcebergImport {
   final case class TableMeta(schema: StructType,
       topIdToName: Map[Int, String],
       dataEntries: Seq[DataEntry], deleteEntries: Seq[DeleteEntry],
-      snapshotId: Long)
+      snapshotId: Long,
+      /** v3 `initial-default`s of the read schema's REQUIRED fields
+        * (column → Spark literal value): pre-evolution files read the
+        * column as NULL, which the scan coalesces to the default. */
+      defaults: Seq[(String, Any)] = Nil)
 
   /** Strip `scheme://authority` variance so paths written by different
     * qualifiers compare equal: `file:/t/x`, `file:///t/x` → `/t/x`;
@@ -181,26 +189,14 @@ object IcebergImport {
     require(formatVersion == 2 || formatVersion == 3,
       s"$metadataJsonPath: format-version $formatVersion is not " +
         "readable (v2 and v3 are) — refusing rather than mis-reading")
-    if (formatVersion == 3) {
-      // v3 DEFAULT VALUES: a field added with `initial-default` reads
-      // as that default from files written before it — scanning
-      // naively returns NULLs instead. Refuse until implemented.
-      def hasDefault(n: JsonNode): Boolean =
-        n.path("fields").elements().asScala.exists { f =>
-          f.hasNonNull("initial-default") ||
-            (f.path("type").isObject && hasDefault(f.path("type"))) ||
-            (f.path("type").isObject &&
-              Seq("element", "key", "value").exists(k =>
-                f.path("type").path(k).isObject &&
-                  hasDefault(f.path("type").path(k))))
-        }
-      val defaulted = meta.path("schemas").elements().asScala
-        .filter(hasDefault)
-      require(defaulted.isEmpty,
-        s"$metadataJsonPath: a v3 schema declares field " +
-          "initial-default values, which this reader does not apply — " +
-          "refusing rather than returning NULL for defaulted columns")
-    }
+    // v3 DEFAULT VALUES are handled at schema parse below: a
+    // REQUIRED top-level field's `initial-default` applies exactly
+    // via coalesce (required ⇒ no legitimate stored NULL anywhere, so
+    // only pre-evolution files — which read the column as NULL —
+    // take the default). Optional-with-default and NESTED defaults
+    // still refuse: distinguishing a genuine stored NULL from a
+    // missing column needs per-file footer attribution this reader
+    // does not do, and a coalesce would clobber real NULLs.
     val snapId = atSnapshot.getOrElse(
       meta.path("current-snapshot-id").asLong())
     val snapNode = meta.path("snapshots").elements().asScala
@@ -222,6 +218,37 @@ object IcebergImport {
       StructField(f.path("name").asText(), sparkType(f.path("type")),
         !f.path("required").asBoolean())
     }.toArray)
+    // v3 initial-defaults on the schema BEING READ (see the gate note
+    // above): required + primitive applies, everything else refuses
+    def nestedHasDefault(n: JsonNode): Boolean =
+      n.path("fields").elements().asScala.exists { f =>
+        f.hasNonNull("initial-default") ||
+          (f.path("type").isObject && (nestedHasDefault(f.path("type")) ||
+            Seq("element", "key", "value").exists(k =>
+              f.path("type").path(k).isObject &&
+                nestedHasDefault(f.path("type").path(k)))))
+      }
+    val defaults = fields.flatMap { f =>
+      val name = f.path("name").asText()
+      require(!f.path("type").isObject ||
+          (!nestedHasDefault(f.path("type")) &&
+            Seq("element", "key", "value").forall(k =>
+              !f.path("type").path(k).isObject ||
+                !nestedHasDefault(f.path("type").path(k)))),
+        s"$metadataJsonPath: field $name declares NESTED " +
+          "initial-default values, which this reader does not apply " +
+          "— refusing rather than returning NULL for defaulted fields")
+      if (!f.hasNonNull("initial-default")) None
+      else {
+        require(f.path("required").asBoolean(),
+          s"$metadataJsonPath: OPTIONAL field $name declares an " +
+            "initial-default — applying it needs per-file column " +
+            "attribution (a stored NULL must stay NULL); refusing " +
+            "rather than clobbering genuine NULLs")
+        Some(name -> defaultLiteral(name, schema(name).dataType,
+          f.path("initial-default"), metadataJsonPath))
+      }
+    }
     val topIdToName = fields.map(f =>
       f.path("id").asInt() -> f.path("name").asText()).toMap
     val topNameToId = topIdToName.map(_.swap)
@@ -300,9 +327,12 @@ object IcebergImport {
               }
             }
             // real file bounds (attained, tighter) win over derived
+            val fri = Option(df.getSchema.getField("first_row_id"))
+              .flatMap(_ => Option(df.get("first_row_id")))
+              .map(_.asInstanceOf[Long])
             data += DataEntry(uri, rows, seq, ident,
               derived.toMap ++ entryStats(df, topIdToName, schema),
-              buckets.result())
+              buckets.result(), fri)
           } else {
             val ids = Option(df.getSchema.getField("equality_ids"))
               .flatMap(_ => Option(df.get("equality_ids")))
@@ -325,7 +355,32 @@ object IcebergImport {
         }
       }
     }
-    TableMeta(schema, topIdToName, data.result(), dels.result(), snapId)
+    TableMeta(schema, topIdToName, data.result(), dels.result(), snapId,
+      defaults)
+  }
+
+  /** One Iceberg JSON single-value (the spec's `initial-default`
+    * serialization) → a Spark literal value of `dt`. Refuses types
+    * with no exact mapping (binary/fixed/uuid/time/nested) rather
+    * than guessing an encoding. */
+  private def defaultLiteral(name: String, dt: DataType, n: JsonNode,
+      where: String): Any = dt match {
+    case BooleanType if n.isBoolean => n.asBoolean()
+    case IntegerType if n.isNumber => n.asInt()
+    case LongType if n.isNumber => n.asLong()
+    case FloatType if n.isNumber => n.asDouble().toFloat
+    case DoubleType if n.isNumber => n.asDouble()
+    case StringType if n.isTextual => n.asText()
+    case _: DecimalType => new java.math.BigDecimal(n.asText())
+    case DateType if n.isTextual => java.sql.Date.valueOf(n.asText())
+    case TimestampNTZType if n.isTextual =>
+      java.time.LocalDateTime.parse(n.asText())
+    case TimestampType if n.isTextual =>
+      java.time.OffsetDateTime.parse(n.asText()).toInstant
+    case other => throw new IllegalArgumentException(
+      s"$where: field $name has an initial-default of unmappable " +
+        s"type $other (value $n) — refusing rather than guessing " +
+        "an encoding")
   }
 
   private def unwrapAvro(v: AnyRef): AnyRef = v match {
@@ -477,10 +532,11 @@ object IcebergImport {
     * federation: nothing is written; the Iceberg table is queried in
     * place. */
   def scan(spark: SparkSession, metadataJsonPath: String,
-      atSnapshot: Option[Long] = None): DataFrame = {
+      atSnapshot: Option[Long] = None,
+      withRowLineage: Boolean = false): DataFrame = {
     val tm = load(metadataJsonPath,
       spark.sessionState.newHadoopConf(), atSnapshot)
-    scanEntries(spark, tm, tm.dataEntries)
+    scanEntries(spark, tm, tm.dataEntries, withRowLineage)
   }
 
   /** [[scan]] with manifest-stats file pruning: files whose exported
@@ -571,10 +627,19 @@ object IcebergImport {
   }
 
   private def scanEntries(spark: SparkSession, tm: TableMeta,
-      entries: Seq[DataEntry]): DataFrame = {
+      entries: Seq[DataEntry],
+      withRowLineage: Boolean = false): DataFrame = {
+    val outSchema =
+      if (!withRowLineage) tm.schema
+      else StructType(tm.schema.fields :+
+        StructField("_row_id", LongType, nullable = false))
+    if (withRowLineage)
+      require(!tm.schema.fieldNames.contains("_row_id"),
+        "_row_id is the reserved v3 lineage column — a table whose " +
+          "declared schema already names it cannot lineage-read")
     if (entries.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], tm.schema)
+        spark.sparkContext.emptyRDD[Row], outSchema)
     // double-underscore suffixes so a partition column literally named
     // "f"/"p"/"seq" can never collide with the identity-value columns
     // (__ice_<col>) joined below
@@ -586,9 +651,11 @@ object IcebergImport {
     val identCols: Seq[String] =
       entries.flatMap(_.identity.keys).distinct
         .filter(c => tm.schema.fieldNames.contains(c))
+    val FRI = "__ice_fri__"
     val infoSchema = StructType(
       StructField(F, StringType, nullable = false) +:
       StructField(SEQ, LongType, nullable = false) +:
+      StructField(FRI, LongType, nullable = true) +:
       identCols.map(c =>
         tm.schema(c).copy(name = s"__ice_$c", nullable = true)))
     // CANONICAL (URL-encoded) key — `_metadata.file_path` reports the
@@ -597,6 +664,7 @@ object IcebergImport {
     // makes the join exact for paths with hive-escaped characters
     val infoRows = entries.map { e =>
       Row.fromSeq(DeltaImport.canonUri(e.uri) +: e.seq +:
+        e.firstRowId.map(Long.box).orNull +:
         identCols.map(c =>
           externalValue(tm.schema(c).dataType,
             e.identity.getOrElse(c, null))))
@@ -617,7 +685,15 @@ object IcebergImport {
       .map(_.toLong).getOrElse(1L << 30)
     val infoSide = if (infoBytes <= maxBytes) broadcast(info) else info
 
-    var df = spark.read.schema(tm.schema)
+    // lineage reads also project the MATERIALIZED _row_id column:
+    // v3 rewrites (compaction, COW) must persist each row's id
+    // physically — files lacking the column (original appends) read
+    // it as NULL and resolve positionally below
+    val readSchema =
+      if (!withRowLineage) tm.schema
+      else StructType(tm.schema.fields :+
+        StructField("_row_id", LongType, nullable = true))
+    var df = spark.read.schema(readSchema)
       .parquet(entries.map(_.uri): _*)
       .withColumn(F, normUriCol(col("_metadata.file_path")))
       .withColumn(P, col("_metadata.row_index"))
@@ -626,6 +702,14 @@ object IcebergImport {
     // files may or may not store them — prefer the stored value)
     identCols.foreach(c =>
       df = df.withColumn(c, coalesce(col(c), col(s"__ice_$c"))))
+    // v3 initial-defaults (required fields only — load() gates): a
+    // pre-evolution file reads the column as NULL; the cast pins the
+    // exact decimal/timestamp type. Applied BEFORE scanWhere's
+    // row-level predicate, so filters see the defaulted values.
+    tm.defaults.foreach { case (c, v) =>
+      df = df.withColumn(c,
+        coalesce(col(c), lit(v).cast(tm.schema(c).dataType)))
+    }
 
     tm.deleteEntries.foreach { d =>
       require((d.content == 1 && (d.format == "parquet" ||
@@ -748,7 +832,21 @@ object IcebergImport {
         df = df.join(delDf, cond, "left_anti")
       }
 
-    df.select(tm.schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (!withRowLineage)
+      df.select(tm.schema.fieldNames.map(col).toIndexedSeq: _*)
+    else
+      // the v3 resolution rule: a MATERIALIZED _row_id column wins
+      // (rewritten files persist ids physically — positions there
+      // mean nothing); otherwise first_row_id + position. A row with
+      // NEITHER has no resolvable id — raise rather than return wrong
+      // lineage. Survives the DV/position/equality anti-joins above:
+      // each row keeps its ordinal within its ORIGINAL file.
+      df.select(tm.schema.fieldNames.map(col).toIndexedSeq :+
+        coalesce(col("_row_id"), col(FRI) + col(P),
+          raise_error(concat(lit("file "), col(F), lit(
+            " has neither a materialized _row_id column nor an " +
+              "explicit first_row_id manifest field — row lineage " +
+              "is unresolvable"))).cast(LongType)).as("_row_id"): _*)
   }
 
   /** INCREMENTAL read over a published snapshot history: the rows

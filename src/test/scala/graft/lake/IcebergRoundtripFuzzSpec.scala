@@ -23,7 +23,7 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def run(seed: Int, steps: Int, partitioned: Boolean,
-      formatVersion: Int = 2): Unit = {
+      formatVersion: Int = 2, lineage: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val base = Seq((0L, "", 0L)).toDF("id", "v", "g")
     val t = LakeTable.create(spark,
@@ -31,7 +31,9 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
       partitionBy = if (partitioned) Seq("g") else Nil,
       properties = Map(
         LakeTable.PROP_DELETE_MODE -> "merge-on-read",
-        LakeTable.PROP_MERGE_MODE -> "merge-on-read"))
+        LakeTable.PROP_MERGE_MODE -> "merge-on-read") ++
+        (if (lineage) Map(LakeTable.PROP_ROW_LINEAGE -> "true")
+         else Map.empty))
     val model = scala.collection.mutable.Map.empty[Long, String]
     var nextId = 0L
     def df(rows: Seq[(Long, String)]) =
@@ -97,6 +99,22 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
             s"rows vs model ${want.size}; " +
             s"extra=${(got.keySet -- want.keySet).take(5)}, " +
             s"missing=${(want.keySet -- got.keySet).take(5)}")
+        if (lineage && formatVersion == 3) {
+          // L37 round-trip: the importer's _row_id (materialized
+          // column ∪ first_row_id + position) must equal graft's own
+          // lineage scan, row for row
+          val gotIds = IcebergImport.scan(spark, meta,
+              withRowLineage = true)
+            .select("id", "_row_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val wantIds = t.scanWithLineage()
+            .select("id", "_row_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(gotIds == wantIds,
+            s"seed $seed step $step lineage diverged: " +
+              (gotIds.toSet -- wantIds.toSet).take(5).toString +
+              " vs " + (wantIds.toSet -- gotIds.toSet).take(5))
+        }
       }
     }
     assert(exports >= steps / 5)
@@ -123,5 +141,12 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
   test("random artifact states export + import model-exact as V3 " +
       "(seed 29, identity-partitioned)") {
     run(29, 25, partitioned = true, formatVersion = 3)
+  }
+
+  test("random artifact states round-trip ROW LINEAGE as V3 " +
+      "(seed 57): imported _row_id ≡ graft's L37 scan at every " +
+      "export point") {
+    run(57, 25, partitioned = false, formatVersion = 3,
+      lineage = true)
   }
 }

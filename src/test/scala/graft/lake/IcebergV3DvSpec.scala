@@ -187,14 +187,17 @@ class IcebergV3DvSpec extends AnyFunSuite {
       assert(e.getMessage.contains(s"format-version $v"))
     }
 
-    // v3 schema with initial-default refuses (this reader would
-    // silently return NULL for the defaulted column)
+    // v3 schema with initial-default on an OPTIONAL field refuses (a
+    // stored NULL must stay NULL — applying the default would clobber
+    // it; required-field defaults APPLY, see the defaults test below)
     val pDefault = rewriteMeta { n =>
       n.put("format-version", 3)
-      n.path("schemas").elements().next()
-        .path("fields").elements().next()
+      val it = n.path("schemas").elements().next()
+        .path("fields").elements()
+      it.next() // id (required — defaults on it apply, skip)
+      it.next() // v: optional string
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        .put("initial-default", 42)
+        .put("initial-default", "zz")
     }
     val eDef = intercept[IllegalArgumentException] {
       IcebergImport.load(pDefault, hconf)
@@ -254,5 +257,69 @@ class IcebergV3DvSpec extends AnyFunSuite {
     }
     assert(eRegion.getMessage.contains("does not declare") ||
       eRegion.getMessage.contains("no footer blob"))
+  }
+
+  test("v3 initial-defaults: a REQUIRED defaulted column reads as the " +
+      "default from pre-evolution files (and through scanWhere); " +
+      "optional-with-default, nested, and unmappable-type defaults " +
+      "refuse") {
+    val base = TestSpark.tmpDir("ice-v3-defaults")
+    val src = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+    val fs = new Path(base).getFileSystem(hconf)
+    val m = Snapshot.mapper
+    val lt = LakeTable.create(spark, s"$base/t", src.schema)
+    lt.append(src)
+    val meta = IcebergExport.export(lt, s"$base/ice")
+    def withField(extra: String): String = {
+      val node = m.readTree(LakeTable.readString(fs, new Path(meta)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("format-version", 3)
+      node.path("schemas").elements().next()
+        .path("fields").asInstanceOf[
+          com.fasterxml.jackson.databind.node.ArrayNode]
+        .add(m.readTree(extra))
+      val out = new Path(base, s"meta-${System.nanoTime()}.json")
+      LakeTable.writeStringExclusive(fs, out, m.writeValueAsString(node))
+      out.toString
+    }
+    // the data files PREDATE the column entirely — every row reads 42
+    val pInt = withField("""{"id":99,"name":"flag","required":true,"type":"int","initial-default":42}""")
+    val tm = IcebergImport.load(pInt, hconf)
+    assert(tm.defaults == Seq("flag" -> 42))
+    val got = IcebergImport.scan(spark, pInt)
+      .select("id", "flag").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == (1L to 50L).map(i => (i, 42)).toSet)
+    // filters see the defaulted value (applied before the row filter)
+    assert(IcebergImport.scanWhere(spark, pInt,
+      col("flag") === 42).count() == 50L)
+    assert(IcebergImport.scanWhere(spark, pInt,
+      col("flag") === 7).count() == 0L)
+    // typed defaults: date and decimal pin the exact type
+    val pDate = withField("""{"id":98,"name":"d0","required":true,"type":"date","initial-default":"2024-02-29"}""")
+    assert(IcebergImport.scan(spark, pDate).select("d0").distinct()
+      .collect().map(_.getDate(0).toString).toSeq == Seq("2024-02-29"))
+    val pDec = withField("""{"id":97,"name":"m0","required":true,"type":"decimal(10,2)","initial-default":"12.34"}""")
+    val dec = IcebergImport.scan(spark, pDec).select("m0").distinct()
+      .collect().map(_.getDecimal(0))
+    assert(dec.map(_.toPlainString).toSeq == Seq("12.34"))
+    // optional-with-default refuses (a stored NULL must stay NULL)
+    val pOpt = withField("""{"id":96,"name":"o0","required":false,"type":"int","initial-default":1}""")
+    val eOpt = intercept[IllegalArgumentException] {
+      IcebergImport.load(pOpt, hconf)
+    }
+    assert(eOpt.getMessage.contains("OPTIONAL"))
+    // unmappable default type refuses by name
+    val pBin = withField("""{"id":95,"name":"b0","required":true,"type":"binary","initial-default":"0xDEAD"}""")
+    val eBin = intercept[IllegalArgumentException] {
+      IcebergImport.load(pBin, hconf)
+    }
+    assert(eBin.getMessage.contains("unmappable"))
+    // nested defaults refuse
+    val pNest = withField("""{"id":94,"name":"s0","required":true,"type":{"type":"struct","fields":[{"id":93,"name":"x","required":true,"type":"int","initial-default":5}]}}""")
+    val eNest = intercept[IllegalArgumentException] {
+      IcebergImport.load(pNest, hconf)
+    }
+    assert(eNest.getMessage.contains("NESTED"))
   }
 }
