@@ -122,7 +122,11 @@ object IcebergImport {
       case "timestamptz" => TimestampType
       case "timestamp" => TimestampNTZType
       case "binary" => BinaryType
-      case "uuid" => StringType
+      // uuid is parquet fixed_len_byte_array(16) + UUID annotation —
+      // Spark has no uuid type and FAILS a StringType read against it
+      // (measured: PARQUET_COLUMN_DATA_TYPE_MISMATCH); BinaryType
+      // reads the 16 bytes exactly, so that is the faithful mapping
+      case "uuid" => BinaryType
       case s if s.startsWith("decimal(") =>
         val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
           .split(',').map(_.trim.toInt)

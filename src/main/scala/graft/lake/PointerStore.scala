@@ -10,13 +10,15 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * depends on the filesystem's atomicity guarantees, extracted so each
   * backend can pick a protocol it can actually honor:
   *
-  *   - [[RenamePointerStore]] (default): exclusive tmp create +
+  *   - [[RenamePointerStore]]: exclusive tmp create +
   *     `FileContext.rename(OVERWRITE)`. Correct on HDFS (native atomic
   *     overwrite) and on local filesystems (delete-then-rename with a
   *     µs-scale visibility window the reader rides out).
-  *   - [[GenerationPointerStore]]: no rename at all — each swap
-  *     exclusively creates `<name>.gen-<n+1>` and readers take the
-  *     highest generation. This is the OBJECT-STORE shape: S3 has no
+  *   - [[GenerationPointerStore]] (default — see
+  *     [[PointerStore.forTable]] for why): no rename at all — each
+  *     swap exclusively creates `.ptr-<name>/gen-<n+1>` and readers
+  *     take the highest generation. This is the OBJECT-STORE shape:
+  *     S3 has no
   *     atomic rename, but exclusive create maps directly onto a
   *     conditional `PUT If-None-Match:*`, and readers never observe
   *     absence mid-swap because the previous generation outlives the
@@ -200,8 +202,8 @@ final class FsConditionalPut(fs: FileSystem) extends ConditionalPut {
 
 /** Rename-free generation pointer store — the object-store-safe
   * protocol, written against [[ConditionalPut]]. The pointer
-  * `<dir>/<name>` is represented by files `<dir>/<name>.gen-<n>`: a
-  * swap conditionally creates generation n+1 (on S3: conditional
+  * `<dir>/<name>` is represented by files `<dir>/.ptr-<name>/gen-<n>`:
+  * a swap conditionally creates generation n+1 (on S3: conditional
   * `PUT If-None-Match:*` of the whole object) and then best-effort
   * deletes generations older than the previous one, so a reader
   * listing for the highest generation ALWAYS finds a complete value —
@@ -223,14 +225,45 @@ final class GenerationPointerStore(backend: ConditionalPut)
 
   def this(fs: FileSystem) = this(new FsConditionalPut(fs))
 
+  /** Generations live in a DEDICATED sibling directory
+    * (`.ptr-<name>/gen-<n>`), NOT next to the pointer: the pointer's
+    * parent is the table's metadata dir, whose entry count grows with
+    * history (v-files, manifest chunks) — listing it per HEAD read
+    * would make every read O(history). The subdir holds ≤2 live
+    * generations, so a read lists a 1–2 entry prefix (on S3: a
+    * 2-object prefix list). */
+  private def genDir(p: Path): Path =
+    new Path(p.getParent, s".ptr-${p.getName}")
+
   private def gens(p: Path): Seq[(Long, Path)] = {
-    val prefix = s"${p.getName}.gen-"
-    backend.list(p.getParent).flatMap { path =>
+    val prefix = "gen-"
+    backend.list(genDir(p)).flatMap { path =>
       val n = path.getName
       if (!n.startsWith(prefix)) None
       else scala.util.Try(n.substring(prefix.length).toLong).toOption
         .map(_ -> path)
     }
+  }
+
+  /** Migration reads for pointers written by OLDER protocols, tried
+    * only when the subdir has no generations: (a) round-17 generation
+    * layout (`<name>.gen-<n>` beside the pointer), (b) the rename
+    * store's plain `<name>` file. A first generation-store WRITE on
+    * such a table starts the subdir at gen-1, which readers prefer
+    * from then on (mixed-protocol CONCURRENT writers were never
+    * supported; this covers reopening existing tables). */
+  private def legacyRead(p: Path): Option[String] = {
+    val prefix = s"${p.getName}.gen-"
+    val legacyGens = backend.list(p.getParent).flatMap { path =>
+      val n = path.getName
+      if (!n.startsWith(prefix)) None
+      else scala.util.Try(n.substring(prefix.length).toLong).toOption
+        .map(_ -> path)
+    }
+    legacyGens.sortBy(-_._1).iterator
+      .flatMap { case (_, path) => readComplete(path) }
+      .nextOption()
+      .orElse(backend.read(p))
   }
 
   /** None = file absent/unreadable OR frame incomplete (in-flight). */
@@ -254,7 +287,7 @@ final class GenerationPointerStore(backend: ConditionalPut)
     var attempt = 0
     while (attempt < 5) {
       val current = gens(p).sortBy(-_._1)
-      if (current.isEmpty) return None
+      if (current.isEmpty) return legacyRead(p)
       current.foreach { case (_, path) =>
         readComplete(path) match {
           case Some(v) => return Some(v)
@@ -279,7 +312,7 @@ final class GenerationPointerStore(backend: ConditionalPut)
     while (true) {
       val known = gens(p).map(_._1)
       val next = known.maxOption.getOrElse(0L) + 1
-      val target = new Path(p.getParent, f"${p.getName}.gen-$next%019d")
+      val target = new Path(genDir(p), f"gen-$next%019d")
       try {
         backend.putIfAbsent(target, framed)
         // keep the immediately-previous generation alive for in-flight
@@ -301,12 +334,29 @@ final class GenerationPointerStore(backend: ConditionalPut)
 
 object PointerStore {
   /** Session-selected strategy: `spark.graft.lake.pointer-store` =
-    * `rename` (default) | `generation`. */
+    * `generation` (default) | `rename`.
+    *
+    * Generation is the default because the rename protocol has a
+    * RESIDUAL stall window the generation protocol structurally
+    * lacks: a writer stalled >60 s (the orphan grace) between its
+    * HEAD existence check and its rename can, on waking, transiently
+    * regress HEAD past a reclaimer's newer swap — rename REPLACES the
+    * pointer, so a stale writer can clobber a newer value. A
+    * generation swap never replaces anything: the stale writer's
+    * conditional create lands at a LOWER generation than the
+    * reclaimer's (or loses the create outright), and readers take the
+    * highest, so a delayed swap is inert rather than a regression.
+    * Generation reads also migrate: a table whose pointer was written
+    * by the rename store (or the round-17 beside-the-pointer
+    * generation layout) reads through a legacy fallback, and the
+    * first write starts the subdir generations that take precedence.
+    * The rename store remains selectable for HDFS deployments that
+    * want the native atomic rename. */
   def forTable(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
       rootUri: java.net.URI, conf: Configuration): PointerStore =
     spark.conf.getOption("spark.graft.lake.pointer-store")
-        .getOrElse("rename") match {
-      case "generation" => new GenerationPointerStore(fs)
-      case _ => new RenamePointerStore(fs, rootUri, conf)
+        .getOrElse("generation") match {
+      case "rename" => new RenamePointerStore(fs, rootUri, conf)
+      case _ => new GenerationPointerStore(fs)
     }
 }

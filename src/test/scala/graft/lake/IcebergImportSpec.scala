@@ -286,4 +286,66 @@ class IcebergImportSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.graft.iceberg.import-broadcast-max-bytes")
   }
+
+  test("uuid columns read as their exact 16 bytes: a REAL parquet " +
+      "fixed_len_byte_array(16) + UUID-annotation fixture (what every " +
+      "conforming Iceberg writer stores) scans under the binary " +
+      "mapping — a string mapping would fail the read outright") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+      PrimitiveType, Types}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+      GroupWriteSupport}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.io.api.Binary
+    // export a (id, u binary) table, then swap its data file for a
+    // REAL uuid-typed parquet with the same rows and patch the
+    // metadata schema's type to "uuid" — the foreign-writer shape
+    val uuids = (0 until 3).map { i =>
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(0x0123456789abcdefL); bb.putLong(i.toLong)
+      bb.array()
+    }
+    val df = uuids.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir("iceimp-uuid") + "/t", df.schema)
+    t.append(df.coalesce(1))
+    val outDir = TestSpark.tmpDir("iceimp-uuid-out")
+    val meta = IcebergExport.export(t, outDir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val entry = IcebergImport.load(meta, hconf).dataEntries.head
+    val dataPath = new org.apache.hadoop.fs.Path(entry.uri)
+    val fs = dataPath.getFileSystem(hconf)
+    fs.delete(dataPath, false)
+    val mt = new MessageType("t",
+      Types.required(PrimitiveType.PrimitiveTypeName.INT64).named("id"),
+      Types.required(PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+        .length(16).as(LogicalTypeAnnotation.uuidType()).named("u"))
+    val wconf = new org.apache.hadoop.conf.Configuration(hconf)
+    GroupWriteSupport.setSchema(mt, wconf)
+    val w = ExampleParquetWriter.builder(dataPath).withConf(wconf)
+      .withType(mt).build()
+    val gf = new SimpleGroupFactory(mt)
+    uuids.zipWithIndex.foreach { case (u, i) =>
+      val g = gf.newGroup()
+      g.add("id", i.toLong)
+      g.add("u", Binary.fromConstantByteArray(u))
+      w.write(g)
+    }
+    w.close()
+    // patch the declared type binary -> uuid
+    val metaP = new org.apache.hadoop.fs.Path(meta)
+    val patched = LakeTable.readString(fs, metaP)
+      .replace("\"type\":\"binary\"", "\"type\":\"uuid\"")
+    fs.delete(metaP, false)
+    LakeTable.writeStringExclusive(fs, metaP, patched)
+    val tm = IcebergImport.load(meta, hconf)
+    assert(tm.schema("u").dataType == BinaryType)
+    val got = IcebergImport.scan(spark, meta).collect()
+      .map(r => r.getLong(0) ->
+        r.get(1).asInstanceOf[Array[Byte]].toSeq).toMap
+    assert(got == uuids.zipWithIndex
+      .map { case (u, i) => i.toLong -> u.toSeq }.toMap,
+      "uuid bytes must round-trip exactly")
+  }
 }

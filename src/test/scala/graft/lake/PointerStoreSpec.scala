@@ -85,8 +85,31 @@ class PointerStoreSpec extends AnyFunSuite {
     val v = store.read(p)
     assert(v.nonEmpty && v.get.matches("t\\d-\\d+"), s"final: $v")
     // cleanup keeps the directory bounded: at most a handful of gens
-    val left = fs.listStatus(dir).count(_.getPath.getName.startsWith("HEAD.gen-"))
+    val left = fs.listStatus(new Path(dir, ".ptr-HEAD"))
+      .count(_.getPath.getName.startsWith("gen-"))
     assert(left <= 8, s"$left generation files left behind")
+  }
+
+  test("generation store migrates: a rename-store pointer and a " +
+      "round-17 beside-the-pointer generation layout both read; the " +
+      "first write starts subdir generations that take precedence") {
+    // (a) plain rename-store pointer file
+    val (fs, dir, conf) = fixture("ptr-migrate")
+    val p = new Path(dir, "HEAD")
+    new RenamePointerStore(fs, dir.toUri, conf).write(p, "legacy-plain")
+    val gen = new GenerationPointerStore(fs)
+    assert(gen.read(p).contains("legacy-plain"))
+    // (b) legacy beside-the-pointer generation (round-17 layout)
+    def framed(v: String) =
+      s"${v.getBytes(java.nio.charset.StandardCharsets.UTF_8).length}\n$v"
+    LakeTable.writeStringExclusive(fs,
+      new Path(dir, f"HEAD.gen-${1L}%019d"), framed("legacy-gen"))
+    assert(gen.read(p).contains("legacy-gen"),
+      "legacy generations outrank the plain file")
+    // first generation-store write wins over both legacy layouts
+    gen.write(p, "migrated")
+    assert(gen.read(p).contains("migrated"))
+    assert(fs.exists(new Path(dir, ".ptr-HEAD")))
   }
 
   test("conditional-put 412 races through the double: a rival winning " +
@@ -120,10 +143,10 @@ class PointerStoreSpec extends AnyFunSuite {
     // our write took 4 attempts (3 rivals + 1 win) and holds the
     // HIGHEST generation; every intermediate read is complete
     assert(store.read(p).contains("ours"))
-    val gens = fs.listStatus(dir)
-      .map(_.getPath.getName).filter(_.startsWith("HEAD.gen-")).sorted
+    val gens = fs.listStatus(new Path(dir, ".ptr-HEAD"))
+      .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted
     assert(gens.last.endsWith(f"${4L}%019d"),
-      s"expected the winning write at generation 4, got $gens")
+      s"expected the winning write at generation 4, got ${gens.toSeq}")
 
     // double 2: SPURIOUS 412s (key reported existing but nothing
     // written — e.g. a stale negative cache): retry converges on the
