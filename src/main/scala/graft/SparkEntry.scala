@@ -911,6 +911,69 @@ WHEN NOT MATCHED THEN INSERT *
           "variant_get(v, '$.price', 'double') AS o_totalprice")
     }),
 
+    "q_lake_variant" -> ((s, dir) => {
+      // VARIANT as first-class LAKE data (the semi-structured twin of
+      // q_lake_vectors): a real VariantType column rides create →
+      // append → MERGE upsert (COW rewrite carries the binary
+      // through) → predicate DELETE, and the final governed scan
+      // extracts typed fields with variant_get. The engine's row-hash
+      // and change-compare sites substitute canonical JSON text for
+      // variant columns (Spark pins variant unorderable), so
+      // maintenance and CDC hold on such tables — LakeVariantSpec
+      // drives changelog/compact; this query pins the write semantics
+      // against the relational oracle.
+      val orders = t(s, dir, "orders")
+      val root = tmp("graft-lakevar") + "/t"
+      def img(extra: String) =
+        "parse_json(to_json(named_struct('status', o_orderstatus, " +
+          s"'price', round(o_totalprice, 2)$extra))) AS v"
+      val src = orders.selectExpr("o_orderkey", "o_custkey", img(""))
+      val lt = LakeTable.create(s, root, src.schema)
+      lt.append(src)
+      // upsert: every custkey%10==0 row gets a REBUILT variant whose
+      // object gained a field the original rows never had — the
+      // schema-flexible shape variant exists for
+      val upd = orders.where(col("o_custkey") % 10 === 0)
+        .selectExpr("o_orderkey", "o_custkey", img(", 'bump', 1"))
+      lt.merge(upd, Seq("o_orderkey"))
+      lt.delete(col("o_orderkey") % 7 === 0)
+      lt.scan().selectExpr("o_orderkey", "o_custkey",
+        "variant_get(v, '$.status', 'string') AS status",
+        "variant_get(v, '$.price', 'double') AS price",
+        "coalesce(variant_get(v, '$.bump', 'int'), 0) AS bumped")
+    }),
+
+    "q_delta_row_lineage" -> ((s, dir) => {
+      // DELTA ROW TRACKING interop: graft L37 lineage maps onto the
+      // rowTracking writer feature VERBATIM (firstRowId ↔ baseRowId,
+      // the physically-materialized _row_id column ↔ the spec's
+      // materialized row-id column), so a lineage table publishes as
+      // an enabled-rowTracking Delta log and the engine-free
+      // lineageScan resolves ids by Delta's fresh/materialized rule.
+      // The query proves id PRESERVATION end-to-end: an update's COW
+      // rewrite keeps ids (materialized wins over base+position), a
+      // delete retires them, and every id the foreign read reports
+      // equals the id graft's own lineage scan holds for that key.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-dltrt")
+      val lt = LakeTable.create(s, s"$base/t", orders.schema,
+        properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+      lt.append(orders)
+      lt.update(col("o_orderkey") % 10 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      lt.delete(col("o_orderkey") % 7 === 0)
+      graft.lake.DeltaExport.publish(lt, s"$base/delta")
+      val foreign = graft.lake.DeltaImport.lineageScan(s, s"$base/delta")
+        .select(col("o_orderkey"), col("_row_id").as("did"))
+      val own = lt.scanWithLineage()
+        .select(col("o_orderkey"), col(LakeTable.ROW_ID_COL).as("rid"))
+      foreign.join(own, "o_orderkey").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("did")).as("n_ids"),
+        sum(when(col("did") === col("rid"), 1L).otherwise(0L))
+          .as("n_agree"))
+    }),
+
     "q_delta_roundtrip" -> ((s, dir) => {
       // DELTA-LOG interop end-to-end under one oracle (the Delta twin
       // of q_iceberg_publish): export version 0 (even orders,
@@ -1092,6 +1155,39 @@ WHEN NOT MATCHED THEN INSERT *
       shape(graft.lake.IcebergImport.scan(s, meta), "final")
         .unionAll(shape(graft.lake.IcebergImport.scan(s, meta,
           atSnapshot = Some(snapV1)), "v1"))
+    }),
+
+    "q_iceberg_v3_variant" -> ((s, dir) => {
+      // ICEBERG V3 VARIANT end-to-end: a graft table whose semi-
+      // structured column is a REAL VariantType (Spark 4's native
+      // Parquet Variant metadata+value group — byte-identical to the
+      // v3 spec's storage) exports as a format-version 3 tree
+      // declaring the column `variant`, and the engine-free importer
+      // reads it back under the declared schema, with typed fields
+      // extracted via variant_get — proving the read on VALUES. A v2
+      // export of the same table refuses (variant is v3-only), as
+      // does v2 METADATA declaring variant (IcebergImportSpec).
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-icevar")
+      val src = orders.selectExpr("o_orderkey",
+        "parse_json(to_json(named_struct('cust', o_custkey, " +
+          "'status', o_orderstatus, 'price', round(o_totalprice, 2)" +
+          "))) AS v")
+      val lt = LakeTable.create(s, s"$base/t", src.schema)
+      lt.append(src)
+      locally {
+        val refused = scala.util.Try(
+          graft.lake.IcebergExport.export(lt, s"$base/ice2"))
+        require(refused.isFailure && refused.failed.get.getMessage
+            .contains("format-version 3"),
+          "v2 export of a variant column must refuse by name")
+      }
+      val meta = graft.lake.IcebergExport.export(lt, s"$base/ice",
+        formatVersion = 3)
+      graft.lake.IcebergImport.scan(s, meta).selectExpr("o_orderkey",
+        "variant_get(v, '$.cust', 'long') AS o_custkey",
+        "variant_get(v, '$.status', 'string') AS o_orderstatus",
+        "variant_get(v, '$.price', 'double') AS o_totalprice")
     }),
 
     "q_iceberg_v3_defaults" -> ((s, dir) => {
@@ -3870,6 +3966,23 @@ WHEN NOT MATCHED THEN INSERT *
         | round(o_totalprice, 2) AS o_totalprice
         |FROM orders""".stripMargin,
 
+    // variant lake writes: merged rows carry a rebuilt object with an
+    // added `bump` field, deleted keys drop; extraction is typed
+    "q_lake_variant" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+        | round(o_totalprice, 2) AS price,
+        | CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END AS bumped
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // rowTracking interop invariants: every surviving key's foreign
+    // _row_id is distinct and equals graft's own lineage id (the
+    // update's rewrite PRESERVED ids; the delete retired its rows)
+    "q_delta_row_lineage" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(count(*) AS BIGINT) AS n_agree
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
     // the Delta-log handoff: 'final' = post-delete state read through
     // the checkpoint-seeded engine-free replay, 'v0' = the even half
     // via versionAsOf time travel; o_orderstatus reconstructs from
@@ -3923,6 +4036,14 @@ WHEN NOT MATCHED THEN INSERT *
         |SELECT o_orderkey, o_custkey,
         | round(o_totalprice, 2) AS o_totalprice, 'v1' AS src
         |FROM orders WHERE o_orderkey % 9 <> 5""".stripMargin,
+
+    // v3 variant: the exported tree declares the column `variant`,
+    // the importer reads Spark's native Parquet Variant group back,
+    // and typed extraction reproduces the relational projection
+    "q_iceberg_v3_variant" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM orders""".stripMargin,
 
     // v3 initial-defaults: every data file predates the required
     // `priority` column, so every row synthesizes the default — the

@@ -132,6 +132,13 @@ object DeltaExport {
     require(st.partitionColumns == identNow,
       "partition drift since the last publish — export to a fresh " +
         "directory")
+    require(snap.properties.get(LakeTable.PROP_ROW_LINEAGE)
+        .contains("true") ==
+        st.configuration.get("delta.rowTracking.enabled")
+          .contains("true"),
+      "row-lineage state drift since the last publish (rowTracking " +
+        "enablement is frozen in the exported metaData, like the " +
+        "schema) — export to a fresh directory")
     writeVersion(table, destDir, atSnapshot, version = st.version + 1,
       prev = Some(st), withMeta = false)
   }
@@ -230,34 +237,62 @@ object DeltaExport {
       o.put("lastUpdated", snap.timestampMs)
       lines += m.writeValueAsString(tx)
     }
-    // protocol: plain (1, 2) tables stay maximally readable; the
-    // moment deletion vectors are live the spec requires the
-    // table-features protocol (3, 7) + the deletionVectors feature in
-    // BOTH feature lists. A publish that INTRODUCES DVs over a (1, 2)
-    // log upgrades the protocol in the same commit (legal per spec).
+    // protocol: plain (1, 2) tables stay maximally readable; features
+    // escalate to the table-features protocol exactly when the
+    // snapshot NEEDS them — live deletion vectors and VARIANT columns
+    // are reader+writer features (they change what the bytes mean),
+    // row lineage exports as the rowTracking WRITER feature (readers
+    // that ignore it still read correct rows; `domainMetadata` rides
+    // along because the spec stores the id high-water mark there). A
+    // publish that INTRODUCES a feature over a weaker log upgrades
+    // the protocol in the same commit (legal per spec).
     val dvLive = snap.liveFiles.exists(r => curCard(r) > 0)
+    def hasVariant(dt: DataType): Boolean = dt match {
+      case VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case ArrayType(e, _) => hasVariant(e)
+      case MapType(k, v, _) => hasVariant(k) || hasVariant(v)
+      case _ => false
+    }
+    val variantLive = hasVariant(sch)
+    val lineage =
+      snap.properties.get(LakeTable.PROP_ROW_LINEAGE).contains("true")
+    val readerNeeded: Set[String] =
+      (if (dvLive) Set("deletionVectors") else Set.empty[String]) ++
+        (if (variantLive) Set("variantType") else Set.empty[String])
+    val writerNeeded: Set[String] = readerNeeded ++
+      (if (lineage) Set("rowTracking", "domainMetadata")
+      else Set.empty[String])
     def protoLine(): String = {
       val pr = m.createObjectNode()
       val p = pr.putObject("protocol")
-      if (dvLive) {
-        p.put("minReaderVersion", 3)
+      if (writerNeeded.nonEmpty) {
+        // readerFeatures exists only at minReaderVersion 3 (spec); a
+        // writer-features-only table stays reader-v1 — maximally
+        // readable — with minWriterVersion 7
+        p.put("minReaderVersion", if (readerNeeded.nonEmpty) 3 else 1)
         p.put("minWriterVersion", 7)
-        p.putArray("readerFeatures").add("deletionVectors")
+        if (readerNeeded.nonEmpty) {
+          val rf = p.putArray("readerFeatures")
+          readerNeeded.toSeq.sorted.foreach(rf.add)
+        }
         // table-features protocols must carry the LEGACY writer
         // features the pre-upgrade minWriterVersion=2 implied
-        // (appendOnly, invariants) alongside the new one — listing
-        // only deletionVectors would silently drop obligations a
+        // (appendOnly, invariants) alongside the new ones — listing
+        // only the new features would silently drop obligations a
         // conforming writer honors
         val wf = p.putArray("writerFeatures")
-        wf.add("appendOnly"); wf.add("invariants")
-        wf.add("deletionVectors")
+        (Set("appendOnly", "invariants") ++ writerNeeded)
+          .toSeq.sorted.foreach(wf.add)
       } else {
         p.put("minReaderVersion", 1)
         p.put("minWriterVersion", 2)
       }
       m.writeValueAsString(pr)
     }
-    if (!withMeta && dvLive && prev.exists(_.minReaderVersion < 3))
+    if (!withMeta && prev.exists(p =>
+        !(readerNeeded.subsetOf(p.readerFeatures) &&
+          writerNeeded.subsetOf(p.writerFeatures))))
       lines += protoLine()
     if (withMeta) {
       lines += protoLine()
@@ -273,8 +308,30 @@ object DeltaExport {
       identFields.foreach(f => pc.add(f.source))
       val cfg = o.putObject("configuration")
       cfg.put("graft.table-root", table.root)
+      if (lineage) {
+        // graft L37 ≙ Delta row tracking verbatim: per-file id blocks
+        // (firstRowId ↔ baseRowId) + a physically-materialized
+        // `_row_id` column in rewritten files, which IS the
+        // spec's materialized row-id column — point readers at it
+        cfg.put("delta.rowTracking.enabled", "true")
+        cfg.put("delta.rowTracking.materializedRowIdColumnName",
+          LakeTable.ROW_ID_COL)
+      }
       o.put("createdTime", snap.timestampMs)
       lines += m.writeValueAsString(md)
+    }
+    if (lineage) {
+      // the row-id high-water mark lives in domain metadata (spec:
+      // Row ID high-water mark / delta.rowTracking domain); emitted
+      // every version because appends advance it
+      val next = snap.properties.get(LakeTable.PROP_NEXT_ROW_ID)
+        .map(_.toLong).getOrElse(0L)
+      val dm = m.createObjectNode()
+      val o = dm.putObject("domainMetadata")
+      o.put("domain", "delta.rowTracking")
+      o.put("configuration", s"""{"rowIdHighWaterMark":${next - 1L}}""")
+      o.put("removed", false)
+      lines += m.writeValueAsString(dm)
     }
 
     // identity partition value from the hive path (the same parse the
@@ -409,6 +466,15 @@ object DeltaExport {
       o.put("size", info.bytes)
       o.put("modificationTime", snap.timestampMs)
       o.put("dataChange", true)
+      if (lineage) {
+        // an enabled rowTracking protocol REQUIRES baseRowId on every
+        // add (fresh ids are undefined without it)
+        o.put("baseRowId", info.firstRowId.getOrElse(
+          throw new IllegalStateException(
+            s"$rel carries no first_row_id on a row-lineage table — " +
+              "cannot export a spec-complete rowTracking add")))
+        o.put("defaultRowCommitVersion", version)
+      }
       dvDescByRel.get(rel).foreach(putDv(o, _))
       val fileStats = snap.fileStats.getOrElse(rel, Map.empty)
       val st = m.createObjectNode()
@@ -516,7 +582,11 @@ object DeltaExport {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
-      StructField("deletionVector", dvT)))
+      StructField("deletionVector", dvT),
+      // row tracking: a checkpoint that dropped baseRowId would strip
+      // every fresh row's id from readers seeded by it
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val removeT = StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -528,12 +598,17 @@ object DeltaExport {
     val txnT = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
+    val domainT = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
       StructField("add", addT),
       StructField("remove", removeT),
-      StructField("txn", txnT)))
+      StructField("txn", txnT),
+      StructField("domainMetadata", domainT)))
     // checkpoint paths are the add action's VERBATIM string when the
     // replay kept it (removes and foreign replayers reconcile on the
     // exact string), else the canonical URL-ENCODED Path.toUri form —
@@ -544,11 +619,11 @@ object DeltaExport {
     val protoRow = Row(Row(st.minReaderVersion, st.minWriterVersion,
       if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq,
       if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq),
-      null, null, null, null)
+      null, null, null, null, null)
     val metaRow = Row(null, Row(st.metaId,
       Row("parquet", Map.empty[String, String]), st.schema.json,
       st.partitionColumns, st.configuration, st.createdTime),
-      null, null, null)
+      null, null, null, null)
     val addRows = st.adds.map(a => Row(null, null,
       Row(if (a.rawPath.nonEmpty) a.rawPath else enc(a.uri),
         a.partitionValues.map { case (k, v) =>
@@ -556,7 +631,10 @@ object DeltaExport {
         a.stats.orNull,
         a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Int.box).orNull, d.sizeInBytes,
-          d.cardinality)).orNull), null, null))
+          d.cardinality)).orNull,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull),
+      null, null, null))
     // un-expired remove tombstones: the spec expects them (a VACUUM or
     // CDF consumer layered on the exported log reasons over recent
     // removes); expired ones age out of the checkpoint
@@ -569,11 +647,16 @@ object DeltaExport {
         Row(null, null, null, Row(t.rawPath, t.deletionTimestamp, true,
           t.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes,
-            d.cardinality)).orNull), null) }
+            d.cardinality)).orNull), null, null) }
     val txnRows = st.txns.toSeq.map { case (app, v) =>
-      Row(null, null, null, null, Row(app, v)) }
+      Row(null, null, null, null, Row(app, v), null) }
+    // live domain metadata MUST ride the checkpoint (spec) — dropping
+    // delta.rowTracking would lose the row-id high-water mark
+    val domainRows = st.domainMetadata.toSeq.collect {
+      case (dom, (cfg, removed)) if !removed =>
+        Row(null, null, null, null, null, Row(dom, cfg, false)) }
     val actionRows = protoRow +: metaRow +:
-      (addRows ++ rmRows ++ txnRows)
+      (addRows ++ rmRows ++ txnRows ++ domainRows)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(actionRows, 1), ckptT)
     val ckpt = new Path(destDir,

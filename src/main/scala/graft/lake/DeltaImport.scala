@@ -69,7 +69,15 @@ object DeltaImport {
         * checkpoint rows must reference a file by the exact string its
         * add used (foreign replayers reconcile on it), and re-encoding
         * the decoded [[uri]] can change the URI authority form. */
-      rawPath: String = "")
+      rawPath: String = "",
+      /** Row tracking (writer feature `rowTracking`): row N of the
+        * file has `_row_id = baseRowId + N` unless a materialized
+        * row-id column overrides it — the same fresh/materialized
+        * resolution rule as Iceberg v3 / graft L37 lineage. Carried
+        * through checkpoints verbatim (dropping it would strip ids
+        * from foreign readers of a graft-written checkpoint). */
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** One un-expired remove action a spec checkpoint must carry: the
     * VERBATIM path string the action used, its deletionTimestamp, and
@@ -92,7 +100,13 @@ object DeltaImport {
       tombstones: Seq[Tombstone] = Nil,
       txns: Map[String, Long] = Map.empty,
       readerFeatures: Set[String] = Set.empty,
-      writerFeatures: Set[String] = Set.empty)
+      writerFeatures: Set[String] = Set.empty,
+      /** Latest domainMetadata action per domain: configuration JSON +
+        * removed flag. Carried so checkpoints re-emit live domains
+        * (spec: a checkpoint MUST include them — dropping
+        * `delta.rowTracking` would lose the row-id high-water mark and
+        * let a foreign writer re-mint ids). */
+      domainMetadata: Map[String, (String, Boolean)] = Map.empty)
 
   /** Strip scheme/authority variance so paths written by different
     * qualifiers compare equal (same rule as [[IcebergImport]]). */
@@ -222,6 +236,8 @@ object DeltaImport {
       .empty[(String, String), AddFile]
     val tombstones = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), Tombstone]
+    val domains = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Boolean)]
 
     def applyMeta(md: JsonNode): Unit = {
       metaId = md.path("id").asText("")
@@ -261,7 +277,11 @@ object DeltaImport {
         a.path("size").asLong(0L),
         a.path("modificationTime").asLong(0L),
         if (a.hasNonNull("stats")) Some(a.path("stats").asText())
-        else None, dv, raw)
+        else None, dv, raw,
+        if (a.hasNonNull("baseRowId"))
+          Some(a.path("baseRowId").asLong()) else None,
+        if (a.hasNonNull("defaultRowCommitVersion"))
+          Some(a.path("defaultRowCommitVersion").asLong()) else None)
     }
     def applyRemove(r: JsonNode): Unit = {
       val raw = r.path("path").asText()
@@ -277,6 +297,11 @@ object DeltaImport {
     def applyTxn(t: JsonNode): Unit =
       if (t.hasNonNull("appId"))
         txns(t.path("appId").asText()) = t.path("version").asLong()
+    def applyDomain(d: JsonNode): Unit =
+      if (d.hasNonNull("domain"))
+        domains(d.path("domain").asText()) =
+          (d.path("configuration").asText(""),
+            d.path("removed").asBoolean(false))
 
     // checkpoint seed (only when usable at or below the target).
     // Preference: PURE JSON replay whenever the full 0..target commit
@@ -329,6 +354,7 @@ object DeltaImport {
           if (top(c)) col(c).isNotNull else lit(false)
         rows.where(nnCol("protocol") || nnCol("metaData") ||
             nnCol("txn") || nnCol("remove") ||
+            nnCol("domainMetadata") ||
             nnCol("checkpointMetadata") || nnCol("sidecar"))
           .collect().foreach { row =>
             val cols = row.schema.fieldNames.toSet
@@ -339,6 +365,7 @@ object DeltaImport {
             if (nn("metaData")) applyMeta(js("metaData"))
             if (nn("txn")) applyTxn(js("txn"))
             if (nn("remove")) applyRemove(js("remove"))
+            if (nn("domainMetadata")) applyDomain(js("domainMetadata"))
             if (nn("checkpointMetadata")) applyCkptMeta(js("checkpointMetadata"))
             if (nn("sidecar")) applySidecar(js("sidecar"))
           }
@@ -374,7 +401,9 @@ object DeltaImport {
               dvSel("pathOrInlineDv", StringType),
               dvSel("offset", IntegerType),
               dvSel("sizeInBytes", IntegerType),
-              dvSel("cardinality", LongType))
+              dvSel("cardinality", LongType),
+              sel("baseRowId", LongType),
+              sel("defaultRowCommitVersion", LongType))
             .collect().foreach { r =>
               val uri = resolvePath(tableDir, r.getString(0))
               val pv: Map[String, Option[String]] =
@@ -394,7 +423,9 @@ object DeltaImport {
                 if (r.isNullAt(2)) 0L else r.getLong(2),
                 if (r.isNullAt(3)) 0L else r.getLong(3),
                 if (r.isNullAt(4)) None else Some(r.getString(4)), dv,
-                r.getString(0))
+                r.getString(0),
+                if (r.isNullAt(10)) None else Some(r.getLong(10)),
+                if (r.isNullAt(11)) None else Some(r.getLong(11)))
             }
         }
       }
@@ -428,6 +459,8 @@ object DeltaImport {
               if (n.has("txn")) applyTxn(n.path("txn"))
               if (n.has("remove")) applyRemove(n.path("remove"))
               if (n.has("add")) applyAdd(n.path("add"))
+              if (n.has("domainMetadata"))
+                applyDomain(n.path("domainMetadata"))
               if (n.has("sidecar")) applySidecar(n.path("sidecar"))
               if (n.has("checkpointMetadata"))
                 applyCkptMeta(n.path("checkpointMetadata"))
@@ -479,6 +512,7 @@ object DeltaImport {
         }
         if (n.has("add")) applyAdd(n.path("add"))
         if (n.has("txn")) applyTxn(n.path("txn"))
+        if (n.has("domainMetadata")) applyDomain(n.path("domainMetadata"))
         if (n.has("commitInfo") &&
             n.path("commitInfo").hasNonNull("graftSnapshotId"))
           graftSnap = Some(n.path("commitInfo")
@@ -498,10 +532,14 @@ object DeltaImport {
     // readable is exact. variantShredding-preview is NOT listed:
     // shredded variants scatter typed sub-columns this reader does
     // not reassemble — refused below like any unknown feature.
+    // vacuumProtocolCheck imposes NO reader behavior — it exists to
+    // fence pre-feature VACUUM implementations away from DV tables
+    // (spec: "readers do not need to understand or change anything");
+    // accepting it by name is exact.
     val unknownFeats = readerFeats -- Set("deletionVectors",
       "columnMapping", "v2Checkpoint", "typeWidening",
       "typeWidening-preview", "timestampNtz", "variantType",
-      "variantType-preview")
+      "variantType-preview", "vacuumProtocolCheck")
     // a v3 protocol MUST declare readerFeatures (spec); its absence
     // means unknowable semantics — refuse like an unknown feature
     require(minReader <= 2 ||
@@ -581,7 +619,8 @@ object DeltaImport {
       // the txn channel survives log cleanup (checkpoints must carry
       // the latest txn per appId); commitInfo is the legacy fallback
       txns.get(DeltaExport.PublishAppId).orElse(graftSnap),
-      tombstones.values.toSeq, txns.toMap, readerFeats, writerFeats)
+      tombstones.values.toSeq, txns.toMap, readerFeats, writerFeats,
+      domains.toMap)
   }
 
   private def ckptVersion(fs: org.apache.hadoop.fs.FileSystem,
@@ -648,6 +687,48 @@ object DeltaImport {
       versionAsOf: Option[Long] = None): DataFrame = {
     val st = state(spark, tableDir, versionAsOf)
     scanAdds(spark, tableDir, st, st.adds)
+  }
+
+  /** [[scan]] plus the row-tracking `_row_id` column (writer feature
+    * `rowTracking`): row N of a file resolves to `baseRowId + N`
+    * unless the configured materialized row-id column carries an
+    * explicit id (rows whose identity SURVIVED a rewrite) — Delta's
+    * fresh/materialized rule, the same resolution graft's own L37
+    * lineage and the Iceberg v3 importer use. Plans exactly like
+    * [[scan]]: baseRowId rides the file's partition row through the
+    * log-backed index (no join), the materialized column is one extra
+    * nullable parquet column, and the id is a codegen'd coalesce.
+    *
+    * Refuses (loudly, never silently wrong ids):
+    *   - a log that never declared the rowTracking writer feature, or
+    *     declared it without `delta.rowTracking.enabled=true` — the
+    *     spec allows SUPPORTED-but-disabled tables whose ids are not
+    *     guaranteed consistent;
+    *   - an add action without `baseRowId` under an enabled protocol
+    *     (spec violation — its rows have no defined fresh ids);
+    *   - a declared schema already naming `_row_id`. */
+  def lineageScan(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val st = state(spark, tableDir, versionAsOf)
+    require(st.writerFeatures("rowTracking"),
+      s"$tableDir: protocol never declared the rowTracking writer " +
+        "feature — the log carries no row identity to read")
+    require(st.configuration.get("delta.rowTracking.enabled")
+        .contains("true"),
+      s"$tableDir: rowTracking is supported but not enabled " +
+        "(delta.rowTracking.enabled != true) — the spec does not " +
+        "guarantee consistent row ids on such a table; refusing " +
+        "rather than returning ids that may be stale or absent")
+    require(!st.schema.fieldNames.contains("_row_id"),
+      "_row_id is the reserved lineage column — a table whose " +
+        "declared schema already names it cannot lineage-read")
+    val noBase = st.adds.filter(_.baseRowId.isEmpty)
+    require(noBase.isEmpty,
+      s"${noBase.size} add actions carry no baseRowId under an " +
+        "enabled rowTracking protocol (spec violation) — their rows " +
+        s"have no defined ids. First: ${noBase.take(3).map(_.rawPath)
+          .mkString(", ")}")
+    scanAdds(spark, tableDir, st, st.adds, rowLineage = true)
   }
 
   /** TIMESTAMP AS OF: the latest version whose commit timestamp is ≤
@@ -1083,10 +1164,24 @@ object DeltaImport {
     * [[changeScan]] joins its per-file commit-version map against. */
   private def scanAdds(spark: SparkSession, tableDir: String,
       st: TableState, adds: Seq[AddFile],
-      fileKeyCol: Option[String] = None): DataFrame = {
+      fileKeyCol: Option[String] = None,
+      rowLineage: Boolean = false): DataFrame = {
+    // row-tracking internals: the materialized row-id column delta
+    // writers persist for rewritten rows (physical name, never part
+    // of the logical schema), and the per-file baseRowId riding the
+    // partition row (double-underscore suffix so no user partition
+    // column can collide)
+    val matCol: Option[String] =
+      if (!rowLineage) None
+      else st.configuration
+        .get("delta.rowTracking.materializedRowIdColumnName")
+    val BASE = "__delta_base_rid__"
     if (adds.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], st.schema)
+        spark.sparkContext.emptyRDD[Row],
+        if (!rowLineage) st.schema
+        else StructType(st.schema.fields :+
+          StructField("_row_id", LongType, nullable = false)))
     // log-backed FileIndex (the TahoeFileIndex shape): partition
     // values come from the adds' partitionValues as REAL partition
     // columns — no join — and pushed predicates reach the index, so
@@ -1118,7 +1213,7 @@ object DeltaImport {
     val partSet = st.partitionColumns.toSet
     val physOfCol: Map[String, String] =
       st.schema.fields.map(f => f.name -> physName(f)).toMap
-    val readSchema =
+    val readSchema0 =
       if (!mapped) st.schema
       else {
         val physAll = physicalType(st.schema, mode == "id")
@@ -1129,14 +1224,28 @@ object DeltaImport {
             else pf
         })
       }
+    // lineage read: the materialized id is ONE extra nullable parquet
+    // column (files lacking it — fresh appends — read NULL), and
+    // baseRowId is a synthetic partition column (one typed value per
+    // file through the index's partition row — no join)
+    val readSchema =
+      if (!rowLineage) readSchema0
+      else StructType(readSchema0.fields ++
+        matCol.map(c => StructField(c, LongType, nullable = true)) :+
+        StructField(BASE, LongType, nullable = true))
+    val partColsAll =
+      if (!rowLineage) st.partitionColumns
+      else st.partitionColumns :+ BASE
     val base = org.apache.spark.sql.graftlake.DeltaLogFileIndex.dataFrame(
       spark, new Path(adds.head.uri).getParent.toString, readSchema,
-      st.partitionColumns,
+      partColsAll,
       planned.map { case (a, fs) =>
         (fs, st.partitionColumns.map(c =>
           c -> a.partitionValues.get(
             if (mapped) physOfCol.getOrElse(c, c) else c).flatten)
-          .toMap)
+          .toMap ++
+          (if (rowLineage) Map(BASE -> a.baseRowId.map(_.toString))
+          else Map.empty))
       },
       // forced only when a data filter is pushed: per-file stats JSON
       // → graft stat domain. The pushed filters reference the READ
@@ -1158,9 +1267,18 @@ object DeltaImport {
       }.toMap,
       fieldIdRead = mapped && mode == "id")
     val dvApplied = applyDvs(spark, tableDir, adds, base)
-    val fileCols = fileKeyCol.map(c =>
+    val fileCols = (fileKeyCol.map(c =>
       regexp_replace(col("_metadata.file_path"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/").as(c)).toSeq
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/").as(c)) ++
+      // fresh/materialized resolution: an explicit materialized id
+      // wins; otherwise baseRowId + the row's PHYSICAL position
+      // (_metadata.row_index is pre-DV-filter, per spec — a DV'd
+      // row's deletion never renumbers its survivors)
+      (if (!rowLineage) None
+      else Some(coalesce(
+        (matCol.map(col).toSeq :+
+          (col(BASE) + col("_metadata.row_index"))): _*).as("_row_id"))
+      )).toSeq
     // rename back to the LOGICAL schema: non-struct fields are pure
     // aliases (filters keep pushing through); struct-typed fields use
     // Spark's positional struct cast, which renames nested fields

@@ -249,6 +249,13 @@ object IcebergExport {
       case TimestampType => "timestamptz"
       case TimestampNTZType => "timestamp"
       case BinaryType => "binary"
+      case VariantType =>
+        // variant is a v3 type; a v2 tree declaring it would be
+        // spec-invalid and refused by conforming readers
+        require(formatVersion >= 3,
+          "variant columns require format-version 3 — " +
+            "export with formatVersion = 3")
+        "variant"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case ArrayType(e, containsNull) =>
         val o = m.createObjectNode()

@@ -127,11 +127,33 @@ object IcebergImport {
       // (measured: PARQUET_COLUMN_DATA_TYPE_MISMATCH); BinaryType
       // reads the 16 bytes exactly, so that is the faithful mapping
       case "uuid" => BinaryType
+      // v3 semi-structured values store as the Parquet Variant
+      // metadata+value group — exactly Spark 4's native VariantType
+      // encoding, so the read is byte-exact (load() gates declared v3
+      // types against the table's format-version)
+      case "variant" => VariantType
+      // v3 `unknown`: a column whose type was never resolved — always
+      // null, possibly absent from every data file. NullType in the
+      // read schema yields exactly that (measured: missing parquet
+      // columns read as typed nulls).
+      case "unknown" => NullType
       case s if s.startsWith("decimal(") =>
         val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
           .split(',').map(_.trim.toInt)
         DecimalType(p, sc)
       case s if s.startsWith("fixed[") => BinaryType
+      case s @ ("timestamp_ns" | "timestamptz_ns") =>
+        throw new IllegalArgumentException(
+          s"Iceberg type $s stores NANOSECOND precision; Spark " +
+            "timestamps are microseconds, so a read would silently " +
+            "truncate every value — refusing (export the column as " +
+            "long nanos for a lossless handoff)")
+      case s if s.startsWith("geometry") || s.startsWith("geography") =>
+        throw new IllegalArgumentException(
+          s"Iceberg type $s has no Spark type and no tested WKB " +
+            "round-trip in this reader — refusing rather than " +
+            "returning bytes whose semantics (CRS, edge " +
+            "interpolation) would be silently dropped")
       case other => throw new IllegalArgumentException(
         s"no Spark type for Iceberg primitive $other")
     } else t.path("type").asText() match {
@@ -222,6 +244,32 @@ object IcebergImport {
       StructField(f.path("name").asText(), sparkType(f.path("type")),
         !f.path("required").asBoolean())
     }.toArray)
+    // v3-only types in pre-v3 metadata are spec-invalid — a writer
+    // that emitted them cannot be trusted about what the data files
+    // hold; and a REQUIRED unknown column is a contradiction (unknown
+    // is always-null, the spec pins it optional)
+    locally {
+      def v3Only(dt: DataType): Boolean = dt match {
+        case VariantType | NullType => true
+        case s: StructType => s.fields.exists(f => v3Only(f.dataType))
+        case ArrayType(e, _) => v3Only(e)
+        case MapType(k, v, _) => v3Only(k) || v3Only(v)
+        case _ => false
+      }
+      val bad = schema.fields.filter(f => v3Only(f.dataType))
+      require(formatVersion >= 3 || bad.isEmpty,
+        s"$metadataJsonPath: format-version $formatVersion metadata " +
+          s"declares v3-only types (${bad.map(_.name).mkString(", ")}" +
+          ") — spec-invalid; refusing rather than guessing what the " +
+          "files hold")
+      val reqUnknown = schema.fields
+        .filter(f => f.dataType == NullType && !f.nullable)
+      require(reqUnknown.isEmpty,
+        s"$metadataJsonPath: REQUIRED column(s) of type unknown " +
+          s"(${reqUnknown.map(_.name).mkString(", ")}) — unknown is " +
+          "always-null and the spec pins it optional; spec-invalid " +
+          "metadata refused")
+    }
     // v3 initial-defaults on the schema BEING READ (see the gate note
     // above): required + primitive applies, everything else refuses
     def nestedHasDefault(n: JsonNode): Boolean =

@@ -708,12 +708,21 @@ final class LakeTable private (
         id: Long): Seq[DataFrame] = {
       val dataCols = post.columns.filter(_ != ROW_ID_COL).toSeq
       val img = struct(dataCols.map(col): _*)
+      // variant admits no comparison (Spark pins it unorderable), so
+      // the CHANGE TEST compares each variant-bearing column's
+      // canonical JSON text; the carried image keeps original values
+      val types = post.schema.fields.map(f => f.name -> f.dataType).toMap
+      val imgCmp = struct(dataCols.map(c =>
+        if (LakeTable.containsVariant(types(c))) to_json(col(c)).as(c)
+        else col(c)): _*)
       val p = post.where(col(ROW_ID_COL).isNotNull)
-        .select(col(ROW_ID_COL), img.as("__graft_post"))
+        .select(col(ROW_ID_COL), img.as("__graft_post"),
+          imgCmp.as("__graft_postc"))
       val q = pre.where(col(ROW_ID_COL).isNotNull)
-        .select(col(ROW_ID_COL), img.as("__graft_pre"))
+        .select(col(ROW_ID_COL), img.as("__graft_pre"),
+          imgCmp.as("__graft_prec"))
       val changed = p.join(q, Seq(ROW_ID_COL), "full_outer")
-        .where(!(col("__graft_post") <=> col("__graft_pre")))
+        .where(!(col("__graft_postc") <=> col("__graft_prec")))
       // each surviving id yields its present sides in one pass
       val rows = changed.select(col(ROW_ID_COL), explode(array(
           when(col("__graft_post").isNotNull, struct(
@@ -735,8 +744,10 @@ final class LakeTable private (
       val postNull = post.where(col(ROW_ID_COL).isNull)
       val preNull = pre.where(col(ROW_ID_COL).isNull)
       Seq(rows,
-        tag(postNull.exceptAll(preNull), "insert", id),
-        tag(preNull.exceptAll(postNull), "delete", id))
+        tag(LakeTable.exceptAllVariantSafe(postNull, preNull),
+          "insert", id),
+        tag(LakeTable.exceptAllVariantSafe(preNull, postNull),
+          "delete", id))
     }
     val parts = snaps.filter(s =>
       s.operation != "compact" && s.operation != "create").flatMap { s =>
@@ -754,8 +765,10 @@ final class LakeTable private (
         else if (lineage)
           classify(post, pre, s.snapshotId)
         else Seq(
-          tag(post.exceptAll(pre), "insert", s.snapshotId),
-          tag(pre.exceptAll(post), "delete", s.snapshotId))
+          tag(LakeTable.exceptAllVariantSafe(post, pre),
+            "insert", s.snapshotId),
+          tag(LakeTable.exceptAllVariantSafe(pre, post),
+            "delete", s.snapshotId))
       // a changed delete STATE alters carried files' visibility with no
       // file delta: diff it in both directions — added delete artifacts
       // suppress pre-image rows (deletes), removed ones (rollback)
@@ -771,8 +784,10 @@ final class LakeTable private (
         val before = readFilesAs(prev, carried, withLineage = lineage)
         val after = readFilesAs(s, carried, withLineage = lineage)
         base ++ Seq(
-          tag(before.exceptAll(after), "delete", s.snapshotId),
-          tag(after.exceptAll(before), "insert", s.snapshotId))
+          tag(LakeTable.exceptAllVariantSafe(before, after),
+            "delete", s.snapshotId),
+          tag(LakeTable.exceptAllVariantSafe(after, before),
+            "insert", s.snapshotId))
       }
     }
     if (parts.isEmpty)
@@ -3903,7 +3918,8 @@ final class LakeTable private (
     // deterministic content-hash salt — same retry-safety bar as
     // [[compact]]'s (a re-salted retry must place rows identically)
     val data = readFilesForRewrite(base, rewritten)
-      .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
+      .withColumn(salt, pmod(xxhash64(schema.fields.map(f =>
+          LakeTable.comparableCol(f.name, f.dataType)).toIndexedSeq: _*),
         lit(targetFilesPerPartition)))
       .repartition(numParts,
         (partitionFields.map(f => f.expr(types(f.source))) :+
@@ -4001,7 +4017,9 @@ final class LakeTable private (
         // rows differently than its first attempt would duplicate/lose
         // rows across reducers — and compact retires the only correct copy
         all
-          .withColumn(salt, pmod(xxhash64(schema.fieldNames.map(col): _*),
+          .withColumn(salt, pmod(xxhash64(schema.fields.map(f =>
+              LakeTable.comparableCol(f.name, f.dataType))
+              .toIndexedSeq: _*),
             lit(targetFilesPerPartition)))
           .repartition(numParts,
             (partitionFields.map(f => f.expr(types(f.source))) :+
@@ -5141,6 +5159,50 @@ object LakeTable {
     * addColumn maps the new column here for pre-existing files, so they
     * read NULL even if they carry dead bytes under the same name. */
   private val ABSENT_PREFIX = "__graft_absent_"
+
+  /** Spark pins VariantType unorderable: no hash, no comparison, no
+    * set operations. Wherever the engine hashes or set-differences a
+    * ROW IMAGE, each variant-bearing column substitutes its canonical
+    * JSON text (value-equal variants serialize identically). */
+  private[lake] def containsVariant(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+    case ArrayType(e, _) => containsVariant(e)
+    case MapType(k, v, _) => containsVariant(k) || containsVariant(v)
+    case _ => false
+  }
+
+  /** The hashable/comparable projection of a column: variant-bearing
+    * columns become their JSON text, everything else passes through.
+    * Comparison-only callers (salts, change tests) never restore. */
+  private[lake] def comparableCol(name: String, dt: DataType): Column =
+    if (containsVariant(dt)) to_json(col(name)) else col(name)
+
+  /** `a.exceptAll(b)` with TOP-LEVEL variant columns carried through
+    * as JSON text and parsed back after the set op (value-exact:
+    * parse_json ∘ to_json is the identity on variant values, and SQL
+    * NULL vs variant JSON-null survives — to_json maps them to NULL
+    * vs "null"). A variant NESTED inside a struct/array/map has no
+    * column-level inverse here and refuses loudly rather than
+    * returning a silently re-typed frame. */
+  private[lake] def exceptAllVariantSafe(a: DataFrame,
+      b: DataFrame): DataFrame = {
+    val sch = a.schema
+    val vf = sch.fields.filter(f => containsVariant(f.dataType))
+    if (vf.isEmpty) return a.exceptAll(b)
+    vf.foreach(f => require(f.dataType == VariantType,
+      s"column ${f.name}: a variant nested inside " +
+        s"${f.dataType.simpleString} cannot ride a set-difference " +
+        "(no lossless restore) — restructure the column or use a " +
+        "row-lineage table, whose change classification never " +
+        "set-differences full rows"))
+    def j(df: DataFrame) = df.select(sch.fields.map(f =>
+      if (f.dataType == VariantType) to_json(col(f.name)).as(f.name)
+      else col(f.name)).toIndexedSeq: _*)
+    j(a).exceptAll(j(b)).select(sch.fields.map(f =>
+      if (f.dataType == VariantType) parse_json(col(f.name)).as(f.name)
+      else col(f.name)).toIndexedSeq: _*)
+  }
 
   /** Partition-spec validation shared by create and evolve:
     * entries are identity column names or transform specs

@@ -319,6 +319,24 @@ final class GenerationPointerStore(backend: ConditionalPut)
         // readers; everything older is unreachable and sweeps away
         gens(p).filter(_._1 < next - 1)
           .foreach { case (_, old) => backend.delete(old) }
+        // FIRST subdir write on a migrated table: retire the
+        // legacy-layout artifacts (plain pointer file /
+        // beside-the-pointer generations) once the subdir holds the
+        // truth. A reader still configured for the RENAME protocol
+        // would otherwise keep resolving the stale plain file
+        // SILENTLY — after this sweep it sees no pointer and fails
+        // loudly instead. Guarded to generation 1 so steady-state
+        // writes never pay the O(metadata-dir) parent listing.
+        // Mixed-protocol CONCURRENT writers remain unsupported
+        // (documented at [[legacyRead]]).
+        if (next == 1L) {
+          val legacyPrefix = s"${p.getName}.gen-"
+          backend.list(p.getParent).foreach { path =>
+            val n = path.getName
+            if (n == p.getName || n.startsWith(legacyPrefix))
+              backend.delete(path)
+          }
+        }
         return
       } catch {
         case _: PreconditionFailed =>

@@ -1158,4 +1158,128 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("checkpoint"))
   }
+
+  test("row tracking export: a lineage table publishes as an ENABLED " +
+      "rowTracking log (baseRowId on every add, materialized column " +
+      "config, high-water domainMetadata), lineageScan ids equal " +
+      "graft's own, and a checkpoint carries all of it") {
+    val base = TestSpark.tmpDir("delta-rowtrack")
+    val src = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$base/t", src.schema,
+      properties = Map(LakeTable.PROP_ROW_LINEAGE -> "true"))
+    t.append(src.coalesce(1))
+    // COW update: rewritten file materializes preserved _row_ids —
+    // the export's materialized-column config must point readers at it
+    t.update(col("id") % 4 === 0, Map("s" -> lit("upd")))
+    t.delete(col("id") % 9 === 0)
+    DeltaExport.publish(t, s"$base/delta")
+    val st = DeltaImport.state(spark, s"$base/delta", None)
+    assert(st.minWriterVersion == 7 &&
+      st.writerFeatures("rowTracking") &&
+      st.writerFeatures("domainMetadata"))
+    // no DVs/variant live: the table stays maximally READABLE
+    assert(st.minReaderVersion == 1 && st.readerFeatures.isEmpty)
+    assert(st.configuration.get("delta.rowTracking.enabled")
+      .contains("true"))
+    assert(st.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+      .contains(LakeTable.ROW_ID_COL))
+    assert(st.adds.nonEmpty && st.adds.forall(_.baseRowId.isDefined))
+    assert(st.adds.forall(_.defaultRowCommitVersion.isDefined))
+    val hwm = st.domainMetadata("delta.rowTracking")
+    assert(!hwm._2 && hwm._1.contains("rowIdHighWaterMark"))
+    val expectNext = t.properties(LakeTable.PROP_NEXT_ROW_ID).toLong
+    assert(mapper.readTree(hwm._1).path("rowIdHighWaterMark")
+      .asLong() == expectNext - 1L)
+
+    def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val own = idsOf(t.scanWithLineage(), LakeTable.ROW_ID_COL)
+    val foreign = idsOf(
+      DeltaImport.lineageScan(spark, s"$base/delta"), "_row_id")
+    assert(foreign == own, "foreign ids must equal graft's lineage")
+    assert(foreign.values.toSeq.distinct.size == foreign.size)
+
+    // checkpoint fidelity: baseRowId + domainMetadata survive the
+    // fold, so a checkpoint-seeded reader still resolves the same ids
+    DeltaExport.checkpoint(spark, s"$base/delta")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(s"$base/delta/_delta_log")).foreach { f =>
+      if (f.getPath.getName.matches("""\d{20}\.json"""))
+        fs.delete(f.getPath, false)
+    }
+    val st2 = DeltaImport.state(spark, s"$base/delta", None)
+    assert(st2.adds.forall(_.baseRowId.isDefined))
+    assert(st2.domainMetadata.contains("delta.rowTracking"))
+    assert(idsOf(DeltaImport.lineageScan(spark, s"$base/delta"),
+      "_row_id") == own)
+  }
+
+  test("row tracking hostile logs: supported-but-disabled refuses, a " +
+      "baseRowId-less add refuses by file, an undeclared feature " +
+      "refuses, and a foreign materialized column OVERRIDES the " +
+      "fresh id exactly where it is non-null") {
+    val base = TestSpark.tmpDir("delta-rt-hostile")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // one real parquet file: 4 rows, a materialized-id column whose
+    // value is set ONLY for row 2 (delta writers leave fresh rows
+    // null) — under baseRowId=100 ids must be 100,101,777,103
+    spark.sql("SELECT id, concat('v', id) AS s, " +
+        "CASE WHEN id = 2 THEN 777L ELSE NULL END AS _rid_mat " +
+        "FROM range(4)")
+      .coalesce(1).write.parquet(s"$base/files/f1")
+    val st0 = fs.listStatus(new Path(s"$base/files/f1"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json
+    def mkLog(dir: String, cfg: String, feats: String,
+        addExtra: String): Unit = {
+      fs.mkdirs(new Path(s"$dir/_delta_log"))
+      LakeTable.writeStringExclusive(fs,
+        new Path(s"$dir/_delta_log/00000000000000000000.json"),
+        Seq(
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$feats}}""",
+          s"""{"metaData":{"id":"rt","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":$cfg,"createdTime":1}}""",
+          s"""{"add":{"path":${jstr(st0.getPath.toUri.toString)},"partitionValues":{},"size":${st0.getLen},"modificationTime":1,"dataChange":true$addExtra}}""")
+          .mkString("", "\n", "\n"))
+    }
+    val enabledCfg = """{"delta.rowTracking.enabled":"true",""" +
+      """"delta.rowTracking.materializedRowIdColumnName":"_rid_mat"}"""
+    val feats = """["rowTracking","domainMetadata"]"""
+
+    mkLog(s"$base/good", enabledCfg, feats, ""","baseRowId":100""")
+    val got = DeltaImport.lineageScan(spark, s"$base/good")
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 100L, 1L -> 101L, 2L -> 777L, 3L -> 103L),
+      s"materialized override must win only at row 2: $got")
+    // plain scan is UNCHANGED by lineage internals
+    assert(DeltaImport.scan(spark, s"$base/good").columns.toSeq ==
+      Seq("id", "s"))
+
+    mkLog(s"$base/disabled", "{}", feats, ""","baseRowId":100""")
+    val e1 = intercept[IllegalArgumentException](
+      DeltaImport.lineageScan(spark, s"$base/disabled"))
+    assert(e1.getMessage.contains("not enabled"))
+
+    mkLog(s"$base/nobase", enabledCfg, feats, "")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaImport.lineageScan(spark, s"$base/nobase"))
+    assert(e2.getMessage.contains("baseRowId") &&
+      e2.getMessage.contains("f1"))
+
+    mkLog(s"$base/nofeat", enabledCfg, """["appendOnly"]""",
+      ""","baseRowId":100""")
+    val e3 = intercept[IllegalArgumentException](
+      DeltaImport.lineageScan(spark, s"$base/nofeat"))
+    assert(e3.getMessage.contains("rowTracking"))
+  }
 }

@@ -25,7 +25,7 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def run(seed: Int, steps: Int, partitioned: Boolean,
-      mor: Boolean = false): Unit = {
+      mor: Boolean = false, lineage: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val base = Seq((0L, "", 0L)).toDF("id", "v", "g")
     val t = LakeTable.create(spark,
@@ -34,9 +34,11 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
       // MOR deletes → position artifacts → consolidated DVs: the
       // publishes below carry REAL Delta deletion vectors, so the
       // whole fuzz drives the DV encode/replay/decode path
-      properties = if (mor)
+      properties = (if (mor)
         Map(LakeTable.PROP_DELETE_MODE -> "merge-on-read")
-      else Map.empty)
+      else Map.empty[String, String]) ++
+        (if (lineage) Map(LakeTable.PROP_ROW_LINEAGE -> "true")
+        else Map.empty[String, String]))
     val dir = TestSpark.tmpDir(s"dfuzz-$seed") + "/delta"
     val model = scala.collection.mutable.Map.empty[Long, String]
     var nextId = 0L
@@ -113,6 +115,19 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
     // final live state
     assert(read(DeltaImport.scan(spark, dir)) == shape(history.last._2),
       s"seed $seed: final scan diverged")
+    // row-tracking leg: after an ARBITRARY COW ladder the foreign
+    // lineage read resolves exactly the ids graft's own lineage scan
+    // holds (merges/updates preserved them via the materialized
+    // column, appends via baseRowId blocks)
+    if (lineage) {
+      def ids(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.select(col("id"), col(c)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val own = ids(t.scanWithLineage(), LakeTable.ROW_ID_COL)
+      val foreign = ids(DeltaImport.lineageScan(spark, dir), "_row_id")
+      assert(foreign == own,
+        s"seed $seed: rowTracking ids diverged from graft lineage")
+    }
     // every recorded version time-travels back exactly
     history.foreach { case (v, m, _) =>
       assert(read(DeltaImport.scan(spark, dir, Some(v))) == shape(m),
@@ -150,5 +165,11 @@ class DeltaRoundtripFuzzSpec extends AnyFunSuite {
   test("random MOR + identity-partitioned DV histories model-exact " +
       "(seed 59)") {
     run(59, 22, partitioned = true, mor = true)
+  }
+
+  test("random ROW-LINEAGE histories: every published state " +
+      "model-exact AND foreign rowTracking ids equal graft's own " +
+      "(seed 83)") {
+    run(83, 22, partitioned = false, lineage = true)
   }
 }

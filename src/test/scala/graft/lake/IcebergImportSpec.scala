@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -333,12 +335,26 @@ class IcebergImportSpec extends AnyFunSuite {
       w.write(g)
     }
     w.close()
-    // patch the declared type binary -> uuid
+    // patch the declared type binary -> uuid through the JSON tree
+    // (the metadata is pretty-printed; text substitution no-ops)
     val metaP = new org.apache.hadoop.fs.Path(meta)
-    val patched = LakeTable.readString(fs, metaP)
-      .replace("\"type\":\"binary\"", "\"type\":\"uuid\"")
-    fs.delete(metaP, false)
-    LakeTable.writeStringExclusive(fs, metaP, patched)
+    locally {
+      val m = Snapshot.mapper
+      val root = m.readTree(LakeTable.readString(fs, metaP))
+      var hit = false
+      root.path("schemas").elements().asScala.foreach { sch =>
+        sch.path("fields").elements().asScala.foreach {
+          case f: com.fasterxml.jackson.databind.node.ObjectNode
+              if f.path("name").asText() == "u" =>
+            f.put("type", "uuid"); hit = true
+          case _ => ()
+        }
+      }
+      require(hit, "fixture drift: no field `u` to re-type")
+      fs.delete(metaP, false)
+      LakeTable.writeStringExclusive(fs, metaP,
+        m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
     val tm = IcebergImport.load(meta, hconf)
     assert(tm.schema("u").dataType == BinaryType)
     val got = IcebergImport.scan(spark, meta).collect()
@@ -347,5 +363,140 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(got == uuids.zipWithIndex
       .map { case (u, i) => i.toLong -> u.toSeq }.toMap,
       "uuid bytes must round-trip exactly")
+  }
+
+  /** Export a small (id, x) table, returning (metadata path, fs). The
+    * v3-type tests patch the declared type of `x` and re-load. */
+  private def exportPatchable(name: String, fv: Int = 2)
+      : (String, org.apache.hadoop.fs.FileSystem) = {
+    val df = (1L to 5L).map(i => (i, s"s$i")).toDF("id", "x")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir(name) + "/t", df.schema)
+    t.append(df.coalesce(1))
+    val meta = IcebergExport.export(t,
+      TestSpark.tmpDir(name + "-out"), formatVersion = fv)
+    val fs = new org.apache.hadoop.fs.Path(meta).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    (meta, fs)
+  }
+
+  /** Re-type the declared column `x` through the JSON TREE (the
+    * metadata is pretty-printed, so text substitution would silently
+    * no-op — measured). */
+  private def patchType(meta: String,
+      fs: org.apache.hadoop.fs.FileSystem, to: String,
+      alsoRequired: Boolean = false): Unit = {
+    val p = new org.apache.hadoop.fs.Path(meta)
+    val m = Snapshot.mapper
+    val root = m.readTree(LakeTable.readString(fs, p))
+    var hit = false
+    root.path("schemas").elements().asScala.foreach { sch =>
+      sch.path("fields").elements().asScala.foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode
+            if f.path("name").asText() == "x" =>
+          f.put("type", to)
+          if (alsoRequired) f.put("required", true)
+          hit = true
+        case _ => ()
+      }
+    }
+    require(hit, "fixture drift: no field `x` found to patch")
+    fs.delete(p, false)
+    LakeTable.writeStringExclusive(fs, p, m.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root))
+  }
+
+  test("v3 type gates: timestamp_ns refuses naming the truncation, " +
+      "geometry refuses by name, variant/unknown in V2 metadata " +
+      "refuse as spec-invalid, REQUIRED unknown refuses") {
+    locally { // nanosecond timestamps: silent µs truncation refused
+      val (meta, fs) = exportPatchable("iceimp-ns")
+      patchType(meta, fs, "timestamp_ns")
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.load(meta, spark.sessionState.newHadoopConf()))
+      assert(e.getMessage.contains("NANOSECOND"))
+    }
+    locally { // geometry: semantics (CRS, edges) would drop silently
+      val (meta, fs) = exportPatchable("iceimp-geo")
+      patchType(meta, fs, "geometry(srid:3857)")
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.load(meta, spark.sessionState.newHadoopConf()))
+      assert(e.getMessage.contains("geometry"))
+    }
+    locally { // v3-only type under format-version 2 metadata
+      val (meta, fs) = exportPatchable("iceimp-varv2")
+      patchType(meta, fs, "variant")
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.load(meta, spark.sessionState.newHadoopConf()))
+      assert(e.getMessage.contains("v3-only"))
+    }
+    locally { // required unknown is a spec contradiction
+      val (meta, fs) = exportPatchable("iceimp-requnk", fv = 3)
+      patchType(meta, fs, "unknown", alsoRequired = true)
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.load(meta, spark.sessionState.newHadoopConf()))
+      assert(e.getMessage.contains("unknown"))
+    }
+  }
+
+  test("v3 unknown columns read as typed NULLs even though no data " +
+      "file stores them") {
+    // the spec shape: a column whose type was never resolved is ADDED
+    // to the schema and absent from every data file
+    val (meta, fs) = exportPatchable("iceimp-unk", fv = 3)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(meta)
+      val m = Snapshot.mapper
+      val root = m.readTree(LakeTable.readString(fs, p))
+      root.path("schemas").elements().asScala.foreach {
+        case sch: com.fasterxml.jackson.databind.node.ObjectNode =>
+          val f = sch.withArray[com.fasterxml.jackson.databind.node
+            .ArrayNode]("fields").addObject()
+          f.put("id", 99); f.put("name", "u")
+          f.put("required", false); f.put("type", "unknown")
+        case _ => ()
+      }
+      fs.delete(p, false)
+      LakeTable.writeStringExclusive(fs, p,
+        m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
+    val tm = IcebergImport.load(meta,
+      spark.sessionState.newHadoopConf())
+    assert(tm.schema("u").dataType ==
+      org.apache.spark.sql.types.NullType)
+    val got = IcebergImport.scan(spark, meta)
+      .select(col("id"), col("u")).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))).toMap
+    assert(got == (1L to 5L).map(_ -> true).toMap)
+  }
+
+  test("v3 variant round-trip: a VariantType column exports as " +
+      "`variant` and scans back value-identical through the " +
+      "engine-free importer; a second append keeps the history " +
+      "readable") {
+    val mk = (lo: Long, hi: Long) => (lo to hi).toDF("id")
+      .selectExpr("id",
+        "parse_json(concat('{\"n\":', id, ',\"s\":\"x', id, '\"}')) AS v")
+    val t = LakeTable.create(spark,
+      TestSpark.tmpDir("iceimp-variant") + "/t", mk(1L, 1L).schema)
+    t.append(mk(1L, 6L))
+    val dest = TestSpark.tmpDir("iceimp-variant-out")
+    val meta = IcebergExport.export(t, dest, formatVersion = 3)
+    t.append(mk(7L, 9L))
+    val meta2 = IcebergExport.publish(t, dest)
+    val got = IcebergImport.scan(spark, meta2)
+      .selectExpr("id", "variant_get(v, '$.n', 'long') AS n",
+        "variant_get(v, '$.s', 'string') AS s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == (1L to 9L).map(i => (i, i, s"x$i")).toSet)
+    // typed manifest round-trip: the declared type string is exactly
+    // `variant`
+    val metaTxt = LakeTable.readString(
+      new org.apache.hadoop.fs.Path(meta2).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(meta2))
+    assert("""\"type\"\s*:\s*\"variant\"""".r
+      .findFirstIn(metaTxt).isDefined, "declared type must be variant")
   }
 }

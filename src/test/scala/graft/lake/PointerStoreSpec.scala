@@ -106,10 +106,17 @@ class PointerStoreSpec extends AnyFunSuite {
       new Path(dir, f"HEAD.gen-${1L}%019d"), framed("legacy-gen"))
     assert(gen.read(p).contains("legacy-gen"),
       "legacy generations outrank the plain file")
-    // first generation-store write wins over both legacy layouts
+    // first generation-store write wins over both legacy layouts AND
+    // retires them — a reader still on the rename protocol must fail
+    // loudly (no pointer) rather than resolve the stale plain file
     gen.write(p, "migrated")
     assert(gen.read(p).contains("migrated"))
     assert(fs.exists(new Path(dir, ".ptr-HEAD")))
+    assert(!fs.exists(p), "legacy plain pointer must be retired")
+    assert(!fs.listStatus(dir)
+        .exists(_.getPath.getName.startsWith("HEAD.gen-")),
+      "legacy beside-the-pointer generations must be retired")
+    assert(new RenamePointerStore(fs, dir.toUri, conf).read(p).isEmpty)
   }
 
   test("conditional-put 412 races through the double: a rival winning " +
@@ -197,6 +204,10 @@ class PointerStoreSpec extends AnyFunSuite {
       // no HEAD rename artifact exists — the pointer is generations only
       val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
       assert(!fs.exists(new Path(root, s"${LakeTable.METADATA_DIR}/HEAD")))
-    } finally spark.conf.set("spark.graft.lake.pointer-store", "rename")
+    } finally spark.conf.unset("spark.graft.lake.pointer-store")
+    // ^ unset, NEVER a literal: pinning "rename" on the SHARED session
+    // poisoned every later suite in the run — the parent read through
+    // the rename store while child JVMs (fresh sessions, generation
+    // default) advanced generations the rename store cannot see
   }
 }
