@@ -124,6 +124,10 @@ object ScaleSmoke {
       dvImportSmoke(args.lift(1).map(_.toInt).getOrElse(100000))
       return
     }
+    if (args.headOption.contains("cdf-publish")) {
+      cdfPublishSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      return
+    }
     if (args.headOption.contains("dedup-corpus")) {
       dedupCorpusSmoke(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10))
@@ -1711,6 +1715,80 @@ object ScaleSmoke {
     * construction only). One spec targets a real parquet file and
     * must drop exactly its marked rows; the rest are phantom paths
     * the left join passes through. */
+  /** CDF production cost model: an insert-only publish stays
+    * cdc-free (file-action synthesis IS the feed), and a cdc-bearing
+    * publish costs ∝ the commit's REWRITTEN data (the changelog
+    * compares only the commit's own file delta; carried rows cancel),
+    * demonstrated by updating one partition vs all partitions of the
+    * same table — at 100 TB a partition-pruned update feeds the CDF
+    * at the touched-partition size, never the table size. */
+  private def cdfPublishSmoke(sfDir: String): Unit = {
+    val spark = smokeSession("graft-cdf-publish-smoke")
+    val work = Files.createTempDirectory("graft-cdfpub").toString
+    import graft.lake.{DeltaExport, DeltaImport, LakeTable}
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val lt = LakeTable.create(spark, s"$work/t", orders.schema,
+      partitionBy = Seq("o_orderpriority"),
+      properties = Map(LakeTable.PROP_PUBLISH_CDF -> "true"))
+    lt.append(orders.repartition(32))
+    DeltaExport.export(lt, s"$work/delta")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def cdcActions(v: Long): Int =
+      graft.lake.LakeTable.readString(fs,
+        new org.apache.hadoop.fs.Path(
+          f"$work/delta/_delta_log/$v%020d.json"))
+        .split('\n').count(_.contains("\"cdc\""))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e6)
+    }
+    def curVersion: Long =
+      DeltaImport.state(spark, s"$work/delta", None).version
+    // leg A: insert-only — the publish must emit NO cdc
+    lt.append(orders.limit(2000).repartition(1))
+    val (_, tIns) = timed(DeltaExport.publish(lt, s"$work/delta"))
+    require(cdcActions(curVersion) == 0,
+      "insert-only publish emitted cdc")
+    println(f"[cdf-publish] insert-only publish: $tIns%.0f ms, 0 cdc " +
+      "actions (file-action synthesis is the feed)")
+    // untimed warm-up so the timed legs below compare codegen-warm
+    // jobs, not first-run JIT
+    lt.update(col("o_orderkey") % 100 === 7,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))
+    DeltaExport.publish(lt, s"$work/delta")
+    // leg B: update confined to ONE partition — cdc cost ∝ that
+    // partition's rewritten bytes
+    lt.update(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))
+    val (_, tOne) = timed(DeltaExport.publish(lt, s"$work/delta"))
+    val vOne = curVersion
+    val nOne = DeltaImport.changeScan(spark, s"$work/delta", vOne - 1,
+      Some(vOne)).count()
+    require(cdcActions(vOne) > 0, "update publish emitted no cdc")
+    // leg C: the same per-row update across ALL partitions
+    lt.update(col("o_orderkey") % 10 === 1,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))
+    val (_, tAll) = timed(DeltaExport.publish(lt, s"$work/delta"))
+    val vAll = curVersion
+    val nAll = DeltaImport.changeScan(spark, s"$work/delta", vAll - 1,
+      Some(vAll)).count()
+    println(f"[cdf-publish] one-partition update: $tOne%.0f ms " +
+      f"($nOne change rows); all-partition update: $tAll%.0f ms " +
+      f"($nAll change rows) — cost follows REWRITTEN data")
+    // end-to-end: the whole produced feed reads back consistently
+    val nWarm = DeltaImport.changeScan(spark, s"$work/delta", vOne - 2,
+      Some(vOne - 1)).count()
+    val total = DeltaImport.changeScan(spark, s"$work/delta", 0L).count()
+    require(total == 2000 + nWarm + nOne + nAll,
+      s"feed total $total != ${2000 + nWarm + nOne + nAll}")
+    println(s"[cdf-publish] full-feed read: $total change rows; PASS")
+  }
+
   private def dvImportSmoke(maxFiles: Int): Unit = {
     val spark = smokeSession("graft-dv-import-smoke")
     import graft.lake.{DeltaDv, DvFilter}

@@ -974,6 +974,34 @@ WHEN NOT MATCHED THEN INSERT *
           .as("n_agree"))
     }),
 
+    "q_delta_cdf_produce" -> ((s, dir) => {
+      // CDF PRODUCTION closes the change-feed loop q_delta_cdf_tail
+      // opened: a change-feed-enabled lake table publishes per commit,
+      // the update/delete versions carry REAL spec cdc actions
+      // (_change_data files derived from graft's own changelog,
+      // file actions ignored by precedence), and the independent
+      // changeScan consumer reads the full feed back — verified
+      // row-for-row against the relational oracle.
+      val orders = t(s, dir, "orders")
+      val base = tmp("graft-cdfprod")
+      val src = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      val lt = LakeTable.create(s, s"$base/t", src.schema,
+        properties = Map(LakeTable.PROP_PUBLISH_CDF -> "true"))
+      lt.append(src)
+      graft.lake.DeltaExport.publish(lt, s"$base/d") // version 0
+      lt.update(col("o_orderkey") % 10 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      graft.lake.DeltaExport.publish(lt, s"$base/d") // version 1: cdc
+      lt.delete(col("o_orderkey") % 7 === 0)
+      graft.lake.DeltaExport.publish(lt, s"$base/d") // version 2: cdc
+      graft.lake.DeltaImport.changeScan(s, s"$base/d", 0L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("_change_type"), col("_commit_version"))
+    }),
+
     "q_delta_roundtrip" -> ((s, dir) => {
       // DELTA-LOG interop end-to-end under one oracle (the Delta twin
       // of q_iceberg_publish): export version 0 (even orders,
@@ -3973,6 +4001,24 @@ WHEN NOT MATCHED THEN INSERT *
         | round(o_totalprice, 2) AS price,
         | CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END AS bumped
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // produced CDF: version 1 is the update (delete+insert pairs for
+    // the touched keys — the non-lineage change vocabulary), version
+    // 2 deletes under the POST-update values
+    "q_delta_cdf_produce" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'X', round(o_totalprice, 2),
+        |  'insert', 1 FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+        |       ELSE o_orderstatus END,
+        |  round(o_totalprice, 2), 'delete', 2
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     // rowTracking interop invariants: every surviving key's foreign
     // _row_id is distinct and equals graft's own lineage id (the

@@ -139,6 +139,13 @@ object DeltaExport {
       "row-lineage state drift since the last publish (rowTracking " +
         "enablement is frozen in the exported metaData, like the " +
         "schema) — export to a fresh directory")
+    require(snap.properties.get(LakeTable.PROP_PUBLISH_CDF)
+        .contains("true") ==
+        st.configuration.get("delta.enableChangeDataFeed")
+          .contains("true"),
+      "change-data-feed state drift since the last publish (CDF " +
+        "enablement is frozen in the exported metaData, like the " +
+        "schema) — export to a fresh directory")
     writeVersion(table, destDir, atSnapshot, version = st.version + 1,
       prev = Some(st), withMeta = false)
   }
@@ -257,12 +264,15 @@ object DeltaExport {
     val variantLive = hasVariant(sch)
     val lineage =
       snap.properties.get(LakeTable.PROP_ROW_LINEAGE).contains("true")
+    val cdfEnabled =
+      snap.properties.get(LakeTable.PROP_PUBLISH_CDF).contains("true")
     val readerNeeded: Set[String] =
       (if (dvLive) Set("deletionVectors") else Set.empty[String]) ++
         (if (variantLive) Set("variantType") else Set.empty[String])
     val writerNeeded: Set[String] = readerNeeded ++
       (if (lineage) Set("rowTracking", "domainMetadata")
-      else Set.empty[String])
+      else Set.empty[String]) ++
+      (if (cdfEnabled) Set("changeDataFeed") else Set.empty[String])
     def protoLine(): String = {
       val pr = m.createObjectNode()
       val p = pr.putObject("protocol")
@@ -317,6 +327,7 @@ object DeltaExport {
         cfg.put("delta.rowTracking.materializedRowIdColumnName",
           LakeTable.ROW_ID_COL)
       }
+      if (cdfEnabled) cfg.put("delta.enableChangeDataFeed", "true")
       o.put("createdTime", snap.timestampMs)
       lines += m.writeValueAsString(md)
     }
@@ -407,6 +418,58 @@ object DeltaExport {
         newRels.flatMap(rel =>
           prevLive.get(DeltaImport.normUri(absUri(rel))))
 
+    // ---- Change Data Feed classification of the published range.
+    // The graft snapshots in (prev publish, this publish] decide what
+    // this Delta version MEANS row-wise (cdfEnabled defined with the
+    // protocol features above):
+    //   - noChange: pure physical rewrites (compaction, DV
+    //     consolidation, manifest/property maintenance) — file actions
+    //     get dataChange=false, so CDF readers (ours and delta-spark)
+    //     synthesize NOTHING instead of a spurious delete+insert of
+    //     every rewritten row;
+    //   - insertOnly: appends — file actions alone are the exact CDF
+    //     (readers synthesize inserts), no cdc files needed;
+    //   - otherwise a cdc action set derived from the table's own
+    //     changelog is REQUIRED when publish.delta.change-data-feed
+    //     is on (and must be per-commit — see below).
+    val rangeSnaps: Option[Seq[Snapshot]] = prev.flatMap { p =>
+      p.graftSnapshotId.flatMap { from =>
+        val retained = table.snapshots
+          .filter(s => s.snapshotId > from &&
+            s.snapshotId <= snap.snapshotId)
+        val ids = retained.map(_.snapshotId)
+        if (ids == ((from + 1) to snap.snapshotId)) Some(retained)
+        else None // expired mid-range — unknowable
+      }
+    }
+    def delState(s: Snapshot) =
+      (s.deleteFiles, s.posDeleteFiles, s.dvFiles)
+    def noChange(s: Snapshot): Boolean =
+      Set("compact", "rewrite-deletes", "rewrite-manifests",
+        "set-properties", "unset-properties")(s.operation)
+    def insertOnly(s: Snapshot): Boolean =
+      s.removedFiles.isEmpty && s.parentId.exists(p =>
+        scala.util.Try(table.snapshot(p)).toOption
+          .exists(pp => delState(pp) == delState(s)))
+    val actionDataChange: Boolean =
+      rangeSnaps.forall(ss => !ss.forall(noChange))
+    val needCdc = cdfEnabled && prev.isDefined &&
+      rangeSnaps.forall(ss =>
+        !ss.forall(s => noChange(s) || insertOnly(s)))
+    if (needCdc) {
+      require(rangeSnaps.isDefined,
+        s"$destDir: snapshots in the published range were expired — " +
+          "the change feed for this publish cannot be derived; " +
+          "publish before expiring, or disable " +
+          s"${LakeTable.PROP_PUBLISH_CDF}")
+      require(rangeSnaps.get.size == 1,
+        s"$destDir: ${rangeSnaps.get.size} table commits since the " +
+          "last publish include row-level deletes/updates — change " +
+          "data is only well-ordered per commit; publish after every " +
+          "commit (continuous mode) or disable " +
+          s"${LakeTable.PROP_PUBLISH_CDF}")
+    }
+
     // one DV file per commit holding every (re)published descriptor
     // (the same packing delta writers use); storageType `u`, no prefix
     val dvRels = newRels.filter(r => curCard(r) > 0)
@@ -444,7 +507,7 @@ object DeltaExport {
       val o = rm.putObject("remove")
       o.put("path", uri)
       o.put("deletionTimestamp", snap.timestampMs)
-      o.put("dataChange", true)
+      o.put("dataChange", actionDataChange)
       dv.foreach(putDv(o, _))
       lines += m.writeValueAsString(rm)
     }
@@ -465,7 +528,7 @@ object DeltaExport {
       }
       o.put("size", info.bytes)
       o.put("modificationTime", snap.timestampMs)
-      o.put("dataChange", true)
+      o.put("dataChange", actionDataChange)
       if (lineage) {
         // an enabled rowTracking protocol REQUIRES baseRowId on every
         // add (fresh ids are undefined without it)
@@ -497,6 +560,73 @@ object DeltaExport {
       }
       o.put("stats", m.writeValueAsString(st))
       lines += m.writeValueAsString(add)
+    }
+
+    // ---- cdc file production (see the classification above): the
+    // commit's change rows come from the table's OWN changelog —
+    // update_preimage/update_postimage on lineage tables, the
+    // insert/delete vocabulary otherwise — written partitionBy the
+    // identity columns so the files hold exactly the spec's shape
+    // (partition values in the ACTION, not the file). Readers that
+    // see cdc actions must ignore the same version's file actions —
+    // precedence our own changeScan implements.
+    if (needCdc) {
+      val fromSnap = prev.get.graftSnapshotId.get // needCdc ⇒ defined
+      val cdfDf0 =
+        if (lineage)
+          table.changesWithLineage(fromSnap, snap.snapshotId)
+            .drop(LakeTable.ROW_ID_COL)
+        else table.changes(fromSnap, snap.snapshotId)
+      val cdfDf = cdfDf0.drop(LakeTable.CHANGE_SNAP_COL)
+      val identCols = identFields.map(_.source)
+      val tmpDir = new Path(destDir, s"_change_data/.tmp-$version")
+      val w = cdfDf.write.mode("overwrite")
+      (if (identCols.nonEmpty) w.partitionBy(identCols: _*) else w)
+        .parquet(tmpDir.toString)
+      // move each part into _change_data/ flat (delta-style), its
+      // partition values parsed from the tmp layout's hive dirs
+      val files = {
+        val it = fs.listFiles(tmpDir, true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) b += f
+        }
+        b.result()
+      }
+      files.zipWithIndex.foreach { case (f, i) =>
+        val rel = f.getPath.toString
+          .stripPrefix(fs.makeQualified(tmpDir).toString)
+          .stripPrefix("/")
+        val segs = rel.split('/').dropRight(1)
+        val pv: Seq[(String, Option[String])] = identCols.map { c =>
+          val seg = segs.find(_.startsWith(c + "="))
+            .getOrElse(throw new IllegalStateException(
+              s"cdc part $rel lacks a $c= partition segment"))
+          val raw = FileStats.unescapePathSegment(
+            seg.substring(c.length + 1))
+          c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(raw))
+        }
+        val name = s"cdc-$version-$i-${java.util.UUID.randomUUID()}" +
+          ".snappy.parquet"
+        val target = new Path(destDir, s"_change_data/$name")
+        if (!fs.rename(f.getPath, target))
+          throw new java.io.IOException(
+            s"cdc move ${f.getPath} -> $target failed")
+        val cdc = m.createObjectNode()
+        val o = cdc.putObject("cdc")
+        o.put("path", s"_change_data/$name")
+        val pvo = o.putObject("partitionValues")
+        pv.foreach {
+          case (c, Some(v)) => pvo.put(c, v)
+          case (c, None) => pvo.putNull(c)
+        }
+        o.put("size", fs.getFileStatus(target).getLen)
+        o.put("dataChange", false)
+        lines += m.writeValueAsString(cdc)
+      }
+      fs.delete(tmpDir, true)
     }
 
     val logDir = new Path(destDir, "_delta_log")

@@ -5102,6 +5102,12 @@ object LakeTable {
   val PROP_MAINT_PUBLISH_ICEBERG = "maintenance.publish-iceberg"
   val PROP_MAINT_PUBLISH_DELTA = "maintenance.publish-delta"
   val PROP_MAINT_PUBLISH_UNIFORM = "maintenance.publish-uniform"
+  /** "true" ⇒ Delta publishes also PRODUCE Change Data Feed: spec cdc
+    * actions + `_change_data/` files derived from the table's own
+    * changelog, so a delta-spark consumer can `readChangeFeed` the
+    * mirror. Non-insert ranges must publish PER COMMIT (continuous
+    * mode) — see [[DeltaExport]]. */
+  val PROP_PUBLISH_CDF = "publish.delta.change-data-feed"
 
   val PROP_BLOOM_COLUMNS = "write.bloom.columns"
   /** Comma list of INTEGRAL columns whose exact per-file sums are

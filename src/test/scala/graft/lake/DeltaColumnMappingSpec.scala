@@ -195,4 +195,42 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(DeltaImport.scanWhere(spark, s"$base/t", col("id") <= 10L)
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("columnMapping + rowTracking together (the liquid-clustering-" +
+      "era delta-spark default): lineageScan resolves ids under " +
+      "PHYSICAL column names, the materialized column overriding " +
+      "exactly where it is non-null") {
+    val base = TestSpark.tmpDir("cm-rowtrack")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // physical file: col-aa (logical id), col-bb (logical s), and the
+    // materialized row-id column — non-null ONLY at row index 1
+    spark.sql("SELECT id AS `col-aa`, concat('v', id) AS `col-bb`, " +
+        "CASE WHEN id = 1 THEN 900L ELSE NULL END AS `_rid-mat-7` " +
+        "FROM range(3)")
+      .coalesce(1).write.parquet(s"$base/files/f1")
+    val part = fs.listStatus(new Path(s"$base/files/f1"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val logical2 = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-aa")),
+      StructField("s", StringType, nullable = true, fm(2, "col-bb"))))
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    LakeTable.writeStringExclusive(fs,
+      new Path(s"$base/t/_delta_log/00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,""" +
+          """"writerFeatures":["appendOnly","invariants",""" +
+          """"columnMapping","rowTracking","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"cmrt","format":{"provider":"parquet","options":{}},"schemaString":${jstr(
+          logical2.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.rowTracking.enabled":"true","delta.rowTracking.materializedRowIdColumnName":"_rid-mat-7"},"createdTime":1}}""",
+        s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":902}","removed":false}}""",
+        s"""{"add":{"path":${jstr(part.getPath.toUri.toString)},"partitionValues":{},"size":${part.getLen},"modificationTime":1,"dataChange":true,"baseRowId":500,"defaultRowCommitVersion":0}}""")
+        .mkString("", "\n", "\n"))
+    val got = DeltaImport.lineageScan(spark, s"$base/t")
+      .select(col("id"), col("s"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "v0", 500L), (1L, "v1", 900L),
+      (2L, "v2", 502L)), s"$got")
+  }
 }

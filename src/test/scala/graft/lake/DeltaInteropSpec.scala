@@ -1282,4 +1282,128 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaImport.lineageScan(spark, s"$base/nofeat"))
     assert(e3.getMessage.contains("rowTracking"))
   }
+
+  test("WRITER-only table features never gate the read: a log " +
+      "declaring clustering/icebergCompatV2/inCommitTimestamp/" +
+      "checkpointProtection (the 2025 delta-spark defaults) scans — " +
+      "only reader features change what the bytes mean; an unknown " +
+      "READER feature still refuses") {
+    val base = TestSpark.tmpDir("delta-writer-feats")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$base/files/f1")
+    val part = fs.listStatus(new Path(s"$base/files/f1"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val schemaJson = Seq((1L, "a")).toDF("id", "v").schema.json
+    def mk(dir: String, proto: String): Unit =
+      LakeTable.writeStringExclusive(fs,
+        new Path(s"$dir/_delta_log/00000000000000000000.json"),
+        Seq(proto,
+          s"""{"metaData":{"id":"wf","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+          s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"id\\"]]}","removed":false}}""",
+          s"""{"add":{"path":${jstr(part.getPath.toUri.toString)},"partitionValues":{},"size":${part.getLen},"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n"))
+    mk(s"$base/t",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["appendOnly","invariants","clustering",""" +
+        """"icebergCompatV2","inCommitTimestamp",""" +
+        """"checkpointProtection","domainMetadata"]}}""")
+    assert(DeltaImport.scan(spark, s"$base/t")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(DeltaImport.state(spark, s"$base/t", None)
+      .domainMetadata.contains("delta.clustering"))
+    // the SAME names on the READER side are unknown semantics — refuse
+    mk(s"$base/bad",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["clustering"],""" +
+        """"writerFeatures":["clustering"]}}""")
+    val e = intercept[IllegalArgumentException](
+      DeltaImport.state(spark, s"$base/bad", None))
+    assert(e.getMessage.contains("clustering"))
+  }
+
+  test("CDF production: per-commit publishes emit spec cdc actions " +
+      "(_change_data files, partition values in the action) that " +
+      "changeScan consumes with file-action precedence; compaction " +
+      "publishes dataChange=false and feeds NOTHING; multi-commit " +
+      "delete gaps refuse with the per-commit rule") {
+    val base = TestSpark.tmpDir("delta-cdf-prod")
+    val src = (1L to 30L).map(i => (i, s"v$i", i % 3)).toDF("id", "v", "g")
+    val t = LakeTable.create(spark, s"$base/t", src.schema,
+      partitionBy = Seq("g"),
+      properties = Map(LakeTable.PROP_PUBLISH_CDF -> "true"))
+    t.append(src)
+    DeltaExport.publish(t, s"$base/d")                    // version 0
+    t.merge(Seq((3L, "u", 0L), (6L, "u", 0L)).toDF("id", "v", "g"),
+      Seq("id"))
+    DeltaExport.publish(t, s"$base/d")                    // version 1
+    t.delete(col("id") % 5 === 0)
+    DeltaExport.publish(t, s"$base/d")                    // version 2
+    t.compact(1)
+    DeltaExport.publish(t, s"$base/d")                    // version 3
+    t.append(Seq((31L, "a31", 1L), (32L, "a32", 2L)).toDF("id", "v", "g"))
+    DeltaExport.publish(t, s"$base/d")                    // version 4
+
+    val st = DeltaImport.state(spark, s"$base/d", None)
+    assert(st.writerFeatures("changeDataFeed"))
+    assert(st.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"))
+
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def logLines(v: Long) = LakeTable.readString(fs, new Path(
+        f"$base/d/_delta_log/$v%020d.json"))
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    // the update's cdc actions exist, live under _change_data/, and
+    // carry the ACTION-side partition values (files don't store g)
+    val cdc1 = logLines(1).filter(_.has("cdc")).map(_.path("cdc"))
+    assert(cdc1.nonEmpty)
+    assert(cdc1.forall(c =>
+      c.path("path").asText().startsWith("_change_data/") &&
+        c.path("partitionValues").has("g") &&
+        !c.path("dataChange").asBoolean(true)))
+    assert(!spark.read.parquet(cdc1.map(c => new Path(s"$base/d",
+        c.path("path").asText()).toString): _*)
+      .columns.contains("g"), "cdc files must not store partition cols")
+    // the compaction version: no cdc, every file action dataChange=false
+    val v3 = logLines(3)
+    assert(!v3.exists(_.has("cdc")))
+    val v3Files = v3.filter(n => n.has("add") || n.has("remove"))
+    assert(v3Files.nonEmpty && v3Files.forall { n =>
+      val a = if (n.has("add")) n.path("add") else n.path("remove")
+      !a.path("dataChange").asBoolean(true)
+    }, "a pure rewrite must publish dataChange=false actions")
+    // insert-only versions carry no cdc (synthesis is exact)
+    assert(!logLines(4).exists(_.has("cdc")))
+
+    // END-TO-END through the independent CDF reader: cdc versions
+    // deliver exactly the changelog's rows (file-action precedence —
+    // the merge REWROTE whole partition files; synthesizing them
+    // would multiply rows), compaction contributes nothing,
+    // insert-only synthesizes inserts
+    val got = DeltaImport.changeScan(spark, s"$base/d", 0L)
+      .select(col("id"), col("v"), col("g"), col("_change_type"),
+        col("_commit_version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    val expect =
+      Set((3L, "v3", 0L, "delete", 1L), (3L, "u", 0L, "insert", 1L),
+        (6L, "v6", 0L, "delete", 1L), (6L, "u", 0L, "insert", 1L)) ++
+      Seq(5L, 10L, 15L, 20L, 25L, 30L)
+        .map(i => (i, s"v$i", i % 3, "delete", 2L)).toSet ++
+      Set((31L, "a31", 1L, "insert", 4L), (32L, "a32", 2L, "insert", 4L))
+    assert(got == expect, s"diff: ${(got -- expect)} / ${(expect -- got)}")
+
+    // two row-level commits since the last publish: change data is
+    // only well-ordered per commit — refuse with the rule named
+    t.delete(col("id") === 1L)
+    t.delete(col("id") === 2L)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.publish(t, s"$base/d"))
+    assert(e.getMessage.contains("per"), e.getMessage)
+  }
 }

@@ -278,4 +278,41 @@ class DeltaTailSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only") ||
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
+
+  test("the CLOSED change-feed loop: a change-feed-enabled lake " +
+      "table's per-commit publishes stream through readChangeFeed — " +
+      "graft produces the cdc actions graft consumes, exactly once") {
+    val base = TestSpark.tmpDir("deltatail-cdf-loop")
+    val t = LakeTable.create(spark, s"$base/t",
+      Seq((1L, "a")).toDF("id", "v").schema,
+      properties = Map(LakeTable.PROP_PUBLISH_CDF -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1))
+    DeltaExport.export(t, s"$base/delta")              // v0
+    t.merge(Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    DeltaExport.publish(t, s"$base/delta")             // v1: cdc
+    t.delete(col("id") === 3L)
+    DeltaExport.publish(t, s"$base/delta")             // v2: cdc
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    DeltaExport.publish(t, s"$base/delta")             // v3: synthesized
+
+    val q = spark.readStream.format("delta-tail")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(s"$base/delta")
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (2L, "b", "delete", 1L), (2L, "B", "insert", 1L),
+      (3L, "c", "delete", 2L),
+      (4L, "d", "insert", 3L)), s"$got")
+  }
 }
