@@ -432,14 +432,14 @@ object DeltaExport {
     //   - otherwise a cdc action set derived from the table's own
     //     changelog is REQUIRED when publish.delta.change-data-feed
     //     is on (and must be per-commit — see below).
+    // O(delta) driver reads: exactly the range's v-jsons, never the
+    // whole retained history (table.snapshots lists + parses every
+    // retained snapshot — O(history) per publish at commit depth)
     val rangeSnaps: Option[Seq[Snapshot]] = prev.flatMap { p =>
       p.graftSnapshotId.flatMap { from =>
-        val retained = table.snapshots
-          .filter(s => s.snapshotId > from &&
-            s.snapshotId <= snap.snapshotId)
-        val ids = retained.map(_.snapshotId)
-        if (ids == ((from + 1) to snap.snapshotId)) Some(retained)
-        else None // expired mid-range — unknowable
+        scala.util.Try(
+          ((from + 1) to snap.snapshotId).map(table.snapshot)
+        ).toOption // an expired mid-range snapshot — unknowable
       }
     }
     def delState(s: Snapshot) =

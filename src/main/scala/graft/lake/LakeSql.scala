@@ -737,6 +737,15 @@ object LakeSql {
           if (c.args.size > 2) Some(lng(2)) else None)
         df.createOrReplaceTempView(str(1))
         return Seq((str(1), str(0))).toDF("view", "table_dir")
+      case "register_delta_lineage" =>
+        // (table_dir, view_name[, version]) — federate a rowTracking
+        // Delta table WITH row identity: the view carries `_row_id`
+        // resolved by the fresh/materialized rule (refuses tables
+        // whose protocol/config don't guarantee consistent ids)
+        val df = DeltaImport.lineageScan(spark, str(0),
+          if (c.args.size > 2) Some(lng(2)) else None)
+        df.createOrReplaceTempView(str(1))
+        return Seq((str(1), str(0))).toDF("view", "table_dir")
       case "register_iceberg" =>
         // (metadata_json_path, view_name) — federate an Iceberg table
         val df = IcebergImport.scan(spark, str(0))
@@ -892,7 +901,8 @@ object LakeSql {
           "refresh_mv, refresh_scd2, scd2_staleness, mv_staleness, " +
           "import_iceberg, publish_iceberg, register_iceberg, " +
           "export_delta, publish_delta, publish_uniform, " +
-          "checkpoint_delta, cleanup_delta, import_delta, register_delta")
+          "checkpoint_delta, cleanup_delta, import_delta, " +
+          "register_delta, register_delta_lineage")
     }
     // every procedure may have mutated table metadata — including
     // HEAD-preserving mutations (tags/refs, snapshot expiry) the

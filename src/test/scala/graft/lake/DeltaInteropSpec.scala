@@ -1215,6 +1215,12 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(st2.domainMetadata.contains("delta.rowTracking"))
     assert(idsOf(DeltaImport.lineageScan(spark, s"$base/delta"),
       "_row_id") == own)
+
+    // SQL surface: the lineage view federates with _row_id
+    val cat = new LakeCatalog(spark, s"$base/cat")
+    LakeSql.run(cat, "ns", "CALL system.register_delta_lineage(" +
+      s"'$base/delta', 'rt_view')")
+    assert(idsOf(spark.table("rt_view"), "_row_id") == own)
   }
 
   test("row tracking hostile logs: supported-but-disabled refuses, a " +
