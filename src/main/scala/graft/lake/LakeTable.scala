@@ -710,19 +710,27 @@ final class LakeTable private (
       val img = struct(dataCols.map(col): _*)
       // variant admits no comparison (Spark pins it unorderable), so
       // the CHANGE TEST compares each variant-bearing column's
-      // canonical JSON text; the carried image keeps original values
+      // canonical JSON text; the carried image keeps original values.
+      // Variant-free tables (the common case) compare the carried
+      // image directly — shipping a second identical struct through
+      // the join would double the shuffle width for nothing.
       val types = post.schema.fields.map(f => f.name -> f.dataType).toMap
+      val needCmp = dataCols.exists(c =>
+        LakeTable.containsVariant(types(c)))
       val imgCmp = struct(dataCols.map(c =>
         if (LakeTable.containsVariant(types(c))) to_json(col(c)).as(c)
         else col(c)): _*)
-      val p = post.where(col(ROW_ID_COL).isNotNull)
-        .select(col(ROW_ID_COL), img.as("__graft_post"),
-          imgCmp.as("__graft_postc"))
-      val q = pre.where(col(ROW_ID_COL).isNotNull)
-        .select(col(ROW_ID_COL), img.as("__graft_pre"),
-          imgCmp.as("__graft_prec"))
+      def side(df: DataFrame, imgName: String,
+          cmpName: String): DataFrame =
+        df.where(col(ROW_ID_COL).isNotNull)
+          .select(Seq(col(ROW_ID_COL), img.as(imgName)) ++
+            (if (needCmp) Seq(imgCmp.as(cmpName)) else Nil): _*)
+      val p = side(post, "__graft_post", "__graft_postc")
+      val q = side(pre, "__graft_pre", "__graft_prec")
       val changed = p.join(q, Seq(ROW_ID_COL), "full_outer")
-        .where(!(col("__graft_postc") <=> col("__graft_prec")))
+        .where(
+          if (needCmp) !(col("__graft_postc") <=> col("__graft_prec"))
+          else !(col("__graft_post") <=> col("__graft_pre")))
       // each surviving id yields its present sides in one pass
       val rows = changed.select(col(ROW_ID_COL), explode(array(
           when(col("__graft_post").isNotNull, struct(
