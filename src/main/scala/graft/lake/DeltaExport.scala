@@ -462,12 +462,16 @@ object DeltaExport {
           "the change feed for this publish cannot be derived; " +
           "publish before expiring, or disable " +
           s"${LakeTable.PROP_PUBLISH_CDF}")
-      require(rangeSnaps.get.size == 1,
-        s"$destDir: ${rangeSnaps.get.size} table commits since the " +
-          "last publish include row-level deletes/updates — change " +
-          "data is only well-ordered per commit; publish after every " +
-          "commit (continuous mode) or disable " +
-          s"${LakeTable.PROP_PUBLISH_CDF}")
+      // pure-rewrite commits (consolidation, compaction) contribute
+      // no change rows and may share the range; TWO logical-change
+      // commits may cancel/reorder (insert then delete of one row)
+      // inside this single unordered Delta version — refuse
+      val logical = rangeSnaps.get.filterNot(noChange)
+      require(logical.size == 1,
+        s"$destDir: ${logical.size} row-level table commits since " +
+          "the last publish — change data is only well-ordered per " +
+          "commit; publish after every commit (continuous mode) or " +
+          s"disable ${LakeTable.PROP_PUBLISH_CDF}")
     }
 
     // one DV file per commit holding every (re)published descriptor

@@ -1412,4 +1412,41 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaExport.publish(t, s"$base/d"))
     assert(e.getMessage.contains("per"), e.getMessage)
   }
+
+  test("CDF production over a MERGE-ON-READ table: the DV-growth " +
+      "publish carries cdc actions — exactly what makes a DV version " +
+      "CDF-consumable (the reader refuses DV changes without cdc) — " +
+      "and the feed shows just the deleted rows") {
+    val base = TestSpark.tmpDir("delta-cdf-mor")
+    val src = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = LakeTable.create(spark, s"$base/t", src.schema,
+      properties = Map(
+        LakeTable.PROP_PUBLISH_CDF -> "true",
+        LakeTable.PROP_DELETE_MODE -> "merge-on-read"))
+    t.append(src.coalesce(1))
+    DeltaExport.export(t, s"$base/d")                     // version 0
+    t.delete(col("id") % 8 === 0)
+    t.consolidateDeleteVectors()
+    DeltaExport.publish(t, s"$base/d")                    // version 1
+    val st = DeltaImport.state(spark, s"$base/d", None)
+    assert(st.adds.exists(_.dv.isDefined),
+      "publish must carry the deletion vector")
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v1 = LakeTable.readString(fs, new Path(
+        s"$base/d/_delta_log/00000000000000000001.json"))
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    assert(v1.exists(_.has("cdc")),
+      "a DV-growth publish on a CDF table must emit cdc actions")
+    // the feed is EXACTLY the deleted rows (carried rows cancel),
+    // consumed through the reader that refuses DV-without-cdc
+    val got = DeltaImport.changeScan(spark, s"$base/d", 0L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Seq(8L, 16L, 24L, 32L, 40L)
+      .map(i => (i, "delete", 1L)).toSet, s"$got")
+    // live scans agree end-to-end
+    assert(DeltaImport.scan(spark, s"$base/d").count() == 35L)
+  }
 }
