@@ -23,9 +23,17 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def run(seed: Int, steps: Int, partitioned: Boolean,
-      formatVersion: Int = 2, lineage: Boolean = false): Unit = {
+      formatVersion: Int = 2, lineage: Boolean = false,
+      variant: Boolean = false): Unit = {
     val rnd = new Random(seed)
-    val base = Seq((0L, "", 0L)).toDF("id", "v", "g")
+    // the variant leg rides a SEMI-STRUCTURED column derived from
+    // (id, v) through every MOR artifact state — its expectation is
+    // reconstructible from the same driver model
+    def withVar(df0: org.apache.spark.sql.DataFrame) =
+      if (!variant) df0
+      else df0.selectExpr("id", "v", "g",
+        "parse_json(concat('{\"n\":', id, ',\"s\":\"', v, '\"}')) AS w")
+    val base = withVar(Seq((0L, "", 0L)).toDF("id", "v", "g"))
     val t = LakeTable.create(spark,
       TestSpark.tmpDir(s"icefuzz-$seed") + "/t", base.schema,
       partitionBy = if (partitioned) Seq("g") else Nil,
@@ -37,7 +45,8 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
     val model = scala.collection.mutable.Map.empty[Long, String]
     var nextId = 0L
     def df(rows: Seq[(Long, String)]) =
-      rows.map { case (k, v) => (k, v, k % 5) }.toDF("id", "v", "g")
+      withVar(rows.map { case (k, v) => (k, v, k % 5) }
+        .toDF("id", "v", "g"))
 
     var exports = 0
     var sawPuffinDv = false
@@ -90,10 +99,18 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
             spark.sessionState.newHadoopConf()).deleteEntries
             .exists(_.format == "puffin"))
           sawPuffinDv = true
-        val got = IcebergImport.scan(spark, meta).collect()
-          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        val scanned =
+          if (!variant) IcebergImport.scan(spark, meta)
+          else IcebergImport.scan(spark, meta).selectExpr("id", "v",
+            "g", "variant_get(w, '$.n', 'long')",
+            "variant_get(w, '$.s', 'string')")
+        val got = scanned.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)) ->
+            (if (variant) (r.getLong(3), r.getString(4))
+            else (r.getLong(0), ""))))
           .toMap
-        val want = model.map { case (k, v) => k -> (v, k % 5) }.toMap
+        val want = model.map { case (k, v) => k -> ((v, k % 5) ->
+          (if (variant) (k, v) else (k, ""))) }.toMap
         assert(got == want,
           s"seed $seed step $step export diverged: import ${got.size} " +
             s"rows vs model ${want.size}; " +
@@ -148,5 +165,13 @@ class IcebergRoundtripFuzzSpec extends AnyFunSuite {
       "export point") {
     run(57, 25, partitioned = false, formatVersion = 3,
       lineage = true)
+  }
+
+  test("random artifact states round-trip a VARIANT column as V3 " +
+      "(seed 91, identity-partitioned): semi-structured values " +
+      "survive every MOR artifact state, compaction, and the " +
+      "puffin-DV export") {
+    run(91, 25, partitioned = true, formatVersion = 3,
+      variant = true)
   }
 }
