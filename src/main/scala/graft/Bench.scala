@@ -25,6 +25,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // no-fork local fs: without libhadoop, Hadoop's local fs forks a
+      // `chmod` per created file/dir (~20 ms each) — see
+      // graft.lake.FastLocalFs; file:// only, no semantic change.
+      // SPARK_GRAFT_FS overrides (A/B harness; unset = the fix).
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_FS",
+          classOf[graft.lake.NoForkLocalFileSystem].getName))
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_AFS",
+          classOf[graft.lake.NoForkLocalFs].getName))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup OUTSIDE the measurements: without it the

@@ -25,6 +25,13 @@ object MedallionDemo {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local fs: without libhadoop, Hadoop's local fs forks a
+      // `chmod` per created file/dir (~20 ms each) — see
+      // graft.lake.FastLocalFs; file:// only, no semantic change
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.lake.NoForkLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.lake.NoForkLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

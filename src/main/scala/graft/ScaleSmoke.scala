@@ -143,6 +143,13 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local fs: without libhadoop, Hadoop's local fs forks a
+      // `chmod` per created file/dir (~20 ms each) — see
+      // graft.lake.FastLocalFs; file:// only, no semantic change
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.lake.NoForkLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.lake.NoForkLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -236,6 +243,13 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local fs: without libhadoop, Hadoop's local fs forks a
+      // `chmod` per created file/dir (~20 ms each) — see
+      // graft.lake.FastLocalFs; file:// only, no semantic change
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.lake.NoForkLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.lake.NoForkLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-magg-scale").toString
@@ -334,6 +348,13 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local fs: without libhadoop, Hadoop's local fs forks a
+      // `chmod` per created file/dir (~20 ms each) — see
+      // graft.lake.FastLocalFs; file:// only, no semantic change
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.lake.NoForkLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.lake.NoForkLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1454,7 +1454,8 @@ final class LakeTable private (
     * data file covers a DISJOINT range and the per-file min/max stats
     * make key-range pruning surgical — one extra shuffle per append, the
     * documented cost of a sorted table. */
-  def append(df: DataFrame): Long = appendInternal(df, None)
+  def append(df: DataFrame): Long =
+    labeled("append")(appendInternal(df, None))
 
   /** Idempotent append (≡ Delta's `txnAppId`/`txnVersion` writer
     * option, the standard `foreachBatch` exactly-once pattern): the
@@ -1467,7 +1468,7 @@ final class LakeTable private (
     * commit finds its own watermark and skips. Versions must be
     * monotone per appId (micro-batch ids are). */
   def appendOnce(df: DataFrame, appId: String, version: Long): Long =
-    appendInternal(df, Some((appId, version)))
+    labeled("appendOnce")(appendInternal(df, Some((appId, version))))
 
   private def appendInternal(df: DataFrame,
       txn: Option[(String, Long)]): Long = {
@@ -1742,6 +1743,18 @@ final class LakeTable private (
     * across real process boundaries (see CrossProcessConflictSpec).
     * Files written by a lost attempt become orphans for maintenance
     * (same note as appendInternal's rebased retry). */
+  /** Tag every Spark job a table operation submits with a readable
+    * description (`graft.<op>`) — the optimization guide's "label your
+    * jobs": attribution in the UI / listeners without touching plans.
+    * Restores the caller's description on exit so nested ops and user
+    * labels survive. */
+  private def labeled[T](op: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft.$op")
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def rewriteWithRetry(op: () => Long): Long = {
     var n = 0
     while (true) {
@@ -1790,7 +1803,7 @@ final class LakeTable private (
     * to (same as [[compact]]): the new snapshot starts delete-free, so
     * readers never pay a can't-match anti-join against a retired era and
     * expireSnapshots can reclaim the delete files. */
-  def overwrite(df: DataFrame): Long = {
+  def overwrite(df: DataFrame): Long = labeled("overwrite") {
     autoEvolveFor(df)
     val base = current
     val WriteResult(added, stats, info) =
@@ -1817,7 +1830,8 @@ final class LakeTable private (
     * table thus rewrites nothing and swaps file lists driver-side. */
   def overwriteWhere(df: DataFrame,
       predicate: org.apache.spark.sql.Column): Long =
-    rewriteWithRetry(() => overwriteWhereImpl(df, predicate, None))
+    labeled("overwriteWhere")(
+      rewriteWithRetry(() => overwriteWhereImpl(df, predicate, None)))
 
   private def overwriteWhereImpl(df: DataFrame,
       predicate: org.apache.spark.sql.Column,
@@ -1889,7 +1903,8 @@ final class LakeTable private (
     * sane plan, and a batch restating that much of the table should
     * say so explicitly with overwriteWhere/overwrite. */
   def overwritePartitions(df: DataFrame): Long =
-    rewriteWithRetry(() => overwritePartitionsImpl(df, None))
+    labeled("overwritePartitions")(
+      rewriteWithRetry(() => overwritePartitionsImpl(df, None)))
 
   /** Streaming twin of [[overwritePartitions]] (the per-trigger
     * restatement sink): rides the same `txn.<appId>` watermark as
@@ -1898,8 +1913,8 @@ final class LakeTable private (
     * at-least-once replay. */
   def overwritePartitionsOnce(df: DataFrame, appId: String,
       version: Long): Long =
-    rewriteWithRetry(() =>
-      overwritePartitionsImpl(df, Some((appId, version))))
+    labeled("overwritePartitionsOnce")(rewriteWithRetry(() =>
+      overwritePartitionsImpl(df, Some((appId, version)))))
 
   private def overwritePartitionsImpl(df: DataFrame,
       txn: Option[(String, Long)]): Long = {
@@ -2008,9 +2023,9 @@ final class LakeTable private (
       dropUnmatchedWhen: Option[org.apache.spark.sql.Column],
       extraProperties: Map[String, String],
       txn: Option[(String, Long)]): Long =
-    rewriteWithRetry(() =>
+    labeled("merge")(rewriteWithRetry(() =>
       mergeImpl(source, keys, deleteWhen, dropUnmatchedWhen,
-        extraProperties, txn))
+        extraProperties, txn)))
 
   private def mergeImpl(source: DataFrame, keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
@@ -2257,8 +2272,9 @@ final class LakeTable private (
       notMatchedBySource: Seq[MergeWhen] = Nil,
       extraProperties: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None): Long =
-    rewriteWithRetry(() => mergeClausesImpl(source, keys, matched,
-      notMatched, notMatchedBySource, extraProperties, txn))
+    labeled("mergeClauses")(rewriteWithRetry(() =>
+      mergeClausesImpl(source, keys, matched,
+        notMatched, notMatchedBySource, extraProperties, txn)))
 
   private def mergeClausesImpl(source: DataFrame, keys: Seq[String],
       matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
@@ -2592,7 +2608,8 @@ final class LakeTable private (
     * only scan semi-joined with the distinct keys locates the files to
     * rewrite; the rewrite anti-joins them away. Null keys never match. */
   def deleteByKeys(keys: DataFrame, keyCols: Seq[String]): Long =
-    rewriteWithRetry(() => deleteByKeysImpl(keys, keyCols))
+    labeled("deleteByKeys")(
+      rewriteWithRetry(() => deleteByKeysImpl(keys, keyCols)))
 
   private def deleteByKeysImpl(keys: DataFrame,
       keyCols: Seq[String]): Long = {
@@ -2644,7 +2661,7 @@ final class LakeTable private (
     * each matching row's (file, row-ordinal) — ZERO data rewrite; readers
     * anti-join the positions until [[compact]] folds them in. */
   def delete(predicate: org.apache.spark.sql.Column): Long =
-    rewriteWithRetry(() => deleteImpl(predicate))
+    labeled("delete")(rewriteWithRetry(() => deleteImpl(predicate)))
 
   private def deleteImpl(predicate: org.apache.spark.sql.Column): Long = {
     val base = current
@@ -2874,7 +2891,8 @@ final class LakeTable private (
     * delete + insert) — zero rewrite of existing files. */
   def update(predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long =
-    rewriteWithRetry(() => updateImpl(predicate, assignments))
+    labeled("update")(
+      rewriteWithRetry(() => updateImpl(predicate, assignments)))
 
   private def updateImpl(predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -4479,7 +4497,7 @@ final class LakeTable private (
     * plus their per-column bounds (read from the fresh Parquet footers —
     * cost ∝ commit size, see [[FileStats]]). File names carry Spark's task
     * UUIDs — unique across commits. */
-  private def writeDataFiles(df: DataFrame): WriteResult = {
+  private def writeDataFiles(df: DataFrame): WriteResult = labeled("write") {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     val conf = df.sparkSession.conf
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
@@ -4512,7 +4530,7 @@ final class LakeTable private (
       var w = derived.write.mode("overwrite").option("compression", codec)
       if (fields.nonEmpty)
         w = w.partitionBy(fields.map(_.dirName): _*)
-      w.parquet(staging.toString)
+      LakeTable.timed("w.parquet")(w.parquet(staging.toString))
       // validate what was actually WRITTEN (staging is still disposable —
       // a violation throws here and `finally` deletes it, so no live file
       // can ever hold a violating row). Identity partition columns live
@@ -4524,7 +4542,7 @@ final class LakeTable private (
           spark.read.option("basePath", staging.toString)
             .schema(readSchema).parquet(staging.toString))
       }
-      val files = listParquet(fs, staging)
+      val files = LakeTable.timed("w.list")(listParquet(fs, staging))
       // rename serially (cheap metadata ops; size captured from the
       // same status call), then read the footers in parallel — each
       // open is independent driver-side I/O, and a large
@@ -4559,23 +4577,24 @@ final class LakeTable private (
             case None => rel
           }
       }
-      val moved = files.map { f =>
+      val moved = LakeTable.timed("w.rename")(files.map { f =>
         val rel = withBucketSuffix(relativePath(staging, f))
         val dest = new Path(dataDir, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
           throw new java.io.IOException(s"rename $f -> $dest failed")
         (s"$DATA_DIR/$rel", dest, fs.getFileStatus(dest).getLen)
-      }
+      })
       val statsMap =
         new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
       val infoMap =
         new java.util.concurrent.ConcurrentHashMap[String, FileInfo]()
-      moved.toList.asJava.parallelStream().forEach { case (key, dest, len) =>
-        val (st, rows) = FileStats.collect(hconf, dest, sch, fields, key)
-        if (st.nonEmpty) statsMap.put(key, st)
-        infoMap.put(key, FileInfo(len, rows))
-      }
+      LakeTable.timed("w.stats")(
+        moved.toList.asJava.parallelStream().forEach { case (key, dest, len) =>
+          val (st, rows) = FileStats.collect(hconf, dest, sch, fields, key)
+          if (st.nonEmpty) statsMap.put(key, st)
+          infoMap.put(key, FileInfo(len, rows))
+        })
       // per-file Bloom filters (opt-in, one distributed pass over the
       // fresh files per column) ride the stats map as __bloom__ pseudo-
       // columns — see BloomStats
@@ -4632,7 +4651,7 @@ final class LakeTable private (
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     try {
       keysDf.write.mode("overwrite").parquet(staging.toString)
-      val files = listParquet(fs, staging)
+      val files = LakeTable.timed("w.list")(listParquet(fs, staging))
       val delDir = new Path(rootPath, DELETES_DIR)
       fs.mkdirs(delDir)
       files.map { f =>
@@ -4655,7 +4674,7 @@ final class LakeTable private (
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     try {
       dvDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val files = listParquet(fs, staging)
+      val files = LakeTable.timed("w.list")(listParquet(fs, staging))
       val delDir = new Path(rootPath, DELETES_DIR)
       fs.mkdirs(delDir)
       files.map { f =>
