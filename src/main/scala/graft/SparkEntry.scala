@@ -44,8 +44,22 @@ object SparkEntry {
     graft.sources.EventTime.withTsUs(t(s, dir, "events"))
   }
 
+  /** Scale-adaptive read parallelism (guide §2/§6): the local fixture
+    * tables arrive as single-row-group parquet files, so their scans
+    * plan as ONE partition and every narrow downstream computation
+    * (shingling, signatures, PQ encode, feature extraction) serializes
+    * into one task. Redistribute ONLY when the scan is narrower than
+    * the session's cores — at production scale inputs already carry
+    * ≥ cores splits and this is a no-op, so no shuffle is ever added
+    * to a 100 TB read. The decision reads the planned partition count
+    * (no job runs). */
+  private def widen(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    widen(s, t(s, dir, "documents"))
 
   /** embeddings with the vector column normalized to array<float> —
     * the custom vector Expressions bind to FloatType elements, and this
@@ -53,7 +67,7 @@ object SparkEntry {
     * crashing the whole ANN family (same drift class [[graft.sources
     * .EventTime]] absorbs for events.ts). */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
+    widen(s, t(s, dir, "embeddings"))
       .withColumn("embedding", col("embedding").cast("array<float>"))
 
   private val tmpDirs =
@@ -3284,13 +3298,20 @@ WHEN NOT MATCHED THEN INSERT *
       // brute-force top-k each query recovers. The bruteforce row is
       // the control (recall 1 by construction); hits/(k·n_queries) is
       // a ratio of integer counts, bit-identical cross-engine.
+      // the corpus is re-read and the exact top-k re-joined by EVERY
+      // method row below (8×) — persist both for the query's lifetime
+      // (Bench/Verify clearCache between queries, the family-wide
+      // release contract; at scale this is a deliberate, bounded reuse
+      // cache: queries × k rows and one corpus pass instead of 8)
       val e = emb(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = 5
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val nq = queries.count()
       val exact = SimilaritySearch.bruteForceTopK(e, queries, k)
         .select(col("query_id"), col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def hitsOf(name: String, approx: DataFrame) =
         approx.select(col("query_id"), col("corpus_id"))
           .join(exact, Seq("query_id", "corpus_id"))
@@ -3351,11 +3372,16 @@ WHEN NOT MATCHED THEN INSERT *
         .groupBy("vec_id")
         .agg(transform(asort(collect_list(struct(col("j"), col("x")))),
           st => st.getField("x")).as("embedding"))
+        // the generated corpus (shuffle agg + per-element md5) and the
+        // exact top-k are re-derived by EVERY method row below —
+        // persist both (Bench/Verify clearCache between queries)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queries = corpus.where(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val nq = queries.count()
       val exact = SimilaritySearch.bruteForceTopK(corpus, queries, k)
         .select(col("query_id"), col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def hitsOf(name: String, approx: DataFrame) =
         approx.select(col("query_id"), col("corpus_id"))
           .join(exact, Seq("query_id", "corpus_id"))

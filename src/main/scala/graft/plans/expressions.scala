@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -128,6 +129,88 @@ object expressions {
       nullSafeCodeGen(ctx, ev, s =>
         s"""${ev.value} = $cls.MODULE$$.minRollingHash(
            |  $s.toString().toLowerCase(java.util.Locale.ROOT), $window);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  /** Distinct word n-gram shingles of a TOKEN ARRAY, one fused pass.
+    *
+    * Replaces the Catalyst combinator spelling
+    * `array_distinct(transform(sequence(0, size-n), i =>
+    * concat_ws(" ", slice(toks, i+1, n))))` (+ `when` short-doc
+    * fallback), whose cost profile is pathological: a `slice` array
+    * allocation per shingle, per-element lambda dispatch, and an
+    * O(g²)-comparison `array_distinct` over string elements — measured
+    * 2.9 s for 5,000 ~50-token docs vs 0.12 s for tokenization.
+    * Here: one `UTF8String.concatWs` per window and a LinkedHashSet for
+    * the dedup (same first-occurrence order `array_distinct` keeps).
+    *
+    * Exact semantic mirror of the old spelling, including edges: fewer
+    * than `n` tokens (or a null/empty token array) yields ONE shingle —
+    * all tokens joined, "" for none — so no document silently
+    * disappears and the DuckDB oracles' SQL stays byte-identical. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    require(n > 0, "n must be positive")
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.sql}")
+      }
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_shingles"
+
+    // null child → the same array("") the old `concat_ws` fallback
+    // produced (concat_ws over a null array is ""), so eval bypasses
+    // the null-skipping UnaryExpression default
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      compute(if (v == null) null else v.asInstanceOf[ArrayData])
+    }
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    /** Public for codegen (bound reference object, pipeline stays
+      * fused — same pattern as [[MinHashSignature.compute]]). */
+    def compute(xs: ArrayData): ArrayData = {
+      val m = if (xs == null) 0 else xs.numElements()
+      val space = UTF8String.fromString(" ")
+      if (m < n) {
+        val parts = new Array[UTF8String](m)
+        var j = 0
+        while (j < m) { parts(j) = xs.getUTF8String(j); j += 1 }
+        return new GenericArrayData(
+          Array[Any](UTF8String.concatWs(space, parts: _*)))
+      }
+      val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = xs.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingles", this, getClass.getName)
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            $ref.compute(${c.isNull} ? null :
+              (org.apache.spark.sql.catalyst.util.ArrayData) ${c.value});""",
+        isNull = FalseLiteral)
     }
 
     override protected def withNewChildInternal(c: Expression) =
@@ -498,6 +581,9 @@ object expressions {
 
   def minhashSignature(shingleHashes: Column, k: Int, seed: Long): Column =
     S.column(MinHashSignature(S.expression(shingleHashes), k, seed))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    S.column(WordShingles(S.expression(tokens), n))
 
   def simhash64(tokenHashes: Column): Column =
     S.column(SimHash64(S.expression(tokenHashes)))
