@@ -47,6 +47,11 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadBefore = loadAvg
+    // opt-in commit/write-path timer totals across the whole run
+    // (SPARK_GRAFT_TIMERS=1): prints one diagnostics line on stderr at
+    // the end; zero cost when off (one atomic read per section)
+    val wantTimers = sys.env.get("SPARK_GRAFT_TIMERS").contains("1")
+    if (wantTimers) graft.lake.LakeTable.timersEnabled.set(true)
     // pinned (sorted) query order: run-to-run and round-to-round diffs
     // line up by name, never by map-iteration accident
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -73,6 +78,13 @@ object Bench {
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val loadAfter = loadAvg
+    if (wantTimers) {
+      import scala.jdk.CollectionConverters._
+      val prof = graft.lake.LakeTable.timers.asScala.toSeq
+        .map { case (k, v) => k -> v.get / 1e6 }.sortBy(-_._2)
+      System.err.println("[bench-timers] " + prof.map { case (k, ms) =>
+        f"$k=$ms%.0f ms" }.mkString(", "))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -4528,6 +4528,13 @@ final class LakeTable private (
         (df, f) => df.withColumn(f.dirName, f.expr(types(f.source)))
       }
       var w = derived.write.mode("overwrite").option("compression", codec)
+        // staging is private and validated below (footer profile +
+        // optional constraint re-read) before any file goes live, so the
+        // committer's job-level atomicity is redundant here: v2 task
+        // commits skip the second rename pass and no _SUCCESS marker is
+        // written (one fewer fs op per write; listParquet never read it)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       if (fields.nonEmpty)
         w = w.partitionBy(fields.map(_.dirName): _*)
       LakeTable.timed("w.parquet")(w.parquet(staging.toString))
@@ -4650,7 +4657,10 @@ final class LakeTable private (
   private def writeDeleteFiles(keysDf: DataFrame): Seq[String] = {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     try {
-      keysDf.write.mode("overwrite").parquet(staging.toString)
+      keysDf.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(staging.toString)
       val files = LakeTable.timed("w.list")(listParquet(fs, staging))
       val delDir = new Path(rootPath, DELETES_DIR)
       fs.mkdirs(delDir)
@@ -4673,7 +4683,10 @@ final class LakeTable private (
   private def writeDvFiles(dvDf: DataFrame): Seq[(String, Long)] = {
     val staging = new Path(rootPath, s".staging-${UUID.randomUUID()}")
     try {
-      dvDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      dvDf.coalesce(1).write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(staging.toString)
       val files = LakeTable.timed("w.list")(listParquet(fs, staging))
       val delDir = new Path(rootPath, DELETES_DIR)
       fs.mkdirs(delDir)
